@@ -1,0 +1,526 @@
+"""Raw-vault loaders: staging, hubs, links, satellites, effectivity, references.
+
+Parity target: the reference's insert-only "v2" engine
+(``pysparkvault/raw/RawVault.py:53-1075``). Semantics reproduced:
+
+- Staging prep (RawVault.py:996-1043): rename CDC columns into the ``$__``
+  dialect, stamp a record source, snapshot load-date override, compute HKEY.
+- ``load_hub`` (RawVault.py:194-260): CREATE|UPDATE|SNAPSHOT rows →
+  anti-join vs existing hub on HKEY → distinct → append.
+- ``load_satellite`` (RawVault.py:913-951): CREATE|UPDATE|SNAPSHOT rows,
+  LOAD_DATE := CDC event time, HDIFF over attributes, idempotent append
+  keyed on (HKEY, LOAD_DATE).
+- ``load_effectivity_satellite`` (RawVault.py:953-994): CREATE|DELETE|SNAPSHOT
+  rows, DELETED := (op == DELETE), keyed on (HKEY, LOAD_DATE).
+- ``load_link`` (RawVault.py:480-632): 2-ary FK link with delete detection —
+  resolve target HKEYs, link HKEY = hash(member hkeys), anti-join append;
+  effectivity rows for new links (deleted=False) and vanished links
+  (deleted=True via the non-equi "same from-hkey, different/nulled to-hkey"
+  join), run-length compressed with a lag window.
+- ``load_multilink`` (RawVault.py:660-708): N-ary link from an association
+  table.
+- ``load_references`` / ``load_code_references`` (RawVault.py:710-911).
+
+Design differences from the reference (deliberate, Spark-first):
+
+- Loaders are pure DataFrame→DataFrame kernels; the ``RawVault`` class is a
+  thin catalog-table wrapper. Kernels are unit-testable and usable in
+  ``foreachBatch`` streaming sinks unchanged.
+- ``load_ts`` is an explicit parameter (default: current timestamp) so loads
+  are reproducible/oracle-checkable.
+- Anti-join keys are repartitioned only when ``optimize_partitioning`` —
+  at scale prefer AQE + bucketed table layout (see ``sources/catalog.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import (
+    DataVaultConventions,
+    LinkedHubDefinition,
+    Operation,
+    VaultConfig,
+)
+from pyspark_playground_spark.functions.hashing import hash_diff, hash_key
+
+CONV = DataVaultConventions()
+
+
+# ---------------------------------------------------------------------------
+# staging
+# ---------------------------------------------------------------------------
+
+def prepare_staging(
+    df: DataFrame,
+    *,
+    load_date_column: str,
+    operation_column: str | None,
+    record_source: str,
+    hkey_columns: Sequence[str] = (),
+    snapshot_override_column: str | None = None,
+    timestamp_pattern: str | None = None,
+    conv: DataVaultConventions = CONV,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Normalize a raw CDC batch into the staging-prepared shape.
+
+    Reference: ``stage_table_df`` (RawVault.py:996-1043). Accepts operation
+    codes as ints or the string dialect (features/steps/raw_vault.py:200-212).
+    """
+    out = df.withColumnRenamed(load_date_column, conv.load_date())
+    if timestamp_pattern:
+        out = out.withColumn(
+            conv.load_date(), F.to_timestamp(F.col(conv.load_date()), timestamp_pattern)
+        )
+    else:
+        out = out.withColumn(conv.load_date(), F.col(conv.load_date()).cast("timestamp"))
+
+    if operation_column is not None:
+        op = F.col(operation_column)
+        if dict(df.dtypes).get(operation_column) == "string":
+            mapping = F.create_map(
+                *[x for k, v in Operation.NAMES.items() for x in (F.lit(k), F.lit(v))]
+            )
+            op = mapping[F.lower(op)]
+        out = (
+            out.withColumn(conv.operation(), op.cast("int"))
+            .drop(operation_column)
+            if operation_column != conv.operation()
+            else out.withColumn(conv.operation(), op.cast("int"))
+        )
+    else:
+        out = out.withColumn(conv.operation(), F.lit(Operation.SNAPSHOT))
+
+    out = out.withColumn(conv.record_source(), F.lit(record_source))
+
+    # snapshot loads may take their load date from a source column
+    # (RawVault.py:1032-1038: applied when operation < CREATE)
+    if snapshot_override_column is not None:
+        out = out.withColumn(
+            conv.load_date(),
+            F.when(
+                F.col(conv.operation()) < F.lit(Operation.DELETE),
+                F.col(snapshot_override_column).cast("timestamp"),
+            ).otherwise(F.col(conv.load_date())),
+        )
+
+    if hkey_columns:
+        out = out.withColumn(conv.hkey(), hash_key(list(hkey_columns), hash_function))
+    return out
+
+
+def _with_load_meta(
+    staged: DataFrame,
+    conv: DataVaultConventions,
+    load_ts: datetime | None,
+    record_source: str | None,
+) -> DataFrame:
+    """Stamp CDC_LOAD_DATE := event time, LOAD_DATE := batch load time.
+
+    Reference: load_hub step (RawVault.py:235-240). Idempotent: if the batch
+    is already stamped (CDC_LOAD_DATE present), event time is preserved.
+    """
+    if conv.cdc_load_date() in staged.columns:
+        if record_source is not None and conv.record_source() not in staged.columns:
+            return staged.withColumn(conv.record_source(), F.lit(record_source))
+        return staged
+    out = staged.withColumn(conv.cdc_load_date(), F.col(conv.load_date()))
+    ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
+    out = out.withColumn(conv.load_date(), ts)
+    if record_source is not None:
+        out = out.withColumn(conv.record_source(), F.lit(record_source))
+    elif conv.record_source() not in out.columns:
+        out = out.withColumn(conv.record_source(), F.lit("unknown"))
+    return out
+
+
+def _filter_ops(df: DataFrame, conv: DataVaultConventions, ops: Sequence[int]) -> DataFrame:
+    if conv.operation() in df.columns:
+        return df.filter(F.col(conv.operation()).isin(list(ops)))
+    return df
+
+
+def _maybe_repartition(
+    df: DataFrame, keys: Sequence[str], config: VaultConfig | None
+) -> DataFrame:
+    """Reference X1 (RawVault.py:760-761 etc.): hash-partition on the
+    anti-join keys before the join/write when ``optimize_partitioning``."""
+    if config is not None and config.optimize_partitioning:
+        return df.repartition(config.partition_size, *[F.col(k) for k in keys])
+    return df
+
+
+def _anti(
+    df: DataFrame, existing: DataFrame | None, keys: Sequence[str]
+) -> DataFrame:
+    """Idempotent-append core: keep rows whose key is not in ``existing``.
+
+    Reference J1/J2 (RawVault.py:255,943-948): ``left_anti`` equi-join. This
+    is the pure-Spark alternative to a Delta MERGE — insert-only tables never
+    need row updates, so NOT EXISTS + append gives the same end state.
+    """
+    if existing is None:
+        return df
+    cond = [df[k].eqNullSafe(existing[k]) for k in keys]
+    return df.join(existing, cond, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# hubs
+# ---------------------------------------------------------------------------
+
+def hub_rows(
+    staged: DataFrame,
+    business_key_columns: Sequence[str],
+    *,
+    existing: DataFrame | None = None,
+    load_ts: datetime | None = None,
+    record_source: str | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """New hub rows: one per unseen business entity.
+
+    Output schema: ``$__HKEY, $__LOAD_DATE, $__RECORD_SOURCE, *business_keys``
+    (reference shape RawVault.py:64-83; loader RawVault.py:194-260).
+    """
+    df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
+    if conv.hkey() not in df.columns:
+        df = df.withColumn(conv.hkey(), hash_key(list(business_key_columns), hash_function))
+    df = _with_load_meta(df, conv, load_ts, record_source)
+    df = df.select(
+        conv.hkey(), conv.load_date(), conv.record_source(), *business_key_columns
+    ).dropDuplicates([conv.hkey()])
+    df = _maybe_repartition(df, [conv.hkey()], config)
+    return _anti(df, existing, [conv.hkey()])
+
+
+# ---------------------------------------------------------------------------
+# satellites
+# ---------------------------------------------------------------------------
+
+def satellite_rows(
+    staged: DataFrame,
+    attribute_columns: Sequence[str],
+    *,
+    existing: DataFrame | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """New satellite versions keyed on (HKEY, LOAD_DATE = CDC event time).
+
+    Reference: ``load_satellite_from_prepared_stage_dataframe``
+    (RawVault.py:913-951). Every CREATE|UPDATE|SNAPSHOT row becomes a
+    version; no consecutive-HDIFF suppression (matches golden counts, e.g.
+    SAT__MOVIES = 14 in features/raw-vault.feature).
+    """
+    df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
+    # satellites keep event time as their LOAD_DATE (RawVault.py:928-933)
+    if conv.cdc_load_date() in df.columns:
+        df = df.withColumn(conv.load_date(), F.col(conv.cdc_load_date()))
+    df = df.withColumn(conv.hdiff(), hash_diff(list(attribute_columns), hash_function))
+    df = df.select(
+        conv.hkey(), conv.hdiff(), conv.load_date(), *attribute_columns
+    ).dropDuplicates([conv.hkey(), conv.load_date()])
+    df = _maybe_repartition(df, [conv.hkey(), conv.load_date()], config)
+    return _anti(df, existing, [conv.hkey(), conv.load_date()])
+
+
+def effectivity_rows(
+    staged: DataFrame,
+    *,
+    existing: DataFrame | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """New effectivity-satellite rows: the delete/undelete history of a hub.
+
+    Reference: ``load_effectivity_satellite_from_prepared_stage_dataframe``
+    (RawVault.py:953-994): ops CREATE|DELETE|SNAPSHOT,
+    ``$__DELETED := (op == DELETE)``, keyed on (HKEY, LOAD_DATE).
+    """
+    df = _filter_ops(staged, conv, Operation.EFFECTIVITY_OPS)
+    if conv.cdc_load_date() in df.columns:
+        df = df.withColumn(conv.load_date(), F.col(conv.cdc_load_date()))
+    df = df.withColumn(
+        conv.deleted(), (F.col(conv.operation()) == Operation.DELETE)
+        if conv.operation() in df.columns
+        else F.lit(False),
+    )
+    df = df.withColumn(conv.hdiff(), hash_diff([F.col(conv.deleted())], hash_function))
+    df = df.select(
+        conv.hkey(), conv.hdiff(), conv.deleted(), conv.load_date()
+    ).dropDuplicates([conv.hkey(), conv.load_date()])
+    df = _maybe_repartition(df, [conv.hkey(), conv.load_date()], config)
+    return _anti(df, existing, [conv.hkey(), conv.load_date()])
+
+
+# ---------------------------------------------------------------------------
+# links
+# ---------------------------------------------------------------------------
+
+def compress_state_changes(
+    df: DataFrame,
+    *,
+    key: str,
+    order: str,
+    state: str,
+    conv: DataVaultConventions = CONV,
+) -> DataFrame:
+    """Run-length compression of a boolean state history.
+
+    Keep only rows where ``state`` differs from the previous row of the same
+    ``key`` (first row always kept). Reference W1 (RawVault.py:614-620):
+    ``lag(deleted) over (partition by hkey order by load_date)``.
+    """
+    w = Window.partitionBy(key).orderBy(order)
+    prev = F.lag(F.col(state), 1).over(w)
+    return (
+        df.withColumn("__prev_state", prev)
+        .filter(F.col("__prev_state").isNull() | (F.col("__prev_state") != F.col(state)))
+        .drop("__prev_state")
+    )
+
+
+def link_rows(
+    staged_from: DataFrame,
+    *,
+    from_name: str,
+    to_name: str,
+    fk_column: str,
+    to_resolution: DataFrame | None = None,
+    existing_link: DataFrame | None = None,
+    existing_effectivity: DataFrame | None = None,
+    load_ts: datetime | None = None,
+    record_source: str | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """2-ary FK link load with delete detection.
+
+    Reference: ``load_link`` (RawVault.py:480-632). Returns
+    ``(new_link_rows, new_effectivity_rows)``.
+
+    ``staged_from`` must carry ``$__HKEY`` (the from-hub hkey), the CDC
+    columns, and ``fk_column``. Target hkeys resolve either directly
+    (``to_resolution is None`` → to_hkey = hash(fk)) or through a 2-column
+    mapping DataFrame ``(key, hkey)`` — the reference's staged-target /
+    hub⋈sat fallback (RawVault.py:523-534) generalized.
+
+    Delete detection (RawVault.py:582-620): for every staged from-row, any
+    *existing* link of the same from-hkey whose to-hkey differs from the
+    currently staged to-hkey (or the staged FK is null) is marked deleted at
+    the staged event time; new links are marked not-deleted; the combined
+    state history is run-length compressed with a lag window.
+    """
+    from_hkey = conv.hkey_of(from_name)
+    to_hkey = conv.hkey_of(to_name)
+
+    base = _filter_ops(staged_from, conv, Operation.HUB_SAT_OPS)
+    base = base.withColumnRenamed(conv.hkey(), from_hkey)
+
+    if to_resolution is None:
+        resolved = base.withColumn(
+            to_hkey,
+            F.when(F.col(fk_column).isNotNull(), hash_key([fk_column], hash_function)),
+        )
+    else:
+        key_col, map_hkey = to_resolution.columns[:2]
+        mapping = (
+            to_resolution.select(
+                F.col(key_col).alias("__map_key"), F.col(map_hkey).alias(to_hkey)
+            ).dropDuplicates(["__map_key"])
+        )
+        resolved = base.join(
+            F.broadcast(mapping),
+            base[fk_column].cast("string") == mapping["__map_key"].cast("string"),
+            "left",
+        ).drop("__map_key")
+
+    event_time = (
+        conv.cdc_load_date() if conv.cdc_load_date() in resolved.columns else conv.load_date()
+    )
+    resolved = resolved.select(
+        from_hkey, to_hkey, F.col(event_time).alias("__event_time")
+    ).cache()
+
+    # --- link rows (only fully resolved pairs form a link) -----------------
+    pairs = (
+        resolved.filter(F.col(to_hkey).isNotNull())
+        .withColumn(conv.hkey(), hash_key([from_hkey, to_hkey], hash_function))
+    )
+    ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
+    new_links = (
+        pairs.select(
+            conv.hkey(),
+            F.col(from_hkey),
+            F.col(to_hkey),
+            ts.alias(conv.load_date()),
+            F.lit(record_source or "unknown").alias(conv.record_source()),
+        )
+        .dropDuplicates([conv.hkey()])
+    )
+    new_links = _maybe_repartition(new_links, [conv.hkey()], config)
+    new_links = _anti(new_links, existing_link, [conv.hkey()])
+
+    # --- effectivity: current state per staged row -------------------------
+    current = pairs.select(
+        F.col(conv.hkey()),
+        F.col("__event_time").alias(conv.load_date()),
+        F.lit(False).alias(conv.deleted()),
+    )
+
+    # vanished links: existing link with same from-hkey but different/ nulled
+    # target (reference J13, RawVault.py:603-611)
+    all_links = new_links.select(conv.hkey(), from_hkey, to_hkey)
+    if existing_link is not None:
+        all_links = existing_link.select(conv.hkey(), from_hkey, to_hkey).union(all_links)
+    lk = all_links.alias("lk")
+    st = resolved.alias("st")
+    vanished = (
+        st.join(
+            lk,
+            (F.col(f"st.{from_hkey}") == F.col(f"lk.{from_hkey}"))
+            & (
+                F.col(f"st.{to_hkey}").isNull()
+                | (F.col(f"st.{to_hkey}") != F.col(f"lk.{to_hkey}"))
+            ),
+            "inner",
+        )
+        .select(
+            F.col(f"lk.{conv.hkey()}").alias(conv.hkey()),
+            F.col("st.__event_time").alias(conv.load_date()),
+            F.lit(True).alias(conv.deleted()),
+        )
+    )
+
+    history = current.unionByName(vanished)
+    if existing_effectivity is not None:
+        history = history.unionByName(
+            existing_effectivity.select(conv.hkey(), conv.load_date(), conv.deleted())
+        )
+    history = history.dropDuplicates([conv.hkey(), conv.load_date(), conv.deleted()])
+    history = compress_state_changes(
+        history, key=conv.hkey(), order=conv.load_date(), state=conv.deleted(), conv=conv
+    )
+    history = history.withColumn(
+        conv.hdiff(), hash_diff([F.col(conv.deleted())], hash_function)
+    ).select(conv.hkey(), conv.hdiff(), conv.deleted(), conv.load_date())
+    history = _maybe_repartition(history, [conv.hkey(), conv.load_date()], config)
+    new_effectivity = _anti(
+        history, existing_effectivity, [conv.hkey(), conv.load_date()]
+    )
+    return new_links, new_effectivity
+
+
+def multilink_rows(
+    staged: DataFrame,
+    members: Sequence[LinkedHubDefinition],
+    *,
+    existing_link: DataFrame | None = None,
+    load_ts: datetime | None = None,
+    record_source: str | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+    resolutions: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """N-ary link from an association table (reference RawVault.py:660-708).
+
+    Each member FK resolves to its hub hkey (direct hash, or via an optional
+    broadcast mapping in ``resolutions[member.name]``); the link HKEY is the
+    hash of all member hkeys in declaration order.
+    """
+    df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
+    hkey_cols: list[str] = []
+    for m in members:
+        col_name = m.hkey_column or conv.hkey_of(m.name)
+        hkey_cols.append(col_name)
+        res = (resolutions or {}).get(m.name)
+        if res is None:
+            df = df.withColumn(col_name, hash_key([m.foreign_key], hash_function))
+        else:
+            key_col, map_hkey = res.columns[:2]
+            mapping = res.select(
+                F.col(key_col).alias(f"__mk_{col_name}"), F.col(map_hkey).alias(col_name)
+            ).dropDuplicates([f"__mk_{col_name}"])
+            df = df.join(
+                F.broadcast(mapping),
+                df[m.foreign_key].cast("string") == mapping[f"__mk_{col_name}"].cast("string"),
+                "left",
+            ).drop(f"__mk_{col_name}")
+
+    df = df.withColumn(conv.hkey(), hash_key(hkey_cols, hash_function))
+    ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
+    out = (
+        df.select(
+            conv.hkey(),
+            *hkey_cols,
+            ts.alias(conv.load_date()),
+            F.lit(record_source or "unknown").alias(conv.record_source()),
+        )
+        .dropDuplicates([conv.hkey()])
+    )
+    out = _maybe_repartition(out, [conv.hkey()], config)
+    return _anti(out, existing_link, [conv.hkey()])
+
+
+# ---------------------------------------------------------------------------
+# reference tables
+# ---------------------------------------------------------------------------
+
+def reference_rows(
+    staged: DataFrame,
+    id_column: str,
+    attribute_columns: Sequence[str],
+    *,
+    existing: DataFrame | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Slowly-changing reference table rows keyed on (id, LOAD_DATE).
+
+    Reference: ``load_references`` (RawVault.py:710-790).
+    """
+    df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
+    df = df.withColumn(conv.hdiff(), hash_diff(list(attribute_columns), hash_function))
+    df = df.select(
+        conv.hdiff(), conv.load_date(), id_column, *attribute_columns
+    ).dropDuplicates([id_column, conv.load_date()])
+    df = _maybe_repartition(df, [id_column, conv.load_date()], config)
+    return _anti(df, existing, [id_column, conv.load_date()])
+
+
+def code_reference_rows(
+    staged: DataFrame,
+    group: str,
+    id_column: str,
+    attribute_columns: Sequence[str],
+    *,
+    existing: DataFrame | None = None,
+    conv: DataVaultConventions = CONV,
+    config: VaultConfig | None = None,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Many lookup tables sharing one storage table, discriminated by
+    ``$__GROUP`` (reference: ``load_code_references``, RawVault.py:792-911).
+    """
+    df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
+    df = (
+        df.withColumn(conv.group(), F.lit(group))
+        .withColumn(conv.hdiff(), hash_diff(list(attribute_columns), hash_function))
+        .select(conv.group(), conv.hdiff(), conv.load_date(), id_column, *attribute_columns)
+        .dropDuplicates([conv.group(), id_column, conv.load_date()])
+    )
+    df = _maybe_repartition(df, [conv.group(), id_column, conv.load_date()], config)
+    return _anti(df, existing, [conv.group(), id_column, conv.load_date()])

@@ -1,0 +1,186 @@
+"""Kernel-level raw-vault tests on small in-memory CDC batches.
+
+Scenario mirrors the reference's golden CDC test structure
+(cdc/test_datavault.py): a movies-style source with interleaved
+CREATE/UPDATE/DELETE/SNAPSHOT ops across batches.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import DataVaultConventions, Operation
+from pyspark_playground_spark.functions.hashing import hash_key
+from pyspark_playground_spark.operators import raw_vault as rv
+
+C = DataVaultConventions()
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+T1 = datetime(2026, 1, 2, 12, 0, 0)
+T2 = datetime(2026, 1, 2, 15, 17, 0)
+
+
+def _staged(spark, rows):
+    df = spark.createDataFrame(
+        rows, "OPERATION int, LOAD_DATE timestamp, PublicID string, NAME string, RATING int"
+    )
+    return rv.prepare_staging(
+        df,
+        load_date_column="LOAD_DATE",
+        operation_column="OPERATION",
+        record_source="test",
+        hkey_columns=["PublicID"],
+    )
+
+
+def test_prepare_staging_columns(spark):
+    staged = _staged(spark, [(Operation.CREATE, T0, "m1", "Movie 1", 5)])
+    assert C.hkey() in staged.columns
+    assert C.load_date() in staged.columns
+    assert C.operation() in staged.columns
+    assert C.record_source() in staged.columns
+    row = staged.first()
+    assert row[C.operation()] == Operation.CREATE
+    assert row[C.record_source()] == "test"
+
+
+def test_hub_rows_dedup_and_anti_join(spark):
+    b1 = _staged(
+        spark,
+        [
+            (Operation.CREATE, T0, "m1", "Movie 1", 5),
+            (Operation.CREATE, T0, "m2", "Movie 2", 7),
+            (Operation.UPDATE, T1, "m1", "Movie 1x", 6),
+        ],
+    )
+    hub1 = rv.hub_rows(b1, ["PublicID"], load_ts=T1)
+    assert hub1.count() == 2  # m1 deduped
+
+    b2 = _staged(
+        spark,
+        [
+            (Operation.CREATE, T2, "m3", "Movie 3", 8),
+            (Operation.UPDATE, T2, "m1", "Movie 1y", 6),
+        ],
+    )
+    hub2 = rv.hub_rows(b2, ["PublicID"], existing=hub1, load_ts=T2)
+    rows = hub2.collect()
+    assert len(rows) == 1 and rows[0]["PublicID"] == "m3"
+
+
+def test_hub_hkey_is_md5_of_business_key(spark):
+    import hashlib
+
+    hub = rv.hub_rows(
+        _staged(spark, [(Operation.CREATE, T0, "m1", "Movie 1", 5)]),
+        ["PublicID"],
+        load_ts=T0,
+    )
+    assert hub.first()[C.hkey()] == hashlib.md5(b"m1").hexdigest()
+
+
+def test_satellite_rows_versions_and_idempotency(spark):
+    b1 = _staged(
+        spark,
+        [
+            (Operation.CREATE, T0, "m1", "Movie 1", 5),
+            (Operation.UPDATE, T1, "m1", "Movie 1x", 6),
+        ],
+    )
+    staged = rv._with_load_meta(b1, C, T1, "test")
+    sat1 = rv.satellite_rows(staged, ["NAME", "RATING"])
+    assert sat1.count() == 2  # two versions, keyed by event time
+    # re-load the same batch → nothing new
+    again = rv.satellite_rows(staged, ["NAME", "RATING"], existing=sat1)
+    assert again.count() == 0
+    # satellite LOAD_DATE is event time, not batch time
+    dates = {r[C.load_date()] for r in sat1.collect()}
+    assert dates == {T0, T1}
+
+
+def test_effectivity_rows_deleted_flag(spark):
+    b = _staged(
+        spark,
+        [
+            (Operation.CREATE, T0, "m1", "Movie 1", 5),
+            (Operation.DELETE, T1, "m1", "Movie 1", 5),
+            (Operation.UPDATE, T1, "m2", "x", 1),  # UPDATE not in effectivity ops
+        ],
+    )
+    staged = rv._with_load_meta(b, C, T2, "test")
+    eff = rv.effectivity_rows(staged)
+    rows = {(r[C.load_date()], r[C.deleted()]) for r in eff.collect()}
+    assert rows == {(T0, False), (T1, True)}
+
+
+def test_link_rows_with_delete_detection(spark):
+    # movies with DIRECTOR_ID FK; director business key hashed directly
+    schema = "OPERATION int, LOAD_DATE timestamp, PublicID string, DIRECTOR_ID string"
+    b1 = spark.createDataFrame(
+        [
+            (Operation.CREATE, T0, "m1", "d1"),
+            (Operation.CREATE, T0, "m2", "d2"),
+        ],
+        schema,
+    )
+    s1 = rv.prepare_staging(
+        b1, load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="test", hkey_columns=["PublicID"],
+    )
+    links1, eff1 = rv.link_rows(
+        s1, from_name="movies", to_name="directors", fk_column="DIRECTOR_ID", load_ts=T0
+    )
+    links1 = links1.cache()
+    assert links1.count() == 2
+    assert eff1.filter(F.col(C.deleted())).count() == 0
+
+    # batch 2: m1 re-pointed d1→d2, m2 FK nulled
+    b2 = spark.createDataFrame(
+        [
+            (Operation.UPDATE, T1, "m1", "d2"),
+            (Operation.UPDATE, T1, "m2", None),
+        ],
+        schema,
+    )
+    s2 = rv.prepare_staging(
+        b2, load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="test", hkey_columns=["PublicID"],
+    )
+    links2, eff2 = rv.link_rows(
+        s2, from_name="movies", to_name="directors", fk_column="DIRECTOR_ID",
+        existing_link=links1, existing_effectivity=eff1.cache(), load_ts=T1,
+    )
+    # one new link (m1→d2); m2's nulled FK creates no link row
+    new = links2.collect()
+    assert len(new) == 1
+    # deletes: old m1→d1 and old m2→d2 both closed at T1
+    deleted = eff2.filter(F.col(C.deleted()) & (F.col(C.load_date()) == T1))
+    assert deleted.count() == 2
+    # new m1→d2 link gets an open (deleted=False) row
+    opened = eff2.filter(~F.col(C.deleted()) & (F.col(C.load_date()) == T1))
+    assert opened.count() == 1
+
+
+def test_compress_state_changes(spark):
+    df = spark.createDataFrame(
+        [
+            ("k", T0, False),
+            ("k", T1, False),  # unchanged → dropped
+            ("k", T2, True),
+        ],
+        "hkey string, ld timestamp, deleted boolean",
+    )
+    out = rv.compress_state_changes(df, key="hkey", order="ld", state="deleted")
+    assert {(r["ld"], r["deleted"]) for r in out.collect()} == {(T0, False), (T2, True)}
+
+
+def test_reference_rows(spark):
+    df = spark.createDataFrame(
+        [(T0, "a", "Alpha"), (T0, "b", "Beta"), (T1, "a", "Alpha2")],
+        f"`{C.load_date()}` timestamp, ID string, DESCRIPTION string",
+    )
+    refs = rv.reference_rows(df, "ID", ["DESCRIPTION"])
+    assert refs.count() == 3
+    again = rv.reference_rows(df, "ID", ["DESCRIPTION"], existing=refs)
+    assert again.count() == 0
