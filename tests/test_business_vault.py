@@ -1,0 +1,119 @@
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import END_OF_TIME, DataVaultConventions
+from pyspark_playground_spark.operators import business_vault as bv
+
+C = DataVaultConventions()
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+T1 = datetime(2026, 1, 2, 12, 0, 0)
+T2 = datetime(2026, 1, 3, 12, 0, 0)
+T3 = datetime(2026, 1, 4, 12, 0, 0)
+
+HK, LD, LED = C.hkey(), C.load_date(), C.load_end_date()
+
+
+def _sat(spark, rows):
+    return spark.createDataFrame(
+        [(h, "x", t, v) for h, t, v in rows],
+        f"`{HK}` string, `{C.hdiff()}` string, `{LD}` timestamp, VAL int",
+    )
+
+
+def _eff(spark, rows):
+    return spark.createDataFrame(
+        [(h, "x", d, t) for h, d, t in rows],
+        f"`{HK}` string, `{C.hdiff()}` string, `{C.deleted()}` boolean, `{LD}` timestamp",
+    )
+
+
+def test_pit_versions_chain(spark):
+    sat = _sat(spark, [("a", T0, 1), ("a", T1, 2), ("a", T2, 3)])
+    pit = bv.pit_rows(sat)
+    got = {(r[LD], r[LED]) for r in pit.collect()}
+    assert got == {(T0, T1), (T1, T2), (T2, END_OF_TIME)}
+
+
+def test_pit_delete_closes_open_interval(spark):
+    sat = _sat(spark, [("a", T0, 1), ("a", T1, 2)])
+    eff = _eff(spark, [("a", False, T0), ("a", True, T2)])
+    pit = bv.pit_rows(sat, eff)
+    got = {(r[LD], r[LED]) for r in pit.collect()}
+    # the delete at T2 falls in the open interval starting T1
+    assert got == {(T0, T1), (T1, T2)}
+
+
+def test_pit_delete_inside_closed_interval(spark):
+    sat = _sat(spark, [("a", T0, 1), ("a", T2, 2)])
+    eff = _eff(spark, [("a", True, T1)])
+    pit = bv.pit_rows(sat, eff)
+    got = {(r[LD], r[LED]) for r in pit.collect()}
+    # version at T0 ends at the delete T1, not at the next version T2
+    assert got == {(T0, T1), (T2, END_OF_TIME)}
+
+
+def test_read_data_from_hub(spark):
+    hub = spark.createDataFrame(
+        [("a", T0, "src", "m1")],
+        f"`{HK}` string, `{LD}` timestamp, `{C.record_source()}` string, PublicID string",
+    )
+    sat = _sat(spark, [("a", T0, 1), ("a", T1, 2)])
+    view = bv.read_data_from_hub(hub, sat, None, ["VAL"])
+    rows = sorted(view.collect(), key=lambda r: r[LD])
+    assert [r["VAL"] for r in rows] == [1, 2]
+    assert rows[0]["PublicID"] == "m1"
+    assert rows[1][LED] == END_OF_TIME
+
+
+def test_zip_historized_interval_intersection(spark):
+    left = spark.createDataFrame(
+        [("k", 10, T0, T2)], f"id string, lv int, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", 20, T1, T3), ("k", 30, T3, None)],
+        f"rid string, rv int, `{LD}` timestamp, `{LED}` timestamp",
+    )
+    out = bv.zip_historized_dataframes(
+        left, right, F.col("l.id") == F.col("r.rid"), how="inner"
+    )
+    rows = out.collect()
+    # only [T1,T3) overlaps [T0,T2) → intersection [T1,T2); [T3,∞) doesn't
+    assert len(rows) == 1
+    assert rows[0][LD] == T1 and rows[0][LED] == T2
+    assert rows[0]["lv"] == 10 and rows[0]["rv"] == 20
+
+
+def test_join_linked_dataframes(spark):
+    schema = (
+        f"`{HK}` string, name string, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    movies = spark.createDataFrame([("mh1", "Movie 1", T0, None)], schema)
+    directors = spark.createDataFrame([("dh1", "Dir 1", T1, None)], schema)
+    link = spark.createDataFrame(
+        [("lk1", "mh1", "dh1")],
+        f"`{HK}` string, `{C.hkey_of('movies')}` string, `{C.hkey_of('directors')}` string",
+    )
+    out = bv.join_linked_dataframes(
+        movies, link, directors,
+        from_hkey_column=C.hkey_of("movies"),
+        to_hkey_column=C.hkey_of("directors"),
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0][LD] == T1 and rows[0][LED] is None
+
+
+def test_active_code_reference(spark):
+    ref = spark.createDataFrame(
+        [
+            ("g1", "x", T0, "a", "old"),
+            ("g1", "x", T1, "a", "new"),
+            ("g2", "x", T0, "a", "other"),
+        ],
+        f"`{C.group()}` string, `{C.hdiff()}` string, `{LD}` timestamp, ID string, DESCR string",
+    )
+    out = bv.active_code_reference_rows(ref)
+    got = {(r[C.group()], r["ID"], r["DESCR"]) for r in out.collect()}
+    assert got == {("g1", "a", "new"), ("g2", "a", "other")}
