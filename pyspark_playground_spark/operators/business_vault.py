@@ -28,6 +28,7 @@ def pit_rows(
     effectivity: DataFrame | None = None,
     *,
     conv: DataVaultConventions = CONV,
+    end_of_time=END_OF_TIME,
 ) -> DataFrame:
     """Point-in-time table for a single satellite.
 
@@ -62,9 +63,14 @@ def pit_rows(
     else:
         pit = pit.withColumn("__del_ld", F.lit(None).cast("timestamp"))
 
-    end: Column = F.coalesce(
-        F.col("__del_ld"), F.col("__next_ld"), F.lit(END_OF_TIME).cast("timestamp")
-    )
+    parts = [F.col("__del_ld"), F.col("__next_ld")]
+    if end_of_time is not None:
+        # sentinel for open intervals (reference uses datetime.max,
+        # BusinessVault.py:98-101); pass None to keep them NULL instead —
+        # e.g. when results must survive an Arrow/pandas ns-timestamp
+        # round-trip, which overflows beyond year 2262.
+        parts.append(F.lit(end_of_time).cast("timestamp"))
+    end: Column = F.coalesce(*parts)
     return pit.select(F.col(hkey), F.col(ld), end.alias(led))
 
 

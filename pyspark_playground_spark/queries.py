@@ -1,0 +1,545 @@
+"""Query registry: every operator exposed as (Spark callable, DuckDB oracle).
+
+This is the driver-facing surface contracted in ``__spark_entry__.py``:
+``QUERIES[name]`` runs the Spark implementation (built on the engine's
+operators), ``ORACLES[name]`` is the ANSI-SQL equivalent DuckDB runs on the
+same parquet tables. Column names and value rendering are aligned so the
+driver's order-insensitive value-hash matches.
+
+Determinism rules observed throughout (they matter — violating any one
+breaks the cross-engine hash):
+
+- fixed ``LOAD_TS`` instead of ``current_timestamp()``;
+- doubles never go through a bare string cast before hashing (Spark renders
+  ``1e22`` as ``1.0E22``, DuckDB as ``1e+22``) — ``format_string('%.2f')`` /
+  ``printf('%.2f')`` instead;
+- double aggregates go through exact decimal arithmetic and are cast to
+  double at the end, so both engines produce bit-identical sums regardless
+  of row order;
+- ties in top-k / row_number windows are always broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import DataVaultConventions, Operation
+from pyspark_playground_spark.functions.hashing import hash_key
+from pyspark_playground_spark.operators import business_vault as bv
+from pyspark_playground_spark.operators import raw_vault as rv
+
+C = DataVaultConventions()
+LOAD_TS = datetime(2026, 1, 1, 12, 0, 0)
+LOAD_TS_SQL = "TIMESTAMP '2026-01-01 12:00:00'"
+EOT_SQL = "TIMESTAMP '9999-12-31 23:59:59'"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+#: DuckDB-side mirror of the events-ts normalization below: the parquet
+#: stores TIMESTAMP(NANOS); Spark truncates to microseconds, so the oracle
+#: must truncate the same way (integer floor-div, not rounding).
+EVENTS_N = (
+    "SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,"
+    " user_id, event_type, value, props FROM events"
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as long nanos and truncate to a microsecond
+    timestamp (lossless for this dataset's micro-precision payload)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _staged(spark, sf_dir, table, hkey_columns, load_date_column=None):
+    """Stage a TPC-H table as a snapshot CDC batch with a fixed load date."""
+    df = load(spark, sf_dir, table)
+    if load_date_column is None:
+        df = df.withColumn("__src_ld", F.lit(LOAD_TS).cast("timestamp"))
+        load_date_column = "__src_ld"
+    return rv.prepare_staging(
+        df,
+        load_date_column=load_date_column,
+        operation_column=None,
+        record_source="tpch",
+        hkey_columns=hkey_columns,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-Vault operators mapped onto the TPC-H-ish tables (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dv_hub_customer",
+    f"""
+    SELECT md5(CAST(c_custkey AS VARCHAR)) AS "$__HKEY",
+           {LOAD_TS_SQL} AS "$__LOAD_DATE",
+           'tpch' AS "$__RECORD_SOURCE",
+           c_custkey
+    FROM customer
+    """,
+)
+def dv_hub_customer(spark, sf_dir):
+    """load_hub (RawVault.py:194-260): anti-join+distinct hub append."""
+    staged = _staged(spark, sf_dir, "customer", ["c_custkey"])
+    return rv.hub_rows(staged, ["c_custkey"], load_ts=LOAD_TS, record_source="tpch")
+
+
+@query(
+    "dv_sat_customer",
+    f"""
+    SELECT md5(CAST(c_custkey AS VARCHAR)) AS "$__HKEY",
+           md5(concat_ws(',', c_name, CAST(c_nationkey AS VARCHAR),
+                         c_mktsegment, printf('%.2f', c_acctbal))) AS "$__HDIFF",
+           {LOAD_TS_SQL} AS "$__LOAD_DATE",
+           c_name, c_nationkey, c_mktsegment,
+           printf('%.2f', c_acctbal) AS c_acctbal_s
+    FROM customer
+    """,
+)
+def dv_sat_customer(spark, sf_dir):
+    """load_satellite (RawVault.py:913-951) with HDIFF over the attributes.
+
+    The money attribute is carried as a fixed-format string so the hash and
+    the value compare are render-stable across engines.
+    """
+    staged = _staged(spark, sf_dir, "customer", ["c_custkey"]).withColumn(
+        "c_acctbal_s", F.format_string("%.2f", F.col("c_acctbal"))
+    )
+    return rv.satellite_rows(
+        staged, ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal_s"]
+    )
+
+
+@query(
+    "dv_link_orders_customer",
+    f"""
+    SELECT md5(concat_ws(',', md5(CAST(o_orderkey AS VARCHAR)),
+                         md5(CAST(o_custkey AS VARCHAR)))) AS "$__HKEY",
+           md5(CAST(o_orderkey AS VARCHAR)) AS "$__HKEY_ORDERS",
+           md5(CAST(o_custkey AS VARCHAR)) AS "$__HKEY_CUSTOMER",
+           {LOAD_TS_SQL} AS "$__LOAD_DATE",
+           'tpch' AS "$__RECORD_SOURCE"
+    FROM orders
+    """,
+)
+def dv_link_orders_customer(spark, sf_dir):
+    """load_link (RawVault.py:480-632): 2-ary FK link rows."""
+    staged = _staged(spark, sf_dir, "orders", ["o_orderkey"], "o_orderdate")
+    links, _ = rv.link_rows(
+        staged,
+        from_name="orders",
+        to_name="customer",
+        fk_column="o_custkey",
+        load_ts=LOAD_TS,
+        record_source="tpch",
+    )
+    return links
+
+
+@query(
+    "dv_link_effectivity_orders",
+    """
+    SELECT md5(concat_ws(',', md5(CAST(o_orderkey AS VARCHAR)),
+                         md5(CAST(o_custkey AS VARCHAR)))) AS "$__HKEY",
+           md5('false') AS "$__HDIFF",
+           FALSE AS "$__DELETED",
+           o_orderdate AS "$__LOAD_DATE"
+    FROM orders
+    """,
+)
+def dv_link_effectivity_orders(spark, sf_dir):
+    """Link effectivity rows: open (deleted=false) state at CDC event time."""
+    staged = _staged(spark, sf_dir, "orders", ["o_orderkey"], "o_orderdate")
+    _, eff = rv.link_rows(
+        staged,
+        from_name="orders",
+        to_name="customer",
+        fk_column="o_custkey",
+        load_ts=LOAD_TS,
+        record_source="tpch",
+    )
+    return eff
+
+
+@query(
+    "dv_multilink_lineitem",
+    f"""
+    SELECT DISTINCT
+           md5(concat_ws(',', md5(CAST(l_orderkey AS VARCHAR)),
+                         md5(CAST(l_partkey AS VARCHAR)),
+                         md5(CAST(l_suppkey AS VARCHAR)))) AS "$__HKEY",
+           md5(CAST(l_orderkey AS VARCHAR)) AS "$__HKEY_ORDERS",
+           md5(CAST(l_partkey AS VARCHAR)) AS "$__HKEY_PART",
+           md5(CAST(l_suppkey AS VARCHAR)) AS "$__HKEY_SUPPLIER",
+           {LOAD_TS_SQL} AS "$__LOAD_DATE",
+           'tpch' AS "$__RECORD_SOURCE"
+    FROM lineitem
+    """,
+)
+def dv_multilink_lineitem(spark, sf_dir):
+    """load_multilink (RawVault.py:660-708): N-ary link from an association
+    table (lineitem ≙ castings)."""
+    from pyspark_playground_spark.conventions import LinkedHubDefinition
+
+    staged = _staged(spark, sf_dir, "lineitem", [], "l_shipdate")
+    return rv.multilink_rows(
+        staged,
+        [
+            LinkedHubDefinition("orders", "l_orderkey"),
+            LinkedHubDefinition("part", "l_partkey"),
+            LinkedHubDefinition("supplier", "l_suppkey"),
+        ],
+        load_ts=LOAD_TS,
+        record_source="tpch",
+    )
+
+
+@query(
+    "dv_ref_nation",
+    f"""
+    SELECT md5(concat_ws(',', n_name, CAST(n_regionkey AS VARCHAR))) AS "$__HDIFF",
+           {LOAD_TS_SQL} AS "$__LOAD_DATE",
+           n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def dv_ref_nation(spark, sf_dir):
+    """load_references (RawVault.py:710-790)."""
+    staged = _staged(spark, sf_dir, "nation", [])
+    return rv.reference_rows(staged, "n_nationkey", ["n_name", "n_regionkey"])
+
+
+@query(
+    "dv_code_ref_geo",
+    f"""
+    SELECT 'region' AS "$__GROUP", md5(r_name) AS "$__HDIFF",
+           {LOAD_TS_SQL} AS "$__LOAD_DATE",
+           r_regionkey AS ID, r_name AS DESCRIPTION
+    FROM region
+    UNION ALL
+    SELECT 'nation', md5(n_name), {LOAD_TS_SQL}, n_nationkey, n_name
+    FROM nation
+    """,
+)
+def dv_code_ref_geo(spark, sf_dir):
+    """load_code_references (RawVault.py:792-911): two lookup tables sharing
+    one code-reference table, discriminated by $__GROUP."""
+    region = _staged(spark, sf_dir, "region", []).select(
+        F.col(C.load_date()),
+        F.col(C.operation()),
+        F.col("r_regionkey").alias("ID"),
+        F.col("r_name").alias("DESCRIPTION"),
+    )
+    nation = _staged(spark, sf_dir, "nation", []).select(
+        F.col(C.load_date()),
+        F.col(C.operation()),
+        F.col("n_nationkey").alias("ID"),
+        F.col("n_name").alias("DESCRIPTION"),
+    )
+    out_r = rv.code_reference_rows(region, "region", "ID", ["DESCRIPTION"])
+    out_n = rv.code_reference_rows(nation, "nation", "ID", ["DESCRIPTION"])
+    return out_r.unionByName(out_n)
+
+
+@query(
+    "dv_pit_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT md5(CAST(user_id AS VARCHAR)) AS "$__HKEY",
+           ts AS "$__LOAD_DATE",
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS "$__LOAD_END_DATE"
+    FROM e
+    """,
+)
+def dv_pit_events(spark, sf_dir):
+    """create_point_in_time_table (BusinessVault.py:35-104), lead-window
+    formulation: each version valid until the next one."""
+    events = load(spark, sf_dir, "events")
+    sat = events.select(
+        hash_key(["user_id"]).alias(C.hkey()),
+        F.lit("x").alias(C.hdiff()),
+        F.col("ts").alias(C.load_date()),
+    )
+    # NULL open intervals: the year-9999 sentinel does not survive the
+    # Arrow ns-timestamp round-trip the driver may use to collect results
+    return bv.pit_rows(sat, end_of_time=None)
+
+
+@query(
+    "dv_effectivity_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT md5(CAST(user_id AS VARCHAR)) AS "$__HKEY",
+           md5(CAST(event_type = 'error' AS VARCHAR)) AS "$__HDIFF",
+           (event_type = 'error') AS "$__DELETED",
+           ts AS "$__LOAD_DATE"
+    FROM e
+    """,
+)
+def dv_effectivity_events(spark, sf_dir):
+    """load_effectivity_satellite (RawVault.py:953-994): CDC ops → deleted
+    flags ('error' events play the DELETE role)."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "__op",
+        F.when(F.col("event_type") == "error", F.lit(Operation.DELETE)).otherwise(
+            F.lit(Operation.SNAPSHOT)
+        ),
+    )
+    staged = rv.prepare_staging(
+        events,
+        load_date_column="ts",
+        operation_column="__op",
+        record_source="events",
+        hkey_columns=["user_id"],
+    )
+    return rv.effectivity_rows(staged)
+
+
+@query(
+    "dv_compress_state_events",
+    f"""
+    WITH e AS ({EVENTS_N}), s AS (
+      SELECT user_id, ts, (event_type = 'error') AS deleted FROM e
+    ), w AS (
+      SELECT user_id, ts, deleted,
+             lag(deleted) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM s
+    )
+    SELECT user_id, ts, deleted FROM w WHERE prev IS NULL OR prev <> deleted
+    """,
+)
+def dv_compress_state_events(spark, sf_dir):
+    """Run-length state compression (reference W1, RawVault.py:614-620)."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", (F.col("event_type") == "error").alias("deleted")
+    )
+    return rv.compress_state_changes(events, key="user_id", order="ts", state="deleted")
+
+
+@query(
+    "dv_latest_event_per_user",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT user_id, event_id, ts, event_type, value
+    FROM e
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def dv_latest_event_per_user(spark, sf_dir):
+    """Latest-version-per-key (reference J14/A1 groupBy-max + re-join,
+    Curated.py:149-154) as a single-shuffle row_number window."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "dv_zip_user_activity",
+    f"""
+    WITH e AS ({EVENTS_N}), c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ld,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS c_led
+      FROM e WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS p_ld,
+             lead(ts) OVER (PARTITION BY p_user_id ORDER BY ts) AS p_led
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT user_id, click_id, purchase_id,
+           greatest(c_ld, p_ld) AS "$__LOAD_DATE",
+           least(c_led, p_led) AS "$__LOAD_END_DATE"
+    FROM c JOIN p ON user_id = p_user_id
+     AND (p_led IS NULL OR c_ld IS NULL OR c_ld < p_led)
+     AND (c_led IS NULL OR p_ld IS NULL OR p_ld < c_led)
+    """,
+)
+def dv_zip_user_activity(spark, sf_dir):
+    """zip_historized_dataframes (BusinessVault.py:190-249): temporal
+    interval-intersection join of two historized views."""
+    events = load(spark, sf_dir, "events")
+    ld, led = C.load_date(), C.load_end_date()
+    w = Window.partitionBy("user_id").orderBy("ts")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias(ld),
+            F.lead("ts").over(w).alias(led),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias(ld),
+            F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts")).alias(led),
+        )
+    )
+    zipped = bv.zip_historized_dataframes(
+        clicks, purchases, F.col("l.user_id") == F.col("r.p_user_id")
+    )
+    return zipped.select("user_id", "click_id", "purchase_id", ld, led)
+
+
+# ---------------------------------------------------------------------------
+# analytics (bench headliners; exact-decimal aggregates cast to double)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — scan + partial agg; the plan should
+    be a single whole-stage-codegen span over the parquet scan."""
+    l = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective dims broadcast into the lineitem scan."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(datetime(1995, 3, 15))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(datetime(1995, 3, 15))
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style: star join, every dimension broadcast."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and the matching ``oracle_sql()``
+on DuckDB against the same parquet tables, then compares row count, column
+names, and order-insensitive values (exact compare — stricter than the
+driver's hash).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duck_frame(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def normalize(df):
+    """Sort columns by name, then rows by all values → comparable frame."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a, b, float_tol=0.0):
+    if a.shape != b.shape:
+        return False, f"shape {a.shape} vs {b.shape}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            for x, y in zip(av, bv):
+                xn, yn = (
+                    (x is None or (isinstance(x, float) and math.isnan(x))),
+                    (y is None or (isinstance(y, float) and math.isnan(y))),
+                )
+                if xn and yn:
+                    continue
+                if xn != yn or x != y:
+                    if float_tol and abs(x - y) <= float_tol * max(1.0, abs(x)):
+                        continue
+                    return False, f"col {c}: {x!r} != {y!r}"
+        else:
+            neq = av.astype(str) != bv.astype(str)
+            if neq.any():
+                i = neq.idxmax()
+                return False, f"col {c} row {i}: {av[i]!r} != {bv[i]!r}"
+    return True, ""
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark_playground_spark import queries as Q
+    from pyspark_playground_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    qs, oracles = Q.queries(), Q.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = duck_frame(sf_dir, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if len(spdf) != len(ddf):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(spdf)} vs {len(ddf)}")
+            continue
+        if sorted(spdf.columns) != sorted(ddf.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: cols {sorted(spdf.columns)} vs {sorted(ddf.columns)}")
+            continue
+        ok, why = values_equal(normalize(spdf), normalize(ddf))
+        if ok:
+            print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}: {why}")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
