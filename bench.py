@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed to completion with the ``noop`` sink (full pipeline
+runs, nothing is collected to the driver), timed after a warm-up of the
+parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_playground_spark import queries as Q
+from pyspark_playground_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dv_hub_customer",
+    "dv_sat_customer",
+    "dv_link_orders_customer",
+    "dv_multilink_lineitem",
+    "dv_pit_events",
+    "dv_effectivity_events",
+    "dv_zip_user_activity",
+    "dv_latest_event_per_user",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    registry = Q.queries()
+    names = [n for n in HEADLINE if n in registry]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
