@@ -1,0 +1,320 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star). Scale design:
+
+- **Exact**: hash-groupBy — one shuffle on a 16-byte key, fully parallel.
+- **MinHash+LSH**: per-row signature computation is pure column expressions
+  (array_min over xxhash64 of shingles — JVM codegen, no shuffle); banding
+  turns all-pairs O(n²) into groupBy(band, band_hash) buckets, so the only
+  shuffles are the bucket exchange and the candidate-pair verify join. This
+  is the standard web-scale near-dup pipeline (Broder'97 resemblance
+  sketches; G. Lee et al. "Deduplicating Training Data Makes Language
+  Models Better" uses the same shape).
+- **SimHash**: 64-bit signature via per-row array aggregation (no shuffle),
+  candidate generation by 16-bit chunk equality (any pair within Hamming
+  distance 3 shares ≥1 of 4 chunks), verify with bit_count(xor).
+- **n-gram Jaccard**: exact verify metric on candidate pairs; also usable
+  standalone within small blocking groups.
+
+All-pairs variants here take a ``within`` blocking column for oracle-sized
+data; at 100 TB always go through LSH banding instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators.text import tokens_expr
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, id_column: str = "doc_id", text_column: str = "text"
+) -> DataFrame:
+    """Group identical texts by md5; keep the smallest id as canonical."""
+    return (
+        df.groupBy(F.md5(F.col(text_column)).alias("text_hash"))
+        .agg(
+            F.min(id_column).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_column: str = "doc_id", text_column: str = "text"
+) -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per text."""
+    keep = exact_duplicate_groups(df, id_column, text_column).select(
+        F.col("keep_id").alias(id_column)
+    )
+    return df.join(keep, id_column, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles & MinHash
+# ---------------------------------------------------------------------------
+
+def shingles_expr(text: str | Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a document."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature_expr(shingles: Column, num_perms: int = 64) -> Column:
+    """MinHash signature: for permutation i, min over shingles of
+    xxhash64(i, shingle). Pure expression — evaluated per row inside
+    codegen, no shuffle, no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_perms)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    num_perms: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    sh = shingles_expr(text_column, shingle_size)
+    return df.select(
+        F.col(id_column),
+        minhash_signature_expr(sh, num_perms).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_column: str = "doc_id",
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
+
+    Shuffle profile: one explode+groupBy on (band, band_hash) — the classic
+    LSH join. Output is distinct (id_a < id_b) pairs.
+    """
+    rows_per_band = num_perms // bands
+    banded = signatures.select(
+        id_column,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_column, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_column}") < F.col(f"b.{id_column}")),
+        )
+        .select(
+            F.col(f"a.{id_column}").alias("id_a"),
+            F.col(f"b.{id_column}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact Jaccard verify on the candidate pairs only."""
+    sigs = minhash_signatures(
+        df, id_column, text_column, num_perms=num_perms, shingle_size=shingle_size
+    )
+    cands = lsh_candidate_pairs(sigs, id_column, num_perms=num_perms, bands=bands)
+    docs = df.select(
+        F.col(id_column), shingles_expr(text_column, shingle_size).alias("sh")
+    )
+    a = docs.select(F.col(id_column).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_column).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(text: str | Column) -> Column:
+    """64-bit SimHash of the token set, as a bigint.
+
+    Per-row array aggregation: each token's xxhash64 contributes ±1 to each
+    of 64 bit counters; the sign of each counter becomes the output bit.
+    No shuffle, no UDF — the whole thing is one codegen'd expression.
+    """
+    toks = F.array_distinct(tokens_expr(text))
+    # shift amounts must be Python ints (shiftleft/shiftright take literal
+    # bit counts), so the 64 bit lanes are unrolled as an array literal
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        weight = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of long
+        packed = packed.bitwiseOR(
+            F.when(bit_votes[b] > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def simhash_signatures(
+    df: DataFrame, id_column: str = "doc_id", text_column: str = "text"
+) -> DataFrame:
+    return df.select(F.col(id_column), simhash_expr(text_column).alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: candidates share one of four 16-bit chunks (pigeonhole
+    for Hamming ≤ 3), verified with bit_count(xor)."""
+    sigs = simhash_signatures(df, id_column, text_column)
+    chunks = sigs.select(
+        id_column,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_column, "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_column}") < F.col(f"b.{id_column}")),
+        )
+        .select(
+            F.col(f"a.{id_column}").alias("id_a"),
+            F.col(f"b.{id_column}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked all-pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    within: str | None = None,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over token n-gram sets for all pairs inside a blocking
+    group (``within`` column). Use only with small blocks — the scale path
+    is ``minhash_dedup_pairs``."""
+    docs = df.select(
+        F.col(id_column),
+        *( [F.col(within)] if within else [] ),
+        shingles_expr(text_column, shingle_size).alias("sh"),
+    )
+    a = docs.select(
+        *( [F.col(within).alias("__blk")] if within else [] ),
+        F.col(id_column).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = docs.select(
+        *( [F.col(within).alias("__blk_b")] if within else [] ),
+        F.col(id_column).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if within:
+        joined = a.join(b, (F.col("__blk") == F.col("__blk_b")) & cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    out = joined.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
+    cols = ["id_a", "id_b", "jaccard"]
+    if within:
+        out = out.withColumnRenamed("__blk", within)
+        cols = [within] + cols
+    return out.select(*cols)

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference surface (BASELINE.json north star). Media payloads ride as
+``binary`` columns with a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` operators so the
+Spark-side plumbing (schema, partition sizing, batch shape) is real and
+tested even though the actual codecs are stubbed in this environment
+(image/audio libraries are not installed — see ``decode_image``).
+
+Scale notes: binary payloads dominate row size, so operators here
+repartition by byte budget, not row count (``target_partition_bytes``), and
+metadata-only transforms never touch the payload column (column pruning
+keeps the binary out of the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.StringType(), False),
+    ]
+)
+
+
+def attach_media_column(
+    df: DataFrame, source_column: str, *, media_type: str = "image/fake"
+) -> DataFrame:
+    """Wrap a column's bytes as an opaque media payload + metadata struct.
+
+    In production the binary comes from the source parquet; here text bytes
+    stand in so the full pipeline is exercisable on the synthetic tables.
+    """
+    content = F.encode(F.col(source_column), "utf-8")
+    return df.withColumn("content", content).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(content).cast("long").alias("n_bytes"),
+            F.md5(content).alias("checksum"),
+        ),
+    )
+
+
+def repartition_by_bytes(
+    df: DataFrame, *, total_bytes_column: str = "media_meta.n_bytes",
+    target_partition_bytes: int = 128 * 1024 * 1024, estimated_total_bytes: int | None = None,
+) -> DataFrame:
+    """Partition-size binary data by byte budget instead of row count."""
+    if estimated_total_bytes is None:
+        estimated_total_bytes = df.select(
+            F.sum(F.col(total_bytes_column))
+        ).first()[0] or 0
+    parts = max(1, int(estimated_total_bytes // target_partition_bytes) + 1)
+    return df.repartition(parts)
+
+
+def decode_image(df: DataFrame, *, content_column: str = "content") -> DataFrame:
+    """Decode image payloads into (width, height, mode) features.
+
+    STUB: real decoding needs an image library that is not installed in
+    this container. The Arrow/mapInPandas plumbing below is the real,
+    tested path; the decode itself raises so nobody mistakes the stub for
+    a codec. Use ``fake_decode_image`` for end-to-end pipeline tests.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv, not available in this environment;"
+            " use fake_decode_image for pipeline tests"
+        )
+
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema)}," \
+             " width int, height int, mode string"
+    return df.mapInPandas(_decode, schema=schema)
+
+
+def fake_decode_image(df: DataFrame, *, content_column: str = "content") -> DataFrame:
+    """Deterministic stand-in decoder: derives (width, height, mode) from the
+    payload bytes. Same mapInPandas/Arrow batch shape as the real decoder."""
+
+    out_fields = [f for f in df.schema.fields if f.name != content_column]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mode", T.StringType(), False),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[content_column]
+            n = content.map(len)
+            out = pdf.drop(columns=[content_column]).assign(
+                width=(n % 640 + 1).astype("int32"),
+                height=(n % 480 + 1).astype("int32"),
+                mode=["RGB" if ln % 2 == 0 else "L" for ln in n],
+            )
+            yield out
+
+    return df.mapInPandas(_decode, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame, *, every_n_bytes: int = 1024, content_column: str = "content"
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per sampled
+    "frame" offset (explode pattern). Offsets are computed JVM-side; the
+    per-frame decode would plug in as a mapInPandas over the exploded rows."""
+    n_frames = (F.length(F.col(content_column)) / every_n_bytes).cast("int") + 1
+    return df.withColumn(
+        "frame_offset",
+        F.explode(F.sequence(F.lit(0), n_frames - 1) ),
+    ).withColumn("frame_byte_start", F.col("frame_offset") * every_n_bytes)

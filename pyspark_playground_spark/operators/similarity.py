@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, one codegen'd projection computes cosines, a window takes top-k.
+  Cost is O(n·q·d) FLOPs with zero shuffle on the corpus side (queries are
+  broadcast); at 100 TB this is the pattern for small query batches.
+- **LSH-bucketed ANN** — the scale path: deterministic random-hyperplane
+  signatures (sign of dot with ±1 planes derived from xxhash64) bucket the
+  corpus; probing joins on bucket equality, so a query touches only its
+  bucket instead of the full corpus. Standard SimHash-for-cosine LSH
+  (Charikar'02).
+
+All math is done in double precision with left-to-right accumulation so
+results are reproducible and oracle-comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product (deterministic accumulation)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    Ties broken by neighbor id — deterministic across engines.
+    """
+    q = queries.select(
+        F.col(id_column).alias("query_id"), F.col(vector_column).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"), F.col(vector_column).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature_expr(
+    vector: Column, *, num_planes: int = 16, dim: int | None = None
+) -> Column:
+    """Random-hyperplane LSH signature as an int bucket key.
+
+    Plane p's component for dimension d is ±1 from xxhash64(p, d) — fully
+    deterministic, no stored model. sign(dot(v, plane_p)) becomes bit p.
+    """
+    v = _as_double(vector)
+
+    def plane_dot(p: int) -> Column:
+        prods = F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, d: x
+            * (F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) * 2 - 1).cast("double"),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [
+        F.when(plane_dot(p) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 5,
+    num_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's hyperplane
+    bucket are scored. Recall grows with fewer planes / multi-probe; the
+    bucket column is also the right physical partition key for a 100 TB
+    corpus (bucket pruning ≙ partition pruning)."""
+    sig = lambda df, name: df.select(  # noqa: E731
+        F.col(id_column).alias(name),
+        F.col(vector_column).alias(f"{name}_vec"),
+        hyperplane_signature_expr(
+            F.col(vector_column), num_planes=num_planes
+        ).alias(f"{name}_bucket"),
+    )
+    c = sig(corpus, "neighbor_id")
+    q = sig(queries, "query_id")
+    scored = (
+        c.join(
+            F.broadcast(q), F.col("neighbor_id_bucket") == F.col("query_id_bucket")
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", cosine_expr(F.col("query_id_vec"), F.col("neighbor_id_vec"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    ``exact=True`` does all-pairs (oracle-sized data only); otherwise pairs
+    are generated within LSH buckets first.
+    """
+    base = df.select(F.col(id_column), F.col(vector_column))
+    if exact:
+        a = base.select(
+            F.col(id_column).alias("id_a"), F.col(vector_column).alias("va")
+        )
+        b = base.select(
+            F.col(id_column).alias("id_b"), F.col(vector_column).alias("vb")
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sig = base.withColumn(
+            "bucket",
+            hyperplane_signature_expr(F.col(vector_column), num_planes=num_planes),
+        )
+        a = sig.select(
+            F.col(id_column).alias("id_a"),
+            F.col(vector_column).alias("va"),
+            F.col("bucket"),
+        )
+        b = sig.select(
+            F.col(id_column).alias("id_b"),
+            F.col(vector_column).alias("vb"),
+            F.col("bucket").alias("bucket_b"),
+        )
+        pairs = a.join(
+            b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

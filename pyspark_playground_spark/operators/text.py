@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting. Everything is built-in
+``pyspark.sql.functions`` column expressions — JVM-side, whole-stage
+codegen, zero Python in the hot path — so a 100 TB corpus scan stays a
+single codegen'd stage over the parquet scan with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny multilingual stopword profiles for the n-gram/marker language
+#: heuristic; deliberately small — a real deployment swaps in fastText-style
+#: profiles via the same scoring shape.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "mit", "ist"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it"]
+
+
+def tokens_expr(text: str | Column) -> Column:
+    """Whitespace tokenization of lower-cased, trimmed text."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def bpe_ish_tokens_expr(text: str | Column) -> Column:
+    """BPE-ish sub-word segmentation: split on whitespace AND punctuation
+    boundaries, keeping punctuation runs as their own tokens — the cheap
+    regex approximation of a byte-pair tokenizer's pre-tokenization."""
+    col = F.col(text) if isinstance(text, str) else text
+    spaced = F.regexp_replace(col, r"([^\w\s]+)", r" $1 ")
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_expr(text: str | Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def quality_features(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document.
+
+    Ratios are computed as double divisions of exact integer counts, so
+    values are reproducible bit-for-bit across engines.
+    """
+    toks = tokens_expr(text_column)
+    n_chars = F.length(F.col(text_column))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_column), r"[\w\s]", ""))
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+    n_stop = F.size(
+        F.expr(
+            f"filter(split(trim(lower({text_column})), '\\\\s+'),"
+            f" x -> x in ({stop_list}))"
+        )
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (n_chars.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Composite 0-1 quality score from the individual signals: long enough,
+    not punctuation soup, plausible natural-language stopword density."""
+    feats = quality_features(df, text_column)
+    length_ok = F.when(F.col("n_tokens") >= 20, 1.0).otherwise(
+        F.col("n_tokens").cast("double") / 20.0
+    )
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (F.col("punct_ratio") - 0.2) * 2.0)
+    )
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(
+        F.col("stopword_ratio") / 0.05
+    )
+    return feats.withColumn(
+        "quality_score", (length_ok + punct_ok + stop_ok) / F.lit(3.0)
+    )
+
+
+def lang_id(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Marker-word language identification.
+
+    Scores each language by the count of its marker words among the tokens
+    (plus substring hits for space-free scripts), then argmaxes with a
+    stable alphabetical tie-break. Pure column expressions → one codegen'd
+    projection, no shuffle, no UDF.
+    """
+    toks = tokens_expr(text_column)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_list = ",".join(f"'{m}'" for m in markers)
+        token_hits = F.size(
+            F.expr(
+                f"filter(split(trim(lower({text_column})), '\\\\s+'),"
+                f" x -> x in ({marker_list}))"
+            )
+        )
+        substr_hits = sum(
+            (
+                F.when(F.col(text_column).contains(m), 1).otherwise(0)
+                for m in markers
+                if not m.isascii()
+            ),
+            F.lit(0),
+        )
+        scores.append((lang, token_hits + substr_hits))
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so earlier (alphabetically smaller) languages win ties
+    for lang, score in reversed(scores):
+        pred = F.when(score == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = df.withColumn("lang_pred", pred)
+    return out.withColumn("n_tokens", F.size(toks))
+
+
+def fingerprint(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set. Robust to word reordering; cheap exact near-dup key."""
+    toks = F.array_sort(F.array_distinct(tokens_expr(text_column)))
+    return df.withColumn("fingerprint", F.md5(F.concat_ws(" ", toks)))

@@ -543,3 +543,241 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star: dedup / similarity / text /
+# multimodal) on the documents & embeddings tables
+# ---------------------------------------------------------------------------
+
+from pyspark_playground_spark.operators import dedup as dd  # noqa: E402
+from pyspark_playground_spark.operators import multimodal as mm  # noqa: E402
+from pyspark_playground_spark.operators import similarity as sim  # noqa: E402
+from pyspark_playground_spark.operators import text as tx  # noqa: E402
+
+#: DuckDB mirror of text.tokens_expr
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_STOPS = ",".join(f"'{w}'" for w in tx.STOPWORDS_EN)
+
+
+@query(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, one shuffle on a 16-byte key."""
+    return dd.exact_duplicate_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_documents",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_text,
+           len({_TOKS}) AS n_tokens,
+           length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+           len(list_filter({_TOKS}, x -> x IN ({_STOPS}))) AS n_stopwords,
+           CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter({_TOKS}, x -> x IN ({_STOPS}))) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+           CAST(length(text) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_quality_documents(spark, sf_dir):
+    """Quality features: counts + ratios, all JVM-side column expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.quality_features(docs).select(
+        "doc_id", "n_chars_text", "n_tokens", "n_punct", "n_stopwords",
+        "punct_ratio", "stopword_ratio", "avg_token_len",
+    )
+
+
+@query(
+    "doc_fingerprint_documents",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_documents(spark, sf_dir):
+    """Order-insensitive content fingerprint (sorted distinct token set)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _duck_shingles(alias: str) -> str:
+    toks = f"string_split_regex(trim(lower({alias}.text)), '\\s+')"
+    return (
+        f"list_distinct([array_to_string(({toks})[i:i+2], ' ')"
+        f" FOR i IN range(1, greatest(len({toks}) - 2, 1) + 1)])"
+    )
+
+
+@query(
+    "ngram_jaccard_pairs_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_duck_shingles('documents')} AS sh
+      FROM documents
+    )
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_documents(spark, sf_dir):
+    """Blocked all-pairs n-gram Jaccard (block = source). Scale path is
+    minhash_lsh_dedup_documents; this is the exact verify metric."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, within="source", threshold=0.2)
+
+
+@query("minhash_lsh_dedup_documents")
+def minhash_lsh_dedup_documents(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (no SQL oracle: xxhash64 signatures are
+    Spark-specific; the exact-Jaccard verify step is oracle-covered by
+    ngram_jaccard_pairs_documents)."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+@query("simhash_dedup_documents")
+def simhash_dedup_documents(spark, sf_dir):
+    """SimHash near-dup candidates (no SQL oracle: xxhash64-based bits)."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.simhash_dedup_pairs(docs, max_hamming=10)
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang, markers in sorted(tx.LANG_MARKERS.items()):
+        marker_list = ",".join(f"'{m}'" for m in markers)
+        token_hits = f"len(list_filter({_TOKS}, x -> x IN ({marker_list})))"
+        substr = " + ".join(
+            f"(CASE WHEN contains(text, '{m}') THEN 1 ELSE 0 END)"
+            for m in markers
+            if not m.isascii()
+        )
+        score_exprs.append((lang, f"({token_hits}{' + ' + substr if substr else ''})"))
+    best = "greatest(" + ", ".join(s for _, s in score_exprs) + ")"
+    pred = "'und'"
+    for lang, s in reversed(score_exprs):
+        pred = f"CASE WHEN {s} = __best THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text, {best} AS __best FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN __best > 0 THEN {pred} ELSE 'und' END AS lang_pred
+    FROM scored
+    """
+
+
+@query("lang_id_documents", _lang_id_oracle())
+def lang_id_documents(spark, sf_dir):
+    """Marker-word language ID vs the labeled lang column."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+_DOT = (
+    "list_sum([s[1]*s[2] FOR s IN list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))])"
+)
+_NORM = "sqrt(list_sum([x*x FOR x IN CAST({v} AS DOUBLE[])]))"
+
+
+@query(
+    "ann_cosine_topk_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {_DOT.format(a='qv', b='cv')}
+                    / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cosine
+           FROM c, q
+           WHERE neighbor_id <> query_id
+         )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def ann_cosine_topk_embeddings(spark, sf_dir):
+    """Brute-force cosine top-k (exact baseline; queries broadcast)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_topk(emb, queries_df, k=5)
+
+
+@query("ann_lsh_topk_embeddings")
+def ann_lsh_topk_embeddings(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path; no SQL oracle — bucket
+    assignment is xxhash64-derived). Exact counterpart is oracle-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_bucketed_ann(emb, queries_df, k=5, num_planes=8)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(v='a.embedding')} * {_NORM.format(v='b.embedding')}) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (all-pairs at oracle scale;
+    LSH-bucketed variant is the 100 TB path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+
+
+@query(
+    "multimodal_meta_documents",
+    """
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_meta_documents(spark, sf_dir):
+    """Multimodal metadata extraction over the opaque binary payload."""
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@query("multimodal_decode_documents")
+def multimodal_decode_documents(spark, sf_dir):
+    """mapInPandas fake-decode path (Arrow batches; no SQL oracle — the
+    decode is a deterministic stub standing in for a real codec)."""
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    decoded = mm.fake_decode_image(docs.select("doc_id", "content"))
+    return decoded.select("doc_id", "width", "height", "mode")
