@@ -69,13 +69,19 @@ def shingles_expr(text: str | Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _perm_hash(i: int):
+    # must be a unary lambda factory: a 2-arg lambda passed to F.transform
+    # would be bound as (element, index) and silently shadow the perm seed
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
 def minhash_signature_expr(shingles: Column, num_perms: int = 64) -> Column:
     """MinHash signature: for permutation i, min over shingles of
     xxhash64(i, shingle). Pure expression — evaluated per row inside
     codegen, no shuffle, no UDF."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(shingles, _perm_hash(i)))
             for i in range(num_perms)
         ]
     )

