@@ -422,6 +422,43 @@ def link_rows(
     return new_links, new_effectivity
 
 
+def resolve_member_hkeys(
+    df: DataFrame,
+    members: Sequence[LinkedHubDefinition],
+    *,
+    conv: DataVaultConventions = CONV,
+    hash_function: str = "md5",
+    resolutions: dict[str, DataFrame] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Attach one hub-hkey column per link member and the combined link HKEY.
+
+    Each member FK resolves to its hub hkey either directly
+    (``hkey = hash(fk)``, valid when the FK *is* the target hub's business
+    key) or through a broadcast ``(key, hkey)`` mapping in
+    ``resolutions[member.name]`` — the reference's staged-target / hub⋈sat
+    fallback (RawVault.py:523-534). Returns ``(df, member_hkey_columns)``.
+    """
+    hkey_cols: list[str] = []
+    for m in members:
+        col_name = m.hkey_column or conv.hkey_of(m.name)
+        hkey_cols.append(col_name)
+        res = (resolutions or {}).get(m.name)
+        if res is None:
+            df = df.withColumn(col_name, hash_key([m.foreign_key], hash_function))
+        else:
+            key_col, map_hkey = res.columns[:2]
+            mapping = res.select(
+                F.col(key_col).alias(f"__mk_{col_name}"), F.col(map_hkey).alias(col_name)
+            ).dropDuplicates([f"__mk_{col_name}"])
+            df = df.join(
+                F.broadcast(mapping),
+                df[m.foreign_key].cast("string") == mapping[f"__mk_{col_name}"].cast("string"),
+                "left",
+            ).drop(f"__mk_{col_name}")
+    df = df.withColumn(conv.hkey(), hash_key(hkey_cols, hash_function))
+    return df, hkey_cols
+
+
 def multilink_rows(
     staged: DataFrame,
     members: Sequence[LinkedHubDefinition],
@@ -441,25 +478,9 @@ def multilink_rows(
     hash of all member hkeys in declaration order.
     """
     df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
-    hkey_cols: list[str] = []
-    for m in members:
-        col_name = m.hkey_column or conv.hkey_of(m.name)
-        hkey_cols.append(col_name)
-        res = (resolutions or {}).get(m.name)
-        if res is None:
-            df = df.withColumn(col_name, hash_key([m.foreign_key], hash_function))
-        else:
-            key_col, map_hkey = res.columns[:2]
-            mapping = res.select(
-                F.col(key_col).alias(f"__mk_{col_name}"), F.col(map_hkey).alias(col_name)
-            ).dropDuplicates([f"__mk_{col_name}"])
-            df = df.join(
-                F.broadcast(mapping),
-                df[m.foreign_key].cast("string") == mapping[f"__mk_{col_name}"].cast("string"),
-                "left",
-            ).drop(f"__mk_{col_name}")
-
-    df = df.withColumn(conv.hkey(), hash_key(hkey_cols, hash_function))
+    df, hkey_cols = resolve_member_hkeys(
+        df, members, conv=conv, hash_function=hash_function, resolutions=resolutions
+    )
     ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
     out = (
         df.select(

@@ -262,19 +262,13 @@ class RawVault:
 
         # association-table effectivity: DELETE ops close the link
         eff_table = c.effectivity_sat_name(name)
-        hkey_cols = [m.hkey_column or c.hkey_of(m.name) for m in members]
-        staged_k = staged
-        for m, col in zip(members, hkey_cols):
-            res = (resolutions or {}).get(m.name)
-            if res is None:
-                from pyspark_playground_spark.functions.hashing import hash_key
-
-                staged_k = staged_k.withColumn(
-                    col, hash_key([m.foreign_key], self.config.hash_function)
-                )
-        from pyspark_playground_spark.functions.hashing import hash_key
-
-        staged_k = staged_k.withColumn(c.hkey(), hash_key(hkey_cols, self.config.hash_function))
+        staged_k, _ = rv.resolve_member_hkeys(
+            staged.drop(c.hkey()),
+            members,
+            conv=c,
+            hash_function=self.config.hash_function,
+            resolutions=resolutions,
+        )
         new_eff = rv.effectivity_rows(
             staged_k, existing=self._raw(eff_table),
             conv=c, config=self.config, hash_function=self.config.hash_function,
