@@ -170,6 +170,17 @@ class RawVault:
     def _raw(self, table: str) -> DataFrame:
         return self.spark.table(f"{self.config.raw_database}.{table}")
 
+    def refresh_tables(self) -> None:
+        """Invalidate cached file listings of all raw-vault tables
+        (reference S11, ``REFRESH TABLE`` after writes, Sample.py:132).
+
+        Required when another session writes the tables — e.g. the cloned
+        micro-batch session inside a Structured Streaming ``foreachBatch`` —
+        so the next batch's anti-joins see the appended files.
+        """
+        for t in self.spark.catalog.listTables(self.config.raw_database):
+            self.spark.catalog.refreshTable(f"{self.config.raw_database}.{t.name}")
+
     def _append(self, df: DataFrame, table: str, bucket_columns: Sequence[str]) -> None:
         catalog.write_table(
             df, self.config.raw_database, table,

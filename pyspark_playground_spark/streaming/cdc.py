@@ -1,0 +1,225 @@
+"""Structured Streaming extensions: streaming CDC ingestion + event windows.
+
+The reference has no streaming (SURVEY.md §2.8) — incrementality is CDC
+batches applied in sequence (cdc/test_datavault.py:479-846). This module is
+the Spark-first extension the survey plans (§7 phase 6): a file/CDC stream
+drives the *same* batch loaders through ``foreachBatch``, so batch and
+streaming ingestion share one code path and produce identical vault state.
+
+Scale notes (100 TB / continuous):
+- ``foreachBatch`` gives exactly-once-per-micro-batch semantics on top of
+  the loaders' idempotent anti-join appends — a replayed micro-batch
+  re-derives the same rows and the anti-join drops them, so the pipeline is
+  effectively idempotent end-to-end even with at-least-once sources.
+- Watermarked windowed aggregations bound state; late rows beyond the
+  watermark are dropped by the engine, matching the reference's stance that
+  late data is handled by *data* (the load-date columns), not engine state.
+- ``maxFilesPerTrigger`` bounds micro-batch size so a backlog replay cannot
+  blow executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pyspark_playground_spark.conventions import DataVaultConventions
+
+CONV = DataVaultConventions()
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC ingestion
+# ---------------------------------------------------------------------------
+
+def read_cdc_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    file_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CDC envelope file stream (new files under ``path`` become batches)."""
+    reader = spark.readStream.schema(schema).format(file_format)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def start_cdc_ingestion(
+    stream: DataFrame,
+    loader: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "10 seconds",
+    query_name: str = "cdc_ingestion",
+):
+    """Drive a batch loader from a stream via ``foreachBatch``.
+
+    ``loader(batch_df, batch_id)`` is typically a closure over
+    ``RawVault.load_hub/load_link/...`` or ``DeclarativeVault.load_batch`` —
+    the exact functions the batch path uses. ``available_now=True`` drains
+    the current backlog and stops (used by tests and backfills).
+    """
+    writer = (
+        stream.writeStream.foreachBatch(loader)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def declarative_stream_loader(
+    dv,
+    table: str,
+    *,
+    load_ts_fn: Callable[[int], datetime] | None = None,
+):
+    """foreachBatch adapter: each micro-batch becomes one declarative-vault
+    CDC batch for ``table``. Returns ``loader(batch_df, batch_id)``."""
+
+    def loader(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ts = load_ts_fn(batch_id) if load_ts_fn else None
+        dv.load_batch({table: batch_df}, load_ts=ts)
+        # foreachBatch writes come from a cloned micro-batch session; refresh
+        # so the next micro-batch's anti-joins (and the caller's session) see
+        # the files just appended
+        dv.vault.refresh_tables()
+
+    return loader
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregations (work identically on batch and streaming frames)
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_column: str = "ts",
+    window_duration: str = "1 hour",
+    slide_duration: str | None = None,
+    watermark: str | None = None,
+    group_columns: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling/sliding window counts + value sum per group.
+
+    On a streaming frame pass ``watermark`` (e.g. ``"2 hours"``) to bound
+    state; on a batch frame leave it None — the plan is identical otherwise,
+    which is what lets the DuckDB oracle check the batch twin of the
+    streaming query.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    win = (
+        F.window(F.col(ts_column), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_column), window_duration)
+    )
+    return (
+        df.groupBy(win.alias("win"), *group_columns)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_columns,
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    *,
+    ts_column: str = "ts",
+    gap: str = "30 minutes",
+    key_column: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per key: a session closes after ``gap`` of silence.
+
+    Uses ``F.session_window`` (merging windows); batch/streaming identical
+    modulo the watermark.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_column), gap).alias("win"), key_column)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col(key_column),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value total.
+
+    Demonstrates ``applyInPandasWithState`` (Arrow-batched user state) — the
+    escape hatch for operators Structured Streaming lacks natively. Emits
+    one updated row per user per micro-batch.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,216 @@
+"""Streaming extensions: CDC file stream → foreachBatch → same vault state
+as batch loading; watermarked windows; custom stateful operator."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_playground_spark.conventions import DataVaultConventions, VaultConfig
+from pyspark_playground_spark.plans.declarative import (
+    DeclarativeVault,
+    SourceSchema,
+    VaultMapping,
+)
+from pyspark_playground_spark.streaming import cdc as st
+
+C = DataVaultConventions()
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("OPERATION", T.StringType()),
+        T.StructField("LOAD_DATE", T.TimestampType()),
+        T.StructField("ID", T.StringType()),
+        T.StructField("NAME", T.StringType()),
+        T.StructField("SCORE", T.DoubleType()),
+    ]
+)
+
+SCHEMA_JSON = """
+{"name": "stream", "tables": [
+  {"name": "things",
+   "columns": [{"name": "ID", "type": "text"}, {"name": "NAME", "type": "text"},
+               {"name": "SCORE", "type": "double"}],
+   "primaryKey": ["ID"], "foreignKeys": []}
+]}
+"""
+MAPPING_YAML = """
+hubs:
+  - {name: HUB__THINGS, source_table: things, business_keys: [ID]}
+links: []
+satellites:
+  - {name: SAT__THINGS, hub: HUB__THINGS, source_table: things, private: false}
+"""
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cdc_matches_batch_loading(spark, tmpdir):
+    """Files dropped into a CDC directory, drained with availableNow through
+    foreachBatch, must produce the exact vault state the batch path builds."""
+    spark.sql("DROP DATABASE IF EXISTS stream_raw CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS stream_stg CASCADE")
+    dv = DeclarativeVault(
+        spark,
+        SourceSchema.from_json(SCHEMA_JSON),
+        VaultMapping.from_yaml(MAPPING_YAML),
+        VaultConfig(
+            staging_prepared_database="stream_stg",
+            raw_database="stream_raw",
+            record_source="stream",
+            optimize_partitioning=False,
+        ),
+    )
+    dv.create_tables()
+
+    t1, t2 = datetime(2026, 5, 1, 10), datetime(2026, 5, 1, 11)
+    batch1 = [("create", t1, "x1", "one", 1.0), ("create", t1, "x2", "two", 2.0)]
+    batch2 = [("update", t2, "x1", "one-renamed", 1.5), ("delete", t2, "x2", "two", 2.0)]
+    in_dir = f"{tmpdir}/in"
+    spark.createDataFrame(batch1, CDC_SCHEMA).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(batch2, CDC_SCHEMA).write.mode("append").parquet(in_dir)
+
+    stream = st.read_cdc_file_stream(spark, in_dir, CDC_SCHEMA)
+    assert stream.isStreaming
+    q = st.start_cdc_ingestion(
+        stream,
+        st.declarative_stream_loader(
+            dv, "things", load_ts_fn=lambda i: datetime(2026, 6, 1, i)
+        ),
+        checkpoint_dir=f"{tmpdir}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    hub = spark.table("stream_raw.HUB__THINGS")
+    sat = spark.table("stream_raw.SAT__THINGS")
+    eff = spark.table("stream_raw.SAT__EFFECTIVITY_THINGS")
+    assert hub.count() == 2
+    assert sat.count() == 3  # x1@t1, x2@t1, x1@t2 (delete rows don't feed sats)
+    # x2 deleted; x1 alive with the renamed value
+    last_x2 = (
+        eff.filter(F.col(C.hkey()) == F.md5(F.lit("x2")))
+        .orderBy(F.col(C.load_date()).desc())
+        .select(C.deleted())
+        .limit(1)
+        .collect()[0][0]
+    )
+    assert last_x2 is True
+    latest_x1 = (
+        sat.filter(F.col(C.hkey()) == F.md5(F.lit("x1")))
+        .orderBy(F.col(C.load_date()).desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert latest_x1["NAME"] == "one-renamed"
+
+    # replaying the same directory with a fresh checkpoint must be a no-op
+    q2 = st.start_cdc_ingestion(
+        st.read_cdc_file_stream(spark, in_dir, CDC_SCHEMA),
+        st.declarative_stream_loader(dv, "things"),
+        checkpoint_dir=f"{tmpdir}/ckpt2",
+        available_now=True,
+        query_name="cdc_replay",
+    )
+    q2.awaitTermination(120)
+    assert spark.table("stream_raw.HUB__THINGS").count() == 2
+    assert spark.table("stream_raw.SAT__THINGS").count() == 3
+
+
+def test_windowed_counts_streaming_vs_batch(spark, tmpdir):
+    """The same windowed_event_counts plan over a stream (memory sink,
+    availableNow) and over the batch frame must agree row-for-row."""
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "click", 1.0),
+        (1, datetime(2026, 5, 1, 10, 55), "click", 2.0),
+        (2, datetime(2026, 5, 1, 10, 20), "view", 3.0),
+        (2, datetime(2026, 5, 1, 11, 10), "click", 4.0),
+        (3, datetime(2026, 5, 1, 12, 40), "view", 5.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/events"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    batch_out = st.windowed_event_counts(
+        spark.read.parquet(src), window_duration="1 hour"
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_out.collect()
+    }
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    stream_out = st.windowed_event_counts(
+        stream, window_duration="1 hour", watermark="2 hours"
+    )
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expected and len(got) == 4
+
+
+def test_session_windows_batch(spark):
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 0), "a", 1.0),
+        (1, datetime(2026, 5, 1, 10, 10), "a", 1.0),   # same session (gap 30m)
+        (1, datetime(2026, 5, 1, 11, 0), "a", 1.0),    # new session
+        (2, datetime(2026, 5, 1, 10, 0), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = st.session_windows(df, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    first = min(by_user[1], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2
+    assert first["session_end"] == datetime(2026, 5, 1, 10, 40)  # last event + gap
+    assert len(by_user[2]) == 1
+
+
+def test_running_user_totals_stateful(spark, tmpdir):
+    """applyInPandasWithState accumulates across micro-batches."""
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/ev"
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10), "a", 1.0), (1, datetime(2026, 5, 1, 11), "a", 2.0),
+         (2, datetime(2026, 5, 1, 10), "a", 5.0)],
+        schema,
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = st.running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM running_totals").collect()}
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
