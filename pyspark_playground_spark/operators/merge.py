@@ -1,0 +1,257 @@
+"""v1-generation merge loaders: upsert hubs/links, end-dated satellites.
+
+Parity target: the reference's legacy generation (S9/S10 in SURVEY.md §2.1):
+
+- ``load_hub``/``load_link`` upserts (pysparkvault.py:22-49,
+  LoadRaw.py:442-494): Delta ``MERGE`` on hkey — update ``last_seen_date``
+  when matched, insert when not.
+- ``load_satellite`` (pysparkvault.py:52-91, LoadRaw.py:497-526): insert
+  when ``(hkey, hdiff)`` unseen with ``load_end_date = NULL``, then close
+  superseded versions. The reference end-dates with a **full-outer
+  self-join** (``l.load_end_date IS NULL AND l.hdiff != r.hdiff AND
+  l.load_date < r.load_date``, LoadRaw.py:514-520) — O(versions²) per key;
+  we compute the same closing date with ``lead(load_date)`` over a per-key
+  window (versions per key are distinct-hdiff by construction, so the next
+  version is the earliest differing one). Same output, one shuffle.
+
+Physical strategy: these kernels are pure ``(existing, updates) → new full
+table`` functions. With Delta available, ``MergeVault`` uses a real
+``MERGE INTO`` (in-place, transactional); without it (this environment) it
+falls back to read-merge-overwrite on parquet catalog tables, breaking
+lineage with ``localCheckpoint`` before the overwrite. At cluster scale the
+fallback rewrites the table per batch — that is exactly why the v2 engine's
+insert-only anti-join design (operators/raw_vault.py) is the primary path
+and this module exists for API/semantic parity with v1 pipelines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_playground_spark.functions.hashing import hash_diff, hash_key
+
+HUB_SYSTEM_COLS = ["hkey", "load_date", "last_seen_date", "record_source"]
+SAT_SYSTEM_COLS = ["hkey", "hdiff", "load_date", "load_end_date"]
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def prepare_hub_updates(
+    df: DataFrame,
+    business_key_columns: Sequence[str],
+    *,
+    load_ts: datetime | Column,
+    record_source: str,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Shape a source batch into v1 hub-update rows
+    (pysparkvault.py:26-41: hkey, load_date, last_seen_date, record_source)."""
+    ts = F.lit(load_ts).cast("timestamp") if isinstance(load_ts, datetime) else load_ts
+    return (
+        df.withColumn("hkey", hash_key(list(business_key_columns), hash_function))
+        .withColumn("load_date", ts)
+        .withColumn("last_seen_date", ts)
+        .withColumn("record_source", F.lit(record_source))
+        .select(*HUB_SYSTEM_COLS, *business_key_columns)
+        .dropDuplicates(["hkey"])
+    )
+
+
+def hub_upsert(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
+    """Merge semantics of the v1 hub/link loader (LoadRaw.py:442-458):
+    matched → ``last_seen_date := updates.last_seen_date`` (original
+    ``load_date`` kept), not matched → insert. Returns the new full table."""
+    if existing is None or not existing.columns:
+        return updates
+    upd = updates.select(
+        F.col("hkey").alias("__u_hkey"), F.col("last_seen_date").alias("__u_seen")
+    )
+    kept = (
+        existing.join(upd, existing["hkey"] == F.col("__u_hkey"), "left")
+        .withColumn(
+            "last_seen_date", F.coalesce(F.col("__u_seen"), F.col("last_seen_date"))
+        )
+        .drop("__u_hkey", "__u_seen")
+    )
+    inserts = updates.join(existing.select("hkey"), on="hkey", how="left_anti")
+    return kept.unionByName(inserts)
+
+
+def prepare_satellite_updates(
+    df: DataFrame,
+    business_key_columns: Sequence[str],
+    *,
+    load_ts: datetime | Column,
+    attribute_columns: Sequence[str] | None = None,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Shape a source batch into v1 satellite-update rows
+    (pysparkvault.py:56-72: hkey, hdiff, load_date, load_end_date=NULL)."""
+    attrs = list(
+        attribute_columns
+        if attribute_columns is not None
+        else [c for c in df.columns if c not in business_key_columns]
+    )
+    ts = F.lit(load_ts).cast("timestamp") if isinstance(load_ts, datetime) else load_ts
+    return (
+        df.withColumn("hkey", hash_key(list(business_key_columns), hash_function))
+        .withColumn("hdiff", hash_diff(attrs, hash_function))
+        .withColumn("load_date", ts)
+        .withColumn("load_end_date", F.lit(None).cast("timestamp"))
+        .select(*SAT_SYSTEM_COLS, *attrs)
+        .dropDuplicates(["hkey", "hdiff"])
+    )
+
+
+def satellite_upsert(existing: DataFrame | None, updates: DataFrame) -> DataFrame:
+    """v1 satellite merge + end-dating (LoadRaw.py:497-526).
+
+    1. Insert rows whose ``(hkey, hdiff)`` is unseen (insert-only on that
+       key: a re-appearing attribute state does not create a new version —
+       a known v1 semantic kept for parity; v2 satellites key on
+       (hkey, load_date) instead).
+    2. Close superseded versions: an open row (``load_end_date IS NULL``)
+       whose key has a later version gets ``load_end_date := next version's
+       load_date`` — the window formulation of the reference's full-outer
+       self-join.
+    """
+    if existing is None or not existing.columns:
+        merged = updates
+    else:
+        inserts = updates.join(
+            existing.select("hkey", "hdiff"), on=["hkey", "hdiff"], how="left_anti"
+        )
+        merged = existing.unionByName(inserts)
+
+    w = Window.partitionBy("hkey").orderBy("load_date")
+    nxt = F.lead("load_date").over(w)
+    return merged.withColumn(
+        "load_end_date",
+        F.when(F.col("load_end_date").isNotNull(), F.col("load_end_date")).otherwise(nxt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# table-backed wrapper
+# ---------------------------------------------------------------------------
+
+class MergeVault:
+    """v1-style loaders over catalog tables.
+
+    Uses Delta ``MERGE INTO`` when delta-spark is importable; otherwise a
+    read-merge-overwrite on the session catalog's parquet tables.
+    """
+
+    def __init__(self, spark: SparkSession, database: str = "merge_vault") -> None:
+        self.spark = spark
+        self.database = database
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    def _table(self, name: str) -> str:
+        return f"{self.database}.{name}"
+
+    def _read(self, name: str) -> DataFrame | None:
+        if not self.spark.catalog.tableExists(self._table(name)):
+            return None
+        return self.spark.table(self._table(name))
+
+    def _overwrite(self, df: DataFrame, name: str) -> None:
+        # break lineage before overwriting a table we just read — local
+        # checkpoint suffices in local mode; on a cluster use a reliable
+        # checkpoint dir or Delta (which merges in place instead)
+        df.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            self._table(name)
+        )
+        self.spark.catalog.refreshTable(self._table(name))
+
+    def load_hub(
+        self,
+        name: str,
+        df: DataFrame,
+        business_key_columns: Sequence[str],
+        *,
+        load_ts: datetime,
+        record_source: str,
+    ) -> None:
+        """v1 ``load_hub`` (pysparkvault.py:22-49)."""
+        updates = prepare_hub_updates(
+            df, business_key_columns, load_ts=load_ts, record_source=record_source
+        )
+        if delta_available():  # pragma: no cover - delta not in this env
+            self._delta_merge_hub(name, updates)
+            return
+        self._overwrite(hub_upsert(self._read(name), updates), name)
+
+    def load_satellite(
+        self,
+        name: str,
+        df: DataFrame,
+        business_key_columns: Sequence[str],
+        *,
+        load_ts: datetime,
+        attribute_columns: Sequence[str] | None = None,
+    ) -> None:
+        """v1 ``load_satellite`` (pysparkvault.py:52-91)."""
+        updates = prepare_satellite_updates(
+            df,
+            business_key_columns,
+            load_ts=load_ts,
+            attribute_columns=attribute_columns,
+        )
+        if delta_available():  # pragma: no cover - delta not in this env
+            self._delta_merge_satellite(name, updates)
+            return
+        self._overwrite(satellite_upsert(self._read(name), updates), name)
+
+    # ---- Delta paths (exercised only where delta-spark is installed) ------
+    def _delta_merge_hub(self, name: str, updates: DataFrame) -> None:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        if not self.spark.catalog.tableExists(self._table(name)):
+            updates.write.format("delta").saveAsTable(self._table(name))
+            return
+        (
+            DeltaTable.forName(self.spark, self._table(name))
+            .alias("hub")
+            .merge(updates.alias("updates"), "hub.hkey = updates.hkey")
+            .whenMatchedUpdate(set={"last_seen_date": "updates.last_seen_date"})
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def _delta_merge_satellite(self, name: str, updates: DataFrame) -> None:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        if not self.spark.catalog.tableExists(self._table(name)):
+            updates.write.format("delta").saveAsTable(self._table(name))
+        else:
+            (
+                DeltaTable.forName(self.spark, self._table(name))
+                .alias("sat")
+                .merge(
+                    updates.alias("updates"),
+                    "sat.hkey = updates.hkey AND sat.hdiff = updates.hdiff",
+                )
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        # end-date pass: window formulation of LoadRaw.py:514-526
+        closed = satellite_upsert(self.spark.table(self._table(name)),
+                                  self.spark.table(self._table(name)).limit(0))
+        closed.write.format("delta").mode("overwrite").saveAsTable(self._table(name))
