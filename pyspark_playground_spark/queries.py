@@ -781,3 +781,352 @@ def multimodal_decode_documents(spark, sf_dir):
     docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
     decoded = mm.fake_decode_image(docs.select("doc_id", "content"))
     return decoded.select("doc_id", "width", "height", "mode")
+
+
+# ---------------------------------------------------------------------------
+# business-vault reads, curated layer, windows, set ops (SURVEY.md §2.3-2.7)
+# ---------------------------------------------------------------------------
+
+from pyspark_playground_spark.operators import curated as cu  # noqa: E402
+from pyspark_playground_spark.operators.curated import FieldDefinition  # noqa: E402
+
+
+@query(
+    "dv_read_hub_sat_pit_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT user_id, event_type, value, ts AS "$__LOAD_DATE",
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS "$__LOAD_END_DATE"
+    FROM e
+    """,
+)
+def dv_read_hub_sat_pit_events(spark, sf_dir):
+    """read_data_from_hub_sat_and_pit (BusinessVault.py:136-172): PIT ⋈ SAT
+    on (hkey, load_date) ⋈ HUB on hkey, projecting business key+attributes."""
+    events = load(spark, sf_dir, "events")
+    hub = events.select(hash_key(["user_id"]).alias(C.hkey()), "user_id").distinct()
+    sat = events.select(
+        hash_key(["user_id"]).alias(C.hkey()),
+        F.lit("x").alias(C.hdiff()),
+        F.col("ts").alias(C.load_date()),
+        "event_type",
+        "value",
+    )
+    pit = bv.pit_rows(sat, None, end_of_time=None)
+    return bv.read_data_from_hub_sat_and_pit(hub, sat, pit, ["event_type", "value"])
+
+
+@query(
+    "dv_active_code_ref_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT event_type AS "$__GROUP",
+           md5(printf('%.6f', value)) AS "$__HDIFF",
+           ts AS "$__LOAD_DATE",
+           user_id AS ID, value AS VALUE
+    FROM e
+    QUALIFY row_number() OVER (PARTITION BY event_type, user_id ORDER BY ts DESC) = 1
+    """,
+)
+def dv_active_code_ref_events(spark, sf_dir):
+    """create_active_code_reference_table (BusinessVault.py:107-128): latest
+    version per (group, id); events play a per-type per-user code registry."""
+    events = load(spark, sf_dir, "events")
+    code_ref = events.select(
+        F.col("event_type").alias(C.group()),
+        F.md5(F.format_string("%.6f", F.col("value"))).alias(C.hdiff()),
+        F.col("ts").alias(C.load_date()),
+        F.col("user_id").alias("ID"),
+        F.col("value").alias("VALUE"),
+    )
+    return bv.active_code_reference_rows(code_ref)
+
+
+@query(
+    "dv_curated_customer",
+    """
+    SELECT c_custkey AS customer_id, c_name AS name,
+           n_name AS nation, c_mktsegment AS segment
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def dv_curated_customer(spark, sf_dir):
+    """Curated.map_to_curated (Curated.py:196-271) with typelist enrichment
+    (join_typelist, Curated.py:167-194): the nation code column is replaced
+    by its description via a broadcast lookup, then fields are renamed."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    active_ref = nation.select(
+        F.lit("nation").alias(C.group()),
+        F.lit(LOAD_TS).cast("timestamp").alias(C.load_date()),
+        F.col("n_nationkey").alias("ID"),
+        F.col("n_name").alias("DESCRIPTION"),
+    )
+    fields = [
+        FieldDefinition("c_custkey", "customer_id"),
+        FieldDefinition("c_name", "name"),
+        FieldDefinition("c_nationkey", "nation", typelist="nation"),
+        FieldDefinition("c_mktsegment", "segment"),
+    ]
+    return cu.map_to_curated(customer, fields, active_code_ref=active_ref)
+
+
+@query(
+    "dv_curated_orders_user_enrichment",
+    """
+    SELECT o_orderkey, c_name AS "CustUserID", o_orderstatus
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def dv_curated_orders_user_enrichment(spark, sf_dir):
+    """Curated.join_user_information (Curated.py:121-165): every *UserID
+    column is replaced by the user's display name via broadcast lookups."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    df = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("CustUserID"), "o_orderstatus"
+    )
+    return cu.join_user_information(
+        df, customer, user_id_column="c_custkey", user_name_column="c_name"
+    )
+
+
+@query(
+    "dv_linked_customer_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           printf('%.2f', o_totalprice) AS total_s,
+           o_orderdate AS "$__LOAD_DATE",
+           CAST(NULL AS TIMESTAMP) AS "$__LOAD_END_DATE"
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def dv_linked_customer_orders(spark, sf_dir):
+    """join_linked_dataframes (BusinessVault.py:251-341): from-view ⋈ link ⋈
+    to-view with temporal interval intersection (customer intervals open from
+    1990, so the zipped interval starts at the order date)."""
+    ld, led = C.load_date(), C.load_end_date()
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    from_df = customer.select(
+        hash_key(["c_custkey"]).alias(C.hkey()),
+        "c_custkey",
+        "c_name",
+        F.lit(datetime(1990, 1, 1)).cast("timestamp").alias(ld),
+        F.lit(None).cast("timestamp").alias(led),
+    )
+    link = orders.select(
+        hash_key(["o_custkey"]).alias(C.hkey_of("customer")),
+        hash_key(["o_orderkey"]).alias(C.hkey_of("orders")),
+    )
+    to_df = orders.select(
+        hash_key(["o_orderkey"]).alias(C.hkey()),
+        "o_orderkey",
+        F.format_string("%.2f", F.col("o_totalprice")).alias("total_s"),
+        F.col("o_orderdate").alias(ld),
+        F.lit(None).cast("timestamp").alias(led),
+    )
+    zipped = bv.join_linked_dataframes(
+        from_df, link, to_df,
+        from_hkey_column=C.hkey_of("customer"),
+        to_hkey_column=C.hkey_of("orders"),
+    )
+    return zipped.select("c_custkey", "c_name", "o_orderkey", "total_s", ld, led)
+
+
+@query(
+    "events_hourly_window",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM e
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly_window(spark, sf_dir):
+    """Tumbling-window aggregation (streaming/cdc.py windowed_event_counts
+    batch twin): F.window + decimal-exact sums so both engines agree."""
+    events = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        events.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "sum_value", "n_users",
+        )
+    )
+
+
+@query(
+    "events_session_windows_30m",
+    f"""
+    WITH e AS ({EVENTS_N}), s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def events_session_windows_30m(spark, sf_dir):
+    """Session windows (streaming/cdc.py session_windows batch twin): the
+    oracle reproduces F.session_window's merge semantics with the classic
+    gaps-and-islands lag/cumsum construction."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@query(
+    "top10_orders_by_price",
+    """
+    SELECT o_orderkey, printf('%.2f', o_totalprice) AS total_s, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top10_orders_by_price(spark, sf_dir):
+    """Top-k (reference O1-O4 sort/limit family), unique-key tie-break."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.format_string("%.2f", F.col("o_totalprice")).alias("total_s"),
+            "o_orderdate",
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti-join as a user query (reference J1-J3 family): customers with no
+    recent orders (the filter keeps the result non-empty at every SF)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(datetime(2000, 1, 1))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "all_parties_union",
+    """
+    SELECT 'customer' AS party_type, c_name AS name,
+           printf('%.2f', c_acctbal) AS acctbal_s
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', s_name, printf('%.2f', s_acctbal) FROM supplier
+    """,
+)
+def all_parties_union(spark, sf_dir):
+    """Union (reference U1): positional union of two entity tables."""
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("party_type"),
+        F.col("c_name").alias("name"),
+        F.format_string("%.2f", F.col("c_acctbal")).alias("acctbal_s"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("party_type"),
+        F.col("s_name").alias("name"),
+        F.format_string("%.2f", F.col("s_acctbal")).alias("acctbal_s"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "token_stats_documents",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens_ws,
+           len(list_filter(string_split_regex(
+                 trim(regexp_replace(text, '([^\\w\\s]+)', ' \\1 ', 'g')),
+                 '\\s+'), x -> x <> '')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_stats_documents(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish sub-word segmentation
+    (operators/text.py bpe_ish_tokens_expr) — pure column expressions."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_expr("text").alias("n_tokens_ws"),
+        F.size(tx.bpe_ish_tokens_expr("text")).alias("n_tokens_bpe"),
+    )
+
+
+@query(
+    "quality_score_documents",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(list_filter({_TOKS}, x -> x IN ({_STOPS}))) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ((CASE WHEN n_tokens >= 20 THEN 1.0
+                  ELSE CAST(n_tokens AS DOUBLE) / 20.0 END)
+            + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                    ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 2.0) END)
+            + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0
+                    ELSE stopword_ratio / 0.05 END)) / 3.0 AS quality_score
+    FROM f
+    """,
+)
+def quality_score_documents(spark, sf_dir):
+    """Composite document quality score (operators/text.py quality_score)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.quality_score(docs).select("doc_id", "quality_score")
