@@ -33,6 +33,15 @@ HEADLINE = [
     "dv_effectivity_events",
     "dv_zip_user_activity",
     "dv_latest_event_per_user",
+    "dv_read_hub_sat_pit_events",
+    "dv_linked_customer_orders",
+    "dv_curated_customer",
+    "events_hourly_window",
+    "events_session_windows_30m",
+    "dedup_exact_documents",
+    "minhash_lsh_dedup_documents",
+    "text_quality_documents",
+    "ann_cosine_topk_embeddings",
 ]
 
 
@@ -43,6 +52,13 @@ def main() -> None:
 
     registry = Q.queries()
     names = [n for n in HEADLINE if n in registry]
+
+    # warm up the JVM, codegen and the parquet reader so the first timed
+    # query is not charged for session start-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
