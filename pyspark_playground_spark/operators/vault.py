@@ -286,6 +286,46 @@ class RawVault:
         )
         self._append(new_eff, eff_table, [c.hkey(), c.load_date()])
 
+    def create_point_in_time_table_for_single_satellite(
+        self, pit_name: str, satellite_name: str
+    ) -> str:
+        """Derive and overwrite ``PIT__{pit_name}`` from a satellite and its
+        effectivity satellite (reference BusinessVault.py:35-104, here via
+        the lead-window kernel)."""
+        from pyspark_playground_spark.operators import business_vault as bv
+
+        c = self.conv
+        sat = self._raw(c.sat_name(satellite_name))
+        eff_table = c.effectivity_sat_name(satellite_name)
+        eff = (
+            self._raw(eff_table)
+            if self.spark.catalog.tableExists(f"{self.config.raw_database}.{eff_table}")
+            else None
+        )
+        table = c.pit_name(pit_name)
+        pit = bv.pit_rows(sat, eff, conv=c)
+        catalog.write_table(
+            pit, self.config.raw_database, table, mode="overwrite", config=self.config
+        )
+        self.spark.catalog.refreshTable(f"{self.config.raw_database}.{table}")
+        return table
+
+    def create_active_code_reference_table(
+        self, ref_name: str, active_name: str
+    ) -> str:
+        """Latest version per (group, id) of a code-reference table,
+        overwritten as its own table (reference BusinessVault.py:107-128)."""
+        from pyspark_playground_spark.operators import business_vault as bv
+
+        ref = self._raw(self.conv.ref_name(ref_name))
+        active = bv.active_code_reference_rows(ref, conv=self.conv)
+        table = self.conv.ref_name(active_name)
+        catalog.write_table(
+            active, self.config.raw_database, table, mode="overwrite", config=self.config
+        )
+        self.spark.catalog.refreshTable(f"{self.config.raw_database}.{table}")
+        return table
+
     def load_references(
         self, staged: DataFrame, name: str, id_column: str, attributes: Sequence[str]
     ) -> None:
@@ -307,3 +347,154 @@ class RawVault:
             conv=c, config=self.config, hash_function=self.config.hash_function,
         )
         self._append(new_refs, table, [])
+
+
+class BusinessVault:
+    """Table-backed business-vault reads (reference BusinessVault.py:24-341).
+
+    Thin catalog wrapper over the kernels in ``operators/business_vault.py``:
+    resolves hub/sat/PIT/link table names through the conventions, reads them
+    from the raw database, delegates the temporal logic.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: VaultConfig | None = None,
+        conv: DataVaultConventions | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config or VaultConfig()
+        self.conv = conv or DataVaultConventions()
+
+    def _raw(self, table: str) -> DataFrame:
+        return self.spark.table(f"{self.config.raw_database}.{table}")
+
+    def read_data_from_hub_sat_and_pit(
+        self,
+        hub_name: str,
+        sat_name: str,
+        pit_name: str,
+        attributes: Sequence[str],
+        include_hkey: bool = False,
+    ) -> DataFrame:
+        """Reference BusinessVault.py:136-172 (table names are raw, as in
+        the reference — pass ``conv.hub_name(...)`` etc. or plain names)."""
+        from pyspark_playground_spark.operators import business_vault as bv
+
+        return bv.read_data_from_hub_sat_and_pit(
+            self._raw(hub_name),
+            self._raw(sat_name),
+            self._raw(pit_name),
+            list(attributes),
+            include_hkey=include_hkey,
+            conv=self.conv,
+        )
+
+    def read_data_from_hub(
+        self, name: str, attributes: Sequence[str], include_hkey: bool = False
+    ) -> DataFrame:
+        """Reference BusinessVault.py:174-188: build the PIT on the fly from
+        the entity's satellite + effectivity satellite."""
+        from pyspark_playground_spark.operators import business_vault as bv
+
+        c = self.conv
+        eff_table = c.effectivity_sat_name(name)
+        eff = (
+            self._raw(eff_table)
+            if self.spark.catalog.tableExists(f"{self.config.raw_database}.{eff_table}")
+            else None
+        )
+        return bv.read_data_from_hub(
+            self._raw(c.hub_name(name)),
+            self._raw(c.sat_name(name)),
+            eff,
+            list(attributes),
+            include_hkey=include_hkey,
+            conv=c,
+        )
+
+    def join_linked_hubs(
+        self,
+        from_name: str,
+        to_name: str,
+        link_name: str,
+        from_attributes: Sequence[str],
+        to_attributes: Sequence[str],
+        *,
+        how: str = "inner",
+    ) -> DataFrame:
+        """Reference BusinessVault.py:251-277: link-mediated temporal join of
+        two hub read views."""
+        from pyspark_playground_spark.operators import business_vault as bv
+
+        c = self.conv
+        from_df = self.read_data_from_hub(from_name, from_attributes, include_hkey=True)
+        to_df = self.read_data_from_hub(to_name, to_attributes, include_hkey=True)
+        link = self._raw(c.link_name(link_name))
+        return bv.join_linked_dataframes(
+            from_df,
+            link,
+            to_df,
+            from_hkey_column=c.hkey_of(from_name),
+            to_hkey_column=c.hkey_of(to_name),
+            how=how,
+            conv=c,
+        )
+
+
+class Curated:
+    """Table-backed curated layer (reference Curated.py:72-317): raw read
+    views → enriched, renamed, denormalized tables in the curated database."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: VaultConfig | None = None,
+        conv: DataVaultConventions | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config or VaultConfig()
+        self.conv = conv or DataVaultConventions()
+        self.business_vault = BusinessVault(spark, self.config, self.conv)
+
+    def initialize_database(self) -> None:
+        catalog.create_database(self.spark, self.config.curated_database)
+
+    def get_entity_name_from_source_table_name(self, source_table: str) -> str:
+        """Strip source-system prefixes (reference Curated.py:100-111)."""
+        return self.conv.strip_source_prefix(source_table).lower()
+
+    def map_source_table_to_curated(
+        self,
+        source_table: str,
+        attributes: Sequence[str],
+        fields: Sequence,
+        *,
+        active_code_ref_table: str | None = None,
+        users: DataFrame | None = None,
+        target_table: str | None = None,
+    ) -> DataFrame:
+        """Read the entity's historized view, enrich + rename via
+        ``map_to_curated`` (Curated.py:196-271), overwrite the curated table.
+        Returns the curated DataFrame."""
+        from pyspark_playground_spark.operators import curated as cu
+
+        entity = self.get_entity_name_from_source_table_name(source_table)
+        view = self.business_vault.read_data_from_hub(entity, list(attributes))
+        acr = (
+            self.spark.table(
+                f"{self.config.raw_database}.{self.conv.ref_name(active_code_ref_table)}"
+            )
+            if active_code_ref_table
+            else None
+        )
+        out = cu.map_to_curated(
+            view, list(fields), active_code_ref=acr, users=users, conv=self.conv
+        )
+        table = target_table or entity
+        catalog.write_table(
+            out, self.config.curated_database, table, mode="overwrite", config=self.config
+        )
+        self.spark.catalog.refreshTable(f"{self.config.curated_database}.{table}")
+        return self.spark.table(f"{self.config.curated_database}.{table}")
