@@ -42,10 +42,16 @@ class RawVault:
         catalog.create_database(self.spark, self.config.staging_prepared_database)
         catalog.create_database(self.spark, self.config.raw_database)
 
+    def _hash_type(self) -> T.DataType:
+        """HKEY/HDIFF storage type: 32-char string for md5 (reference
+        dialect), 8-byte long for xxhash64 (the scale option — 4× smaller
+        join/shuffle keys)."""
+        return T.LongType() if self.config.hash_function == "xxhash64" else T.StringType()
+
     def _system_cols(self) -> list[ColumnDefinition]:
         c = self.conv
         return [
-            ColumnDefinition(c.hkey(), T.StringType(), False),
+            ColumnDefinition(c.hkey(), self._hash_type(), False),
             ColumnDefinition(c.load_date(), T.TimestampType(), False),
             ColumnDefinition(c.record_source(), T.StringType(), False),
         ]
@@ -67,7 +73,7 @@ class RawVault:
         c = self.conv
         table = c.link_name(name)
         cols = self._system_cols()[:1] + [
-            ColumnDefinition(col, T.StringType(), True) for col in member_hkey_columns
+            ColumnDefinition(col, self._hash_type(), True) for col in member_hkey_columns
         ] + self._system_cols()[1:]
         catalog.create_table(
             self.spark, self.config.raw_database, table, cols,
@@ -80,8 +86,8 @@ class RawVault:
         c = self.conv
         table = c.sat_name(name)
         cols = [
-            ColumnDefinition(c.hkey(), T.StringType(), False),
-            ColumnDefinition(c.hdiff(), T.StringType(), False),
+            ColumnDefinition(c.hkey(), self._hash_type(), False),
+            ColumnDefinition(c.hdiff(), self._hash_type(), False),
             ColumnDefinition(c.load_date(), T.TimestampType(), False),
         ] + list(attributes)
         catalog.create_table(
@@ -94,8 +100,8 @@ class RawVault:
         c = self.conv
         table = c.effectivity_sat_name(name)
         cols = [
-            ColumnDefinition(c.hkey(), T.StringType(), False),
-            ColumnDefinition(c.hdiff(), T.StringType(), False),
+            ColumnDefinition(c.hkey(), self._hash_type(), False),
+            ColumnDefinition(c.hdiff(), self._hash_type(), False),
             ColumnDefinition(c.deleted(), T.BooleanType(), False),
             ColumnDefinition(c.load_date(), T.TimestampType(), False),
         ]
@@ -111,7 +117,7 @@ class RawVault:
         c = self.conv
         table = c.ref_name(name)
         cols = [
-            ColumnDefinition(c.hdiff(), T.StringType(), False),
+            ColumnDefinition(c.hdiff(), self._hash_type(), False),
             ColumnDefinition(c.load_date(), T.TimestampType(), False),
             id_column,
         ] + list(attributes)
@@ -125,7 +131,7 @@ class RawVault:
         table = c.ref_name(name)
         cols = [
             ColumnDefinition(c.group(), T.StringType(), False),
-            ColumnDefinition(c.hdiff(), T.StringType(), False),
+            ColumnDefinition(c.hdiff(), self._hash_type(), False),
             ColumnDefinition(c.load_date(), T.TimestampType(), False),
             id_column,
         ] + list(attributes)

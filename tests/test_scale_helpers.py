@@ -1,0 +1,119 @@
+"""Scale helpers: salted joins/aggregates, xxhash64 vault, file sources."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_playground_spark.conventions import ColumnDefinition, VaultConfig
+from pyspark_playground_spark.operators import raw_vault as rv
+from pyspark_playground_spark.operators import skew
+from pyspark_playground_spark.operators.vault import RawVault
+from pyspark_playground_spark.sources import files
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="scale-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed: key 'hot' holds 90% of rows
+    large = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B"), ("missing", "X")],
+        "k string, label string",
+    )
+    for how in ("inner", "left"):
+        plain = large.join(small, ["k"], how)
+        salted = skew.salted_join(large, small, ["k"], buckets=8, how=how)
+        assert salted.count() == plain.count()
+        assert (
+            salted.groupBy("k").count().orderBy("k").collect()
+            == plain.groupBy("k").count().orderBy("k").collect()
+        )
+    with pytest.raises(ValueError):
+        skew.salted_join(large, small, ["k"], how="right")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(1000)] + [("cold", 1, 2.0)],
+        "k string, n int, x double",
+    )
+    got = {
+        r["k"]: (r["sum_n"], r["count_x"])
+        for r in skew.salted_aggregate(
+            df, ["k"], {"n": "sum", "x": "count"}, buckets=4
+        ).collect()
+    }
+    assert got["hot"] == (sum(range(1000)), 1000)
+    assert got["cold"] == (1, 1)
+
+
+def test_xxhash64_vault_end_to_end(spark):
+    """The scale hash option: long hkeys through DDL, load, and anti-join."""
+    spark.sql("DROP DATABASE IF EXISTS xx_stg CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS xx_raw CASCADE")
+    config = VaultConfig(
+        staging_prepared_database="xx_stg",
+        raw_database="xx_raw",
+        record_source="x",
+        hash_function="xxhash64",
+        optimize_partitioning=False,
+    )
+    v = RawVault(spark, config)
+    v.initialize_database()
+    v.create_hub("things", [ColumnDefinition("ID", T.StringType(), False)])
+    v.create_satellite("things", [ColumnDefinition("NAME", T.StringType())])
+
+    batch = spark.createDataFrame(
+        [("create", datetime(2026, 8, 1), "x1", "one")],
+        "OPERATION string, LOAD_DATE timestamp, ID string, NAME string",
+    )
+    staged = rv.prepare_staging(
+        batch, load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="x", hkey_columns=["ID"], hash_function="xxhash64",
+    )
+    v.load_hub(staged, "things", ["ID"], satellites={"things": ["NAME"]},
+               load_ts=datetime(2026, 9, 1))
+    hub = spark.table("xx_raw.HUB__THINGS")
+    assert dict(hub.dtypes)["$__HKEY"] == "bigint"
+    assert hub.count() == 1
+    # idempotent reload with long keys
+    v.load_hub(staged, "things", ["ID"], satellites={"things": ["NAME"]},
+               load_ts=datetime(2026, 9, 2))
+    assert spark.table("xx_raw.HUB__THINGS").count() == 1
+    assert spark.table("xx_raw.SAT__THINGS").count() == 1
+
+
+def test_file_sources_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, s string, x double"
+    )
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = f"{tmpdir}/{fmt}_out"
+        files.write_sink(df, path, file_format=fmt)
+        back = files.read_source(
+            spark, path, file_format=fmt,
+            schema="id int, s string, x double" if fmt in ("csv", "json") else None,
+        )
+        assert back.count() == 2
+        assert {r["s"] for r in back.collect()} == {"a", "b"}
+
+    # extension inference + partitioned layout
+    files.write_sink(df, f"{tmpdir}/part.parquet", partition_by=["s"])
+    back = files.read_source(spark, f"{tmpdir}/part.parquet")
+    assert back.count() == 2
+    import os
+    assert os.path.isdir(f"{tmpdir}/part.parquet/s=a")
