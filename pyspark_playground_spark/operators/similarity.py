@@ -193,3 +193,117 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: KMeans coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+def ivf_assignments(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a KMeans coarse quantizer and assign every corpus vector to its
+    nearest centroid.
+
+    Returns ``(assigned, centroids)``: the corpus with a ``centroid_id``
+    column (the inverted-file key — at 100 TB this is the physical partition
+    column, so a probe reads only nprobe partitions), and the centroid
+    table ``(centroid_id, centroid)``.
+
+    Uses Spark MLlib's distributed KMeans — the one stage of the pipeline
+    that is iterative; everything downstream is plain DataFrame ops.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    featurized = corpus.select(
+        F.col(id_column),
+        F.col(vector_column),
+        array_to_vector(_as_double(F.col(vector_column))).alias("__features"),
+    )
+    model = KMeans(
+        k=num_centroids, seed=seed, featuresCol="__features", predictionCol="centroid_id"
+    ).fit(featurized)
+    assigned = model.transform(featurized).select(
+        id_column, vector_column, "centroid_id"
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"centroid_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors whose centroid is
+    among the query's ``nprobe`` nearest centroids.
+
+    ``nprobe == num_centroids`` degenerates to exact brute force (useful as
+    a correctness check); recall rises monotonically with nprobe.
+    """
+    assigned, centroids = ivf_assignments(
+        corpus,
+        id_column=id_column,
+        vector_column=vector_column,
+        num_centroids=num_centroids,
+        seed=seed,
+    )
+
+    # route each query to its nprobe nearest centroids (tiny cross join:
+    # |queries| × num_centroids rows, both sides broadcastable)
+    q = queries.select(
+        F.col(id_column).alias("query_id"), F.col(vector_column).alias("q_vec")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _as_double(F.col("q_vec")),
+                F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__dist", l2)
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    scored = (
+        assigned.withColumnRenamed(id_column, "neighbor_id")
+        .withColumnRenamed(vector_column, "c_vec")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1130,3 +1130,14 @@ def quality_score_documents(spark, sf_dir):
     """Composite document quality score (operators/text.py quality_score)."""
     docs = load(spark, sf_dir, "documents")
     return tx.quality_score(docs).select("doc_id", "quality_score")
+
+
+@query("ann_ivf_topk_embeddings")
+def ann_ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer + nprobe search; no SQL oracle —
+    the quantizer is iterative MLlib. Exactness is covered by the
+    full-probe == brute-force test and the oracle-checked brute-force
+    entry)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=4)

@@ -1,0 +1,89 @@
+"""IVF ANN correctness/recall + physical-plan regression guards."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import similarity as sim
+from pyspark_playground_spark import queries as Q
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == num_centroids searches every inverted list → must equal the
+    exact brute-force result."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    full = _topk_sets(
+        sim.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=8)
+    )
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """nprobe=4 of 8 lists: recall@5 well above random (5/n) — the coarse
+    quantizer routes queries to the right lists."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    approx = _topk_sets(
+        sim.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4)
+    )
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"recall@5 = {recall:.2f}"
+
+
+def test_ivf_assignments_cover_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = sim.ivf_assignments(emb, num_centroids=8)
+    assert assigned.count() == emb.count()
+    assert centroids.count() == 8
+    assert assigned.select("centroid_id").distinct().count() <= 8
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression guards (the "explain and iterate" contract)
+# ---------------------------------------------------------------------------
+
+def _formatted_plan(spark, name, sf_dir):
+    df = Q.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_single_exchange(spark, sf_dir):
+    plan = _formatted_plan(spark, "q1_pricing_summary", sf_dir)
+    # the shipdate filter must reach the parquet scan
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    # column pruning: no payload columns beyond the 6 used
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 7
+    # scan → partial agg → single exchange → final agg (formatted explain
+    # lists each node once in the tree and once in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q3_q5_broadcast_no_sort_merge(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_hub_rows_prune_to_business_key(spark, sf_dir):
+    plan = _formatted_plan(spark, "dv_hub_customer", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    # the hub load reads ONLY the business key column from the source scan
+    assert m and m.group(1) == "c_custkey:bigint"
