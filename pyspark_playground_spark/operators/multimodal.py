@@ -122,3 +122,57 @@ def sample_frames(
         "frame_offset",
         F.explode(F.sequence(F.lit(0), n_frames - 1) ),
     ).withColumn("frame_byte_start", F.col("frame_offset") * every_n_bytes)
+
+
+def resize_image_meta(
+    df: DataFrame, *, max_width: int = 256, max_height: int = 256
+) -> DataFrame:
+    """Resize planning: compute per-image target dims preserving aspect
+    ratio, JVM-side (no payload touch — pure metadata math). The actual
+    pixel resample would run inside the decode ``mapInPandas`` using these
+    columns; planning stays a codegen'd projection so a 100 TB catalog scan
+    never deserializes a byte of image data."""
+    w, h = F.col("width"), F.col("height")
+    scale = F.least(
+        F.lit(max_width) / w.cast("double"),
+        F.lit(max_height) / h.cast("double"),
+        F.lit(1.0),
+    )
+    return df.withColumn("target_width", F.greatest(F.floor(w * scale), F.lit(1)).cast("int")) \
+             .withColumn("target_height", F.greatest(F.floor(h * scale), F.lit(1)).cast("int"))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def fake_extract_audio_features(
+    df: DataFrame, *, content_column: str = "content", id_column: str = "doc_id"
+) -> DataFrame:
+    """Deterministic stand-in audio feature extractor (duration / sample
+    rate / RMS) over Arrow batches — the mapInPandas shape a real
+    librosa/ffmpeg extractor would use (those libs are not installed here;
+    a real deployment swaps the body, not the plumbing)."""
+
+    out_fields = [f for f in df.schema.fields if f.name != content_column]
+    schema = T.StructType(out_fields + list(AUDIO_FEATURES_SCHEMA.fields))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[content_column]
+            n = content.map(len)
+            yield pdf.drop(columns=[content_column]).assign(
+                duration_s=(n / 16_000.0).astype("float64"),
+                sample_rate=16_000,
+                rms=[
+                    (sum(b) / (255.0 * max(len(b), 1))) if len(b) else 0.0
+                    for b in content
+                ],
+            )
+
+    return df.mapInPandas(_extract, schema=schema)

@@ -1141,3 +1141,41 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=4)
+
+
+@query(
+    "multimodal_resize_documents",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 + 1 AS width,
+             octet_length(encode(text)) % 480 + 1 AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(greatest(floor(width * least(256.0 / width, 256.0 / height, 1.0)),
+                         1) AS INT) AS target_width,
+           CAST(greatest(floor(height * least(256.0 / width, 256.0 / height, 1.0)),
+                         1) AS INT) AS target_height
+    FROM d
+    """,
+)
+def multimodal_resize_documents(spark, sf_dir):
+    """Full multimodal chain: attach payload → Arrow mapInPandas decode →
+    JVM-side resize planning. Oracle-checkable end to end because the stub
+    decoder is a deterministic function of the payload bytes."""
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    decoded = mm.fake_decode_image(docs.select("doc_id", "content"))
+    return mm.resize_image_meta(decoded).select(
+        "doc_id", "width", "height", "target_width", "target_height"
+    )
+
+
+@query("multimodal_audio_features_documents")
+def multimodal_audio_features_documents(spark, sf_dir):
+    """Audio feature-extraction plumbing (mapInPandas; rows-only — the
+    byte-level RMS has no clean SQL mirror)."""
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    return mm.fake_extract_audio_features(docs.select("doc_id", "content")).select(
+        "doc_id", "duration_s", "sample_rate", "rms"
+    )

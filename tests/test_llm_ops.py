@@ -164,3 +164,29 @@ def test_sample_frames(docs):
     n_rows = frames.count()
     assert n_rows > media.count()  # exploded
     assert frames.filter(F.col("frame_byte_start") % 10 != 0).count() == 0
+
+
+def test_multimodal_resize_and_audio(spark, sf_dir):
+    from pyspark_playground_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    docs = mm.attach_media_column(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text"
+    )
+    decoded = mm.fake_decode_image(docs.select("doc_id", "content"))
+    resized = mm.resize_image_meta(decoded)
+    bad = resized.filter(
+        (F.col("target_width") > 256) | (F.col("target_height") > 256)
+        | (F.col("target_width") < 1) | (F.col("target_height") < 1)
+    )
+    assert bad.count() == 0
+    # for downscaled images the constraining dimension lands on the 256
+    # budget (255 when w*(256/w) floors just under 256 in floating point)
+    down = resized.filter(F.col("target_width") < F.col("width")).limit(50).collect()
+    for r in down:
+        assert max(r["target_width"], r["target_height"]) in (255, 256), r
+
+    audio = mm.fake_extract_audio_features(docs.select("doc_id", "content"))
+    rows = audio.limit(5).collect()
+    assert all(r["sample_rate"] == 16_000 and 0.0 <= r["rms"] <= 1.0 for r in rows)
+    assert audio.count() == docs.count()
