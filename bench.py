@@ -25,6 +25,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_revenue_nation_segment",
     "dv_hub_customer",
     "dv_sat_customer",
     "dv_link_orders_customer",

@@ -1179,3 +1179,64 @@ def multimodal_audio_features_documents(spark, sf_dir):
     return mm.fake_extract_audio_features(docs.select("doc_id", "content")).select(
         "doc_id", "duration_s", "sample_rate", "rms"
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-style: every predicate pushes to the parquet scan; the plan
+    is scan → filter → partial agg → single exchange → final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "rollup_revenue_nation_segment",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def rollup_revenue_nation_segment(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (beyond the reference's aggregation
+    surface — it has no grouping sets). Nation → segment → grand total in
+    one pass."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    total = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.sum(total).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
