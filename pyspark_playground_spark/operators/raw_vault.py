@@ -325,8 +325,8 @@ def link_rows(
     from_hkey = conv.hkey_of(from_name)
     to_hkey = conv.hkey_of(to_name)
 
-    base = _filter_ops(staged_from, conv, Operation.HUB_SAT_OPS)
-    base = base.withColumnRenamed(conv.hkey(), from_hkey)
+    renamed = staged_from.withColumnRenamed(conv.hkey(), from_hkey)
+    base = _filter_ops(renamed, conv, Operation.HUB_SAT_OPS)
 
     if to_resolution is None:
         resolved = base.withColumn(
@@ -403,7 +403,28 @@ def link_rows(
         )
     )
 
-    history = current.unionByName(vanished)
+    # deleted from-rows close the entity's outgoing links at the delete time
+    # (golden spec: features/raw-vault.feature "Simple delete in the CDC
+    # batch" — link effectivity gains deleted=True at the source row's
+    # DELETE event)
+    event_time_all = (
+        conv.cdc_load_date() if conv.cdc_load_date() in renamed.columns else conv.load_date()
+    )
+    deletes = (
+        _filter_ops(renamed, conv, [Operation.DELETE])
+        .select(from_hkey, F.col(event_time_all).alias("__event_time"))
+        .alias("dl")
+    )
+    delete_vanished = (
+        deletes.join(lk, F.col(f"dl.{from_hkey}") == F.col(f"lk.{from_hkey}"), "inner")
+        .select(
+            F.col(f"lk.{conv.hkey()}").alias(conv.hkey()),
+            F.col("dl.__event_time").alias(conv.load_date()),
+            F.lit(True).alias(conv.deleted()),
+        )
+    )
+
+    history = current.unionByName(vanished).unionByName(delete_vanished)
     if existing_effectivity is not None:
         history = history.unionByName(
             existing_effectivity.select(conv.hkey(), conv.load_date(), conv.deleted())
@@ -411,6 +432,17 @@ def link_rows(
     history = history.dropDuplicates([conv.hkey(), conv.load_date(), conv.deleted()])
     history = compress_state_changes(
         history, key=conv.hkey(), order=conv.load_date(), state=conv.deleted(), conv=conv
+    )
+    # a link cannot be deleted before it first exists: vanish markers derived
+    # from staged rows that predate the link's creation (e.g. an FK history
+    # 1→2 emits "link(x,2) vanished" at the earlier FK-1 event) would start
+    # the history with deleted=True — drop them (golden spec: transient link
+    # in features/raw-vault.feature gets exactly [False@create, True@vanish])
+    w_first = Window.partitionBy(conv.hkey()).orderBy(conv.load_date())
+    history = (
+        history.withColumn("__rn", F.row_number().over(w_first))
+        .filter(~((F.col("__rn") == 1) & F.col(conv.deleted())))
+        .drop("__rn")
     )
     history = history.withColumn(
         conv.hdiff(), hash_diff([F.col(conv.deleted())], hash_function)
