@@ -1,0 +1,208 @@
+"""Property-based invariants over randomized CDC streams (hypothesis).
+
+The reference has no property/randomized tests (SURVEY.md §5); these pin the
+engine's core guarantees on arbitrary op/time interleavings, not just the
+golden scenarios:
+
+- hubs: one row per business key, ever;
+- satellites: keyed uniqueness on (hkey, load_date);
+- link effectivity: per-key state history alternates and starts open;
+- replaying any prefix of the stream changes nothing (idempotency);
+- PIT intervals per key are disjoint, ordered, and gap-free.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import DataVaultConventions
+from pyspark_playground_spark.operators import business_vault as bv
+from pyspark_playground_spark.operators import raw_vault as rv
+
+C = DataVaultConventions()
+T0 = datetime(2026, 11, 1)
+OPS = ["snapshot", "create", "update", "delete"]
+
+
+@st.composite
+def cdc_stream(draw):
+    """2-4 batches of rows (op, ts, id, fk, value), unique (id, ts), and
+    per-key in-order across batches (batch i draws from hour window
+    [10i, 10i+9]) — the CDC delivery contract the reference also assumes.
+
+    Out-of-order (late) events are deliberately out of scope here: the
+    insert-only design keeps latest-state reads correct under late data but
+    may store redundant same-state effectivity rows (it cannot retract an
+    already-appended row) — pinned separately in
+    ``test_late_event_keeps_reads_correct``.
+    """
+    n_batches = draw(st.integers(2, 4))
+    ids = [f"e{i}" for i in range(1, draw(st.integers(2, 6)) + 1)]
+    used: set[tuple[str, int]] = set()
+    batches = []
+    for b in range(n_batches):
+        n_rows = draw(st.integers(1, 8))
+        rows = []
+        for _ in range(n_rows):
+            eid = draw(st.sampled_from(ids))
+            hour = draw(st.integers(b * 10, b * 10 + 9))
+            if (eid, hour) in used:
+                continue
+            used.add((eid, hour))
+            op = draw(st.sampled_from(OPS))
+            fk = draw(st.one_of(st.none(), st.sampled_from(["f1", "f2", "f3"])))
+            val = draw(st.integers(0, 5))
+            rows.append((op, T0 + timedelta(hours=hour), eid, fk, val))
+        if rows:
+            batches.append(rows)
+    return batches
+
+
+def _load_stream(spark, batches):
+    """Run the stream through the kernels, accumulating vault state."""
+    hub = sat = eff = links = link_eff = None
+
+    def stage(rows):
+        df = spark.createDataFrame(
+            rows, "OPERATION string, LOAD_DATE timestamp, ID string, FK string, VAL int"
+        )
+        return rv.prepare_staging(
+            df, load_date_column="LOAD_DATE", operation_column="OPERATION",
+            record_source="prop", hkey_columns=["ID"],
+        )
+
+    def acc(existing, new):
+        # truncate lineage per batch: the anti-join existing side otherwise
+        # re-evaluates the whole load history on every action
+        combined = new if existing is None else existing.unionByName(new)
+        return combined.localCheckpoint(eager=True)
+
+    for i, rows in enumerate(batches):
+        staged = stage(rows)
+        load_ts = datetime(2026, 12, 1, i)
+        hub = acc(hub, rv.hub_rows(staged, ["ID"], existing=hub, load_ts=load_ts,
+                                   record_source="prop"))
+        sat = acc(sat, rv.satellite_rows(staged, ["FK", "VAL"], existing=sat))
+        eff = acc(eff, rv.effectivity_rows(staged, existing=eff))
+        new_l, new_le = rv.link_rows(
+            staged, from_name="entities", to_name="targets", fk_column="FK",
+            existing_link=links, existing_effectivity=link_eff,
+            load_ts=load_ts, record_source="prop",
+        )
+        links = acc(links, new_l)
+        link_eff = acc(link_eff, new_le)
+
+    return hub, sat, eff, links, link_eff
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=cdc_stream())
+def test_vault_invariants_hold_for_any_stream(spark, batches):
+    hub, sat, eff, links, link_eff = _load_stream(spark, batches)
+
+    # hubs unique per business key
+    assert hub.count() == hub.select(C.hkey()).distinct().count()
+    # satellites keyed on (hkey, load_date)
+    assert sat.count() == sat.select(C.hkey(), C.load_date()).distinct().count()
+    # links unique per hkey
+    assert links.count() == links.select(C.hkey()).distinct().count()
+
+    # link effectivity histories: start open, strictly alternate
+    rows = sorted(
+        ((r[C.hkey()], r[C.load_date()], r[C.deleted()]) for r in link_eff.collect()),
+    )
+    by_key: dict[str, list[bool]] = {}
+    for k, _, d in rows:
+        by_key.setdefault(k, []).append(d)
+    for k, states in by_key.items():
+        assert states[0] is False, f"history starts deleted for {k}"
+        for a, b in zip(states, states[1:]):
+            assert a != b, f"non-alternating history for {k}: {states}"
+
+    # replaying the final batch changes nothing anywhere
+    staged = rv.prepare_staging(
+        spark.createDataFrame(
+            batches[-1],
+            "OPERATION string, LOAD_DATE timestamp, ID string, FK string, VAL int",
+        ),
+        load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="prop", hkey_columns=["ID"],
+    )
+    replay_ts = datetime(2026, 12, 2)
+    assert rv.hub_rows(staged, ["ID"], existing=hub, load_ts=replay_ts,
+                       record_source="prop").count() == 0
+    assert rv.satellite_rows(staged, ["FK", "VAL"], existing=sat).count() == 0
+    assert rv.effectivity_rows(staged, existing=eff).count() == 0
+    rl, rle = rv.link_rows(
+        staged, from_name="entities", to_name="targets", fk_column="FK",
+        existing_link=links, existing_effectivity=link_eff,
+        load_ts=replay_ts, record_source="prop",
+    )
+    assert rl.count() == 0 and rle.count() == 0
+
+    # PIT partitions each key's timeline: ordered, disjoint, gap-free
+    pit = bv.pit_rows(sat, eff, end_of_time=None)
+    intervals: dict[str, list[tuple]] = {}
+    for r in pit.collect():
+        intervals.setdefault(r[C.hkey()], []).append(
+            (r[C.load_date()], r[C.load_end_date()])
+        )
+    for k, ivs in intervals.items():
+        ivs.sort()
+        for (s1, e1), (s2, _) in zip(ivs, ivs[1:]):
+            assert e1 is not None and e1 <= s2, f"overlap/gap at {k}: {ivs}"
+
+
+def test_late_event_keeps_reads_correct(spark):
+    """Out-of-order delivery: a batch carrying an event older than stored
+    history cannot retract stored rows (insert-only), so the effectivity
+    satellite may hold redundant same-state rows — but the latest-state
+    read and the run-length-compressed view stay correct."""
+    def stage(rows):
+        df = spark.createDataFrame(
+            rows, "OPERATION string, LOAD_DATE timestamp, ID string, FK string, VAL int"
+        )
+        return rv.prepare_staging(
+            df, load_date_column="LOAD_DATE", operation_column="OPERATION",
+            record_source="prop", hkey_columns=["ID"],
+        )
+
+    t_early, t_late = datetime(2026, 11, 1, 1), datetime(2026, 11, 2, 1)
+    b1 = stage([("create", t_late, "e1", "f1", 1)])
+    links, eff = rv.link_rows(
+        b1, from_name="entities", to_name="targets", fk_column="FK",
+        load_ts=datetime(2026, 12, 1), record_source="prop",
+    )
+    links, eff = links.localCheckpoint(True), eff.localCheckpoint(True)
+
+    # late batch: the same link state at an EARLIER event time
+    b2 = stage([("update", t_early, "e1", "f1", 2)])
+    _, new_eff = rv.link_rows(
+        b2, from_name="entities", to_name="targets", fk_column="FK",
+        existing_link=links, existing_effectivity=eff,
+        load_ts=datetime(2026, 12, 2), record_source="prop",
+    )
+    all_eff = eff.unionByName(new_eff)
+
+    # stored rows may be redundant ([F@early, F@late]) …
+    states = [
+        r[C.deleted()]
+        for r in all_eff.orderBy(C.load_date()).collect()
+    ]
+    assert all(s is False for s in states)
+    # … but the compressed read view and the latest state are exact
+    compressed = rv.compress_state_changes(
+        all_eff, key=C.hkey(), order=C.load_date(), state=C.deleted()
+    )
+    assert compressed.count() == 1
+    latest = (
+        all_eff.orderBy(F.col(C.load_date()).desc()).select(C.deleted()).first()[0]
+    )
+    assert latest is False
