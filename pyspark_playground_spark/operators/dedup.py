@@ -192,8 +192,20 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(
         df, id_column, text_column, num_perms=num_perms, shingle_size=shingle_size
     )
-    cands = lsh_candidate_pairs(sigs, id_column, num_perms=num_perms, bands=bands)
-    docs = df.select(
+    # candidate pairs are tiny relative to the corpus; materialize them once
+    # so the id-pruning below doesn't re-run the LSH pipeline per consumer
+    cands = lsh_candidate_pairs(
+        sigs, id_column, num_perms=num_perms, bands=bands
+    ).localCheckpoint(eager=True)
+    # shingle only the docs that appear in a candidate pair — LSH typically
+    # prunes the corpus by orders of magnitude, so the verify stage should
+    # not re-tokenize everything
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_column))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    docs = df.join(cand_ids, id_column, "left_semi").select(
         F.col(id_column), shingles_expr(text_column, shingle_size).alias("sh")
     )
     a = docs.select(F.col(id_column).alias("id_a"), F.col("sh").alias("sh_a"))
