@@ -1,0 +1,116 @@
+"""Vault integrity checks: the data-quality surface for operating a vault.
+
+Beyond the reference (it has no quality checks), but directly implied by
+its structure: every satellite/effectivity row must resolve to a hub or
+link hkey, link members must resolve to their hubs, and key columns must be
+unique. Each check is a single anti-join or aggregation — at 100 TB these
+run as one shuffle each against bucketed tables (shuffle-free on the
+bucketed side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import DataVaultConventions
+
+CONV = DataVaultConventions()
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    check: str
+    table: str
+    violations: int
+
+    @property
+    def ok(self) -> bool:
+        return self.violations == 0
+
+
+def orphan_rows(
+    child: DataFrame, parent: DataFrame, *, conv: DataVaultConventions = CONV
+) -> DataFrame:
+    """Child rows whose hkey does not exist in the parent (satellite → hub,
+    effectivity → hub/link)."""
+    hkey = conv.hkey()
+    return child.join(parent.select(hkey), hkey, "left_anti")
+
+
+def dangling_link_members(
+    link: DataFrame,
+    hubs: dict[str, DataFrame],
+    *,
+    conv: DataVaultConventions = CONV,
+) -> DataFrame:
+    """Link rows whose member hkey columns don't resolve to their hubs.
+
+    ``hubs`` maps member column name → hub DataFrame. Null members (allowed:
+    unresolved FKs) are not violations.
+    """
+    out = None
+    for col, hub in hubs.items():
+        bad = (
+            link.filter(F.col(col).isNotNull())
+            .join(
+                hub.select(F.col(conv.hkey()).alias(col)), col, "left_anti"
+            )
+            .withColumn("__dangling_member", F.lit(col))
+        )
+        out = bad if out is None else out.unionByName(bad)
+    return out
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key groups appearing more than once."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def integrity_report(
+    *,
+    hubs: dict[str, DataFrame] | None = None,
+    links: dict[str, tuple[DataFrame, dict[str, DataFrame]]] | None = None,
+    satellites: dict[str, tuple[DataFrame, DataFrame]] | None = None,
+    conv: DataVaultConventions = CONV,
+) -> list[CheckResult]:
+    """Run the standard vault checks and return one result per check.
+
+    - ``hubs``: name → hub DF (checked: hkey uniqueness).
+    - ``links``: name → (link DF, member column → hub DF) (checked: hkey
+      uniqueness + dangling members).
+    - ``satellites``: name → (satellite DF, parent hub/link DF) (checked:
+      (hkey, load_date) uniqueness + orphans).
+    """
+    results: list[CheckResult] = []
+    for name, hub in (hubs or {}).items():
+        results.append(
+            CheckResult("unique_hkey", name, duplicate_keys(hub, [conv.hkey()]).count())
+        )
+    for name, (link, members) in (links or {}).items():
+        results.append(
+            CheckResult("unique_hkey", name, duplicate_keys(link, [conv.hkey()]).count())
+        )
+        results.append(
+            CheckResult(
+                "dangling_members", name,
+                dangling_link_members(link, members, conv=conv).count(),
+            )
+        )
+    for name, (sat, parent) in (satellites or {}).items():
+        results.append(
+            CheckResult(
+                "unique_version_key", name,
+                duplicate_keys(sat, [conv.hkey(), conv.load_date()]).count(),
+            )
+        )
+        results.append(
+            CheckResult("orphans", name, orphan_rows(sat, parent, conv=conv).count())
+        )
+    return results

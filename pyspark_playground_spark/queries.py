@@ -1240,3 +1240,25 @@ def rollup_revenue_nation_segment(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "vault_integrity_orphan_check",
+    """
+    SELECT md5(CAST(o_orderkey AS VARCHAR)) AS "$__HKEY", o_orderkey
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)
+def vault_integrity_orphan_check(spark, sf_dir):
+    """Integrity check (operators/quality.py orphan_rows): order-hub rows
+    with no lineitem-satellite coverage — one anti-join per check."""
+    from pyspark_playground_spark.operators import quality as ql
+
+    o = load(spark, sf_dir, "orders").select(
+        hash_key(["o_orderkey"]).alias(C.hkey()), "o_orderkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        hash_key(["l_orderkey"]).alias(C.hkey())
+    )
+    return ql.orphan_rows(o, li)

@@ -223,3 +223,34 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    ts_column: str = "ts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval condition.
+
+    Matches right rows that occur within ``[left.ts, left.ts + max_lag]`` —
+    e.g. purchases within 30 minutes of a click. Both sides need watermarks
+    so Spark can bound join state; the interval condition is what makes
+    state eviction possible at all (an unbounded stream-stream join never
+    drops state).
+    """
+    lw = left.withWatermark(ts_column, watermark).alias(left_prefix)
+    rw = right.withWatermark(ts_column, watermark).alias(right_prefix)
+    lcol = lambda c: F.col(f"{left_prefix}.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"{right_prefix}.{c}")  # noqa: E731
+    cond = (
+        (lcol(on) == rcol(on))
+        & (rcol(ts_column) >= lcol(ts_column))
+        & (rcol(ts_column) <= lcol(ts_column) + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, "inner")

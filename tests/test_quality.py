@@ -1,0 +1,93 @@
+"""Vault integrity checks + stream-stream interval join."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.conventions import DataVaultConventions
+from pyspark_playground_spark.operators import quality as q
+from pyspark_playground_spark.streaming import cdc as st
+
+C = DataVaultConventions()
+T1 = datetime(2026, 1, 1)
+
+
+def test_integrity_report_clean_and_broken(spark):
+    hub = spark.createDataFrame(
+        [("h1", T1, "src", "k1"), ("h2", T1, "src", "k2")],
+        f"`{C.hkey()}` string, `{C.load_date()}` timestamp, "
+        f"`{C.record_source()}` string, ID string",
+    )
+    sat_ok = spark.createDataFrame(
+        [("h1", "d1", T1, 1)],
+        f"`{C.hkey()}` string, `{C.hdiff()}` string, `{C.load_date()}` timestamp, V int",
+    )
+    link = spark.createDataFrame(
+        [("l1", "h1", "h2", T1), ("l2", "h1", "zzz", T1)],
+        f"`{C.hkey()}` string, A string, B string, `{C.load_date()}` timestamp",
+    )
+    report = q.integrity_report(
+        hubs={"HUB__X": hub},
+        links={"LNK__X": (link, {"A": hub, "B": hub})},
+        satellites={"SAT__X": (sat_ok, hub)},
+    )
+    by = {(r.check, r.table): r for r in report}
+    assert by[("unique_hkey", "HUB__X")].ok
+    assert by[("unique_version_key", "SAT__X")].ok
+    assert by[("orphans", "SAT__X")].ok
+    # l2 points at a hub that doesn't exist
+    assert by[("dangling_members", "LNK__X")].violations == 1
+
+    # break it: orphan satellite + duplicate hub key
+    sat_orphan = sat_ok.union(
+        spark.createDataFrame([("ghost", "d2", T1, 2)], sat_ok.schema)
+    )
+    hub_dup = hub.union(hub.limit(1))
+    report2 = q.integrity_report(
+        hubs={"HUB__X": hub_dup}, satellites={"SAT__X": (sat_orphan, hub)}
+    )
+    by2 = {(r.check, r.table): r for r in report2}
+    assert by2[("unique_hkey", "HUB__X")].violations == 1
+    assert by2[("orphans", "SAT__X")].violations == 1
+
+
+def test_stream_stream_interval_join(spark):
+    d = tempfile.mkdtemp(prefix="ssj-")
+    try:
+        schema = "user_id long, ts timestamp, event_type string, value double"
+        rows = [
+            (1, datetime(2026, 5, 1, 10, 0), "click", 1.0),
+            (1, datetime(2026, 5, 1, 10, 10), "purchase", 9.0),   # within 30m
+            (1, datetime(2026, 5, 1, 11, 30), "purchase", 7.0),   # too late
+            (2, datetime(2026, 5, 1, 10, 0), "click", 1.0),       # no purchase
+            (3, datetime(2026, 5, 1, 10, 5), "purchase", 5.0),    # no click
+        ]
+        src = f"{d}/events"
+        spark.createDataFrame(rows, schema).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = st.stream_stream_interval_join(
+            clicks, purchases, max_lag="30 minutes"
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+            F.col("r.value").alias("purchase_value"),
+        )
+        qy = (
+            joined.writeStream.format("memory").queryName("ssj")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        qy.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ssj").collect()
+        assert len(got) == 1
+        assert got[0]["user_id"] == 1 and got[0]["purchase_value"] == 9.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
