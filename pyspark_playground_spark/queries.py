@@ -1262,3 +1262,31 @@ def vault_integrity_orphan_check(spark, sf_dir):
         hash_key(["l_orderkey"]).alias(C.hkey())
     )
     return ql.orphan_rows(o, li)
+
+
+@query(
+    "winnowing_fingerprint_documents",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             [md5(text[i:i+7]) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)] AS grams
+      FROM documents
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct([list_min(grams[j:j+3]) FOR j IN
+                            range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(fps), ',')) AS fingerprint,
+           len(fps) AS n_fingerprints
+    FROM sel
+    """,
+)
+def winnowing_fingerprint_documents(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint (text.py winnowing_fingerprint,
+    k=8 window=4) — the MOSS-style local-edit-robust document signature."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.winnowing_fingerprint(docs, k=8, window=4).select(
+        "doc_id", "fingerprint", F.size("fingerprints").alias("n_fingerprints")
+    )

@@ -190,3 +190,20 @@ def test_multimodal_resize_and_audio(spark, sf_dir):
     rows = audio.limit(5).collect()
     assert all(r["sample_rate"] == 16_000 and 0.0 <= r["rms"] <= 1.0 for r in rows)
     assert audio.count() == docs.count()
+
+
+def test_winnowing_fingerprint_edit_robustness(spark):
+    from pyspark_playground_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "THE QUICK brown fox jumps over the lazy dog!"),   # local edits
+         (3, "completely unrelated content with zero overlap")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: set(r["fingerprints"])
+           for r in tx.winnowing_fingerprint(df).collect()}
+    # docs 1/2 share a long common substring → must share selected hashes
+    assert out[1] & out[2]
+    # unrelated docs share nothing
+    assert not (out[1] & out[3])
