@@ -1,0 +1,98 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+Content-addressed (hash-based) selection instead of RNG sampling: membership
+depends only on the key, so samples are reproducible across reruns, stable
+under repartitioning, and consistent between engines — which is exactly what
+a 100 TB corpus pipeline needs (rerunning a stage must not reshuffle the
+training set). ``F.rand``-based sampling has none of those properties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket_expr(key_columns: Sequence[str | Column], buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key columns.
+
+    Uses the first 8 hex chars of md5 (32 bits) — engine-portable (any SQL
+    engine with md5 can reproduce membership; xxhash64 seeds differ across
+    engines).
+    """
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).cast("string") for c in key_columns
+    ]
+    h32 = F.conv(F.substring(F.md5(F.concat_ws(",", *cols)), 1, 8), 16, 10)
+    return (h32.cast("bigint") % buckets).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    *,
+    fraction: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the range."""
+    cutoff = int(round(fraction * buckets))
+    return df.filter(hash_bucket_expr(key_columns, buckets) < cutoff)
+
+
+def assign_split(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    *,
+    splits: dict[str, float] | None = None,
+    buckets: int = 10_000,
+    split_column: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hash bucket. Fractions must sum to 1; assignment is stable per key."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket_expr(key_columns, buckets)
+    expr: Column | None = None
+    upper = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        upper += splits[name]
+        cond = bucket < int(round(upper * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn(split_column, expr)
+
+
+# ---------------------------------------------------------------------------
+# embedding post-processing
+# ---------------------------------------------------------------------------
+
+def l2_normalize_expr(vector: Column) -> Column:
+    """Unit-normalize an array<float/double> (zero vectors stay zero)."""
+    v = F.transform(vector, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(norm == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / norm)
+    )
+
+
+def quantize_int8_expr(vector: Column, *, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of a unit-normalized vector: round(x*s)
+    clamped to [-127, 127]. 4× smaller than float32 on disk — the standard
+    storage trade for ANN candidate generation (rescore with full precision
+    on the short list)."""
+    v = F.transform(vector, lambda x: x.cast("double"))
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x * scale).cast("int")),
+        ).cast("tinyint"),
+    )

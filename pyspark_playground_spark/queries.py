@@ -1290,3 +1290,74 @@ def winnowing_fingerprint_documents(spark, sf_dir):
     return tx.winnowing_fingerprint(docs, k=8, window=4).select(
         "doc_id", "fingerprint", F.size("fingerprints").alias("n_fingerprints")
     )
+
+
+from pyspark_playground_spark.operators import sampling as sp  # noqa: E402
+
+#: DuckDB mirror of sampling.hash_bucket_expr over doc_id
+_BUCKET = ("CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+           " % 10000 AS INT)")
+
+
+@query(
+    "deterministic_sample_documents",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET} < 1000
+    """,
+)
+def deterministic_sample_documents(spark, sf_dir):
+    """Content-addressed 10% sample (operators/sampling.py): membership is a
+    pure function of the key — reproducible across reruns and engines."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.deterministic_sample(docs, ["doc_id"], fraction=0.10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "train_val_test_split_documents",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET} < 8000 THEN 'train'
+                WHEN {_BUCKET} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split_documents(spark, sf_dir):
+    """Stable 80/10/10 split by key hash (operators/sampling.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.assign_split(docs, ["doc_id"]).select("doc_id", "split")
+
+
+@query(
+    "normalize_quantize_embeddings",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN nrm = 0 THEN len(embedding)
+                ELSE len(embedding) END AS dim,
+           CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END AS unit_norm,
+           [CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) / nrm * 127)))
+                 AS TINYINT) FOR x IN embedding] AS q
+    FROM n
+    """,
+)
+def normalize_quantize_embeddings(spark, sf_dir):
+    """L2 normalize + symmetric int8 quantization (operators/sampling.py):
+    the storage layout for ANN candidate generation at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    normed = emb.withColumn("nv", sp.l2_normalize_expr(F.col("embedding")))
+    dot = F.aggregate(F.col("nv"), F.lit(0.0), lambda a, x: a + x * x)
+    return normed.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(dot, 6).alias("unit_norm"),
+        sp.quantize_int8_expr(F.col("nv")).alias("q"),
+    )

@@ -1,0 +1,46 @@
+"""Deterministic sampling / splitting / embedding post-processing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import sampling as sp
+
+
+def test_sample_is_deterministic_and_proportional(spark):
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    s1 = sp.deterministic_sample(df, ["k"], fraction=0.2)
+    s2 = sp.deterministic_sample(df.repartition(13), ["k"], fraction=0.2)
+    n1, n2 = s1.count(), s2.count()
+    assert n1 == n2  # stable under repartitioning
+    assert abs(n1 / 10_000 - 0.2) < 0.02
+    # nested property: a 10% sample is a subset of the 20% sample
+    s_small = sp.deterministic_sample(df, ["k"], fraction=0.1)
+    assert s_small.join(s1, "k", "left_anti").count() == 0
+
+
+def test_split_partitions_every_row_once(spark):
+    df = spark.range(5_000).select(F.col("id").alias("k"))
+    out = sp.assign_split(df, ["k"])
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5_000
+    assert abs(counts["train"] / 5_000 - 0.8) < 0.03
+    assert set(counts) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        sp.assign_split(df, ["k"], splits={"a": 0.5, "b": 0.6})
+
+
+def test_normalize_and_quantize(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    out = df.select(
+        "vec_id",
+        sp.l2_normalize_expr(F.col("embedding")).alias("nv"),
+        sp.quantize_int8_expr(sp.l2_normalize_expr(F.col("embedding"))).alias("q"),
+    ).collect()
+    by = {r["vec_id"]: r for r in out}
+    assert by[1]["nv"] == pytest.approx([0.6, 0.8])
+    assert by[1]["q"] == [76, 102]  # round(0.6*127), round(0.8*127)
+    assert by[2]["nv"] == [0.0, 0.0] and by[2]["q"] == [0, 0]
