@@ -185,7 +185,10 @@ class RawVault:
         so the next batch's anti-joins see the appended files.
         """
         for t in self.spark.catalog.listTables(self.config.raw_database):
-            self.spark.catalog.refreshTable(f"{self.config.raw_database}.{t.name}")
+            # listTables also returns session temp views (database=None);
+            # qualifying those with the database breaks resolution
+            if t.database == self.config.raw_database:
+                self.spark.catalog.refreshTable(f"{t.database}.{t.name}")
 
     def _append(self, df: DataFrame, table: str, bucket_columns: Sequence[str]) -> None:
         catalog.write_table(
