@@ -110,12 +110,20 @@ def minhash_signatures(
     aggregation is also an exchange barrier, so downstream banding
     projections cannot re-inline the signature computation.
     """
-    ex = df.select(
+    # small-file sources arrive as one partition; spread the docs so the
+    # shingle+hash work uses every core. The partition count is explicit —
+    # AQE would coalesce a column-only repartition back to one partition
+    # (the bytes are tiny, the compute per byte is not).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(n_parts, F.col(id_column)).select(
         F.col(id_column),
         F.explode_outer(shingles_expr(text_column, shingle_size)).alias("__sh"),
-    )
+    ).withColumn("__h", F.xxhash64("__sh"))
+    # each shingle string is hashed ONCE; the per-permutation values re-hash
+    # the resulting long (seeded), which is ~10× cheaper than hashing the
+    # string num_perms times
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__h{i}")
         for i in range(num_perms)
     ]
     return (
@@ -141,6 +149,10 @@ def lsh_candidate_pairs(
     LSH join. Output is distinct (id_a < id_b) pairs.
     """
     rows_per_band = num_perms // bands
+    # signatures are small (num_perms longs per doc) but expensive to derive;
+    # materialize once so the a/b sides of the self-join below don't each
+    # recompute the shingle+hash pipeline
+    signatures = signatures.localCheckpoint(eager=True)
     banded = signatures.select(
         id_column,
         F.explode(
