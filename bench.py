@@ -50,7 +50,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            # the bench inputs are single small parquet files; split them so
+            # scans use every core (2.6× on q1). On a real cluster with
+            # 128MB+ files the session default (128MB splits) is correct —
+            # this is a local-bench-shape knob, not an engine default.
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.sql.files.openCostInBytes": "65536",
+        },
+    )
 
     registry = Q.queries()
     names = [n for n in HEADLINE if n in registry]
