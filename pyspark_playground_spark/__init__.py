@@ -21,16 +21,36 @@ Everything is the DataFrame / SQL API; Catalyst + AQE pick physical plans.
 from pyspark_playground_spark.conventions import (
     ColumnDefinition,
     DataVaultConventions,
+    LinkedHubDefinition,
     Operation,
+    VaultConfig,
 )
-from pyspark_playground_spark.functions.hashing import hash_expr
+from pyspark_playground_spark.functions.hashing import hash_diff, hash_expr, hash_key
+from pyspark_playground_spark.operators.vault import BusinessVault, Curated, RawVault
+from pyspark_playground_spark.plans.declarative import (
+    DeclarativeVault,
+    SourceSchema,
+    VaultMapping,
+)
+from pyspark_playground_spark.session import get_spark
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "BusinessVault",
     "ColumnDefinition",
+    "Curated",
     "DataVaultConventions",
+    "DeclarativeVault",
+    "LinkedHubDefinition",
     "Operation",
+    "RawVault",
+    "SourceSchema",
+    "VaultConfig",
+    "VaultMapping",
+    "get_spark",
+    "hash_diff",
     "hash_expr",
+    "hash_key",
     "__version__",
 ]
