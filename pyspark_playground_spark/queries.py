@@ -1361,3 +1361,75 @@ def normalize_quantize_embeddings(spark, sf_dir):
         F.round(dot, 6).alias("unit_norm"),
         sp.quantize_int8_expr(F.col("nv")).alias("q"),
     )
+
+
+@query(
+    "order_value_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (beyond the reference's
+    aggregate surface); Spark's percentile() and DuckDB's quantile_cont
+    produce bit-identical linear interpolation."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
+    "pivot_revenue_by_segment",
+    """
+    SELECT n_name,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS AUTOMOBILE,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS BUILDING,
+           CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                         THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS MACHINERY
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_revenue_by_segment(spark, sf_dir):
+    """Pivoted aggregation (groupBy().pivot() — beyond-reference analytics);
+    the oracle is the equivalent conditional aggregation."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    total = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(F.sum(total).cast("double"))
+    )
+
+
+@query(
+    "nations_with_customers_and_suppliers",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nations_with_customers_and_suppliers(spark, sf_dir):
+    """INTERSECT set operation (beyond the reference's set-op surface,
+    which has union only)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
