@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scale probe: run the core paths at ~10× bench scale (synthesized).
+
+Synthesizes ~6M lineitem rows / ~1.5M orders / 50k documents by replicating
+the sf0.1 tables with perturbed keys (written to /tmp, testdata stays
+untouched), then measures the operators whose cost profile matters at
+100 TB:
+
+- scan+agg (q1 shape) — pure codegen throughput;
+- hub load (hash + distinct + anti-join) — the per-batch vault hot path;
+- satellite idempotent re-append — anti-join against an existing table;
+- MinHash-LSH dedup — explode/agg + banded self-join;
+- windowed aggregation over events.
+
+Prints one JSON line per measurement; exercised rows/sec is the number to
+compare across scales (flat rows/sec from sf0.1 → 10× means the plan
+scales linearly; a falling rate exposes a super-linear stage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark import queries as Q
+from pyspark_playground_spark.operators import dedup as dd
+from pyspark_playground_spark.operators import raw_vault as rv
+from pyspark_playground_spark.session import get_spark
+
+WORK = os.environ.get("SCALE_PROBE_DIR", "/tmp/scale_probe")
+FACTOR = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def synthesize(spark) -> None:
+    """Replicate sf0.1 tables FACTOR× with shifted keys (distinct entities,
+    same distributions)."""
+    reps = spark.range(FACTOR).select(F.col("id").alias("__rep"))
+    for table, key_cols in (
+        ("lineitem", ["l_orderkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey"]),
+        ("documents", ["doc_id"]),
+    ):
+        out = f"{WORK}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        df = Q.load(spark, SF_DIR, table).crossJoin(reps)
+        for k in key_cols:
+            df = df.withColumn(k, F.col(k) + F.col("__rep") * F.lit(100_000_000))
+        if table == "documents":
+            # perturb text so documents are near- rather than exact dups
+            df = df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" rep"), F.col("__rep"))
+            )
+        df.drop("__rep").write.mode("overwrite").parquet(out)
+
+
+def timed(name: str, rows: int, fn) -> None:
+    t0 = time.time()
+    fn()
+    dt = time.time() - t0
+    print(json.dumps({
+        "probe": name, "rows": rows, "sec": round(dt, 2),
+        "rows_per_sec": int(rows / dt) if dt > 0 else None,
+    }))
+
+
+def main() -> None:
+    fresh = os.environ.get("SCALE_PROBE_FRESH") == "1"
+    if fresh and os.path.exists(WORK):
+        shutil.rmtree(WORK)
+    os.makedirs(WORK, exist_ok=True)
+    spark = get_spark(app_name="scale-probe", warehouse_dir=f"{WORK}/wh")
+    synthesize(spark)
+
+    li = spark.read.parquet(f"{WORK}/lineitem.parquet")
+    docs = spark.read.parquet(f"{WORK}/documents.parquet")
+    cust = spark.read.parquet(f"{WORK}/customer.parquet")
+    n_li, n_docs, n_cust = li.count(), docs.count(), cust.count()
+
+    # 1. scan + aggregate (q1 shape)
+    def q1():
+        price = F.col("l_extendedprice").cast("decimal(12,2)")
+        disc = F.col("l_discount").cast("decimal(4,2)")
+        (li.filter(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(price * (F.lit(1) - disc)).alias("s"), F.count(F.lit(1)).alias("n"))
+           .write.format("noop").mode("overwrite").save())
+    timed("q1_scan_agg", n_li, q1)
+
+    # 2. hub load: hash + distinct (first batch: no existing side)
+    staged = rv.prepare_staging(
+        cust.withColumn("__ld", F.lit(datetime(2026, 1, 1))),
+        load_date_column="__ld", operation_column=None,
+        record_source="probe", hkey_columns=["c_custkey"],
+    )
+    def hub():
+        rv.hub_rows(staged, ["c_custkey"], load_ts=datetime(2026, 1, 2),
+                    record_source="probe").write.format("noop").mode("overwrite").save()
+    timed("hub_load", n_cust, hub)
+
+    # 3. idempotent satellite re-append: anti-join vs an equal-size existing
+    existing = rv.satellite_rows(staged, ["c_name", "c_mktsegment"])
+    def sat_reappend():
+        rv.satellite_rows(staged, ["c_name", "c_mktsegment"], existing=existing) \
+            .write.format("noop").mode("overwrite").save()
+    timed("satellite_idempotent_reappend", n_cust, sat_reappend)
+
+    # 4. MinHash-LSH dedup over the replicated corpus
+    def minhash():
+        dd.minhash_dedup_pairs(docs, threshold=0.5).count()
+    timed("minhash_lsh_dedup", n_docs, minhash)
+
+    # 5. events windowed aggregation at source scale (not replicated —
+    #    included for the cross-scale comparison)
+    events = Q.load_events(spark, SF_DIR)
+    n_ev = events.count()
+    def win():
+        (events.groupBy(F.window("ts", "1 hour"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .write.format("noop").mode("overwrite").save())
+    timed("events_hourly_window", n_ev, win)
+
+
+if __name__ == "__main__":
+    main()
