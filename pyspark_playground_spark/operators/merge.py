@@ -198,6 +198,22 @@ class MergeVault:
             return
         self._overwrite(hub_upsert(self._read(name), updates), name)
 
+    def load_link(
+        self,
+        name: str,
+        df: DataFrame,
+        members,
+        *,
+        load_ts: datetime,
+        record_source: str,
+    ) -> None:
+        """v1 ``load_link`` (pysparkvault.py:93-..., LoadRaw.py:460-494):
+        link hkey from the member hub hkeys; merge bumps last_seen_date."""
+        updates = prepare_link_updates(
+            df, members, load_ts=load_ts, record_source=record_source
+        )
+        self._overwrite(link_upsert(self._read(name), updates), name)
+
     def load_satellite(
         self,
         name: str,
@@ -255,3 +271,41 @@ class MergeVault:
         closed = satellite_upsert(self.spark.table(self._table(name)),
                                   self.spark.table(self._table(name)).limit(0))
         closed.write.format("delta").mode("overwrite").saveAsTable(self._table(name))
+
+
+def prepare_link_updates(
+    df: DataFrame,
+    members,
+    *,
+    load_ts: datetime | Column,
+    record_source: str,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Shape an association batch into v1 link-update rows: one hkey column
+    per member hub + the combined link hkey (reference pysparkvault.py
+    load_link / LoadRaw.py:460-494).
+
+    ``members`` is a sequence of ``LinkedHubDefinition`` — FKs resolve by
+    direct hash, as in v1 (which joins staging tables by business key).
+    """
+    from pyspark_playground_spark.operators.raw_vault import resolve_member_hkeys
+
+    resolved, hkey_cols = resolve_member_hkeys(df, members, hash_function=hash_function)
+    # v1 uses unprefixed lowercase column names (hkey, load_date, ...)
+    resolved = resolved.withColumnRenamed("$__HKEY", "hkey")
+    for c in hkey_cols:
+        resolved = resolved.withColumnRenamed(c, c.replace("$__HKEY_", "").lower() + "_hkey")
+    member_cols = [c.replace("$__HKEY_", "").lower() + "_hkey" for c in hkey_cols]
+    ts = F.lit(load_ts).cast("timestamp") if isinstance(load_ts, datetime) else load_ts
+    return (
+        resolved.withColumn("load_date", ts)
+        .withColumn("last_seen_date", ts)
+        .withColumn("record_source", F.lit(record_source))
+        .select("hkey", *member_cols, "load_date", "last_seen_date", "record_source")
+        .dropDuplicates(["hkey"])
+    )
+
+
+#: v1 link merge ≡ hub merge: matched → bump last_seen_date, else insert
+#: (LoadRaw.py:480-494 uses the identical MERGE shape for links)
+link_upsert = hub_upsert

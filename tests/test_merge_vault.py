@@ -101,3 +101,26 @@ def test_kernels_pure(spark):
     rows = {r["id"]: r for r in full2.collect()}
     assert rows["a"]["load_date"] == L1 and rows["a"]["last_seen_date"] == L2
     assert rows["b"]["load_date"] == L2
+
+
+def test_link_upsert_last_seen(spark, mv):
+    from pyspark_playground_spark.conventions import LinkedHubDefinition
+
+    members = [LinkedHubDefinition("orders", "order_id"),
+               LinkedHubDefinition("customers", "cust_id")]
+    b1 = spark.createDataFrame([("o1", "c1"), ("o2", "c2")],
+                               "order_id string, cust_id string")
+    mv.load_link("lnk_oc", b1, members, load_ts=L1, record_source="crm")
+    lnk = spark.table("mv_test.lnk_oc")
+    assert lnk.count() == 2
+    assert set(lnk.columns) >= {"hkey", "orders_hkey", "customers_hkey",
+                                "load_date", "last_seen_date", "record_source"}
+
+    b2 = spark.createDataFrame([("o1", "c1"), ("o3", "c1")],
+                               "order_id string, cust_id string")
+    mv.load_link("lnk_oc", b2, members, load_ts=L2, record_source="crm")
+    lnk = spark.table("mv_test.lnk_oc")
+    assert lnk.count() == 3
+    k = _md5(f"{_md5('o1')},{_md5('c1')}")
+    r = lnk.filter(F.col("hkey") == k).collect()[0]
+    assert r["load_date"] == L1 and r["last_seen_date"] == L2
