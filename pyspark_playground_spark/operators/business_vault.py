@@ -206,3 +206,40 @@ def join_linked_dataframes(
         conv=conv,
     )
     return zipped.drop("__to_hkey", "__to_side_hkey")
+
+
+def pit_rows_incremental(
+    existing_pit: DataFrame,
+    satellite: DataFrame,
+    effectivity: DataFrame | None,
+    touched_hkeys: DataFrame,
+    *,
+    conv: DataVaultConventions = CONV,
+    end_of_time=END_OF_TIME,
+) -> DataFrame:
+    """Incremental PIT maintenance: refresh only the keys a batch touched.
+
+    The reference rebuilds the whole PIT per load (BusinessVault.py:35-104 +
+    overwrite) — a full-table rewrite at 100 TB. A CDC batch can only change
+    the intervals of the hkeys it contains, so the new PIT is::
+
+        (existing PIT minus touched keys) ∪ recompute(touched keys only)
+
+    ``touched_hkeys`` is a 1-column DataFrame of hkeys (e.g. the staged
+    batch's distinct hkeys — typically tiny, so both the anti-join and the
+    semi-join broadcast). With the PIT stored bucketed by hkey the untouched
+    side is read and rewritten partition-aligned; with Delta, the same shape
+    becomes a partition-pruned MERGE. Output equals ``pit_rows`` over the
+    full satellite — pinned by tests.
+    """
+    hkey = conv.hkey()
+    touched = touched_hkeys.select(F.col(touched_hkeys.columns[0]).alias(hkey)).distinct()
+    untouched = existing_pit.join(F.broadcast(touched), hkey, "left_anti")
+    sat_touched = satellite.join(F.broadcast(touched), hkey, "left_semi")
+    eff_touched = (
+        effectivity.join(F.broadcast(touched), hkey, "left_semi")
+        if effectivity is not None
+        else None
+    )
+    refreshed = pit_rows(sat_touched, eff_touched, conv=conv, end_of_time=end_of_time)
+    return untouched.unionByName(refreshed)

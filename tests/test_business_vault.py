@@ -117,3 +117,51 @@ def test_active_code_reference(spark):
     out = bv.active_code_reference_rows(ref)
     got = {(r[C.group()], r["ID"], r["DESCR"]) for r in out.collect()}
     assert got == {("g1", "a", "new"), ("g2", "a", "other")}
+
+
+def test_incremental_pit_equals_full_recompute(spark):
+    """pit_rows_incremental over a batch's touched keys must equal a full
+    pit_rows recompute — the correctness contract that makes incremental
+    maintenance safe at scale."""
+    from datetime import datetime
+
+    from pyspark_playground_spark.conventions import DataVaultConventions
+    from pyspark_playground_spark.operators import business_vault as bv
+
+    C = DataVaultConventions()
+    t = lambda d: datetime(2026, 1, d)  # noqa: E731
+
+    def sat_df(rows):
+        return spark.createDataFrame(
+            [(k, "x", ts) for k, ts in rows],
+            f"`{C.hkey()}` string, `{C.hdiff()}` string, `{C.load_date()}` timestamp",
+        )
+
+    def eff_df(rows):
+        return spark.createDataFrame(
+            [(k, "x", d, ts) for k, d, ts in rows],
+            f"`{C.hkey()}` string, `{C.hdiff()}` string, "
+            f"`{C.deleted()}` boolean, `{C.load_date()}` timestamp",
+        )
+
+    # state after batch 1
+    sat1 = sat_df([("a", t(1)), ("a", t(3)), ("b", t(1)), ("c", t(2))])
+    eff1 = eff_df([("a", False, t(1)), ("b", False, t(1)), ("c", False, t(2))])
+    pit1 = bv.pit_rows(sat1, eff1)
+
+    # batch 2 touches a (new version) and b (delete); c untouched
+    sat2 = sat1.union(sat_df([("a", t(5))]))
+    eff2 = eff1.union(eff_df([("b", True, t(4))]))
+    touched = spark.createDataFrame([("a",), ("b",)], "hkey string")
+
+    full = bv.pit_rows(sat2, eff2)
+    incr = bv.pit_rows_incremental(pit1, sat2, eff2, touched)
+
+    key = [C.hkey(), C.load_date(), C.load_end_date()]
+    assert sorted(map(tuple, full.select(*key).collect())) == \
+           sorted(map(tuple, incr.select(*key).collect()))
+    # and the batch really changed things: b's last interval now closes at t4
+    rows = {(r[C.hkey()], r[C.load_date()]): r[C.load_end_date()]
+            for r in incr.collect()}
+    assert rows[("b", t(1))] == t(4)
+    assert rows[("a", t(3))] == t(5)
