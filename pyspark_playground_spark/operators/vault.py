@@ -319,6 +319,38 @@ class RawVault:
         self.spark.catalog.refreshTable(f"{self.config.raw_database}.{table}")
         return table
 
+    def update_point_in_time_table_for_batch(
+        self, pit_name: str, satellite_name: str, touched_hkeys
+    ) -> str:
+        """Incremental PIT refresh for one batch's touched hkeys
+        (business_vault.pit_rows_incremental): O(batch) instead of the
+        reference's full-table rewrite. ``touched_hkeys`` is any 1-column
+        DataFrame of hkeys (e.g. ``staged.select(conv.hkey()).distinct()``)."""
+        from pyspark_playground_spark.operators import business_vault as bv
+
+        c = self.conv
+        table = c.pit_name(pit_name)
+        full_name = f"{self.config.raw_database}.{table}"
+        if not self.spark.catalog.tableExists(full_name):
+            return self.create_point_in_time_table_for_single_satellite(
+                pit_name, satellite_name
+            )
+        sat = self._raw(c.sat_name(satellite_name))
+        eff_table = c.effectivity_sat_name(satellite_name)
+        eff = (
+            self._raw(eff_table)
+            if self.spark.catalog.tableExists(f"{self.config.raw_database}.{eff_table}")
+            else None
+        )
+        new_pit = bv.pit_rows_incremental(
+            self._raw(table), sat, eff, touched_hkeys, conv=c
+        ).localCheckpoint(eager=True)
+        catalog.write_table(
+            new_pit, self.config.raw_database, table, mode="overwrite", config=self.config
+        )
+        self.spark.catalog.refreshTable(full_name)
+        return table
+
     def create_active_code_reference_table(
         self, ref_name: str, active_name: str
     ) -> str:

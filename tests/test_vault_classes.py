@@ -159,3 +159,18 @@ def test_curated_write(spark, vaults):
     assert latest["a1"]["tier"] == "Platinum"  # typelist code → description
     assert latest["a1"]["owner"] == "Pat Lee"  # *UserID → user name
     assert latest["a1"]["name"] == "Acme Corp"
+
+
+def test_incremental_pit_table_update(spark, vaults):
+    """Table-backed incremental PIT: only touched keys are refreshed; the
+    result equals a full rebuild of the PIT table."""
+    from pyspark.sql import functions as F
+
+    config, raw, _, _ = vaults
+    raw.create_point_in_time_table_for_single_satellite("accounts", "accounts")
+    full_before = spark.table(f"{config.raw_database}.PIT__ACCOUNTS").collect()
+
+    touched = spark.createDataFrame([(hashlib.md5(b"a1").hexdigest(),)], "hkey string")
+    raw.update_point_in_time_table_for_batch("accounts", "accounts", touched)
+    after = spark.table(f"{config.raw_database}.PIT__ACCOUNTS").collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, full_before))
