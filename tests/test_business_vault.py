@@ -165,3 +165,34 @@ def test_incremental_pit_equals_full_recompute(spark):
             for r in incr.collect()}
     assert rows[("b", t(1))] == t(4)
     assert rows[("a", t(3))] == t(5)
+
+
+def test_zip_historized_left_outer_preserves_unmatched(spark):
+    """J10 outer variant: rows with no overlapping partner survive a left
+    zip with null right-side columns (overlap predicate lives in the join
+    condition, not a post-filter)."""
+    from datetime import datetime
+
+    from pyspark_playground_spark.conventions import DataVaultConventions
+    from pyspark_playground_spark.operators import business_vault as bv
+    from pyspark.sql import functions as F
+
+    C = DataVaultConventions()
+    ld, led = C.load_date(), C.load_end_date()
+    t = lambda d: datetime(2026, 1, d)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k1", "L1", t(1), t(5)), ("k2", "L2", t(1), t(5))],
+        f"k string, lv string, `{ld}` timestamp, `{led}` timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k1", "R1", t(2), t(3)),      # overlaps k1
+         ("k2", "R2", t(6), t(7))],     # outside k2's interval
+        f"rk string, rv string, `{ld}` timestamp, `{led}` timestamp",
+    )
+    out = bv.zip_historized_dataframes(
+        left, right, F.col("l.k") == F.col("r.rk"), how="left"
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["k1"]["rv"] == "R1"
+    assert rows["k1"][ld] == t(2) and rows["k1"][led] == t(3)
+    assert rows["k2"]["rv"] is None  # preserved despite no overlap

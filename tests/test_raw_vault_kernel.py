@@ -184,3 +184,40 @@ def test_reference_rows(spark):
     assert refs.count() == 3
     again = rv.reference_rows(df, "ID", ["DESCRIPTION"], existing=refs)
     assert again.count() == 0
+
+
+def test_prepare_staging_timestamp_pattern(spark):
+    """P10: string load dates parsed with the reference's Java pattern
+    (DataVaultShared.py:30-38 uses yyyy-MM-dd'T'HH:mm:ss'Z')."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("create", "2026-03-01T10:30:00Z", "k1")],
+        "OPERATION string, LOAD_DATE string, ID string",
+    )
+    staged = rv.prepare_staging(
+        df, load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="x", hkey_columns=["ID"],
+        timestamp_pattern="yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    assert staged.first()[C.load_date()] == datetime(2026, 3, 1, 10, 30)
+
+
+def test_prepare_staging_snapshot_override(spark):
+    """Snapshot load-date override (RawVault.py:1032-1038): applied only
+    when operation < DELETE (i.e. snapshots), not to CDC change rows."""
+    from datetime import datetime
+
+    t_cdc, t_src = datetime(2026, 3, 1), datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [("snapshot", t_cdc, t_src, "a"), ("update", t_cdc, t_src, "b")],
+        "OPERATION string, LOAD_DATE timestamp, SRC_TS timestamp, ID string",
+    )
+    staged = rv.prepare_staging(
+        df, load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="x", hkey_columns=["ID"],
+        snapshot_override_column="SRC_TS",
+    )
+    by = {r["ID"]: r[C.load_date()] for r in staged.collect()}
+    assert by["a"] == t_src   # snapshot takes the source column
+    assert by["b"] == t_cdc   # update keeps the CDC event time
