@@ -254,3 +254,82 @@ def stream_stream_interval_join(
         & (rcol(ts_column) <= lcol(ts_column) + F.expr(f"INTERVAL {max_lag}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    *,
+    ts_column: str = "ts",
+    key_column: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Sessionization as a custom stateful operator with **event-time
+    timeout**: a session is emitted only once, when the watermark passes
+    ``last_event + gap`` — at which point its state is evicted.
+
+    This is the pattern `F.session_window` cannot express when you need
+    one-shot emission of *closed* sessions (e.g. to feed a downstream
+    append-only sink); it also demonstrates bounded state on an unbounded
+    stream — the prerequisite for running custom operators forever.
+    """
+
+    def fn(key, pdf_iter, state: GroupState):
+        import datetime as _dt
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [
+                        _dt.datetime.utcfromtimestamp(start_us / 1e6)
+                    ],
+                    "session_end": [
+                        _dt.datetime.utcfromtimestamp(last_us / 1e6 + gap_seconds)
+                    ],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdf_iter:
+            ts_us = (pdf[ts_column].astype("int64") // 1000).tolist()
+            for v in ts_us:
+                start_us = v if start_us is None else min(start_us, v)
+                last_us = v if last_us is None else max(last_us, v)
+            n += len(pdf)
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return (
+        stream.withWatermark(ts_column, watermark)
+        .groupBy(key_column)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -214,3 +214,41 @@ def test_running_user_totals_stateful(spark, tmpdir):
     got = {r["user_id"]: (r["n_events"], r["total_value"])
            for r in spark.sql("SELECT * FROM running_totals").collect()}
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+
+def test_sessionize_stateful_event_time_timeout(spark, tmpdir):
+    """Closed sessions are emitted exactly once when the watermark passes
+    last_event + gap, and their state is evicted."""
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/sess"
+    # file 1: user 1 has a burst at 10:00-10:05
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10, 0), "a", 1.0),
+         (1, datetime(2026, 5, 1, 10, 5), "a", 1.0)], schema
+    ).write.mode("append").parquet(src)
+    # file 2: much later activity advances the watermark past 10:05 + gap
+    spark.createDataFrame(
+        [(2, datetime(2026, 5, 1, 13, 0), "a", 1.0)], schema
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)  # two micro-batches
+        .parquet(src)
+    )
+    out = st.sessionize_stateful(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory").queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_sess")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM closed_sessions").collect()
+    # user 1's session closed (watermark at 13:00 > 10:05 + 30min);
+    # user 2's is still open, so exactly one emission
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"] == datetime(2026, 5, 1, 10, 0)
+    assert r["session_end"] == datetime(2026, 5, 1, 10, 35)
