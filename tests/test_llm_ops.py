@@ -207,3 +207,16 @@ def test_winnowing_fingerprint_edit_robustness(spark):
     assert out[1] & out[2]
     # unrelated docs share nothing
     assert not (out[1] & out[3])
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(vectors):
+    """LSH-bucketed near-dup candidates are a subset of the exact all-pairs
+    result (precision preserved; recall governed by num_planes)."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in sim.embedding_near_dup_pairs(vectors, threshold=0.9, exact=True).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in sim.embedding_near_dup_pairs(
+               vectors, threshold=0.9, exact=False, num_planes=2).collect()}
+    assert lsh.issubset(exact)
+    # with few planes on well-separated clusters, recall should be non-zero
+    assert lsh
