@@ -409,3 +409,47 @@ def test_pit_intervals_with_deletes(spark, vault):
     assert rows[T5] == END_OF_TIME
     assert rows[T0] == T3  # first version ends at the first update
     pit.unpersist()
+
+
+def test_join_linked_hubs_movies_directors(spark, vault):
+    """join_linked_hubs on the loaded golden vault (the reference specs this
+    in its skipped test_business_vault, cdc/test_datavault.py:1155-1263):
+    movies ⋈ LNK__MOVIES_DIRECTORS ⋈ directors with temporal zip."""
+    from pyspark_playground_spark.operators.vault import BusinessVault
+
+    bvc = BusinessVault(spark, vault.config, vault.conv)
+    movies = bvc.read_data_from_hub("movies", ["NAME", "RATING", "RANK"],
+                                    include_hkey=True)
+    directors = bvc.read_data_from_hub("directors", ["NAME"], include_hkey=True) \
+        .withColumnRenamed("NAME", "DIRECTOR_NAME").withColumnRenamed("PublicID", "DID")
+    link = _t(vault, "LNK__MOVIES_DIRECTORS")
+    from pyspark_playground_spark.operators import business_vault as bvk
+
+    joined = bvk.join_linked_dataframes(
+        movies, link, directors,
+        from_hkey_column=C.hkey_of("movies"),
+        to_hkey_column=C.hkey_of("directors"),
+    )
+
+    # Godfather's director changed 2→3 at T5: the latest open movie version
+    # (rating 8.9) joins Christopher Nolan (director 3)
+    godfather_latest = joined.filter(
+        (F.col("PublicID") == "2") & (F.col("DID") == "3")
+        & (F.col(C.load_end_date()) == END_OF_TIME)
+    ).collect()
+    assert len(godfather_latest) == 1
+    assert godfather_latest[0]["RATING"] == 8.9
+    assert godfather_latest[0]["DIRECTOR_NAME"] == "Christopher Nolan"
+
+    # the link table keeps the historical (2→2) pair too; its joined rows
+    # exist but none extend to the open interval of the latest version with
+    # Coppola only via older movie versions
+    coppola = joined.filter((F.col("PublicID") == "2") & (F.col("DID") == "2"))
+    assert coppola.count() > 0
+
+    # Shawshank (1) ⋈ Frank Darabont (1): latest version (T5, rating 9.5)
+    shaw = joined.filter(
+        (F.col("PublicID") == "1") & (F.col("DID") == "1")
+        & (F.col(C.load_end_date()) == END_OF_TIME)
+    ).collect()
+    assert len(shaw) == 1 and shaw[0]["RATING"] == 9.5
