@@ -1344,14 +1344,20 @@ def train_val_test_split_documents(spark, sf_dir):
            CASE WHEN nrm = 0 THEN len(embedding)
                 ELSE len(embedding) END AS dim,
            CASE WHEN nrm = 0 THEN 0.0 ELSE 1.0 END AS unit_norm,
-           [CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) / nrm * 127)))
-                 AS TINYINT) FOR x IN embedding] AS q
+           array_to_string(
+             [CAST(greatest(-127, least(127, round(CAST(x AS DOUBLE) / nrm * 127)))
+                   AS TINYINT) FOR x IN embedding], ',') AS q
     FROM n
     """,
 )
 def normalize_quantize_embeddings(spark, sf_dir):
     """L2 normalize + symmetric int8 quantization (operators/sampling.py):
-    the storage layout for ANN candidate generation at scale."""
+    the storage layout for ANN candidate generation at scale.
+
+    The quantized vector is rendered as a comma-joined string for the
+    cross-engine hash (pandas can't canonicalize list cells); the typed
+    ``array<tinyint>`` API lives in ``operators/sampling.py``.
+    """
     emb = load(spark, sf_dir, "embeddings")
     normed = emb.withColumn("nv", sp.l2_normalize_expr(F.col("embedding")))
     dot = F.aggregate(F.col("nv"), F.lit(0.0), lambda a, x: a + x * x)
@@ -1359,7 +1365,9 @@ def normalize_quantize_embeddings(spark, sf_dir):
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(dot, 6).alias("unit_norm"),
-        sp.quantize_int8_expr(F.col("nv")).alias("q"),
+        F.array_join(
+            sp.quantize_int8_expr(F.col("nv")).cast("array<string>"), ","
+        ).alias("q"),
     )
 
 
