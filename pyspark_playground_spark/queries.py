@@ -774,10 +774,21 @@ def multimodal_meta_documents(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_documents")
+@query(
+    "multimodal_decode_documents",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END
+             AS mode
+    FROM documents
+    """,
+)
 def multimodal_decode_documents(spark, sf_dir):
-    """mapInPandas fake-decode path (Arrow batches; no SQL oracle — the
-    decode is a deterministic stub standing in for a real codec)."""
+    """mapInPandas fake-decode path (Arrow batches). Oracle-checkable because
+    the stand-in decoder is a deterministic function of the payload bytes —
+    the SQL mirrors ``fake_decode_image``'s width/height/mode math."""
     docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
     decoded = mm.fake_decode_image(docs.select("doc_id", "content"))
     return decoded.select("doc_id", "width", "height", "mode")
@@ -1171,10 +1182,31 @@ def multimodal_resize_documents(spark, sf_dir):
     )
 
 
-@query("multimodal_audio_features_documents")
+@query(
+    "multimodal_audio_features_documents",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             coalesce(list_sum(
+               [get_bit(encode(text)::BIT, CAST(i AS INT))
+                  * (1 << (7 - CAST(i AS INT) % 8))
+                FOR i IN range(0, 8 * octet_length(encode(text)))]), 0)
+               AS byte_sum
+      FROM documents
+    )
+    SELECT doc_id,
+           n / 16000.0 AS duration_s,
+           16000 AS sample_rate,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE byte_sum / (255.0 * greatest(n, 1)) END AS rms
+    FROM b
+    """,
+)
 def multimodal_audio_features_documents(spark, sf_dir):
-    """Audio feature-extraction plumbing (mapInPandas; rows-only — the
-    byte-level RMS has no clean SQL mirror)."""
+    """Audio feature-extraction plumbing (mapInPandas over Arrow batches).
+    Oracle-checkable: duration/sample-rate are length math, and the RMS
+    byte-sum is mirrored bit-exactly in SQL via get_bit over the payload."""
     docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
     return mm.fake_extract_audio_features(docs.select("doc_id", "content")).select(
         "doc_id", "duration_s", "sample_rate", "rms"
