@@ -114,11 +114,20 @@ def lsh_bucketed_ann(
     vector_column: str = "embedding",
     k: int = 5,
     num_planes: int = 12,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's hyperplane
-    bucket are scored. Recall grows with fewer planes / multi-probe; the
-    bucket column is also the right physical partition key for a 100 TB
-    corpus (bucket pruning ≙ partition pruning)."""
+    bucket are scored. The bucket column is also the right physical
+    partition key for a 100 TB corpus (bucket pruning ≙ partition pruning).
+
+    ``probe_radius`` enables multi-probe LSH (Lv et al., VLDB'07): each
+    query additionally probes every bucket within Hamming distance ≤ r of
+    its own signature — recall rises monotonically with r at the cost of
+    touching ``sum_i C(num_planes, i)`` buckets, without building more hash
+    tables. ``probe_radius >= num_planes`` probes all buckets and therefore
+    degenerates to exact brute force (the oracle-checkable configuration;
+    same pinned property as IVF ``nprobe == num_centroids``).
+    """
     sig = lambda df, name: df.select(  # noqa: E731
         F.col(id_column).alias(name),
         F.col(vector_column).alias(f"{name}_vec"),
@@ -128,6 +137,26 @@ def lsh_bucketed_ann(
     )
     c = sig(corpus, "neighbor_id")
     q = sig(queries, "query_id")
+    if probe_radius > 0:
+        # XOR masks with popcount <= radius enumerate the probed buckets.
+        # The mask table is tiny (sum_i C(planes, i) rows) and broadcast;
+        # each corpus row still lives in exactly one bucket, and probed
+        # buckets are distinct per query, so no (query, neighbor) pair is
+        # generated twice.
+        masks = [
+            (m,)
+            for m in range(1 << num_planes)
+            if bin(m).count("1") <= probe_radius
+        ]
+        mask_df = queries.sparkSession.createDataFrame(masks, "mask int")
+        q = (
+            q.crossJoin(F.broadcast(mask_df))
+            .withColumn(
+                "query_id_bucket",
+                F.col("query_id_bucket").bitwiseXOR(F.col("mask")),
+            )
+            .drop("mask")
+        )
     scored = (
         c.join(
             F.broadcast(q), F.col("neighbor_id_bucket") == F.col("query_id_bucket")

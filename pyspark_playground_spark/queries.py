@@ -699,9 +699,7 @@ _DOT = (
 _NORM = "sqrt(list_sum([x*x FOR x IN CAST({v} AS DOUBLE[])]))"
 
 
-@query(
-    "ann_cosine_topk_embeddings",
-    f"""
+_BRUTE_TOPK_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          scored AS (
@@ -716,8 +714,10 @@ _NORM = "sqrt(list_sum([x*x FOR x IN CAST({v} AS DOUBLE[])]))"
                                    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
     FROM scored
     QUALIFY rank <= 5
-    """,
-)
+    """
+
+
+@query("ann_cosine_topk_embeddings", _BRUTE_TOPK_SQL)
 def ann_cosine_topk_embeddings(spark, sf_dir):
     """Brute-force cosine top-k (exact baseline; queries broadcast)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -725,13 +725,18 @@ def ann_cosine_topk_embeddings(spark, sf_dir):
     return sim.brute_force_topk(emb, queries_df, k=5)
 
 
-@query("ann_lsh_topk_embeddings")
+@query("ann_lsh_topk_embeddings", _BRUTE_TOPK_SQL)
 def ann_lsh_topk_embeddings(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; no SQL oracle — bucket
-    assignment is xxhash64-derived). Exact counterpart is oracle-checked."""
+    """Multi-probe LSH top-k at full probe radius: every bucket within
+    Hamming distance ≤ num_planes is probed, so the bucketed-join plan runs
+    end to end yet returns exactly the brute-force result — which the
+    DuckDB oracle checks. Partial-probe recall (the 100 TB configuration)
+    is pinned in tests/test_ivf_and_plans.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return sim.lsh_bucketed_ann(emb, queries_df, k=5, num_planes=8)
+    return sim.lsh_bucketed_ann(
+        emb, queries_df, k=5, num_planes=4, probe_radius=4
+    )
 
 
 @query(
@@ -1143,15 +1148,17 @@ def quality_score_documents(spark, sf_dir):
     return tx.quality_score(docs).select("doc_id", "quality_score")
 
 
-@query("ann_ivf_topk_embeddings")
+@query("ann_ivf_topk_embeddings", _BRUTE_TOPK_SQL)
 def ann_ivf_topk_embeddings(spark, sf_dir):
-    """IVF ANN (KMeans coarse quantizer + nprobe search; no SQL oracle —
-    the quantizer is iterative MLlib. Exactness is covered by the
-    full-probe == brute-force test and the oracle-checked brute-force
-    entry)."""
+    """IVF ANN (KMeans coarse quantizer + nprobe search) at full probe:
+    ``nprobe == num_centroids`` scores every inverted list, so the whole
+    route-then-probe plan (train, assign, centroid routing, bucketed scoring)
+    runs end to end yet returns exactly the brute-force result — which the
+    DuckDB oracle checks. Partial-probe recall is pinned in
+    tests/test_ivf_and_plans.py."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=4)
+    return sim.ivf_topk(emb, queries_df, k=5, num_centroids=8, nprobe=8)
 
 
 @query(

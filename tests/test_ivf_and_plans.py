@@ -44,6 +44,40 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     assert recall >= 0.5, f"recall@5 = {recall:.2f}"
 
 
+def test_lsh_full_probe_equals_brute_force(spark, sf_dir):
+    """Multi-probe radius == num_planes probes every bucket → the bucketed
+    join must reproduce the exact brute-force result (the configuration the
+    driver oracle checks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    full = _topk_sets(
+        sim.lsh_bucketed_ann(emb, queries, k=5, num_planes=4, probe_radius=4)
+    )
+    assert full == exact
+
+
+def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
+    """Recall@5 must rise monotonically with probe radius — the multi-probe
+    contract that makes radius the recall/cost dial at 100 TB."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    total = sum(len(v) for v in exact.values())
+
+    def recall(radius):
+        approx = _topk_sets(
+            sim.lsh_bucketed_ann(
+                emb, queries, k=5, num_planes=4, probe_radius=radius
+            )
+        )
+        return sum(len(exact[q] & approx.get(q, set())) for q in exact) / total
+
+    recalls = [recall(r) for r in (0, 1, 2, 4)]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0
+
+
 def test_ivf_assignments_cover_corpus(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned, centroids = sim.ivf_assignments(emb, num_centroids=8)
