@@ -69,6 +69,22 @@ def shingles_expr(text: str | Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Materialize and break lineage for a reused branch.
+
+    Default: ``localCheckpoint`` — fastest, but blocks live on executor
+    disk, so an executor loss mid-job kills the lineage with no recompute
+    path. For cluster runs pass ``checkpoint_dir`` (HDFS/S3 path) to take a
+    reliable checkpoint that survives executor loss; or persist the branch
+    to a table yourself and pass the re-read DataFrame in.
+    """
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _perm_hash(i: int):
     # must be a unary lambda factory: a 2-arg lambda passed to F.transform
     # would be bound as (element, index) and silently shadow the perm seed
@@ -142,17 +158,20 @@ def lsh_candidate_pairs(
     *,
     num_perms: int = 64,
     bands: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
 
     Shuffle profile: one explode+groupBy on (band, band_hash) — the classic
-    LSH join. Output is distinct (id_a < id_b) pairs.
+    LSH join. Output is distinct (id_a < id_b) pairs. ``checkpoint_dir``
+    switches the signature materialization from executor-local to a
+    reliable checkpoint (see ``_materialize``) for cluster runs.
     """
     rows_per_band = num_perms // bands
     # signatures are small (num_perms longs per doc) but expensive to derive;
     # materialize once so the a/b sides of the self-join below don't each
     # recompute the shingle+hash pipeline
-    signatures = signatures.localCheckpoint(eager=True)
+    signatures = _materialize(signatures, checkpoint_dir)
     banded = signatures.select(
         id_column,
         F.explode(
@@ -198,17 +217,26 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_size: int = 3,
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact Jaccard verify on the candidate pairs only."""
+    exact Jaccard verify on the candidate pairs only.
+
+    ``checkpoint_dir`` (cluster runs): materialize the two reused branches
+    as reliable checkpoints instead of executor-local ones, so the pipeline
+    survives executor loss at scale."""
     sigs = minhash_signatures(
         df, id_column, text_column, num_perms=num_perms, shingle_size=shingle_size
     )
     # candidate pairs are tiny relative to the corpus; materialize them once
     # so the id-pruning below doesn't re-run the LSH pipeline per consumer
-    cands = lsh_candidate_pairs(
-        sigs, id_column, num_perms=num_perms, bands=bands
-    ).localCheckpoint(eager=True)
+    cands = _materialize(
+        lsh_candidate_pairs(
+            sigs, id_column, num_perms=num_perms, bands=bands,
+            checkpoint_dir=checkpoint_dir,
+        ),
+        checkpoint_dir,
+    )
     # shingle only the docs that appear in a candidate pair — LSH typically
     # prunes the corpus by orders of magnitude, so the verify stage should
     # not re-tokenize everything

@@ -212,6 +212,9 @@ class MergeVault:
         updates = prepare_link_updates(
             df, members, load_ts=load_ts, record_source=record_source
         )
+        if delta_available():  # pragma: no cover - delta not in this env
+            self._delta_merge_link(name, updates)
+            return
         self._overwrite(link_upsert(self._read(name), updates), name)
 
     def load_satellite(
@@ -235,21 +238,66 @@ class MergeVault:
             return
         self._overwrite(satellite_upsert(self._read(name), updates), name)
 
-    # ---- Delta paths (exercised only where delta-spark is installed) ------
+    # ---- Delta paths ------------------------------------------------------
+    # The merge *builders* are static and take the DeltaTable handle as a
+    # parameter: they are contract-tested with a recording fake in
+    # tests/test_merge_vault.py (delta-spark is not installed in this
+    # environment), so the MERGE condition and clauses are pinned even
+    # though a real Delta execution only happens on a Delta-enabled cluster.
+
+    @staticmethod
+    def build_hub_merge(delta_table, updates: DataFrame):
+        """v1 hub MERGE shape (LoadRaw.py:442-458): matched → bump
+        last_seen_date only (original load_date kept), else insert all."""
+        return (
+            delta_table.alias("hub")
+            .merge(updates.alias("updates"), "hub.hkey = updates.hkey")
+            .whenMatchedUpdate(set={"last_seen_date": "updates.last_seen_date"})
+            .whenNotMatchedInsertAll()
+        )
+
+    @staticmethod
+    def build_link_merge(delta_table, updates: DataFrame):
+        """v1 link MERGE ≡ hub MERGE on the link hkey (LoadRaw.py:480-494)."""
+        return (
+            delta_table.alias("link")
+            .merge(updates.alias("updates"), "link.hkey = updates.hkey")
+            .whenMatchedUpdate(set={"last_seen_date": "updates.last_seen_date"})
+            .whenNotMatchedInsertAll()
+        )
+
+    @staticmethod
+    def build_satellite_merge(delta_table, updates: DataFrame):
+        """v1 satellite MERGE (LoadRaw.py:497-512): insert-only on
+        (hkey, hdiff) — no matched clause; end-dating is a separate pass."""
+        return (
+            delta_table.alias("sat")
+            .merge(
+                updates.alias("updates"),
+                "sat.hkey = updates.hkey AND sat.hdiff = updates.hdiff",
+            )
+            .whenNotMatchedInsertAll()
+        )
+
     def _delta_merge_hub(self, name: str, updates: DataFrame) -> None:  # pragma: no cover
         from delta.tables import DeltaTable
 
         if not self.spark.catalog.tableExists(self._table(name)):
             updates.write.format("delta").saveAsTable(self._table(name))
             return
-        (
-            DeltaTable.forName(self.spark, self._table(name))
-            .alias("hub")
-            .merge(updates.alias("updates"), "hub.hkey = updates.hkey")
-            .whenMatchedUpdate(set={"last_seen_date": "updates.last_seen_date"})
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
+        self.build_hub_merge(
+            DeltaTable.forName(self.spark, self._table(name)), updates
+        ).execute()
+
+    def _delta_merge_link(self, name: str, updates: DataFrame) -> None:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        if not self.spark.catalog.tableExists(self._table(name)):
+            updates.write.format("delta").saveAsTable(self._table(name))
+            return
+        self.build_link_merge(
+            DeltaTable.forName(self.spark, self._table(name)), updates
+        ).execute()
 
     def _delta_merge_satellite(self, name: str, updates: DataFrame) -> None:  # pragma: no cover
         from delta.tables import DeltaTable
@@ -257,16 +305,9 @@ class MergeVault:
         if not self.spark.catalog.tableExists(self._table(name)):
             updates.write.format("delta").saveAsTable(self._table(name))
         else:
-            (
-                DeltaTable.forName(self.spark, self._table(name))
-                .alias("sat")
-                .merge(
-                    updates.alias("updates"),
-                    "sat.hkey = updates.hkey AND sat.hdiff = updates.hdiff",
-                )
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
+            self.build_satellite_merge(
+                DeltaTable.forName(self.spark, self._table(name)), updates
+            ).execute()
         # end-date pass: window formulation of LoadRaw.py:514-526
         closed = satellite_upsert(self.spark.table(self._table(name)),
                                   self.spark.table(self._table(name)).limit(0))

@@ -99,7 +99,8 @@ def prepare_staging(
     out = out.withColumn(conv.record_source(), F.lit(record_source))
 
     # snapshot loads may take their load date from a source column
-    # (RawVault.py:1032-1038: applied when operation < CREATE)
+    # (RawVault.py:1032-1038: applied when operation < DELETE, i.e. for
+    # SNAPSHOT rows only — DELETE rows keep the CDC load date)
     if snapshot_override_column is not None:
         out = out.withColumn(
             conv.load_date(),
@@ -255,10 +256,16 @@ def effectivity_rows(
         if conv.operation() in df.columns
         else F.lit(False),
     )
+    # one row per (HKEY, LOAD_DATE); if a batch carries both CREATE and
+    # DELETE for the same key at the same event time, DELETE wins the tie
+    # deterministically (max over booleans) — the reference's distinct()
+    # keeps both rows, which a same-timestamp downstream sort cannot order
+    df = (
+        df.groupBy(conv.hkey(), conv.load_date())
+        .agg(F.max(conv.deleted()).alias(conv.deleted()))
+    )
     df = df.withColumn(conv.hdiff(), hash_diff([F.col(conv.deleted())], hash_function))
-    df = df.select(
-        conv.hkey(), conv.hdiff(), conv.deleted(), conv.load_date()
-    ).dropDuplicates([conv.hkey(), conv.load_date()])
+    df = df.select(conv.hkey(), conv.hdiff(), conv.deleted(), conv.load_date())
     df = _maybe_repartition(df, [conv.hkey(), conv.load_date()], config)
     return _anti(df, existing, [conv.hkey(), conv.load_date()])
 
@@ -304,6 +311,7 @@ def link_rows(
     conv: DataVaultConventions = CONV,
     config: VaultConfig | None = None,
     hash_function: str = "md5",
+    cache_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """2-ary FK link load with delete detection.
 
@@ -321,6 +329,18 @@ def link_rows(
     currently staged to-hkey (or the staged FK is null) is marked deleted at
     the staged event time; new links are marked not-deleted; the combined
     state history is run-length compressed with a lag window.
+
+    Deliberate deviation: new link rows stamp ``$__LOAD_DATE`` with the
+    batch load time (``load_ts``/current_timestamp), consistent with hub
+    loads — the reference carries the staged *event* date into LNK instead
+    (its hubs use batch time), so link load dates differ from reference
+    output for CDC feeds. Effectivity rows use the event time in both.
+
+    ``cache_registry``: the internal resolve result is cached (it feeds the
+    link, vanish, and effectivity branches). Pass a list to receive the
+    cached DataFrame and ``unpersist()`` it after materializing both
+    outputs — in a long-lived session (streaming foreachBatch per
+    micro-batch) unreleased caches accumulate until storage eviction.
     """
     from_hkey = conv.hkey_of(from_name)
     to_hkey = conv.hkey_of(to_name)
@@ -340,8 +360,12 @@ def link_rows(
                 F.col(key_col).alias("__map_key"), F.col(map_hkey).alias(to_hkey)
             ).dropDuplicates(["__map_key"])
         )
+        # broadcast only for dimension-sized hubs (config.broadcast_resolutions,
+        # default True); off → AQE picks the strategy from runtime stats
+        if config is None or config.broadcast_resolutions:
+            mapping = F.broadcast(mapping)
         resolved = base.join(
-            F.broadcast(mapping),
+            mapping,
             base[fk_column].cast("string") == mapping["__map_key"].cast("string"),
             "left",
         ).drop("__map_key")
@@ -352,6 +376,8 @@ def link_rows(
     resolved = resolved.select(
         from_hkey, to_hkey, F.col(event_time).alias("__event_time")
     ).cache()
+    if cache_registry is not None:
+        cache_registry.append(resolved)
 
     # --- link rows (only fully resolved pairs form a link) -----------------
     pairs = (
@@ -461,15 +487,23 @@ def resolve_member_hkeys(
     conv: DataVaultConventions = CONV,
     hash_function: str = "md5",
     resolutions: dict[str, DataFrame] | None = None,
+    config: VaultConfig | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Attach one hub-hkey column per link member and the combined link HKEY.
 
     Each member FK resolves to its hub hkey either directly
     (``hkey = hash(fk)``, valid when the FK *is* the target hub's business
-    key) or through a broadcast ``(key, hkey)`` mapping in
-    ``resolutions[member.name]`` — the reference's staged-target / hub⋈sat
-    fallback (RawVault.py:523-534). Returns ``(df, member_hkey_columns)``.
+    key) or through a ``(key, hkey)`` mapping in ``resolutions[member.name]``
+    — the reference's staged-target / hub⋈sat fallback (RawVault.py:523-534).
+    Returns ``(df, member_hkey_columns)``.
+
+    The mapping join is broadcast-hinted only when
+    ``config.broadcast_resolutions`` (default True — right for
+    dimension-sized hubs). With it off, no hint is emitted and AQE picks
+    broadcast vs shuffle from runtime statistics — the safe setting when a
+    hub can be billion-key (a forced broadcast there OOMs the executors).
     """
+    force_broadcast = config is None or config.broadcast_resolutions
     hkey_cols: list[str] = []
     for m in members:
         col_name = m.hkey_column or conv.hkey_of(m.name)
@@ -482,8 +516,10 @@ def resolve_member_hkeys(
             mapping = res.select(
                 F.col(key_col).alias(f"__mk_{col_name}"), F.col(map_hkey).alias(col_name)
             ).dropDuplicates([f"__mk_{col_name}"])
+            if force_broadcast:
+                mapping = F.broadcast(mapping)
             df = df.join(
-                F.broadcast(mapping),
+                mapping,
                 df[m.foreign_key].cast("string") == mapping[f"__mk_{col_name}"].cast("string"),
                 "left",
             ).drop(f"__mk_{col_name}")
@@ -511,7 +547,8 @@ def multilink_rows(
     """
     df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
     df, hkey_cols = resolve_member_hkeys(
-        df, members, conv=conv, hash_function=hash_function, resolutions=resolutions
+        df, members, conv=conv, hash_function=hash_function,
+        resolutions=resolutions, config=config,
     )
     ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
     out = (

@@ -248,6 +248,7 @@ class RawVault:
         staged_from = rv._with_load_meta(staged_from, c, load_ts, self.config.record_source)
         link_table = c.link_name(name)
         eff_table = c.effectivity_sat_name(name)
+        caches: list[DataFrame] = []
         new_links, new_eff = rv.link_rows(
             staged_from,
             from_name=from_name, to_name=to_name, fk_column=fk_column,
@@ -256,9 +257,17 @@ class RawVault:
             existing_effectivity=self._raw(eff_table),
             load_ts=load_ts, record_source=self.config.record_source,
             conv=c, config=self.config, hash_function=self.config.hash_function,
+            cache_registry=caches,
         )
-        self._append(new_links, link_table, [c.hkey()])
-        self._append(new_eff, eff_table, [c.hkey(), c.load_date()])
+        try:
+            self._append(new_links, link_table, [c.hkey()])
+            self._append(new_eff, eff_table, [c.hkey(), c.load_date()])
+        finally:
+            # release the kernel's internal cache — a streaming foreachBatch
+            # session drives one load per micro-batch, and unreleased caches
+            # would accumulate until executor storage eviction
+            for df in caches:
+                df.unpersist()
 
     def load_multilink(
         self,
@@ -288,6 +297,7 @@ class RawVault:
             conv=c,
             hash_function=self.config.hash_function,
             resolutions=resolutions,
+            config=self.config,
         )
         new_eff = rv.effectivity_rows(
             staged_k, existing=self._raw(eff_table),
@@ -388,6 +398,157 @@ class RawVault:
             conv=c, config=self.config, hash_function=self.config.hash_function,
         )
         self._append(new_refs, table, [])
+
+    # ---- staged-table / multi-table convenience variants ------------------
+    def _staged(self, staging_table_name: str) -> DataFrame:
+        return self.spark.table(
+            f"{self.config.staging_prepared_database}.{staging_table_name}"
+        )
+
+    def load_hub_from_prepared_staging_table(
+        self,
+        staging_table_name: str,
+        hub_name: str,
+        business_key_columns: Sequence[str],
+        *,
+        satellites: dict[str, Sequence[str]] | None = None,
+        load_ts: datetime | None = None,
+    ) -> None:
+        """Reference RawVault.py:194-206: read the prepared staging table and
+        run the hub fan-out."""
+        self.load_hub(
+            self._staged(staging_table_name), hub_name, business_key_columns,
+            satellites=satellites, load_ts=load_ts,
+        )
+
+    def load_hub_from_source_table(
+        self,
+        source_table_name: str,
+        hub_name: str,
+        business_key_columns: Sequence[str],
+        *,
+        load_date_column: str,
+        operation_column: str | None,
+        satellites: dict[str, Sequence[str]] | None = None,
+        load_ts: datetime | None = None,
+        **stage_kwargs,
+    ) -> None:
+        """Stage-then-load in one call (reference RawVault.py:208-219):
+        reads ``{staging_base_path}/{source_table_name}.parquet``."""
+        staged = self.stage_table(
+            source_table_name,
+            f"{self.config.staging_base_path}/{source_table_name}.parquet",
+            load_date_column=load_date_column,
+            operation_column=operation_column,
+            hkey_columns=business_key_columns,
+            **stage_kwargs,
+        )
+        self.load_hub(
+            staged, hub_name, business_key_columns,
+            satellites=satellites, load_ts=load_ts,
+        )
+
+    def load_link_from_source_table(
+        self,
+        source_table_name: str,
+        name: str,
+        *,
+        from_name: str,
+        to_name: str,
+        fk_column: str,
+        hkey_columns: Sequence[str],
+        load_date_column: str,
+        operation_column: str | None,
+        to_resolution: DataFrame | None = None,
+        load_ts: datetime | None = None,
+        **stage_kwargs,
+    ) -> None:
+        """Stage-then-load for a 2-ary FK link (reference
+        RawVault.py:462-478): ``hkey_columns`` is the staged table's own
+        business key (the from-hub hkey)."""
+        staged = self.stage_table(
+            source_table_name,
+            f"{self.config.staging_base_path}/{source_table_name}.parquet",
+            load_date_column=load_date_column,
+            operation_column=operation_column,
+            hkey_columns=hkey_columns,
+            **stage_kwargs,
+        )
+        self.load_link(
+            staged, name,
+            from_name=from_name, to_name=to_name, fk_column=fk_column,
+            to_resolution=to_resolution, load_ts=load_ts,
+        )
+
+    def load_references_from_table(
+        self, staging_table_name: str, name: str, id_column: str, attributes: Sequence[str]
+    ) -> None:
+        """Reference RawVault.py:710-722."""
+        self.load_references(self._staged(staging_table_name), name, id_column, attributes)
+
+    def load_references_from_tables(
+        self,
+        staging_table_names: Sequence[str],
+        name: str,
+        id_column: str,
+        attributes: Sequence[str],
+    ) -> None:
+        """Many staged tables into one REF table, one append write. The
+        existing side is read once and reused by every anti-join (the
+        reference ships this shape for code refs, RawVault.py:805-858; the
+        plain-REF loop is symmetric)."""
+        c = self.conv
+        table = c.ref_name(name)
+        existing = self._raw(table)
+        parts = [
+            rv.reference_rows(
+                self._staged(t), id_column, attributes, existing=existing,
+                conv=c, config=self.config, hash_function=self.config.hash_function,
+            )
+            for t in staging_table_names
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self._append(out, table, [])
+
+    def load_code_references_from_table(
+        self, staging_table_name: str, name: str, id_column: str, attributes: Sequence[str]
+    ) -> None:
+        """Reference RawVault.py:772-784: the staging table's (lowercased)
+        name becomes the ``$__GROUP`` value."""
+        self.load_code_references(
+            self._staged(staging_table_name), name,
+            staging_table_name.lower(), id_column, attributes,
+        )
+
+    def load_code_references_from_tables(
+        self,
+        staging_table_names: Sequence[str],
+        name: str,
+        id_column: str,
+        attributes: Sequence[str],
+    ) -> None:
+        """Many staged source tables into one shared code-ref table
+        (reference RawVault.py:805-858): group := lower(table name), the
+        existing side read once, one append write for the whole batch —
+        at production breadth (the reference driver loads ~160 typelists
+        this way) that is 1 write job instead of N."""
+        c = self.conv
+        table = c.ref_name(name)
+        existing = self._raw(table)
+        parts = [
+            rv.code_reference_rows(
+                self._staged(t), t.lower(), id_column, attributes,
+                existing=existing,
+                conv=c, config=self.config, hash_function=self.config.hash_function,
+            )
+            for t in staging_table_names
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self._append(out, table, [])
 
 
 class BusinessVault:

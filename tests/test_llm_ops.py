@@ -51,6 +51,26 @@ def test_minhash_finds_near_dups(docs, spark):
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
 
 
+def test_minhash_reliable_checkpoint_matches_local(docs, spark, tmp_path):
+    """checkpoint_dir switches the two materialization points to reliable
+    checkpoints (cluster-safe: survive executor loss); output must be
+    identical to the local-checkpoint default."""
+    local = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.35, bands=32).collect()
+    }
+    reliable = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.minhash_dedup_pairs(
+            docs, threshold=0.35, bands=32, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # checkpoints actually landed
+
+
 def test_minhash_signature_varies_by_perm(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id int, text string")
     sig = dd.minhash_signatures(df, num_perms=8).first()["minhash"]

@@ -124,3 +124,87 @@ def test_link_upsert_last_seen(spark, mv):
     k = _md5(f"{_md5('o1')},{_md5('c1')}")
     r = lnk.filter(F.col("hkey") == k).collect()[0]
     assert r["load_date"] == L1 and r["last_seen_date"] == L2
+
+
+# ---------------------------------------------------------------------------
+# Delta MERGE contract (delta-spark absent here: a recording fake pins the
+# exact MERGE condition + clauses each builder emits — S9/S10 evidence)
+# ---------------------------------------------------------------------------
+
+class _RecordingMerge:
+    def __init__(self, log):
+        self.log = log
+
+    def whenMatchedUpdate(self, set=None, condition=None):
+        self.log.append(("whenMatchedUpdate", set, condition))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def execute(self):
+        self.log.append(("execute",))
+
+
+class _RecordingDeltaTable:
+    def __init__(self):
+        self.log = []
+
+    def alias(self, name):
+        self.log.append(("alias", name))
+        return self
+
+    def merge(self, updates, condition):
+        self.log.append(("merge", condition))
+        return _RecordingMerge(self.log)
+
+
+def test_delta_hub_merge_contract(spark):
+    df = spark.createDataFrame([("c1", "Ada")], "id string, name string")
+    updates = mg.prepare_hub_updates(df, ["id"], load_ts=L1, record_source="crm")
+    dt = _RecordingDeltaTable()
+    mg.MergeVault.build_hub_merge(dt, updates).execute()
+    assert dt.log == [
+        ("alias", "hub"),
+        ("merge", "hub.hkey = updates.hkey"),
+        ("whenMatchedUpdate", {"last_seen_date": "updates.last_seen_date"}, None),
+        ("whenNotMatchedInsertAll",),
+        ("execute",),
+    ]
+
+
+def test_delta_link_merge_contract(spark):
+    from pyspark_playground_spark.conventions import LinkedHubDefinition
+
+    df = spark.createDataFrame([("o1", "c1")], "order_id string, cust_id string")
+    updates = mg.prepare_link_updates(
+        df,
+        [LinkedHubDefinition("orders", "order_id"),
+         LinkedHubDefinition("customers", "cust_id")],
+        load_ts=L1, record_source="crm",
+    )
+    dt = _RecordingDeltaTable()
+    mg.MergeVault.build_link_merge(dt, updates).execute()
+    assert dt.log == [
+        ("alias", "link"),
+        ("merge", "link.hkey = updates.hkey"),
+        ("whenMatchedUpdate", {"last_seen_date": "updates.last_seen_date"}, None),
+        ("whenNotMatchedInsertAll",),
+        ("execute",),
+    ]
+
+
+def test_delta_satellite_merge_contract(spark):
+    df = spark.createDataFrame([("c1", "Ada")], "id string, name string")
+    updates = mg.prepare_satellite_updates(df, ["id"], load_ts=L1)
+    dt = _RecordingDeltaTable()
+    mg.MergeVault.build_satellite_merge(dt, updates).execute()
+    # insert-only on (hkey, hdiff): no matched clause — end-dating is the
+    # separate window pass (satellite_upsert), not part of the MERGE
+    assert dt.log == [
+        ("alias", "sat"),
+        ("merge", "sat.hkey = updates.hkey AND sat.hdiff = updates.hdiff"),
+        ("whenNotMatchedInsertAll",),
+        ("execute",),
+    ]

@@ -114,6 +114,72 @@ def test_effectivity_rows_deleted_flag(spark):
     assert rows == {(T0, False), (T1, True)}
 
 
+def test_effectivity_rows_same_timestamp_tie_prefers_delete(spark):
+    """CREATE and DELETE for one key at the same event time must resolve
+    deterministically — DELETE wins (ADVICE: dropDuplicates kept an
+    arbitrary row)."""
+    b = _staged(
+        spark,
+        [
+            (Operation.CREATE, T0, "m1", "Movie 1", 5),
+            (Operation.DELETE, T0, "m1", "Movie 1", 5),
+        ],
+    )
+    staged = rv._with_load_meta(b, C, T2, "test")
+    for _ in range(3):  # stable across re-evaluations
+        rows = rv.effectivity_rows(staged).collect()
+        assert len(rows) == 1
+        assert rows[0][C.deleted()] is True
+
+
+def _member_staged(spark):
+    schema = "OPERATION int, LOAD_DATE timestamp, ORDER_ID string, CUST_CODE string"
+    df = spark.createDataFrame(
+        [
+            (Operation.CREATE, T0, "o1", "ca"),
+            (Operation.CREATE, T0, "o2", "cb"),
+        ],
+        schema,
+    )
+    return rv.prepare_staging(
+        df, load_date_column="LOAD_DATE", operation_column="OPERATION",
+        record_source="test", hkey_columns=["ORDER_ID"],
+    )
+
+
+def test_resolve_member_hkeys_broadcast_is_conditional(spark):
+    """broadcast_resolutions=False emits no broadcast hint (AQE decides);
+    results are identical either way."""
+    from pyspark_playground_spark.conventions import LinkedHubDefinition, VaultConfig
+
+    staged = _member_staged(spark)
+    mapping = spark.createDataFrame(
+        [("ca", "hk_a"), ("cb", "hk_b")], "code string, hkey string"
+    )
+    members = [
+        LinkedHubDefinition("orders", "ORDER_ID"),
+        LinkedHubDefinition("customers", "CUST_CODE"),
+    ]
+    res = {"customers": mapping}
+
+    forced, cols = rv.resolve_member_hkeys(
+        staged, members, resolutions=res,
+        config=VaultConfig(broadcast_resolutions=True),
+    )
+    free, cols2 = rv.resolve_member_hkeys(
+        staged, members, resolutions=res,
+        config=VaultConfig(broadcast_resolutions=False),
+    )
+    assert cols == cols2
+    sel = [C.hkey()] + cols
+    assert sorted(map(tuple, forced.select(sel).collect())) == sorted(
+        map(tuple, free.select(sel).collect())
+    )
+    # the hint itself must be present/absent in the analyzed plans
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in free._jdf.queryExecution().analyzed().toString()
+
+
 def test_link_rows_with_delete_detection(spark):
     # movies with DIRECTOR_ID FK; director business key hashed directly
     schema = "OPERATION int, LOAD_DATE timestamp, PublicID string, DIRECTOR_ID string"

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import time
 from datetime import datetime
 
 import pytest
@@ -221,15 +222,18 @@ def test_sessionize_stateful_event_time_timeout(spark, tmpdir):
     last_event + gap, and their state is evicted."""
     schema = "user_id long, ts timestamp, event_type string, value double"
     src = f"{tmpdir}/sess"
-    # file 1: user 1 has a burst at 10:00-10:05
+    # file 1: user 1 has a burst at 10:00-10:05. coalesce(1): exactly one
+    # part file, or maxFilesPerTrigger=1 may split the burst across batches
+    # and drop the second event as late once file 2 advances the watermark
     spark.createDataFrame(
         [(1, datetime(2026, 5, 1, 10, 0), "a", 1.0),
          (1, datetime(2026, 5, 1, 10, 5), "a", 1.0)], schema
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes: FileStreamSource orders by timestamp
     # file 2: much later activity advances the watermark past 10:05 + gap
     spark.createDataFrame(
         [(2, datetime(2026, 5, 1, 13, 0), "a", 1.0)], schema
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
