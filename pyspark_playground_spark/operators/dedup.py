@@ -265,6 +265,51 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Exact token n-gram contamination of a training corpus against a
+    benchmark/eval set (the GPT-3 appendix-C / PaLM decontamination shape:
+    a document is contaminated if it shares any length-``n`` token n-gram
+    with any benchmark document).
+
+    Scale shape: the benchmark gram set is small (eval sets are thousands
+    of documents) and broadcast; the corpus explodes its distinct grams
+    once and inner-joins — one scan, no corpus shuffle besides the per-doc
+    count. Set ``broadcast_benchmark=False`` for giant benchmark unions and
+    let AQE choose.
+
+    Returns one row per contaminated document:
+    ``(id_column, n_contaminated_grams)``.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(shingles_expr(text_column, n)).alias("__gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    ex = corpus.select(
+        F.col(id_column),
+        F.explode(shingles_expr(text_column, n)).alias("__gram"),
+    )
+    return (
+        ex.join(bench, "__gram")
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

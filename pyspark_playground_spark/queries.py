@@ -708,6 +708,87 @@ def simhash_dedup_documents(spark, sf_dir):
     return dd.simhash_dedup_pairs(docs, max_hamming=3, portable=True)
 
 
+@query(
+    "repetition_metrics_documents",
+    f"""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter([trim(x) FOR x IN string_split(text, chr(10))],
+                         x -> x <> '') AS lines,
+             {_TOKS} AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines, toks,
+             [array_to_string(toks[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS grams
+      FROM l
+    )
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS duplicate_line_fraction,
+           CASE WHEN coalesce(list_sum([length(x) FOR x IN lines]), 0) > 0
+                THEN CAST(list_sum([CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                                         THEN length(x) ELSE 0 END
+                                    FOR x IN lines]) AS DOUBLE)
+                     / CAST(list_sum([length(x) FOR x IN lines]) AS DOUBLE)
+                ELSE 0.0 END AS duplicate_line_char_fraction,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS duplicate_ngram_fraction,
+           least(CASE WHEN len(toks) > 0
+                      THEN CAST(list_max([len(list_filter(grams, y -> y = x))
+                                          FOR x IN list_distinct(grams)]) * 2 AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END, 1.0) AS top_ngram_fraction
+    FROM g
+    """,
+)
+def repetition_metrics_documents(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_metrics): duplicate lines/chars, duplicate 2-grams, top
+    2-gram coverage — per-row codegen'd expressions, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.repetition_metrics(docs).select(
+        "doc_id", "n_lines", "duplicate_line_fraction",
+        "duplicate_line_char_fraction", "duplicate_ngram_fraction",
+        "top_ngram_fraction",
+    )
+
+
+@query(
+    "ngram_contamination_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])
+               AS grams
+      FROM t
+    ), b AS (
+      SELECT list_distinct(flatten(list(grams))) AS bg FROM g WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           len(list_intersect(grams, bg)) AS n_contaminated_grams
+    FROM g CROSS JOIN b
+    WHERE len(list_intersect(grams, bg)) > 0
+    """,
+)
+def ngram_contamination_documents(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py ngram_contamination):
+    docs sharing any 8-token n-gram with the 'benchmark' subset
+    (doc_id % 50 == 0 stands in for an eval set). Benchmark grams broadcast;
+    corpus scanned once."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return dd.ngram_contamination(docs, bench, n=8)
+
+
 def _lang_id_oracle() -> str:
     score_exprs = []
     for lang, markers in sorted(tx.LANG_MARKERS.items()):

@@ -90,6 +90,54 @@ def test_simhash_near_dups(docs, spark):
     assert (1, 2) in got and got[(1, 2)] <= 3
 
 
+def test_repetition_metrics(spark):
+    from pyspark_playground_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" twice (8 of 22 line chars duplicated);
+            # 2-gram "a b" occurs 3× of 6 grams, covering 6 of 7 tokens
+            (1, "dup dup\nunique one\ndup dup\nx", "a b a b a b c"),
+        ],
+        "doc_id int, lines_text string, grams_text string",
+    )
+    lines = tx.repetition_metrics(df, "lines_text").first()
+    assert lines["n_lines"] == 4
+    assert lines["duplicate_line_fraction"] == 0.25  # 1 of 4 is a repeat
+    assert abs(lines["duplicate_line_char_fraction"] - 14 / 25) < 1e-12
+    grams = tx.repetition_metrics(df, "grams_text").first()
+    # grams: 'a b'×3, 'b a'×2, 'b c' → 6 total, 3 distinct
+    assert abs(grams["duplicate_ngram_fraction"] - 3 / 6) < 1e-12
+    assert abs(grams["top_ngram_fraction"] - 6 / 7) < 1e-12
+    # degenerate inputs don't divide by zero
+    empty = spark.createDataFrame([(1, "")], "doc_id int, t string")
+    r = tx.repetition_metrics(empty, "t").first()
+    assert r["duplicate_line_fraction"] == 0.0
+    assert r["top_ngram_fraction"] <= 1.0
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words without any benchmark overlap here"),
+            (3, "prefix then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in dd.ngram_contamination(corpus, bench, n=8).collect()
+    }
+    assert 1 in got and 3 in got and 2 not in got
+    # doc 1 shares both 8-grams of the 9-token benchmark sentence extended
+    assert got[1] >= 2
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = dd.ngram_jaccard_pairs(docs, within="source", threshold=0.3)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
