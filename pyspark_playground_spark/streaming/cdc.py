@@ -20,7 +20,7 @@ Scale notes (100 TB / continuous):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,6 +145,29 @@ def windowed_event_counts(
             "sum_value",
             "approx_users",
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_columns: Sequence[str],
+    *,
+    ts_column: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first arrival of each key,
+    drop re-deliveries within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``key_columns`` only
+    (unlike ``dropDuplicates``, whose streaming state without a timestamp
+    column grows forever) and evicts each key's state once the event-time
+    watermark passes its first-seen timestamp + delay — bounded state, the
+    requirement for an unbounded CDC/dedup stream. The batch twin is plain
+    ``dropDuplicates(key_columns)`` (exactly what the v2 loaders use), which
+    is what lets tests pin stream == batch end states.
+    """
+    return events.withWatermark(ts_column, watermark).dropDuplicatesWithinWatermark(
+        list(key_columns)
     )
 
 

@@ -217,6 +217,45 @@ def test_running_user_totals_stateful(spark, tmpdir):
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
 
 
+def test_dedup_stream_matches_batch(spark, tmpdir):
+    """Streaming dropDuplicatesWithinWatermark over two micro-batches ==
+    batch dropDuplicates: re-deliveries of the same key are dropped, state
+    stays bounded by the watermark."""
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/dedup_src"
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10, 0), "a", 1.0),
+         (2, datetime(2026, 5, 1, 10, 1), "b", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 2 re-delivers key 1 (within watermark) and adds key 3
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10, 2), "a", 1.0),
+         (3, datetime(2026, 5, 1, 10, 3), "c", 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.dedup_stream(stream, ["user_id"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("deduped_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_dedup")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"] for r in spark.sql("SELECT * FROM deduped_stream").collect()}
+    batch_twin = {
+        r["user_id"]
+        for r in spark.read.parquet(src).dropDuplicates(["user_id"]).collect()
+    }
+    assert got == batch_twin == {1, 2, 3}
+    assert spark.sql("SELECT count(*) n FROM deduped_stream").first()["n"] == 3
+
+
 def test_sessionize_stateful_event_time_timeout(spark, tmpdir):
     """Closed sessions are emitted exactly once when the watermark passes
     last_event + gap, and their state is evicted."""
