@@ -129,6 +129,56 @@ def lang_id(df: DataFrame, text_column: str = "text") -> DataFrame:
     return out.withColumn("n_tokens", F.size(toks))
 
 
+#: deliberately simple patterns valid in both Java regex (Spark) and RE2
+#: (DuckDB/production scrubbers) — no backrefs, no lookaround
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+URL_DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    email_replacement: str = "[EMAIL]",
+    url_replacement: str = "[URL]",
+) -> DataFrame:
+    """Training-data redaction pass: mask emails and URLs, count what was
+    masked (the C4/Pile-style scrub, reduced to engine-portable regexes —
+    a production deployment swaps in its full pattern set through the same
+    columns). Pure ``regexp_replace``/``regexp_count`` projections: no
+    shuffle, no UDF, runs inside the scan's codegen stage at 100 TB.
+
+    Adds ``n_emails``, ``n_urls``, and ``scrubbed`` (masked text).
+    """
+    col = F.col(text_column)
+    return df.select(
+        "*",
+        F.regexp_count(col, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(col, F.lit(URL_PATTERN)).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_PATTERN, email_replacement),
+            URL_PATTERN,
+            url_replacement,
+        ).alias("scrubbed"),
+    )
+
+
+def url_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Per-document URL census: count + sorted distinct domains (the
+    blocklist-join key for C4-style domain filtering)."""
+    col = F.col(text_column)
+    return df.select(
+        "*",
+        F.regexp_count(col, F.lit(URL_PATTERN)).alias("n_urls"),
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(col, F.lit(URL_DOMAIN_PATTERN), 1)
+            )
+        ).alias("url_domains"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_column: str = "text", *, ngram_n: int = 2
 ) -> DataFrame:

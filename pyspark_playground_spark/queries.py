@@ -789,6 +789,48 @@ def ngram_contamination_documents(spark, sf_dir):
     return dd.ngram_contamination(docs, bench, n=8)
 
 
+@query(
+    "pii_scrub_documents",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 'https?://[^\s]+', '[URL]', 'g')) AS scrubbed_md5,
+           coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(text, 'https?://([^/\s]+)', 1))), ','), '')
+             AS url_domains
+    FROM documents
+    """,
+)
+def pii_scrub_documents(spark, sf_dir):
+    """C4/Pile-style redaction census (operators/text.py scrub_pii +
+    url_stats): mask emails/URLs, count them, list domains — the patterns
+    are engine-portable (Java regex == RE2 for these), so the scrub is
+    byte-identical across engines (checked via md5 of the masked text)."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = tx.scrub_pii(docs)
+    domains = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("text"), F.lit(tx.URL_DOMAIN_PATTERN), 1)
+            )
+        ),
+        ",",
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        "n_urls",
+        F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+        domains.alias("url_domains"),
+    )
+
+
 def _lang_id_oracle() -> str:
     score_exprs = []
     for lang, markers in sorted(tx.LANG_MARKERS.items()):

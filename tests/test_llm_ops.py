@@ -116,6 +116,27 @@ def test_repetition_metrics(spark):
     assert r["top_ngram_fraction"] <= 1.0
 
 
+def test_scrub_pii_and_url_stats(spark):
+    from pyspark_playground_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or see "
+                "https://docs.example.com/a/b and https://other.org"),
+            (2, "no pii here"),
+        ],
+        "doc_id int, text string",
+    )
+    r = {x["doc_id"]: x for x in tx.scrub_pii(df).collect()}
+    assert r[1]["n_emails"] == 1 and r[1]["n_urls"] == 2
+    assert "[EMAIL]" in r[1]["scrubbed"] and r[1]["scrubbed"].count("[URL]") == 2
+    assert "jane.doe" not in r[1]["scrubbed"]
+    assert r[2]["n_emails"] == 0 and r[2]["scrubbed"] == "no pii here"
+    u = {x["doc_id"]: x for x in tx.url_stats(df).collect()}
+    assert u[1]["url_domains"] == ["docs.example.com", "other.org"]
+    assert u[2]["url_domains"] == []
+
+
 def test_ngram_contamination(spark):
     corpus = spark.createDataFrame(
         [
