@@ -1,0 +1,78 @@
+"""Sequence packing for LLM training-data pipelines.
+
+Pre-training loaders concatenate documents in a deterministic order and cut
+the token stream into fixed-length sequences (GPT-style concat-then-chunk).
+The distributed problem is the **global running offset** of every document —
+an exclusive prefix sum over the corpus order. A naive
+``Window.orderBy(id)`` cumsum collapses the whole corpus into one task; the
+implementation here is the classic two-phase distributed prefix sum:
+
+1. intra-bucket cumulative sums, parallel per bucket
+   (``Window.partitionBy(bucket).orderBy(id)``);
+2. cross-bucket offsets from the per-bucket totals — a table with one row
+   per bucket, tiny by construction, whose own cumsum is cheap — broadcast
+   back onto the data.
+
+The result is identical to the single-window formulation (which is exactly
+what the DuckDB oracle runs) while every wide stage stays parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sequence_offsets(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    token_count_column: str = "n_tokens",
+    seq_len: int = 2048,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Global token offset + target sequence for each document.
+
+    Documents are packed in ascending ``id_column`` order (ids must be
+    numeric; buckets are ``id // bucket_size``, so ids should be roughly
+    dense for even buckets — re-key with ``row_number`` upstream if not).
+
+    Adds ``global_offset`` (exclusive prefix sum of token counts),
+    ``seq_id`` (= offset // seq_len: the training sequence this document
+    starts in) and ``offset_in_seq``. A document may straddle sequence
+    boundaries, as in concat-then-chunk loaders.
+    """
+    bucket = (F.col(id_column) / F.lit(bucket_size)).cast("long").alias("__bucket")
+    data = df.select("*", bucket)
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_column)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    data = data.withColumn("__intra", F.sum(token_count_column).over(w_in))
+
+    totals = data.groupBy("__bucket").agg(
+        F.sum(token_count_column).alias("__total")
+    )
+    # one row per bucket: this window is over a bucket-count-sized frame,
+    # not the corpus — the single-task stage is bounded and tiny
+    w_b = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__total").over(w_b), F.lit(0)).alias("__prefix"),
+    )
+
+    out = data.join(F.broadcast(prefixes), "__bucket")
+    offset = (F.col("__prefix") + F.col("__intra") - F.col(token_count_column)).cast(
+        "long"
+    )
+    return (
+        out.withColumn("global_offset", offset)
+        .withColumn("seq_id", F.expr(f"global_offset div {seq_len}"))
+        .withColumn("offset_in_seq", F.col("global_offset") % seq_len)
+        .drop("__bucket", "__intra", "__prefix")
+    )

@@ -45,6 +45,51 @@ def token_count_expr(text: str | Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+def ngrams_expr(text: str | Column, n: int = 2) -> Column:
+    """Token n-grams (non-distinct, in order; a short document yields its
+    full token run as one gram).
+
+    For the common ``n == 2`` the grams come from ``zip_with`` over the
+    token array and its shifted self — zip_with *arguments* are evaluated
+    once per expression evaluation, unlike expressions captured inside a
+    lambda, which re-evaluate per element (the projection-collapse trap:
+    a captured ``split`` re-tokenizes the document per gram, measured ~20×
+    slower on the fixture corpus).
+    """
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks)
+    if n == 2:
+        paired = F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n_tokens - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)).otherwise(a),
+        )
+        return F.slice(paired, 1, F.greatest(n_tokens - 1, F.lit(1)))
+    idx = F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def top_ngrams(
+    df: DataFrame, text_column: str = "text", *, n: int = 2, k: int = 100
+) -> DataFrame:
+    """Corpus-wide most frequent token n-grams (vocabulary / BPE-seed
+    census). One explode + one count shuffle; the top-k itself is
+    ``orderBy(...).limit(k)``, which Spark executes as TakeOrdered (per-
+    partition heaps + driver merge of k rows) — no single-task global sort
+    even with a billion-gram vocabulary. Rank is stamped on the k-row
+    result with a deterministic (count desc, gram asc) tie-break.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(F.explode(ngrams_expr(text_column, n)).alias("ngram"))
+    counts = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def quality_features(df: DataFrame, text_column: str = "text") -> DataFrame:
     """Length / punctuation / stopword quality signals per document.
 
@@ -249,23 +294,7 @@ def repetition_metrics(
     )
     toks = tokens_expr(text_column)
     n_tokens = F.size(toks)
-    if ngram_n == 2:
-        # zip_with arguments are evaluated once per expression evaluation
-        # (bound values, no per-element capture): pair each token with its
-        # successor, trim the trailing (token, null) pair
-        paired = F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(n_tokens - 1, F.lit(1))),
-            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)).otherwise(a),
-        )
-        grams = F.slice(paired, 1, F.greatest(n_tokens - 1, F.lit(1)))
-    else:
-        # general n captures toks per element — O(tokens) re-splits per
-        # evaluation; fine for occasional use, the default is the fast path
-        idx = F.sequence(F.lit(0), F.greatest(n_tokens - ngram_n, F.lit(0)))
-        grams = F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram_n))
-        )
+    grams = ngrams_expr(text_column, ngram_n)
     n_grams = F.size(grams)
     distinct_grams = F.array_distinct(grams)
     # top occurrence count = max run length over the sorted gram array

@@ -831,6 +831,66 @@ def pii_scrub_documents(spark, sf_dir):
     )
 
 
+@query(
+    "top_ngrams_documents",
+    f"""
+    WITH t AS (
+      SELECT {_TOKS} AS toks FROM documents
+    ), e AS (
+      SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS ngram
+      FROM t
+    ), c AS (
+      SELECT ngram, count(*) AS n_occurrences FROM e GROUP BY ngram
+    )
+    SELECT ngram, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS INT)
+             AS rank
+    FROM c
+    QUALIFY rank <= 50
+    """,
+)
+def top_ngrams_documents(spark, sf_dir):
+    """Corpus-wide top-50 2-grams (operators/text.py top_ngrams): the
+    vocabulary-census shape — explode + count + TakeOrdered top-k, no
+    global sort."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.top_ngrams(docs, n=2, k=50)
+
+
+@query(
+    "sequence_packing_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS global_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, global_offset,
+           global_offset // 2048 AS seq_id,
+           global_offset % 2048 AS offset_in_seq
+    FROM o
+    """,
+)
+def sequence_packing_documents(spark, sf_dir):
+    """Concat-then-chunk sequence packing offsets (operators/packing.py):
+    every document's global token offset and target 2048-token training
+    sequence. The Spark side runs the two-phase distributed prefix sum;
+    the oracle is the equivalent single-window cumsum."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count_expr("text").alias("n_tokens")
+    )
+    return pk.assign_sequence_offsets(
+        docs, token_count_column="n_tokens", seq_len=2048, bucket_size=64
+    ).select("doc_id", "n_tokens", "global_offset", "seq_id", "offset_in_seq")
+
+
 def _lang_id_oracle() -> str:
     score_exprs = []
     for lang, markers in sorted(tx.LANG_MARKERS.items()):

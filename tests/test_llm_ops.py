@@ -137,6 +137,43 @@ def test_scrub_pii_and_url_stats(spark):
     assert u[2]["url_domains"] == []
 
 
+def test_sequence_packing_two_phase_equals_single_window(spark):
+    from pyspark.sql import Window
+
+    from pyspark_playground_spark.operators import packing as pk
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 900 + 100) for i in range(0, 500, 3)],  # sparse ids
+        "doc_id int, n_tokens int",
+    )
+    got = pk.assign_sequence_offsets(
+        df, token_count_column="n_tokens", seq_len=512, bucket_size=16
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn(
+        "global_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    lhs = {r["doc_id"]: r["global_offset"] for r in got.collect()}
+    rhs = {r["doc_id"]: r["global_offset"] for r in want.collect()}
+    assert lhs == rhs
+    # seq assignment is consistent with the offsets
+    for r in got.collect():
+        assert r["seq_id"] == r["global_offset"] // 512
+        assert r["offset_in_seq"] == r["global_offset"] % 512
+
+
+def test_top_ngrams(spark):
+    from pyspark_playground_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d")], "doc_id int, text string"
+    )
+    top = tx.top_ngrams(df, n=2, k=3).collect()
+    assert [r["ngram"] for r in top] == ["a b", "b a", "b c"]
+    assert top[0]["n_occurrences"] == 4 and top[0]["rank"] == 1
+    assert top[1]["n_occurrences"] == 2
+
+
 def test_ngram_contamination(spark):
     corpus = spark.createDataFrame(
         [
