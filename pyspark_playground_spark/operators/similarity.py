@@ -224,6 +224,44 @@ def embedding_near_dup_pairs(
     )
 
 
+def group_centroids(
+    df: DataFrame,
+    group_column: str,
+    *,
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding — class centroids for contrastive filtering,
+    cluster seeding, or per-source drift monitoring.
+
+    Shape: posexplode the vector → one exchange keyed on (group, dim) →
+    per-(group, dim) sum over the VALUE-SORTED doubles, folded
+    left-to-right. A plain ``F.sum`` of doubles depends on partition order
+    (non-reproducible across reruns, cluster layouts, and engines); sorting
+    first makes the accumulation order — and therefore every last bit of
+    the result — deterministic. (Decimal-cast sums are not a fix here:
+    double→decimal conversion itself rounds differently across engines for
+    arbitrary doubles.) The per-cell ``collect_list`` holds one group's
+    values for one dimension — bounded by group size, not corpus size.
+
+    Returns ``(group_column, pos, centroid_v)`` — one row per dimension;
+    reassemble with ``collect_list`` over a (group, pos) sort when an array
+    is needed.
+    """
+    ex = df.select(
+        F.col(group_column),
+        F.posexplode(_as_double(F.col(vector_column))).alias("pos", "__v"),
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list("__v")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ex.groupBy(group_column, "pos")
+        .agg((ordered_sum / F.count(F.lit(1))).alias("centroid_v"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: KMeans coarse quantizer + nprobe search
 # ---------------------------------------------------------------------------

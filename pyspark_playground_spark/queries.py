@@ -1392,6 +1392,30 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
 
 
 @query(
+    "group_centroids_embeddings",
+    """
+    WITH e AS (
+      SELECT label,
+             unnest([{'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+                     FOR i IN range(1, len(embedding) + 1)]) AS pv
+      FROM embeddings
+    )
+    SELECT label, pv.pos AS pos,
+           CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))), (a, b) -> a + b)
+                AS DOUBLE) / count(*) AS centroid_v
+    FROM e GROUP BY label, pv.pos
+    """,
+)
+def group_centroids_embeddings(spark, sf_dir):
+    """Per-label mean embedding (operators/similarity.py group_centroids):
+    class centroids via posexplode + value-sorted left-to-right double sums
+    — a deterministic accumulation order, so the result is bit-identical
+    across engines and reruns."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.group_centroids(emb, "label")
+
+
+@query(
     "multimodal_resize_documents",
     """
     WITH d AS (

@@ -116,6 +116,41 @@ def test_q3_q5_broadcast_no_sort_merge(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast — a sort-merge join here would
+    shuffle the full corpus gram explosion."""
+    plan = _formatted_plan(spark, "ngram_contamination_documents", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_window_is_bucket_partitioned(spark, sf_dir):
+    """The corpus-side prefix-sum window must run partitioned by bucket;
+    only the tiny per-bucket-totals window may be single-partition."""
+    plan = _formatted_plan(spark, "sequence_packing_documents", sf_dir)
+    assert re.search(r"hashpartitioning\(__bucket", plan)
+    # exactly one deliberate single-partition exchange (bucket totals)
+    assert len(re.findall(r"SinglePartition", plan)) == 1
+
+
+def test_group_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["label"], r["pos"]): r["centroid_v"]
+        for r in sim.group_centroids(emb, "label").collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for label, vecs in by_label.items():
+        mean = np.mean(np.array(vecs, dtype="float64"), axis=0)
+        for pos in range(len(mean)):
+            assert abs(got[(label, pos)] - mean[pos]) < 1e-9
+
+
 def test_hub_rows_prune_to_business_key(spark, sf_dir):
     plan = _formatted_plan(spark, "dv_hub_customer", sf_dir)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
