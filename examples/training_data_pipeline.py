@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Worked example: a 100 TB-shaped LLM training-data pipeline on the
+synthetic corpus.
+
+Chain: quality + repetition filters → PII scrub → exact dedup → MinHash-LSH
+near-dedup → benchmark decontamination → deterministic split → sequence
+packing. Every stage is a DataFrame→DataFrame operator from this package —
+the same composition runs unchanged on a cluster; only the input path and
+the LSH ``checkpoint_dir`` change.
+
+Run: ``python examples/training_data_pipeline.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import dedup, packing, sampling, text
+from pyspark_playground_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-data-pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality + repetition gates (Gopher-style): keep plausible prose
+    scored = text.quality_score(text.repetition_metrics(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("top_ngram_fraction") <= 0.30)
+        & (F.col("duplicate_line_fraction") <= 0.30)
+    )
+
+    # 2. redaction: mask emails/URLs in place
+    scrubbed = text.scrub_pii(kept.select("doc_id", "text", "lang", "source")).select(
+        "doc_id", F.col("scrubbed").alias("text"), "lang", "source"
+    )
+
+    # 3. exact dedup, then MinHash-LSH near-dedup (drop the higher id of
+    # each near-dup pair)
+    exact = dedup.exact_dedup(scrubbed)
+    near_pairs = dedup.minhash_dedup_pairs(exact, threshold=0.8)
+    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = exact.join(drop_ids, "doc_id", "left_anti")
+
+    # 4. decontamination vs a stand-in benchmark set
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    contaminated = dedup.ngram_contamination(deduped, bench, n=8).select(
+        "doc_id"
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # 5. deterministic split + sequence packing for the train shard
+    split = sampling.assign_split(clean, ["doc_id"])
+    train = split.filter(F.col("split") == "train").select(
+        "doc_id", text.token_count_expr("text").alias("n_tokens")
+    )
+    packed = packing.assign_sequence_offsets(
+        train, token_count_column="n_tokens", seq_len=2048, bucket_size=64
+    )
+
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("seq_id") + 1).alias("sequences"),
+    ).first()
+    n_kept = kept.count()
+    n_dedup = deduped.count()
+    n_clean = clean.count()
+    print(f"corpus {n0} -> quality {n_kept} -> dedup {n_dedup} -> clean {n_clean}")
+    print(
+        f"train shard: {stats['docs']} docs, {stats['tokens']} tokens, "
+        f"{stats['sequences']} sequences of 2048"
+    )
+    assert n0 >= n_kept >= n_dedup >= n_clean > 0
+    assert stats["sequences"] >= 1
+    print("PIPELINE OK")
+
+
+if __name__ == "__main__":
+    main()
