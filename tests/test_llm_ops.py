@@ -77,6 +77,25 @@ def test_minhash_signature_varies_by_perm(spark):
     assert len(set(sig)) > 1  # regression: perm seed must vary per lane
 
 
+def test_simhash_signatures_match_expression_form(docs, spark):
+    """The explode+sum signature pipeline must equal the per-row expression
+    form bit-for-bit, in both hash modes."""
+    from pyspark_playground_spark.operators.dedup import simhash_expr
+
+    for portable in (False, True):
+        agg = {
+            r["doc_id"]: r["simhash"]
+            for r in dd.simhash_signatures(docs, portable=portable).collect()
+        }
+        expr = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", simhash_expr("text", portable=portable).alias("s")
+            ).collect()
+        }
+        assert agg == expr
+
+
 def test_simhash_near_dups(docs, spark):
     pairs = dd.simhash_dedup_pairs(docs, max_hamming=16).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
