@@ -480,6 +480,67 @@ class RawVault:
             to_resolution=to_resolution, load_ts=load_ts,
         )
 
+    def load_link_from_prepared_staging_table(
+        self,
+        staging_table_name: str,
+        name: str,
+        *,
+        from_name: str,
+        to_name: str,
+        fk_column: str,
+        to_resolution: DataFrame | None = None,
+        load_ts: datetime | None = None,
+    ) -> None:
+        """2-ary FK link from the prepared staging table (reference
+        ``load_link_for_linked_source_tables_from_prepared_staging_tables``,
+        RawVault.py:262-281)."""
+        self.load_link(
+            self._staged(staging_table_name), name,
+            from_name=from_name, to_name=to_name, fk_column=fk_column,
+            to_resolution=to_resolution, load_ts=load_ts,
+        )
+
+    def load_multilink_from_prepared_staging_table(
+        self,
+        staging_table_name: str,
+        name: str,
+        members: Sequence[LinkedHubDefinition],
+        *,
+        load_ts: datetime | None = None,
+        resolutions: dict[str, DataFrame] | None = None,
+    ) -> None:
+        """N-ary link from a staged association table (reference
+        ``load_link_from_prepared_stage_table``, RawVault.py:634-645)."""
+        self.load_multilink(
+            self._staged(staging_table_name), name, members,
+            load_ts=load_ts, resolutions=resolutions,
+        )
+
+    def load_multilink_from_source_table(
+        self,
+        source_table_name: str,
+        name: str,
+        members: Sequence[LinkedHubDefinition],
+        *,
+        load_date_column: str,
+        operation_column: str | None,
+        load_ts: datetime | None = None,
+        resolutions: dict[str, DataFrame] | None = None,
+        **stage_kwargs,
+    ) -> None:
+        """Stage-then-load for an N-ary association link (reference
+        ``load_link_from_source_table``, RawVault.py:647-658 — which routes
+        to load_multilink; the staged hkey is the member FK columns)."""
+        staged = self.stage_table(
+            source_table_name,
+            f"{self.config.staging_base_path}/{source_table_name}.parquet",
+            load_date_column=load_date_column,
+            operation_column=operation_column,
+            hkey_columns=[m.foreign_key for m in members],
+            **stage_kwargs,
+        )
+        self.load_multilink(staged, name, members, load_ts=load_ts, resolutions=resolutions)
+
     def load_references_from_table(
         self, staging_table_name: str, name: str, id_column: str, attributes: Sequence[str]
     ) -> None:

@@ -96,6 +96,48 @@ def test_load_link_from_source_table(raw, spark):
     assert eff.filter(eff[C.deleted()]).count() >= 1  # m1→d1 closed
 
 
+def test_load_multilink_from_source_table(raw, spark):
+    from pyspark_playground_spark.conventions import LinkedHubDefinition
+
+    base = raw.config.staging_base_path
+    spark.createDataFrame(
+        [
+            ("create", T1, "m1", "a1"),
+            ("create", T1, "m2", "a2"),
+            ("create", T2, "m1", "a2"),
+        ],
+        "OPERATION string, LOAD_DATE timestamp, MOVIE_ID string, ACTOR_ID string",
+    ).write.mode("overwrite").parquet(f"{base}/castings.parquet")
+    members = [
+        LinkedHubDefinition("movies", "MOVIE_ID"),
+        LinkedHubDefinition("actors", "ACTOR_ID"),
+    ]
+    raw.create_link("castings", [C.hkey_of("movies"), C.hkey_of("actors")])
+    raw.load_multilink_from_source_table(
+        "castings", "castings", members,
+        load_date_column="LOAD_DATE", operation_column="OPERATION", load_ts=T2,
+    )
+    link = spark.table(f"stw_raw.{C.link_name('castings')}")
+    assert link.count() == 3
+    # staged-table variant is idempotent over the same batch
+    raw.load_multilink_from_prepared_staging_table(
+        "castings", "castings", members, load_ts=T2
+    )
+    assert spark.table(f"stw_raw.{C.link_name('castings')}").count() == 3
+
+
+def test_load_link_from_prepared_staging_table(raw, spark):
+    # 'movies' staging table was written by test_load_hub_from_source_table;
+    # reuse it for the staged 2-ary variant (idempotent vs the source run)
+    raw.load_link_from_prepared_staging_table(
+        "movies", "movies_directors",
+        from_name="movies", to_name="directors", fk_column="DIRECTOR_ID",
+        load_ts=T2,
+    )
+    link = spark.table(f"stw_raw.{C.link_name('movies_directors')}")
+    assert link.count() == 3
+
+
 def test_load_code_references_from_tables(raw, spark):
     """≥2 source tables into one shared code-ref table, group per table."""
     for t in ("cctl_genre", "cctl_rating"):
