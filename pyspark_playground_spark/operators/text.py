@@ -27,9 +27,13 @@ STOPWORDS_EN = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it"]
 
 
 def tokens_expr(text: str | Column) -> Column:
-    """Whitespace tokenization of lower-cased, trimmed text."""
+    """Whitespace tokenization of lower-cased text; empty tokens are
+    dropped, so leading/trailing whitespace of ANY kind (``F.trim`` only
+    strips ASCII spaces — newlines/tabs slip through) and an all-whitespace
+    document both behave: no phantom ``''`` token inflating counts or
+    leaking into n-grams. Matches Python ``str.split()`` semantics."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
 def bpe_ish_tokens_expr(text: str | Column) -> Column:
@@ -66,7 +70,10 @@ def ngrams_expr(text: str | Column, n: int = 2) -> Column:
         )
         return F.slice(paired, 1, F.greatest(n_tokens - 1, F.lit(1)))
     idx = F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # A token-less document yields no grams (not [''], which sequence(0,0)
+    # over an empty token array would otherwise produce).
+    return F.when(n_tokens == 0, F.array().cast("array<string>")).otherwise(grams)
 
 
 def top_ngrams(

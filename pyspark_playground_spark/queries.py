@@ -555,8 +555,9 @@ from pyspark_playground_spark.operators import multimodal as mm  # noqa: E402
 from pyspark_playground_spark.operators import similarity as sim  # noqa: E402
 from pyspark_playground_spark.operators import text as tx  # noqa: E402
 
-#: DuckDB mirror of text.tokens_expr
-_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+#: DuckDB mirror of text.tokens_expr (empty tokens dropped, so edge
+#: whitespace of any kind and all-whitespace docs count zero tokens)
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 _STOPS = ",".join(f"'{w}'" for w in tx.STOPWORDS_EN)
 
 
@@ -615,7 +616,10 @@ def doc_fingerprint_documents(spark, sf_dir):
 
 
 def _duck_shingles(alias: str) -> str:
-    toks = f"string_split_regex(trim(lower({alias}.text)), '\\s+')"
+    toks = (
+        f"list_filter(string_split_regex(lower({alias}.text), '\\s+'),"
+        f" x -> x <> '')"
+    )
     return (
         f"list_distinct([array_to_string(({toks})[i:i+2], ' ')"
         f" FOR i IN range(1, greatest(len({toks}) - 2, 1) + 1)])"

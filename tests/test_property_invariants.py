@@ -206,3 +206,93 @@ def test_late_event_keeps_reads_correct(spark):
         all_eff.orderBy(F.col(C.load_date()).desc()).select(C.deleted()).first()[0]
     )
     assert latest is False
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operator invariants (round 2)
+# ---------------------------------------------------------------------------
+
+from pyspark_playground_spark.operators import packing as _pk
+from pyspark_playground_spark.operators import text as _tx
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 3_000)),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    seq_len=st.sampled_from([128, 2048]),
+    bucket_size=st.sampled_from([1, 7, 64]),
+)
+def test_packing_prefix_sum_invariants(spark, data, seq_len, bucket_size):
+    """Two-phase packing == exclusive prefix sum in doc_id order, for any
+    sparse id distribution, bucket size, and token counts (incl. zeros)."""
+    df = spark.createDataFrame(data, "doc_id int, n_tokens int")
+    rows = sorted(
+        _pk.assign_sequence_offsets(
+            df, token_count_column="n_tokens",
+            seq_len=seq_len, bucket_size=bucket_size,
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expect = 0
+    for r in rows:
+        assert r["global_offset"] == expect
+        assert r["seq_id"] == r["global_offset"] // seq_len
+        assert r["offset_in_seq"] == r["global_offset"] % seq_len
+        expect += r["n_tokens"]
+
+
+_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab x\n\t.!🙂é")), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_TEXT, min_size=1, max_size=6))
+def test_repetition_metrics_bounded(spark, texts):
+    """Every repetition ratio lies in [0, 1] for arbitrary text (unicode,
+    newlines, empty) — no division blowups, no negative counts."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    for r in _tx.repetition_metrics(df).collect():
+        for c in ("duplicate_line_fraction", "duplicate_line_char_fraction",
+                  "duplicate_ngram_fraction", "top_ngram_fraction"):
+            assert 0.0 <= r[c] <= 1.0, (c, r[c], texts[r["doc_id"]])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_TEXT, min_size=1, max_size=6))
+def test_ngrams_fast_path_matches_python_reference(spark, texts):
+    """The zip_with 2-gram fast path equals a plain Python re-implementation
+    of the documented semantics (non-empty whitespace tokens of lower-cased
+    text, i.e. Python str.split(); short docs yield their full token run as
+    one gram; token-less docs yield no grams). Also pins the n>=3 transform
+    branch against the same reference."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    res = df.select(
+        "doc_id",
+        _tx.ngrams_expr("text", 2).alias("g2"),
+        _tx.ngrams_expr("text", 3).alias("g3"),
+    ).collect()
+    got2 = {r["doc_id"]: r["g2"] for r in res}
+    got3 = {r["doc_id"]: r["g3"] for r in res}
+
+    def ref(t, n):
+        toks = t.lower().split()
+        if not toks:
+            return []
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+
+    for i, t in enumerate(texts):
+        assert got2[i] == ref(t, 2), (t, 2)
+        assert got3[i] == ref(t, 3), (t, 3)
