@@ -1,0 +1,166 @@
+"""Distributed connected components for dedup-cluster merging.
+
+Near-dup detection (MinHash/LSH, SimHash, embedding-cosine — see
+``operators/dedup.py`` / ``operators/similarity.py``) emits candidate
+*pairs*; production pipelines then need the transitive closure — if A~B
+and B~C, then {A, B, C} is one duplicate cluster with one canonical
+representative. That closure is connected components over the pair graph.
+
+Beyond-reference surface (the reference engine has no graph operator).
+
+Algorithm: the alternating **large-star / small-star** method of Kiveris,
+Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected Components in
+MapReduce and Beyond" (SoCC'14) — the standard shuffle-based CC algorithm:
+
+- ``large-star``: every node points its *larger* neighbors at the minimum
+  of its neighborhood (including itself).
+- ``small-star``: every node points its *smaller-or-equal* neighbors and
+  itself at the minimum of those.
+
+Each operation is one ``groupBy(node).min`` plus one self-join — two key
+shuffles — and provably converges to star graphs rooted at each
+component's minimum node in O(log n) rounds (in practice 2-4 rounds for
+dedup graphs, whose clusters are near-cliques). This is the 100 TB shape:
+no driver-side state, per-round cost linear in the edge count, and the
+edge set *shrinks* monotonically toward one edge per non-root node.
+
+Why not plain min-label propagation: its round count is the graph
+*diameter*, which an adversarial chain makes O(n); large-star/small-star
+is O(log n) regardless of shape.
+
+Each round materializes the new edge set (lineage truncation — an
+iterative join would otherwise double the plan per round, the same trap
+documented in ``dedup._materialize``): ``localCheckpoint`` by default,
+reliable ``checkpoint_dir`` for cluster runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators.dedup import _materialize
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (u > v) pairs, self-loops dropped."""
+    u, v = F.col(src).alias("u"), F.col(dst).alias("v")
+    return (
+        edges.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, with m(u) = min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("mn"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every smaller neighbor v of u, plus (u, m(u)).
+
+    Operates on the big→small orientation the preceding large-star (or
+    ``_canonical_edges``) guarantees.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = edges.join(mins, "u")
+    rewired = with_min.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return rewired.union(self_edges).where(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # Sum the 64-bit hashes in decimal(38,0): a bigint sum overflows under
+    # ANSI mode after a handful of edges, and order-independence is required.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return row["n"], int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge list.
+
+    Returns ``(node, component)`` for every node that appears in an edge,
+    where ``component`` is the smallest node id in that node's component
+    (the usual canonical label). Isolated nodes never appear in an edge
+    list; callers wanting them keep ``coalesce(component, id)`` after a
+    left join — see ``dedup_clusters``.
+
+    Deterministic: output depends only on the edge set.
+    """
+    cur = _materialize(_canonical_edges(edges, src, dst), checkpoint_dir)
+    fp = _edge_fingerprint(cur)
+    for _ in range(max_iterations):
+        nxt = _materialize(_small_star(_large_star(cur)), checkpoint_dir)
+        nfp = _edge_fingerprint(nxt)
+        cur.unpersist()
+        cur, prev_fp, fp = nxt, fp, nfp
+        if nfp == prev_fp:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # Converged edge set is a star forest: (node, root) for node != root.
+    roots = cur.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return members.union(roots)
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_column: str = "doc_id",
+    pair_left: str = "id_a",
+    pair_right: str = "id_b",
+    *,
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Stamp every row of ``df`` with its duplicate-cluster id.
+
+    ``pairs`` is any near-dup pair output (MinHash/SimHash/embedding).
+    Adds ``cluster_id`` (the smallest ``id_column`` value in the row's
+    cluster; singletons cluster with themselves) and ``is_canonical``
+    (true for the one row to keep per cluster). Downstream dedup is then
+    ``df.where("is_canonical")``.
+    """
+    comps = connected_components(
+        pairs,
+        pair_left,
+        pair_right,
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("node", id_column)
+    out = df.join(comps, id_column, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_column))
+    )
+    return out.drop("component").withColumn(
+        "is_canonical", F.col(id_column) == F.col("cluster_id")
+    )

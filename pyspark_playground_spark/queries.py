@@ -1738,3 +1738,32 @@ def nations_with_customers_and_suppliers(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+from pyspark_playground_spark.operators import graph as gr  # noqa: E402
+
+
+@query(
+    "connected_components_documents",
+    """
+    SELECT doc_id AS node,
+           min(doc_id) OVER (PARTITION BY source) AS component
+    FROM documents
+    """,
+)
+def connected_components_documents(spark, sf_dir):
+    """Distributed connected components (operators/graph.py — the SoCC'14
+    alternating large-star/small-star algorithm) over a per-source chain
+    graph: doc i is paired with its successor within the same source, so
+    every source forms a 25-node *path* — the worst case for plain label
+    propagation and a real O(log n) convergence exercise. The oracle is the
+    closed form: each path's component is the source's minimum doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select("source", "doc_id", F.lead("doc_id").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return gr.connected_components(pairs).select("node", "component")

@@ -1,0 +1,95 @@
+"""Connected-components (large-star/small-star) tests: hand-built graphs,
+a hypothesis sweep against a plain union-find reference, and the
+dedup_clusters convenience."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import graph as G
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    return {
+        (r["node"], r["component"])
+        for r in G.connected_components(df, **kw).collect()
+    }
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {(x, find(x)) for x in parent}
+
+
+def test_two_cliques_and_bridge(spark):
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12)]
+    assert _cc(spark, tri1 + tri2) == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+    }
+    # Bridging edge merges the two components.
+    assert _cc(spark, tri1 + tri2 + [(3, 10)]) == {
+        (n, 1) for n in (1, 2, 3, 10, 11, 12)
+    }
+
+
+def test_chain_converges_logarithmically(spark):
+    """A 60-node path is the worst case for label propagation (diameter 59);
+    large-star/small-star must still converge within the iteration cap."""
+    chain = [(i, i + 1) for i in range(60)]
+    assert _cc(spark, chain, max_iterations=12) == {(i, 0) for i in range(61)}
+
+
+def test_self_loops_duplicates_and_reversed_edges(spark):
+    pairs = [(5, 5), (1, 2), (2, 1), (2, 1), (7, 6)]
+    assert _cc(spark, pairs) == {(1, 1), (2, 1), (6, 6), (7, 6)}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=60,
+    )
+)
+def test_matches_union_find_reference(spark, pairs):
+    want = _union_find([p for p in pairs if p[0] != p[1]])
+    if not want:  # all self-loops
+        assert _cc(spark, pairs) == set()
+    else:
+        assert _cc(spark, pairs) == want
+
+
+def test_dedup_clusters_canonical_rows(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a bigint, id_b bigint"
+    )
+    out = G.dedup_clusters(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert {r["doc_id"]: r["cluster_id"] for r in out} == {
+        0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0, 6: 6, 7: 6,
+    }
+    canon = {i for i, r in by_id.items() if r["is_canonical"]}
+    assert canon == {0, 1, 2, 4, 6}
+    # Dedup keeps exactly one row per cluster.
+    kept = [r for r in out if r["is_canonical"]]
+    assert len(kept) == len({r["cluster_id"] for r in out})
