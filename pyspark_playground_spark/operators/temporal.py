@@ -1,0 +1,239 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Beyond-reference surface (the reference engine has neither operator); the
+semantics follow the de-facto public standards — ``pandas.merge_asof`` for
+the as-of join and DuckDB/kdb ``ASOF JOIN`` match rules — re-expressed as
+shuffle-lean DataFrame plans.
+
+**As-of join, the scalable way.** The naive plan — inequality join then
+``row_number() == 1`` — explodes to O(|L| x |R|) per key before pruning,
+which is exactly the shape that dies at 100 TB. Instead ``asof_join``
+builds the classic *union-merge* plan:
+
+1. tag left rows ``side=1`` and right rows ``side=0``, union them on the
+   shared ``(by, on)`` columns (right payload packed into one struct,
+   ``NULL`` on left rows);
+2. one window over ``partitionBy(by) orderBy(on, side, payload)`` takes
+   ``last(payload, ignorenulls=True)`` (backward) / ``first`` (forward) —
+   every left row picks up the nearest right row in a single pass;
+3. keep ``side=1`` rows and unpack the struct.
+
+Cost: ONE shuffle of |L|+|R| rows on the ``by`` key, no duplication, and
+whole-stage-codegen window evaluation — the same plan a hand-written
+merge join would produce. Ties: at equal ``on`` the right row is eligible
+("at or before/after", matching ``merge_asof(allow_exact_matches=True)``
+and DuckDB ``ASOF``); among several right rows with identical ``on`` the
+struct-ordered extreme wins (max for backward, min for forward) so output
+is deterministic.
+
+Skew note: a single hot ``by`` key serializes into one task. For the
+degenerate no-``by`` global as-of, or a pathological key, pre-split by
+coarse time bucket and as-of within buckets carrying the previous
+bucket's tail — the building blocks here compose to that plan.
+
+**Range join** (point-in-interval) uses *bin replication*: each interval
+is exploded to the fixed-width bins it covers, points hash to their bin,
+and the match becomes an equi-join on ``(by, bin)`` plus a residual
+filter — the standard trick (cf. Databricks' range-join bin hints) that
+turns an O(n x m) theta join into a shuffle join whose fan-out is
+``interval_span / bin_width``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_list(v: str | Sequence[str] | None) -> list[str]:
+    if v is None:
+        return []
+    return [v] if isinstance(v, str) else list(v)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    direction: str = "backward",
+    tolerance: str | int | float | None = None,
+    right_columns: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for every left row, the nearest right row by ``on``.
+
+    ``on`` and ``by`` columns must exist under the same name on both sides
+    (``pandas.merge_asof`` shared-key form). ``direction``:
+
+    - ``"backward"`` — latest right row with ``right.on <= left.on``;
+    - ``"forward"`` — earliest right row with ``right.on >= left.on``;
+    - ``"nearest"`` — closer of the two (ties prefer backward).
+
+    ``tolerance`` bounds the staleness: an interval body string for
+    timestamp keys (e.g. ``"7 days"``, ``"30 minutes"``) or a number for
+    numeric keys; matches farther than that become NULL (left row kept).
+
+    Output: every left row and column, plus the matched right columns
+    (``right_columns`` or all non-key right columns); the matched ``on``
+    value and any name colliding with a left column get ``suffix``.
+    Left-join semantics — unmatched left rows survive with NULLs.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest: {direction}")
+    by_cols = _as_list(by)
+    for col in [on, *by_cols]:
+        if col not in left.columns or col not in right.columns:
+            raise ValueError(f"key column {col!r} must exist on both sides")
+    rcols = list(
+        right_columns
+        if right_columns is not None
+        else [c for c in right.columns if c != on and c not in by_cols]
+    )
+
+    rtypes = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    payload_type = T.StructType(
+        [T.StructField("__on", rtypes[on])]
+        + [T.StructField(c, rtypes[c]) for c in rcols]
+    )
+    payload = F.struct(
+        F.col(on).alias("__on"), *[F.col(c).alias(c) for c in rcols]
+    ).cast(payload_type)
+
+    keys = set(by_cols) | {on}
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(payload_type)
+    )
+    rhs = right.select(
+        *[
+            F.col(f.name) if f.name in keys
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+        ],
+        F.lit(0).alias("__side"),
+        payload.alias("__r"),
+    )
+    unified = lhs.unionByName(rhs)
+
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    out = unified
+    if need_b:
+        wb = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__r").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+    if need_f:
+        wf = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), F.col("__side").desc(), F.col("__r").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = out.withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+    out = out.where(F.col("__side") == 1)
+
+    tol: Column | None = None
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+
+    def _gate(m: Column, diff: Column) -> Column:
+        if tol is None:
+            return m
+        return F.when(diff <= tol, m)
+
+    if direction == "backward":
+        matched = _gate(F.col("__mb"), F.col(on) - F.col("__mb.__on"))
+    elif direction == "forward":
+        matched = _gate(F.col("__mf"), F.col("__mf.__on") - F.col(on))
+    else:
+        mb = _gate(F.col("__mb"), F.col(on) - F.col("__mb.__on"))
+        mf = _gate(F.col("__mf"), F.col("__mf.__on") - F.col(on))
+        db, df_ = F.col(on) - mb["__on"], mf["__on"] - F.col(on)
+        matched = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(df_ < db, mf)
+            .otherwise(mb)
+        )
+    out = out.withColumn("__m", matched)
+
+    taken = set(left.columns)
+
+    def _outname(c: str) -> str:
+        name = f"{c}{suffix}" if c in taken else c
+        taken.add(name)
+        return name
+
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col("__m.__on").alias(_outname(on)))
+    proj.extend(F.col(f"__m.{c}").alias(_outname(c)) for c in rcols)
+    return out.select(*proj)
+
+
+def _bin_of(col: Column, dtype: T.DataType, bin_width: int | float) -> Column:
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # bin_width in seconds for timestamp keys
+        return F.floor(F.unix_micros(col) / F.lit(int(bin_width * 1_000_000)))
+    return F.floor(col / F.lit(bin_width))
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_column: str,
+    start_column: str,
+    end_column: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    bin_width: int | float | None = None,
+    include_end: bool = False,
+) -> DataFrame:
+    """Join each point row to every interval row containing it.
+
+    Containment is ``start <= p < end`` (``include_end=True`` closes the
+    right edge). With ``bin_width`` (seconds for timestamp keys, key units
+    otherwise) each interval is exploded to its covered bins and the match
+    runs as an equi-join on ``(by..., bin)`` + residual filter — pick a
+    width near the typical interval span so fan-out stays O(1). Without it
+    the plan is an equi-join on ``by`` alone (requires ``by``; fine when
+    per-key row counts are small, quadratic per key when they are not).
+
+    Output: all point columns + all interval columns (shared ``by`` names
+    appear once).
+    """
+    by_cols = _as_list(by)
+    if bin_width is None and not by_cols:
+        raise ValueError("range_join without bin_width requires a by key")
+    p_dtype = dict(zip(points.schema.names, [f.dataType for f in points.schema.fields]))[
+        point_column
+    ]
+    lo = F.col(start_column) <= F.col(point_column)
+    hi = (
+        F.col(point_column) <= F.col(end_column)
+        if include_end
+        else F.col(point_column) < F.col(end_column)
+    )
+    if bin_width is None:
+        return points.join(intervals, by_cols, "inner").where(lo & hi)
+
+    pts = points.withColumn("__bin", _bin_of(F.col(point_column), p_dtype, bin_width))
+    ivs = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _bin_of(F.col(start_column), p_dtype, bin_width),
+                _bin_of(F.col(end_column), p_dtype, bin_width),
+            )
+        ),
+    )
+    return pts.join(ivs, by_cols + ["__bin"], "inner").where(lo & hi).drop("__bin")

@@ -1767,3 +1767,88 @@ def connected_components_documents(spark, sf_dir):
         .select(F.col("doc_id").alias("src"), F.col("nxt").alias("dst"))
     )
     return gr.connected_components(pairs).select("node", "component")
+
+
+from pyspark_playground_spark.operators import temporal as tp  # noqa: E402
+
+
+@query(
+    "asof_view_attribution_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+          FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, v.view_event_id
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_view_attribution_events(spark, sf_dir):
+    """As-of join (operators/temporal.py): every purchase attributed to the
+    same user's latest view at-or-before it — the single-shuffle
+    union+window plan, checked against DuckDB's native ASOF JOIN. Views
+    are pre-deduped to unique (user_id, ts) so both engines' equal-key
+    tie rules coincide."""
+    e = load_events(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return tp.asof_join(p, v, "ts", "user_id").select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("view_ts"), "view_event_id",
+    )
+
+
+@query(
+    "range_join_session_events",
+    f"""
+    WITH e AS ({EVENTS_N}), s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), iv AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT iv.user_id, iv.session_start, iv.session_end,
+           count(*) AS n_points
+    FROM iv JOIN e ON e.user_id = iv.user_id
+                  AND e.ts >= iv.session_start AND e.ts < iv.session_end
+    GROUP BY iv.user_id, iv.session_start, iv.session_end
+    """,
+)
+def range_join_session_events(spark, sf_dir):
+    """Range join (operators/temporal.py): events matched back into their
+    user's session intervals via bin replication (30-minute bins), then
+    counted per interval. The oracle runs the same containment as a plain
+    inequality join over gaps-and-islands sessions."""
+    e = load_events(spark, sf_dir)
+    iv = (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+        )
+    )
+    joined = tp.range_join(
+        e.select("user_id", "ts"), iv,
+        "ts", "session_start", "session_end", "user_id", bin_width=1800,
+    )
+    return joined.groupBy("user_id", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )

@@ -1,0 +1,138 @@
+"""As-of join and range join: hand cases pinning tie/tolerance semantics,
+a hypothesis sweep against pandas.merge_asof, and bin-replication checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import temporal as tp
+
+
+def _asof(spark, left, right, **kw):
+    ldf = spark.createDataFrame(left, "k bigint, t bigint, lv string")
+    rdf = spark.createDataFrame(right, "k bigint, t bigint, rv string")
+    rows = tp.asof_join(ldf, rdf, "t", "k", **kw).collect()
+    return {(r["k"], r["t"], r["lv"]): (r["t_right"], r["rv"]) for r in rows}
+
+
+def test_backward_basic_and_exact_match(spark):
+    left = [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")]
+    right = [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")]
+    out = _asof(spark, left, right)
+    assert out == {
+        (1, 10, "a"): (10, "r10"),  # equal ts matches (at-or-before)
+        (1, 20, "b"): (15, "r15"),
+        (2, 5, "c"): (None, None),  # nothing at or before -> NULL, row kept
+    }
+
+
+def test_forward_and_nearest(spark):
+    left = [(1, 10, "a"), (1, 14, "b")]
+    right = [(1, 12, "r12"), (1, 15, "r15")]
+    assert _asof(spark, left, right, direction="forward") == {
+        (1, 10, "a"): (12, "r12"),
+        (1, 14, "b"): (15, "r15"),
+    }
+    assert _asof(spark, left, right, direction="nearest") == {
+        (1, 10, "a"): (12, "r12"),
+        (1, 14, "b"): (15, "r15"),  # 14 is 2 from 12 and 1 from 15
+    }
+    # nearest tie (13 is 1 from both) prefers backward
+    assert _asof(spark, [(1, 13, "x")], right, direction="nearest") == {
+        (1, 13, "x"): (12, "r12"),
+    }
+
+
+def test_numeric_tolerance(spark):
+    left = [(1, 100, "a"), (1, 200, "b")]
+    right = [(1, 90, "r90"), (1, 199, "r199")]
+    assert _asof(spark, left, right, tolerance=10) == {
+        (1, 100, "a"): (90, "r90"),
+        (1, 200, "b"): (199, "r199"),
+    }
+    assert _asof(spark, left, right, tolerance=5) == {
+        (1, 100, "a"): (None, None),  # 10 > 5 -> gated out, row kept
+        (1, 200, "b"): (199, "r199"),
+    }
+
+
+def test_timestamp_tolerance_and_suffix(spark):
+    ldf = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "L")], "k bigint, t string, v string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    rdf = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "R")], "k bigint, t string, v string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    wide = tp.asof_join(ldf, rdf, "t", "k", tolerance="2 hours").collect()[0]
+    assert wide["v"] == "L" and wide["v_right"] == "R"  # collision suffixed
+    tight = tp.asof_join(ldf, rdf, "t", "k", tolerance="30 minutes").collect()[0]
+    assert tight["v_right"] is None
+
+
+def test_duplicate_right_ts_deterministic(spark):
+    right = [(1, 10, "aaa"), (1, 10, "zzz")]
+    out = _asof(spark, [(1, 11, "L")], right)
+    assert out == {(1, 11, "L"): (10, "zzz")}  # max struct wins, stable
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_matches_pandas_merge_asof(spark, data, direction):
+    left = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=25,
+    ))
+    right_keys = data.draw(st.sets(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=25,
+    ))
+    left = [(k, t, f"l{i}") for i, (k, t) in enumerate(left)]
+    right = [(k, t, f"r{k}_{t}") for k, t in sorted(right_keys)]  # unique (k,t)
+
+    lpd = pd.DataFrame(left, columns=["k", "t", "lv"]).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right, columns=["k", "t", "rv"]).sort_values("t", kind="stable")
+    want_df = pd.merge_asof(lpd, rpd, on="t", by="k", direction=direction,
+                            suffixes=("", "_right"))
+    want = {
+        (r.k, r.t, r.lv): r.rv if isinstance(r.rv, str) else None
+        for r in want_df.itertuples()
+    }
+    got = {k: v[1] for k, v in _asof(spark, left, right, direction=direction).items()}
+    assert got == want
+
+
+def _rj(spark, points, intervals, **kw):
+    p = spark.createDataFrame(points, "k bigint, p bigint, pid string")
+    i = spark.createDataFrame(intervals, "k bigint, s bigint, e bigint, iid string")
+    rows = tp.range_join(p, i, "p", "s", "e", "k", **kw).collect()
+    return {(r["pid"], r["iid"]) for r in rows}
+
+
+def test_range_join_bounds_and_bins(spark):
+    points = [(1, 5, "p5"), (1, 10, "p10"), (1, 20, "p20"), (2, 5, "q5")]
+    intervals = [(1, 5, 20, "iv1"), (1, 18, 25, "iv2"), (2, 0, 4, "iv3")]
+    want = {("p5", "iv1"), ("p10", "iv1"), ("p20", "iv2")}  # p < e: 20 not in iv1
+    assert _rj(spark, points, intervals) == want
+    for bw in (1, 3, 7, 100):  # intervals spanning many/few bins agree
+        assert _rj(spark, points, intervals, bin_width=bw) == want
+    assert _rj(spark, points, intervals, include_end=True) == want | {("p20", "iv1")}
+
+
+def test_range_join_timestamp_bins(spark):
+    p = spark.createDataFrame(
+        [(1, "2024-01-01 10:15:00", "a"), (1, "2024-01-01 13:00:00", "b")],
+        "k bigint, ts string, pid string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "w1")],
+        "k bigint, s string, e string, iid string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp"))
+    got = {(r["pid"], r["iid"])
+           for r in tp.range_join(p, iv, "ts", "s", "e", "k", bin_width=900).collect()}
+    assert got == {("a", "w1")}
