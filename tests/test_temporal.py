@@ -136,3 +136,42 @@ def test_range_join_timestamp_bins(spark):
     got = {(r["pid"], r["iid"])
            for r in tp.range_join(p, iv, "ts", "s", "e", "k", bin_width=900).collect()}
     assert got == {("a", "w1")}
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards: the whole point of these operators is their plan
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_asof_join_is_single_shuffle(spark):
+    import re
+    ldf = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("t"), F.lit("l").alias("lv")
+    )
+    rdf = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("t"),
+        F.lit("r").alias("rv"),
+    )
+    plan = _plan(tp.asof_join(ldf, rdf, "t", "k"))
+    # union + one window pass: exactly ONE exchange, no join node at all
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_join_binned_is_equi_join(spark):
+    p = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("p")
+    )
+    iv = spark.range(50).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 20).alias("s"),
+        (F.col("id") * 20 + 15).alias("e"),
+    )
+    plan = _plan(tp.range_join(p, iv, "p", "s", "e", "k", bin_width=10))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
