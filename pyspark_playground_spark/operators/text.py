@@ -401,3 +401,54 @@ def winnowing_fingerprint(
     return selected.withColumn(
         "fingerprint", F.md5(F.concat_ws(",", F.col("fingerprints")))
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Top-k distinctive terms per document by TF-IDF.
+
+    Corpus-wide term weighting in four declarative steps, all map-side
+    combinable: explode tokens -> per-(doc, term) counts (``tf``) ->
+    per-term document frequency (``doc_freq``; the (doc, term) grid is
+    already distinct so a plain count suffices) -> score and rank.
+
+    ``score = tf * ln(N / doc_freq)`` with N the corpus document count,
+    carried as a broadcast one-row cross join — no driver collect, so the
+    plan stays a single job at any corpus size. Ranking deliberately uses
+    the all-integer key ``(tf DESC, doc_freq ASC, term ASC)`` — the same
+    order TF-IDF induces for a fixed document, minus float comparisons,
+    so results are reproducible bit-for-bit across engines and platforms.
+
+    Shuffle census at 100 TB: one on ``(doc, term)``, one on ``term``
+    (both with partial aggregation), the tf⋈doc_freq equi-join on
+    ``term``, and the per-doc top-k window on ``doc`` — no broadcast of
+    anything data-sized, no skew worse than the hottest term.
+    """
+    toks = df.select(
+        F.col(id_column), F.explode(tokens_expr(text_column)).alias("term")
+    )
+    tf = toks.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("__n").cast("double") / F.col("doc_freq")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_column).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_column, "term_rank", "term", "tf", "doc_freq", "score")
+    )

@@ -1852,3 +1852,69 @@ def range_join_session_events(spark, sf_dir):
     return joined.groupBy("user_id", "session_start", "session_end").agg(
         F.count(F.lit(1)).alias("n_points")
     )
+
+
+from pyspark_playground_spark.operators import funnel as fu  # noqa: E402
+
+
+@query(
+    "tfidf_top_terms_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.doc_freq) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.doc_freq ASC,
+                                         tf.term ASC) AS term_rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term_rank, term, tf, doc_freq,
+           printf('%.4f', score) AS score_s
+    FROM ranked WHERE term_rank <= 5
+    """,
+)
+def tfidf_top_terms_documents(spark, sf_dir):
+    """Corpus TF-IDF, top-5 distinctive terms per doc (text.py
+    tf_idf_top_terms): all-integer ranking key so cross-engine order is
+    exact; the float score itself is rendered at 4 decimals."""
+    docs = load(spark, sf_dir, "documents")
+    out = tx.tf_idf_top_terms(docs, k=5)
+    return out.select(
+        "doc_id", "term_rank", "term", "tf", "doc_freq",
+        F.format_string("%.4f", F.col("score")).alias("score_s"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    s1 AS (SELECT user_id, min(ts) AS view_ts FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS click_ts FROM e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.view_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.click_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+           1 + CAST(s2.user_id IS NOT NULL AS INT)
+             + CAST(s3.user_id IS NOT NULL AS INT) AS funnel_depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_view_click_purchase_events(spark, sf_dir):
+    """Ordered funnel view->click->purchase per user (operators/funnel.py):
+    each stage is the earliest event strictly after the previous stage."""
+    e = load_events(spark, sf_dir)
+    return fu.funnel(e, ["view", "click", "purchase"]).select(
+        "user_id", "view_ts", "click_ts", "purchase_ts", "funnel_depth"
+    )

@@ -1,0 +1,74 @@
+"""Funnel ordering semantics and TF-IDF hand-checked math."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import funnel as fu
+from pyspark_playground_spark.operators import text as tx
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in rows], "user_id bigint, ts double, event_type string"
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),  # full depth
+        (2, 5, "click"), (2, 6, "view"),                      # click BEFORE view
+        (3, 7, "view"),                                        # depth 1
+        (4, 9, "purchase"),                                    # never viewed: absent
+    ]
+    out = {
+        r["user_id"]: (r["funnel_depth"], r["view_ts"], r["click_ts"], r["purchase_ts"])
+        for r in fu.funnel(_events(spark, rows), ["view", "click", "purchase"]).collect()
+    }
+    assert out == {
+        1: (3, 1.0, 2.0, 3.0),
+        2: (1, 6.0, None, None),  # pre-view click doesn't count
+        3: (1, 7.0, None, None),
+    }
+
+
+def test_funnel_same_ts_not_counted_and_earliest_wins(spark):
+    rows = [(1, 1, "view"), (1, 1, "click"),  # simultaneous: not strictly after
+            (1, 4, "click"), (1, 2, "click")]  # earliest qualifying click = 2
+    out = fu.funnel(_events(spark, rows), ["view", "click"]).collect()[0]
+    assert (out["view_ts"], out["click_ts"], out["funnel_depth"]) == (1.0, 2.0, 2)
+
+
+def test_funnel_summary_counts(spark):
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"), (2, 2, "click"),
+        (3, 1, "view"),
+    ]
+    got = {
+        (r["stage_index"], r["stage"]): r["n_users"]
+        for r in fu.funnel_summary(
+            _events(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {(1, "view"): 3, (2, "click"): 2, (3, "purchase"): 1}
+
+
+def test_tfidf_hand_example(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id bigint, text string",
+    )
+    out = tx.tf_idf_top_terms(docs, k=2)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 ranks first; banana tf=1 df=2 second
+    assert rows[(1, "apple")]["term_rank"] == 1
+    assert rows[(1, "banana")]["term_rank"] == 2
+    assert rows[(1, "apple")]["tf"] == 2 and rows[(1, "apple")]["doc_freq"] == 1
+    assert math.isclose(rows[(1, "apple")]["score"], 2 * math.log(3 / 1))
+    assert math.isclose(rows[(2, "banana")]["score"], math.log(3 / 2))
+    # rank never exceeds k and restarts per doc
+    assert out.groupBy("doc_id").agg(F.max("term_rank").alias("m")) \
+              .where("m > 2").count() == 0
