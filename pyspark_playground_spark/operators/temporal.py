@@ -237,3 +237,55 @@ def range_join(
         ),
     )
     return pts.join(ivs, by_cols + ["__bin"], "inner").where(lo & hi).drop("__bin")
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_column: str,
+    step: str,
+    by: str | Sequence[str] | None = None,
+    value_columns: Sequence[str] | None = None,
+    *,
+    fill: str = "forward",
+) -> DataFrame:
+    """Regularize a per-key time series: emit one row per ``step`` from each
+    key's first to last observation, filling the gaps.
+
+    ``step`` is an interval body (``"1 hour"``). Missing ticks get NULL
+    observations; ``fill="forward"`` carries each value column's last seen
+    value forward (the hypertable ``locf``), ``fill="none"`` leaves NULLs.
+
+    Plan: per-key min/max agg -> ``sequence()`` spine exploded per key
+    (rows = key's span / step, generated where the key lives, no driver
+    loop) -> left join of observations on ``(by, tick)`` -> one window per
+    fill pass. Two shuffles on the key + the spine join.
+
+    Input timestamps must already be aligned to ``step`` ticks (pre-bucket
+    with ``date_trunc``); unaligned rows would never join a spine row.
+    """
+    if fill not in ("forward", "none"):
+        raise ValueError(f"fill must be forward/none: {fill}")
+    by_cols = _as_list(by)
+    vals = list(
+        value_columns
+        if value_columns is not None
+        else [c for c in df.columns if c != ts_column and c not in by_cols]
+    )
+    interval = F.expr(f"INTERVAL {step}")
+    bounds = df.groupBy(*by_cols).agg(
+        F.min(ts_column).alias("__mn"), F.max(ts_column).alias("__mx")
+    )
+    spine = bounds.select(
+        *by_cols,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), interval)).alias(ts_column),
+    )
+    out = spine.join(df, by_cols + [ts_column], "left")
+    if fill == "forward":
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(ts_column)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in vals:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.select(*by_cols, ts_column, *vals)

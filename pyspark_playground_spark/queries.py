@@ -1918,3 +1918,42 @@ def funnel_view_click_purchase_events(spark, sf_dir):
     return fu.funnel(e, ["view", "click", "purchase"]).select(
         "user_id", "view_ts", "click_ts", "purchase_ts", "funnel_depth"
     )
+
+
+@query(
+    "gap_fill_hourly_events",
+    f"""
+    WITH e AS ({EVENTS_N}), h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id, date_trunc('hour', ts)
+    ), b AS (
+      SELECT user_id, min(hour_ts) AS mn, max(hour_ts) AS mx FROM h GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b
+    )
+    SELECT s.user_id, s.hour_ts,
+           last_value(h.n_events IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.hour_ts
+                   ROWS UNBOUNDED PRECEDING) AS n_events,
+           last_value(h.sum_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.hour_ts
+                   ROWS UNBOUNDED PRECEDING) AS sum_value
+    FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.hour_ts = h.hour_ts
+    """,
+)
+def gap_fill_hourly_events(spark, sf_dir):
+    """Time-series regularization (temporal.py gap_fill): hourly per-user
+    spine from first to last active hour, observations forward-filled
+    (locf) across silent hours — the hypertable gap-fill shape, built as
+    sequence-explode spine + left join + one fill window."""
+    e = load_events(spark, sf_dir)
+    h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return tp.gap_fill(h, "hour_ts", "1 hour", "user_id", ["n_events", "sum_value"])

@@ -175,3 +175,18 @@ def test_range_join_binned_is_equi_join(spark):
     )
     plan = _plan(tp.range_join(p, iv, "p", "s", "e", "k", bin_width=10))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_gap_fill_forward_and_none(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 3, 30.0), (2, 5, 50.0)],
+        "k bigint, t bigint, v double",
+    ).withColumn("t", F.timestamp_seconds(F.col("t") * 3600))
+    filled = tp.gap_fill(df, "t", "1 hour", "k").collect()
+    by_kt = {(r["k"], r["t"].hour): r["v"] for r in filled}
+    assert by_kt == {(1, 0): 10.0, (1, 1): 10.0, (1, 2): 10.0, (1, 3): 30.0,
+                     (2, 5): 50.0}  # per-key bounds: no spine beyond observations
+    sparse = tp.gap_fill(df, "t", "1 hour", "k", fill="none").collect()
+    assert {(r["k"], r["t"].hour): r["v"] for r in sparse} == {
+        (1, 0): 10.0, (1, 1): None, (1, 2): None, (1, 3): 30.0, (2, 5): 50.0,
+    }
