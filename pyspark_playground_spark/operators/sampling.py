@@ -68,6 +68,41 @@ def assign_split(
     return df.withColumn(split_column, expr)
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_columns: str | Sequence[str],
+    key_columns: Sequence[str],
+    *,
+    k: int,
+    order_tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic k-rows-per-stratum sample.
+
+    Rows are ranked inside each stratum by the md5 of their key — a
+    reproducible stand-in for random order — and the first ``k`` kept.
+    Unlike ``df.sampleBy`` (RNG fractions, no exact count, reshuffles on
+    rerun) this yields EXACTLY min(k, |stratum|) rows, the same ones every
+    run and on every engine. One window shuffle on the stratum key; a hot
+    stratum costs one task's sort of that stratum, never a global sort.
+
+    ``order_tiebreak`` (default: the key columns) breaks md5 collisions
+    deterministically.
+    """
+    from pyspark.sql import Window
+
+    groups = [group_columns] if isinstance(group_columns, str) else list(group_columns)
+    keys = [F.col(c).cast("string") for c in key_columns]
+    tiebreak = list(order_tiebreak or key_columns)
+    w = Window.partitionBy(*groups).orderBy(
+        F.md5(F.concat_ws(",", *keys)), *[F.col(c) for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding post-processing
 # ---------------------------------------------------------------------------

@@ -1957,3 +1957,61 @@ def gap_fill_hourly_events(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     return tp.gap_fill(h, "hour_ts", "1 hour", "user_id", ["n_events", "sum_value"])
+
+
+from pyspark_playground_spark.operators import skew as sk  # noqa: E402
+
+
+@query(
+    "salted_join_order_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_order_revenue(spark, sf_dir):
+    """Skew-salted join (operators/skew.py): lineitem⋈orders with a 16-way
+    salt on the join key, then salted two-phase aggregation on priority.
+    Row-identical to the plain join — the oracle is the unsalted SQL."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = sk.salted_join(li, o, ["l_orderkey"], buckets=16)
+    return sk.salted_aggregate(
+        joined.withColumn("price_dec", F.col("l_extendedprice").cast("decimal(18,2)")),
+        ["o_orderpriority"],
+        {"l_orderkey": "count", "price_dec": "sum"},
+        buckets=16,
+    ).select(
+        "o_orderpriority",
+        F.col("count_l_orderkey").alias("n_items"),
+        F.col("sum_price_dec").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "stratified_sample_documents",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= 5
+    """,
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Deterministic k-per-stratum sample (operators/sampling.py
+    sample_k_per_group): rank rows inside each stratum by content hash —
+    a reproducible 'random' order — and keep the first k. Reruns and
+    engines agree exactly; no driver-side sampling state."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.sample_k_per_group(docs, "source", ["doc_id"], k=5).select(
+        "doc_id", "lang", "source"
+    )

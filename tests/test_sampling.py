@@ -44,3 +44,22 @@ def test_normalize_and_quantize(spark):
     assert by[1]["nv"] == pytest.approx([0.6, 0.8])
     assert by[1]["q"] == [76, 102]  # round(0.6*127), round(0.8*127)
     assert by[2]["nv"] == [0.0, 0.0] and by[2]["q"] == [0, 0]
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    from pyspark_playground_spark.operators import sampling as sp
+    df = spark.range(200).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("k")
+    )
+    out = sp.sample_k_per_group(df, "g", ["k"], k=10)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {g: 10 for g in range(7)}
+    # small stratum: keeps all of it
+    tiny = sp.sample_k_per_group(df.where("k < 3"), "g", ["k"], k=10)
+    assert tiny.count() == 3
+    # deterministic under repartitioning
+    a = {(r["g"], r["k"]) for r in out.collect()}
+    b = {(r["g"], r["k"]) for r in
+         sp.sample_k_per_group(df.repartition(13), "g", ["k"], k=10).collect()}
+    assert a == b
