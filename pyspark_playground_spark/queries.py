@@ -2015,3 +2015,136 @@ def stratified_sample_documents(spark, sf_dir):
     return sp.sample_k_per_group(docs, "source", ["doc_id"], k=5).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "cube_revenue_nation_segment",
+    """
+    SELECT n_name, c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, c_mktsegment)
+    """,
+)
+def cube_revenue_nation_segment(spark, sf_dir):
+    """CUBE aggregation (all 2^2 grouping sets in one pass; the rollup
+    entry's sibling) — Spark expands grouping sets before the shuffle so
+    partial aggregation still applies per set."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+             .cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "events_rolling_avg_7",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS avg7
+    FROM e
+    """,
+)
+def events_rolling_avg_7(spark, sf_dir):
+    """7-row trailing moving average per user. The mean is computed as an
+    exact DECIMAL windowed sum divided by the frame count — bit-identical
+    across engines, immune to float summation order (a double windowed avg
+    is not)."""
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "ts",
+        (F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("avg7"),
+    )
+
+
+@query(
+    "event_gap_percentiles",
+    f"""
+    WITH e AS ({EVENTS_N}), g AS (
+      SELECT user_id,
+             epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap_us
+      FROM e
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           quantile_cont(gap_us, 0.50) AS p50_gap_us,
+           quantile_cont(gap_us, 0.95) AS p95_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def event_gap_percentiles(spark, sf_dir):
+    """Inter-event gap distribution per user (lag + exact interpolated
+    percentiles over integer microsecond gaps — engine-exact, see
+    order_value_percentiles)."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.percentile("gap_us", F.lit(0.50)).alias("p50_gap_us"),
+        F.percentile("gap_us", F.lit(0.95)).alias("p95_gap_us"),
+    )
+
+
+from pyspark_playground_spark.operators import quality as ql  # noqa: E402
+
+
+@query(
+    "outlier_docs_by_source",
+    """
+    WITH m AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source
+    ), d AS (
+      SELECT doc_id, documents.source, n_chars, med
+      FROM documents JOIN m ON documents.source = m.source
+    ), a AS (
+      SELECT source, max(med) AS med,
+             quantile_cont(abs(n_chars - med), 0.5) AS mad
+      FROM d GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN a.mad <> 0 THEN (d.n_chars - a.med) / a.mad END AS robust_z,
+           CASE WHEN a.mad <> 0 THEN abs((d.n_chars - a.med) / a.mad) > 3.0
+                ELSE FALSE END AS is_outlier
+    FROM d JOIN a ON d.source = a.source
+    """,
+)
+def outlier_docs_by_source(spark, sf_dir):
+    """Robust per-source length screening (quality.robust_outliers):
+    median/MAD z-score over n_chars — the outlier filter a corpus
+    pipeline runs before training-set admission."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return ql.robust_outliers(docs, "n_chars", "source").select(
+        "doc_id", "source", "n_chars", "robust_z", "is_outlier"
+    )

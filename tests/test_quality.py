@@ -91,3 +91,16 @@ def test_stream_stream_interval_join(spark):
         assert got[0]["user_id"] == 1 and got[0]["purchase_value"] == 9.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_robust_outliers_flags_and_degenerate_group(spark):
+    from pyspark_playground_spark.operators import quality as ql
+    rows = ([("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+            + [("b", 5.0), ("b", 5.0), ("b", 5.0)])  # MAD = 0 group
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["v"]): (r["robust_z"], r["is_outlier"])
+           for r in ql.robust_outliers(df, "v", "g").collect()}
+    assert out[("a", 1000.0)][1] is True
+    assert all(not flag for (g, v), (_, flag) in out.items() if v != 1000.0)
+    # degenerate group: no NaN/div-by-zero, null z, false flag
+    assert out[("b", 5.0)] == (None, False)
