@@ -356,3 +356,80 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def funnel_stateful(
+    stream: DataFrame,
+    stages: list[str],
+    *,
+    ts_column: str = "ts",
+    user_column: str = "user_id",
+    stage_column: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel``: per-user ordered-stage
+    progression maintained as bounded custom state.
+
+    State per user is ``(depth, stage_ts[0..n))`` — O(stages), constant per
+    user forever, regardless of event volume. Each micro-batch advances the
+    stage machine over its rows in event-time order: an event advances the
+    funnel iff it is the next awaited stage AND strictly after the
+    previously reached stage (same strictly-after contract as the batch
+    operator). Emits the user's current funnel row every micro-batch that
+    touches the user (update mode).
+
+    In-order contract: like the CDC loaders, per-user arrival order across
+    micro-batches must respect event time (the batch operator finds the
+    globally earliest chain; replaying history out of order can overshoot
+    — e.g. a late 'view' preceding an already-consumed 'click' can't
+    retroactively form an earlier chain). Stream==batch equivalence under
+    ordered replay is pinned in tests.
+    """
+    n = len(stages)
+    if n == 0:
+        raise ValueError("stages must be non-empty")
+    out_schema = T.StructType(
+        [T.StructField(user_column, T.LongType())]
+        + [T.StructField(f"{s}_ts", T.TimestampType()) for s in stages]
+        + [T.StructField("funnel_depth", T.IntegerType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("depth", T.LongType())]
+        + [T.StructField(f"t{i}", T.LongType()) for i in range(n)]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [0] + [None] * n
+        depth, ts_us = int(vals[0]), vals[1:]
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[[ts_column, stage_column]])
+        events = pd.concat(rows).sort_values(ts_column, kind="stable")
+        for ts, stage in zip(
+            events[ts_column].astype("int64") // 1000, events[stage_column]
+        ):
+            if depth < n and stage == stages[depth]:
+                t = int(ts)
+                if depth == 0 or t > ts_us[depth - 1]:
+                    ts_us[depth] = t
+                    depth += 1
+        state.update(tuple([depth] + ts_us))
+        out = {user_column: [key[0]]}
+        for i, s in enumerate(stages):
+            out[f"{s}_ts"] = [
+                pd.Timestamp(ts_us[i] * 1000) if ts_us[i] is not None else pd.NaT
+            ]
+        out["funnel_depth"] = [depth]
+        yield pd.DataFrame(out)
+
+    return stream.groupBy(user_column).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

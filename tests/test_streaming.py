@@ -6,7 +6,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 import time
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -295,3 +295,60 @@ def test_sessionize_stateful_event_time_timeout(spark, tmpdir):
     assert r["user_id"] == 1 and r["n_events"] == 2
     assert r["session_start"] == datetime(2026, 5, 1, 10, 0)
     assert r["session_end"] == datetime(2026, 5, 1, 10, 35)
+
+
+def test_funnel_stateful_stream_equals_batch(spark, tmpdir):
+    """Ordered replay through the stateful streaming funnel ends in the
+    same per-user state as the batch operator over the full frame."""
+    from pyspark_playground_spark.operators import funnel as fu
+
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    base = datetime(2026, 5, 1, 10, 0)
+    rows = [
+        (1, base, "view", 0.0),
+        (1, base + timedelta(minutes=1), "click", 0.0),
+        (2, base + timedelta(minutes=2), "click", 0.0),  # pre-view click
+        (2, base + timedelta(minutes=3), "view", 0.0),
+        (3, base + timedelta(minutes=4), "view", 0.0),
+    ]
+    late = [
+        (1, base + timedelta(minutes=10), "purchase", 0.0),
+        (2, base + timedelta(minutes=11), "click", 0.0),
+        (3, base + timedelta(minutes=12), "view", 0.0),  # repeat stage ignored
+    ]
+    src = f"{tmpdir}/funnel_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes: FileStreamSource orders by timestamp
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.funnel_stateful(stream, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory").queryName("funnel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_funnel")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # last emission per user = final state
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM funnel_stream ORDER BY funnel_depth"
+    ).collect():
+        final[r["user_id"]] = (
+            r["funnel_depth"], r["view_ts"], r["click_ts"], r["purchase_ts"]
+        )
+    batch = {
+        r["user_id"]: (
+            r["funnel_depth"], r["view_ts"], r["click_ts"], r["purchase_ts"]
+        )
+        for r in fu.funnel(
+            spark.read.parquet(src), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert final == batch
+    assert final[1][0] == 3 and final[2][0] == 2 and final[3][0] == 1
