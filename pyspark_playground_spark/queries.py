@@ -2148,3 +2148,31 @@ def outlier_docs_by_source(spark, sf_dir):
     return ql.robust_outliers(docs, "n_chars", "source").select(
         "doc_id", "source", "n_chars", "robust_z", "is_outlier"
     )
+
+
+@query(
+    "json_props_rollup_events",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_rollup_events(spark, sf_dir):
+    """Semi-structured extraction: the events `props` column is a JSON
+    string; `get_json_object` pulls `$.k` JVM-side (no Python, no schema
+    inference pass) and the rollup aggregates it per event type. The
+    parse happens once per row inside the same codegen stage as the
+    aggregation's partial step."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
