@@ -2,9 +2,10 @@
 """Worked example: a 100 TB-shaped LLM training-data pipeline on the
 synthetic corpus.
 
-Chain: quality + repetition filters → PII scrub → exact dedup → MinHash-LSH
-near-dedup → benchmark decontamination → deterministic split → sequence
-packing. Every stage is a DataFrame→DataFrame operator from this package —
+Chain: quality + repetition + robust-outlier filters → PII scrub → exact
+dedup → MinHash-LSH near-dedup resolved to clusters (connected components)
+with one canonical doc kept per cluster → benchmark decontamination →
+deterministic split → sequence packing. Every stage is a DataFrame→DataFrame operator from this package —
 the same composition runs unchanged on a cluster; only the input path and
 the LSH ``checkpoint_dir`` change.
 
@@ -20,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from pyspark_playground_spark.operators import dedup, packing, sampling, text
+from pyspark_playground_spark.operators import dedup, graph, packing, quality, sampling, text
 from pyspark_playground_spark.session import get_spark
 
 
@@ -37,18 +38,25 @@ def main() -> None:
         & (F.col("top_ngram_fraction") <= 0.30)
         & (F.col("duplicate_line_fraction") <= 0.30)
     )
+    # ... and drop per-source length outliers (median/MAD robust z)
+    kept = quality.robust_outliers(kept, "n_chars", "source").filter(
+        ~F.col("is_outlier")
+    )
 
     # 2. redaction: mask emails/URLs in place
     scrubbed = text.scrub_pii(kept.select("doc_id", "text", "lang", "source")).select(
         "doc_id", F.col("scrubbed").alias("text"), "lang", "source"
     )
 
-    # 3. exact dedup, then MinHash-LSH near-dedup (drop the higher id of
-    # each near-dup pair)
+    # 3. exact dedup, then MinHash-LSH near-dedup: pair list -> transitive
+    # closure (connected components) -> keep ONE canonical doc per cluster.
+    # Pairwise dropping (remove id_b of each pair) over-deletes chains
+    # A~B~C; the closure keeps exactly one representative.
     exact = dedup.exact_dedup(scrubbed)
     near_pairs = dedup.minhash_dedup_pairs(exact, threshold=0.8)
-    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    deduped = exact.join(drop_ids, "doc_id", "left_anti")
+    deduped = graph.dedup_clusters(exact, near_pairs).filter(
+        F.col("is_canonical")
+    ).drop("cluster_id", "is_canonical")
 
     # 4. decontamination vs a stand-in benchmark set
     bench = docs.filter(F.col("doc_id") % 50 == 0)
