@@ -164,3 +164,28 @@ def dedup_clusters(
     return out.drop("component").withColumn(
         "is_canonical", F.col(id_column) == F.col("cluster_id")
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of the undirected graph (one row, ``n_triangles``).
+
+    Standard two-join formulation over the canonical (u > v ordered)
+    edge set: wedges ``a<b<c`` from edges (b,a) and (c,b), closed by
+    probing (c,a). Ordering each triangle as a<b<c counts it exactly
+    once with no post-division. Two equi-joins on single node keys — at
+    scale the shuffle cost is the wedge count, the known lower bound for
+    exact counting; cap the hottest-degree nodes upstream if the degree
+    distribution is adversarial.
+
+    Diagnostic for dedup graphs: triangles/edges ≈ how clique-like the
+    near-dup clusters are (pure chains → 0; k-cliques → k choose 3).
+    """
+    e = _canonical_edges(edges, src, dst)  # (u, v) with u > v
+    ba = e.select(F.col("v").alias("a"), F.col("u").alias("b"))  # a < b
+    cb = e.select(F.col("v").alias("b"), F.col("u").alias("c"))  # b < c
+    ca = e.select(F.col("v").alias("a2"), F.col("u").alias("c2"))
+    wedges = ba.join(cb, "b")
+    closed = wedges.join(
+        ca, (wedges["a"] == ca["a2"]) & (wedges["c"] == ca["c2"])
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

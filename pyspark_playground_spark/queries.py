@@ -2176,3 +2176,45 @@ def json_props_rollup_events(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "triangle_count_documents",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             lead(doc_id) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2
+      FROM documents
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    ), e AS (
+      SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+      UNION
+      SELECT doc_id, n2 FROM d WHERE n2 IS NOT NULL
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count_documents(spark, sf_dir):
+    """Exact triangle counting (graph.triangle_count, wedge-close joins)
+    over per-source chain + skip-level graphs: every consecutive doc
+    triple closes one triangle, so the count is structurally known and
+    the oracle runs the same two-join closure in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    pairs = (
+        d.where(F.col("n1").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("n1").alias("dst"))
+        .union(
+            d.where(F.col("n2").isNotNull())
+            .select("doc_id", F.col("n2"))
+        )
+    )
+    return gr.triangle_count(pairs)

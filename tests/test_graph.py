@@ -93,3 +93,30 @@ def test_dedup_clusters_canonical_rows(spark):
     # Dedup keeps exactly one row per cluster.
     kept = [r for r in out if r["is_canonical"]]
     assert len(kept) == len({r["cluster_id"] for r in out})
+
+
+def test_triangle_count(spark):
+    def tri(pairs):
+        df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        return G.triangle_count(df).first()["n_triangles"]
+
+    assert tri([(1, 2), (2, 3), (1, 3)]) == 1
+    assert tri([(1, 2), (2, 3), (3, 4)]) == 0  # chain: no triangles
+    # K4 has C(4,3)=4 triangles; duplicate/reversed edges don't inflate
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert tri(k4) == 4
+    assert tri([(5, 5)]) == 0  # self-loop only
+
+
+def test_connected_components_random_graph_converges_fast(spark):
+    """A 3000-node graph (random edges + a long chain) converges within the
+    iteration budget and labels match union-find."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [(i, i + 1) for i in range(1000)]  # 1001-node chain
+    pairs += [
+        (rng.randrange(1000, 3000), rng.randrange(1000, 3000)) for _ in range(1500)
+    ]
+    want = _union_find([p for p in pairs if p[0] != p[1]])
+    assert _cc(spark, pairs, max_iterations=15) == want
