@@ -1,0 +1,96 @@
+"""Dataset profiling: column statistics and histograms.
+
+Beyond-reference surface: the "ANALYZE"-shaped operators a pipeline runs
+before trusting a new 100 TB drop — null rates, cardinalities, ranges,
+value distributions. Everything is exact (no sampling) and single-pass
+where the aggregate allows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def column_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """One row per profiled column: row count, non-null count, exact
+    distinct count, and min/max rendered as strings (so heterogeneous
+    column types share one long-format schema).
+
+    All columns are profiled in ONE aggregation pass over the data;
+    Spark expands the multiple exact ``count(DISTINCT)``s internally
+    (one expand + shuffle), which beats a per-column job by the number
+    of columns. For quick looks at petabyte inputs swap
+    ``approx_count_distinct`` in — kept exact here because profiles
+    feed assertions, not dashboards.
+    """
+    cols = list(columns or df.columns)
+    aggs: list = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_non_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_s"),
+                F.col(f"__mx_{c}").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def equi_width_histogram(
+    df: DataFrame, column: str, buckets: int = 20
+) -> DataFrame:
+    """Exact equi-width histogram: ``(bucket, n)`` for buckets 0..buckets-1
+    spanning [min, max].
+
+    For integral columns the bucket index is pure integer arithmetic —
+    ``(x - min) * buckets DIV (max - min + 1)`` — so results are
+    bit-identical on any engine (float-width bucketing misassigns
+    boundary values by one ulp). Floating-point columns fall back to
+    double width with a top-edge clamp.
+
+    Bounds ride a broadcast one-row cross join; one full pass + one
+    shuffle on the bucket id. Empty buckets are emitted with n=0 via a
+    spine so the output always has exactly ``buckets`` rows.
+    """
+    dtype = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))[column]
+    bounds = df.agg(
+        F.min(column).alias("__mn"), F.max(column).alias("__mx")
+    )
+    x, mn, mx = F.col(column), F.col("__mn"), F.col("__mx")
+    if isinstance(dtype, _INTEGRAL):
+        bucket = F.floor(((x - mn) * buckets) / (mx - mn + 1))
+    else:
+        bucket = F.least(
+            F.floor((x - mn) / ((mx - mn) / F.lit(float(buckets)))),
+            F.lit(buckets - 1),
+        )
+    counts = (
+        df.where(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        spine.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )

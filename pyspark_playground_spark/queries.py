@@ -2218,3 +2218,65 @@ def triangle_count_documents(spark, sf_dir):
         )
     )
     return gr.triangle_count(pairs)
+
+
+from pyspark_playground_spark.operators import profiling as pf  # noqa: E402
+
+
+@query(
+    "column_profile_orders",
+    """
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           count(o_orderkey) AS n_non_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def column_profile_orders(spark, sf_dir):
+    """Single-pass exact column profiling (profiling.column_profile):
+    null/cardinality/range stats for four orders columns in one
+    aggregation job (the oracle runs four scans; Spark runs one)."""
+    o = load(spark, sf_dir, "orders")
+    return pf.column_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@query(
+    "histogram_doc_lengths",
+    """
+    WITH b AS (
+      SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+    ), h AS (
+      SELECT CAST((n_chars - mn) * 16 // (mx - mn + 1) AS INT) AS bucket,
+             count(*) AS n
+      FROM documents, b GROUP BY 1
+    )
+    SELECT s.bucket, coalesce(h.n, 0) AS n
+    FROM (SELECT unnest(range(16)) AS bucket) s
+    LEFT JOIN h ON s.bucket = h.bucket
+    """,
+)
+def histogram_doc_lengths(spark, sf_dir):
+    """Exact 16-bucket equi-width histogram of document lengths
+    (profiling.equi_width_histogram) — integer bucket math, so engines
+    agree bit-for-bit; empty buckets emitted as zeros."""
+    docs = load(spark, sf_dir, "documents")
+    return pf.equi_width_histogram(docs, "n_chars", buckets=16)

@@ -1,0 +1,40 @@
+"""Column profiling and histogram exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import profiling as pf
+
+
+def test_column_profile_counts_nulls_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x bigint, s string"
+    )
+    out = {r["column_name"]: r for r in pf.column_profile(df).collect()}
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_non_null"] == 3
+    assert out["x"]["n_distinct"] == 2
+    assert (out["x"]["min_s"], out["x"]["max_s"]) == ("1", "2")
+    assert out["s"]["n_non_null"] == 3 and out["s"]["n_distinct"] == 2
+
+
+def test_histogram_exact_integer_buckets(spark):
+    # values 0..99 into 10 buckets -> exactly 10 each; all edges exact
+    df = spark.range(100).select(F.col("id").alias("v"))
+    out = {r["bucket"]: r["n"] for r in
+           pf.equi_width_histogram(df, "v", buckets=10).collect()}
+    assert out == {b: 10 for b in range(10)}
+
+
+def test_histogram_emits_empty_buckets(spark):
+    df = spark.createDataFrame([(0,), (100,)], "v bigint")
+    out = {r["bucket"]: r["n"] for r in
+           pf.equi_width_histogram(df, "v", buckets=4).collect()}
+    assert out == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+def test_histogram_double_fallback_clamps_max(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "v double")
+    out = {r["bucket"]: r["n"] for r in
+           pf.equi_width_histogram(df, "v", buckets=2).collect()}
+    assert out == {0: 1, 1: 2}  # max value clamped into the last bucket
