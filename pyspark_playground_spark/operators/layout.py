@@ -1,0 +1,92 @@
+"""Physical-layout helpers: Z-order (Morton) clustering keys.
+
+Beyond-reference surface. At 100 TB the scan you avoid is worth more than
+the join you optimize: sorting files by a Z-order interleave of the
+filter columns makes min/max footer stats selective on EVERY interleaved
+dimension at once, so a parquet reader prunes row groups for predicates
+on any of them (a plain sort only prunes its leading column). This is
+the same layout trick Delta's OPTIMIZE ZORDER BY applies; here it is an
+engine-agnostic expression + repartitionByRange, usable with any sink.
+
+Each column is scaled to a ``bits``-wide range with its min/max via
+``floor((x - mn) * (2^bits - 1) / span)`` and the bits interleaved with
+integer shifts. The one division runs on integer-valued doubles — exact
+under IEEE-754 while ``(x - mn) * (2^bits - 1)`` stays below 2^53 (true
+for 16-bit keys over any span below ~2^37) — so the key is reproducible
+on any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scaled(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """Map col into [0, 2^bits) by linear integer scaling."""
+    top = (1 << bits) - 1
+    span = F.greatest(mx - mn, F.lit(1))
+    return ((col - mn) * top) / span  # integral division below
+
+
+def zorder_key_expr(
+    columns: Sequence[Column],
+    mins: Sequence[Column],
+    maxs: Sequence[Column],
+    *,
+    bits: int = 16,
+) -> Column:
+    """Morton interleave of the given integral columns (bit i of column j
+    lands at position ``i * n_cols + j``). ``bits`` per dimension; with
+    the default 16 bits up to 4 columns fit in a bigint."""
+    n = len(columns)
+    if not (1 <= n * bits <= 63):
+        raise ValueError(f"{n} cols x {bits} bits exceeds a bigint")
+    key = F.lit(0).cast("bigint")
+    for j, (c, mn, mx) in enumerate(zip(columns, mins, maxs)):
+        s = F.floor(_scaled(c, mn, mx, bits)).cast("bigint")
+        for i in range(bits):
+            key = key + (F.shiftright(s, i).bitwiseAND(F.lit(1)) * F.lit(1 << (i * n + j)))
+    return key
+
+
+def with_zorder_key(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    bits: int = 16,
+    key_column: str = "zkey",
+) -> DataFrame:
+    """Attach the Z-order key for ``columns`` (integral types), computing
+    each column's min/max in one pass and broadcasting them."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in columns],
+        *[F.max(c).alias(f"__mx_{c}") for c in columns],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    key = zorder_key_expr(
+        [F.col(c) for c in columns],
+        [F.col(f"__mn_{c}") for c in columns],
+        [F.col(f"__mx_{c}") for c in columns],
+        bits=bits,
+    )
+    drop = [f"__mn_{c}" for c in columns] + [f"__mx_{c}" for c in columns]
+    return out.withColumn(key_column, key).drop(*drop)
+
+
+def zorder_repartition(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    num_partitions: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-repartition by the Z-order key (then drop it): rows that are
+    close in every interleaved dimension land in the same output file, so
+    footer min/max stats prune on each dimension. Write the result with
+    any sink; one extra range shuffle is the whole cost."""
+    keyed = with_zorder_key(df, columns, bits=bits)
+    parts = [num_partitions] if num_partitions else []
+    return keyed.repartitionByRange(*parts, "zkey").sortWithinPartitions("zkey").drop("zkey")

@@ -2280,3 +2280,51 @@ def histogram_doc_lengths(spark, sf_dir):
     agree bit-for-bit; empty buckets emitted as zeros."""
     docs = load(spark, sf_dir, "documents")
     return pf.equi_width_histogram(docs, "n_chars", buckets=16)
+
+
+from pyspark_playground_spark.operators import layout as ly  # noqa: E402
+
+
+@query(
+    "zorder_key_documents",
+    """
+    WITH b AS (
+      SELECT min(doc_id) AS mn0, max(doc_id) AS mx0,
+             min(n_chars) AS mn1, max(n_chars) AS mx1
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(floor((doc_id - mn0) * 255.0 / greatest(mx0 - mn0, 1)) AS BIGINT) AS s0,
+             CAST(floor((n_chars - mn1) * 255.0 / greatest(mx1 - mn1, 1)) AS BIGINT) AS s1
+      FROM documents, b
+    )
+    SELECT doc_id,
+           ((s0 >> 0) & 1) * 1
+             + ((s1 >> 0) & 1) * 2
+             + ((s0 >> 1) & 1) * 4
+             + ((s1 >> 1) & 1) * 8
+             + ((s0 >> 2) & 1) * 16
+             + ((s1 >> 2) & 1) * 32
+             + ((s0 >> 3) & 1) * 64
+             + ((s1 >> 3) & 1) * 128
+             + ((s0 >> 4) & 1) * 256
+             + ((s1 >> 4) & 1) * 512
+             + ((s0 >> 5) & 1) * 1024
+             + ((s1 >> 5) & 1) * 2048
+             + ((s0 >> 6) & 1) * 4096
+             + ((s1 >> 6) & 1) * 8192
+             + ((s0 >> 7) & 1) * 16384
+             + ((s1 >> 7) & 1) * 32768 AS zkey
+    FROM s
+""",
+)
+def zorder_key_documents(spark, sf_dir):
+    """Z-order (Morton) clustering key over (doc_id, n_chars)
+    (operators/layout.py): 8 bits per dimension, bit i of column j at
+    position 2i+j; the oracle recomputes the interleave with explicit
+    shift/mask arithmetic. Feeding zorder_repartition, this is the
+    multi-dimension file-pruning layout."""
+    docs = load(spark, sf_dir, "documents")
+    return ly.with_zorder_key(
+        docs.select("doc_id", "n_chars"), ["doc_id", "n_chars"], bits=8
+    ).select("doc_id", "zkey")
