@@ -2328,3 +2328,46 @@ def zorder_key_documents(spark, sf_dir):
     return ly.with_zorder_key(
         docs.select("doc_id", "n_chars"), ["doc_id", "n_chars"], bits=8
     ).select("doc_id", "zkey")
+
+
+@query(
+    "order_price_deciles",
+    """
+    SELECT o_orderkey,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+)
+def order_price_deciles(spark, sf_dir):
+    """ntile decile assignment (exact integer rank partitioning, unique
+    tie-break so engines agree on boundary rows)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))
+
+
+@query(
+    "latest_event_by_user_maxby",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT user_id,
+           arg_max(event_type, printf('%020d%010d', epoch_us(ts), event_id))
+             AS last_type,
+           arg_max(value, printf('%020d%010d', epoch_us(ts), event_id))
+             AS last_value,
+           max(ts) AS last_ts
+    FROM e GROUP BY user_id
+    """,
+)
+def latest_event_by_user_maxby(spark, sf_dir):
+    """Ordered-argmax aggregation (max_by over a (ts, event_id) struct —
+    the agg-shaped alternative to the row_number window in
+    dv_latest_event_per_user; one shuffle with partial aggregation,
+    no sort)."""
+    e = load_events(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
