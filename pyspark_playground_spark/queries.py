@@ -2377,13 +2377,13 @@ def latest_event_by_user_maxby(spark, sf_dir):
     "dedup_cluster_labels_documents",
     f"""
     WITH d AS (
-      SELECT doc_id, source, {_duck_shingles('documents')} AS sh
+      SELECT doc_id, source, list_distinct({_TOKS}) AS sh
       FROM documents
     ), p AS (
       SELECT a.doc_id AS ia, b.doc_id AS ib
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
     ), e AS (
       SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
     ), reach AS (
@@ -2398,12 +2398,15 @@ def latest_event_by_user_maxby(spark, sf_dir):
     """,
 )
 def dedup_cluster_labels_documents(spark, sf_dir):
-    """Connected components over REAL near-dup pairs (exact n-gram Jaccard
-    at 0.2, source-blocked): the large-star/small-star labels are checked
+    """Connected components over REAL similarity pairs (exact vocabulary
+    Jaccard at 0.5, source-blocked — thousands of pairs forming near-clique
+    clusters): the large-star/small-star labels are checked
     against an independent formulation — DuckDB's recursive-CTE transitive
     closure with min-reachable labeling. Complements the closed-form chain
     oracle (connected_components_documents) with organically-shaped
     clusters."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, within="source", threshold=0.2)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, within="source", shingle_size=1, threshold=0.5
+    )
     return gr.connected_components(pairs, "id_a", "id_b").select("node", "component")
