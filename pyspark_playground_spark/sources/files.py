@@ -76,3 +76,66 @@ def write_sink(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def describe_files(spark: SparkSession, path: str) -> dict:
+    """File census of a dataset directory via the Hadoop FS API (works on
+    any supported filesystem, not just local): data-file count, total
+    bytes, smallest file. Metadata-only — no data read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n, total, smallest = 0, 0, None
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        n += 1
+        size = status.getLen()
+        total += size
+        smallest = size if smallest is None else min(smallest, size)
+    return {"n_files": n, "total_bytes": total, "smallest_bytes": smallest}
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    file_format: str = "parquet",
+) -> dict:
+    """Rewrite a many-small-files dataset into ~``target_file_bytes`` files.
+
+    The 100 TB ingest-hygiene op: streaming/CDC sinks emit a file per
+    micro-batch per partition, and a month later the table is a million
+    100 KB files whose open/footer cost dwarfs the scan. This reads the
+    dataset, repartitions to ``ceil(total_bytes / target)`` and swaps the
+    rewrite in atomically-ish (write to a sibling temp dir, rename old →
+    trash dir, rename new → path) via the Hadoop FS API, so the path name
+    is stable for downstream readers. Not transactional — concurrent
+    writers need a table format (Delta/Iceberg) instead; the reference
+    has no compaction story at all.
+
+    Returns the before/after file census.
+    """
+    before = describe_files(spark, path)
+    parts = max(1, -(-before["total_bytes"] // target_file_bytes))
+    df = read_source(spark, path, file_format=file_format)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    write_sink(df.repartition(parts), tmp, file_format=file_format)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    if not fs.rename(src, old):
+        raise IOError(f"compaction swap failed renaming {path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
+        fs.rename(old, src)  # roll back
+        raise IOError(f"compaction swap failed installing {tmp}")
+    fs.delete(old, True)
+    after = describe_files(spark, path)
+    return {"before": before, "after": after, "target_partitions": parts}

@@ -117,3 +117,18 @@ def test_file_sources_roundtrip(spark, tmpdir):
     assert back.count() == 2
     import os
     assert os.path.isdir(f"{tmpdir}/part.parquet/s=a")
+
+
+def test_compact_small_files(spark, tmpdir):
+    from pyspark_playground_spark.sources import files as fsrc
+
+    path = f"{tmpdir}/fragmented"
+    # many tiny files (AQE may coalesce some of the 20 shuffle partitions)
+    spark.range(20).repartition(20).write.parquet(path)
+    before = fsrc.describe_files(spark, path)
+    assert before["n_files"] > 1
+    report = fsrc.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    after = fsrc.describe_files(spark, path)
+    assert after["n_files"] == 1 and report["target_partitions"] == 1
+    # contents identical, path stable
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(range(20))
