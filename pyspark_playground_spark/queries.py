@@ -2410,3 +2410,40 @@ def dedup_cluster_labels_documents(spark, sf_dir):
         docs, within="source", shingle_size=1, threshold=0.5
     )
     return gr.connected_components(pairs, "id_a", "id_b").select("node", "component")
+
+
+@query(
+    "q19_style_disjunctive_revenue",
+    """
+    SELECT count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 10 AND 50)
+    """,
+)
+def q19_style_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-style disjunctive predicate join: three OR-blocks mixing
+    per-table and cross-table conditions. Catalyst distributes the
+    table-local conjuncts (brand/size to the part scan, quantity to the
+    lineitem scan) ahead of the join; the part side broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(5, 35))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(10, 50))
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+    )

@@ -38,3 +38,16 @@ def test_histogram_double_fallback_clamps_max(spark):
     out = {r["bucket"]: r["n"] for r in
            pf.equi_width_histogram(df, "v", buckets=2).collect()}
     assert out == {0: 1, 1: 2}  # max value clamped into the last bucket
+
+
+def test_approx_profile_error_bound(spark):
+    df = spark.range(20_000).select(
+        F.col("id").alias("u"), (F.col("id") % 137).alias("m")
+    )
+    out = {r["column_name"]: r
+           for r in pf.approx_column_profile(df, rsd=0.05).collect()}
+    assert out["u"]["n_rows"] == 20_000
+    # HLL++ at rsd=0.05: allow 3 sigma
+    assert abs(out["u"]["n_distinct_approx"] - 20_000) <= 3 * 0.05 * 20_000
+    assert abs(out["m"]["n_distinct_approx"] - 137) <= max(3 * 0.05 * 137, 5)
+    assert (out["u"]["min_s"], out["u"]["max_s"]) == ("0", "19999")
