@@ -476,7 +476,8 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3-style: selective dims broadcast into the lineitem scan."""
+    """TPC-H Q3-style: selective dims joined into the lineitem scan;
+    broadcast is left to size-stat planning / AQE (growth-aware)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit(datetime(1995, 3, 15))
@@ -486,9 +487,12 @@ def q3_shipping_priority(spark, sf_dir):
     )
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
+    # No broadcast hints: customer and the date-filtered orders both grow
+    # linearly with SF, so a forced broadcast OOMs at 100×.  Size-stat
+    # planning + AQE pick broadcast when the side actually fits.
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -514,7 +518,8 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5-style: star join, every dimension broadcast."""
+    """TPC-H Q5-style: star join; only fixed-size dims (nation/region) are
+    hint-broadcast, scale-growing sides are left to AQE."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -524,10 +529,12 @@ def q5_local_supplier_volume(spark, sf_dir):
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     return (
+        # Only nation (25 rows) and region (5 rows) are truly fixed-size and
+        # safe to hint; customer/supplier grow with SF so AQE decides those.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
