@@ -152,45 +152,26 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_column: str = "doc_id",
-    *,
-    num_perms: int = 64,
-    bands: int = 16,
-    checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing ≥1 band bucket.
-
-    Shuffle profile: one explode+groupBy on (band, band_hash) — the classic
-    LSH join. Output is distinct (id_a < id_b) pairs. ``checkpoint_dir``
-    switches the signature materialization from executor-local to a
-    reliable checkpoint (see ``_materialize``) for cluster runs.
-    """
+def _band_structs(hash_at, num_perms: int, bands: int) -> Column:
+    """Array of (band, bucket) structs; ``hash_at(i)`` yields the i-th
+    signature component as a Column."""
     rows_per_band = num_perms // bands
-    # signatures are small (num_perms longs per doc) but expensive to derive;
-    # materialize once so the a/b sides of the self-join below don't each
-    # recompute the shingle+hash pipeline
-    signatures = _materialize(signatures, checkpoint_dir)
-    banded = signatures.select(
-        id_column,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("minhash")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[hash_at(b * rows_per_band + r) for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select(id_column, "bb.band", "bb.bucket")
+            for b in range(bands)
+        ]
+    )
+
+
+def _pairs_from_banded(banded: DataFrame, id_column: str) -> DataFrame:
+    """Self-join a (id, band, bucket) relation into distinct id_a < id_b
+    candidate pairs — the classic LSH bucket join."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -206,6 +187,80 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Fused signature→banding: ``(id, band, bucket)`` emitted directly from
+    the signature aggregation output.
+
+    Same shingle/min-agg pipeline as ``minhash_signatures``, but the band
+    bucket hashes are computed in the aggregation's output projection —
+    the ``num_perms``-long signature array is never constructed, which
+    drops one projection over the (wide) aggregate and shrinks what gets
+    materialized downstream to 3 small columns per (doc, band).
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(n_parts, F.col(id_column)).select(
+        F.col(id_column),
+        F.explode_outer(shingles_expr(text_column, shingle_size)).alias("__sh"),
+    ).withColumn("__h", F.xxhash64("__sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__h{i}")
+        for i in range(num_perms)
+    ]
+    return (
+        ex.groupBy(id_column)
+        .agg(*aggs)
+        .select(
+            F.col(id_column),
+            F.explode(
+                _band_structs(lambda i: F.col(f"__h{i}"), num_perms, bands)
+            ).alias("bb"),
+        )
+        .select(id_column, "bb.band", "bb.bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_column: str = "doc_id",
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Band pre-computed signatures and emit candidate pairs sharing ≥1 band
+    bucket.
+
+    Shuffle profile: one explode+groupBy on (band, band_hash) — the classic
+    LSH join. Output is distinct (id_a < id_b) pairs. ``checkpoint_dir``
+    switches the signature materialization from executor-local to a
+    reliable checkpoint (see ``_materialize``) for cluster runs.
+
+    When starting from raw text prefer ``minhash_band_buckets`` (used by
+    ``minhash_dedup_pairs``), which fuses banding into the signature
+    aggregation; this entry point serves signature columns that are already
+    materialized (e.g. persisted from a prior run).
+    """
+    # signatures are small (num_perms longs per doc) but expensive to derive;
+    # materialize once so the a/b sides of the self-join below don't each
+    # recompute the shingle+hash pipeline
+    signatures = _materialize(signatures, checkpoint_dir)
+    banded = signatures.select(
+        id_column,
+        F.explode(
+            _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
+        ).alias("bb"),
+    ).select(id_column, "bb.band", "bb.bucket")
+    return _pairs_from_banded(banded, id_column)
 
 
 def minhash_dedup_pairs(
@@ -225,18 +280,19 @@ def minhash_dedup_pairs(
     ``checkpoint_dir`` (cluster runs): materialize the two reused branches
     as reliable checkpoints instead of executor-local ones, so the pipeline
     survives executor loss at scale."""
-    sigs = minhash_signatures(
-        df, id_column, text_column, num_perms=num_perms, shingle_size=shingle_size
-    )
-    # candidate pairs are tiny relative to the corpus; materialize them once
-    # so the id-pruning below doesn't re-run the LSH pipeline per consumer
-    cands = _materialize(
-        lsh_candidate_pairs(
-            sigs, id_column, num_perms=num_perms, bands=bands,
-            checkpoint_dir=checkpoint_dir,
+    # fused signature→banding (no signature-array projection); the banded
+    # relation is materialized once so the a/b self-join sides below don't
+    # each recompute the shingle+hash pipeline
+    banded = _materialize(
+        minhash_band_buckets(
+            df, id_column, text_column,
+            num_perms=num_perms, bands=bands, shingle_size=shingle_size,
         ),
         checkpoint_dir,
     )
+    # candidate pairs are tiny relative to the corpus; materialize them once
+    # so the id-pruning below doesn't re-run the LSH pipeline per consumer
+    cands = _materialize(_pairs_from_banded(banded, id_column), checkpoint_dir)
     # shingle only the docs that appear in a candidate pair — LSH typically
     # prunes the corpus by orders of magnitude, so the verify stage should
     # not re-tokenize everything

@@ -22,6 +22,14 @@ lineage with ``localCheckpoint`` before the overwrite. At cluster scale the
 fallback rewrites the table per batch — that is exactly why the v2 engine's
 insert-only anti-join design (operators/raw_vault.py) is the primary path
 and this module exists for API/semantic parity with v1 pipelines.
+
+Environment note (verified 2026-08-13): ``delta-spark`` is not installed in
+this sandbox (``import delta`` → ModuleNotFoundError) and package
+installation is disallowed here, so the Delta branches cannot execute for
+real. They are instead contract-pinned by recording fakes in
+``tests/test_merge_vault.py`` (merge condition + clause shapes asserted
+against LoadRaw.py:442-526); on a Delta-enabled cluster the same code paths
+run unmodified.
 """
 
 from __future__ import annotations
