@@ -134,3 +134,54 @@ def approx_column_profile(
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def approx_profile_check(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    *,
+    rsd: float = 0.05,
+    tolerance_sigmas: float = 3.0,
+) -> DataFrame:
+    """Exact profile PLUS a per-column assertion that the HLL sketch's
+    estimate lands within ``tolerance_sigmas·rsd`` of the exact distinct
+    count — computed in the SAME aggregation pass.
+
+    The sketch value itself cannot be oracle-checked across engines
+    (HLL++ internals are engine-specific), but this *bound* can: the
+    output carries the exact stats and a ``within_bound`` boolean, so a
+    cross-engine oracle that emits the exact stats with ``TRUE`` matches
+    iff Spark's estimate really is inside the advertised error envelope.
+
+    Output: ``(column_name, n_rows, n_non_null, n_distinct,
+    within_bound)``.
+    """
+    cols = list(columns or df.columns)
+    aggs: list = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"__ad_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    tol = F.lit(float(tolerance_sigmas) * rsd)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_non_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                (
+                    F.abs(
+                        F.col(f"__ad_{c}").cast("double")
+                        - F.col(f"__nd_{c}").cast("double")
+                    )
+                    <= tol * F.col(f"__nd_{c}").cast("double")
+                ).alias("within_bound"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

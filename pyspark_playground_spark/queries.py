@@ -2289,6 +2289,30 @@ def histogram_doc_lengths(spark, sf_dir):
     return pf.equi_width_histogram(docs, "n_chars", buckets=16)
 
 
+_APPROX_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+@query(
+    "approx_profile_bound_documents",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name, count(*) AS n_rows,
+           count({c}) AS n_non_null, count(DISTINCT {c}) AS n_distinct,
+           TRUE AS within_bound
+    FROM documents"""
+        for c in _APPROX_PROFILE_COLS
+    ),
+)
+def approx_profile_bound_documents(spark, sf_dir):
+    """HLL profile with a checkable error bound
+    (profiling.approx_profile_check): the sketch estimate itself is
+    engine-specific, but |approx − exact| ≤ 3·rsd·exact is asserted
+    inside the query, so the oracle (exact stats + literal TRUE) only
+    hash-matches when Spark's HLL estimate honors its advertised
+    envelope."""
+    docs = load(spark, sf_dir, "documents")
+    return pf.approx_profile_check(docs, _APPROX_PROFILE_COLS, rsd=0.05)
+
+
 from pyspark_playground_spark.operators import layout as ly  # noqa: E402
 
 
