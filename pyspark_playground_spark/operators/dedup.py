@@ -531,6 +531,132 @@ def simhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# sub-document (paragraph / chunk) exact dedup
+# ---------------------------------------------------------------------------
+
+def _keep_first_and_reassemble(
+    segs: DataFrame,
+    id_column: str,
+    text_column: str,
+    joiner: str,
+    min_chars: int,
+) -> DataFrame:
+    """Core of sub-document dedup: ``segs`` is ``(id, pos, seg, __norm)``;
+    keep the first corpus-wide occurrence of each distinct ``__norm``
+    (order = (id, pos)), always keep segments shorter than ``min_chars``,
+    and reassemble each document from its surviving segments in order.
+
+    Shuffle profile: one exchange on the normalized-segment key for the
+    keep-first window, one exchange on the document id for reassembly —
+    both plain key shuffles; per-segment state is one row. Every input
+    document appears in the output (``n_kept`` may be 0, text then "").
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__norm").orderBy(
+        F.col(id_column).asc(), F.col("pos").asc()
+    )
+    segs = segs.withColumn(
+        "__keep",
+        (F.length("__norm") < F.lit(min_chars))
+        | (F.row_number().over(w) == 1),
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("pos"), F.col("seg"))
+    )
+    return (
+        segs.groupBy(id_column)
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+            ).alias(text_column),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        )
+        .select(id_column, text_column, "n_segments", "n_kept")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    separator: str = "\n",
+    joiner: str | None = None,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph/line-level exact dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" sub-document recipe):
+    split each document on ``separator`` (a regex), normalize each segment
+    (lowercase, collapse whitespace, trim), keep only the FIRST corpus-wide
+    occurrence of each distinct normalized segment, reassemble documents
+    from their surviving segments joined by ``joiner`` (default: the
+    separator verbatim).
+
+    Segments whose normalized form is shorter than ``min_chars`` are
+    always kept — short structural lines (headers, blanks) are not
+    boilerplate to strip here.
+
+    Returns ``(id, text, n_segments, n_kept)`` with one row per input
+    document.
+    """
+    segs = df.select(
+        F.col(id_column),
+        F.posexplode_outer(F.split(F.col(text_column), separator)).alias(
+            "pos", "seg"
+        ),
+    ).withColumn(
+        "__norm",
+        F.trim(F.regexp_replace(F.lower(F.col("seg")), r"\s+", " ")),
+    )
+    return _keep_first_and_reassemble(
+        segs, id_column, text_column, joiner if joiner is not None else separator,
+        min_chars,
+    )
+
+
+def token_chunk_dedup(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    chunk_tokens: int = 10,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Fixed-width token-chunk exact dedup — the granularity Lee et al.'s
+    substring dedup approximates without the suffix array: documents are
+    cut into consecutive ``chunk_tokens``-token chunks (split on single
+    spaces), each distinct chunk survives only at its first corpus-wide
+    occurrence, and documents are reassembled from surviving chunks.
+
+    Same two-key-shuffle profile as ``paragraph_dedup``; chunk state is
+    one row per distinct chunk, so memory is bounded by distinct-chunk
+    count per partition, never by document size.
+    """
+    toks = F.split(F.col(text_column), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    segs = df.select(
+        F.col(id_column),
+        F.posexplode_outer(chunks).alias("pos", "seg"),
+    ).withColumn(
+        "__norm",
+        F.trim(F.regexp_replace(F.lower(F.col("seg")), r"\s+", " ")),
+    )
+    return _keep_first_and_reassemble(segs, id_column, text_column, " ", min_chars)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked all-pairs)
 # ---------------------------------------------------------------------------
 

@@ -584,6 +584,42 @@ def dedup_exact_documents(spark, sf_dir):
 
 
 @query(
+    "chunk_dedup_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), seg AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(toks[(u.i*8+1):(u.i*8+8)], ' ') AS seg
+      FROM t, UNNEST(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS u(i)
+      WHERE len(toks) > 0
+    ), k AS (
+      SELECT doc_id, pos, seg,
+             trim(regexp_replace(lower(seg), '\s+', ' ', 'g')) AS norm,
+             row_number() OVER (
+               PARTITION BY trim(regexp_replace(lower(seg), '\s+', ' ', 'g'))
+               ORDER BY doc_id, pos) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           coalesce(string_agg(seg, ' ' ORDER BY pos)
+                    FILTER (WHERE rn = 1 OR length(norm) < 1), '') AS text,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE rn = 1 OR length(norm) < 1) AS n_kept
+    FROM k GROUP BY doc_id
+    """,
+)
+def chunk_dedup_documents(spark, sf_dir):
+    """Sub-document exact dedup at 8-token-chunk granularity
+    (dedup.token_chunk_dedup, the Lee et al. sub-document recipe): every
+    distinct chunk survives only at its first corpus-wide (doc_id, pos)
+    occurrence; documents are reassembled from surviving chunks. Two key
+    shuffles (chunk hash, then doc id) — no all-pairs anything."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.token_chunk_dedup(docs, chunk_tokens=8)
+
+
+@query(
     "text_quality_documents",
     f"""
     SELECT doc_id,

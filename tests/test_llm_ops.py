@@ -365,3 +365,60 @@ def test_embedding_near_dup_lsh_subset_of_exact(vectors):
     assert lsh.issubset(exact)
     # with few planes on well-separated clusters, recall should be non-zero
     assert lsh
+
+
+# ---------------------------------------------------------------------------
+# sub-document dedup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    rows = [
+        (1, "Shared boilerplate header.\nUnique body of doc one.\n\nCommon footer text."),
+        (2, "Shared boilerplate header.\nSecond document's own body.\nCommon footer text."),
+        (3, "Totally original document.\nShared boilerplate header."),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_paragraph_dedup_keeps_first_occurrence(para_docs):
+    out = {r["doc_id"]: r for r in dd.paragraph_dedup(para_docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every doc survives
+    # doc 1 is first: keeps everything (the empty line is always-kept)
+    assert out[1]["text"] == (
+        "Shared boilerplate header.\nUnique body of doc one.\n\nCommon footer text."
+    )
+    assert out[1]["n_segments"] == 4 and out[1]["n_kept"] == 4
+    # doc 2 loses header+footer (seen in doc 1), keeps its own body
+    assert out[2]["text"] == "Second document's own body."
+    assert out[2]["n_kept"] == 1
+    # doc 3 loses only the header
+    assert out[3]["text"] == "Totally original document."
+    # empty doc: one empty segment, always kept
+    assert out[4]["n_segments"] == 1 and out[4]["n_kept"] == 1
+
+
+def test_paragraph_dedup_normalizes_before_matching(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in dd.paragraph_dedup(df).collect()}
+    # doc 2's only line normalizes equal to doc 1's → dropped
+    assert out[2]["n_kept"] == 0 and out[2]["text"] == ""
+    assert out[1]["n_kept"] == 1
+
+
+def test_token_chunk_dedup_roundtrip_and_drop(spark):
+    base = "a b c d e f g h"  # exactly one 8-token chunk
+    df = spark.createDataFrame(
+        [(1, base + " " + "x y z w q r s t"), (2, base), (3, "unique tokens only here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.token_chunk_dedup(df, chunk_tokens=8).collect()}
+    # doc 1 first: keeps both its chunks verbatim (reassembly is lossless)
+    assert out[1]["text"] == base + " " + "x y z w q r s t"
+    # doc 2 is exactly the chunk doc 1 already claimed
+    assert out[2]["n_kept"] == 0 and out[2]["text"] == ""
+    # doc 3 has a short tail chunk (<8 tokens) of its own → kept
+    assert out[3]["n_kept"] == 1 and out[3]["text"] == "unique tokens only here"
