@@ -54,6 +54,24 @@ def _as_list(v: str | Sequence[str] | None) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
+def _interval_seconds(spec: str | int | float) -> int | float:
+    """Parse ``"2 hours"``-style interval bodies to seconds (numbers pass
+    through for numeric keys)."""
+    if isinstance(spec, (int, float)):
+        return spec
+    units = {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+    }
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"bucket interval must be '<n> <unit>': {spec!r}")
+    n, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in units:
+        raise ValueError(f"unknown bucket unit {unit!r} in {spec!r}")
+    return float(n) * units[unit] if "." in n else int(n) * units[unit]
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -64,6 +82,7 @@ def asof_join(
     tolerance: str | int | float | None = None,
     right_columns: Sequence[str] | None = None,
     suffix: str = "_right",
+    bucket: str | int | float | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, the nearest right row by ``on``.
 
@@ -82,9 +101,26 @@ def asof_join(
     (``right_columns`` or all non-key right columns); the matched ``on``
     value and any name colliding with a left column get ``suffix``.
     Left-join semantics — unmatched left rows survive with NULLs.
+
+    ``bucket`` (skew escape hatch): an interval body (``"1 hour"``) or a
+    number (numeric keys) — pre-split both sides into coarse ``on``
+    buckets and as-of within ``(by, bucket)`` partitions, carrying each
+    earlier bucket's tail row (and/or later bucket's head row, per
+    ``direction``) into the buckets that need it. Identical output to the
+    unbucketed plan, but a single hot ``by`` key (or the degenerate
+    no-``by`` global as-of) parallelizes across its buckets instead of
+    serializing into one task. Requires non-null ``on`` values on the
+    right side. The per-bucket tail/head compaction shuffles one row per
+    (key, bucket) — negligible next to the event stream.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest: {direction}")
+    if bucket is not None:
+        return _asof_join_bucketed(
+            left, right, on, by,
+            direction=direction, tolerance=tolerance,
+            right_columns=right_columns, suffix=suffix, bucket=bucket,
+        )
     by_cols = _as_list(by)
     for col in [on, *by_cols]:
         if col not in left.columns or col not in right.columns:
@@ -180,9 +216,113 @@ def asof_join(
     return out.select(*proj)
 
 
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str] | None,
+    *,
+    direction: str,
+    tolerance: str | int | float | None,
+    right_columns: Sequence[str] | None,
+    suffix: str,
+    bucket: str | int | float,
+) -> DataFrame:
+    """Bucketed as-of plan (see ``asof_join`` docstring): partition by
+    ``(by, floor(on / bucket))`` and inject carried tail/head rows so each
+    bucket is self-contained.
+
+    Why the output matches the unbucketed plan: a backward match for a
+    left row in bucket b is either in bucket b, or it is the LATEST right
+    row of the nearest earlier non-empty bucket — exactly the carried
+    tail. The running ``last()`` that computes carries runs over one row
+    per (key, non-empty bucket), so the serialized portion is O(buckets),
+    not O(events); every per-event comparison happens inside the
+    ``(by, bucket)`` partitions in parallel.
+    """
+    by_cols = _as_list(by)
+    for col in [on, *by_cols]:
+        if col not in left.columns or col not in right.columns:
+            raise ValueError(f"key column {col!r} must exist on both sides")
+    width = _interval_seconds(bucket)
+    ltype = dict(zip(left.schema.names, [f.dataType for f in left.schema.fields]))[on]
+    rtype = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))[on]
+
+    lb = left.withColumn("__bucket", _bin_of(F.col(on), ltype, width))
+    rb = right.withColumn("__bucket", _bin_of(F.col(on), rtype, width))
+
+    rcols_all = [c for c in right.columns if c != on and c not in by_cols]
+    rtypes = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    tail_type = T.StructType(
+        [T.StructField("__on", rtypes[on])]
+        + [T.StructField(c, rtypes[c]) for c in rcols_all]
+    )
+    tail_struct = F.struct(
+        F.col(on).alias("__on"), *[F.col(c).alias(c) for c in rcols_all]
+    ).cast(tail_type)
+
+    need = lb.select(*by_cols, "__bucket").distinct()
+
+    def _carry(agg_fn, descending: bool) -> DataFrame:
+        """Per-bucket extreme rows + running carry into needing buckets."""
+        per_bucket = rb.groupBy(*by_cols, "__bucket").agg(
+            agg_fn(tail_struct).alias("__t")
+        )
+        u = per_bucket.select(
+            *by_cols, "__bucket", "__t", F.lit(0).alias("__nd")
+        ).unionByName(
+            need.select(
+                *by_cols, "__bucket",
+                F.lit(None).cast(tail_type).alias("__t"),
+                F.lit(1).alias("__nd"),
+            )
+        )
+        order = F.col("__bucket").desc() if descending else F.col("__bucket").asc()
+        # need rows sort BEFORE the same bucket's tail/head row (__nd desc):
+        # a bucket's carry must come from strictly earlier (later, for
+        # forward) buckets — the in-bucket rows are already in the partition
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(order, F.col("__nd").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            u.withColumn("__c", F.last("__t", ignorenulls=True).over(w))
+            .where((F.col("__nd") == 1) & F.col("__c").isNotNull())
+            .select(
+                *by_cols, "__bucket",
+                F.col("__c.__on").alias(on),
+                *[F.col(f"__c.{c}").alias(c) for c in rcols_all],
+            )
+        )
+
+    right_aug = rb.select(*by_cols, "__bucket", on, *rcols_all)
+    if direction in ("backward", "nearest"):
+        # latest earlier right row: per-bucket max(struct) carried forward;
+        # max(struct) breaks equal-``on`` ties exactly like the unbucketed
+        # plan's ascending sort + last()
+        right_aug = right_aug.unionByName(_carry(F.max, descending=False))
+    if direction in ("forward", "nearest"):
+        right_aug = right_aug.unionByName(_carry(F.min, descending=True))
+
+    out = asof_join(
+        lb, right_aug, on, by=[*by_cols, "__bucket"],
+        direction=direction, tolerance=tolerance,
+        right_columns=(
+            list(right_columns) if right_columns is not None else rcols_all
+        ),
+        suffix=suffix,
+    )
+    return out.drop("__bucket")
+
+
 def _bin_of(col: Column, dtype: T.DataType, bin_width: int | float) -> Column:
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        # bin_width in seconds for timestamp keys
+        # bin_width in seconds for timestamp keys; unix_micros takes only
+        # zoned timestamps, so NTZ goes through a cast (session tz = fixed
+        # offset — bucketing only needs a consistent monotonic mapping)
+        if isinstance(dtype, T.TimestampNTZType):
+            col = col.cast("timestamp")
         return F.floor(F.unix_micros(col) / F.lit(int(bin_width * 1_000_000)))
     return F.floor(col / F.lit(bin_width))
 

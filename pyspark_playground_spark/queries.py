@@ -1846,6 +1846,31 @@ def asof_view_attribution_events(spark, sf_dir):
     )
 
 
+@query("asof_bucketed_view_attribution_events")
+def asof_bucketed_view_attribution_events(spark, sf_dir):
+    """Skew-safe bucketed variant of ``asof_view_attribution_events``
+    (asof_join(..., bucket="6 hours")): identical semantics — same DuckDB
+    ASOF JOIN oracle — but the per-event window partitions on
+    (user_id, 6-hour bucket), so one hyperactive user parallelizes across
+    its buckets; carried-tail rows keep cross-bucket matches exact."""
+    e = load_events(spark, sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return tp.asof_join(p, v, "ts", "user_id", bucket="6 hours").select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("view_ts"), "view_event_id",
+    )
+
+
+ORACLES["asof_bucketed_view_attribution_events"] = ORACLES[
+    "asof_view_attribution_events"
+]
+
+
 @query(
     "range_join_session_events",
     f"""

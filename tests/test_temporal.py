@@ -190,3 +190,73 @@ def test_gap_fill_forward_and_none(spark):
     assert {(r["k"], r["t"].hour): r["v"] for r in sparse} == {
         (1, 0): 10.0, (1, 1): None, (1, 2): None, (1, 3): 30.0, (2, 5): 50.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# bucketed (skew-safe) as-of
+# ---------------------------------------------------------------------------
+
+def test_bucketed_asof_carries_earlier_tail(spark):
+    # right rows only in bucket 0 (t<10); left rows in buckets 2 and 3 must
+    # still match through the carried tail
+    left = [(1, 25, "a"), (1, 39, "b")]
+    right = [(1, 3, "r3"), (1, 7, "r7")]
+    assert _asof(spark, left, right, bucket=10) == {
+        (1, 25, "a"): (7, "r7"),
+        (1, 39, "b"): (7, "r7"),
+    }
+
+
+def test_bucketed_asof_no_by_global(spark):
+    # degenerate global as-of (no by key): buckets are the only parallelism
+    ldf = spark.createDataFrame([(t,) for t in (5, 15, 25)], "t bigint")
+    rdf = spark.createDataFrame([(2, "r2"), (14, "r14")], "t bigint, rv string")
+    rows = tp.asof_join(ldf, rdf, "t", bucket=10).collect()
+    got = {r["t"]: r["rv"] for r in rows}
+    assert got == {5: "r2", 15: "r14", 25: "r14"}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 7]),
+)
+def test_bucketed_asof_equals_unbucketed(spark, data, direction, tolerance):
+    left = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=20,
+    ))
+    right_keys = data.draw(st.sets(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=20,
+    ))
+    left = [(k, t, f"l{i}") for i, (k, t) in enumerate(left)]
+    right = [(k, t, f"r{k}_{t}") for k, t in sorted(right_keys)]
+    base = _asof(spark, left, right, direction=direction, tolerance=tolerance)
+    bucketed = _asof(spark, left, right, direction=direction,
+                     tolerance=tolerance, bucket=10)
+    assert bucketed == base
+
+
+def test_bucketed_asof_timestamp_interval(spark):
+    ldf = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "k bigint, t string"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    rdf = spark.createDataFrame(
+        [(1, "2024-01-01 08:15:00", "early"), (1, "2024-01-01 09:40:00", "late")],
+        "k bigint, t string, rv string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    row = tp.asof_join(ldf, rdf, "t", "k", bucket="1 hour").collect()[0]
+    assert row["rv"] == "late"
+
+
+def test_bucketed_asof_partitions_by_bucket(spark):
+    # plan guard: the per-event window exchange must partition on
+    # (k, __bucket) — that is the skew escape: one hot key spreads over
+    # its buckets instead of serializing into a single task
+    ldf = spark.createDataFrame([(1, 10, "a")], "k bigint, t bigint, lv string")
+    rdf = spark.createDataFrame([(1, 5, "r")], "k bigint, t bigint, rv string")
+    plan = _plan(tp.asof_join(ldf, rdf, "t", "k", bucket=10))
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("k#" in p and "__bucket#" in p for p in parts), plan
