@@ -2523,10 +2523,12 @@ def q19_style_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19-style disjunctive predicate join: three OR-blocks mixing
     per-table and cross-table conditions. Catalyst distributes the
     table-local conjuncts (brand/size to the part scan, quantity to the
-    lineitem scan) ahead of the join; the part side broadcasts."""
+    lineitem scan) ahead of the join. No broadcast hint: part grows
+    linearly with SF, so size-stat planning / AQE decides (it broadcasts
+    at bench scale, shuffles when part outgrows the threshold)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     cond = (
         ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
@@ -2538,4 +2540,308 @@ def q19_style_disjunctive_revenue(spark, sf_dir):
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style breadth batch 2: semi/anti joins with cross-table conjuncts,
+# two-sided dimension joins, conditional aggregation, scalar-subquery gates
+# ---------------------------------------------------------------------------
+
+@query(
+    "q4_style_late_shipment_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_style_late_shipment_orders(spark, sf_dir):
+    """TPC-H Q4-style EXISTS: left-semi join with a cross-table inequality
+    conjunct (shipped-after-order-date stands in for the commit/receipt
+    columns this dataset lacks). Semi-join keeps orders unduplicated —
+    no post-join distinct; the date filter pushes to the orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q7_style_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_style_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-style: the same dimension table joined twice under
+    different roles (supplier nation vs customer nation) with a
+    disjunctive cross-role filter. Only the fixed-25-row nation sides are
+    hint-broadcast; supplier/customer/orders are SF-scaling and left to
+    AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_style_returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_style_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10-style: top-20 customers by returned-item revenue. Exact
+    decimal aggregation then one TakeOrdered (revenue desc, custkey as
+    the deterministic tie-break); nation is the only hinted broadcast."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 7, 1)))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q12_style_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_style_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12-style conditional aggregation: pivot-by-CASE counts of
+    high/low priority lines per linestatus (linestatus stands in for the
+    shipmode column this dataset lacks). One join shuffle + one two-group
+    agg; the shipdate filter pushes to the lineitem scan."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_style_promo_revenue",
+    """
+    WITH j AS (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    )
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(sum(volume) AS DOUBLE) AS total_revenue,
+           CAST(100.0 AS DOUBLE)
+             * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END)
+                    AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS promo_ratio_pct
+    FROM j
+    """,
+)
+def q14_style_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo-revenue ratio: both sums are exact decimal
+    aggregates (order-independent), cast to double only for the final
+    ratio so both engines compute bit-identical results. No broadcast
+    hint on part (SF-scaling) — AQE decides."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 9, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 10, 1)))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type", vol.alias("volume")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume")).otherwise(F.lit(0)))
+    total = F.sum(F.col("volume"))
+    return j.agg(
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
+        (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+            "promo_ratio_pct"
+        ),
+    )
+
+
+@query(
+    "q18_style_large_volume_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(t.sq AS DOUBLE) AS sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300) t
+      ON t.l_orderkey = o_orderkey
+    """,
+)
+def q18_style_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: HAVING-gated aggregate joined
+    back to its parents. The quantity sum is exact decimal (the column is
+    double in the source, so a naive double sum would be order-dependent);
+    the aggregate side shrinks by the HAVING filter before either join."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q22_style_idle_rich_customers",
+    """
+    WITH s AS (
+      SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(14,2))) AS total
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+    FROM customer, s
+    WHERE CAST(c_acctbal AS DECIMAL(14,2)) * s.n > s.total
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_style_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22-style: scalar-subquery threshold + NOT EXISTS anti-join
+    (above-average balance, no orders since 2000 — every customer has
+    SOME order in this dataset, so the recency predicate keeps the
+    anti-join meaningful). The above-average test is computed in exact
+    decimal arithmetic (bal * n > total) instead of dividing — no
+    cross-engine rounding edge at the boundary. The one-row stats side
+    rides a broadcast cross join; the anti-join shuffles on the customer
+    key."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(datetime(2000, 1, 1))
+    )
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(bal).alias("total")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("n") > F.col("total"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
     )
