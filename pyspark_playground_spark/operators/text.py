@@ -452,3 +452,60 @@ def tf_idf_top_terms(
         .where(F.col("term_rank") <= k)
         .select(id_column, "term_rank", "term", "tf", "doc_freq", "score")
     )
+
+
+def c4_style_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    min_tokens: int = 30,
+    mean_token_len_range: tuple[float, float] = (3.0, 10.0),
+    blocklist: tuple[str, ...] = ("lorem ipsum",),
+) -> DataFrame:
+    """C4-style document quality filter (Raffel et al., "Exploring the
+    Limits of Transfer Learning...", the C4 cleaning heuristics adapted to
+    document granularity): per-rule boolean flags plus an overall ``keep``.
+
+    Rules (all pure column expressions, zero Python in the row path):
+
+    - ``has_min_tokens``  — at least ``min_tokens`` whitespace tokens;
+    - ``token_len_ok``    — mean token length inside
+      ``mean_token_len_range`` (C4 uses 3..10 as a gibberish guard);
+    - ``no_braces``       — no ``{`` (C4 drops pages with code braces);
+    - ``no_blocklist``    — none of ``blocklist`` as a substring
+      (case-insensitive; C4 drops "lorem ipsum" pages);
+    - ``has_stopword``    — contains at least one English stopword (C4's
+      at-least-N-sentences rule recast for punctuation-free corpora);
+    - ``keep``            — conjunction of all of the above.
+
+    Adds the flag columns to every input row (filtering is the caller's
+    one-line ``.where("keep")`` so rejected rows remain inspectable).
+    """
+    toks = tokens_expr(text_column)
+    n_tokens = F.size(toks)
+    nonspace = F.length(F.regexp_replace(F.col(text_column), r"\s+", ""))
+    mean_len = nonspace.cast("double") / n_tokens.cast("double")
+    lo, hi = mean_token_len_range
+    lower_text = F.lower(F.col(text_column))
+    no_block = F.lit(True)
+    for phrase in blocklist:
+        no_block = no_block & ~lower_text.contains(phrase.lower())
+    has_stop = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    )
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("has_min_tokens", n_tokens >= min_tokens)
+        .withColumn(
+            "token_len_ok",
+            (n_tokens > 0) & (mean_len >= lo) & (mean_len <= hi),
+        )
+        .withColumn("no_braces", ~F.col(text_column).contains("{"))
+        .withColumn("no_blocklist", no_block)
+        .withColumn("has_stopword", has_stop)
+    )
+    return out.withColumn(
+        "keep",
+        F.col("has_min_tokens") & F.col("token_len_ok") & F.col("no_braces")
+        & F.col("no_blocklist") & F.col("has_stopword"),
+    )

@@ -2845,3 +2845,38 @@ def q22_style_idle_rich_customers(spark, sf_dir):
             F.sum(bal).cast("double").alias("total_bal"),
         )
     )
+
+
+@query(
+    "c4_filter_documents",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len({_TOKS}) >= 30 AS has_min_tokens,
+           len({_TOKS}) > 0
+             AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / CAST(len({_TOKS}) AS DOUBLE) BETWEEN 3.0 AND 10.0
+             AS token_len_ok,
+           NOT contains(text, '{{') AS no_braces,
+           NOT contains(lower(text), 'lorem ipsum') AS no_blocklist,
+           len(list_filter({_TOKS}, x -> x IN ({_STOPS}))) > 0 AS has_stopword,
+           (len({_TOKS}) >= 30
+            AND len({_TOKS}) > 0
+            AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / CAST(len({_TOKS}) AS DOUBLE) BETWEEN 3.0 AND 10.0
+            AND NOT contains(text, '{{')
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND len(list_filter({_TOKS}, x -> x IN ({_STOPS}))) > 0) AS keep
+    FROM documents
+    """,
+)
+def c4_filter_documents(spark, sf_dir):
+    """C4-style cleaning flags (text.c4_style_filter, Raffel et al.
+    heuristics at document granularity): min-token, mean-token-length,
+    brace, blocklist and stopword rules as per-row booleans plus the
+    conjunction ``keep`` — all JVM column expressions, one scan."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.c4_style_filter(docs).select(
+        "doc_id", "n_tokens", "has_min_tokens", "token_len_ok",
+        "no_braces", "no_blocklist", "has_stopword", "keep",
+    )

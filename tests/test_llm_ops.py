@@ -422,3 +422,21 @@ def test_token_chunk_dedup_roundtrip_and_drop(spark):
     assert out[2]["n_kept"] == 0 and out[2]["text"] == ""
     # doc 3 has a short tail chunk (<8 tokens) of its own → kept
     assert out[3]["n_kept"] == 1 and out[3]["text"] == "unique tokens only here"
+
+
+def test_c4_style_filter_rules(spark):
+    long_good = "the " + " ".join(f"word{i}" for i in range(40))
+    rows = [
+        (1, long_good),                      # passes everything
+        (2, "the quick brown fox"),          # too few tokens
+        (3, long_good + " {code}"),          # brace
+        (4, long_good + " Lorem Ipsum dolor"),  # blocklist, case-insensitive
+        (5, " ".join(f"w{i}" for i in range(40))),  # no stopword
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in tx.c4_style_filter(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and not out[2]["has_min_tokens"]
+    assert not out[3]["keep"] and not out[3]["no_braces"]
+    assert not out[4]["keep"] and not out[4]["no_blocklist"]
+    assert not out[5]["keep"] and not out[5]["has_stopword"]
