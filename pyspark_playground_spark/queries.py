@@ -2171,9 +2171,13 @@ def event_gap_percentiles(spark, sf_dir):
     order_value_percentiles)."""
     e = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events ts is TIMESTAMP_NTZ (parquet nanos); unix_micros only takes
+    # zoned timestamps, and the cast is exact here because the two casts'
+    # session-tz offsets cancel in the subtraction
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     g = e.select(
         "user_id",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (us(F.col("ts")) - us(F.lag("ts").over(w))).alias("gap_us"),
     )
     return g.groupBy("user_id").agg(
         F.count("gap_us").alias("n_gaps"),
