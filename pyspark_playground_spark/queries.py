@@ -2884,3 +2884,95 @@ def c4_filter_documents(spark, sf_dir):
         "doc_id", "n_tokens", "has_min_tokens", "token_len_ok",
         "no_braces", "no_blocklist", "has_stopword", "keep",
     )
+
+
+@query(
+    "approx_percentile_bound_orders",
+    """
+    SELECT 0.50 AS quantile, count(*) AS n_rows, TRUE AS within_bound
+    FROM orders
+    UNION ALL
+    SELECT 0.95, count(*), TRUE FROM orders
+    """,
+)
+def approx_percentile_bound_orders(spark, sf_dir):
+    """t-digest/KLL-style sketch with a *checkable* rank-error bound (the
+    approx_profile_bound pattern applied to approx_percentile): the
+    sketch value is engine-specific, but its guarantee — the returned
+    value sits within rank q±1/accuracy of the exact order statistics —
+    is verified with exact counts in the same query. The oracle emits the
+    exact row count with literal TRUE, so a hash match proves Spark's
+    sketch honored its advertised rank envelope."""
+    o = load(spark, sf_dir, "orders")
+    acc = 1000
+    eps = 1.0 / acc
+    approx = o.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.50), F.lit(acc)).alias("ap50"),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(acc)).alias("ap95"),
+    )
+    j = o.crossJoin(F.broadcast(approx))
+    rows = []
+    for q, ap in ((0.50, "ap50"), (0.95, "ap95")):
+        stats = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col(ap), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col(ap), 1).otherwise(0)
+            ).alias("n_lt"),
+        )
+        n = F.col("n_rows").cast("double")
+        within = (
+            (F.col("n_le") >= F.floor(F.lit(q - eps) * n))
+            & (F.col("n_lt") <= F.ceil(F.lit(q + eps) * n))
+        )
+        rows.append(
+            stats.select(
+                F.lit(q).alias("quantile"),
+                F.col("n_rows"),
+                within.alias("within_bound"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+@query(
+    "rare_token_stats_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), freq AS (
+      SELECT t, count(*) AS n FROM tok GROUP BY t
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN freq.n <= 2 THEN 1 ELSE 0 END) AS n_rare_tokens,
+           count(DISTINCT CASE WHEN freq.n <= 2 THEN tok.t END)
+             AS n_rare_distinct
+    FROM tok JOIN freq ON tok.t = freq.t
+    GROUP BY doc_id
+    """,
+)
+def rare_token_stats_documents(spark, sf_dir):
+    """Rare-token quality signal (a perplexity proxy with exact integer
+    semantics): corpus-wide unigram frequencies, joined back per document
+    to count tokens whose corpus frequency is ≤ 2 (hapax/dis legomena).
+    Two key shuffles (token census, doc re-agg); the census join is a
+    plain equi-join on the token, so it scales with distinct-token count,
+    not documents²."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens_expr("text")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    rare = F.col("n") <= 2
+    return (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare.cast("long")).alias("n_rare_tokens"),
+            F.countDistinct(F.when(rare, F.col("t"))).alias("n_rare_distinct"),
+        )
+    )
