@@ -2976,3 +2976,60 @@ def rare_token_stats_documents(spark, sf_dir):
             F.countDistinct(F.when(rare, F.col("t"))).alias("n_rare_distinct"),
         )
     )
+
+
+@query(
+    "near_dedup_keep_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh FROM documents
+    ), p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+            >= 0.8
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT documents.doc_id,
+           coalesce(comp.component, documents.doc_id) AS component,
+           coalesce(comp.component, documents.doc_id) = documents.doc_id
+             AS is_canonical
+    FROM documents LEFT JOIN comp ON documents.doc_id = comp.node
+    """,
+)
+def near_dedup_keep_documents(spark, sf_dir):
+    """End-to-end corpus near-dedup with canonical selection — the full
+    production composition: MinHash+LSH near-dup pairs (threshold 0.8,
+    where banded recall is exact) → large-star/small-star connected
+    components → keep the minimum doc_id per duplicate cluster. Every
+    document comes back with its cluster label and an ``is_canonical``
+    flag (isolated docs are their own canonical). All stages are
+    bucketed/key-shuffle plans — the composition inherits each stage's
+    100 TB shape. Oracle: all-pairs exact Jaccard + recursive-CTE
+    transitive closure, independently formulated."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.8)
+    cc = gr.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("is_canonical"),
+        )
+    )
