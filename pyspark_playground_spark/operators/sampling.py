@@ -131,3 +131,35 @@ def quantize_int8_expr(vector: Column, *, scale: float = 127.0) -> Column:
             F.least(F.lit(127), F.round(x * scale).cast("int")),
         ).cast("tinyint"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    *,
+    group_column: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-group mixture sampling: keep each row with its group's keep
+    fraction, decided by the content-hash bucket — the standard way to hit
+    a target source mixture in a training corpus (down-weight a crawl,
+    keep all of a curated set) with zero RNG state: membership is a pure
+    function of the key, reproducible across reruns, engines and
+    backfills. Groups absent from ``weights`` keep ``default``.
+
+    One scan, no shuffle — the cutoff is a per-row CASE on the group
+    column compared against the md5 bucket.
+    """
+    cutoff: Column | None = None
+    for g, frac in weights.items():
+        cond = F.col(group_column) == g
+        lit = F.lit(int(round(frac * buckets)))
+        cutoff = F.when(cond, lit) if cutoff is None else cutoff.when(cond, lit)
+    cutoff = (
+        cutoff.otherwise(F.lit(int(round(default * buckets))))
+        if cutoff is not None
+        else F.lit(int(round(default * buckets)))
+    )
+    return df.filter(hash_bucket_expr(key_columns, buckets) < cutoff)

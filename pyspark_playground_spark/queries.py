@@ -3033,3 +3033,77 @@ def near_dedup_keep_documents(spark, sf_dir):
             ).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "weighted_sample_by_source_documents",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_BUCKET} <
+      CASE WHEN source = 'src0' THEN 10000
+           WHEN source IN ('src1', 'src2') THEN 5000
+           ELSE 2500 END
+    """,
+)
+def weighted_sample_by_source_documents(spark, sf_dir):
+    """Mixture sampling (sampling.weighted_sample): keep all of src0, half
+    of src1/src2, a quarter of everything else — deterministic
+    content-hash membership, one scan, no shuffle. The real-world knob
+    for hitting a target source mixture in a 100 TB corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.weighted_sample(
+        docs, ["doc_id"], group_column="source",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.5}, default=0.25,
+    ).select("doc_id", "source")
+
+
+@query(
+    "embedding_dedup_keep_embeddings",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+              / ({_NORM.format(v='a.embedding')}
+                 * {_NORM.format(v='b.embedding')}) >= 0.35
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT embeddings.vec_id,
+           coalesce(comp.component, embeddings.vec_id) AS component,
+           coalesce(comp.component, embeddings.vec_id) = embeddings.vec_id
+             AS is_canonical
+    FROM embeddings LEFT JOIN comp ON embeddings.vec_id = comp.node
+    """,
+)
+def embedding_dedup_keep_embeddings(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (Abbas et al.'s recipe re-expressed):
+    embedding-cosine near-dup pairs → connected components → keep the
+    minimum vec_id per semantic cluster. At oracle scale the pair stage is
+    exact all-pairs; at 100 TB the same composition runs with the
+    LSH-bucketed pair generator (``exact=False``) — identical downstream
+    plan. Oracle: all-pairs cosine + recursive-CTE closure."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+    cc = gr.connected_components(pairs, "id_a", "id_b")
+    return (
+        emb.select("vec_id")
+        .join(cc, emb.vec_id == cc.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("is_canonical"),
+        )
+    )

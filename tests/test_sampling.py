@@ -63,3 +63,27 @@ def test_sample_k_per_group_exact_and_stable(spark):
     b = {(r["g"], r["k"]) for r in
          sp.sample_k_per_group(df.repartition(13), "g", ["k"], k=10).collect()}
     assert a == b
+
+
+def test_weighted_sample_respects_group_fractions(spark):
+    from pyspark_playground_spark.operators import sampling as sp
+    from pyspark.sql import functions as F
+
+    rows = [(i, "keep_all" if i % 3 == 0 else ("half" if i % 3 == 1 else "rest"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "k int, grp string")
+    out = sp.weighted_sample(
+        df, ["k"], group_column="grp",
+        weights={"keep_all": 1.0, "half": 0.5}, default=0.1,
+    )
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["keep_all"] == 1000          # fraction 1.0 keeps everything
+    assert 400 < counts.get("half", 0) < 600   # ~50%
+    assert 50 < counts.get("rest", 0) < 150    # ~10%
+    # deterministic: rerun yields the identical membership
+    again = sp.weighted_sample(
+        df, ["k"], group_column="grp",
+        weights={"keep_all": 1.0, "half": 0.5}, default=0.1,
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
