@@ -1572,7 +1572,8 @@ def rollup_revenue_nation_segment(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     total = F.col("o_totalprice").cast("decimal(14,2)")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with SF — no hint, AQE decides; nation is fixed-25
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "c_mktsegment")
         .agg(
@@ -1759,7 +1760,8 @@ def pivot_revenue_by_segment(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     total = F.col("o_totalprice").cast("decimal(14,2)")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with SF — no hint, AQE decides; nation is fixed-25
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
@@ -2104,7 +2106,8 @@ def cube_revenue_nation_segment(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with SF — no hint, AQE decides; nation is fixed-25
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .cube("n_name", "c_mktsegment")
         .agg(
