@@ -3110,3 +3110,73 @@ def embedding_dedup_keep_embeddings(spark, sf_dir):
             ).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "order_price_window_stats",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd,
+             first_value(o_orderkey) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS cheapest_key,
+             nth_value(o_orderkey, 3) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS third_cheapest_key
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, pr, cd,
+           cheapest_key, third_cheapest_key
+    FROM w WHERE pr >= 0.999
+    """,
+)
+def order_price_window_stats(spark, sf_dir):
+    """Ranking-window breadth: percent_rank, cume_dist, first_value and
+    nth_value over one per-priority ordered window (unique total order via
+    the orderkey tie-break, so both engines agree row-for-row). One
+    exchange on the priority key feeds all four functions."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 3).over(wrows).alias("third_cheapest_key"),
+    )
+    return out.where(F.col("pr") >= 0.999)
+
+
+@query(
+    "sources_intersect_except_documents",
+    """
+    SELECT source, 'has_en_and_de' AS relation FROM (
+      SELECT source FROM documents WHERE lang = 'en'
+      INTERSECT
+      SELECT source FROM documents WHERE lang = 'de'
+    )
+    UNION ALL
+    SELECT source, 'en_only' FROM (
+      SELECT source FROM documents WHERE lang = 'en'
+      EXCEPT
+      SELECT source FROM documents WHERE lang = 'de'
+    )
+    """,
+)
+def sources_intersect_except_documents(spark, sf_dir):
+    """Set-operator breadth: INTERSECT and EXCEPT (distinct set semantics,
+    not join emulations) over the per-language source sets, labeled and
+    unioned."""
+    docs = load(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en").select("source")
+    de = docs.where(F.col("lang") == "de").select("source")
+    both = en.intersect(de).select("source", F.lit("has_en_and_de").alias("relation"))
+    only = en.subtract(de).select("source", F.lit("en_only").alias("relation"))
+    return both.unionByName(only)
