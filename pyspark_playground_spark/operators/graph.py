@@ -111,6 +111,13 @@ def connected_components(
     left join — see ``dedup_clusters``.
 
     Deterministic: output depends only on the edge set.
+
+    Convergence is detected with a per-round scalar aggregate (count +
+    order-independent hash of the edge set, one ``first()`` on a 1-row
+    result) — O(1) driver data, but one extra job per round. Bound total
+    work with ``max_iterations`` (rounds needed ≈ log₂ of the largest
+    component's diameter; the default 25 covers astronomically large
+    graphs).
     """
     cur = _materialize(_canonical_edges(edges, src, dst), checkpoint_dir)
     fp = _edge_fingerprint(cur)

@@ -54,7 +54,14 @@ def repartition_by_bytes(
     df: DataFrame, *, total_bytes_column: str = "media_meta.n_bytes",
     target_partition_bytes: int = 128 * 1024 * 1024, estimated_total_bytes: int | None = None,
 ) -> DataFrame:
-    """Partition-size binary data by byte budget instead of row count."""
+    """Partition-size binary data by byte budget instead of row count.
+
+    Without ``estimated_total_bytes`` this runs one scalar aggregation
+    (a driver-side ``first()`` on a 1-row result — O(1) data, but a full
+    scan and an extra job). Hot paths should pass the estimate (from file
+    footers, table stats, or the previous batch) to keep the plan
+    single-job.
+    """
     if estimated_total_bytes is None:
         estimated_total_bytes = df.select(
             F.sum(F.col(total_bytes_column))
