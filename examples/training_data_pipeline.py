@@ -2,12 +2,14 @@
 """Worked example: a 100 TB-shaped LLM training-data pipeline on the
 synthetic corpus.
 
-Chain: quality + repetition + robust-outlier filters → PII scrub → exact
-dedup → MinHash-LSH near-dedup resolved to clusters (connected components)
-with one canonical doc kept per cluster → benchmark decontamination →
-deterministic split → sequence packing. Every stage is a DataFrame→DataFrame operator from this package —
-the same composition runs unchanged on a cluster; only the input path and
-the LSH ``checkpoint_dir`` change.
+Chain: C4-style rule gates → quality + repetition + robust-outlier
+filters → PII scrub → exact dedup → MinHash-LSH near-dedup resolved to
+clusters (connected components) with one canonical doc kept per cluster →
+sub-document chunk dedup (keep-first corpus-wide) → benchmark
+decontamination → per-source mixture sampling → deterministic split →
+sequence packing. Every stage is a DataFrame→DataFrame operator from this
+package — the same composition runs unchanged on a cluster; only the
+input path and the LSH ``checkpoint_dir`` change.
 
 Run: ``python examples/training_data_pipeline.py [sf_dir]``
 """
@@ -30,6 +32,14 @@ def main() -> None:
     spark = get_spark(app_name="training-data-pipeline")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
+
+    # 0. C4-style rule gates (token count / mean token length / braces /
+    # blocklist / stopword presence) — the cheap first-pass cut
+    docs = (
+        text.c4_style_filter(docs, min_tokens=10)
+        .where("keep")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
 
     # 1. quality + repetition gates (Gopher-style): keep plausible prose
     scored = text.quality_score(text.repetition_metrics(docs))
@@ -58,12 +68,28 @@ def main() -> None:
         F.col("is_canonical")
     ).drop("cluster_id", "is_canonical")
 
+    # 3b. sub-document dedup: drop repeated 8-token chunks corpus-wide
+    # (Lee et al. keep-first), then drop docs that lost everything
+    deduped = (
+        dedup.token_chunk_dedup(deduped, chunk_tokens=8)
+        .where(F.col("n_kept") > 0)
+        .join(deduped.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "text", "lang", "source")
+    )
+
     # 4. decontamination vs a stand-in benchmark set
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     contaminated = dedup.ngram_contamination(deduped, bench, n=8).select(
         "doc_id"
     )
     clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # 4b. mixture weighting: keep all of src0, half of src1/src2, 75% of
+    # the long tail — content-hash membership, reproducible on backfill
+    clean = sampling.weighted_sample(
+        clean, ["doc_id"], group_column="source",
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.5}, default=0.75,
+    )
 
     # 5. deterministic split + sequence packing for the train shard
     split = sampling.assign_split(clean, ["doc_id"])
