@@ -3180,3 +3180,46 @@ def sources_intersect_except_documents(spark, sf_dir):
     both = en.intersect(de).select("source", F.lit("has_en_and_de").alias("relation"))
     only = en.subtract(de).select("source", F.lit("en_only").alias("relation"))
     return both.unionByName(only)
+
+
+from pyspark_playground_spark.operators import rollup as ru  # noqa: E402
+
+
+@query(
+    "incremental_rollup_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           count(*) AS cnt_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+             AS avg_value
+    FROM e GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def incremental_rollup_events(spark, sf_dir):
+    """Mergeable continuous aggregate (operators/rollup.py — the
+    TimescaleDB/Druid rollup-segment shape): the stream is split into two
+    batches at mid-month, each batch rolls up independently, and the
+    partials MERGE — the oracle is the single-pass rollup, so the hash
+    match proves merge(rollup(b1), rollup(b2)) == rollup(all) exactly.
+    Sums run in decimal so the identity is bit-exact cross-engine."""
+    e = load_events(spark, sf_dir).select(
+        "event_type", "ts", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    cut = F.lit(datetime(2024, 1, 16))
+    b1 = e.where(F.col("ts") < cut)
+    b2 = e.where(F.col("ts") >= cut)
+    merged = ru.merge_rollups(
+        ru.time_rollup(b1, "ts", "hour", ["event_type"], ["value"]),
+        ru.time_rollup(b2, "ts", "hour", ["event_type"], ["value"]),
+    )
+    return ru.finalize_rollup(merged, ["value"]).select(
+        "event_type", "bucket", "cnt_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+        "avg_value",
+    )
