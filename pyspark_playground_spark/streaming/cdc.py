@@ -433,3 +433,43 @@ def funnel_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rollup_stream_loader(
+    summary_table: str,
+    ts_column: str,
+    step: str,
+    keys: Sequence[str],
+    values: Sequence[str],
+):
+    """foreachBatch adapter maintaining a mergeable time-rollup summary
+    (operators/rollup.py — the continuous-aggregate maintenance loop):
+    each micro-batch rolls up batch-side (batch-sized work), merges with
+    the current summary (summary-sized work — NOT event-history-sized),
+    and overwrites the summary table. Because the partials are mergeable,
+    the stored summary after any number of micro-batches equals the batch
+    rollup over all events ever seen — pinned by
+    ``test_streaming.py::test_rollup_stream_matches_batch``.
+
+    At cluster scale: store the summary bucketed by ``(keys, bucket)`` so
+    the merge shuffles partition-aligned, or swap the overwrite for a
+    Delta MERGE on the same keys; the loader body is the only thing that
+    changes. Returns ``loader(batch_df, batch_id)``.
+    """
+    from pyspark_playground_spark.operators import rollup as ru
+
+    def loader(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        part = ru.time_rollup(batch_df, ts_column, step, keys, values)
+        if spark.catalog.tableExists(summary_table):
+            merged = ru.merge_rollups(spark.table(summary_table), part)
+        else:
+            merged = part
+        # break lineage off the table we are about to overwrite
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").saveAsTable(summary_table)
+        spark.catalog.refreshTable(summary_table)
+
+    return loader

@@ -352,3 +352,52 @@ def test_funnel_stateful_stream_equals_batch(spark, tmpdir):
     }
     assert final == batch
     assert final[1][0] == 3 and final[2][0] == 2 and final[3][0] == 1
+
+
+def test_rollup_stream_matches_batch(spark, tmpdir):
+    """foreachBatch continuous-aggregate maintenance: after two
+    micro-batches the stored mergeable summary equals the batch rollup
+    over all events — merge(rollup(b1), rollup(b2)) == rollup(all)."""
+    from pyspark_playground_spark.operators import rollup as ru
+
+    schema = "user_id long, ts timestamp, event_type string, value long"
+    src = f"{tmpdir}/rollup_src"
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10, 5), "a", 2),
+         (2, datetime(2026, 5, 1, 10, 40), "a", 4)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10, 50), "a", 6),
+         (1, datetime(2026, 5, 1, 11, 5), "b", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.start_cdc_ingestion(
+        stream,
+        st.rollup_stream_loader(
+            "events_hourly_summary", "ts", "hour", ["event_type"], ["value"]
+        ),
+        checkpoint_dir=f"{tmpdir}/ckpt_rollup",
+        available_now=True,
+        query_name="rollup_maint",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], str(r["bucket"])): (r["cnt_rows"], r["sum_value"])
+        for r in spark.table("events_hourly_summary").collect()
+    }
+    want = {
+        (r["event_type"], str(r["bucket"])): (r["cnt_rows"], r["sum_value"])
+        for r in ru.time_rollup(
+            spark.read.parquet(src), "ts", "hour", ["event_type"], ["value"]
+        ).collect()
+    }
+    assert got == want
+    assert got[("a", "2026-05-01 10:00:00")] == (3, 12)
+    spark.sql("DROP TABLE IF EXISTS events_hourly_summary")
