@@ -130,6 +130,43 @@ def main() -> None:
                .write.format("noop").mode("overwrite").save())
     timed("events_hourly_window", n_ev, win)
 
+    # 6. sub-document chunk dedup over the replicated corpus (keep-first
+    #    window on the chunk hash + reassembly — two key shuffles)
+    def chunkdedup():
+        dd.token_chunk_dedup(docs, chunk_tokens=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("token_chunk_dedup", n_docs, chunkdedup)
+
+    # 7. hot-key as-of: ALL probe rows on ONE user, bucketed vs not.
+    #    The unbucketed plan serializes the key into a single task; the
+    #    bucketed plan spreads it over per-hour partitions.
+    from pyspark_playground_spark.operators import temporal as tp
+
+    hot_n = int(os.environ.get("SCALE_PROBE_HOT_ROWS", "4000000"))
+    hot = (
+        spark.range(hot_n)
+        .select(
+            F.lit(1).alias("user_id"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000) + F.col("id") * 2_000_000).cast("long")
+            ).alias("ts"),
+            (F.col("id") % 97).alias("v"),
+        )
+    )
+    lhs = hot.select("user_id", "ts")
+    rhs = hot.select("user_id", F.expr("ts - INTERVAL 1 SECOND").alias("ts"), "v")
+    def asof_plain():
+        tp.asof_join(lhs, rhs, "ts", "user_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    def asof_bucketed():
+        tp.asof_join(lhs, rhs, "ts", "user_id", bucket="1 hour").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("asof_hot_key_unbucketed", hot_n, asof_plain)
+    timed("asof_hot_key_bucketed_1h", hot_n, asof_bucketed)
+
 
 if __name__ == "__main__":
     main()
