@@ -440,3 +440,38 @@ def test_c4_style_filter_rules(spark):
     assert not out[3]["keep"] and not out[3]["no_braces"]
     assert not out[4]["keep"] and not out[4]["no_blocklist"]
     assert not out[5]["keep"] and not out[5]["has_stopword"]
+
+
+def test_lsh_candidate_paths_agree(docs):
+    # the precomputed-signature entry point (lsh_candidate_pairs) and the
+    # fused signature→banding path must emit identical candidate sets
+    sigs = dd.minhash_signatures(docs)
+    via_sigs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(sigs).collect()
+    }
+    banded = dd.minhash_band_buckets(docs)
+    via_fused = {
+        (r["id_a"], r["id_b"])
+        for r in dd._pairs_from_banded(banded, "doc_id").collect()
+    }
+    assert via_sigs == via_fused and via_sigs  # non-empty: docs 1/2 collide
+
+
+def test_token_chunk_dedup_two_exchanges(spark):
+    # plan guard: keep-first window (chunk-hash key) + reassembly groupBy
+    # (doc key) — exactly two data exchanges, nothing quadratic
+    df = spark.createDataFrame(
+        [(i, f"tok{i} a b c") for i in range(10)], "doc_id int, text string"
+    )
+    plan = (
+        dd.token_chunk_dedup(df, chunk_tokens=2)
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
