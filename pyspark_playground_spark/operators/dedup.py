@@ -530,6 +530,87 @@ def simhash_dedup_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    existing_signatures: DataFrame,
+    new_docs: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: sign ONLY the new batch, reuse stored
+    signatures for the rest of the corpus, and emit only pairs that touch
+    a new document.
+
+    The daily-increment shape of a 100 TB corpus pipeline: yesterday's
+    signatures (``existing_signatures``: ``(id, minhash)`` as persisted by
+    ``minhash_signatures``) are batch-size-independent state; per batch
+    the expensive shingle+hash pipeline runs over ``new_docs`` only, the
+    banded self-join runs over old∪new buckets, and known old-old pairs
+    are filtered out before the verify stage re-shingles the (few) docs
+    that appear in a surviving candidate pair. ``corpus`` supplies text
+    for verification (must contain both sides of every candidate).
+    """
+    banded_existing = existing_signatures.select(
+        id_column,
+        F.explode(
+            _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
+        ).alias("bb"),
+    ).select(id_column, "bb.band", "bb.bucket")
+    banded_new = minhash_band_buckets(
+        new_docs, id_column, text_column,
+        num_perms=num_perms, bands=bands, shingle_size=shingle_size,
+    )
+    banded = _materialize(
+        banded_existing.unionByName(banded_new), checkpoint_dir
+    )
+    new_ids = new_docs.select(id_column)
+    cands = _materialize(
+        _pairs_from_banded(banded, id_column)
+        .join(
+            new_ids.select(F.col(id_column).alias("id_a")).withColumn(
+                "__na", F.lit(True)
+            ),
+            "id_a", "left",
+        )
+        .join(
+            new_ids.select(F.col(id_column).alias("id_b")).withColumn(
+                "__nb", F.lit(True)
+            ),
+            "id_b", "left",
+        )
+        .where(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
+        .select("id_a", "id_b"),
+        checkpoint_dir,
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_column))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    docs = corpus.join(cand_ids, id_column, "left_semi").select(
+        F.col(id_column), shingles_expr(text_column, shingle_size).alias("sh")
+    )
+    a = docs.select(F.col(id_column).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col(id_column).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sub-document (paragraph / chunk) exact dedup
 # ---------------------------------------------------------------------------

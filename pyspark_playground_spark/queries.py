@@ -3223,3 +3223,34 @@ def incremental_rollup_events(spark, sf_dir):
         F.col("max_value").cast("double").alias("max_value"),
         "avg_value",
     )
+
+
+@query(
+    "incremental_minhash_pairs_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id >= 400 OR b.doc_id >= 400)
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+          >= 0.8
+    """,
+)
+def incremental_minhash_pairs_documents(spark, sf_dir):
+    """Incremental near-dedup (dedup.incremental_minhash_pairs): docs
+    < 400 stand in for yesterday's corpus with persisted signatures;
+    docs ≥ 400 are today's batch. Only the batch is re-shingled; output
+    is exactly the near-dup pairs touching a new doc (old-old pairs are
+    yesterday's news). Oracle: all-pairs Jaccard restricted the same
+    way."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    sigs_old = dd.minhash_signatures(old)
+    return dd.incremental_minhash_pairs(docs, sigs_old, new, threshold=0.8)

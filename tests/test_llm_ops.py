@@ -475,3 +475,23 @@ def test_token_chunk_dedup_two_exchanges(spark):
     import re
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_incremental_minhash_matches_full_run(docs):
+    # incremental (old sigs reused, new batch signed) must equal the full
+    # pipeline's pairs restricted to those touching a new doc
+    old = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, dd.minhash_signatures(old), new,
+            threshold=0.3, bands=32,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(docs, threshold=0.3, bands=32).collect()
+        if r["id_a"] > 3 or r["id_b"] > 3
+    }
+    assert inc == full
