@@ -3254,3 +3254,35 @@ def incremental_minhash_pairs_documents(spark, sf_dir):
     new = docs.where(F.col("doc_id") >= 400)
     sigs_old = dd.minhash_signatures(old)
     return dd.incremental_minhash_pairs(docs, sigs_old, new, threshold=0.8)
+
+
+@query(
+    "unpivot_priority_counts",
+    """
+    WITH w AS (
+      SELECT l_linestatus,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, priority_class, n
+    FROM w UNPIVOT (n FOR priority_class
+                    IN (high_line_count, low_line_count))
+    """,
+)
+def unpivot_priority_counts(spark, sf_dir):
+    """Unpivot/melt breadth: the q12-style wide conditional-agg result
+    melted back to long form with the DataFrame ``unpivot`` operator
+    (Spark's melt) — mirrors SQL UNPIVOT exactly."""
+    wide = q12_style_priority_by_linestatus(spark, sf_dir)
+    return wide.unpivot(
+        ["l_linestatus"],
+        ["high_line_count", "low_line_count"],
+        "priority_class",
+        "n",
+    )
