@@ -62,8 +62,10 @@ def main() -> None:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("view_event_id"))
     )
+    # bucket="1 day" = the skew-safe plan: a hyperactive user's events
+    # spread over per-day partitions instead of serializing into one task
     attributed = temporal.asof_join(
-        purchases, views, "ts", "user_id", tolerance="7 days"
+        purchases, views, "ts", "user_id", tolerance="7 days", bucket="1 day"
     )
 
     # 4. ordered conversion funnel
@@ -74,6 +76,16 @@ def main() -> None:
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     series = temporal.gap_fill(hourly, "hour_ts", "1 hour", "user_id")
+
+    # 5b. mergeable hourly rollup — the continuous-aggregate summary a
+    # nightly job maintains incrementally (see rollup_stream_loader)
+    from pyspark_playground_spark.operators import rollup as ru
+    half1 = events.where(F.col("value") >= 0.5)
+    half2 = events.where(F.col("value") < 0.5)
+    summary = ru.merge_rollups(
+        ru.time_rollup(half1, "ts", "hour", ["event_type"], ["value"]),
+        ru.time_rollup(half2, "ts", "hour", ["event_type"], ["value"]),
+    )
 
     # 6. robust outliers over per-user hourly volume
     flagged = quality.robust_outliers(
@@ -87,13 +99,15 @@ def main() -> None:
     funnel_rows = {r["stage"]: r["n_users"] for r in depths.collect()}
     n_series = series.count()
     n_flagged = flagged.count()
+    n_summary = summary.count()
 
     print(f"sessions: {n_sessions} ({n_err_sessions} with errors)")
     print(f"attribution: {n_attr}/{n_purch} purchases matched to a prior view")
     print(f"funnel: {funnel_rows}")
     print(f"gap-filled hourly series rows: {n_series}")
     print(f"hourly-volume outliers: {n_flagged}")
-    assert n_sessions > 0 and n_purch > 0 and n_series > 0
+    print(f"mergeable hourly summary rows: {n_summary}")
+    assert n_sessions > 0 and n_purch > 0 and n_series > 0 and n_summary > 0
     assert funnel_rows["view"] >= funnel_rows["click"] >= funnel_rows["purchase"]
     print("PIPELINE OK")
 
