@@ -627,19 +627,26 @@ def _keep_first_and_reassemble(
     (order = (id, pos)), always keep segments shorter than ``min_chars``,
     and reassemble each document from its surviving segments in order.
 
-    Shuffle profile: one exchange on the normalized-segment key for the
+    Shuffle profile: one exchange on the normalized-segment md5 for the
     keep-first window, one exchange on the document id for reassembly —
-    both plain key shuffles; per-segment state is one row. Every input
-    document appears in the output (``n_kept`` may be 0, text then "").
+    both plain key shuffles; per-segment state is one row. The norm text
+    itself is dropped before the shuffle (rows carry the 16-byte digest
+    plus the original segment, not norm + segment — ~half the bytes for
+    long paragraphs); md5-collision risk at 10¹² distinct segments is
+    ~1e-15, the same bet ``exact_dedup`` makes. Every input document
+    appears in the output (``n_kept`` may be 0, text then "").
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("__norm").orderBy(
+    segs = segs.withColumn("__k", F.md5(F.col("__norm"))).withColumn(
+        "__nlen", F.length("__norm")
+    ).drop("__norm")
+    w = Window.partitionBy("__k").orderBy(
         F.col(id_column).asc(), F.col("pos").asc()
     )
     segs = segs.withColumn(
         "__keep",
-        (F.length("__norm") < F.lit(min_chars))
+        (F.col("__nlen") < F.lit(min_chars))
         | (F.row_number().over(w) == 1),
     )
     kept_struct = F.when(
