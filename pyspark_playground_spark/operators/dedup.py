@@ -470,29 +470,17 @@ def simhash_signatures(
     return votes.select(F.col(id_column), packed.alias("simhash"))
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    id_column: str = "doc_id",
-    text_column: str = "text",
+def _simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    id_column: str,
     *,
-    max_hamming: int = 3,
-    portable: bool = False,
-    checkpoint_dir: str | None = None,
+    chunk_bits: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share one of four signature chunks
-    (pigeonhole: any pair within Hamming distance 3 shares ≥1 of 4 chunks,
-    so recall at ``max_hamming <= 3`` is exactly 1), verified with
-    bit_count(xor). Chunks are 16 bits (64-bit default) or 15 bits
-    (``portable`` 60-bit signatures)."""
-    chunk_bits = 15 if portable else 16
+    """Chunk-bucket candidate generation + Hamming verify over a
+    ``(id, simhash)`` relation (pigeonhole: any pair within Hamming
+    distance 3 shares ≥1 of 4 chunks)."""
     chunk_mask = (1 << chunk_bits) - 1
-    # the signature is one large interpreted aggregate; the chunk explode
-    # and the a/b self-join below would otherwise re-inline it ~10× per row
-    # (5 column references × 2 join sides) — materialize it once
-    sigs = _materialize(
-        simhash_signatures(df, id_column, text_column, portable=portable),
-        checkpoint_dir,
-    )
     chunks = sigs.select(
         id_column,
         "simhash",
@@ -527,6 +515,79 @@ def simhash_dedup_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    max_hamming: int = 3,
+    portable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SimHash near-dup: candidates share one of four signature chunks
+    (pigeonhole: any pair within Hamming distance 3 shares ≥1 of 4 chunks,
+    so recall at ``max_hamming <= 3`` is exactly 1), verified with
+    bit_count(xor). Chunks are 16 bits (64-bit default) or 15 bits
+    (``portable`` 60-bit signatures)."""
+    chunk_bits = 15 if portable else 16
+    # the signature is one large interpreted aggregate; the chunk explode
+    # and the a/b self-join would otherwise re-inline it ~10× per row
+    # (5 column references × 2 join sides) — materialize it once
+    sigs = _materialize(
+        simhash_signatures(df, id_column, text_column, portable=portable),
+        checkpoint_dir,
+    )
+    return _simhash_pairs_from_sigs(
+        sigs, id_column, chunk_bits=chunk_bits, max_hamming=max_hamming
+    )
+
+
+def incremental_simhash_pairs(
+    existing_signatures: DataFrame,
+    new_docs: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    max_hamming: int = 3,
+    portable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental SimHash near-dup (the ``incremental_minhash_pairs``
+    pattern): only the new batch is signed, signatures persisted from
+    prior batches (``(id, simhash)`` as written by ``simhash_signatures``)
+    are reused, and only pairs touching a new document are emitted. No
+    ``corpus`` argument — SimHash verification is bit_count over the
+    signatures themselves, so no text is ever revisited.
+    """
+    chunk_bits = 15 if portable else 16
+    sigs_new = simhash_signatures(
+        new_docs, id_column, text_column, portable=portable
+    )
+    sigs = _materialize(
+        existing_signatures.unionByName(sigs_new), checkpoint_dir
+    )
+    pairs = _simhash_pairs_from_sigs(
+        sigs, id_column, chunk_bits=chunk_bits, max_hamming=max_hamming
+    )
+    new_ids = new_docs.select(id_column)
+    return (
+        pairs.join(
+            new_ids.select(F.col(id_column).alias("id_a")).withColumn(
+                "__na", F.lit(True)
+            ),
+            "id_a", "left",
+        )
+        .join(
+            new_ids.select(F.col(id_column).alias("id_b")).withColumn(
+                "__nb", F.lit(True)
+            ),
+            "id_b", "left",
+        )
+        .where(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -3286,3 +3286,45 @@ def unpivot_priority_counts(spark, sf_dir):
         "priority_class",
         "n",
     )
+
+
+@query(
+    "incremental_simhash_pairs_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ), h AS (
+      SELECT doc_id,
+             [list_sum([(strpos('0123456789abcdef', substr(md5(x), d+1, 1)) - 1)
+                        * (CAST(1 AS BIGINT) << (4*(14-d))) FOR d IN range(0,15)])
+              FOR x IN toks] AS hs
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                THEN 1 ELSE -1 END
+                                           FOR h IN hs]) > 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                       FOR b IN range(0,60)]) AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id >= 400 OR b.doc_id >= 400)
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def incremental_simhash_pairs_documents(spark, sf_dir):
+    """Incremental SimHash near-dup (dedup.incremental_simhash_pairs):
+    persisted signatures for docs < 400, only docs ≥ 400 signed this
+    batch, only new-doc pairs emitted — and unlike MinHash, verification
+    is pure signature arithmetic, so the old corpus text is never read.
+    Oracle: all-pairs 60-bit Hamming restricted the same way."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    sigs_old = dd.simhash_signatures(old, portable=True)
+    return dd.incremental_simhash_pairs(
+        sigs_old, new, max_hamming=3, portable=True
+    )

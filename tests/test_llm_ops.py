@@ -495,3 +495,22 @@ def test_incremental_minhash_matches_full_run(docs):
         if r["id_a"] > 3 or r["id_b"] > 3
     }
     assert inc == full
+
+
+def test_incremental_simhash_matches_full_run(docs):
+    # doc 2 (exact dup of doc 1) arrives in the new batch: the old-new
+    # pair (1,2) must surface from persisted old signatures alone
+    old = docs.filter(F.col("doc_id") <= 1)
+    new = docs.filter(F.col("doc_id") > 1)
+    inc = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.incremental_simhash_pairs(
+            dd.simhash_signatures(old), new, max_hamming=10,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_dedup_pairs(docs, max_hamming=10).collect()
+        if r["id_a"] > 1 or r["id_b"] > 1
+    }
+    assert inc == full and (1, 2, 0) in inc
