@@ -296,3 +296,56 @@ def test_ngrams_fast_path_matches_python_reference(spark, texts):
     for i, t in enumerate(texts):
         assert got2[i] == ref(t, 2), (t, 2)
         assert got3[i] == ref(t, 3), (t, 3)
+
+
+# ---------------------------------------------------------------------------
+# sub-document chunk dedup vs a pure-Python reference model
+# ---------------------------------------------------------------------------
+
+def _chunk_dedup_model(corpus: dict[int, str], n: int) -> dict[int, tuple]:
+    """Pure-Python keep-first-occurrence chunk dedup (the semantics
+    token_chunk_dedup must match): chunks of n tokens in (doc_id, pos)
+    order; first occurrence of each distinct chunk survives."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id in sorted(corpus):
+        toks = corpus[doc_id].split(" ") if corpus[doc_id] else []
+        kept, total = [], 0
+        for i in range(0, len(toks), n):
+            seg = " ".join(toks[i:i + n])
+            total += 1
+            if seg == "" or seg not in seen:
+                kept.append(seg)
+            if seg != "":
+                seen.add(seg)
+        out[doc_id] = (" ".join(kept), total, len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_token_chunk_dedup_matches_model(spark, data):
+    words = ["aa", "bb", "cc", "dd"]
+    corpus = {
+        i: " ".join(data.draw(st.lists(st.sampled_from(words), max_size=12)))
+        for i in range(data.draw(st.integers(1, 6)))
+    }
+    from pyspark_playground_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_segments"], r["n_kept"])
+        for r in dd.token_chunk_dedup(df, chunk_tokens=2).collect()
+    }
+    want = _chunk_dedup_model(corpus, 2)
+    # empty docs: Spark's split('') yields [''] -> one empty always-kept
+    # segment; the model yields zero chunks. Normalize both to (text, -, -).
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in want.items()
+    }
+    for k in corpus:
+        if corpus[k]:
+            assert got[k] == want[k]
