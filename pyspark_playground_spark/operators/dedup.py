@@ -110,21 +110,22 @@ def minhash_signature_expr(shingles: Column, num_perms: int = 64) -> Column:
     )
 
 
-def minhash_signatures(
+def _minhash_agg(
     df: DataFrame,
-    id_column: str = "doc_id",
-    text_column: str = "text",
-    *,
-    num_perms: int = 64,
-    shingle_size: int = 3,
+    id_column: str,
+    text_column: str,
+    num_perms: int,
+    shingle_size: int,
 ) -> DataFrame:
-    """MinHash signatures via explode + map-side-combined min aggregation.
+    """Shared signature pipeline: explode shingles, hash each shingle
+    string ONCE, then per-permutation map-side-combined min aggregates
+    over the (10× cheaper) seeded long re-hash. Output: one row per doc
+    with columns ``__h0..__h{num_perms-1}``.
 
-    The shingle pipeline runs exactly once per document; the shuffle carries
-    one partial row of ``num_perms`` longs per (doc, mapper) thanks to
-    partial aggregation — the layout that holds at 100 TB. The final
-    aggregation is also an exchange barrier, so downstream banding
-    projections cannot re-inline the signature computation.
+    The shuffle carries one partial row of ``num_perms`` longs per
+    (doc, mapper) — the layout that holds at 100 TB; the final
+    aggregation is an exchange barrier, so downstream projections cannot
+    re-inline the shingle computation.
     """
     # small-file sources arrive as one partition; spread the docs so the
     # shingle+hash work uses every core. The partition count is explicit —
@@ -135,20 +136,28 @@ def minhash_signatures(
         F.col(id_column),
         F.explode_outer(shingles_expr(text_column, shingle_size)).alias("__sh"),
     ).withColumn("__h", F.xxhash64("__sh"))
-    # each shingle string is hashed ONCE; the per-permutation values re-hash
-    # the resulting long (seeded), which is ~10× cheaper than hashing the
-    # string num_perms times
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__h{i}")
         for i in range(num_perms)
     ]
-    return (
-        ex.groupBy(id_column)
-        .agg(*aggs)
-        .select(
-            F.col(id_column),
-            F.array(*[F.col(f"__h{i}") for i in range(num_perms)]).alias("minhash"),
-        )
+    return ex.groupBy(id_column).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    num_perms: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signatures as one array column — the persistable form
+    (write this to parquet and feed ``lsh_candidate_pairs`` /
+    ``incremental_minhash_pairs`` later). See ``_minhash_agg`` for the
+    scale shape."""
+    return _minhash_agg(df, id_column, text_column, num_perms, shingle_size).select(
+        F.col(id_column),
+        F.array(*[F.col(f"__h{i}") for i in range(num_perms)]).alias("minhash"),
     )
 
 
@@ -207,18 +216,8 @@ def minhash_band_buckets(
     drops one projection over the (wide) aggregate and shrinks what gets
     materialized downstream to 3 small columns per (doc, band).
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    ex = df.repartition(n_parts, F.col(id_column)).select(
-        F.col(id_column),
-        F.explode_outer(shingles_expr(text_column, shingle_size)).alias("__sh"),
-    ).withColumn("__h", F.xxhash64("__sh"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__h{i}")
-        for i in range(num_perms)
-    ]
     return (
-        ex.groupBy(id_column)
-        .agg(*aggs)
+        _minhash_agg(df, id_column, text_column, num_perms, shingle_size)
         .select(
             F.col(id_column),
             F.explode(
