@@ -67,9 +67,12 @@ EVENTS_N = (
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long nanos and truncate to a microsecond
-    timestamp (lossless for this dataset's micro-precision payload)."""
+    """events.parquet carries TIMESTAMP(NANOS). Spark 4.1 reads it
+    natively as TIMESTAMP_NTZ truncated to microseconds (matching the
+    oracle's ``epoch_ns // 1000`` view); consumers must treat ``ts`` as
+    NTZ — zoned-only functions (``unix_micros``) need an explicit cast.
+    The legacy-flag branch below covers older Spark versions where the
+    vectorized reader surfaces nanos as bigint instead."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
