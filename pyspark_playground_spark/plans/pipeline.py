@@ -1,0 +1,170 @@
+"""Declarative corpus pipeline: a YAML/dict spec → composed DataFrame plan.
+
+The LLM-data twin of ``plans/declarative.py``'s vault layer: the stages a
+training-data pipeline chains (filter → dedup → decontaminate → sample →
+split → pack) declared as data instead of code, so the same spec runs at
+sf0.001 in CI and on the 100 TB corpus unchanged. Each stage is a thin
+binding onto an operator from this package — the spec adds NO new
+semantics, it only names compositions.
+
+Spec shape::
+
+    input: {table: documents}          # or the caller passes a DataFrame
+    stages:
+      - op: c4_filter                  # rule flags + keep conjunction
+        params: {min_tokens: 10}
+      - op: filter                     # any SQL boolean over current cols
+        expr: "quality_score >= 0.5"
+      - op: exact_dedup
+      - op: near_dedup                 # LSH -> CC -> canonical per cluster
+        params: {threshold: 0.8}
+      - op: chunk_dedup
+        params: {chunk_tokens: 8}
+      - op: decontaminate              # drop docs sharing 8-grams w/ bench
+        benchmark_filter: "doc_id % 50 = 0"
+      - op: weighted_sample
+        params: {group_column: source, default: 0.75,
+                 weights: {src0: 1.0}}
+      - op: split                      # adds a `split` column
+        params: {splits: {train: 0.8, val: 0.1, test: 0.1}}
+
+Every stage consumes and produces a DataFrame with at least
+``(doc_id, text)``; stages that add flags (``c4_filter``) filter on them
+immediately so the chain stays a clean funnel. Unknown ops raise — a spec
+typo must not silently skip a cleaning stage.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import dedup as _dd
+from pyspark_playground_spark.operators import graph as _gr
+from pyspark_playground_spark.operators import quality as _ql
+from pyspark_playground_spark.operators import sampling as _sp
+from pyspark_playground_spark.operators import text as _tx
+
+
+def _stage_c4_filter(df: DataFrame, spec: dict) -> DataFrame:
+    cols = df.columns
+    return _tx.c4_style_filter(df, **spec.get("params", {})).where("keep").select(*cols)
+
+
+def _stage_filter(df: DataFrame, spec: dict) -> DataFrame:
+    return df.where(spec["expr"])
+
+
+def _stage_quality_score(df: DataFrame, spec: dict) -> DataFrame:
+    return _tx.quality_score(_tx.repetition_metrics(df))
+
+
+def _stage_scrub_pii(df: DataFrame, spec: dict) -> DataFrame:
+    keep = [c for c in df.columns if c != "text"]
+    return _tx.scrub_pii(df).select(*keep, F.col("scrubbed").alias("text"))
+
+
+def _stage_exact_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    return _dd.exact_dedup(df, **spec.get("params", {}))
+
+
+def _stage_near_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    params = dict(spec.get("params", {}))
+    pairs = _dd.minhash_dedup_pairs(df, **params)
+    return (
+        _gr.dedup_clusters(df, pairs)
+        .filter(F.col("is_canonical"))
+        .drop("cluster_id", "is_canonical")
+    )
+
+
+def _stage_chunk_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    params = dict(spec.get("params", {}))
+    others = [c for c in df.columns if c not in ("text",)]
+    out = _dd.token_chunk_dedup(df, **params).where(F.col("n_kept") > 0)
+    return out.join(df.select(*others), "doc_id").select(
+        *others, "text"
+    )
+
+
+def _stage_decontaminate(df: DataFrame, spec: dict) -> DataFrame:
+    bench = df.sparkSession.table(spec["benchmark_table"]) if "benchmark_table" in spec \
+        else df.where(spec["benchmark_filter"])
+    hits = _dd.ngram_contamination(
+        df, bench, **spec.get("params", {})
+    ).select("doc_id")
+    return df.join(hits, "doc_id", "left_anti")
+
+
+def _stage_robust_outliers(df: DataFrame, spec: dict) -> DataFrame:
+    p = spec.get("params", {})
+    return _ql.robust_outliers(
+        df, p.get("value_column", "n_chars"), p.get("group_column", "source"),
+        threshold=p.get("threshold", 3.5),
+    ).where(~F.col("is_outlier")).drop("robust_z", "is_outlier")
+
+
+def _stage_weighted_sample(df: DataFrame, spec: dict) -> DataFrame:
+    p = dict(spec.get("params", {}))
+    keys = p.pop("key_columns", ["doc_id"])
+    return _sp.weighted_sample(df, keys, **p)
+
+
+def _stage_sample(df: DataFrame, spec: dict) -> DataFrame:
+    p = dict(spec.get("params", {}))
+    keys = p.pop("key_columns", ["doc_id"])
+    return _sp.deterministic_sample(df, keys, **p)
+
+
+def _stage_split(df: DataFrame, spec: dict) -> DataFrame:
+    p = dict(spec.get("params", {}))
+    keys = p.pop("key_columns", ["doc_id"])
+    return _sp.assign_split(df, keys, **p)
+
+
+STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "c4_filter": _stage_c4_filter,
+    "filter": _stage_filter,
+    "quality_score": _stage_quality_score,
+    "scrub_pii": _stage_scrub_pii,
+    "exact_dedup": _stage_exact_dedup,
+    "near_dedup": _stage_near_dedup,
+    "chunk_dedup": _stage_chunk_dedup,
+    "decontaminate": _stage_decontaminate,
+    "robust_outliers": _stage_robust_outliers,
+    "weighted_sample": _stage_weighted_sample,
+    "sample": _stage_sample,
+    "split": _stage_split,
+}
+
+
+def load_spec(text_or_path: str | Path) -> dict[str, Any]:
+    import yaml
+
+    s = str(text_or_path)
+    if "\n" not in s and (s.endswith((".yaml", ".yml", ".json")) or Path(s).exists()):
+        s = Path(s).read_text()
+    spec = yaml.safe_load(s)
+    if not isinstance(spec, dict) or "stages" not in spec:
+        raise ValueError("pipeline spec must be a mapping with a 'stages' list")
+    return spec
+
+
+def run_pipeline(df: DataFrame, spec: dict | str | Path) -> DataFrame:
+    """Fold the spec's stages over ``df``. Plans compose lazily — the
+    whole chain is ONE DataFrame for Catalyst/AQE; nothing materializes
+    until the caller writes. Unknown ops raise ValueError."""
+    if not isinstance(spec, dict):
+        spec = load_spec(spec)
+    out = df
+    for i, stage in enumerate(spec["stages"]):
+        op = stage.get("op")
+        if op not in STAGES:
+            raise ValueError(
+                f"stage {i}: unknown op {op!r}; known: {sorted(STAGES)}"
+            )
+        out = STAGES[op](out, stage)
+    return out

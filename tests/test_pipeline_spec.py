@@ -1,0 +1,69 @@
+"""Declarative corpus pipeline: spec-driven chain == hand-composed chain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import dedup as dd
+from pyspark_playground_spark.operators import graph as gr
+from pyspark_playground_spark.operators import sampling as sp
+from pyspark_playground_spark.operators import text as tx
+from pyspark_playground_spark.plans import pipeline as pl
+
+
+SPEC = """
+stages:
+  - op: c4_filter
+    params: {min_tokens: 3}
+  - op: exact_dedup
+  - op: near_dedup
+    params: {threshold: 0.8}
+  - op: weighted_sample
+    params:
+      group_column: source
+      default: 1.0
+      weights: {drop_me: 0.0}
+  - op: split
+    params:
+      splits: {train: 0.5, held: 0.5}
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup
+        (3, "completely different text about the spark engine", "a"),
+        (4, "tiny", "a"),                                          # fails c4
+        (5, "the words here are fine and unique enough", "drop_me"),  # weight 0
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_spec_equals_hand_composition(corpus):
+    got = pl.run_pipeline(corpus, SPEC)
+    cols = corpus.columns
+    hand = tx.c4_style_filter(corpus, min_tokens=3).where("keep").select(*cols)
+    hand = dd.exact_dedup(hand)
+    pairs = dd.minhash_dedup_pairs(hand, threshold=0.8)
+    hand = gr.dedup_clusters(hand, pairs).filter(F.col("is_canonical")).drop(
+        "cluster_id", "is_canonical"
+    )
+    hand = sp.weighted_sample(
+        hand, ["doc_id"], group_column="source",
+        weights={"drop_me": 0.0}, default=1.0,
+    )
+    hand = sp.assign_split(hand, ["doc_id"], splits={"train": 0.5, "held": 0.5})
+    assert sorted(got.columns) == sorted(hand.columns)
+    g = {tuple(r) for r in got.select(*sorted(got.columns)).collect()}
+    h = {tuple(r) for r in hand.select(*sorted(hand.columns)).collect()}
+    assert g == h
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 4 not in ids and 5 not in ids      # c4 + weight-0 dropped
+    assert len(ids & {1, 2}) == 1             # dup pair collapsed
+    assert 3 in ids
+
+
+def test_unknown_op_raises(corpus):
+    with pytest.raises(ValueError, match="unknown op"):
+        pl.run_pipeline(corpus, {"stages": [{"op": "nope"}]})
