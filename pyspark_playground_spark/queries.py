@@ -3331,3 +3331,85 @@ def incremental_simhash_pairs_documents(spark, sf_dir):
     return dd.incremental_simhash_pairs(
         sigs_old, new, max_hamming=3, portable=True
     )
+
+
+from pyspark_playground_spark.plans import pipeline as pp  # noqa: E402
+
+_PIPE_SPEC = {
+    "stages": [
+        {"op": "c4_filter", "params": {"min_tokens": 30}},
+        {"op": "exact_dedup"},
+        {"op": "near_dedup", "params": {"threshold": 0.8}},
+        {"op": "weighted_sample", "params": {
+            "group_column": "source", "default": 0.25,
+            "weights": {"src0": 1.0, "src1": 0.5, "src2": 0.5},
+        }},
+        {"op": "split"},
+    ],
+}
+
+_C4_KEEP = f"""(len({_TOKS}) >= 30
+            AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / CAST(len({_TOKS}) AS DOUBLE) BETWEEN 3.0 AND 10.0
+            AND NOT contains(text, '{{')
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND len(list_filter({_TOKS}, x -> x IN ({_STOPS}))) > 0)"""
+
+
+@query(
+    "declarative_pipeline_documents",
+    f"""
+    WITH c4 AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE {_C4_KEEP}
+    ), ex AS (
+      SELECT * FROM c4
+      WHERE doc_id IN (SELECT min(doc_id) FROM c4 GROUP BY md5(text))
+    ), d AS (
+      SELECT doc_id, {_duck_shingles('ex')} AS sh FROM ex
+    ), p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+            >= 0.8
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ), canon AS (
+      SELECT ex.doc_id, ex.source FROM ex
+      LEFT JOIN comp ON ex.doc_id = comp.node
+      WHERE coalesce(comp.component, ex.doc_id) = ex.doc_id
+    ), samp AS (
+      SELECT doc_id, source FROM canon
+      WHERE {_BUCKET} <
+        CASE WHEN source = 'src0' THEN 10000
+             WHEN source IN ('src1', 'src2') THEN 5000
+             ELSE 2500 END
+    )
+    SELECT doc_id, source,
+           CASE WHEN {_BUCKET} < 8000 THEN 'train'
+                WHEN {_BUCKET} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM samp
+    """,
+)
+def declarative_pipeline_documents(spark, sf_dir):
+    """The declarative corpus pipeline (plans/pipeline.py) end-to-end as
+    ONE oracle-checked entry: C4 gates → exact dedup → MinHash-LSH
+    near-dedup with connected-component canonical selection → per-source
+    mixture sampling → deterministic split, declared as a spec and
+    mirrored stage-for-stage in a single DuckDB SQL chain. The whole
+    funnel is one lazy Catalyst plan on the Spark side."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    return pp.run_pipeline(docs, _PIPE_SPEC).select("doc_id", "source", "split")
