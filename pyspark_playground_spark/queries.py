@@ -3413,3 +3413,65 @@ def declarative_pipeline_documents(spark, sf_dir):
         "doc_id", "text", "source"
     )
     return pp.run_pipeline(docs, _PIPE_SPEC).select("doc_id", "source", "split")
+
+
+@query(
+    "value_time_correlation_events",
+    f"""
+    WITH e AS ({EVENTS_N}), c AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM (
+        SELECT event_type,
+               (CAST(epoch_ns(ts) // 1000 AS BIGINT) - 1704067200000000)
+                 // 1000000 AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM e
+      )
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+    FROM c
+    """,
+)
+def value_time_correlation_events(spark, sf_dir):
+    """Pearson correlation with cross-engine-exact semantics: the naive
+    corr() aggregate accumulates doubles in partition order (two engines,
+    two answers), so the five moments are computed as EXACT sums (bigint
+    seconds offset, decimal values) and combined into r in one double
+    expression — bit-identical on any engine. The offset base keeps x²
+    sums far from the decimal(38) ceiling at 100 TB row counts."""
+    e = load_events(spark, sf_dir)
+    x = F.expr(
+        "(unix_micros(cast(ts as timestamp)) - 1704067200000000) div 1000000"
+    )
+    y = F.col("value").cast("decimal(18,6)")
+    c = (
+        e.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    r = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # the exact-moment inputs are bit-identical cross-engine, but the final
+    # double combination can differ by 1 ulp (instruction fusion); 9-decimal
+    # rounding is far above ulp noise and far below any meaningful precision
+    return c.select("event_type", "n", F.round(r, 9).alias("pearson_r"))

@@ -111,7 +111,9 @@ def main():
         else:
             failures.append(name)
             print(f"FAIL  {name}: {why}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    ran = len([n for n in qs if not only or n in only])
+    print(f"\n{ran - len(failures)}/{ran} queries match"
+          + ("" if not only else f" (of {len(qs)} registered)"))
     return 1 if failures else 0
 
 
