@@ -3438,17 +3438,24 @@ def declarative_pipeline_documents(spark, sf_dir):
     SELECT event_type, n,
            round((CAST(n AS DOUBLE) * sxy - sx * sy)
                  / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 15) AS slope,
+           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(n AS DOUBLE), 9) AS intercept
     FROM c
     """,
 )
 def value_time_correlation_events(spark, sf_dir):
-    """Pearson correlation with cross-engine-exact semantics: the naive
-    corr() aggregate accumulates doubles in partition order (two engines,
-    two answers), so the five moments are computed as EXACT sums (bigint
-    seconds offset, decimal values) and combined into r in one double
-    expression — bit-identical on any engine. The offset base keeps x²
-    sums far from the decimal(38) ceiling at 100 TB row counts."""
+    """Pearson correlation + OLS slope/intercept with cross-engine-exact
+    semantics: the naive corr()/regr_* aggregates accumulate doubles in
+    partition order (two engines, two answers), so the five moments are
+    computed as EXACT sums (bigint seconds offset, decimal values) and
+    combined in one double expression — identical on any engine modulo
+    final-rounding ulps, which the explicit round() absorbs. The offset
+    base keeps x² sums far from the decimal(38) ceiling at 100 TB row
+    counts."""
     e = load_events(spark, sf_dir)
     x = F.expr(
         "(unix_micros(cast(ts as timestamp)) - 1704067200000000) div 1000000"
@@ -3472,6 +3479,15 @@ def value_time_correlation_events(spark, sf_dir):
         * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     # the exact-moment inputs are bit-identical cross-engine, but the final
-    # double combination can differ by 1 ulp (instruction fusion); 9-decimal
-    # rounding is far above ulp noise and far below any meaningful precision
-    return c.select("event_type", "n", F.round(r, 9).alias("pearson_r"))
+    # double combinations can differ by 1 ulp (instruction fusion); rounding
+    # is far above ulp noise and far below any meaningful precision
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n_d
+    return c.select(
+        "event_type", "n",
+        F.round(r, 9).alias("pearson_r"),
+        F.round(slope, 15).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+    )
