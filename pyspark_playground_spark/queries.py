@@ -3491,3 +3491,46 @@ def value_time_correlation_events(spark, sf_dir):
         F.round(slope, 15).alias("slope"),
         F.round(intercept, 9).alias("intercept"),
     )
+
+
+@query(
+    "full_outer_negative_balance_by_nation",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust
+      FROM customer WHERE c_acctbal < -900 GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp
+      FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_customers,
+           coalesce(n_supp, 0) AS n_suppliers
+    FROM c FULL JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_negative_balance_by_nation(spark, sf_dir):
+    """FULL OUTER join breadth (J6's outer family, oracle-checked):
+    per-nation deep-negative customer counts vs negative supplier counts —
+    the side filters are deliberately asymmetric so both null-padded
+    directions appear in the result and the coalesce default matters."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
