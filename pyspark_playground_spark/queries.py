@@ -3534,3 +3534,37 @@ def full_outer_negative_balance_by_nation(spark, sf_dir):
             F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind CUBE/ROLLUP, both
+    already oracle-checked): per-nation totals, per-segment totals and the
+    grand total in one pass — executed through the engine's SQL surface
+    over registered views (S3 in SURVEY §2.1)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__gs_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__gs_nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_orders
+        FROM __gs_orders
+        JOIN __gs_customer ON o_custkey = c_custkey
+        JOIN __gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
