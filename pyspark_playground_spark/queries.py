@@ -3568,3 +3568,52 @@ def grouping_sets_revenue(spark, sf_dir):
         GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         """
     )
+
+
+@query(
+    "knn_within_label_embeddings",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             {_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM.format(v='a.embedding')}
+                  * {_NORM.format(v='b.embedding')}) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT vec_id, label, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM p
+    )
+    SELECT vec_id, label, neighbor_id, cosine FROM r WHERE rn = 1
+    """,
+)
+def knn_within_label_embeddings(spark, sf_dir):
+    """kNN-graph shape: each vector's nearest neighbor within its label
+    group (label-blocked self-join + per-vector rank window — the blocked
+    form of the kNN graph that IVF/LSH bucketing generalizes at 100 TB).
+    Cosines are sequential-order list sums, bit-identical cross-engine;
+    ties break on neighbor_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).withColumn("cosine", sim.cosine_expr(F.col("va"), F.col("vb")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "neighbor_id", "cosine")
+    )
