@@ -3617,3 +3617,53 @@ def knn_within_label_embeddings(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("vec_id", "label", "neighbor_id", "cosine")
     )
+
+
+@query(
+    "paragraph_dedup_superdocs",
+    r"""
+    WITH sd AS (
+      SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS text
+      FROM documents GROUP BY source
+    ), lst AS (
+      SELECT source, string_split(text, chr(10)) AS l FROM sd
+    ), seg AS (
+      SELECT source, CAST(u.i AS INT) AS pos, l[u.i + 1] AS seg
+      FROM lst, UNNEST(range(len(l))) AS u(i)
+    ), k AS (
+      SELECT source, pos, seg,
+             trim(regexp_replace(lower(seg), '\s+', ' ', 'g')) AS norm,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(seg), '\s+', ' ', 'g')))
+               ORDER BY source, pos) AS rn
+      FROM seg
+    )
+    SELECT source,
+           coalesce(string_agg(seg, chr(10) ORDER BY pos)
+                    FILTER (WHERE rn = 1 OR length(norm) < 1), '') AS text,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE rn = 1 OR length(norm) < 1) AS n_kept
+    FROM k GROUP BY source
+    """,
+)
+def paragraph_dedup_superdocs(spark, sf_dir):
+    """Paragraph-level exact dedup (dedup.paragraph_dedup) on real
+    multi-paragraph inputs: each source's documents concatenated into one
+    newline-separated superdoc (deterministic doc_id order), then
+    keep-first-occurrence paragraph dedup corpus-wide — exact duplicates
+    shared across sources survive only in the lexicographically first
+    source. Oracle: string_split + ordinality + the same keep-first
+    window in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    sd = docs.groupBy("source").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                ),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    )
+    return dd.paragraph_dedup(sd, id_column="source", text_column="text")
