@@ -3667,3 +3667,35 @@ def paragraph_dedup_superdocs(spark, sf_dir):
         ).alias("text")
     )
     return dd.paragraph_dedup(sd, id_column="source", text_column="text")
+
+
+@query(
+    "trailing_hour_event_counts",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT event_id, user_id, ts,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS n_trailing_1h
+    FROM e
+    """,
+)
+def trailing_hour_event_counts(spark, sf_dir):
+    """RANGE-frame window breadth (time-valued frame bounds, not row
+    counts): per event, how many of the same user's events fall in the
+    trailing hour — the rate-limiter/burst-detection shape. One exchange
+    on the user key; the frame is evaluated by ordinal scan within the
+    sorted partition."""
+    e = load_events(spark, sf_dir)
+    e.createOrReplaceTempView("__tr_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS n_trailing_1h
+        FROM __tr_events
+        """
+    )
