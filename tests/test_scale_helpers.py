@@ -132,3 +132,31 @@ def test_compact_small_files(spark, tmpdir):
     assert after["n_files"] == 1 and report["target_partitions"] == 1
     # contents identical, path stable
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(range(20))
+
+
+def test_partitioned_write_prunes_partitions(spark, tmpdir):
+    """Hive-partitioned sink + filter on the partition column: the read
+    plan must show partition pruning (PartitionFilters), not a full scan —
+    the property that turns a 100 TB date-partitioned table into a
+    single-day read."""
+    from pyspark.sql import functions as F
+    from pyspark_playground_spark.sources import files as fs
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("shard"),
+    )
+    path = f"{tmpdir}/part_tbl"
+    fs.write_sink(df, path, partition_by=["shard"])
+
+    back = spark.read.parquet(path).where(F.col("shard") == "2")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "shard" in pf, plan
+    assert back.count() == 25
