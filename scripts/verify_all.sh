@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# One-command verification: unit/property suite, DuckDB-oracle gate for all
+# registered queries, then the sf0.1 benchmark. Mirrors what the round
+# driver runs; useful before any commit that touches operators.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+echo "== pytest =="
+python -m pytest tests/ -q
+echo "== oracle gate (sf0.01) =="
+python scripts/check_oracle.py /root/testdata/sf0.01
+echo "== bench (sf0.1) =="
+python bench.py
