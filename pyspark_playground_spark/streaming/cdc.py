@@ -473,3 +473,62 @@ def rollup_stream_loader(
         spark.catalog.refreshTable(summary_table)
 
     return loader
+
+
+def near_dedup_stream_loader(
+    docs_table: str,
+    signatures_table: str,
+    pairs_table: str,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_perms: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+):
+    """foreachBatch incremental near-dedup maintenance: per micro-batch,
+    sign ONLY the arriving documents, band them against the persisted
+    signature table, verify candidates, and append the new near-dup pairs
+    (dedup.incremental_minhash_pairs). State grows with the corpus — one
+    signature row per document ever seen — while per-batch work scales
+    with the batch: the accumulation loop a crawl pipeline runs for
+    months. After any number of micro-batches,
+    ``pairs_table == minhash_dedup_pairs(all docs ever)`` — pinned by
+    ``test_streaming.py::test_near_dedup_stream_matches_batch``.
+    """
+    from pyspark_playground_spark.operators import dedup as du
+
+    def loader(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        if spark.catalog.tableExists(signatures_table):
+            sigs_old = spark.table(signatures_table)
+            corpus = spark.table(docs_table).unionByName(
+                batch.select(*spark.table(docs_table).columns)
+            )
+            pairs = du.incremental_minhash_pairs(
+                corpus, sigs_old, batch, id_column, text_column,
+                num_perms=num_perms, bands=bands,
+                shingle_size=shingle_size, threshold=threshold,
+            )
+        else:
+            pairs = du.minhash_dedup_pairs(
+                batch, id_column, text_column,
+                num_perms=num_perms, bands=bands,
+                shingle_size=shingle_size, threshold=threshold,
+            )
+        pairs.localCheckpoint(eager=True).write.mode("append").saveAsTable(
+            pairs_table
+        )
+        du.minhash_signatures(
+            batch, id_column, text_column,
+            num_perms=num_perms, shingle_size=shingle_size,
+        ).write.mode("append").saveAsTable(signatures_table)
+        batch.write.mode("append").saveAsTable(docs_table)
+        for t in (pairs_table, signatures_table, docs_table):
+            spark.catalog.refreshTable(t)
+
+    return loader

@@ -401,3 +401,53 @@ def test_rollup_stream_matches_batch(spark, tmpdir):
     assert got == want
     assert got[("a", "2026-05-01 10:00:00")] == (3, 12)
     spark.sql("DROP TABLE IF EXISTS events_hourly_summary")
+
+
+def test_near_dedup_stream_matches_batch(spark, tmpdir):
+    """Incremental near-dedup over micro-batches == one-shot batch dedup:
+    the cross-batch duplicate (docs 1 and 2 arrive in different batches)
+    is found from persisted signatures without re-signing old docs."""
+    from pyspark_playground_spark.operators import dedup as du
+
+    schema = "doc_id long, text string"
+    src = f"{tmpdir}/nd_src"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content about spark engines")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog"),
+         (4, "the quick brown fox jumped over the lazy dog")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.start_cdc_ingestion(
+        stream,
+        st.near_dedup_stream_loader(
+            "nd_docs", "nd_sigs", "nd_pairs",
+            threshold=0.35, bands=32,
+        ),
+        checkpoint_dir=f"{tmpdir}/ckpt_nd",
+        available_now=True,
+        query_name="near_dedup_maint",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.table("nd_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in du.minhash_dedup_pairs(
+            spark.read.parquet(src), threshold=0.35, bands=32
+        ).collect()
+    }
+    assert got == want and (1, 2) in got  # cross-batch exact dup found
+    assert spark.table("nd_sigs").count() == 4
+    for t in ("nd_docs", "nd_sigs", "nd_pairs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
