@@ -3699,3 +3699,50 @@ def trailing_hour_event_counts(spark, sf_dir):
         FROM __tr_events
         """
     )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT CAST(u.i AS INT) AS dim,
+             CAST(CAST(e[u.i + 1] AS DOUBLE) AS DECIMAL(18,9)) AS v
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t,
+           UNNEST(range(len(e))) AS u(i)
+    ), m AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS sv,
+             CAST(sum(v * v) AS DOUBLE) AS svv
+      FROM x GROUP BY dim
+    )
+    SELECT dim, n,
+           round(sv / CAST(n AS DOUBLE), 9) AS mean,
+           round((svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+             AS variance
+    FROM m
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus statistics for embedding standardization (the
+    feature-scaling pre-pass before quantization/ANN): posexplode each
+    vector once, exact decimal moment sums per dimension, mean/variance
+    combined in double (the exact-moments idiom — naive avg/var_pop over
+    floats is partition-order-dependent). One shuffle on the dimension
+    id."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "ev")
+    ).select("dim", F.col("ev").cast("decimal(18,9)").alias("v"))
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        "dim", "n",
+        F.round(F.col("sv") / n_d, 9).alias("mean"),
+        F.round(
+            (F.col("svv") - F.col("sv") * F.col("sv") / n_d) / n_d, 9
+        ).alias("variance"),
+    )
