@@ -163,3 +163,54 @@ def weighted_sample(
         else F.lit(int(round(default * buckets)))
     )
     return df.filter(hash_bucket_expr(key_columns, buckets) < cutoff)
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column (the
+    feature-scaling pre-pass before quantization/clustering): corpus
+    mean/std per dimension from exact decimal moment sums (deterministic
+    across engines and partitionings), applied with ``zip_with`` — the
+    stats ride a broadcast one-row cross join, never a collect.
+
+    Output: ``(id, z: array<double>)``. Two passes over the vectors (one
+    aggregation, one transform), one shuffle on the dimension id.
+    """
+    vec = F.col(vector_column).cast("array<double>")
+    x = df.select(
+        F.posexplode(vec).alias("dim", "ev")
+    ).select("dim", F.col("ev").cast("decimal(18,9)").alias("v"))
+    n_d = F.col("n").cast("double")
+    m = (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+        )
+        .select(
+            "dim",
+            (F.col("sv") / n_d).alias("mean"),
+            F.sqrt(
+                (F.col("svv") - F.col("sv") * F.col("sv") / n_d) / n_d
+            ).alias("std"),
+        )
+    )
+    stats = m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean", "std"))),
+            lambda s: s["mean"],
+        ).alias("__means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean", "std"))),
+            lambda s: s["std"],
+        ).alias("__stds"),
+    )
+    centered = F.zip_with(vec, F.col("__means"), lambda xv, mu: xv - mu)
+    z = F.zip_with(centered, F.col("__stds"), lambda c, sd: c / sd)
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_column), z.alias("z")
+    )

@@ -3746,3 +3746,50 @@ def embedding_dim_stats(spark, sf_dir):
             (F.col("svv") - F.col("sv") * F.col("sv") / n_d) / n_d, 9
         ).alias("variance"),
     )
+
+
+@query(
+    "standardize_embeddings",
+    """
+    WITH xs AS (
+      SELECT CAST(u.i AS INT) AS dim,
+             CAST(CAST(e[u.i + 1] AS DOUBLE) AS DECIMAL(18,9)) AS v
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings) t,
+           UNNEST(range(len(e))) AS u(i)
+    ), m AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(v) AS DOUBLE) AS sv,
+             CAST(sum(v * v) AS DOUBLE) AS svv
+      FROM xs GROUP BY dim
+    ), d AS (
+      SELECT dim, sv / CAST(n AS DOUBLE) AS mean,
+             sqrt((svv - sv * sv / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               AS std
+      FROM m
+    ), stats AS (
+      SELECT list(mean ORDER BY dim) AS means,
+             list(std ORDER BY dim) AS stds
+      FROM d
+    )
+    SELECT vec_id,
+           array_to_string(
+             [printf('%.6f', (CAST(e[i+1] AS DOUBLE) - means[i+1]) / stds[i+1])
+              FOR i IN range(len(e))], ',') AS z_s
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         stats
+    """,
+)
+def standardize_embeddings(spark, sf_dir):
+    """Per-dimension z-score standardization
+    (sampling.standardize_embeddings): exact-moment mean/std broadcast
+    back over the vectors with zip_with. Rendered %.6f-joined for the
+    cross-engine hash (the normalize_quantize lesson: never hash bare
+    double strings)."""
+    emb = load(spark, sf_dir, "embeddings")
+    z = sp.standardize_embeddings(emb)
+    return z.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("z"), lambda v: F.format_string("%.6f", v))
+        ).alias("z_s"),
+    )

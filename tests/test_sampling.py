@@ -87,3 +87,17 @@ def test_weighted_sample_respects_group_fractions(spark):
         weights={"keep_all": 1.0, "half": 0.5}, default=0.1,
     )
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_standardize_embeddings_zero_mean_unit_var(spark):
+    from pyspark_playground_spark.operators import sampling as sp
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i), 10.0 * i + 1.0]) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    z = sp.standardize_embeddings(df)
+    stats = z.select(F.posexplode("z").alias("dim", "v")).groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    ).collect()
+    for r in stats:
+        assert abs(r["mu"]) < 1e-9 and abs(r["sd"] - 1.0) < 1e-9
