@@ -3793,3 +3793,73 @@ def standardize_embeddings(spark, sf_dir):
             ",", F.transform(F.col("z"), lambda v: F.format_string("%.6f", v))
         ).alias("z_s"),
     )
+
+
+@query(
+    "q8_style_market_share",
+    """
+    WITH nations AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM nations GROUP BY o_year
+    """,
+)
+def q8_style_market_share(spark, sf_dir):
+    """TPC-H Q8-style national market share: an 8-table join (the deepest
+    in the registry — part⋈lineitem⋈supplier⋈orders⋈customer⋈nation×2
+    ⋈region) feeding a conditional-share ratio per year. Only fixed-size
+    nation/region are hint-broadcast; everything SF-scaling is left to
+    AQE; both sums exact decimal, ratio double."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+            F.lit(0)
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (nat.cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
+    )
