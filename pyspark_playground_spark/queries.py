@@ -3863,3 +3863,68 @@ def q8_style_market_share(spark, sf_dir):
     return base.groupBy("o_year").agg(
         (nat.cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
     )
+
+
+@query(
+    "q13_style_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_style_customer_distribution(spark, sf_dir):
+    """TPC-H Q13-style: the distribution-of-distributions shape — orders
+    per customer (left join keeps zero-order customers as count 0), then
+    a histogram over those counts. Two shuffles, second one tiny."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_style_small_quantity_revenue",
+    """
+    WITH a AS (
+      SELECT l_partkey, count(*) AS cnt,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem JOIN a ON lineitem.l_partkey = a.l_partkey
+    WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
+    """,
+)
+def q17_style_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-style correlated-average filter: lineitems below 20% of
+    their part's average quantity. The threshold is evaluated WITHOUT
+    division — ``qty * 5 * cnt < sum`` in exact decimal/integer math, so
+    no engine disagrees at the boundary; the per-part aggregate joins
+    back on the part key (AQE chooses the strategy)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    a = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(qty).alias("sq")
+    )
+    return (
+        li.join(a, li.l_partkey == F.col("pk"))
+        .where(qty * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
