@@ -3928,3 +3928,49 @@ def q17_style_small_quantity_revenue(spark, sf_dir):
             ).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "q15_style_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_style_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style top supplier: revenue view + scalar-subquery max
+    equality (ties all surface — no arbitrary limit). The max comparison
+    runs on EXACT decimal revenue, so the equality is engine-stable where
+    a double max would not be; the one-row max rides a broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    s = load(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
