@@ -29,6 +29,9 @@ HEADLINE = [
     "dv_pit_events", "dedup_exact_documents", "chunk_dedup_documents",
     "asof_view_attribution_events", "asof_bucketed_view_attribution_events",
     "incremental_rollup_events", "declarative_pipeline_documents",
+    "q8_style_market_share", "q13_style_customer_distribution",
+    "q15_style_top_supplier", "q17_style_small_quantity_revenue",
+    "standardize_embeddings", "knn_within_label_embeddings",
 ]
 
 
