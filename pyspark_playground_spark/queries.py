@@ -3974,3 +3974,37 @@ def q15_style_top_supplier(spark, sf_dir):
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "fuzzy_name_pairs_part",
+    """
+    WITH n AS (
+      SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS name,
+             count(*) AS cnt
+      FROM part GROUP BY 1
+    ), b AS (
+      SELECT name, cnt, substr(name, 1, 1) AS blk FROM n
+    )
+    SELECT a.name AS name_a, c.name AS name_b,
+           levenshtein(a.name, c.name) AS dist,
+           a.cnt AS count_a, c.cnt AS count_b
+    FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+    WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4
+    """,
+)
+def fuzzy_name_pairs_part(spark, sf_dir):
+    """Blocked fuzzy record linkage (operators/linkage.py): canonicalize →
+    collapse exact duplicates → block on a key → levenshtein-verify
+    candidates. The canonicalize step makes the pairing stage operate on
+    DISTINCT values with multiplicities, so heavy-hitter strings cost one
+    row, and the self-join shuffles once on the block key — the only shape
+    that survives an all-pairs-impossible 100 TB catalog."""
+    from pyspark_playground_spark.operators import linkage as lk
+
+    part = load(spark, sf_dir, "part")
+    return lk.blocked_fuzzy_pairs(part, "p_name", max_dist=4, min_dist=1)
