@@ -509,3 +509,104 @@ def c4_style_filter(
         F.col("has_min_tokens") & F.col("token_len_ok") & F.col("no_braces")
         & F.col("no_blocklist") & F.col("has_stopword"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_column: str = "text", *, k: int = 100
+) -> DataFrame:
+    """Adjacent-character-pair census — the counting kernel of one BPE
+    merge iteration (Sennrich et al., public BPE recipe).
+
+    Two-level aggregation keeps it corpus-scale: words are counted FIRST
+    (the word census collapses every repeated word to one row, and word
+    frequency follows Zipf — the census is orders of magnitude smaller
+    than the token stream), then character pairs explode over the DISTINCT
+    words only, weighted by word count. Both aggregations are map-side
+    combined JVM codegen; no Python in the loop.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(tokens_expr(text_column)).alias("word"))
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        F.expr(
+            "explode(transform(sequence(1, length(word)-1),"
+            " i -> substring(word, i, 2)))"
+        ).alias("pair"),
+        F.col("wcount"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wcount").alias("n_occurrences"))
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top collocations by a PMI-style lift over adjacent token pairs.
+
+    ``lift_ppm = (c_xy * N_bigrams * 1e6) div (c_x * c_y)`` — the
+    observed/expected ratio in parts-per-million, computed entirely in
+    exact bigint arithmetic with floor division so both engines (and both
+    row orders) produce identical values; float log-PMI is the documented
+    variant for true 100 TB corpora where the bigint product would
+    overflow (switch the last step to log-space doubles there).
+
+    Plan shape: one bigram census + one unigram census (both map-side
+    combined), two key joins to attach unigram counts, and a broadcast
+    one-row cross join for the corpus total — no collect, no window over
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(tokens_expr(text_column).alias("t"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = toks.filter(F.size("t") >= 2).select(
+        F.expr(
+            "explode(transform(sequence(0, size(t)-2),"
+            " i -> struct(t[i] AS l, t[i+1] AS r)))"
+        ).alias("p")
+    ).select("p.l", "p.r")
+    bc = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("pair_count"))
+    nb = bi.agg(F.count(F.lit(1)).alias("__n_b"))
+    scored = (
+        bc.crossJoin(F.broadcast(nb))
+        .join(uc.select(F.col("w").alias("l"), F.col("c").alias("__c_l")), "l")
+        .join(uc.select(F.col("w").alias("r"), F.col("c").alias("__c_r")), "r")
+        .filter(F.col("pair_count") >= F.lit(min_count))
+        .select(
+            F.col("l").alias("left_token"),
+            F.col("r").alias("right_token"),
+            F.col("pair_count"),
+            F.expr(
+                "CAST((pair_count * __n_b * 1000000) DIV (__c_l * __c_r)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift_ppm").desc(),
+        F.col("left_token").asc(),
+        F.col("right_token").asc(),
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("lift_ppm").desc(),
+        F.col("left_token").asc(),
+        F.col("right_token").asc(),
+    )
+    return top.withColumn("rank", F.row_number().over(w))

@@ -4008,3 +4008,81 @@ def fuzzy_name_pairs_part(spark, sf_dir):
 
     part = load(spark, sf_dir, "part")
     return lk.blocked_fuzzy_pairs(part, "p_name", max_dist=4, min_dist=1)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer statistics (operators/text.py bpe_pair_counts / pmi_collocations)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_pair_counts_documents",
+    f"""
+    WITH w AS (
+      SELECT unnest({_TOKS}) AS word FROM documents
+    ), wc AS (
+      SELECT word, count(*) AS wcount FROM w GROUP BY word
+    ), p AS (
+      SELECT substr(word, i, 2) AS pair, wcount
+      FROM wc, unnest(range(1, len(word))) AS u(i)
+      WHERE len(word) >= 2
+    ), c AS (
+      SELECT pair, CAST(sum(wcount) AS BIGINT) AS n_occurrences
+      FROM p GROUP BY pair
+    )
+    SELECT pair, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                AS INT) AS rank
+    FROM c
+    QUALIFY rank <= 50
+    """,
+)
+def bpe_pair_counts_documents(spark, sf_dir):
+    """First BPE merge iteration's pair census (operators/text.py
+    bpe_pair_counts): word census first (Zipf collapse), then character
+    pairs over distinct words weighted by word frequency — the tokenizer-
+    training kernel at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, k=50)
+
+
+@query(
+    "pmi_collocations_documents",
+    f"""
+    WITH tk AS (
+      SELECT {_TOKS} AS toks FROM documents
+    ), uc AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ), bi AS (
+      SELECT toks[i] AS l, toks[i+1] AS r
+      FROM tk, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT l, r, count(*) AS pair_count FROM bi GROUP BY l, r
+    ), nb AS (
+      SELECT count(*) AS n_b FROM bi
+    ), scored AS (
+      SELECT bc.l AS left_token, bc.r AS right_token, bc.pair_count,
+             CAST((bc.pair_count * nb.n_b * 1000000)
+                  // (ul.c * ur.c) AS BIGINT) AS lift_ppm
+      FROM bc
+      CROSS JOIN nb
+      JOIN uc ul ON bc.l = ul.w
+      JOIN uc ur ON bc.r = ur.w
+      WHERE bc.pair_count >= 5
+    )
+    SELECT left_token, right_token, pair_count, lift_ppm,
+           CAST(row_number() OVER (ORDER BY lift_ppm DESC, left_token ASC,
+                                   right_token ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 50
+    """,
+)
+def pmi_collocations_documents(spark, sf_dir):
+    """PMI-style collocation mining (operators/text.py pmi_collocations):
+    observed/expected lift of adjacent token pairs in exact bigint
+    parts-per-million — engine-deterministic where float log-PMI is not.
+    Two map-side-combined censuses + two key joins; corpus total rides a
+    broadcast one-row cross join."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.pmi_collocations(docs, min_count=5, k=50)
