@@ -374,3 +374,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-level decontamination: for every corpus vector, the
+    closest benchmark (eval-set) vector by cosine, and a contamination
+    flag at ``threshold``.
+
+    The benchmark set is collapsed to ONE broadcast row holding a sorted
+    array of (id, vector, norm) structs, and the per-corpus-row maximum is
+    a single ``aggregate`` fold over that array — the corpus is never
+    shuffled and no groupBy exists in the plan, so the operator scales as
+    one codegen'd projection over 100 TB (benchmark sets are eval-sized by
+    construction; the complement of ``ngram_contamination``'s exact-text
+    check, catching paraphrased leakage).
+
+    Ties on cosine resolve to the smallest benchmark id (the fold replaces
+    only on strictly-greater cosine and the array is sorted by id).
+    Output: (vec_id, benchmark_id, max_cosine, contaminated).
+    """
+    bench = benchmark.select(
+        F.struct(
+            F.col(id_column).cast("long").alias("bid"),
+            _as_double(F.col(vector_column)).alias("bv"),
+            norm_expr(F.col(vector_column)).alias("bnorm"),
+        ).alias("s")
+    )
+    barr = bench.agg(F.array_sort(F.collect_list("s")).alias("__bench"))
+
+    init = F.struct(
+        F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("long").alias("bid")
+    )
+
+    def step(acc, b):
+        cos = dot_expr(F.col("__v"), b["bv"]) / (F.col("__cnorm") * b["bnorm"])
+        return F.when(
+            cos > acc["cos"],
+            F.struct(cos.alias("cos"), b["bid"].alias("bid")),
+        ).otherwise(acc)
+
+    pre = corpus.crossJoin(F.broadcast(barr)).select(
+        F.col(id_column).alias("vec_id"),
+        _as_double(F.col(vector_column)).alias("__v"),
+        norm_expr(F.col(vector_column)).alias("__cnorm"),
+        F.col("__bench"),
+    )
+    best = pre.select(
+        "vec_id", F.aggregate("__bench", init, step).alias("__best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("__best.bid").alias("benchmark_id"),
+        F.col("__best.cos").alias("max_cosine"),
+        (F.col("__best.cos") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -4086,3 +4086,42 @@ def pmi_collocations_documents(spark, sf_dir):
     broadcast one-row cross join."""
     docs = load(spark, sf_dir, "documents")
     return tx.pmi_collocations(docs, min_count=5, k=50)
+
+
+@query(
+    "embedding_contamination_embeddings",
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label <> 0
+    ), b AS (
+      SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE label = 0
+    ), s AS (
+      SELECT c.vec_id, b.bid,
+             {_DOT.format(a='c.embedding', b='b.bv')}
+               / ({_NORM.format(v='c.embedding')} * {_NORM.format(v='b.bv')})
+               AS cosine
+      FROM c CROSS JOIN b
+    ), r AS (
+      SELECT vec_id, bid, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, bid ASC) AS rn
+      FROM s
+    )
+    SELECT vec_id, bid AS benchmark_id, cosine AS max_cosine,
+           cosine >= 0.35 AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def embedding_contamination_embeddings(spark, sf_dir):
+    """Embedding-level decontamination (operators/similarity.py
+    benchmark_contamination): nearest benchmark vector per corpus vector
+    via a broadcast array fold — zero shuffle on the corpus, no groupBy in
+    the plan; the paraphrase-robust complement of the exact 8-gram
+    ``ngram_contamination_documents``. Benchmark = label 0, corpus = the
+    rest; flag at cosine ≥ 0.35."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.benchmark_contamination(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=0.35,
+    )

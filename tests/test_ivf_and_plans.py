@@ -173,3 +173,30 @@ def test_hub_rows_prune_to_business_key(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     # the hub load reads ONLY the business key column from the source scan
     assert m and m.group(1) == "c_custkey:bigint"
+
+
+def test_embedding_contamination_zero_shuffle(spark, sf_dir):
+    """The fold-over-broadcast-array design: no Exchange on the corpus
+    side, no aggregate-by-key — one broadcast nested loop + projection."""
+    plan = _formatted_plan(spark, "embedding_contamination_embeddings", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_embedding_contamination_flags_and_ties(spark):
+    from pyspark_playground_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    bench = spark.createDataFrame(
+        # bid 10 and 11 are both identical to corpus vec 1 → tie broken to 10
+        [(11, [2.0, 0.0]), (10, [3.0, 0.0]), (12, [-1.0, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in sim.benchmark_contamination(
+        corpus, bench, threshold=0.99
+    ).collect()}
+    assert out[1].benchmark_id == 10 and out[1].contaminated
+    assert out[1].max_cosine == 1.0
+    assert not out[2].contaminated
