@@ -196,3 +196,79 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ca, (wedges["a"] == ca["a2"]) & (wedges["c"] == ca["c2"])
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with deterministic fixed-point integer arithmetic.
+
+    Classic power iteration (Page & Brin'98), but every probability is a
+    bigint numerator over ``scale`` and every division is floor division —
+    so the result is bit-identical across engines, row orders, and
+    partitionings, where double-precision PageRank differs in final ulps
+    depending on summation order. The deterministic mass leak from floor
+    division (≤ outdeg ulps per node per round) is the documented price.
+
+    Update rule per iteration (all integer)::
+
+        contrib(v)  = Σ_{u→v} rank(u) div outdeg(u)
+        rank'(v)    = ((1e6 - damping_ppm) * (scale div n)
+                       + damping_ppm * contrib(v)) div 1e6
+
+    Dangling nodes (no out-edges) leak their mass, as in the common
+    sparse-matrix formulation. Plan shape per round: one join of the rank
+    vector onto the edge list (both partitioned by ``src``) + one
+    ``groupBy(dst).sum`` — two key shuffles, no driver-side state, edges
+    never materialize to the driver. ``iterations`` is a fixed hyper-
+    parameter (3-20 in practice), so the lineage stays bounded; pass the
+    result through ``checkpoint``/write-read between restarts at 100 TB.
+
+    Output: (node, rank_scaled) — rank_scaled/scale ≈ the probability.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+
+    # every node starts at scale div n; the one-row total rides a broadcast
+    base = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"CAST({scale} DIV __n AS BIGINT)").alias("__start")
+    )
+    ranks = base.select("node", F.col("__start").alias("rank_scaled"))
+    base_ppm = 1_000_000 - damping_ppm
+    weighted = e.join(outdeg, "src")
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(
+                ranks.select(F.col("node").alias("src"), "rank_scaled"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("__contrib"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(({base_ppm} * __start"
+                    f" + {damping_ppm} * coalesce(__contrib, CAST(0 AS BIGINT)))"
+                    f" DIV 1000000 AS BIGINT)"
+                ).alias("rank_scaled"),
+            )
+        )
+    return ranks

@@ -4125,3 +4125,71 @@ def embedding_contamination_embeddings(spark, sf_dir):
         emb.filter(F.col("label") == 0),
         threshold=0.35,
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py pagerank_fixed_point)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12,
+                     damping: int = 850_000) -> str:
+    """Chained-CTE mirror of the fixed-point power iteration — floor
+    division on bigints is engine-identical, so the oracle reproduces the
+    Spark ranks bit-for-bit."""
+    base_ppm = 1_000_000 - damping
+    parts = [f"""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    b AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS rk0
+          FROM nodes, nn),
+    r0 AS (SELECT node, rk0 AS rank_scaled FROM b)"""]
+    for i in range(iters):
+        parts.append(f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             sum(r{i}.rank_scaled // odeg.outdeg) AS contrib
+      FROM e JOIN odeg ON e.src = odeg.src
+             JOIN r{i} ON e.src = r{i}.node
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT b.node,
+             CAST(({base_ppm} * b.rk0
+                   + {damping} * coalesce(c{i}.contrib, 0)) // 1000000
+                  AS BIGINT) AS rank_scaled
+      FROM b LEFT JOIN c{i} ON b.node = c{i}.node
+    )""")
+    parts.append(f"\n    SELECT node, rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
+@query("pagerank_nation_trade", _pagerank_oracle(3))
+def pagerank_nation_trade(spark, sf_dir):
+    """PageRank over the nation trade graph (customer nation → supplier
+    nation edges derived from lineitem⋈orders⋈customer⋈supplier), 3 power
+    iterations in deterministic fixed-point bigint arithmetic
+    (operators/graph.py pagerank_fixed_point). Per round: one key join +
+    one groupBy-sum — the bounded-lineage iterative-algorithm shape."""
+    from pyspark_playground_spark.operators import graph as gr
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    return gr.pagerank_fixed_point(edges, iterations=3)

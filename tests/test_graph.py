@@ -120,3 +120,67 @@ def test_connected_components_random_graph_converges_fast(spark):
     ]
     want = _union_find([p for p in pairs if p[0] != p[1]])
     assert _cc(spark, pairs, max_iterations=15) == want
+
+
+# ---------------------------------------------------------------------------
+# pagerank_fixed_point
+# ---------------------------------------------------------------------------
+
+def _pagerank_model(edges, iterations=3, damping_ppm=850_000, scale=10**12):
+    """Pure-Python mirror of the fixed-point update rule."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = len(nodes)
+    start = scale // n
+    rank = {v: start for v in nodes}
+    base_ppm = 1_000_000 - damping_ppm
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for u, v in e:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {
+            v: (base_ppm * start + damping_ppm * contrib[v]) // 1_000_000
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_model(spark):
+    from pyspark_playground_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (4, 1), (2, 3), (5, 5), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_scaled for r in pagerank_fixed_point(
+        df, iterations=4
+    ).collect()}
+    assert got == _pagerank_model(edges, iterations=4)
+
+
+def test_pagerank_dangling_and_sink_behavior(spark):
+    from pyspark_playground_spark.operators.graph import pagerank_fixed_point
+
+    # 3 is a pure sink (dangling): it receives but never emits
+    edges = [(1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_scaled for r in pagerank_fixed_point(
+        df, iterations=2
+    ).collect()}
+    model = _pagerank_model(edges, iterations=2)
+    assert got == model
+    # the sink accumulates strictly more mass than its feeders
+    assert got[3] > got[1] == got[2]
+
+
+def test_pagerank_total_mass_bounded(spark):
+    from pyspark_playground_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(1, 2), (2, 3), (3, 1)]  # cycle: no dangling leak
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = [r.rank_scaled for r in pagerank_fixed_point(
+        df, iterations=5
+    ).collect()]
+    # mass conserved up to floor-division ulps (≤ a few per node per round)
+    assert abs(sum(ranks) - 10**12) < 100
