@@ -247,7 +247,12 @@ def pagerank_fixed_point(
     )
     ranks = base.select("node", F.col("__start").alias("rank_scaled"))
     base_ppm = 1_000_000 - damping_ppm
-    weighted = e.join(outdeg, "src")
+    # both frames are loop-invariant; without persist every iteration
+    # re-derives them through lineage (re-scanning edges and re-running the
+    # node distinct) — measured 1.7× on the 5M-edge probe. Storage is
+    # O(edges); on a cluster swap for reliable checkpoints as in dedup.py.
+    weighted = e.join(outdeg, "src").persist()
+    base = base.persist()
     for _ in range(iterations):
         contrib = (
             weighted.join(

@@ -76,3 +76,53 @@ def assign_sequence_offsets(
         .withColumn("offset_in_seq", F.col("global_offset") % seq_len)
         .drop("__bucket", "__intra", "__prefix")
     )
+
+
+def sliding_window_chunks(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    id_column: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the RAG /
+    context-window shaping step: embed-and-index works on bounded chunks,
+    not whole documents).
+
+    Chunk starts advance by ``chunk_tokens - overlap``; every start below
+    the document's token count yields a chunk (the tail chunk is shorter).
+    Token-less documents yield no chunks. The whole operator is one
+    codegen'd projection + explode — no shuffle, no Python — so it maps
+    directly over a 100 TB corpus scan; per-row cost is linear in document
+    length.
+
+    Output: (id, chunk_index, chunk_start, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    toks = tokens_expr(text_column)
+    base = df.select(
+        F.col(id_column),
+        toks.alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    chunks = base.select(
+        id_column,
+        F.posexplode(
+            F.expr(f"sequence(0, size(__toks) - 1, {step})")
+        ).alias("chunk_index", "chunk_start"),
+        F.col("__toks"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_start") + 1, F.lit(chunk_tokens)
+    )
+    return chunks.select(
+        id_column,
+        "chunk_index",
+        "chunk_start",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

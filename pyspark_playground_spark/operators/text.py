@@ -610,3 +610,58 @@ def pmi_collocations(
         F.col("right_token").asc(),
     )
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def source_similarity(
+    df: DataFrame,
+    group_column: str = "source",
+    text_column: str = "text",
+) -> DataFrame:
+    """Pairwise cosine similarity between corpus slices (sources, dumps,
+    domains) over their unigram count vectors — the dataset-level signal
+    used to design training mixtures (near-identical sources are mixture
+    redundancy; dissimilar ones add coverage).
+
+    Dot products and squared norms are EXACT bigint sums over the shared
+    vocabulary (sparse representation — only words present in both slices
+    join), so the final ``dot / (√sq_a · √sq_b)`` double is reproducible
+    bit-for-bit. Plan: one token census shuffle on (group, word), one
+    equi-join on word between group vectors, one sum per pair — all
+    map-side combined. Group count is assumed dimension-sized (dozens of
+    sources, not millions); the word join is where the scale lives.
+    """
+    counts = (
+        df.select(
+            F.col(group_column).alias("grp"),
+            F.explode(tokens_expr(text_column)).alias("word"),
+        )
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = counts.groupBy("grp").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    a = counts.alias("a")
+    b = counts.alias("b")
+    dots = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("grp").alias("source_a"), F.col("sq").alias("__sqa"))
+    nb = norms.select(F.col("grp").alias("source_b"), F.col("sq").alias("__sqb"))
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("__sqa").cast("double"))
+                   * F.sqrt(F.col("__sqb").cast("double")))
+            ).alias("cosine"),
+        )
+    )

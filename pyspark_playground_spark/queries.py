@@ -4193,3 +4193,67 @@ def pagerank_nation_trade(spark, sf_dir):
         )
     )
     return gr.pagerank_fixed_point(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking + dataset-level similarity
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_chunks_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), e AS (
+      SELECT doc_id, toks, i
+      FROM t, unnest(range(0, len(toks), 24)) AS u(i)
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(i // 24 AS INT) AS chunk_index,
+           CAST(i AS INT) AS chunk_start,
+           CAST(len(toks[i + 1 : i + 32]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[i + 1 : i + 32], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def doc_chunks_documents(spark, sf_dir):
+    """Sliding-window RAG chunking (operators/packing.py
+    sliding_window_chunks): 32-token chunks, 8-token overlap — one
+    projection + explode, zero shuffle; the chunk stream feeds the
+    embedding/index stage downstream."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    docs = load(spark, sf_dir, "documents")
+    return pk.sliding_window_chunks(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "source_similarity_documents",
+    f"""
+    WITH w AS (
+      SELECT source AS grp, unnest({_TOKS}) AS word FROM documents
+    ), c AS (
+      SELECT grp, word, count(*) AS c FROM w GROUP BY grp, word
+    ), n AS (
+      SELECT grp, CAST(sum(c * c) AS BIGINT) AS sq FROM c GROUP BY grp
+    ), d AS (
+      SELECT a.grp AS source_a, b.grp AS source_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM c a JOIN c b ON a.word = b.word AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT d.source_a, d.source_b, d.dot,
+           d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+             AS cosine
+    FROM d JOIN n na ON d.source_a = na.grp
+           JOIN n nb ON d.source_b = nb.grp
+    """,
+)
+def source_similarity_documents(spark, sf_dir):
+    """Dataset-level mixture design signal (operators/text.py
+    source_similarity): pairwise cosine between sources' unigram count
+    vectors — exact bigint dots over the sparse shared vocabulary, one
+    (group, word) census shuffle + one word join."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.source_similarity(docs, group_column="source")

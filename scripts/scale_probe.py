@@ -167,6 +167,69 @@ def main() -> None:
     timed("asof_hot_key_unbucketed", hot_n, asof_plain)
     timed("asof_hot_key_bucketed_1h", hot_n, asof_bucketed)
 
+    # 8. tokenizer statistics over the replicated corpus: the word census
+    #    collapses before the pair explode, so rows/sec should hold at 10×
+    from pyspark_playground_spark.operators import text as tx
+
+    def bpe():
+        tx.bpe_pair_counts(docs, k=50).count()
+    timed("bpe_pair_counts", n_docs, bpe)
+
+    def pmi():
+        tx.pmi_collocations(docs, min_count=5, k=50).count()
+    timed("pmi_collocations", n_docs, pmi)
+
+    # 9. embedding decontamination: 10×-replicated corpus vs a 100-vector
+    #    benchmark — the fold-over-broadcast plan has no shuffle to grow
+    from pyspark_playground_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    reps2 = spark.range(FACTOR).select(F.col("id").alias("__rep"))
+    embx = (
+        emb.crossJoin(reps2)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 100_000_000)
+        .drop("__rep")
+    )
+    n_embx = embx.count()
+    bench_set = emb.filter(F.col("label") == 0).filter(F.col("vec_id") < 200)
+
+    def contam():
+        sim.benchmark_contamination(embx, bench_set, threshold=0.35).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("embedding_contamination", n_embx, contam)
+
+    # 10. fixed-point PageRank on a synthetic 500k-node / 5M-edge hash graph
+    from pyspark_playground_spark.operators import graph as gr
+
+    n_edges = int(os.environ.get("SCALE_PROBE_PR_EDGES", "5000000"))
+    edges = spark.range(n_edges).select(
+        (F.xxhash64(F.col("id")) % 500_000).alias("src"),
+        (F.xxhash64(F.col("id") + 7_777_777) % 500_000).alias("dst"),
+    )
+
+    def pr():
+        gr.pagerank_fixed_point(edges, iterations=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("pagerank_3iter_5m_edges", n_edges, pr)
+
+    # 11. blocked fuzzy linkage on the part catalog with perturbed names
+    #    (distinct-name census grows 10×; block sizes stay bounded)
+    from pyspark_playground_spark.operators import linkage as lk
+
+    part = Q.load(spark, SF_DIR, "part")
+    partx = (
+        part.crossJoin(reps2)
+        .withColumn("p_name", F.concat(F.col("p_name"), F.lit(" v"), F.col("__rep")))
+        .drop("__rep")
+    )
+    n_part = partx.count()
+
+    def fuzzy():
+        lk.blocked_fuzzy_pairs(partx, "p_name", max_dist=4).count()
+    timed("blocked_fuzzy_linkage", n_part, fuzzy)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,57 @@
+"""Sliding-window RAG chunking and dataset-level source similarity."""
+
+import math
+
+import pytest
+
+from pyspark_playground_spark.operators import packing as pk
+from pyspark_playground_spark.operators import text as tx
+
+
+def test_chunks_cover_and_overlap(spark):
+    # 10 tokens, chunk 4, overlap 2 → starts 0,2,4,6,8
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        pk.sliding_window_chunks(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    assert [r.chunk_start for r in rows] == [0, 2, 4, 6, 8]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t2 t3 t4 t5"
+    # tail chunk is short, never empty
+    assert rows[-1].chunk_text == "t8 t9"
+    assert rows[-1].n_chunk_tokens == 2
+    # reconstruction: stepping chunks by (chunk-overlap) re-covers the doc
+    assert all(r.n_chunk_tokens >= 1 for r in rows)
+
+
+def test_empty_and_whitespace_docs_yield_no_chunks(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one")],
+                               ["doc_id", "text"])
+    rows = pk.sliding_window_chunks(df, chunk_tokens=4, overlap=2).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert rows[0].chunk_text == "one"
+
+
+def test_overlap_must_be_smaller_than_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pk.sliding_window_chunks(df, chunk_tokens=4, overlap=4)
+
+
+def test_source_similarity_exact_counts(spark):
+    rows = [
+        (1, "a", "x x y"),
+        (2, "b", "x y y"),
+        (3, "c", "z z z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {(r.source_a, r.source_b): r for r in
+           tx.source_similarity(df).collect()}
+    # a = {x:2, y:1}, b = {x:1, y:2}: dot = 2*1 + 1*2 = 4, |a|²=5, |b|²=5
+    r = out[("a", "b")]
+    assert r.dot == 4
+    assert r.cosine == pytest.approx(4 / (math.sqrt(5) * math.sqrt(5)))
+    # disjoint vocab → no row at all (sparse join)
+    assert ("a", "c") not in out and ("b", "c") not in out
