@@ -185,3 +185,61 @@ def approx_profile_check(
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def approx_distinct_merge_check(
+    df: DataFrame,
+    column: str,
+    bucket_column: str,
+    *,
+    lg_k: int = 12,
+    rel_bound: float = 0.05,
+) -> DataFrame:
+    """Mergeable approximate-distinct (DataSketches HLL) with two
+    checkable invariants — the continuous-aggregate story for COUNT
+    DISTINCT, which exact partials cannot provide (distinct is not
+    summable; sketches are).
+
+    Builds one HLL sketch per bucket, unions them, and checks the error
+    envelope on BOTH read paths:
+
+    - ``direct_within_bound``: |estimate(one-pass sketch) − exact| ≤
+      ``rel_bound``·exact (3·rsd for the default lg_k=12 is ≈4.9%);
+    - ``merged_within_bound``: the same bound for the estimate of the
+      per-bucket-sketch union.
+
+    Note the union estimate is NOT guaranteed bit-equal to the one-pass
+    estimate: DataSketches HLL sketches stay in an exact sparse mode
+    until ~k/4 distincts and promote to the lossy register array on
+    union/overflow, so a merged estimate can differ from a single-pass
+    sketch that never promoted. The mergeability contract sketches
+    actually provide — and what this operator checks — is that BOTH paths
+    stay inside the advertised envelope, which is what licenses per-
+    partition/per-day sketches merged on read.
+
+    Output: one row (n_exact, direct_within_bound, merged_within_bound) —
+    the estimates themselves are engine-specific and deliberately
+    excluded so the row stays oracle-comparable.
+    """
+    sk = f"hll_sketch_agg({column}, {lg_k})"
+    per_bucket = df.groupBy(bucket_column).agg(F.expr(sk).alias("__sk"))
+    merged = per_bucket.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sk))").alias("__est_m")
+    )
+    direct = df.agg(
+        F.expr(f"hll_sketch_estimate({sk})").alias("__est_d"),
+        F.countDistinct(F.col(column)).alias("n_exact"),
+    )
+    bound = F.lit(rel_bound) * F.col("n_exact")
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .select(
+            "n_exact",
+            (F.abs(F.col("__est_d") - F.col("n_exact")) <= bound).alias(
+                "direct_within_bound"
+            ),
+            (F.abs(F.col("__est_m") - F.col("n_exact")) <= bound).alias(
+                "merged_within_bound"
+            ),
+        )
+    )

@@ -4257,3 +4257,73 @@ def source_similarity_documents(spark, sf_dir):
     (group, word) census shuffle + one word join."""
     docs = load(spark, sf_dir, "documents")
     return tx.source_similarity(docs, group_column="source")
+
+
+# ---------------------------------------------------------------------------
+# concurrency curve + mergeable approx-distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "concurrent_sessions_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    iv AS (
+      SELECT event_id AS id,
+             epoch_ns(ts) // 1000 AS s_us,
+             epoch_ns(ts) // 1000
+               + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+      FROM ev
+    ), d AS (
+      SELECT id, s_us AS t_us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT id, e_us, -1 FROM iv
+    )
+    SELECT id, t_us, delta,
+           CAST(sum(delta) OVER (ORDER BY t_us, delta, id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS concurrent
+    FROM d
+    """,
+)
+def concurrent_sessions_events(spark, sf_dir):
+    """Concurrency curve (operators/temporal.py concurrent_intervals):
+    sessions = [ts, ts + value minutes); the +1/−1 boundary sweep runs as
+    the two-phase distributed prefix sum (per-hour buckets), identical in
+    output to the oracle's single global window."""
+    from pyspark_playground_spark.operators import temporal as tp
+
+    e = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        F.col("event_id").alias("id"),
+        us.alias("s_us"),
+        (us + F.floor(F.col("value") * 60_000_000).cast("long")).alias("e_us"),
+    )
+    return tp.concurrent_intervals(
+        iv, "s_us", "e_us", id_column="id", bucket_us=3_600_000_000
+    )
+
+
+@query(
+    "approx_distinct_merge_events",
+    """
+    SELECT count(DISTINCT user_id) AS n_exact,
+           TRUE AS direct_within_bound,
+           TRUE AS merged_within_bound
+    FROM events
+    """,
+)
+def approx_distinct_merge_events(spark, sf_dir):
+    """Mergeable HLL distinct-count (profiling.approx_distinct_merge_check)
+    bucketed by event day: the oracle row only matches when BOTH read
+    paths — the one-pass sketch and the union of per-bucket sketches —
+    honor the 3·rsd envelope against the exact count (sketches are the
+    continuous-aggregate answer for COUNT DISTINCT; bit-equality between
+    the paths is deliberately NOT claimed, see the operator docstring)."""
+    e = load_events(spark, sf_dir)
+    bucketed = e.withColumn(
+        "__day", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    )
+    return pf.approx_distinct_merge_check(
+        bucketed, "user_id", "__day", lg_k=12, rel_bound=0.05
+    )

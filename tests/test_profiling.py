@@ -51,3 +51,24 @@ def test_approx_profile_error_bound(spark):
     assert abs(out["u"]["n_distinct_approx"] - 20_000) <= 3 * 0.05 * 20_000
     assert abs(out["m"]["n_distinct_approx"] - 137) <= max(3 * 0.05 * 137, 5)
     assert (out["u"]["min_s"], out["u"]["max_s"]) == ("0", "19999")
+
+
+def test_approx_distinct_merge_identity(spark):
+    """Both HLL read paths — one-pass sketch and union of per-bucket
+    sketches — stay inside the 3·rsd envelope (bit-equality between the
+    paths is not a sketch guarantee once sparse mode promotes; the
+    envelope is the real mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.profiling import (
+        approx_distinct_merge_check,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 5_000).alias("v"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+    row = approx_distinct_merge_check(df, "v", "bucket").collect()[0]
+    assert row.n_exact == 5_000
+    assert row.direct_within_bound
+    assert row.merged_within_bound

@@ -260,3 +260,52 @@ def test_bucketed_asof_partitions_by_bucket(spark):
     import re
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("k#" in p and "__bucket#" in p for p in parts), plan
+
+
+# ---------------------------------------------------------------------------
+# concurrent_intervals
+# ---------------------------------------------------------------------------
+
+def test_concurrent_intervals_matches_single_window(spark):
+    """Two-phase prefix sum == the naive global cumsum, including ties."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(500):
+        s = rng.randrange(0, 10_000)
+        rows.append((i, s, s + rng.randrange(0, 2_000)))
+    df = spark.createDataFrame(rows, ["id", "s_us", "e_us"])
+    got = tp.concurrent_intervals(
+        df, "s_us", "e_us", id_column="id", bucket_us=1_000
+    )
+    starts = df.select("id", F.col("s_us").alias("t_us"), F.lit(1).alias("delta"))
+    ends = df.select("id", F.col("e_us").alias("t_us"), F.lit(-1).alias("delta"))
+    naive = starts.unionByName(ends).withColumn(
+        "concurrent",
+        F.sum("delta").over(
+            W.orderBy("t_us", "delta", "id").rowsBetween(W.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    assert sorted(got.collect()) == sorted(naive.collect())
+
+
+def test_concurrent_intervals_peak_and_closure(spark):
+    # [0,10) [5,15) [5,8): peak 3 while all open; curve returns to 0
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 15), (3, 5, 8)], ["id", "s_us", "e_us"]
+    )
+    rows = tp.concurrent_intervals(
+        df, "s_us", "e_us", id_column="id", bucket_us=4
+    ).collect()
+    assert max(r.concurrent for r in rows) == 3
+    last = max(rows, key=lambda r: (r.t_us, r.delta, r.id))
+    assert last.concurrent == 0
+    # half-open: an end and a start at the same instant never overlap
+    df2 = spark.createDataFrame([(1, 0, 5), (2, 5, 9)], ["id", "s_us", "e_us"])
+    rows2 = tp.concurrent_intervals(
+        df2, "s_us", "e_us", id_column="id", bucket_us=100
+    ).collect()
+    assert max(r.concurrent for r in rows2) == 1
