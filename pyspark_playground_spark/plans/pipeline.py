@@ -27,6 +27,8 @@ Spec shape::
                  weights: {src0: 1.0}}
       - op: split                      # adds a `split` column
         params: {splits: {train: 0.8, val: 0.1, test: 0.1}}
+      - op: chunk                      # explode into token windows (RAG)
+        params: {chunk_tokens: 128, overlap: 16}
 
 Every stage consumes and produces a DataFrame with at least
 ``(doc_id, text)``; stages that add flags (``c4_filter``) filter on them
@@ -125,6 +127,25 @@ def _stage_split(df: DataFrame, spec: dict) -> DataFrame:
     return _sp.assign_split(df, keys, **p)
 
 
+def _stage_chunk(df: DataFrame, spec: dict) -> DataFrame:
+    """Terminal shaping stage: explode documents into overlapping token
+    windows for embedding/indexing (packing.sliding_window_chunks). The
+    chunk text becomes the new ``text``; ``doc_id`` is kept alongside
+    ``chunk_index``, so downstream stages that key on doc_id still work
+    (key on [doc_id, chunk_index] for chunk-level ops)."""
+    from pyspark_playground_spark.operators import packing as _pk
+
+    p = dict(spec.get("params", {}))
+    out = _pk.sliding_window_chunks(
+        df,
+        p.get("text_column", "text"),
+        id_column=p.get("id_column", "doc_id"),
+        chunk_tokens=p.get("chunk_tokens", 128),
+        overlap=p.get("overlap", 16),
+    )
+    return out.withColumnRenamed("chunk_text", "text")
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "c4_filter": _stage_c4_filter,
     "filter": _stage_filter,
@@ -138,6 +159,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "weighted_sample": _stage_weighted_sample,
     "sample": _stage_sample,
     "split": _stage_split,
+    "chunk": _stage_chunk,
 }
 
 

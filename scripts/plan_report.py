@@ -32,6 +32,10 @@ HEADLINE = [
     "q8_style_market_share", "q13_style_customer_distribution",
     "q15_style_top_supplier", "q17_style_small_quantity_revenue",
     "standardize_embeddings", "knn_within_label_embeddings",
+    "fuzzy_name_pairs_part", "bpe_pair_counts_documents",
+    "pmi_collocations_documents", "embedding_contamination_embeddings",
+    "pagerank_nation_trade", "doc_chunks_documents",
+    "source_similarity_documents", "concurrent_sessions_events",
 ]
 
 

@@ -67,3 +67,22 @@ def test_spec_equals_hand_composition(corpus):
 def test_unknown_op_raises(corpus):
     with pytest.raises(ValueError, match="unknown op"):
         pl.run_pipeline(corpus, {"stages": [{"op": "nope"}]})
+
+
+def test_chunk_stage_matches_direct_call(spark):
+    from pyspark_playground_spark.operators import packing as pk
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "short doc")],
+        ["doc_id", "text"],
+    )
+    spec = {"stages": [
+        {"op": "chunk", "params": {"chunk_tokens": 8, "overlap": 2}},
+    ]}
+    got = run_pipeline(df, spec)
+    direct = pk.sliding_window_chunks(
+        df, chunk_tokens=8, overlap=2
+    ).withColumnRenamed("chunk_text", "text")
+    assert sorted(got.collect()) == sorted(direct.collect())
+    assert "text" in got.columns and "chunk_index" in got.columns
