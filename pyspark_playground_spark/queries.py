@@ -4187,7 +4187,7 @@ def pagerank_nation_trade(spark, sf_dir):
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)  # SF-scaling side: AQE picks
         .select(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
