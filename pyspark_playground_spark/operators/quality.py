@@ -158,3 +158,39 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_column: str,
+    group_column: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): heavy-tail damping
+    before statistics that outliers dominate — the softer sibling of
+    ``robust_outliers`` (clip instead of drop).
+
+    Bounds are EXACT interpolated percentiles (one shuffle on the group
+    key; Spark's ``percentile`` is the same linear interpolation DuckDB's
+    ``quantile_cont`` computes over exact integers, so bounds — and hence
+    the clipped values — are engine-stable doubles). The bounds table has
+    one row per group and joins back on the group key; no hint, AQE
+    chooses broadcast when groups are dimension-sized.
+
+    Adds ``<value>_clipped`` (double) alongside the original column.
+    """
+    bounds = df.groupBy(group_column).agg(
+        F.percentile(value_column, F.lit(lower)).alias("__lo"),
+        F.percentile(value_column, F.lit(upper)).alias("__hi"),
+    )
+    v = F.col(value_column).cast("double")
+    return (
+        df.join(bounds, group_column)
+        .withColumn(
+            f"{value_column}_clipped",
+            F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

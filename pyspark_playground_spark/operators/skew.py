@@ -95,3 +95,62 @@ def salted_aggregate(
     salted = with_salt(df, buckets, seed=seed)
     partial = salted.groupBy(*keys, SALT).agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def skew_report(
+    df: DataFrame,
+    key_columns: Sequence[str] | str,
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/agg-key distribution diagnostics — the pre-flight check before
+    pointing a shuffle at a key: if ``max_count`` dwarfs ``p99_count``,
+    that key needs salting (``salted_join``/``salted_aggregate``) or AQE
+    skew-join before the plan will survive scale.
+
+    One count-by-key shuffle + one tiny aggregate over the count table;
+    ``top_hot_keys`` is selected and ordered by (count desc, key asc) so
+    output is deterministic. All statistics are exact (interpolated
+    percentiles over exact bigint counts — engine-stable doubles; the mean
+    is a ×100 floor-divided integer).
+
+    Output: one row (n_rows, n_keys, max_count, p50_count, p99_count,
+    avg_count_x100, top_hot_keys).
+    """
+    keys = [key_columns] if isinstance(key_columns, str) else list(key_columns)
+    key = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    counts = (
+        df.select(key.alias("__key"))
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    top = (
+        counts.orderBy(F.col("__cnt").desc(), F.col("__key").asc())
+        .limit(top_k)
+        .agg(
+            F.array_sort(
+                # negated count sorts ascending → (count desc, key asc)
+                F.collect_list(
+                    F.struct((-F.col("__cnt")).alias("nc"), F.col("__key"))
+                )
+            ).alias("__top")
+        )
+        .select(
+            F.transform(
+                "__top",
+                lambda s: F.concat_ws(
+                    ":", s["__key"], (-s["nc"]).cast("string")
+                ),
+            ).alias("top_hot_keys")
+        )
+    )
+    stats = counts.agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__cnt").alias("max_count"),
+        F.percentile("__cnt", F.lit(0.5)).alias("p50_count"),
+        F.percentile("__cnt", F.lit(0.99)).alias("p99_count"),
+    ).withColumn(
+        "avg_count_x100", F.expr("(n_rows * 100) DIV n_keys")
+    )
+    return stats.crossJoin(F.broadcast(top))

@@ -4327,3 +4327,68 @@ def approx_distinct_merge_events(spark, sf_dir):
     return pf.approx_distinct_merge_check(
         bucketed, "user_id", "__day", lg_k=12, rel_bound=0.05
     )
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics + winsorization
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_key_skew_orders",
+    """
+    WITH c AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT k, cnt,
+             row_number() OVER (ORDER BY cnt DESC, k ASC) AS rn
+      FROM c
+    ), top AS (
+      SELECT list(k || ':' || CAST(cnt AS VARCHAR)
+                  ORDER BY cnt DESC, k ASC) AS top_hot_keys
+      FROM ranked WHERE rn <= 5
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           max(cnt) AS max_count,
+           quantile_cont(cnt, 0.5) AS p50_count,
+           quantile_cont(cnt, 0.99) AS p99_count,
+           CAST((sum(cnt) * 100) // count(*) AS BIGINT) AS avg_count_x100,
+           (SELECT top_hot_keys FROM top) AS top_hot_keys
+    FROM c
+    """,
+)
+def join_key_skew_orders(spark, sf_dir):
+    """Join-key skew diagnostics (operators/skew.py skew_report) on
+    orders.o_custkey — the pre-flight check before shuffling on a key:
+    max vs p99 count ratio decides whether salting/AQE-skew handling is
+    needed. Exact stats, deterministic hot-key list."""
+    from pyspark_playground_spark.operators import skew as sk
+
+    orders = load(spark, sf_dir, "orders")
+    return sk.skew_report(orders, "o_custkey", top_k=5)
+
+
+@query(
+    "winsorize_doc_lengths",
+    """
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+             AS n_chars_clipped
+    FROM documents d JOIN b ON d.source = b.source
+    """,
+)
+def winsorize_doc_lengths(spark, sf_dir):
+    """Per-source winsorization (operators/quality.py winsorize): clip
+    document lengths at the exact interpolated [p5, p95] — heavy-tail
+    damping with engine-stable double bounds."""
+    docs = load(spark, sf_dir, "documents")
+    return ql.winsorize(docs, "n_chars", "source").select(
+        "doc_id", "source", "n_chars", "n_chars_clipped"
+    )

@@ -104,3 +104,26 @@ def test_robust_outliers_flags_and_degenerate_group(spark):
     assert all(not flag for (g, v), (_, flag) in out.items() if v != 1000.0)
     # degenerate group: no NaN/div-by-zero, null z, false flag
     assert out[("b", 5.0)] == (None, False)
+
+
+def test_winsorize_clips_both_tails(spark):
+    from pyspark_playground_spark.operators.quality import winsorize
+
+    rows = [(i, "a", v) for i, v in enumerate([0, 10, 10, 10, 10, 10, 10, 10, 10, 1000])]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = {r.id: r.v_clipped for r in winsorize(df, "v", "grp").collect()}
+    # p5/p95 of [0,10×8,1000] pull both extremes toward 10
+    assert out[0] > 0 and out[9] < 1000
+    assert out[1] == 10.0  # interior values untouched
+
+
+def test_skew_report_stats_and_hot_keys(spark):
+    from pyspark_playground_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 90 + [("b",)] * 6 + [("c",)] * 4
+    df = spark.createDataFrame(rows, ["k"])
+    r = skew_report(df, "k", top_k=2).collect()[0]
+    assert r.n_rows == 100 and r.n_keys == 3
+    assert r.max_count == 90
+    assert r.top_hot_keys == ["hot:90", "b:6"]
+    assert r.avg_count_x100 == 100 * 100 // 3
