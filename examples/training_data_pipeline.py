@@ -23,7 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from pyspark_playground_spark.operators import dedup, graph, packing, quality, sampling, text
+from pyspark_playground_spark.operators import (
+    dedup,
+    graph,
+    packing,
+    quality,
+    sampling,
+    similarity,
+    text,
+)
 from pyspark_playground_spark.session import get_spark
 
 
@@ -84,6 +92,21 @@ def main() -> None:
     )
     clean = deduped.join(contaminated, "doc_id", "left_anti")
 
+    # 4b'. embedding-level decontamination — the paraphrase-robust
+    # complement of the exact 8-gram check (vec_id ≙ doc_id stand-in;
+    # label-0 vectors play the benchmark embeddings)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_flags = similarity.benchmark_contamination(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=0.98,
+    )
+    clean = clean.join(
+        emb_flags.filter("contaminated").select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+
     # 4b. mixture weighting: keep all of src0, half of src1/src2, 75% of
     # the long tail — content-hash membership, reproducible on backfill
     clean = sampling.weighted_sample(
@@ -100,6 +123,18 @@ def main() -> None:
         train, token_count_column="n_tokens", seq_len=2048, bucket_size=64
     )
 
+    # 6. RAG shard: the val split explodes into overlapping token windows
+    # for the retrieval index (zero-shuffle projection)
+    chunks = packing.sliding_window_chunks(
+        split.filter(F.col("split") == "val"), chunk_tokens=64, overlap=8
+    )
+    n_chunks = chunks.count()
+
+    # 7. mixture design report: pairwise similarity between sources over
+    # their unigram vectors (near-identical sources = mixture redundancy)
+    sim_pairs = text.source_similarity(clean).orderBy(F.col("cosine").desc())
+    top_pair = sim_pairs.first()
+
     stats = packed.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
@@ -113,8 +148,15 @@ def main() -> None:
         f"train shard: {stats['docs']} docs, {stats['tokens']} tokens, "
         f"{stats['sequences']} sequences of 2048"
     )
+    print(f"val RAG shard: {n_chunks} chunks of <=64 tokens")
+    if top_pair is not None:
+        print(
+            f"most similar sources: {top_pair['source_a']} ~ "
+            f"{top_pair['source_b']} cosine={top_pair['cosine']:.3f}"
+        )
     assert n0 >= n_kept >= n_dedup >= n_clean > 0
     assert stats["sequences"] >= 1
+    assert n_chunks > 0
     print("PIPELINE OK")
 
 
