@@ -4392,3 +4392,101 @@ def winsorize_doc_lengths(spark, sf_dir):
     return ql.winsorize(docs, "n_chars", "source").select(
         "doc_id", "source", "n_chars", "n_chars_clipped"
     )
+
+
+# ---------------------------------------------------------------------------
+# event analytics: cohort retention + transition matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_retention_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    wk AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000 // 604800000000 AS week
+      FROM ev
+    ), first_wk AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, week FROM wk
+    )
+    SELECT f.cohort_week,
+           CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN first_wk f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_retention_events(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted distinct per week offset. Two key shuffles (per-user min, then
+    the cohort×offset distinct count) — the standard growth-analytics
+    shape, exact integer weeks from epoch microseconds."""
+    e = load_events(spark, sf_dir)
+    week = F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+    ).alias("week")
+    wk = e.select("user_id", week)
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "event_transitions_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM ev
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), totals AS (
+      SELECT prev_type, sum(n_transitions) AS total FROM pairs
+      GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n_transitions,
+           CAST((p.n_transitions * 1000000) // t.total AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+    """,
+)
+def event_transitions_events(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (lag window on the user key, then two small aggregates); probabilities
+    as exact floor-divided parts-per-million."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("__total")
+    )
+    return (
+        pairs.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("CAST((n_transitions * 1000000) DIV __total AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+    )
