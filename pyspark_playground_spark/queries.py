@@ -4490,3 +4490,53 @@ def event_transitions_events(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "copurchase_part_pairs",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_orders,
+           CAST(row_number() OVER (ORDER BY n_orders DESC, part_a ASC,
+                                   part_b ASC) AS INT) AS rank
+    FROM pairs
+    QUALIFY rank <= 50
+    """,
+)
+def copurchase_part_pairs(spark, sf_dir):
+    """Co-occurrence (market-basket) pairs: parts appearing in the same
+    order, top-50 by support. The self-join keys on the order id, so
+    fan-out is bounded by basket size squared (~7² here) — never an
+    all-pairs product; count + TakeOrdered finish map-side-combined. The
+    item-item graph this emits feeds pagerank_fixed_point /
+    connected_components directly."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    top = pairs.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(50)
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w))
