@@ -850,3 +850,76 @@ def ngram_jaccard_pairs(
         out = out.withColumnRenamed("__blk", within)
         cols = [within] + cols
     return out.select(*cols)
+
+
+def span_duplication_stats(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the ExactSubstr signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (stride-1 spans, NOT chunk-aligned like ``token_chunk_dedup``).
+
+    A position's span is the ``span_tokens``-gram starting there; a span
+    is *duplicated* if the identical token run occurs anywhere else in the
+    corpus (other doc, or again in the same doc). The reference recipe
+    builds a corpus suffix array on one machine; the distributed shape is
+    a stride-1 span census:
+
+    1. explode every position's span (md5 digest, not the text — shuffle
+       bytes stay constant in span length);
+    2. count spans (map-side combined — repeated spans collapse early);
+    3. join counts back per position, aggregate per document.
+
+    Cost is O(total tokens) rows through two key shuffles — the same
+    asymptotic budget ExactSubstr's suffix array pays, but partitionable.
+    Documents shorter than ``span_tokens`` report zero spans (ppm 0).
+
+    Output: (id, n_spans, n_dup_spans, dup_ppm) with
+    ``dup_ppm = n_dup_spans * 1e6 div n_spans`` (exact integers end to
+    end, engine-comparable).
+    """
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    toks = df.select(
+        F.col(id_column).alias("id"), tokens_expr(text_column).alias("__t")
+    )
+    spans = toks.select(
+        "id",
+        F.explode(
+            # sequence(1, 0) would DESCEND in Spark — short docs need an
+            # explicit empty-array branch, not a clamped upper bound
+            F.expr(
+                f"transform(CASE WHEN size(__t) >= {span_tokens}"
+                f" THEN sequence(1, size(__t) - {span_tokens} + 1)"
+                f" ELSE CAST(array() AS ARRAY<INT>) END,"
+                f" i -> md5(array_join(slice(__t, i, {span_tokens}), ' ')))"
+            )
+        ).alias("__span"),
+    )
+    census = spans.groupBy("__span").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        spans.join(census, "__span")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__n") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        toks.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_spans, 0) = 0 THEN 0"
+                " ELSE (coalesce(n_dup_spans, 0) * 1000000) DIV n_spans"
+                " END AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -4540,3 +4540,42 @@ def copurchase_part_pairs(spark, sf_dir):
         F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
     )
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "span_duplication_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_TOKS} AS tk FROM documents
+    ), s AS (
+      SELECT id, md5(array_to_string(tk[i : i + 19], ' ')) AS span
+      FROM t, unnest(range(1, len(tk) - 18)) AS u(i)
+      WHERE len(tk) >= 20
+    ), census AS (
+      SELECT span, count(*) AS n FROM s GROUP BY span
+    ), per_doc AS (
+      SELECT s.id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN census.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM s JOIN census ON s.span = census.span
+      GROUP BY s.id
+    )
+    SELECT t.id,
+           coalesce(per_doc.n_spans, 0) AS n_spans,
+           coalesce(per_doc.n_dup_spans, 0) AS n_dup_spans,
+           CAST(CASE WHEN coalesce(per_doc.n_spans, 0) = 0 THEN 0
+                ELSE (coalesce(per_doc.n_dup_spans, 0) * 1000000)
+                     // per_doc.n_spans END AS BIGINT) AS dup_ppm
+    FROM t LEFT JOIN per_doc ON t.id = per_doc.id
+    """,
+)
+def span_duplication_documents(spark, sf_dir):
+    """Stride-1 duplicated-span census (operators/dedup.py
+    span_duplication_stats, span=20 tokens) — the ExactSubstr signal of
+    Lee et al. distributed as span-hash census + join-back instead of a
+    single-machine suffix array; O(total tokens) through two key
+    shuffles."""
+    from pyspark_playground_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.span_duplication_stats(docs, span_tokens=20)

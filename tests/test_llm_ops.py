@@ -514,3 +514,39 @@ def test_incremental_simhash_matches_full_run(docs):
         if r["id_a"] > 1 or r["id_b"] > 1
     }
     assert inc == full and (1, 2, 0) in inc
+
+
+# ---------------------------------------------------------------------------
+# span_duplication_stats (stride-1 ExactSubstr signal)
+# ---------------------------------------------------------------------------
+
+def test_span_duplication_counts_exact(spark):
+    from pyspark_playground_spark.operators.dedup import span_duplication_stats
+
+    shared = "a b c d e"
+    docs = [
+        (1, f"{shared} one two three"),   # 8 tokens → 4 spans of 5
+        (2, f"zz yy {shared}"),           # 7 tokens → 3 spans of 5
+        (3, "totally different words here now"),  # 5 tokens → 1 span
+        (4, "tiny"),                      # < span → 0 spans
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.id: r for r in span_duplication_stats(df, span_tokens=5).collect()}
+    assert out[1].n_spans == 4 and out[2].n_spans == 3
+    # the only cross-doc duplicated 5-gram is 'a b c d e' (one position each)
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert out[1].dup_ppm == 1_000_000 // 4
+    assert out[3].n_dup_spans == 0
+    assert out[4].n_spans == 0 and out[4].dup_ppm == 0
+
+
+def test_span_duplication_within_doc_repeat(spark):
+    from pyspark_playground_spark.operators.dedup import span_duplication_stats
+
+    # 'x y x y x y' repeats its 2-gram 'x y' at stride-2 positions AND
+    # 'y x' between them — every span duplicated within ONE document
+    df = spark.createDataFrame([(1, "x y x y x y")], ["doc_id", "text"])
+    r = span_duplication_stats(df, span_tokens=2).collect()[0]
+    assert r.n_spans == 5
+    assert r.n_dup_spans == 5
+    assert r.dup_ppm == 1_000_000
