@@ -92,6 +92,30 @@ def main() -> None:
         hourly, "n_events", "user_id", threshold=3.0
     ).where("is_outlier")
 
+    # 7. peak concurrency: how many sessions are open at once (the +1/−1
+    # boundary sweep runs as a distributed prefix sum, not a single task)
+    sess_us = sessions.select(
+        F.monotonically_increasing_id().alias("sid"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
+    )
+    curve = temporal.concurrent_intervals(
+        sess_us, "s_us", "e_us", id_column="sid"
+    )
+    peak = curve.agg(F.max("concurrent").alias("peak")).first()["peak"]
+
+    # 8. weekly cohort retention + event-type transition matrix (exact
+    # integer statistics; see the oracle-backed query entries)
+    from pyspark_playground_spark.queries import (
+        cohort_retention_events,
+        event_transitions_events,
+    )
+
+    retention = cohort_retention_events(spark, sf_dir)
+    transitions = event_transitions_events(spark, sf_dir)
+    n_cohorts = retention.select("cohort_week").distinct().count()
+    top_t = transitions.orderBy(F.col("n_transitions").desc()).first()
+
     n_sessions = sessions.count()
     n_err_sessions = errors_in_sessions.count()
     n_attr = attributed.where(F.col("view_event_id").isNotNull()).count()
@@ -107,7 +131,14 @@ def main() -> None:
     print(f"gap-filled hourly series rows: {n_series}")
     print(f"hourly-volume outliers: {n_flagged}")
     print(f"mergeable hourly summary rows: {n_summary}")
+    print(f"peak concurrent sessions: {peak}")
+    print(
+        f"cohorts: {n_cohorts}; hottest transition: "
+        f"{top_t['prev_type']}->{top_t['next_type']} "
+        f"({top_t['prob_ppm'] / 10000:.1f}%)"
+    )
     assert n_sessions > 0 and n_purch > 0 and n_series > 0 and n_summary > 0
+    assert peak >= 1 and n_cohorts >= 1
     assert funnel_rows["view"] >= funnel_rows["click"] >= funnel_rows["purchase"]
     print("PIPELINE OK")
 

@@ -36,6 +36,9 @@ HEADLINE = [
     "pmi_collocations_documents", "embedding_contamination_embeddings",
     "pagerank_nation_trade", "doc_chunks_documents",
     "source_similarity_documents", "concurrent_sessions_events",
+    "span_duplication_documents", "copurchase_part_pairs",
+    "cohort_retention_events", "event_transitions_events",
+    "join_key_skew_orders", "winsorize_doc_lengths",
 ]
 
 
