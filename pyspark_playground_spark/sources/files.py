@@ -139,3 +139,56 @@ def compact_small_files(
     fs.delete(old, True)
     after = describe_files(spark, path)
     return {"before": before, "after": after, "target_partitions": parts}
+
+
+def read_source_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    file_format: str | None = None,
+    corrupt_column: str = "_corrupt_record",
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-record quarantine for semi-structured CDC feeds
+    (CSV/JSON): read PERMISSIVE with an explicit corrupt-record column and
+    split the batch into (clean rows, quarantined raw lines).
+
+    At 100 TB a single malformed line must neither kill the job
+    (FAILFAST) nor silently vanish (DROPMALFORMED); the production
+    pattern is permissive parse + quarantine sink + alert on quarantine
+    volume. The returned frames share one scan — Spark computes the
+    corrupt column during parsing, no second read.
+
+    A declared ``schema`` is mandatory: the corrupt column only exists
+    when the schema says so, and CDC envelopes must never be inferred per
+    batch. Caveat (Spark semantics): on CSV, queries that select ONLY the
+    corrupt column must materialize via the returned frames as built here
+    (cached split), not by re-projecting the raw reader output.
+    """
+    fmt = file_format or infer_format(path)
+    if fmt not in ("csv", "json"):
+        raise ValueError(
+            f"quarantine read is for semi-structured formats, got {fmt!r}"
+        )
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_column not in [f.name for f in schema.fields]:
+        schema = schema.add(T.StructField(corrupt_column, T.StringType(), True))
+    raw = read_source(
+        spark,
+        path,
+        file_format=fmt,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_column,
+        **options,
+    )
+    from pyspark.sql import functions as F
+
+    raw = raw.cache()
+    clean = raw.filter(F.col(corrupt_column).isNull()).drop(corrupt_column)
+    quarantined = raw.filter(F.col(corrupt_column).isNotNull()).select(
+        F.col(corrupt_column).alias("raw_record")
+    )
+    return clean, quarantined

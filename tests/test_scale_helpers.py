@@ -196,3 +196,32 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP DATABASE bj_db CASCADE")
+
+
+def test_quarantine_read_splits_clean_and_corrupt(spark, tmp_path):
+    from pyspark_playground_spark.sources.files import read_source_with_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NOT_A_NUMBER", "v": "c"}\n'
+    )
+    clean, quarantined = read_source_with_quarantine(
+        spark, str(p), "id BIGINT, v STRING"
+    )
+    assert sorted((r.id, r.v) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    bad = [r.raw_record for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
+
+
+def test_quarantine_read_rejects_binary_formats(spark, tmp_path):
+    import pytest
+
+    from pyspark_playground_spark.sources.files import read_source_with_quarantine
+
+    with pytest.raises(ValueError):
+        read_source_with_quarantine(spark, "x.parquet", "id BIGINT")
