@@ -349,3 +349,77 @@ def test_token_chunk_dedup_matches_model(spark, data):
     for k in corpus:
         if corpus[k]:
             assert got[k] == want[k]
+
+
+# ---------------------------------------------------------------------------
+# span-duplication + blocked-linkage vs pure-Python models
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    span=st.integers(min_value=2, max_value=4),
+)
+def test_span_duplication_matches_model(spark, docs, span):
+    from pyspark_playground_spark.operators.dedup import span_duplication_stats
+
+    texts = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.id: (r.n_spans, r.n_dup_spans)
+           for r in span_duplication_stats(df, span_tokens=span).collect()}
+
+    from collections import Counter
+    census = Counter()
+    per_doc = {}
+    for i, d in enumerate(docs):
+        spans = [tuple(d[j:j + span]) for j in range(len(d) - span + 1)]
+        per_doc[i] = spans
+        census.update(spans)
+    for i, spans in per_doc.items():
+        n_dup = sum(1 for s in spans if census[s] > 1)
+        assert got[i] == (len(spans), n_dup)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    max_dist=st.integers(min_value=1, max_value=3),
+)
+def test_blocked_fuzzy_pairs_matches_model(spark, names, max_dist):
+    import re
+
+    from pyspark_playground_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {(r.name_a, r.name_b): (r.dist, r.count_a, r.count_b)
+           for r in blocked_fuzzy_pairs(df, "name", max_dist=max_dist).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from collections import Counter
+    norm = Counter(re.sub(r"\s+", " ", n.strip().lower()) for n in names)
+    norm.pop("", None)
+    expected = {}
+    for a in norm:
+        for b in norm:
+            if a < b and a[0] == b[0]:
+                d = lev(a, b)
+                if 1 <= d <= max_dist:
+                    expected[(a, b)] = (d, norm[a], norm[b])
+    assert got == expected
