@@ -532,3 +532,38 @@ def near_dedup_stream_loader(
             spark.catalog.refreshTable(t)
 
     return loader
+
+
+def concurrency_stream_loader(
+    summary_table: str,
+    start_us_column: str,
+    end_us_column: str,
+    *,
+    bucket_us: int = 3_600_000_000,
+):
+    """foreachBatch adapter maintaining the mergeable concurrency-curve
+    partials (operators/temporal.py concurrency_deltas): per micro-batch,
+    compute batch-sized per-bucket boundary sums, merge with the stored
+    summary (summary-sized work), overwrite. After any number of
+    micro-batches ``finalize_concurrency(summary)`` equals the batch
+    curve over all intervals ever seen — pinned by
+    ``test_streaming.py::test_concurrency_stream_matches_batch``.
+    """
+    from pyspark_playground_spark.operators import temporal as tp
+
+    def loader(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        part = tp.concurrency_deltas(
+            batch_df, start_us_column, end_us_column, bucket_us=bucket_us
+        )
+        if spark.catalog.tableExists(summary_table):
+            merged = tp.merge_concurrency_deltas(spark.table(summary_table), part)
+        else:
+            merged = part
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").saveAsTable(summary_table)
+        spark.catalog.refreshTable(summary_table)
+
+    return loader

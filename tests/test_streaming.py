@@ -451,3 +451,58 @@ def test_near_dedup_stream_matches_batch(spark, tmpdir):
     assert spark.table("nd_sigs").count() == 4
     for t in ("nd_docs", "nd_sigs", "nd_pairs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_concurrency_stream_matches_batch(spark, tmpdir):
+    """Mergeable concurrency partials maintained by foreachBatch: after
+    two micro-batches, finalize(stored summary) == finalize(batch deltas
+    over all intervals), and the curve matches hand-counted levels."""
+    from pyspark_playground_spark.operators import temporal as tp
+
+    schema = "sid long, s_us long, e_us long"
+    h = 3_600_000_000
+    src = f"{tmpdir}/conc_src"
+    # bucket 0: two intervals start; one ends in bucket 1, one in bucket 2
+    spark.createDataFrame(
+        [(1, 10, h + 10), (2, 20, 2 * h + 20)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # bucket 1: one more start, ends in bucket 1 too
+    spark.createDataFrame(
+        [(3, h + 30, h + 500)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.start_cdc_ingestion(
+        stream,
+        st.concurrency_stream_loader(
+            "conc_summary", "s_us", "e_us", bucket_us=h
+        ),
+        checkpoint_dir=f"{tmpdir}/ckpt_conc",
+        available_now=True,
+        query_name="conc_maint",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["bucket"]: (r["open_at_end"], r["n_starts"], r["n_ends"])
+        for r in tp.finalize_concurrency(spark.table("conc_summary")).collect()
+    }
+    batch_deltas = tp.concurrency_deltas(
+        spark.read.parquet(src), "s_us", "e_us", bucket_us=h
+    )
+    want = {
+        r["bucket"]: (r["open_at_end"], r["n_starts"], r["n_ends"])
+        for r in tp.finalize_concurrency(batch_deltas).collect()
+    }
+    assert got == want
+    # bucket 0: 2 starts, none end → 2 open; bucket 1: 1 start, 2 ends → 1;
+    # bucket 2: final end → 0
+    assert got[0] == (2, 2, 0)
+    assert got[1] == (1, 1, 2)
+    assert got[2] == (0, 0, 1)
+    spark.sql("DROP TABLE IF EXISTS conc_summary")
