@@ -4579,3 +4579,66 @@ def span_duplication_documents(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return dd.span_duplication_stats(docs, span_tokens=20)
+
+
+@query(
+    "copurchase_similarity_parts",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, count(*) AS n FROM li GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           p.n_both / (sqrt(CAST(da.n AS DOUBLE)) * sqrt(CAST(db.n AS DOUBLE)))
+             AS cosine
+    FROM pairs p
+    JOIN deg da ON p.part_a = da.l_partkey
+    JOIN deg db ON p.part_b = db.l_partkey
+    """,
+)
+def copurchase_similarity_parts(spark, sf_dir):
+    """Item-item cosine over the co-purchase incidence (n_both /
+    √(n_a·n_b) from exact integer counts — the memory-based
+    collaborative-filtering similarity): basket-bounded self-join for
+    co-counts, two degree joins, deterministic doubles."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("__na"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("__nb"))
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (
+                F.col("n_both")
+                / (F.sqrt(F.col("__na").cast("double"))
+                   * F.sqrt(F.col("__nb").cast("double")))
+            ).alias("cosine"),
+        )
+    )
