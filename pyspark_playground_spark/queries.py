@@ -4642,3 +4642,62 @@ def copurchase_similarity_parts(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "negative_samples_embeddings",
+    """
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id < 20
+    ), cand AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id,
+             md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                 || CAST(e.vec_id AS VARCHAR)) AS h
+      FROM anchors a JOIN embeddings e
+        ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, negative_id,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY h ASC, negative_id ASC)
+                AS INT) AS rank
+    FROM cand
+    QUALIFY rank <= 4
+    """,
+)
+def negative_samples_embeddings(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: per
+    anchor, the top-4 different-label vectors ranked by a content hash of
+    the (anchor, candidate) pair — reproducible across runs, backfills and
+    engines with zero RNG state (the same content-addressed trick as
+    sampling.deterministic_sample). Anchors broadcast; the corpus never
+    shuffles — ranking is a per-anchor window over the hash."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cand = (
+        emb.join(
+            F.broadcast(anchors),
+            emb.label != F.col("anchor_label"),
+        )
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("vec_id").cast("string"),
+                )
+            ).alias("__h"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("__h").asc(), F.col("negative_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("anchor_id", "negative_id", "rank")
+    )
