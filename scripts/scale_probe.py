@@ -230,6 +230,14 @@ def main() -> None:
         lk.blocked_fuzzy_pairs(partx, "p_name", max_dist=4).count()
     timed("blocked_fuzzy_linkage", n_part, fuzzy)
 
+    # 12. stride-1 span-duplication census (the heaviest new op: one row
+    #     per token position through two key shuffles)
+    def span_dup():
+        dd.span_duplication_stats(docs, span_tokens=20).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("span_duplication_stats", n_docs, span_dup)
+
 
 if __name__ == "__main__":
     main()
