@@ -192,3 +192,39 @@ def read_source_with_quarantine(
         F.col(corrupt_column).alias("raw_record")
     )
     return clean, quarantined
+
+
+def schema_drift_report(
+    expected: T.StructType | str,
+    observed: T.StructType | str,
+) -> list[dict]:
+    """Column-level diff between a declared staging contract and an
+    arriving batch's schema — the check a CDC ingestion loop runs BEFORE
+    writing, so upstream schema drift surfaces as an explicit decision
+    (quarantine/evolve/fail) instead of a silent cast or a mid-write
+    crash.
+
+    Pure metadata (no Spark jobs). Returns one dict per difference:
+    ``{"column", "status", "expected", "observed"}`` with status in
+    ``missing`` (contract column absent from the batch), ``added``
+    (new upstream column), ``type_changed``. Empty list == no drift.
+    Nullability is deliberately ignored — parquet writers flip it freely.
+    """
+    if isinstance(expected, str):
+        expected = T.StructType.fromDDL(expected)
+    if isinstance(observed, str):
+        observed = T.StructType.fromDDL(observed)
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    obs = {f.name: f.dataType.simpleString() for f in observed.fields}
+    report: list[dict] = []
+    for name in sorted(exp):
+        if name not in obs:
+            report.append({"column": name, "status": "missing",
+                           "expected": exp[name], "observed": None})
+        elif exp[name] != obs[name]:
+            report.append({"column": name, "status": "type_changed",
+                           "expected": exp[name], "observed": obs[name]})
+    for name in sorted(set(obs) - set(exp)):
+        report.append({"column": name, "status": "added",
+                       "expected": None, "observed": obs[name]})
+    return report

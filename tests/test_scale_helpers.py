@@ -225,3 +225,22 @@ def test_quarantine_read_rejects_binary_formats(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_source_with_quarantine(spark, "x.parquet", "id BIGINT")
+
+
+def test_schema_drift_report_detects_all_three_kinds(spark):
+    from pyspark_playground_spark.sources.files import schema_drift_report
+
+    expected = "id BIGINT, name STRING, price DOUBLE"
+    observed = "id BIGINT, name INT, discount DOUBLE"
+    report = schema_drift_report(expected, observed)
+    by_col = {r["column"]: r for r in report}
+    assert by_col["name"]["status"] == "type_changed"
+    assert by_col["name"]["expected"] == "string"
+    assert by_col["price"]["status"] == "missing"
+    assert by_col["discount"]["status"] == "added"
+    assert len(report) == 3
+    # identical schemas → no drift; nullability flips are not drift
+    assert schema_drift_report(expected, expected) == []
+    df_schema = spark.createDataFrame([(1, "a", 0.5)],
+                                      "id BIGINT, name STRING, price DOUBLE").schema
+    assert schema_drift_report(expected, df_schema) == []
