@@ -243,3 +243,70 @@ def approx_distinct_merge_check(
             ),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT frequent-items (all values with count > N/k) via the two-pass
+    candidate/verify pattern that scales where a full groupBy-count on a
+    high-cardinality column would not:
+
+    1. **Candidates** — per-partition Misra-Gries summaries (Arrow
+       ``mapInPandas``, O(k) memory per partition regardless of
+       cardinality). The MG guarantee transfers across partitions by an
+       averaging argument: any value with global count > N/k has
+       count > N_p/k in at least one partition, and MG(k) retains every
+       value with partition count > N_p/(k+1) — so the candidate union is
+       a SUPERSET of the true heavy hitters, at most k·partitions rows.
+    2. **Verify** — one exact filtered recount over the broadcast
+       candidate set; false candidates die here, so the final answer is
+       exact — the summary's approximation never reaches the output.
+
+    Output: (value, n_occurrences, total_rows) for values with
+    ``n_occurrences * k > total_rows``, value rendered as string.
+    """
+    import pandas as pd  # noqa: F401 (arrow batch type)
+
+    out_schema = T.StructType([T.StructField("candidate", T.StringType())])
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["__v"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        import pandas as pd
+
+        yield pd.DataFrame({"candidate": list(counters.keys())})
+
+    vals = df.select(F.col(column).cast("string").alias("__v"))
+    candidates = (
+        vals.mapInPandas(mg_partition, schema=out_schema)
+        .distinct()
+    )
+    totals = vals.agg(F.count(F.lit(1)).alias("total_rows"))
+    counts = (
+        vals.join(
+            F.broadcast(candidates), F.col("__v") == F.col("candidate")
+        )
+        .groupBy(F.col("__v").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_occurrences") * F.lit(k) > F.col("total_rows"))
+        .select("value", "n_occurrences", "total_rows")
+    )

@@ -4701,3 +4701,26 @@ def negative_samples_embeddings(spark, sf_dir):
         .filter(F.col("rank") <= 4)
         .select("anchor_id", "negative_id", "rank")
     )
+
+
+@query(
+    "heavy_hitter_langs_documents",
+    """
+    WITH n AS (SELECT count(*) AS total_rows FROM documents)
+    SELECT CAST(lang AS VARCHAR) AS value,
+           count(*) AS n_occurrences,
+           (SELECT total_rows FROM n) AS total_rows
+    FROM documents
+    GROUP BY lang
+    HAVING count(*) * 4 > (SELECT total_rows FROM n)
+    """,
+)
+def heavy_hitter_langs_documents(spark, sf_dir):
+    """EXACT frequent items (count > N/4) via the two-pass Misra-Gries
+    candidate + exact-recount pattern (profiling.heavy_hitters): O(k)
+    memory per partition in the Arrow mapInPandas candidate stage, exact
+    verification over the broadcast candidate set — the oracle runs the
+    brute-force groupBy-HAVING and must match exactly because the
+    summary's approximation never reaches the output."""
+    docs = load(spark, sf_dir, "documents")
+    return pf.heavy_hitters(docs, "lang", k=4)

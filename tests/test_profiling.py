@@ -72,3 +72,28 @@ def test_approx_distinct_merge_identity(spark):
     assert row.n_exact == 5_000
     assert row.direct_within_bound
     assert row.merged_within_bound
+
+
+def test_heavy_hitters_exact_superset_guarantee(spark):
+    """The MG candidate stage may be lossy per partition, but the final
+    output is EXACTLY the values with count > N/k, across partitionings
+    and even adversarial value layouts."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.profiling import heavy_hitters
+
+    # 1000 rows: 'hot' ×400, 'warm' ×250, 200 singletons, 'cool' ×150
+    rows = (["hot"] * 400 + ["warm"] * 250 + [f"u{i}" for i in range(200)]
+            + ["cool"] * 150)
+    df = spark.createDataFrame([(v,) for v in rows], ["v"]).repartition(7)
+    got = {r.value: r.n_occurrences for r in heavy_hitters(df, "v", k=4).collect()}
+    # N/k = 250: only 'hot' strictly exceeds it
+    assert got == {"hot": 400}
+    got3 = {r.value: r.n_occurrences
+            for r in heavy_hitters(df, "v", k=5).collect()}
+    # N/k = 200: hot and warm
+    assert got3 == {"hot": 400, "warm": 250}
+    # nulls are ignored, not counted
+    with_nulls = df.union(spark.createDataFrame([(None,)], "v string"))
+    got_n = {r.value for r in heavy_hitters(with_nulls, "v", k=4).collect()}
+    assert got_n == {"hot"}
