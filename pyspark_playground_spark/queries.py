@@ -4724,3 +4724,54 @@ def heavy_hitter_langs_documents(spark, sf_dir):
     summary's approximation never reaches the output."""
     docs = load(spark, sf_dir, "documents")
     return pf.heavy_hitters(docs, "lang", k=4)
+
+
+@query(
+    "name_resolution_part",
+    """
+    WITH n AS (
+      SELECT DISTINCT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g')
+        AS name FROM part
+    ), b AS (
+      SELECT name, substr(name, 1, 1) AS blk FROM n
+    ), p AS (
+      SELECT a.name AS na, c.name AS nb
+      FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4
+    ), e AS (
+      SELECT na AS a, nb AS b FROM p UNION SELECT nb, na FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src AS name, least(src, min(dst)) AS canonical
+      FROM reach GROUP BY src
+    )
+    SELECT n.name, coalesce(comp.canonical, n.name) AS canonical
+    FROM n LEFT JOIN comp ON n.name = comp.name
+    """,
+)
+def name_resolution_part(spark, sf_dir):
+    """End-to-end entity resolution: blocked fuzzy pairs →
+    large-star/small-star connected components over the STRING name graph
+    → lexicographic-min canonical per cluster; isolated names resolve to
+    themselves. The linkage twin of the near-dedup canonical-selection
+    composition; oracle = independent recursive-CTE transitive closure."""
+    from pyspark_playground_spark.operators import linkage as lk
+
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.select(lk.normalize_key_expr("p_name").alias("name")).distinct()
+    )
+    pairs = lk.blocked_fuzzy_pairs(part, "p_name", max_dist=4).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = gr.connected_components(pairs).select(
+        F.col("node").alias("name"), F.col("component").alias("canonical")
+    )
+    return names.join(comp, "name", "left").select(
+        "name", F.coalesce("canonical", "name").alias("canonical")
+    )
