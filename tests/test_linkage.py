@@ -59,3 +59,24 @@ def test_custom_block_expression(spark, names_df):
         ("acme c0rp", "acme corp"),
         ("zebra 1nc", "zebra inc"),
     }
+
+
+def test_string_node_entity_resolution_composes_with_cc(spark):
+    """Fuzzy pairs over string nodes resolve through connected components
+    to lexicographic-min canonicals — chains collapse transitively."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators import linkage as lk
+    from pyspark_playground_spark.operators.graph import connected_components
+
+    # chain: aaaa ~ aaab ~ aabb (dist 1 apart); island: zzzz
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaab",), ("aabb",), ("zzzz",)], ["name"]
+    )
+    pairs = lk.blocked_fuzzy_pairs(df, "name", max_dist=1).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = {r.node: r.component
+            for r in connected_components(pairs).collect()}
+    assert comp["aaaa"] == comp["aaab"] == comp["aabb"] == "aaaa"
+    assert "zzzz" not in comp  # isolated nodes are the caller's coalesce
