@@ -127,6 +127,20 @@ def _stage_split(df: DataFrame, spec: dict) -> DataFrame:
     return _sp.assign_split(df, keys, **p)
 
 
+def _stage_span_dup_filter(df: DataFrame, spec: dict) -> DataFrame:
+    """Drop documents whose stride-1 duplicated-span fraction exceeds
+    ``max_dup_ppm`` (dedup.span_duplication_stats — the ExactSubstr
+    signal); heavy boilerplate/template docs die here."""
+    p = spec.get("params", {})
+    stats = _dd.span_duplication_stats(
+        df, span_tokens=p.get("span_tokens", 20)
+    )
+    keep = stats.filter(
+        F.col("dup_ppm") <= F.lit(p.get("max_dup_ppm", 500_000))
+    ).select(F.col("id").alias("doc_id"))
+    return df.join(keep, "doc_id")
+
+
 def _stage_chunk(df: DataFrame, spec: dict) -> DataFrame:
     """Terminal shaping stage: explode documents into overlapping token
     windows for embedding/indexing (packing.sliding_window_chunks). The
@@ -159,6 +173,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "weighted_sample": _stage_weighted_sample,
     "sample": _stage_sample,
     "split": _stage_split,
+    "span_dup_filter": _stage_span_dup_filter,
     "chunk": _stage_chunk,
 }
 

@@ -86,3 +86,26 @@ def test_chunk_stage_matches_direct_call(spark):
     ).withColumnRenamed("chunk_text", "text")
     assert sorted(got.collect()) == sorted(direct.collect())
     assert "text" in got.columns and "chunk_index" in got.columns
+
+
+def test_span_dup_filter_stage_matches_direct_call(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.dedup import span_duplication_stats
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "completely different text here")],
+        ["doc_id", "text"],
+    )
+    spec = {"stages": [
+        {"op": "span_dup_filter",
+         "params": {"span_tokens": 5, "max_dup_ppm": 0}},
+    ]}
+    got = sorted(r.doc_id for r in run_pipeline(df, spec).collect())
+    stats = span_duplication_stats(df, span_tokens=5)
+    want = sorted(
+        r.id for r in stats.filter(F.col("dup_ppm") == 0).collect()
+    )
+    assert got == want == [3]
