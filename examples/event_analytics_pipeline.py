@@ -26,8 +26,11 @@ from pyspark_playground_spark.queries import load_events
 from pyspark_playground_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def main(sf_dir: str | None = None) -> None:
+    if sf_dir is None:
+        argv_dir = sys.argv[1] if len(sys.argv) > 1 else None
+        sf_dir = (argv_dir if argv_dir and os.path.isdir(argv_dir)
+                  else "/root/testdata/sf0.001")
     spark = get_spark(app_name="event-analytics-pipeline")
     events = load_events(spark, sf_dir)
 

@@ -1,0 +1,25 @@
+"""The worked example pipelines run end to end (sf0.001, in-process).
+
+Each example is a composition of the package's public operators; running
+``main()`` inside the shared test session (``get_spark`` getOrCreate's)
+pins the compositions — an operator signature change that breaks a
+documented pipeline fails here, not in a user's hands.
+"""
+
+import importlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.mark.parametrize(
+    "module",
+    ["examples.training_data_pipeline", "examples.event_analytics_pipeline"],
+)
+def test_example_pipeline_runs(spark, module, capsys):
+    mod = importlib.import_module(module)
+    mod.main()
+    assert "PIPELINE OK" in capsys.readouterr().out
