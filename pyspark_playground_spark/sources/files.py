@@ -228,3 +228,56 @@ def schema_drift_report(
         report.append({"column": name, "status": "added",
                        "expected": None, "observed": obs[name]})
     return report
+
+
+def write_atomic(
+    df: DataFrame,
+    path: str,
+    *,
+    file_format: str = "parquet",
+    partition_by: list[str] | None = None,
+    **options,
+) -> str:
+    """Atomic publish for batch sinks: write to a hidden staging directory
+    next to the target, then move it into place in one rename — readers
+    never observe a half-written table, and a mid-write failure leaves the
+    previous version fully intact (the poor man's transaction where Delta
+    isn't available; the same publish/commit discipline the reference gets
+    from Delta).
+
+    The swap sequence is stage → move-old-aside → move-new-in → drop-old;
+    on a POSIX filesystem each move is an atomic ``rename(2)``. Object
+    stores (S3/GCS) have no atomic directory rename — there, keep the
+    staging write and replace the swap with a manifest/catalog pointer
+    flip (or use a real table format). Returns the staging path it
+    published from (useful for audit logs).
+    """
+    import os as _os
+    import shutil
+    import uuid
+
+    base = _os.path.abspath(path.rstrip("/"))
+    # stage lives in the parent, not under base — `base/..` would stop
+    # resolving the moment base is renamed aside
+    stage = _os.path.join(
+        _os.path.dirname(base), f".__stage_{uuid.uuid4().hex}"
+    )
+    writer = df.write.format(file_format).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(stage)
+
+    old = f"{base}.__old_{uuid.uuid4().hex}"
+    if _os.path.exists(base):
+        _os.rename(base, old)
+    try:
+        _os.rename(stage, base)
+    except OSError:
+        if _os.path.exists(old):
+            _os.rename(old, base)  # roll back
+        raise
+    if _os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+    return stage

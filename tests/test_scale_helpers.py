@@ -244,3 +244,25 @@ def test_schema_drift_report_detects_all_three_kinds(spark):
     df_schema = spark.createDataFrame([(1, "a", 0.5)],
                                       "id BIGINT, name STRING, price DOUBLE").schema
     assert schema_drift_report(expected, df_schema) == []
+
+
+def test_write_atomic_publishes_and_survives_replacement(spark, tmp_path):
+    from pyspark_playground_spark.sources.files import write_atomic
+
+    target = str(tmp_path / "tbl")
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    write_atomic(df1, target)
+    assert spark.read.parquet(target).count() == 5
+    # second publish replaces atomically; readers see old or new, never half
+    df2 = spark.range(9).selectExpr("id", "id * 3 AS v")
+    write_atomic(df2, target)
+    out = spark.read.parquet(target)
+    assert out.count() == 9
+    assert out.selectExpr("max(v)").first()[0] == 24
+    # no staging/old debris left behind
+    import os
+
+    parent = os.path.dirname(target)
+    leftovers = [d for d in os.listdir(parent)
+                 if d.startswith(".__stage_") or "__old_" in d]
+    assert leftovers == []
