@@ -43,6 +43,8 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query entry {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
