@@ -126,3 +126,61 @@ def sliding_window_chunks(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def assign_grouped_sequence_offsets(
+    df: DataFrame,
+    *,
+    group_column: str,
+    id_column: str = "doc_id",
+    token_count_column: str = "n_tokens",
+    seq_len: int = 2048,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Per-group concat-then-chunk packing: each group (language, source,
+    curriculum stage) gets its own independent token stream and sequence
+    numbering — the layout multilingual pre-training actually uses, so
+    one language's documents never straddle into another's sequences.
+
+    Same two-phase prefix sum as ``assign_sequence_offsets``, with every
+    window and the cross-bucket prefix keyed by ``(group, bucket)`` —
+    parallelism now scales with groups × buckets, and the per-group
+    offset table stays broadcast-sized (one row per group-bucket).
+
+    Adds ``global_offset`` / ``seq_id`` / ``offset_in_seq``, all scoped
+    within ``group_column``.
+    """
+    bucket = (F.col(id_column) / F.lit(bucket_size)).cast("long").alias("__bucket")
+    data = df.select("*", bucket)
+
+    w_in = (
+        Window.partitionBy(group_column, "__bucket")
+        .orderBy(id_column)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    data = data.withColumn("__intra", F.sum(token_count_column).over(w_in))
+
+    totals = data.groupBy(group_column, "__bucket").agg(
+        F.sum(token_count_column).alias("__total")
+    )
+    w_b = (
+        Window.partitionBy(group_column)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = totals.select(
+        group_column,
+        "__bucket",
+        F.coalesce(F.sum("__total").over(w_b), F.lit(0)).alias("__prefix"),
+    )
+
+    out = data.join(F.broadcast(prefixes), [group_column, "__bucket"])
+    offset = (
+        F.col("__prefix") + F.col("__intra") - F.col(token_count_column)
+    ).cast("long")
+    return (
+        out.withColumn("global_offset", offset)
+        .withColumn("seq_id", F.expr(f"global_offset div {seq_len}"))
+        .withColumn("offset_in_seq", F.col("global_offset") % seq_len)
+        .drop("__bucket", "__intra", "__prefix")
+    )

@@ -4777,3 +4777,40 @@ def name_resolution_part(spark, sf_dir):
     return names.join(comp, "name", "left").select(
         "name", F.coalesce("canonical", "name").alias("canonical")
     )
+
+
+@query(
+    "grouped_sequence_packing_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+    ), o AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS global_offset
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, global_offset,
+           global_offset // 1024 AS seq_id,
+           global_offset % 1024 AS offset_in_seq
+    FROM o
+    """,
+)
+def grouped_sequence_packing_documents(spark, sf_dir):
+    """Per-language concat-then-chunk packing (packing.py
+    assign_grouped_sequence_offsets): independent token streams per lang —
+    the multilingual pre-training layout. Spark runs the (group, bucket)
+    two-phase prefix sum; the oracle is the per-group single-window
+    cumsum."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count_expr("text").alias("n_tokens")
+    )
+    return pk.assign_grouped_sequence_offsets(
+        docs, group_column="lang", seq_len=1024, bucket_size=64
+    ).select(
+        "doc_id", "lang", "n_tokens", "global_offset", "seq_id", "offset_in_seq"
+    )

@@ -550,3 +550,28 @@ def test_span_duplication_within_doc_repeat(spark):
     assert r.n_spans == 5
     assert r.n_dup_spans == 5
     assert r.dup_ppm == 1_000_000
+
+
+def test_grouped_packing_streams_are_independent(spark):
+    from pyspark_playground_spark.operators.packing import (
+        assign_grouped_sequence_offsets,
+        assign_sequence_offsets,
+    )
+
+    rows = [(1, "a", 10), (2, "b", 7), (3, "a", 5), (4, "b", 3), (5, "a", 8)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+    out = {r.doc_id: r for r in assign_grouped_sequence_offsets(
+        df, group_column="grp", seq_len=8, bucket_size=2
+    ).collect()}
+    # group a: docs 1,3,5 → offsets 0,10,15; group b: docs 2,4 → 0,7
+    assert (out[1].global_offset, out[3].global_offset,
+            out[5].global_offset) == (0, 10, 15)
+    assert (out[2].global_offset, out[4].global_offset) == (0, 7)
+    assert out[3].seq_id == 1 and out[3].offset_in_seq == 2
+    # per-group output == running the ungrouped packer on each group alone
+    for g in ("a", "b"):
+        solo = {r.doc_id: r.global_offset for r in assign_sequence_offsets(
+            df.where(F.col("grp") == g), seq_len=8, bucket_size=2
+        ).collect()}
+        for d, off in solo.items():
+            assert out[d].global_offset == off
