@@ -184,3 +184,53 @@ def assign_grouped_sequence_offsets(
         .withColumn("offset_in_seq", F.col("global_offset") % seq_len)
         .drop("__bucket", "__intra", "__prefix")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    *,
+    order_column: str,
+    id_column: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact 0-based global rank by ``(order_column, id_column)`` without
+    a corpus-wide single-task window — the re-key step for curriculum
+    ordering (sort by quality, then pack) and for densifying ids before
+    ``assign_sequence_offsets``.
+
+    Plan: range-bucket on approximate percentile boundaries of
+    ``order_column`` (the boundary QUALITY only affects balance — rank
+    EXACTNESS needs only that every row compares against the same
+    broadcast boundary array, and that equal order values land in the
+    same bucket, which ``value > boundary`` strict comparison guarantees);
+    intra-bucket ``row_number``; tiny per-bucket counts cumsum broadcast
+    back. Identical to the single-window ``row_number() - 1`` the oracle
+    runs. Order values must be non-null (filter or coalesce upstream);
+    a heavily repeated order value bounds that bucket's parallelism —
+    pass a finer pre-computed key when order values are near-constant.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = df.agg(
+        F.expr(
+            f"approx_percentile({order_column}, array({','.join(map(str, qs))}), 10000)"
+        ).alias("__b")
+    )
+    data = df.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.expr(f"size(filter(__b, b -> {order_column} > b))"),
+    ).drop("__b")
+    w_in = Window.partitionBy("__bucket").orderBy(order_column, id_column)
+    data = data.withColumn("__intra", F.row_number().over(w_in))
+    counts = data.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__prefix"),
+    )
+    return (
+        data.join(F.broadcast(prefixes), "__bucket")
+        .withColumn(
+            "rank", (F.col("__prefix") + F.col("__intra") - 1).cast("long")
+        )
+        .drop("__bucket", "__intra", "__prefix")
+    )

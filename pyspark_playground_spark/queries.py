@@ -4814,3 +4814,26 @@ def grouped_sequence_packing_documents(spark, sf_dir):
     ).select(
         "doc_id", "lang", "n_tokens", "global_offset", "seq_id", "offset_in_seq"
     )
+
+
+@query(
+    "curriculum_rank_documents",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+             AS rank
+    FROM documents
+    """,
+)
+def curriculum_rank_documents(spark, sf_dir):
+    """Exact global curriculum rank (packing.distributed_rank): order the
+    corpus by length without a corpus-wide single-task window — range
+    buckets on broadcast approx-percentile boundaries + intra-bucket
+    row_number + tiny prefix counts. The oracle is the single-window
+    row_number the plan replaces."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pk.distributed_rank(
+        docs, order_column="n_chars", id_column="doc_id", buckets=16
+    ).select("doc_id", "n_chars", "rank")

@@ -575,3 +575,24 @@ def test_grouped_packing_streams_are_independent(spark):
         ).collect()}
         for d, off in solo.items():
             assert out[d].global_offset == off
+
+
+def test_distributed_rank_matches_single_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+
+    from pyspark_playground_spark.operators.packing import distributed_rank
+
+    rng = random.Random(3)
+    # heavy ties: only 10 distinct order values over 400 rows
+    rows = [(i, rng.randrange(10)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"]).repartition(7)
+    got = {r.doc_id: r.rank for r in distributed_rank(
+        df, order_column="score", buckets=8
+    ).collect()}
+    w = W.orderBy("score", "doc_id")
+    want = {r.doc_id: r.rn for r in df.withColumn(
+        "rn", F.row_number().over(w) - 1
+    ).collect()}
+    assert got == want
