@@ -4837,3 +4837,44 @@ def curriculum_rank_documents(spark, sf_dir):
     return pk.distributed_rank(
         docs, order_column="n_chars", id_column="doc_id", buckets=16
     ).select("doc_id", "n_chars", "rank")
+
+
+@query(
+    "curriculum_packing_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, len({_TOKS}) AS n_tokens FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+               AS rank
+      FROM t
+    )
+    SELECT doc_id, rank,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS global_offset
+    FROM r
+    """,
+)
+def curriculum_packing_documents(spark, sf_dir):
+    """Curriculum-ordered packing end to end: distributed_rank by length
+    → rank becomes the dense pack key → two-phase prefix-sum offsets. The
+    oracle chains the two windows the distributed plans replace — short
+    documents pack first, the easy-to-hard layout curriculum training
+    uses."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", tx.token_count_expr("text").alias("n_tokens")
+    )
+    ranked = pk.distributed_rank(
+        docs, order_column="n_chars", id_column="doc_id", buckets=16
+    )
+    packed = pk.assign_sequence_offsets(
+        ranked.select("doc_id", "n_tokens", "rank"),
+        id_column="rank",
+        seq_len=1024,
+        bucket_size=64,
+    )
+    return packed.select("doc_id", "rank", "global_offset")

@@ -238,6 +238,28 @@ def main() -> None:
         ).mode("overwrite").save()
     timed("span_duplication_stats", n_docs, span_dup)
 
+    # 13. exact heavy hitters (the deliberate Python-candidate slow path:
+    #     per-partition Misra-Gries in mapInPandas, exact recount after)
+    from pyspark_playground_spark.operators import profiling as pf
+
+    def hh():
+        pf.heavy_hitters(li, "l_returnflag", k=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("heavy_hitters_6m_rows", n_li, hh)
+
+    # 14. distributed global rank (curriculum re-key) over the replicated
+    #     corpus keyed on document length
+    from pyspark_playground_spark.operators import packing as pk
+
+    def drank():
+        pk.distributed_rank(
+            docs.select("doc_id", "n_chars"),
+            order_column="n_chars",
+            buckets=64,
+        ).write.format("noop").mode("overwrite").save()
+    timed("distributed_rank", n_docs, drank)
+
 
 if __name__ == "__main__":
     main()
