@@ -214,3 +214,59 @@ def standardize_embeddings(
     return df.crossJoin(F.broadcast(stats)).select(
         F.col(id_column), z.alias("z")
     )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    *,
+    group_column: str,
+    target_ppm: dict[str, int],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample over-represented groups so the kept corpus approaches a
+    target mixture (``target_ppm``: group → parts-per-million share).
+
+    No group is ever UPsampled: the binding group (smallest
+    ``count/share``) keeps everything and every other group's keep count
+    scales to match, so the output is the LARGEST corpus with the target
+    proportions that pure downsampling can produce. Keep fractions come
+    from exact bigint arithmetic (floor divisions) on the observed counts;
+    membership is the same content-hash bucket rule as
+    ``weighted_sample`` — zero RNG state, reproducible on backfill.
+    Groups missing from ``target_ppm`` are dropped (share 0).
+
+    Plan: one count-by-group aggregate (tiny result, broadcast back) +
+    one filtered scan. The achieved counts track the target within
+    1/buckets relative error per group (hash-bucket granularity).
+    """
+    counts = df.groupBy(group_column).agg(F.count(F.lit(1)).alias("__n"))
+    share: Column | None = None
+    for g, ppm in target_ppm.items():
+        cond = F.col(group_column) == g
+        lit = F.lit(int(ppm))
+        share = F.when(cond, lit) if share is None else share.when(cond, lit)
+    share = share.otherwise(F.lit(0)) if share is not None else F.lit(0)
+    shared = counts.withColumn("__share_ppm", share).filter(
+        F.col("__share_ppm") > 0
+    )
+    # binding group: minimal count/share → scale = min(n * 1e6 div share)
+    scale = shared.agg(
+        F.min(F.expr("(__n * 1000000) DIV __share_ppm")).alias("__scale")
+    )
+    cutoffs = (
+        shared.crossJoin(F.broadcast(scale))
+        .select(
+            group_column,
+            # target_count = share*scale/1e6; cutoff = buckets*target/n
+            F.expr(
+                f"CAST(({buckets} * ((__share_ppm * __scale) DIV 1000000))"
+                " DIV __n AS INT)"
+            ).alias("__cutoff"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cutoffs), group_column)
+        .filter(hash_bucket_expr(key_columns, buckets) < F.col("__cutoff"))
+        .drop("__cutoff")
+    )

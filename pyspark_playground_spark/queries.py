@@ -4878,3 +4878,43 @@ def curriculum_packing_documents(spark, sf_dir):
         bucket_size=64,
     )
     return packed.select("doc_id", "rank", "global_offset")
+
+
+@query(
+    "rebalance_lang_mixture_documents",
+    f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, n,
+             CASE lang WHEN 'en' THEN 400000 WHEN 'zh' THEN 300000
+                       WHEN 'es' THEN 300000 ELSE 0 END AS share_ppm
+      FROM c
+    ), sc AS (
+      SELECT min((n * 1000000) // share_ppm) AS scale
+      FROM s WHERE share_ppm > 0
+    ), cut AS (
+      SELECT s.lang,
+             CAST((10000 * ((s.share_ppm * sc.scale) // 1000000)) // s.n
+                  AS INT) AS cutoff
+      FROM s, sc WHERE s.share_ppm > 0
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN cut ON d.lang = cut.lang
+    WHERE {_BUCKET.replace('doc_id', 'd.doc_id')} < cut.cutoff
+    """,
+)
+def rebalance_lang_mixture_documents(spark, sf_dir):
+    """Mixture rebalancing (sampling.rebalance_mixture): downsample to a
+    40/30/30 en/zh/es target — the binding (scarcest-relative) language
+    keeps everything, others scale down, unlisted languages drop; exact
+    bigint cutoff math + content-hash membership, reproducible on
+    backfill. One tiny count aggregate broadcast back + one filtered
+    scan."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.rebalance_mixture(
+        docs,
+        ["doc_id"],
+        group_column="lang",
+        target_ppm={"en": 400_000, "zh": 300_000, "es": 300_000},
+    ).select("doc_id", "lang")

@@ -101,3 +101,49 @@ def test_standardize_embeddings_zero_mean_unit_var(spark):
     ).collect()
     for r in stats:
         assert abs(r["mu"]) < 1e-9 and abs(r["sd"] - 1.0) < 1e-9
+
+
+def test_rebalance_mixture_hits_target_proportions(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.sampling import rebalance_mixture
+
+    # 6000 a / 3000 b / 1000 c; target 50/25/25 → c binds (1000/0.25=4000
+    # scale): keep a≈2000, b≈1000, c=1000
+    rows = (
+        [(i, "a") for i in range(6000)]
+        + [(10_000 + i, "b") for i in range(3000)]
+        + [(20_000 + i, "c") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = rebalance_mixture(
+        df, ["doc_id"], group_column="grp",
+        target_ppm={"a": 500_000, "b": 250_000, "c": 250_000},
+    )
+    got = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binding group keeps everything
+    assert got["c"] == 1000
+    # others land within hash-bucket granularity of the target
+    assert abs(got["a"] - 2000) < 100
+    assert abs(got["b"] - 1000) < 60
+    # deterministic: same call → same membership
+    again = rebalance_mixture(
+        df, ["doc_id"], group_column="grp",
+        target_ppm={"a": 500_000, "b": 250_000, "c": 250_000},
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_rebalance_mixture_drops_unlisted_groups(spark):
+    from pyspark_playground_spark.operators.sampling import rebalance_mixture
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "keep"), (3, "drop")], ["doc_id", "grp"]
+    )
+    out = rebalance_mixture(
+        df, ["doc_id"], group_column="grp", target_ppm={"keep": 1_000_000}
+    )
+    assert {r.grp for r in out.collect()} == {"keep"}
