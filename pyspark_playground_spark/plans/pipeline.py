@@ -127,6 +127,14 @@ def _stage_split(df: DataFrame, spec: dict) -> DataFrame:
     return _sp.assign_split(df, keys, **p)
 
 
+def _stage_rebalance(df: DataFrame, spec: dict) -> DataFrame:
+    """Downsample to target group proportions (sampling.rebalance_mixture);
+    ``target_ppm`` maps group → parts-per-million share."""
+    p = dict(spec.get("params", {}))
+    keys = p.pop("key_columns", ["doc_id"])
+    return _sp.rebalance_mixture(df, keys, **p)
+
+
 def _stage_span_dup_filter(df: DataFrame, spec: dict) -> DataFrame:
     """Drop documents whose stride-1 duplicated-span fraction exceeds
     ``max_dup_ppm`` (dedup.span_duplication_stats — the ExactSubstr
@@ -174,6 +182,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "sample": _stage_sample,
     "split": _stage_split,
     "span_dup_filter": _stage_span_dup_filter,
+    "rebalance": _stage_rebalance,
     "chunk": _stage_chunk,
 }
 

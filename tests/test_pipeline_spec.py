@@ -109,3 +109,18 @@ def test_span_dup_filter_stage_matches_direct_call(spark):
         r.id for r in stats.filter(F.col("dup_ppm") == 0).collect()
     )
     assert got == want == [3]
+
+
+def test_rebalance_stage_matches_direct_call(spark):
+    from pyspark_playground_spark.operators.sampling import rebalance_mixture
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    rows = [(i, "a" if i % 3 else "b", "t") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    params = {"group_column": "source",
+              "target_ppm": {"a": 500_000, "b": 500_000}}
+    got = run_pipeline(df, {"stages": [{"op": "rebalance", "params": params}]})
+    want = rebalance_mixture(df, ["doc_id"], **params)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
