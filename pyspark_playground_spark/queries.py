@@ -4918,3 +4918,51 @@ def rebalance_lang_mixture_documents(spark, sf_dir):
         group_column="lang",
         target_ppm={"en": 400_000, "zh": 300_000, "es": 300_000},
     ).select("doc_id", "lang")
+
+
+@query(
+    "fuzzy_decontamination_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh FROM documents
+    ), c AS (
+      SELECT doc_id, sh FROM d WHERE doc_id % 50 <> 0
+    ), b AS (
+      SELECT doc_id AS bench_id, sh AS bsh FROM d WHERE doc_id % 50 = 0
+    ), scored AS (
+      SELECT c.doc_id, b.bench_id,
+             CAST(len(list_intersect(c.sh, b.bsh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(c.sh, b.bsh))) AS DOUBLE)
+               AS jaccard
+      FROM c JOIN b ON TRUE
+    )
+    SELECT doc_id, bench_id, jaccard FROM scored WHERE jaccard >= 0.8
+    """,
+)
+def fuzzy_decontamination_documents(spark, sf_dir):
+    """Fuzzy (near-duplicate) decontamination — the third leg of the
+    decontamination tripod next to exact 8-gram overlap
+    (``ngram_contamination_documents``) and embedding cosine
+    (``embedding_contamination_embeddings``): corpus docs whose shingle
+    Jaccard against ANY benchmark doc reaches the 0.8 plateau, found via
+    the incremental-MinHash machinery (benchmark plays the persisted-
+    signature corpus, the training corpus plays the new batch — banded
+    LSH buckets, never all-pairs; the oracle IS all-pairs at this
+    scale)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    sigs_bench = dd.minhash_signatures(bench)
+    pairs = dd.incremental_minhash_pairs(docs, sigs_bench, corpus, threshold=0.8)
+    # orient every pair as (corpus doc, benchmark doc); corpus-corpus
+    # pairs (both "new") are dedup business, not contamination — drop them
+    a_is_bench = (F.col("id_a") % 50) == 0
+    b_is_bench = (F.col("id_b") % 50) == 0
+    return (
+        pairs.filter(a_is_bench != b_is_bench)
+        .select(
+            F.when(a_is_bench, F.col("id_b")).otherwise(F.col("id_a")).alias("doc_id"),
+            F.when(a_is_bench, F.col("id_a")).otherwise(F.col("id_b")).alias("bench_id"),
+            "jaccard",
+        )
+    )
