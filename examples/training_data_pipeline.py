@@ -38,8 +38,12 @@ from pyspark_playground_spark.session import get_spark
 def main(sf_dir: str | None = None) -> None:
     if sf_dir is None:
         argv_dir = sys.argv[1] if len(sys.argv) > 1 else None
-        sf_dir = (argv_dir if argv_dir and os.path.isdir(argv_dir)
-                  else "/root/testdata/sf0.001")
+        sf_dir = (
+            argv_dir
+            if argv_dir
+            and os.path.exists(os.path.join(argv_dir, "events.parquet"))
+            else "/root/testdata/sf0.001"
+        )
     spark = get_spark(app_name="training-data-pipeline")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     "module",
     ["examples.training_data_pipeline", "examples.event_analytics_pipeline"],
 )
-def test_example_pipeline_runs(spark, module, capsys):
+def test_example_pipeline_runs(spark, sf_dir, module, capsys):
     mod = importlib.import_module(module)
-    mod.main()
+    mod.main(sf_dir)
     assert "PIPELINE OK" in capsys.readouterr().out
