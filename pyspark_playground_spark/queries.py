@@ -4966,3 +4966,60 @@ def fuzzy_decontamination_documents(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+@query(
+    "time_weighted_value_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    iv AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+             epoch_ns(ts) // 1000 AS t_us,
+             lead(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+               AS next_us
+      FROM ev
+    ), w AS (
+      SELECT user_id,
+             CAST(v_micro AS HUGEINT) * (next_us - t_us) AS wv,
+             next_us - t_us AS dur_us
+      FROM iv WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(sum(wv) // CAST(sum(dur_us) AS HUGEINT) AS BIGINT)
+             AS twa_micro
+    FROM w GROUP BY user_id
+    """,
+)
+def time_weighted_value_events(spark, sf_dir):
+    """Time-weighted average value per user (the TimescaleDB
+    ``time_weight('LOCF')`` shape): each reading holds until the next
+    event, so its weight is the interval length in exact microseconds.
+    All arithmetic is exact integers (value floored to micro-units,
+    products summed in 38-digit decimals, final floor division) — the
+    result is bit-identical at any row order or partitioning, where a
+    double weighted mean is not. One lag-window shuffle on the user key
+    + one aggregate. ``twa_micro / 1e6`` is the average."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        us.alias("t_us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("t_us")
+    weighted = iv.select(
+        "user_id",
+        (F.col("v_micro").cast("decimal(38,0)") * dur).alias("__wv"),
+        dur.alias("__dur"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.sum("__dur").cast("long").alias("total_us"),
+        F.expr(
+            "CAST(sum(__wv) DIV CAST(sum(__dur) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("twa_micro"),
+    )
