@@ -5023,3 +5023,50 @@ def time_weighted_value_events(spark, sf_dir):
             "CAST(sum(__wv) DIV CAST(sum(__dur) AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("twa_micro"),
     )
+
+
+@query(
+    "session_ids_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ns(ts) // 1000
+                    - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    )
+    SELECT user_id, event_id, ts,
+           CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_index
+    FROM g
+    """,
+)
+def session_ids_events(spark, sf_dir):
+    """Per-event session assignment (gaps-and-islands): a >30-minute
+    silence starts a new session; the session index is the running count
+    of gap flags. Two windows over ONE shuffle on the user key (both
+    partition by user) — the event-level complement of the
+    `session_window` aggregate entries, for when downstream needs the
+    events themselves labeled."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            us - F.lag(us).over(w) > 1_800_000_000, F.lit(1)
+        ).otherwise(F.lit(0)).alias("__new"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("__new").over(wc).cast("long").alias("session_index"),
+    )
