@@ -39,6 +39,10 @@ HEADLINE = [
     "span_duplication_documents", "copurchase_part_pairs",
     "cohort_retention_events", "event_transitions_events",
     "join_key_skew_orders", "winsorize_doc_lengths",
+    "heavy_hitter_langs_documents", "name_resolution_part",
+    "grouped_sequence_packing_documents", "curriculum_rank_documents",
+    "rebalance_lang_mixture_documents", "fuzzy_decontamination_documents",
+    "time_weighted_value_events", "session_ids_events",
 ]
 
 
