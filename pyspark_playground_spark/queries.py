@@ -5070,3 +5070,45 @@ def session_ids_events(spark, sf_dir):
         "ts",
         F.sum("__new").over(wc).cast("long").alias("session_index"),
     )
+
+
+@query(
+    "trailing_7d_active_users_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    du AS (
+      SELECT DISTINCT epoch_ns(ts) // 1000 // 86400000000 AS day, user_id
+      FROM ev
+    ), grid AS (
+      SELECT DISTINCT day FROM du
+    ), rep AS (
+      SELECT du.user_id, u.d AS target_day
+      FROM du, unnest(range(du.day, du.day + 7)) AS u(d)
+    )
+    SELECT g.day,
+           count(DISTINCT r.user_id) AS wau
+    FROM grid g JOIN rep r ON r.target_day = g.day
+    GROUP BY g.day
+    """,
+)
+def trailing_7d_active_users_events(spark, sf_dir):
+    """Trailing-7-day active users per day — the sliding COUNT DISTINCT
+    that a window frame cannot express (distinct is not frame-mergeable).
+    The scalable shape is replication: each (day, user) activity fans out
+    to the ≤7 future days it keeps the user 'active' for (explode of a
+    7-element sequence), then one distinct-count per day — fan-out is the
+    window length, a constant, and the grid join prunes days with no
+    activity. Exact integer day arithmetic end to end."""
+    e = load_events(spark, sf_dir)
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    du = e.select(day.alias("day"), "user_id").distinct()
+    grid = du.select("day").distinct()
+    rep = du.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, day + 6)")).alias("target_day"),
+    )
+    return (
+        grid.join(rep, grid.day == rep.target_day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
