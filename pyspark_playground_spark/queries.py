@@ -5112,3 +5112,55 @@ def trailing_7d_active_users_events(spark, sf_dir):
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "recent_events_per_user",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    r AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev
+    )
+    SELECT user_id,
+           string_agg(event_id::VARCHAR, ',' ORDER BY rn) AS recent_event_ids,
+           string_agg(event_type, ',' ORDER BY rn) AS recent_event_types
+    FROM r WHERE rn <= 3
+    GROUP BY user_id
+    """,
+)
+def recent_events_per_user(spark, sf_dir):
+    """Ordered per-group collect: each user's 3 most recent events as
+    rendered lists (rank window → filter → sort_array of (rank, value)
+    structs → join) — deterministic ordered aggregation, the feature-store
+    'recent actions' shape. Rendered as strings because cross-engine
+    value-hashing of arrays is representation-sensitive."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id", "event_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    return r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", F.col("event_id")))
+                ),
+                lambda s: s["event_id"].cast("string"),
+            ),
+            ",",
+        ).alias("recent_event_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("recent_event_types"),
+    )
