@@ -5164,3 +5164,60 @@ def recent_events_per_user(spark, sf_dir):
             ",",
         ).alias("recent_event_types"),
     )
+
+
+@query(
+    "rfm_segments_customers",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_quartile
+      FROM base
+    )
+    SELECT custkey, frequency, monetary,
+           r_quartile, f_quartile, m_quartile,
+           r_quartile || '-' || f_quartile || '-' || m_quartile AS segment
+    FROM scored
+    """,
+)
+def rfm_segments_customers(spark, sf_dir):
+    """RFM segmentation (recency/frequency/monetary quartiles with
+    deterministic custkey tie-breaks; monetary aggregated in exact
+    decimals): one groupBy on the customer key + three rank windows over
+    the customer-sized frame — window cost scales with customers, not
+    orders. The classic CRM segmentation, Spark-first."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__mon"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
+    wm = Window.orderBy(F.col("__mon").cast("double").desc(), F.col("custkey"))
+    scored = base.select(
+        "custkey",
+        "frequency",
+        F.col("__mon").cast("double").alias("monetary"),
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
