@@ -5192,9 +5192,12 @@ def recent_events_per_user(spark, sf_dir):
 def rfm_segments_customers(spark, sf_dir):
     """RFM segmentation (recency/frequency/monetary quartiles with
     deterministic custkey tie-breaks; monetary aggregated in exact
-    decimals): one groupBy on the customer key + three rank windows over
-    the customer-sized frame — window cost scales with customers, not
-    orders. The classic CRM segmentation, Spark-first."""
+    decimals): one groupBy on the customer key + three ntile windows over
+    the customer-sized frame. Scale note: a global ntile is a single-task
+    sort of the customer dimension — fine up to tens of millions of
+    customers; beyond that, derive each quartile from
+    ``packing.distributed_rank`` (range-bucketed exact rank, no single
+    task) as ``(rank * 4) DIV n`` with ntile's uneven-group correction."""
     o = load(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
