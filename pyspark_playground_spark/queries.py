@@ -2444,7 +2444,10 @@ def zorder_key_documents(spark, sf_dir):
 )
 def order_price_deciles(spark, sf_dir):
     """ntile decile assignment (exact integer rank partitioning, unique
-    tie-break so engines agree on boundary rows)."""
+    tie-break so engines agree on boundary rows). Scale note: global ntile
+    is a single-task sort — beyond tens of millions of rows derive deciles
+    from ``packing.distributed_rank`` instead (same exact semantics, no
+    single task)."""
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))
