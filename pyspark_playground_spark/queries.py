@@ -5227,3 +5227,46 @@ def rfm_segments_customers(spark, sf_dir):
             F.col("m_quartile").cast("string"),
         ),
     )
+
+
+@query(
+    "decayed_engagement_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    mx AS (
+      SELECT max(epoch_ns(ts) // 1000) AS now_us FROM ev
+    ), s AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000) AS BIGINT)
+               // (CAST(1 AS BIGINT) <<
+                   CAST(least((mx.now_us - epoch_ns(ts) // 1000)
+                              // 604800000000, 62) AS INT))
+               AS decayed_micro
+      FROM ev, mx
+    )
+    SELECT user_id,
+           CAST(sum(decayed_micro) AS BIGINT) AS engagement_micro
+    FROM s GROUP BY user_id
+    """,
+)
+def decayed_engagement_events(spark, sf_dir):
+    """Time-decayed engagement score with a one-week half-life — computed
+    as integer halving per age week (``v div 2^weeks``), so the decay is
+    EXACT and engine/row-order stable where float ``exp(-λt)`` scoring is
+    not. The corpus max timestamp rides a broadcast one-row cross join;
+    one scan + one user-key aggregate."""
+    e = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max(us).alias("__now_us"))
+    s = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "CAST(floor(value * 1000000) AS BIGINT)"
+            " DIV shiftleft(CAST(1 AS BIGINT),"
+            " CAST(least((__now_us - unix_micros(CAST(ts AS TIMESTAMP)))"
+            " DIV 604800000000, 62) AS INT))"
+        ).alias("__dm"),
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("__dm").cast("long").alias("engagement_micro")
+    )
