@@ -5270,3 +5270,75 @@ def decayed_engagement_events(spark, sf_dir):
     return s.groupBy("user_id").agg(
         F.sum("__dm").cast("long").alias("engagement_micro")
     )
+
+
+@query(
+    "association_rules_parts",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), nb AS (
+      SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li
+    ), deg AS (
+      SELECT l_partkey, count(*) AS n FROM li GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+             count(*) AS n_both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY antecedent, consequent
+      HAVING count(*) >= 3
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           CAST((p.n_both * 1000000) // da.n AS BIGINT) AS confidence_ppm,
+           CAST((p.n_both * nb.n_baskets * 1000000) // (da.n * dc.n)
+                AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN deg da ON p.antecedent = da.l_partkey
+    JOIN deg dc ON p.consequent = dc.l_partkey
+    CROSS JOIN nb
+    """,
+)
+def association_rules_parts(spark, sf_dir):
+    """Directed association rules over order baskets: confidence
+    P(consequent|antecedent) and lift, both as exact floor-divided ppm —
+    the Apriori output for pair-sized itemsets, min support 3. Basket-
+    bounded self-join + two degree joins + a broadcast one-row basket
+    total; no candidate explosion beyond pairs."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    nb = li.agg(F.countDistinct("l_orderkey").alias("__n_baskets"))
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    da = deg.select(F.col("l_partkey").alias("antecedent"), F.col("n").alias("__na"))
+    dc = deg.select(F.col("l_partkey").alias("consequent"), F.col("n").alias("__nc"))
+    return (
+        pairs.join(da, "antecedent")
+        .join(dc, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.expr("CAST((n_both * 1000000) DIV __na AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST((n_both * __n_baskets * 1000000) DIV (__na * __nc)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
