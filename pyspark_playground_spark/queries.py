@@ -5342,3 +5342,116 @@ def association_rules_parts(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "dedup_cluster_sizes_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct({_TOKS}) AS sh
+      FROM documents
+    ), p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+            >= 0.5
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ), sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes_documents(spark, sf_dir):
+    """Duplicate-cluster size distribution — the dedup REPORT a corpus
+    team reads before deleting anything (a single giant cluster means the
+    similarity threshold, not the corpus, is broken). Composition:
+    similarity pairs → connected components → count-of-counts; only
+    multi-doc clusters appear (singletons are non-duplicates by
+    definition)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, within="source", shingle_size=1, threshold=0.5
+    )
+    comp = gr.connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+@query(
+    "pareto_revenue_nations",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) * 10000
+                  AS HUGEINT) AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ), tot AS (
+      SELECT sum(rev_c) AS total_c FROM rev
+    )
+    SELECT rev.nation,
+           CAST(rev.rev_c AS DOUBLE) / 10000 AS revenue,
+           CAST((rev.rev_c * 1000000) // tot.total_c AS BIGINT) AS share_ppm,
+           CAST((sum(rev.rev_c) OVER (ORDER BY rev.rev_c DESC, rev.nation)
+                 * 1000000) // tot.total_c AS BIGINT) AS cum_share_ppm
+    FROM rev, tot
+    """,
+)
+def pareto_revenue_nations(spark, sf_dir):
+    """Pareto (80/20) revenue concentration by nation: revenue carried as
+    exact integer 100ths-of-cents end to end, share and RUNNING cumulative
+    share as floor-divided ppm — bit-stable where decimal/decimal division
+    is not. The window runs over the 25-row nation dimension, never the
+    fact table; deterministic ties via nation name."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(vol) * F.lit(10000)).cast("decimal(38,0)").alias("__rev_c")
+        )
+    )
+    tot = rev.agg(F.sum("__rev_c").alias("__total_c"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            (F.col("__rev_c").cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.expr(
+                "CAST((__rev_c * 1000000) DIV __total_c AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST((sum(__rev_c) OVER (ORDER BY __rev_c DESC, nation)"
+                " * 1000000) DIV __total_c AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
