@@ -17,7 +17,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 @pytest.mark.parametrize(
     "module",
-    ["examples.training_data_pipeline", "examples.event_analytics_pipeline"],
+    [
+        "examples.training_data_pipeline",
+        "examples.event_analytics_pipeline",
+        "examples.catalog_resolution_pipeline",
+    ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
     mod = importlib.import_module(module)
