@@ -5455,3 +5455,119 @@ def pareto_revenue_nations(spark, sf_dir):
             ).alias("cum_share_ppm"),
         )
     )
+
+
+@query(
+    "brand_price_size_regression_parts",
+    """
+    WITH m AS (
+      SELECT p_brand,
+             count(*) AS n,
+             sum(CAST(p_size AS BIGINT)) AS sx,
+             sum(CAST(p_retailprice AS DECIMAL(18,6))) AS sy,
+             sum(CAST(p_size AS BIGINT)
+                 * CAST(p_retailprice AS DECIMAL(18,6))) AS sxy,
+             sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sxx
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept
+    FROM m
+    """,
+)
+def brand_price_size_regression_parts(spark, sf_dir):
+    """Grouped OLS (price vs size per brand) from EXACT moment sums —
+    bigint x-moments, decimal y-moments — combined in one double
+    expression with an explicit round() absorbing final-rounding ulps;
+    naive per-group regr_slope accumulates doubles in partition order and
+    is not engine-stable. One groupBy shuffle on the brand key."""
+    p = load(spark, sf_dir, "part")
+    x = F.col("p_size").cast("long")
+    y = F.col("p_retailprice").cast("decimal(18,6)")
+    m = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    slope = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n_d, 6).alias("intercept"),
+    )
+
+
+#: Benford expected first-digit shares in ppm (log10(1+1/d), hardcoded so
+#: neither engine's log10 implementation enters the comparison)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "benford_first_digit_orders",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), t AS (
+      SELECT sum(n) AS total FROM c
+    )
+    SELECT c.digit, c.n,
+           CAST((c.n * 1000000) // t.total AS BIGINT) AS observed_ppm,
+           CASE c.digit
+             {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())}
+           END AS expected_ppm
+    FROM c, t
+    """,
+)
+def benford_first_digit_orders(spark, sf_dir):
+    """Benford's-law audit of order totals: observed first-significant-
+    digit distribution (exact integer ppm) against the hardcoded Benford
+    expectation — the classic fraud/synthetic-data screen; expected
+    shares are literals so no engine's log10 enters the hash."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("__total"))
+    expected = F.create_map(
+        *[F.lit(v) for kv in _BENFORD_PPM.items() for v in kv]
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST((n * 1000000) DIV __total AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            expected[F.col("digit")].alias("expected_ppm"),
+        )
+    )
