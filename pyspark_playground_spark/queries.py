@@ -5571,3 +5571,90 @@ def benford_first_digit_orders(spark, sf_dir):
             expected[F.col("digit")].alias("expected_ppm"),
         )
     )
+
+
+@query(
+    "copresence_view_click_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    iv AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS s_us,
+             epoch_ns(ts) // 1000
+               + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+      FROM ev WHERE event_type IN ('view', 'click')
+    ), b AS (
+      SELECT user_id, event_id, s_us AS t_us,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS da,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS db
+      FROM iv
+      UNION ALL
+      SELECT user_id, event_id, e_us,
+             CASE WHEN event_type = 'view' THEN -1 ELSE 0 END,
+             CASE WHEN event_type = 'click' THEN -1 ELSE 0 END
+      FROM iv
+    ), sw AS (
+      SELECT user_id,
+             sum(da) OVER w AS ca,
+             sum(db) OVER w AS cb,
+             lead(t_us) OVER (PARTITION BY user_id
+                              ORDER BY t_us, da, db, event_id) - t_us
+               AS dur_us
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, da, db, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN dur_us ELSE 0 END)
+                AS BIGINT) AS copresence_us
+    FROM sw WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def copresence_view_click_events(spark, sf_dir):
+    """Interval-intersection time per user: microseconds during which a
+    'view' interval and a 'click' interval are BOTH open (each event
+    holds for `value` minutes) — the boundary-sweep formulation: one
+    user-key shuffle carries two running open-counts, each inter-boundary
+    segment contributes where both are positive. Exact integer micros;
+    deterministic boundary order (t, Δa, Δb, event_id)."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("s_us"),
+        (us + F.floor(F.col("value") * 60_000_000).cast("long")).alias("e_us"),
+    )
+    is_a = (F.col("event_type") == "view").cast("int")
+    is_b = (F.col("event_type") == "click").cast("int")
+    starts = iv.select(
+        "user_id", "event_id", F.col("s_us").alias("t_us"),
+        is_a.alias("da"), is_b.alias("db"),
+    )
+    ends = iv.select(
+        "user_id", "event_id", F.col("e_us").alias("t_us"),
+        (-is_a).alias("da"), (-is_b).alias("db"),
+    )
+    b = starts.unionByName(ends)
+    order = [F.col("t_us"), F.col("da"), F.col("db"), F.col("event_id")]
+    wc = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy(*order)
+    sw = b.select(
+        "user_id",
+        F.sum("da").over(wc).alias("ca"),
+        F.sum("db").over(wc).alias("cb"),
+        (F.lead("t_us").over(wl) - F.col("t_us")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return sw.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("ca") > 0) & (F.col("cb") > 0), F.col("dur_us"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("copresence_us")
+    )
