@@ -43,6 +43,8 @@ HEADLINE = [
     "grouped_sequence_packing_documents", "curriculum_rank_documents",
     "rebalance_lang_mixture_documents", "fuzzy_decontamination_documents",
     "time_weighted_value_events", "session_ids_events",
+    "trailing_7d_active_users_events", "association_rules_parts",
+    "pareto_revenue_nations", "copresence_view_click_events",
 ]
 
 
