@@ -5658,3 +5658,39 @@ def copresence_view_click_events(spark, sf_dir):
             .otherwise(F.lit(0))
         ).cast("long").alias("copresence_us")
     )
+
+
+@query(
+    "typed_json_props_stats_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    p AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM ev WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           count(k) AS n_parsed,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM p GROUP BY event_type
+    """,
+)
+def typed_json_props_stats_events(spark, sf_dir):
+    """Schema-full JSON parsing (`from_json` with a declared struct, not
+    per-field `get_json_object` string extraction): the typed column
+    participates in codegen'd aggregation directly. Declared schemas are
+    the 100 TB discipline — inference per batch drifts and a malformed
+    value becomes NULL (counted via n_parsed) instead of a job failure."""
+    e = load_events(spark, sf_dir)
+    parsed = e.filter(F.col("props").isNotNull()).select(
+        "event_type",
+        F.from_json(F.col("props"), "struct<k: bigint>").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.col("p.k")).alias("n_parsed"),
+        F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+        F.min(F.col("p.k")).alias("min_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+    )
