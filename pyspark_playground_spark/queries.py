@@ -5694,3 +5694,98 @@ def typed_json_props_stats_events(spark, sf_dir):
         F.min(F.col("p.k")).alias("min_k"),
         F.max(F.col("p.k")).alias("max_k"),
     )
+
+
+@query(
+    "value_boxplot_stats_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    q AS (
+      SELECT event_type,
+             count(*) AS n,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS median,
+             quantile_cont(value, 0.75) AS q3
+      FROM ev GROUP BY event_type
+    )
+    SELECT q.event_type, q.n,
+           round(q.q1, 6) AS q1, round(q.median, 6) AS median,
+           round(q.q3, 6) AS q3,
+           CAST(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_high
+    FROM ev e JOIN q ON e.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.median, q.q3
+    """,
+)
+def value_boxplot_stats_events(spark, sf_dir):
+    """Box-plot statistics per event type: exact interpolated quartiles
+    (engine-identical doubles over exact inputs) plus the count above the
+    Tukey upper whisker (q3 + 1.5·IQR) via a second pass joining the
+    dimension-sized quartile table back — two shuffles on the type key,
+    never a per-row sort."""
+    e = load_events(spark, sf_dir)
+    q = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.25)).alias("__q1"),
+        F.percentile("value", F.lit(0.50)).alias("__med"),
+        F.percentile("value", F.lit(0.75)).alias("__q3"),
+    )
+    joined = e.join(F.broadcast(q), "event_type")
+    return joined.groupBy(
+        "event_type", "n", "__q1", "__med", "__q3"
+    ).agg(
+        F.sum(
+            (
+                F.col("value")
+                > F.col("__q3") + F.lit(1.5) * (F.col("__q3") - F.col("__q1"))
+            ).cast("long")
+        ).alias("n_outliers_high")
+    ).select(
+        "event_type",
+        "n",
+        F.round("__q1", 6).alias("q1"),
+        F.round("__med", 6).alias("median"),
+        F.round("__q3", 6).alias("q3"),
+        "n_outliers_high",
+    )
+
+
+@query(
+    "event_type_map_per_user",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM ev GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS type_counts
+    FROM c GROUP BY user_id
+    """,
+)
+def event_type_map_per_user(spark, sf_dir):
+    """Per-user activity profile as a map (map_from_entries over the
+    per-(user,type) census), rendered as a key-sorted string — the
+    feature-store categorical-count vector; map construction and the
+    ordered rendering are single codegen'd expressions over the
+    pre-aggregated rows."""
+    e = load_events(spark, sf_dir)
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("__m")
+    )
+    return m.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.map_entries("__m"),
+                lambda kv: F.concat_ws(
+                    ":", kv["key"], kv["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("type_counts"),
+    )
