@@ -5789,3 +5789,55 @@ def event_type_map_per_user(spark, sf_dir):
             ",",
         ).alias("type_counts"),
     )
+
+
+@query(
+    "fulfillment_rate_wilson_orders",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_low,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_high
+    FROM c
+    """,
+)
+def fulfillment_rate_wilson_orders(spark, sf_dir):
+    """Fulfillment rate per priority with a 95% Wilson score interval —
+    the right uncertainty band for proportions (never leaves [0,1],
+    behaves at small n, unlike the normal approximation). Exact integer
+    (k, n) from one aggregation; the interval is one closed-form double
+    expression over exact inputs with z constants hardcoded
+    (z=1.96, z²=3.8416), rounded to absorb final-ulp divergence."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z, z2 = 1.96, 3.8416
+    half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(z2 / 4) / (n * n))
+    center = p + F.lit(z2 / 2) / n
+    denom = F.lit(1.0) + F.lit(z2) / n
+    return c.select(
+        "o_orderpriority",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_low"),
+        F.round((center + half) / denom, 6).alias("wilson_high"),
+    )
