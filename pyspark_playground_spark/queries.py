@@ -5841,3 +5841,56 @@ def fulfillment_rate_wilson_orders(spark, sf_dir):
         F.round((center - half) / denom, 6).alias("wilson_low"),
         F.round((center + half) / denom, 6).alias("wilson_high"),
     )
+
+
+@query(
+    "chi_square_priority_status_orders",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             count(*) AS n
+      FROM orders GROUP BY priority, status
+    ), rt AS (
+      SELECT priority, sum(n) AS row_n FROM c GROUP BY priority
+    ), ct AS (
+      SELECT status, sum(n) AS col_n FROM c GROUP BY status
+    ), t AS (
+      SELECT sum(n) AS total FROM c
+    )
+    SELECT CAST(count(*) AS INT) AS n_cells,
+           round(sum(
+             power(CAST(c.n AS DOUBLE)
+                   - CAST(rt.row_n * ct.col_n AS DOUBLE) / t.total, 2)
+             / (CAST(rt.row_n * ct.col_n AS DOUBLE) / t.total)
+           ), 6) AS chi_square
+    FROM c JOIN rt ON c.priority = rt.priority
+           JOIN ct ON c.status = ct.status
+    CROSS JOIN t
+    """,
+)
+def chi_square_priority_status_orders(spark, sf_dir):
+    """Chi-square independence statistic for the priority × status
+    contingency table: observed and expected counts from exact integers
+    (row/column/total sums are bigint; expected = row·col/total as one
+    double expression), the statistic summed over the CELL table (≤
+    |priorities|·|statuses| rows — dimension-sized, so the final sum's
+    order sensitivity is bounded and absorbed by round)."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = c.groupBy("priority").agg(F.sum("n").alias("row_n"))
+    ct = c.groupBy("status").agg(F.sum("n").alias("col_n"))
+    t = c.agg(F.sum("n").alias("total"))
+    j = (
+        c.join(rt, "priority")
+        .join(ct, "status")
+        .crossJoin(F.broadcast(t))
+    )
+    expected = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total")
+    term = F.pow(F.col("n").cast("double") - expected, F.lit(2)) / expected
+    return j.agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("chi_square"),
+    )
