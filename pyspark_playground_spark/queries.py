@@ -5894,3 +5894,107 @@ def chi_square_priority_status_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_cells"),
         F.round(F.sum(term), 6).alias("chi_square"),
     )
+
+
+@query(
+    "inverted_index_documents",
+    f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), df AS (
+      SELECT term, count(*) AS doc_freq FROM w GROUP BY term
+    )
+    SELECT w.term, df.doc_freq,
+           string_agg(CAST(w.doc_id AS VARCHAR), ',' ORDER BY w.doc_id)
+             AS postings
+    FROM w JOIN df ON w.term = df.term
+    WHERE df.doc_freq BETWEEN 3 AND 390
+    GROUP BY w.term, df.doc_freq
+    """,
+)
+def inverted_index_documents(spark, sf_dir):
+    """Inverted-index construction (term → sorted postings list): the
+    search/retrieval build step — distinct (doc, term) explode, document-
+    frequency census, postings assembled per term with `sort_array` so
+    the list is deterministic. Band-filtered to df∈[3,390] (the ubiquitous
+    stopword tail and hapax excluded) so the materialized slice stays
+    bounded; at 100 TB
+    the full index writes out partitioned by term range instead of being
+    collected anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(tx.tokens_expr("text")).alias("term")
+    ).distinct()
+    df_tab = w.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        w.join(df_tab, "term")
+        .filter(F.col("doc_freq").between(3, 390))
+        .groupBy("term", "doc_freq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+
+
+@query(
+    "lang_vocab_jaccard_documents",
+    f"""
+    WITH v AS (
+      SELECT DISTINCT lang, unnest({_TOKS}) AS term FROM documents
+    ), n AS (
+      SELECT lang, count(*) AS n_terms FROM v GROUP BY lang
+    ), inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+      FROM v a JOIN v b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY lang_a, lang_b
+    )
+    SELECT i.lang_a, i.lang_b, i.n_shared,
+           CAST((i.n_shared * 1000000)
+                // (na.n_terms + nb.n_terms - i.n_shared) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN n na ON i.lang_a = na.lang
+    JOIN n nb ON i.lang_b = nb.lang
+    """,
+)
+def lang_vocab_jaccard_documents(spark, sf_dir):
+    """Cross-language vocabulary overlap as exact floor-divided Jaccard
+    ppm (|A∩B| / |A∪B| via inclusion-exclusion on exact counts) — the
+    set-overlap complement of `source_similarity`'s frequency cosine;
+    sparse term join, two censuses."""
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        "lang", F.explode(tx.tokens_expr("text")).alias("term")
+    ).distinct()
+    n = v.groupBy("lang").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n.select(F.col("lang").alias("lang_a"), F.col("n_terms").alias("__na"))
+    nb = n.select(F.col("lang").alias("lang_b"), F.col("n_terms").alias("__nb"))
+    return (
+        inter.join(na, "lang_a")
+        .join(nb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.expr(
+                "CAST((n_shared * 1000000) DIV (__na + __nb - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
