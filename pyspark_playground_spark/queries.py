@@ -5998,3 +5998,97 @@ def lang_vocab_jaccard_documents(spark, sf_dir):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@query(
+    "referential_integrity_orders_lineitem",
+    """
+    SELECT
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey))
+        AS orders_without_lines,
+      (SELECT count(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
+        AS lines_without_order,
+      (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS orders_with_lines
+    """,
+)
+def referential_integrity_orders_lineitem(spark, sf_dir):
+    """Raw referential-integrity census between the fact tables: orders
+    with no lineitems and dangling lineitems, via two anti-joins (the
+    scalable NOT EXISTS plan) — the pre-load audit complementing the
+    vault-level orphan checks."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    no_lines = o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orders_without_lines"))
+    no_order = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("lines_without_order"))
+    with_lines = li.agg(
+        F.countDistinct("l_orderkey").alias("orders_with_lines")
+    )
+    return (
+        no_lines.crossJoin(F.broadcast(no_order))
+        .crossJoin(F.broadcast(with_lines))
+    )
+
+
+@query(
+    "duplicate_order_candidates",
+    """
+    SELECT o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           count(*) AS n_orders,
+           round(max(o_totalprice) - min(o_totalprice), 2) AS price_spread
+    FROM orders
+    GROUP BY o_custkey, order_date
+    HAVING count(*) > 1
+    """,
+)
+def duplicate_order_candidates(spark, sf_dir):
+    """Duplicate-transaction screen: the same customer ordering more than
+    once on the same day, with the price spread inside the suspect group
+    (spread 0 = likely re-delivery, the manual-review feed); one groupBy
+    on the composite key."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.max("o_totalprice") - F.min("o_totalprice"), 2
+            ).alias("price_spread"),
+        )
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+@query(
+    "activity_heatmap_events",
+    f"""
+    WITH ev AS ({EVENTS_N})
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           count(*) AS n_events
+    FROM ev GROUP BY dow, hour
+    """,
+)
+def activity_heatmap_events(spark, sf_dir):
+    """Day-of-week × hour activity census — the heatmap feed; NTZ
+    timestamps so both engines extract identical calendar fields (no zone
+    shift). One group-by over 168 cells with map-side combine.
+
+    Calendar-function parity note: Spark's ``dayofweek`` is 1=Sunday;
+    DuckDB's ``dayofweek`` is 0=Sunday — the oracle and this query align
+    on Spark's convention via +1."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
