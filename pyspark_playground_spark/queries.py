@@ -6092,3 +6092,86 @@ def activity_heatmap_events(spark, sf_dir):
     return e.groupBy(
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "priority_mix_by_month_orders",
+    """
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+             o_orderpriority AS priority,
+             count(*) AS n
+      FROM orders GROUP BY month, priority
+    ), t AS (
+      SELECT month, sum(n) AS month_n FROM m GROUP BY month
+    )
+    SELECT m.month, m.priority, m.n,
+           CAST((m.n * 1000000) // t.month_n AS BIGINT) AS share_ppm
+    FROM m JOIN t ON m.month = t.month
+    """,
+)
+def priority_mix_by_month_orders(spark, sf_dir):
+    """Order-priority mix per month in exact floor-divided ppm — the
+    composition-over-time feed (mix drift is the ops signal); month keys
+    rendered as strings so both engines agree on the calendar bucket."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = m.groupBy("month").agg(F.sum("n").alias("__month_n"))
+    return m.join(t, "month").select(
+        "month",
+        "priority",
+        "n",
+        F.expr("CAST((n * 1000000) DIV __month_n AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000
+                  AS HUGEINT) AS rev_c
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT sum(rev_c) AS total_c FROM rev
+    ), sh AS (
+      SELECT (rev.rev_c * 1000000) // tot.total_c AS share_ppm
+      FROM rev, tot
+    )
+    SELECT count(*) AS n_suppliers,
+           CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM sh
+    """,
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of supplier revenue: squared
+    floor-divided ppm shares summed and rescaled — all integer arithmetic
+    (revenue in exact 100ths-of-cents), so the index is bit-stable;
+    hhi_ppm = 1e6 means monopoly, 1e6/n means perfect competition. One
+    supplier-key aggregate + a broadcast total."""
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum(vol) * F.lit(10000)).cast("decimal(38,0)").alias("__rev_c")
+    )
+    tot = rev.agg(F.sum("__rev_c").alias("__total_c"))
+    sh = rev.crossJoin(F.broadcast(tot)).select(
+        F.expr("CAST((__rev_c * 1000000) DIV __total_c AS BIGINT)").alias(
+            "share_ppm"
+        )
+    )
+    return sh.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr(
+            "CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
