@@ -6175,3 +6175,96 @@ def supplier_concentration_hhi(spark, sf_dir):
             "CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
         ).alias("hhi_ppm"),
     )
+
+
+@query(
+    "customer_lifetime_value_orders",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INT) AS order_seq,
+           CAST(sum(price) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cumulative_value
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_lifetime_value_orders(spark, sf_dir):
+    """Running customer lifetime value: order sequence index + cumulative
+    spend per customer (exact decimal running sum, double only at the
+    edge) — two window functions over ONE customer-key shuffle."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(wc)
+        .cast("double")
+        .alias("cumulative_value"),
+    )
+
+
+@query(
+    "discount_band_quantity_lineitem",
+    """
+    SELECT CAST(floor(l_discount * 100) AS INT) AS discount_pct,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST((sum(CAST(l_quantity AS BIGINT)) * 100) // count(*)
+                AS BIGINT) AS avg_qty_x100
+    FROM lineitem
+    GROUP BY discount_pct
+    """,
+)
+def discount_band_quantity_lineitem(spark, sf_dir):
+    """Quantity response by discount band (the elasticity census): exact
+    integer sums and a ×100 floor-divided mean — one banded group-by with
+    map-side combine."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100).cast("int").alias("discount_pct")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .withColumn(
+            "avg_qty_x100", F.expr("(total_qty * 100) DIV n_lines")
+        )
+    )
+
+
+@query(
+    "semi_join_building_segment_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def semi_join_building_segment_orders(spark, sf_dir):
+    """Explicit LEFT SEMI join (the reduction join that never duplicates
+    or widens rows — the right tool when only membership matters): orders
+    from BUILDING-segment customers by priority. AQE turns the filtered
+    customer side into a broadcast at this selectivity."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
