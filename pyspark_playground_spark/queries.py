@@ -6268,3 +6268,46 @@ def semi_join_building_segment_orders(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "trimmed_mean_value_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.10) AS p10,
+             quantile_cont(value, 0.90) AS p90
+      FROM ev GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS trimmed_mean
+    FROM ev e JOIN q ON e.event_type = q.event_type
+    WHERE e.value >= q.p10 AND e.value <= q.p90
+    GROUP BY q.event_type
+    """,
+)
+def trimmed_mean_value_events(spark, sf_dir):
+    """10% trimmed mean per event type: exact interpolated decile fences
+    (engine-identical doubles), values summed in exact decimals inside
+    the band, one double division at the edge — the outlier-robust mean
+    without dropping data permanently. Two passes: dimension-sized fence
+    table broadcast back onto the scan."""
+    e = load_events(spark, sf_dir)
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.10)).alias("__p10"),
+        F.percentile("value", F.lit(0.90)).alias("__p90"),
+    )
+    j = e.join(F.broadcast(q), "event_type").filter(
+        (F.col("value") >= F.col("__p10")) & (F.col("value") <= F.col("__p90"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("trimmed_mean"),
+    )
