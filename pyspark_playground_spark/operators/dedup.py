@@ -364,6 +364,94 @@ def ngram_contamination(
     )
 
 
+def bloom_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 8,
+    bits_per_item: int = 20,
+    num_hashes: int = 7,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """``ngram_contamination`` with a Bloom-filter prefilter on the corpus
+    side — the injected-runtime-filter shape Spark itself uses for bloom
+    joins, built from public DataFrame ops since ``bloom_filter_agg`` is
+    not registered as a public SQL function.
+
+    Why it scales better than the plain broadcast join: the broadcast hash
+    relation keeps every benchmark gram *string* in executor memory and
+    probes a hash table per corpus gram; the bloom sketch is a fixed
+    ``expected_items * bits_per_item`` bit array (~128 KiB per 50k grams)
+    and the probe is ``num_hashes`` xxhash64 calls + bit tests, all inside
+    whole-stage codegen. At 100 TB the corpus-side explode is the cost that
+    matters, and ~all grams die executor-side without touching a hash
+    relation; only bloom survivors (true hits + fpp false positives) reach
+    the exact-verify join, so the **result is exact** — the bloom is purely
+    a prefilter, which is what makes this oracle-checkable.
+
+    Sketch build: benchmark grams → ``num_hashes`` bit positions each →
+    ``bit_or`` per 64-bit word → collect O(bits/64) longs driver-side (the
+    sketch is *designed* to be driver-sized; this is not a data collect).
+    Pass ``expected_items`` to skip the driver-side count of benchmark
+    grams (one scalar agg otherwise).
+
+    Returns ``(id_column, n_contaminated_grams)`` — identical output to
+    ``ngram_contamination``.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_expr(text_column, n)).alias("__gram")
+        ).distinct()
+    )
+    bench_grams = _materialize(bench_grams)
+    if expected_items is None:
+        expected_items = bench_grams.count()
+    m = max(64, ((max(expected_items, 1) * bits_per_item + 63) // 64) * 64)
+    n_words = m // 64
+
+    # build: every (gram, seed) -> bit position -> OR into 64-bit words
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    pos = F.pmod(F.xxhash64(F.col("__gram"), F.col("__seed")), F.lit(m))
+    built = (
+        bench_grams.select(F.col("__gram"), F.explode(seeds).alias("__seed"))
+        .select(
+            F.shiftright(pos, 6).cast("int").alias("__word"),
+            F.expr("cast(1 as bigint)").alias("__one"),
+            F.pmod(pos, F.lit(64)).cast("int").alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or(F.expr("shiftleft(__one, __bit)")).alias("__mask"))
+        .collect()
+    )
+    words = [0] * n_words
+    for row in built:
+        words[row["__word"]] = row["__mask"]
+
+    grams = corpus.select(
+        F.col(id_column),
+        F.explode(shingles_expr(text_column, n)).alias("__gram"),
+    ).withColumn("__bf", F.lit(words))
+    # probe: all num_hashes bits set (shiftleft with a column bit count is
+    # only reachable through SQL text — the Python wrapper requires an int)
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64(__gram, {i}), {m})"
+        hit = hit & F.expr(
+            f"(element_at(__bf, cast(shiftright({p}, 6) as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(pmod({p}, 64) as int))) != 0"
+        )
+    survivors = grams.filter(hit).drop("__bf")
+
+    # exact verify: only bloom survivors reach the join, result is exact
+    return (
+        survivors.join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

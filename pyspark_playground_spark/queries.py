@@ -842,6 +842,38 @@ def ngram_contamination_documents(spark, sf_dir):
 
 
 @query(
+    "bloom_decontamination_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])
+               AS grams
+      FROM t
+    ), b AS (
+      SELECT list_distinct(flatten(list(grams))) AS bg FROM g WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           len(list_intersect(grams, bg)) AS n_contaminated_grams
+    FROM g CROSS JOIN b
+    WHERE len(list_intersect(grams, bg)) > 0
+    """,
+)
+def bloom_decontamination_documents(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/dedup.py
+    bloom_ngram_contamination): same exact output as
+    ``ngram_contamination_documents`` — the oracle is identical by design —
+    but the corpus side probes a fixed-size broadcast bit array (codegen'd
+    xxhash64 + bit tests) instead of a per-gram broadcast hash relation;
+    only bloom survivors reach the exact-verify join. The 100 TB path."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return dd.bloom_ngram_contamination(docs, bench, n=8)
+
+
+@query(
     "pii_scrub_documents",
     r"""
     SELECT doc_id,
@@ -2813,6 +2845,67 @@ def q18_style_large_volume_orders(spark, sf_dir):
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             F.col("sq").cast("double").alias("sum_qty"),
         )
+    )
+
+
+@query(
+    "q21_style_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_style_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-style 'suppliers who kept orders waiting': the classic
+    EXISTS + NOT EXISTS double correlated subquery, adapted to this schema
+    (no commit/receipt dates, so late := shipped >90 days after the order
+    date; finalized orders only). Written as Spark SQL on purpose: Catalyst
+    decorrelates the EXISTS into a left-semi and the NOT EXISTS into a
+    left-anti join on l_orderkey — three shuffles on the same order key,
+    which AQE coalesces; no nested-loop anywhere. s_name is unique per
+    supplier so the top-25 tie-break (numwait DESC, s_name) is total."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    return spark.sql(
+        """
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+          FROM q21_lineitem JOIN q21_orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM l l1 JOIN q21_supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 25
+        """
     )
 
 

@@ -215,6 +215,46 @@ def test_ngram_contamination(spark):
     assert got[1] >= 2
 
 
+def test_bloom_contamination_matches_plain(spark, sf_dir):
+    """bloom_ngram_contamination is a prefilter, not an approximation: its
+    output must equal ngram_contamination exactly (bloom false positives
+    die in the verify join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plain = sorted(
+        (r["doc_id"], r["n_contaminated_grams"])
+        for r in dd.ngram_contamination(docs, bench, n=8).collect()
+    )
+    bloom = sorted(
+        (r["doc_id"], r["n_contaminated_grams"])
+        for r in dd.bloom_ngram_contamination(docs, bench, n=8).collect()
+    )
+    assert bloom == plain and len(plain) > 0
+
+
+def test_bloom_contamination_tiny_filter_still_exact(spark):
+    """Undersized sketch (bits_per_item=1 → high fpp) stresses the verify
+    stage: extra survivors must still be filtered down to the exact set."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words without any benchmark overlap here"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in dd.bloom_ngram_contamination(
+            corpus, bench, n=8, bits_per_item=1, num_hashes=2
+        ).collect()
+    }
+    assert 1 in got and 2 not in got
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = dd.ngram_jaccard_pairs(docs, within="source", threshold=0.3)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
