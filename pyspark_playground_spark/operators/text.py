@@ -454,6 +454,68 @@ def tf_idf_top_terms(
     )
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    logp_decimals: int = 7,
+) -> DataFrame:
+    """Average token log-likelihood of each document under the corpus's
+    own unigram LM — the classic perplexity-proxy quality signal (the
+    cheap stand-in for a KenLM score in public corpus pipelines):
+    rare-token-heavy / garbled documents score low, boilerplate scores
+    high; filter or stratify on the tails.
+
+    ``logp(t) = ln(count(t) / total_tokens)``; score = mean over the
+    document's tokens (natural-log, so score = -cross-entropy in nats).
+
+    Cross-engine determinism: float summation is order-dependent, so each
+    token's logp is rounded to ``logp_decimals`` decimals and summed in
+    exact DECIMAL arithmetic — identical in any engine regardless of row
+    order — with a single double division at the end (render the result,
+    don't compare raw doubles).
+
+    Shuffle census at 100 TB: token-count groupBy on ``term`` (partial
+    aggregation), the tokens⋈LM equi-join on ``term`` (skew bounded by the
+    hottest token; broadcast the LM instead when the vocabulary is capped),
+    and the per-doc groupBy. ``total_tokens`` rides a broadcast one-row
+    cross join — no driver collect anywhere.
+    """
+    toks = df.select(
+        F.col(id_column), F.explode(tokens_expr(text_column)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = counts.agg(F.sum("__cnt").alias("__total"))
+    lm = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("__cnt").cast("double") / F.col("__total")),
+                logp_decimals,
+            )
+            .cast("decimal(28,9)")
+            .alias("__logp"),
+        )
+    )
+    return (
+        toks.join(lm, "term")
+        .groupBy(id_column)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__logp").alias("__sum_logp"),
+        )
+        .select(
+            id_column,
+            "n_tokens",
+            (F.col("__sum_logp").cast("double") / F.col("n_tokens")).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def c4_style_filter(
     df: DataFrame,
     text_column: str = "text",

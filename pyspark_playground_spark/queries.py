@@ -2000,6 +2000,41 @@ def tfidf_top_terms_documents(spark, sf_dir):
 
 
 @query(
+    "unigram_logprob_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), cnt AS (
+      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (SELECT sum(cnt) AS total FROM cnt),
+    lm AS (
+      SELECT term,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / total), 7)
+                  AS DECIMAL(28,9)) AS logp
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           printf('%.6f', CAST(sum(logp) AS DOUBLE) / count(*))
+             AS avg_logprob_s
+    FROM toks JOIN lm USING (term)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_documents(spark, sf_dir):
+    """Perplexity-proxy quality score (text.py unigram_logprob_scores):
+    mean ln-likelihood of each doc under the corpus's own unigram LM.
+    Token logps are rounded then summed in exact DECIMAL — order-
+    independent, so the cross-engine hash is stable — and the one double
+    division at the end is rendered at 6 decimals."""
+    docs = load(spark, sf_dir, "documents")
+    out = tx.unigram_logprob_scores(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.format_string("%.6f", F.col("avg_logprob")).alias("avg_logprob_s"),
+    )
+
+
+@query(
     "funnel_view_click_purchase_events",
     f"""
     WITH e AS ({EVENTS_N}),
@@ -4933,6 +4968,44 @@ def curriculum_rank_documents(spark, sf_dir):
     return pk.distributed_rank(
         docs, order_column="n_chars", id_column="doc_id", buckets=16
     ).select("doc_id", "n_chars", "rank")
+
+
+@query(
+    "deterministic_shuffle_documents",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+           ) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def deterministic_shuffle_documents(spark, sf_dir):
+    """Deterministic global training-order shuffle: every pre-training run
+    permutes its corpus, and at 100 TB that permutation must be a range
+    shuffle, not a single-task ORDER BY. Key = first 15 hex chars of
+    md5(doc_id) as a bigint (uniform, seedable by salting the hash input,
+    reproducible across engines); position = packing.distributed_rank —
+    broadcast approx-percentile range buckets + intra-bucket row_number +
+    tiny prefix-count cumsum, so the sort parallelizes across all
+    executors and a writer can emit shards in shuffle order directly.
+    The oracle orders by the same fixed-width hex prefix as a string —
+    lexicographic lowercase-hex order equals numeric order — with the
+    same doc_id tie-break."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("__shuffle_key"),
+    )
+    return (
+        pk.distributed_rank(
+            docs, order_column="__shuffle_key", id_column="doc_id", buckets=16
+        )
+        .select("doc_id", F.col("rank").alias("shuffle_pos"))
+    )
 
 
 @query(

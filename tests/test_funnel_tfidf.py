@@ -72,3 +72,20 @@ def test_tfidf_hand_example(spark):
     # rank never exceeds k and restarts per doc
     assert out.groupBy("doc_id").agg(F.max("term_rank").alias("m")) \
               .where("m > 2").count() == 0
+
+
+def test_unigram_logprob_hand_example(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.unigram_logprob_scores(docs).collect()
+    }
+    # counts: a=2 b=2 c=1, total=5
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    assert abs(got[1]["avg_logprob"] - math.log(0.4)) < 1e-6
+    expect2 = (math.log(0.4) + math.log(0.2)) / 2
+    assert abs(got[2]["avg_logprob"] - expect2) < 1e-6
+    # rare-token doc scores lower than common-token doc
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
