@@ -248,6 +248,65 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(stream: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
+    """``running_user_totals`` on the modern ``transformWithStateInPandas``
+    API (Spark 4 arbitrary stateful processing — the successor to
+    ``applyInPandasWithState``): named state variables on a handle instead
+    of one opaque tuple, first-class state TTL, and timers. Same output
+    contract as the legacy twin — one updated row per user per micro-batch
+    — pinned equal in tests so either API can back the operator.
+
+    ``ttl_ms`` demonstrates the API's built-in state expiry (idle users'
+    state is dropped by the engine — the unbounded-cardinality guard the
+    legacy API needed manual timeouts for).
+
+    Runtime requirements (cluster, not sandbox): the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the Python↔JVM state-server protocol) — the
+    matching test skips where protobuf is absent.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            if ttl_ms is None:
+                self._totals = handle.getValueState("totals", state_schema)
+            else:
+                self._totals = handle.getValueState(
+                    "totals", state_schema, ttlDurationMs=ttl_ms
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -506,3 +506,46 @@ def test_concurrency_stream_matches_batch(spark, tmpdir):
     assert got[1] == (1, 1, 2)
     assert got[2] == (0, 0, 1)
     spark.sql("DROP TABLE IF EXISTS conc_summary")
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (state-server protocol);"
+    " not in this sandbox's baked package set",
+)
+def test_running_user_totals_tws_matches_legacy(spark, tmpdir):
+    """transformWithStateInPandas twin produces the same end-state as the
+    applyInPandasWithState operator (and as a batch groupBy). Requires the
+    RocksDB state store provider + protobuf; exercised on clusters that
+    have both, skipped here."""
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/ev_tws"
+    spark.createDataFrame(
+        [(1, datetime(2026, 5, 1, 10), "a", 1.0),
+         (1, datetime(2026, 5, 1, 11), "a", 2.0),
+         (2, datetime(2026, 5, 1, 10), "a", 5.0)],
+        schema,
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = st.running_user_totals_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals_tws")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_tws")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM running_totals_tws").collect()}
+    assert got == {1: (2, 3.0), 2: (1, 5.0)}
