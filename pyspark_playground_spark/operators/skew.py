@@ -97,6 +97,74 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def hot_key_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    *,
+    buckets: int = 16,
+    threshold: int = 100_000,
+    hot_keys: DataFrame | None = None,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """``salted_join`` that salts ONLY detected hot keys — the production
+    form: replicating the whole small side ``buckets``× is wasteful when
+    skew lives in a handful of keys. Cold keys join with salt 0 (no fanout,
+    no extra rows); hot keys split across ``buckets`` reducers and their
+    small-side rows replicate ``buckets``×, so the replication cost is
+    ``buckets × |hot ∩ small|`` instead of ``buckets × |small|``.
+
+    Hot-key detection defaults to an exact count over the large side's join
+    key — a map-side-combined groupBy whose output is one row per key, tiny
+    next to the join itself. At 100 TB pass ``hot_keys`` instead: a
+    DataFrame of just the key columns, precomputed from a sample
+    (``large.sample(0.001)`` with a scaled threshold) or from yesterday's
+    ``skew_report``. Hot keys are by construction few, so the flag join is
+    broadcast.
+
+    Row-identical to ``large.join(small, on, how)`` for inner/left joins
+    (each large row matches exactly one replica — the one carrying its own
+    salt); right/full are rejected as in ``salted_join``.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"hot_key_salted_join supports inner/left joins, got {how!r}")
+    on = list(on)
+    if hot_keys is None:
+        hot_keys = (
+            large.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > threshold)
+            .select(*on)
+        )
+    flags = F.broadcast(hot_keys.select(*on).distinct().withColumn("__hot", F.lit(True)))
+
+    salted_large = (
+        large.join(flags, on, "left")
+        .withColumn(
+            SALT,
+            F.when(F.col("__hot"), (F.rand(seed) * buckets).cast("int")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("__hot")
+    )
+    replicated_small = (
+        small.join(flags, on, "left")
+        .withColumn(
+            SALT,
+            F.explode(
+                F.when(
+                    F.col("__hot"),
+                    F.sequence(F.lit(0), F.lit(buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+    return salted_large.join(replicated_small, [*on, SALT], how).drop(SALT)
+
+
 def skew_report(
     df: DataFrame,
     key_columns: Sequence[str] | str,

@@ -2136,6 +2136,32 @@ def salted_join_order_revenue(spark, sf_dir):
 
 
 @query(
+    "hot_salted_join_user_events",
+    f"""
+    WITH e AS ({EVENTS_N}), u AS (
+      SELECT DISTINCT user_id, user_id % 7 AS cohort FROM e
+    )
+    SELECT cohort, count(*) AS n_events
+    FROM e JOIN u USING (user_id)
+    GROUP BY cohort
+    """,
+)
+def hot_salted_join_user_events(spark, sf_dir):
+    """Partial (hot-key-only) salted join (operators/skew.py
+    hot_key_salted_join): events⋈user-dim where only keys above the count
+    threshold are salted — cold keys pay zero fanout, the small side
+    replicates only its hot rows. Row-identical to the plain join, so the
+    oracle is the unsalted SQL."""
+    e = load_events(spark, sf_dir).select("user_id", "event_id")
+    u = (
+        e.select("user_id").distinct()
+        .withColumn("cohort", F.col("user_id") % 7)
+    )
+    joined = sk.hot_key_salted_join(e, u, ["user_id"], buckets=8, threshold=50)
+    return joined.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
     "stratified_sample_documents",
     f"""
     WITH r AS (

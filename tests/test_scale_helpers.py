@@ -46,6 +46,35 @@ def test_salted_join_matches_plain_join(spark):
         skew.salted_join(large, small, ["k"], how="right")
 
 
+def test_hot_key_salted_join_matches_plain_join(spark):
+    """Partial salting is row-identical to the plain join; only the hot key
+    fans out on the small side."""
+    large = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        "k string, v int",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B"), ("missing", "X")],
+        "k string, label string",
+    )
+    for how in ("inner", "left"):
+        plain = large.join(small, ["k"], how)
+        salted = skew.hot_key_salted_join(
+            large, small, ["k"], buckets=8, threshold=500, how=how
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    # explicit hot_keys path (the precomputed / sampled route)
+    hot = spark.createDataFrame([("hot",)], "k string")
+    salted = skew.hot_key_salted_join(
+        large, small, ["k"], buckets=8, hot_keys=hot
+    )
+    assert salted.count() == large.join(small, ["k"]).count()
+    with pytest.raises(ValueError):
+        skew.hot_key_salted_join(large, small, ["k"], how="full")
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = spark.createDataFrame(
         [("hot", i, float(i)) for i in range(1000)] + [("cold", 1, 2.0)],
