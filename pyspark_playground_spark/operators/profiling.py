@@ -310,3 +310,48 @@ def heavy_hitters(
         .filter(F.col("n_occurrences") * F.lit(k) > F.col("total_rows"))
         .select("value", "n_occurrences", "total_rows")
     )
+
+
+def group_entropy(
+    df: DataFrame,
+    *,
+    group_column: str,
+    category_column: str,
+    logp_decimals: int = 7,
+) -> DataFrame:
+    """Shannon entropy (nats) of ``category_column``'s distribution within
+    each group — the behavioral-diversity profile (a user who only ever
+    'view's scores 0; uniform use of k event types scores ln k). Useful as
+    a bot/spam signal in corpus curation and as a stratification feature.
+
+    Uses the identity ``H = ln(n) - (Σ n_t·ln(n_t)) / n`` so the only
+    float work is one ``ln`` per (group, category); each term is rounded
+    to ``logp_decimals`` and summed in exact DECIMAL — order-independent,
+    cross-engine stable (render the final double, don't compare raw).
+
+    Shuffle census: one groupBy on (group, category), one on group — both
+    with map-side partial aggregation. No broadcast, no driver collect.
+    """
+    counts = (
+        df.groupBy(group_column, category_column)
+        .agg(F.count(F.lit(1)).alias("__nt"))
+    )
+    per_group = counts.groupBy(group_column).agg(
+        F.sum("__nt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(
+            F.round(
+                F.col("__nt").cast("double") * F.log(F.col("__nt").cast("double")),
+                logp_decimals,
+            ).cast("decimal(28,9)")
+        ).alias("__s"),
+    )
+    return per_group.select(
+        group_column,
+        "n_rows",
+        "n_categories",
+        (
+            F.log(F.col("n_rows").cast("double"))
+            - F.col("__s").cast("double") / F.col("n_rows")
+        ).alias("entropy_nats"),
+    )

@@ -2397,6 +2397,40 @@ from pyspark_playground_spark.operators import profiling as pf  # noqa: E402
 
 
 @query(
+    "event_entropy_users",
+    f"""
+    WITH e AS ({EVENTS_N}), c AS (
+      SELECT user_id, event_type, count(*) AS nt
+      FROM e GROUP BY user_id, event_type
+    ), g AS (
+      SELECT user_id, sum(nt) AS n_rows, count(*) AS n_categories,
+             sum(CAST(round(CAST(nt AS DOUBLE) * ln(CAST(nt AS DOUBLE)), 7)
+                      AS DECIMAL(28,9))) AS s
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_rows, n_categories,
+           printf('%.6f', ln(CAST(n_rows AS DOUBLE)) - CAST(s AS DOUBLE) / n_rows)
+             AS entropy_nats_s
+    FROM g
+    """,
+)
+def event_entropy_users(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution
+    (profiling.group_entropy): behavioral-diversity signal — H = ln(n) -
+    (Σ nt·ln nt)/n with the ln terms rounded then summed in exact DECIMAL
+    so the cross-engine hash is stable. Two map-side-combined groupBys,
+    nothing else."""
+    e = load_events(spark, sf_dir)
+    out = pf.group_entropy(
+        e, group_column="user_id", category_column="event_type"
+    )
+    return out.select(
+        "user_id", "n_rows", "n_categories",
+        F.format_string("%.6f", F.col("entropy_nats")).alias("entropy_nats_s"),
+    )
+
+
+@query(
     "column_profile_orders",
     """
     SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,

@@ -97,3 +97,23 @@ def test_heavy_hitters_exact_superset_guarantee(spark):
     with_nulls = df.union(spark.createDataFrame([(None,)], "v string"))
     got_n = {r.value for r in heavy_hitters(with_nulls, "v", k=4).collect()}
     assert got_n == {"hot"}
+
+
+def test_group_entropy_hand_example(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"),   # uniform over 2 -> ln 2
+         (2, "a"), (2, "a"), (2, "a")],            # single type -> 0
+        "user_id int, event_type string",
+    )
+    got = {
+        r["user_id"]: r
+        for r in pf.group_entropy(
+            df, group_column="user_id", category_column="event_type"
+        ).collect()
+    }
+    assert got[1]["n_rows"] == 4 and got[1]["n_categories"] == 2
+    assert abs(got[1]["entropy_nats"] - math.log(2)) < 1e-6
+    assert got[2]["n_categories"] == 1
+    assert abs(got[2]["entropy_nats"]) < 1e-6
