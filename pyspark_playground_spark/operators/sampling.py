@@ -270,3 +270,44 @@ def rebalance_mixture(
         .filter(hash_bucket_expr(key_columns, buckets) < F.col("__cutoff"))
         .drop("__cutoff")
     )
+
+
+def weighted_order_sample(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_column: str,
+    id_column: str = "doc_id",
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows
+    (Efraimidis–Spirakis A-ES order sampling): each row draws a uniform
+    ``u`` and ranks by ``u^(1/w)`` — equivalently ``ln(u)/w`` — and the
+    top ``k`` win; inclusion probability is proportional to weight, and
+    unlike per-row Bernoulli thinning the output size is exact.
+
+    Deterministic and engine-portable like everything in this module: ``u``
+    comes from the first 13 hex chars of ``md5(id)`` — 52 bits, chosen
+    because every intermediate fits a double exactly, so any engine
+    reproduces the identical uniform — and the rank key is rounded to
+    ``key_decimals`` with an ``id`` tie-break so cross-engine ordering is
+    stable even at the selection boundary.
+
+    Plan: pure per-row expressions + ``orderBy(...).limit(k)``, which Spark
+    executes as TakeOrdered — per-partition top-k then a k-row merge, no
+    global sort. Rows with non-positive or null weight are excluded (they
+    have zero inclusion probability in A-ES).
+    """
+    h13 = F.conv(
+        F.substring(F.md5(F.col(id_column).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h13.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
+    w = F.col(weight_column).cast("double")
+    key = F.round(F.log(u) / w, key_decimals)
+    return (
+        df.filter(w > 0)
+        .withColumn("__sample_key", key)
+        .orderBy(F.col("__sample_key").desc(), F.col(id_column).asc())
+        .limit(k)
+        .drop("__sample_key")
+    )

@@ -2136,6 +2136,37 @@ def salted_join_order_revenue(spark, sf_dir):
 
 
 @query(
+    "weighted_order_sample_documents",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             list_sum([(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), d, 1)) - 1)
+                       * power(16.0, 13 - d) FOR d IN range(1, 14)]) AS h13
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM h
+    ORDER BY round(ln((h13 + 0.5) / power(16.0, 13)) / n_chars, 9) DESC,
+             doc_id
+    LIMIT 100
+    """,
+)
+def weighted_order_sample_documents(spark, sf_dir):
+    """Efraimidis–Spirakis A-ES weighted sample without replacement
+    (sampling.weighted_order_sample): exactly 100 docs, inclusion odds
+    proportional to n_chars, fully deterministic (md5-derived 52-bit
+    uniform — every intermediate exact in doubles, so DuckDB reproduces
+    the identical draw). TakeOrdered top-k, no global sort."""
+    from pyspark_playground_spark.operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents")
+    return sp.weighted_order_sample(
+        docs, k=100, weight_column="n_chars", id_column="doc_id"
+    ).select("doc_id", "n_chars")
+
+
+@query(
     "hot_salted_join_user_events",
     f"""
     WITH e AS ({EVENTS_N}), u AS (

@@ -147,3 +147,40 @@ def test_rebalance_mixture_drops_unlisted_groups(spark):
         df, ["doc_id"], group_column="grp", target_ppm={"keep": 1_000_000}
     )
     assert {r.grp for r in out.collect()} == {"keep"}
+
+
+def test_weighted_order_sample_matches_bruteforce(spark):
+    """A-ES selection reproduces an independent Python computation of the
+    same deterministic draw, and output size is exactly k."""
+    import hashlib
+    import math
+
+    rows = [(i, (i % 7) + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    got = sorted(
+        r["doc_id"]
+        for r in sp.weighted_order_sample(
+            df, k=25, weight_column="w", id_column="doc_id"
+        ).collect()
+    )
+
+    def key(i, w):
+        h13 = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        u = (h13 + 0.5) / 16**13
+        return round(math.log(u) / w, 9)
+
+    expect = sorted(
+        i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:25]
+    )
+    assert got == expect and len(got) == 25
+
+
+def test_weighted_order_sample_prefers_heavy_weights(spark):
+    """Across many ids, heavy-weight rows win far more often than light."""
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    got = sp.weighted_order_sample(
+        df, k=200, weight_column="w", id_column="doc_id"
+    ).collect()
+    heavy = sum(1 for r in got if r["w"] == 100)
+    assert heavy > 180  # ~99% expected; allow slack
