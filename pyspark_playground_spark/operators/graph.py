@@ -173,6 +173,60 @@ def dedup_clusters(
     )
 
 
+def update_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    *,
+    node_column: str = "node",
+    component_column: str = "component",
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incrementally fold a batch of new edges into an existing
+    connected-components labeling — the cluster-maintenance step of a
+    rolling near-dup pipeline (``incremental_minhash_pairs`` finds the new
+    batch's pairs; this merges them into yesterday's ``(node, component)``
+    table without re-reading historical pair lists).
+
+    Correctness: an existing labeling IS its own spanning forest — each
+    ``(node, component)`` row is an edge to the component's canonical
+    root — so CC over ``labels-as-edges ∪ new_edges`` yields exactly the
+    labeling a full recompute over all historical pairs would (pinned by
+    test). Cost scales with ``|labels| + |new_edges|``, already O(nodes),
+    not with the historical pair count; star-contraction rounds ≈ log of
+    the largest *newly merged* chain, and the label edges are depth-1
+    stars so untouched components converge immediately.
+
+    Returns the refreshed ``(node, component)`` with the usual min-id
+    canonical labels, covering every previously labeled node plus any new
+    nodes in ``new_edges``.
+    """
+    label_edges = labels.select(
+        F.col(node_column).alias("src"), F.col(component_column).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    batch = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    merged = connected_components(
+        label_edges.unionByName(batch),
+        "src",
+        "dst",
+        max_iterations=max_iterations,
+        checkpoint_dir=checkpoint_dir,
+    )
+    # self-labeled singletons from the old labeling don't form edges;
+    # restore them (unless the new batch connected them to something)
+    singles = (
+        labels.filter(F.col(node_column) == F.col(component_column))
+        .select(F.col(node_column).alias("node"))
+        .join(merged.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return merged.unionByName(singles).withColumnsRenamed(
+        {"node": node_column, "component": component_column}
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count of the undirected graph (one row, ``n_triangles``).
 

@@ -2678,6 +2678,55 @@ def dedup_cluster_labels_documents(spark, sf_dir):
 
 
 @query(
+    "incremental_cluster_update_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct({_TOKS}) AS sh
+      FROM documents
+    ), p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    )
+    SELECT src AS node, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def incremental_cluster_update_documents(spark, sf_dir):
+    """Rolling cluster maintenance (graph.update_components): the pair set
+    is split into an 'old' batch (both endpoints in the first half of the
+    id space) and a 'new' batch; old pairs are labeled once, then the new
+    batch is folded into the labeling WITHOUT re-reading old pairs —
+    labels-as-spanning-forest union new edges. The oracle is the full
+    transitive closure over ALL pairs: incremental must equal recompute."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, within="source", shingle_size=1, threshold=0.5
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("m"))
+    split = pairs.crossJoin(F.broadcast(mid))
+    old = split.filter(
+        (F.col("id_a") <= F.col("m")) & (F.col("id_b") <= F.col("m"))
+    ).select("id_a", "id_b")
+    new = split.filter(
+        (F.col("id_a") > F.col("m")) | (F.col("id_b") > F.col("m"))
+    ).select("id_a", "id_b")
+    labels = gr.connected_components(old, "id_a", "id_b")
+    return gr.update_components(labels, new, src="id_a", dst="id_b").select(
+        "node", "component"
+    )
+
+
+@query(
     "q19_style_disjunctive_revenue",
     """
     SELECT count(*) AS n_items,

@@ -184,3 +184,44 @@ def test_pagerank_total_mass_bounded(spark):
     ).collect()]
     # mass conserved up to floor-division ulps (≤ a few per node per round)
     assert abs(sum(ranks) - 10**12) < 100
+
+
+def test_update_components_equals_full_recompute(spark):
+    """Folding a new edge batch into an existing labeling produces exactly
+    the labeling of a full recompute over all edges."""
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    new_edges = [(3, 10), (30, 31), (21, 20)]  # merge, new comp, dup
+    labels = G.connected_components(
+        spark.createDataFrame(old_edges, "src long, dst long")
+    )
+    # add a pre-existing singleton label (node 99 alone in its component)
+    labels = labels.union(
+        spark.createDataFrame([(99, 99)], "node long, component long")
+    )
+    updated = {
+        (r["node"], r["component"])
+        for r in G.update_components(
+            labels, spark.createDataFrame(new_edges, "src long, dst long")
+        ).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in G.connected_components(
+            spark.createDataFrame(old_edges + new_edges, "src long, dst long")
+        ).collect()
+    }
+    assert updated == full | {(99, 99)}
+    # merged component collapsed to one label
+    assert {c for n, c in updated if n in (1, 2, 3, 10, 11)} == {1}
+
+
+def test_update_components_no_new_edges_is_identity(spark):
+    labels = G.connected_components(
+        spark.createDataFrame([(5, 6), (6, 7)], "src long, dst long")
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = {
+        (r["node"], r["component"])
+        for r in G.update_components(labels, empty).collect()
+    }
+    assert out == {(5, 5), (6, 5), (7, 5)}
