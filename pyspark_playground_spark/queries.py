@@ -2678,6 +2678,58 @@ def dedup_cluster_labels_documents(spark, sf_dir):
 
 
 @query(
+    "leakage_free_split_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct({_TOKS}) AS sh
+      FROM documents
+    ), p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+    ), e AS (
+      SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+    ), reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ), c AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ), lab AS (
+      SELECT doc_id, coalesce(component, doc_id) AS cluster_id
+      FROM documents LEFT JOIN c ON doc_id = node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS INT) < 8000 THEN 'train'
+                WHEN CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS INT) < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def leakage_free_split_documents(spark, sf_dir):
+    """Group-disjoint train/val/test split: the eval-leakage guard every
+    dedup-aware corpus needs — near-duplicate documents must land in the
+    SAME split, so the split key is the near-dup cluster id
+    (graph.dedup_clusters over vocabulary-Jaccard pairs), not the doc id.
+    Assignment is the usual stable md5-bucket (sampling.assign_split) on
+    cluster_id; singleton docs cluster with themselves."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, within="source", shingle_size=1, threshold=0.5
+    )
+    labeled = gr.dedup_clusters(docs, pairs)
+    return sp.assign_split(labeled, ["cluster_id"]).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+@query(
     "incremental_cluster_update_documents",
     f"""
     WITH d AS (

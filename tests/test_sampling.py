@@ -184,3 +184,17 @@ def test_weighted_order_sample_prefers_heavy_weights(spark):
     ).collect()
     heavy = sum(1 for r in got if r["w"] == 100)
     assert heavy > 180  # ~99% expected; allow slack
+
+
+def test_leakage_free_split_keeps_groups_together(spark):
+    """Splitting on a group key sends every member of a group to the same
+    split (the dedup-aware eval-leakage guard)."""
+    df = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "doc_id int, cluster_id int"
+    )
+    out = sp.assign_split(df, ["cluster_id"])
+    per_group = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    assert out.select("split").distinct().count() > 1
