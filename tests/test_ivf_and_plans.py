@@ -200,3 +200,33 @@ def test_embedding_contamination_flags_and_ties(spark):
     assert out[1].benchmark_id == 10 and out[1].contaminated
     assert out[1].max_cosine == 1.0
     assert not out[2].contaminated
+
+
+def test_weighted_order_sample_plan_is_take_ordered(spark, sf_dir):
+    """The A-ES k-sample must compile to TakeOrdered (per-partition top-k +
+    k-row merge), never a global Sort of the corpus."""
+    plan = _formatted_plan(spark, "weighted_order_sample_documents", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "TakeOrdered" in plan
+
+
+def test_bloom_decontamination_prefilters_before_join(spark, sf_dir):
+    """The bloom probe must sit in a Filter on the corpus-scan side (pure
+    codegen bit tests), upstream of the exact-verify join — i.e. the plan
+    contains the element_at bit-test filter, and the only join is the
+    verify join against the (broadcast) benchmark grams."""
+    plan = _formatted_plan(spark, "bloom_decontamination_documents", sf_dir)
+    assert "element_at" in plan and "shiftleft" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+
+
+def test_deterministic_shuffle_no_corpus_window(spark, sf_dir):
+    """The global permutation must not use a corpus-wide single-partition
+    window: every Window node in the plan is the O(buckets) prefix-count
+    cumsum or a partitioned intra-bucket row_number, and the corpus never
+    passes through a global Sort."""
+    plan = _formatted_plan(spark, "deterministic_shuffle_documents", sf_dir)
+    # the corpus row_number window is partitioned by the range bucket
+    assert re.search(r"row_number\(\) windowspecdefinition\(__bucket", plan)
+    # the only unpartitioned window runs over the O(buckets) count rows
+    assert not re.search(r"row_number\(\) windowspecdefinition\((?!__bucket)", plan)
