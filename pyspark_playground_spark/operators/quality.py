@@ -194,3 +194,42 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def observed_write(
+    df: DataFrame,
+    writer,
+    *,
+    metrics: dict[str, "F.Column"],
+    gates: dict[str, tuple[float, float]] | None = None,
+) -> dict[str, float]:
+    """Single-pass write with in-flight metrics + hard quality gates — the
+    pipeline-observability pattern: ``df.observe`` attaches aggregate
+    metrics to the SAME job that materializes the data, so counting nulls /
+    rows / bad values costs **zero extra scans** (vs the naive
+    count-then-write double read, which at 100 TB doubles the bill).
+
+    ``writer`` is a callable that materializes the observed DataFrame
+    (e.g. ``lambda d: d.write.mode(...).parquet(path)``). ``metrics`` maps
+    metric name → aggregate Column (count/sum/avg/...). ``gates`` maps a
+    metric name → inclusive ``(lo, hi)`` bounds checked AFTER the write;
+    a violated gate raises ``ValueError`` listing every violation — the
+    caller decides whether the written output is published (pair with
+    ``sources.files.write_atomic`` to stage-then-swap only on pass).
+
+    Returns the observed metrics dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("observed_write")
+    writer(df.observe(obs, *[c.alias(n) for n, c in metrics.items()]))
+    got = obs.get
+    if gates:
+        bad = [
+            f"{name}={got[name]!r} outside [{lo}, {hi}]"
+            for name, (lo, hi) in gates.items()
+            if not (lo <= float(got[name]) <= hi)
+        ]
+        if bad:
+            raise ValueError("quality gates failed: " + "; ".join(bad))
+    return dict(got)

@@ -127,3 +127,30 @@ def test_skew_report_stats_and_hot_keys(spark):
     assert r.max_count == 90
     assert r.top_hot_keys == ["hot:90", "b:6"]
     assert r.avg_count_x100 == 100 * 100 // 3
+
+
+def test_observed_write_metrics_and_gates(spark, tmp_path):
+    """Metrics ride the write job (no second scan); gates raise on breach."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "id int, v string"
+    )
+    out = str(tmp_path / "obs_out")
+    got = q.observed_write(
+        df,
+        lambda d: d.write.mode("overwrite").parquet(out),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "null_v": F.count(F.when(F.col("v").isNull(), 1)),
+        },
+        gates={"n_rows": (1, 1e9)},
+    )
+    assert got["n_rows"] == 3 and got["null_v"] == 1
+    assert spark.read.parquet(out).count() == 3
+
+    with pytest.raises(ValueError, match="null_v"):
+        q.observed_write(
+            df,
+            lambda d: d.write.mode("overwrite").parquet(out),
+            metrics={"null_v": F.count(F.when(F.col("v").isNull(), 1))},
+            gates={"null_v": (0, 0)},
+        )
