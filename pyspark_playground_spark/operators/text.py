@@ -727,3 +727,59 @@ def source_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    *,
+    group_column: str = "source",
+    text_column: str = "text",
+    logp_decimals: int = 9,
+) -> DataFrame:
+    """Zipf exponent per group: OLS slope of ``ln(freq)`` on ``ln(rank)``
+    over the group's token rank-frequency table. Natural text sits near
+    slope ≈ -1; strong deviations flag templated/generated/garbled
+    sources — a corpus-linguistics audit signal for source triage.
+
+    Determinism: ranks and counts are integers with a total tie-break
+    (count desc, term asc), each per-term ln / ln-product is rounded to
+    ``logp_decimals`` and summed in exact DECIMAL, and the slope is one
+    double expression rounded at the end — the same engine-stable moment
+    recipe as the grouped OLS operator.
+
+    Shuffle census: one groupBy on (group, term), one rank window on
+    group, one groupBy on group — all key-partitioned.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_column), F.explode(tokens_expr(text_column)).alias("term")
+    )
+    freq = toks.groupBy(group_column, "term").agg(
+        F.count(F.lit(1)).alias("__freq")
+    )
+    w = Window.partitionBy(group_column).orderBy(
+        F.col("__freq").desc(), F.col("term").asc()
+    )
+    ranked = freq.withColumn("__rank", F.row_number().over(w))
+    lnr = F.log(F.col("__rank").cast("double"))
+    lnf = F.log(F.col("__freq").cast("double"))
+    dec = lambda c: F.round(c, logp_decimals).cast("decimal(28,9)")  # noqa: E731
+    m = ranked.groupBy(group_column).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(dec(lnr)).alias("__sx"),
+        F.sum(dec(lnf)).alias("__sy"),
+        F.sum(dec(lnr * lnf)).alias("__sxy"),
+        F.sum(dec(lnr * lnr)).alias("__sxx"),
+    )
+    n_d = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    slope = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    return m.select(
+        group_column,
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+    )

@@ -2000,6 +2000,47 @@ def tfidf_top_terms_documents(spark, sf_dir):
 
 
 @query(
+    "zipf_slope_sources",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS}) AS term FROM documents
+    ), freq AS (
+      SELECT source, term, count(*) AS f FROM toks GROUP BY source, term
+    ), ranked AS (
+      SELECT source, f,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY f DESC, term ASC) AS r
+      FROM freq
+    ), m AS (
+      SELECT source, count(*) AS n_terms,
+             sum(CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sx,
+             sum(CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sy,
+             sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)), 9)
+                      AS DECIMAL(28,9))) AS sxy,
+             sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9)
+                      AS DECIMAL(28,9))) AS sxx
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_terms,
+           round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope
+    FROM m
+    """,
+)
+def zipf_slope_sources(spark, sf_dir):
+    """Zipf-law audit per source (text.zipf_slope): OLS slope of ln(freq)
+    on ln(rank) over each source's token rank-frequency table — natural
+    text ≈ -1; deviations flag templated or generated sources. Integer
+    ranks/counts with total tie-breaks, ln terms rounded then summed in
+    exact DECIMAL: engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.zipf_slope(docs, group_column="source")
+
+
+@query(
     "unigram_logprob_documents",
     f"""
     WITH toks AS (

@@ -89,3 +89,17 @@ def test_unigram_logprob_hand_example(spark):
     assert abs(got[2]["avg_logprob"] - expect2) < 1e-6
     # rare-token doc scores lower than common-token doc
     assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
+
+
+def test_zipf_slope_synthetic_power_law(spark):
+    """A corpus whose token frequencies follow f(r) = C / r exactly must
+    regress to slope ~= -1."""
+    # term t_r appears round(1000/r) times, r = 1..30
+    words = []
+    for r in range(1, 31):
+        words += [f"t{r:02d}"] * round(1000 / r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, "s", text)], "doc_id int, source string, text string")
+    row = tx.zipf_slope(df, group_column="source").collect()[0]
+    assert row["n_terms"] == 30
+    assert abs(row["zipf_slope"] + 1.0) < 0.05
