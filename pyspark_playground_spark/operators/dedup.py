@@ -372,7 +372,7 @@ def bloom_ngram_contamination(
     text_column: str = "text",
     n: int = 8,
     bits_per_item: int = 20,
-    num_hashes: int = 7,
+    num_hashes: int = 5,
     expected_items: int | None = None,
 ) -> DataFrame:
     """``ngram_contamination`` with a Bloom-filter prefilter on the corpus
@@ -380,16 +380,20 @@ def bloom_ngram_contamination(
     joins, built from public DataFrame ops since ``bloom_filter_agg`` is
     not registered as a public SQL function.
 
-    Why it scales better than the plain broadcast join: the broadcast hash
-    relation keeps every benchmark gram *string* in executor memory and
-    probes a hash table per corpus gram; the bloom sketch is a fixed
-    ``expected_items * bits_per_item`` bit array (~128 KiB per 50k grams)
-    and the probe is ``num_hashes`` xxhash64 calls + bit tests, all inside
-    whole-stage codegen. At 100 TB the corpus-side explode is the cost that
-    matters, and ~all grams die executor-side without touching a hash
-    relation; only bloom survivors (true hits + fpp false positives) reach
-    the exact-verify join, so the **result is exact** — the bloom is purely
-    a prefilter, which is what makes this oracle-checkable.
+    When it beats the plain broadcast join: the broadcast hash relation
+    keeps every benchmark gram *string* in executor memory; the bloom
+    sketch is a fixed ``expected_items * bits_per_item`` bit array
+    (~128 KiB per 50k grams) probed with ``num_hashes`` codegen'd xxhash64
+    calls. For a SMALL benchmark (thousands of grams) the hash relation is
+    cache-resident and measured wall time is parity with the plain join
+    (10× probe, SCALE.md) — use ``ngram_contamination``. The bloom path is
+    for the LARGE-benchmark regime (the union of every eval/test/holdout
+    set — tens of millions of grams), where the string hash relation is a
+    multi-GB broadcast that OOMs or thrashes executors while the sketch
+    stays ~100 MB with O(1) probes. Only bloom survivors (true hits + fpp
+    false positives) reach the exact-verify join, so the **result is
+    exact** — the bloom is purely a prefilter, which is what makes this
+    oracle-checkable.
 
     Sketch build: benchmark grams → ``num_hashes`` bit positions each →
     ``bit_or`` per 64-bit word → collect O(bits/64) longs driver-side (the
@@ -433,15 +437,18 @@ def bloom_ngram_contamination(
         F.col(id_column),
         F.explode(shingles_expr(text_column, n)).alias("__gram"),
     ).withColumn("__bf", F.lit(words))
-    # probe: all num_hashes bits set (shiftleft with a column bit count is
-    # only reachable through SQL text — the Python wrapper requires an int)
-    hit = F.lit(True)
-    for i in range(num_hashes):
-        p = f"pmod(xxhash64(__gram, {i}), {m})"
-        hit = hit & F.expr(
-            f"(element_at(__bf, cast(shiftright({p}, 6) as int) + 1)"
-            f" & shiftleft(cast(1 as bigint), cast(pmod({p}, 64) as int))) != 0"
-        )
+    # probe: all num_hashes bits set. Each position is hashed ONCE (the
+    # transform binds it to a lambda variable); shiftleft with a column
+    # bit count is only reachable through SQL text — the Python wrapper
+    # requires an int — so the whole probe is one expr.
+    seed_list = ",".join(str(i) for i in range(num_hashes))
+    hit = F.expr(
+        f"forall(transform(array({seed_list}),"
+        f"                 s -> pmod(xxhash64(__gram, s), {m})),"
+        f"       p -> (element_at(__bf, cast(shiftright(p, 6) as int) + 1)"
+        f"             & shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))"
+        f"            != 0)"
+    )
     survivors = grams.filter(hit).drop("__bf")
 
     # exact verify: only bloom survivors reach the join, result is exact
