@@ -565,3 +565,66 @@ def finalize_concurrency(deltas: DataFrame) -> DataFrame:
         "n_ends",
         F.sum("net_delta").over(w).cast("long").alias("open_at_end"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    *,
+    group_column: str = "user_id",
+    order_columns: Sequence[str] = ("ts", "event_id"),
+    value_column: str = "value",
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per group: the sequential-analysis
+    changepoint detector ``S_i = max(0, S_{i-1} + (x_i - mean))`` over each
+    group's value sequence, reporting ``max_i S_i`` — a large value means a
+    sustained run above the group's own mean (behavior drift, metric shift,
+    abuse burst), where a plain variance check sees nothing.
+
+    The recursion is not window-expressible; it runs as a bounded per-group
+    array fold (the funnel/sessionize pattern): collect the group's values
+    in ``order_columns`` order, fold a (running, max) struct accumulator.
+    Per-group sequence length must be bounded (events-per-user shaped, not
+    corpus shaped) — the same contract as ``recent_events_per_user``.
+
+    Exactness: the statistic is computed scaled by n — ``T_i = n·S_i``
+    uses ``d_i = n·x_i - total`` where ``total`` is the exact DECIMAL group
+    sum, so the entire fold is exact decimal arithmetic, order-fixed by the
+    sort, reproducible in any engine; divide by n only at render time.
+
+    Output: ``(group, n_events, cusum_max)`` with ``cusum_max`` =
+    max_i S_i as double.
+    """
+    val = F.col(value_column).cast("decimal(18,6)")
+    rows = df.select(
+        F.col(group_column),
+        F.struct(*[F.col(c) for c in order_columns], val.alias("__x")).alias("__row"),
+    )
+    per = rows.groupBy(group_column).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__row.__x")).alias("__total"),
+        F.array_sort(F.collect_list("__row")).alias("__seq"),
+    )
+    n_dec = F.col("n_events").cast("decimal(10,0)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    devs = F.transform(
+        F.col("__seq"),
+        lambda r: (n_dec * r["__x"] - F.col("__total")).cast("decimal(38,6)"),
+    )
+    acc0 = F.struct(zero.alias("t"), zero.alias("mx"))
+    folded = F.aggregate(
+        devs,
+        acc0,
+        lambda acc, d: F.struct(
+            F.greatest(zero, acc["t"] + d).alias("t"),
+            F.greatest(acc["mx"], F.greatest(zero, acc["t"] + d)).alias("mx"),
+        ),
+    )
+    return per.select(
+        group_column,
+        "n_events",
+        # exact n-scaled statistic (decimal — render THIS for cross-engine
+        # comparison; the divided double below can land on a printf
+        # rounding tie)
+        folded["mx"].alias("cusum_max_scaled"),
+        (folded["mx"].cast("double") / F.col("n_events")).alias("cusum_max"),
+    )

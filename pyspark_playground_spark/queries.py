@@ -2469,6 +2469,52 @@ from pyspark_playground_spark.operators import profiling as pf  # noqa: E402
 
 
 @query(
+    "cusum_drift_users",
+    f"""
+    WITH e AS ({EVENTS_N}), g AS (
+      SELECT user_id, count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,6))) AS total,
+             list(CAST(value AS DECIMAL(18,6)) ORDER BY ts, event_id) AS seq
+      FROM e GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_events,
+        list_reduce(
+          list_prepend(
+            struct_pack(t := CAST(0 AS DECIMAL(38,6)),
+                        mx := CAST(0 AS DECIMAL(38,6))),
+            list_transform(seq, x -> struct_pack(
+              t := CAST(CAST(n_events AS DECIMAL(10,0)) * x - total
+                        AS DECIMAL(38,6)),
+              mx := CAST(0 AS DECIMAL(38,6))))),
+          (acc, x) -> struct_pack(
+            t := greatest(CAST(0 AS DECIMAL(38,6)),
+                          CAST(acc.t + x.t AS DECIMAL(38,6))),
+            mx := greatest(acc.mx,
+                           greatest(CAST(0 AS DECIMAL(38,6)),
+                                    CAST(acc.t + x.t AS DECIMAL(38,6)))))
+        ) AS r
+      FROM g
+    )
+    SELECT user_id, n_events,
+           CAST(r.mx AS VARCHAR) AS cusum_scaled_s
+    FROM f
+    """,
+)
+def cusum_drift_users(spark, sf_dir):
+    """Per-user one-sided CUSUM drift statistic (temporal.cusum_changepoint):
+    max running sum of (value - user mean) floored at 0 — the sequential
+    changepoint detector, run as a bounded per-user exact-decimal array
+    fold (the recursion is not window-expressible). Oracle: the identical
+    fold via DuckDB list_reduce."""
+    e = load_events(spark, sf_dir)
+    out = tp.cusum_changepoint(e)
+    return out.select(
+        "user_id", "n_events",
+        F.col("cusum_max_scaled").cast("string").alias("cusum_scaled_s"),
+    )
+
+
+@query(
     "event_entropy_users",
     f"""
     WITH e AS ({EVENTS_N}), c AS (

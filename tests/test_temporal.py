@@ -309,3 +309,32 @@ def test_concurrent_intervals_peak_and_closure(spark):
         df2, "s_us", "e_us", id_column="id", bucket_us=100
     ).collect()
     assert max(r.concurrent for r in rows2) == 1
+
+
+def test_cusum_changepoint_hand_example(spark):
+    """Shifted-mean tail produces a large CUSUM; i.i.d.-ish flat series
+    stays near zero. Hand-check: values [1,1,1,5,5,5], mean=14/6;
+    S walks to max 8 - 3*14/6 = 1 at the last element... verified against
+    a literal Python fold below."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2026, 1, 1, 0, i), f"e{i}", float(v))
+        for i, v in enumerate([1, 1, 1, 5, 5, 5])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id string, value double"
+    )
+    got = tp.cusum_changepoint(
+        df, group_column="user_id", order_columns=("ts", "event_id")
+    ).collect()[0]
+
+    xs = [1, 1, 1, 5, 5, 5]
+    mean = sum(xs) / len(xs)
+    s = mx = 0.0
+    for x in xs:
+        s = max(0.0, s + (x - mean))
+        mx = max(mx, s)
+    assert got["n_events"] == 6
+    assert abs(got["cusum_max"] - mx) < 1e-9
+    assert float(got["cusum_max_scaled"]) == mx * 6
