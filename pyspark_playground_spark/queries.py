@@ -2000,6 +2000,35 @@ def tfidf_top_terms_documents(spark, sf_dir):
 
 
 @query(
+    "embedding_gram_matrix",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(u.i AS INT) AS i,
+             CAST(embedding[u.i + 1] AS DOUBLE) AS xi
+      FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    )
+    SELECT a.i AS i, b.i AS j, count(*) AS n_vectors,
+           CAST(sum(CAST(round(a.xi * b.xi, 12) AS DECIMAL(28,12)))
+                AS VARCHAR) AS sxy_s
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embedding_gram_matrix(spark, sf_dir):
+    """Exact corpus Gram matrix (similarity.gram_matrix_exact): per (i,j)
+    dimension pair, the sum of x_i·x_j — covariance/PCA/whitening input.
+    float32 products are exact in doubles, rounded then summed in DECIMAL
+    (order-independent, rendered as the decimal string). The production
+    path is gram_matrix_fast (per-partition NumPy XᵀX, no row
+    amplification), parity-tested against this."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = sim.gram_matrix_exact(emb)
+    return out.select(
+        "i", "j", "n_vectors", F.col("sxy").cast("string").alias("sxy_s")
+    )
+
+
+@query(
     "zipf_slope_sources",
     f"""
     WITH toks AS (
