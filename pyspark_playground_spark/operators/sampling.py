@@ -311,3 +311,43 @@ def weighted_order_sample(
         .limit(k)
         .drop("__sample_key")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    *,
+    group_column: str,
+    value_column: str,
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Percent-rank calibration of a score within each group, in exact
+    integer ppm: ``(rank-1) * 1e6 DIV (n-1)`` with a total (value, id)
+    tie-break — the standard fix for quality scores that are not
+    comparable across heterogeneous sources (a crawl's median ≠ a curated
+    set's median): filter on the calibrated rank, not the raw score.
+
+    All-integer arithmetic → bit-stable across engines. One window per
+    group plus a broadcast-joined group count; a single giant group bounds
+    parallelism to one task's sort — re-key through
+    ``packing.distributed_rank`` per group if a group is corpus-sized.
+
+    Adds ``group_rank`` (1-based) and ``pct_ppm`` (0..1e6; single-row
+    groups get 0).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_column).orderBy(
+        F.col(value_column).asc(), F.col(id_column).asc()
+    )
+    counts = df.groupBy(group_column).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df.join(F.broadcast(counts), group_column)
+        .withColumn("group_rank", F.row_number().over(w))
+        .withColumn(
+            "pct_ppm",
+            F.when(F.col("__n") > 1,
+                   F.expr("CAST(((group_rank - 1) * 1000000) DIV (__n - 1) AS BIGINT)"))
+            .otherwise(F.lit(0).cast("bigint")),
+        )
+        .drop("__n")
+    )

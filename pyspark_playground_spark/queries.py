@@ -2206,6 +2206,36 @@ def salted_join_order_revenue(spark, sf_dir):
 
 
 @query(
+    "rank_calibrated_length_documents",
+    """
+    WITH n AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), r AS (
+      SELECT doc_id, d.source, n_chars,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY n_chars ASC, doc_id ASC) AS group_rank,
+             n.n
+      FROM documents d JOIN n ON d.source = n.source
+    )
+    SELECT doc_id, source, n_chars, group_rank,
+           CASE WHEN n > 1
+                THEN CAST(((group_rank - 1) * 1000000) // (n - 1) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS pct_ppm
+    FROM r
+    """,
+)
+def rank_calibrated_length_documents(spark, sf_dir):
+    """Cross-source score calibration (sampling.rank_normalize): percent
+    rank of n_chars WITHIN each source in exact integer ppm — filter on
+    the calibrated rank, not the raw score, when sources are
+    heterogeneous. All-integer, bit-stable."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.rank_normalize(
+        docs, group_column="source", value_column="n_chars"
+    ).select("doc_id", "source", "n_chars", "group_rank", "pct_ppm")
+
+
+@query(
     "weighted_order_sample_documents",
     """
     WITH h AS (
