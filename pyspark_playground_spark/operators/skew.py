@@ -222,3 +222,59 @@ def skew_report(
         "avg_count_x100", F.expr("(n_rows * 100) DIV n_keys")
     )
     return stats.crossJoin(F.broadcast(top))
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Pre-flight join cardinality + skew cell report: the EXACT output
+    row count of ``left ⋈ right on keys`` is ``Σ_k n_left(k)·n_right(k)``
+    — computable from the two key-count tables WITHOUT running the join.
+    Run this before pointing a multi-hour shuffle at a key: a blown-up
+    estimate (join amplification) or a dominant ``max_cell`` (one key pair
+    producing a huge fraction of output) means fix keys / salt / rethink
+    before paying for the real thing.
+
+    Cost: two map-side-combined count aggregations + an equi-join of the
+    (tiny) count tables. Output one row: ``est_rows`` (exact inner-join
+    cardinality), ``n_join_keys``, ``max_cell``, ``top_cells``
+    (key:count list, deterministic order).
+    """
+    on = list(on)
+    key = F.concat_ws("|", *[F.col(k).cast("string") for k in on])
+    lc = left.select(key.alias("__key")).groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    rc = right.select(key.alias("__key")).groupBy("__key").agg(
+        F.count(F.lit(1)).alias("__nr")
+    )
+    cells = lc.join(rc, "__key").select(
+        "__key", (F.col("__nl") * F.col("__nr")).alias("__cell")
+    )
+    top = (
+        cells.orderBy(F.col("__cell").desc(), F.col("__key").asc())
+        .limit(top_k)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("__cell")).alias("nc"), F.col("__key"))
+                )
+            ).alias("__top")
+        )
+        .select(
+            F.transform(
+                "__top",
+                lambda s: F.concat_ws(":", s["__key"], (-s["nc"]).cast("string")),
+            ).alias("top_cells")
+        )
+    )
+    stats = cells.agg(
+        F.sum("__cell").alias("est_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.max("__cell").alias("max_cell"),
+    )
+    return stats.crossJoin(F.broadcast(top))

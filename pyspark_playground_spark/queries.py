@@ -4805,6 +4805,48 @@ def approx_distinct_merge_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "join_size_report_orders_lineitem",
+    """
+    WITH lc AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS nl
+      FROM orders GROUP BY 1
+    ), rc AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS nr
+      FROM lineitem GROUP BY 1
+    ), cells AS (
+      SELECT k, nl * nr AS cell FROM lc JOIN rc USING (k)
+    ), ranked AS (
+      SELECT k, cell, row_number() OVER (ORDER BY cell DESC, k ASC) AS rn
+      FROM cells
+    ), top AS (
+      SELECT list(k || ':' || CAST(cell AS VARCHAR)
+                  ORDER BY cell DESC, k ASC) AS top_cells
+      FROM ranked WHERE rn <= 5
+    )
+    SELECT CAST(sum(cell) AS BIGINT) AS est_rows,
+           count(*) AS n_join_keys,
+           max(cell) AS max_cell,
+           (SELECT top_cells FROM top) AS top_cells
+    FROM cells
+    """,
+)
+def join_size_report_orders_lineitem(spark, sf_dir):
+    """Pre-flight join budgeting (operators/skew.py join_size_report):
+    the EXACT inner-join cardinality of orders⋈lineitem from the two key
+    count tables — Σ n_l(k)·n_r(k) — without running the join, plus the
+    dominant output cells. Two count shuffles on tiny key tables."""
+    from pyspark_playground_spark.operators import skew as sk
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return sk.join_size_report(o, li, ["orderkey"])
+
+
+@query(
     "join_key_skew_orders",
     """
     WITH c AS (

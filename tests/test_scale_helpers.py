@@ -295,3 +295,18 @@ def test_write_atomic_publishes_and_survives_replacement(spark, tmp_path):
     leftovers = [d for d in os.listdir(parent)
                  if d.startswith(".__stage_") or "__old_" in d]
     assert leftovers == []
+
+
+def test_join_size_report_is_exact_cardinality(spark):
+    """est_rows equals the actual inner-join row count."""
+    left = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 3 + [("only_left",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 2 + [("only_right",)], "k string"
+    )
+    row = skew.join_size_report(left, right, ["k"]).collect()[0]
+    actual = left.join(right, ["k"]).count()
+    assert row["est_rows"] == actual == 10 * 7 + 3 * 2
+    assert row["max_cell"] == 70 and row["n_join_keys"] == 2
+    assert row["top_cells"][0] == "a:70"
