@@ -5575,6 +5575,87 @@ def time_weighted_value_events(spark, sf_dir):
 
 
 @query(
+    "top_session_paths_events",
+    f"""
+    WITH ev AS ({EVENTS_N}),
+    g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_ns(ts) // 1000
+                    - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ), lab AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_index
+      FROM g
+    ), s AS (
+      SELECT user_id, session_index,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:10],
+                             '>') AS path,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM lab GROUP BY user_id, session_index
+    )
+    SELECT path, count(*) AS n_sessions,
+           CAST(sum(conv) AS BIGINT) AS n_converted
+    FROM s GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def top_session_paths_events(spark, sf_dir):
+    """Top-20 session paths with conversion counts: gaps-and-islands
+    session labeling (one user-key shuffle, two windows) → per-session
+    ordered event-type path (first 10 steps, bounded like
+    recent_events_per_user) → path census with purchase-conversion flag.
+    TakeOrdered top-k, (count desc, path asc) total order."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.when(us - F.lag(us).over(w) > 1_800_000_000, F.lit(1))
+        .otherwise(F.lit(0)).alias("__new"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lab = g.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.sum("__new").over(wc).alias("session_index"),
+    )
+    s = lab.groupBy("user_id", "session_index").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda r: r["event_type"],
+                ),
+                1, 10,
+            ),
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__conv"),
+    )
+    return (
+        s.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("__conv").cast("long").alias("n_converted"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@query(
     "session_ids_events",
     f"""
     WITH ev AS ({EVENTS_N}),
