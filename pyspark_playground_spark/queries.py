@@ -1500,6 +1500,79 @@ def group_centroids_embeddings(spark, sf_dir):
 
 
 @query(
+    "centroid_confusion_embeddings",
+    """
+    WITH e AS (
+      SELECT label,
+             unnest([{'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+                     FOR i IN range(1, len(embedding) + 1)]) AS pv
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec FROM (
+        SELECT label, pv.pos AS pos,
+               CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))),
+                                (a, b) -> a + b) AS DOUBLE) / count(*)
+                 AS centroid
+        FROM e GROUP BY label, pv.pos
+      ) GROUP BY label
+    ), d AS (
+      SELECT v.vec_id, v.label, c.clabel,
+             list_reduce(
+               list_prepend(0.0,
+                 [(CAST(v.embedding[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(v.embedding[i] AS DOUBLE) - c.cvec[i])
+                  FOR i IN range(1, len(v.embedding) + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings v CROSS JOIN cent c
+    ), p AS (
+      SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2 ASC, clabel ASC) AS rn
+      FROM d
+    )
+    SELECT label, clabel AS predicted, count(*) AS n
+    FROM p WHERE rn = 1
+    GROUP BY label, clabel
+    """,
+)
+def centroid_confusion_embeddings(spark, sf_dir):
+    """Nearest-centroid classifier confusion matrix — the embedding-space
+    eval op: per-label centroids from value-sorted sums (engine-stable
+    doubles, same recipe as group_centroids), every vector assigned to its
+    closest centroid (squared-L2 folded in index order — deterministic
+    accumulation — with a label tie-break), confusion counts per
+    (true, predicted). Centroids are model-sized: the assignment is a
+    broadcast cross join + per-row fold, no data-sized shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    gc = sim.group_centroids(emb, "label")
+    cents = gc.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+            lambda r: r["centroid_v"],
+        ).alias("cvec")
+    )
+    x = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("__x"),
+    )
+    d = x.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel",
+        F.aggregate(
+            F.zip_with("__x", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__dist2"),
+    )
+    best = d.groupBy("vec_id", "label").agg(
+        F.min(F.struct("__dist2", "clabel")).alias("__best")
+    )
+    return (
+        best.groupBy("label", F.col("__best.clabel").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "multimodal_resize_documents",
     """
     WITH d AS (
