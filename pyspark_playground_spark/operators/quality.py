@@ -233,3 +233,53 @@ def observed_write(
         if bad:
             raise ValueError("quality gates failed: " + "; ".join(bad))
     return dict(got)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    *,
+    compare_columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot regression diff — the canary check before promoting a
+    rebuilt table: one full-outer join on the key classifies every row as
+    ``added`` (key only in new), ``removed`` (only in old), ``changed``
+    (key in both, any compared column differs, null-safe) or
+    ``unchanged``, and returns one count row per class. Run it between
+    yesterday's output and today's rebuild; an unexpected ``removed`` or
+    ``changed`` spike blocks the publish.
+
+    ``compare_columns`` defaults to all shared non-key columns. One key
+    shuffle (the full-outer join); counts are a map-side-combined
+    aggregate. Pair with ``observed_write``/``write_atomic`` for the
+    gate-then-swap flow.
+    """
+    keys = list(keys)
+    if compare_columns is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_columns = [c for c in shared if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare_columns]).alias("__old_v"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare_columns]).alias("__new_v"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, [f"__k_{k}" for k in keys], "full_outer")
+    cls = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("__old_v").eqNullSafe(F.col("__new_v")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(cls.alias("diff_class"))
+        .groupBy("diff_class")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -4878,6 +4878,48 @@ def approx_distinct_merge_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "table_diff_orders_snapshot",
+    """
+    WITH snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN round(o_totalprice, 0) ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), j AS (
+      SELECT o.o_orderkey AS ko, s.o_orderkey AS ks,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN s.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice = s.o_totalprice
+                       AND o.o_orderstatus = s.o_orderstatus
+                  THEN 'unchanged' ELSE 'changed' END AS diff_class
+      FROM orders o FULL OUTER JOIN snap s ON o.o_orderkey = s.o_orderkey
+    )
+    SELECT diff_class, count(*) AS n_rows FROM j GROUP BY diff_class
+    """,
+)
+def table_diff_orders_snapshot(spark, sf_dir):
+    """Snapshot regression diff (operators/quality.py table_diff): orders
+    vs a deterministically perturbed rebuild (every 97th key dropped,
+    every 100th price rounded) — classifies keys added/removed/changed/
+    unchanged in one full-outer key join. The canary gate before
+    promoting a rebuilt table."""
+    from pyspark_playground_spark.operators import quality as ql
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 0, F.round(F.col("o_totalprice"), 0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return ql.table_diff(o, snap, ["o_orderkey"])
+
+
+@query(
     "join_size_report_orders_lineitem",
     """
     WITH lc AS (

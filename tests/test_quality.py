@@ -154,3 +154,17 @@ def test_observed_write_metrics_and_gates(spark, tmp_path):
             metrics={"null_v": F.count(F.when(F.col("v").isNull(), 1))},
             gates={"null_v": (0, 0)},
         )
+
+
+def test_table_diff_classes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "id int, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "CHANGED", 30.0), (4, None, 40.0), (5, "e", 50.0)],
+        "id int, s string, x double",
+    )
+    got = {r["diff_class"]: r["n_rows"] for r in q.table_diff(old, new, ["id"]).collect()}
+    # 1 removed, 5 added, 3 changed, 2 and 4 unchanged (null-safe compare)
+    assert got == {"removed": 1, "added": 1, "changed": 1, "unchanged": 2}
