@@ -45,6 +45,16 @@ HEADLINE = [
     "time_weighted_value_events", "session_ids_events",
     "trailing_7d_active_users_events", "association_rules_parts",
     "pareto_revenue_nations", "copresence_view_click_events",
+    # round-3 session-2 additions
+    "bloom_decontamination_documents", "q21_style_waiting_suppliers",
+    "unigram_logprob_documents", "deterministic_shuffle_documents",
+    "hot_salted_join_user_events", "event_entropy_users",
+    "weighted_order_sample_documents", "incremental_cluster_update_documents",
+    "leakage_free_split_documents", "zipf_slope_sources",
+    "cusum_drift_users", "embedding_gram_matrix",
+    "rank_calibrated_length_documents", "join_size_report_orders_lineitem",
+    "top_session_paths_events", "centroid_confusion_embeddings",
+    "table_diff_orders_snapshot",
 ]
 
 

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.training_data_pipeline",
         "examples.event_analytics_pipeline",
         "examples.catalog_resolution_pipeline",
+        "examples.corpus_audit_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
