@@ -5690,6 +5690,39 @@ def time_weighted_value_events(spark, sf_dir):
 
 
 @query(
+    "value_bars_hourly_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+           count(*) AS n_events,
+           first(value ORDER BY ts, event_id) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           last(value ORDER BY ts, event_id) AS close_v
+    FROM e GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def value_bars_hourly_events(spark, sf_dir):
+    """OHLC-style resampling: hourly bars per event type — open/close are
+    the first/last value by (ts, event_id) via min_by/max_by on a struct
+    key (total order, so ties are deterministic), high/low plain extremes.
+    One groupBy with full map-side partial aggregation — the downsampling
+    shape for any metric-bar or telemetry rollup."""
+    e = load_events(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bar_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+        )
+    )
+
+
+@query(
     "top_session_paths_events",
     f"""
     WITH ev AS ({EVENTS_N}),
