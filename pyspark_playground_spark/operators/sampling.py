@@ -351,3 +351,44 @@ def rank_normalize(
         )
         .drop("__n")
     )
+
+
+def temperature_shares(
+    df: DataFrame,
+    *,
+    group_column: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture shares: target sampling weight per group
+    ``w_g = n_g^alpha / Σ n^alpha`` — the standard multilingual/source
+    rebalancing rule (alpha < 1 upsamples the tail relative to its natural
+    share; alpha = 1 is proportional, alpha = 0 uniform). Feed the shares
+    into ``rebalance_to_target`` / ``weighted_sample`` as target ppm.
+
+    Determinism: counts are exact; the ``Σ n^alpha`` fold runs over the
+    group list sorted by name (one array fold on a one-row frame — groups
+    are few by definition), so double accumulation order is fixed and the
+    floored ppm shares are engine-stable.
+
+    Output: ``(group, n_rows, share_ppm)``.
+    """
+    counts = df.groupBy(group_column).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(group_column), F.col("n_rows")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc
+            + F.pow(r["n_rows"].cast("double"), F.lit(float(alpha))),
+        ).alias("__z")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        group_column,
+        "n_rows",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+            / F.col("__z")
+        ).cast("bigint").alias("share_ppm"),
+    )

@@ -2279,6 +2279,34 @@ def salted_join_order_revenue(spark, sf_dir):
 
 
 @query(
+    "temperature_mixture_documents",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+    ), t AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list(sqrt(CAST(n_rows AS DOUBLE))
+                                      ORDER BY source)),
+               (a, b) -> a + b) AS z
+      FROM c
+    )
+    SELECT source, n_rows,
+           CAST(floor(1000000.0 * sqrt(CAST(n_rows AS DOUBLE)) / t.z)
+                AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def temperature_mixture_documents(spark, sf_dir):
+    """Temperature-scaled source mixture (sampling.temperature_shares,
+    alpha=0.5): target sampling shares ∝ sqrt(count) — the multilingual
+    rebalancing rule that upsamples tail sources. The Σ n^α fold runs
+    over name-sorted groups so double accumulation is order-fixed and
+    the floored ppm shares are engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    return sp.temperature_shares(docs, group_column="source", alpha=0.5)
+
+
+@query(
     "rank_calibrated_length_documents",
     """
     WITH n AS (

@@ -198,3 +198,20 @@ def test_leakage_free_split_keeps_groups_together(spark):
     )
     assert per_group.filter(F.col("n_splits") > 1).count() == 0
     assert out.select("split").distinct().count() > 1
+
+
+def test_temperature_shares_properties(spark):
+    """alpha=0 -> uniform; alpha=1 -> proportional; alpha=0.5 between."""
+    df = spark.createDataFrame(
+        [("big",)] * 90 + [("small",)] * 10, "g string"
+    )
+    uni = {r["g"]: r["share_ppm"] for r in sp.temperature_shares(
+        df, group_column="g", alpha=0.0).collect()}
+    prop = {r["g"]: r["share_ppm"] for r in sp.temperature_shares(
+        df, group_column="g", alpha=1.0).collect()}
+    mid = {r["g"]: r["share_ppm"] for r in sp.temperature_shares(
+        df, group_column="g", alpha=0.5).collect()}
+    assert uni["big"] == uni["small"] == 500_000
+    assert prop["big"] == 900_000 and prop["small"] == 100_000
+    assert 100_000 < mid["small"] < 500_000 < mid["big"] < 900_000
+    assert mid["big"] + mid["small"] >= 999_998  # floor loss only
