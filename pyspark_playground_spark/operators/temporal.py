@@ -403,8 +403,8 @@ def gap_fill(
     Input timestamps must already be aligned to ``step`` ticks (pre-bucket
     with ``date_trunc``); unaligned rows would never join a spine row.
     """
-    if fill not in ("forward", "none"):
-        raise ValueError(f"fill must be forward/none: {fill}")
+    if fill not in ("forward", "linear", "none"):
+        raise ValueError(f"fill must be forward/linear/none: {fill}")
     by_cols = _as_list(by)
     vals = list(
         value_columns
@@ -428,6 +428,41 @@ def gap_fill(
         )
         for c in vals:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif fill == "linear":
+        # interpolate between the surrounding observations:
+        # v = prev + (next - prev) · (t - t_prev)/(t_next - t_prev).
+        # Four ignorenulls window passes per column over the SAME key
+        # window (one shuffle); endpoints with no bracketing observation
+        # fall back to the one-sided neighbor (locf/nocb). All arithmetic
+        # is double over identical inputs — deterministic.
+        wb = (
+            Window.partitionBy(*by_cols)
+            .orderBy(ts_column)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by_cols)
+            .orderBy(ts_column)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t_us = F.unix_micros(F.col(ts_column).cast("timestamp"))
+        for c in vals:
+            obs_ts = F.when(F.col(c).isNotNull(), t_us)
+            prev_v = F.last(c, ignorenulls=True).over(wb)
+            next_v = F.first(c, ignorenulls=True).over(wf)
+            prev_t = F.last(obs_ts, ignorenulls=True).over(wb)
+            next_t = F.first(obs_ts, ignorenulls=True).over(wf)
+            frac = (t_us - prev_t).cast("double") / (
+                (next_t - prev_t).cast("double")
+            )
+            interp = prev_v + (next_v - prev_v) * frac
+            out = out.withColumn(
+                c,
+                F.when(F.col(c).isNotNull(), F.col(c))
+                .when(prev_v.isNull(), next_v)
+                .when(next_v.isNull(), prev_v)
+                .otherwise(interp),
+            )
     return out.select(*by_cols, ts_column, *vals)
 
 

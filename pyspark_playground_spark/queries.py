@@ -2244,6 +2244,68 @@ def gap_fill_hourly_events(spark, sf_dir):
     return tp.gap_fill(h, "hour_ts", "1 hour", "user_id", ["n_events", "sum_value"])
 
 
+@query(
+    "gap_fill_linear_hourly_events",
+    f"""
+    WITH e AS ({EVENTS_N}), h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id, date_trunc('hour', ts)
+    ), b AS (
+      SELECT user_id, min(hour_ts) AS mn, max(hour_ts) AS mx FROM h GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+      FROM b
+    ), j AS (
+      SELECT s.user_id, s.hour_ts, h.sum_value,
+             epoch_us(s.hour_ts) AS t_us,
+             CASE WHEN h.sum_value IS NOT NULL
+                  THEN epoch_us(s.hour_ts) END AS obs_us
+      FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.hour_ts = h.hour_ts
+    ), w AS (
+      SELECT user_id, hour_ts, sum_value, t_us,
+             last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(obs_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS UNBOUNDED PRECEDING) AS pt,
+             first_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(obs_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT user_id, hour_ts,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE))
+           END AS sum_value
+    FROM w
+    """,
+)
+def gap_fill_linear_hourly_events(spark, sf_dir):
+    """Linear-interpolation gap fill (temporal.gap_fill fill="linear"):
+    silent hours get the value interpolated between the bracketing
+    observations (endpoints fall back one-sided) — the numeric companion
+    to the locf entry. Four ignorenulls passes over ONE key window; all
+    arithmetic is double over identical inputs, so the interpolated
+    values are bit-stable cross-engine."""
+    e = load_events(spark, sf_dir)
+    h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return tp.gap_fill(
+        h, "hour_ts", "1 hour", "user_id", ["sum_value"], fill="linear"
+    )
+
+
 from pyspark_playground_spark.operators import skew as sk  # noqa: E402
 
 

@@ -338,3 +338,24 @@ def test_cusum_changepoint_hand_example(spark):
     assert got["n_events"] == 6
     assert abs(got["cusum_max"] - mx) < 1e-9
     assert float(got["cusum_max_scaled"]) == mx * 6
+
+
+def test_gap_fill_linear_interpolates(spark):
+    from datetime import datetime as dt
+
+    h = spark.createDataFrame(
+        [
+            (1, dt(2026, 1, 1, 0), 10.0),
+            (1, dt(2026, 1, 1, 3), 40.0),   # 2 silent hours between
+            (1, dt(2026, 1, 1, 4), 0.0),
+        ],
+        "user_id int, hour_ts timestamp, v double",
+    )
+    out = {
+        r["hour_ts"].hour: r["v"]
+        for r in tp.gap_fill(
+            h, "hour_ts", "1 hour", "user_id", ["v"], fill="linear"
+        ).collect()
+    }
+    assert out[0] == 10.0 and out[3] == 40.0 and out[4] == 0.0
+    assert out[1] == 20.0 and out[2] == 30.0  # exact linear steps
