@@ -29,6 +29,11 @@ Spec shape::
         params: {splits: {train: 0.8, val: 0.1, test: 0.1}}
       - op: chunk                      # explode into token windows (RAG)
         params: {chunk_tokens: 128, overlap: 16}
+      - op: calibrated_filter          # unigram-LM score, rank-calibrated
+        params: {min_ppm: 100000}      #   within each source
+      - op: leakage_free_split         # split on near-dup cluster id
+      - op: temperature_rebalance      # shares ∝ n^alpha
+        params: {alpha: 0.5}
 
 Every stage consumes and produces a DataFrame with at least
 ``(doc_id, text)``; stages that add flags (``c4_filter``) filter on them
@@ -168,6 +173,61 @@ def _stage_chunk(df: DataFrame, spec: dict) -> DataFrame:
     return out.withColumnRenamed("chunk_text", "text")
 
 
+def _stage_calibrated_filter(df: DataFrame, spec: dict) -> DataFrame:
+    """Quality filter on CALIBRATED rank, not raw score: unigram-LM score
+    per doc, percent-ranked WITHIN each group (text.unigram_logprob_scores
+    + sampling.rank_normalize), keep rows at or above ``min_ppm``."""
+    p = dict(spec.get("params", {}))
+    id_col = p.get("id_column", "doc_id")
+    group = p.get("group_column", "source")
+    min_ppm = p.get("min_ppm", 100_000)
+    scored = _tx.unigram_logprob_scores(df, id_column=id_col).select(
+        id_col, "avg_logprob"
+    )
+    cal = _sp.rank_normalize(
+        df.join(scored, id_col),
+        group_column=group,
+        value_column="avg_logprob",
+        id_column=id_col,
+    )
+    return cal.filter(F.col("pct_ppm") >= min_ppm).drop(
+        "group_rank", "pct_ppm", "avg_logprob"
+    )
+
+
+def _stage_leakage_free_split(df: DataFrame, spec: dict) -> DataFrame:
+    """Group-disjoint split: near-dup clusters (Jaccard pairs → CC) become
+    the split key so duplicates never straddle train/test."""
+    p = dict(spec.get("params", {}))
+    pairs = _dd.ngram_jaccard_pairs(
+        df,
+        within=p.get("within", "source"),
+        shingle_size=p.get("shingle_size", 1),
+        threshold=p.get("threshold", 0.5),
+    )
+    labeled = _gr.dedup_clusters(df, pairs)
+    kwargs = {}
+    if "splits" in p:
+        kwargs["splits"] = p["splits"]
+    out = _sp.assign_split(labeled, ["cluster_id"], **kwargs)
+    return out.drop("component", "is_canonical")
+
+
+def _stage_temperature_rebalance(df: DataFrame, spec: dict) -> DataFrame:
+    """Downsample to temperature-scaled target shares (w ∝ n^alpha);
+    the share table is model-sized (one row per group), so the collect
+    feeding ``rebalance_mixture`` is O(groups), not data-sized."""
+    p = dict(spec.get("params", {}))
+    keys = p.pop("key_columns", ["doc_id"])
+    group = p.get("group_column", "source")
+    alpha = p.get("alpha", 0.5)
+    shares = _sp.temperature_shares(df, group_column=group, alpha=alpha).collect()
+    target = {r[group]: int(r["share_ppm"]) for r in shares}
+    return _sp.rebalance_mixture(
+        df, keys, group_column=group, target_ppm=target
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "c4_filter": _stage_c4_filter,
     "filter": _stage_filter,
@@ -184,6 +244,9 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "span_dup_filter": _stage_span_dup_filter,
     "rebalance": _stage_rebalance,
     "chunk": _stage_chunk,
+    "calibrated_filter": _stage_calibrated_filter,
+    "leakage_free_split": _stage_leakage_free_split,
+    "temperature_rebalance": _stage_temperature_rebalance,
 }
 
 

@@ -124,3 +124,49 @@ def test_rebalance_stage_matches_direct_call(spark):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in want.collect()
     )
+
+
+def test_new_audit_stages_match_direct_calls(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # calibrated_filter == unigram score -> rank_normalize -> threshold
+    spec = """
+stages:
+  - op: calibrated_filter
+    params: {min_ppm: 200000}
+"""
+    got = pl.run_pipeline(docs, spec)
+    scored = tx.unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    cal = sp.rank_normalize(
+        docs.join(scored, "doc_id"),
+        group_column="source", value_column="avg_logprob",
+    )
+    want = cal.filter(F.col("pct_ppm") >= 200000)
+    assert got.count() == want.count() > 0
+    assert set(r["doc_id"] for r in got.select("doc_id").collect()) == set(
+        r["doc_id"] for r in want.select("doc_id").collect()
+    )
+
+    # leakage_free_split: no cluster straddles splits
+    spec2 = """
+stages:
+  - op: leakage_free_split
+"""
+    split = pl.run_pipeline(docs, spec2)
+    assert "split" in split.columns and split.count() == docs.count()
+    leak = (
+        split.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leak == 0
+
+    # temperature_rebalance: output counts track sqrt-scaled shares
+    spec3 = """
+stages:
+  - op: temperature_rebalance
+    params: {alpha: 0.5}
+"""
+    reb = pl.run_pipeline(docs, spec3)
+    assert 0 < reb.count() <= docs.count()
