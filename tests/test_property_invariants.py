@@ -423,3 +423,84 @@ def test_blocked_fuzzy_pairs_matches_model(spark, names, max_dist):
                 if 1 <= d <= max_dist:
                     expected[(a, b)] = (d, norm[a], norm[b])
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# session-2 operators: CUSUM fold, incremental CC, A-ES sampling
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(min_value=-50, max_value=50),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=4,
+    )
+)
+def test_cusum_matches_python_fold(spark, seqs):
+    """Spark's exact-decimal CUSUM fold equals a literal Python fold of
+    the same recursion for any integer value sequence (integers cast
+    exactly to decimal(18,6), so no rounding enters)."""
+    from fractions import Fraction
+
+    from pyspark_playground_spark.operators import temporal as tp
+
+    rows = [
+        (u, T0 + timedelta(minutes=i), f"e{i:03d}", float(v))
+        for u, seq in enumerate(seqs)
+        for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id string, value double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in tp.cusum_changepoint(df).collect()
+    }
+    for u, seq in enumerate(seqs):
+        n = len(seq)
+        total = sum(seq)
+        t = mx = Fraction(0)
+        for x in seq:
+            t = max(Fraction(0), t + (Fraction(n * x) - total))
+            mx = max(mx, t)
+        assert got[u]["n_events"] == n
+        from decimal import Decimal
+        assert Decimal(got[u]["cusum_max_scaled"]) == Decimal(mx.numerator) / Decimal(mx.denominator)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0, max_size=30,
+    ),
+    cut=st.integers(0, 30),
+)
+def test_incremental_cc_equals_recompute(spark, edges, cut):
+    """For any edge set and any old/new batch split, folding the new
+    batch into the old labeling equals full recompute."""
+    from pyspark_playground_spark.operators import graph as G
+
+    old, new = edges[:cut], edges[cut:]
+    schema = "src long, dst long"
+    full_df = spark.createDataFrame(edges, schema) if edges else None
+    if full_df is None:
+        return
+    full = {
+        (r["node"], r["component"])
+        for r in G.connected_components(full_df).collect()
+    }
+    if old:
+        labels = G.connected_components(spark.createDataFrame(old, schema))
+    else:
+        labels = spark.createDataFrame([], "node long, component long")
+    new_df = spark.createDataFrame(new, schema) if new else \
+        spark.createDataFrame([], schema)
+    got = {
+        (r["node"], r["component"])
+        for r in G.update_components(labels, new_df).collect()
+    }
+    assert got == full
