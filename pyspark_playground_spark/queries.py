@@ -5780,6 +5780,60 @@ def time_weighted_value_events(spark, sf_dir):
 
 
 @query(
+    "weighted_median_price_lineitem",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, price, qty,
+             sum(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, qty
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(qty) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(price) AS DOUBLE) AS weighted_median,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= total
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price_lineitem(spark, sf_dir):
+    """Exact weighted median (per return flag, price weighted by
+    quantity): smallest price whose cumulative weight reaches half the
+    total — all integer/decimal comparisons (cum*2 >= total avoids any
+    division), so the selection is engine-exact. One key window over one
+    shuffle; a corpus-sized group bounds one task's sort (the
+    distributed_rank escape applies if a group is the whole table)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price", "qty")
+    wc = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag", "price", "qty",
+        F.sum("qty").over(wc).alias("cum"),
+        F.sum("qty").over(wt).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("total").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@query(
     "value_bars_hourly_events",
     f"""
     WITH e AS ({EVENTS_N})
