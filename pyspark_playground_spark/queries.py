@@ -5780,6 +5780,50 @@ def time_weighted_value_events(spark, sf_dir):
 
 
 @query(
+    "seasonal_residuals_hourly_events",
+    f"""
+    WITH e AS ({EVENTS_N}), h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT cur.user_id, cur.hour_ts,
+           cur.sum_value,
+           prev.sum_value AS baseline,
+           cur.sum_value - prev.sum_value AS residual
+    FROM h cur JOIN h prev
+      ON cur.user_id = prev.user_id
+     AND prev.hour_ts = cur.hour_ts - INTERVAL 168 HOUR
+    """,
+)
+def seasonal_residuals_hourly_events(spark, sf_dir):
+    """Seasonal-naive anomaly residuals: each active (user, hour) minus
+    the same hour one week earlier — the time-shifted equi self-join on
+    (user, hour-168h), the cheapest seasonal baseline (one key shuffle,
+    co-partitioned self-join). Exact-decimal hourly sums cast once, so
+    the double subtraction is engine-stable."""
+    e = load_events(spark, sf_dir)
+    h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")
+    )
+    cur, prev = h.alias("cur"), h.alias("prev")
+    return cur.join(
+        prev,
+        (F.col("cur.user_id") == F.col("prev.user_id"))
+        & (F.col("prev.hour_ts")
+           == F.col("cur.hour_ts") - F.expr("INTERVAL 168 HOURS")),
+    ).select(
+        F.col("cur.user_id").alias("user_id"),
+        F.col("cur.hour_ts").alias("hour_ts"),
+        F.col("cur.sum_value").alias("sum_value"),
+        F.col("prev.sum_value").alias("baseline"),
+        (F.col("cur.sum_value") - F.col("prev.sum_value")).alias("residual"),
+    )
+
+
+@query(
     "weighted_median_price_lineitem",
     """
     WITH w AS (
