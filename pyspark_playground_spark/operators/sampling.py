@@ -346,7 +346,10 @@ def rank_normalize(
         .withColumn(
             "pct_ppm",
             F.when(F.col("__n") > 1,
-                   F.expr("CAST(((group_rank - 1) * 1000000) DIV (__n - 1) AS BIGINT)"))
+                   # rank must be widened BEFORE the ×1e6: int32 overflows
+                   # at groups > ~2147 rows (caught by the 10× probe)
+                   F.expr("((CAST(group_rank AS BIGINT) - 1) * 1000000)"
+                          " DIV (__n - 1)"))
             .otherwise(F.lit(0).cast("bigint")),
         )
         .drop("__n")

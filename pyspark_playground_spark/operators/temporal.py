@@ -431,27 +431,33 @@ def gap_fill(
     elif fill == "linear":
         # interpolate between the surrounding observations:
         # v = prev + (next - prev) · (t - t_prev)/(t_next - t_prev).
-        # Four ignorenulls window passes per column over the SAME key
-        # window (one shuffle); endpoints with no bracketing observation
-        # fall back to the one-sided neighbor (locf/nocb). All arithmetic
-        # is double over identical inputs — deterministic.
+        # Endpoints with no bracketing observation fall back to the
+        # one-sided neighbor (locf/nocb). All arithmetic is double over
+        # identical inputs — deterministic.
+        #
+        # BOTH directions use RUNNING frames ([unbounded preceding,
+        # current]) — the forward look runs over a DESCENDING sort of the
+        # same key window. A [current, unbounded following] frame looks
+        # equivalent but Spark's WindowExec recomputes that frame per row
+        # (O(n²) per partition: measured 496 s vs 13 s on the 10× probe's
+        # 10M-row spine); running frames stream in O(n).
         wb = (
             Window.partitionBy(*by_cols)
-            .orderBy(ts_column)
+            .orderBy(F.col(ts_column).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy(*by_cols)
-            .orderBy(ts_column)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col(ts_column).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         t_us = F.unix_micros(F.col(ts_column).cast("timestamp"))
         for c in vals:
             obs_ts = F.when(F.col(c).isNotNull(), t_us)
             prev_v = F.last(c, ignorenulls=True).over(wb)
-            next_v = F.first(c, ignorenulls=True).over(wf)
+            next_v = F.last(c, ignorenulls=True).over(wf)
             prev_t = F.last(obs_ts, ignorenulls=True).over(wb)
-            next_t = F.first(obs_ts, ignorenulls=True).over(wf)
+            next_t = F.last(obs_ts, ignorenulls=True).over(wf)
             frac = (t_us - prev_t).cast("double") / (
                 (next_t - prev_t).cast("double")
             )

@@ -215,3 +215,14 @@ def test_temperature_shares_properties(spark):
     assert prop["big"] == 900_000 and prop["small"] == 100_000
     assert 100_000 < mid["small"] < 500_000 < mid["big"] < 900_000
     assert mid["big"] + mid["small"] >= 999_998  # floor loss only
+
+
+def test_rank_normalize_wide_group_no_overflow(spark):
+    """Groups beyond ~2147 rows used to overflow int32 in the ppm
+    arithmetic under ANSI mode (caught by the 10x probe); pinned here."""
+    df = spark.createDataFrame(
+        [(i, "g", i) for i in range(3000)], "doc_id int, g string, v int"
+    )
+    out = sp.rank_normalize(df, group_column="g", value_column="v")
+    rows = out.orderBy("doc_id").collect()
+    assert rows[0]["pct_ppm"] == 0 and rows[-1]["pct_ppm"] == 1_000_000
