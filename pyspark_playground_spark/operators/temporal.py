@@ -166,12 +166,19 @@ def asof_join(
         )
         out = out.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
     if need_f:
+        # forward match via a RUNNING frame over the reversed sort: a
+        # [current, unbounded following] frame is recomputed per row by
+        # WindowExec (O(n²) per partition — same trap fixed in gap_fill's
+        # linear mode). Reversed order (on desc, side asc, __r desc) +
+        # last(ignorenulls) selects the same row the forward-frame
+        # first(ignorenulls) would: the smallest on ≥ current, right rows
+        # at equal on included, min __r tie-break.
         wf = (
             Window.partitionBy(*by_cols)
-            .orderBy(F.col(on).asc(), F.col("__side").desc(), F.col("__r").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col(on).desc(), F.col("__side").asc(), F.col("__r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        out = out.withColumn("__mf", F.first("__r", ignorenulls=True).over(wf))
+        out = out.withColumn("__mf", F.last("__r", ignorenulls=True).over(wf))
     out = out.where(F.col("__side") == 1)
 
     tol: Column | None = None
