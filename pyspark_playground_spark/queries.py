@@ -5780,6 +5780,76 @@ def time_weighted_value_events(spark, sf_dir):
 
 
 @query(
+    "ks_drift_doc_lengths",
+    """
+    WITH t AS (
+      SELECT n_chars, (length(source) = 4) AS is_a FROM documents
+    ), n AS (
+      SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+      FROM t
+    ), g AS (
+      SELECT n_chars,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca_v,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb_v
+      FROM t GROUP BY n_chars
+    ), c AS (
+      SELECT n_chars,
+             sum(ca_v) OVER (ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(cb_v) OVER (ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    )
+    SELECT CAST(max(abs(ca * n.nb - cb * n.na)) AS BIGINT) AS ks_numerator,
+           CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b
+    FROM c CROSS JOIN n
+    GROUP BY n.na, n.nb
+    """,
+)
+def ks_drift_doc_lengths(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic between two source
+    cohorts' length distributions, in EXACT integer arithmetic:
+    D = max|CDF_a - CDF_b| = max|ca·n_b - cb·n_a| / (n_a·n_b), and the
+    entry reports the integer numerator + the two counts, so no float
+    enters the comparison (D itself is numerator/(n_a·n_b) for callers).
+    Plan: per-value count groupBy, then ONE window over distinct values —
+    bounded by value cardinality, not row count (document-length domains
+    are small; for continuous domains pre-bin)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "n_chars", (F.length(F.col("source")) == 4).alias("is_a")
+    )
+    n = t.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+    )
+    g = t.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca_v"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb_v"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        F.sum("ca_v").over(w).alias("ca"), F.sum("cb_v").over(w).alias("cb")
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .cast("long").alias("ks_numerator")
+        )
+        .select(
+            "ks_numerator",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+        )
+    )
+
+
+@query(
     "seasonal_residuals_hourly_events",
     f"""
     WITH e AS ({EVENTS_N}), h AS (

@@ -117,3 +117,31 @@ def test_group_entropy_hand_example(spark):
     assert abs(got[1]["entropy_nats"] - math.log(2)) < 1e-6
     assert got[2]["n_categories"] == 1
     assert abs(got[2]["entropy_nats"]) < 1e-6
+
+
+def test_ks_statistic_matches_scipy_free_reference(spark):
+    """KS numerator equals a literal Python two-sample KS computation."""
+    a = [1, 2, 2, 3, 9]
+    b = [2, 5, 6]
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v int, is_a boolean")
+    na, nb = len(a), len(b)
+    g = df.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca_v"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb_v"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        g.select(F.sum("ca_v").over(w).alias("ca"), F.sum("cb_v").over(w).alias("cb"))
+        .agg(F.max(F.abs(F.col("ca") * nb - F.col("cb") * na)).alias("num"))
+        .collect()[0]["num"]
+    )
+    # reference: evaluate |F_a - F_b| at every distinct value
+    vals = sorted(set(a + b))
+    ref = max(
+        abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
+        for v in vals
+    )
+    assert got == ref > 0
