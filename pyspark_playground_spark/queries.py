@@ -5780,6 +5780,41 @@ def time_weighted_value_events(spark, sf_dir):
 
 
 @query(
+    "burstiness_fano_users",
+    f"""
+    WITH e AS ({EVENTS_N}), h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS x
+      FROM e GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT user_id,
+           count(*) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sum_events,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS fano_numerator
+    FROM h GROUP BY user_id
+    """,
+)
+def burstiness_fano_users(spark, sf_dir):
+    """Per-user burstiness (Fano factor) over active-hour event counts,
+    in EXACT integers: variance/mean = (n·Σx² − (Σx)²) / (n·Σx), so the
+    entry reports the integer numerator with n and Σx — a Poisson user
+    has Fano ≈ 1; bursts (bot runs, scripted traffic) push it far above.
+    Two map-side-combined groupBys, nothing else."""
+    e = load_events(spark, sf_dir)
+    h = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").cast("long").alias("sum_events"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).cast("long").alias("fano_numerator"),
+    )
+
+
+@query(
     "ks_drift_doc_lengths",
     """
     WITH t AS (
