@@ -509,6 +509,9 @@ def unigram_logprob_scores(
         .select(
             id_column,
             "n_tokens",
+            # exact decimal — render THIS cross-engine (the divided double
+            # below can land on a printf rounding tie; seen at sf0.1)
+            F.col("__sum_logp").alias("sum_logprob"),
             (F.col("__sum_logp").cast("double") / F.col("n_tokens")).alias(
                 "avg_logprob"
             ),

@@ -2157,8 +2157,7 @@ def zipf_slope_sources(spark, sf_dir):
       FROM cnt CROSS JOIN tot
     )
     SELECT doc_id, count(*) AS n_tokens,
-           printf('%.6f', CAST(sum(logp) AS DOUBLE) / count(*))
-             AS avg_logprob_s
+           CAST(sum(logp) AS VARCHAR) AS sum_logprob_s
     FROM toks JOIN lm USING (term)
     GROUP BY doc_id
     """,
@@ -2167,13 +2166,14 @@ def unigram_logprob_documents(spark, sf_dir):
     """Perplexity-proxy quality score (text.py unigram_logprob_scores):
     mean ln-likelihood of each doc under the corpus's own unigram LM.
     Token logps are rounded then summed in exact DECIMAL — order-
-    independent, so the cross-engine hash is stable — and the one double
-    division at the end is rendered at 6 decimals."""
+    independent — and the EXACT sum is the rendered column (a divided
+    double hit a printf half-tie at sf0.1; avg = sum / n_tokens for
+    callers)."""
     docs = load(spark, sf_dir, "documents")
     out = tx.unigram_logprob_scores(docs)
     return out.select(
         "doc_id", "n_tokens",
-        F.format_string("%.6f", F.col("avg_logprob")).alias("avg_logprob_s"),
+        F.col("sum_logprob").cast("string").alias("sum_logprob_s"),
     )
 
 
