@@ -22,6 +22,7 @@ data; at 100 TB always go through LSH banding instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -374,6 +375,7 @@ def bloom_ngram_contamination(
     bits_per_item: int = 20,
     num_hashes: int = 5,
     expected_items: int | None = None,
+    max_literal_words: int = 65_536,
 ) -> DataFrame:
     """``ngram_contamination`` with a Bloom-filter prefilter on the corpus
     side — the injected-runtime-filter shape Spark itself uses for bloom
@@ -403,6 +405,15 @@ def bloom_ngram_contamination(
 
     Returns ``(id_column, n_contaminated_grams)`` — identical output to
     ``ngram_contamination``.
+
+    Probe transport: up to ``max_literal_words`` 64-bit words (default
+    64k words = 512 KiB) the sketch rides the plan as an array literal and
+    the probe is pure codegen. Beyond that a plan literal would be
+    shipped/compiled with every task, so the sketch switches to a
+    ``SparkContext.broadcast`` NumPy array probed by an Arrow-batched
+    pandas UDF — bit POSITIONS are still computed JVM-side with the same
+    ``xxhash64``, so build and probe hashes agree and results are
+    identical on both paths (pinned by a parity test).
     """
     bench_grams = (
         benchmark.select(
@@ -436,20 +447,56 @@ def bloom_ngram_contamination(
     grams = corpus.select(
         F.col(id_column),
         F.explode(shingles_expr(text_column, n)).alias("__gram"),
-    ).withColumn("__bf", F.lit(words))
-    # probe: all num_hashes bits set. Each position is hashed ONCE (the
-    # transform binds it to a lambda variable); shiftleft with a column
-    # bit count is only reachable through SQL text — the Python wrapper
-    # requires an int — so the whole probe is one expr.
-    seed_list = ",".join(str(i) for i in range(num_hashes))
-    hit = F.expr(
-        f"forall(transform(array({seed_list}),"
-        f"                 s -> pmod(xxhash64(__gram, s), {m})),"
-        f"       p -> (element_at(__bf, cast(shiftright(p, 6) as int) + 1)"
-        f"             & shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))"
-        f"            != 0)"
     )
-    survivors = grams.filter(hit).drop("__bf")
+    seed_list = ",".join(str(i) for i in range(num_hashes))
+    if n_words <= max_literal_words:
+        # probe: all num_hashes bits set. Each position is hashed ONCE
+        # (the transform binds it to a lambda variable); shiftleft with a
+        # column bit count is only reachable through SQL text — the
+        # Python wrapper requires an int — so the whole probe is one expr.
+        hit = F.expr(
+            f"forall(transform(array({seed_list}),"
+            f"                 s -> pmod(xxhash64(__gram, s), {m})),"
+            f"       p -> (element_at(__bf, cast(shiftright(p, 6) as int) + 1)"
+            f"             & shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))"
+            f"            != 0)"
+        )
+        survivors = (
+            grams.withColumn("__bf", F.lit(words)).filter(hit).drop("__bf")
+        )
+    else:
+        # Large-sketch path: a multi-million-element plan literal would be
+        # serialized and codegen'd with every task, so ship the words once
+        # as a SparkContext broadcast. Positions stay JVM-side xxhash64
+        # (same hash as the build); only the bit test crosses to Python,
+        # Arrow-batched.
+        import numpy as np
+
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            np.asarray(words, dtype=np.int64)
+        )
+
+        @F.pandas_udf("boolean")
+        def _probe(pos: pd.Series) -> pd.Series:
+            w = bc.value
+
+            def check(plist) -> bool:
+                for p in plist:
+                    p = int(p)
+                    if (int(w[p >> 6]) >> (p & 63)) & 1 == 0:
+                        return False
+                return True
+
+            return pos.apply(check)
+
+        pos_col = F.expr(
+            f"transform(array({seed_list}), s -> pmod(xxhash64(__gram, s), {m}))"
+        )
+        survivors = (
+            grams.withColumn("__pos", pos_col)
+            .filter(_probe(F.col("__pos")))
+            .drop("__pos")
+        )
 
     # exact verify: only bloom survivors reach the join, result is exact
     return (

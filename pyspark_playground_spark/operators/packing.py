@@ -234,3 +234,92 @@ def distributed_rank(
         )
         .drop("__bucket", "__intra", "__prefix")
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    *,
+    k: int,
+    order_column: str,
+    id_column: str,
+    buckets: int = 64,
+    out: str = "tile",
+    descending: bool = False,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_column, id_column)`` without
+    a corpus-wide single-task sort.
+
+    SQL ``ntile(k)`` over ``n`` rows gives the first ``n mod k`` tiles
+    ``n div k + 1`` rows and the rest ``n div k`` — reproduced here from
+    :func:`distributed_rank`'s exact 0-based global rank ``r`` as::
+
+        tile(r) = r DIV (base+1) + 1                     if r < rem*(base+1)
+                = rem + (r - rem*(base+1)) DIV base + 1  otherwise
+        base = n DIV k, rem = n MOD k
+
+    so the plan is the range-bucketed prefix-sum rank (every wide stage
+    partitioned) plus one broadcast one-row total — no unpartitioned
+    window anywhere, identical output to the single-window ntile the
+    oracle runs.
+
+    ``descending=True`` ranks by ``order_column DESC, id_column ASC``
+    (the value is sort-key-negated internally; numeric/timestamp/date
+    order columns only). Order values must be non-null.
+    """
+    cols = df.columns
+    work = df
+    order_key = order_column
+    if descending:
+        order_key = "__neg_order"
+        col = F.col(order_column)
+        # dates/timestamps negate via their integral epoch — same total order
+        dt = dict(df.dtypes).get(order_column, "")
+        if dt in ("timestamp", "timestamp_ntz"):
+            col = F.unix_micros(col.cast("timestamp"))
+        elif dt == "date":
+            col = F.datediff(col, F.lit("1970-01-01"))
+        work = df.withColumn(order_key, -col)
+    # Inlined distributed_rank with the tile map folded in: the per-bucket
+    # counts frame (≤ buckets rows) yields BOTH the exclusive prefix and
+    # the grand total in one pass, so no extra corpus-wide aggregate or
+    # second broadcast join is needed for n.
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = work.agg(
+        F.expr(
+            f"approx_percentile({order_key}, array({','.join(map(str, qs))}), 10000)"
+        ).alias("__b")
+    )
+    data = work.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        F.expr(f"size(filter(__b, b -> {order_key} > b))"),
+    ).drop("__b")
+    w_in = Window.partitionBy("__bucket").orderBy(order_key, id_column)
+    data = data.withColumn("__intra", F.row_number().over(w_in))
+    counts = data.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prefixes = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__prefix"),
+        F.sum("__n").over(w_all).alias("__n_total"),
+    )
+    rank = F.col("__prefix") + F.col("__intra") - 1
+    tile = F.expr(
+        f"""
+        CASE WHEN __rank < (__n_total % {k}) * (__n_total DIV {k} + 1)
+             THEN __rank DIV (__n_total DIV {k} + 1) + 1
+             ELSE (__n_total % {k})
+                  + (__rank - (__n_total % {k}) * (__n_total DIV {k} + 1))
+                    DIV greatest(__n_total DIV {k}, 1)
+                  + 1
+        END
+        """
+    ).cast("int")
+    return (
+        data.join(F.broadcast(prefixes), "__bucket")
+        .withColumn("__rank", rank.cast("long"))
+        .withColumn(out, tile)
+        .select(*cols, out)
+    )

@@ -254,21 +254,41 @@ def table_diff(
     shuffle (the full-outer join); counts are a map-side-combined
     aggregate. Pair with ``observed_write``/``write_atomic`` for the
     gate-then-swap flow.
+
+    Duplicate keys do NOT fan out: each side is pre-aggregated per key to
+    ``(row count, order-insensitive multiset fingerprint)`` before the
+    join, so a key appearing twice identically on both sides is
+    ``unchanged``, while any difference in multiplicity or content is
+    ``changed``. The classification unit is therefore the KEY, not the
+    row — ``n_rows`` counts distinct keys per class.
     """
     keys = list(keys)
     if compare_columns is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_columns = [c for c in shared if c not in keys]
-    o = old.select(
-        *[F.col(k).alias(f"__k_{k}") for k in keys],
-        F.struct(*[F.col(c) for c in compare_columns]).alias("__old_v"),
-        F.lit(True).alias("__in_old"),
-    )
-    n = new.select(
-        *[F.col(k).alias(f"__k_{k}") for k in keys],
-        F.struct(*[F.col(c) for c in compare_columns]).alias("__new_v"),
-        F.lit(True).alias("__in_new"),
-    )
+
+    def _per_key(df: DataFrame, tag: str) -> DataFrame:
+        # sum-of-hashes is an order-insensitive multiset fingerprint;
+        # xxhash64 maps NULL payloads deterministically, so the compare
+        # stays null-safe without a row-level eqNullSafe.
+        return df.groupBy(
+            *[F.col(k).alias(f"__k_{k}") for k in keys]
+        ).agg(
+            F.struct(
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: a bigint sum of 64-bit hashes
+                # overflows under ANSI; decimal(20,0) sums widen to 30
+                # digits — exact for any realistic row count
+                F.sum(
+                    F.xxhash64(
+                        F.struct(*[F.col(c) for c in compare_columns])
+                    ).cast("decimal(20,0)")
+                ).alias("fp"),
+            ).alias(f"__{tag}_v")
+        )
+
+    o = _per_key(old, "old").withColumn("__in_old", F.lit(True))
+    n = _per_key(new, "new").withColumn("__in_new", F.lit(True))
     j = o.join(n, [f"__k_{k}" for k in keys], "full_outer")
     cls = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))

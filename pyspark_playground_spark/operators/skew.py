@@ -243,17 +243,27 @@ def join_size_report(
     (tiny) count tables. Output one row: ``est_rows`` (exact inner-join
     cardinality), ``n_join_keys``, ``max_cell``, ``top_cells``
     (key:count list, deterministic order).
+
+    NULL keys never match in an equi-join, so rows with a NULL in any key
+    column are dropped before counting; the count tables group by and join
+    on the RAW key columns (collision-free — no string encoding can merge
+    two distinct keys), and the pipe-joined string is display-only for
+    ``top_cells``.
     """
     on = list(on)
-    key = F.concat_ws("|", *[F.col(k).cast("string") for k in on])
-    lc = left.select(key.alias("__key")).groupBy("__key").agg(
-        F.count(F.lit(1)).alias("__nl")
+    lc = (
+        left.dropna(subset=on)
+        .groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__nl"))
     )
-    rc = right.select(key.alias("__key")).groupBy("__key").agg(
-        F.count(F.lit(1)).alias("__nr")
+    rc = (
+        right.dropna(subset=on)
+        .groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__nr"))
     )
-    cells = lc.join(rc, "__key").select(
-        "__key", (F.col("__nl") * F.col("__nr")).alias("__cell")
+    cells = lc.join(rc, on).select(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in on]).alias("__key"),
+        (F.col("__nl") * F.col("__nr")).alias("__cell"),
     )
     top = (
         cells.orderBy(F.col("__cell").desc(), F.col("__key").asc())

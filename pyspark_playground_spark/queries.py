@@ -2911,13 +2911,22 @@ def zorder_key_documents(spark, sf_dir):
 )
 def order_price_deciles(spark, sf_dir):
     """ntile decile assignment (exact integer rank partitioning, unique
-    tie-break so engines agree on boundary rows). Scale note: global ntile
-    is a single-task sort — beyond tens of millions of rows derive deciles
-    from ``packing.distributed_rank`` instead (same exact semantics, no
-    single task)."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(10).over(w).alias("decile"))
+    tie-break so engines agree on boundary rows) — computed by
+    ``packing.distributed_ntile``: range-bucketed exact global rank (the
+    two-phase distributed prefix sum) + the closed-form
+    ``rank → tile`` map with ntile's uneven-group correction. Identical
+    output to the single-window ``ntile(10)`` the oracle runs, with no
+    single-task corpus-wide sort anywhere in the plan."""
+    from pyspark_playground_spark.operators import packing as pk
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return pk.distributed_ntile(
+        o,
+        k=10,
+        order_column="o_totalprice",
+        id_column="o_orderkey",
+        out="decile",
+    ).select("o_orderkey", "decile")
 
 
 @query(
@@ -6263,37 +6272,55 @@ def recent_events_per_user(spark, sf_dir):
 def rfm_segments_customers(spark, sf_dir):
     """RFM segmentation (recency/frequency/monetary quartiles with
     deterministic custkey tie-breaks; monetary aggregated in exact
-    decimals): one groupBy on the customer key + three ntile windows over
-    the customer-sized frame. Scale note: a global ntile is a single-task
-    sort of the customer dimension — fine up to tens of millions of
-    customers; beyond that, derive each quartile from
-    ``packing.distributed_rank`` (range-bucketed exact rank, no single
-    task) as ``(rank * 4) DIV n`` with ntile's uneven-group correction."""
+    decimals): one groupBy on the customer key, then each quartile from
+    ``packing.distributed_ntile`` (range-bucketed exact global rank +
+    closed-form tile map — no single-task sort of the customer dimension;
+    ``descending=True`` reproduces the ``DESC, custkey`` window order).
+    The customer-sized base aggregate is cached so the three rank passes
+    reuse one shuffle. Output identical to the three-ntile-window oracle."""
+    from pyspark_playground_spark.operators import packing as pk
+
     o = load(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__mon"),
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("__mon"),
+        )
+        .select(
+            "custkey",
+            "last_order",
+            "frequency",
+            F.col("__mon").cast("double").alias("monetary"),
+        )
+        .cache()
     )
-    wr = Window.orderBy(F.col("last_order").desc(), F.col("custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey"))
-    wm = Window.orderBy(F.col("__mon").cast("double").desc(), F.col("custkey"))
-    scored = base.select(
+    scored = pk.distributed_ntile(
+        base, k=4, order_column="last_order", id_column="custkey",
+        descending=True, out="r_quartile",
+    ).cache()
+    scored = pk.distributed_ntile(
+        scored, k=4, order_column="frequency", id_column="custkey",
+        descending=True, out="f_quartile",
+    ).cache()
+    scored = pk.distributed_ntile(
+        scored, k=4, order_column="monetary", id_column="custkey",
+        descending=True, out="m_quartile",
+    )
+    return scored.select(
         "custkey",
         "frequency",
-        F.col("__mon").cast("double").alias("monetary"),
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
-    )
-    return scored.withColumn(
-        "segment",
+        "monetary",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
         F.concat_ws(
             "-",
             F.col("r_quartile").cast("string"),
             F.col("f_quartile").cast("string"),
             F.col("m_quartile").cast("string"),
-        ),
+        ).alias("segment"),
     )
 
 

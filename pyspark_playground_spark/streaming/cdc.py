@@ -299,11 +299,14 @@ def running_user_totals_tws(stream: DataFrame, *, ttl_ms: int | None = None) -> 
         def close(self) -> None:
             pass
 
+    # State TTL is only legal in ProcessingTime mode (Spark raises
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL otherwise), so
+    # the time mode follows the ttl_ms parameter.
     return stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotals(),
         outputStructType=_RUNNING_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
 
 

@@ -207,7 +207,9 @@ def test_weighted_order_sample_plan_is_take_ordered(spark, sf_dir):
     k-row merge), never a global Sort of the corpus."""
     plan = _formatted_plan(spark, "weighted_order_sample_documents", sf_dir)
     assert "TakeOrderedAndProject" in plan
-    assert "Sort [" not in plan or "TakeOrdered" in plan
+    # no corpus-wide global Sort node anywhere in the plan — TakeOrdered
+    # replaces it, it must not coexist with one
+    assert "Sort [" not in plan
 
 
 def test_bloom_decontamination_prefilters_before_join(spark, sf_dir):
@@ -230,3 +232,22 @@ def test_deterministic_shuffle_no_corpus_window(spark, sf_dir):
     assert re.search(r"row_number\(\) windowspecdefinition\(__bucket", plan)
     # the only unpartitioned window runs over the O(buckets) count rows
     assert not re.search(r"row_number\(\) windowspecdefinition\((?!__bucket)", plan)
+
+
+def test_ntile_entries_have_no_global_sort_window(spark, sf_dir):
+    """order_price_deciles and rfm_segments_customers must compile to the
+    range-bucketed distributed_ntile plan: no ntile window (a global
+    single-task sort) anywhere; every row_number window partitioned by the
+    range bucket; the only unpartitioned windows run over the O(buckets)
+    count rows."""
+    for name in ("order_price_deciles", "rfm_segments_customers"):
+        plan = _formatted_plan(spark, name, sf_dir)
+        # no ntile window function (approx_percentile also ends in
+        # "ntile(" — anchor on a non-identifier char before it)
+        assert not re.search(r"(?<![a-z_])ntile\(", plan), name
+        assert re.search(
+            r"row_number\(\) windowspecdefinition\(__bucket", plan
+        ), name
+        assert not re.search(
+            r"row_number\(\) windowspecdefinition\((?!__bucket)", plan
+        ), name

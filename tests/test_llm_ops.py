@@ -636,3 +636,64 @@ def test_distributed_rank_matches_single_window(spark):
         "rn", F.row_number().over(w) - 1
     ).collect()}
     assert got == want
+
+
+def test_distributed_ntile_matches_single_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+
+    from pyspark_playground_spark.operators.packing import distributed_ntile
+
+    rng = random.Random(7)
+    # 403 rows / k=10 → uneven groups (3 tiles get an extra row); heavy ties
+    rows = [(i, rng.randrange(12)) for i in range(403)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"]).repartition(5)
+    for k in (4, 10):
+        got = {r.doc_id: r.tile for r in distributed_ntile(
+            df, k=k, order_column="score", id_column="doc_id", buckets=8
+        ).collect()}
+        w = W.orderBy("score", "doc_id")
+        want = {r.doc_id: r.t for r in df.withColumn(
+            "t", F.ntile(k).over(w)
+        ).collect()}
+        assert got == want
+
+
+def test_distributed_ntile_descending_and_small_n(spark):
+    from pyspark.sql import Window as W
+
+    from pyspark_playground_spark.operators.packing import distributed_ntile
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 1.0)], ["doc_id", "score"]
+    )
+    # n < k: every row its own tile, order DESC with ascending id tie-break
+    got = {r.doc_id: r.tile for r in distributed_ntile(
+        df, k=4, order_column="score", id_column="doc_id",
+        descending=True, buckets=4,
+    ).collect()}
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    want = {r.doc_id: r.t for r in df.withColumn(
+        "t", F.ntile(4).over(w)
+    ).collect()}
+    assert got == want
+
+
+def test_bloom_contamination_broadcast_path_matches_literal(spark, sf_dir):
+    """max_literal_words=0 forces the SparkContext-broadcast + pandas-UDF
+    probe (the large-sketch transport); positions hash JVM-side either
+    way, so the output must equal the codegen-literal path exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    lit_path = sorted(
+        (r["doc_id"], r["n_contaminated_grams"])
+        for r in dd.bloom_ngram_contamination(docs, bench, n=8).collect()
+    )
+    bc_path = sorted(
+        (r["doc_id"], r["n_contaminated_grams"])
+        for r in dd.bloom_ngram_contamination(
+            docs, bench, n=8, max_literal_words=0
+        ).collect()
+    )
+    assert bc_path == lit_path and len(lit_path) > 0

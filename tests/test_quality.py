@@ -168,3 +168,24 @@ def test_table_diff_classes(spark):
     got = {r["diff_class"]: r["n_rows"] for r in q.table_diff(old, new, ["id"]).collect()}
     # 1 removed, 5 added, 3 changed, 2 and 4 unchanged (null-safe compare)
     assert got == {"removed": 1, "added": 1, "changed": 1, "unchanged": 2}
+
+
+def test_table_diff_duplicate_keys_no_fanout(spark):
+    """Duplicate keys are compared as multisets per key — no join fan-out
+    inflating the counts, and a multiplicity change alone reads as
+    'changed'."""
+    old = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "B"), (3, "c")], "id int, v string"
+    )
+    got = {
+        r["diff_class"]: r["n_rows"]
+        for r in q.table_diff(old, new, ["id"]).collect()
+    }
+    assert got == {"unchanged": 1, "changed": 1, "added": 1}
+    dropped_dup = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    got2 = {
+        r["diff_class"]: r["n_rows"]
+        for r in q.table_diff(old, dropped_dup, ["id"]).collect()
+    }
+    assert got2 == {"changed": 1, "unchanged": 1}

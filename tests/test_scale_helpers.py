@@ -310,3 +310,20 @@ def test_join_size_report_is_exact_cardinality(spark):
     assert row["est_rows"] == actual == 10 * 7 + 3 * 2
     assert row["max_cell"] == 70 and row["n_join_keys"] == 2
     assert row["top_cells"][0] == "a:70"
+
+
+def test_join_size_report_null_keys_and_separator_collisions(spark):
+    """NULL keys never match an equi-join so they must not be counted, and
+    a '|' inside a value must not merge distinct multi-column keys."""
+    left = spark.createDataFrame(
+        [("a|b", "x"), ("a", "b|x"), (None, "z"), ("k", None), ("k", "v")],
+        "k1 string, k2 string",
+    )
+    right = spark.createDataFrame(
+        [("a|b", "x"), ("a", "b|x"), (None, "z"), ("k", "v"), ("k", "v")],
+        "k1 string, k2 string",
+    )
+    row = skew.join_size_report(left, right, ["k1", "k2"]).collect()[0]
+    actual = left.join(right, ["k1", "k2"]).count()
+    assert row["est_rows"] == actual == 4
+    assert row["n_join_keys"] == 3
