@@ -30,7 +30,11 @@ HEADLINE = [
     "dv_hub_customer",
     "dv_sat_customer",
     "dv_link_orders_customer",
-    "dv_multilink_lineitem",
+    # the xxhash64 twin is the production hash config (8-byte keys); the
+    # md5-parity entry dv_multilink_lineitem stays oracle-checked in the
+    # correctness gate, but the bench measures the config a 100 TB
+    # deployment would run
+    "dv_multilink_lineitem_xxh",
     "dv_pit_events",
     "dv_effectivity_events",
     "dv_zip_user_activity",

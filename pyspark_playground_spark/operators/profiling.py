@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -354,4 +354,86 @@ def group_entropy(
             F.log(F.col("n_rows").cast("double"))
             - F.col("__s").cast("double") / F.col("n_rows")
         ).alias("entropy_nats"),
+    )
+
+
+def drift_ks(
+    df: DataFrame,
+    *,
+    value_column: str,
+    cohort_column: str | Column,
+    bins: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    ``cohort_column``-true and -false value distributions, in integer
+    arithmetic: ``D = max|CDF_a − CDF_b| = max|ca·n_b − cb·n_a| / (n_a·n_b)``.
+    Returns one row ``(ks_numerator, n_a, n_b)`` — D is
+    ``ks_numerator / (n_a * n_b)`` for callers; no float enters the
+    cross-engine comparison.
+
+    Plan: per-value count groupBy (map-side combined), then ONE cumulative
+    window over *distinct values* — bounded by value cardinality, not row
+    count. For continuous domains pass ``bins``: values are first mapped
+    to ``bins`` equal-width buckets between the corpus min and max
+    (deterministic ``floor((v-lo)*bins/(hi-lo))``, top edge clamped), so
+    the bounded-cardinality guarantee is enforced by code instead of
+    caller discipline. The result is then the exact KS of the binned
+    distributions (a lower bound of the unbinned D that tightens as bins
+    grow). Values must be non-null.
+    """
+    is_a = (
+        F.col(cohort_column) if isinstance(cohort_column, str) else cohort_column
+    )
+    t = df.select(
+        F.col(value_column).alias("__v"), is_a.cast("boolean").alias("__a")
+    )
+    if bins is not None:
+        mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+        t = t.join(F.broadcast(mm)).select(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        * bins
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("int"),
+                )
+            )
+            .alias("__v"),
+            "__a",
+        )
+    n = t.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__nb"),
+    )
+    g = t.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca_v"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb_v"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        F.sum("__ca_v").over(w).alias("__ca"),
+        F.sum("__cb_v").over(w).alias("__cb"),
+    )
+    return (
+        c.join(F.broadcast(n))
+        .groupBy("__na", "__nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na")
+                )
+            )
+            .cast("long")
+            .alias("ks_numerator")
+        )
+        .select(
+            "ks_numerator",
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+        )
     )

@@ -227,6 +227,33 @@ def dv_multilink_lineitem(spark, sf_dir):
     )
 
 
+@query("dv_multilink_lineitem_xxh")
+def dv_multilink_lineitem_xxh(spark, sf_dir):
+    """Bench twin of dv_multilink_lineitem on the PRODUCTION hash config
+    (``hash_function="xxhash64"`` — 8-byte keys, no cryptographic digest):
+    the md5 entry keeps reference/oracle parity (DataVaultShared.py:11-19
+    pins md5 semantics), while this twin measures the hash the 100 TB
+    deployment would actually run. Same plan shape — the only delta is
+    hash compute per row. No DuckDB oracle: DuckDB has no
+    Spark-compatible xxhash64, so the driver records the rows-only check;
+    equivalence of everything except the hash values is pinned by
+    test_multilink_xxh_twin_matches_md5_shape."""
+    from pyspark_playground_spark.conventions import LinkedHubDefinition
+
+    staged = _staged(spark, sf_dir, "lineitem", [], "l_shipdate")
+    return rv.multilink_rows(
+        staged,
+        [
+            LinkedHubDefinition("orders", "l_orderkey"),
+            LinkedHubDefinition("part", "l_partkey"),
+            LinkedHubDefinition("supplier", "l_suppkey"),
+        ],
+        load_ts=LOAD_TS,
+        record_source="tpch",
+        hash_function="xxhash64",
+    )
+
+
 @query(
     "dv_ref_nation",
     f"""
@@ -549,12 +576,57 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+#: Entries that already have a driver-gate correctness row (union of
+#: CORRECTNESS_r01..r03). The driver samples roughly the head of the
+#: registry each round, so ``queries()`` lists never-yet-sampled entries
+#: FIRST — rotating gate coverage onto the families (temporal, graph,
+#: packing, profiling, tokenizer stats, analytics breadth) that so far
+#: only have replica evidence. Registration order itself is unchanged;
+#: this is purely the exported iteration order.
+_DRIVER_CHECKED = frozenset({
+    "all_parties_union", "ann_cosine_topk_embeddings",
+    "ann_ivf_topk_embeddings", "ann_lsh_topk_embeddings",
+    "bloom_decontamination_documents", "centroid_confusion_embeddings",
+    "chunk_dedup_documents", "customers_without_orders",
+    "dedup_exact_documents", "deterministic_sample_documents",
+    "doc_fingerprint_documents", "dv_active_code_ref_events",
+    "dv_code_ref_geo", "dv_compress_state_events", "dv_curated_customer",
+    "dv_curated_orders_user_enrichment", "dv_effectivity_events",
+    "dv_hub_customer", "dv_latest_event_per_user",
+    "dv_link_effectivity_orders", "dv_link_orders_customer",
+    "dv_linked_customer_orders", "dv_multilink_lineitem", "dv_pit_events",
+    "dv_read_hub_sat_pit_events", "dv_ref_nation", "dv_sat_customer",
+    "dv_zip_user_activity", "embedding_near_dup_pairs",
+    "events_hourly_window", "events_session_windows_30m",
+    "group_centroids_embeddings", "lang_id_documents",
+    "minhash_lsh_dedup_documents", "multimodal_audio_features_documents",
+    "multimodal_decode_documents", "multimodal_meta_documents",
+    "multimodal_resize_documents", "ngram_contamination_documents",
+    "ngram_jaccard_pairs_documents", "normalize_quantize_embeddings",
+    "order_value_percentiles", "pii_scrub_documents", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "quality_score_documents",
+    "repetition_metrics_documents", "rollup_revenue_nation_segment",
+    "sequence_packing_documents", "simhash_dedup_documents",
+    "text_quality_documents", "token_stats_documents",
+    "top10_orders_by_price", "top_ngrams_documents",
+    "train_val_test_split_documents", "vault_integrity_orphan_check",
+    "winnowing_fingerprint_documents",
+})
+
+
+def _rotated(names) -> list[str]:
+    fresh = [n for n in names if n not in _DRIVER_CHECKED]
+    seen = [n for n in names if n in _DRIVER_CHECKED]
+    return fresh + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _rotated(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _rotated(ORACLES)}
 
 
 # ---------------------------------------------------------------------------
@@ -5857,39 +5929,72 @@ def ks_drift_doc_lengths(spark, sf_dir):
     D = max|CDF_a - CDF_b| = max|ca·n_b - cb·n_a| / (n_a·n_b), and the
     entry reports the integer numerator + the two counts, so no float
     enters the comparison (D itself is numerator/(n_a·n_b) for callers).
-    Plan: per-value count groupBy, then ONE window over distinct values —
-    bounded by value cardinality, not row count (document-length domains
-    are small; for continuous domains pre-bin)."""
+    Plan (operators/profiling.py drift_ks): per-value count groupBy, then
+    ONE window over distinct values — bounded by value cardinality, not
+    row count (document-length domains are small; continuous domains take
+    ``bins=`` — see ks_drift_binned_event_values)."""
+    from pyspark_playground_spark.operators.profiling import drift_ks
+
     docs = load(spark, sf_dir, "documents")
-    t = docs.select(
-        "n_chars", (F.length(F.col("source")) == 4).alias("is_a")
+    return drift_ks(
+        docs,
+        value_column="n_chars",
+        cohort_column=F.length(F.col("source")) == 4,
     )
-    n = t.agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+
+
+@query(
+    "ks_drift_binned_event_values",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT value AS v, (event_type = 'purchase') AS is_a FROM e
+    ), mm AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM t
+    ), b AS (
+      SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(63, CAST(floor((t.v - mm.lo) * 64
+                                            / (mm.hi - mm.lo)) AS INT))
+             END AS bv,
+             is_a
+      FROM t CROSS JOIN mm
+    ), n AS (
+      SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+      FROM b
+    ), g AS (
+      SELECT bv,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca_v,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb_v
+      FROM b GROUP BY bv
+    ), c AS (
+      SELECT bv,
+             sum(ca_v) OVER (ORDER BY bv ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(cb_v) OVER (ORDER BY bv ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
     )
-    g = t.groupBy("n_chars").agg(
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca_v"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb_v"),
-    )
-    w = Window.orderBy("n_chars").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = g.select(
-        F.sum("ca_v").over(w).alias("ca"), F.sum("cb_v").over(w).alias("cb")
-    )
-    return (
-        c.crossJoin(F.broadcast(n))
-        .groupBy("na", "nb")
-        .agg(
-            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
-            .cast("long").alias("ks_numerator")
-        )
-        .select(
-            "ks_numerator",
-            F.col("na").cast("long").alias("n_a"),
-            F.col("nb").cast("long").alias("n_b"),
-        )
+    SELECT CAST(max(abs(ca * n.nb - cb * n.na)) AS BIGINT) AS ks_numerator,
+           CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b
+    FROM c CROSS JOIN n
+    GROUP BY n.na, n.nb
+    """,
+)
+def ks_drift_binned_event_values(spark, sf_dir):
+    """KS drift over a CONTINUOUS domain (event values, purchase cohort vs
+    rest) through drift_ks's enforced ``bins=64`` path: values map to 64
+    equal-width buckets between corpus min/max (deterministic
+    ``floor((v-lo)*64/(hi-lo))``, top edge clamped — the oracle mirrors
+    the exact same IEEE expression), so the cumulative window runs over at
+    most 64 rows no matter the row count. The statistic is the exact
+    integer KS of the binned distributions."""
+    from pyspark_playground_spark.operators.profiling import drift_ks
+
+    e = load_events(spark, sf_dir)
+    return drift_ks(
+        e,
+        value_column="value",
+        cohort_column=F.col("event_type") == "purchase",
+        bins=64,
     )
 
 

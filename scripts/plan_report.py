@@ -55,6 +55,12 @@ HEADLINE = [
     "rank_calibrated_length_documents", "join_size_report_orders_lineitem",
     "top_session_paths_events", "centroid_confusion_embeddings",
     "table_diff_orders_snapshot",
+    # post-seal round-3 additions + round-4 entries
+    "ks_drift_doc_lengths", "ks_drift_binned_event_values",
+    "burstiness_fano_users", "seasonal_residuals_hourly_events",
+    "weighted_median_price_lineitem",
+    "order_price_deciles", "rfm_segments_customers",
+    "dv_multilink_lineitem_xxh",
 ]
 
 

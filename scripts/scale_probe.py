@@ -64,7 +64,16 @@ def synthesize(spark) -> None:
         df.drop("__rep").write.mode("overwrite").parquet(out)
 
 
+#: comma-separated probe names to run (default: all) — lets the slow
+#: 100× factor runs target just the headline cost profiles
+ONLY = {
+    s for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if s
+}
+
+
 def timed(name: str, rows: int, fn) -> None:
+    if ONLY and name not in ONLY:
+        return
     t0 = time.time()
     fn()
     dt = time.time() - t0
@@ -114,6 +123,57 @@ def main() -> None:
         rv.satellite_rows(staged, ["c_name", "c_mktsegment"], existing=existing) \
             .write.format("noop").mode("overwrite").save()
     timed("satellite_idempotent_reappend", n_cust, sat_reappend)
+
+    # 3b. multilink load at replicated lineitem scale — both hash configs.
+    #     The plan is linear (hash + distinct, no join); the md5-vs-xxh
+    #     delta isolates hash compute, pinning the compute-bound claim.
+    from pyspark_playground_spark.conventions import LinkedHubDefinition
+
+    li_staged = rv.prepare_staging(
+        li.withColumn("__ld", F.lit(datetime(2026, 1, 1))),
+        load_date_column="__ld", operation_column=None,
+        record_source="probe", hkey_columns=["l_orderkey"],
+    )
+    members = [
+        LinkedHubDefinition("orders", "l_orderkey"),
+        LinkedHubDefinition("part", "l_partkey"),
+        LinkedHubDefinition("supplier", "l_suppkey"),
+    ]
+
+    def multilink_md5():
+        rv.multilink_rows(
+            li_staged, members, load_ts=datetime(2026, 1, 2),
+            record_source="probe",
+        ).write.format("noop").mode("overwrite").save()
+
+    def multilink_xxh():
+        rv.multilink_rows(
+            li_staged, members, load_ts=datetime(2026, 1, 2),
+            record_source="probe", hash_function="xxhash64",
+        ).write.format("noop").mode("overwrite").save()
+
+    timed("multilink_md5", n_li, multilink_md5)
+    timed("multilink_xxh", n_li, multilink_xxh)
+
+    # 3c. q3/q5 join shape at replicated scale: customer ⋈ orders ⋈
+    #     lineitem with no broadcast hints — AQE must keep choosing sane
+    #     strategies as every side grows (the r2 scale-killer regression
+    #     surface).
+    orders = spark.read.parquet(f"{WORK}/orders.parquet")
+    n_ord = orders.count()
+
+    def q3_joins():
+        (cust.filter(F.col("c_mktsegment") == "BUILDING")
+             .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+             .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy("o_orderkey", "o_orderdate")
+             .agg(F.sum(
+                 F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+             ).alias("rev"))
+             .orderBy(F.col("rev").desc()).limit(10)
+             .write.format("noop").mode("overwrite").save())
+
+    timed("q3_join_shape", n_li + n_ord + n_cust, q3_joins)
 
     # 4. MinHash-LSH dedup over the replicated corpus
     def minhash():

@@ -145,3 +145,47 @@ def test_ks_statistic_matches_scipy_free_reference(spark):
         for v in vals
     )
     assert got == ref > 0
+
+
+def test_drift_ks_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    a = [rng.randrange(30) for _ in range(200)]
+    b = [rng.randrange(25, 60) for _ in range(150)]  # shifted cohort
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v int, is_a boolean")
+    got = pf.drift_ks(df, value_column="v", cohort_column="is_a").collect()[0]
+    na, nb = len(a), len(b)
+    vals = sorted(set(a + b))
+    ref = max(
+        abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
+        for v in vals
+    )
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["ks_numerator"] == ref > 0
+
+
+def test_drift_ks_binned_bounds_and_edges(spark):
+    import random
+
+    rng = random.Random(13)
+    a = [rng.random() * 10 for _ in range(300)]
+    b = [rng.random() * 10 + 3 for _ in range(250)]
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v double, is_a boolean")
+    exact = pf.drift_ks(df, value_column="v", cohort_column="is_a").collect()[0]
+    binned = pf.drift_ks(
+        df, value_column="v", cohort_column="is_a", bins=32
+    ).collect()[0]
+    # binned KS is the exact KS of the binned data: a lower bound of the
+    # unbinned statistic, nonzero for a genuinely shifted cohort
+    assert 0 < binned["ks_numerator"] <= exact["ks_numerator"]
+    # constant domain (hi == lo): everything lands in bucket 0, D = 0
+    const = spark.createDataFrame(
+        [(5.0, True), (5.0, False), (5.0, True)], "v double, is_a boolean"
+    )
+    z = pf.drift_ks(
+        const, value_column="v", cohort_column="is_a", bins=8
+    ).collect()[0]
+    assert z["ks_numerator"] == 0

