@@ -66,7 +66,7 @@ def main(sf_dir: str | None = None) -> None:
     # ... and drop per-source length outliers (median/MAD robust z)
     kept = quality.robust_outliers(kept, "n_chars", "source").filter(
         ~F.col("is_outlier")
-    )
+    ).cache()  # everything downstream (scrub→dedup→…) + the final census
 
     # 2. redaction: mask emails/URLs in place
     scrubbed = text.scrub_pii(kept.select("doc_id", "text", "lang", "source")).select(
@@ -90,6 +90,9 @@ def main(sf_dir: str | None = None) -> None:
         .where(F.col("n_kept") > 0)
         .join(deduped.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "text", "lang", "source")
+        # reused by decontamination AND the final census — persist the
+        # branch point so the gate chain above runs once, not per action
+        .cache()
     )
 
     # 4. decontamination vs a stand-in benchmark set
@@ -119,7 +122,7 @@ def main(sf_dir: str | None = None) -> None:
     clean = sampling.weighted_sample(
         clean, ["doc_id"], group_column="source",
         weights={"src0": 1.0, "src1": 0.5, "src2": 0.5}, default=0.75,
-    )
+    ).cache()  # feeds split/packing, RAG chunks, source-similarity, census
 
     # 5. deterministic split + sequence packing for the train shard
     split = sampling.assign_split(clean, ["doc_id"])

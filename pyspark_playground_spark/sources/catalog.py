@@ -41,16 +41,31 @@ def create_table(
     config: VaultConfig | None = None,
     bucket_columns: Sequence[str] | None = None,
 ) -> None:
-    """Create-if-not-exists from a declared schema (RawVault.py:1045-1055)."""
+    """Create-if-not-exists from a declared schema (RawVault.py:1045-1055).
+
+    Pure catalog DDL (``CREATE TABLE IF NOT EXISTS``): no empty-DataFrame
+    write job, no files — a wide catalog (the reference's production
+    driver creates ~130 vault tables) is metadata-only work, on a real
+    cluster as in tests. Bucketing renders as ``CLUSTERED BY ... SORTED
+    BY ... INTO n BUCKETS``, the DDL equivalent of the writer-side
+    ``bucketBy``.
+    """
     config = config or VaultConfig()
     schema = to_struct_type(list(columns))
-    empty = spark.createDataFrame([], schema)
-    writer = empty.write.format(config.table_format).mode("ignore")
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    buckets = ""
     if bucket_columns and config.optimize_partitioning:
-        writer = writer.bucketBy(config.partition_size, *bucket_columns).sortBy(
-            *bucket_columns
+        bcols = ", ".join(f"`{c}`" for c in bucket_columns)
+        buckets = (
+            f" CLUSTERED BY ({bcols}) SORTED BY ({bcols})"
+            f" INTO {config.partition_size} BUCKETS"
         )
-    writer.saveAsTable(f"{database}.{name}")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {database}.`{name}` ({cols_ddl})"
+        f" USING {config.table_format}{buckets}"
+    )
 
 
 def write_table(

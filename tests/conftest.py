@@ -8,14 +8,20 @@ from pyspark_playground_spark.session import get_spark
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 
+# test-session parallelism: the suite is one process with a session-scoped
+# Spark; more local cores shorten every multi-partition stage without
+# changing any plan semantics (shuffle partitions stay at 4 so shapes are
+# unchanged). Override with SPARK_GRAFT_TEST_CORES.
+TEST_CORES = os.environ.get("SPARK_GRAFT_TEST_CORES", "4")
+
 
 @pytest.fixture(scope="session")
 def spark():
     warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
     s = get_spark(
         app_name="pyspark_playground_spark-tests",
-        master="local[4]",
-        shuffle_partitions=4,
+        master=f"local[{TEST_CORES}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4")),
         warehouse_dir=warehouse,
     )
     yield s

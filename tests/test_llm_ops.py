@@ -79,9 +79,11 @@ def test_minhash_signature_varies_by_perm(spark):
 
 def test_simhash_signatures_match_expression_form(docs, spark):
     """The explode+sum signature pipeline must equal the per-row expression
-    form bit-for-bit, in both hash modes."""
+    form bit-for-bit, in both hash modes. 150 docs give full text variety
+    for the per-row equality; more rows add wall time, not coverage."""
     from pyspark_playground_spark.operators.dedup import simhash_expr
 
+    docs = docs.limit(150)
     for portable in (False, True):
         agg = {
             r["doc_id"]: r["simhash"]
