@@ -17,7 +17,12 @@ TEST_CORES = os.environ.get("SPARK_GRAFT_TEST_CORES", "4")
 
 @pytest.fixture(scope="session")
 def spark():
-    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    # tmpfs-backed warehouse: the suite performs hundreds of small catalog
+    # writes whose cost is file commit/rename latency, not data volume —
+    # /dev/shm removes the disk from that path (falls back to the default
+    # tmp dir when absent)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-", dir=base)
     s = get_spark(
         app_name="pyspark_playground_spark-tests",
         master=f"local[{TEST_CORES}]",
