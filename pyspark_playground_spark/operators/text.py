@@ -786,3 +786,98 @@ def zipf_slope(
         "n_terms",
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    num_merges: int = 30,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn an ordered BPE merge list from the corpus — full distributed
+    tokenizer TRAINING (Sennrich et al., public recipe), not just the
+    one-iteration pair census of :func:`bpe_pair_counts`.
+
+    The working state is the Zipf-collapsed word census (DISTINCT words ×
+    counts, orders of magnitude smaller than the token stream) with each
+    word held as a symbol array. Per merge iteration: one map-side-combined
+    pair aggregation over the census + a 1-row ``TakeOrdered`` argmax
+    (count desc, then lexicographic (left, right) — deterministic,
+    engine-independent tie-break), then a map-only greedy left-to-right
+    fold rewrites the symbol arrays. Only the argmax row ever reaches the
+    driver (model-sized by construction); the census is
+    ``localCheckpoint``-ed every ``checkpoint_every`` merges so lineage
+    stays O(checkpoint_every) deep regardless of vocabulary size.
+
+    Iterative driver-coordinated algorithm — inherently not expressible as
+    one SQL query, so the registry entry is rows-only; correctness is
+    pinned by an exact-equality test against a pure-Python reference BPE.
+
+    Returns ``(merge_rank, left, right, pair_count)``, one row per learned
+    merge in merge order.
+    """
+    spark = df.sparkSession
+    words = df.select(F.explode(tokens_expr(text_column)).alias("word"))
+    census = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .filter(F.length("word") >= 2)
+        .select(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit("")).alias(
+                "sym"
+            ),
+            "wcount",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(num_merges):
+        pairs = census.filter(F.size("sym") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1),"
+                    " j -> struct(element_at(sym, j) AS l,"
+                    "             element_at(sym, j + 1) AS r))"
+                )
+            ).alias("p"),
+            "wcount",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wcount").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((i + 1, left, right, n))
+
+        lcol, rcol, joined = F.lit(left), F.lit(right), F.lit(left + right)
+        census = census.select(
+            F.aggregate(
+                F.col("sym"),
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lcol)
+                    & (x == rcol),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(joined),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("sym"),
+            "wcount",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            census = census.localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges or [],
+        "merge_rank int, left string, right string, pair_count long",
+    )

@@ -2249,6 +2249,19 @@ def unigram_logprob_documents(spark, sf_dir):
     )
 
 
+@query("bpe_merges_documents")
+def bpe_merges_documents(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (text.bpe_learn_merges): learn an
+    ordered merge list from the documents corpus — the iterative extension
+    of the one-shot bpe_pair_census entry. Driver-coordinated argmax loop
+    (inherently not one SQL query, so rows-only for the driver gate);
+    exact-equality vs a pure-Python reference BPE is pinned by
+    test_bpe_learn_merges_equals_python_reference. Deterministic:
+    tie-break is (count desc, left asc, right asc)."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.bpe_learn_merges(docs, num_merges=20)
+
+
 @query(
     "funnel_view_click_purchase_events",
     f"""

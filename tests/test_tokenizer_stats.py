@@ -55,3 +55,86 @@ def test_pmi_lift_exact_formula(spark, corpus):
     # ranking: higher lift first, ties by token order
     lifts = [r.lift_ppm for r in sorted(rows, key=lambda x: x.rank)]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def _py_bpe(texts, num_merges, min_pair_count=2):
+    """Pure-Python reference BPE trainer (Sennrich et al. recipe):
+    word-census state, argmax pair by (count desc, left asc, right asc),
+    greedy left-to-right non-overlapping merge rewrite."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                words[w] += 1
+    census = Counter()
+    for w, c in words.items():
+        census[tuple(w)] += c
+    merges = []
+    for i in range(num_merges):
+        pairs = Counter()
+        for sym, c in census.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((i + 1, left, right, n))
+        nxt = Counter()
+        for sym, c in census.items():
+            out = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            nxt[tuple(out)] += c
+        census = nxt
+    return merges
+
+
+def test_bpe_learn_merges_equals_python_reference(spark):
+    texts = [
+        "banana bandana bananas",
+        "the cat sat on the mat the cat",
+        "aaaa aaa aa abab abab",
+        "low lower lowest newest newer new",
+        "banana splits and banana bread",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in tx.bpe_learn_merges(df, num_merges=25).orderBy("merge_rank").collect()
+    ]
+    assert got == _py_bpe(texts, 25)
+    # merged symbols become multi-char and keep merging (chains like
+    # a+n -> an, b+an -> ban must appear for this corpus)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got)
+
+
+def test_bpe_learn_merges_overlap_and_stop(spark):
+    # 'aaaa': greedy left-to-right gives (aa)(aa), pair (a,a) counted 3x
+    df = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in tx.bpe_learn_merges(df, num_merges=10, min_pair_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _py_bpe(["aaaa aaaa"], 10)
+    assert got[0] == (1, "a", "a", 6)
+    assert got[1] == (2, "aa", "aa", 2)
+    # min_pair_count halts before exhausting num_merges
+    assert len(got) < 10
+
+
+def test_bpe_learn_merges_empty_corpus(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert tx.bpe_learn_merges(df, num_merges=5).count() == 0
