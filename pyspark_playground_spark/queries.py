@@ -3586,6 +3586,267 @@ def q22_style_idle_rich_customers(spark, sf_dir):
 
 
 @query(
+    "q2_style_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT p_partkey, p_name, l_suppkey,
+             min(CAST(l_extendedprice AS DOUBLE)
+                 / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'LARGE' AND p_size <= 5
+      GROUP BY p_partkey, p_name, l_suppkey
+    ), best AS (
+      SELECT p_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY p_partkey
+    )
+    SELECT cost.p_partkey, p_name, s_suppkey, s_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal, unit_cost
+    FROM cost
+    JOIN best ON best.p_partkey = cost.p_partkey AND unit_cost = min_cost
+    JOIN supplier ON s_suppkey = l_suppkey
+    ORDER BY s_acctbal DESC, cost.p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_style_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-style correlated minimum: for each filtered part, keep the
+    supplier(s) whose observed unit price equals the per-part minimum
+    (testdata has no partsupp, so unit cost = min extendedprice/quantity
+    seen in lineitem). The part filter is applied BEFORE the aggregation
+    (semantically identical, prunes ~98% of lineitem before the shuffle);
+    both aggs and the min-equality join shuffle on p_partkey, so the
+    stages co-partition. Unit costs are IEEE double divisions — bit-equal
+    across engines — and the top-100 is a TakeOrdered on the total order
+    (acctbal desc, partkey, suppkey)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 5)
+    )
+    s = load(spark, sf_dir, "supplier")
+    unit = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast(
+        "double"
+    )
+    cost = (
+        li.join(p.select("p_partkey", "p_name"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    best = cost.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cost.join(
+            best.withColumnRenamed("p_partkey", "b_partkey"),
+            (F.col("p_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"), "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_style_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) * 20
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2)))
+                AS DOUBLE) / 20.0 AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_style_product_profit(spark, sf_dir):
+    """TPC-H Q9-style product-line profit by supplier nation x order year
+    (no partsupp: holding cost = 5% of retailprice x quantity). The 5%
+    factor is applied exactly: everything is summed as 20*revenue - cost
+    in exact DECIMAL, cast to DOUBLE once, then one IEEE division by 20 —
+    no cross-engine decimal-scale edge. Part-name LIKE prunes before the
+    agg; only fixed-25-row nation is hint-broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = F.col("p_retailprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    return (
+        li.join(p.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (rev * F.lit(20) - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount").cast("double") / F.lit(20.0)).alias("profit"))
+    )
+
+
+@query(
+    "q11_style_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey AS p_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    ), t AS (SELECT sum(val) AS total FROM v)
+    SELECT p_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v, t
+    WHERE val * 500 > total
+    """,
+)
+def q11_style_important_parts(spark, sf_dir):
+    """TPC-H Q11-style important stock: parts whose value from one
+    nation's suppliers exceeds a fraction (0.2%) of that nation's total —
+    the scalar-subquery HAVING pattern. The threshold compare stays in
+    exact decimal (val*500 > total, never a division); the one-row total
+    rides a broadcast cross join, so the only data-sized shuffle is the
+    per-part aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev).alias("val"))
+    )
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 500 > F.col("total"))
+        .select("p_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q16_style_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT DISTINCT l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity >= 49.0
+          AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_style_supplier_count(spark, sf_dir):
+    """TPC-H Q16-style supplier census per part attribute triple, with a
+    NOT-IN exclusion of "complaint" suppliers (proxy: a near-full-batch
+    return — quantity >= 49 — since 2001-06, rare enough that the
+    exclusion stays partial at every SF) — a genuine anti-join against an
+    SF-growing derived set,
+    then a distinct count per (brand, type, size). The anti-join and the
+    distinct both shuffle on l_suppkey-containing keys; part attributes
+    arrive via an AQE-decided join after the size/brand/type pushdown."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    excluded = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= 49.0)
+            & (F.col("l_shipdate") >= F.lit(datetime(2001, 6, 1)))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        li.join(p.select("p_partkey", "p_brand", "p_type", "p_size"),
+                li.l_partkey == F.col("p_partkey"))
+        .join(excluded, "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_style_excess_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'cold%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    ), t AS (SELECT sum(qty) AS total, count(*) AS n FROM shipped)
+    SELECT s_suppkey, s_name, n_name, CAST(qty AS DOUBLE) AS cold_qty
+    FROM shipped CROSS JOIN t
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE qty * n * 5 > total * 6
+    """,
+)
+def q20_style_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20-style: suppliers who shipped MORE than 1.2x the mean
+    'cold' part volume in 1997 (no partsupp availqty, so the excess test
+    is relative to the cohort mean — which also keeps the predicate
+    meaningful at every SF, unlike an absolute cutoff). Exact-decimal
+    compare qty*n*5 > total*6 avoids any mean division; the one-row stats
+    side is a broadcast cross join and nation is the only hinted
+    broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1998, 1, 1)))
+        )
+        .join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    stats = shipped.agg(
+        F.sum("qty").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        shipped.crossJoin(F.broadcast(stats))
+        .filter(F.col("qty") * F.col("n") * 5 > F.col("total") * 6)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.col("qty").cast("double").alias("cold_qty"),
+        )
+    )
+
+
+@query(
     "c4_filter_documents",
     f"""
     SELECT doc_id,
