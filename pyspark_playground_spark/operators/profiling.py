@@ -437,3 +437,92 @@ def drift_ks(
             F.col("__nb").cast("long").alias("n_b"),
         )
     )
+
+def drift_psi(
+    df: DataFrame,
+    *,
+    value_column: str,
+    cohort_column: str | Column,
+    bins: int | None = None,
+    ln_decimals: int = 7,
+) -> DataFrame:
+    """Population Stability Index between the ``cohort_column``-true
+    (actual) and -false (expected) value distributions — the standard
+    model-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted):
+
+    ``PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)``
+
+    with add-one (Laplace) smoothing over the OBSERVED bin set, so empty
+    cells never produce ``ln(0)`` and the score stays defined when a bin
+    exists on only one side: ``p_i = (ca_i + 1) / (n_a + B)`` where ``B``
+    is the observed bin count.
+
+    Cross-engine determinism (same recipe as unigram/zipf/entropy): every
+    arithmetic step except ``ln`` is IEEE-deterministic from exact
+    integers, and the one ``ln`` per bin — whose last-ulp may differ
+    between libm implementations — is rounded to ``ln_decimals`` before
+    use; per-bin terms are rounded and summed in exact DECIMAL (order-
+    independent), with one final cast to double.
+
+    Plan: one per-bin count groupBy (map-side combined; cardinality is
+    bounded by ``bins`` or the value domain), one-row totals on a
+    broadcast cross join, then a B-row aggregation — no data-sized window,
+    shuffle, or collect beyond the count shuffle. ``bins`` maps continuous
+    domains to equal-width buckets exactly as :func:`drift_ks` does
+    (deterministic ``floor((v−lo)·bins/(hi−lo))``, top edge clamped).
+    Values must be non-null.
+    """
+    is_a = (
+        F.col(cohort_column) if isinstance(cohort_column, str) else cohort_column
+    )
+    t = df.select(
+        F.col(value_column).alias("__v"), is_a.cast("boolean").alias("__a")
+    )
+    if bins is not None:
+        mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+        t = t.join(F.broadcast(mm)).select(
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        * bins
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("int"),
+                )
+            )
+            .alias("__v"),
+            "__a",
+        )
+    g = t.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb"),
+    )
+    n = g.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).alias("__nbins"),
+    )
+    pa = (F.col("__ca") + 1).cast("double") / (
+        F.col("__na") + F.col("__nbins")
+    ).cast("double")
+    pb = (F.col("__cb") + 1).cast("double") / (
+        F.col("__nb") + F.col("__nbins")
+    ).cast("double")
+    ratio = ((F.col("__ca") + 1) * (F.col("__nb") + F.col("__nbins"))).cast(
+        "double"
+    ) / ((F.col("__cb") + 1) * (F.col("__na") + F.col("__nbins"))).cast("double")
+    ln_r = F.round(F.log(ratio), ln_decimals)
+    term = F.round((pa - pb) * ln_r, 9).cast("decimal(28,10)")
+    return (
+        g.crossJoin(F.broadcast(n))
+        .groupBy("__na", "__nb", "__nbins")
+        .agg(F.sum(term).alias("__psi"))
+        .select(
+            F.col("__psi").cast("double").alias("psi"),
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            F.col("__nbins").cast("long").alias("n_bins"),
+        )
+    )

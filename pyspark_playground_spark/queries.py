@@ -6273,6 +6273,61 @@ def ks_drift_binned_event_values(spark, sf_dir):
 
 
 @query(
+    "psi_drift_binned_event_values",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT value AS v, (event_type = 'purchase') AS is_a FROM e
+    ), mm AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM t
+    ), b AS (
+      SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(63, CAST(floor((t.v - mm.lo) * 64
+                                            / (mm.hi - mm.lo)) AS INT))
+             END AS bv,
+             is_a
+      FROM t CROSS JOIN mm
+    ), g AS (
+      SELECT bv,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+      FROM b GROUP BY bv
+    ), n AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM g
+    )
+    SELECT CAST(sum(CAST(round(
+             (CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE)
+              - CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE))
+             * round(ln(CAST((ca + 1) * (nb + nbins) AS DOUBLE)
+                        / CAST((cb + 1) * (na + nbins) AS DOUBLE)), 7),
+             9) AS DECIMAL(28,10))) AS DOUBLE) AS psi,
+           CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           CAST(n.nbins AS BIGINT) AS n_bins
+    FROM g CROSS JOIN n
+    GROUP BY n.na, n.nb, n.nbins
+    """,
+)
+def psi_drift_binned_event_values(spark, sf_dir):
+    """Population Stability Index (operators/profiling.py drift_psi) of
+    event values, purchase cohort vs rest, over the enforced 64-bin path —
+    the KS entry's model-monitoring companion (PSI weights probability
+    mass, KS the worst CDF gap). Laplace smoothing over observed bins
+    keeps every ln defined; the single per-bin ln is rounded to 7 decimals
+    and terms are summed in exact DECIMAL, so the float never depends on
+    aggregation order. One count shuffle, a broadcast one-row total, a
+    64-row agg — nothing data-sized past the first groupBy."""
+    from pyspark_playground_spark.operators.profiling import drift_psi
+
+    e = load_events(spark, sf_dir)
+    return drift_psi(
+        e,
+        value_column="value",
+        cohort_column=F.col("event_type") == "purchase",
+        bins=64,
+    )
+
+
+@query(
     "seasonal_residuals_hourly_events",
     f"""
     WITH e AS ({EVENTS_N}), h AS (

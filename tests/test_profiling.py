@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_playground_spark.operators import profiling as pf
@@ -189,3 +190,76 @@ def test_drift_ks_binned_bounds_and_edges(spark):
         const, value_column="v", cohort_column="is_a", bins=8
     ).collect()[0]
     assert z["ks_numerator"] == 0
+
+
+def test_drift_psi_matches_python_reference(spark):
+    import math
+
+    rows = [(v, v % 3 == 0) for v in [1, 1, 1, 2, 2, 3, 3, 3, 3, 6, 6, 9, 12, 12]]
+    df = spark.createDataFrame(rows, ["v", "is_a"])
+    got = pf.drift_psi(df, value_column="v", cohort_column="is_a").collect()[0]
+
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for v, a in rows:
+        (ca if a else cb)[v] += 1
+    bins = sorted(set(ca) | set(cb))
+    na, nb, B = sum(ca.values()), sum(cb.values()), len(bins)
+    psi = 0.0
+    for v in bins:
+        pa = (ca[v] + 1) / (na + B)
+        pb = (cb[v] + 1) / (nb + B)
+        lnr = round(
+            math.log(((ca[v] + 1) * (nb + B)) / ((cb[v] + 1) * (na + B))), 7
+        )
+        psi += round((pa - pb) * lnr, 9)
+    assert (got.n_a, got.n_b, got.n_bins) == (na, nb, B)
+    assert got.psi == pytest.approx(psi, abs=1e-9)
+
+
+def test_drift_psi_identical_distributions_near_zero(spark):
+    rows = [(v, True) for v in range(10) for _ in range(5)] + [
+        (v, False) for v in range(10) for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["v", "is_a"])
+    got = pf.drift_psi(df, value_column="v", cohort_column="is_a").collect()[0]
+    assert got.psi == pytest.approx(0.0, abs=1e-12)
+    # a hard shift scores big
+    shifted = [(v, True) for v in range(5) for _ in range(10)] + [
+        (v + 100, False) for v in range(5) for _ in range(10)
+    ]
+    df2 = spark.createDataFrame(shifted, ["v", "is_a"])
+    assert pf.drift_psi(df2, value_column="v", cohort_column="is_a").collect()[
+        0
+    ].psi > 1.0
+
+
+def test_drift_psi_binned_matches_binned_python(spark):
+    import math
+    from collections import Counter
+
+    vals = [(i * 0.37 % 7.3, i % 4 == 0) for i in range(200)]
+    df = spark.createDataFrame(vals, ["v", "is_a"])
+    got = pf.drift_psi(
+        df, value_column="v", cohort_column="is_a", bins=16
+    ).collect()[0]
+    lo = min(v for v, _ in vals)
+    hi = max(v for v, _ in vals)
+    ca, cb = Counter(), Counter()
+    for v, a in vals:
+        b = 0 if hi == lo else min(15, int(math.floor((v - lo) * 16 / (hi - lo))))
+        (ca if a else cb)[b] += 1
+    bins = sorted(set(ca) | set(cb))
+    na, nb, B = sum(ca.values()), sum(cb.values()), len(bins)
+    psi = sum(
+        round(
+            ((ca[b] + 1) / (na + B) - (cb[b] + 1) / (nb + B))
+            * round(
+                math.log(((ca[b] + 1) * (nb + B)) / ((cb[b] + 1) * (na + B))), 7
+            ),
+            9,
+        )
+        for b in bins
+    )
+    assert got.n_bins == B and got.psi == pytest.approx(psi, abs=1e-9)
