@@ -881,3 +881,56 @@ def bpe_learn_merges(
         merges or [],
         "merge_rank int, left string, right string, pair_count long",
     )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> DataFrame:
+    """Tokenize with a LEARNED BPE merge list (the apply side of
+    :func:`bpe_learn_merges`): each word becomes its greedy left-to-right
+    BPE segmentation under the ordered merges.
+
+    Implementation is pure JVM string expressions — no Python, no
+    shuffle, embarrassingly parallel map: per word, one
+    ``F.aggregate`` greedy left-to-right fold per merge — the EXACT
+    rewrite the trainer applies to its census, so train→apply
+    segmentations agree by construction. (A delimiter-join +
+    ``replace`` encoding is NOT used deliberately: substring replace can
+    match a symbol *prefix* across the sentinel — ``an␣a`` matching into
+    the next ``an`` — and its non-overlapping scan skips differently
+    from greedy on runs like ``aaaaa``.) Plan depth grows by one
+    codegen'd fold per merge — fine for model-sized merge lists; for
+    thousand-merge vocabularies switch to an Arrow-batched mapInPandas.
+
+    Returns ``(id_column, bpe_tokens array<string>, n_bpe_tokens)``.
+    """
+
+    def _segment(w):
+        sym = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+        for left, right in merges:
+            lcol, rcol, joined = F.lit(left), F.lit(right), F.lit(left + right)
+            sym = F.aggregate(
+                sym,
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lcol)
+                    & (x == rcol),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(joined),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+        return sym
+
+    toks = F.flatten(F.transform(tokens_expr(text_column), _segment))
+    return df.select(
+        F.col(id_column),
+        toks.alias("bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+    )

@@ -2249,6 +2249,25 @@ def unigram_logprob_documents(spark, sf_dir):
     )
 
 
+@query("bpe_tokenize_documents")
+def bpe_tokenize_documents(spark, sf_dir):
+    """End-to-end BPE tokenizer pipeline: TRAIN 20 merges on the corpus
+    (text.bpe_learn_merges, driver-coordinated argmax loop) then APPLY
+    them corpus-wide (text.bpe_apply_merges — per-word greedy folds as
+    pure JVM expressions, zero shuffle in the apply stage). Rows-only for
+    the driver gate (the trainer is iterative, not one SQL query);
+    train/apply are each exact-equality-pinned vs pure-Python references
+    and the roundtrip is pinned by test_bpe_train_then_apply_roundtrip."""
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in tx.bpe_learn_merges(docs, num_merges=20)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return tx.bpe_apply_merges(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 @query("bpe_merges_documents")
 def bpe_merges_documents(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (text.bpe_learn_merges): learn an

@@ -138,3 +138,64 @@ def test_bpe_learn_merges_overlap_and_stop(spark):
 def test_bpe_learn_merges_empty_corpus(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     assert tx.bpe_learn_merges(df, num_merges=5).count() == 0
+
+
+def _py_bpe_apply(text, merges):
+    out = []
+    for w in text.lower().split():
+        sym = list(w)
+        for left, right in merges:
+            nxt = []
+            for x in sym:
+                if nxt and nxt[-1] == left and x == right:
+                    nxt[-1] = left + right
+                else:
+                    nxt.append(x)
+            sym = nxt
+        out.extend(sym)
+    return out
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    merges = [("a", "n"), ("an", "a"), ("b", "ana"), ("t", "h"), ("th", "e")]
+    texts = ["banana bandana the theater", "aaaa anana ban the b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in tx.bpe_apply_merges(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        ref = _py_bpe_apply(t, merges)
+        assert got[i] == (ref, len(ref)), (i, got[i], ref)
+
+
+def test_bpe_train_then_apply_roundtrip(spark):
+    # applying the learned merges reproduces the trainer's end-state
+    # segmentation (checked via the same pure-Python full pipeline)
+    texts = [
+        "banana bandana bananas",
+        "low lower lowest newest newer new",
+        "aaaa aaa abab abab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    learned = [
+        (r.left, r.right)
+        for r in tx.bpe_learn_merges(df, num_merges=12)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in tx.bpe_apply_merges(df, learned).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_bpe_apply(t, learned)
+    # single-char words pass through untouched; trainer ignored them but
+    # apply must still tokenize them
+    df2 = spark.createDataFrame([(0, "a b banana")], ["doc_id", "text"])
+    r = tx.bpe_apply_merges(df2, learned).collect()[0]
+    assert list(r.bpe_tokens)[:2] == ["a", "b"]
