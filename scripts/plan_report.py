@@ -61,6 +61,10 @@ HEADLINE = [
     "weighted_median_price_lineitem",
     "order_price_deciles", "rfm_segments_customers",
     "dv_multilink_lineitem_xxh",
+    # round-4 session-2 additions
+    "q2_style_min_cost_supplier", "q9_style_product_profit",
+    "q11_style_important_parts", "q16_style_supplier_count",
+    "q20_style_excess_suppliers", "psi_drift_binned_event_values",
 ]
 
 

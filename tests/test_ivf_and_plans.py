@@ -251,3 +251,34 @@ def test_ntile_entries_have_no_global_sort_window(spark, sf_dir):
         assert not re.search(
             r"row_number\(\) windowspecdefinition\((?!__bucket)", plan
         ), name
+
+
+def test_q2_style_plan_take_ordered_no_cartesian(spark, sf_dir):
+    """q2's min-equality join is a conjunctive equi-join (partkey AND
+    unit_cost == min_cost) — it must compile to a hash/sort-merge join,
+    never a cartesian/nested-loop over the cost table, and the top-100
+    must be a TakeOrdered, not a global Sort."""
+    plan = _formatted_plan(spark, "q2_style_min_cost_supplier", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_style_plan_has_anti_join(spark, sf_dir):
+    """The complaint-supplier exclusion must stay an anti-join (no
+    collected NOT-IN list) and the distinct count must partial-aggregate."""
+    plan = _formatted_plan(spark, "q16_style_supplier_count", sf_dir)
+    assert "LeftAnti" in plan
+    assert "partial_count(distinct" in plan or "HashAggregate" in plan
+
+
+def test_psi_drift_plan_no_window_no_data_broadcast(spark, sf_dir):
+    """drift_psi is windowless by design (unlike drift_ks's bounded
+    cumulative window): per-bin groupBy + one-row broadcast totals. The
+    plan must contain no Window node and no SF-scaling broadcast (the only
+    broadcast sides are the one-row min/max and totals folds)."""
+    plan = _formatted_plan(spark, "psi_drift_binned_event_values", sf_dir)
+    assert "Window" not in plan
+    # every broadcast in this plan is a one-row aggregate fold
+    import re as _re
+    assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
