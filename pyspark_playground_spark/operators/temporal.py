@@ -676,3 +676,56 @@ def cusum_changepoint(
         folded["mx"].alias("cusum_max_scaled"),
         (folded["mx"].cast("double") / F.col("n_events")).alias("cusum_max"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_column: str,
+    ts_column: str,
+    value_column: str,
+    alpha: float,
+    tiebreak_column: str | None = None,
+    output_column: str = "ewma",
+) -> DataFrame:
+    """Exact per-key exponentially weighted moving average — the
+    ``adjust=False`` recursion ``s_0 = v_0``, ``s_i = α·v_i + (1−α)·s_{i−1}``
+    (pandas ``Series.ewm(adjust=False).mean()`` semantics), evaluated
+    per key in event order.
+
+    A recursion can't be one SQL window (each row depends on the previous
+    OUTPUT, not input), and the closed form ``Σ α(1−α)^{i−j} v_j`` as a
+    window is O(n²) per key — so this runs as an Arrow-batched
+    ``applyInPandas`` per key: sort the group by ``(ts, tiebreak)``, one
+    C-speed ``ewm`` pass, emit every row with its running smoothed value.
+    Per-key sequential evaluation is inherent to the recursion; keys
+    parallelize across the cluster (one shuffle on ``key_column``).
+
+    Cross-engine determinism: with α exactly representable in binary
+    (e.g. 0.125), pandas' ``adjust=False`` kernel, a plain Python float
+    fold, and DuckDB's ``list_reduce((acc,x) -> α*x + (1−α)*acc)``
+    produce BIT-IDENTICAL doubles (same IEEE ops, commutative add only)
+    — verified by test_ewma_bit_equals_python_fold — so the operator is
+    oracle-comparable without rounding tricks. Provide a
+    ``tiebreak_column`` whenever ``ts`` can repeat within a key, or the
+    order (and thus the floats) is not total.
+
+    Returns the input key/ts/tiebreak/value columns plus ``output_column``.
+    """
+    import pandas as pd  # noqa: F401 — imported for the UDF closure
+
+    order = [ts_column] + ([tiebreak_column] if tiebreak_column else [])
+    cols = [key_column, *order, value_column]
+    src = df.select(*cols)
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField(output_column, T.DoubleType())]
+    )
+
+    def _smooth(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        pdf[output_column] = (
+            pdf[value_column].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return src.groupBy(key_column).applyInPandas(_smooth, schema=schema)

@@ -6347,6 +6347,40 @@ def psi_drift_binned_event_values(spark, sf_dir):
 
 
 @query(
+    "ewma_user_values_events",
+    f"""
+    WITH e AS ({EVENTS_N})
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.125 * x + 0.875 * acc) AS ewma_last
+    FROM e GROUP BY user_id
+    """,
+)
+def ewma_user_values_events(spark, sf_dir):
+    """Per-user exact EWMA of event values (operators/temporal.py ewma:
+    Arrow-batched per-key ``adjust=False`` recursion, event_id tiebreak),
+    reduced to the final smoothed value per user via ``max_by`` over
+    (ts, event_id). α = 0.125 is exactly representable in binary, so the
+    Spark pandas kernel and DuckDB's ``list_reduce`` fold produce
+    BIT-IDENTICAL doubles — the oracle compares raw floats, no rounding.
+    One shuffle on user_id for the recursion, one for the final agg."""
+    e = load_events(spark, sf_dir)
+    sm = tp.ewma(
+        e,
+        key_column="user_id",
+        ts_column="ts",
+        value_column="value",
+        alpha=0.125,
+        tiebreak_column="event_id",
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("max_by(ewma, struct(ts, event_id))").alias("ewma_last"),
+    )
+
+
+@query(
     "seasonal_residuals_hourly_events",
     f"""
     WITH e AS ({EVENTS_N}), h AS (

@@ -359,3 +359,58 @@ def test_gap_fill_linear_interpolates(spark):
     }
     assert out[0] == 10.0 and out[3] == 40.0 and out[4] == 0.0
     assert out[1] == 20.0 and out[2] == 30.0  # exact linear steps
+
+
+def test_ewma_bit_equals_python_fold(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in ["a", "b", "c"]:
+        for i in range(200):
+            rows.append((k, i, float(rng.uniform(-50, 150))))
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    got = {
+        (r.k, r.i): r.ewma
+        for r in tp.ewma(
+            df, key_column="k", ts_column="i", value_column="v", alpha=0.125
+        ).collect()
+    }
+    by_key = {}
+    for k, i, v in rows:
+        by_key.setdefault(k, []).append((i, v))
+    for k, series in by_key.items():
+        acc = None
+        for i, v in sorted(series):
+            acc = v if acc is None else 0.125 * v + 0.875 * acc
+            assert got[(k, i)] == acc, (k, i)  # BIT equality, no approx
+
+
+def test_ewma_tiebreak_makes_order_total(spark):
+    # two rows share a timestamp: the tiebreak column decides, and the
+    # result matches the fold over the (ts, tiebreak)-sorted sequence
+    rows = [("u", 1, 1, 10.0), ("u", 1, 0, 20.0), ("u", 2, 0, 30.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "tb", "v"])
+    out = {
+        (r.ts, r.tb): r.ewma
+        for r in tp.ewma(
+            df,
+            key_column="k",
+            ts_column="ts",
+            value_column="v",
+            alpha=0.5,
+            tiebreak_column="tb",
+        ).collect()
+    }
+    # order: (1,0)=20 -> (1,1)=10 -> (2,0)=30
+    assert out[(1, 0)] == 20.0
+    assert out[(1, 1)] == 0.5 * 10.0 + 0.5 * 20.0
+    assert out[(2, 0)] == 0.5 * 30.0 + 0.5 * out[(1, 1)]
+
+
+def test_ewma_single_row_groups_pass_through(spark):
+    df = spark.createDataFrame([("a", 1, 5.0), ("b", 9, -3.0)], ["k", "i", "v"])
+    out = {r.k: r.ewma for r in tp.ewma(
+        df, key_column="k", ts_column="i", value_column="v", alpha=0.3
+    ).collect()}
+    assert out == {"a": 5.0, "b": -3.0}
