@@ -907,7 +907,24 @@ def bpe_apply_merges(
     thousand-merge vocabularies switch to an Arrow-batched mapInPandas.
 
     Returns ``(id_column, bpe_tokens array<string>, n_bpe_tokens)``.
+    ``bpe_tokens_expr`` exposes the same segmentation as a bare Column
+    for zero-shuffle composition (e.g. the pipeline ``tokenize_bpe``
+    stage adds it with ``withColumn``).
     """
+    toks = bpe_tokens_expr(merges, text_column)
+    return df.select(
+        F.col(id_column),
+        toks.alias("bpe_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+    )
+
+
+def bpe_tokens_expr(
+    merges: list[tuple[str, str]], text_column: str | Column = "text"
+) -> Column:
+    """The :func:`bpe_apply_merges` segmentation as a pure Column: greedy
+    left-to-right fold per merge inside a per-word ``transform`` —
+    map-only, composable into any projection."""
 
     def _segment(w):
         sym = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
@@ -928,9 +945,4 @@ def bpe_apply_merges(
             )
         return sym
 
-    toks = F.flatten(F.transform(tokens_expr(text_column), _segment))
-    return df.select(
-        F.col(id_column),
-        toks.alias("bpe_tokens"),
-        F.size(toks).alias("n_bpe_tokens"),
-    )
+    return F.flatten(F.transform(tokens_expr(text_column), _segment))

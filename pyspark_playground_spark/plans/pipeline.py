@@ -228,7 +228,23 @@ def _stage_temperature_rebalance(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _stage_tokenize_bpe(df: DataFrame, spec: dict) -> DataFrame:
+    """Terminal shaping stage: segment each document with a FIXED BPE
+    merge list (text.bpe_apply_merges — per-word greedy folds, pure JVM).
+    ``params.merges`` is the ordered ``[[left, right], ...]`` list, e.g.
+    the output of ``text.bpe_learn_merges`` from a training run. Added as
+    two ``withColumn`` projections (``bpe_tokens``/``n_bpe_tokens``) via
+    ``text.bpe_tokens_expr`` — zero shuffle, all other columns kept."""
+    p = dict(spec.get("params", {}))
+    merges = [tuple(m) for m in p["merges"]]
+    toks = _tx.bpe_tokens_expr(merges, p.get("text_column", "text"))
+    return df.withColumn("bpe_tokens", toks).withColumn(
+        "n_bpe_tokens", F.size(F.col("bpe_tokens"))
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "tokenize_bpe": _stage_tokenize_bpe,
     "c4_filter": _stage_c4_filter,
     "filter": _stage_filter,
     "quality_score": _stage_quality_score,

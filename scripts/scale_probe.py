@@ -320,6 +320,92 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("distributed_rank", n_docs, drank)
 
+    # 15. q2 shape: double agg on (part,supp) + min-equality join back —
+    #     three co-partitioned shuffles on l_partkey, replicated lineitem
+    part = Q.load(spark, SF_DIR, "part")
+
+    def q2_shape():
+        p = part.filter(
+            (F.col("p_type") == "LARGE") & (F.col("p_size") <= 5)
+        ).select("p_partkey")
+        unit = F.col("l_extendedprice").cast("double") / F.col(
+            "l_quantity"
+        ).cast("double")
+        cost = (
+            li.join(p, li.l_partkey == F.col("p_partkey"))
+            .groupBy("p_partkey", "l_suppkey")
+            .agg(F.min(unit).alias("unit_cost"))
+        )
+        best = cost.groupBy("p_partkey").agg(F.min("unit_cost").alias("mc"))
+        cost.join(
+            best.withColumnRenamed("p_partkey", "bp"),
+            (F.col("p_partkey") == F.col("bp"))
+            & (F.col("unit_cost") == F.col("mc")),
+        ).write.format("noop").mode("overwrite").save()
+    timed("q2_min_cost_shape", n_li, q2_shape)
+
+    # 16. q16 shape: derived-set anti-join + per-group distinct count
+    def q16_shape():
+        p = part.filter(F.col("p_size").isin(1, 5, 10, 15, 20, 25)).select(
+            "p_partkey", "p_brand", "p_type", "p_size"
+        )
+        excluded = (
+            li.filter(
+                (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 49.0)
+            )
+            .select("l_suppkey")
+            .distinct()
+        )
+        (
+            li.join(p, li.l_partkey == F.col("p_partkey"))
+            .join(excluded, "l_suppkey", "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("n"))
+            .write.format("noop").mode("overwrite").save()
+        )
+    timed("q16_anti_distinct_shape", n_li, q16_shape)
+
+    # 17-18. replicated events (FACTOR× users — per-key work constant,
+    #        group count scales: the right axis for per-key recursions)
+    from pyspark_playground_spark.operators import temporal as tp
+
+    ev_rep = events.crossJoin(reps_frame(spark)).select(
+        (F.col("user_id") + F.col("__rep") * F.lit(10_000_000)).alias(
+            "user_id"
+        ),
+        "ts",
+        "event_type",
+        "value",
+        (F.col("event_id") + F.col("__rep") * F.lit(1_000_000_000)).alias(
+            "event_id"
+        ),
+    )
+    n_evr = n_ev * FACTOR
+
+    def psi_probe():
+        pf.drift_psi(
+            ev_rep,
+            value_column="value",
+            cohort_column=F.col("event_type") == "purchase",
+            bins=64,
+        ).write.format("noop").mode("overwrite").save()
+    timed("psi_drift_binned", n_evr, psi_probe)
+
+    def ewma_probe():
+        tp.ewma(
+            ev_rep,
+            key_column="user_id",
+            ts_column="ts",
+            value_column="value",
+            alpha=0.125,
+            tiebreak_column="event_id",
+        ).write.format("noop").mode("overwrite").save()
+    timed("ewma_per_key", n_evr, ewma_probe)
+
+
+def reps_frame(spark):
+    return spark.range(FACTOR).select(F.col("id").alias("__rep"))
+
 
 if __name__ == "__main__":
     main()

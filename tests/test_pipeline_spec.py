@@ -170,3 +170,33 @@ stages:
 """
     reb = pl.run_pipeline(docs, spec3)
     assert 0 < reb.count() <= docs.count()
+
+
+def test_tokenize_bpe_stage_adds_tokens_zero_shuffle(spark):
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "banana band", "web"), (2, "ana ban", "web")],
+        ["doc_id", "text", "source"],
+    )
+    spec = {
+        "stages": [
+            {
+                "op": "tokenize_bpe",
+                "params": {"merges": [["a", "n"], ["an", "a"]]},
+            }
+        ]
+    }
+    out = run_pipeline(df, spec)
+    rows = {r.doc_id: r for r in out.collect()}
+    # all original columns survive
+    assert rows[1].source == "web"
+    # banana: (a,n) -> b,an,an,a ; (an,a) -> b,an,ana (greedy: the first
+    # 'an' already has 'an' after it, only the second merges with 'a')
+    assert list(rows[1].bpe_tokens) == ["b", "an", "ana", "b", "an", "d"]
+    # ana -> an,a -> ana ; ban -> b,an
+    assert list(rows[2].bpe_tokens) == ["ana", "b", "an"]
+    assert rows[2].n_bpe_tokens == 3
+    # zero shuffle: the stage is a pure projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
