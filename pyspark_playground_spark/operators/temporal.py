@@ -729,3 +729,67 @@ def ewma(
         return pdf
 
     return src.groupBy(key_column).applyInPandas(_smooth, schema=schema)
+
+
+def holt_smoothing(
+    df: DataFrame,
+    *,
+    key_column: str,
+    ts_column: str,
+    value_column: str,
+    alpha: float,
+    beta: float,
+    tiebreak_column: str | None = None,
+    level_column: str = "level",
+    trend_column: str = "trend",
+) -> DataFrame:
+    """Exact per-key Holt double exponential smoothing (level + trend):
+
+    ``l_0 = v_0, b_0 = 0``;
+    ``l_i = α·v_i + (1−α)(l_{i−1} + b_{i−1})``;
+    ``b_i = β(l_i − l_{i−1}) + (1−β)·b_{i−1}``.
+
+    Same execution shape as :func:`ewma` (Arrow-batched ``applyInPandas``
+    per key, one shuffle), but the coupled recursion has no pandas C
+    kernel, so the group loop is plain Python floats — which is also the
+    determinism contract: with binary-representable α/β the fold is
+    IEEE-reproducible, and DuckDB's ``list_reduce`` over a LIST-encoded
+    ``[level, trend]`` accumulator replays the identical op sequence
+    bit-for-bit. (A STRUCT accumulator is deliberately NOT used: DuckDB's
+    ``struct_pack`` inside a reduce lambda rebinds ``acc.<field>`` to the
+    freshly computed field sequentially, silently changing the recursion
+    — discovered by probing; the list encoding has no such quirk.)
+
+    Forecast h steps ahead = ``level + h·trend``. Returns the input
+    columns plus ``level_column``/``trend_column`` per row.
+    """
+    order = [ts_column] + ([tiebreak_column] if tiebreak_column else [])
+    cols = [key_column, *order, value_column]
+    src = df.select(*cols)
+    schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField(level_column, T.DoubleType()),
+            T.StructField(trend_column, T.DoubleType()),
+        ]
+    )
+
+    def _smooth(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        levels, trends = [], []
+        l = b = 0.0
+        for i, v in enumerate(pdf[value_column]):
+            v = float(v)
+            if i == 0:
+                l, b = v, 0.0
+            else:
+                ln = alpha * v + (1 - alpha) * (l + b)
+                b = beta * (ln - l) + (1 - beta) * b
+                l = ln
+            levels.append(l)
+            trends.append(b)
+        pdf[level_column] = levels
+        pdf[trend_column] = trends
+        return pdf
+
+    return src.groupBy(key_column).applyInPandas(_smooth, schema=schema)

@@ -6381,6 +6381,52 @@ def ewma_user_values_events(spark, sf_dir):
 
 
 @query(
+    "holt_user_values_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    f AS (
+      SELECT user_id, count(*) AS n_events,
+             list_reduce(
+               list([CAST(value AS DOUBLE), CAST(0 AS DOUBLE)]
+                    ORDER BY ts, event_id),
+               (acc, x) -> [
+                 CAST(0.25 AS DOUBLE) * x[1]
+                   + CAST(0.75 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.125 AS DOUBLE)
+                   * ((CAST(0.25 AS DOUBLE) * x[1]
+                       + CAST(0.75 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                   + CAST(0.875 AS DOUBLE) * acc[2]]) AS s
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, n_events, s[1] AS level_last, s[2] AS trend_last FROM f
+    """,
+)
+def holt_user_values_events(spark, sf_dir):
+    """Per-user Holt level+trend smoothing (operators/temporal.py
+    holt_smoothing), reduced to the final (level, trend) per user. α=0.25
+    / β=0.125 are binary-exact, so the Python fold and DuckDB's
+    list_reduce over a LIST-encoded [level, trend] accumulator are
+    BIT-IDENTICAL (struct accumulators are avoided — DuckDB's
+    struct_pack-in-lambda rebinds acc fields mid-row; see the operator
+    docstring). Raw-float compare, no rounding."""
+    e = load_events(spark, sf_dir)
+    sm = tp.holt_smoothing(
+        e,
+        key_column="user_id",
+        ts_column="ts",
+        value_column="value",
+        alpha=0.25,
+        beta=0.125,
+        tiebreak_column="event_id",
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("max_by(level, struct(ts, event_id))").alias("level_last"),
+        F.expr("max_by(trend, struct(ts, event_id))").alias("trend_last"),
+    )
+
+
+@query(
     "seasonal_residuals_hourly_events",
     f"""
     WITH e AS ({EVENTS_N}), h AS (

@@ -414,3 +414,54 @@ def test_ewma_single_row_groups_pass_through(spark):
         df, key_column="k", ts_column="i", value_column="v", alpha=0.3
     ).collect()}
     assert out == {"a": 5.0, "b": -3.0}
+
+
+def test_holt_bit_equals_python_fold(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for k in ["a", "b"]:
+        for i in range(250):
+            rows.append((k, i, float(rng.uniform(-10, 90))))
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    got = {
+        (r.k, r.i): (r.level, r.trend)
+        for r in tp.holt_smoothing(
+            df,
+            key_column="k",
+            ts_column="i",
+            value_column="v",
+            alpha=0.25,
+            beta=0.125,
+        ).collect()
+    }
+    by_key = {}
+    for k, i, v in rows:
+        by_key.setdefault(k, []).append((i, v))
+    for k, series in by_key.items():
+        l = b = 0.0
+        for j, (i, v) in enumerate(sorted(series)):
+            if j == 0:
+                l, b = v, 0.0
+            else:
+                ln = 0.25 * v + 0.75 * (l + b)
+                b = 0.125 * (ln - l) + 0.875 * b
+                l = ln
+            assert got[(k, i)] == (l, b), (k, i)  # BIT equality
+
+
+def test_holt_trend_tracks_linear_series(spark):
+    # a perfectly linear series converges toward trend == slope
+    rows = [("k", i, 10.0 + 3.0 * i) for i in range(120)]
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    last = (
+        tp.holt_smoothing(
+            df, key_column="k", ts_column="i", value_column="v",
+            alpha=0.5, beta=0.5,
+        )
+        .orderBy("i")
+        .collect()[-1]
+    )
+    assert abs(last.trend - 3.0) < 1e-6
+    assert abs(last.level - (10.0 + 3.0 * 119)) < 1e-4
