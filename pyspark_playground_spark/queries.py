@@ -6347,6 +6347,58 @@ def psi_drift_binned_event_values(spark, sf_dir):
 
 
 @query(
+    "cvm_drift_doc_lengths",
+    """
+    WITH t AS (
+      SELECT n_chars, (length(source) = 4) AS is_a FROM documents
+    ), n AS (
+      SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+      FROM t
+    ), g AS (
+      SELECT n_chars,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca_v,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb_v
+      FROM t GROUP BY n_chars
+    ), c AS (
+      SELECT ca_v + cb_v AS m,
+             sum(ca_v) OVER (ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(cb_v) OVER (ORDER BY n_chars
+                             ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    )
+    SELECT CAST(sum(CAST(round(
+             CAST(m AS DOUBLE)
+             * (CAST(ca * n.nb - cb * n.na AS DOUBLE)
+                / CAST(n.na * n.nb AS DOUBLE))
+             * (CAST(ca * n.nb - cb * n.na AS DOUBLE)
+                / CAST(n.na * n.nb AS DOUBLE)),
+             12) AS DECIMAL(38,14))) AS DOUBLE) AS cvm_sum,
+           CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b
+    FROM c CROSS JOIN n
+    GROUP BY n.na, n.nb
+    """,
+)
+def cvm_drift_doc_lengths(spark, sf_dir):
+    """Cramér–von Mises drift between the two source cohorts' length
+    distributions (operators/profiling.py drift_cvm) — the KS entry's
+    integral companion: mass-weighted SUM of squared CDF gaps instead of
+    the single worst gap, so many small shifts register. Exact-integer
+    gap numerators over one IEEE division; per-value terms rounded to 12
+    decimals and summed in exact DECIMAL (order-independent). Same
+    bounded-cardinality plan as drift_ks."""
+    from pyspark_playground_spark.operators.profiling import drift_cvm
+
+    docs = load(spark, sf_dir, "documents")
+    return drift_cvm(
+        docs,
+        value_column="n_chars",
+        cohort_column=F.length(F.col("source")) == 4,
+    )
+
+
+@query(
     "ewma_user_values_events",
     f"""
     WITH e AS ({EVENTS_N})

@@ -263,3 +263,49 @@ def test_drift_psi_binned_matches_binned_python(spark):
         for b in bins
     )
     assert got.n_bins == B and got.psi == pytest.approx(psi, abs=1e-9)
+
+
+def test_drift_cvm_matches_python_reference(spark):
+    from collections import Counter
+
+    rows = [(v, v % 3 == 0) for v in [1, 1, 2, 2, 2, 3, 3, 6, 6, 9, 12, 12, 15]]
+    df = spark.createDataFrame(rows, ["v", "is_a"])
+    got = pf.drift_cvm(df, value_column="v", cohort_column="is_a").collect()[0]
+
+    ca, cb = Counter(), Counter()
+    for v, a in rows:
+        (ca if a else cb)[v] += 1
+    vals = sorted(set(ca) | set(cb))
+    na, nb = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = 0
+    s = 0.0
+    for v in vals:
+        cum_a += ca[v]
+        cum_b += cb[v]
+        m = ca[v] + cb[v]
+        gap = (cum_a * nb - cum_b * na) / (na * nb)
+        s += round(m * gap * gap, 12)
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert got.cvm_sum == pytest.approx(s, abs=1e-12)
+    # identical distributions -> last gap is 0 and shifted cohorts score big
+    same = [(v, True) for v in range(8)] + [(v, False) for v in range(8)]
+    z = pf.drift_cvm(
+        spark.createDataFrame(same, ["v", "is_a"]),
+        value_column="v",
+        cohort_column="is_a",
+    ).collect()[0]
+    assert z.cvm_sum == pytest.approx(0.0, abs=1e-12)
+
+
+def test_drift_cvm_interleaved_hand_example(spark):
+    # a = 0,1,..,99 ; b = 0.5,1.5,..,99.5 — after each a-value the CDF
+    # gap is exactly 1/100, after each b-value it closes to 0, so
+    # sum m*gap^2 = 100 * (0.01)^2 = 0.01 exactly (every term rounds
+    # clean at 12 decimals), while KS sees the same 0.01 as its max
+    a = [(float(i), True) for i in range(100)]
+    b = [(float(i) + 0.5, False) for i in range(100)]
+    df = spark.createDataFrame(a + b, ["v", "is_a"])
+    cvm = pf.drift_cvm(df, value_column="v", cohort_column="is_a").collect()[0]
+    ks = pf.drift_ks(df, value_column="v", cohort_column="is_a").collect()[0]
+    assert ks.ks_numerator / (ks.n_a * ks.n_b) == pytest.approx(0.01)
+    assert cvm.cvm_sum == pytest.approx(0.01, abs=1e-12)
