@@ -770,6 +770,38 @@ def ngram_jaccard_pairs_documents(spark, sf_dir):
 
 
 @query(
+    "prefix_jaccard_pairs_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+          >= 0.2
+    """,
+)
+def prefix_jaccard_pairs_documents(spark, sf_dir):
+    """EXACT corpus-wide Jaccard similarity join via AllPairs prefix
+    filtering (dedup.prefix_filter_jaccard_join, Bayardo et al. WWW'07):
+    rare-first canonical order -> prefix equi-join -> length filter ->
+    candidates-only verify. Unlike the blocked all-pairs entry this scans
+    the WHOLE corpus with exact recall, and unlike MinHash-LSH it can't
+    miss a qualifying pair; the oracle is the brute-force quadratic join
+    (feasible at oracle scale, which is exactly why the prefix-filter
+    plan exists for the real one). Equivalence to brute force across
+    thresholds is also test-pinned."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.prefix_filter_jaccard_join(docs, threshold=0.2)
+
+
+@query(
     "minhash_lsh_dedup_documents",
     f"""
     WITH d AS (

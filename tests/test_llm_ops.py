@@ -699,3 +699,58 @@ def test_bloom_contamination_broadcast_path_matches_literal(spark, sf_dir):
         ).collect()
     )
     assert bc_path == lit_path and len(lit_path) > 0
+
+
+def test_prefix_filter_jaccard_exact_recall_vs_brute_force(spark):
+    """AllPairs prefix filtering must return EXACTLY the brute-force
+    all-pairs result — same pairs, same jaccard values — at several
+    thresholds (including non-binary 0.2/0.3 where float ceil edges
+    live)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 18))]
+        docs.append((i, " ".join(words)))
+    # seed near-dups (small mutation) and exact dups (so high thresholds
+    # still produce pairs)
+    for j in range(8):
+        base = docs[j][1].split()
+        k = rng.randrange(len(base))
+        base[k] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(base)))
+    for j in range(3):
+        docs.append((200 + j, docs[10 + j][1]))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    for t in (0.2, 0.3, 0.5, 0.75):
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(
+                df.withColumn("blk", F.lit(1)), within="blk", threshold=t
+            ).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.prefix_filter_jaccard_join(df, threshold=t).collect()
+        }
+        assert fast == brute, (t, set(brute) ^ set(fast))
+        assert brute, t  # the corpus genuinely produces pairs
+
+
+def test_prefix_filter_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical -> J = 1.0
+            (3, "zeta eta theta iota kappa"),       # disjoint from 1/2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.prefix_filter_jaccard_join(df, threshold=0.5).collect()
+    }
+    assert out == {(1, 2): 1.0}
