@@ -1096,15 +1096,21 @@ def prefix_filter_jaccard_join(
     3. **Length filter** — ``t·sa ≤ sb ≤ sa/t`` on candidates (a pair
        violating it cannot reach the overlap bound), applied before the
        verify join.
-    4. **Exact verify** — Jaccard via array_intersect/union on candidate
+    4. **Positional filter** (the PPJoin upgrade, Xiao et al. WWW'08) —
+       a matched prefix token at (1-indexed) positions ``(i, j)`` bounds
+       the overlap by ``1 + min(sa−i, sb−j)``; the FIRST common token of
+       a qualifying pair must satisfy ``bound ≥ t·(sa+sb)/(1+t)``, so
+       dropping occurrences that fail it keeps every qualifying pair
+       (non-first occurrences that sneak past the bound merely add
+       candidates). The comparison carries a 1e-9 slack so float edges
+       only ever ADMIT extras — exactness rests on the verify, never on
+       the filter arithmetic.
+    5. **Exact verify** — Jaccard via array_intersect/union on candidate
        pairs only.
 
     Shuffle census: one token-census groupBy, one per-doc re-sort
     groupBy, the prefix equi-join (bounded by rare-first collisions),
-    and a candidates-only verify join. The PPJoin positional and suffix
-    filters (Xiao et al.) are the known upgrades if prefix collisions
-    ever dominate; the structure here accommodates them (positions are
-    already materialized).
+    and a candidates-only verify join.
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
@@ -1131,13 +1137,32 @@ def prefix_filter_jaccard_join(
     pre = ordered.select(
         F.col("__id"),
         s.alias("__s"),
-        F.explode(F.slice("__sorted", F.lit(1), p)).alias("__tok"),
+        F.posexplode(F.slice("__sorted", F.lit(1), p)).alias("__pos", "__tok"),
     )
     a = pre.select(
-        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"), "__tok"
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__pos").alias("__pa"),
+        "__tok",
     )
     b = pre.select(
-        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"), "__tok"
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__pos").alias("__pb"),
+        "__tok",
+    )
+    # positional overlap upper bound at this matched token (__pos is
+    # 0-indexed, so remaining-after = s - pos - 1)
+    ubound = (
+        F.lit(1)
+        + F.least(
+            F.col("__sa") - F.col("__pa") - 1, F.col("__sb") - F.col("__pb") - 1
+        )
+    ).cast("double")
+    alpha = (
+        F.lit(threshold)
+        * (F.col("__sa") + F.col("__sb")).cast("double")
+        / F.lit(1.0 + threshold)
     )
     cand = (
         a.join(b, "__tok")
@@ -1146,6 +1171,7 @@ def prefix_filter_jaccard_join(
             (F.col("__sb") >= F.lit(threshold) * F.col("__sa"))
             & (F.col("__sa") >= F.lit(threshold) * F.col("__sb"))
         )
+        .filter(ubound >= alpha - F.lit(1e-9))
         .select("id_a", "id_b")
         .distinct()
     )

@@ -402,6 +402,16 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("ewma_per_key", n_evr, ewma_probe)
 
+    # 19. exact prefix-filtered Jaccard join over the replicated corpus —
+    #     the scale question is prefix-collision candidate growth (the
+    #     synthesized docs are near-dups of each other across reps, a
+    #     deliberately adversarial candidate load)
+    def prefix_jaccard():
+        dd.prefix_filter_jaccard_join(docs, threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("prefix_jaccard_join", n_docs, prefix_jaccard)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
