@@ -612,3 +612,52 @@ def drift_cvm(
             F.col("__nb").cast("long").alias("n_b"),
         )
     )
+
+def exact_order_statistics(
+    df: DataFrame,
+    *,
+    value_column: str,
+    quantiles: Sequence[float],
+    id_column: str,
+    rank_buckets: int = 64,
+) -> DataFrame:
+    """EXACT lower (type-1) order statistics at arbitrary quantiles
+    WITHOUT a global sort and without any node holding the column in
+    memory — the 100 TB companion to ``percentile()``/``quantile_disc``
+    (both of which buffer every group value in one aggregation state).
+
+    Plan: :func:`packing.distributed_rank` assigns every row its exact
+    0-based global rank by ``(value, id)`` (range-bucket + intra-bucket
+    window + prefix-sum — no single-task stage); the one-row max-rank
+    rides a broadcast cross join; each requested quantile selects the
+    row with ``rank == floor(q · max_rank)``; a final ≤len(quantiles)-row
+    aggregation pivots them into one row. The quantile→rank float product
+    is mirrored verbatim by the oracle, so both engines select the same
+    rank by construction.
+
+    Returns one row: ``(n_rows, q_<label> ...)`` where label is the
+    quantile with ``.`` replaced by ``_`` (0.5 → ``q_0_5``, 0.99 →
+    ``q_0_99``) — collision-free across the full [0, 1] range.
+    """
+    from pyspark_playground_spark.operators.packing import distributed_rank
+
+    src = df.select(
+        F.col(value_column).alias("__v"), F.col(id_column).alias("__id")
+    ).filter(F.col("__v").isNotNull())
+    ranked = distributed_rank(
+        src, order_column="__v", id_column="__id", buckets=rank_buckets
+    )
+    mx = ranked.agg(
+        F.max("rank").alias("__mx"), F.count(F.lit(1)).alias("__n")
+    )
+    with_mx = ranked.crossJoin(F.broadcast(mx))
+    aggs = [F.max("__n").alias("n_rows")]
+    for q in quantiles:
+        label = "q_" + str(float(q)).replace(".", "_")
+        target = F.floor(F.lit(float(q)) * F.col("__mx").cast("double")).cast(
+            "long"
+        )
+        aggs.append(
+            F.max(F.when(F.col("rank") == target, F.col("__v"))).alias(label)
+        )
+    return with_mx.agg(*aggs)

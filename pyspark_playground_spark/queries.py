@@ -6379,6 +6379,48 @@ def psi_drift_binned_event_values(spark, sf_dir):
 
 
 @query(
+    "exact_order_stats_orders",
+    """
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rk
+      FROM orders
+    ), n AS (SELECT max(rk) AS mx, count(*) AS cnt FROM r)
+    SELECT max(cnt) AS n_rows,
+           max(CASE WHEN rk = CAST(floor(0.25 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_25,
+           max(CASE WHEN rk = CAST(floor(0.5 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_5,
+           max(CASE WHEN rk = CAST(floor(0.9 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_9,
+           max(CASE WHEN rk = CAST(floor(0.99 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_99
+    FROM r CROSS JOIN n
+    """,
+)
+def exact_order_stats_orders(spark, sf_dir):
+    """EXACT order-price quantiles via distributed rank selection
+    (operators/profiling.py exact_order_statistics): distributed_rank
+    range-buckets + intra-bucket windows + prefix sums give every row its
+    exact global rank with no single-task sort and no node buffering the
+    column (the scale gap in percentile()/quantile_disc, which hold all
+    group values in one agg state). Lower (type-1) statistics at rank
+    floor(q·(n−1)), tie-broken by o_orderkey; the oracle replays the
+    identical rank selection so conventions can't diverge."""
+    from pyspark_playground_spark.operators.profiling import (
+        exact_order_statistics,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return exact_order_statistics(
+        o,
+        value_column="o_totalprice",
+        quantiles=[0.25, 0.5, 0.9, 0.99],
+        id_column="o_orderkey",
+    )
+
+
+@query(
     "cvm_drift_doc_lengths",
     """
     WITH t AS (

@@ -309,3 +309,33 @@ def test_drift_cvm_interleaved_hand_example(spark):
     ks = pf.drift_ks(df, value_column="v", cohort_column="is_a").collect()[0]
     assert ks.ks_numerator / (ks.n_a * ks.n_b) == pytest.approx(0.01)
     assert cvm.cvm_sum == pytest.approx(0.01, abs=1e-12)
+
+
+def test_exact_order_statistics_matches_sorted_selection(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, float(rng.uniform(0, 1000))) for i in range(777)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = pf.exact_order_statistics(
+        df, value_column="v", quantiles=[0.0, 0.25, 0.5, 0.9, 0.99, 1.0],
+        id_column="id",
+    ).collect()[0]
+    ordered = [v for v, _ in sorted((v, i) for i, v in rows)]
+    n = len(ordered)
+    assert got.n_rows == n
+    import math
+
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        label = "q_" + str(float(q)).replace(".", "_")
+        assert got[label] == ordered[math.floor(q * (n - 1))], q
+
+
+def test_exact_order_statistics_ties_and_small(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 1.0)], ["id", "v"]
+    )
+    got = pf.exact_order_statistics(
+        df, value_column="v", quantiles=[0.5], id_column="id"
+    ).collect()[0]
+    assert got.n_rows == 4 and got.q_0_5 == 5.0  # rank floor(0.5*3)=1 -> 5.0
