@@ -6379,6 +6379,67 @@ def psi_drift_binned_event_values(spark, sf_dir):
 
 
 @query(
+    "windowed_psi_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    b AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE greatest(0, least(15,
+                         CAST(floor((e.value - mm.lo) * 16
+                                    / (mm.hi - mm.lo)) AS INT)))
+             END AS bin
+      FROM e CROSS JOIN mm
+    ), g AS (SELECT ws, bin, count(*) AS n FROM b GROUP BY ws, bin),
+    wins AS (SELECT DISTINCT ws FROM g),
+    u AS (SELECT ws, r.range AS bin FROM wins CROSS JOIN range(0, 16) r),
+    obs AS (
+      SELECT u.ws, u.bin, coalesce(g.n, 0) AS n
+      FROM u LEFT JOIN g ON g.ws = u.ws AND g.bin = u.bin
+    ),
+    wtot AS (SELECT ws, sum(n) AS nw FROM obs GROUP BY ws),
+    bg AS (SELECT bin, count(*) AS bn FROM b GROUP BY bin),
+    bu AS (
+      SELECT r.range AS bin, coalesce(bg.bn, 0) AS bn
+      FROM range(0, 16) r LEFT JOIN bg ON bg.bin = r.range
+    ),
+    bt AS (SELECT sum(bn) AS nb FROM bu)
+    SELECT obs.ws AS window_start,
+           obs.ws + INTERVAL 1 HOUR AS window_end,
+           CAST(wtot.nw AS BIGINT) AS n_window,
+           CAST(sum(CAST(round(
+             ((CAST(obs.n + 1 AS DOUBLE) / CAST(wtot.nw + 16 AS DOUBLE))
+              - (CAST(bu.bn + 1 AS DOUBLE) / CAST(bt.nb + 16 AS DOUBLE)))
+             * round(ln(CAST((obs.n + 1) * (bt.nb + 16) AS DOUBLE)
+                        / CAST((bu.bn + 1) * (wtot.nw + 16) AS DOUBLE)), 7),
+             9) AS DECIMAL(28,10))) AS DOUBLE) AS psi
+    FROM obs
+    JOIN wtot ON wtot.ws = obs.ws
+    JOIN bu ON bu.bin = obs.bin
+    CROSS JOIN bt
+    GROUP BY obs.ws, wtot.nw
+    """,
+)
+def windowed_psi_events(spark, sf_dir):
+    """Continuous drift monitor, batch twin (streaming/cdc.py
+    windowed_value_bins -> psi_vs_baseline): per-hour PSI of event values
+    against the whole corpus baseline over a FIXED 16-bin universe. The
+    partials stage is the streaming-legal single windowed agg (stream ==
+    batch pinned by test_windowed_value_bins_stream_equals_batch...); the
+    finish is bounded by windows x bins. Same rounded-ln + exact-DECIMAL
+    recipe as drift_psi, with Laplace over the full fixed universe so
+    windows stay comparable."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_value_bins(e, bounds=bounds, bins=16)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    return stc.psi_vs_baseline(parts, baseline, bins=16)
+
+
+@query(
     "exact_order_stats_orders",
     """
     WITH r AS (

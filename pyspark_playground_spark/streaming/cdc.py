@@ -629,3 +629,143 @@ def concurrency_stream_loader(
         spark.catalog.refreshTable(summary_table)
 
     return loader
+
+
+def windowed_value_bins(
+    events: DataFrame,
+    *,
+    bounds: DataFrame,
+    ts_column: str = "ts",
+    value_column: str = "value",
+    bins: int = 16,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-time-window equal-width bin counts of a value column — the
+    STREAMING-LEGAL half of a continuous drift monitor: one windowed
+    aggregation (mergeable counts, bounded state under a watermark), no
+    chained aggs, so it runs identically on a stream or its batch twin.
+    Feed the materialized output to :func:`psi_vs_baseline` to finish.
+
+    ``bounds`` is a ONE-ROW static frame ``(lo, hi)`` fixing the bin
+    edges (drift monitoring needs a FIXED binning — a per-batch min/max
+    would silently re-bin every window); it joins in as a broadcast
+    stream-static cross join. Values outside [lo, hi] clamp into the
+    edge bins. The bin expression is drift_psi/drift_ks's deterministic
+    ``floor((v−lo)·bins/(hi−lo))``.
+
+    Returns ``(window_start, window_end, bin, n)``.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    binned = df.join(F.broadcast(bounds)).select(
+        F.col(ts_column).alias("__ts"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col(value_column) - F.col("lo"))
+                        * bins
+                        / (F.col("hi") - F.col("lo"))
+                    ).cast("int"),
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy(
+            F.window(F.col("__ts"), window_duration).alias("win"), "bin"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )
+
+
+def psi_vs_baseline(
+    bin_counts: DataFrame,
+    baseline_bins: DataFrame,
+    *,
+    bins: int,
+    ln_decimals: int = 7,
+) -> DataFrame:
+    """Finish a continuous drift monitor: per-window PSI of the observed
+    bin counts against a static baseline's bin counts — batch finishing
+    over :func:`windowed_value_bins` partials (Structured Streaming
+    forbids the chained aggregation, so the stream materializes counts
+    and this runs on the sink table; the batch twin composes directly).
+
+    Unlike ``profiling.drift_psi`` (Laplace over OBSERVED bins), the
+    smoothing universe here is the FULL fixed ``[0, bins)`` range — a
+    window missing a bin must still compare against the baseline's mass
+    there, and a fixed universe keeps windows comparable to each other.
+    Same cross-engine recipe: per-bin ln of an exact-integer ratio
+    rounded to ``ln_decimals``, terms rounded and summed in exact
+    DECIMAL. Everything after the partials is bounded by windows × bins.
+
+    Returns ``(window_start, window_end, n_window, psi)``.
+    """
+    wins = bin_counts.select("window_start", "window_end").distinct()
+    universe = wins.select(
+        "window_start",
+        "window_end",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+    )
+    obs = (
+        universe.join(bin_counts, ["window_start", "window_end", "bin"], "left")
+        .select(
+            "window_start",
+            "window_end",
+            "bin",
+            F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
+        )
+    )
+    wtot = obs.groupBy("window_start", "window_end").agg(
+        F.sum("__n").alias("__nw")
+    )
+    base = baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
+    base_universe = (
+        wins.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+        )
+        .distinct()
+        .join(base, "bin", "left")
+        .select("bin", F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"))
+    )
+    btot = base_universe.agg(F.sum("__bn").alias("__nb"))
+    j = (
+        obs.join(F.broadcast(wtot), ["window_start", "window_end"])
+        .join(F.broadcast(base_universe), "bin")
+        .crossJoin(F.broadcast(btot))
+    )
+    pa = (F.col("__n") + 1).cast("double") / (F.col("__nw") + bins).cast(
+        "double"
+    )
+    pb = (F.col("__bn") + 1).cast("double") / (F.col("__nb") + bins).cast(
+        "double"
+    )
+    ratio = ((F.col("__n") + 1) * (F.col("__nb") + bins)).cast("double") / (
+        (F.col("__bn") + 1) * (F.col("__nw") + bins)
+    ).cast("double")
+    term = F.round(
+        (pa - pb) * F.round(F.log(ratio), ln_decimals), 9
+    ).cast("decimal(28,10)")
+    return (
+        j.groupBy("window_start", "window_end", "__nw")
+        .agg(F.sum(term).alias("__psi"))
+        .select(
+            "window_start",
+            "window_end",
+            F.col("__nw").cast("long").alias("n_window"),
+            F.col("__psi").cast("double").alias("psi"),
+        )
+    )

@@ -549,3 +549,86 @@ def test_running_user_totals_tws_matches_legacy(spark, tmpdir):
     got = {r["user_id"]: (r["n_events"], r["total_value"])
            for r in spark.sql("SELECT * FROM running_totals_tws").collect()}
     assert got == {1: (2, 3.0), 2: (1, 5.0)}
+
+
+def test_windowed_value_bins_stream_equals_batch_and_psi_finish(spark, tmpdir):
+    """The continuous drift monitor: the streaming-legal bin partials
+    must agree with the batch twin row-for-row, and psi_vs_baseline over
+    the partials must equal a pure-Python PSI with the fixed-universe
+    Laplace smoothing."""
+    import math
+
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 3.0),
+        (3, datetime(2026, 5, 1, 10, 45), "view", 9.5),
+        (4, datetime(2026, 5, 1, 11, 10), "view", 0.5),
+        (5, datetime(2026, 5, 1, 11, 40), "view", 9.9),
+        (6, datetime(2026, 5, 1, 11, 50), "view", 9.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/drift_events"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    batch = spark.read.parquet(src)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+
+    bins_batch = st.windowed_value_bins(batch, bounds=bounds, bins=4)
+    expected = {
+        (r.window_start, r.bin): r.n for r in bins_batch.collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        st.windowed_value_bins(
+            stream, bounds=bounds, bins=4, watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("drift_bins")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_drift")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.bin): r.n
+        for r in spark.sql("SELECT * FROM drift_bins").collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # finish (bin width 2.5): window 10:00 = {0:1, 1:1, 3:1}
+    # (1.0→0, 3.0→1, 9.5→3), window 11:00 = {0:1, 3:2};
+    # baseline = all 6 values -> {0:2, 1:1, 3:3}
+    baseline = st.windowed_value_bins(batch, bounds=bounds, bins=4).groupBy(
+        "bin"
+    ).agg(F.sum("n").alias("n"))
+    out = {
+        r.window_start: r
+        for r in st.psi_vs_baseline(bins_batch, baseline, bins=4).collect()
+    }
+
+    def py_psi(obs, base, bins):
+        nw, nb = sum(obs.values()), sum(base.values())
+        s = 0.0
+        for b in range(bins):
+            pa = (obs.get(b, 0) + 1) / (nw + bins)
+            pb = (base.get(b, 0) + 1) / (nb + bins)
+            lnr = round(
+                math.log(
+                    ((obs.get(b, 0) + 1) * (nb + bins))
+                    / ((base.get(b, 0) + 1) * (nw + bins))
+                ),
+                7,
+            )
+            s += round((pa - pb) * lnr, 9)
+        return s
+
+    base_counts = {0: 2, 1: 1, 3: 3}
+    w10 = datetime(2026, 5, 1, 10)
+    w11 = datetime(2026, 5, 1, 11)
+    assert out[w10].n_window == 3 and out[w11].n_window == 3
+    assert out[w10].psi == pytest.approx(
+        py_psi({0: 1, 1: 1, 3: 1}, base_counts, 4), abs=1e-9
+    )
+    assert out[w11].psi == pytest.approx(
+        py_psi({0: 1, 3: 2}, base_counts, 4), abs=1e-9
+    )
