@@ -714,6 +714,11 @@ def psi_vs_baseline(
 
     Returns ``(window_start, window_end, n_window, psi)``.
     """
+    # both frames are bounded (windows x bins rows) and feed several
+    # consumers each — persist so a computed-partials input (the batch
+    # twin) isn't re-aggregated per consumer; a sink-table input just
+    # caches a small scan
+    bin_counts = bin_counts.persist()
     wins = bin_counts.select("window_start", "window_end").distinct()
     universe = wins.select(
         "window_start",
@@ -740,6 +745,7 @@ def psi_vs_baseline(
         .distinct()
         .join(base, "bin", "left")
         .select("bin", F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"))
+        .persist()
     )
     btot = base_universe.agg(F.sum("__bn").alias("__nb"))
     j = (

@@ -65,6 +65,9 @@ HEADLINE = [
     "q2_style_min_cost_supplier", "q9_style_product_profit",
     "q11_style_important_parts", "q16_style_supplier_count",
     "q20_style_excess_suppliers", "psi_drift_binned_event_values",
+    "cvm_drift_doc_lengths", "ewma_user_values_events",
+    "holt_user_values_events", "exact_order_stats_orders",
+    "windowed_psi_events", "prefix_jaccard_pairs_documents",
 ]
 
 
