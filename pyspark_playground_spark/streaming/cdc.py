@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -773,5 +773,88 @@ def psi_vs_baseline(
             "window_end",
             F.col("__nw").cast("long").alias("n_window"),
             F.col("__psi").cast("double").alias("psi"),
+        )
+    )
+
+
+def ks_vs_baseline(
+    bin_counts: DataFrame,
+    baseline_bins: DataFrame,
+    *,
+    bins: int,
+) -> DataFrame:
+    """Per-window exact-integer Kolmogorov–Smirnov statistic of the
+    observed bin counts against a static baseline — the same
+    :func:`windowed_value_bins` partials that feed :func:`psi_vs_baseline`
+    finish BOTH monitors (PSI = mass-weighted aggregate shift, KS = worst
+    single CDF gap; operations teams typically alert on either).
+
+    All integer arithmetic (profiling.drift_ks's recipe):
+    ``D = max_bin |cum_w·n_base − cum_base·n_w| / (n_w·n_base)`` — the
+    entry reports the numerator and the two counts so no float enters a
+    comparison. The cumulative runs over the fixed ``[0, bins)`` universe
+    per window (a window-partitioned bounded window function, ≤ bins rows
+    per partition).
+
+    Returns ``(window_start, window_end, n_window, n_baseline,
+    ks_numerator)``.
+    """
+    bin_counts = bin_counts.persist()
+    wins = bin_counts.select("window_start", "window_end").distinct()
+    universe = wins.select(
+        "window_start",
+        "window_end",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+    )
+    obs = universe.join(
+        bin_counts, ["window_start", "window_end", "bin"], "left"
+    ).select(
+        "window_start",
+        "window_end",
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
+    )
+    base = (
+        baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
+    )
+    j = obs.join(F.broadcast(base), "bin", "left").select(
+        "window_start",
+        "window_end",
+        "bin",
+        "__n",
+        F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"),
+    )
+    w = (
+        Window.partitionBy("window_start", "window_end")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.select(
+        "window_start",
+        "window_end",
+        F.sum("__n").over(w).alias("__cw"),
+        F.sum("__bn").over(w).alias("__cb"),
+    )
+    totals = c.groupBy("window_start", "window_end").agg(
+        F.max("__cw").alias("__nw"), F.max("__cb").alias("__nb")
+    )
+    return (
+        c.join(F.broadcast(totals), ["window_start", "window_end"])
+        .groupBy("window_start", "window_end", "__nw", "__nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__cw") * F.col("__nb") - F.col("__cb") * F.col("__nw")
+                )
+            )
+            .cast("long")
+            .alias("ks_numerator")
+        )
+        .select(
+            "window_start",
+            "window_end",
+            F.col("__nw").cast("long").alias("n_window"),
+            F.col("__nb").cast("long").alias("n_baseline"),
+            "ks_numerator",
         )
     )

@@ -632,3 +632,33 @@ def test_windowed_value_bins_stream_equals_batch_and_psi_finish(spark, tmpdir):
     assert out[w11].psi == pytest.approx(
         py_psi({0: 1, 3: 2}, base_counts, 4), abs=1e-9
     )
+
+
+def test_ks_vs_baseline_hand_example(spark, tmpdir):
+    """Windowed exact-integer KS from the same bin partials: window 10:00
+    has bins {0:1, 1:1, 3:1}, window 11:00 {0:1, 3:2}, baseline
+    {0:2, 1:1, 3:3} (n_b = 6). Hand-compute D numerators over the fixed
+    4-bin universe."""
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 3.0),
+        (3, datetime(2026, 5, 1, 10, 45), "view", 9.5),
+        (4, datetime(2026, 5, 1, 11, 10), "view", 0.5),
+        (5, datetime(2026, 5, 1, 11, 40), "view", 9.9),
+        (6, datetime(2026, 5, 1, 11, 50), "view", 9.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    parts = st.windowed_value_bins(df, bounds=bounds, bins=4)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    out = {
+        r.window_start: r
+        for r in st.ks_vs_baseline(parts, baseline, bins=4).collect()
+    }
+    w10, w11 = datetime(2026, 5, 1, 10), datetime(2026, 5, 1, 11)
+    # w10: cum_w=[1,2,2,3], cum_b=[2,3,3,6]; |cw*6 - cb*3| = [0,3,3,0] -> 3
+    assert (out[w10].n_window, out[w10].n_baseline) == (3, 6)
+    assert out[w10].ks_numerator == 3
+    # w11: cum_w=[1,1,1,3], cum_b=[2,3,3,6]; |cw*6 - cb*3| = [0,3,3,0] -> 3
+    assert out[w11].ks_numerator == 3
