@@ -661,3 +661,46 @@ def exact_order_statistics(
             F.max(F.when(F.col("rank") == target, F.col("__v"))).alias(label)
         )
     return with_mx.agg(*aggs)
+
+def grouped_order_statistics(
+    df: DataFrame,
+    *,
+    group_column: str,
+    value_column: str,
+    quantiles: Sequence[float],
+    id_column: str,
+) -> DataFrame:
+    """Exact lower (type-1) order statistics PER GROUP — the partitioned
+    companion to :func:`exact_order_statistics`. A per-group window is the
+    right tool here (one shuffle on the group key, each group sorted
+    within its partition — parallelism is the group count, degraded only
+    by a single dominant group, for which the global operator's
+    range-bucket plan is the escape hatch).
+
+    Selection rule matches the global operator: rank ``floor(q·(n_g−1))``
+    within each group, total-ordered by ``(value, id)``.
+
+    Returns one row per group: ``(group, n_rows, q_<label> ...)``.
+    """
+    w = Window.partitionBy(group_column).orderBy("__v", id_column)
+    ranked = df.select(
+        F.col(group_column),
+        F.col(value_column).alias("__v"),
+        F.col(id_column),
+    ).filter(F.col("__v").isNotNull()).withColumn(
+        "__rk", F.row_number().over(w) - 1
+    )
+    counts = ranked.groupBy(group_column).agg(
+        (F.count(F.lit(1)) - 1).alias("__mx")
+    )
+    j = ranked.join(counts, group_column)
+    aggs = [(F.max("__mx") + 1).cast("long").alias("n_rows")]
+    for q in quantiles:
+        label = "q_" + str(float(q)).replace(".", "_")
+        target = F.floor(F.lit(float(q)) * F.col("__mx").cast("double")).cast(
+            "long"
+        )
+        aggs.append(
+            F.max(F.when(F.col("__rk") == target, F.col("__v"))).alias(label)
+        )
+    return j.groupBy(group_column).agg(*aggs)

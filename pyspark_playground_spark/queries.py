@@ -6440,6 +6440,49 @@ def windowed_psi_events(spark, sf_dir):
 
 
 @query(
+    "grouped_order_stats_customers",
+    """
+    WITH r AS (
+      SELECT c_nationkey, c_acctbal AS v,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) - 1 AS rk,
+             count(*) OVER (PARTITION BY c_nationkey) - 1 AS mx
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(max(mx) + 1 AS BIGINT) AS n_rows,
+           max(CASE WHEN rk = CAST(floor(0.25 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_25,
+           max(CASE WHEN rk = CAST(floor(0.5 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_5,
+           max(CASE WHEN rk = CAST(floor(0.9 * CAST(mx AS DOUBLE)) AS BIGINT)
+                    THEN v END) AS q_0_9
+    FROM r
+    GROUP BY c_nationkey
+    """,
+)
+def grouped_order_stats_customers(spark, sf_dir):
+    """Per-nation exact customer-balance quantiles
+    (operators/profiling.py grouped_order_statistics): one shuffle on the
+    group key, per-group windows (parallelism = group count — the global
+    distributed_rank plan is the escape hatch for a dominant group), same
+    floor(q·(n_g−1)) lower-statistic rule as the global operator, tie-
+    broken by c_custkey. The oracle replays the identical selection."""
+    from pyspark_playground_spark.operators.profiling import (
+        grouped_order_statistics,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    return grouped_order_statistics(
+        c,
+        group_column="c_nationkey",
+        value_column="c_acctbal",
+        quantiles=[0.25, 0.5, 0.9],
+        id_column="c_custkey",
+    )
+
+
+@query(
     "windowed_ks_events",
     f"""
     WITH e AS ({EVENTS_N}),

@@ -339,3 +339,31 @@ def test_exact_order_statistics_ties_and_small(spark):
         df, value_column="v", quantiles=[0.5], id_column="id"
     ).collect()[0]
     assert got.n_rows == 4 and got.q_0_5 == 5.0  # rank floor(0.5*3)=1 -> 5.0
+
+
+def test_grouped_order_statistics_matches_per_group_selection(spark):
+    import math
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for i in range(rng.randint(5, 120)):
+            rows.append((g, i, float(rng.uniform(0, 100))))
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    got = {
+        r.g: r
+        for r in pf.grouped_order_statistics(
+            df, group_column="g", value_column="v",
+            quantiles=[0.0, 0.5, 0.9], id_column="id",
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        vals = [v for gg, i, v in rows if gg == g]
+        ordered = [v for v, _ in sorted(
+            (v, i) for gg, i, v in rows if gg == g)]
+        n = len(vals)
+        assert got[g].n_rows == n
+        for q in (0.0, 0.5, 0.9):
+            label = "q_" + str(float(q)).replace(".", "_")
+            assert got[g][label] == ordered[math.floor(q * (n - 1))], (g, q)
