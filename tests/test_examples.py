@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.event_analytics_pipeline",
         "examples.catalog_resolution_pipeline",
         "examples.corpus_audit_pipeline",
+        "examples.drift_monitoring_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
