@@ -68,6 +68,7 @@ HEADLINE = [
     "cvm_drift_doc_lengths", "ewma_user_values_events",
     "holt_user_values_events", "exact_order_stats_orders",
     "windowed_psi_events", "prefix_jaccard_pairs_documents",
+    "windowed_ks_events", "grouped_order_stats_customers",
 ]
 
 
