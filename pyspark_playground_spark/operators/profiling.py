@@ -704,3 +704,96 @@ def grouped_order_statistics(
             F.max(F.when(F.col("__rk") == target, F.col("__v"))).alias(label)
         )
     return j.groupBy(group_column).agg(*aggs)
+
+def count_min_sketch(
+    df: DataFrame,
+    column: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan '05) with
+    ENGINE-PORTABLE hashing: ``hash_i(v) = int(md5(f"{i}:{v}")[:8], 16)
+    mod width`` — md5 exists and agrees everywhere, so the SAME sketch
+    (not just the same guarantees) is reproducible in any engine; the
+    whole pipeline is therefore exactly oracle-checkable, unlike
+    engine-native hash sketches. The seed prefix has no ':' so the
+    encoding is injective.
+
+    The sketch is ``(row, pos, n)`` rows — at most ``depth·width``,
+    built by one map-side-combined groupBy; sketches over disjoint data
+    merge by summing ``n`` per cell (the streaming/partition-parallel
+    path). Point estimates via :func:`count_min_estimates` carry the
+    classic one-sided guarantee: estimate ≥ true count always, and
+    ≤ true + εN with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+    """
+    t = df.select(F.col(column).cast("string").alias("__v")).select(
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row"),
+    )
+    pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("__row").cast("string"), F.col("__v")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    return (
+        t.groupBy(F.col("__row").alias("row"), pos.alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def count_min_estimates(
+    values: DataFrame,
+    sketch: DataFrame,
+    column: str,
+    *,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point estimates from a :func:`count_min_sketch`: for each distinct
+    value, the minimum over the sketch's ``depth`` cells it hashes to
+    (absent cells count 0). The sketch side is depth·width-bounded —
+    broadcast it; the per-value work is a ``depth``-way explode plus one
+    bounded join, no data-sized shuffle beyond the distinct.
+
+    Returns ``(value, cms_estimate)``.
+    """
+    d = (
+        values.select(F.col(column).cast("string").alias("value"))
+        .distinct()
+        .select(
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        )
+    )
+    pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("row").cast("string"), F.col("value"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    return (
+        d.withColumn("pos", pos)
+        .join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )

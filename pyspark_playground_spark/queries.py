@@ -6440,6 +6440,70 @@ def windowed_psi_events(spark, sf_dir):
 
 
 @query(
+    "cms_user_counts_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (SELECT CAST(user_id AS VARCHAR) AS v FROM e),
+    s AS (
+      SELECT r.range AS row,
+             CAST(concat('0x', substr(md5(concat(r.range, ':', v)), 1, 8))
+                  AS BIGINT) % 256 AS pos,
+             count(*) AS n
+      FROM t CROSS JOIN range(0, 4) r
+      GROUP BY 1, 2
+    ),
+    d AS (SELECT v, count(*) AS exact_n FROM t GROUP BY v),
+    est AS (
+      SELECT d.v, d.exact_n, min(coalesce(s.n, 0)) AS cms_estimate
+      FROM d CROSS JOIN range(0, 4) r
+      LEFT JOIN s ON s.row = r.range
+        AND s.pos = CAST(concat('0x', substr(md5(concat(r.range, ':', d.v)),
+                                             1, 8)) AS BIGINT) % 256
+      GROUP BY d.v, d.exact_n
+    )
+    SELECT CAST(v AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= exact_n AS overestimate_ok
+    FROM est
+    """,
+)
+def cms_user_counts_events(spark, sf_dir):
+    """Count-Min sketch round trip (operators/profiling.py
+    count_min_sketch + count_min_estimates) with engine-portable md5
+    hashing: the oracle rebuilds the IDENTICAL sketch — same cells, same
+    estimates — so the whole sketch pipeline is value-checked, not just
+    its error envelope (impossible for engine-native HLL/CMS hashes).
+    width=256 against ~SF-scaling user counts forces real collisions;
+    overestimate_ok pins the one-sided guarantee on every row. Sketch is
+    depth x width bounded and mergeable by cell sum (test-pinned)."""
+    from pyspark_playground_spark.operators.profiling import (
+        count_min_estimates,
+        count_min_sketch,
+    )
+
+    e = load_events(spark, sf_dir)
+    sketch = count_min_sketch(e, "user_id", width=256, depth=4)
+    exact = (
+        e.select(F.col("user_id").cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = count_min_estimates(e, sketch, "user_id", width=256, depth=4)
+    return (
+        exact.join(est, "value")
+        .select(
+            F.col("value").cast("long").alias("user_id"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") >= F.col("exact_n")).alias(
+                "overestimate_ok"
+            ),
+        )
+    )
+
+
+@query(
     "grouped_order_stats_customers",
     """
     WITH r AS (

@@ -367,3 +367,63 @@ def test_grouped_order_statistics_matches_per_group_selection(spark):
         for q in (0.0, 0.5, 0.9):
             label = "q_" + str(float(q)).replace(".", "_")
             assert got[g][label] == ordered[math.floor(q * (n - 1))], (g, q)
+
+
+def _py_cms(values, width, depth):
+    import hashlib
+    from collections import Counter
+
+    cells = Counter()
+    for v in values:
+        for i in range(depth):
+            h = int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16) % width
+            cells[(i, h)] += 1
+    return cells
+
+
+def test_count_min_sketch_equals_python_and_overestimates(spark):
+    import hashlib
+    from collections import Counter
+
+    vals = [f"u{i % 37}" for i in range(500)] + ["hot"] * 200
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(7)
+    W, D = 32, 4  # narrow on purpose: collisions must appear
+    sk = {(r.row, r.pos): r.n for r in pf.count_min_sketch(
+        df, "v", width=W, depth=D).collect()}
+    assert sk == dict(_py_cms(vals, W, D))
+
+    est = {r.value: r.cms_estimate for r in pf.count_min_estimates(
+        df, pf.count_min_sketch(df, "v", width=W, depth=D), "v",
+        width=W, depth=D).collect()}
+    exact = Counter(vals)
+    for v, n in exact.items():
+        assert est[v] >= n, v  # the CMS one-sided guarantee, always
+    # and at least one collision-free-ish value estimates exactly
+    assert any(est[v] == n for v, n in exact.items())
+    # python-side estimate identity
+    cells = _py_cms(vals, W, D)
+    for v, n in exact.items():
+        ref = min(
+            cells.get(
+                (i, int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16) % W),
+                0,
+            )
+            for i in range(D)
+        )
+        assert est[v] == ref, v
+
+
+def test_count_min_sketch_merges_by_cell_sum(spark):
+    a = spark.createDataFrame([(f"x{i % 5}",) for i in range(60)], ["v"])
+    b = spark.createDataFrame([(f"x{i % 7}",) for i in range(80)], ["v"])
+    W, D = 16, 3
+    merged = (
+        pf.count_min_sketch(a, "v", width=W, depth=D)
+        .unionByName(pf.count_min_sketch(b, "v", width=W, depth=D))
+        .groupBy("row", "pos")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = pf.count_min_sketch(a.unionByName(b), "v", width=W, depth=D)
+    assert {(r.row, r.pos): r.n for r in merged.collect()} == {
+        (r.row, r.pos): r.n for r in whole.collect()
+    }
