@@ -549,7 +549,13 @@ def drift_cvm(
     DECIMAL (order-independent), avoiding both the int64 overflow a pure
     integer Σ m·d² hits at ~10⁵ rows and the order-dependence of double
     summation. Returns one row ``(cvm_sum, n_a, n_b)``; the statistic is
-    ``n_a·n_b/N² · cvm_sum`` for callers.
+    ``n_a·n_b/N² · cvm_sum`` for callers. The final exact-DECIMAL sum is
+    rounded to 6 decimals before the one double cast (a higher-precision
+    decimal→double conversion differs at the last ulp between engines);
+    when per-term magnitudes exceed ~15 significant digits (huge pooled
+    masses), double rounding itself diverges cross-engine — use the
+    all-integer numerator form instead, as ``streaming.cvm_vs_baseline``
+    does.
 
     Plan: identical to :func:`drift_ks` — per-value counts, ONE
     cumulative window over distinct values (bounded by cardinality;
@@ -607,7 +613,7 @@ def drift_cvm(
         .groupBy("__na", "__nb")
         .agg(F.sum(term).alias("__s"))
         .select(
-            F.col("__s").cast("double").alias("cvm_sum"),
+            F.round(F.col("__s"), 6).cast("double").alias("cvm_sum"),
             F.col("__na").cast("long").alias("n_a"),
             F.col("__nb").cast("long").alias("n_b"),
         )

@@ -6440,6 +6440,71 @@ def windowed_psi_events(spark, sf_dir):
 
 
 @query(
+    "windowed_cvm_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    b AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE greatest(0, least(15,
+                         CAST(floor((e.value - mm.lo) * 16
+                                    / (mm.hi - mm.lo)) AS INT)))
+             END AS bin
+      FROM e CROSS JOIN mm
+    ), g AS (SELECT ws, bin, count(*) AS n FROM b GROUP BY ws, bin),
+    wins AS (SELECT DISTINCT ws FROM g),
+    u AS (SELECT ws, r.range AS bin FROM wins CROSS JOIN range(0, 16) r),
+    obs AS (
+      SELECT u.ws, u.bin, coalesce(g.n, 0) AS n
+      FROM u LEFT JOIN g ON g.ws = u.ws AND g.bin = u.bin
+    ),
+    bg AS (SELECT bin, count(*) AS bn FROM b GROUP BY bin),
+    j AS (
+      SELECT obs.ws, obs.bin, obs.n, coalesce(bg.bn, 0) AS bn
+      FROM obs LEFT JOIN bg ON bg.bin = obs.bin
+    ),
+    c AS (
+      SELECT ws, n + bn AS m,
+             sum(n) OVER (PARTITION BY ws ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(bn) OVER (PARTITION BY ws ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cb
+      FROM j
+    ),
+    t AS (SELECT ws, max(cw) AS nw, max(cb) AS nb FROM c GROUP BY ws)
+    SELECT c.ws AS window_start, c.ws + INTERVAL 1 HOUR AS window_end,
+           CAST(t.nw AS BIGINT) AS n_window,
+           CAST(t.nb AS BIGINT) AS n_baseline,
+           CAST(sum(CAST(m AS HUGEINT)
+                    * (CAST(c.cw AS HUGEINT) * t.nb
+                       - CAST(c.cb AS HUGEINT) * t.nw)
+                    * (CAST(c.cw AS HUGEINT) * t.nb
+                       - CAST(c.cb AS HUGEINT) * t.nw)) AS VARCHAR)
+             AS cvm_numerator_s
+    FROM c JOIN t ON t.ws = c.ws
+    GROUP BY c.ws, t.nw, t.nb
+    """,
+)
+def windowed_cvm_events(spark, sf_dir):
+    """The CvM finish of the continuous drift monitor (streaming/cdc.py
+    cvm_vs_baseline over the same windowed_value_bins partials as the
+    PSI and KS entries) — per-hour mass-weighted sum of squared CDF gaps
+    vs the whole-corpus baseline, carried as the EXACT integer numerator
+    sum(m*(cw*nb - cb*nw)^2) rendered to string — no float enters the
+    comparison (the rounded-double recipe diverged at the last ulp
+    across engines at this mass scale; see cvm_vs_baseline's docstring).
+    Everything past the partials is windows x 16 bins bounded."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_value_bins(e, bounds=bounds, bins=16)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    return stc.cvm_vs_baseline(parts, baseline, bins=16)
+
+
+@query(
     "cms_user_counts_events",
     f"""
     WITH e AS ({EVENTS_N}),
@@ -6669,13 +6734,13 @@ def exact_order_stats_orders(spark, sf_dir):
                              ROWS UNBOUNDED PRECEDING) AS cb
       FROM g
     )
-    SELECT CAST(sum(CAST(round(
+    SELECT CAST(round(sum(CAST(round(
              CAST(m AS DOUBLE)
              * (CAST(ca * n.nb - cb * n.na AS DOUBLE)
                 / CAST(n.na * n.nb AS DOUBLE))
              * (CAST(ca * n.nb - cb * n.na AS DOUBLE)
                 / CAST(n.na * n.nb AS DOUBLE)),
-             12) AS DECIMAL(38,14))) AS DOUBLE) AS cvm_sum,
+             12) AS DECIMAL(38,14))), 6) AS DOUBLE) AS cvm_sum,
            CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b
     FROM c CROSS JOIN n
     GROUP BY n.na, n.nb

@@ -662,3 +662,44 @@ def test_ks_vs_baseline_hand_example(spark, tmpdir):
     assert out[w10].ks_numerator == 3
     # w11: cum_w=[1,1,1,3], cum_b=[2,3,3,6]; |cw*6 - cb*3| = [0,3,3,0] -> 3
     assert out[w11].ks_numerator == 3
+
+
+def test_cvm_vs_baseline_matches_python(spark, tmpdir):
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 3.0),
+        (3, datetime(2026, 5, 1, 10, 45), "view", 9.5),
+        (4, datetime(2026, 5, 1, 11, 10), "view", 0.5),
+        (5, datetime(2026, 5, 1, 11, 40), "view", 9.9),
+        (6, datetime(2026, 5, 1, 11, 50), "view", 9.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    parts = st.windowed_value_bins(df, bounds=bounds, bins=4)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    out = {
+        r.window_start: r
+        for r in st.cvm_vs_baseline(parts, baseline, bins=4).collect()
+    }
+
+    def py_cvm_numerator(obs, base, bins):
+        nw, nb = sum(obs.values()), sum(base.values())
+        cw = cb = 0
+        s = 0
+        for b in range(bins):
+            cw += obs.get(b, 0)
+            cb += base.get(b, 0)
+            m = obs.get(b, 0) + base.get(b, 0)
+            s += m * (cw * nb - cb * nw) ** 2  # exact integers
+        return s
+
+    base_counts = {0: 2, 1: 1, 3: 3}
+    w10, w11 = datetime(2026, 5, 1, 10), datetime(2026, 5, 1, 11)
+    assert out[w10].n_window == 3 and out[w10].n_baseline == 6
+    assert int(out[w10].cvm_numerator_s) == py_cvm_numerator(
+        {0: 1, 1: 1, 3: 1}, base_counts, 4
+    )
+    assert int(out[w11].cvm_numerator_s) == py_cvm_numerator(
+        {0: 1, 3: 2}, base_counts, 4
+    )
