@@ -69,6 +69,7 @@ HEADLINE = [
     "holt_user_values_events", "exact_order_stats_orders",
     "windowed_psi_events", "prefix_jaccard_pairs_documents",
     "windowed_ks_events", "grouped_order_stats_customers",
+    "windowed_cvm_events", "cms_user_counts_events",
 ]
 
 
