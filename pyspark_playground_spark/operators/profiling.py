@@ -803,3 +803,90 @@ def count_min_estimates(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
     )
+
+def drift_ks_by_group(
+    df: DataFrame,
+    *,
+    group_column: str,
+    value_column: str,
+    bins: int | None = None,
+) -> DataFrame:
+    """One-pass "which cohort drifted": the exact-integer two-sample KS
+    statistic of EVERY group against the rest of the corpus, in a single
+    plan — the multi-cohort generalization of :func:`drift_ks` (running
+    it per group would scan the data once per group).
+
+    One ``(group, value)`` count pass gives ``ca``; the per-value total
+    ``ct`` gives the complement side as ``cb = ct − ca`` — no second
+    scan. A groups × distinct-values spine (bounded; pass ``bins`` to
+    enforce the bound on continuous domains, same deterministic
+    equal-width rule as ``drift_ks``) fills the absent cells, and one
+    group-partitioned cumulative window (≤ distinct values rows per
+    partition) produces both CDFs. All integer arithmetic:
+    ``D_g = ks_numerator / (n_g · (N − n_g))``.
+
+    Returns one row per group: ``(group, n_a, n_b, ks_numerator)``.
+    """
+    t = df.select(
+        F.col(group_column).alias("__g"), F.col(value_column).alias("__v")
+    )
+    if bins is not None:
+        mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+        t = t.join(F.broadcast(mm)).select(
+            "__g",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__v") - F.col("__lo"))
+                        * bins
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("int"),
+                )
+            )
+            .alias("__v"),
+        )
+    ga = t.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__ca"))
+    tot = ga.groupBy("__v").agg(F.sum("__ca").alias("__ct"))
+    groups = ga.select("__g").distinct()
+    spine = groups.crossJoin(tot)
+    filled = spine.join(ga, ["__g", "__v"], "left").select(
+        "__g",
+        "__v",
+        "__ct",
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = filled.select(
+        "__g",
+        F.sum("__ca").over(w).alias("__cwa"),
+        (F.sum("__ct").over(w) - F.sum("__ca").over(w)).alias("__cwb"),
+    )
+    n = c.groupBy("__g").agg(
+        F.max("__cwa").alias("__na"), F.max("__cwb").alias("__nb")
+    )
+    return (
+        c.join(n, "__g")
+        .groupBy(F.col("__g").alias(group_column), "__na", "__nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__cwa") * F.col("__nb")
+                    - F.col("__cwb") * F.col("__na")
+                )
+            )
+            .cast("long")
+            .alias("ks_numerator")
+        )
+        .select(
+            group_column,
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            "ks_numerator",
+        )
+    )

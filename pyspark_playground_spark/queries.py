@@ -6765,6 +6765,53 @@ def cvm_drift_doc_lengths(spark, sf_dir):
 
 
 @query(
+    "ks_drift_by_source_documents",
+    """
+    WITH t AS (SELECT source AS g, n_chars AS v FROM documents),
+    ga AS (SELECT g, v, count(*) AS ca FROM t GROUP BY g, v),
+    tot AS (SELECT v, sum(ca) AS ct FROM ga GROUP BY v),
+    grp AS (SELECT DISTINCT g FROM ga),
+    spine AS (SELECT grp.g, tot.v, tot.ct FROM grp CROSS JOIN tot),
+    filled AS (
+      SELECT s.g, s.v, s.ct, coalesce(ga.ca, 0) AS ca
+      FROM spine s LEFT JOIN ga ON ga.g = s.g AND ga.v = s.v
+    ),
+    c AS (
+      SELECT g,
+             sum(ca) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cwa,
+             sum(ct) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+             - sum(ca) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cwb
+      FROM filled
+    ),
+    n AS (SELECT g, max(cwa) AS na, max(cwb) AS nb FROM c GROUP BY g)
+    SELECT c.g AS source, CAST(n.na AS BIGINT) AS n_a,
+           CAST(n.nb AS BIGINT) AS n_b,
+           CAST(max(abs(c.cwa * n.nb - c.cwb * n.na)) AS BIGINT)
+             AS ks_numerator
+    FROM c JOIN n ON n.g = c.g
+    GROUP BY c.g, n.na, n.nb
+    """,
+)
+def ks_drift_by_source_documents(spark, sf_dir):
+    """One-pass "which source drifted" (operators/profiling.py
+    drift_ks_by_group): every source's doc-length distribution vs the
+    rest of the corpus in a single plan — one (group, value) count pass,
+    complement side derived as ct − ca (no per-group rescans), a bounded
+    groups × values spine, one group-partitioned cumulative window.
+    Exact-integer numerators; equality with per-group drift_ks runs is
+    test-pinned (incl. the binned path)."""
+    from pyspark_playground_spark.operators.profiling import drift_ks_by_group
+
+    docs = load(spark, sf_dir, "documents")
+    return drift_ks_by_group(
+        docs, group_column="source", value_column="n_chars"
+    )
+
+
+@query(
     "ewma_user_values_events",
     f"""
     WITH e AS ({EVENTS_N})

@@ -427,3 +427,40 @@ def test_count_min_sketch_merges_by_cell_sum(spark):
     assert {(r.row, r.pos): r.n for r in merged.collect()} == {
         (r.row, r.pos): r.n for r in whole.collect()
     }
+
+
+def test_drift_ks_by_group_equals_per_group_runs(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    for g, (lo, hi) in [("a", (0, 30)), ("b", (20, 50)), ("c", (0, 50))]:
+        for _ in range(rng.randint(80, 150)):
+            rows.append((g, rng.randrange(lo, hi)))
+    df = spark.createDataFrame(rows, ["g", "v"])
+    multi = {
+        r.g: (r.n_a, r.n_b, r.ks_numerator)
+        for r in pf.drift_ks_by_group(
+            df, group_column="g", value_column="v"
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        single = pf.drift_ks(
+            df, value_column="v", cohort_column=F.col("g") == g
+        ).collect()[0]
+        assert multi[g] == (
+            single.n_a, single.n_b, single.ks_numerator
+        ), g
+    # binned path agrees with binned single-cohort runs too
+    dfd = df.withColumn("v", F.col("v").cast("double") * 1.37)
+    multi_b = {
+        r.g: r.ks_numerator
+        for r in pf.drift_ks_by_group(
+            dfd, group_column="g", value_column="v", bins=16
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        single = pf.drift_ks(
+            dfd, value_column="v", cohort_column=F.col("g") == g, bins=16
+        ).collect()[0]
+        assert multi_b[g] == single.ks_numerator, g
