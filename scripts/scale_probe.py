@@ -412,6 +412,25 @@ def main() -> None:
         ).mode("overwrite").save()
     timed("prefix_jaccard_join", n_docs, prefix_jaccard)
 
+    # 20. one-pass multi-cohort KS over the replicated events (every user
+    #     bucket vs rest — group count scales with FACTOR)
+    def ks_by_group():
+        pf.drift_ks_by_group(
+            ev_rep.withColumn("cohort", F.col("user_id") % 50),
+            group_column="cohort",
+            value_column="value",
+            bins=64,
+        ).write.format("noop").mode("overwrite").save()
+    timed("ks_drift_by_group", n_evr, ks_by_group)
+
+    # 21. Count-Min sketch build + estimates (portable md5 hashing)
+    def cms():
+        sk = pf.count_min_sketch(ev_rep, "user_id", width=1024, depth=4)
+        pf.count_min_estimates(
+            ev_rep, sk, "user_id", width=1024, depth=4
+        ).write.format("noop").mode("overwrite").save()
+    timed("cms_build_estimate", n_evr, cms)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
