@@ -248,3 +248,39 @@ def pit_rows_incremental(
     )
     refreshed = pit_rows(sat_touched, eff_touched, conv=conv, end_of_time=end_of_time)
     return untouched.unionByName(refreshed)
+
+
+def read_snapshot_at(
+    hub: DataFrame,
+    satellite: DataFrame,
+    pit: DataFrame,
+    attributes: list[str],
+    as_of,
+    *,
+    include_hkey: bool = False,
+    conv: DataVaultConventions = CONV,
+) -> DataFrame:
+    """Time-travel read: the ONE satellite version per entity valid at
+    ``as_of`` — the historized-read companion to
+    :func:`read_data_from_hub_sat_and_pit` (which returns ALL versions
+    with their validity intervals; the reference only reads full history,
+    BusinessVault.py:136-212, so "state of the vault last Tuesday" is a
+    beyond-reference extension the PIT table makes one filter away).
+
+    The PIT filter ``load_date ≤ as_of < load_end_date`` (open intervals
+    — NULL or end-of-time sentinel — count as unbounded) selects at most
+    one interval per entity by PIT construction; entities first loaded
+    after ``as_of`` simply drop out. Pushed below the SAT/HUB joins, so
+    at 100 TB the joins see one row per then-existing entity, not the
+    whole history.
+    """
+    ld, led = conv.load_date(), conv.load_end_date()
+    ts = F.lit(as_of)
+    open_interval = F.col(led).isNull() | (F.col(led) >= F.lit(END_OF_TIME))
+    valid = pit.filter(
+        (F.col(ld) <= ts) & (open_interval | (ts < F.col(led)))
+    )
+    return read_data_from_hub_sat_and_pit(
+        hub, satellite, valid, attributes,
+        include_hkey=include_hkey, conv=conv,
+    )

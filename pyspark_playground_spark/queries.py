@@ -1251,6 +1251,45 @@ def dv_read_hub_sat_pit_events(spark, sf_dir):
 
 
 @query(
+    "dv_snapshot_at_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    p AS (
+      SELECT user_id, event_type, value, ts AS ld,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS led
+      FROM e
+    )
+    SELECT user_id, event_type, value, ld AS "$__LOAD_DATE",
+           led AS "$__LOAD_END_DATE"
+    FROM p
+    WHERE ld <= TIMESTAMP '2024-01-20 00:00:00'
+      AND (led IS NULL OR TIMESTAMP '2024-01-20 00:00:00' < led)
+    """,
+)
+def dv_snapshot_at_events(spark, sf_dir):
+    """Time-travel snapshot read (business_vault.read_snapshot_at, the
+    beyond-ref companion to the historized read): the ONE satellite
+    version per user valid at 2024-01-20 — PIT interval-contains filter
+    pushed below the SAT/HUB joins, so the joins see one row per
+    then-existing entity instead of the whole history."""
+    from datetime import datetime as _dt
+
+    events = load(spark, sf_dir, "events")
+    hub = events.select(hash_key(["user_id"]).alias(C.hkey()), "user_id").distinct()
+    sat = events.select(
+        hash_key(["user_id"]).alias(C.hkey()),
+        F.lit("x").alias(C.hdiff()),
+        F.col("ts").alias(C.load_date()),
+        "event_type",
+        "value",
+    )
+    pit = bv.pit_rows(sat, None, end_of_time=None)
+    return bv.read_snapshot_at(
+        hub, sat, pit, ["event_type", "value"], _dt(2024, 1, 20)
+    )
+
+
+@query(
     "dv_active_code_ref_events",
     f"""
     WITH e AS ({EVENTS_N})

@@ -196,3 +196,52 @@ def test_zip_historized_left_outer_preserves_unmatched(spark):
     assert rows["k1"]["rv"] == "R1"
     assert rows["k1"][ld] == t(2) and rows["k1"][led] == t(3)
     assert rows["k2"]["rv"] is None  # preserved despite no overlap
+
+
+def test_read_snapshot_at_picks_the_version_valid_then(spark):
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.conventions import DataVaultConventions
+    from pyspark_playground_spark.operators import business_vault as bv
+    from pyspark_playground_spark.operators.raw_vault import hash_key
+
+    C = DataVaultConventions()
+    rows = [
+        ("u1", dt(2024, 1, 1), "a", 1.0),
+        ("u1", dt(2024, 1, 10), "b", 2.0),
+        ("u1", dt(2024, 1, 20), "c", 3.0),
+        ("u2", dt(2024, 1, 15), "x", 9.0),
+    ]
+    src = spark.createDataFrame(rows, ["uid", "ts", "state", "v"])
+    hub = src.select(hash_key(["uid"]).alias(C.hkey()), "uid").distinct()
+    sat = src.select(
+        hash_key(["uid"]).alias(C.hkey()),
+        F.lit("h").alias(C.hdiff()),
+        F.col("ts").alias(C.load_date()),
+        "state",
+        "v",
+    )
+    pit = bv.pit_rows(sat, None, end_of_time=None)
+    # at Jan 12: u1 -> the Jan-10 'b' version; u2 not yet loaded
+    snap = bv.read_snapshot_at(
+        hub, sat, pit, ["state", "v"], dt(2024, 1, 12)
+    ).collect()
+    assert {(r.uid, r.state, r.v) for r in snap} == {("u1", "b", 2.0)}
+    # at Jan 25: u1 -> open 'c' interval; u2 -> 'x'
+    snap2 = bv.read_snapshot_at(
+        hub, sat, pit, ["state", "v"], dt(2024, 1, 25)
+    ).collect()
+    assert {(r.uid, r.state) for r in snap2} == {("u1", "c"), ("u2", "x")}
+    # before any load: empty
+    assert (
+        bv.read_snapshot_at(hub, sat, pit, ["state"], dt(2023, 12, 1)).count()
+        == 0
+    )
+    # end-of-time sentinel intervals count as open too
+    pit_sentinel = bv.pit_rows(sat, None)
+    snap3 = bv.read_snapshot_at(
+        hub, sat, pit_sentinel, ["state"], dt(2024, 1, 25)
+    ).collect()
+    assert {(r.uid, r.state) for r in snap3} == {("u1", "c"), ("u2", "x")}
