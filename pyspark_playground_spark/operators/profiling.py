@@ -724,7 +724,10 @@ def count_min_sketch(
     (not just the same guarantees) is reproducible in any engine; the
     whole pipeline is therefore exactly oracle-checkable, unlike
     engine-native hash sketches. The seed prefix has no ':' so the
-    encoding is injective.
+    encoding is injective. NULL values are dropped (never counted):
+    string concatenation of NULL differs across engines (Spark's
+    concat_ws skips, DuckDB's concat propagates), so admitting them
+    would silently diverge.
 
     The sketch is ``(row, pos, n)`` rows — at most ``depth·width``,
     built by one map-side-combined groupBy; sketches over disjoint data
@@ -733,9 +736,13 @@ def count_min_sketch(
     classic one-sided guarantee: estimate ≥ true count always, and
     ≤ true + εN with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
     """
-    t = df.select(F.col(column).cast("string").alias("__v")).select(
-        "__v",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row"),
+    t = (
+        df.select(F.col(column).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select(
+            "__v",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row"),
+        )
     )
     pos = F.pmod(
         F.conv(
@@ -777,6 +784,7 @@ def count_min_estimates(
     """
     d = (
         values.select(F.col(column).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
         .distinct()
         .select(
             "value",
