@@ -357,6 +357,41 @@ def group_entropy(
     )
 
 
+def equal_width_bin(
+    value: Column, lo: Column, hi: Column, bins: int, *, clamp_low: bool = False
+) -> Column:
+    """THE deterministic equal-width bin expression — the single shared
+    copy behind :func:`drift_ks` / :func:`drift_psi` / :func:`drift_cvm` /
+    :func:`drift_ks_by_group` and ``streaming.windowed_value_bins`` (their
+    cross-engine oracles all mirror it verbatim, so they must bin
+    identically): ``floor((v−lo)·bins/(hi−lo))`` with the top edge clamped
+    to ``bins−1`` and a degenerate ``hi == lo`` domain collapsing to bin 0.
+    ``clamp_low`` additionally clamps below-range values into bin 0 — for
+    streaming monitors whose FIXED ``[lo, hi]`` can be exceeded by live
+    values (batch callers derive lo/hi as corpus min/max, so their values
+    never fall below).
+
+    Every arithmetic step runs in IEEE doubles: identical op order on both
+    engines (sub, mul, div, floor — each correctly rounded, so the results
+    are bit-equal), and immune to the ANSI-mode ``ARITHMETIC_OVERFLOW``
+    that the naive integer ``(v−lo)·bins`` raises on wide integer domains
+    (an int32 column spanning ±2·10⁹ already overflows on the subtraction).
+    For integer domains wider than 2⁵³ the double mapping is lossy-but-
+    deterministic — the same bins on every engine, which is the contract
+    that matters here.
+    """
+    v = value.cast("double")
+    low = lo.cast("double")
+    high = hi.cast("double")
+    idx = F.least(
+        F.lit(bins - 1),
+        F.floor((v - low) * bins / (high - low)).cast("int"),
+    )
+    if clamp_low:
+        idx = F.greatest(F.lit(0), idx)
+    return F.when(high == low, F.lit(0)).otherwise(idx)
+
+
 def drift_ks(
     df: DataFrame,
     *,
@@ -390,27 +425,19 @@ def drift_ks(
     if bins is not None:
         mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
         t = t.join(F.broadcast(mm)).select(
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor(
-                        (F.col("__v") - F.col("__lo"))
-                        * bins
-                        / (F.col("__hi") - F.col("__lo"))
-                    ).cast("int"),
-                )
-            )
-            .alias("__v"),
+            equal_width_bin(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), bins
+            ).alias("__v"),
             "__a",
         )
-    n = t.agg(
-        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__na"),
-        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__nb"),
-    )
     g = t.groupBy("__v").agg(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca_v"),
         F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb_v"),
+    )
+    # cohort totals from the already-bounded per-value counts — NOT a
+    # second scan of the input (drift_cvm does the same)
+    n = g.agg(
+        F.sum("__ca_v").alias("__na"), F.sum("__cb_v").alias("__nb")
     )
     w = Window.orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -419,13 +446,20 @@ def drift_ks(
         F.sum("__ca_v").over(w).alias("__ca"),
         F.sum("__cb_v").over(w).alias("__cb"),
     )
+    # cross products in DECIMAL(38,0) — int64 ca·nb wraps (non-ANSI) or
+    # raises (ANSI) once cohorts pass ~3e9 rows; the exact decimal max is
+    # cast to long only at the very end, so an out-of-int64-range numerator
+    # (both cohorts >3e9 AND near-total separation) fails loudly instead
+    # of returning a silently wrong statistic. Same recipe as
+    # streaming.cvm_vs_baseline.
     return (
         c.join(F.broadcast(n))
         .groupBy("__na", "__nb")
         .agg(
             F.max(
                 F.abs(
-                    F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na")
+                    F.col("__ca").cast("decimal(38,0)") * F.col("__nb")
+                    - F.col("__cb").cast("decimal(38,0)") * F.col("__na")
                 )
             )
             .cast("long")
@@ -481,18 +515,9 @@ def drift_psi(
     if bins is not None:
         mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
         t = t.join(F.broadcast(mm)).select(
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor(
-                        (F.col("__v") - F.col("__lo"))
-                        * bins
-                        / (F.col("__hi") - F.col("__lo"))
-                    ).cast("int"),
-                )
-            )
-            .alias("__v"),
+            equal_width_bin(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), bins
+            ).alias("__v"),
             "__a",
         )
     g = t.groupBy("__v").agg(
@@ -571,18 +596,9 @@ def drift_cvm(
     if bins is not None:
         mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
         t = t.join(F.broadcast(mm)).select(
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor(
-                        (F.col("__v") - F.col("__lo"))
-                        * bins
-                        / (F.col("__hi") - F.col("__lo"))
-                    ).cast("int"),
-                )
-            )
-            .alias("__v"),
+            equal_width_bin(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), bins
+            ).alias("__v"),
             "__a",
         )
     g = t.groupBy("__v").agg(
@@ -618,6 +634,21 @@ def drift_cvm(
             F.col("__nb").cast("long").alias("n_b"),
         )
     )
+
+def _q_label(q: float) -> str:
+    """Column label for quantile ``q``: the decimal rendering with ``.``
+    replaced by ``_`` (0.5 → ``q_0_5``, 0.99 → ``q_0_99``). ``repr`` keeps
+    the shortest round-trip form; quantiles small enough that repr goes
+    scientific (< 1e-4) are re-rendered as plain positional decimals so
+    the label never contains ``e``/``-`` (0.00001 → ``q_0_00001``, not
+    ``q_1e-05``)."""
+    s = repr(float(q))
+    if "e" in s or "E" in s:
+        s = format(float(q), ".17f").rstrip("0")
+        if s.endswith("."):
+            s += "0"
+    return "q_" + s.replace(".", "_")
+
 
 def exact_order_statistics(
     df: DataFrame,
@@ -659,7 +690,7 @@ def exact_order_statistics(
     with_mx = ranked.crossJoin(F.broadcast(mx))
     aggs = [F.max("__n").alias("n_rows")]
     for q in quantiles:
-        label = "q_" + str(float(q)).replace(".", "_")
+        label = _q_label(q)
         target = F.floor(F.lit(float(q)) * F.col("__mx").cast("double")).cast(
             "long"
         )
@@ -702,7 +733,7 @@ def grouped_order_statistics(
     j = ranked.join(counts, group_column)
     aggs = [(F.max("__mx") + 1).cast("long").alias("n_rows")]
     for q in quantiles:
-        label = "q_" + str(float(q)).replace(".", "_")
+        label = _q_label(q)
         target = F.floor(F.lit(float(q)) * F.col("__mx").cast("double")).cast(
             "long"
         )
@@ -842,18 +873,9 @@ def drift_ks_by_group(
         mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
         t = t.join(F.broadcast(mm)).select(
             "__g",
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor(
-                        (F.col("__v") - F.col("__lo"))
-                        * bins
-                        / (F.col("__hi") - F.col("__lo"))
-                    ).cast("int"),
-                )
-            )
-            .alias("__v"),
+            equal_width_bin(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), bins
+            ).alias("__v"),
         )
     ga = t.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__ca"))
     tot = ga.groupBy("__v").agg(F.sum("__ca").alias("__ct"))
@@ -882,10 +904,12 @@ def drift_ks_by_group(
         c.join(n, "__g")
         .groupBy(F.col("__g").alias(group_column), "__na", "__nb")
         .agg(
+            # DECIMAL(38,0) cross products — same int64-overflow guard as
+            # drift_ks; the final long cast fails loudly past int64 range
             F.max(
                 F.abs(
-                    F.col("__cwa") * F.col("__nb")
-                    - F.col("__cwb") * F.col("__na")
+                    F.col("__cwa").cast("decimal(38,0)") * F.col("__nb")
+                    - F.col("__cwb").cast("decimal(38,0)") * F.col("__na")
                 )
             )
             .cast("long")

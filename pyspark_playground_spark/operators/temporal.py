@@ -710,13 +710,20 @@ def ewma(
     ``tiebreak_column`` whenever ``ts`` can repeat within a key, or the
     order (and thus the floats) is not total.
 
+    NULL values are dropped BEFORE the recursion — the smoothed series is
+    defined over the key's non-null observations in event order. Without
+    the filter, the three evaluation paths silently disagree (pandas
+    ``ewm`` skips NaN carrying the state forward, a Python float fold
+    propagates NaN, DuckDB ``list_reduce`` propagates NULL), breaking the
+    bit-identical contract.
+
     Returns the input key/ts/tiebreak/value columns plus ``output_column``.
     """
     import pandas as pd  # noqa: F401 — imported for the UDF closure
 
     order = [ts_column] + ([tiebreak_column] if tiebreak_column else [])
     cols = [key_column, *order, value_column]
-    src = df.select(*cols)
+    src = df.select(*cols).filter(F.col(value_column).isNotNull())
     schema = T.StructType(
         list(src.schema.fields) + [T.StructField(output_column, T.DoubleType())]
     )
@@ -760,12 +767,14 @@ def holt_smoothing(
     freshly computed field sequentially, silently changing the recursion
     — discovered by probing; the list encoding has no such quirk.)
 
-    Forecast h steps ahead = ``level + h·trend``. Returns the input
-    columns plus ``level_column``/``trend_column`` per row.
+    Forecast h steps ahead = ``level + h·trend``. NULL values are dropped
+    before the recursion (same policy and rationale as :func:`ewma`).
+    Returns the input columns plus ``level_column``/``trend_column`` per
+    row.
     """
     order = [ts_column] + ([tiebreak_column] if tiebreak_column else [])
     cols = [key_column, *order, value_column]
-    src = df.select(*cols)
+    src = df.select(*cols).filter(F.col(value_column).isNotNull())
     schema = T.StructType(
         list(src.schema.fields)
         + [

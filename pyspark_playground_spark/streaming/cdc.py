@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pyspark_playground_spark.conventions import DataVaultConventions
+from pyspark_playground_spark.operators.profiling import equal_width_bin
 
 CONV = DataVaultConventions()
 
@@ -651,8 +652,10 @@ def windowed_value_bins(
     edges (drift monitoring needs a FIXED binning — a per-batch min/max
     would silently re-bin every window); it joins in as a broadcast
     stream-static cross join. Values outside [lo, hi] clamp into the
-    edge bins. The bin expression is drift_psi/drift_ks's deterministic
-    ``floor((v−lo)·bins/(hi−lo))``.
+    edge bins. The bin expression is the SAME shared
+    ``profiling.equal_width_bin`` the batch drift operators use
+    (double-arithmetic ``floor((v−lo)·bins/(hi−lo))``, both edges
+    clamped), so stream partials are comparable against batch baselines.
 
     Returns ``(window_start, window_end, bin, n)``.
     """
@@ -661,21 +664,9 @@ def windowed_value_bins(
         df = df.withWatermark(ts_column, watermark)
     binned = df.join(F.broadcast(bounds)).select(
         F.col(ts_column).alias("__ts"),
-        F.when(F.col("hi") == F.col("lo"), F.lit(0))
-        .otherwise(
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor(
-                        (F.col(value_column) - F.col("lo"))
-                        * bins
-                        / (F.col("hi") - F.col("lo"))
-                    ).cast("int"),
-                ),
-            )
-        )
-        .alias("bin"),
+        equal_width_bin(
+            F.col(value_column), F.col("lo"), F.col("hi"), bins, clamp_low=True
+        ).alias("bin"),
     )
     return (
         binned.groupBy(
@@ -717,7 +708,9 @@ def psi_vs_baseline(
     # both frames are bounded (windows x bins rows) and feed several
     # consumers each — persist so a computed-partials input (the batch
     # twin) isn't re-aggregated per consumer; a sink-table input just
-    # caches a small scan
+    # caches a small scan. Bounded, but pinned until LRU eviction or
+    # spark.catalog.clearCache() — fine for a monitor loop whose cached
+    # footprint is windows x bins rows per invocation.
     bin_counts = bin_counts.persist()
     wins = bin_counts.select("window_start", "window_end").distinct()
     universe = wins.select(
@@ -842,9 +835,12 @@ def ks_vs_baseline(
         c.join(F.broadcast(totals), ["window_start", "window_end"])
         .groupBy("window_start", "window_end", "__nw", "__nb")
         .agg(
+            # DECIMAL(38,0) cross products — profiling.drift_ks's int64
+            # guard; the final long cast fails loudly past int64 range
             F.max(
                 F.abs(
-                    F.col("__cw") * F.col("__nb") - F.col("__cb") * F.col("__nw")
+                    F.col("__cw").cast("decimal(38,0)") * F.col("__nb")
+                    - F.col("__cb").cast("decimal(38,0)") * F.col("__nw")
                 )
             )
             .cast("long")

@@ -192,6 +192,29 @@ def test_drift_ks_binned_bounds_and_edges(spark):
     assert z["ks_numerator"] == 0
 
 
+def test_drift_binning_wide_integer_domain_no_overflow(spark):
+    """An int32 domain spanning ±2·10⁹ overflows the naive integer
+    ``(v−lo)·bins`` under ANSI mode (ARITHMETIC_OVERFLOW) — the shared
+    equal_width_bin helper computes in doubles, so binned drift over wide
+    integer columns must simply work, with min→bin 0 and max→bin top."""
+    lo, hi = -2_000_000_000, 2_000_000_000
+    a = [lo, lo + 7, lo + 11, 0]
+    b = [hi, hi - 5, 0, 1_500_000_000]
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v int, is_a boolean")
+    got = pf.drift_ks(
+        df, value_column="v", cohort_column="is_a", bins=8
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (4, 4)
+    # cohorts concentrate at opposite edges: near-total separation —
+    # bins: a -> {0, 4}, b -> {4, 7}; worst gap is 3·4 − 0·4 = 12
+    assert got["ks_numerator"] == 12
+    psi = pf.drift_psi(
+        df, value_column="v", cohort_column="is_a", bins=8
+    ).collect()[0]
+    assert psi["psi"] > 0 and psi["n_bins"] <= 8
+
+
 def test_drift_psi_matches_python_reference(spark):
     import math
 

@@ -416,6 +416,37 @@ def test_ewma_single_row_groups_pass_through(spark):
     assert out == {"a": 5.0, "b": -3.0}
 
 
+def test_ewma_and_holt_drop_null_values(spark):
+    """NULL values are excluded before the recursion — the output equals
+    the fold over the non-null subsequence (without the filter pandas'
+    NaN-skip, a NaN-propagating fold, and DuckDB's NULL-propagating
+    list_reduce all disagree)."""
+    rows = [("u", 1, 10.0), ("u", 2, None), ("u", 3, 30.0), ("u", 4, None)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = {
+        r.i: r.ewma
+        for r in tp.ewma(
+            df, key_column="k", ts_column="i", value_column="v", alpha=0.5
+        ).collect()
+    }
+    assert out == {1: 10.0, 3: 0.5 * 30.0 + 0.5 * 10.0}  # null rows gone
+    hout = {
+        r.i: (r.level, r.trend)
+        for r in tp.holt_smoothing(
+            df,
+            key_column="k",
+            ts_column="i",
+            value_column="v",
+            alpha=0.5,
+            beta=0.5,
+        ).collect()
+    }
+    assert set(hout) == {1, 3}
+    assert hout[1] == (10.0, 0.0)
+    ln = 0.5 * 30.0 + 0.5 * (10.0 + 0.0)
+    assert hout[3] == (ln, 0.5 * (ln - 10.0) + 0.5 * 0.0)
+
+
 def test_holt_bit_equals_python_fold(spark):
     import numpy as np
 
