@@ -23,7 +23,7 @@ data; at 100 TB always go through LSH banding instead.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_playground_spark.operators.text import tokens_expr
@@ -1067,6 +1067,86 @@ def span_duplication_stats(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Extract the MAXIMAL duplicated regions per document — the spans a
+    training-data pipeline would actually cut (Lee et al.'s ExactSubstr
+    remediation step; :func:`span_duplication_stats` reports the per-doc
+    ratios, this returns the intervals).
+
+    A (1-based) position's window is the ``min_tokens``-gram starting
+    there; a window is duplicated if the identical token run occurs
+    anywhere else in the corpus (keyed by md5 of the token run — the
+    repo-wide identity convention, 2⁻⁶⁴-collision-exact). Guarantees:
+    every duplicated substring of ≥ ``min_tokens`` tokens lies inside a
+    reported span, and every reported token is covered by some duplicated
+    window. Overlapping/adjacent duplicated windows merge into disjoint
+    maximal intervals (uniform window length makes the classic island
+    rule exact: same island iff start_gap ≤ ``min_tokens``).
+
+    Plan: stride-1 window census (map-side combined groupBy on a 16-byte
+    digest), a semi join marking duplicated positions (shuffle on the
+    digest), then ONE per-document window (partitioned by doc id — frame
+    bounded by document length, never corpus-sized) for the island merge.
+    O(total tokens) rows through two key shuffles, fully partitioned —
+    the distributed shape of the single-machine suffix-array recipe.
+
+    Returns ``(id, span_start, span_end, span_tokens, n_dup_windows)``
+    with 1-based inclusive token positions.
+    """
+    k = min_tokens
+    toks = df.select(
+        F.col(id_column).alias("id"), tokens_expr(text_column).alias("__t")
+    )
+    wins = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(CASE WHEN size(__t) >= {k}"
+                f" THEN sequence(1, size(__t) - {k} + 1)"
+                f" ELSE CAST(array() AS ARRAY<INT>) END,"
+                f" i -> md5(array_join(slice(__t, i, {k}), ' ')))"
+            )
+        ).alias("__i", "__wh"),
+    ).select("id", (F.col("__i") + 1).alias("__pos"), "__wh")
+    dup = (
+        wins.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    hits = wins.join(dup.select("__wh"), "__wh", "left_semi")
+    w = Window.partitionBy("id").orderBy("__pos")
+    brk = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("id", "__isl")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + k - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_windows",
+        )
+    )
+
+
 def prefix_filter_jaccard_join(
     df: DataFrame,
     id_column: str = "doc_id",
@@ -1102,9 +1182,9 @@ def prefix_filter_jaccard_join(
        a qualifying pair must satisfy ``bound ≥ t·(sa+sb)/(1+t)``, so
        dropping occurrences that fail it keeps every qualifying pair
        (non-first occurrences that sneak past the bound merely add
-       candidates). The comparison carries a 1e-9 slack so float edges
-       only ever ADMIT extras — exactness rests on the verify, never on
-       the filter arithmetic.
+       candidates). Every float comparison in steps 2–4 carries a 1e-6
+       slack so float edges only ever ADMIT extras — exactness rests on
+       the verify, never on the filter arithmetic.
     5. **Exact verify** — Jaccard via array_intersect/union on candidate
        pairs only.
 
@@ -1118,6 +1198,10 @@ def prefix_filter_jaccard_join(
     # feeds three consumers (census, re-sort, verify), and a single-file
     # input would otherwise shingle the whole corpus on one core, three
     # times (measured 31.7 s → 13.4 s at sf0.1 for this block alone).
+    # The persisted frame is DATA-SIZED and stays pinned after the result
+    # materializes (a lazy return can't unpersist eagerly) — long-lived
+    # sessions calling this repeatedly should unpersist via
+    # spark.catalog.clearCache() or rely on LRU eviction.
     par = df.sparkSession.sparkContext.defaultParallelism
     sets = (
         df.select(F.col(id_column).alias("__id"), F.col(text_column))
@@ -1142,8 +1226,17 @@ def prefix_filter_jaccard_join(
             ).alias("__sorted")
         )
     )
+    # Every float comparison below carries a 1e-6 slack pushing the edge
+    # toward ADMITTING extras: fl(t)·s can overshoot the exact rational
+    # t·s by a few ulp (e.g. fl(0.07)·100 = 7.000000000000001, whose
+    # unslacked ceil shortens the prefix and the length filter rejects
+    # sb = 7 — silently dropping a J-exactly-t pair). 1e-6 dominates the
+    # ~2-ulp error for set sizes up to ~10^9 while never admitting a
+    # genuinely sub-threshold SIZE CLASS (it can admit extra candidate
+    # pairs, which the exact verify discards). Exactness must never rest
+    # on the filter arithmetic.
     s = F.size("__sorted")
-    p = (s - F.ceil(F.lit(threshold) * s) + 1).cast("int")
+    p = (s - F.ceil(F.lit(threshold) * s - F.lit(1e-6)) + 1).cast("int")
     pre = ordered.select(
         F.col("__id"),
         s.alias("__s"),
@@ -1178,10 +1271,10 @@ def prefix_filter_jaccard_join(
         a.join(b, "__tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            (F.col("__sb") >= F.lit(threshold) * F.col("__sa"))
-            & (F.col("__sa") >= F.lit(threshold) * F.col("__sb"))
+            (F.col("__sb") >= F.lit(threshold) * F.col("__sa") - F.lit(1e-6))
+            & (F.col("__sa") >= F.lit(threshold) * F.col("__sb") - F.lit(1e-6))
         )
-        .filter(ubound >= alpha - F.lit(1e-9))
+        .filter(ubound >= alpha - F.lit(1e-6))
         .select("id_a", "id_b")
         .distinct()
     )

@@ -5745,6 +5745,53 @@ def span_duplication_documents(spark, sf_dir):
 
 
 @query(
+    "duplicated_spans_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_TOKS} AS tk FROM documents
+    ), w AS (
+      SELECT id, CAST(u.i AS INT) AS pos,
+             md5(array_to_string(tk[u.i : u.i + 7], ' ')) AS wh
+      FROM t, unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8
+    ), d AS (
+      SELECT wh FROM w GROUP BY wh HAVING count(*) > 1
+    ), h AS (
+      SELECT w.id, w.pos FROM w JOIN d ON w.wh = d.wh
+    ), m AS (
+      SELECT id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM h
+    ), isl AS (
+      SELECT id, pos,
+             sum(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+      FROM m
+    )
+    SELECT id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_windows
+    FROM isl GROUP BY id, isl
+    """,
+)
+def duplicated_spans_documents(spark, sf_dir):
+    """Maximal duplicated-region extraction (operators/dedup.py
+    duplicated_spans, 8-token windows) — the spans Lee et al.'s
+    ExactSubstr remediation would cut, as disjoint per-doc intervals:
+    stride-1 window census on a 16-byte digest, duplicated-position semi
+    join, then a per-document island merge whose window frame is bounded
+    by document length. O(total tokens) through two key shuffles."""
+    from pyspark_playground_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.duplicated_spans(docs, min_tokens=8)
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

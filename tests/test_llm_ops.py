@@ -594,6 +594,47 @@ def test_span_duplication_within_doc_repeat(spark):
     assert r.dup_ppm == 1_000_000
 
 
+def test_duplicated_spans_exact_intervals(spark):
+    from pyspark_playground_spark.operators.dedup import duplicated_spans
+
+    shared = "a b c d e"  # 5 tokens shared between docs 1 and 2
+    docs = [
+        (1, f"p q {shared} r s"),          # shared at tokens 3..7 of 9
+        (2, f"{shared} t u v w"),          # shared at tokens 1..5 of 9
+        (3, "m n o completely different"), # no duplicated window
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r.id, r.span_start): r
+        for r in duplicated_spans(df, min_tokens=5).collect()
+    }
+    # only one duplicated 5-window per doc -> one span each, exactly the
+    # shared region (1-based inclusive)
+    assert set(out) == {(1, 3), (2, 1)}
+    assert (out[(1, 3)].span_end, out[(1, 3)].span_tokens) == (7, 5)
+    assert (out[(2, 1)].span_end, out[(2, 1)].span_tokens) == (5, 5)
+    assert out[(1, 3)].n_dup_windows == 1
+
+
+def test_duplicated_spans_island_merge(spark):
+    from pyspark_playground_spark.operators.dedup import duplicated_spans
+
+    # doc 1 repeats a 6-token run twice with a unique separator; doc 2
+    # carries the same run once — doc 1 reports TWO disjoint spans (the
+    # separator breaks the island), doc 2 one
+    run = "k1 k2 k3 k4 k5 k6"
+    df = spark.createDataFrame(
+        [(1, f"{run} sep1 sep2 sep3 sep4 sep5 sep6 sep7 {run}"),
+         (2, f"z1 z2 {run}")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, min_tokens=6).collect()
+    )
+    assert out == [(1, 1, 6), (1, 14, 19), (2, 3, 8)]
+
+
 def test_grouped_packing_streams_are_independent(spark):
     from pyspark_playground_spark.operators.packing import (
         assign_grouped_sequence_offsets,
@@ -738,6 +779,27 @@ def test_prefix_filter_jaccard_exact_recall_vs_brute_force(spark):
         }
         assert fast == brute, (t, set(brute) ^ set(fast))
         assert brute, t  # the corpus genuinely produces pairs
+
+
+def test_prefix_filter_jaccard_float_ceil_boundary(spark):
+    """fl(0.07)·100 = 7.000000000000001 — without slack the ceil
+    over-shortens the prefix (and empties the small side's entirely:
+    7 − 8 + 1 = 0) and the length filter rejects sb = 7, silently
+    dropping a pair whose exact Jaccard EQUALS the threshold. The 1e-6
+    slack must recover it."""
+    shared = [f"s{i}" for i in range(7)]
+    filler = [f"f{i}" for i in range(93)]
+    df = spark.createDataFrame(
+        [(1, " ".join(filler + shared)), (2, " ".join(shared))],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.prefix_filter_jaccard_join(
+            df, shingle_size=1, threshold=0.07
+        ).collect()
+    }
+    assert out == {(1, 2): 0.07}
 
 
 def test_prefix_filter_jaccard_identical_and_disjoint(spark):
