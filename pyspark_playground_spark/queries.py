@@ -6757,6 +6757,58 @@ def windowed_ks_events(spark, sf_dir):
 
 
 @query(
+    "attribution_interval_join_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM e WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id, v.user_id, v.view_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+    """,
+)
+def attribution_interval_join_events(spark, sf_dir):
+    """Attribution via the stream-stream interval join primitive
+    (streaming/cdc.py interval_join): every purchase within 2 h after a
+    view by the same user. The batch twin of the watermarked streaming
+    join (state bounded by the two-sided range condition;
+    stream == batch pinned by test_interval_join_stream_equals_batch);
+    at scale the plan is a symmetric hash join shuffled on user_id —
+    no broadcast, no cartesian."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return stc.interval_join(
+        views,
+        buys,
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="2 hours",
+    )
+
+
+@query(
     "exact_order_stats_orders",
     """
     WITH r AS (

@@ -938,3 +938,61 @@ def cvm_vs_baseline(
             ),
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream INTERVAL join: inner join on equality keys plus the
+    time-range condition ``right_ts ∈ [left_ts + lower, left_ts + upper]``
+    — the attribution / conversion-matching primitive (impressions ⋈
+    clicks within N minutes, views ⋈ purchases within an hour).
+
+    Streaming-legal by construction: with ``watermark`` set, BOTH sides
+    are watermarked on their event-time columns, and the two-sided range
+    condition is exactly what Structured Streaming requires to bound
+    stream-stream join state — each side's buffered rows expire once the
+    other side's watermark passes their reach, so state is
+    O(key cardinality x window span x arrival rate), never unbounded.
+    The identical plan runs on static frames (the batch twin the oracle
+    verifies; test_interval_join_stream_equals_batch pins
+    stream == batch).
+
+    At 100 TB the equi-key part shuffles both sides on the join keys
+    (state is partitioned by key); there is no broadcast and no
+    cartesian — Spark plans this as a streaming symmetric hash join keyed
+    on ``on`` with the range predicate as a post-filter plus state
+    watermark eviction.
+
+    The two inputs must have disjoint column names apart from the join
+    keys (rename upstream); the output carries the left columns plus the
+    right side's non-key columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lf, rf = left, right
+    if watermark is not None:
+        lf = lf.withWatermark(left_ts, watermark)
+        rf = rf.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = lf[k] == rf[k]
+        cond = c if cond is None else cond & c
+    lo = F.expr(f"INTERVAL {lower}")
+    hi = F.expr(f"INTERVAL {upper}")
+    cond = (
+        cond
+        & (rf[right_ts] >= lf[left_ts] + lo)
+        & (rf[right_ts] <= lf[left_ts] + hi)
+    )
+    out = lf.join(rf, cond, "inner")
+    for k in keys:
+        out = out.drop(rf[k])
+    return out

@@ -703,3 +703,60 @@ def test_cvm_vs_baseline_matches_python(spark, tmpdir):
     assert int(out[w11].cvm_numerator_s) == py_cvm_numerator(
         {0: 1, 3: 2}, base_counts, 4
     )
+
+
+def test_interval_join_stream_equals_batch(spark, tmpdir):
+    """Watermarked stream-stream interval join == the identical plan on
+    static frames: purchases within 30 min after a view by the same user,
+    across two micro-batches per side."""
+    vschema = "view_id long, user_id long, view_ts timestamp"
+    pschema = "purchase_id long, user_id long, purchase_ts timestamp, amount double"
+    vsrc, psrc = f"{tmpdir}/ij_views", f"{tmpdir}/ij_buys"
+
+    def m(mins):
+        return datetime(2026, 5, 1, 10 + mins // 60, mins % 60)
+
+    spark.createDataFrame(
+        [(1, 7, m(0)), (2, 7, m(50)), (3, 8, m(5))], vschema
+    ).coalesce(1).write.mode("append").parquet(vsrc)
+    spark.createDataFrame(
+        [(101, 7, m(10), 5.0), (102, 8, m(40), 9.0)], pschema
+    ).coalesce(1).write.mode("append").parquet(psrc)
+    time.sleep(1.1)
+    spark.createDataFrame([(4, 9, m(70))], vschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(vsrc)
+    spark.createDataFrame(
+        [(103, 7, m(65), 2.0), (104, 9, m(75), 4.0)], pschema
+    ).coalesce(1).write.mode("append").parquet(psrc)
+
+    vs = spark.readStream.schema(spark.read.parquet(vsrc).schema).parquet(vsrc)
+    ps = spark.readStream.schema(spark.read.parquet(psrc).schema).parquet(psrc)
+    out = st.interval_join(
+        vs, ps, on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="30 minutes", watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ij_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_ij")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ij_stream").collect()
+    }
+    twin = st.interval_join(
+        spark.read.parquet(vsrc), spark.read.parquet(psrc),
+        on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="30 minutes",
+    )
+    batch = {(r.view_id, r.purchase_id) for r in twin.collect()}
+    # v1@0 -> p101@10 (in), p103@65 (out: >30m); v2@50 -> p103@65 (in);
+    # v3@5 -> p102@40 (out: 35m); v4@70 -> p104@75 (in)
+    assert got == batch == {(1, 101), (2, 103), (4, 104)}
+    # output column contract: left columns + right non-key columns, one user_id
+    assert twin.columns == [
+        "view_id", "user_id", "view_ts", "purchase_id", "purchase_ts", "amount"
+    ]
