@@ -519,6 +519,112 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    logp_decimals: int = 7,
+) -> DataFrame:
+    """Average token log-likelihood under the corpus's own BIGRAM LM —
+    one order up from :func:`unigram_logprob_scores` and the closest
+    column-expression stand-in for the KenLM perplexity filters public
+    corpus pipelines use (CCNet / Gopher): a document whose TRANSITIONS
+    are unusual (word salad, shuffled boilerplate, wrong-language spans)
+    scores low even when each token is individually common — exactly what
+    the unigram score cannot see.
+
+    Scoring (stupid backoff, Brants et al. '07): the first token pays the
+    unigram cost ``ln(c1(w1)/total)``; every following token pays the
+    conditional ``ln(c2(w_{i-1}, w_i) / c1(w_{i-1}))``. Because the
+    corpus scores ITSELF, every bigram being scored was counted (c2 ≥ 1)
+    and the backoff branch is provably dead — the expression stays
+    join-only, no conditional.
+
+    Cross-engine determinism: the unigram recipe — each term's ln is
+    rounded to ``logp_decimals`` and summed in exact DECIMAL (order-free),
+    one double division at the end.
+
+    Plan at 100 TB: bigrams come from the token ARRAY (zip of two slices
+    — no self-join, no window); one bigram census + one unigram census
+    (both map-side combined), two equi-joins to attach counts (skew
+    bounded by the hottest transition; broadcast the LM when the
+    vocabulary is capped), ``total`` on a broadcast one-row cross join,
+    one per-doc aggregation. Empty documents are absent from the output
+    (nothing to score), matching the unigram operator.
+
+    Returns ``(id, n_tokens, sum_logprob, avg_logprob)``.
+    """
+    base = df.select(
+        F.col(id_column), tokens_expr(text_column).alias("__t")
+    ).filter(F.size("__t") > 0)
+    uni = base.select(id_column, F.explode("__t").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("__c1"))
+    total = c1.agg(F.sum("__c1").alias("__total"))
+    first = base.select(
+        id_column, F.col("__t").getItem(0).alias("term")
+    )
+    first_terms = (
+        first.join(c1, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_column,
+            F.round(
+                F.log(
+                    F.col("__c1").cast("double")
+                    / F.col("__total").cast("double")
+                ),
+                logp_decimals,
+            )
+            .cast("decimal(28,9)")
+            .alias("__lp"),
+        )
+    )
+    bi = base.filter(F.size("__t") >= 2).select(
+        id_column,
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, F.size("__t") - 1).alias("prev"),
+                F.slice("__t", 2, F.size("__t") - 1).alias("cur"),
+            )
+        ).alias("__bg"),
+    ).select(id_column, F.col("__bg.prev").alias("prev"), F.col("__bg.cur").alias("cur"))
+    c2 = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__c2"))
+    bi_terms = (
+        bi.join(c2, ["prev", "cur"])
+        .join(c1.withColumnRenamed("term", "prev"), "prev")
+        .select(
+            id_column,
+            F.round(
+                F.log(
+                    F.col("__c2").cast("double") / F.col("__c1").cast("double")
+                ),
+                logp_decimals,
+            )
+            .cast("decimal(28,9)")
+            .alias("__lp"),
+        )
+    )
+    return (
+        first_terms.unionByName(bi_terms)
+        .groupBy(id_column)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lp").alias("sum_logprob"),
+        )
+        .select(
+            id_column,
+            "n_tokens",
+            # exact decimal — render THIS cross-engine; the double below
+            # is for human consumption
+            "sum_logprob",
+            (F.col("sum_logprob").cast("double") / F.col("n_tokens")).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def c4_style_filter(
     df: DataFrame,
     text_column: str = "text",

@@ -2320,6 +2320,55 @@ def unigram_logprob_documents(spark, sf_dir):
     )
 
 
+@query(
+    "bigram_logprob_documents",
+    f"""
+    WITH t AS (
+      SELECT * FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+      WHERE len(tk) > 0
+    ), toks AS (
+      SELECT doc_id, unnest(tk) AS term FROM t
+    ), c1 AS (
+      SELECT term, count(*) AS c1 FROM toks GROUP BY term
+    ), tot AS (SELECT sum(c1) AS total FROM c1),
+    ft AS (
+      SELECT f.doc_id,
+             CAST(round(ln(CAST(c1.c1 AS DOUBLE) / CAST(tot.total AS DOUBLE)),
+                        7) AS DECIMAL(28,9)) AS lp
+      FROM (SELECT doc_id, tk[1] AS term FROM t) f
+      JOIN c1 USING (term) CROSS JOIN tot
+    ), bi AS (
+      SELECT doc_id, tk[u.i - 1] AS prev, tk[u.i] AS cur
+      FROM t, unnest(range(2, len(tk) + 1)) AS u(i)
+    ), c2 AS (
+      SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY prev, cur
+    ), bt AS (
+      SELECT bi.doc_id,
+             CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)), 7)
+                  AS DECIMAL(28,9)) AS lp
+      FROM bi JOIN c2 USING (prev, cur) JOIN c1 ON bi.prev = c1.term
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(lp) AS VARCHAR) AS sum_logprob_s
+    FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_documents(spark, sf_dir):
+    """Bigram-LM quality score (text.py bigram_logprob_scores) — the
+    transition-level perplexity proxy (stupid backoff, self-scored so
+    the backoff branch is dead): first token pays the unigram cost,
+    every next token pays ln(c2/c1). Same determinism recipe as the
+    unigram entry: rounded lns summed in exact DECIMAL, rendered as the
+    exact sum."""
+    docs = load(spark, sf_dir, "documents")
+    out = tx.bigram_logprob_scores(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("sum_logprob").cast("string").alias("sum_logprob_s"),
+    )
+
+
 @query("bpe_tokenize_documents")
 def bpe_tokenize_documents(spark, sf_dir):
     """End-to-end BPE tokenizer pipeline: TRAIN 20 merges on the corpus

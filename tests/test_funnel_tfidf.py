@@ -91,6 +91,36 @@ def test_unigram_logprob_hand_example(spark):
     assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
 
 
+def test_bigram_logprob_hand_example(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in tx.bigram_logprob_scores(docs).collect()
+    }
+    # c1: a=4 b=2 (total 6); c2: (a,b)=2 (b,a)=1 (a,a)=1
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 2
+    d1 = math.log(4 / 6) + math.log(2 / 4) + math.log(1 / 2) + math.log(2 / 4)
+    d2 = math.log(4 / 6) + math.log(1 / 4)
+    assert abs(got[1]["avg_logprob"] - d1 / 4) < 1e-6
+    assert abs(got[2]["avg_logprob"] - d2 / 2) < 1e-6
+
+
+def test_bigram_logprob_sees_transposition_unigram_cannot(spark):
+    """Two documents with IDENTICAL token multisets — one natural, one
+    shuffled — tie under the unigram LM but the shuffled one must score
+    lower under the bigram LM (its transitions are rarer in the corpus)."""
+    natural = "the cat sat on the mat"
+    rows = [(i, natural) for i in range(1, 6)] + [(9, "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    uni = {r["doc_id"]: r["avg_logprob"]
+           for r in tx.unigram_logprob_scores(docs).collect()}
+    bi = {r["doc_id"]: r["avg_logprob"]
+          for r in tx.bigram_logprob_scores(docs).collect()}
+    assert abs(uni[9] - uni[1]) < 1e-12       # unigram: indistinguishable
+    assert bi[9] < bi[1] - 0.1                # bigram: clearly flagged
+
+
 def test_zipf_slope_synthetic_power_law(spark):
     """A corpus whose token frequencies follow f(r) = C / r exactly must
     regress to slope ~= -1."""
