@@ -6858,6 +6858,58 @@ def attribution_interval_join_events(spark, sf_dir):
 
 
 @query(
+    "attribution_left_outer_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM e WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id, v.user_id, v.view_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+    """,
+)
+def attribution_left_outer_events(spark, sf_dir):
+    """Left-outer flavor of the interval join: every view keeps a row,
+    converted or not (NULL purchase columns when no purchase follows
+    within 2 h). In streaming, unmatched views are emitted once the
+    purchase-side watermark passes their reach —
+    test_interval_join_left_outer_stream_emits_unmatched pins the
+    stream == batch end state including the sentinel-flushed tail."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return stc.interval_join(
+        views,
+        buys,
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        lower="0 seconds",
+        upper="2 hours",
+        how="left_outer",
+    )
+
+
+@query(
     "exact_order_stats_orders",
     """
     WITH r AS (

@@ -950,11 +950,20 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INTERVAL join: inner join on equality keys plus the
+    """Stream-stream INTERVAL join: join on equality keys plus the
     time-range condition ``right_ts ∈ [left_ts + lower, left_ts + upper]``
     — the attribution / conversion-matching primitive (impressions ⋈
     clicks within N minutes, views ⋈ purchases within an hour).
+
+    ``how`` may be ``"inner"`` (default) or ``"left_outer"`` — the outer
+    flavor keeps unmatched left rows with NULL right columns (views that
+    never converted). Streaming outer semantics: an unmatched left row is
+    emitted only once the RIGHT watermark has passed its reach (the
+    engine must prove no future match can arrive), so tail rows of a
+    bounded run stay buffered unless a later event advances the
+    watermark — the test pins this with a sentinel flush event.
 
     Streaming-legal by construction: with ``watermark`` set, BOTH sides
     are watermarked on their event-time columns, and the two-sided range
@@ -978,12 +987,20 @@ def interval_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     lf, rf = left, right
+    # rename the right-side keys BEFORE the join: when both sides derive
+    # from the same scan (a self-join, e.g. two event-type slices of one
+    # table), dataframe-qualified references like rf[k] can resolve to the
+    # LEFT side after plan dedup — silently keeping the nullable right key
+    # in an outer join. Unique names make every reference and the final
+    # drop unambiguous.
+    for k in keys:
+        rf = rf.withColumnRenamed(k, f"__r_{k}")
     if watermark is not None:
         lf = lf.withWatermark(left_ts, watermark)
         rf = rf.withWatermark(right_ts, watermark)
     cond = None
     for k in keys:
-        c = lf[k] == rf[k]
+        c = lf[k] == rf[f"__r_{k}"]
         cond = c if cond is None else cond & c
     lo = F.expr(f"INTERVAL {lower}")
     hi = F.expr(f"INTERVAL {upper}")
@@ -992,7 +1009,5 @@ def interval_join(
         & (rf[right_ts] >= lf[left_ts] + lo)
         & (rf[right_ts] <= lf[left_ts] + hi)
     )
-    out = lf.join(rf, cond, "inner")
-    for k in keys:
-        out = out.drop(rf[k])
-    return out
+    out = lf.join(rf, cond, how)
+    return out.drop(*[f"__r_{k}" for k in keys])

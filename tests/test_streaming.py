@@ -760,3 +760,63 @@ def test_interval_join_stream_equals_batch(spark, tmpdir):
     assert twin.columns == [
         "view_id", "user_id", "view_ts", "purchase_id", "purchase_ts", "amount"
     ]
+
+
+def test_interval_join_left_outer_stream_emits_unmatched(spark, tmpdir):
+    """left_outer interval join on streams: unmatched views surface with
+    NULL purchase columns once the right watermark passes their reach
+    (forced here by a late sentinel event), and the surviving rows equal
+    the static left-join twin."""
+    vschema = "view_id long, user_id long, view_ts timestamp"
+    pschema = "purchase_id long, user_id long, purchase_ts timestamp"
+    vsrc, psrc = f"{tmpdir}/oj_views", f"{tmpdir}/oj_buys"
+
+    spark.createDataFrame(
+        [(1, 7, datetime(2026, 5, 1, 10, 0)),
+         (2, 8, datetime(2026, 5, 1, 10, 5))], vschema
+    ).coalesce(1).write.mode("append").parquet(vsrc)
+    spark.createDataFrame(
+        [(101, 7, datetime(2026, 5, 1, 10, 10))], pschema
+    ).coalesce(1).write.mode("append").parquet(psrc)
+    time.sleep(1.1)
+    # sentinel flush: a far-future event on BOTH sides advances both
+    # watermarks past every real row, forcing the engine to emit the
+    # unmatched view (user 8) instead of holding it as maybe-matchable
+    flush = datetime(2026, 5, 2, 12, 0)
+    spark.createDataFrame([(999, 999, flush)], vschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(vsrc)
+    spark.createDataFrame([(999, 999, flush)], pschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+
+    vs = spark.readStream.schema(spark.read.parquet(vsrc).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(vsrc)
+    ps = spark.readStream.schema(spark.read.parquet(psrc).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(psrc)
+    out = st.interval_join(
+        vs, ps, on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="30 minutes", watermark="1 minute",
+        how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("oj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_oj")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql(
+            "SELECT * FROM oj_stream WHERE view_id <> 999"
+        ).collect()
+    }
+    twin = st.interval_join(
+        spark.read.parquet(vsrc).where("view_id <> 999"),
+        spark.read.parquet(psrc).where("purchase_id <> 999"),
+        on="user_id", left_ts="view_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="30 minutes", how="left_outer",
+    )
+    batch = {(r.view_id, r.purchase_id) for r in twin.collect()}
+    assert got == batch == {(1, 101), (2, None)}
