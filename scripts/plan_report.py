@@ -70,6 +70,10 @@ HEADLINE = [
     "windowed_psi_events", "prefix_jaccard_pairs_documents",
     "windowed_ks_events", "grouped_order_stats_customers",
     "windowed_cvm_events", "cms_user_counts_events",
+    # round-4 session-4 additions
+    "duplicated_spans_documents", "attribution_interval_join_events",
+    "bigram_logprob_documents", "ks_drift_by_source_documents",
+    "dv_snapshot_at_events",
 ]
 
 
