@@ -1147,6 +1147,92 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    min_tokens: int = 8,
+    output_column: str = "clean_text",
+) -> DataFrame:
+    """Apply the ExactSubstr cut: rebuild every document with its
+    :func:`duplicated_spans` intervals removed — the remediation step of
+    Lee et al.'s training-data dedup (detect with ``duplicated_spans``,
+    cut with this).
+
+    The output text is TOKEN-NORMALIZED (lowercased, single-spaced): the
+    cut operates on the same token stream the detector hashed, which is
+    the right granularity for a pipeline whose downstream tokenizer is
+    the same — byte-exact surface preservation would need span-to-byte
+    offset mapping the whitespace tokenizer deliberately discards.
+
+    Plan: spans aggregate to ONE interval array per document (bounded by
+    spans-per-doc), attach via a single equi join on the doc id, and each
+    token tests membership with an ``exists`` over that array — no
+    token × span row fan-out. Reassembly is the repo's standard ordered
+    fold: collect (pos, token) structs, ``array_sort``, join — one
+    per-doc aggregation whose state is the document itself, exactly the
+    granularity any reconstruction must touch.
+
+    Returns ``(id, clean_text, n_tokens_kept, n_tokens_removed)`` for
+    EVERY input document (no-span docs pass through whole; empty docs
+    yield an empty string).
+    """
+    spans = duplicated_spans(
+        df, id_column=id_column, text_column=text_column, min_tokens=min_tokens
+    )
+    iv = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__iv")
+    )
+    toks = df.select(
+        F.col(id_column).alias("id"), tokens_expr(text_column).alias("__t")
+    )
+    pos = toks.select(
+        "id", F.posexplode_outer("__t").alias("__i", "__tok")
+    ).select("id", (F.col("__i") + 1).alias("__pos"), "__tok")
+    marked = pos.join(iv, "id", "left").select(
+        "id",
+        "__pos",
+        "__tok",
+        F.when(F.col("__iv").isNull(), F.lit(False))
+        .otherwise(
+            F.exists(
+                "__iv",
+                lambda s: (F.col("__pos") >= s["span_start"])
+                & (F.col("__pos") <= s["span_end"]),
+            )
+        )
+        .alias("__cut"),
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__cut") & F.col("__tok").isNotNull(),
+                                F.struct("__pos", "__tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__tok"],
+                ),
+            ).alias(output_column),
+            F.sum(
+                F.when(
+                    ~F.col("__cut") & F.col("__tok").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_tokens_kept"),
+            F.sum(F.when(F.col("__cut"), 1).otherwise(0)).alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
+
+
 def prefix_filter_jaccard_join(
     df: DataFrame,
     id_column: str = "doc_id",

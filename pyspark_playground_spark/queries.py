@@ -5841,6 +5841,67 @@ def duplicated_spans_documents(spark, sf_dir):
 
 
 @query(
+    "remove_duplicated_spans_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_TOKS} AS tk FROM documents
+    ), w AS (
+      SELECT id, CAST(u.i AS INT) AS pos,
+             md5(array_to_string(tk[u.i : u.i + 7], ' ')) AS wh
+      FROM t, unnest(range(1, len(tk) - 6)) AS u(i)
+      WHERE len(tk) >= 8
+    ), d AS (
+      SELECT wh FROM w GROUP BY wh HAVING count(*) > 1
+    ), h AS (
+      SELECT w.id, w.pos FROM w JOIN d ON w.wh = d.wh
+    ), m AS (
+      SELECT id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM h
+    ), isl AS (
+      SELECT id, pos,
+             sum(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+      FROM m
+    ), sp AS (
+      SELECT id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY id, isl
+    ), tok AS (
+      SELECT t.id, CAST(u.i AS INT) AS pos, t.tk[u.i] AS tok
+      FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+    ), kept AS (
+      SELECT tok.id,
+             array_to_string(list(tok.tok ORDER BY tok.pos), ' ') AS ct,
+             count(*) AS nk
+      FROM tok
+      WHERE NOT EXISTS (SELECT 1 FROM sp
+                        WHERE sp.id = tok.id
+                          AND tok.pos BETWEEN sp.s AND sp.e)
+      GROUP BY tok.id
+    )
+    SELECT t.id,
+           coalesce(kept.ct, '') AS clean_text,
+           CAST(coalesce(kept.nk, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(len(t.tk) - coalesce(kept.nk, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM t LEFT JOIN kept ON t.id = kept.id
+    """,
+)
+def remove_duplicated_spans_documents(spark, sf_dir):
+    """The ExactSubstr CUT (operators/dedup.py remove_duplicated_spans):
+    every document rebuilt with its duplicated_spans intervals removed —
+    token-normalized output, interval membership tested by an exists()
+    over a per-doc interval array (one equi join, no token x span
+    fan-out), reassembled with the standard ordered fold."""
+    from pyspark_playground_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    return dd.remove_duplicated_spans(docs, min_tokens=8)
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

@@ -635,6 +635,27 @@ def test_duplicated_spans_island_merge(spark):
     assert out == [(1, 1, 6), (1, 14, 19), (2, 3, 8)]
 
 
+def test_remove_duplicated_spans_cuts_exactly(spark):
+    from pyspark_playground_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "a b c d e"
+    df = spark.createDataFrame(
+        [
+            (1, f"p q {shared} r s"),
+            (2, f"{shared} t u v w"),
+            (3, "m n o completely different"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in remove_duplicated_spans(df, min_tokens=5).collect()}
+    assert out[1].clean_text == "p q r s" and out[1].n_tokens_removed == 5
+    assert out[2].clean_text == "t u v w" and out[2].n_tokens_kept == 4
+    assert out[3].clean_text == "m n o completely different"
+    assert out[3].n_tokens_removed == 0
+    assert out[4].clean_text == "" and out[4].n_tokens_kept == 0
+
+
 def test_grouped_packing_streams_are_independent(spark):
     from pyspark_playground_spark.operators.packing import (
         assign_grouped_sequence_offsets,
