@@ -635,6 +635,70 @@ def drift_cvm(
         )
     )
 
+def mutual_information(
+    df: DataFrame,
+    *,
+    x_column: str,
+    y_column: str,
+    ln_decimals: int = 7,
+) -> DataFrame:
+    """Exact mutual information (nats) between two categorical columns —
+    the feature-association / leakage detector a training pipeline runs
+    before trusting a split or a stratification key ("is ``lang``
+    predictable from ``source``?"; MI = 0 ⇔ independent, MI = min(H_x,
+    H_y) ⇔ one determines the other):
+
+    ``MI = Σ_{x,y} (c_xy/N) · ln(N·c_xy / (c_x·c_y))``
+
+    NULLs in either column are excluded (MI is defined over the joint
+    distribution of observed pairs).
+
+    Cross-engine determinism (the PSI recipe): every ratio is built from
+    exact integer counts with one double cast per factor and an identical
+    op order; the one ``ln`` per cell is rounded to ``ln_decimals``
+    before use; per-cell terms are rounded and summed in exact DECIMAL
+    (order-independent) with a single final double cast.
+
+    Plan: ONE joint-count groupBy (map-side combined; cardinality
+    bounded by |X|·|Y| observed cells), two marginal aggregations OVER
+    THE CELL FRAME (never a second input scan), two equi-joins on the
+    bounded cell frame, totals on a broadcast one-row cross join.
+
+    Returns one row ``(mi_nats, n_rows, n_cells)``.
+    """
+    t = (
+        df.select(F.col(x_column).alias("__x"), F.col(y_column).alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    )
+    g = t.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__cxy"))
+    gx = g.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
+    gy = g.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
+    n = g.agg(
+        F.sum("__cxy").alias("__n"), F.count(F.lit(1)).alias("__cells")
+    )
+    joined = (
+        g.join(gx, "__x")
+        .join(gy, "__y")
+        .crossJoin(F.broadcast(n))
+    )
+    ratio = (
+        F.col("__cxy").cast("double") * F.col("__n").cast("double")
+    ) / (F.col("__cx").cast("double") * F.col("__cy").cast("double"))
+    p = F.col("__cxy").cast("double") / F.col("__n").cast("double")
+    term = F.round(p * F.round(F.log(ratio), ln_decimals), 9).cast(
+        "decimal(28,10)"
+    )
+    return (
+        joined.groupBy("__n", "__cells")
+        .agg(F.sum(term).alias("__mi"))
+        .select(
+            F.col("__mi").cast("double").alias("mi_nats"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("__cells").cast("long").alias("n_cells"),
+        )
+    )
+
+
 def _q_label(q: float) -> str:
     """Column label for quantile ``q``: the decimal rendering with ``.``
     replaced by ``_`` (0.5 → ``q_0_5``, 0.99 → ``q_0_99``). ``repr`` keeps

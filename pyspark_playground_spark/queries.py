@@ -5902,6 +5902,48 @@ def remove_duplicated_spans_documents(spark, sf_dir):
 
 
 @query(
+    "mutual_information_lang_source",
+    """
+    WITH t AS (
+      SELECT lang AS x, source AS y FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ), g AS (
+      SELECT x, y, count(*) AS cxy FROM t GROUP BY x, y
+    ), gx AS (
+      SELECT x, sum(cxy) AS cx FROM g GROUP BY x
+    ), gy AS (
+      SELECT y, sum(cxy) AS cy FROM g GROUP BY y
+    ), n AS (
+      SELECT sum(cxy) AS nn, count(*) AS cells FROM g
+    )
+    SELECT CAST(sum(CAST(round(
+             (CAST(cxy AS DOUBLE) / CAST(nn AS DOUBLE))
+             * round(ln((CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE))
+                        / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 7),
+             9) AS DECIMAL(28,10))) AS DOUBLE) AS mi_nats,
+           CAST(n.nn AS BIGINT) AS n_rows,
+           CAST(n.cells AS BIGINT) AS n_cells
+    FROM g JOIN gx USING (x) JOIN gy USING (y) CROSS JOIN n
+    GROUP BY n.nn, n.cells
+    """,
+)
+def mutual_information_lang_source(spark, sf_dir):
+    """Exact mutual information between lang and source
+    (operators/profiling.py mutual_information) — the feature-leakage
+    detector: MI = 0 iff the columns are independent, so a near-zero
+    value certifies lang is safe to stratify on within sources. One
+    joint-count groupBy; marginals and totals derive from the bounded
+    cell frame, never a second input scan; PSI's rounded-ln + exact
+    DECIMAL sum recipe."""
+    from pyspark_playground_spark.operators.profiling import (
+        mutual_information,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return mutual_information(docs, x_column="lang", y_column="source")
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

@@ -431,6 +431,52 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("cms_build_estimate", n_evr, cms)
 
+    # 22. maximal duplicated-span extraction + the cut over the replicated
+    #     corpus — one row per token position through two digest shuffles
+    #     plus a doc-bounded island window; the cut adds the interval
+    #     attach + ordered reassembly (state = one document per group)
+    def dup_spans():
+        dd.duplicated_spans(docs, min_tokens=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("duplicated_spans", n_docs, dup_spans)
+
+    def dup_cut():
+        dd.remove_duplicated_spans(docs, min_tokens=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("remove_duplicated_spans", n_docs, dup_cut)
+
+    # 23. stream-shape interval join over the replicated events: per-user
+    #     views x purchases within 2h — the symmetric-hash-join shape whose
+    #     cost is the matched-pair count, scaling with users (FACTOR), not
+    #     pairs-per-user
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    views_r = ev_rep.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    buys_r = ev_rep.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+
+    def ij():
+        stc.interval_join(
+            views_r, buys_r, on="user_id", left_ts="view_ts",
+            right_ts="purchase_ts", lower="0 seconds", upper="2 hours",
+        ).write.format("noop").mode("overwrite").save()
+    timed("interval_join_attribution", n_evr, ij)
+
+    # 24. bigram-LM scoring over the replicated corpus: two censuses +
+    #     two equi-joins, all rows-linear
+    def bigram():
+        tx.bigram_logprob_scores(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("bigram_logprob", n_docs, bigram)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -215,6 +215,44 @@ def test_drift_binning_wide_integer_domain_no_overflow(spark):
     assert psi["psi"] > 0 and psi["n_bins"] <= 8
 
 
+def test_mutual_information_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [("a", "p"), ("a", "p"), ("a", "q"), ("b", "q"), ("b", "q"),
+            ("b", "q"), ("c", "p"), (None, "p"), ("a", None)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = pf.mutual_information(df, x_column="x", y_column="y").collect()[0]
+    obs = [(x, y) for x, y in rows if x is not None and y is not None]
+    n = len(obs)
+    cxy, cx, cy = Counter(obs), Counter(x for x, _ in obs), Counter(
+        y for _, y in obs
+    )
+    ref = sum(
+        (c / n) * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+    )
+    assert got["n_rows"] == n and got["n_cells"] == len(cxy)
+    assert abs(got["mi_nats"] - ref) < 1e-6
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    # identical columns: MI == H(X); independent uniform: MI == 0
+    same = spark.createDataFrame(
+        [(v, v) for v in ["a", "a", "b", "b", "c", "c"]], "x string, y string"
+    )
+    mi_same = pf.mutual_information(same, x_column="x", y_column="y").collect()[0]
+    assert abs(mi_same["mi_nats"] - math.log(3)) < 1e-6
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "pq" for _ in range(5)],
+        "x string, y string",
+    )
+    mi_ind = pf.mutual_information(indep, x_column="x", y_column="y").collect()[0]
+    assert abs(mi_ind["mi_nats"]) < 1e-9
+
+
 def test_drift_psi_matches_python_reference(spark):
     import math
 
