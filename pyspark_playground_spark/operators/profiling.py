@@ -661,8 +661,11 @@ def mutual_information(
 
     Plan: ONE joint-count groupBy (map-side combined; cardinality
     bounded by |X|·|Y| observed cells), two marginal aggregations OVER
-    THE CELL FRAME (never a second input scan), two equi-joins on the
-    bounded cell frame, totals on a broadcast one-row cross join.
+    THE CELL FRAME (never a second input scan — the cell frame is
+    ``persist()``-ed, the bounded-frame recipe ``psi_vs_baseline``
+    uses, so the marginal/total lineages replay from cache instead of
+    re-scanning the input), two equi-joins on the bounded cell frame,
+    totals on a broadcast one-row cross join.
 
     Returns one row ``(mi_nats, n_rows, n_cells)``.
     """
@@ -670,7 +673,14 @@ def mutual_information(
         df.select(F.col(x_column).alias("__x"), F.col(y_column).alias("__y"))
         .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     )
-    g = t.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__cxy"))
+    # persist: the |X|·|Y|-bounded cell frame feeds three consumers
+    # (marginal x, marginal y, totals) — without it each reuse re-scans
+    # the full input through its own lineage copy
+    g = (
+        t.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__cxy"))
+        .persist()
+    )
     gx = g.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
     gy = g.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
     n = g.agg(
@@ -695,6 +705,355 @@ def mutual_information(
             F.col("__mi").cast("double").alias("mi_nats"),
             F.col("__n").cast("long").alias("n_rows"),
             F.col("__cells").cast("long").alias("n_cells"),
+        )
+    )
+
+
+def _bucketed_cum_before(
+    g: DataFrame,
+    *,
+    order_column: str,
+    sum_column: str,
+    out: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact per-row cumulative sum of ``sum_column`` over rows with a
+    STRICTLY smaller ``order_column`` — ``distributed_rank``'s
+    range-bucket pattern as a reusable step (:func:`exact_auc`,
+    :func:`spearman_correlation`): broadcast approx-percentile bounds
+    assign buckets (boundary quality affects only balance; correctness
+    needs only strict ``value > boundary`` comparison), intra-bucket
+    running sum, per-bucket totals (≤ ``buckets`` rows) prefix-summed
+    and broadcast back. No single-task data-sized window.
+
+    ``g`` must have DISTINCT ``order_column`` values (one row per value)
+    and be cheap to recompute or persisted — the frame feeds three
+    consumers (bounds, main branch, totals).
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = g.agg(
+        F.expr(
+            f"approx_percentile({order_column},"
+            f" array({','.join(map(str, qs))}), 10000)"
+        ).alias("__bnds")
+    )
+    data = (
+        g.join(F.broadcast(bounds))
+        .withColumn(
+            "__bucket",
+            F.expr(f"size(filter(__bnds, b -> {order_column} > b))"),
+        )
+        .drop("__bnds")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(order_column).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    data = data.withColumn(
+        "__cum_in", F.coalesce(F.sum(sum_column).over(w_in), F.lit(0))
+    )
+    totals = data.groupBy("__bucket").agg(F.sum(sum_column).alias("__bn"))
+    w_b = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_b), F.lit(0)).alias("__prefix"),
+    )
+    return (
+        data.join(F.broadcast(prefixes), "__bucket")
+        .withColumn(out, F.col("__prefix") + F.col("__cum_in"))
+        .drop("__bucket", "__cum_in", "__prefix")
+    )
+
+
+def exact_auc(
+    df: DataFrame,
+    *,
+    score_column: str,
+    label_column: Column | str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of ``score_column`` against a boolean
+    label — THE threshold-free evaluation statistic for a quality
+    classifier before its scores gate a filtering/mixing decision
+    (AUC = P(score_pos > score_neg) + ½·P(equal) over a random
+    positive/negative pair; 0.5 = uninformative).
+
+    Exact-integer formulation (no per-pair work, no float accumulation):
+    group scores to ``(s, n_pos(s), n_neg(s))`` and
+
+    ``2U = Σ_s 2·n_pos(s)·cumneg_less(s) + Σ_s n_pos(s)·n_neg(s)``
+
+    where ``cumneg_less(s)`` counts negatives with a strictly smaller
+    score. ``AUC = 2U / (2·N_pos·N_neg)`` — both sides exact DECIMAL,
+    one double division at the end (cross-engine deterministic).
+
+    Plan (``distributed_rank``'s range-bucket pattern — no single-task
+    data-sized window): one score-group count shuffle, broadcast
+    approx-percentile bounds assign each distinct score a bucket,
+    an intra-bucket cumulative sum, per-bucket negative totals (≤
+    ``buckets`` rows) prefix-summed and broadcast back. NULL scores and
+    NULL labels are excluded.
+
+    Returns one row ``(auc, n_pos, n_neg, n_scores)``.
+    """
+    y = (
+        F.col(label_column) if isinstance(label_column, str) else label_column
+    )
+    t = df.select(
+        F.col(score_column).alias("__s"), y.cast("boolean").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    # persist: the score-group frame feeds four consumers (percentile
+    # bounds, the bucketed main branch, per-bucket totals, final agg) —
+    # without it each lineage copy re-scans the full input. Bounded by
+    # distinct-score cardinality; the default MEMORY_AND_DISK level
+    # spills rather than evicting when a continuous score makes it wide.
+    g = (
+        t.groupBy("__s")
+        .agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("__nn"),
+        )
+        .persist()
+    )
+    data = _bucketed_cum_before(
+        g, order_column="__s", sum_column="__nn", out="__cb",
+        buckets=buckets,
+    )
+    np_d = F.col("__np").cast("decimal(20,0)")
+    cell = (
+        F.lit(2).cast("decimal(20,0)")
+        * np_d
+        * F.col("__cb").cast("decimal(20,0)")
+        + np_d * F.col("__nn").cast("decimal(20,0)")
+    )
+    agg = data.agg(
+        F.sum(cell).alias("__u2"),
+        F.sum("__np").alias("__npos"),
+        F.sum("__nn").alias("__nneg"),
+        F.count(F.lit(1)).alias("__nscores"),
+    )
+    denom = (
+        F.lit(2).cast("decimal(20,0)")
+        * F.col("__npos").cast("decimal(20,0)")
+        * F.col("__nneg").cast("decimal(20,0)")
+    )
+    return agg.select(
+        (F.col("__u2").cast("double") / denom.cast("double")).alias("auc"),
+        F.col("__npos").cast("long").alias("n_pos"),
+        F.col("__nneg").cast("long").alias("n_neg"),
+        F.col("__nscores").cast("long").alias("n_scores"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    *,
+    x_column: str,
+    y_column: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between two numeric
+    columns — the two-scorer agreement check (do two quality signals
+    rank the corpus the same way? ρ near 1 ⇒ one is redundant for
+    filtering; near 0 ⇒ they select different documents): Pearson of
+    the average-ranks, computed exactly.
+
+    Average rank of value v = (#smaller) + (count(v)+1)/2; both ranks
+    are carried as ``2·rank`` so every intermediate is an exact
+    integer. Rank sums (S_a, S_b, S_ab, S_aa, S_bb, N) accumulate in
+    exact DECIMAL — order-independent — then each is cast to double
+    ONCE and combined with an identical op order on both engines:
+
+    ``ρ = (N·S_ab − S_a·S_b) / (sqrt(N·S_aa − S_a²) · sqrt(N·S_bb − S_b²))``
+
+    (the final combination is float-rounded but deterministic; a
+    constant column yields NULL). NULLs in either column are excluded.
+
+    Plan: ONE joint-count groupBy (persisted — the cell frame feeds the
+    two marginal-rank branches and the final sums), each marginal's
+    strictly-smaller cumulative through :func:`_bucketed_cum_before`
+    (every wide stage partitioned), two equi-joins back onto the cell
+    frame, one final aggregate. Returns one row ``(rho, n_rows)``.
+    """
+    t = df.select(
+        F.col(x_column).alias("__a"), F.col(y_column).alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    g = (
+        t.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+
+    def marginal_rank2(col: str) -> DataFrame:
+        m = g.groupBy(col).agg(F.sum("__n").alias("__cnt"))
+        m = _bucketed_cum_before(
+            m, order_column=col, sum_column="__cnt", out="__cb",
+            buckets=buckets,
+        )
+        # 2 × (1-based average rank) = 2·cb + cnt + 1 — exact integer
+        return m.select(
+            col,
+            (
+                F.lit(2) * F.col("__cb") + F.col("__cnt") + F.lit(1)
+            ).alias(f"__r2{col}"),
+        )
+
+    j = g.join(marginal_rank2("__a"), "__a").join(
+        marginal_rank2("__b"), "__b"
+    )
+    n_d = F.col("__n").cast("decimal(20,0)")
+    ra = F.col("__r2__a").cast("decimal(20,0)")
+    rb = F.col("__r2__b").cast("decimal(20,0)")
+    sums = j.agg(
+        F.sum(n_d).alias("__N"),
+        F.sum(n_d * ra).alias("__Sa"),
+        F.sum(n_d * rb).alias("__Sb"),
+        F.sum(n_d * ra * ra).alias("__Saa"),
+        F.sum(n_d * rb * rb).alias("__Sbb"),
+        F.sum(n_d * ra * rb).alias("__Sab"),
+    )
+    N = F.col("__N").cast("double")
+    Sa = F.col("__Sa").cast("double")
+    Sb = F.col("__Sb").cast("double")
+    Saa = F.col("__Saa").cast("double")
+    Sbb = F.col("__Sbb").cast("double")
+    Sab = F.col("__Sab").cast("double")
+    da = N * Saa - Sa * Sa
+    db = N * Sbb - Sb * Sb
+    return sums.select(
+        F.when(
+            (da > 0) & (db > 0),
+            (N * Sab - Sa * Sb) / (F.sqrt(da) * F.sqrt(db)),
+        ).alias("rho"),
+        F.col("__N").cast("long").alias("n_rows"),
+    )
+
+
+def grouped_auc(
+    df: DataFrame,
+    *,
+    group_column: str,
+    score_column: str,
+    label_column: Column | str,
+) -> DataFrame:
+    """Per-group exact tie-corrected ROC-AUC — :func:`exact_auc` computed
+    within each value of ``group_column`` (per-source / per-language
+    classifier evaluation: a score that ranks well globally can invert
+    inside a stratum, which is exactly what a mixture built per source
+    would hit). Groups with no positives or no negatives return NULL
+    (AUC undefined).
+
+    Same exact-integer 2U formulation; here the cumulative
+    negatives-below sum partitions by group, so EVERY wide stage is
+    key-partitioned — no range-bucket machinery, no unpartitioned
+    window, one lineage (no persist): a (group, score) count shuffle,
+    a group-partitioned running sum, a per-group final aggregate.
+    """
+    y = (
+        F.col(label_column) if isinstance(label_column, str) else label_column
+    )
+    t = df.select(
+        F.col(group_column).alias("__g"),
+        F.col(score_column).alias("__s"),
+        y.cast("boolean").alias("__y"),
+    ).filter(
+        F.col("__g").isNotNull()
+        & F.col("__s").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    g = t.groupBy("__g", "__s").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__np"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("__nn"),
+    )
+    w = Window.partitionBy("__g").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.withColumn("__cb", F.coalesce(F.sum("__nn").over(w), F.lit(0)))
+    np_d = F.col("__np").cast("decimal(20,0)")
+    cell = (
+        F.lit(2).cast("decimal(20,0)")
+        * np_d
+        * F.col("__cb").cast("decimal(20,0)")
+        + np_d * F.col("__nn").cast("decimal(20,0)")
+    )
+    agg = g.groupBy("__g").agg(
+        F.sum(cell).alias("__u2"),
+        F.sum("__np").alias("__npos"),
+        F.sum("__nn").alias("__nneg"),
+        F.count(F.lit(1)).alias("__nscores"),
+    )
+    denom = (
+        F.lit(2).cast("decimal(20,0)")
+        * F.col("__npos").cast("decimal(20,0)")
+        * F.col("__nneg").cast("decimal(20,0)")
+    )
+    return agg.select(
+        F.col("__g").alias(group_column),
+        F.when(
+            (F.col("__npos") > 0) & (F.col("__nneg") > 0),
+            F.col("__u2").cast("double") / denom.cast("double"),
+        ).alias("auc"),
+        F.col("__npos").cast("long").alias("n_pos"),
+        F.col("__nneg").cast("long").alias("n_neg"),
+        F.col("__nscores").cast("long").alias("n_scores"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    *,
+    score_column: str,
+    label_column: Column | str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a score against a boolean label —
+    AUC's companion (AUC checks ranking; this checks whether the score's
+    LEVEL tracks the positive rate, i.e. whether a threshold chosen on a
+    sample transfers). Scores bin equal-width over the observed
+    ``[min, max]`` via the shared :func:`equal_width_bin` expression.
+
+    Per bin: ``n``, ``n_pos``, ``mean_score`` and ``pos_rate`` — each a
+    ratio of exact integer/decimal sums with ONE double division, so the
+    output never depends on aggregation order (cross-engine exact for
+    integer scores; for float scores the sum is still a single-cast
+    DECIMAL path only if upstream rounds — document scores here are
+    integers).
+
+    Plan: one min/max aggregation broadcast back, one bin-count groupBy
+    (map-side combined, ≤ ``bins`` groups). NULL scores/labels excluded.
+    """
+    y = (
+        F.col(label_column) if isinstance(label_column, str) else label_column
+    )
+    t = df.select(
+        F.col(score_column).alias("__s"), y.cast("boolean").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    mm = t.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    b = t.join(F.broadcast(mm)).select(
+        equal_width_bin(
+            F.col("__s"), F.col("__lo"), F.col("__hi"), bins
+        ).alias("bin"),
+        "__s",
+        "__y",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.col("__s").cast("decimal(38,6)")).alias("__sum_s"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("__sum_s").cast("double") / F.col("n").cast("double"))
+            .alias("mean_score"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            .alias("pos_rate"),
         )
     )
 

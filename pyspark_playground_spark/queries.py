@@ -5944,6 +5944,209 @@ def mutual_information_lang_source(spark, sf_dir):
 
 
 @query(
+    "auc_length_predicts_en_documents",
+    """
+    WITH t AS (
+      SELECT n_chars AS s, (lang = 'en') AS y FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ), g AS (
+      SELECT s,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM t GROUP BY s
+    ), c AS (
+      SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ), a AS (
+      SELECT sum(2*np*cb + np*nn) AS u2,
+             sum(np) AS npos, sum(nn) AS nneg, count(*) AS nscores
+      FROM c
+    )
+    SELECT CAST(CAST(u2 AS DOUBLE) / CAST(2*npos*nneg AS DOUBLE) AS DOUBLE)
+             AS auc,
+           CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CAST(nscores AS BIGINT) AS n_scores
+    FROM a
+    """,
+)
+def auc_length_predicts_en_documents(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (operators/profiling.py exact_auc) of
+    document length as a predictor of lang='en' — the threshold-free
+    ranking check run on any quality-classifier score before it gates a
+    filter. Integer 2U rank-sum formulation over the score-group frame;
+    the cumulative negatives-below count runs through distributed_rank's
+    range-bucket pattern (intra-bucket window + broadcast bucket
+    prefixes), so no single-task data-sized window; one double division
+    at the end (both sides exact DECIMAL)."""
+    from pyspark_playground_spark.operators.profiling import exact_auc
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_auc(
+        docs, score_column="n_chars", label_column=F.col("lang") == "en"
+    )
+
+
+@query(
+    "grouped_auc_length_by_source_documents",
+    """
+    WITH t AS (
+      SELECT source AS g, n_chars AS s, (lang = 'en') AS y FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+    ), cnt AS (
+      SELECT g, s,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM t GROUP BY g, s
+    ), c AS (
+      SELECT g, np, nn,
+             coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM cnt
+    ), a AS (
+      SELECT g, sum(2*np*cb + np*nn) AS u2,
+             sum(np) AS npos, sum(nn) AS nneg, count(*) AS nscores
+      FROM c GROUP BY g
+    )
+    SELECT g AS source,
+           CASE WHEN npos > 0 AND nneg > 0
+                THEN CAST(u2 AS DOUBLE) / CAST(2*npos*nneg AS DOUBLE)
+           END AS auc,
+           CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CAST(nscores AS BIGINT) AS n_scores
+    FROM a
+    """,
+)
+def grouped_auc_length_by_source_documents(spark, sf_dir):
+    """Per-source exact tie-corrected ROC-AUC (operators/profiling.py
+    grouped_auc) of document length predicting lang='en' — the stratum
+    view of the global AUC entry: a score can rank well overall yet
+    invert inside one source, which is what per-source mixture filters
+    actually apply. Every wide stage key-partitioned (the cumulative
+    window partitions by source); groups missing a class return NULL."""
+    from pyspark_playground_spark.operators.profiling import grouped_auc
+
+    docs = load(spark, sf_dir, "documents")
+    return grouped_auc(
+        docs,
+        group_column="source",
+        score_column="n_chars",
+        label_column=F.col("lang") == "en",
+    )
+
+
+@query(
+    "calibration_length_vs_en_documents",
+    """
+    WITH t AS (
+      SELECT n_chars AS s, (lang = 'en') AS y FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ), mm AS (SELECT min(s) AS lo, max(s) AS hi FROM t),
+    b AS (
+      SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(9, CAST(floor(
+                         (CAST(t.s AS DOUBLE) - CAST(mm.lo AS DOUBLE)) * 10
+                         / (CAST(mm.hi AS DOUBLE) - CAST(mm.lo AS DOUBLE)))
+                       AS INT))
+             END AS bin, s, y
+      FROM t CROSS JOIN mm
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean_score,
+           CAST(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS pos_rate
+    FROM b GROUP BY bin
+    """,
+)
+def calibration_length_vs_en_documents(spark, sf_dir):
+    """Reliability-diagram bins (operators/profiling.py calibration_bins)
+    of document length against lang='en' — the AUC entry's companion:
+    AUC certifies the ranking, this certifies the score LEVEL tracks the
+    positive rate per equal-width bin (the shared equal_width_bin
+    expression, mirrored verbatim in the oracle). Per-bin mean and rate
+    are single double divisions of exact integer/DECIMAL sums. One
+    min/max broadcast + one ≤10-group count shuffle."""
+    from pyspark_playground_spark.operators.profiling import (
+        calibration_bins,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return calibration_bins(
+        docs,
+        score_column="n_chars",
+        label_column=F.col("lang") == "en",
+        bins=10,
+    )
+
+
+@query(
+    "spearman_nchars_tokens_documents",
+    f"""
+    WITH t AS (
+      SELECT n_chars AS a, len({_TOKS}) AS b FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ), g AS (
+      SELECT a, b, count(*) AS n FROM t GROUP BY a, b
+    ), ga AS (
+      SELECT a, sum(n) AS cnt FROM g GROUP BY a
+    ), ra AS (
+      SELECT a, 2*coalesce(sum(cnt) OVER (ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r2a
+      FROM ga
+    ), gb AS (
+      SELECT b, sum(n) AS cnt FROM g GROUP BY b
+    ), rb AS (
+      SELECT b, 2*coalesce(sum(cnt) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r2b
+      FROM gb
+    ), s AS (
+      SELECT sum(n) AS nn, sum(n*r2a) AS sa, sum(n*r2b) AS sb,
+             sum(n*r2a*r2a) AS saa, sum(n*r2b*r2b) AS sbb,
+             sum(n*r2a*r2b) AS sab
+      FROM g JOIN ra USING (a) JOIN rb USING (b)
+    )
+    SELECT CASE WHEN (CAST(nn AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                 AND (CAST(nn AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                THEN (CAST(nn AS DOUBLE) * CAST(sab AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / (sqrt(CAST(nn AS DOUBLE) * CAST(saa AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * sqrt(CAST(nn AS DOUBLE) * CAST(sbb AS DOUBLE)
+                               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+           END AS rho,
+           CAST(nn AS BIGINT) AS n_rows
+    FROM s
+    """,
+)
+def spearman_nchars_tokens_documents(spark, sf_dir):
+    """Tie-corrected Spearman rank correlation (operators/profiling.py
+    spearman_correlation) between n_chars and the whitespace token count
+    — the two-scorer agreement check: ρ near 1 means the second signal
+    adds nothing to a length-based filter. Ranks carried as exact 2×
+    average-rank integers; rank sums in exact DECIMAL; each sum cast to
+    double ONCE and combined in an identical op order on both engines.
+    The strictly-smaller cumulative runs through the range-bucket
+    prefix-sum (no single-task data-sized window)."""
+    from pyspark_playground_spark.operators.profiling import (
+        spearman_correlation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("text").isNotNull()).select(
+        F.col("n_chars").alias("a"),
+        tx.token_count_expr("text").alias("b"),
+    )
+    return spearman_correlation(pairs, x_column="a", y_column="b")
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

@@ -74,6 +74,12 @@ HEADLINE = [
     "duplicated_spans_documents", "attribution_interval_join_events",
     "bigram_logprob_documents", "ks_drift_by_source_documents",
     "dv_snapshot_at_events",
+    # round-4 session-5 additions
+    "remove_duplicated_spans_documents", "attribution_left_outer_events",
+    "mutual_information_lang_source", "auc_length_predicts_en_documents",
+    "calibration_length_vs_en_documents",
+    "grouped_auc_length_by_source_documents",
+    "spearman_nchars_tokens_documents",
 ]
 
 

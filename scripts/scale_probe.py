@@ -477,6 +477,41 @@ def main() -> None:
         ).save()
     timed("bigram_logprob", n_docs, bigram)
 
+    # 25. exact ROC-AUC over the replicated corpus: one score-group
+    #     shuffle then the range-bucket prefix-sum (cost is the distinct-
+    #     score cardinality, never pairs)
+    from pyspark_playground_spark.operators import profiling as pfo
+
+    def auc():
+        pfo.exact_auc(
+            docs, score_column="n_chars",
+            label_column=F.col("lang") == "en",
+        ).write.format("noop").mode("overwrite").save()
+    timed("exact_auc", n_docs, auc)
+
+    # 26. mutual information lang×source: one joint-count groupBy; the
+    #     persisted cell frame bounds everything downstream
+    def mi():
+        pfo.mutual_information(
+            docs, x_column="lang", y_column="source"
+        ).write.format("noop").mode("overwrite").save()
+    timed("mutual_information", n_docs, mi)
+
+    # 27. Spearman over two derived integer scores: joint-count shuffle +
+    #     two range-bucketed marginal rank branches off the persisted cell
+    #     frame — the heaviest evaluation-statistic shape
+    from pyspark_playground_spark.operators import text as txo
+
+    spear_in = docs.filter(F.col("text").isNotNull()).select(
+        F.col("n_chars").alias("a"), txo.token_count_expr("text").alias("b")
+    )
+
+    def spear():
+        pfo.spearman_correlation(
+            spear_in, x_column="a", y_column="b"
+        ).write.format("noop").mode("overwrite").save()
+    timed("spearman", n_docs, spear)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

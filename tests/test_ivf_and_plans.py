@@ -282,3 +282,27 @@ def test_psi_drift_plan_no_window_no_data_broadcast(spark, sf_dir):
     # every broadcast in this plan is a one-row aggregate fold
     import re as _re
     assert len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 0
+
+
+def test_auc_spearman_cumulatives_are_bucket_partitioned(spark, sf_dir):
+    """The evaluation statistics' strictly-smaller cumulative sums must
+    run through the range-bucket pattern: the data-sized running sum is
+    partitioned by __bucket, and the ONLY unpartitioned windows order the
+    O(buckets) per-bucket totals (first windowspec token is __bucket
+    itself)."""
+    for name in (
+        "auc_length_predicts_en_documents",
+        "spearman_nchars_tokens_documents",
+    ):
+        plan = _formatted_plan(spark, name, sf_dir)
+        # partitioned cumulative present: partition spec lists __bucket
+        # first, then the order column after a comma
+        assert re.search(r"windowspecdefinition\(__bucket#\d+, ", plan), name
+        # any window whose FIRST spec token is an order column (i.e. no
+        # partition columns) must be ordering the bucket-totals frame
+        unpart = re.findall(
+            r"windowspecdefinition\(([^,()\s]+) ASC", plan
+        )
+        assert unpart and all(
+            c.startswith("__bucket") for c in unpart
+        ), (name, unpart)

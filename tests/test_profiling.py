@@ -253,6 +253,144 @@ def test_mutual_information_extremes(spark):
     assert abs(mi_ind["mi_nats"]) < 1e-9
 
 
+def test_exact_auc_matches_pair_counting(spark):
+    # ties in scores, both labels present at tied scores
+    rows = [(1, True), (2, False), (2, True), (3, True), (3, False),
+            (3, True), (5, False), (1, False), (None, True), (4, None)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = pf.exact_auc(df, score_column="s", label_column="y").collect()[0]
+    obs = [(s, y) for s, y in rows if s is not None and y is not None]
+    pos = [s for s, y in obs if y]
+    neg = [s for s, y in obs if not y]
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["n_scores"] == len({s for s, _ in obs})
+    assert abs(got["auc"] - u / (len(pos) * len(neg))) < 1e-12
+
+
+def test_exact_auc_extremes(spark):
+    # perfectly separating score -> 1.0; identical scores -> 0.5
+    sep = spark.createDataFrame(
+        [(i, i >= 3) for i in range(6)], "s long, y boolean"
+    )
+    assert pf.exact_auc(sep, score_column="s", label_column="y").collect()[
+        0
+    ]["auc"] == 1.0
+    const = spark.createDataFrame(
+        [(7, i % 2 == 0) for i in range(6)], "s long, y boolean"
+    )
+    assert pf.exact_auc(const, score_column="s", label_column="y").collect()[
+        0
+    ]["auc"] == 0.5
+
+
+def test_grouped_auc_matches_per_group_pair_counting(spark):
+    rows = [
+        ("g1", 1, True), ("g1", 2, False), ("g1", 2, True), ("g1", 3, False),
+        ("g2", 5, True), ("g2", 4, False), ("g2", 5, False), ("g2", 6, True),
+        ("g3", 1, True), ("g3", 2, True),          # no negatives -> NULL
+        (None, 1, True), ("g1", None, False), ("g1", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, y boolean")
+    out = {
+        r["g"]: r
+        for r in pf.grouped_auc(
+            df, group_column="g", score_column="s", label_column="y"
+        ).collect()
+    }
+    obs = [(g, s, y) for g, s, y in rows if None not in (g, s, y)]
+    for grp in ("g1", "g2"):
+        pos = [s for g, s, y in obs if g == grp and y]
+        neg = [s for g, s, y in obs if g == grp and not y]
+        u = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0)
+            for p in pos for q in neg
+        )
+        assert out[grp]["n_pos"] == len(pos) and out[grp]["n_neg"] == len(neg)
+        assert abs(out[grp]["auc"] - u / (len(pos) * len(neg))) < 1e-12
+    assert out["g3"]["auc"] is None and out["g3"]["n_neg"] == 0
+    assert set(out) == {"g1", "g2", "g3"}
+
+
+def _py_spearman(pairs):
+    import math
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        first = {}
+        for i, v in enumerate(s):
+            first.setdefault(v, i)
+        cnt = {}
+        for v in s:
+            cnt[v] = cnt.get(v, 0) + 1
+        return [first[v] + (cnt[v] + 1) / 2 for v in vals]
+
+    ra = avg_ranks([a for a, _ in pairs])
+    rb = avg_ranks([b for _, b in pairs])
+    n = len(pairs)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    num = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    da = sum((x - ma) ** 2 for x in ra)
+    db = sum((y - mb) ** 2 for y in rb)
+    return num / math.sqrt(da * db)
+
+
+def test_spearman_matches_python_reference(spark):
+    rows = [(1, 10), (2, 20), (2, 15), (3, 30), (4, 25), (5, 50),
+            (5, 45), (6, 40), (None, 1), (7, None)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = pf.spearman_correlation(df, x_column="a", y_column="b").collect()[0]
+    obs = [(a, b) for a, b in rows if a is not None and b is not None]
+    assert got["n_rows"] == len(obs)
+    assert abs(got["rho"] - _py_spearman(obs)) < 1e-9
+
+
+def test_spearman_extremes(spark):
+    mono = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 8)], "a long, b long"
+    )
+    r = pf.spearman_correlation(mono, x_column="a", y_column="b").collect()[0]
+    assert abs(r["rho"] - 1.0) < 1e-12
+    anti = spark.createDataFrame(
+        [(i, -i) for i in range(1, 8)], "a long, b long"
+    )
+    r = pf.spearman_correlation(anti, x_column="a", y_column="b").collect()[0]
+    assert abs(r["rho"] + 1.0) < 1e-12
+    const = spark.createDataFrame(
+        [(i, 3) for i in range(1, 8)], "a long, b long"
+    )
+    r = pf.spearman_correlation(const, x_column="a", y_column="b").collect()[0]
+    assert r["rho"] is None
+
+
+def test_calibration_bins_matches_python_reference(spark):
+    import math
+
+    rows = [(s, s % 3 == 0) for s in range(1, 21)] + [(None, True), (10, None)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = {
+        r["bin"]: r
+        for r in pf.calibration_bins(
+            df, score_column="s", label_column="y", bins=4
+        ).collect()
+    }
+    obs = [(s, y) for s, y in rows if s is not None and y is not None]
+    lo, hi = min(s for s, _ in obs), max(s for s, _ in obs)
+    ref = {}
+    for s, y in obs:
+        b = min(3, math.floor((s - lo) * 4 / (hi - lo)))
+        ref.setdefault(b, []).append((s, y))
+    assert set(out) == set(ref)
+    for b, grp in ref.items():
+        r = out[b]
+        assert r["n"] == len(grp)
+        assert r["n_pos"] == sum(1 for _, y in grp if y)
+        assert abs(r["mean_score"] - sum(s for s, _ in grp) / len(grp)) < 1e-12
+        assert abs(r["pos_rate"] - r["n_pos"] / r["n"]) < 1e-12
+
+
 def test_drift_psi_matches_python_reference(spark):
     import math
 
