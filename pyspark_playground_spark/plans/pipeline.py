@@ -34,6 +34,9 @@ Spec shape::
       - op: leakage_free_split         # split on near-dup cluster id
       - op: temperature_rebalance      # shares ∝ n^alpha
         params: {alpha: 0.5}
+      - op: score_gate                 # refuse if the score stops ranking
+        params: {score_column: quality_score, label_expr: "lang = 'en'",
+                 min_auc: 0.6}
 
 Every stage consumes and produces a DataFrame with at least
 ``(doc_id, text)``; stages that add flags (``c4_filter``) filter on them
@@ -243,7 +246,35 @@ def _stage_tokenize_bpe(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _stage_score_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Evaluation gate: refuse to continue the pipeline when the score
+    that the downstream ``filter``/``calibrated_filter`` stages rely on
+    no longer RANKS the corpus (exact tie-corrected ROC-AUC of
+    ``params.score_column`` against the boolean ``params.label_expr``
+    below ``params.min_auc``). Pass-through on success — the returned
+    plan is ``df`` unchanged. Unlike the lazily-composed shaping stages
+    this one materializes a one-row aggregate at build time; that is
+    the point of a gate (same contract as ``quality.observed_write``'s
+    metric gates).
+    """
+    from pyspark_playground_spark.operators.profiling import exact_auc
+
+    p = dict(spec.get("params", {}))
+    score = p["score_column"]
+    label = F.expr(p["label_expr"])
+    min_auc = float(p.get("min_auc", 0.5))
+    row = exact_auc(df, score_column=score, label_column=label).collect()[0]
+    if row["auc"] is None or row["auc"] < min_auc:
+        raise ValueError(
+            f"score_gate: AUC({score} vs {p['label_expr']}) = "
+            f"{row['auc']} < required {min_auc} "
+            f"(n_pos={row['n_pos']}, n_neg={row['n_neg']})"
+        )
+    return df
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "score_gate": _stage_score_gate,
     "tokenize_bpe": _stage_tokenize_bpe,
     "c4_filter": _stage_c4_filter,
     "filter": _stage_filter,

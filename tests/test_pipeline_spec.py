@@ -200,3 +200,27 @@ def test_tokenize_bpe_stage_adds_tokens_zero_shuffle(spark):
     # zero shuffle: the stage is a pure projection
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_score_gate_stage_passes_and_refuses(spark):
+    rows = [(i, "t" * i, "a", i, i >= 5) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, source string, s int, y boolean"
+    )
+    # perfectly-ranking score passes and is a pure pass-through
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "score_gate",
+                     "params": {"score_column": "s",
+                                "label_expr": "y", "min_auc": 0.9}}]},
+    )
+    assert out.count() == 10 and out.columns == df.columns
+    # anti-ranking score refuses the pipeline
+    with pytest.raises(ValueError, match="score_gate"):
+        pl.run_pipeline(
+            df,
+            {"stages": [{"op": "score_gate",
+                         "params": {"score_column": "s",
+                                    "label_expr": "NOT y",
+                                    "min_auc": 0.9}}]},
+        )
