@@ -11,6 +11,11 @@ operators:
 2. two monitors from one partials stage — per-hour PSI
    (``psi_vs_baseline``: aggregate mass shift, alert ≥ 0.25) and
    per-hour exact-integer KS (``ks_vs_baseline``: worst CDF gap);
+   plus the discrimination monitor from label-split partials
+   (``windowed_label_bins`` → ``auc_vs_bins``): distribution drift
+   tells you the input moved, a falling per-hour AUC tells you the
+   score stopped separating the classes — the alert that actually
+   precedes a bad filtering decision;
 3. cohort drilldown — the drift trio on a suspect cohort
    (``drift_psi``/``drift_ks``/``drift_cvm`` on purchase vs rest);
 4. profile shift — exact order statistics of order prices WITHOUT a
@@ -66,6 +71,27 @@ def main(sf_dir: str | None = None) -> None:
     for r in worst:
         d = r.ks_numerator / (r.n_window * r.n_baseline)
         print(f"  worst KS windows: {r.window_start} D={d:.4f}")
+
+    # 2b. discrimination monitor: per-hour binned AUC of value
+    # predicting purchase — same bounded-state partials shape; a window
+    # whose AUC collapses toward 0.5 is drifting in the way that MATTERS
+    # (the score stopped ranking), even if PSI stayed quiet
+    lparts = stream.windowed_label_bins(
+        events.filter(F.col("event_type").isNotNull()),
+        bounds=bounds,
+        label_column=F.col("event_type") == "purchase",
+        bins=16,
+    )
+    auc = stream.auc_vs_bins(lparts)
+    flat = auc.filter(
+        F.col("auc").isNotNull()
+        & (F.abs(F.col("auc") - F.lit(0.5)) < F.lit(0.05))
+        & (F.col("n_pos") + F.col("n_neg") >= 50)
+    )
+    print(
+        f"discrimination monitor: {auc.count()} windows, "
+        f"{flat.count()} near-coin-flip (|AUC-0.5|<0.05)"
+    )
 
     # 3. cohort drilldown
     is_purchase = F.col("event_type") == "purchase"

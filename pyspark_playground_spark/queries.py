@@ -6881,6 +6881,123 @@ def windowed_psi_events(spark, sf_dir):
 
 
 @query(
+    "windowed_auc_value_purchase_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT date_trunc('hour', ts) AS g, value AS s,
+             (event_type = 'purchase') AS y
+      FROM e
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+    ), cnt AS (
+      SELECT g, s,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM t GROUP BY g, s
+    ), c AS (
+      SELECT g, np, nn,
+             coalesce(sum(nn) OVER (PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM cnt
+    ), a AS (
+      SELECT g, sum(2*np*cb + np*nn) AS u2,
+             sum(np) AS npos, sum(nn) AS nneg, count(*) AS nscores
+      FROM c GROUP BY g
+    )
+    SELECT g AS window_start,
+           CASE WHEN npos > 0 AND nneg > 0
+                THEN CAST(u2 AS DOUBLE) / CAST(2*npos*nneg AS DOUBLE)
+           END AS auc,
+           CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CAST(nscores AS BIGINT) AS n_scores
+    FROM a
+    """,
+)
+def windowed_auc_value_purchase_events(spark, sf_dir):
+    """Per-hour exact tie-corrected AUC of event value predicting
+    purchase (operators/profiling.py grouped_auc with the hour window as
+    the group) — the monitor-family companion to windowed_psi/ks/cvm:
+    those watch the score's DISTRIBUTION drift, this watches its
+    DISCRIMINATION decay window by window. Every wide stage partitions
+    by the time window; hours missing a class return NULL AUC."""
+    from pyspark_playground_spark.operators.profiling import grouped_auc
+
+    e = load_events(spark, sf_dir)
+    t = e.filter(F.col("ts").isNotNull()).select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "value",
+        "event_type",
+    )
+    return grouped_auc(
+        t,
+        group_column="window_start",
+        score_column="value",
+        label_column=F.col("event_type") == "purchase",
+    )
+
+
+@query(
+    "windowed_binned_auc_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    b AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE greatest(0, least(15,
+                         CAST(floor((e.value - mm.lo) * 16
+                                    / (mm.hi - mm.lo)) AS INT)))
+             END AS bin,
+             (event_type = 'purchase') AS y
+      FROM e CROSS JOIN mm
+      WHERE e.value IS NOT NULL AND e.event_type IS NOT NULL
+    ), g AS (
+      SELECT ws, bin,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM b GROUP BY ws, bin
+    ), c AS (
+      SELECT ws, np, nn,
+             coalesce(sum(nn) OVER (PARTITION BY ws ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ), a AS (
+      SELECT ws, sum(2*np*cb + np*nn) AS u2,
+             sum(np) AS npos, sum(nn) AS nneg
+      FROM c GROUP BY ws
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           CASE WHEN npos > 0 AND nneg > 0
+                THEN CAST(u2 AS DOUBLE) / CAST(2*npos*nneg AS DOUBLE)
+           END AS auc,
+           CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+    FROM a
+    """,
+)
+def windowed_binned_auc_events(spark, sf_dir):
+    """The discrimination monitor's batch twin (streaming/cdc.py
+    windowed_label_bins → auc_vs_bins): per-hour tie-corrected AUC of
+    the 16-bin-quantized event value predicting purchase — the
+    state-bounded streaming-legal sibling of the exact
+    windowed_auc_value_purchase_events entry (bin quantization is the
+    streaming budget; the partials are one windowed aggregation with
+    watermark-bounded state). Stream == batch pinned in
+    test_streaming.py."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_label_bins(
+        e.filter(F.col("event_type").isNotNull()),
+        bounds=bounds,
+        label_column=F.col("event_type") == "purchase",
+        bins=16,
+    )
+    return stc.auc_vs_bins(parts)
+
+
+@query(
     "windowed_cvm_events",
     f"""
     WITH e AS ({EVENTS_N}),

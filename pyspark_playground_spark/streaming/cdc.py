@@ -940,6 +940,125 @@ def cvm_vs_baseline(
     )
 
 
+def windowed_label_bins(
+    events: DataFrame,
+    *,
+    bounds: DataFrame,
+    label_column,
+    ts_column: str = "ts",
+    value_column: str = "value",
+    bins: int = 16,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """:func:`windowed_value_bins` with the counts SPLIT BY a boolean
+    label — the streaming-legal half of a discrimination monitor (does
+    the score still separate the classes this hour?). One windowed
+    aggregation, mergeable counts, state bounded at windows × ``bins``
+    under a watermark; finish with :func:`auc_vs_bins` on the sink
+    table. Same shared ``profiling.equal_width_bin`` expression and
+    fixed ``bounds`` contract as the drift partials. Rows with a NULL
+    label or value are excluded (neither class).
+
+    Returns ``(window_start, window_end, bin, n_pos, n_neg)``.
+    """
+    y = (
+        F.col(label_column)
+        if isinstance(label_column, str)
+        else label_column
+    )
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    binned = (
+        df.withColumn("__y", y.cast("boolean"))
+        .filter(
+            F.col("__y").isNotNull() & F.col(value_column).isNotNull()
+        )
+        .join(F.broadcast(bounds))
+        .select(
+            F.col(ts_column).alias("__ts"),
+            equal_width_bin(
+                F.col(value_column),
+                F.col("lo"),
+                F.col("hi"),
+                bins,
+                clamp_low=True,
+            ).alias("bin"),
+            "__y",
+        )
+    )
+    return (
+        binned.groupBy(
+            F.window(F.col("__ts"), window_duration).alias("win"), "bin"
+        )
+        .agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("n_neg"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bin",
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
+def auc_vs_bins(label_bins: DataFrame) -> DataFrame:
+    """Finish the discrimination monitor: per-window exact tie-corrected
+    AUC of the BIN-QUANTIZED score from :func:`windowed_label_bins`
+    partials — the monitor-family sibling of :func:`psi_vs_baseline` /
+    :func:`ks_vs_baseline` (those watch the score's distribution, this
+    watches whether it still RANKS the positive class). The binned AUC
+    is the AUC of the quantized classifier: deterministic,
+    state-bounded, and converging to the raw-score AUC as bins grow —
+    the streaming-budget tradeoff, stated rather than hidden.
+
+    Same integer 2U formulation as ``profiling.grouped_auc`` with the
+    bin index as the score: the cumulative negatives-below window
+    partitions per time window and is bounded at ``bins`` rows; empty
+    bins contribute nothing, so no universe spine is needed. Windows
+    missing a class return NULL.
+
+    Returns ``(window_start, window_end, auc, n_pos, n_neg)``.
+    """
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        "bin"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    c = label_bins.withColumn(
+        "__cb", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    np_d = F.col("n_pos").cast("decimal(20,0)")
+    cell = (
+        F.lit(2).cast("decimal(20,0)")
+        * np_d
+        * F.col("__cb").cast("decimal(20,0)")
+        + np_d * F.col("n_neg").cast("decimal(20,0)")
+    )
+    agg = c.groupBy("window_start", "window_end").agg(
+        F.sum(cell).alias("__u2"),
+        F.sum("n_pos").alias("__npos"),
+        F.sum("n_neg").alias("__nneg"),
+    )
+    denom = (
+        F.lit(2).cast("decimal(20,0)")
+        * F.col("__npos").cast("decimal(20,0)")
+        * F.col("__nneg").cast("decimal(20,0)")
+    )
+    return agg.select(
+        "window_start",
+        "window_end",
+        F.when(
+            (F.col("__npos") > 0) & (F.col("__nneg") > 0),
+            F.col("__u2").cast("double") / denom.cast("double"),
+        ).alias("auc"),
+        F.col("__npos").cast("long").alias("n_pos"),
+        F.col("__nneg").cast("long").alias("n_neg"),
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

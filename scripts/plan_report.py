@@ -80,6 +80,7 @@ HEADLINE = [
     "calibration_length_vs_en_documents",
     "grouped_auc_length_by_source_documents",
     "spearman_nchars_tokens_documents",
+    "windowed_auc_value_purchase_events", "windowed_binned_auc_events",
 ]
 
 

@@ -820,3 +820,87 @@ def test_interval_join_left_outer_stream_emits_unmatched(spark, tmpdir):
     )
     batch = {(r.view_id, r.purchase_id) for r in twin.collect()}
     assert got == batch == {(1, 101), (2, None)}
+
+
+def test_windowed_label_bins_stream_equals_batch_and_auc_finish(spark, tmpdir):
+    """The discrimination monitor: label-split bin partials must agree
+    stream vs batch row-for-row, and auc_vs_bins must equal a pure-Python
+    tie-corrected AUC computed on the bin-quantized scores per window."""
+    rows = [
+        # window 10:00 — positives score high (separable): auc 1.0
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 2.0),
+        (3, datetime(2026, 5, 1, 10, 25), "purchase", 8.0),
+        (4, datetime(2026, 5, 1, 10, 45), "purchase", 9.5),
+        # window 11:00 — mixed with a bin tie (0.5 and 1.0 share bin 0)
+        (5, datetime(2026, 5, 1, 11, 10), "purchase", 0.5),
+        (6, datetime(2026, 5, 1, 11, 20), "view", 1.0),
+        (7, datetime(2026, 5, 1, 11, 40), "purchase", 9.9),
+        (8, datetime(2026, 5, 1, 11, 50), "view", 9.0),
+        # window 12:00 — no positives: NULL auc
+        (9, datetime(2026, 5, 1, 12, 10), "view", 5.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/auc_events"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    batch = spark.read.parquet(src)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    label = F.col("event_type") == "purchase"
+
+    parts_batch = st.windowed_label_bins(
+        batch, bounds=bounds, label_column=label, bins=4
+    )
+    expected = {
+        (r.window_start, r.bin): (r.n_pos, r.n_neg)
+        for r in parts_batch.collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        st.windowed_label_bins(
+            stream, bounds=bounds, label_column=label, bins=4,
+            watermark="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName("auc_bins")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_auc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.bin): (r.n_pos, r.n_neg)
+        for r in spark.sql("SELECT * FROM auc_bins").collect()
+    }
+    assert got == expected and len(got) > 0
+
+    def py_auc(pairs):
+        pos = [b for b, y in pairs if y]
+        neg = [b for b, y in pairs if not y]
+        if not pos or not neg:
+            return None
+        u = sum(
+            1.0 if p > q else (0.5 if p == q else 0.0)
+            for p in pos for q in neg
+        )
+        return u / (len(pos) * len(neg))
+
+    def to_bin(v):
+        return max(0, min(3, int((v - 0.0) * 4 / 10.0)))
+
+    out = {
+        r.window_start: r for r in st.auc_vs_bins(parts_batch).collect()
+    }
+    by_win = {}
+    for _, ts, et, v in [(r[0], r[1], r[2], r[3]) for r in rows]:
+        by_win.setdefault(ts.replace(minute=0), []).append(
+            (to_bin(v), et == "purchase")
+        )
+    for ws, pairs in by_win.items():
+        ref = py_auc(pairs)
+        if ref is None:
+            assert out[ws].auc is None
+        else:
+            assert out[ws].auc == pytest.approx(ref, abs=1e-12)
+    assert out[datetime(2026, 5, 1, 10)].auc == 1.0
+    assert out[datetime(2026, 5, 1, 12)].auc is None
