@@ -56,6 +56,30 @@ def exact_dedup(
     return df.join(keep, id_column, "left_semi")
 
 
+def exact_dup_histogram(
+    df: DataFrame, text_column: str = "text"
+) -> DataFrame:
+    """Cluster-size histogram of exact duplicates: how many texts occur
+    once, twice, k times — the shape that tells you WHAT KIND of
+    duplication a corpus carries (a fat tail of huge clusters =
+    boilerplate/templates worth a targeted rule; a thin 2-3× band =
+    ordinary crawl overlap exact dedup handles) and sizes the dedup win
+    (``Σ (size−1)·n_clusters`` rows removable) before running it.
+
+    Plan: hash-groupBy on the 16-byte md5 (one shuffle, map-side
+    combined), then a ≤distinct-sizes-row second groupBy. NULL texts are
+    excluded. Returns ``(cluster_size, n_clusters)``.
+    """
+    h = (
+        df.filter(F.col(text_column).isNotNull())
+        .groupBy(F.md5(F.col(text_column)).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return h.groupBy(F.col("__c").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles & MinHash
 # ---------------------------------------------------------------------------

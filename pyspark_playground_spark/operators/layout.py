@@ -90,3 +90,52 @@ def zorder_repartition(
     keyed = with_zorder_key(df, columns, bits=bits)
     parts = [num_partitions] if num_partitions else []
     return keyed.repartitionByRange(*parts, "zkey").sortWithinPartitions("zkey").drop("zkey")
+
+
+def plan_shards(
+    df: DataFrame,
+    *,
+    bytes_column: str,
+    target_bytes: int,
+    order_column: str,
+    out: str = "shard",
+    buckets: int = 64,
+) -> DataFrame:
+    """Assign every row an output-shard id so each shard holds
+    ~``target_bytes`` of payload in ``order_column`` order — the writer-
+    side planning step for fixed-size training shards (a plain
+    ``repartition(n)`` balances ROW counts; documents are wildly
+    size-skewed, so byte-balanced shards need the exact cumulative
+    payload):
+
+    ``shard(row) = cum_bytes_before(row) DIV target_bytes``
+
+    Exact global cumulative sums run through the range-bucket prefix-sum
+    pattern (``profiling._bucketed_cum_before`` — broadcast percentile
+    bounds, intra-bucket running sum, ≤``buckets``-row prefix frame), so
+    no single-task sort and no node buffers the corpus. ``order_column``
+    must be unique and non-null (use the doc id, or a curriculum rank
+    for quality-ordered shards); rows with NULL ``bytes_column`` are
+    excluded (unsizeable).
+
+    Returns the input columns plus ``out`` (int shard id). Downstream:
+    ``df.repartition(out)``/partitionBy writes one ~target-sized file
+    per shard.
+    """
+    from pyspark_playground_spark.operators.profiling import (
+        _bucketed_cum_before,
+    )
+
+    src = df.filter(
+        F.col(bytes_column).isNotNull() & F.col(order_column).isNotNull()
+    )
+    cum = _bucketed_cum_before(
+        src,
+        order_column=order_column,
+        sum_column=bytes_column,
+        out="__cum",
+        buckets=buckets,
+    )
+    return cum.withColumn(
+        out, F.expr(f"CAST(__cum DIV {int(target_bytes)} AS INT)")
+    ).drop("__cum")

@@ -1058,6 +1058,61 @@ def calibration_bins(
     )
 
 
+def dataset_card(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    source_column: str = "source",
+    lang_column: str = "lang",
+    chars_column: str = "n_chars",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """One-row corpus summary — the "dataset card" numbers a training-data
+    drop ships with (and the first sanity gate a new 100 TB delivery
+    runs): volume, source/language breadth, exact duplication, token
+    budget, and the length profile.
+
+    Columns: ``n_docs``, ``n_sources``, ``n_langs``, ``n_unique_texts``
+    (exact md5 distinct — ``n_docs − n_unique_texts`` is the surplus-copy
+    count an exact dedup would remove), ``mean_tokens`` (whitespace
+    tokens; exact DECIMAL sum, ONE double division), ``p50_chars`` /
+    ``p95_chars`` (exact type-1 order statistics via
+    :func:`exact_order_statistics` — no global sort, no buffering node).
+
+    Plan: ONE wide aggregation pass over the heavy columns (text/
+    source/lang: count + three exact distincts + token sum) cross-joined
+    with the broadcast one-row quantile frame. The rank-selection branch
+    re-reads only the pruned ``(chars, id)`` projection a few times
+    (distributed_rank's bounds/data/counts lineages) — narrow scans a
+    parquet reader serves from two columns, chosen over caching a
+    data-sized frame. Every wide stage is partitioned.
+    """
+    from pyspark_playground_spark.operators.text import token_count_expr
+
+    wide = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(source_column)).alias("n_sources"),
+        F.countDistinct(F.col(lang_column)).alias("n_langs"),
+        F.countDistinct(F.md5(F.col(text_column))).alias("n_unique_texts"),
+        (
+            F.sum(token_count_expr(text_column).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+    )
+    qs = exact_order_statistics(
+        df,
+        value_column=chars_column,
+        quantiles=[0.5, 0.95],
+        id_column=id_column,
+    ).select(
+        F.col("q_0_5").alias("p50_chars"),
+        F.col("q_0_95").alias("p95_chars"),
+    )
+    return wide.crossJoin(F.broadcast(qs))
+
+
 def _q_label(q: float) -> str:
     """Column label for quantile ``q``: the decimal rendering with ``.``
     replaced by ``_`` (0.5 → ``q_0_5``, 0.99 → ``q_0_99``). ``repr`` keeps

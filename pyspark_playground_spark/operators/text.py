@@ -216,6 +216,38 @@ def scrub_pii(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    out: str = "text_norm",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Deterministic text canonicalization — the cleanup run BEFORE
+    hashing/dedup/shingling so cosmetic variants (case, control chars,
+    whitespace runs) collapse to one canonical form and stop defeating
+    exact dedup: optional lowercase → strip control characters
+    (``[\\x00-\\x1f\\x7f]`` → space) → collapse whitespace runs to one
+    space → trim. Engine-portable regexes in this exact op order (the
+    oracle mirrors them verbatim); pure projections, no shuffle, runs
+    inside the scan's codegen stage at 100 TB.
+
+    Adds ``out`` (canonical text) and ``<out>_changed``.
+    """
+    col = F.col(text_column)
+    src = F.lower(col) if lowercase else col
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(src, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "
+        )
+    )
+    return df.select(
+        "*",
+        norm.alias(out),
+        (~norm.eqNullSafe(col)).alias(f"{out}_changed"),
+    )
+
+
 def url_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
     """Per-document URL census: count + sorted distinct domains (the
     blocklist-join key for C4-style domain filtering)."""

@@ -37,6 +37,10 @@ Spec shape::
       - op: score_gate                 # refuse if the score stops ranking
         params: {score_column: quality_score, label_expr: "lang = 'en'",
                  min_auc: 0.6}
+      - op: normalize                  # canonicalize text (run FIRST)
+      - op: shard                      # byte-balanced output shards
+        params: {bytes_column: n_chars, target_bytes: 67108864,
+                 order_column: doc_id}
 
 Every stage consumes and produces a DataFrame with at least
 ``(doc_id, text)``; stages that add flags (``c4_filter``) filter on them
@@ -273,8 +277,40 @@ def _stage_score_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_normalize(df: DataFrame, spec: dict) -> DataFrame:
+    """Canonicalize text in place (text.normalize_text: lowercase →
+    control-strip → whitespace-collapse → trim) — run FIRST so every
+    downstream hash/shingle/dedup stage sees the canonical form."""
+    p = dict(spec.get("params", {}))
+    out = _tx.normalize_text(df, lowercase=p.get("lowercase", True))
+    return out.select(
+        *[
+            F.col("text_norm").alias("text") if c == "text" else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _stage_shard(df: DataFrame, spec: dict) -> DataFrame:
+    """Terminal shaping stage: byte-balanced output-shard assignment
+    (layout.plan_shards — exact cumulative payload DIV target through
+    the range-bucket prefix sum). Adds a ``shard`` int column; write
+    with ``partitionBy('shard')`` for ~fixed-size training shards."""
+    from pyspark_playground_spark.operators.layout import plan_shards
+
+    p = dict(spec.get("params", {}))
+    return plan_shards(
+        df,
+        bytes_column=p.get("bytes_column", "n_chars"),
+        target_bytes=int(p.get("target_bytes", 1 << 26)),
+        order_column=p.get("order_column", "doc_id"),
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "score_gate": _stage_score_gate,
+    "shard": _stage_shard,
+    "normalize": _stage_normalize,
     "tokenize_bpe": _stage_tokenize_bpe,
     "c4_filter": _stage_c4_filter,
     "filter": _stage_filter,

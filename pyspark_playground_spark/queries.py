@@ -6147,6 +6147,124 @@ def spearman_nchars_tokens_documents(spark, sf_dir):
 
 
 @query(
+    "dataset_card_documents",
+    f"""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             CAST(CAST(sum(CAST(len({_TOKS}) AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean_tokens
+      FROM documents
+    ), r AS (
+      SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+      FROM documents WHERE n_chars IS NOT NULL
+    ), n AS (SELECT max(rk) AS mx FROM r),
+    q AS (
+      SELECT max(CASE WHEN rk = CAST(floor(0.5 * CAST(mx AS DOUBLE))
+                                    AS BIGINT) THEN v END) AS p50_chars,
+             max(CASE WHEN rk = CAST(floor(0.95 * CAST(mx AS DOUBLE))
+                                     AS BIGINT) THEN v END) AS p95_chars
+      FROM r CROSS JOIN n
+    )
+    SELECT * FROM a CROSS JOIN q
+    """,
+)
+def dataset_card_documents(spark, sf_dir):
+    """The dataset card (operators/profiling.py dataset_card): one row of
+    delivery-gate numbers — volume, source/language breadth, exact md5
+    duplication, mean whitespace tokens (exact DECIMAL sum, one
+    division), and exact p50/p95 length via distributed rank selection.
+    One wide aggregation pass + the broadcast one-row quantile frame;
+    the oracle replays the identical rank selection and token
+    expression."""
+    from pyspark_playground_spark.operators.profiling import dataset_card
+
+    docs = load(spark, sf_dir, "documents")
+    return dataset_card(docs)
+
+
+@query(
+    "shard_plan_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    )
+    SELECT doc_id, n_chars, CAST(cum // 65536 AS INT) AS shard
+    FROM r
+    """,
+)
+def shard_plan_documents(spark, sf_dir):
+    """Byte-balanced shard planning (operators/layout.py plan_shards):
+    every document assigned the shard id ``cum_chars_before DIV 64KiB``
+    in doc_id order — fixed-size training shards from size-skewed
+    documents, with the exact global cumulative sum computed through the
+    range-bucket prefix-sum pattern (no single-task sort; the oracle
+    replays the same exclusive running sum with a plain window)."""
+    from pyspark_playground_spark.operators.layout import plan_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return plan_shards(
+        docs,
+        bytes_column="n_chars",
+        target_bytes=65536,
+        order_column="doc_id",
+    )
+
+
+@query(
+    "normalize_text_documents",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS text_norm,
+           NOT (trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                  '\\s+', ' ', 'g')) IS NOT DISTINCT FROM text) AS text_norm_changed
+    FROM documents
+    """,
+)
+def normalize_text_documents(spark, sf_dir):
+    """Deterministic text canonicalization (operators/text.py
+    normalize_text): lowercase → control-char strip → whitespace
+    collapse → trim, in that exact op order on both engines — the
+    pre-dedup cleanup that stops cosmetic variants defeating exact
+    hashing. Pure codegen projections, zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.normalize_text(docs).select(
+        "doc_id", "text_norm", "text_norm_changed"
+    )
+
+
+@query(
+    "exact_dup_histogram_documents",
+    """
+    WITH h AS (
+      SELECT md5(text) AS k, count(*) AS c FROM documents
+      WHERE text IS NOT NULL GROUP BY md5(text)
+    )
+    SELECT c AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM h GROUP BY c
+    """,
+)
+def exact_dup_histogram_documents(spark, sf_dir):
+    """Exact-duplicate cluster-size histogram (operators/dedup.py
+    exact_dup_histogram): sizes the dedup win and shows the duplication
+    SHAPE (template fat-tail vs crawl-overlap band) before paying for
+    the dedup itself. One md5 hash-groupBy shuffle + a bounded
+    second groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.exact_dup_histogram(docs)
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

@@ -81,6 +81,8 @@ HEADLINE = [
     "grouped_auc_length_by_source_documents",
     "spearman_nchars_tokens_documents",
     "windowed_auc_value_purchase_events", "windowed_binned_auc_events",
+    "dataset_card_documents", "shard_plan_documents",
+    "normalize_text_documents", "exact_dup_histogram_documents",
 ]
 
 

@@ -512,6 +512,26 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("spearman", n_docs, spear)
 
+    # 28. dataset card: one wide agg pass (3 exact distincts + token sum)
+    #     + the distributed-rank quantile frame
+    def card():
+        pfo.dataset_card(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("dataset_card", n_docs, card)
+
+    # 29. byte-balanced shard planning: range-bucket prefix sum over the
+    #     full corpus — the writer-side path whose cost must stay linear
+    from pyspark_playground_spark.operators import layout as lyo
+
+    def shards():
+        lyo.plan_shards(
+            docs.select("doc_id", "n_chars"),
+            bytes_column="n_chars", target_bytes=65536,
+            order_column="doc_id",
+        ).write.format("noop").mode("overwrite").save()
+    timed("plan_shards", n_docs, shards)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -37,3 +37,33 @@ def test_zorder_repartition_ranges_are_disjoint(spark):
     # which is what makes per-file min/max footer stats selective
     for prev, cur in zip(parts, parts[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_plan_shards_matches_python_cumsum(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 500)) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    from pyspark_playground_spark.operators.layout import plan_shards
+
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in plan_shards(
+            df, bytes_column="n_chars", target_bytes=1000,
+            order_column="doc_id",
+        ).collect()
+    }
+    cum = 0
+    for i, b in rows:
+        assert got[i] == cum // 1000, i
+        cum += b
+    # shard ids are contiguous from 0 and every full shard holds >= target
+    # minus the largest doc (a doc never splits)
+    sizes = {}
+    for i, b in rows:
+        sizes[got[i]] = sizes.get(got[i], 0) + b
+    assert set(sizes) == set(range(max(sizes) + 1))
+    for s, total in sizes.items():
+        if s < max(sizes):
+            assert total >= 1000 - 500

@@ -837,3 +837,42 @@ def test_prefix_filter_jaccard_identical_and_disjoint(spark):
         for r in dd.prefix_filter_jaccard_join(df, threshold=0.5).collect()
     }
     assert out == {(1, 2): 1.0}
+
+
+def test_normalize_text_canonicalizes_variants(spark):
+    from pyspark_playground_spark.operators import text as tx
+
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),
+        (3, "hello\tworld\x07"),          # tab + control char
+        (4, "  hello world  "),
+        (5, None),
+        (6, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in tx.normalize_text(df).collect()}
+    # all four cosmetic variants collapse to one canonical form
+    assert {out[i]["text_norm"] for i in (1, 2, 3, 4)} == {"hello world"}
+    assert out[2]["text_norm_changed"] is False
+    assert out[1]["text_norm_changed"] is True
+    assert out[5]["text_norm"] is None and out[5]["text_norm_changed"] is False
+    assert out[6]["text_norm_changed"] is False
+
+
+def test_exact_dup_histogram_counts_cluster_sizes(spark):
+    from pyspark_playground_spark.operators import dedup as dd
+
+    rows = (
+        [(i, "unique %d" % i) for i in range(5)]
+        + [(10 + i, "twice a") for i in range(2)]
+        + [(20 + i, "twice b") for i in range(2)]
+        + [(30 + i, "triple") for i in range(3)]
+        + [(99, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in dd.exact_dup_histogram(df).collect()
+    }
+    assert got == {1: 5, 2: 2, 3: 1}

@@ -224,3 +224,40 @@ def test_score_gate_stage_passes_and_refuses(spark):
                                     "label_expr": "NOT y",
                                     "min_auc": 0.9}}]},
         )
+
+
+def test_shard_stage_matches_direct_call(spark):
+    rows = [(i, "x" * (i % 7 + 1), "a", (i % 7 + 1)) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, source string, n_chars int"
+    )
+    from pyspark_playground_spark.operators.layout import plan_shards
+
+    via_spec = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "shard",
+                     "params": {"bytes_column": "n_chars",
+                                "target_bytes": 40,
+                                "order_column": "doc_id"}}]},
+    )
+    direct = plan_shards(
+        df, bytes_column="n_chars", target_bytes=40, order_column="doc_id"
+    )
+    assert sorted(via_spec.collect()) == sorted(direct.collect())
+    assert "shard" in via_spec.columns
+
+
+def test_normalize_stage_canonicalizes_before_dedup(spark):
+    rows = [
+        (1, "Hello   World", "a"),
+        (2, "hello world", "a"),
+        (3, "other text", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = pl.run_pipeline(
+        df, {"stages": [{"op": "normalize"}, {"op": "exact_dedup"}]}
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # 1 and 2 collapse to one canonical text; smallest id kept
+    assert got == [1, 3]
+    assert out.columns == df.columns

@@ -391,6 +391,28 @@ def test_calibration_bins_matches_python_reference(spark):
         assert abs(r["pos_rate"] - r["n_pos"] / r["n"]) < 1e-12
 
 
+def test_dataset_card_matches_python_reference(spark):
+    rows = [
+        (1, "alpha beta gamma", "s1", "en", 16),
+        (2, "alpha beta gamma", "s1", "en", 16),   # exact dup
+        (3, "un deux", "s2", "fr", 7),
+        (4, "eins zwei drei vier", "s2", "de", 19),
+        (5, "one", "s1", "en", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    got = pf.dataset_card(df).collect()[0]
+    assert got["n_docs"] == 5
+    assert got["n_sources"] == 2 and got["n_langs"] == 3
+    assert got["n_unique_texts"] == 4
+    toks = [3, 3, 2, 4, 1]
+    assert abs(got["mean_tokens"] - sum(toks) / 5) < 1e-12
+    # type-1 order stats of n_chars sorted: [3, 7, 16, 16, 19], mx=4
+    assert got["p50_chars"] == 16   # rank floor(0.5*4)=2
+    assert got["p95_chars"] == 16   # rank floor(0.95*4)=3
+
+
 def test_drift_psi_matches_python_reference(spark):
     import math
 
