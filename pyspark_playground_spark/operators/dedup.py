@@ -80,6 +80,48 @@ def exact_dup_histogram(
     )
 
 
+def cross_split_gram_leakage(
+    df: DataFrame,
+    *,
+    split_column: str = "split",
+    text_column: str = "text",
+    n: int = 8,
+    left: str = "train",
+    right: str = "test",
+) -> DataFrame:
+    """Post-split integrity audit: how many distinct token ``n``-grams the
+    ``left`` and ``right`` splits SHARE — the eval-leakage a
+    decontamination pass (or a cluster-disjoint split) should have driven
+    to ~zero, measured rather than assumed. Run it after any split that
+    wasn't leakage-free by construction.
+
+    Plan: explode distinct per-doc shingles once, ONE groupBy on the
+    gram (map-side combined presence bits per split), one bounded final
+    aggregate — no self-join, no per-pair work. Returns one row
+    ``(n_grams, n_left_grams, n_right_grams, n_shared)``.
+    """
+    e = df.select(
+        F.col(split_column).alias("__split"),
+        F.explode(shingles_expr(text_column, n)).alias("__gram"),
+    )
+    d = e.groupBy("__gram").agg(
+        (
+            F.sum(F.when(F.col("__split") == left, 1).otherwise(0)) > 0
+        ).alias("__hl"),
+        (
+            F.sum(F.when(F.col("__split") == right, 1).otherwise(0)) > 0
+        ).alias("__hr"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__hl"), 1).otherwise(0)).alias("n_left_grams"),
+        F.sum(F.when(F.col("__hr"), 1).otherwise(0)).alias("n_right_grams"),
+        F.sum(
+            F.when(F.col("__hl") & F.col("__hr"), 1).otherwise(0)
+        ).alias("n_shared"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles & MinHash
 # ---------------------------------------------------------------------------

@@ -6265,6 +6265,85 @@ def exact_dup_histogram_documents(spark, sf_dir):
 
 
 @query(
+    "split_leakage_audit_documents",
+    f"""
+    WITH t AS (
+      SELECT CASE WHEN {_BUCKET} < 8000 THEN 'train'
+                  WHEN {_BUCKET} < 9000 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_TOKS} AS toks
+      FROM documents
+    ), g AS (
+      SELECT split,
+             list_distinct([array_to_string(toks[i:i+7], ' ')
+                            FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])
+               AS grams
+      FROM t
+    ), e AS (SELECT split, unnest(grams) AS gram FROM g),
+    d AS (
+      SELECT gram,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0 AS hl,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0 AS hr
+      FROM e GROUP BY gram
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN hl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_left_grams,
+           CAST(sum(CASE WHEN hr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_right_grams,
+           CAST(sum(CASE WHEN hl AND hr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM d
+    """,
+)
+def split_leakage_audit_documents(spark, sf_dir):
+    """Post-split leakage audit (operators/dedup.py
+    cross_split_gram_leakage over sampling.assign_split's 80/10/10): the
+    count of distinct 8-grams the train and test splits share — the
+    eval contamination a hash split leaves behind (and a cluster-disjoint
+    split removes), measured rather than assumed. One shingle explode +
+    one gram groupBy with presence bits; no self-join, no pair work."""
+    docs = load(spark, sf_dir, "documents")
+    s = sp.assign_split(docs, ["doc_id"])
+    return dd.cross_split_gram_leakage(s)
+
+
+@query(
+    "ttr_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE)
+           END AS ttr
+    FROM t
+    """,
+)
+def ttr_documents(spark, sf_dir):
+    """Per-document type-token ratio — the lexical-diversity quality
+    feature (near-0 TTR = keyword-stuffed or template-repeated text the
+    Gopher repetition rules may miss when the repeats are scattered):
+    distinct tokens over total tokens, one double division of exact
+    integers. Pure codegen projections over the shared tokenizer
+    expression; zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens_expr("text")
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        d.cast("long").alias("n_types"),
+        F.when(
+            n > 0, d.cast("double") / n.cast("double")
+        ).alias("ttr"),
+    )
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

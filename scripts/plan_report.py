@@ -83,6 +83,7 @@ HEADLINE = [
     "windowed_auc_value_purchase_events", "windowed_binned_auc_events",
     "dataset_card_documents", "shard_plan_documents",
     "normalize_text_documents", "exact_dup_histogram_documents",
+    "split_leakage_audit_documents", "ttr_documents",
 ]
 
 

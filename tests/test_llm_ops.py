@@ -876,3 +876,23 @@ def test_exact_dup_histogram_counts_cluster_sizes(spark):
         for r in dd.exact_dup_histogram(df).collect()
     }
     assert got == {1: 5, 2: 2, 3: 1}
+
+
+def test_cross_split_gram_leakage_hand_example(spark):
+    from pyspark_playground_spark.operators import dedup as dd
+
+    rows = [
+        (1, "a b c d e", "train"),
+        (2, "c d e f g", "test"),      # shares the 3-gram "c d e"
+        (3, "x y z w v", "train"),
+        (4, "p q r s t", "val"),       # val never counted against test
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, split string")
+    row = dd.cross_split_gram_leakage(
+        df, split_column="split", text_column="text", n=3
+    ).collect()[0]
+    # grams per doc: 3 each (stride-1 trigrams of 5 tokens), all distinct
+    # across docs except the shared "c d e"
+    assert row["n_grams"] == 11
+    assert row["n_left_grams"] == 6 and row["n_right_grams"] == 3
+    assert row["n_shared"] == 1
