@@ -1113,6 +1113,55 @@ def dataset_card(
     return wide.crossJoin(F.broadcast(qs))
 
 
+def grouped_dataset_card(
+    df: DataFrame,
+    *,
+    group_column: str = "source",
+    text_column: str = "text",
+    lang_column: str = "lang",
+    chars_column: str = "n_chars",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """:func:`dataset_card` PER GROUP — the mixture-design table: one row
+    per source with volume, language breadth, exact duplication, token
+    budget, and the length profile, so temperature weights and dedup
+    priorities are set from measured numbers, not global averages.
+
+    Columns per group: ``n_docs``, ``n_langs``, ``n_unique_texts``,
+    ``mean_tokens`` (exact DECIMAL sum, one division), ``p50_chars`` /
+    ``p95_chars`` (exact type-1 per-group order statistics —
+    group-partitioned windows). Plan: one wide groupBy pass + the
+    grouped rank selection, joined on the bounded per-group frame; every
+    wide stage partitions on the group key. NULL groups excluded.
+    """
+    from pyspark_playground_spark.operators.text import token_count_expr
+
+    src = df.filter(F.col(group_column).isNotNull())
+    wide = src.groupBy(group_column).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(lang_column)).alias("n_langs"),
+        F.countDistinct(F.md5(F.col(text_column))).alias("n_unique_texts"),
+        (
+            F.sum(token_count_expr(text_column).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+    )
+    qs = grouped_order_statistics(
+        src,
+        group_column=group_column,
+        value_column=chars_column,
+        quantiles=[0.5, 0.95],
+        id_column=id_column,
+    ).select(
+        group_column,
+        F.col("q_0_5").alias("p50_chars"),
+        F.col("q_0_95").alias("p95_chars"),
+    )
+    return wide.join(qs, group_column)
+
+
 def _q_label(q: float) -> str:
     """Column label for quantile ``q``: the decimal rendering with ``.``
     replaced by ``_`` (0.5 → ``q_0_5``, 0.99 → ``q_0_99``). ``repr`` keeps

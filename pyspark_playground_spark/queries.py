@@ -6344,6 +6344,97 @@ def ttr_documents(spark, sf_dir):
 
 
 @query(
+    "grouped_dataset_card_documents",
+    f"""
+    WITH a AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             CAST(CAST(sum(CAST(len({_TOKS}) AS DECIMAL(38,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean_tokens
+      FROM documents WHERE source IS NOT NULL
+      GROUP BY source
+    ), r AS (
+      SELECT source, n_chars AS v,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) - 1 AS rk
+      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ), n AS (SELECT source, max(rk) AS mx FROM r GROUP BY source),
+    q AS (
+      SELECT r.source,
+             max(CASE WHEN rk = CAST(floor(0.5 * CAST(mx AS DOUBLE))
+                                     AS BIGINT) THEN v END) AS p50_chars,
+             max(CASE WHEN rk = CAST(floor(0.95 * CAST(mx AS DOUBLE))
+                                     AS BIGINT) THEN v END) AS p95_chars
+      FROM r JOIN n ON n.source = r.source
+      GROUP BY r.source
+    )
+    SELECT a.*, q.p50_chars, q.p95_chars FROM a JOIN q USING (source)
+    """,
+)
+def grouped_dataset_card_documents(spark, sf_dir):
+    """Per-source dataset card (operators/profiling.py
+    grouped_dataset_card) — the mixture-design table: volume, language
+    breadth, exact duplication, token budget, and exact per-group
+    p50/p95 length for every source in one frame. Group-partitioned
+    windows and aggregations only; the oracle replays the identical
+    per-group rank selection."""
+    from pyspark_playground_spark.operators.profiling import (
+        grouped_dataset_card,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return grouped_dataset_card(docs)
+
+
+@query(
+    "embedding_norm_histogram_embeddings",
+    """
+    WITH t AS (
+      SELECT sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                            FOR x IN embedding])) AS nrm
+      FROM embeddings
+    ), v AS (SELECT nrm FROM t WHERE nrm IS NOT NULL),
+    mm AS (SELECT min(nrm) AS lo, max(nrm) AS hi FROM v)
+    SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                ELSE least(15, CAST(floor((v.nrm - mm.lo) * 16
+                                          / (mm.hi - mm.lo)) AS INT))
+           END AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v CROSS JOIN mm
+    GROUP BY 1
+    """,
+)
+def embedding_norm_histogram_embeddings(spark, sf_dir):
+    """Embedding L2-norm histogram — the vector-quality audit run before
+    trusting cosine machinery (a spike at 0 = dead vectors; a long tail
+    = un-normalized mixtures that silently dominate dot products).
+    Norms via the same sequential-fold expression the
+    normalize/quantize entry pins cross-engine; bins via the shared
+    equal_width_bin recipe. One pass + a 16-group count shuffle."""
+    from pyspark_playground_spark.operators.profiling import (
+        equal_width_bin,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    t = e.select(nrm.alias("__nrm")).filter(F.col("__nrm").isNotNull())
+    mm = t.agg(F.min("__nrm").alias("__lo"), F.max("__nrm").alias("__hi"))
+    return (
+        t.join(F.broadcast(mm))
+        .select(
+            equal_width_bin(
+                F.col("__nrm"), F.col("__lo"), F.col("__hi"), 16
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

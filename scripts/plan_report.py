@@ -84,6 +84,7 @@ HEADLINE = [
     "dataset_card_documents", "shard_plan_documents",
     "normalize_text_documents", "exact_dup_histogram_documents",
     "split_leakage_audit_documents", "ttr_documents",
+    "grouped_dataset_card_documents", "embedding_norm_histogram_embeddings",
 ]
 
 

@@ -685,3 +685,26 @@ def test_drift_ks_by_group_equals_per_group_runs(spark):
             dfd, value_column="v", cohort_column=F.col("g") == g, bins=16
         ).collect()[0]
         assert multi_b[g] == single.ks_numerator, g
+
+
+def test_grouped_dataset_card_matches_python_reference(spark):
+    rows = [
+        (1, "alpha beta", "s1", "en", 10),
+        (2, "alpha beta", "s1", "en", 10),     # dup within s1
+        (3, "gamma", "s1", "fr", 5),
+        (4, "un deux trois", "s2", "fr", 13),
+        (5, None, None, "en", 7),              # NULL group excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = {r["source"]: r for r in pf.grouped_dataset_card(df).collect()}
+    assert set(out) == {"s1", "s2"}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_langs"] == 2
+    assert s1["n_unique_texts"] == 2
+    assert abs(s1["mean_tokens"] - (2 + 2 + 1) / 3) < 1e-12
+    # s1 chars sorted [5, 10, 10], mx=2: p50 rank 1 -> 10, p95 rank 1 -> 10
+    assert s1["p50_chars"] == 10 and s1["p95_chars"] == 10
+    s2 = out["s2"]
+    assert s2["n_docs"] == 1 and s2["p50_chars"] == 13
