@@ -504,3 +504,71 @@ def test_incremental_cc_equals_recompute(spark, edges, cut):
         for r in G.update_components(labels, new_df).collect()
     }
     assert got == full
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=3, max_size=40,
+    ).filter(
+        lambda ps: any(y for _, y in ps) and any(not y for _, y in ps)
+    )
+)
+def test_exact_auc_matches_pair_counting_model(spark, pairs):
+    """For ANY score/label multiset with both classes present, exact_auc
+    equals the literal tie-corrected pair count."""
+    from pyspark_playground_spark.operators import profiling as pf
+
+    df = spark.createDataFrame(pairs, "s long, y boolean")
+    got = pf.exact_auc(df, score_column="s", label_column="y").collect()[0]
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - u / (len(pos) * len(neg))) < 1e-12
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=3, max_size=40,
+    )
+)
+def test_spearman_matches_average_rank_model(spark, pairs):
+    """For ANY integer pair multiset, spearman_correlation equals Pearson
+    over tie-corrected average ranks (NULL iff a column is constant)."""
+    import math
+
+    from pyspark_playground_spark.operators import profiling as pf
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = pf.spearman_correlation(df, x_column="a", y_column="b").collect()[0]
+    assert got["n_rows"] == len(pairs)
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        first, cnt = {}, {}
+        for i, v in enumerate(s):
+            first.setdefault(v, i)
+        for v in s:
+            cnt[v] = cnt.get(v, 0) + 1
+        return [first[v] + (cnt[v] + 1) / 2 for v in vals]
+
+    ra, rb = avg_ranks([a for a, _ in pairs]), avg_ranks([b for _, b in pairs])
+    n = len(pairs)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    da = sum((x - ma) ** 2 for x in ra)
+    db = sum((y - mb) ** 2 for y in rb)
+    if da == 0 or db == 0:
+        assert got["rho"] is None
+    else:
+        ref = sum(
+            (x - ma) * (y - mb) for x, y in zip(ra, rb)
+        ) / math.sqrt(da * db)
+        assert abs(got["rho"] - ref) < 1e-9
