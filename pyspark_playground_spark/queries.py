@@ -7286,6 +7286,85 @@ def windowed_binned_auc_events(spark, sf_dir):
 
 
 @query(
+    "dup_rate_by_source_documents",
+    """
+    WITH t AS (
+      SELECT source, text FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS dup_rate
+    FROM t GROUP BY source
+    """,
+)
+def dup_rate_by_source_documents(spark, sf_dir):
+    """Per-source exact duplication rate — the ingest monitor that
+    catches a feed re-delivering the same payload (dup_rate jumping on
+    one source) before dedup silently absorbs the cost. One md5
+    count-distinct groupBy per source; one double division of exact
+    integers."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    n = F.count(F.lit(1))
+    u = F.countDistinct(F.md5(F.col("text")))
+    return t.groupBy("source").agg(
+        n.alias("n_docs"),
+        u.alias("n_unique"),
+        ((n - u).cast("double") / n.cast("double")).alias("dup_rate"),
+    )
+
+
+@query(
+    "windowed_order_stats_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    r AS (
+      SELECT date_trunc('hour', ts) AS ws, value AS v,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY value, event_id) - 1 AS rk
+      FROM e WHERE value IS NOT NULL
+    ), n AS (SELECT ws, max(rk) AS mx FROM r GROUP BY ws)
+    SELECT r.ws AS window_start,
+           CAST(max(mx) + 1 AS BIGINT) AS n_rows,
+           max(CASE WHEN rk = CAST(floor(0.5 * CAST(mx AS DOUBLE))
+                                   AS BIGINT) THEN v END) AS q_0_5,
+           max(CASE WHEN rk = CAST(floor(0.99 * CAST(mx AS DOUBLE))
+                                   AS BIGINT) THEN v END) AS q_0_99
+    FROM r JOIN n ON n.ws = r.ws
+    GROUP BY r.ws
+    """,
+)
+def windowed_order_stats_events(spark, sf_dir):
+    """Per-hour EXACT value p50/p99 (operators/profiling.py
+    grouped_order_statistics with the hour window as the group) — the
+    "watch the p99 per hour" monitor with exact order statistics
+    instead of a sketch; window-partitioned rank windows only, the
+    oracle replays the identical per-group rank selection."""
+    from pyspark_playground_spark.operators.profiling import (
+        grouped_order_statistics,
+    )
+
+    e = load_events(spark, sf_dir)
+    t = e.select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "value",
+        "event_id",
+    )
+    return grouped_order_statistics(
+        t,
+        group_column="window_start",
+        value_column="value",
+        quantiles=[0.5, 0.99],
+        id_column="event_id",
+    )
+
+
+@query(
     "windowed_cvm_events",
     f"""
     WITH e AS ({EVENTS_N}),

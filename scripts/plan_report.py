@@ -85,6 +85,7 @@ HEADLINE = [
     "normalize_text_documents", "exact_dup_histogram_documents",
     "split_leakage_audit_documents", "ttr_documents",
     "grouped_dataset_card_documents", "embedding_norm_histogram_embeddings",
+    "dup_rate_by_source_documents", "windowed_order_stats_events",
 ]
 
 
