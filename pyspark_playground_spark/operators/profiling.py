@@ -839,7 +839,10 @@ def exact_auc(
         * F.col("__nneg").cast("decimal(20,0)")
     )
     return agg.select(
-        (F.col("__u2").cast("double") / denom.cast("double")).alias("auc"),
+        F.when(
+            (F.col("__npos") > 0) & (F.col("__nneg") > 0),
+            F.col("__u2").cast("double") / denom.cast("double"),
+        ).alias("auc"),
         F.col("__npos").cast("long").alias("n_pos"),
         F.col("__nneg").cast("long").alias("n_neg"),
         F.col("__nscores").cast("long").alias("n_scores"),

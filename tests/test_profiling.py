@@ -708,3 +708,11 @@ def test_grouped_dataset_card_matches_python_reference(spark):
     assert s1["p50_chars"] == 10 and s1["p95_chars"] == 10
     s2 = out["s2"]
     assert s2["n_docs"] == 1 and s2["p50_chars"] == 13
+
+
+def test_exact_auc_single_class_returns_null(spark):
+    onlypos = spark.createDataFrame(
+        [(i, True) for i in range(5)], "s long, y boolean"
+    )
+    row = pf.exact_auc(onlypos, score_column="s", label_column="y").collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
