@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.corpus_audit_pipeline",
         "examples.drift_monitoring_pipeline",
         "examples.mixture_design_pipeline",
+        "examples.quality_classifier_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
