@@ -22,8 +22,15 @@ from pyspark_playground_spark.plans import pipeline as pl
 from pyspark_playground_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def main(sf_dir: str | None = None) -> None:
+    if sf_dir is None:
+        argv_dir = sys.argv[1] if len(sys.argv) > 1 else None
+        sf_dir = (
+            argv_dir
+            if argv_dir
+            and os.path.exists(os.path.join(argv_dir, "documents.parquet"))
+            else "/root/testdata/sf0.001"
+        )
     spec = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "corpus_pipeline.yaml")
     spark = get_spark(app_name="declarative-corpus-pipeline")
