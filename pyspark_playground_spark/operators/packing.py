@@ -323,3 +323,82 @@ def distributed_ntile(
         .withColumn(out, tile)
         .select(*cols, out)
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    *,
+    score_column: str,
+    tokens_column: str,
+    id_column: str,
+    budget: int,
+    buckets: int = 64,
+) -> DataFrame:
+    """Data selection under a token budget: keep the BEST documents by
+    ``score_column`` (descending, ``id_column`` ascending on ties) until
+    the cumulative ``tokens_column`` would exceed ``budget`` — the
+    "spend 1B tokens on the highest-quality slice" primitive, computed
+    exactly and without a global sort.
+
+    A row is kept iff the inclusive cumulative token sum along the
+    selection order ``(score DESC, id ASC)`` is ≤ ``budget``. That
+    cumulative decomposes into per-partition pieces:
+
+    ``cum(r) = S_gt(r.score) + intra(r)``
+
+    where ``S_gt(s) = total − cum_before_asc(s) − tokens_at(s)`` (tokens
+    of strictly higher scores, from the range-bucketed strictly-smaller
+    cumulative over the distinct-score frame run ASCENDING) and
+    ``intra(r)`` is the inclusive running sum within the row's score
+    group ordered by id (a score-partitioned window). Every wide stage
+    is partitioned; the per-score frame is persisted (it feeds the
+    bounds/main/totals lineages of the cumulative helper). Rows with a
+    NULL score, token count, or id are excluded.
+
+    Returns the kept rows: input columns plus ``cum_tokens`` (the
+    inclusive cumulative at that row — the last kept row shows how much
+    of the budget was actually spent).
+    """
+    from pyspark_playground_spark.operators.profiling import (
+        _bucketed_cum_before,
+    )
+
+    cols = df.columns
+    src = df.filter(
+        F.col(score_column).isNotNull()
+        & F.col(tokens_column).isNotNull()
+        & F.col(id_column).isNotNull()
+    )
+    g = (
+        src.groupBy(F.col(score_column).alias("__s"))
+        .agg(F.sum(tokens_column).alias("__t"))
+        .persist()
+    )
+    cum = _bucketed_cum_before(
+        g, order_column="__s", sum_column="__t", out="__cb",
+        buckets=buckets,
+    )
+    total = g.agg(F.sum("__t").alias("__total"))
+    w = Window.partitionBy(score_column).orderBy(id_column).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = (
+        src.join(
+            cum.select(
+                F.col("__s").alias(score_column),
+                "__cb",
+                F.col("__t").alias("__t_at"),
+            ),
+            score_column,
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("__intra", F.sum(tokens_column).over(w))
+    )
+    cum_tokens = (
+        F.col("__total") - F.col("__cb") - F.col("__t_at") + F.col("__intra")
+    )
+    return (
+        joined.withColumn("cum_tokens", cum_tokens.cast("long"))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .select(*cols, "cum_tokens")
+    )

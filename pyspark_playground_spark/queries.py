@@ -6435,6 +6435,49 @@ def embedding_norm_histogram_embeddings(spark, sf_dir):
 
 
 @query(
+    "token_budget_selection_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, len({_TOKS}) AS n_toks FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        AND doc_id IS NOT NULL
+    ), c AS (
+      SELECT doc_id, n_chars, n_toks,
+             sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_chars, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def token_budget_selection_documents(spark, sf_dir):
+    """Data selection under a token budget (operators/packing.py
+    select_token_budget): keep the longest documents (n_chars standing
+    in for a quality score) until 20k whitespace tokens are spent — the
+    "best slice for a fixed budget" primitive. The inclusive cumulative
+    along (score DESC, id ASC) decomposes into the range-bucketed
+    strictly-smaller cumulative over distinct scores plus a
+    score-partitioned intra window — no global sort anywhere; the
+    oracle is the literal one-window prefix sum."""
+    from pyspark_playground_spark.operators.packing import (
+        select_token_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", tx.token_count_expr("text").alias("n_toks")
+    )
+    return select_token_budget(
+        docs,
+        score_column="n_chars",
+        tokens_column="n_toks",
+        id_column="doc_id",
+        budget=20000,
+    )
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

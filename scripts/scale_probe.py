@@ -532,6 +532,21 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("plan_shards", n_docs, shards)
 
+    # 30. token-budget selection: distinct-score cumulative + score-
+    #     partitioned intra window — the budget gate must stay linear
+    from pyspark_playground_spark.operators import packing as pko
+
+    sel_in = docs.select(
+        "doc_id", "n_chars", txo.token_count_expr("text").alias("n_toks")
+    )
+
+    def budget_sel():
+        pko.select_token_budget(
+            sel_in, score_column="n_chars", tokens_column="n_toks",
+            id_column="doc_id", budget=1_000_000,
+        ).write.format("noop").mode("overwrite").save()
+    timed("token_budget_selection", n_docs, budget_sel)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

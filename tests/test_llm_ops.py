@@ -896,3 +896,31 @@ def test_cross_split_gram_leakage_hand_example(spark):
     assert row["n_grams"] == 11
     assert row["n_left_grams"] == 6 and row["n_right_grams"] == 3
     assert row["n_shared"] == 1
+
+
+def test_select_token_budget_matches_sorted_prefix(spark):
+    import random
+
+    from pyspark_playground_spark.operators.packing import (
+        select_token_budget,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 9), rng.randint(1, 50)) for i in range(1, 81)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, toks long")
+    budget = 400
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_token_budget(
+            df, score_column="score", tokens_column="toks",
+            id_column="doc_id", budget=budget,
+        ).collect()
+    }
+    # reference: literal sort by (score DESC, id ASC), inclusive prefix
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, ref = 0, {}
+    for i, _, t in order:
+        cum += t
+        if cum <= budget:
+            ref[i] = cum
+    assert got == ref and 0 < len(ref) < len(rows)
