@@ -402,3 +402,46 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
         .select(*cols, "cum_tokens")
     )
+
+
+def grouped_token_budget(
+    df: DataFrame,
+    *,
+    group_column: str,
+    score_column: str,
+    tokens_column: str,
+    id_column: str,
+    budget_per_group: int,
+) -> DataFrame:
+    """:func:`select_token_budget` PER GROUP — the mixture-quota
+    primitive: each source/language keeps its best documents by
+    ``score_column`` until ITS ``budget_per_group`` tokens are spent, so
+    a megasource cannot eat the whole corpus budget.
+
+    Simpler than the global operator: the inclusive cumulative along
+    ``(score DESC, id ASC)`` within each group is ONE group-partitioned
+    window — no range-bucket machinery needed, every wide stage
+    partitions on the group key (a single dominant group degrades to
+    that group's size; the global operator's decomposition is the
+    escape hatch). NULL group/score/tokens/id rows are excluded.
+
+    Returns kept rows: input columns plus ``cum_tokens`` (inclusive
+    within the row's group).
+    """
+    cols = df.columns
+    src = df.filter(
+        F.col(group_column).isNotNull()
+        & F.col(score_column).isNotNull()
+        & F.col(tokens_column).isNotNull()
+        & F.col(id_column).isNotNull()
+    )
+    w = Window.partitionBy(group_column).orderBy(
+        F.col(score_column).desc(), F.col(id_column).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        src.withColumn(
+            "cum_tokens", F.sum(tokens_column).over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_per_group)))
+        .select(*cols, "cum_tokens")
+    )

@@ -6478,6 +6478,51 @@ def token_budget_selection_documents(spark, sf_dir):
 
 
 @query(
+    "grouped_token_budget_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars, len({_TOKS}) AS n_toks
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        AND text IS NOT NULL AND doc_id IS NOT NULL
+    ), c AS (
+      SELECT doc_id, source, n_chars, n_toks,
+             sum(n_toks) OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_chars, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 1500
+    """,
+)
+def grouped_token_budget_documents(spark, sf_dir):
+    """Per-source token quotas (operators/packing.py
+    grouped_token_budget): every source keeps its best documents by
+    length until ITS 1 500-token budget is spent — the mixture-quota
+    primitive that stops one megasource eating the corpus budget. One
+    group-partitioned cumulative window; the oracle is the identical
+    partitioned prefix sum."""
+    from pyspark_playground_spark.operators.packing import (
+        grouped_token_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        tx.token_count_expr("text").alias("n_toks"),
+    )
+    return grouped_token_budget(
+        docs,
+        group_column="source",
+        score_column="n_chars",
+        tokens_column="n_toks",
+        id_column="doc_id",
+        budget_per_group=1500,
+    )
+
+
+@query(
     "copurchase_similarity_parts",
     """
     WITH li AS (

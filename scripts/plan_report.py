@@ -86,7 +86,7 @@ HEADLINE = [
     "split_leakage_audit_documents", "ttr_documents",
     "grouped_dataset_card_documents", "embedding_norm_histogram_embeddings",
     "dup_rate_by_source_documents", "windowed_order_stats_events",
-    "token_budget_selection_documents",
+    "token_budget_selection_documents", "grouped_token_budget_documents",
 ]
 
 

@@ -924,3 +924,37 @@ def test_select_token_budget_matches_sorted_prefix(spark):
         if cum <= budget:
             ref[i] = cum
     assert got == ref and 0 < len(ref) < len(rows)
+
+
+def test_grouped_token_budget_matches_per_group_prefix(spark):
+    import random
+
+    from pyspark_playground_spark.operators.packing import (
+        grouped_token_budget,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, "g%d" % (i % 3), rng.randint(0, 9), rng.randint(1, 30))
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, g string, score long, toks long"
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in grouped_token_budget(
+            df, group_column="g", score_column="score",
+            tokens_column="toks", id_column="doc_id", budget_per_group=100,
+        ).collect()
+    }
+    ref = {}
+    for grp in ("g0", "g1", "g2"):
+        cum = 0
+        for i, _, _, t in sorted(
+            (r for r in rows if r[1] == grp), key=lambda r: (-r[2], r[0])
+        ):
+            cum += t
+            if cum <= 100:
+                ref[i] = cum
+    assert got == ref and 0 < len(ref) < len(rows)
