@@ -38,6 +38,9 @@ Spec shape::
         params: {score_column: quality_score, label_expr: "lang = 'en'",
                  min_auc: 0.6}
       - op: normalize                  # canonicalize text (run FIRST)
+      - op: token_budget               # best-by-score until budget spent
+        params: {score_column: quality_score, tokens_column: n_tokens,
+                 budget: 1000000000, group_column: source}
       - op: shard                      # byte-balanced output shards
         params: {bytes_column: n_chars, target_bytes: 67108864,
                  order_column: doc_id}
@@ -277,6 +280,35 @@ def _stage_score_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_token_budget(df: DataFrame, spec: dict) -> DataFrame:
+    """Budgeted selection stage: keep the best rows by
+    ``params.score_column`` until ``params.budget`` tokens
+    (``params.tokens_column``) are spent — corpus-wide
+    (packing.select_token_budget), or per group when
+    ``params.group_column`` is set (per-source mixture quotas). The
+    bookkeeping ``cum_tokens`` column is dropped so the funnel shape is
+    preserved."""
+    from pyspark_playground_spark.operators.packing import (
+        grouped_token_budget,
+        select_token_budget,
+    )
+
+    p = dict(spec.get("params", {}))
+    common = dict(
+        score_column=p["score_column"],
+        tokens_column=p["tokens_column"],
+        id_column=p.get("id_column", "doc_id"),
+    )
+    if "group_column" in p:
+        out = grouped_token_budget(
+            df, group_column=p["group_column"],
+            budget_per_group=int(p["budget"]), **common,
+        )
+    else:
+        out = select_token_budget(df, budget=int(p["budget"]), **common)
+    return out.drop("cum_tokens")
+
+
 def _stage_normalize(df: DataFrame, spec: dict) -> DataFrame:
     """Canonicalize text in place (text.normalize_text: lowercase →
     control-strip → whitespace-collapse → trim) — run FIRST so every
@@ -311,6 +343,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "score_gate": _stage_score_gate,
     "shard": _stage_shard,
     "normalize": _stage_normalize,
+    "token_budget": _stage_token_budget,
     "tokenize_bpe": _stage_tokenize_bpe,
     "c4_filter": _stage_c4_filter,
     "filter": _stage_filter,

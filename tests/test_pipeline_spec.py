@@ -261,3 +261,28 @@ def test_normalize_stage_canonicalizes_before_dedup(spark):
     # 1 and 2 collapse to one canonical text; smallest id kept
     assert got == [1, 3]
     assert out.columns == df.columns
+
+
+def test_token_budget_stage_global_and_grouped(spark):
+    rows = [(i, "g%d" % (i % 2), i, 10) for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, source string, score int, toks int"
+    )
+    glob = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "token_budget",
+                     "params": {"score_column": "score",
+                                "tokens_column": "toks", "budget": 50}}]},
+    )
+    # top 5 scores globally (5 x 10 tokens)
+    assert sorted(r["doc_id"] for r in glob.collect()) == [16, 17, 18, 19, 20]
+    grp = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "token_budget",
+                     "params": {"score_column": "score",
+                                "tokens_column": "toks", "budget": 30,
+                                "group_column": "source"}}]},
+    )
+    # top 3 per group
+    assert sorted(r["doc_id"] for r in grp.collect()) == [15, 16, 17, 18, 19, 20]
+    assert grp.columns == df.columns
