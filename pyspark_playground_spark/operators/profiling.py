@@ -1452,3 +1452,229 @@ def drift_ks_by_group(
             "ks_numerator",
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    *,
+    a_column: str | Column,
+    b_column: str | Column,
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns — chance-corrected
+    agreement, the statistic a labeling pipeline reports when comparing
+    two annotators or an auto-labeler against gold labels (plain accuracy
+    is inflated by class imbalance; kappa = 0 means "no better than
+    marginal-frequency guessing", kappa = 1 perfect agreement):
+
+    ``kappa = (N·Σᵢcᵢᵢ − Σₖ rₖ·cₖ) / (N² − Σₖ rₖ·cₖ)``
+
+    where ``cᵢᵢ`` are the confusion-matrix diagonal counts, ``rₖ``/``cₖ``
+    the row/column marginals. Rows with a NULL on either side are excluded
+    (agreement is defined over jointly observed pairs).
+
+    Cross-engine determinism: everything up to the final division is
+    EXACT integer arithmetic — counts from one groupBy, the expected-
+    agreement cross terms ``rₖ·cₖ`` multiplied in DECIMAL(38,0) (int64-
+    overflow-proof: marginals up to ~10¹⁹ before the product saturates)
+    and summed in DECIMAL (order-independent); numerator and denominator
+    each take ONE double cast, then one division. No ``ln``, no rounding.
+
+    Plan shape (the :func:`mutual_information` recipe): one joint-count
+    groupBy (map-side combined, cardinality bounded by |A|·|B| observed
+    cells) onto a ``persist()``-ed cell frame; marginals, the diagonal
+    and totals all derive from that bounded frame — the input is scanned
+    ONCE; the marginal⋈marginal join runs on category-sized frames.
+
+    Returns one row
+    ``(kappa, observed_agreement, expected_agreement, n_rows, n_categories)``
+    where ``n_categories`` counts the distinct values seen in either
+    column (the confusion matrix is |cats|²-bounded).
+    """
+    a = F.col(a_column) if isinstance(a_column, str) else a_column
+    b = F.col(b_column) if isinstance(b_column, str) else b_column
+    t = df.select(a.alias("__a"), b.alias("__b")).filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    # persist: the |A|·|B|-bounded cell frame feeds four consumers
+    # (row marginals, column marginals, diagonal+total, category census)
+    g = t.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c")).persist()
+    ra = g.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cb = g.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    # expected-agreement cross terms exist only for categories observed on
+    # BOTH sides (r_k or c_k is zero otherwise — the term vanishes)
+    s = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(
+            F.sum(
+                F.col("__ra").cast("decimal(38,0)") * F.col("__cb")
+            ).alias("__s")
+        )
+    )
+    n = g.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)).alias(
+            "__agree"
+        ),
+    )
+    cats = (
+        g.select(F.col("__a").alias("__k"))
+        .union(g.select(F.col("__b").alias("__k")))
+        .agg(F.countDistinct("__k").alias("__cats"))
+    )
+    j = n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(cats))
+    nd = F.col("__n").cast("double")
+    num = nd * F.col("__agree").cast("double") - F.col("__s").cast("double")
+    den = nd * nd - F.col("__s").cast("double")
+    return j.select(
+        (num / den).alias("kappa"),
+        (F.col("__agree").cast("double") / nd).alias("observed_agreement"),
+        (F.col("__s").cast("double") / (nd * nd)).alias("expected_agreement"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__cats").cast("long").alias("n_categories"),
+    )
+
+
+#: round(ln(2), 7) — the per-word divergence contribution of mass one side
+#: has and the other lacks (p/m = 2 exactly when q = 0). Embedded as a
+#: literal so Spark and the SQL oracle share the identical double.
+LN2_ROUNDED = 0.6931472
+
+
+def js_divergence_matrix(
+    df: DataFrame,
+    *,
+    group_column: str,
+    value_column: str,
+    ln_decimals: int = 7,
+    term_decimals: int = 9,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the per-group
+    value distributions — the symmetric, bounded (≤ ln 2) drift measure a
+    mixture designer runs across sources before weighting them ("how far
+    apart are these corpora's unigram distributions?"). Input is one row
+    per OBSERVATION (e.g. one exploded token); the operator builds the
+    distributions itself.
+
+    ``JSD(P,Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)``, ``m = (p+q)/2``.
+
+    Mass on values the other side lacks needs no join row: when ``q = 0``,
+    ``p/m = 2`` exactly, so that whole tail contributes
+    ``(1 − common_mass_p)·ln 2`` — computed from the pair's common-value
+    count sums, not from an outer join. Shared values use the all-integer
+    ratio ``p/m = 2·cₐ·n_b / (cₐ·n_b + c_b·nₐ)``.
+
+    Cross-engine determinism: ratios are built from exact integer counts
+    with one double cast per factor in a fixed op order. Quantization is
+    NOT ``round(double, d)`` — Spark rounds the shortest string repr via
+    BigDecimal while DuckDB rounds in floating point, and over ~10⁵
+    (pair, value) terms one boundary disagreement is near-certain (seen
+    at sf0.01). Instead every term is quantized with IEEE primitives
+    only — ``floor(x·10^term_decimals + 0.5)`` as a BIGINT — where
+    multiply, add and floor are all correctly-rounded single ops, so
+    both engines produce the identical integer by construction. Each
+    ``ln`` is quantized the same way at ``ln_decimals``; the missing-
+    mass terms (exact integer ratios times the shared
+    :data:`LN2_ROUNDED` literal) use the same quantizer; the combine is
+    an exact BIGINT sum with ONE double division at the end.
+
+    Plan shape: ONE (group, value) count groupBy (map-side combined) onto
+    a ``persist()``-ed frame; group totals are a group-cardinality-sized
+    broadcast; the pair terms come from a self-equi-join ON VALUE (one
+    shuffle of the count frame; output ≤ |groups|²/2 rows per value —
+    this is a per-SOURCE monitor, group cardinality is assumed dimension-
+    sized); the pair skeleton is a broadcast totals×totals cross join, so
+    disjoint-vocabulary pairs still get their (= ln 2) row.
+
+    Returns one row per unordered pair
+    ``(group_a, group_b, jsd_nats, n_common_values, n_a, n_b)`` with
+    ``group_a < group_b``.
+    """
+    t = df.select(
+        F.col(group_column).alias("__g"), F.col(value_column).alias("__v")
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    # persist: the count frame feeds totals and both self-join sides
+    c = t.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c")).persist()
+    n = c.groupBy("__g").agg(F.sum("__c").alias("__n"))
+
+    # rename BEFORE the self-join so lineage can't alias-collide
+    left = c.select(
+        F.col("__g").alias("__ga"), F.col("__v").alias("__va"),
+        F.col("__c").alias("__ca"),
+    )
+    right = c.select(
+        F.col("__g").alias("__gb"), F.col("__v").alias("__vb"),
+        F.col("__c").alias("__cb"),
+    )
+    na = F.broadcast(n.select(F.col("__g").alias("__ga"), F.col("__n").alias("__na")))
+    nb = F.broadcast(n.select(F.col("__g").alias("__gb"), F.col("__n").alias("__nb")))
+    joined = (
+        left.join(right, (F.col("__va") == F.col("__vb")) & (F.col("__ga") < F.col("__gb")))
+        .join(na, "__ga")
+        .join(nb, "__gb")
+    )
+    ca_d, cb_d = F.col("__ca").cast("double"), F.col("__cb").cast("double")
+    na_d, nb_d = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    ln_scale = F.lit(float(10**ln_decimals))
+    term_scale = F.lit(float(10**term_decimals))
+
+    def quant_ln(x):
+        return F.floor(F.log(x) * ln_scale + F.lit(0.5)) / ln_scale
+
+    def quant_term(x):
+        return F.floor(x * term_scale + F.lit(0.5)).cast("long")
+
+    denom = ca_d * nb_d + cb_d * na_d
+    term_a = quant_term(
+        (ca_d / na_d) * quant_ln(F.lit(2.0) * ca_d * nb_d / denom)
+    )
+    term_b = quant_term(
+        (cb_d / nb_d) * quant_ln(F.lit(2.0) * cb_d * na_d / denom)
+    )
+    common = joined.groupBy("__ga", "__gb").agg(
+        F.sum(term_a).alias("__sa"),
+        F.sum(term_b).alias("__sb"),
+        F.sum("__ca").alias("__cca"),
+        F.sum("__cb").alias("__ccb"),
+        F.count(F.lit(1)).alias("__ncommon"),
+    )
+    skeleton = (
+        n.select(F.col("__g").alias("__ga"), F.col("__n").alias("__na"))
+        .crossJoin(n.select(F.col("__g").alias("__gb"), F.col("__n").alias("__nb")))
+        .filter(F.col("__ga") < F.col("__gb"))
+    )
+    full = skeleton.join(F.broadcast(common), ["__ga", "__gb"], "left").select(
+        "__ga", "__gb", "__na", "__nb",
+        F.coalesce(F.col("__sa"), F.lit(0)).alias("__sad"),
+        F.coalesce(F.col("__sb"), F.lit(0)).alias("__sbd"),
+        F.coalesce(F.col("__cca"), F.lit(0)).alias("__cca"),
+        F.coalesce(F.col("__ccb"), F.lit(0)).alias("__ccb"),
+        F.coalesce(F.col("__ncommon"), F.lit(0)).alias("__ncommon"),
+    )
+    # missing-mass terms use the same floor-quantizer; the combine is an
+    # exact BIGINT sum (order-independent) with one double division at
+    # the very end — the ÷(2·10^d) folds the ×½ into the same single op
+    miss_a = quant_term(
+        (
+            (F.col("__na") - F.col("__cca")).cast("double")
+            / F.col("__na").cast("double")
+        )
+        * F.lit(LN2_ROUNDED)
+    )
+    miss_b = quant_term(
+        (
+            (F.col("__nb") - F.col("__ccb")).cast("double")
+            / F.col("__nb").cast("double")
+        )
+        * F.lit(LN2_ROUNDED)
+    )
+    jsd = (F.col("__sad") + miss_a + F.col("__sbd") + miss_b).cast(
+        "double"
+    ) / (F.lit(2.0) * term_scale)
+    return full.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        jsd.alias("jsd_nats"),
+        F.col("__ncommon").cast("long").alias("n_common_values"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+    )

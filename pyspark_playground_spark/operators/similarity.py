@@ -592,3 +592,84 @@ def pca_project(
             ).alias(f"pc{c}")
         )
     return df.select(F.col(id_column), *out_cols)
+
+
+def _assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame, *, id_column: str
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, index-order fold,
+    ``cluster_id`` tie-break): ``vectors (id, __x: array<double>)`` ×
+    broadcast ``centroids (cluster_id, cvec)`` → ``(id, cluster_id,
+    __dist2)``. The centroid table is model-sized, so this is a broadcast
+    cross join + per-row fold — no data-sized shuffle."""
+    d = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_column,
+        "cluster_id",
+        F.aggregate(
+            F.zip_with("__x", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__dist2"),
+    )
+    best = d.groupBy(id_column).agg(
+        F.min(F.struct("__dist2", "cluster_id")).alias("__best")
+    )
+    return best.select(
+        id_column,
+        F.col("__best.cluster_id").alias("cluster_id"),
+        F.col("__best.__dist2").alias("__dist2"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Explicit distributed Lloyd k-means — the clean-room clustering
+    kernel (semantic bucketing, coreset construction, topic-ish corpus
+    maps) with EVERY arithmetic step deterministic and therefore
+    oracle-comparable bit-for-bit across engines, unlike MLlib's KMeans
+    (random init, partition-order double sums), which
+    :func:`ivf_assignments` uses when exactness isn't needed.
+
+    Deterministic contract: init centroids are the vectors with
+    ``id < k`` (``cluster_id = id``); each update recomputes per-cluster
+    means with :func:`group_centroids`' value-sorted left-to-right fold
+    (engine-stable double sums); each assignment folds squared-L2 in
+    index order with a ``cluster_id`` tie-break. A cluster that loses all
+    its points disappears (no reseeding), mirrored exactly by the oracle.
+
+    Per iteration the plan is: broadcast the k×d centroid table onto the
+    corpus (cross join + codegen'd fold — the corpus NEVER shuffles for
+    assignment), then one (cluster, dim)-keyed exchange for the means;
+    ``iterations`` is small and fixed (Lloyd converges fast; production
+    IVF quantizers run 5-20 iterations on a sample). Returns the
+    assignment under the FINAL centroids:
+    ``(id_column, cluster_id, dist2_r6)`` — dist2 rounded to 6 so the
+    row survives any sub-ulp engine drift.
+    """
+    x = df.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    centroids = df.filter(F.col(id_column) < k).select(
+        F.col(id_column).cast("int").alias("cluster_id"),
+        _as_double(F.col(vector_column)).alias("cvec"),
+    )
+    for _ in range(iterations):
+        assigned = _assign_to_centroids(x, centroids, id_column=id_column)
+        members = assigned.join(x, id_column).select("cluster_id", "__x")
+        gc = group_centroids(members, "cluster_id", vector_column="__x")
+        centroids = gc.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+                lambda r: r["centroid_v"],
+            ).alias("cvec")
+        )
+    final = _assign_to_centroids(x, centroids, id_column=id_column)
+    return final.select(
+        id_column, "cluster_id", F.round("__dist2", 6).alias("dist2_r6")
+    )

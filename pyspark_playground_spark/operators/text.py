@@ -1084,3 +1084,62 @@ def bpe_tokens_expr(
         return sym
 
     return F.flatten(F.transform(tokens_expr(text_column), _segment))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    group_column: str,
+    text_column: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Marginal n-gram novelty per group — the coverage audit a mixture
+    designer runs before paying for a new source: processing groups in a
+    FIXED order (ascending group key, the deterministic stand-in for
+    ingestion order), how many distinct n-grams does each group add that
+    no earlier group already contributed? A source whose novelty ratio is
+    near zero duplicates vocabulary the mix already has.
+
+    "Gram g is novel for group s" ⇔ ``s = min(group)`` over every group
+    containing g — so the greedy sequential definition collapses to one
+    exact aggregation, no iteration, no order-dependent scan.
+
+    Plan shape: explode n-grams → ONE dedup shuffle to the distinct
+    (group, gram) frame, ``persist()``-ed because it feeds two bounded
+    consumers — per-group distinct counts and the per-gram ``min(group)``
+    first-contributor frame (a second shuffle keyed on gram, cardinality
+    = corpus vocabulary). Counts are exact integers; the ratio takes one
+    double cast per side. Groups whose documents yield zero grams don't
+    appear (no distribution to audit).
+
+    Returns one row per group:
+    ``(group_column, n_distinct_ngrams, n_novel_ngrams, novelty_ratio)``.
+    """
+    ex = df.select(
+        F.col(group_column).alias("__g"),
+        F.explode(ngrams_expr(text_column, n)).alias("__gram"),
+    ).filter(F.col("__g").isNotNull())
+    pairs = ex.dropDuplicates(["__g", "__gram"]).persist()
+    per_group = pairs.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_distinct_ngrams")
+    )
+    novel = (
+        pairs.groupBy("__gram")
+        .agg(F.min("__g").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__novel"))
+    )
+    return (
+        per_group.join(novel, "__g", "left")
+        .select(
+            F.col("__g").alias(group_column),
+            F.col("n_distinct_ngrams").cast("long").alias("n_distinct_ngrams"),
+            F.coalesce(F.col("__novel"), F.lit(0))
+            .cast("long")
+            .alias("n_novel_ngrams"),
+            (
+                F.coalesce(F.col("__novel"), F.lit(0)).cast("double")
+                / F.col("n_distinct_ngrams").cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )

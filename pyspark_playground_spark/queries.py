@@ -9521,3 +9521,246 @@ def trimmed_mean_value_events(spark, sf_dir):
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-6 additions: agreement, distribution divergence, clustering,
+# vocabulary novelty
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    # reuse the lang-id prediction SQL as a derived table (DuckDB allows
+    # WITH inside a subquery), then the all-integer kappa pipeline
+    return f"""
+    WITH t AS (
+      SELECT lang AS a, lang_pred AS b FROM ({_lang_id_oracle()})
+      WHERE lang IS NOT NULL
+    ), g AS (
+      SELECT a, b, count(*) AS c FROM t GROUP BY a, b
+    ), ra AS (
+      SELECT a, sum(c) AS ra FROM g GROUP BY a
+    ), cb AS (
+      SELECT b, sum(c) AS cb FROM g GROUP BY b
+    ), s AS (
+      SELECT sum(CAST(ra.ra AS DECIMAL(38,0)) * cb.cb) AS s
+      FROM ra JOIN cb ON ra.a = cb.b
+    ), n AS (
+      SELECT sum(c) AS nn,
+             sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+      FROM g
+    ), cats AS (
+      SELECT count(DISTINCT k) AS cats FROM (
+        SELECT a AS k FROM g UNION ALL SELECT b AS k FROM g
+      )
+    )
+    SELECT (CAST(nn AS DOUBLE) * CAST(agree AS DOUBLE) - CAST(s AS DOUBLE))
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(s AS DOUBLE))
+             AS kappa,
+           CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS observed_agreement,
+           CAST(s AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             AS expected_agreement,
+           CAST(nn AS BIGINT) AS n_rows,
+           CAST(cats AS BIGINT) AS n_categories
+    FROM n CROSS JOIN s CROSS JOIN cats
+    """
+
+
+@query("kappa_langid_agreement_documents", _kappa_oracle())
+def kappa_langid_agreement_documents(spark, sf_dir):
+    """Cohen's kappa (operators/profiling.py cohen_kappa) between the
+    marker-word lang-id prediction and the labeled lang column — the
+    chance-corrected auto-labeler acceptance gate (accuracy alone is
+    inflated by the majority class). All-integer confusion/marginal
+    arithmetic off one persisted cell frame; DECIMAL(38,0) cross terms;
+    one double division at the edge."""
+    from pyspark_playground_spark.operators.profiling import cohen_kappa
+
+    docs = load(spark, sf_dir, "documents")
+    pred = tx.lang_id(docs)
+    return cohen_kappa(pred, a_column="lang", b_column="lang_pred")
+
+
+@query(
+    "jsd_source_matrix_documents",
+    f"""
+    WITH t AS (
+      SELECT source AS g, unnest({_TOKS}) AS v FROM documents
+      WHERE source IS NOT NULL
+    ), c AS (
+      SELECT g, v, count(*) AS c FROM t GROUP BY g, v
+    ), n AS (
+      SELECT g, sum(c) AS n FROM c GROUP BY g
+    ), j AS (
+      SELECT a.g AS ga, b.g AS gb, a.c AS ca, b.c AS cb,
+             na.n AS na, nb.n AS nb
+      FROM c a JOIN c b ON a.v = b.v AND a.g < b.g
+      JOIN n na ON na.g = a.g
+      JOIN n nb ON nb.g = b.g
+    ), common AS (
+      -- floor(x*1e9 + 0.5) BIGINT quantizer: IEEE primitives only, so
+      -- both engines produce the identical integer (round(double, d)
+      -- semantics differ between Spark and DuckDB — see
+      -- profiling.js_divergence_matrix)
+      SELECT ga, gb,
+        sum(CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+            * (floor(ln(2.0 * CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+                / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+                   + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+                * 1e7 + 0.5) / 1e7)
+            * 1e9 + 0.5) AS BIGINT)) AS sa,
+        sum(CAST(floor((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+            * (floor(ln(2.0 * CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)
+                / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+                   + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+                * 1e7 + 0.5) / 1e7)
+            * 1e9 + 0.5) AS BIGINT)) AS sb,
+        sum(ca) AS cca, sum(cb) AS ccb, count(*) AS ncommon
+      FROM j GROUP BY ga, gb
+    ), sk AS (
+      SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+      FROM n a CROSS JOIN n b WHERE a.g < b.g
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(coalesce(sa, 0)
+               + CAST(floor((CAST(na - coalesce(cca, 0) AS DOUBLE)
+                      / CAST(na AS DOUBLE)) * CAST(0.6931472 AS DOUBLE)
+                      * 1e9 + 0.5) AS BIGINT)
+               + coalesce(sb, 0)
+               + CAST(floor((CAST(nb - coalesce(ccb, 0) AS DOUBLE)
+                      / CAST(nb AS DOUBLE)) * CAST(0.6931472 AS DOUBLE)
+                      * 1e9 + 0.5) AS BIGINT)
+             AS DOUBLE) / (2.0 * 1e9) AS jsd_nats,
+           CAST(coalesce(ncommon, 0) AS BIGINT) AS n_common_values,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM sk LEFT JOIN common USING (ga, gb)
+    """,
+)
+def jsd_source_matrix_documents(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (operators/profiling.py js_divergence_matrix) — the
+    symmetric bounded (≤ ln 2) corpus-distance matrix a mixture designer
+    reads next to [KS/PSI] drift: one token-count groupBy, a vocabulary-
+    keyed self-join for shared-word terms, exact missing-mass ln 2 tail
+    from the pair's common-count sums (no outer join), rounded-ln + exact
+    DECIMAL sums throughout."""
+    from pyspark_playground_spark.operators.profiling import (
+        js_divergence_matrix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.select(
+        "source", F.explode(tx.tokens_expr("text")).alias("token")
+    )
+    return js_divergence_matrix(
+        obs, group_column="source", value_column="token"
+    )
+
+
+def _kmeans_oracle(k: int, iterations: int) -> str:
+    dist = """
+    , d{i} AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                * (CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                FOR j IN range(1, len(v.embedding) + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings v CROSS JOIN {cent} c
+    ), a{i} AS (
+      SELECT vec_id, cluster_id, dist2 FROM (
+        SELECT vec_id, cluster_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    )"""
+    update = """
+    , cent{nxt} AS (
+      SELECT cluster_id, list(centroid ORDER BY pos) AS cvec FROM (
+        SELECT cluster_id, pv.pos AS pos,
+               CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))),
+                                (x, y) -> x + y) AS DOUBLE) / count(*)
+                 AS centroid
+        FROM (
+          SELECT a{i}.cluster_id,
+                 unnest([{{'pos': j - 1, 'v': CAST(e.embedding[j] AS DOUBLE)}}
+                         FOR j IN range(1, len(e.embedding) + 1)]) AS pv
+          FROM a{i} JOIN embeddings e USING (vec_id)
+        ) GROUP BY cluster_id, pv.pos
+      ) GROUP BY cluster_id
+    )"""
+    parts = [
+        f"""
+    WITH cent0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(iterations):
+        parts.append(dist.format(i=i, cent=f"cent{i}"))
+        parts.append(update.format(i=i, nxt=i + 1))
+    parts.append(dist.format(i=iterations, cent=f"cent{iterations}"))
+    parts.append(
+        f"""
+    SELECT vec_id, cluster_id, round(dist2, 6) AS dist2_r6
+    FROM a{iterations}
+    """
+    )
+    return "".join(parts)
+
+
+@query("kmeans_lloyd_embeddings", _kmeans_oracle(k=8, iterations=2))
+def kmeans_lloyd_embeddings(spark, sf_dir):
+    """Explicit Lloyd k-means, k=8, two update rounds
+    (operators/similarity.py kmeans_lloyd) — the fully deterministic
+    clustering kernel: seeded by vec_id < k, per-cluster means via
+    value-sorted folds, squared-L2 assignment with a cluster-id
+    tie-break. The DuckDB oracle replays the identical two iterations
+    CTE by CTE, so every intermediate centroid is pinned bit-for-bit.
+    Per round the corpus only broadcasts against the k×d centroid table
+    (no data shuffle for assignment); the mean recompute is one
+    (cluster, dim)-keyed exchange."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(emb, k=8, iterations=2)
+
+
+@query(
+    "ngram_novelty_sources_documents",
+    f"""
+    WITH tk AS (
+      SELECT source AS g, {_TOKS} AS toks FROM documents
+      WHERE source IS NOT NULL
+    ), ex AS (
+      SELECT DISTINCT g, gram FROM (
+        SELECT g, unnest(CASE WHEN len(toks) = 0 THEN []
+                 ELSE [array_to_string(toks[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]
+                 END) AS gram
+        FROM tk
+      )
+    ), pg AS (
+      SELECT g, count(*) AS nd FROM ex GROUP BY g
+    ), fv AS (
+      SELECT gram, min(g) AS g FROM ex GROUP BY gram
+    ), nv AS (
+      SELECT g, count(*) AS nn FROM fv GROUP BY g
+    )
+    SELECT pg.g AS source,
+           CAST(nd AS BIGINT) AS n_distinct_ngrams,
+           CAST(coalesce(nn, 0) AS BIGINT) AS n_novel_ngrams,
+           CAST(coalesce(nn, 0) AS DOUBLE) / CAST(nd AS DOUBLE)
+             AS novelty_ratio
+    FROM pg LEFT JOIN nv USING (g)
+    """,
+)
+def ngram_novelty_sources_documents(spark, sf_dir):
+    """Marginal trigram novelty per source (operators/text.py
+    ngram_novelty): in ascending source order, the distinct trigrams each
+    source adds that no earlier source contributed — the "is this source
+    worth ingesting" coverage audit. min(source)-per-gram collapses the
+    greedy sequential definition to one exact aggregation; one dedup
+    shuffle + one vocabulary-keyed shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.ngram_novelty(docs, group_column="source", n=3)

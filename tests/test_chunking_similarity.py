@@ -101,3 +101,65 @@ def test_pca_project_properties(spark, sf_dir):
     assert np.allclose(P, ref, atol=1e-6)
     v = P.var(axis=0)
     assert v[0] >= v[1] >= v[2] > 0
+
+
+def _numpy_lloyd(vecs, k, iterations):
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    cents = {i: x[i].copy() for i in range(k)}
+
+    def assign():
+        out = []
+        for v in x:
+            best = min(
+                cents, key=lambda c: (float(((v - cents[c]) ** 2).sum()), c)
+            )
+            out.append(best)
+        return out
+
+    for _ in range(iterations):
+        a = assign()
+        new = {}
+        for c in set(a):
+            members = x[[i for i, ci in enumerate(a) if ci == c]]
+            new[c] = members.mean(axis=0)
+        cents = new
+    return assign()
+
+
+def test_kmeans_lloyd_matches_numpy_on_separated_blobs(spark):
+    import random
+
+    random.seed(7)
+    # 3 well-separated 4-d blobs; ids 0..2 land in distinct blobs so the
+    # deterministic vec_id<k init seeds one centroid per blob
+    centers = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append(
+            (i, [c[j] + random.uniform(-0.5, 0.5) for j in range(4)])
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in sim.kmeans_lloyd(df, k=3, iterations=2).collect()
+    }
+    ref = _numpy_lloyd([v for _, v in rows], k=3, iterations=2)
+    assert got == {i: ref[i] for i in range(60)}
+
+
+def test_kmeans_lloyd_empty_cluster_disappears(spark):
+    # seed 0 is an outlier that immediately loses its only member: after
+    # the first update its centroid moves INTO the pack's mean, so the
+    # contract to pin is just "assignments come from the final centroid
+    # table" — every row keeps a cluster and dist2 is finite
+    rows = [(0, [100.0, 100.0])] + [
+        (i, [float(i % 3), 0.0]) for i in range(1, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = sim.kmeans_lloyd(df, k=2, iterations=2).collect()
+    assert len(out) == 12
+    assert {r.cluster_id for r in out} <= {0, 1}
+    assert all(r.dist2_r6 >= 0.0 for r in out)

@@ -716,3 +716,84 @@ def test_exact_auc_single_class_returns_null(spark):
     )
     row = pf.exact_auc(onlypos, score_column="s", label_column="y").collect()[0]
     assert row["auc"] is None and row["n_neg"] == 0
+
+
+def test_cohen_kappa_matches_python_reference(spark):
+    # two raters over 3 categories; hand-computable confusion matrix
+    pairs = (
+        [("a", "a")] * 10 + [("a", "b")] * 2
+        + [("b", "b")] * 7 + [("b", "c")] * 1
+        + [("c", "c")] * 4 + [("c", "a")] * 1
+    )
+    df = spark.createDataFrame(pairs, "r1 string, r2 string")
+    row = pf.cohen_kappa(df, a_column="r1", b_column="r2").collect()[0]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    cats = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    s = sum(
+        sum(1 for a, _ in pairs if a == k) * sum(1 for _, b in pairs if b == k)
+        for k in cats
+    )
+    expected = (n * agree - s) / (n * n - s)
+    assert row.kappa == pytest.approx(expected, abs=1e-12)
+    assert row.observed_agreement == pytest.approx(agree / n, abs=1e-12)
+    assert row.expected_agreement == pytest.approx(s / (n * n), abs=1e-12)
+    assert row.n_rows == n and row.n_categories == 3
+
+
+def test_cohen_kappa_perfect_and_null_excluded(spark):
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x"), (None, "x"), ("y", None)],
+        "r1 string, r2 string",
+    )
+    row = pf.cohen_kappa(df, a_column="r1", b_column="r2").collect()[0]
+    assert row.kappa == pytest.approx(1.0) and row.n_rows == 3
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    # identical distributions -> 0; disjoint vocabularies -> quantized ln 2
+    rows = (
+        [("a", t) for t in ["x", "x", "y"]]
+        + [("b", t) for t in ["x", "x", "y"]]
+        + [("c", t) for t in ["p", "q", "q", "q"]]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {
+        (r.group_a, r.group_b): r
+        for r in pf.js_divergence_matrix(
+            df, group_column="g", value_column="v"
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")].jsd_nats == pytest.approx(0.0, abs=1e-9)
+    assert out[("a", "b")].n_common_values == 2
+    # a and c share nothing: both missing-mass tails are the whole mass
+    assert out[("a", "c")].n_common_values == 0
+    assert out[("a", "c")].jsd_nats == pytest.approx(pf.LN2_ROUNDED, abs=1e-9)
+    assert (out[("a", "c")].n_a, out[("a", "c")].n_b) == (3, 4)
+
+
+def test_js_divergence_matches_python_reference(spark):
+    import math
+
+    rows = (
+        [("a", t) for t in "xxxyyz"]
+        + [("b", t) for t in "xyyzzzw"]
+    )
+    df = spark.createDataFrame(list(rows), "g string, v string")
+    row = pf.js_divergence_matrix(
+        df, group_column="g", value_column="v"
+    ).collect()[0]
+    pa = {t: c / 6 for t, c in {"x": 3, "y": 2, "z": 1}.items()}
+    pb = {t: c / 7 for t, c in {"x": 1, "y": 2, "z": 3, "w": 1}.items()}
+    ref = 0.0
+    for t in set(pa) | set(pb):
+        p, q = pa.get(t, 0.0), pb.get(t, 0.0)
+        m = (p + q) / 2
+        if p:
+            ref += 0.5 * p * math.log(p / m)
+        if q:
+            ref += 0.5 * q * math.log(q / m)
+    # quantization error: ≤0.5e-9 per term plus ≤0.5e-7·mass on the ln
+    assert row.jsd_nats == pytest.approx(ref, abs=1e-6)
+    assert row.n_common_values == 3

@@ -199,3 +199,48 @@ def test_bpe_train_then_apply_roundtrip(spark):
     df2 = spark.createDataFrame([(0, "a b banana")], ["doc_id", "text"])
     r = tx.bpe_apply_merges(df2, learned).collect()[0]
     assert list(r.bpe_tokens)[:2] == ["a", "b"]
+
+
+def test_ngram_novelty_min_group_owns_shared_grams(spark, corpus):
+    # corpus docs 1/2 ("aba..", group below) vs 3/4; regroup: doc 1-2 -> g1,
+    # doc 3-4 -> g2 with g1 < g2, so every gram g1 also has is novel to g1
+    from pyspark.sql import functions as F
+
+    df = corpus.withColumn(
+        "src", F.when(F.col("doc_id") <= 2, "g1").otherwise("g2")
+    )
+    out = {
+        r.src: r
+        for r in tx.ngram_novelty(
+            df, group_column="src", text_column="text", n=3
+        ).collect()
+    }
+
+    def grams(text, n=3):
+        t = text.split()
+        if not t:
+            return set()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    g1 = grams("aba aba cd") | grams("aba cd cd xyz")
+    g2 = grams("new york new york city") | grams("new york is big big big")
+    assert out["g1"].n_distinct_ngrams == len(g1)
+    assert out["g2"].n_distinct_ngrams == len(g2)
+    # g1 is first in order -> everything it has is novel
+    assert out["g1"].n_novel_ngrams == len(g1)
+    assert out["g1"].novelty_ratio == 1.0
+    # g2 only gets credit for grams g1 lacks
+    assert out["g2"].n_novel_ngrams == len(g2 - g1)
+
+
+def test_ngram_novelty_duplicate_source_adds_nothing(spark):
+    rows = [(1, "alpha beta gamma delta", "s1"), (2, "alpha beta gamma delta", "s2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {
+        r.src: r
+        for r in tx.ngram_novelty(df, group_column="src", n=3).collect()
+    }
+    assert out["s1"].n_novel_ngrams == out["s1"].n_distinct_ngrams == 2
+    assert out["s2"].n_novel_ngrams == 0 and out["s2"].novelty_ratio == 0.0
