@@ -9764,3 +9764,78 @@ def ngram_novelty_sources_documents(spark, sf_dir):
     shuffle + one vocabulary-keyed shuffle."""
     docs = load(spark, sf_dir, "documents")
     return tx.ngram_novelty(docs, group_column="source", n=3)
+
+
+@query(
+    "windowed_jsd_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    b AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE greatest(0, least(15,
+                         CAST(floor((e.value - mm.lo) * 16
+                                    / (mm.hi - mm.lo)) AS INT)))
+             END AS bin
+      FROM e CROSS JOIN mm
+    ), g AS (SELECT ws, bin, count(*) AS n FROM b GROUP BY ws, bin),
+    wins AS (SELECT DISTINCT ws FROM g),
+    u AS (SELECT ws, r.range AS bin FROM wins CROSS JOIN range(0, 16) r),
+    obs AS (
+      SELECT u.ws, u.bin, coalesce(g.n, 0) AS n
+      FROM u LEFT JOIN g ON g.ws = u.ws AND g.bin = u.bin
+    ),
+    wtot AS (SELECT ws, sum(n) AS nw FROM obs GROUP BY ws),
+    bg AS (SELECT bin, count(*) AS bn FROM b GROUP BY bin),
+    bu AS (
+      SELECT r.range AS bin, coalesce(bg.bn, 0) AS bn
+      FROM range(0, 16) r LEFT JOIN bg ON bg.bin = r.range
+    ),
+    bt AS (SELECT sum(bn) AS nb FROM bu)
+    SELECT obs.ws AS window_start,
+           obs.ws + INTERVAL 1 HOUR AS window_end,
+           CAST(wtot.nw AS BIGINT) AS n_window,
+           CAST(sum(
+             (CASE WHEN obs.n > 0 THEN
+                CAST(floor((CAST(obs.n AS DOUBLE) / CAST(wtot.nw AS DOUBLE))
+                  * (floor(ln(2.0 * CAST(obs.n AS DOUBLE)
+                        * CAST(bt.nb AS DOUBLE)
+                        / (CAST(obs.n AS DOUBLE) * CAST(bt.nb AS DOUBLE)
+                           + CAST(bu.bn AS DOUBLE) * CAST(wtot.nw AS DOUBLE)))
+                      * 1e7 + 0.5) / 1e7)
+                  * 1e9 + 0.5) AS BIGINT)
+              ELSE 0 END)
+             + (CASE WHEN bu.bn > 0 THEN
+                CAST(floor((CAST(bu.bn AS DOUBLE) / CAST(bt.nb AS DOUBLE))
+                  * (floor(ln(2.0 * CAST(bu.bn AS DOUBLE)
+                        * CAST(wtot.nw AS DOUBLE)
+                        / (CAST(obs.n AS DOUBLE) * CAST(bt.nb AS DOUBLE)
+                           + CAST(bu.bn AS DOUBLE) * CAST(wtot.nw AS DOUBLE)))
+                      * 1e7 + 0.5) / 1e7)
+                  * 1e9 + 0.5) AS BIGINT)
+              ELSE 0 END)
+           ) AS DOUBLE) / (2.0 * 1e9) AS jsd_nats
+    FROM obs
+    JOIN wtot ON wtot.ws = obs.ws
+    JOIN bu ON bu.bin = obs.bin
+    CROSS JOIN bt
+    GROUP BY obs.ws, wtot.nw
+    """,
+)
+def windowed_jsd_events(spark, sf_dir):
+    """Continuous drift monitor, fourth finish (streaming/cdc.py
+    windowed_value_bins -> jsd_vs_baseline): per-hour Jensen-Shannon
+    divergence of event values against the whole-corpus baseline over
+    the FIXED 16-bin universe. Complements windowed_psi (which needs a
+    Laplace constant to survive empty bins — JSD handles zero mass
+    natively and is bounded in [0, ln 2], so thresholds transfer across
+    windows). Same streaming-legal partials; finish bounded by
+    windows x bins; floor(x*1e9+0.5) BIGINT quantization."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_value_bins(e, bounds=bounds, bins=16)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    return stc.jsd_vs_baseline(parts, baseline, bins=16)

@@ -940,6 +940,99 @@ def cvm_vs_baseline(
     )
 
 
+def jsd_vs_baseline(
+    bin_counts: DataFrame,
+    baseline_bins: DataFrame,
+    *,
+    bins: int,
+    ln_decimals: int = 7,
+    term_decimals: int = 9,
+) -> DataFrame:
+    """Per-window Jensen-Shannon divergence vs a static baseline — the
+    fourth finish over the same :func:`windowed_value_bins` partials.
+    Where PSI needs Laplace smoothing to survive empty bins (and the
+    smoothing constant changes the number), JSD handles zero mass
+    NATIVELY — an empty observed bin contributes only the baseline-side
+    term ``q·ln 2`` and vice versa — and is symmetric and bounded in
+    ``[0, ln 2]``, so window scores are comparable without tuning.
+
+    Per (window, bin): ``p/m = 2·c_w·n_b / (c_w·n_b + c_b·n_w)`` built
+    from exact integer counts (one double cast per factor, fixed op
+    order). Quantization uses :func:`profiling.js_divergence_matrix`'s
+    IEEE-primitive recipe — ``floor(x·10^d + 0.5)`` BIGINT terms (never
+    ``round(double, d)``, whose semantics differ between Spark and
+    DuckDB), summed exactly, ONE double division at the end.
+
+    Everything after the partials is bounded by windows × bins.
+    Returns ``(window_start, window_end, n_window, jsd_nats)``.
+    """
+    bin_counts = bin_counts.persist()
+    wins = bin_counts.select("window_start", "window_end").distinct()
+    universe = wins.select(
+        "window_start",
+        "window_end",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+    )
+    obs = universe.join(
+        bin_counts, ["window_start", "window_end", "bin"], "left"
+    ).select(
+        "window_start",
+        "window_end",
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
+    )
+    wtot = obs.groupBy("window_start", "window_end").agg(
+        F.sum("__n").alias("__nw")
+    )
+    base = baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
+    base_universe = (
+        wins.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+        )
+        .distinct()
+        .join(base, "bin", "left")
+        .select("bin", F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"))
+    )
+    btot = base_universe.agg(F.sum("__bn").alias("__nb"))
+    j = (
+        obs.join(F.broadcast(wtot), ["window_start", "window_end"])
+        .join(F.broadcast(base_universe), "bin")
+        .crossJoin(F.broadcast(btot))
+    )
+    ca_d, cb_d = F.col("__n").cast("double"), F.col("__bn").cast("double")
+    na_d, nb_d = F.col("__nw").cast("double"), F.col("__nb").cast("double")
+    ln_scale = F.lit(float(10**ln_decimals))
+    term_scale = F.lit(float(10**term_decimals))
+
+    def quant_ln(x):
+        return F.floor(F.log(x) * ln_scale + F.lit(0.5)) / ln_scale
+
+    def quant_term(x):
+        return F.floor(x * term_scale + F.lit(0.5)).cast("long")
+
+    denom = ca_d * nb_d + cb_d * na_d
+    term_a = F.when(
+        F.col("__n") > 0,
+        quant_term((ca_d / na_d) * quant_ln(F.lit(2.0) * ca_d * nb_d / denom)),
+    ).otherwise(F.lit(0))
+    term_b = F.when(
+        F.col("__bn") > 0,
+        quant_term((cb_d / nb_d) * quant_ln(F.lit(2.0) * cb_d * na_d / denom)),
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("window_start", "window_end", "__nw")
+        .agg(F.sum(term_a + term_b).alias("__s"))
+        .select(
+            "window_start",
+            "window_end",
+            F.col("__nw").cast("long").alias("n_window"),
+            (F.col("__s").cast("double") / (F.lit(2.0) * term_scale)).alias(
+                "jsd_nats"
+            ),
+        )
+    )
+
+
 def windowed_label_bins(
     events: DataFrame,
     *,

@@ -904,3 +904,65 @@ def test_windowed_label_bins_stream_equals_batch_and_auc_finish(spark, tmpdir):
             assert out[ws].auc == pytest.approx(ref, abs=1e-12)
     assert out[datetime(2026, 5, 1, 10)].auc == 1.0
     assert out[datetime(2026, 5, 1, 12)].auc is None
+
+
+def test_jsd_vs_baseline_matches_python(spark, tmpdir):
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 3.0),
+        (3, datetime(2026, 5, 1, 10, 45), "view", 9.5),
+        (4, datetime(2026, 5, 1, 11, 10), "view", 0.5),
+        (5, datetime(2026, 5, 1, 11, 40), "view", 9.9),
+        (6, datetime(2026, 5, 1, 11, 50), "view", 9.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    parts = st.windowed_value_bins(df, bounds=bounds, bins=4)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    out = {
+        r.window_start: r
+        for r in st.jsd_vs_baseline(parts, baseline, bins=4).collect()
+    }
+
+    import math
+
+    def py_jsd(obs, base, bins):
+        nw, nb = sum(obs.values()), sum(base.values())
+        s = 0.0
+        for b in range(bins):
+            cw, cb = obs.get(b, 0), base.get(b, 0)
+            p, q = cw / nw, cb / nb
+            m = (p + q) / 2
+            if cw:
+                s += 0.5 * p * math.log(p / m)
+            if cb:
+                s += 0.5 * q * math.log(q / m)
+        return s
+
+    base_counts = {0: 2, 1: 1, 3: 3}
+    w10, w11 = datetime(2026, 5, 1, 10), datetime(2026, 5, 1, 11)
+    assert out[w10].n_window == 3 and out[w11].n_window == 3
+    assert out[w10].jsd_nats == pytest.approx(
+        py_jsd({0: 1, 1: 1, 3: 1}, base_counts, 4), abs=1e-6
+    )
+    assert out[w11].jsd_nats == pytest.approx(
+        py_jsd({0: 1, 3: 2}, base_counts, 4), abs=1e-6
+    )
+    # bounded in [0, ln 2]
+    assert all(0.0 <= r.jsd_nats <= math.log(2) + 1e-9 for r in out.values())
+
+
+def test_jsd_vs_baseline_identical_window_is_zero(spark):
+    # a window whose distribution equals the baseline scores exactly 0
+    rows = [
+        (1, datetime(2026, 6, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 6, 1, 10, 15), "view", 6.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    parts = st.windowed_value_bins(df, bounds=bounds, bins=4)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    out = st.jsd_vs_baseline(parts, baseline, bins=4).collect()
+    assert len(out) == 1 and out[0].jsd_nats == pytest.approx(0.0, abs=1e-9)
