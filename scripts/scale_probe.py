@@ -547,6 +547,53 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("token_budget_selection", n_docs, budget_sel)
 
+    # 31. pairwise JSD matrix across sources: token-count groupBy +
+    #     vocabulary-keyed self-join — cost is |vocab|·|sources|² cells,
+    #     never corpus pairs; must stay linear in total tokens
+    def jsd():
+        obs = docs.select(
+            "source", F.explode(txo.tokens_expr("text")).alias("token")
+        )
+        pfo.js_divergence_matrix(
+            obs, group_column="source", value_column="token"
+        ).write.format("noop").mode("overwrite").save()
+    timed("jsd_source_matrix", n_docs, jsd)
+
+    # 32. Cohen's kappa lang×source stand-in: one joint-count groupBy
+    #     onto the bounded cell frame (same envelope as MI)
+    def kappa():
+        pfo.cohen_kappa(
+            docs, a_column="lang", b_column="source"
+        ).write.format("noop").mode("overwrite").save()
+    timed("cohen_kappa", n_docs, kappa)
+
+    # 33. deterministic Lloyd k-means on synthesized embeddings: per
+    #     round one broadcast assignment fold + one (cluster, dim)
+    #     exchange — assignment cost k·d FLOPs/row, no corpus shuffle
+    emb_km = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .crossJoin(reps_frame(spark))
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.col("__rep") * F.lit(100_000_000)
+        )
+        .drop("__rep", "label")
+    )
+    n_emb_km = emb_km.count()
+
+    def kmeans():
+        sim.kmeans_lloyd(emb_km, k=8, iterations=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("kmeans_lloyd", n_emb_km, kmeans)
+
+    # 34. trigram novelty per source: one dedup shuffle + one
+    #     vocabulary-keyed min — both keyed on the gram, rows-linear
+    def novelty():
+        txo.ngram_novelty(
+            docs, group_column="source", n=3
+        ).write.format("noop").mode("overwrite").save()
+    timed("ngram_novelty", n_docs, novelty)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
