@@ -87,6 +87,10 @@ HEADLINE = [
     "grouped_dataset_card_documents", "embedding_norm_histogram_embeddings",
     "dup_rate_by_source_documents", "windowed_order_stats_events",
     "token_budget_selection_documents", "grouped_token_budget_documents",
+    # round-4 session-6 additions
+    "kappa_langid_agreement_documents", "jsd_source_matrix_documents",
+    "kmeans_lloyd_embeddings", "ngram_novelty_sources_documents",
+    "windowed_jsd_events",
 ]
 
 
