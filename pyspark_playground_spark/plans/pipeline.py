@@ -37,6 +37,10 @@ Spec shape::
       - op: score_gate                 # refuse if the score stops ranking
         params: {score_column: quality_score, label_expr: "lang = 'en'",
                  min_auc: 0.6}
+      - op: divergence_gate            # refuse if any source pair's token
+        params: {max_jsd: 0.4}         #   JSD drifts past the threshold
+      - op: agreement_gate             # refuse if labeler kappa drops
+        params: {a_column: lang, b_column: lang_pred, min_kappa: 0.6}
       - op: normalize                  # canonicalize text (run FIRST)
       - op: token_budget               # best-by-score until budget spent
         params: {score_column: quality_score, tokens_column: n_tokens,
@@ -339,8 +343,73 @@ def _stage_shard(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _stage_divergence_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Mixture-drift gate: refuse to continue when any pair of groups
+    (``params.group_column``, default ``source``) has a token-
+    distribution Jensen-Shannon divergence above ``params.max_jsd``
+    (nats; JSD is bounded by ln 2 ≈ 0.693, so the threshold transfers
+    across corpora). The detector is
+    ``profiling.js_divergence_matrix`` over exploded
+    ``params.text_column`` tokens — a new source whose language mix or
+    boilerplate diverges from the rest of the corpus fails loudly here
+    instead of silently skewing the trained model. Pass-through on
+    success; materializes the |groups|²-bounded matrix at build time
+    (the gate contract, same as ``score_gate``).
+    """
+    from pyspark_playground_spark.operators.profiling import (
+        js_divergence_matrix,
+    )
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    p = dict(spec.get("params", {}))
+    group = p.get("group_column", "source")
+    text = p.get("text_column", "text")
+    max_jsd = float(p.get("max_jsd", 0.5))
+    obs = df.select(
+        F.col(group), F.explode(tokens_expr(text)).alias("__token")
+    )
+    worst = (
+        js_divergence_matrix(obs, group_column=group, value_column="__token")
+        .orderBy(F.col("jsd_nats").desc())
+        .limit(1)
+        .collect()
+    )
+    if worst and worst[0]["jsd_nats"] > max_jsd:
+        r = worst[0]
+        raise ValueError(
+            f"divergence_gate: JSD({r['group_a']}, {r['group_b']}) = "
+            f"{r['jsd_nats']:.4f} > allowed {max_jsd}"
+        )
+    return df
+
+
+def _stage_agreement_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Labeler-agreement gate: refuse to continue when Cohen's kappa
+    between ``params.a_column`` and ``params.b_column`` falls below
+    ``params.min_kappa`` — the chance-corrected check that an
+    auto-labeler (or a second annotator pass) still agrees with the
+    reference labels before downstream stages filter or stratify on
+    them. Plain accuracy passes this gate vacuously under class
+    imbalance; kappa does not. Pass-through on success."""
+    from pyspark_playground_spark.operators.profiling import cohen_kappa
+
+    p = dict(spec.get("params", {}))
+    a, b = p["a_column"], p["b_column"]
+    min_kappa = float(p.get("min_kappa", 0.6))
+    row = cohen_kappa(df, a_column=a, b_column=b).collect()[0]
+    if row["kappa"] is None or row["kappa"] < min_kappa:
+        raise ValueError(
+            f"agreement_gate: kappa({a}, {b}) = {row['kappa']} < "
+            f"required {min_kappa} (observed_agreement="
+            f"{row['observed_agreement']:.4f}, n={row['n_rows']})"
+        )
+    return df
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "score_gate": _stage_score_gate,
+    "divergence_gate": _stage_divergence_gate,
+    "agreement_gate": _stage_agreement_gate,
     "shard": _stage_shard,
     "normalize": _stage_normalize,
     "token_budget": _stage_token_budget,

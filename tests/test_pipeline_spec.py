@@ -286,3 +286,46 @@ def test_token_budget_stage_global_and_grouped(spark):
     # top 3 per group
     assert sorted(r["doc_id"] for r in grp.collect()) == [15, 16, 17, 18, 19, 20]
     assert grp.columns == df.columns
+
+
+def test_divergence_gate_passes_and_refuses(spark):
+    # two sources with identical token mixes pass; a divergent third
+    # source (disjoint vocabulary -> JSD = ln 2) trips the gate
+    same = [(i, "alpha beta gamma", ["s1", "s2"][i % 2]) for i in range(10)]
+    df = spark.createDataFrame(same, "doc_id int, text string, source string")
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "divergence_gate", "params": {"max_jsd": 0.1}}]},
+    )
+    assert out.count() == 10 and out.columns == df.columns
+    divergent = same + [(100 + i, "zeta eta theta", "s3") for i in range(5)]
+    df2 = spark.createDataFrame(
+        divergent, "doc_id int, text string, source string"
+    )
+    with pytest.raises(ValueError, match="divergence_gate"):
+        pl.run_pipeline(
+            df2,
+            {"stages": [{"op": "divergence_gate",
+                         "params": {"max_jsd": 0.5}}]},
+        )
+
+
+def test_agreement_gate_passes_and_refuses(spark):
+    rows = [(i, "en", "en") for i in range(8)] + [
+        (8, "de", "de"), (9, "de", "en")
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, gold string, pred string")
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "agreement_gate",
+                     "params": {"a_column": "gold", "b_column": "pred",
+                                "min_kappa": 0.5}}]},
+    )
+    assert out.count() == 10
+    with pytest.raises(ValueError, match="agreement_gate"):
+        pl.run_pipeline(
+            df,
+            {"stages": [{"op": "agreement_gate",
+                         "params": {"a_column": "gold", "b_column": "pred",
+                                    "min_kappa": 0.95}}]},
+        )
