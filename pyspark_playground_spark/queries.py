@@ -9839,3 +9839,103 @@ def windowed_jsd_events(spark, sf_dir):
     parts = stc.windowed_value_bins(e, bounds=bounds, bins=16)
     baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
     return stc.jsd_vs_baseline(parts, baseline, bins=16)
+
+
+# ---------------------------------------------------------------------------
+# Privacy / re-identification audits (operators/privacy.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band,
+           count(*) AS group_size,
+           count(*) >= 5 AS k_anonymous
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS INT)
+    """,
+)
+def k_anonymity_customers(spark, sf_dir):
+    """k-anonymity equivalence-class census (operators/privacy.py
+    k_anonymity_census): one row per (nation, segment, balance-band)
+    quasi-identifier combination with its exact population and the
+    ``count >= k`` flag — the rows flagged false are the records an
+    attacker can narrow below k candidates. One map-side-combined
+    groupBy on the QI tuple, no joins; the reference has no privacy
+    layer, this is release-gate breadth beyond it."""
+    from pyspark_playground_spark.operators import privacy as pv
+
+    c = load(spark, sf_dir, "customer")
+    qi = [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("bal_band"),
+    ]
+    return pv.k_anonymity_census(c, qi, k=5)
+
+
+@query(
+    "k_anonymity_gate_customers",
+    """
+    WITH census AS (
+      SELECT count(*) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS INT)
+    )
+    SELECT sum(group_size) AS n_rows,
+           count(*) AS n_classes,
+           sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS classes_below_k,
+           sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+             AS rows_below_k,
+           min(group_size) AS min_class_size,
+           printf('%.6f', 1.0 / CAST(min(group_size) AS DOUBLE))
+             AS max_reident_risk_s
+    FROM census
+    """,
+)
+def k_anonymity_gate_customers(spark, sf_dir):
+    """One-row k-anonymity release gate (operators/privacy.py
+    k_anonymity_summary): at-risk population and worst-case
+    re-identification probability 1/min_class_size, derived from the
+    class-level census frame — the second aggregation never rescans the
+    input table."""
+    from pyspark_playground_spark.operators import privacy as pv
+
+    c = load(spark, sf_dir, "customer")
+    qi = [
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("bal_band"),
+    ]
+    return pv.k_anonymity_summary(c, qi, k=5)
+
+
+@query(
+    "l_diversity_orders",
+    """
+    SELECT date_trunc('week', o_orderdate) AS order_week,
+           o_orderpriority,
+           count(*) AS group_size,
+           count(DISTINCT o_orderstatus) AS n_sensitive,
+           count(DISTINCT o_orderstatus) >= 2 AS l_diverse
+    FROM orders
+    GROUP BY date_trunc('week', o_orderdate), o_orderpriority
+    """,
+)
+def l_diversity_orders(spark, sf_dir):
+    """Distinct-l-diversity census (operators/privacy.py
+    l_diversity_census): per (order-week, priority) quasi-identifier
+    class, the exact number of DISTINCT sensitive values
+    (o_orderstatus) observed — a class with one value is a homogeneity
+    leak even when it is k-large. Exact count-distinct inside one
+    groupBy (Spark's standard two-phase distinct expansion), no joins."""
+    from pyspark_playground_spark.operators import privacy as pv
+
+    o = load(spark, sf_dir, "orders")
+    qi = [
+        F.date_trunc("week", "o_orderdate").alias("order_week"),
+        F.col("o_orderpriority"),
+    ]
+    return pv.l_diversity_census(o, qi, "o_orderstatus", l=2)
