@@ -1143,3 +1143,110 @@ def ngram_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+def lang_corpus_stats(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    lang_column: str = "lang",
+) -> DataFrame:
+    """Per-language corpus audit: document/token/char volume, vocabulary
+    size (distinct token types), hapax count (types seen exactly once),
+    corpus-level type-token ratio and character fertility (chars/token).
+
+    The tokenizer-budget view of a mixture: languages with high
+    chars-per-token need more bytes per unit of information, and a
+    corpus-level TTR far from its per-document mean signals boilerplate
+    (many docs, few types). Distinct from the per-document ``ttr`` and
+    ``token_count`` operators — this is the grouped census over the
+    token TYPE space, which no per-doc aggregate can derive.
+
+    Plan: one token census (explode -> groupBy (lang, token), map-side
+    combined), folded per language, joined to the per-language document
+    aggregate — two shuffles on (lang, token) and lang, never a
+    corpus-sized window. Ratios render via ``%.6f`` for a stable
+    cross-engine hash; a zero-token language yields NULL ratios.
+    """
+    lang = F.col(lang_column)
+    base = df.where(lang.isNotNull())
+    census = (
+        base.select(lang.alias("lang"), F.explode(tokens_expr(text_column)).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = census.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    docs = base.groupBy(lang.alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_column)).alias("n_chars"),
+    )
+    out = docs.join(vocab, "lang", "left")
+    ratio = lambda a, b: F.when(  # noqa: E731
+        F.col(b) > 0,
+        F.format_string("%.6f", F.col(a).cast("double") / F.col(b).cast("double")),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "n_chars",
+        F.coalesce("n_types", F.lit(0)).alias("n_types"),
+        F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        ratio("n_types", "n_tokens").alias("ttr_s"),
+        ratio("n_chars", "n_tokens").alias("chars_per_token_s"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    buckets: int = 10,
+    n: int = 1,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: per corpus-position bucket
+    (documents split into ``buckets`` equal id ranges), how many NEW
+    token ``n``-gram types first appear there, plus the cumulative
+    vocabulary (``n=1`` counts plain token types; larger ``n`` tracks
+    phrase-level novelty, which saturates much later).
+
+    A flattening curve means additional data stops contributing new
+    vocabulary — the saturation signal that guides how much more of a
+    source is worth ingesting. Exact: every type is attributed to the
+    bucket of its first-occurrence document (``min(doc_id)`` per type).
+
+    Plan: token census (explode -> groupBy token -> min id, map-side
+    combined), bucket by ``first_id * buckets DIV (max_id + 1)`` against
+    the broadcast one-row max frame, fold to ``buckets`` rows; the final
+    cumulative window runs over the bucket-count frame only (bounded by
+    ``buckets``, never data-sized).
+    """
+    ident = F.col(id_column)
+    grams = tokens_expr(text_column) if n == 1 else ngrams_expr(text_column, n)
+    first = (
+        df.where(ident.isNotNull())
+        .select(ident.alias("__id"), F.explode(grams).alias("token"))
+        .groupBy("token")
+        .agg(F.min("__id").alias("__fid"))
+    )
+    bound = df.agg((F.max(ident) + 1).alias("__n"))
+    bucketed = first.join(F.broadcast(bound)).select(
+        F.least(
+            F.lit(buckets - 1),
+            F.expr(f"__fid * {buckets} div __n").cast("int"),
+        ).alias("bucket")
+    )
+    from pyspark.sql import Window
+
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "bucket",
+        "new_types",
+        F.sum("new_types").over(w).alias("cum_types"),
+    )

@@ -9939,3 +9939,86 @@ def l_diversity_orders(spark, sf_dir):
         F.col("o_orderpriority"),
     ]
     return pv.l_diversity_census(o, qi, "o_orderstatus", l=2)
+
+
+@query(
+    "lang_corpus_stats_documents",
+    f"""
+    WITH base AS (
+      SELECT lang, text, {_TOKS} AS toks FROM documents
+      WHERE lang IS NOT NULL
+    ), census AS (
+      SELECT lang, u.token, count(*) AS n
+      FROM base, UNNEST(toks) AS u(token)
+      GROUP BY lang, u.token
+    ), vocab AS (
+      SELECT lang, count(*) AS n_types, sum(n) AS n_tokens,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+      FROM census GROUP BY lang
+    ), docs AS (
+      SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars
+      FROM base GROUP BY lang
+    )
+    SELECT d.lang, d.n_docs,
+           coalesce(v.n_tokens, 0) AS n_tokens,
+           d.n_chars,
+           coalesce(v.n_types, 0) AS n_types,
+           coalesce(v.n_hapax, 0) AS n_hapax,
+           CASE WHEN v.n_tokens > 0 THEN printf('%.6f',
+             CAST(v.n_types AS DOUBLE) / CAST(v.n_tokens AS DOUBLE)) END
+             AS ttr_s,
+           CASE WHEN v.n_tokens > 0 THEN printf('%.6f',
+             CAST(d.n_chars AS DOUBLE) / CAST(v.n_tokens AS DOUBLE)) END
+             AS chars_per_token_s
+    FROM docs d LEFT JOIN vocab v USING (lang)
+    """,
+)
+def lang_corpus_stats_documents(spark, sf_dir):
+    """Per-language corpus census (operators/text.py lang_corpus_stats):
+    volume, vocabulary size, hapax count, corpus-level TTR and character
+    fertility — the tokenizer-budget / boilerplate view of the mixture,
+    derived from the token TYPE space (which no per-document aggregate
+    can reach). Two map-side-combined shuffles ((lang, token) then lang),
+    never a corpus-sized window."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.lang_corpus_stats(docs)
+
+
+@query(
+    "vocab_growth_documents",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE doc_id IS NOT NULL
+    ), t AS (
+      SELECT doc_id, array_to_string(toks[u.i + 1:u.i + 3], ' ') AS token
+      FROM s, UNNEST(range(greatest(len(toks) - 3, 0)
+                           + CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)) AS u(i)
+      WHERE len(toks) > 0
+    ), f AS (
+      SELECT token, min(doc_id) AS fid FROM t GROUP BY token
+    ), m AS (
+      SELECT max(doc_id) + 1 AS n FROM documents
+    ), g AS (
+      SELECT least(9, CAST(fid * 10 // m.n AS INT)) AS bucket, count(*)
+               AS new_types
+      FROM f CROSS JOIN m GROUP BY 1
+    )
+    SELECT bucket, new_types,
+           CAST(sum(new_types) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_types
+    FROM g
+    """,
+)
+def vocab_growth_documents(spark, sf_dir):
+    """Heaps'-law vocabulary growth (operators/text.py vocab_growth):
+    new TRIGRAM types per corpus-position decile plus the cumulative
+    vocabulary — the data-saturation signal ("does more of this source
+    still add phrase-level novelty"; unigram types saturate in the first
+    decile on this corpus, so the curve is run at n=3). Gram census with
+    map-side-combined min-per-type, bucketed against the broadcast
+    one-row max frame; the only window runs over the 10-row bucket
+    frame."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.vocab_growth(docs, buckets=10, n=3)

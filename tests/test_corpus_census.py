@@ -1,0 +1,72 @@
+"""Corpus-census text operators: per-language stats and Heaps'-law
+vocabulary growth (operators/text.py), pinned on hand-computed fixtures."""
+
+from pyspark_playground_spark.operators import text as tx
+
+
+def test_lang_corpus_stats_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a", "en"),
+            (1, "a c", "en"),
+            (2, "x y", "de"),
+            (3, "", "de"),
+            (4, "zz", None),  # null lang excluded entirely
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in tx.lang_corpus_stats(df).collect()}
+    assert set(out) == {"en", "de"}
+    en = out["en"]
+    # tokens: a b a | a c -> 5 tokens, types {a, b, c}, hapax {b, c}
+    assert en["n_docs"] == 2
+    assert en["n_tokens"] == 5
+    assert en["n_types"] == 3
+    assert en["n_hapax"] == 2
+    assert en["n_chars"] == 5 + 3
+    assert en["ttr_s"] == "0.600000"
+    assert en["chars_per_token_s"] == "1.600000"
+    de = out["de"]
+    # empty doc contributes a doc and 0 tokens
+    assert de["n_docs"] == 2 and de["n_tokens"] == 2 and de["n_types"] == 2
+
+
+def test_lang_corpus_stats_zero_token_language(spark):
+    df = spark.createDataFrame([(0, "   ", "xx")], ["doc_id", "text", "lang"])
+    row = tx.lang_corpus_stats(df).first()
+    assert row["n_docs"] == 1
+    assert row["n_tokens"] == 0 and row["n_types"] == 0
+    assert row["ttr_s"] is None and row["chars_per_token_s"] is None
+
+
+def test_vocab_growth_unigram_first_occurrence(spark):
+    # ids 0..9, buckets=5 -> bucket = id*5 div 10 (2 ids per bucket)
+    rows = [
+        (0, "a b"),
+        (1, "a"),
+        (2, "c"),
+        (3, "a c"),
+        (4, "d"),
+        (5, "d"),
+        (6, "a"),
+        (7, "e"),
+        (8, "a"),
+        (9, "f g"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bucket"]: r for r in tx.vocab_growth(df, buckets=5).collect()}
+    # first occurrences: a,b -> doc0 (bucket 0); c -> doc2 (b1); d -> doc4
+    # (b2); e -> doc7 (b3); f,g -> doc9 (b4)
+    assert [out[b]["new_types"] for b in range(5)] == [2, 1, 1, 1, 2]
+    assert [out[b]["cum_types"] for b in range(5)] == [2, 3, 4, 5, 7]
+
+
+def test_vocab_growth_trigram_short_docs(spark):
+    # a 2-token doc yields its full run as ONE gram (ngrams_expr contract)
+    df = spark.createDataFrame(
+        [(0, "p q"), (1, "p q r s")], ["doc_id", "text"]
+    )
+    out = tx.vocab_growth(df, buckets=2, n=3).collect()
+    # doc0: ["p q"]; doc1: ["p q r", "q r s"] -> 3 distinct types total
+    assert sum(r["new_types"] for r in out) == 3
+    assert max(r["cum_types"] for r in out) == 3
