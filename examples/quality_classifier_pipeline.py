@@ -92,13 +92,23 @@ def main(sf_dir: str | None = None) -> None:
     print(f"trained on {train.count()} docs; "
           f"coefficients={[round(c, 4) for c in model.coefficients]}")
 
-    # 4. exact evaluation on the held-out half
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.transform(asm.transform(test)).select(
+    # 4. exact evaluation on the held-out half. The trained model is
+    # exported to a pure column expression (coefficients are driver-side,
+    # model-sized): score = sigmoid(intercept + w·x). Same math as
+    # model.transform's probability column, but the scorer is whole-stage
+    # codegen with NO ml object in any task closure — model.transform
+    # serializes the model into the prediction closure, and a model whose
+    # trainingSummary is populated drags a SparkSession reference with it
+    # (java.io.NotSerializableException: ObservationManager).
+    feature_cols = ["f_chars", "f_tokens", "f_ttr", "f_punct"]
+    weights = [float(w) for w in model.coefficients]
+    margin = F.lit(float(model.intercept))
+    for col_name, w in zip(feature_cols, weights):
+        margin = margin + F.lit(w) * F.col(col_name)
+    scored = test.select(
         "doc_id",
         "source",
-        vector_to_array("probability")[1].alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("score"),
         F.col("label").cast("boolean").alias("is_en"),
     )
     auc = profiling.exact_auc(

@@ -10022,3 +10022,59 @@ def vocab_growth_documents(spark, sf_dir):
     frame."""
     docs = load(spark, sf_dir, "documents")
     return tx.vocab_growth(docs, buckets=10, n=3)
+
+
+@query(
+    "label_propagation_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct({_TOKS}) AS sh
+      FROM documents
+    ), p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+    ), e AS (
+      SELECT ia AS u, ib AS v FROM p UNION SELECT ib AS u, ia AS v FROM p
+    ), n AS (
+      SELECT DISTINCT u AS node FROM e
+    ), l0 AS (
+      SELECT node, node AS label FROM n
+    ), c1 AS (
+      SELECT e.u, l0.label, count(*) AS cnt
+      FROM e JOIN l0 ON l0.node = e.v GROUP BY e.u, l0.label
+    ), w1 AS (
+      SELECT u, label,
+             row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rk
+      FROM c1
+    ), l1 AS (
+      SELECT n.node, coalesce(w.label, n.node) AS label
+      FROM n LEFT JOIN (SELECT u, label FROM w1 WHERE rk = 1) w ON w.u = n.node
+    ), c2 AS (
+      SELECT e.u, l1.label, count(*) AS cnt
+      FROM e JOIN l1 ON l1.node = e.v GROUP BY e.u, l1.label
+    ), w2 AS (
+      SELECT u, label,
+             row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rk
+      FROM c2
+    )
+    SELECT n.node, coalesce(w.label, n.node) AS label
+    FROM n LEFT JOIN (SELECT u, label FROM w2 WHERE rk = 1) w ON w.u = n.node
+    """,
+)
+def label_propagation_documents(spark, sf_dir):
+    """Two rounds of deterministic synchronous label propagation
+    (operators/graph.py label_propagation) over the same real similarity
+    graph the CC entries use (exact vocabulary Jaccard >= 0.5,
+    source-blocked) — the density-sensitive community complement to
+    connected components: a thin bridge between two dense dup groups
+    does NOT fuse them under majority vote. Most-frequent-neighbor-label
+    update, ties to the smallest label; the oracle replays both rounds
+    CTE by CTE. Every frame is keyed by node (join, count, per-node
+    argmax window) — nothing corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, within="source", shingle_size=1, threshold=0.5
+    )
+    return gr.label_propagation(pairs, "id_a", "id_b", iterations=2)

@@ -225,3 +225,43 @@ def test_update_components_no_new_edges_is_identity(spark):
         for r in G.update_components(labels, empty).collect()
     }
     assert out == {(5, 5), (6, 5), (7, 5)}
+
+
+def test_label_propagation_two_cliques_thin_bridge(spark):
+    # two 4-cliques joined by ONE bridge edge: CC fuses them into one
+    # component; majority-vote LPA keeps two communities
+    clique_a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], "src long, dst long"
+    )
+    cc = {r["component"] for r in G.connected_components(edges).collect()}
+    assert cc == {0}  # one fused component
+    lpa = {
+        r["node"]: r["label"]
+        for r in G.label_propagation(edges, iterations=3).collect()
+    }
+    assert {lpa[n] for n in range(4)} == {0}
+    assert {lpa[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # node 2's neighbors {0, 1} each vote once -> tie -> min label wins
+    edges = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+    lpa = {
+        r["node"]: r["label"]
+        for r in G.label_propagation(edges, iterations=1).collect()
+    }
+    assert lpa[2] == 0
+
+
+def test_label_propagation_includes_isolated_nodes(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    lpa = {
+        r["node"]: r["label"]
+        for r in G.label_propagation(edges, iterations=2, nodes=nodes).collect()
+    }
+    # isolated node keeps its own label; the pair oscillates deterministically
+    assert lpa[9] == 9
+    assert set(lpa) == {1, 2, 9}
