@@ -139,3 +139,46 @@ def plan_shards(
     return cum.withColumn(
         out, F.expr(f"CAST(__cum DIV {int(target_bytes)} AS INT)")
     ).drop("__cum")
+
+
+def shard_mixture_report(
+    df: DataFrame,
+    *,
+    shard_column: str,
+    group_column: str,
+) -> DataFrame:
+    """Per-shard mixture diversity: document count, distinct sources,
+    and the Herfindahl-Hirschman concentration of the source mix
+    (``sum(share^2)`` — 1/HHI is the effective number of sources).
+
+    The audit that closes the loop on ``plan_shards``: byte-balanced
+    shards planned in id order can still be single-source runs (sources
+    often arrive id-clustered), and a training shard that is 100% one
+    source defeats the mixture design at batch granularity. HHI == 1
+    flags exactly those shards; interleave (``sampling
+    .interleave_by_group``) or reorder by a shuffled rank before
+    re-planning.
+
+    Plan: two map-side-combined aggregations — (shard, group) counts,
+    folded per shard. HHI from exact integer count arithmetic
+    (``sum(n^2) / total^2``), rendered ``%.6f`` for a stable
+    cross-engine hash.
+    """
+    counts = df.groupBy(shard_column, group_column).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_shard = counts.groupBy(shard_column).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__ssq"),
+    )
+    return per_shard.select(
+        shard_column,
+        "n_rows",
+        "n_groups",
+        F.format_string(
+            "%.6f",
+            F.col("__ssq").cast("double")
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
+        ).alias("hhi_s"),
+    )

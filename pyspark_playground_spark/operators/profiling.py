@@ -1678,3 +1678,65 @@ def js_divergence_matrix(
         F.col("__na").cast("long").alias("n_a"),
         F.col("__nb").cast("long").alias("n_b"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    *,
+    value_column: str,
+    id_column: str,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative value distribution —
+    the one-number inequality audit (0 = uniform, ->1 = a few giant
+    documents carry all the bytes). Complements the Pareto/concentration
+    entries with the standard index:
+
+    ``G = sum_i (2i - n - 1) x_(i) / (n * sum x)``
+
+    over values ascending (ties broken by ``id_column`` — any total
+    order over equal values yields the same sum, a unique tie-break
+    just keeps both engines on identical ranks). The rank is
+    ``packing.distributed_rank`` — range-bucketed exact global rank, no
+    single-task corpus sort; the weighted sum accumulates in
+    DECIMAL(38,0) (a bigint sum overflows under ANSI mode at trillions
+    of rank*value terms).
+
+    Returns one row: ``n_rows, total, gini_s`` (``%.6f``; NULL when the
+    total is zero).
+    """
+    from pyspark_playground_spark.operators import packing as pk
+
+    src = df.filter(
+        F.col(value_column).isNotNull() & F.col(id_column).isNotNull()
+    ).select(F.col(value_column).alias("__v"), F.col(id_column).alias("__id"))
+    ranked = pk.distributed_rank(src, order_column="__v", id_column="__id")
+    term = (
+        (F.lit(2) * (F.col("rank") + 1) - F.col("__n") - 1).cast("decimal(38,0)")
+        * F.col("__v").cast("decimal(38,0)")
+    )
+    totals = src.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s")
+    )
+    return (
+        ranked.join(F.broadcast(totals))
+        .agg(
+            F.max("__n").cast("long").alias("n_rows"),
+            F.max("__s").cast("long").alias("total"),
+            F.sum(term).alias("__num"),
+        )
+        .select(
+            "n_rows",
+            "total",
+            F.when(
+                F.col("total") > 0,
+                F.format_string(
+                    "%.6f",
+                    F.col("__num").cast("double")
+                    / (
+                        F.col("n_rows").cast("double")
+                        * F.col("total").cast("double")
+                    ),
+                ),
+            ).alias("gini_s"),
+        )
+    )

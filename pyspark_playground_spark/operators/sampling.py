@@ -395,3 +395,57 @@ def temperature_shares(
             / F.col("__z")
         ).cast("bigint").alias("share_ppm"),
     )
+
+
+def interleave_by_group(
+    df: DataFrame,
+    *,
+    group_column: str,
+    order_column: str,
+) -> DataFrame:
+    """Deterministic round-robin interleave across groups: global
+    training order where position p is the p-th element of the sequence
+    "rank-1 of every group (group-name order), then rank-2 of every
+    group, ...", groups dropping out as they exhaust. The standard
+    fixed-order mixture serialization — consecutive batches see every
+    source instead of id-clustered single-source runs, and the order is
+    reproducible from the data alone.
+
+    Exactly ``row_number() OVER (ORDER BY rank_in_group, group) - 1``,
+    but WITHOUT the corpus-wide single-task window: the global position
+    has a closed form against the per-group size table —
+
+    ``pos(r, g) = sum_g'( min(size_g', r-1) ) + |{g' < g : size_g' >= r}|``
+
+    (rows before rank r in other groups, plus same-rank rows of
+    earlier-named groups). Sizes are one tiny aggregate collected to the
+    driver (O(groups), model-sized — a mixture has tens of sources, not
+    millions; the closed-form expression is linear in the group count)
+    and folded into a codegen expression, so the only shuffles are the
+    per-group rank window and the size aggregate.
+
+    Returns ``group, order, rank_in_group (1-based), global_pos
+    (0-based)`` plus the input's other columns. NULL group/order rows
+    are excluded (no deterministic position exists for them).
+    """
+    from pyspark.sql import Window
+
+    src = df.filter(
+        F.col(group_column).isNotNull() & F.col(order_column).isNotNull()
+    )
+    w = Window.partitionBy(group_column).orderBy(order_column)
+    ranked = src.withColumn("rank_in_group", F.row_number().over(w))
+
+    sizes = sorted(
+        (r[0], r[1])
+        for r in src.groupBy(group_column).agg(F.count(F.lit(1))).collect()
+    )
+    r = F.col("rank_in_group")
+    g = F.col(group_column)
+    pos = F.lit(0).cast("long")
+    for name, size in sizes:
+        pos = pos + F.least(F.lit(size), r - 1)
+        pos = pos + F.when(
+            (F.lit(name) < g) & (F.lit(size) >= r), 1
+        ).otherwise(0)
+    return ranked.withColumn("global_pos", pos.cast("long"))

@@ -10078,3 +10078,109 @@ def label_propagation_documents(spark, sf_dir):
         docs, within="source", shingle_size=1, threshold=0.5
     )
     return gr.label_propagation(pairs, "id_a", "id_b", iterations=2)
+
+
+@query(
+    "shard_source_diversity_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ), s AS (
+      SELECT CAST(cum // 65536 AS INT) AS shard, source FROM r
+    ), c AS (
+      SELECT shard, source, count(*) AS n FROM s GROUP BY shard, source
+    )
+    SELECT shard, sum(n) AS n_rows, count(*) AS n_groups,
+           printf('%.6f', CAST(sum(n * n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))) AS hhi_s
+    FROM c GROUP BY shard
+    """,
+)
+def shard_source_diversity_documents(spark, sf_dir):
+    """Per-shard mixture diversity (operators/layout.py
+    shard_mixture_report over plan_shards): the audit that byte-balanced
+    shards planned in id order are not single-source runs — HHI of the
+    source mix per shard (1/HHI = effective sources; 1.0 flags a shard
+    that defeats the mixture at batch granularity). Exact integer count
+    arithmetic over two map-side-combined aggregations on top of the
+    range-bucketed prefix-sum shard plan."""
+    from pyspark_playground_spark.operators import layout as ly2
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    planned = ly2.plan_shards(
+        docs, bytes_column="n_chars", target_bytes=65536, order_column="doc_id"
+    )
+    return ly2.shard_mixture_report(
+        planned, shard_column="shard", group_column="source"
+    )
+
+
+@query(
+    "interleave_sources_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_group
+      FROM documents
+      WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    )
+    SELECT doc_id, source, rank_in_group,
+           row_number() OVER (ORDER BY rank_in_group, source) - 1
+             AS global_pos
+    FROM r
+    """,
+)
+def interleave_sources_documents(spark, sf_dir):
+    """Deterministic round-robin interleave across sources
+    (operators/sampling.py interleave_by_group): the fixed training
+    order "rank-1 of every source, then rank-2, ..." so consecutive
+    batches see the whole mixture instead of id-clustered single-source
+    runs. The oracle is the corpus-wide two-key window; the
+    implementation computes the identical position CLOSED-FORM against
+    the O(groups) collected size table — per-source rank window plus a
+    codegen expression, no single-task global sort."""
+    from pyspark_playground_spark.operators import sampling as smp
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return smp.interleave_by_group(
+        docs, group_column="source", order_column="doc_id"
+    ).select("doc_id", "source", "rank_in_group", "global_pos")
+
+
+@query(
+    "gini_doc_lengths",
+    """
+    WITH r AS (
+      SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS i
+      FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ), t AS (
+      SELECT count(*) AS n, sum(v) AS s FROM r
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.s AS BIGINT) AS total,
+           CASE WHEN t.s > 0 THEN printf('%.6f',
+             CAST(sum((2 * i - t.n - 1) * v) AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE))) END AS gini_s
+    FROM r CROSS JOIN t
+    GROUP BY t.n, t.s
+    """,
+)
+def gini_doc_lengths(spark, sf_dir):
+    """Exact Gini coefficient of document lengths
+    (operators/profiling.py gini_coefficient): the one-number
+    inequality audit of corpus bytes (0 = uniform, ->1 = a few giant
+    docs carry everything), joining the Pareto/concentration family
+    with the standard index. Ranks come from packing.distributed_rank
+    (range-bucketed, no corpus-wide single-task sort); the weighted sum
+    accumulates in DECIMAL(38,0)."""
+    from pyspark_playground_spark.operators.profiling import gini_coefficient
+
+    docs = load(spark, sf_dir, "documents")
+    return gini_coefficient(docs, value_column="n_chars", id_column="doc_id")
