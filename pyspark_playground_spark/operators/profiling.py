@@ -1740,3 +1740,85 @@ def gini_coefficient(
             ).alias("gini_s"),
         )
     )
+
+
+def uncertainty_coefficient(
+    df: DataFrame,
+    *,
+    x_column: str,
+    y_column: str,
+    ln_decimals: int = 7,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) = MI(X;Y) / H(Y) — the
+    NORMALIZED version of ``mutual_information``: the fraction of Y's
+    entropy explained by knowing X, in [0, 1] regardless of the columns'
+    cardinalities (raw MI is unbounded, so a threshold that works for a
+    3-value column is meaningless for a 300-value one). U = 1 ⇔ X
+    determines Y — the actionable leakage gate ("source pins down the
+    language" reads directly as U ≈ 1).
+
+    Same bounded cell-frame plan as ``mutual_information`` (one joint
+    groupBy persisted, marginals over the cell frame, broadcast totals)
+    with H(Y) folded from the y-marginal in the same pass; the
+    rounded-ln + exact-DECIMAL-sum recipe keeps both engines
+    bit-identical.
+
+    Returns one row ``(theil_u_s, mi_nats, hy_nats, n_rows, n_cells)``;
+    ``theil_u_s`` is NULL when H(Y) = 0 (a constant Y has nothing to
+    explain).
+    """
+    t = (
+        df.select(F.col(x_column).alias("__x"), F.col(y_column).alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    )
+    g = (
+        t.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__cxy"))
+        .persist()
+    )
+    gx = g.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
+    gy = g.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
+    n = g.agg(
+        F.sum("__cxy").alias("__n"), F.count(F.lit(1)).alias("__cells")
+    )
+    joined = g.join(gx, "__x").join(gy, "__y").crossJoin(F.broadcast(n))
+    ratio = (
+        F.col("__cxy").cast("double") * F.col("__n").cast("double")
+    ) / (F.col("__cx").cast("double") * F.col("__cy").cast("double"))
+    p = F.col("__cxy").cast("double") / F.col("__n").cast("double")
+    mi_term = F.round(p * F.round(F.log(ratio), ln_decimals), 9).cast(
+        "decimal(28,10)"
+    )
+    # H(Y) from the y-marginal: ln(N) - Σ c_y·ln(c_y) / N, same recipe
+    hy_term = F.round(
+        F.col("__cy").cast("double")
+        * F.round(F.log(F.col("__cy").cast("double")), ln_decimals),
+        7,
+    ).cast("decimal(28,9)")
+    # ln(N) rounded like every other ln here — an unrounded transcendental
+    # is the one place two engines' libm can drift a ulp
+    hy = gy.crossJoin(F.broadcast(n)).agg(
+        (
+            F.round(F.log(F.max("__n").cast("double")), ln_decimals)
+            - F.sum(hy_term).cast("double") / F.max("__n").cast("double")
+        ).alias("hy_nats")
+    )
+    mi = (
+        joined.groupBy("__n", "__cells")
+        .agg(F.sum(mi_term).alias("__mi"))
+        .select(
+            F.col("__mi").cast("double").alias("mi_nats"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("__cells").cast("long").alias("n_cells"),
+        )
+    )
+    return mi.crossJoin(F.broadcast(hy)).select(
+        F.when(
+            F.col("hy_nats") > 0,
+            F.format_string("%.6f", F.col("mi_nats") / F.col("hy_nats")),
+        ).alias("theil_u_s"),
+        "mi_nats",
+        "hy_nats",
+        "n_rows",
+        "n_cells",
+    )

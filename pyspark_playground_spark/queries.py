@@ -10184,3 +10184,89 @@ def gini_doc_lengths(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return gini_coefficient(docs, value_column="n_chars", id_column="doc_id")
+
+
+@query(
+    "uncertainty_coefficient_lang_source",
+    """
+    WITH t AS (
+      SELECT source AS x, lang AS y FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ), g AS (
+      SELECT x, y, count(*) AS cxy FROM t GROUP BY x, y
+    ), gx AS (
+      SELECT x, sum(cxy) AS cx FROM g GROUP BY x
+    ), gy AS (
+      SELECT y, sum(cxy) AS cy FROM g GROUP BY y
+    ), n AS (
+      SELECT sum(cxy) AS nn, count(*) AS cells FROM g
+    ), mi AS (
+      SELECT CAST(sum(CAST(round(
+               (CAST(cxy AS DOUBLE) / CAST(nn AS DOUBLE))
+               * round(ln((CAST(cxy AS DOUBLE) * CAST(nn AS DOUBLE))
+                          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 7),
+               9) AS DECIMAL(28,10))) AS DOUBLE) AS mi_nats,
+             CAST(n.nn AS BIGINT) AS n_rows,
+             CAST(n.cells AS BIGINT) AS n_cells
+      FROM g JOIN gx USING (x) JOIN gy USING (y) CROSS JOIN n
+      GROUP BY n.nn, n.cells
+    ), hy AS (
+      SELECT round(ln(CAST(max(nn) AS DOUBLE)), 7)
+               - CAST(sum(CAST(round(CAST(cy AS DOUBLE)
+                   * round(ln(CAST(cy AS DOUBLE)), 7), 7) AS DECIMAL(28,9)))
+                   AS DOUBLE) / CAST(max(nn) AS DOUBLE) AS hy_nats
+      FROM gy CROSS JOIN n
+    )
+    SELECT CASE WHEN hy.hy_nats > 0
+                THEN printf('%.6f', mi.mi_nats / hy.hy_nats) END AS theil_u_s,
+           mi.mi_nats, hy.hy_nats, mi.n_rows, mi.n_cells
+    FROM mi CROSS JOIN hy
+    """,
+)
+def uncertainty_coefficient_lang_source(spark, sf_dir):
+    """Theil's uncertainty coefficient U(lang | source)
+    (operators/profiling.py uncertainty_coefficient): the NORMALIZED
+    leakage gate — what fraction of the language entropy is explained by
+    the source, in [0,1] independent of cardinalities (raw MI needs a
+    per-column threshold; U reads directly: ~1 means source pins down
+    lang, so stratify inside sources). Same bounded cell-frame plan as
+    the MI entry with H(lang) folded from the y-marginal; every ln
+    rounded before the exact-DECIMAL sum."""
+    from pyspark_playground_spark.operators.profiling import (
+        uncertainty_coefficient,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return uncertainty_coefficient(docs, x_column="source", y_column="lang")
+
+
+@query(
+    "windowed_top_event_types",
+    f"""
+    WITH e AS ({EVENTS_N}), c AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+      FROM e GROUP BY date_trunc('hour', ts), event_type
+    ), r AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           event_type, n, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def windowed_top_event_types(spark, sf_dir):
+    """Windowed exact heavy hitters (streaming/cdc.py
+    windowed_type_counts -> top_k_per_window): top-3 event types per
+    hour with deterministic name tie-breaks — the "what dominates each
+    window" monitor, fifth finish over the monitor family's
+    streaming-legal partials (mergeable (window, type) counts, bounded
+    state under a watermark; the rank window is per-window, bounded by
+    observed type cardinality)."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    parts = stc.windowed_type_counts(e)
+    return stc.top_k_per_window(parts, k=3)

@@ -1223,3 +1223,66 @@ def interval_join(
     )
     out = lf.join(rf, cond, how)
     return out.drop(*[f"__r_{k}" for k in keys])
+
+
+def windowed_type_counts(
+    events: DataFrame,
+    *,
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-time-window category counts — the streaming-legal half of the
+    windowed heavy-hitters monitor ("which event types dominate each
+    hour"). One windowed aggregation of mergeable counts (bounded state
+    under a watermark: windows × observed types), no chained aggs, so it
+    runs identically on a stream or its batch twin — the same
+    partials-then-finish split as :func:`windowed_value_bins`.
+
+    Returns ``(window_start, window_end, <type_column>, n)``.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_column), window_duration).alias("win"),
+            F.col(type_column),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            type_column,
+            "n",
+        )
+    )
+
+
+def top_k_per_window(
+    type_counts: DataFrame,
+    *,
+    k: int = 3,
+    type_column: str = "event_type",
+) -> DataFrame:
+    """Finish the windowed heavy-hitters monitor: exact top-``k``
+    categories per window by count (ties broken by category name, so
+    the cut is deterministic), over :func:`windowed_type_counts`
+    partials — batch finishing on the materialized sink table, exactly
+    like ``psi_vs_baseline`` (Structured Streaming forbids the chained
+    rank aggregation stream-side).
+
+    The rank window is PARTITIONED BY window — its frame is bounded by
+    the per-window observed-category cardinality, never data-sized.
+    Adds ``rk`` (1-based) and keeps rows with ``rk <= k``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc(type_column)
+    )
+    return (
+        type_counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -797,3 +797,29 @@ def test_js_divergence_matches_python_reference(spark):
     # quantization error: ≤0.5e-9 per term plus ≤0.5e-7·mass on the ln
     assert row.jsd_nats == pytest.approx(ref, abs=1e-6)
     assert row.n_common_values == 3
+
+
+def test_uncertainty_coefficient_determined_and_independent(spark):
+    from pyspark_playground_spark.operators.profiling import (
+        uncertainty_coefficient,
+    )
+
+    # X determines Y -> U = 1
+    det = spark.createDataFrame(
+        [("a", "en"), ("a", "en"), ("b", "de"), ("b", "de")], ["x", "y"]
+    )
+    row = uncertainty_coefficient(det, x_column="x", y_column="y").first()
+    assert row["theil_u_s"] == "1.000000"
+    assert row["n_rows"] == 4 and row["n_cells"] == 2
+
+    # independent (balanced 2x2) -> U = 0
+    ind = spark.createDataFrame(
+        [("a", "en"), ("a", "de"), ("b", "en"), ("b", "de")], ["x", "y"]
+    )
+    row = uncertainty_coefficient(ind, x_column="x", y_column="y").first()
+    assert row["theil_u_s"] == "0.000000"
+
+    # constant Y -> H(Y)=0 -> NULL
+    const = spark.createDataFrame([("a", "en"), ("b", "en")], ["x", "y"])
+    row = uncertainty_coefficient(const, x_column="x", y_column="y").first()
+    assert row["theil_u_s"] is None

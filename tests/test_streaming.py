@@ -966,3 +966,54 @@ def test_jsd_vs_baseline_identical_window_is_zero(spark):
     baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
     out = st.jsd_vs_baseline(parts, baseline, bins=4).collect()
     assert len(out) == 1 and out[0].jsd_nats == pytest.approx(0.0, abs=1e-9)
+
+
+def test_windowed_type_counts_stream_equals_batch_and_topk(spark, tmpdir):
+    """Heavy-hitters monitor: streaming type-count partials must agree
+    with the batch twin, and the top-k finish is exact with name
+    tie-breaks."""
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 1.0),
+        (3, datetime(2026, 5, 1, 10, 25), "click", 1.0),
+        (4, datetime(2026, 5, 1, 10, 35), "click", 1.0),
+        (5, datetime(2026, 5, 1, 10, 45), "purchase", 1.0),
+        (6, datetime(2026, 5, 1, 11, 10), "click", 1.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/hh_events"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    parts_batch = st.windowed_type_counts(batch)
+    expected = {
+        (r.window_start, r.event_type): r.n for r in parts_batch.collect()
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        st.windowed_type_counts(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("hh_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_hh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM hh_counts").collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # finish: 10:00 has view=2, click=2, purchase=1 -> tie view/click
+    # broken by name (click first); k=2 drops purchase
+    top = st.top_k_per_window(parts_batch, k=2).collect()
+    w10 = sorted(
+        (r.rk, r.event_type) for r in top
+        if r.window_start == datetime(2026, 5, 1, 10, 0)
+    )
+    assert w10 == [(1, "click"), (2, "view")]
+    w11 = [(r.rk, r.event_type) for r in top
+           if r.window_start == datetime(2026, 5, 1, 11, 0)]
+    assert w11 == [(1, "click")]
