@@ -1,0 +1,147 @@
+"""Survival analysis: user-lifetime extraction and the Kaplan-Meier
+product-limit estimator — the retention/churn view the cohort tables
+can't give (cohort retention answers "how many came back in week w";
+KM answers "what fraction of users SURVIVE past duration d" with
+right-censoring handled correctly: users still active at the corpus
+horizon are censored, not counted as churned).
+
+Beyond-reference surface (the reference engine has no survival layer).
+
+Cross-engine determinism: the survival curve is a cumulative PRODUCT of
+per-step factors ``(r_i - d_i) / r_i`` — a float fold whose rounding
+differs between engines. Instead the curve is computed as an INTEGER
+fixed-point recurrence on a 1e9 scale::
+
+    s_0 = 1_000_000_000
+    s_i = s_{i-1} * (r_i - d_i)  div  r_i      (integer floor division)
+
+Pure BIGINT arithmetic, bit-identical in any engine (DuckDB replays it
+with ``list_reduce`` + ``//``); the scaled value divides out to ~9
+significant digits, far below KM's statistical noise. Bound: the fold
+multiplies ``s <= 1e9`` by ``at_risk`` before dividing, so it is exact
+while ``at_risk < 9.2e9`` — more users than exist; at that point switch
+the fold to DECIMAL(38,0).
+
+Scale shape: one shuffle to the per-user frame; the step table is
+bounded by DISTINCT DURATION VALUES (whole hours between first and last
+event — value-cardinality-bounded like the KS drift frame, tens of
+thousands of rows for years of data), so collecting it into one row is
+model-sized by construction, never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale of the survival recurrence
+KM_SCALE = 1_000_000_000
+
+
+def user_lifetimes(
+    events: DataFrame,
+    *,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    churn_horizon_hours: int = 24,
+) -> DataFrame:
+    """Per-key observation spans for survival analysis: duration in
+    WHOLE HOURS between first and last event, and the right-censoring
+    flag — a key whose last event is within ``churn_horizon_hours`` of
+    the corpus horizon (global max timestamp) is CENSORED (``died = 0``,
+    still alive as far as the data can tell), otherwise it churned
+    (``died = 1``).
+
+    All time arithmetic runs on integer microsecond differences
+    (``unix_micros`` over a cast — the events table carries
+    TIMESTAMP_NTZ, and the session-tz offsets of the two casts cancel
+    in the subtraction), so duration and censoring are engine-exact
+    integers. One groupBy on the key plus the broadcast one-row horizon
+    frame.
+    """
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    horizon = events.agg(F.max(ts_column).alias("__h"))
+    per_key = events.groupBy(key_column).agg(
+        F.min(ts_column).alias("__first"), F.max(ts_column).alias("__last")
+    )
+    with_us = per_key.join(F.broadcast(horizon)).select(
+        key_column,
+        (us("__last") - us("__first")).alias("__span_us"),
+        (us("__h") - us("__last")).alias("__gap_us"),
+    )
+    # integer `div`, not a float division — a double quotient can round up
+    # across the hour boundary before the floor
+    return with_us.select(
+        key_column,
+        F.expr("__span_us div 3600000000").alias("duration_hours"),
+        (F.col("__gap_us") > F.lit(churn_horizon_hours * 3_600_000_000))
+        .cast("int")
+        .alias("died"),
+    )
+
+
+def kaplan_meier(
+    lifetimes: DataFrame,
+    *,
+    duration_column: str = "duration_hours",
+    died_column: str = "died",
+) -> DataFrame:
+    """Kaplan-Meier product-limit curve over a lifetime frame: one row
+    per duration WITH DEATHS, carrying ``deaths``, ``at_risk`` (keys
+    whose duration >= this one — censored keys leave the risk set after
+    their duration, which is the whole point of KM), and the survival
+    probability just after that duration, via the integer fixed-point
+    recurrence documented in the module header.
+
+    Plan: duration-level aggregation (map-side combined), then the
+    bounded step table collects into ONE row where suffix-sum
+    (``at_risk``) and the prefix fold (survival) run as array
+    expressions — quadratic in the step count, which is
+    value-cardinality-bounded, and zero extra shuffles. Censored-only
+    durations contribute to ``at_risk`` but fold as exact no-ops
+    (``s * r div r = s``) and are dropped from the output.
+    """
+    dd = lifetimes.groupBy(F.col(duration_column).alias("dur")).agg(
+        F.sum(F.col(died_column).cast("long")).alias("deaths"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    one = dd.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "deaths", "n"))).alias(
+            "arr"
+        )
+    )
+    enriched = one.select(
+        F.expr(
+            """
+            transform(arr, (x, i) -> struct(
+              x.dur AS dur,
+              x.deaths AS deaths,
+              aggregate(slice(arr, cast(i AS int) + 1, size(arr)),
+                        0L, (a, y) -> a + y.n) AS at_risk))
+            """
+        ).alias("arr2")
+    )
+    rows = enriched.select(
+        F.explode(
+            F.expr(
+                f"""
+                transform(arr2, (x, i) -> struct(
+                  x.dur AS duration,
+                  x.deaths AS deaths,
+                  x.at_risk AS at_risk,
+                  aggregate(slice(arr2, 1, cast(i AS int) + 1),
+                            {KM_SCALE}L,
+                            (s, y) -> s * (y.at_risk - y.deaths) div y.at_risk)
+                    AS surv_scaled))
+                """
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows.where(F.col("deaths") > 0).select(
+        "duration",
+        "deaths",
+        "at_risk",
+        F.format_string(
+            "%.9f", F.col("surv_scaled").cast("double") / F.lit(float(KM_SCALE))
+        ).alias("survival_s"),
+    )

@@ -10270,3 +10270,51 @@ def windowed_top_event_types(spark, sf_dir):
     e = load_events(spark, sf_dir)
     parts = stc.windowed_type_counts(e)
     return stc.top_k_per_window(parts, k=3)
+
+
+@query(
+    "kaplan_meier_user_survival",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS dur,
+             CAST((epoch_us(h.horizon) - epoch_us(max(ts)))
+                    > 24 * 3600000000 AS INT) AS died
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    dd AS (SELECT dur, sum(died) AS deaths, count(*) AS n FROM u GROUP BY dur),
+    d2 AS (
+      SELECT dur, deaths, sum(n) OVER (ORDER BY dur DESC) AS at_risk FROM dd
+    ),
+    cur AS (
+      SELECT d2.dur, d2.deaths, d2.at_risk,
+             list_reduce(
+               list_prepend([CAST(1000000000 AS BIGINT), CAST(1 AS BIGINT)],
+                 (SELECT list([d3.deaths, d3.at_risk] ORDER BY d3.dur)
+                  FROM d2 d3 WHERE d3.dur <= d2.dur)),
+               (acc, x) -> [acc[1] * (x[2] - x[1]) // x[2], x[2]]
+             )[1] AS s
+      FROM d2
+    )
+    SELECT dur AS duration, deaths, at_risk,
+           printf('%.9f', CAST(s AS DOUBLE) / 1e9) AS survival_s
+    FROM cur WHERE deaths > 0
+    """,
+)
+def kaplan_meier_user_survival(spark, sf_dir):
+    """Kaplan-Meier survival of user activity spans
+    (operators/survival.py): P(user lifetime > d hours) with
+    right-censoring — users whose last event is within 24 h of the
+    corpus horizon are censored, not counted as churned (the mistake
+    plain retention tables make). The cumulative product runs as an
+    INTEGER fixed-point recurrence (s*(r-d) div r on a 1e9 scale) so
+    both engines are bit-identical — no float fold, no transcendentals;
+    the oracle replays it with list_reduce + ``//``. One shuffle to the
+    per-user frame; the step table is value-cardinality-bounded."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(e, churn_horizon_hours=24)
+    return sv.kaplan_meier(lt)

@@ -1,0 +1,63 @@
+"""Kaplan-Meier survival operators (operators/survival.py), pinned on a
+hand-computed curve with censoring."""
+
+from datetime import datetime
+
+from pyspark_playground_spark.operators import survival as sv
+
+
+def test_kaplan_meier_hand_computed_curve(spark):
+    # durations (hours) and death flags; censored users leave the risk
+    # set after their duration without a survival step
+    lifetimes = spark.createDataFrame(
+        [
+            ("A", 1, 1),
+            ("B", 1, 0),  # censored at 1
+            ("C", 2, 1),
+            ("D", 3, 1),
+            ("E", 3, 0),  # censored at 3
+        ],
+        ["user_id", "duration_hours", "died"],
+    )
+    out = {r["duration"]: r for r in sv.kaplan_meier(lifetimes).collect()}
+    assert set(out) == {1, 2, 3}
+    # d=1: 1 death / 5 at risk -> 0.8
+    assert out[1]["deaths"] == 1 and out[1]["at_risk"] == 5
+    assert out[1]["survival_s"] == "0.800000000"
+    # d=2: 1/3 at risk (A dead, B censored) -> 0.8 * 2 div 3
+    assert out[2]["at_risk"] == 3
+    assert out[2]["survival_s"] == "0.533333333"
+    # d=3: 1/2 -> integer fold: 533333333 * 1 div 2 = 266666666
+    assert out[3]["at_risk"] == 2
+    assert out[3]["survival_s"] == "0.266666666"
+
+
+def test_kaplan_meier_censored_only_duration_is_noop(spark):
+    lifetimes = spark.createDataFrame(
+        [("A", 1, 1), ("B", 2, 0), ("C", 3, 1)],
+        ["user_id", "duration_hours", "died"],
+    )
+    out = {r["duration"]: r for r in sv.kaplan_meier(lifetimes).collect()}
+    # no output row for the censored-only duration 2 ...
+    assert set(out) == {1, 3}
+    # ... but B still counted at risk at d=1 and gone by d=3
+    assert out[1]["at_risk"] == 3
+    assert out[3]["at_risk"] == 1
+    assert out[1]["survival_s"] == "0.666666666"
+    assert out[3]["survival_s"] == "0.000000000"
+
+
+def test_user_lifetimes_duration_and_censoring(spark):
+    rows = [
+        (1, datetime(2026, 5, 1, 0, 0)),
+        (1, datetime(2026, 5, 1, 10, 30)),  # span 10.5h -> 10; gap 61.5h -> died
+        (2, datetime(2026, 5, 3, 12, 0)),
+        (2, datetime(2026, 5, 3, 13, 30)),  # gap 12h -> censored
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["user_id"]: r
+        for r in sv.user_lifetimes(events, churn_horizon_hours=24).collect()
+    }
+    assert out[1]["duration_hours"] == 10 and out[1]["died"] == 1
+    assert out[2]["duration_hours"] == 1 and out[2]["died"] == 0
