@@ -673,3 +673,59 @@ def kmeans_lloyd(
     return final.select(
         id_column, "cluster_id", F.round("__dist2", 6).alias("dist2_r6")
     )
+
+
+def prefix_energy_report(
+    df: DataFrame,
+    *,
+    vector_column: str = "embedding",
+    label_column: str = "label",
+    prefixes: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Per-label Matryoshka audit: the average fraction of each vector's
+    L2 energy carried by its first ``k`` dimensions, for each prefix
+    length — the measurement behind Matryoshka-representation truncation
+    ("can I store/search 16 of the 64 dims?"): for MRL-trained encoders
+    the prefix-energy fraction is high and flat across labels; for plain
+    encoders it is ~k/d, and a label whose fraction lags the rest will
+    degrade first under truncation.
+
+    Per-vector energies are sequential left-fold array expressions (the
+    cross-engine-pinned recipe every embedding entry uses); the
+    per-label MEAN quantizes each fraction to a 1e9-scaled BIGINT before
+    summing (float accumulation across rows is order-dependent; integer
+    sums are not). Zero-energy (dead) vectors are excluded — they have
+    no energy to attribute. One pass, one shuffle on the label.
+    """
+    v = F.transform(F.col(vector_column), lambda x: x.cast("double"))
+    tot = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    base = df.select(
+        F.col(label_column).alias("label"),
+        tot.alias("__tot"),
+        *[
+            F.aggregate(
+                F.slice(v, 1, k), F.lit(0.0), lambda a, x: a + x * x
+            ).alias(f"__p{k}")
+            for k in prefixes
+        ],
+    ).where(F.col("__tot") > 0)
+    quant = base.select(
+        "label",
+        *[
+            F.floor(
+                (F.col(f"__p{k}") / F.col("__tot")) * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(f"__q{k}")
+            for k in prefixes
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n_vecs")] + [
+        F.format_string(
+            "%.6f",
+            F.sum(f"__q{k}").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9)),
+        ).alias(f"energy_frac_{k}_s")
+        for k in prefixes
+    ]
+    return quant.groupBy("label").agg(*aggs)

@@ -1250,3 +1250,42 @@ def vocab_growth(
         "new_types",
         F.sum("new_types").over(w).alias("cum_types"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+) -> DataFrame:
+    """Flesch-reading-ease-style readability per document, from three
+    pure-regex counts (no dictionary, no Python): whitespace words,
+    sentence-ending punctuation runs (``[.!?]+``, floored at 1), and the
+    vowel-group syllable heuristic (``[aeiouy]+`` runs in lowercased
+    text — the standard cheap proxy; over-counts hiatus, under-counts
+    silent-e, stable enough to RANK documents by reading difficulty):
+
+    ``flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)``
+
+    The quality-scoring feature family's complexity axis (length ratios
+    say nothing about sentence structure). Zero-word documents yield a
+    NULL score. All-codegen projections, zero shuffles; the score is
+    rendered ``%.4f`` from exact integer counts with one fixed op
+    order, so both engines hash identically.
+    """
+    words = token_count_expr(text_column)
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_column), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(F.lower(F.col(text_column)), F.lit("[aeiouy]+"))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return df.select(
+        "*",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.when(words > 0, F.format_string("%.4f", score)).alias("flesch_s"),
+    )

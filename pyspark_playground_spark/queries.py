@@ -10318,3 +10318,79 @@ def kaplan_meier_user_survival(spark, sf_dir):
     e = load_events(spark, sf_dir)
     lt = sv.user_lifetimes(e, churn_horizon_hours=24)
     return sv.kaplan_meier(lt)
+
+
+@query(
+    "readability_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN printf('%.4f',
+             206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+           END AS flesch_s
+    FROM t
+    """,
+)
+def readability_documents(spark, sf_dir):
+    """Flesch-style readability per document (operators/text.py
+    readability_scores): words / sentence-punctuation runs / vowel-group
+    syllable heuristic folded into the standard reading-ease formula —
+    the sentence-structure complexity axis the length/punct quality
+    features can't see. Three regex counts, all-codegen projection,
+    zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.readability_scores(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_s"
+    )
+
+
+@query(
+    "prefix_energy_embeddings",
+    """
+    WITH t AS (
+      SELECT label,
+             list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       FOR x IN embedding]) AS tot,
+             list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       FOR x IN embedding[1:8]]) AS p8,
+             list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       FOR x IN embedding[1:16]]) AS p16,
+             list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       FOR x IN embedding[1:32]]) AS p32
+      FROM embeddings
+    ), q AS (
+      SELECT label,
+             CAST(floor(p8 / tot * 1e9 + 0.5) AS BIGINT) AS q8,
+             CAST(floor(p16 / tot * 1e9 + 0.5) AS BIGINT) AS q16,
+             CAST(floor(p32 / tot * 1e9 + 0.5) AS BIGINT) AS q32
+      FROM t WHERE tot > 0
+    )
+    SELECT label, count(*) AS n_vecs,
+           printf('%.6f', CAST(sum(q8) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e9)) AS energy_frac_8_s,
+           printf('%.6f', CAST(sum(q16) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e9)) AS energy_frac_16_s,
+           printf('%.6f', CAST(sum(q32) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e9)) AS energy_frac_32_s
+    FROM q GROUP BY label
+    """,
+)
+def prefix_energy_embeddings(spark, sf_dir):
+    """Per-label Matryoshka truncation audit (operators/similarity.py
+    prefix_energy_report): average fraction of L2 energy in the first
+    8/16/32 of 64 dims — whether prefix-truncated storage/search is
+    safe, and which label degrades first. Sequential-fold energies
+    (the pinned cross-engine recipe), per-label means over 1e9-scaled
+    BIGINT quantization (order-independent integer sums). One pass, one
+    label shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.prefix_energy_report(e, prefixes=(8, 16, 32))

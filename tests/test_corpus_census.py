@@ -70,3 +70,42 @@ def test_vocab_growth_trigram_short_docs(spark):
     # doc0: ["p q"]; doc1: ["p q r", "q r s"] -> 3 distinct types total
     assert sum(r["new_types"] for r in out) == 3
     assert max(r["cum_types"] for r in out) == 3
+
+
+def test_readability_hand_computed(spark):
+    from pyspark_playground_spark.operators import text as tx2
+
+    df = spark.createDataFrame(
+        [(0, "The cat sat. It ran!"), (1, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in tx2.readability_scores(df).collect()}
+    r = out[0]
+    # words=5, sentence runs = {". ", "!"} -> 2, vowel groups:
+    # e,a,a,i,a -> 5
+    assert r["n_words"] == 5 and r["n_sentences"] == 2
+    assert r["n_syllables"] == 5
+    expected = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert r["flesch_s"] == f"{expected:.4f}"
+    # empty doc: zero words -> NULL score, sentences floored at 1
+    assert out[1]["n_words"] == 0 and out[1]["flesch_s"] is None
+    assert out[1]["n_sentences"] == 1
+
+
+def test_prefix_energy_report(spark):
+    from pyspark_playground_spark.operators import similarity as sim2
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),   # prefix-2 energy = 0.5
+        (0, [2.0, 0.0, 0.0, 0.0]),   # prefix-2 energy = 1.0
+        (1, [0.0, 0.0, 0.0, 0.0]),   # dead vector -> excluded
+        (1, [0.0, 0.0, 3.0, 0.0]),   # prefix-2 energy = 0.0
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {
+        r["label"]: r
+        for r in sim2.prefix_energy_report(df, prefixes=(2,)).collect()
+    }
+    assert out[0]["n_vecs"] == 2
+    assert out[0]["energy_frac_2_s"] == "0.750000"
+    assert out[1]["n_vecs"] == 1
+    assert out[1]["energy_frac_2_s"] == "0.000000"
