@@ -406,8 +406,58 @@ def _stage_agreement_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_privacy_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Re-identification gate: refuse to ship the corpus when more than
+    ``params.max_rows_below_k`` rows sit in quasi-identifier classes
+    smaller than ``params.k`` (``params.quasi_identifiers`` — column
+    names or SQL expressions). The k-anonymity release check as a
+    pipeline stage (operators/privacy.py k_anonymity_summary); a
+    too-small class means an attacker who knows those attributes can
+    narrow a record below k candidates. Pass-through on success."""
+    from pyspark_playground_spark.operators.privacy import (
+        k_anonymity_summary,
+    )
+
+    p = dict(spec.get("params", {}))
+    qis = [F.expr(q) for q in p["quasi_identifiers"]]
+    k = int(p.get("k", 5))
+    max_below = int(p.get("max_rows_below_k", 0))
+    row = k_anonymity_summary(df, qis, k=k).collect()[0]
+    if row["rows_below_k"] > max_below:
+        raise ValueError(
+            f"privacy_gate: {row['rows_below_k']} rows in "
+            f"quasi-identifier classes below k={k} "
+            f"(allowed {max_below}; min class size "
+            f"{row['min_class_size']}, worst re-identification risk "
+            f"{row['max_reident_risk_s']})"
+        )
+    return df
+
+
+def _stage_interleave(df: DataFrame, spec: dict) -> DataFrame:
+    """Mixture-serialization stage: deterministic round-robin interleave
+    across ``params.group_column`` (sampling.interleave_by_group) —
+    adds ``rank_in_group`` and the closed-form ``global_pos`` so the
+    written corpus has a reproducible training order where consecutive
+    batches see every source. Typically placed between ``rebalance``
+    and ``shard`` (shard on ``global_pos`` instead of the id to get
+    byte-balanced AND mixture-balanced shards)."""
+    from pyspark_playground_spark.operators.sampling import (
+        interleave_by_group,
+    )
+
+    p = dict(spec.get("params", {}))
+    return interleave_by_group(
+        df,
+        group_column=p.get("group_column", "source"),
+        order_column=p.get("order_column", "doc_id"),
+    )
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "score_gate": _stage_score_gate,
+    "privacy_gate": _stage_privacy_gate,
+    "interleave": _stage_interleave,
     "divergence_gate": _stage_divergence_gate,
     "agreement_gate": _stage_agreement_gate,
     "shard": _stage_shard,

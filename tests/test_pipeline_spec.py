@@ -329,3 +329,34 @@ def test_agreement_gate_passes_and_refuses(spark):
                          "params": {"a_column": "gold", "b_column": "pred",
                                     "min_kappa": 0.95}}]},
         )
+
+
+def test_privacy_gate_passes_and_refuses(spark):
+    rows = [(i, "a", "20s") for i in range(6)] + [(99, "b", "30s")]
+    df = spark.createDataFrame(rows, "doc_id int, zip string, age string")
+    # allow the one singleton class -> passes through unchanged
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "privacy_gate",
+                     "params": {"quasi_identifiers": ["zip", "age"],
+                                "k": 2, "max_rows_below_k": 1}}]},
+    )
+    assert out.count() == 7 and out.columns == df.columns
+    # zero tolerance refuses
+    with pytest.raises(ValueError, match="privacy_gate"):
+        pl.run_pipeline(
+            df,
+            {"stages": [{"op": "privacy_gate",
+                         "params": {"quasi_identifiers": ["zip", "age"],
+                                    "k": 2, "max_rows_below_k": 0}}]},
+        )
+
+
+def test_interleave_stage_assigns_round_robin_positions(spark):
+    rows = [(i, "t", ["a", "b"][i % 2]) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = pl.run_pipeline(
+        df, {"stages": [{"op": "interleave", "params": {}}]}
+    ).collect()
+    by_pos = {r["global_pos"]: r["source"] for r in out}
+    assert [by_pos[p] for p in range(6)] == ["a", "b", "a", "b", "a", "b"]
