@@ -91,6 +91,14 @@ HEADLINE = [
     "kappa_langid_agreement_documents", "jsd_source_matrix_documents",
     "kmeans_lloyd_embeddings", "ngram_novelty_sources_documents",
     "windowed_jsd_events",
+    # round-4 session-7 additions
+    "k_anonymity_customers", "k_anonymity_gate_customers",
+    "l_diversity_orders", "lang_corpus_stats_documents",
+    "vocab_growth_documents", "label_propagation_documents",
+    "shard_source_diversity_documents", "interleave_sources_documents",
+    "gini_doc_lengths", "uncertainty_coefficient_lang_source",
+    "windowed_top_event_types", "kaplan_meier_user_survival",
+    "readability_documents", "prefix_energy_embeddings",
 ]
 
 

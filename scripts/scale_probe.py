@@ -594,6 +594,91 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("ngram_novelty", n_docs, novelty)
 
+    # 35. label propagation (2 rounds) on the 500k-node hash graph: per
+    #     round one dst-keyed join + one (node,label) count + a per-node
+    #     argmax window — every frame keyed on the node
+    def lpa():
+        gr.label_propagation(edges, iterations=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("label_propagation_2iter_5m_edges", n_edges, lpa)
+
+    # 36. per-language corpus census + trigram vocab growth: token-TYPE
+    #     space aggregations — the census collapses before any join, so
+    #     rows/sec must hold as the corpus (not the vocabulary) grows
+    def lang_census():
+        txo.lang_corpus_stats(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("lang_corpus_stats", n_docs, lang_census)
+
+    def vgrowth():
+        txo.vocab_growth(docs, buckets=10, n=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("vocab_growth_trigram", n_docs, vgrowth)
+
+    # 37. closed-form interleave: one per-source rank window + an
+    #     O(sources) collected size table folded into codegen — no
+    #     global sort anywhere
+    from pyspark_playground_spark.operators import sampling as smo
+
+    def interleave():
+        smo.interleave_by_group(
+            docs.select("doc_id", "source"),
+            group_column="source", order_column="doc_id",
+        ).write.format("noop").mode("overwrite").save()
+    timed("interleave_by_group", n_docs, interleave)
+
+    # 38. exact Gini of doc lengths: distributed rank + one broadcast
+    #     totals frame — same envelope as distributed_rank
+    def gini():
+        pfo.gini_coefficient(
+            docs, value_column="n_chars", id_column="doc_id"
+        ).write.format("noop").mode("overwrite").save()
+    timed("gini_doc_lengths", n_docs, gini)
+
+    # 39. Kaplan-Meier over the replicated events: per-user agg then the
+    #     value-cardinality-bounded step fold
+    from pyspark_playground_spark.operators import survival as svo
+
+    def km():
+        svo.kaplan_meier(
+            svo.user_lifetimes(ev_rep, churn_horizon_hours=24)
+        ).write.format("noop").mode("overwrite").save()
+    timed("kaplan_meier", n_evr, km)
+
+    # 40. k-anonymity census over replicated customers: one QI groupBy
+    from pyspark_playground_spark.operators import privacy as pvo
+
+    custx = spark.read.parquet(f"{WORK}/customer.parquet")
+    n_custx = custx.count()
+
+    def kanon():
+        pvo.k_anonymity_census(
+            custx,
+            [F.col("c_nationkey"), F.col("c_mktsegment"),
+             F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("band")],
+            k=5,
+        ).write.format("noop").mode("overwrite").save()
+    timed("k_anonymity_census", n_custx, kanon)
+
+    # 41. Matryoshka prefix-energy report over replicated embeddings:
+    #     per-vector folds + one label shuffle of quantized BIGINTs
+    def prefix_energy():
+        sim.prefix_energy_report(
+            embx, prefixes=(8, 16, 32)
+        ).write.format("noop").mode("overwrite").save()
+    timed("prefix_energy_report", n_embx, prefix_energy)
+
+    # 42. windowed heavy hitters over replicated events: one windowed
+    #     count + the per-window bounded rank finish
+    def hh_win():
+        stc.top_k_per_window(
+            stc.windowed_type_counts(ev_rep), k=3
+        ).write.format("noop").mode("overwrite").save()
+    timed("windowed_top_types", n_evr, hh_win)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
