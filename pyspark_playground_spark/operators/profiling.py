@@ -1822,3 +1822,44 @@ def uncertainty_coefficient(
         "n_rows",
         "n_cells",
     )
+
+
+def functional_dependencies(
+    df: DataFrame,
+    candidates: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency census over candidate column pairs: for
+    each ``(a, b)``, does ``a -> b`` hold (every ``a`` value maps to
+    exactly one non-null ``b``), and if not, how badly — the
+    schema-discovery / data-contract audit ("is order key really a key
+    for customer? did the enum column silently become per-row?").
+
+    Per candidate: one map-side-combined groupBy on ``a`` with an exact
+    ``count_distinct(b)``, folded to a one-row summary; candidates run
+    as a union of independent branches, each a pruned two-column scan.
+    NULL ``a`` rows are excluded (a dependency is defined over present
+    determinant values); NULL ``b`` values don't count as a distinct
+    image. Returns one row per candidate:
+    ``fd, n_groups, violating_groups, max_images, holds``.
+    """
+    parts = []
+    for a, b in candidates:
+        g = (
+            df.where(F.col(a).isNotNull())
+            .groupBy(F.col(a))
+            .agg(F.count_distinct(F.col(b)).alias("__nb"))
+        )
+        parts.append(
+            g.agg(
+                F.lit(f"{a}->{b}").alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("__nb") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.max("__nb").alias("max_images"),
+            ).withColumn("holds", F.col("violating_groups") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

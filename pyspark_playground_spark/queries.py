@@ -10394,3 +10394,58 @@ def prefix_energy_embeddings(spark, sf_dir):
     label shuffle."""
     e = load(spark, sf_dir, "embeddings")
     return sim.prefix_energy_report(e, prefixes=(8, 16, 32))
+
+
+@query(
+    "functional_dependencies_orders",
+    """
+    WITH c1 AS (
+      SELECT o_orderkey AS a, count(DISTINCT o_custkey) AS nb
+      FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey
+    ), c2 AS (
+      SELECT o_custkey AS a, count(DISTINCT o_orderstatus) AS nb
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    ), c3 AS (
+      SELECT CAST(o_orderdate AS VARCHAR) AS a,
+             count(DISTINCT o_orderpriority) AS nb
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
+    )
+    SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS violating_groups,
+           max(nb) AS max_images,
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM c1
+    UNION ALL
+    SELECT 'o_custkey->o_orderstatus', count(*),
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), max(nb),
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
+    FROM c2
+    UNION ALL
+    SELECT 'o_orderdate->o_orderpriority', count(*),
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), max(nb),
+           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
+    FROM c3
+    """,
+)
+def functional_dependencies_orders(spark, sf_dir):
+    """Functional-dependency census (operators/profiling.py
+    functional_dependencies): does each candidate determinant still
+    determine its image column — the data-contract audit that catches a
+    key column silently going non-unique or an enum becoming per-row.
+    o_orderkey->o_custkey must HOLD (orderkey is the key);
+    custkey->status and orderdate->priority are measured violations.
+    One pruned two-column groupBy per candidate, unioned one-row
+    summaries."""
+    from pyspark_playground_spark.operators.profiling import (
+        functional_dependencies,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return functional_dependencies(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderdate", "o_orderpriority"),
+        ],
+    )

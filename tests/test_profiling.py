@@ -823,3 +823,27 @@ def test_uncertainty_coefficient_determined_and_independent(spark):
     const = spark.createDataFrame([("a", "en"), ("b", "en")], ["x", "y"])
     row = uncertainty_coefficient(const, x_column="x", y_column="y").first()
     assert row["theil_u_s"] is None
+
+
+def test_functional_dependencies_census(spark):
+    from pyspark_playground_spark.operators.profiling import (
+        functional_dependencies,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (1, "a", "y"),   # k->v1 holds; k->v2 violated for k=1
+            (2, "b", "z"),
+            (None, "c", "w"),  # NULL determinant excluded
+        ],
+        ["k", "v1", "v2"],
+    )
+    out = {r["fd"]: r for r in functional_dependencies(
+        df, [("k", "v1"), ("k", "v2")]
+    ).collect()}
+    assert out["k->v1"]["holds"] is True
+    assert out["k->v1"]["n_groups"] == 2
+    assert out["k->v2"]["holds"] is False
+    assert out["k->v2"]["violating_groups"] == 1
+    assert out["k->v2"]["max_images"] == 2
