@@ -99,6 +99,7 @@ HEADLINE = [
     "gini_doc_lengths", "uncertainty_coefficient_lang_source",
     "windowed_top_event_types", "kaplan_meier_user_survival",
     "readability_documents", "prefix_energy_embeddings",
+    "functional_dependencies_orders",
 ]
 
 

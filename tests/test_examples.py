@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.mixture_design_pipeline",
         "examples.quality_classifier_pipeline",
         "examples.declarative_corpus_pipeline",
+        "examples.release_gate_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
