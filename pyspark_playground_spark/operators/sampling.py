@@ -426,7 +426,11 @@ def interleave_by_group(
 
     Returns ``group, order, rank_in_group (1-based), global_pos
     (0-based)`` plus the input's other columns. NULL group/order rows
-    are excluded (no deterministic position exists for them).
+    are excluded (no deterministic position exists for them), and
+    ``order_column`` must be UNIQUE within each group — a duplicate
+    order value leaves ``row_number`` free to tiebreak arbitrarily,
+    which silently breaks reproducibility; pass the doc id or a
+    ``distributed_rank`` output, not a score with ties.
     """
     from pyspark.sql import Window
 
