@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Process-parallel test-suite runner (pytest-xdist shape, zero installs).
+
+The suite's wall time is ~3000 small Spark actions x 0.2-0.5 s fixed job
+overhead in ONE process (see SCALE.md "test-suite wall time vs box
+noise") — the structural fix is process parallelism, which this script
+provides without any package: test MODULES are split round-robin by
+on-disk size (a decent duration proxy) across N pytest processes, each
+with its own session-scoped SparkSession (own tmpfs warehouse, own UI
+port — nothing shared, so no Derby locks and no port fights).
+
+Usage: python scripts/run_suite_sharded.py [n_shards]   (default 4)
+
+Exit code is non-zero if any shard fails; per-shard tails are printed so
+a red shard's failure is visible without hunting through log files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    files = sorted(
+        glob.glob(os.path.join(REPO, "tests", "test_*.py")),
+        key=lambda p: -os.path.getsize(p),
+    )
+    shards: list[list[str]] = [[] for _ in range(n)]
+    loads = [0] * n
+    for f in files:  # greedy longest-processing-time assignment
+        i = loads.index(min(loads))
+        shards[i].append(f)
+        loads[i] += os.path.getsize(f)
+
+    t0 = time.time()
+    procs = []
+    for i, shard in enumerate(shards):
+        if not shard:
+            continue
+        log = f"/tmp/pytest_shard_{i}.log"
+        env = dict(os.environ)
+        # 4 local cores per shard: n=4 shards x 4 cores fills a 16-32 CPU
+        # box without oversubscribing any single Spark session
+        env.setdefault("SPARK_GRAFT_TEST_CORES", "4")
+        procs.append(
+            (
+                i,
+                log,
+                subprocess.Popen(
+                    [sys.executable, "-m", "pytest", "-q", *shard],
+                    cwd=REPO,
+                    stdout=open(log, "w"),
+                    stderr=subprocess.STDOUT,
+                    env=env,
+                ),
+            )
+        )
+    rc = 0
+    for i, log, p in procs:
+        code = p.wait()
+        tail = ""
+        try:
+            with open(log) as fh:
+                tail = fh.readlines()[-1].strip()
+        except OSError:
+            pass
+        print(f"shard {i}: exit {code} — {tail}")
+        if code != 0:
+            rc = 1
+            with open(log) as fh:
+                print("".join(fh.readlines()[-40:]))
+    print(f"total wall: {time.time() - t0:.1f}s across {len(procs)} shards")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
