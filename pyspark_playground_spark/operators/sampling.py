@@ -453,3 +453,123 @@ def interleave_by_group(
             (F.lit(name) < g) & (F.lit(size) >= r), 1
         ).otherwise(0)
     return ranked.withColumn("global_pos", pos.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_condition: Column,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    buckets: int = 4096,
+    logw_decimals: int = 7,
+) -> DataFrame:
+    """Per-document DSIR importance weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit
+    hashed-unigram bag-of-words models on the TARGET slice (rows where
+    ``target_condition`` holds) and on the RAW pool (all rows), then
+    score every document by ``log p_target(doc) - log p_raw(doc)`` —
+    documents that look like the target domain get high weights.
+
+    Features are md5-hashed token buckets (``hash_bucket_expr``, engine-
+    portable) with add-1 smoothing over the ``buckets``-sized feature
+    space, so unseen-in-target buckets are defined and the two models
+    share a domain.
+
+    Cross-engine determinism: the per-bucket log-ratio is rounded to
+    ``logw_decimals`` and summed per document in exact DECIMAL — order-
+    independent, same recipe as ``text.unigram_logprob_scores``.
+
+    Shuffle census at 100 TB: one explode → groupBy on the bucket id
+    (partial aggregation into a BOUNDED ``buckets``-row table), totals as
+    a broadcast one-row fold, the bucket-model join BROADCAST back onto
+    the token stream (the model is ``buckets`` rows — never a shuffle),
+    and the final per-doc groupBy. No global sort, no driver collect.
+
+    Returns ``id_column, n_tokens, log_weight`` (DECIMAL sum; divide by
+    ``n_tokens`` for a length-normalized score).
+    """
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    toks = df.select(
+        F.col(id_column),
+        target_condition.alias("__is_target"),
+        F.explode(tokens_expr(text_column)).alias("term"),
+    ).withColumn("__bucket", hash_bucket_expr([F.col("term")], buckets))
+    counts = toks.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__raw_cnt"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("__raw_cnt").alias("__raw_total"),
+        F.sum("__tgt_cnt").alias("__tgt_total"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "__bucket",
+        F.round(
+            F.log(
+                (F.col("__tgt_cnt") + 1).cast("double")
+                / (F.col("__tgt_total") + buckets).cast("double")
+            )
+            - F.log(
+                (F.col("__raw_cnt") + 1).cast("double")
+                / (F.col("__raw_total") + buckets).cast("double")
+            ),
+            logw_decimals,
+        )
+        .cast("decimal(28,9)")
+        .alias("__logw"),
+    )
+    return (
+        toks.join(F.broadcast(model), "__bucket")
+        .groupBy(id_column)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__logw").alias("log_weight"),
+        )
+    )
+
+
+def dsir_gumbel_select(
+    weights: DataFrame,
+    *,
+    k: int,
+    id_column: str = "doc_id",
+    weight_column: str = "log_weight",
+    noise_decimals: int = 7,
+) -> DataFrame:
+    """DSIR's resampling step as a deterministic Gumbel-top-k: sampling k
+    documents WITHOUT replacement proportionally to ``exp(log_weight)``
+    is exactly "take the top k by ``log_weight + Gumbel noise``"
+    (Efraimidis-Spirakis / Gumbel-max). The noise is content-addressed
+    instead of RNG: ``u = (h32 + 0.5) / 2^32`` from the md5 of the id —
+    the same document draws the same noise on every engine and rerun, so
+    the selected set is reproducible (the property RNG sampling loses).
+
+    The perturbed key is the DECIMAL weight plus ``-ln(-ln u)`` rounded
+    to ``noise_decimals`` — exact, order-independent arithmetic.
+
+    Plan shape: ``orderBy(...).limit(k)`` = TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on one reducer; never a
+    global sort.
+    """
+    h32 = F.conv(
+        F.substring(F.md5(F.col(id_column).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h32.cast("double") + 0.5) / F.lit(float(2**32))
+    gumbel = F.round(-F.log(-F.log(u)), noise_decimals).cast("decimal(28,9)")
+    # re-narrow the (sum-widened) weight so the addition stays inside
+    # precision 38 — otherwise Spark's precision-loss rule silently drops
+    # the scale to 8 and the rendered value diverges across engines
+    perturbed = (
+        F.col(weight_column).cast("decimal(28,9)") + gumbel
+    ).alias("perturbed_weight")
+    return (
+        weights.select("*", perturbed)
+        .orderBy(F.col("perturbed_weight").desc(), F.col(id_column))
+        .limit(k)
+    )

@@ -10449,3 +10449,87 @@ def functional_dependencies_orders(spark, sf_dir):
             ("o_orderdate", "o_orderpriority"),
         ],
     )
+
+
+#: DuckDB mirror of sampling.hash_bucket_expr over a TERM (4096 buckets)
+_TERM_BUCKET = ("CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)"
+                " % 4096 AS INT)")
+
+#: DuckDB mirror of dsir_importance_weights(target = lang='en', B=4096):
+#: bounded 4096-row bucket model, add-1 smoothing, log-ratio rounded to
+#: 7 decimals and summed in exact DECIMAL per document.
+_DSIR_WEIGHTS = f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_target, unnest({_TOKS}) AS term
+      FROM documents
+    ), buck AS (
+      SELECT doc_id, is_target, {_TERM_BUCKET} AS bucket FROM toks
+    ), cnt AS (
+      SELECT bucket, count(*) AS raw_cnt,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM buck GROUP BY bucket
+    ), tot AS (
+      SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM cnt
+    ), model AS (
+      SELECT bucket,
+             CAST(round(
+               ln(CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_total + 4096 AS DOUBLE))
+               - ln(CAST(raw_cnt + 1 AS DOUBLE) / CAST(raw_total + 4096 AS DOUBLE)),
+               7) AS DECIMAL(28,9)) AS logw
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(logw) AS VARCHAR) AS log_weight_s
+    FROM buck JOIN model USING (bucket)
+    GROUP BY doc_id
+"""
+
+
+@query("dsir_weights_documents", _DSIR_WEIGHTS)
+def dsir_weights_documents(spark, sf_dir):
+    """DSIR importance weights (operators/sampling.py
+    dsir_importance_weights; Xie et al. 2023): hashed-unigram
+    bag-of-words models for the target slice (lang='en') and the raw
+    pool, per-doc score = log p_target - log p_raw. The bucket model is
+    a BOUNDED 4096-row table broadcast back onto the token stream — the
+    only shuffles are the bucket census and the per-doc groupBy.
+    Rendered as the exact DECIMAL sum (same determinism recipe as the
+    unigram-LM entry)."""
+    docs = load(spark, sf_dir, "documents")
+    out = sp.dsir_importance_weights(docs, F.col("lang") == "en")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("log_weight").cast("string").alias("log_weight_s"),
+    )
+
+
+@query(
+    "dsir_select_documents",
+    f"""
+    WITH w AS ({_DSIR_WEIGHTS}),
+    g AS (
+      SELECT doc_id, n_tokens,
+             CAST(log_weight_s AS DECIMAL(28,9))
+             + CAST(round(-ln(-ln(
+                 (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)),
+               7) AS DECIMAL(28,9)) AS perturbed
+      FROM w
+    )
+    SELECT doc_id, CAST(perturbed AS VARCHAR) AS perturbed_weight_s
+    FROM g ORDER BY perturbed DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_select_documents(spark, sf_dir):
+    """DSIR resampling step (operators/sampling.py dsir_gumbel_select):
+    k=100 without-replacement sample proportional to exp(log_weight) via
+    Gumbel-top-k, with CONTENT-ADDRESSED noise (u derived from md5 of
+    doc_id) so the selected set is reproducible across engines and
+    reruns. Plan shape: TakeOrderedAndProject (per-partition top-k, k-row
+    merge) — never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = sp.dsir_importance_weights(docs, F.col("lang") == "en")
+    out = sp.dsir_gumbel_select(w, k=100)
+    return out.select(
+        "doc_id", F.col("perturbed_weight").cast("string").alias("perturbed_weight_s")
+    )

@@ -226,3 +226,55 @@ def test_rank_normalize_wide_group_no_overflow(spark):
     out = sp.rank_normalize(df, group_column="g", value_column="v")
     rows = out.orderBy("doc_id").collect()
     assert rows[0]["pct_ppm"] == 0 and rows[-1]["pct_ppm"] == 1_000_000
+
+
+def test_dsir_weights_favor_target_like_documents(spark):
+    # target slice speaks "alpha beta"; the pool also contains "gamma
+    # delta" documents — DSIR must score alpha/beta docs higher
+    rows = (
+        [(i, "alpha beta alpha beta", "tgt") for i in range(20)]
+        + [(i + 20, "gamma delta gamma delta", "bg") for i in range(20)]
+        + [(40, "alpha beta alpha beta", "bg"), (41, "gamma delta", "tgt")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    w = sp.dsir_importance_weights(
+        df, F.col("grp") == "tgt", id_column="doc_id", buckets=256
+    )
+    got = {r["doc_id"]: float(r["log_weight"]) for r in w.collect()}
+    # the bg doc that LOOKS like the target outranks every true-bg doc
+    assert got[40] > got[20]
+    # a target-slice doc speaking bg language scores like bg docs do
+    assert got[41] < got[0]
+    # repartitioning must not change a single weight (decimal determinism)
+    w2 = sp.dsir_importance_weights(
+        df.repartition(7), F.col("grp") == "tgt", id_column="doc_id", buckets=256
+    )
+    assert {r["doc_id"]: float(r["log_weight"]) for r in w2.collect()} == got
+
+
+def test_dsir_gumbel_select_is_reproducible_topk(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 3 == 0 else "gamma delta", i % 3 == 0)
+         for i in range(60)],
+        "doc_id long, text string, is_t boolean",
+    )
+    w = sp.dsir_importance_weights(df, F.col("is_t"), buckets=128)
+    pick1 = [r["doc_id"] for r in sp.dsir_gumbel_select(w, k=10).collect()]
+    pick2 = [r["doc_id"] for r in sp.dsir_gumbel_select(
+        w.repartition(5), k=10).collect()]
+    assert pick1 == pick2 and len(pick1) == 10
+    # plan guard: top-k is TakeOrdered, never a global sort
+    plan = sp.dsir_gumbel_select(w, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma", i % 2 == 0) for i in range(50)],
+        "doc_id long, text string, is_t boolean",
+    )
+    w = sp.dsir_importance_weights(df, F.col("is_t"), buckets=64)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    # the bounded bucket model must ride a broadcast join back onto the
+    # token stream — a shuffle join here would re-shuffle the whole corpus
+    assert "BroadcastHashJoin" in plan
