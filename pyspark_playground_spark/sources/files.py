@@ -10,6 +10,7 @@ per batch — drifting inference breaks hash parity).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FORMATS = ("parquet", "orc", "csv", "json")
@@ -281,3 +282,60 @@ def write_atomic(
     if _os.path.exists(old):
         shutil.rmtree(old, ignore_errors=True)
     return stage
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+    max_bytes: int | None = None,
+    media_type: str = "application/octet-stream",
+    with_checksum: bool = False,
+) -> DataFrame:
+    """Ingest raw media files (images/audio/video) as opaque binary rows —
+    the entry point that feeds ``operators/multimodal.py``.
+
+    Uses Spark's ``binaryFile`` source: each file becomes one row of
+    ``(path, modification_time, n_bytes, content)`` plus the
+    ``media_meta`` struct the multimodal operators expect
+    (``MEDIA_META_SCHEMA``: media_type, n_bytes, checksum). The listing
+    and the read are both distributed; ``glob`` maps to
+    ``pathGlobFilter`` (e.g. ``"*.png"``) and ``recursive`` to
+    ``recursiveFileLookup``, so a 100 TB image store partitions by file
+    without any driver-side listing loop.
+
+    ``max_bytes`` guards the pipeline against pathological files: larger
+    payloads are dropped BEFORE decode via the length column Spark reads
+    from file metadata — the filter prunes on file size without touching
+    content. The md5 checksum is only computed when
+    ``with_checksum=True``: it is a full pass over every payload byte, a
+    cost a metadata-only pipeline should not pay (the column holds ``""``
+    otherwise, keeping the ``MEDIA_META_SCHEMA`` contract non-null).
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path).select(
+        F.col("path"),
+        F.col("modificationTime").alias("modification_time"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )
+    if max_bytes is not None:
+        df = df.filter(F.col("n_bytes") <= max_bytes)
+    checksum = (
+        F.md5(F.col("content")) if with_checksum else F.lit("")
+    )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.col("n_bytes").alias("n_bytes"),
+            checksum.alias("checksum"),
+        ),
+    )

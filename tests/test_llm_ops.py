@@ -958,3 +958,32 @@ def test_grouped_token_budget_matches_per_group_prefix(spark):
             if cum <= 100:
                 ref[i] = cum
     assert got == ref and 0 < len(ref) < len(rows)
+
+
+def test_read_media_files_binary_ingestion(spark, tmp_path):
+    from pyspark_playground_spark.sources.files import read_media_files
+
+    d = tmp_path / "imgs"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.png").write_bytes(b"\x89PNG" + b"x" * 100)
+    (d / "sub" / "b.png").write_bytes(b"\x89PNG" + b"y" * 5000)
+    (d / "c.txt").write_bytes(b"not an image")
+
+    out = read_media_files(
+        spark, str(d), glob="*.png", media_type="image/png", with_checksum=True
+    )
+    rows = {r["path"].split("/")[-1]: r for r in out.collect()}
+    # glob filters the txt; recursive lookup finds the nested file
+    assert set(rows) == {"a.png", "b.png"}
+    assert rows["a.png"]["n_bytes"] == 104
+    assert bytes(rows["b.png"]["content"])[:4] == b"\x89PNG"
+    meta = rows["a.png"]["media_meta"]
+    assert meta["media_type"] == "image/png" and meta["checksum"] != ""
+
+    # size guard prunes on file-metadata length, before any content read
+    small = read_media_files(spark, str(d), glob="*.png", max_bytes=1000)
+    assert [r["path"].split("/")[-1] for r in small.collect()] == ["a.png"]
+
+    # the ingested frame feeds the multimodal operators directly
+    decoded = mm.fake_decode_image(small.select("path", "content"))
+    assert decoded.count() == 1
