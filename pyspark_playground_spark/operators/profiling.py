@@ -383,12 +383,17 @@ def equal_width_bin(
     v = value.cast("double")
     low = lo.cast("double")
     high = hi.cast("double")
-    idx = F.least(
-        F.lit(bins - 1),
-        F.floor((v - low) * bins / (high - low)).cast("int"),
-    )
+    # clamps run in the DOUBLE domain, BEFORE floor and the int cast: a
+    # far-out-of-range live value (streaming monitors keep FIXED [lo,hi])
+    # would otherwise overflow the cast — an ANSI-mode raise on one
+    # outlier row, or a silent wrap to a negative int that clamp_low then
+    # pins to bin 0, counting a huge HIGH outlier in the LOWEST bin.
+    # least/greatest commute with floor, so in-domain binning is
+    # unchanged and the engine mirrors stay value-identical.
+    raw = F.least(F.lit(float(bins - 1)), (v - low) * bins / (high - low))
     if clamp_low:
-        idx = F.greatest(F.lit(0), idx)
+        raw = F.greatest(F.lit(0.0), raw)
+    idx = F.floor(raw).cast("int")
     return F.when(high == low, F.lit(0)).otherwise(idx)
 
 
@@ -535,9 +540,18 @@ def drift_psi(
     pb = (F.col("__cb") + 1).cast("double") / (
         F.col("__nb") + F.col("__nbins")
     ).cast("double")
-    ratio = ((F.col("__ca") + 1) * (F.col("__nb") + F.col("__nbins"))).cast(
-        "double"
-    ) / ((F.col("__cb") + 1) * (F.col("__na") + F.col("__nbins"))).cast("double")
+    # cross products in DECIMAL(38,0) — same int64-overflow guard as
+    # drift_ks: ca·(nb+nbins) wraps past ~3e9-row cohorts (non-ANSI) or
+    # raises ARITHMETIC_OVERFLOW (ANSI); the double division at the end
+    # is identical for in-range values (exact product, correctly-rounded
+    # cast), so engine mirrors are unchanged
+    ratio = (
+        (F.col("__ca") + 1).cast("decimal(38,0)")
+        * (F.col("__nb") + F.col("__nbins"))
+    ).cast("double") / (
+        (F.col("__cb") + 1).cast("decimal(38,0)")
+        * (F.col("__na") + F.col("__nbins"))
+    ).cast("double")
     ln_r = F.round(F.log(ratio), ln_decimals)
     term = F.round((pa - pb) * ln_r, 9).cast("decimal(28,10)")
     return (
@@ -669,13 +683,32 @@ def mutual_information(
 
     Returns one row ``(mi_nats, n_rows, n_cells)``.
     """
+    _gy, _n, joined, term = _mi_cell_frame(df, x_column, y_column, ln_decimals)
+    return (
+        joined.groupBy("__n", "__cells")
+        .agg(F.sum(term).alias("__mi"))
+        .select(
+            F.col("__mi").cast("double").alias("mi_nats"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("__cells").cast("long").alias("n_cells"),
+        )
+    )
+
+
+def _mi_cell_frame(df, x_column, y_column, ln_decimals):
+    """Shared cell-frame spine of :func:`mutual_information` and
+    :func:`uncertainty_coefficient`: NULL-filtered joint counts
+    (persisted — the |X|·|Y|-bounded cell frame feeds three consumers:
+    marginal x, marginal y, totals — without it each reuse re-scans the
+    full input through its own lineage copy), marginals and totals over
+    the cell frame, and the rounded-ln exact-DECIMAL MI term.
+
+    Returns ``(gy, n, joined, mi_term)``.
+    """
     t = (
         df.select(F.col(x_column).alias("__x"), F.col(y_column).alias("__y"))
         .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     )
-    # persist: the |X|·|Y|-bounded cell frame feeds three consumers
-    # (marginal x, marginal y, totals) — without it each reuse re-scans
-    # the full input through its own lineage copy
     g = (
         t.groupBy("__x", "__y")
         .agg(F.count(F.lit(1)).alias("__cxy"))
@@ -686,27 +719,15 @@ def mutual_information(
     n = g.agg(
         F.sum("__cxy").alias("__n"), F.count(F.lit(1)).alias("__cells")
     )
-    joined = (
-        g.join(gx, "__x")
-        .join(gy, "__y")
-        .crossJoin(F.broadcast(n))
-    )
+    joined = g.join(gx, "__x").join(gy, "__y").crossJoin(F.broadcast(n))
     ratio = (
         F.col("__cxy").cast("double") * F.col("__n").cast("double")
     ) / (F.col("__cx").cast("double") * F.col("__cy").cast("double"))
     p = F.col("__cxy").cast("double") / F.col("__n").cast("double")
-    term = F.round(p * F.round(F.log(ratio), ln_decimals), 9).cast(
+    mi_term = F.round(p * F.round(F.log(ratio), ln_decimals), 9).cast(
         "decimal(28,10)"
     )
-    return (
-        joined.groupBy("__n", "__cells")
-        .agg(F.sum(term).alias("__mi"))
-        .select(
-            F.col("__mi").cast("double").alias("mi_nats"),
-            F.col("__n").cast("long").alias("n_rows"),
-            F.col("__cells").cast("long").alias("n_cells"),
-        )
-    )
+    return gy, n, joined, mi_term
 
 
 def _bucketed_cum_before(
@@ -1767,28 +1788,7 @@ def uncertainty_coefficient(
     ``theil_u_s`` is NULL when H(Y) = 0 (a constant Y has nothing to
     explain).
     """
-    t = (
-        df.select(F.col(x_column).alias("__x"), F.col(y_column).alias("__y"))
-        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    )
-    g = (
-        t.groupBy("__x", "__y")
-        .agg(F.count(F.lit(1)).alias("__cxy"))
-        .persist()
-    )
-    gx = g.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
-    gy = g.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
-    n = g.agg(
-        F.sum("__cxy").alias("__n"), F.count(F.lit(1)).alias("__cells")
-    )
-    joined = g.join(gx, "__x").join(gy, "__y").crossJoin(F.broadcast(n))
-    ratio = (
-        F.col("__cxy").cast("double") * F.col("__n").cast("double")
-    ) / (F.col("__cx").cast("double") * F.col("__cy").cast("double"))
-    p = F.col("__cxy").cast("double") / F.col("__n").cast("double")
-    mi_term = F.round(p * F.round(F.log(ratio), ln_decimals), 9).cast(
-        "decimal(28,10)"
-    )
+    gy, n, joined, mi_term = _mi_cell_frame(df, x_column, y_column, ln_decimals)
     # H(Y) from the y-marginal: ln(N) - Σ c_y·ln(c_y) / N, same recipe
     hy_term = F.round(
         F.col("__cy").cast("double")
@@ -1842,6 +1842,8 @@ def functional_dependencies(
     image. Returns one row per candidate:
     ``fd, n_groups, violating_groups, max_images, holds``.
     """
+    if not candidates:
+        raise ValueError("functional_dependencies needs >=1 candidate pair")
     parts = []
     for a, b in candidates:
         g = (

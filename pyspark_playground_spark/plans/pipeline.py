@@ -423,7 +423,10 @@ def _stage_privacy_gate(df: DataFrame, spec: dict) -> DataFrame:
     k = int(p.get("k", 5))
     max_below = int(p.get("max_rows_below_k", 0))
     row = k_anonymity_summary(df, qis, k=k).collect()[0]
-    if row["rows_below_k"] > max_below:
+    # an empty incoming frame makes the summary's sums NULL — nothing to
+    # re-identify, so the gate passes (the score/divergence gates handle
+    # their None the same way)
+    if row["rows_below_k"] is not None and row["rows_below_k"] > max_below:
         raise ValueError(
             f"privacy_gate: {row['rows_below_k']} rows in "
             f"quasi-identifier classes below k={k} "

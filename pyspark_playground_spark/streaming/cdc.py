@@ -682,6 +682,59 @@ def windowed_value_bins(
     )
 
 
+def _dense_window_bins(bin_counts: DataFrame, bins: int):
+    """Shared spine of the four ``*_vs_baseline`` finishers: defensively
+    RE-AGGREGATE the windowed partials — an update-mode sink or a
+    reprocessed/appended batch can hold several rows per
+    ``(window, bin)``, and a duplicate row would silently double-count in
+    every downstream statistic — then densify onto the full fixed
+    ``[0, bins)`` universe with zero-filled missing bins.
+
+    The re-aggregated frame is persisted: it is bounded (windows × bins
+    rows) and feeds several consumers per finisher. Pinned until LRU
+    eviction or ``spark.catalog.clearCache()`` — fine for a monitor loop
+    whose cached footprint is windows × bins rows per invocation.
+
+    Returns ``(wins, obs)``: the distinct windows and the dense
+    ``(window_start, window_end, bin, __n)`` observation frame.
+    """
+    agg = (
+        bin_counts.groupBy("window_start", "window_end", "bin")
+        .agg(F.sum("n").alias("n"))
+        .persist()
+    )
+    wins = agg.select("window_start", "window_end").distinct()
+    universe = wins.select(
+        "window_start",
+        "window_end",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+    )
+    obs = universe.join(agg, ["window_start", "window_end", "bin"], "left").select(
+        "window_start",
+        "window_end",
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
+    )
+    return wins, obs
+
+
+def _dense_baseline_bins(
+    baseline_bins: DataFrame, wins: DataFrame, bins: int
+) -> DataFrame:
+    """Baseline side of the shared spine: fold duplicate baseline rows
+    (same defensive re-aggregation) and zero-fill the ``[0, bins)``
+    universe. Returns the dense ``(bin, __bn)`` frame (``bins`` rows)."""
+    base = baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
+    return (
+        wins.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+        )
+        .distinct()
+        .join(base, "bin", "left")
+        .select("bin", F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"))
+    )
+
+
 def psi_vs_baseline(
     bin_counts: DataFrame,
     baseline_bins: DataFrame,
@@ -705,41 +758,11 @@ def psi_vs_baseline(
 
     Returns ``(window_start, window_end, n_window, psi)``.
     """
-    # both frames are bounded (windows x bins rows) and feed several
-    # consumers each — persist so a computed-partials input (the batch
-    # twin) isn't re-aggregated per consumer; a sink-table input just
-    # caches a small scan. Bounded, but pinned until LRU eviction or
-    # spark.catalog.clearCache() — fine for a monitor loop whose cached
-    # footprint is windows x bins rows per invocation.
-    bin_counts = bin_counts.persist()
-    wins = bin_counts.select("window_start", "window_end").distinct()
-    universe = wins.select(
-        "window_start",
-        "window_end",
-        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
-    )
-    obs = (
-        universe.join(bin_counts, ["window_start", "window_end", "bin"], "left")
-        .select(
-            "window_start",
-            "window_end",
-            "bin",
-            F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
-        )
-    )
+    wins, obs = _dense_window_bins(bin_counts, bins)
     wtot = obs.groupBy("window_start", "window_end").agg(
         F.sum("__n").alias("__nw")
     )
-    base = baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
-    base_universe = (
-        wins.select(
-            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
-        )
-        .distinct()
-        .join(base, "bin", "left")
-        .select("bin", F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"))
-        .persist()
-    )
+    base_universe = _dense_baseline_bins(baseline_bins, wins, bins).persist()
     btot = base_universe.agg(F.sum("__bn").alias("__nb"))
     j = (
         obs.join(F.broadcast(wtot), ["window_start", "window_end"])
@@ -752,8 +775,15 @@ def psi_vs_baseline(
     pb = (F.col("__bn") + 1).cast("double") / (F.col("__nb") + bins).cast(
         "double"
     )
-    ratio = ((F.col("__n") + 1) * (F.col("__nb") + bins)).cast("double") / (
-        (F.col("__bn") + 1) * (F.col("__nw") + bins)
+    # cross products in DECIMAL(38,0) — same int64-overflow guard as
+    # ks_vs_baseline/cvm_vs_baseline: a baseline bin count times a window
+    # total wraps past int64 (non-ANSI) or raises (ANSI) at the row
+    # volumes this monitor targets; the final double cast is identical
+    # for in-range values
+    ratio = (
+        (F.col("__n") + 1).cast("decimal(38,0)") * (F.col("__nb") + bins)
+    ).cast("double") / (
+        (F.col("__bn") + 1).cast("decimal(38,0)") * (F.col("__nw") + bins)
     ).cast("double")
     term = F.round(
         (pa - pb) * F.round(F.log(ratio), ln_decimals), 9
@@ -792,30 +822,10 @@ def ks_vs_baseline(
     Returns ``(window_start, window_end, n_window, n_baseline,
     ks_numerator)``.
     """
-    bin_counts = bin_counts.persist()
-    wins = bin_counts.select("window_start", "window_end").distinct()
-    universe = wins.select(
-        "window_start",
-        "window_end",
-        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
-    )
-    obs = universe.join(
-        bin_counts, ["window_start", "window_end", "bin"], "left"
-    ).select(
-        "window_start",
-        "window_end",
-        "bin",
-        F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
-    )
-    base = (
-        baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
-    )
-    j = obs.join(F.broadcast(base), "bin", "left").select(
-        "window_start",
-        "window_end",
-        "bin",
-        "__n",
-        F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"),
+    wins, obs = _dense_window_bins(bin_counts, bins)
+    base = _dense_baseline_bins(baseline_bins, wins, bins)
+    j = obs.join(F.broadcast(base), "bin").select(
+        "window_start", "window_end", "bin", "__n", "__bn"
     )
     w = (
         Window.partitionBy("window_start", "window_end")
@@ -881,28 +891,10 @@ def cvm_vs_baseline(
     Returns ``(window_start, window_end, n_window, n_baseline,
     cvm_numerator_s)``.
     """
-    bin_counts = bin_counts.persist()
-    wins = bin_counts.select("window_start", "window_end").distinct()
-    universe = wins.select(
-        "window_start",
-        "window_end",
-        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
-    )
-    obs = universe.join(
-        bin_counts, ["window_start", "window_end", "bin"], "left"
-    ).select(
-        "window_start",
-        "window_end",
-        "bin",
-        F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
-    )
-    base = baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
-    j = obs.join(F.broadcast(base), "bin", "left").select(
-        "window_start",
-        "window_end",
-        "bin",
-        "__n",
-        F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"),
+    wins, obs = _dense_window_bins(bin_counts, bins)
+    base = _dense_baseline_bins(baseline_bins, wins, bins)
+    j = obs.join(F.broadcast(base), "bin").select(
+        "window_start", "window_end", "bin", "__n", "__bn"
     )
     w = (
         Window.partitionBy("window_start", "window_end")
@@ -966,33 +958,11 @@ def jsd_vs_baseline(
     Everything after the partials is bounded by windows × bins.
     Returns ``(window_start, window_end, n_window, jsd_nats)``.
     """
-    bin_counts = bin_counts.persist()
-    wins = bin_counts.select("window_start", "window_end").distinct()
-    universe = wins.select(
-        "window_start",
-        "window_end",
-        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
-    )
-    obs = universe.join(
-        bin_counts, ["window_start", "window_end", "bin"], "left"
-    ).select(
-        "window_start",
-        "window_end",
-        "bin",
-        F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
-    )
+    wins, obs = _dense_window_bins(bin_counts, bins)
     wtot = obs.groupBy("window_start", "window_end").agg(
         F.sum("__n").alias("__nw")
     )
-    base = baseline_bins.groupBy("bin").agg(F.sum("n").alias("__bn"))
-    base_universe = (
-        wins.select(
-            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
-        )
-        .distinct()
-        .join(base, "bin", "left")
-        .select("bin", F.coalesce(F.col("__bn"), F.lit(0)).alias("__bn"))
-    )
+    base_universe = _dense_baseline_bins(baseline_bins, wins, bins)
     btot = base_universe.agg(F.sum("__bn").alias("__nb"))
     j = (
         obs.join(F.broadcast(wtot), ["window_start", "window_end"])
@@ -1117,6 +1087,13 @@ def auc_vs_bins(label_bins: DataFrame) -> DataFrame:
 
     Returns ``(window_start, window_end, auc, n_pos, n_neg)``.
     """
+    # defensive re-aggregation, same reason as _dense_window_bins: a
+    # duplicate (window, bin) partial row would land the first copy's
+    # negatives inside the second copy's cumulative-below count and break
+    # the tie-corrected 2U sum
+    label_bins = label_bins.groupBy("window_start", "window_end", "bin").agg(
+        F.sum("n_pos").alias("n_pos"), F.sum("n_neg").alias("n_neg")
+    )
     w = Window.partitionBy("window_start", "window_end").orderBy(
         "bin"
     ).rowsBetween(Window.unboundedPreceding, -1)

@@ -69,7 +69,7 @@ def main() -> int:
         try:
             with open(log) as fh:
                 tail = fh.readlines()[-1].strip()
-        except OSError:
+        except (OSError, IndexError):  # missing OR empty log (killed shard)
             pass
         print(f"shard {i}: exit {code} — {tail}")
         if code != 0:

@@ -1017,3 +1017,53 @@ def test_windowed_type_counts_stream_equals_batch_and_topk(spark, tmpdir):
     w11 = [(r.rk, r.event_type) for r in top
            if r.window_start == datetime(2026, 5, 1, 11, 0)]
     assert w11 == [(1, "click")]
+
+
+def test_monitor_finishers_fold_duplicate_partials(spark):
+    """An update-mode sink or reprocessed batch can hold SEVERAL rows per
+    (window, bin); every finisher must fold them, not double-count."""
+    w0, w1 = datetime(2026, 5, 1, 10), datetime(2026, 5, 1, 11)
+    clean = spark.createDataFrame(
+        [(w0, w1, 0, 2), (w0, w1, 1, 3)],
+        "window_start timestamp, window_end timestamp, bin int, n long",
+    )
+    dup = spark.createDataFrame(
+        [(w0, w1, 0, 1), (w0, w1, 0, 1), (w0, w1, 1, 3)],
+        "window_start timestamp, window_end timestamp, bin int, n long",
+    )
+    base = spark.createDataFrame([(0, 5), (1, 5)], "bin int, n long")
+    for fin in (st.psi_vs_baseline, st.ks_vs_baseline, st.cvm_vs_baseline,
+                st.jsd_vs_baseline):
+        a = fin(clean, base, bins=4).collect()
+        b = fin(dup, base, bins=4).collect()
+        assert a == b, fin.__name__
+
+    lab_clean = spark.createDataFrame(
+        [(w0, w1, 0, 2, 4), (w0, w1, 1, 6, 1)],
+        "window_start timestamp, window_end timestamp, bin int,"
+        " n_pos long, n_neg long",
+    )
+    lab_dup = spark.createDataFrame(
+        [(w0, w1, 0, 2, 4), (w0, w1, 1, 2, 0), (w0, w1, 1, 4, 1)],
+        "window_start timestamp, window_end timestamp, bin int,"
+        " n_pos long, n_neg long",
+    )
+    assert (st.auc_vs_bins(lab_clean).collect()
+            == st.auc_vs_bins(lab_dup).collect())
+
+
+def test_equal_width_bin_far_out_of_range_values(spark):
+    """A wild out-of-range live value must land in the EDGE bin — the
+    int cast must not overflow (ANSI crash) or wrap negative (which
+    clamp_low would pin to bin 0, counting a huge HIGH value low)."""
+    from pyspark_playground_spark.operators.profiling import equal_width_bin
+
+    df = spark.createDataFrame(
+        [(1e18,), (-1e18,), (0.5,), (2.0,)], "v double"
+    )
+    out = df.select(
+        equal_width_bin(
+            F.col("v"), F.lit(0.0), F.lit(1.0), 16, clamp_low=True
+        ).alias("b")
+    ).collect()
+    assert [r["b"] for r in out] == [15, 0, 8, 15]
