@@ -1289,3 +1289,80 @@ def readability_scores(
         syllables.alias("n_syllables"),
         F.when(words > 0, F.format_string("%.4f", score)).alias("flesch_s"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ln_decimals: int = 7,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query — the
+    keyword-retrieval baseline that complements the ANN family (lexical
+    match vs embedding similarity; production retrieval typically fuses
+    both). Robertson's idf with the +1 floor (Lucene's variant, never
+    negative)::
+
+        idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Cross-engine determinism: each idf is rounded to ``ln_decimals``;
+    the per-term saturation factor is pure IEEE arithmetic in a fixed op
+    order (no accumulation); per-doc terms are rounded and summed in
+    exact DECIMAL. Documents matching no query term are kept with
+    score 0 (callers filter or rank).
+
+    Shuffle census at 100 TB: tokens are filtered to the |query|-sized
+    term set BEFORE any shuffle (only matching tokens move); the df/idf
+    model is |query| rows on a broadcast; doc lengths ride the one
+    per-doc groupBy; avgdl is a broadcast one-row fold. No global sort —
+    rank with ``orderBy(...).limit(k)`` (TakeOrdered) downstream.
+    """
+    terms = [t.lower() for t in query_terms]
+    dl = df.select(
+        F.col(id_column), token_count_expr(text_column).alias("n_tokens")
+    )
+    totals = dl.agg(
+        F.sum("n_tokens").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    toks = df.select(
+        F.col(id_column), F.explode(tokens_expr(text_column)).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dfreq.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+                + 1.0
+            ),
+            ln_decimals,
+        ).alias("__idf"),
+    )
+    avgdl = F.col("__total").cast("double") / F.col("__n").cast("double")
+    sat = (
+        F.col("__tf").cast("double") * (1.0 + k1)
+    ) / (
+        F.col("__tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("n_tokens").cast("double") / avgdl)
+    )
+    term_score = F.round(F.col("__idf") * sat, 9).cast("decimal(28,10)")
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_column)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_column)
+        .agg(F.sum(term_score).alias("__s"))
+    )
+    return dl.join(scored, id_column, "left").select(
+        id_column,
+        "n_tokens",
+        F.coalesce(F.col("__s"), F.lit(0).cast("decimal(28,10)")).alias(
+            "bm25_score"
+        ),
+    )

@@ -10533,3 +10533,54 @@ def dsir_select_documents(spark, sf_dir):
     return out.select(
         "doc_id", F.col("perturbed_weight").cast("string").alias("perturbed_weight_s")
     )
+
+
+@query(
+    "bm25_scores_documents",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ), tot AS (
+      SELECT sum(n_tokens) AS total, count(*) AS n FROM dl
+    ), toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term,
+             round(ln((n - count(*) + 0.5) / (count(*) + 0.5) + 1.0), 7)
+               AS idf
+      FROM tf CROSS JOIN tot GROUP BY term, n
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(CAST(round(
+               idf * (CAST(tf AS DOUBLE) * 2.2
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * CAST(dl.n_tokens AS DOUBLE)
+                                  / (CAST(tot.total AS DOUBLE)
+                                     / CAST(tot.n AS DOUBLE))))),
+               9) AS DECIMAL(28,10))) AS s
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT dl.doc_id, dl.n_tokens,
+           CAST(coalesce(s, CAST(0 AS DECIMAL(28,10))) AS VARCHAR)
+             AS bm25_score_s
+    FROM dl LEFT JOIN scored ON dl.doc_id = scored.doc_id
+    """,
+)
+def bm25_scores_documents(spark, sf_dir):
+    """Okapi BM25 keyword relevance (operators/text.py bm25_scores) of
+    every document to the query {hash, join, vector} — the lexical-
+    retrieval baseline beside the ANN entries (k1=1.2, b=0.75, Lucene's
+    never-negative idf). Tokens are filtered to the 3-term query set
+    before any shuffle; the idf model is 3 broadcast rows; rounded-idf
+    terms summed in exact DECIMAL (rendered) keep both engines
+    bit-identical."""
+    docs = load(spark, sf_dir, "documents")
+    out = tx.bm25_scores(docs, ["hash", "join", "vector"])
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("bm25_score").cast("string").alias("bm25_score_s"),
+    )

@@ -100,6 +100,9 @@ HEADLINE = [
     "windowed_top_event_types", "kaplan_meier_user_survival",
     "readability_documents", "prefix_energy_embeddings",
     "functional_dependencies_orders",
+    # round-4 session-8 additions
+    "dsir_weights_documents", "dsir_select_documents",
+    "bm25_scores_documents",
 ]
 
 

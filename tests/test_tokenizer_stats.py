@@ -244,3 +244,40 @@ def test_ngram_novelty_duplicate_source_adds_nothing(spark):
     }
     assert out["s1"].n_novel_ngrams == out["s1"].n_distinct_ngrams == 2
     assert out["s2"].n_novel_ngrams == 0 and out["s2"].novelty_ratio == 0.0
+
+
+def test_bm25_hand_example(spark):
+    # corpus: 3 docs; query {"a"}: df=2, N=3 -> idf = ln((3-2+.5)/(2+.5)+1)
+    import math
+
+    from pyspark_playground_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b c d e")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           tx.bm25_scores(df, ["a"]).collect()}
+    assert out[3]["bm25_score"] == 0  # no match -> kept, score 0
+    idf = round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0), 7)
+    avgdl = 9 / 3
+    def score(tf, dl):
+        return round(idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 9)
+    assert float(out[1]["bm25_score"]) == pytest.approx(score(2, 3), abs=1e-9)
+    assert float(out[2]["bm25_score"]) == pytest.approx(score(1, 2), abs=1e-9)
+    # more occurrences of the term => higher score (saturating tf)
+    assert float(out[1]["bm25_score"]) > float(out[2]["bm25_score"])
+
+
+def test_bm25_idf_model_is_broadcast(spark):
+    from pyspark_playground_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, "hash join scan" if i % 2 else "filter merge") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = (
+        tx.bm25_scores(df, ["hash", "join"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
