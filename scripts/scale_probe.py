@@ -679,6 +679,27 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("windowed_top_types", n_evr, hh_win)
 
+    # 43. DSIR importance weights + Gumbel-top-k select over the
+    #     replicated corpus: explode → bounded 4096-bucket census →
+    #     broadcast model join → per-doc groupBy → TakeOrdered k
+    from pyspark_playground_spark.operators import sampling as sp
+
+    def dsir():
+        w = sp.dsir_importance_weights(docs, F.col("lang") == "en")
+        sp.dsir_gumbel_select(w, k=100).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("dsir_weights_select", n_docs, dsir)
+
+    # 44. BM25 scoring: query-filtered token stream + broadcast idf
+    from pyspark_playground_spark.operators import text as txp
+
+    def bm25():
+        txp.bm25_scores(docs, ["hash", "join", "vector"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("bm25_scores", n_docs, bm25)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
