@@ -284,6 +284,34 @@ def _stage_score_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_dsir_select(df: DataFrame, spec: dict) -> DataFrame:
+    """Domain-targeted selection stage: keep the ``params.k`` documents
+    most like the target slice (``params.target`` — a SQL boolean over
+    the frame's columns) by DSIR importance resampling
+    (sampling.dsir_importance_weights + dsir_gumbel_select). The
+    bookkeeping columns are dropped; the stage returns the selected
+    rows of the ORIGINAL frame, so downstream stages see the funnel
+    shape unchanged."""
+    from pyspark_playground_spark.operators.sampling import (
+        dsir_gumbel_select,
+        dsir_importance_weights,
+    )
+
+    p = dict(spec.get("params", {}))
+    id_column = p.get("id_column", "doc_id")
+    w = dsir_importance_weights(
+        df,
+        F.expr(p["target"]),
+        id_column=id_column,
+        text_column=p.get("text_column", "text"),
+        buckets=int(p.get("buckets", 4096)),
+    )
+    picked = dsir_gumbel_select(w, k=int(p["k"]), id_column=id_column)
+    return df.join(
+        picked.select(id_column), id_column, "left_semi"
+    )
+
+
 def _stage_token_budget(df: DataFrame, spec: dict) -> DataFrame:
     """Budgeted selection stage: keep the best rows by
     ``params.score_column`` until ``params.budget`` tokens
@@ -465,6 +493,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "agreement_gate": _stage_agreement_gate,
     "shard": _stage_shard,
     "normalize": _stage_normalize,
+    "dsir_select": _stage_dsir_select,
     "token_budget": _stage_token_budget,
     "tokenize_bpe": _stage_tokenize_bpe,
     "c4_filter": _stage_c4_filter,

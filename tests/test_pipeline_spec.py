@@ -360,3 +360,29 @@ def test_interleave_stage_assigns_round_robin_positions(spark):
     ).collect()
     by_pos = {r["global_pos"]: r["source"] for r in out}
     assert [by_pos[p] for p in range(6)] == ["a", "b", "a", "b", "a", "b"]
+
+
+def test_dsir_select_stage_matches_direct_call(spark):
+    from pyspark_playground_spark.operators.sampling import (
+        dsir_gumbel_select,
+        dsir_importance_weights,
+    )
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 3 == 0 else "gamma delta",
+          "en" if i % 3 == 0 else "de") for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    spec = {"stages": [{
+        "op": "dsir_select",
+        "params": {"target": "lang = 'en'", "k": 12, "buckets": 128},
+    }]}
+    got = sorted(r["doc_id"] for r in run_pipeline(df, spec).collect())
+    w = dsir_importance_weights(df, F.expr("lang = 'en'"), buckets=128)
+    want = sorted(
+        r["doc_id"] for r in dsir_gumbel_select(w, k=12).collect()
+    )
+    assert got == want and len(got) == 12
+    # original frame's columns survive the stage
+    assert set(run_pipeline(df, spec).columns) == {"doc_id", "text", "lang"}
