@@ -729,3 +729,62 @@ def prefix_energy_report(
         for k in prefixes
     ]
     return quant.groupBy("label").agg(*aggs)
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    *,
+    id_column: str = "doc_id",
+    top_n: int = 100,
+    k: int = 60,
+    contrib_decimals: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    several retrieval rankings — the standard hybrid-search finisher that
+    merges a lexical ranker (``text.bm25_scores``) with a dense one (the
+    ANN family) without score calibration: each list contributes
+    ``1/(k + rank)`` per document, and documents high on ANY list rise.
+
+    ``rankings`` is a list of ``(frame, score_column)`` pairs; each frame
+    is cut to its ``top_n`` by ``(score desc, id)`` FIRST — retrieval
+    fuses candidate lists, never whole-corpus rankings, which keeps every
+    downstream frame bounded at ``top_n`` rows. The cut is
+    ``orderBy().limit()`` = TakeOrderedAndProject (per-partition top-n +
+    n-row merge; never a global sort); the rank window that follows runs
+    unpartitioned but over the ALREADY-LIMITED ≤ ``top_n``-row frame — a
+    single task sorting ≤ ``top_n`` rows, bounded by the constant, not
+    the corpus.
+
+    Determinism: ranks are exact integers (ties broken by id), each
+    contribution ``1/(k+rank)`` is rounded to ``contrib_decimals`` and
+    summed in exact DECIMAL — engine- and order-stable.
+
+    Returns ``(id, rrf_score DECIMAL, n_lists)`` for every document on at
+    least one list; rank downstream with ``orderBy(...).limit(...)``.
+    """
+    parts = []
+    for df, score_column in rankings:
+        top = df.orderBy(F.col(score_column).desc(), F.col(id_column)).limit(
+            top_n
+        )
+        ranked = top.select(
+            F.col(id_column),
+            F.row_number()
+            .over(Window.orderBy(F.col(score_column).desc(), F.col(id_column)))
+            .alias("__rank"),
+        )
+        parts.append(
+            ranked.select(
+                id_column,
+                F.round(F.lit(1.0) / (F.lit(k) + F.col("__rank")), contrib_decimals)
+                .cast("decimal(18,9)")
+                .alias("__c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return allc.groupBy(id_column).agg(
+        F.sum("__c").alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )

@@ -10584,3 +10584,93 @@ def bm25_scores_documents(spark, sf_dir):
         "doc_id", "n_tokens",
         F.col("bm25_score").cast("string").alias("bm25_score_s"),
     )
+
+
+@query(
+    "hybrid_rrf_documents",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ), tot AS (
+      SELECT sum(n_tokens) AS total, count(*) AS n FROM dl
+    ), toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term,
+             round(ln((n - count(*) + 0.5) / (count(*) + 0.5) + 1.0), 7)
+               AS idf
+      FROM tf CROSS JOIN tot GROUP BY term, n
+    ), bm AS (
+      SELECT tf.doc_id,
+             sum(CAST(round(
+               idf * (CAST(tf AS DOUBLE) * 2.2
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * CAST(dl.n_tokens AS DOUBLE)
+                                  / (CAST(tot.total AS DOUBLE)
+                                     / CAST(tot.n AS DOUBLE))))),
+               9) AS DECIMAL(28,10))) AS score
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id,
+             CAST(round(1.0 / (60 + row_number() OVER
+                    (ORDER BY score DESC, doc_id)), 9)
+                  AS DECIMAL(18,9)) AS c
+      FROM (SELECT doc_id, score FROM bm
+            ORDER BY score DESC, doc_id LIMIT 50)
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT vec_id AS doc_id,
+             {_DOT.format(a='qv', b='embedding')}
+               / ({_NORM.format(v='qv')} * {_NORM.format(v='embedding')})
+               AS cosine
+      FROM embeddings, q WHERE vec_id <> 0
+    ), den AS (
+      SELECT doc_id,
+             CAST(round(1.0 / (60 + row_number() OVER
+                    (ORDER BY cosine DESC, doc_id)), 9)
+                  AS DECIMAL(18,9)) AS c
+      FROM (SELECT doc_id, cosine FROM cos
+            ORDER BY cosine DESC, doc_id LIMIT 50)
+    ), fused AS (
+      SELECT doc_id, sum(c) AS s, count(*) AS n_lists
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(s AS VARCHAR) AS rrf_score_s,
+           CAST(n_lists AS INT) AS n_lists
+    FROM fused ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_rrf_documents(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (similarity.py rrf_fuse,
+    SIGIR'09) of the BM25 lexical ranking ({hash, join, vector}) and the
+    dense cosine ranking against the vec_id=0 query embedding — the
+    standard two-tower search finisher. Both lists cut to their top-50
+    via TakeOrdered BEFORE fusion (candidate lists, never whole-corpus
+    ranks); contributions 1/(60+rank) rounded and summed in exact
+    DECIMAL. doc_id and vec_id share an id space in the synthetic
+    tables."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = tx.bm25_scores(docs, ["hash", "join", "vector"]).select(
+        "doc_id", F.col("bm25_score").alias("score")
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    dense = sim.brute_force_topk(emb, q, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "cosine"
+    )
+    fused = sim.rrf_fuse([(lex, "score"), (dense, "cosine")], top_n=50)
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("rrf_score").cast("string").alias("rrf_score_s"),
+            "n_lists",
+        )
+    )

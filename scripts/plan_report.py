@@ -102,7 +102,7 @@ HEADLINE = [
     "functional_dependencies_orders",
     # round-4 session-8 additions
     "dsir_weights_documents", "dsir_select_documents",
-    "bm25_scores_documents",
+    "bm25_scores_documents", "hybrid_rrf_documents",
 ]
 
 

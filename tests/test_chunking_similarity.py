@@ -163,3 +163,33 @@ def test_kmeans_lloyd_empty_cluster_disappears(spark):
     assert len(out) == 12
     assert {r.cluster_id for r in out} <= {0, 1}
     assert all(r.dist2_r6 >= 0.0 for r in out)
+
+
+def test_rrf_fuse_hand_example(spark):
+    from pyspark_playground_spark.operators import similarity as sim
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, s double"
+    )
+    out = {r["doc_id"]: r for r in
+           sim.rrf_fuse([(a, "s"), (b, "s")], top_n=2, k=60).collect()}
+    # top_n=2 cuts doc 3 from list a and doc 1 from list b
+    assert out[1]["n_lists"] == 1 and out[3]["n_lists"] == 1
+    assert out[2]["n_lists"] == 1 and out[4]["n_lists"] == 1
+    assert float(out[1]["rrf_score"]) == round(1 / 61, 9)
+    assert float(out[2]["rrf_score"]) == round(1 / 62, 9)
+    assert float(out[3]["rrf_score"]) == round(1 / 61, 9)
+    # both-list membership sums contributions
+    c = spark.createDataFrame([(1, 5.0), (2, 4.0)], "doc_id long, s double")
+    both = {r["doc_id"]: float(r["rrf_score"]) for r in
+            sim.rrf_fuse([(a, "s"), (c, "s")], top_n=3, k=60).collect()}
+    assert both[1] == round(1 / 61, 9) * 2
+    # the candidate cut is TakeOrdered, never a corpus global sort
+    plan = (
+        sim.rrf_fuse([(a, "s")], top_n=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
