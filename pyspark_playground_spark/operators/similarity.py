@@ -18,6 +18,8 @@ results are reproducible and oracle-comparable bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -787,4 +789,215 @@ def rrf_fuse(
     return allc.groupBy(id_column).agg(
         F.sum("__c").alias("rrf_score"),
         F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+
+
+def _rademacher_sign(seed: str, i: int, j: int) -> int:
+    """±1 from md5(f"{seed}:{i}:{j}") parity — content-addressed, so any
+    engine (or the DuckDB oracle) re-derives the identical matrix."""
+    h = _hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+
+def rademacher_project(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    out_dim: int = 8,
+    seed: str = "jl",
+    term_decimals: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a Rademacher
+    (±1) projection matrix (Achlioptas, JCSS'03): ``p_j = Σ_i s_ij · x_i``
+    where ``s_ij`` is a deterministic ±1 from :func:`_rademacher_sign` —
+    no stored model, the matrix is a pure function of ``(seed, i, j)``.
+    The usual ``1/√out_dim`` scaling is omitted: it is a global constant
+    that cancels in every downstream cosine / relative-distance
+    comparison.
+
+    Determinism: each term is ``round(±x_i, term_decimals)`` cast to
+    DECIMAL, and the sum runs as an exact DECIMAL(38,6) fold — order-
+    and engine-stable. Scale is fixed at 6 because that is Spark's
+    MINIMUM_ADJUSTED_SCALE: a repeated decimal ``+`` at any higher scale
+    silently drops a digit of scale when precision saturates at 38
+    (the cross-engine render would then mismatch).
+
+    Plan shape: the sign matrix is ``dim × out_dim`` Python ints folded
+    into the plan as array literals (model-sized by design — 64×8 here,
+    a few KB even at dim 4096), and each output coordinate is one
+    codegen'd ``zip_with`` + ``aggregate`` fold over the vector: a pure
+    map stage, zero shuffle, no row amplification — at 100 TB this is a
+    scan-speed pass.
+
+    Output: (id, p0..p{out_dim-1} DECIMAL(38,6)).
+    """
+    zero = F.lit(0).cast("decimal(38,6)")
+    v = F.col(vector_column)
+    cols: list[Column] = [F.col(id_column)]
+    for j in range(out_dim):
+        signs = F.lit([_rademacher_sign(seed, i, j) for i in range(dim)])
+        terms = F.zip_with(
+            v,
+            signs,
+            lambda x, s: F.round(x.cast("double") * s, term_decimals).cast(
+                "decimal(38,6)"
+            ),
+        )
+        cols.append(
+            F.aggregate(
+                terms, zero, lambda acc, t: (acc + t).cast("decimal(38,6)")
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols)
+
+
+def grid_density(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dims: int = 2,
+    cell_width: float = 0.25,
+    min_cell_count: int = 2,
+) -> DataFrame:
+    """Grid-histogram density screen over the leading ``dims`` embedding
+    coordinates: quantize each coordinate to ``floor(x / cell_width)``,
+    count vectors per cell, and flag members of cells thinner than
+    ``min_cell_count`` — the cheap embedding-space outlier pass a corpus
+    pipeline runs before the expensive ANN stages (isolated cells are
+    mojibake / wrong-modality / broken-encoder candidates).
+
+    Coordinates are rounded to 6 decimals before the divide so the cell
+    id is stable across engines; ``cell_width`` should be a power of two
+    or a short decimal so the division itself is exact IEEE.
+
+    Plan shape: one map stage computes the cell key, one shuffle counts
+    cells, one key join attaches the count back (the counts side is
+    bounded by occupied-cell cardinality — tiny next to the corpus, AQE
+    broadcasts it when it fits). No row amplification, no all-pairs.
+
+    Output: (id, cell_0..cell_{dims-1}, cell_n, is_sparse).
+    """
+    v = F.col(vector_column)
+    cell_cols = [
+        F.floor(F.round(v[i].cast("double"), 6) / F.lit(float(cell_width)))
+        .cast("long")
+        .alias(f"cell_{i}")
+        for i in range(dims)
+    ]
+    keys = [f"cell_{i}" for i in range(dims)]
+    pts = df.select(F.col(id_column), *cell_cols)
+    counts = pts.groupBy(*keys).agg(F.count(F.lit(1)).cast("int").alias("cell_n"))
+    return pts.join(counts, keys).select(
+        id_column,
+        *keys,
+        "cell_n",
+        (F.col("cell_n") < min_cell_count).alias("is_sparse"),
+    )
+
+
+def mutual_nn_pairs(
+    vectors: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs (a, b) where b is a's cosine
+    top-1 AND a is b's top-1 — the high-precision dedup/alignment
+    criterion (mutual-kNN is the filter step in image-text alignment and
+    bitext mining pipelines; ties broken by neighbor id).
+
+    ``candidates`` (optional) restricts scoring to a candidate-pair frame
+    ``(id_a, id_b)`` — pass :func:`lsh_candidate_pairs` output so the
+    scored set is bucket-bounded; that is the 100 TB path. The default
+    scores all pairs exactly (the oracle-checkable baseline — same
+    regime note as :func:`brute_force_topk`).
+
+    Plan shape: top-1 per query via a key-partitioned row_number window,
+    then a self-join of the two directed top-1 frames on the pair key —
+    both sides are |V| rows (one per query), so the mutual join is
+    linear in the corpus, never in the candidate set.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    if candidates is None:
+        scored = brute_force_topk(
+            vectors,
+            vectors,
+            id_column=id_column,
+            vector_column=vector_column,
+            k=1,
+        ).select("query_id", "neighbor_id", "cosine")
+    else:
+        ids = vectors.select(
+            F.col(id_column).alias("__id"), F.col(vector_column).alias("__v")
+        )
+        both = candidates.select("id_a", "id_b").union(
+            candidates.select(F.col("id_b"), F.col("id_a"))
+        )
+        pairs = (
+            both.join(ids, both["id_a"] == ids["__id"])
+            .select(F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("__v").alias("__qv"))
+            .join(ids, F.col("neighbor_id") == ids["__id"])
+            .select("query_id", "neighbor_id",
+                    cosine_expr(F.col("__qv"), F.col("__v")).alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        scored = (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("query_id", "neighbor_id", "cosine")
+        )
+    back = scored.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    return (
+        scored.join(back, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+def k_occurrence_census(
+    topk: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    neighbor_column: str = "neighbor_id",
+) -> DataFrame:
+    """Hubness census (Radovanović et al., JMLR'10): for each vector,
+    its k-occurrence = how many OTHER vectors list it in their top-k;
+    returns the distribution (k_occurrence → n_vectors), including the
+    zero bucket (anti-hubs). A heavy right tail (hubs appearing in
+    thousands of top-k lists) is the standard symptom of concentrated /
+    low-quality embedding spaces and inflates every ANN-based dedup.
+
+    Composes with ANY neighbor frame — brute, LSH, or IVF top-k — so the
+    census itself is two bounded aggregations: one count on the neighbor
+    key, one count on the occurrence value (cardinality ≤ distinct
+    k-occurrence values ≤ corpus size, in practice tiny).
+
+    Output: (k_occurrence, n_vectors) — exact.
+    """
+    occ = topk.groupBy(F.col(neighbor_column).alias("__id")).agg(
+        F.count(F.lit(1)).cast("int").alias("__occ")
+    )
+    per_vec = (
+        corpus.select(F.col(id_column).alias("__id"))
+        .join(occ, "__id", "left")
+        .select(F.coalesce(F.col("__occ"), F.lit(0)).alias("k_occurrence"))
+    )
+    return per_vec.groupBy("k_occurrence").agg(
+        F.count(F.lit(1)).cast("int").alias("n_vectors")
     )

@@ -10674,3 +10674,215 @@ def hybrid_rrf_documents(spark, sf_dir):
             "n_lists",
         )
     )
+
+
+_JL_PJS = ",\n           ".join(
+    f"CAST(max(CASE WHEN j={j} THEN p END) AS VARCHAR) AS p{j}_s"
+    for j in range(8)
+)
+
+
+@query(
+    "jl_project_embeddings",
+    f"""
+    WITH sgn AS (
+      SELECT jj.j AS j, ii.i AS i,
+             CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(ii.i AS VARCHAR)
+                        || ':' || CAST(jj.j AS VARCHAR)), 1, 2)) AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(8) jj(j), range(64) ii(i)
+    ), terms AS (
+      SELECT e.vec_id, g.j,
+             CAST(round(CAST(e.embedding[g.i + 1] AS DOUBLE) * g.s, 6)
+                  AS DECIMAL(38,6)) AS t
+      FROM embeddings e, sgn g
+    ), agg AS (
+      SELECT vec_id, j, CAST(sum(t) AS DECIMAL(38,6)) AS p
+      FROM terms GROUP BY vec_id, j
+    )
+    SELECT vec_id,
+           {_JL_PJS}
+    FROM agg GROUP BY vec_id
+    """,
+)
+def jl_project_embeddings(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection 64 → 8 dims
+    (similarity.rademacher_project, Achlioptas'03): content-addressed ±1
+    signs from md5, exact DECIMAL(38,6) folds — a pure map stage, zero
+    shuffle, no row amplification; the oracle re-derives the same sign
+    matrix from SQL md5 and replays the sum per (vec_id, dim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = sim.rademacher_project(emb, dim=64, out_dim=8)
+    return proj.select(
+        "vec_id",
+        *[F.col(f"p{j}").cast("string").alias(f"p{j}_s") for j in range(8)],
+    )
+
+
+@query(
+    "grid_density_embeddings",
+    """
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(floor(round(CAST(embedding[1] AS DOUBLE), 6) / 0.25) AS BIGINT) AS cell_0,
+             CAST(floor(round(CAST(embedding[2] AS DOUBLE), 6) / 0.25) AS BIGINT) AS cell_1
+      FROM embeddings
+    ), c AS (
+      SELECT cell_0, cell_1, CAST(count(*) AS INT) AS cell_n
+      FROM pts GROUP BY cell_0, cell_1
+    )
+    SELECT p.vec_id, p.cell_0, p.cell_1, c.cell_n, c.cell_n < 2 AS is_sparse
+    FROM pts p JOIN c USING (cell_0, cell_1)
+    """,
+)
+def grid_density_embeddings(spark, sf_dir):
+    """Grid-histogram density screen (similarity.grid_density) over the
+    first two embedding coordinates: one cell-key shuffle + one key join
+    back (counts side is occupied-cell-bounded); flags isolated vectors
+    before any ANN stage touches them."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.grid_density(emb, dims=2, cell_width=0.25, min_cell_count=2)
+
+
+@query(
+    "mutual_nn_pairs_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {_DOT.format(a='qv', b='cv')}
+                    / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cosine
+           FROM c, q
+           WHERE neighbor_id <> query_id
+         ),
+         nn1 AS (
+           SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           FROM scored
+           QUALIFY rk = 1
+         )
+    SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.cosine
+    FROM nn1 a JOIN nn1 b ON a.neighbor_id = b.query_id AND a.query_id = b.neighbor_id
+    WHERE a.query_id < a.neighbor_id
+    """,
+)
+def mutual_nn_pairs_embeddings(spark, sf_dir):
+    """Reciprocal nearest neighbors (similarity.mutual_nn_pairs): pairs
+    where each is the other's cosine top-1 — the high-precision
+    alignment/dedup criterion. Exact baseline here (oracle-checkable);
+    the 100 TB path passes lsh_candidate_pairs as the candidate frame,
+    pinned equal to the exact path in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.mutual_nn_pairs(emb)
+
+
+@query(
+    "hubness_census_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {_DOT.format(a='qv', b='cv')}
+                    / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cosine
+           FROM c, q
+           WHERE neighbor_id <> query_id
+         ),
+         topk AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           FROM scored
+           QUALIFY rk <= 5
+         ),
+         occ AS (
+           SELECT neighbor_id, CAST(count(*) AS INT) AS occ
+           FROM topk GROUP BY neighbor_id
+         ),
+         per AS (
+           SELECT e.vec_id, coalesce(o.occ, 0) AS k_occurrence
+           FROM embeddings e LEFT JOIN occ o ON e.vec_id = o.neighbor_id
+         )
+    SELECT k_occurrence, CAST(count(*) AS INT) AS n_vectors
+    FROM per GROUP BY k_occurrence
+    """,
+)
+def hubness_census_embeddings(spark, sf_dir):
+    """Hubness / k-occurrence census (similarity.k_occurrence_census,
+    Radovanović'10) over the exact top-5 neighbor frame: how many
+    vectors appear in n other top-k lists, zero bucket included — the
+    embedding-space health check that predicts ANN-dedup inflation.
+    Composes with any ANN family member; census itself is two bounded
+    aggregations."""
+    emb = load(spark, sf_dir, "embeddings")
+    topk = sim.brute_force_topk(emb, emb, k=5)
+    return sim.k_occurrence_census(topk, emb)
+
+
+@query(
+    "link_prediction_documents",
+    """
+    WITH d AS (SELECT source, doc_id, lead(doc_id) OVER w AS n1, lead(doc_id,2) OVER w AS n2
+               FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+     e0 AS (SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+            UNION SELECT doc_id, n2 FROM d WHERE n2 IS NOT NULL),
+     e AS (SELECT DISTINCT greatest(a,b) AS u, least(a,b) AS v FROM e0 WHERE a <> b),
+     adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+     deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+     ctr AS (SELECT a.node AS w, a.nbr, d.degree AS wdeg
+             FROM adj a JOIN deg d ON a.node = d.node),
+     wedge AS (
+       SELECT l.nbr AS node_a, r.nbr AS node_b,
+              CAST(round(1.0 / round(ln(CAST(l.wdeg AS DOUBLE)), 7), 9)
+                   AS DECIMAL(18,9)) AS aa
+       FROM ctr l JOIN ctr r ON l.w = r.w AND l.nbr < r.nbr
+     ),
+     p AS (
+       SELECT node_a, node_b, CAST(count(*) AS INT) AS common_neighbors,
+              sum(aa) AS adamic_adar
+       FROM wedge GROUP BY node_a, node_b
+     ),
+     p2 AS (
+       SELECT p.* FROM p ANTI JOIN e ON p.node_a = e.v AND p.node_b = e.u
+     )
+    SELECT node_a, node_b, common_neighbors,
+           CAST(CAST(adamic_adar AS DECIMAL(28,9)) AS VARCHAR) AS adamic_adar_s,
+           CAST(common_neighbors AS DOUBLE)
+             / (da.degree + db.degree - common_neighbors) AS jaccard
+    FROM p2 JOIN deg da ON p2.node_a = da.node JOIN deg db ON p2.node_b = db.node
+    """,
+)
+def link_prediction_documents(spark, sf_dir):
+    """Link prediction (graph.link_prediction_scores, Liben-Nowell &
+    Kleinberg CIKM'03) on the same per-source chain+skip graph as the
+    triangle entry: common-neighbor count, exact-DECIMAL Adamic-Adar,
+    and neighborhood Jaccard for every distance-2 non-edge — the 'which
+    near-dup pair did banding almost join' diagnostic. Wedge self-join +
+    pair groupBy + degree joins; hub centers cappable via
+    max_center_degree."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    pairs = (
+        d.where(F.col("n1").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("n1").alias("dst"))
+        .union(
+            d.where(F.col("n2").isNotNull()).select("doc_id", F.col("n2"))
+        )
+    )
+    scores = gr.link_prediction_scores(pairs)
+    return scores.select(
+        "node_a",
+        "node_b",
+        "common_neighbors",
+        F.col("adamic_adar").cast("decimal(28,9)").cast("string").alias(
+            "adamic_adar_s"
+        ),
+        "jaccard",
+    )

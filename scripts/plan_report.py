@@ -103,6 +103,10 @@ HEADLINE = [
     # round-4 session-8 additions
     "dsir_weights_documents", "dsir_select_documents",
     "bm25_scores_documents", "hybrid_rrf_documents",
+    # round-4 session-9 additions
+    "jl_project_embeddings", "grid_density_embeddings",
+    "mutual_nn_pairs_embeddings", "hubness_census_embeddings",
+    "link_prediction_documents",
 ]
 
 

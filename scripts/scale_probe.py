@@ -700,6 +700,53 @@ def main() -> None:
         ).mode("overwrite").save()
     timed("bm25_scores", n_docs, bm25)
 
+    # 45. JL Rademacher projection 64->8 over replicated embeddings: a
+    #     pure map stage (sign matrix folded into the plan), zero shuffle
+    def jlproj():
+        sim.rademacher_project(embx, dim=64, out_dim=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("jl_project", n_embx, jlproj)
+
+    # 46. grid-density screen: one cell-key shuffle + one key join back
+    #     (counts side bounded by occupied-cell cardinality)
+    def gdens():
+        sim.grid_density(embx, dims=2, cell_width=0.25).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("grid_density", n_embx, gdens)
+
+    # 47. mutual-NN via LSH bucket candidates (the 100 TB path: scoring
+    #     bounded by bucket co-membership, mutual join linear in corpus).
+    #     Bucket count must scale with the corpus — fixed buckets make the
+    #     candidate set O(n²/buckets); +4 planes per 10× keeps the average
+    #     bucket size (and so per-bucket pair work) constant, the LSH
+    #     analogue of scaling shuffle partitions with data volume.
+    def mnn():
+        planes = 8 if FACTOR <= 1 else (12 if FACTOR <= 10 else 16)
+        cand = sim.embedding_near_dup_pairs(
+            embx, threshold=-1.0, num_planes=planes
+        ).select("id_a", "id_b")
+        sim.mutual_nn_pairs(embx, candidates=cand).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("mutual_nn_lsh", n_embx, mnn)
+
+    # 48. link prediction on the 500k-node hash graph (1M edges so the
+    #     wedge fan-out stays probe-sized; centers capped at 64 — the
+    #     documented hub remedy on a random multigraph)
+    n_lp_edges = 1_000_000
+    lp_edges = spark.range(n_lp_edges).select(
+        (F.xxhash64(F.col("id")) % 500_000).alias("src"),
+        (F.xxhash64(F.col("id") + 7_777_777) % 500_000).alias("dst"),
+    )
+
+    def linkpred():
+        gr.link_prediction_scores(
+            lp_edges, max_center_degree=64
+        ).write.format("noop").mode("overwrite").save()
+    timed("link_prediction_1m_edges", n_lp_edges, linkpred)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
