@@ -1443,3 +1443,78 @@ def prefix_filter_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def frequent_segment_removal(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    separator: str = "\n",
+    joiner: str | None = None,
+    max_doc_freq: int = 1,
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al., LREC'20 — the
+    'deduplicating lines across shards' pass): a segment whose normalized
+    form occurs in MORE THAN ``max_doc_freq`` DISTINCT documents is
+    treated as boilerplate (headers, navbars, cookie banners, license
+    blurbs) and dropped from EVERY document; rarer segments survive
+    everywhere. The frequency-threshold complement of
+    :func:`paragraph_dedup` (keep-first): there the first copy survives,
+    here the frequent line vanishes corpus-wide.
+
+    Normalization matches ``paragraph_dedup`` (lowercase, collapse
+    whitespace, trim); segments shorter than ``min_chars`` are always
+    kept (blank/structural lines are layout, not boilerplate).
+
+    Shuffle profile: one exchange on the 16-byte segment digest for the
+    distinct-doc count (map-side partial on (digest, doc) pairs), one
+    join of the drop-list back onto the segment stream — the drop-list
+    is bounded by the count of distinct FREQUENT segments, tiny under
+    any real threshold, so AQE broadcasts it — and one exchange on the
+    doc id for reassembly. Same md5-collision bet as ``exact_dedup``.
+
+    Returns ``(id, text, n_segments, n_kept)``, one row per input doc.
+    """
+    joiner = joiner if joiner is not None else separator
+    segs = (
+        df.select(
+            F.col(id_column),
+            F.posexplode_outer(F.split(F.col(text_column), separator)).alias(
+                "pos", "seg"
+            ),
+        )
+        .withColumn(
+            "__norm",
+            F.trim(F.regexp_replace(F.lower(F.col("seg")), r"\s+", " ")),
+        )
+        .withColumn("__k", F.md5(F.col("__norm")))
+        .withColumn("__nlen", F.length("__norm"))
+        .drop("__norm")
+    )
+    drop_list = (
+        segs.filter(F.col("__nlen") >= min_chars)
+        .groupBy("__k")
+        .agg(F.count_distinct(F.col(id_column)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__k", F.lit(True).alias("__drop"))
+    )
+    segs = segs.join(drop_list, "__k", "left").withColumn(
+        "__keep",
+        (F.col("__nlen") < F.lit(min_chars)) | F.col("__drop").isNull(),
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("pos"), F.col("seg"))
+    )
+    return segs.groupBy(id_column).agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda s: s["seg"],
+            ),
+        ).alias(text_column),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+    )

@@ -503,3 +503,87 @@ def link_prediction_scores(
             ).alias("jaccard"),
         )
     )
+
+
+def degree_census(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree distribution of the undirected simple graph: one row per
+    observed degree value, ``(degree, n_nodes)`` — the first thing to
+    plot on any dedup/linkage graph (a heavy tail here is the early
+    warning for every wedge-shaped operator downstream).
+
+    Two bounded aggregations: node-keyed degree count, then a count on
+    the degree VALUE (cardinality ≤ max degree). Exact. The canonical
+    edge set feeds both sides of the endpoint union — materialized so
+    the input is scanned once.
+    """
+    e = _materialize(_canonical_edges(edges, src, dst))
+    adj = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("int").alias("n_nodes")
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman, PRL'02): the Pearson correlation of
+    endpoint degrees over the symmetric edge-endpoint list — positive on
+    social-style graphs (hubs befriend hubs), negative on web/biology
+    hub-and-spoke graphs; near 0 on hash/random graphs. On a dedup graph
+    a strongly negative value means a few template hubs attach to
+    everything — salting/cap guidance for the pair-shaped operators.
+
+    All sufficient statistics (Σx, Σx², Σxy over both edge directions)
+    are exact integers widened per-term to DECIMAL(38,0) BEFORE summing
+    (cross-products of degrees overflow int64 at scale); symmetry makes
+    Σx = Σy and Σx² = Σy². The final r is computed in double from those
+    exact integers with one fixed expression — identical IEEE arithmetic
+    on any engine. A REGULAR graph has zero degree variance and no
+    defined r — the output is NULL there (guarded; ANSI Spark would
+    otherwise raise DIVIDE_BY_ZERO).
+
+    Plan shape: the canonical edge set and the degree table are each
+    consumed twice downstream — both are ``_materialize``d so the input
+    is scanned once. The symmetric (x, y) ∪ (y, x) endpoint list is
+    FOLDED into one pass over the directed endpoints (each edge
+    contributes x+y, x²+y², 2xy) instead of a self-union — exactly the
+    same integers, half the rows, no duplicate join subtree. Output one
+    row: (n_endpoints, sx_s, sxx_s, sxy_s, assortativity DOUBLE).
+    """
+    e = _materialize(_canonical_edges(edges, src, dst))
+    deg = _materialize(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    ends = e.join(du, "u").join(dv, "v")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x, y = F.col("__du"), F.col("__dv")
+    agg = ends.agg(
+        (F.count(F.lit(1)) * 2).alias("n_endpoints"),
+        F.sum(dec(x + y)).alias("__sx"),
+        F.sum(dec(x * x + y * y)).alias("__sxx"),
+        F.sum(dec(F.lit(2) * x * y)).alias("__sxy"),
+    )
+    n = F.col("n_endpoints").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    return agg.select(
+        "n_endpoints",
+        F.col("__sx").cast("string").alias("sx_s"),
+        F.col("__sxx").cast("string").alias("sxx_s"),
+        F.col("__sxy").cast("string").alias("sxy_s"),
+        F.when(
+            n * sxx - sx * sx != F.lit(0.0),
+            (n * sxy - sx * sx) / (n * sxx - sx * sx),
+        ).alias("assortativity"),
+    )

@@ -10886,3 +10886,135 @@ def link_prediction_documents(spark, sf_dir):
         ),
         "jaccard",
     )
+
+
+@query(
+    "boilerplate_chunks_documents",
+    r"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS seg
+      FROM t, UNNEST(range((len(toks)+7)//8)) AS u(i)
+    ), nrm AS (
+      SELECT doc_id, pos, seg,
+             trim(regexp_replace(lower(seg), '\s+', ' ', 'g')) AS norm
+      FROM seg
+    ), f AS (
+      SELECT md5(norm) AS k, count(DISTINCT doc_id) AS df
+      FROM nrm WHERE length(norm) >= 1 GROUP BY md5(norm)
+    ), mark AS (
+      SELECT n.doc_id, n.pos, n.seg,
+             (length(n.norm) < 1) OR (f.df IS NULL OR f.df <= 3) AS keep
+      FROM nrm n LEFT JOIN f ON md5(n.norm) = f.k
+    )
+    SELECT doc_id,
+           coalesce(string_agg(seg, chr(10) ORDER BY pos) FILTER (WHERE keep),
+                    '') AS text,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE keep) AS n_kept
+    FROM mark GROUP BY doc_id
+    """,
+)
+def boilerplate_chunks_documents(spark, sf_dir):
+    """CCNet-style boilerplate removal (dedup.frequent_segment_removal,
+    Wenzek et al. LREC'20): documents pre-chunked into 8-token segments
+    (chunk_dedup's segmentation), then every segment present in MORE
+    THAN 3 distinct documents is dropped corpus-wide — the frequency
+    complement of keep-first paragraph dedup. One digest shuffle for the
+    distinct-doc census, a bounded drop-list join, one doc-key
+    reassembly exchange."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * 8 + 1, 8), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dd.frequent_segment_removal(
+        chunked, separator="\n", max_doc_freq=3, min_chars=1
+    )
+
+
+_DOCGRAPH_SQL = """
+    WITH d AS (SELECT source, doc_id, lead(doc_id) OVER w AS n1, lead(doc_id,2) OVER w AS n2
+               FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+     e0 AS (SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+            UNION SELECT doc_id, n2 FROM d WHERE n2 IS NOT NULL),
+     e AS (SELECT DISTINCT greatest(a,b) AS u, least(a,b) AS v FROM e0 WHERE a <> b),
+     adj AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+     deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node)
+"""
+
+
+def _docgraph_edges(spark, sf_dir):
+    """The per-source chain+skip document graph shared by the triangle,
+    link-prediction, and degree entries."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+    )
+    return (
+        d.where(F.col("n1").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("n1").alias("dst"))
+        .union(
+            d.where(F.col("n2").isNotNull()).select("doc_id", F.col("n2"))
+        )
+    )
+
+
+@query(
+    "degree_census_documents",
+    _DOCGRAPH_SQL
+    + """
+    SELECT degree, CAST(count(*) AS INT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def degree_census_documents(spark, sf_dir):
+    """Degree distribution (graph.degree_census) of the chain+skip doc
+    graph — two bounded aggregations, the first plot on any dedup graph
+    (its tail predicts every wedge-shaped operator's cost)."""
+    return gr.degree_census(_docgraph_edges(spark, sf_dir))
+
+
+@query(
+    "assortativity_documents",
+    _DOCGRAPH_SQL
+    + """
+    , ends AS (SELECT du.degree AS x, dv.degree AS y
+               FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+     sym AS (SELECT x, y FROM ends UNION ALL SELECT y AS x, x AS y FROM ends),
+     agg AS (SELECT count(*) AS n_endpoints,
+                    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                    sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                    sum(CAST(x*y AS DECIMAL(38,0))) AS sxy
+             FROM sym)
+    SELECT n_endpoints,
+           CAST(CAST(sx AS DECIMAL(38,0)) AS VARCHAR) AS sx_s,
+           CAST(CAST(sxx AS DECIMAL(38,0)) AS VARCHAR) AS sxx_s,
+           CAST(CAST(sxy AS DECIMAL(38,0)) AS VARCHAR) AS sxy_s,
+           (CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_endpoints AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+    FROM agg
+    """,
+)
+def assortativity_documents(spark, sf_dir):
+    """Degree assortativity (graph.degree_assortativity, Newman PRL'02)
+    of the chain+skip doc graph: exact integer sufficient statistics in
+    DECIMAL(38,0), one fixed double expression for r — hub-structure
+    guidance for the pair-shaped dedup operators."""
+    return gr.degree_assortativity(_docgraph_edges(spark, sf_dir))

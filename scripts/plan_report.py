@@ -106,7 +106,8 @@ HEADLINE = [
     # round-4 session-9 additions
     "jl_project_embeddings", "grid_density_embeddings",
     "mutual_nn_pairs_embeddings", "hubness_census_embeddings",
-    "link_prediction_documents",
+    "link_prediction_documents", "boilerplate_chunks_documents",
+    "degree_census_documents", "assortativity_documents",
 ]
 
 

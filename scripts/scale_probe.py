@@ -747,6 +747,29 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("link_prediction_1m_edges", n_lp_edges, linkpred)
 
+    # 49. CCNet boilerplate removal over the replicated corpus, 8-token
+    #     chunk segmentation: digest census + bounded drop-list join +
+    #     doc-key reassembly (the sub-document dedup envelope)
+    from pyspark_playground_spark.operators import dedup as ddp
+
+    def boiler():
+        toks = F.split(F.col("text"), " ")
+        nseg = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+        chunked = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        ddp.frequent_segment_removal(
+            chunked, separator="\n", max_doc_freq=3
+        ).write.format("noop").mode("overwrite").save()
+    timed("boilerplate_removal", n_docs, boiler)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

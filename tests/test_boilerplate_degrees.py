@@ -1,0 +1,94 @@
+"""frequent_segment_removal (CCNet boilerplate), degree_census, and
+degree_assortativity: hand-built fixtures with closed-form expectations."""
+
+from __future__ import annotations
+
+from pyspark_playground_spark.operators import dedup as D
+from pyspark_playground_spark.operators import graph as G
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_frequent_segment_removal_drops_everywhere(spark):
+    # "footer" appears in 3 docs; with max_doc_freq=2 it is removed from
+    # ALL of them (not keep-first); unique lines survive untouched.
+    df = _docs(
+        spark,
+        [
+            (1, "alpha\nfooter"),
+            (2, "beta\nfooter"),
+            (3, "footer\ngamma"),
+            (4, "delta"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in
+           D.frequent_segment_removal(df, max_doc_freq=2).collect()}
+    assert out[1]["text"] == "alpha" and out[1]["n_kept"] == 1
+    assert out[2]["text"] == "beta"
+    assert out[3]["text"] == "gamma"
+    assert out[4]["text"] == "delta" and out[4]["n_segments"] == 1
+    assert all(r["n_segments"] == 2 for r in (out[1], out[2], out[3]))
+
+
+def test_frequent_segment_removal_threshold_and_normalization(spark):
+    # at max_doc_freq=3 the 3-doc footer is NOT boilerplate; whitespace /
+    # case variants normalize to one segment identity.
+    df = _docs(
+        spark,
+        [(1, "Footer  X\na"), (2, "footer x\nb"), (3, "FOOTER   x\nc")],
+    )
+    kept3 = D.frequent_segment_removal(df, max_doc_freq=3)
+    assert {r["n_kept"] for r in kept3.collect()} == {2}
+    kept2 = {r["doc_id"]: r["text"] for r in
+             D.frequent_segment_removal(df, max_doc_freq=2).collect()}
+    assert kept2 == {1: "a", 2: "b", 3: "c"}
+
+
+def test_frequent_segment_removal_repeat_within_one_doc_not_frequent(spark):
+    # the same line twice in ONE doc is doc-frequency 1 — kept both times
+    # (contrast with paragraph_dedup, which keeps only the first).
+    df = _docs(spark, [(1, "x\nx"), (2, "y")])
+    out = {r["doc_id"]: r for r in
+           D.frequent_segment_removal(df, max_doc_freq=1).collect()}
+    assert out[1]["text"] == "x\nx" and out[1]["n_kept"] == 2
+
+
+def test_frequent_segment_removal_min_chars_protects_short(spark):
+    # blank segments appear in every doc but are always kept (layout).
+    df = _docs(spark, [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n\nf")])
+    out = D.frequent_segment_removal(df, max_doc_freq=2, min_chars=1)
+    assert {r["n_kept"] for r in out.collect()} == {3}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_degree_census_star(spark):
+    got = {r["degree"]: r["n_nodes"] for r in
+           G.degree_census(_edges(spark, [(0, i) for i in (1, 2, 3)])).collect()}
+    assert got == {3: 1, 1: 3}
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    # a star is perfectly disassortative: every edge joins deg-3 to deg-1.
+    row = G.degree_assortativity(
+        _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    ).collect()[0]
+    assert row["n_endpoints"] == 6
+    # x over endpoints = [3,3,3,1,1,1]: sx=12, sxx=30, sxy=2*3*(3*1)=18
+    assert (row["sx_s"], row["sxx_s"], row["sxy_s"]) == ("12", "30", "18")
+    assert abs(row["assortativity"] + 1.0) < 1e-12
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    # 4-cycle: all degrees equal → zero variance → r undefined. The
+    # operator guards the division (ANSI Spark raises DIVIDE_BY_ZERO
+    # otherwise) and returns NULL rather than a fake signal.
+    row = G.degree_assortativity(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    ).collect()[0]
+    assert row["assortativity"] is None
+    assert row["n_endpoints"] == 8
