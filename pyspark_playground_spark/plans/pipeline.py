@@ -485,7 +485,35 @@ def _stage_interleave(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _stage_boilerplate(df: DataFrame, spec: dict) -> DataFrame:
+    """Frequent-line boilerplate removal (dedup.frequent_segment_removal,
+    the CCNet pass): segments whose normalized form appears in more than
+    ``params.max_doc_freq`` distinct documents are dropped from EVERY
+    document. Complements ``chunk_dedup``/``near_dedup`` (keep-first /
+    cluster-canonical): those keep one copy, this removes the template
+    text itself. Run AFTER ``normalize`` and BEFORE the dedup stages so
+    hashes see boilerplate-free text. The bookkeeping counts are
+    dropped; rows keep their original columns (text replaced)."""
+    from pyspark_playground_spark.operators.dedup import (
+        frequent_segment_removal,
+    )
+
+    p = dict(spec.get("params", {}))
+    id_column = p.get("id_column", "doc_id")
+    cleaned = frequent_segment_removal(
+        df.select(id_column, p.get("text_column", "text")),
+        id_column=id_column,
+        text_column=p.get("text_column", "text"),
+        separator=p.get("separator", "\n"),
+        max_doc_freq=int(p.get("max_doc_freq", 2)),
+        min_chars=int(p.get("min_chars", 1)),
+    ).select(id_column, p.get("text_column", "text"))
+    passthrough = [c for c in df.columns if c != p.get("text_column", "text")]
+    return df.select(*passthrough).join(cleaned, id_column)
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "boilerplate": _stage_boilerplate,
     "score_gate": _stage_score_gate,
     "privacy_gate": _stage_privacy_gate,
     "interleave": _stage_interleave,

@@ -386,3 +386,26 @@ def test_dsir_select_stage_matches_direct_call(spark):
     assert got == want and len(got) == 12
     # original frame's columns survive the stage
     assert set(run_pipeline(df, spec).columns) == {"doc_id", "text", "lang"}
+
+
+def test_boilerplate_stage_matches_direct_call(spark):
+    from pyspark_playground_spark.operators.dedup import frequent_segment_removal
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nfooter", "s1"),
+            (2, "beta\nfooter", "s2"),
+            (3, "footer\ngamma", "s1"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    spec = {"stages": [{"op": "boilerplate", "params": {"max_doc_freq": 2}}]}
+    got = {r["doc_id"]: r for r in run_pipeline(df, spec).collect()}
+    want = {r["doc_id"]: r["text"] for r in
+            frequent_segment_removal(df.select("doc_id", "text"),
+                                     max_doc_freq=2).collect()}
+    assert {k: v["text"] for k, v in got.items()} == want
+    # non-text columns pass through untouched
+    assert got[1]["source"] == "s1" and got[3]["source"] == "s1"
+    assert got[1]["text"] == "alpha"
