@@ -286,7 +286,15 @@ def pagerank_fixed_point(
 
     Output: (node, rank_scaled) — rank_scaled/scale ≈ the probability.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # e feeds nodes (twice, via the union branches), outdeg, and the
+    # weighted loop frame — persist it so an expensive upstream edge
+    # derivation (e.g. textrank's explode+distinct over the corpus) is
+    # evaluated once, not once per consumer.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -11018,3 +11018,77 @@ def assortativity_documents(spark, sf_dir):
     DECIMAL(38,0), one fixed double expression for r — hub-structure
     guidance for the pair-shaped dedup operators."""
     return gr.degree_assortativity(_docgraph_edges(spark, sf_dir))
+
+
+def _textrank_oracle(iters: int = 3, scale: int = 10**12,
+                     damping: int = 850_000) -> str:
+    """The _pagerank_oracle chain over the word co-occurrence graph:
+    adjacent-token pairs (both directions, distinct) from the same
+    tokenization as _TOKS; string nodes instead of int."""
+    base_ppm = 1_000_000 - damping
+    parts = [f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), big AS (
+      SELECT toks[u.i + 1] AS a, toks[u.i + 2] AS b
+      FROM t, UNNEST(range(len(toks) - 1)) AS u(i)
+    ), e0 AS (
+      SELECT DISTINCT a, b FROM big WHERE a <> b
+    ), e AS (
+      SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    b AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS rk0
+          FROM nodes, nn),
+    r0 AS (SELECT node, rk0 AS rank_scaled FROM b)"""]
+    for i in range(iters):
+        parts.append(f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             sum(r{i}.rank_scaled // odeg.outdeg) AS contrib
+      FROM e JOIN odeg ON e.src = odeg.src
+             JOIN r{i} ON e.src = r{i}.node
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT b.node,
+             CAST(({base_ppm} * b.rk0
+                   + {damping} * coalesce(c{i}.contrib, 0)) // 1000000
+                  AS BIGINT) AS rank_scaled
+      FROM b LEFT JOIN c{i} ON b.node = c{i}.node
+    )""")
+    parts.append(
+        f"\n    SELECT node AS word, rank_scaled FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+@query("textrank_keywords_documents", _textrank_oracle(3))
+def textrank_keywords_documents(spark, sf_dir):
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP'04): PageRank
+    over the word co-occurrence graph — adjacent-token pairs, both
+    directions, distinct — in the same deterministic fixed-point bigint
+    arithmetic as pagerank_nation_trade (graph.pagerank_fixed_point).
+    Pure composition of existing operators: tokens_expr adjacency (one
+    explode + distinct on a vocabulary-bounded pair set — the graph is
+    vocab², not corpus-sized) feeding the 2-shuffle-per-round power
+    iteration. The oracle replays all 3 rounds CTE by CTE, bit-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tx.tokens_expr("text")
+    n = F.size(toks)
+    big = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("a"),
+                F.slice(toks, 2, n - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    e0 = big.filter(F.col("a") != F.col("b")).distinct()
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e0.select(F.col("b"), F.col("a"))
+    ).distinct()
+    ranks = gr.pagerank_fixed_point(edges, iterations=3)
+    return ranks.select(F.col("node").alias("word"), "rank_scaled")

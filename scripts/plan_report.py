@@ -108,6 +108,7 @@ HEADLINE = [
     "mutual_nn_pairs_embeddings", "hubness_census_embeddings",
     "link_prediction_documents", "boilerplate_chunks_documents",
     "degree_census_documents", "assortativity_documents",
+    "textrank_keywords_documents",
 ]
 
 

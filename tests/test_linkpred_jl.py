@@ -180,3 +180,36 @@ def test_k_occurrence_census_includes_zero_bucket(spark):
            S.k_occurrence_census(topk, corpus).collect()}
     # node 1 appears 3×, node 0 once, nodes 2/3/4 never
     assert got == {3: 1, 1: 1, 0: 3}
+
+
+# --------------------------------------------------------------------------
+# textrank composition (queries.textrank_keywords_documents kernel)
+# --------------------------------------------------------------------------
+
+def test_textrank_hub_word_ranks_first(spark):
+    # 'the' neighbors every other word; satellites neighbor only 'the' —
+    # the co-occurrence hub must take the top fixed-point rank.
+    from pyspark_playground_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the bird"), (4, "the fish")],
+        "doc_id bigint, text string",
+    )
+    from pyspark_playground_spark.operators.text import tokens_expr
+    toks = tokens_expr("text")
+    n = F.size(toks)
+    big = docs.select(
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("a"),
+            F.slice(toks, 2, n - 1).alias("b"),
+        )).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    e0 = big.filter(F.col("a") != F.col("b")).distinct()
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e0.select(F.col("b"), F.col("a"))).distinct()
+    ranks = G.pagerank_fixed_point(edges, iterations=3).collect()
+    top = max(ranks, key=lambda r: (r["rank_scaled"], r["node"]))
+    assert top["node"] == "the"
+    sats = {r["node"]: r["rank_scaled"] for r in ranks if r["node"] != "the"}
+    assert len(set(sats.values())) == 1  # symmetric satellites tie exactly
