@@ -260,8 +260,17 @@ def pagerank_fixed_point(
     iterations: int = 3,
     damping_ppm: int = 850_000,
     scale: int = 10**12,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank with deterministic fixed-point integer arithmetic.
+
+    ``seeds`` turns this into PERSONALIZED PageRank (Haveliwala, WWW'02):
+    the restart mass concentrates on the seed node set (first column of
+    ``seeds``, ``scale div |S|`` each) instead of spreading uniformly —
+    ranks then measure proximity TO THE SEEDS, the related-entity /
+    topic-sensitive recommendation primitive. The iteration is unchanged;
+    only the base vector differs, so the oracle chain reuses the same
+    rounds with a seeded base.
 
     Classic power iteration (Page & Brin'98), but every probability is a
     bigint numerator over ``scale`` and every division is floor division —
@@ -303,10 +312,29 @@ def pagerank_fixed_point(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
 
-    # every node starts at scale div n; the one-row total rides a broadcast
-    base = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", F.expr(f"CAST({scale} DIV __n AS BIGINT)").alias("__start")
-    )
+    if seeds is None:
+        # every node starts at scale div n; the one-row total broadcasts
+        base = nodes.crossJoin(F.broadcast(n_nodes)).select(
+            "node", F.expr(f"CAST({scale} DIV __n AS BIGINT)").alias("__start")
+        )
+    else:
+        s = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        n_seeds = s.agg(F.count(F.lit(1)).alias("__n"))
+        base = (
+            nodes.join(s.withColumn("__is_seed", F.lit(True)), "node", "left")
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                F.when(
+                    F.col("__is_seed"),
+                    F.expr(f"CAST({scale} DIV __n AS BIGINT)"),
+                )
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("__start"),
+            )
+        )
     ranks = base.select("node", F.col("__start").alias("rank_scaled"))
     base_ppm = 1_000_000 - damping_ppm
     # both frames are loop-invariant; without persist every iteration
@@ -595,3 +623,66 @@ def degree_assortativity(
             (n * sxy - sx * sx) / (n * sxx - sx * sx),
         ).alias("assortativity"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman'83): repeatedly
+    delete nodes of degree < k until every survivor has ≥ k neighbors
+    inside the surviving subgraph. On a dedup graph the k-core isolates
+    the template-heavy near-clique blobs from incidental chain overlaps —
+    the part of the graph where transitive merging is actually safe.
+
+    ``rounds=None`` (production): peel to the fixpoint, detected by the
+    edge count (peeling only deletes — an unchanged count IS
+    convergence), bounded by ``max_rounds``. ``rounds=N``: run exactly N
+    peels — a deterministic function of the input on ANY graph, which is
+    what a replayable oracle wants; when N ≥ the convergence round the
+    result equals the fixpoint (extra peels are no-ops).
+
+    Plan shape per round: one degree count (node-keyed) + two semi-joins
+    of the edge list against the survivor set — all key shuffles; the
+    edge set shrinks monotonically. Each round is materialized
+    (lineage truncation, the connected_components precedent).
+
+    Output: (node, degree) for core members — degree WITHIN the core.
+    """
+    e = _materialize(_canonical_edges(edges, src, dst), checkpoint_dir)
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("node"))
+            .union(ed.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    def peel(ed: DataFrame) -> DataFrame:
+        keep = degrees(ed).filter(F.col("degree") >= k).select("node")
+        return (
+            ed.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+
+    if rounds is not None:
+        for _ in range(rounds):
+            e = _materialize(peel(e), checkpoint_dir)
+        return degrees(e)
+
+    n = e.count()
+    for _ in range(max_rounds):
+        e = _materialize(peel(e), checkpoint_dir)
+        n2 = e.count()
+        if n2 == n:
+            return degrees(e)
+        n = n2
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

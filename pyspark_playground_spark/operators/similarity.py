@@ -1001,3 +1001,60 @@ def k_occurrence_census(
     return per_vec.groupBy("k_occurrence").agg(
         F.count(F.lit(1)).cast("int").alias("n_vectors")
     )
+
+
+def cosine_pair_histogram(
+    vectors: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    rank_buckets: int = 64,
+) -> DataFrame:
+    """Anisotropy audit (Ethayarajh, EMNLP'19): the cosine distribution
+    of RANDOM vector pairs. In a healthy embedding space random-pair
+    cosine centers near 0; a mean pushed toward 1 (anisotropy) shrinks
+    the usable similarity range and inflates every threshold-based
+    near-dup / retrieval stage — this histogram is the one-glance check.
+
+    Pairing is content-addressed and exact: vectors ranked by the
+    60-bit integer prefix of ``md5(id)`` (numeric, so
+    ``packing.distributed_rank``'s percentile range-bucketing applies —
+    NO single-task window; ties broken by id), then rank ``2k`` pairs
+    with ``2k+1`` (an odd tail row is dropped). Same corpus → same
+    pairs, on any engine, any partitioning.
+
+    Output: one row per occupied decile-of-cosine bin —
+    ``(bin, n_pairs)`` with ``bin = floor(round(cosine, 6) * 10)`` in
+    [-10, 10] — plus exact pair count; join bins to plot. Bounded
+    cardinality (≤ 21 bins), two key shuffles (rank + pair join).
+    """
+    from pyspark_playground_spark.operators.packing import distributed_rank
+
+    keyed = vectors.select(
+        F.col(id_column).alias("__id"), F.col(vector_column).alias("__v")
+    ).withColumn(
+        "__shuf",
+        F.conv(
+            F.substring(F.md5(F.col("__id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+    ranked = distributed_rank(
+        keyed, order_column="__shuf", id_column="__id", buckets=rank_buckets
+    ).select(
+        F.struct("__id", "__v").alias("__row"),
+        (F.col("rank") / 2).cast("long").alias("__pair"),
+        (F.col("rank") % 2).alias("__side"),
+    )
+    # one groupBy on the pair key collects both sides — a left/right
+    # filter + self-join would re-derive the whole rank pipeline twice
+    # (first plan: 8 input scans; this shape: 1).
+    both = ranked.groupBy("__pair").agg(
+        F.max(F.when(F.col("__side") == 0, F.col("__row"))).alias("__a"),
+        F.max(F.when(F.col("__side") == 1, F.col("__row"))).alias("__b"),
+    )
+    pairs = both.filter(F.col("__b").isNotNull()).select(
+        cosine_expr(F.col("__a.__v"), F.col("__b.__v")).alias("__cos")
+    )
+    return pairs.groupBy(
+        F.floor(F.round(F.col("__cos"), 6) * 10).cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("int").alias("n_pairs"))

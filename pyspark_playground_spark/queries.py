@@ -11092,3 +11092,172 @@ def textrank_keywords_documents(spark, sf_dir):
     ).distinct()
     ranks = gr.pagerank_fixed_point(edges, iterations=3)
     return ranks.select(F.col("node").alias("word"), "rank_scaled")
+
+
+@query(
+    "cosine_pair_histogram_embeddings",
+    f"""
+    WITH r AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                             AS BIGINT), vec_id) - 1 AS rk
+      FROM embeddings
+    ), l AS (
+      SELECT rk // 2 AS pair, embedding AS va FROM r WHERE rk % 2 = 0
+    ), rr AS (
+      SELECT rk // 2 AS pair, embedding AS vb FROM r WHERE rk % 2 = 1
+    ), p AS (
+      SELECT {_DOT.format(a='va', b='vb')}
+               / ({_NORM.format(v='va')} * {_NORM.format(v='vb')}) AS c
+      FROM l JOIN rr USING (pair)
+    )
+    SELECT CAST(floor(round(c, 6) * 10) AS INT) AS bin,
+           CAST(count(*) AS INT) AS n_pairs
+    FROM p GROUP BY bin
+    """,
+)
+def cosine_pair_histogram_embeddings(spark, sf_dir):
+    """Anisotropy audit (similarity.cosine_pair_histogram, Ethayarajh
+    EMNLP'19): cosine distribution of content-addressed random pairs —
+    md5-rank pairing through packing.distributed_rank (range-bucketed,
+    no single-task window; the oracle's one-task row_number is the
+    semantic spec, not the plan). Bounded ≤21-bin output."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_pair_histogram(emb)
+
+
+def _ppr_oracle(iters: int = 3, scale: int = 10**12,
+                damping: int = 850_000) -> str:
+    """_pagerank_oracle chain with the restart mass concentrated on the
+    seed nations (node < 3) — personalized PageRank."""
+    base_ppm = 1_000_000 - damping
+    parts = [f"""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), ns AS (SELECT count(*) AS n FROM nodes WHERE node < 3),
+    odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    b AS (SELECT node,
+                 CASE WHEN node < 3 THEN CAST({scale} // ns.n AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS rk0
+          FROM nodes, ns),
+    r0 AS (SELECT node, rk0 AS rank_scaled FROM b)"""]
+    for i in range(iters):
+        parts.append(f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             sum(r{i}.rank_scaled // odeg.outdeg) AS contrib
+      FROM e JOIN odeg ON e.src = odeg.src
+             JOIN r{i} ON e.src = r{i}.node
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT b.node,
+             CAST(({base_ppm} * b.rk0
+                   + {damping} * coalesce(c{i}.contrib, 0)) // 1000000
+                  AS BIGINT) AS rank_scaled
+      FROM b LEFT JOIN c{i} ON b.node = c{i}.node
+    )""")
+    parts.append(f"\n    SELECT node, rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
+@query("ppr_nation_trade", _ppr_oracle(3))
+def ppr_nation_trade(spark, sf_dir):
+    """Personalized PageRank (Haveliwala WWW'02; graph.pagerank_fixed_point
+    with seeds=) over the nation trade graph, restart mass on nations
+    {0,1,2}: ranks measure trade proximity TO THE SEEDS — the
+    related-entity recommendation primitive. Same bit-exact fixed-point
+    iteration and CTE-replayed oracle as pagerank_nation_trade; only the
+    base vector differs."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    seeds = load(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") < 3
+    ).select("n_nationkey")
+    return gr.pagerank_fixed_point(edges, iterations=3, seeds=seeds)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel rounds over the clique+chain doc graph. Extra rounds
+    past convergence are no-ops, so a fixed unroll ≥ the convergence
+    round equals the true core — and for ANY data the entry semantics
+    are exactly 'rounds peels', matching gr.k_core(rounds=...)."""
+    parts = [f"""
+    WITH d AS (SELECT source, doc_id,
+                      lead(doc_id) OVER w AS n1, lead(doc_id,2) OVER w AS n2,
+                      row_number() OVER w AS rn
+               FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+     ch AS (SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+            UNION ALL SELECT doc_id, n2 FROM d WHERE n2 IS NOT NULL),
+     six AS (SELECT source, doc_id FROM d WHERE rn <= 6),
+     cl AS (SELECT x.doc_id AS a, y.doc_id AS b
+            FROM six x JOIN six y ON x.source = y.source
+                       AND x.doc_id < y.doc_id),
+     e0 AS MATERIALIZED (SELECT DISTINCT greatest(a,b) AS u, least(a,b) AS v
+            FROM (SELECT a, b FROM ch UNION ALL SELECT a, b FROM cl)
+            WHERE a <> b)"""]
+    for i in range(rounds):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT node, count(*) AS deg
+             FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+             GROUP BY node),
+    s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e
+                 JOIN s{i} a ON e.u = a.node
+                 JOIN s{i} b ON e.v = b.node)""")
+    parts.append(f"""
+    SELECT node, count(*) AS degree
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node""")
+    return "".join(parts)
+
+
+@query("k_core_documents", _kcore_oracle(4, 12))
+def k_core_documents(spark, sf_dir):
+    """k-core decomposition (graph.k_core, Seidman'83) on the chain+skip
+    doc graph densified with a 6-clique over each source's first six
+    docs: 12 fixed peel rounds isolate the cliques (the chain tails
+    unravel — at sf0.01 convergence is round 11, so round 12 is a no-op
+    and the result IS the true 4-core; the fixed-round contract keeps
+    the oracle exact on any data). Per round: one degree count + two
+    semi-joins, edge set shrinking monotonically."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    chain = (
+        d.where(F.col("n1").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("n1").alias("dst"))
+        .union(
+            d.where(F.col("n2").isNotNull()).select("doc_id", F.col("n2"))
+        )
+    )
+    six = d.filter(F.col("rn") <= 6).select("source", "doc_id")
+    x = six.select("source", F.col("doc_id").alias("src"))
+    y = six.select("source", F.col("doc_id").alias("dst"))
+    clique = x.join(y, "source").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    return gr.k_core(chain.union(clique), k=4, rounds=12)

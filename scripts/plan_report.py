@@ -108,7 +108,8 @@ HEADLINE = [
     "mutual_nn_pairs_embeddings", "hubness_census_embeddings",
     "link_prediction_documents", "boilerplate_chunks_documents",
     "degree_census_documents", "assortativity_documents",
-    "textrank_keywords_documents",
+    "textrank_keywords_documents", "cosine_pair_histogram_embeddings",
+    "ppr_nation_trade", "k_core_documents",
 ]
 
 

@@ -770,6 +770,22 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("boilerplate_removal", n_docs, boiler)
 
+    # 50. fixed-round k-core peel on the 500k-node hash graph (3 rounds;
+    #     per round one degree count + two semi-joins, edges shrink)
+    def kcore():
+        gr.k_core(lp_edges, k=6, rounds=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("k_core_3rounds_1m_edges", n_lp_edges, kcore)
+
+    # 51. random-pair cosine histogram over replicated embeddings:
+    #     distributed_rank pairing + one pair join + bounded bin agg
+    def coshist():
+        sim.cosine_pair_histogram(embx).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("cosine_pair_histogram", n_embx, coshist)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

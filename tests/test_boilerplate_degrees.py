@@ -92,3 +92,48 @@ def test_degree_assortativity_regular_graph_is_null(spark):
     ).collect()[0]
     assert row["assortativity"] is None
     assert row["n_endpoints"] == 8
+
+
+def test_k_core_clique_with_tail(spark):
+    # 4-clique {1,2,3,4} plus a pendant chain 4-5-6: the 3-core is exactly
+    # the clique (degree 3 inside), reached after the chain peels off.
+    edges = _edges(spark, [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6),
+    ])
+    fix = {(r["node"], r["degree"]) for r in G.k_core(edges, k=3).collect()}
+    assert fix == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    # fixed-round contract: enough rounds equal the fixpoint, extra rounds
+    # are no-ops; zero rounds is the input's degree table
+    r5 = {(r["node"], r["degree"]) for r in
+          G.k_core(edges, k=3, rounds=5).collect()}
+    assert r5 == fix
+    r0 = {r["node"]: r["degree"] for r in
+          G.k_core(edges, k=3, rounds=0).collect()}
+    assert r0[4] == 4 and r0[6] == 1
+
+
+def test_k_core_whole_graph_survives(spark):
+    # 4-cycle is its own 2-core: nothing peels, converges in one round.
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {r["node"]: r["degree"] for r in G.k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_personalized_pagerank_mass_on_seeds(spark):
+    # path 1->2->3 with restart on {1}: node 1 keeps the full restart
+    # mass each round; with uniform pagerank the base spreads over all.
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    ppr = {r["node"]: r["rank_scaled"] for r in
+           G.pagerank_fixed_point(edges, iterations=2, seeds=seeds).collect()}
+    scale = 10 ** 12
+    base = (150_000 * scale) // 1_000_000
+    # node 1: no in-edges -> rank = base restart share each round
+    assert ppr[1] == base
+    # node 2 is NOT a seed: no restart term, only 0.85 * prev_rank(1)
+    # (round 1: rank(1) drops to the restart share; round 2 propagates it)
+    assert ppr[2] == (850_000 * base) // 1_000_000
+    # seeded mass is concentrated: non-seed with no path weight gets base 0
+    uniform = {r["node"]: r["rank_scaled"] for r in
+               G.pagerank_fixed_point(edges, iterations=2).collect()}
+    assert ppr[1] > uniform[1]  # restart mass concentrated on the seed

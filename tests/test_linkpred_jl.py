@@ -213,3 +213,31 @@ def test_textrank_hub_word_ranks_first(spark):
     assert top["node"] == "the"
     sats = {r["node"]: r["rank_scaled"] for r in ranks if r["node"] != "the"}
     assert len(set(sats.values())) == 1  # symmetric satellites tie exactly
+
+
+def test_cosine_pair_histogram_bins_and_determinism(spark):
+    import hashlib
+
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = _vecs(spark, vecs, 2)
+    got = {r["bin"]: r["n_pairs"] for r in
+           S.cosine_pair_histogram(df).collect()}
+    # replicate the content-addressed pairing in plain Python
+    key = lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+    order = sorted(range(4), key=lambda i: (key(i), i))
+    by_id = dict(vecs)
+    import math
+    want = {}
+    for p in range(2):
+        a, b = by_id[order[2 * p]], by_id[order[2 * p + 1]]
+        cos = sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+        bin_ = math.floor(round(cos, 6) * 10)
+        want[bin_] = want.get(bin_, 0) + 1
+    assert got == want
+    assert sum(got.values()) == 2  # 4 vectors -> 2 pairs, odd tail none
+    # deterministic across invocations
+    again = {r["bin"]: r["n_pairs"] for r in
+             S.cosine_pair_histogram(df).collect()}
+    assert again == got
