@@ -137,3 +137,73 @@ def test_personalized_pagerank_mass_on_seeds(spark):
     uniform = {r["node"]: r["rank_scaled"] for r in
                G.pagerank_fixed_point(edges, iterations=2).collect()}
     assert ppr[1] > uniform[1]  # restart mass concentrated on the seed
+
+
+# --------------------------------------------------------------------------
+# hypothesis: k_core and link_prediction vs pure-Python references
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1, max_size=24,
+)
+
+
+def _py_kcore(pairs, k):
+    edges = {(max(a, b), min(a, b)) for a, b in pairs if a != b}
+    while True:
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        ne = {(u, v) for u, v in edges if u in keep and v in keep}
+        if ne == edges:
+            break
+        edges = ne
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return set(deg.items())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=_edge_lists, k=st.integers(2, 4))
+def test_k_core_matches_python_peel(spark, pairs, k):
+    if not [p for p in pairs if p[0] != p[1]]:
+        return
+    got = {(r["node"], r["degree"]) for r in
+           G.k_core(_edges(spark, pairs), k=k).collect()}
+    assert got == _py_kcore(pairs, k)
+
+
+def _py_linkpred_pairs(pairs):
+    edges = {(max(a, b), min(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for w, nbrs in adj.items():
+        for a in nbrs:
+            for b in nbrs:
+                if a < b:
+                    out[(a, b)] = out.get((a, b), 0) + 1
+    return {p: c for p, c in out.items()
+            if (max(p), min(p)) not in edges}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=_edge_lists)
+def test_link_prediction_cn_matches_python(spark, pairs):
+    if not [p for p in pairs if p[0] != p[1]]:
+        return
+    got = {(r["node_a"], r["node_b"]): r["common_neighbors"] for r in
+           G.link_prediction_scores(_edges(spark, pairs)).collect()}
+    assert got == _py_linkpred_pairs(pairs)
