@@ -802,3 +802,144 @@ def holt_smoothing(
         return pdf
 
     return src.groupBy(key_column).applyInPandas(_smooth, schema=schema)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    *,
+    key_column: str,
+    time_column: str,
+    value_column: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets visual downsampling (Steinarsson,
+    MSc thesis 2013 — the Grafana-style decimation that keeps the shape
+    a human sees) in its parallel CENTROID-ANCHOR variant: interior
+    points split into ``buckets`` equal time spans per key, and each
+    bucket keeps the point with the largest triangle area against the
+    previous and next bucket centroids. Exact LTTB anchors on the
+    previously SELECTED point (a sequential chain through the buckets);
+    anchoring on centroids instead makes every bucket's argmax
+    independent — the standard parallel/streaming approximation. The
+    first and last point of every key are always kept.
+
+    Determinism: the bucket index is exact integer arithmetic on epoch
+    micros (``(t−min)·B div (span+1)`` — span·B must fit int64, true for
+    any realistic horizon); centroids come from exact DECIMAL sums
+    converted to double once; the area is one fixed double expression;
+    the argmax tie-breaks on (time, value). Engine-stable end-to-end.
+
+    Plan shape: one per-key span aggregate (joined back, AQE broadcasts
+    the key-cardinality side), one (key, bucket) centroid aggregate —
+    bounded at keys×buckets rows, so the lag/lead anchor window over it
+    is bounded too — and one (key, bucket) row_number argmax. No
+    corpus-wide window, no self-join of the point stream. The span table
+    (key-bounded) and the interior point stream each feed two+ consumers
+    — both are materialized so the input is scanned once
+    (``dedup._materialize``; the link-prediction precedent).
+
+    Output: (key, time, value, bucket) — bucket −1/``buckets`` mark the
+    always-kept first/last points.
+    """
+    us = F.unix_micros(F.col(time_column).cast("timestamp"))
+    pts = df.select(
+        F.col(key_column).alias("__k"),
+        F.col(time_column).alias("__t"),
+        F.col(value_column).alias("__v"),
+        us.alias("__us"),
+    )
+    from pyspark_playground_spark.operators.dedup import _materialize
+
+    span = _materialize(
+        pts.groupBy("__k").agg(
+            F.min(F.struct("__us", "__v", "__t")).alias("__first"),
+            F.max(F.struct("__us", "__v", "__t")).alias("__last"),
+        )
+    )
+    joined = pts.join(span, "__k")
+    interior = joined.filter(
+        (F.col("__us") > F.col("__first.__us"))
+        & (F.col("__us") < F.col("__last.__us"))
+    ).select(
+        "__k",
+        "__t",
+        "__v",
+        "__us",
+        (
+            (F.col("__us") - F.col("__first.__us")) * F.lit(buckets)
+        ).cast("long").alias("__num"),
+        (F.col("__last.__us") - F.col("__first.__us") + 1).alias("__den"),
+    ).withColumn("__b", F.expr("__num DIV __den").cast("int")).drop(
+        "__num", "__den"
+    )
+    interior = _materialize(interior)
+    cent = interior.groupBy("__k", "__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__us").cast("decimal(38,0)")).alias("__st"),
+        F.sum(F.col("__v").cast("decimal(18,6)")).alias("__sv"),
+    )
+    w = Window.partitionBy("__k").orderBy("__b")
+    cx = F.col("__st").cast("double") / F.col("__n")
+    cy = F.col("__sv").cast("double") / F.col("__n")
+    anchors = cent.select(
+        "__k",
+        "__b",
+        F.lag(F.struct(cx.alias("x"), cy.alias("y"))).over(w).alias("__prev"),
+        F.lead(F.struct(cx.alias("x"), cy.alias("y"))).over(w).alias("__next"),
+    )
+    firsts = span.select(
+        "__k",
+        F.struct(
+            F.col("__first.__us").cast("double").alias("x"),
+            F.col("__first.__v").cast("double").alias("y"),
+        ).alias("__fp"),
+        F.struct(
+            F.col("__last.__us").cast("double").alias("x"),
+            F.col("__last.__v").cast("double").alias("y"),
+        ).alias("__lp"),
+    )
+    cand = (
+        interior.join(anchors, ["__k", "__b"])
+        .join(firsts, "__k")
+        .select(
+            "__k",
+            "__t",
+            "__v",
+            "__us",
+            "__b",
+            F.coalesce(F.col("__prev"), F.col("__fp")).alias("__p"),
+            F.coalesce(F.col("__next"), F.col("__lp")).alias("__q"),
+        )
+    )
+    x = F.col("__us").cast("double")
+    y = F.col("__v").cast("double")
+    area = F.abs(
+        (F.col("__p.x") - F.col("__q.x")) * (y - F.col("__p.y"))
+        - (F.col("__p.x") - x) * (F.col("__p.y") - F.col("__q.y"))
+    )
+    wk = Window.partitionBy("__k", "__b").orderBy(
+        F.col("__area").desc(), F.col("__us").asc(), F.col("__v").asc()
+    )
+    picked = (
+        cand.withColumn("__area", area)
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == 1)
+        .select("__k", "__t", "__v", "__b")
+    )
+    ends = span.select(
+        "__k",
+        F.col("__first.__t").alias("__t"),
+        F.col("__first.__v").alias("__v"),
+        F.lit(-1).alias("__b"),
+    ).union(
+        span.select(
+            "__k", F.col("__last.__t"), F.col("__last.__v"),
+            F.lit(buckets),
+        )
+    )
+    return picked.unionByName(ends).select(
+        F.col("__k").alias(key_column),
+        F.col("__t").alias(time_column),
+        F.col("__v").alias(value_column),
+        F.col("__b").alias("bucket"),
+    )

@@ -11261,3 +11261,110 @@ def k_core_documents(spark, sf_dir):
         "src", "dst"
     )
     return gr.k_core(chain.union(clique), k=4, rounds=12)
+
+
+@query(
+    "modularity_documents",
+    """
+    WITH d AS (SELECT source, doc_id, lead(doc_id) OVER w AS n1, lead(doc_id,2) OVER w AS n2
+               FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+     e0 AS (SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+            UNION SELECT doc_id, n2 FROM d WHERE n2 IS NOT NULL),
+     e AS (SELECT DISTINCT greatest(a,b) AS u, least(a,b) AS v FROM e0 WHERE a <> b),
+     lab AS (SELECT doc_id AS n, source AS l FROM documents),
+     tag AS (SELECT e.u, e.v, lu.l AS lu, lv.l AS lv
+             FROM e JOIN lab lu ON e.u = lu.n JOIN lab lv ON e.v = lv.n),
+     deg AS (SELECT l, count(*) AS dg
+             FROM (SELECT lu AS l FROM tag UNION ALL SELECT lv FROM tag)
+             GROUP BY l),
+     intra AS (SELECT lu AS l, count(*) AS ec FROM tag WHERE lu = lv GROUP BY lu),
+     mm AS (SELECT count(*) AS m FROM tag),
+     agg AS (SELECT sum(CAST(coalesce(i.ec, 0) AS HUGEINT)) AS se,
+                    sum(CAST(d.dg AS HUGEINT) * CAST(d.dg AS HUGEINT)) AS sd2
+             FROM deg d LEFT JOIN intra i ON d.l = i.l)
+    SELECT CAST(mm.m AS BIGINT) AS m_edges,
+           CAST(CAST(se AS DECIMAL(38,0)) AS VARCHAR) AS intra_edges_s,
+           CAST(CAST(sd2 AS DECIMAL(38,0)) AS VARCHAR) AS sum_deg_sq_s,
+           CASE WHEN mm.m > 0 THEN
+             (4.0 * CAST(mm.m AS DOUBLE) * CAST(se AS DOUBLE)
+                - CAST(sd2 AS DOUBLE))
+               / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+           END AS modularity
+    FROM agg, mm
+    """,
+)
+def modularity_documents(spark, sf_dir):
+    """Newman modularity (graph.modularity, Newman-Girvan PRE'04) of the
+    source partition over the chain+skip doc graph — the graph has no
+    inter-source edges, so Q = 1 − Σ(d_c/2m)², pinning the exact-integer
+    census (4m·Σe_c − Σd_c² in DECIMAL(38,0); one double division last).
+    Evaluates the communities label_propagation/CC emit."""
+    docs = load(spark, sf_dir, "documents")
+    labels = docs.select(F.col("doc_id").alias("node"),
+                         F.col("source").alias("label"))
+    return gr.modularity(_docgraph_edges(spark, sf_dir), labels)
+
+
+from pyspark_playground_spark.operators import temporal as tp  # noqa: E402
+
+
+@query(
+    "lttb_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    pts AS (SELECT user_id AS k, ts AS t, value AS v, epoch_us(ts) AS us FROM e),
+    fr AS (SELECT k, us, v, t,
+                  row_number() OVER (PARTITION BY k ORDER BY us, v) AS rf,
+                  row_number() OVER (PARTITION BY k ORDER BY us DESC, v DESC) AS rl
+           FROM pts),
+    f AS (SELECT k, us AS fus, v AS fv, t AS ft FROM fr WHERE rf = 1),
+    l AS (SELECT k, us AS lus, v AS lv, t AS lt FROM fr WHERE rl = 1),
+    interior AS (SELECT p.k, p.t, p.v, p.us,
+                        CAST(((p.us - f.fus) * 8) // (l.lus - f.fus + 1) AS INT) AS b
+                 FROM pts p JOIN f USING (k) JOIN l USING (k)
+                 WHERE p.us > f.fus AND p.us < l.lus),
+    cent AS (SELECT k, b, count(*) AS n,
+                    sum(CAST(us AS DECIMAL(38,0))) AS st,
+                    sum(CAST(v AS DECIMAL(18,6))) AS sv
+             FROM interior GROUP BY k, b),
+    anch AS (SELECT k, b,
+                    lag(CAST(st AS DOUBLE) / n) OVER w AS px,
+                    lag(CAST(sv AS DOUBLE) / n) OVER w AS py,
+                    lead(CAST(st AS DOUBLE) / n) OVER w AS qx,
+                    lead(CAST(sv AS DOUBLE) / n) OVER w AS qy
+             FROM cent WINDOW w AS (PARTITION BY k ORDER BY b)),
+    cand AS (SELECT i.k, i.t, i.v, i.us, i.b,
+                    coalesce(a.px, CAST(f.fus AS DOUBLE)) AS px,
+                    coalesce(a.py, f.fv) AS py,
+                    coalesce(a.qx, CAST(l.lus AS DOUBLE)) AS qx,
+                    coalesce(a.qy, l.lv) AS qy
+             FROM interior i JOIN anch a USING (k, b)
+                             JOIN f USING (k) JOIN l USING (k)),
+    scored AS (SELECT k, t, v, b, us,
+                      abs((px - qx) * (v - py) - (px - CAST(us AS DOUBLE)) * (py - qy)) AS area
+               FROM cand),
+    picked AS (SELECT k, t, v, b FROM (
+                 SELECT k, t, v, b,
+                        row_number() OVER (PARTITION BY k, b
+                                           ORDER BY area DESC, us ASC, v ASC) AS rn
+                 FROM scored) WHERE rn = 1)
+    SELECT k AS user_id, t AS ts, v AS value, b AS bucket FROM picked
+    UNION ALL SELECT k, ft, fv, -1 FROM f
+    UNION ALL SELECT k, lt, lv, 8 FROM l
+    """,
+)
+def lttb_events(spark, sf_dir):
+    """LTTB visual downsampling (temporal.lttb_downsample, Steinarsson'13,
+    parallel centroid-anchor variant) of each user's event series to 8
+    buckets + endpoints — the dashboard decimation. Exact integer
+    bucketing on epoch micros, DECIMAL centroid sums, one fixed double
+    area expression, (time, value) tie-breaks; the oracle replays every
+    step."""
+    e = load_events(spark, sf_dir)
+    return tp.lttb_downsample(
+        e,
+        key_column="user_id",
+        time_column="ts",
+        value_column="value",
+        buckets=8,
+    )

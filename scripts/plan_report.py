@@ -109,7 +109,8 @@ HEADLINE = [
     "link_prediction_documents", "boilerplate_chunks_documents",
     "degree_census_documents", "assortativity_documents",
     "textrank_keywords_documents", "cosine_pair_histogram_embeddings",
-    "ppr_nation_trade", "k_core_documents",
+    "ppr_nation_trade", "k_core_documents", "modularity_documents",
+    "lttb_events",
 ]
 
 

@@ -786,6 +786,32 @@ def main() -> None:
         ).save()
     timed("cosine_pair_histogram", n_embx, coshist)
 
+    # 52. LTTB downsampling over replicated events (FACTOR x users): one
+    #     span agg + bounded centroid agg + (key,bucket) argmax window
+    from pyspark_playground_spark.operators import temporal as tpo
+
+    ev_lt = ev_rep
+    n_evlt = n_evr
+
+    def lttb():
+        tpo.lttb_downsample(
+            ev_lt, key_column="user_id", time_column="ts",
+            value_column="value", buckets=20,
+        ).write.format("noop").mode("overwrite").save()
+    timed("lttb_downsample", n_evlt, lttb)
+
+    # 53. modularity of the hash partition on the 1M-edge graph: two
+    #     label joins + three bounded aggregations
+    lp_labels = spark.range(500_000).select(
+        F.col("id").alias("node"), (F.col("id") % 64).alias("label")
+    )
+
+    def modq():
+        gr.modularity(lp_edges, lp_labels).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timed("modularity_1m_edges", n_lp_edges, modq)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -207,3 +207,31 @@ def test_link_prediction_cn_matches_python(spark, pairs):
     got = {(r["node_a"], r["node_b"]): r["common_neighbors"] for r in
            G.link_prediction_scores(_edges(spark, pairs)).collect()}
     assert got == _py_linkpred_pairs(pairs)
+
+
+def test_modularity_two_triangles_bridge(spark):
+    # two triangles joined by one bridge; labels = triangle membership.
+    # m=7, intra=6, degree sums per community = 7 and 7:
+    # Q = (4*7*6 - (49+49)) / (4*49) = 70/196
+    edges = _edges(spark, [
+        (1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+    ])
+    labels = spark.createDataFrame(
+        [(n, "a") for n in (1, 2, 3)] + [(n, "b") for n in (4, 5, 6)],
+        "node bigint, label string",
+    )
+    row = G.modularity(edges, labels).collect()[0]
+    assert row["m_edges"] == 7
+    assert row["intra_edges_s"] == "6"
+    assert row["sum_deg_sq_s"] == "98"
+    assert abs(row["modularity"] - 70.0 / 196.0) < 1e-12
+
+
+def test_modularity_single_community_is_near_zero_bound(spark):
+    # everything in one community: Q = (4m*m - (2m)^2) / 4m^2 = 0 exactly.
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    labels = spark.createDataFrame(
+        [(n, "x") for n in (1, 2, 3)], "node bigint, label string"
+    )
+    row = G.modularity(edges, labels).collect()[0]
+    assert row["modularity"] == 0.0

@@ -496,3 +496,60 @@ def test_holt_trend_tracks_linear_series(spark):
     )
     assert abs(last.trend - 3.0) < 1e-6
     assert abs(last.level - (10.0 + 3.0 * 119)) < 1e-4
+
+
+def test_lttb_downsample_endpoints_and_argmax(spark):
+    from datetime import datetime
+
+    from pyspark_playground_spark.operators.temporal import lttb_downsample
+
+    # one key, 6 points over 5 seconds; buckets=1 => one interior argmax.
+    # interior points (t=1..4s); prev anchor = first point, next = last.
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 0, 0), 0.0),
+        (1, datetime(2026, 1, 1, 0, 0, 1), 1.0),
+        (1, datetime(2026, 1, 1, 0, 0, 2), 9.0),   # the visual spike
+        (1, datetime(2026, 1, 1, 0, 0, 3), 1.0),
+        (1, datetime(2026, 1, 1, 0, 0, 4), 1.0),
+        (1, datetime(2026, 1, 1, 0, 0, 5), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz, value double")
+    got = sorted(
+        (r["bucket"], r["ts"].second, r["value"])
+        for r in lttb_downsample(
+            df, key_column="user_id", time_column="ts",
+            value_column="value", buckets=1,
+        ).collect()
+    )
+    # endpoints kept (-1 and 1); the one interior bucket keeps the spike
+    assert got[0] == (-1, 0, 0.0)
+    assert got[-1] == (1, 5, 0.0)
+    assert (0, 2, 9.0) in got
+    assert len(got) == 3
+
+
+def test_lttb_downsample_deterministic_and_bounded(spark):
+    from pyspark_playground_spark.operators.temporal import lttb_downsample
+
+    from pyspark_playground_spark.queries import load_events
+
+    e = load_events(spark, "/root/testdata/sf0.001")
+    out = lttb_downsample(
+        e, key_column="user_id", time_column="ts",
+        value_column="value", buckets=4,
+    )
+    rows = out.collect()
+    again = lttb_downsample(
+        e, key_column="user_id", time_column="ts",
+        value_column="value", buckets=4,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # per key: at most buckets interior picks + 2 endpoints
+    from collections import Counter
+    per_key = Counter(r["user_id"] for r in rows)
+    assert max(per_key.values()) <= 4 + 2
+    # endpoints always present
+    buckets_per_key = {}
+    for r in rows:
+        buckets_per_key.setdefault(r["user_id"], set()).add(r["bucket"])
+    assert all({-1, 4} <= b for b in buckets_per_key.values())
