@@ -11368,3 +11368,64 @@ def lttb_events(spark, sf_dir):
         value_column="value",
         buckets=8,
     )
+
+
+def _hits_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Chained-CTE mirror of hits_fixed_point over the nation trade
+    graph: HUGEINT sums, (x·scale)//max normalization — bit-exact."""
+    parts = [f"""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ),
+    h0 AS (SELECT node, CAST({scale} AS HUGEINT) AS h FROM nodes)"""]
+    for i in range(iters):
+        parts.append(f""",
+    ar{i} AS (SELECT e.dst AS node, sum(h.h) AS a
+              FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst),
+    a{i + 1} AS (SELECT node,
+                        (a * CAST({scale} AS HUGEINT))
+                          // (SELECT max(a) FROM ar{i}) AS a
+                 FROM ar{i}),
+    hr{i} AS (SELECT e.src AS node, sum(a.a) AS h
+              FROM e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src),
+    h{i + 1} AS (SELECT node,
+                        (h * CAST({scale} AS HUGEINT))
+                          // (SELECT max(h) FROM hr{i}) AS h
+                 FROM hr{i})""")
+    parts.append(f"""
+    SELECT n.node,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hub_scaled,
+           CAST(coalesce(a.a, 0) AS BIGINT) AS auth_scaled
+    FROM nodes n
+    LEFT JOIN h{iters} h ON n.node = h.node
+    LEFT JOIN a{iters} a ON n.node = a.node""")
+    return "".join(parts)
+
+
+@query("hits_nation_trade", _hits_oracle(3))
+def hits_nation_trade(spark, sf_dir):
+    """HITS hubs & authorities (graph.hits_fixed_point, Kleinberg
+    JACM'99) over the directed nation trade graph — customer nations
+    that buy broadly are hubs, supplier nations bought-from broadly are
+    authorities; PageRank conflates the two roles. Max-normalized
+    integer iteration, DECIMAL(38,0) sums; the oracle replays all 3
+    rounds with HUGEINT arithmetic, bit-exact."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    return gr.hits_fixed_point(edges, iterations=3)

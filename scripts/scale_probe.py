@@ -812,6 +812,14 @@ def main() -> None:
         ).save()
     timed("modularity_1m_edges", n_lp_edges, modq)
 
+    # 54. HITS (3 iterations) on the 1M-edge hash graph: two key joins +
+    #     two sums + two broadcast max-normalizations per round
+    def hits():
+        gr.hits_fixed_point(lp_edges, iterations=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("hits_3iter_1m_edges", n_lp_edges, hits)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -235,3 +235,26 @@ def test_modularity_single_community_is_near_zero_bound(spark):
     )
     row = G.modularity(edges, labels).collect()[0]
     assert row["modularity"] == 0.0
+
+
+def test_hits_star_separates_roles(spark):
+    # 1,2,3 -> 0: node 0 is the pure authority, 1-3 pure equal hubs.
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0)])
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"]) for r in
+           G.hits_fixed_point(e, iterations=2).collect()}
+    s = 10 ** 12
+    assert got[0] == (0, s)
+    assert got[1] == got[2] == got[3] == (s, 0)
+
+
+def test_hits_chain_hub_and_authority_mix(spark):
+    # 1 -> 2 -> 3: node 2 is both a (weaker) authority and the only
+    # co-equal hub; max-normalization pins the top of each role at scale.
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"]) for r in
+           G.hits_fixed_point(e, iterations=3).collect()}
+    s = 10 ** 12
+    assert max(h for h, _ in got.values()) == s
+    assert max(a for _, a in got.values()) == s
+    assert got[3][0] == 0   # 3 points at nothing: zero hub
+    assert got[1][1] == 0   # nothing points at 1: zero authority
