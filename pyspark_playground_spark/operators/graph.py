@@ -842,3 +842,58 @@ def hits_fixed_point(
             F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("auth_scaled"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS distance labels up to ``max_hops`` over the
+    undirected graph — the neighborhood-expansion primitive: the blast
+    radius of a contaminated dedup cluster, k-hop ego networks around
+    flagged entities, "how far does this template spread".
+
+    Level-synchronous frontier expansion: hop ``h``'s frontier is the
+    neighbors of hop ``h−1``'s not yet labeled (anti-join against the
+    visited set), so every node is labeled with its TRUE shortest-path
+    distance ≤ max_hops from the nearest seed. ``max_hops`` is a fixed
+    round count — a deterministic function of the input on any graph,
+    which keeps the unrolled oracle exact (late rounds with an empty
+    frontier are no-ops).
+
+    Plan shape per hop: one key join (frontier onto the symmetric edge
+    list), one anti-join against visited, one distinct — all node-keyed
+    shuffles; frontier and visited are materialized per round (the CC
+    precedent). Seeds not present in any edge still label at distance 0.
+
+    Output: (node, distance) for every node within max_hops of a seed.
+    """
+    und = _canonical_edges(edges, src, dst)
+    sym = _materialize(
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        checkpoint_dir,
+    )
+    visited = _materialize(
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("distance", F.lit(0)),
+        checkpoint_dir,
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(h))
+        )
+        nxt = _materialize(nxt, checkpoint_dir)
+        visited = _materialize(visited.union(nxt), checkpoint_dir)
+        frontier = nxt.select("node")
+    return visited

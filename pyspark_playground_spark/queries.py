@@ -11429,3 +11429,49 @@ def hits_nation_trade(spark, sf_dir):
         )
     )
     return gr.hits_fixed_point(edges, iterations=3)
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    """Unrolled level-synchronous BFS over the chain+skip doc graph from
+    each source's minimum doc_id; MATERIALIZED CTEs (the k-core lesson:
+    DuckDB inlines recursive references exponentially otherwise)."""
+    parts = ["""
+    WITH d AS (SELECT source, doc_id, lead(doc_id) OVER w AS n1, lead(doc_id,2) OVER w AS n2
+               FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+     e0 AS (SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+            UNION SELECT doc_id, n2 FROM d WHERE n2 IS NOT NULL),
+     e AS MATERIALIZED (SELECT DISTINCT greatest(a,b) AS u, least(a,b) AS v
+                        FROM e0 WHERE a <> b),
+     sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+     v0 AS MATERIALIZED (SELECT min(doc_id) AS node, CAST(0 AS INT) AS distance
+                         FROM documents GROUP BY source)"""]
+    for h in range(1, max_hops + 1):
+        prev = f"v{h - 1}"
+        parts.append(f""",
+    f{h} AS MATERIALIZED (
+      SELECT DISTINCT s.v AS node
+      FROM sym s JOIN {prev} p ON s.u = p.node AND p.distance = {h - 1}
+      WHERE s.v NOT IN (SELECT node FROM {prev})
+    ),
+    v{h} AS MATERIALIZED (
+      SELECT node, distance FROM {prev}
+      UNION ALL SELECT node, CAST({h} AS INT) FROM f{h}
+    )""")
+    parts.append(f"\n    SELECT node, distance FROM v{max_hops}")
+    return "".join(parts)
+
+
+@query("bfs_distances_documents", _bfs_oracle(4))
+def bfs_distances_documents(spark, sf_dir):
+    """Multi-source BFS (graph.bfs_distances): shortest-path distance
+    ≤ 4 hops from each source's minimum doc over the chain+skip doc
+    graph — the blast-radius / k-hop-ego primitive. Level-synchronous
+    frontier expansion, one key join + anti-join + distinct per hop;
+    fixed hop count keeps the unrolled oracle exact on any data."""
+    docs = load(spark, sf_dir, "documents")
+    seeds = docs.groupBy("source").agg(F.min("doc_id").alias("node")).select(
+        "node"
+    )
+    return gr.bfs_distances(
+        _docgraph_edges(spark, sf_dir), seeds, max_hops=4
+    )

@@ -110,7 +110,7 @@ HEADLINE = [
     "degree_census_documents", "assortativity_documents",
     "textrank_keywords_documents", "cosine_pair_histogram_embeddings",
     "ppr_nation_trade", "k_core_documents", "modularity_documents",
-    "lttb_events", "hits_nation_trade",
+    "lttb_events", "hits_nation_trade", "bfs_distances_documents",
 ]
 
 

@@ -820,6 +820,15 @@ def main() -> None:
         ).mode("overwrite").save()
     timed("hits_3iter_1m_edges", n_lp_edges, hits)
 
+    # 55. multi-source BFS (4 hops) on the 1M-edge hash graph, 1k seeds:
+    #     frontier join + anti-join + distinct per hop
+    def bfs():
+        seeds = spark.range(1000).select((F.col("id") * 500).alias("node"))
+        gr.bfs_distances(lp_edges, seeds, max_hops=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timed("bfs_4hops_1m_edges", n_lp_edges, bfs)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

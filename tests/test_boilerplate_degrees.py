@@ -258,3 +258,30 @@ def test_hits_chain_hub_and_authority_mix(spark):
     assert max(a for _, a in got.values()) == s
     assert got[3][0] == 0   # 3 points at nothing: zero hub
     assert got[1][1] == 0   # nothing points at 1: zero authority
+
+
+def test_bfs_distances_chain_and_unreached(spark):
+    # chain 1-2-3-4-5, seed {1}, max_hops=2: distances 0,1,2; nodes 4,5
+    # beyond the horizon are absent.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["distance"] for r in
+           G.bfs_distances(e, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    # seeds at both ends of a 5-chain: middle node gets the MIN distance.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {r["node"]: r["distance"] for r in
+           G.bfs_distances(e, seeds, max_hops=4).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_isolated_seed_labels_zero(spark):
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(9,)], "node bigint")
+    got = {r["node"]: r["distance"] for r in
+           G.bfs_distances(e, seeds, max_hops=3).collect()}
+    assert got == {9: 0}
