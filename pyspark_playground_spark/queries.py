@@ -11475,3 +11475,66 @@ def bfs_distances_documents(spark, sf_dir):
     return gr.bfs_distances(
         _docgraph_edges(spark, sf_dir), seeds, max_hops=4
     )
+
+
+@query(
+    "isotonic_calibration_documents",
+    """
+    WITH t AS (
+      SELECT n_chars AS s, (lang = 'en') AS y FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ), mm AS (SELECT min(s) AS lo, max(s) AS hi FROM t),
+    bb AS (
+      SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(19, CAST(floor(
+                         (CAST(t.s AS DOUBLE) - CAST(mm.lo AS DOUBLE)) * 20
+                         / (CAST(mm.hi AS DOUBLE) - CAST(mm.lo AS DOUBLE)))
+                       AS INT))
+             END AS bin, y
+      FROM t CROSS JOIN mm
+    ), base AS (
+      SELECT bin, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+      FROM bb GROUP BY bin
+    ), pre AS (
+      SELECT bin, n, n_pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(n_pos) OVER (ORDER BY bin) AS cp
+      FROM base
+    ), segs AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS rate
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+    ), inner_mm AS (
+      SELECT i.bin AS i, s.j, min(s.rate) AS mn
+      FROM pre i JOIN segs s ON s.j <= i.bin AND s.k >= i.bin
+      GROUP BY i.bin, s.j
+    ), fit AS (
+      SELECT i AS bin, max(mn) AS fitted FROM inner_mm GROUP BY i
+    )
+    SELECT p.bin, CAST(p.n AS BIGINT) AS n, CAST(p.n_pos AS BIGINT) AS n_pos,
+           CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS pos_rate,
+           f.fitted
+    FROM pre p JOIN fit f ON p.bin = f.bin
+    """,
+)
+def isotonic_calibration_documents(spark, sf_dir):
+    """Isotonic calibration (profiling.isotonic_calibration, Zadrozny &
+    Elkan KDD'02) of document length against lang='en' over 20 bins via
+    the Barlow minimax closed form — the exact PAVA solution with fully
+    parallel bounded joins (corpus work = one binning groupBy; the
+    bins³ minimax enumeration is model-sized). fitted is monotone in
+    bin; the oracle replays prefix sums, segment rates, and the
+    max-min."""
+    from pyspark_playground_spark.operators.profiling import (
+        isotonic_calibration,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return isotonic_calibration(
+        docs,
+        score_column="n_chars",
+        label_column=F.col("lang") == "en",
+        bins=20,
+    )

@@ -847,3 +847,44 @@ def test_functional_dependencies_census(spark):
     assert out["k->v2"]["holds"] is False
     assert out["k->v2"]["violating_groups"] == 1
     assert out["k->v2"]["max_images"] == 2
+
+
+def test_isotonic_calibration_matches_pava(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.profiling import (
+        isotonic_calibration,
+    )
+
+    # scores 0..3 land in 4 distinct bins (bins=4 over [0,3]); rates are
+    # 0.0, 1.0, 0.0, 1.0 — PAVA pools bins 1+2 into rate 0.5.
+    rows = (
+        [(0, False)] * 2
+        + [(1, True)] * 2
+        + [(2, False)] * 2
+        + [(3, True)] * 2
+    )
+    df = spark.createDataFrame(rows, "s int, y boolean")
+    out = {r["bin"]: r for r in isotonic_calibration(
+        df, score_column="s", label_column=F.col("y"), bins=4
+    ).collect()}
+    assert [out[b]["pos_rate"] for b in range(4)] == [0.0, 1.0, 0.0, 1.0]
+    fitted = [out[b]["fitted"] for b in range(4)]
+    assert fitted == [0.0, 0.5, 0.5, 1.0]
+    assert fitted == sorted(fitted)  # monotone by construction
+
+
+def test_isotonic_calibration_monotone_input_unchanged(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.profiling import (
+        isotonic_calibration,
+    )
+
+    rows = [(0, False)] * 4 + [(1, False), (1, True)] + [(2, True)] * 3
+    df = spark.createDataFrame(rows, "s int, y boolean")
+    out = {r["bin"]: r for r in isotonic_calibration(
+        df, score_column="s", label_column=F.col("y"), bins=3
+    ).collect()}
+    for b, r in out.items():
+        assert r["fitted"] == r["pos_rate"]  # already isotonic
