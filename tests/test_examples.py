@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.declarative_corpus_pipeline",
         "examples.release_gate_pipeline",
         "examples.embedding_curation_pipeline",
+        "examples.graph_diagnostics_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
