@@ -943,3 +943,78 @@ def lttb_downsample(
         F.col("__v").alias(value_column),
         F.col("__b").alias("bucket"),
     )
+
+
+def lagged_correlation(
+    df: DataFrame,
+    *,
+    index_column: str,
+    x_column: str,
+    y_column: str,
+    max_lag: int = 3,
+    value_decimals: int = 6,
+) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson r between series ``x_t`` and
+    ``y_{t+lag}`` for every lag in ``[-max_lag, max_lag]`` — the
+    which-metric-moves-first diagnostic (do views lead purchases? does
+    ingest volume lead error rate?). The argmax lag is the measured lead
+    time.
+
+    ``index_column`` is an integer time index (hour number, day number —
+    truncate upstream); rows are one observation per index. Per lag the
+    join is a key equi-join on the shifted index — the lag set is a
+    tiny exploded constant, so the whole family is ONE shuffle of the
+    (2·max_lag+1)-replicated frame, never a window over the full span.
+
+    Determinism: values are rounded to ``value_decimals`` and summed in
+    exact DECIMAL; every Pearson component (n, Σx, Σy, Σx², Σy², Σxy) is
+    order-independent; r is one fixed double expression from those
+    exact operands, NULL when either side has zero variance.
+
+    Output: (lag, n, r) for lags with ≥ 2 matched observations.
+    """
+    dec = f"decimal(18,{value_decimals})"
+    x = F.round(F.col(x_column).cast("double"), value_decimals).cast(dec)
+    y = F.round(F.col(y_column).cast("double"), value_decimals).cast(dec)
+    base = df.select(
+        F.col(index_column).cast("long").alias("__t"),
+        x.alias("__x"),
+        y.alias("__y"),
+    )
+    lags = df.sparkSession.createDataFrame(
+        [(g,) for g in range(-max_lag, max_lag + 1)], "lag int"
+    )
+    # x side replicated per lag, keyed on the shifted index so the join
+    # with the y side is a plain equi-join
+    xs = base.select("__t", "__x").crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("__t") + F.col("lag")).alias("__ty"), "__x"
+    )
+    ys = base.select(F.col("__t").alias("__ty"), "__y")
+    j = xs.join(ys, "__ty")
+    d2 = lambda c: (c * c).cast("decimal(38,12)")  # noqa: E731
+    agg = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,6)")).alias("__sx"),
+        F.sum(F.col("__y").cast("decimal(38,6)")).alias("__sy"),
+        F.sum(d2(F.col("__x"))).alias("__sxx"),
+        F.sum(d2(F.col("__y"))).alias("__syy"),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(38,12)")).alias(
+            "__sxy"
+        ),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return agg.filter(F.col("n") >= 2).select(
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("r"),
+    )

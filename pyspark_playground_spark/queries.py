@@ -11538,3 +11538,75 @@ def isotonic_calibration_documents(spark, sf_dir):
         label_column=F.col("lang") == "en",
         bins=20,
     )
+
+
+@query(
+    "lagged_correlation_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    hr AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS t,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM e GROUP BY 1
+    ),
+    base AS (
+      SELECT t,
+             CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS y
+      FROM hr
+    ),
+    lags AS (SELECT CAST(g.g - 3 AS INT) AS lag FROM range(7) g(g)),
+    j AS (
+      SELECT l.lag, b.x, b2.y
+      FROM base b CROSS JOIN lags l
+      JOIN base b2 ON b2.t = b.t + l.lag
+    ),
+    agg AS (
+      SELECT lag, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,6))) AS sx,
+             sum(CAST(y AS DECIMAL(38,6))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,12))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+      FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r
+    FROM agg WHERE n >= 2
+    """,
+)
+def lagged_correlation_events(spark, sf_dir):
+    """Lead-lag cross-correlation (temporal.lagged_correlation): Pearson
+    r between hourly view counts and purchase counts at lags −3..+3 —
+    the which-moves-first diagnostic. Lag family = one equi-join of the
+    7×-replicated tiny series; all Pearson components exact DECIMAL,
+    one fixed double expression, NULL on zero variance."""
+    e = load_events(spark, sf_dir)
+    hr = (
+        e.groupBy(
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+                / F.lit(3600000000)
+            ).cast("bigint").alias("t")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    return tp.lagged_correlation(
+        hr, index_column="t", x_column="x", y_column="y", max_lag=3
+    )

@@ -111,7 +111,7 @@ HEADLINE = [
     "textrank_keywords_documents", "cosine_pair_histogram_embeddings",
     "ppr_nation_trade", "k_core_documents", "modularity_documents",
     "lttb_events", "hits_nation_trade", "bfs_distances_documents",
-    "isotonic_calibration_documents",
+    "isotonic_calibration_documents", "lagged_correlation_events",
 ]
 
 

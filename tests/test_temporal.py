@@ -553,3 +553,30 @@ def test_lttb_downsample_deterministic_and_bounded(spark):
     for r in rows:
         buckets_per_key.setdefault(r["user_id"], set()).add(r["bucket"])
     assert all({-1, 4} <= b for b in buckets_per_key.values())
+
+
+def test_lagged_correlation_detects_shift(spark):
+    from pyspark_playground_spark.operators.temporal import lagged_correlation
+
+    # y is exactly x shifted by +2 index steps: r(lag=2) == 1.0 and is the
+    # unique maximal lag; r(0) is far lower on this aperiodic series.
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = [(t, xs[t], xs[t - 2] if t >= 2 else 0.0)
+            for t in range(len(xs))]
+    df = spark.createDataFrame(rows, "t bigint, x double, y double")
+    got = {r["lag"]: r["r"] for r in lagged_correlation(
+        df, index_column="t", x_column="x", y_column="y", max_lag=3
+    ).collect()}
+    assert abs(got[2] - 1.0) < 1e-9
+    assert all(got[g] < 0.999 for g in got if g != 2)
+
+
+def test_lagged_correlation_zero_variance_null(spark):
+    from pyspark_playground_spark.operators.temporal import lagged_correlation
+
+    rows = [(t, 5.0, float(t)) for t in range(6)]
+    df = spark.createDataFrame(rows, "t bigint, x double, y double")
+    got = {r["lag"]: r["r"] for r in lagged_correlation(
+        df, index_column="t", x_column="x", y_column="y", max_lag=1
+    ).collect()}
+    assert set(got.values()) == {None}
