@@ -1058,3 +1058,89 @@ def cosine_pair_histogram(
     return pairs.groupBy(
         F.floor(F.round(F.col("__cos"), 6) * 10).cast("int").alias("bin")
     ).agg(F.count(F.lit(1)).cast("int").alias("n_pairs"))
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    label_column: str = "label",
+    k: int = 1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, its ``k`` most-similar vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable; the hardest ones sit just across the
+    boundary). Standard practice in dense-retriever and embedding-model
+    training (cf. DPR/ANCE-style hard negatives).
+
+    Default scores all pairs exactly (the oracle-checkable baseline;
+    same regime note as :func:`brute_force_topk`); pass a candidate
+    pair frame ``(id_a, id_b)`` from :func:`lsh_candidate_pairs` /
+    :func:`embedding_near_dup_pairs` to bound scoring at 100 TB — the
+    label filter then applies to candidates only.
+
+    Plan shape: score → filter label mismatch → per-anchor top-k via a
+    key-partitioned row_number. Ties broken by neighbor id.
+
+    Output: (anchor_id, negative_id, cosine, rank) with rank ≤ k.
+    """
+    if candidates is None:
+        # all-pairs scoring (not brute_force_topk): the label filter must
+        # run BEFORE ranking, or a same-label neighbor could crowd a true
+        # hard negative out of the inner top-k
+        q = vectors.select(
+            F.col(id_column).alias("anchor_id"),
+            F.col(vector_column).alias("__qv"),
+            F.col(label_column).alias("__qlab"),
+        )
+        c = vectors.select(
+            F.col(id_column).alias("negative_id"),
+            F.col(vector_column).alias("__cv"),
+            F.col(label_column).alias("__clab"),
+        )
+        pairs = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("anchor_id") != F.col("negative_id"))
+            .filter(F.col("__qlab") != F.col("__clab"))
+            .select(
+                "anchor_id",
+                "negative_id",
+                cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            )
+        )
+    else:
+        ids = vectors.select(
+            F.col(id_column).alias("__id"),
+            F.col(vector_column).alias("__v"),
+            F.col(label_column).alias("__l"),
+        )
+        both = candidates.select("id_a", "id_b").union(
+            candidates.select(F.col("id_b"), F.col("id_a"))
+        )
+        pairs = (
+            both.join(ids, both["id_a"] == ids["__id"])
+            .select(
+                F.col("id_a").alias("anchor_id"),
+                F.col("id_b").alias("negative_id"),
+                F.col("__v").alias("__qv"),
+                F.col("__l").alias("__qlab"),
+            )
+            .join(ids, F.col("negative_id") == ids["__id"])
+            .filter(F.col("__qlab") != F.col("__l"))
+            .select(
+                "anchor_id",
+                "negative_id",
+                cosine_expr(F.col("__qv"), F.col("__v")).alias("cosine"),
+            )
+        )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )

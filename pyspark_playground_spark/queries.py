@@ -11610,3 +11610,36 @@ def lagged_correlation_events(spark, sf_dir):
     return tp.lagged_correlation(
         hr, index_column="t", x_column="x", y_column="y", max_lag=3
     )
+
+
+@query(
+    "hard_negatives_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+               FROM embeddings),
+         c AS (SELECT vec_id AS negative_id, embedding AS cv, label AS cl
+               FROM embeddings),
+         scored AS (
+           SELECT anchor_id, negative_id,
+                  {_DOT.format(a='qv', b='cv')}
+                    / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cosine
+           FROM c, q
+           WHERE anchor_id <> negative_id AND ql <> cl
+         )
+    SELECT anchor_id, negative_id, cosine,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, negative_id ASC)
+                AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 2
+    """,
+)
+def hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negative_mining): per
+    anchor, the 2 most-similar DIFFERENT-label vectors — the contrastive
+    training negatives that actually move the loss. Label filter runs
+    BEFORE ranking (a same-label neighbor must not crowd a true negative
+    out of the top-k). Exact baseline here; the 100 TB path passes LSH
+    candidate pairs, pinned equal on admitted pairs in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.hard_negative_mining(emb, k=2)

@@ -241,3 +241,29 @@ def test_cosine_pair_histogram_bins_and_determinism(spark):
     again = {r["bin"]: r["n_pairs"] for r in
              S.cosine_pair_histogram(df).collect()}
     assert again == got
+
+
+def test_hard_negative_mining_label_filter_before_rank(spark):
+    # v0 (label 0) is most similar to v1 (label 0) — same label, excluded;
+    # its hard negative must be v2 (label 1), not none.
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0], 0),
+            (2, [0.9, 0.3, 0.0], 1),
+            (3, [0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {r["anchor_id"]: r["negative_id"] for r in
+           S.hard_negative_mining(df, k=1).collect()}
+    assert got[0] == 2
+    assert got[1] == 2
+    assert got[2] in (0, 1)
+    # candidates path equals exact on the admitted pairs
+    cand = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    via = {r["anchor_id"]: r["negative_id"] for r in
+           S.hard_negative_mining(df, k=1, candidates=cand).collect()}
+    assert via[0] == 2 and via[1] == 2
