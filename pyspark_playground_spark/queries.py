@@ -11643,3 +11643,68 @@ def hard_negatives_embeddings(spark, sf_dir):
     candidate pairs, pinned equal on admitted pairs in tests."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.hard_negative_mining(emb, k=2)
+
+
+@query(
+    "windowed_isotonic_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    b AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE greatest(0, least(15,
+                         CAST(floor((e.value - mm.lo) * 16
+                                    / (mm.hi - mm.lo)) AS INT)))
+             END AS bin,
+             (event_type = 'purchase') AS y
+      FROM e CROSS JOIN mm
+      WHERE e.value IS NOT NULL AND e.event_type IS NOT NULL
+    ), base AS (
+      SELECT ws, bin, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+      FROM b GROUP BY ws, bin
+    ), pre AS (
+      SELECT ws, bin, n, n_pos,
+             sum(n) OVER (PARTITION BY ws ORDER BY bin) AS cn,
+             sum(n_pos) OVER (PARTITION BY ws ORDER BY bin) AS cp
+      FROM base
+    ), segs AS (
+      SELECT j.ws, j.bin AS j, k.bin AS k,
+             CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS rate
+      FROM pre j JOIN pre k ON j.ws = k.ws AND j.bin <= k.bin
+    ), inner_mm AS (
+      SELECT i.ws, i.bin AS i, s.j, min(s.rate) AS mn
+      FROM pre i JOIN segs s ON s.ws = i.ws
+                            AND s.j <= i.bin AND s.k >= i.bin
+      GROUP BY i.ws, i.bin, s.j
+    ), fit AS (
+      SELECT ws, i AS bin, max(mn) AS fitted FROM inner_mm GROUP BY ws, i
+    )
+    SELECT p.ws AS window_start, p.ws + INTERVAL 1 HOUR AS window_end,
+           p.bin, CAST(p.n AS BIGINT) AS n, CAST(p.n_pos AS BIGINT) AS n_pos,
+           CAST(p.n_pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS pos_rate,
+           f.fitted
+    FROM pre p JOIN fit f ON p.ws = f.ws AND p.bin = f.bin
+    """,
+)
+def windowed_isotonic_events(spark, sf_dir):
+    """The calibration monitor's batch twin (streaming/cdc.py
+    windowed_label_bins → isotonic_vs_bins): per-hour isotonic
+    calibration curve of the 16-bin-quantized event value against
+    purchase — the monitor family's sixth finish over the same additive
+    partials as the PSI/KS/CvM/JSD/AUC finishes; every post-partial
+    frame bounded per window."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_label_bins(
+        e,
+        bounds=bounds,
+        label_column=F.col("event_type") == "purchase",
+        bins=16,
+        window_duration="1 hour",
+    )
+    return stc.isotonic_vs_bins(parts)

@@ -1263,3 +1263,88 @@ def top_k_per_window(
         type_counts.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def isotonic_vs_bins(label_bins: DataFrame) -> DataFrame:
+    """Finish the calibration monitor: per-window isotonic calibration
+    curve from :func:`windowed_label_bins` partials — the monitor
+    family's sixth finish (drift watches the distribution, AUC watches
+    the ranking; this watches — and REPAIRS — the score's probability
+    calibration per window, via ``profiling.isotonic_calibration``'s
+    Barlow minimax closed form partitioned by window).
+
+    Every frame after the partials is bounded per window: a ≤ bins-row
+    prefix window (partitioned by the time window), a ≤ bins²-row
+    segment enumeration and a ≤ bins³-row minimax join — model-sized
+    per window, streaming-legal (partials are additive counts; this
+    finish runs on the sink table at read time, like the PSI/KS/JSD/AUC
+    finishes).
+
+    Output per (window, occupied bin): (window_start, window_end, bin,
+    n, n_pos, pos_rate, fitted) with ``fitted`` monotone in ``bin``
+    within each window.
+    """
+    from pyspark_playground_spark.operators.dedup import _materialize
+
+    base = _materialize(
+        label_bins.select(
+            "window_start",
+            "window_end",
+            "bin",
+            (F.col("n_pos") + F.col("n_neg")).alias("n"),
+            "n_pos",
+        )
+    )
+    wk = ["window_start", "window_end"]
+    w = Window.partitionBy(*wk).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pre = base.select(
+        *wk,
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("__cn"),
+        F.sum("n_pos").over(w).alias("__cp"),
+    )
+    k_side = pre.select(
+        *wk,
+        F.col("bin").alias("__k"),
+        F.col("__cn").alias("__cnk"),
+        F.col("__cp").alias("__cpk"),
+    )
+    j_side = pre.select(
+        *wk,
+        F.col("bin").alias("__j"),
+        (F.col("__cn") - F.col("n")).alias("__cnb"),
+        (F.col("__cp") - F.col("n_pos")).alias("__cpb"),
+    )
+    segs = k_side.join(j_side, wk).filter(F.col("__j") <= F.col("__k")).select(
+        *wk,
+        "__j",
+        "__k",
+        (
+            (F.col("__cpk") - F.col("__cpb")).cast("double")
+            / (F.col("__cnk") - F.col("__cnb")).cast("double")
+        ).alias("__rate"),
+    )
+    i_side = pre.select(*wk, F.col("bin").alias("__i"))
+    inner = (
+        i_side.join(segs, wk)
+        .filter((F.col("__j") <= F.col("__i")) & (F.col("__k") >= F.col("__i")))
+        .groupBy(*wk, "__i", "__j")
+        .agg(F.min("__rate").alias("__mn"))
+    )
+    fitted = inner.groupBy(*wk, "__i").agg(
+        F.max("__mn").alias("fitted")
+    ).withColumnRenamed("__i", "bin")
+    return pre.join(fitted, [*wk, "bin"]).select(
+        *wk,
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        "fitted",
+    )

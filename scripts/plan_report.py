@@ -112,7 +112,7 @@ HEADLINE = [
     "ppr_nation_trade", "k_core_documents", "modularity_documents",
     "lttb_events", "hits_nation_trade", "bfs_distances_documents",
     "isotonic_calibration_documents", "lagged_correlation_events",
-    "hard_negatives_embeddings",
+    "hard_negatives_embeddings", "windowed_isotonic_events",
 ]
 
 

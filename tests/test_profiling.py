@@ -888,3 +888,33 @@ def test_isotonic_calibration_monotone_input_unchanged(spark):
     ).collect()}
     for b, r in out.items():
         assert r["fitted"] == r["pos_rate"]  # already isotonic
+
+
+def test_windowed_isotonic_matches_per_window_pava(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    # two windows with opposite violation patterns; each must be pooled
+    # independently (fitted monotone WITHIN each window).
+    rows = []
+    h0, h1 = datetime(2026, 1, 1, 0), datetime(2026, 1, 1, 1)
+    # window 0: rates 0,1,0,1 over values 0..3 -> fitted 0,.5,.5,1
+    for v, y in [(0, False), (1, True), (2, False), (3, True)]:
+        rows += [(h0, float(v), "purchase" if y else "view")] * 2
+    # window 1: already isotonic 0, 1
+    rows += [(h1, 0.0, "view")] * 3 + [(h1, 3.0, "purchase")] * 3
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, value double, event_type string")
+    bounds = df.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_label_bins(
+        df, bounds=bounds,
+        label_column=F.col("event_type") == "purchase",
+        bins=4, window_duration="1 hour",
+    )
+    out = stc.isotonic_vs_bins(parts).collect()
+    w0 = {r["bin"]: r["fitted"] for r in out if r["window_start"] == h0}
+    w1 = {r["bin"]: r["fitted"] for r in out if r["window_start"] == h1}
+    assert [w0[b] for b in range(4)] == [0.0, 0.5, 0.5, 1.0]
+    assert w1 == {0: 0.0, 3: 1.0}
