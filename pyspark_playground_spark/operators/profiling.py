@@ -1950,3 +1950,53 @@ def isotonic_calibration(
     return pre.join(fitted, pre["bin"] == fitted["__i"]).select(
         "bin", "n", "n_pos", "pos_rate", "fitted"
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    *,
+    a_column: Column | str,
+    b_column: Column | str,
+) -> DataFrame:
+    """McNemar's paired test (McNemar, Psychometrika'47) between two
+    boolean labelers over the same rows — :func:`cohen_kappa`'s
+    companion: kappa scores the LEVEL of agreement, McNemar tests
+    whether the disagreements are ASYMMETRIC (labeler A keeps flipping
+    rows to positive that B calls negative — a bias, not noise; the
+    signal that one auto-labeler version drifted).
+
+    With discordant counts b (A=true, B=false) and c (A=false, B=true),
+    the chi-square statistic is ``(b − c)² / (b + c)`` — one exact
+    integer expression with a single double division (NULL when
+    b + c = 0: no disagreement, nothing to test). Rows with a NULL on
+    either side are excluded.
+
+    Plan: ONE aggregation (map-side combined). Output one row:
+    (n_rows, both_true, both_false, a_only, b_only, statistic).
+    """
+    a = (F.col(a_column) if isinstance(a_column, str) else a_column).cast(
+        "boolean"
+    )
+    b = (F.col(b_column) if isinstance(b_column, str) else b_column).cast(
+        "boolean"
+    )
+    t = df.select(a.alias("__a"), b.alias("__b")).filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("__a") & F.col("__b"), 1)).alias("both_true"),
+        F.count(F.when(~F.col("__a") & ~F.col("__b"), 1)).alias("both_false"),
+        F.count(F.when(F.col("__a") & ~F.col("__b"), 1)).alias("a_only"),
+        F.count(F.when(~F.col("__a") & F.col("__b"), 1)).alias("b_only"),
+    )
+    bc = F.col("a_only") + F.col("b_only")
+    diff = (F.col("a_only") - F.col("b_only")).cast("double")
+    return agg.select(
+        "n_rows",
+        "both_true",
+        "both_false",
+        "a_only",
+        "b_only",
+        F.when(bc > 0, diff * diff / bc.cast("double")).alias("statistic"),
+    )

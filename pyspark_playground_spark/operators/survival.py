@@ -145,3 +145,77 @@ def kaplan_meier(
             "%.9f", F.col("surv_scaled").cast("double") / F.lit(float(KM_SCALE))
         ).alias("survival_s"),
     )
+
+
+def nelson_aalen(
+    lifetimes: DataFrame,
+    *,
+    duration_column: str = "duration_hours",
+    died_column: str = "died",
+    term_decimals: int = 9,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over a lifetime frame — the
+    estimator-of-choice when the HAZARD (instantaneous churn rate), not
+    the survival probability, is the quantity of interest, and the
+    standard cross-check for :func:`kaplan_meier` (H(t) ≈ −ln S(t) when
+    both are healthy; divergence flags heavy ties or risk-set bugs)::
+
+        H(t) = Σ_{durations d ≤ t, deaths>0} deaths(d) / at_risk(d)
+
+    Determinism: each hazard increment is rounded to ``term_decimals``
+    and accumulated in exact DECIMAL through the same bounded
+    step-table fold as KM — order- and engine-stable; the cumulative
+    hazard renders as an exact decimal string.
+
+    Same plan as :func:`kaplan_meier`: one duration-level aggregation,
+    then array expressions over the value-cardinality-bounded step
+    table in a single row. Output per death-carrying duration:
+    (duration, deaths, at_risk, cum_hazard DECIMAL(28,9) — the
+    28-digit accumulator keeps the repeated decimal `+` within precision
+    38 so Spark never silently drops a digit of scale).
+    """
+    dd = lifetimes.groupBy(F.col(duration_column).alias("dur")).agg(
+        F.sum(F.col(died_column).cast("long")).alias("deaths"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    one = dd.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "deaths", "n"))).alias(
+            "arr"
+        )
+    )
+    enriched = one.select(
+        F.expr(
+            """
+            transform(arr, (x, i) -> struct(
+              x.dur AS dur,
+              x.deaths AS deaths,
+              aggregate(slice(arr, cast(i AS int) + 1, size(arr)),
+                        0L, (a, y) -> a + y.n) AS at_risk))
+            """
+        ).alias("arr2")
+    )
+    rows = enriched.select(
+        F.explode(
+            F.expr(
+                f"""
+                transform(arr2, (x, i) -> struct(
+                  x.dur AS duration,
+                  x.deaths AS deaths,
+                  x.at_risk AS at_risk,
+                  aggregate(slice(arr2, 1, cast(i AS int) + 1),
+                            CAST(0 AS DECIMAL(28,{term_decimals})),
+                            (a, y) -> CAST(a + CAST(round(
+                               CAST(y.deaths AS DOUBLE)
+                                 / CAST(y.at_risk AS DOUBLE),
+                               {term_decimals}) AS DECIMAL(20,{term_decimals}))
+                             AS DECIMAL(28,{term_decimals}))) AS cum_hazard))
+                """
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.duration").alias("duration"),
+        F.col("r.deaths").alias("deaths"),
+        F.col("r.at_risk").alias("at_risk"),
+        F.col("r.cum_hazard").alias("cum_hazard"),
+    ).filter(F.col("deaths") > 0)

@@ -11708,3 +11708,110 @@ def windowed_isotonic_events(spark, sf_dir):
         window_duration="1 hour",
     )
     return stc.isotonic_vs_bins(parts)
+
+
+@query(
+    "nelson_aalen_user_hazard",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS dur,
+             CAST((epoch_us(h.horizon) - epoch_us(max(ts)))
+                    > 24 * 3600000000 AS INT) AS died
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    dd AS (SELECT dur, sum(died) AS deaths, count(*) AS n FROM u GROUP BY dur),
+    d2 AS (
+      SELECT dur, deaths, sum(n) OVER (ORDER BY dur DESC) AS at_risk FROM dd
+    ),
+    cur AS (
+      SELECT d2.dur, d2.deaths, d2.at_risk,
+             (SELECT CAST(sum(CAST(round(CAST(d3.deaths AS DOUBLE)
+                                          / CAST(d3.at_risk AS DOUBLE), 9)
+                                   AS DECIMAL(20,9))) AS DECIMAL(28,9))
+              FROM d2 d3 WHERE d3.dur <= d2.dur) AS ch
+      FROM d2
+    )
+    SELECT dur AS duration, deaths, at_risk,
+           CAST(ch AS VARCHAR) AS cum_hazard_s
+    FROM cur WHERE deaths > 0
+    """,
+)
+def nelson_aalen_user_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (operators/survival.py
+    nelson_aalen) over the same censored user-lifetime frame as the
+    Kaplan-Meier entry — the instantaneous-churn-rate view and KM's
+    standard cross-check (H ≈ −ln S). Hazard increments rounded to 9
+    decimals and summed in exact DECIMAL(28,9) (precision chosen so the
+    repeated decimal + never saturates 38 and drops scale); the oracle
+    accumulates the same rounded terms per step."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(e, churn_horizon_hours=24)
+    na = sv.nelson_aalen(lt)
+    return na.select(
+        "duration",
+        "deaths",
+        "at_risk",
+        F.col("cum_hazard").cast("string").alias("cum_hazard_s"),
+    )
+
+
+@query(
+    "mcnemar_langid_events",
+    f"""
+    WITH t AS (
+      SELECT (lang = 'en') AS a,
+             (list_count(list_filter({_TOKS},
+                x -> x IN ({_STOPS}))) * 1000
+              >= len({_TOKS}) * 80) AS b
+      FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN a AND b THEN 1 END) AS BIGINT) AS both_true,
+           CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS BIGINT)
+             AS both_false,
+           CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS BIGINT) AS a_only,
+           CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS BIGINT) AS b_only,
+           CASE WHEN count(CASE WHEN a AND NOT b THEN 1 END)
+                   + count(CASE WHEN NOT a AND b THEN 1 END) > 0
+                THEN CAST((count(CASE WHEN a AND NOT b THEN 1 END)
+                            - count(CASE WHEN NOT a AND b THEN 1 END)) AS DOUBLE)
+                     * CAST((count(CASE WHEN a AND NOT b THEN 1 END)
+                            - count(CASE WHEN NOT a AND b THEN 1 END)) AS DOUBLE)
+                     / CAST((count(CASE WHEN a AND NOT b THEN 1 END)
+                            + count(CASE WHEN NOT a AND b THEN 1 END)) AS DOUBLE)
+           END AS statistic
+    FROM t
+    """,
+)
+def mcnemar_langid_events(spark, sf_dir):
+    """McNemar's paired test (profiling.mcnemar_test) between the
+    ground-truth lang='en' flag and the stopword-density language
+    heuristic (text.lang_id's en rule: ≥8% English stopwords) — the
+    kappa entry's companion: kappa scores agreement, this tests whether
+    the heuristic's errors are ASYMMETRIC (systematic bias vs noise).
+    One aggregation; exact integer counts, one double division."""
+    from pyspark_playground_spark.operators.profiling import mcnemar_test
+    from pyspark_playground_spark.operators.text import (
+        STOPWORDS_EN,
+        tokens_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = tokens_expr("text")
+    stop_n = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    )
+    heuristic_en = stop_n * 1000 >= F.size(toks) * 80
+    return mcnemar_test(
+        docs,
+        a_column=F.col("lang") == "en",
+        b_column=heuristic_en,
+    )

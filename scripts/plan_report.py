@@ -113,6 +113,7 @@ HEADLINE = [
     "lttb_events", "hits_nation_trade", "bfs_distances_documents",
     "isotonic_calibration_documents", "lagged_correlation_events",
     "hard_negatives_embeddings", "windowed_isotonic_events",
+    "nelson_aalen_user_hazard", "mcnemar_langid_events",
 ]
 
 

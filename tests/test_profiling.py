@@ -918,3 +918,25 @@ def test_windowed_isotonic_matches_per_window_pava(spark):
     w1 = {r["bin"]: r["fitted"] for r in out if r["window_start"] == h1}
     assert [w0[b] for b in range(4)] == [0.0, 0.5, 0.5, 1.0]
     assert w1 == {0: 0.0, 3: 1.0}
+
+
+def test_mcnemar_counts_and_statistic(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.profiling import mcnemar_test
+
+    rows = (
+        [(True, True)] * 4 + [(False, False)] * 3
+        + [(True, False)] * 5 + [(False, True)] * 1
+        + [(None, True)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, a_column="a", b_column="b").collect()[0]
+    assert (r["n_rows"], r["both_true"], r["both_false"]) == (13, 4, 3)
+    assert (r["a_only"], r["b_only"]) == (5, 1)
+    assert r["statistic"] == (5 - 1) ** 2 / 6
+
+    sym = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
+    assert mcnemar_test(sym, a_column="a", b_column="b").collect()[0][
+        "statistic"
+    ] is None

@@ -61,3 +61,27 @@ def test_user_lifetimes_duration_and_censoring(spark):
     }
     assert out[1]["duration_hours"] == 10 and out[1]["died"] == 1
     assert out[2]["duration_hours"] == 1 and out[2]["died"] == 0
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from decimal import Decimal
+
+    from pyspark_playground_spark.operators.survival import nelson_aalen
+
+    # durations: 1h (2 deaths of 5 at risk), 2h (1 death of 3), 3h
+    # (censored only -> excluded from output but thins the risk set)
+    rows = [
+        (1, 1, True), (2, 1, True), (3, 2, True),
+        (4, 2, False), (5, 3, False),
+    ]
+    lt = spark.createDataFrame(
+        rows, "user_id bigint, duration_hours bigint, died boolean"
+    )
+    got = {r["duration"]: r for r in nelson_aalen(lt).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["deaths"], got[1]["at_risk"]) == (2, 5)
+    assert (got[2]["deaths"], got[2]["at_risk"]) == (1, 3)
+    h1 = Decimal(str(round(2 / 5, 9)))
+    h2 = h1 + Decimal(str(round(1 / 3, 9)))
+    assert got[1]["cum_hazard"] == h1
+    assert got[2]["cum_hazard"] == h2
