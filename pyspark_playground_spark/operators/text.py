@@ -1366,3 +1366,52 @@ def bm25_scores(
             "bm25_score"
         ),
     )
+
+
+def good_turing_spectrum(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    max_r: int = 10,
+) -> DataFrame:
+    """Token frequency-of-frequencies spectrum with Good-Turing adjusted
+    counts (Good, Biometrika'53): ``n_r`` = how many distinct token
+    TYPES occur exactly ``r`` times, and for r ≤ ``max_r`` the adjusted
+    count ``r* = (r+1)·n_{r+1}/n_r`` — the language-modeling mass
+    estimate for unseen/rare events (n_1/N is the classic missing-mass
+    estimate) and the quickest data-quality read on a corpus' tail
+    (a censored spectrum — n_1 ≈ 0 — means the corpus was already
+    frequency-filtered upstream).
+
+    Plan: one token census (explode → groupBy token), one count on the
+    FREQUENCY value (cardinality ≤ distinct frequencies — tiny), and a
+    self-join of the spectrum on r+1 (bounded frame). The r* division
+    is one exact-integer double division. Exact everywhere.
+
+    Output: (r, n_r, r_star) for r ≤ max_r ordered by r; r_star NULL
+    when n_{r+1} is absent (spectrum gap — Good-Turing needs smoothing
+    there, which is the caller's modeling decision).
+    """
+    toks = df.select(
+        F.explode(tokens_expr(F.col(text_column))).alias("__tok")
+    )
+    census = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__r"))
+    spectrum = census.groupBy(F.col("__r").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("__n_next")
+    )
+    return (
+        spectrum.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            (
+                (F.col("r") + 1).cast("double")
+                * F.col("__n_next").cast("double")
+                / F.col("n_r").cast("double")
+            ).alias("r_star"),
+        )
+    )

@@ -11815,3 +11815,31 @@ def mcnemar_langid_events(spark, sf_dir):
         a_column=F.col("lang") == "en",
         b_column=heuristic_en,
     )
+
+
+@query(
+    "good_turing_documents",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ), census AS (
+      SELECT tok, count(*) AS r FROM toks GROUP BY tok
+    ), spectrum AS (
+      SELECT r, count(*) AS n_r FROM census GROUP BY r
+    )
+    SELECT s.r, s.n_r,
+           CAST(s.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
+             / CAST(s.n_r AS DOUBLE) AS r_star
+    FROM spectrum s LEFT JOIN spectrum nx ON nx.r = s.r + 1
+    WHERE s.r <= 10
+    """,
+)
+def good_turing_documents(spark, sf_dir):
+    """Good-Turing frequency spectrum (text.good_turing_spectrum,
+    Good'53): n_r token types at each count r ≤ 10 plus the adjusted
+    r* = (r+1)·n_{r+1}/n_r — the missing-mass / tail-health read on a
+    corpus (n_1 ≈ 0 flags upstream frequency filtering). One token
+    census + one frequency-value count + a bounded spectrum self-join;
+    r* is one exact-integer double division."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.good_turing_spectrum(docs)

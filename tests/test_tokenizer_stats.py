@@ -281,3 +281,17 @@ def test_bm25_idf_model_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_good_turing_spectrum_hand_computed(spark):
+    from pyspark_playground_spark.operators.text import good_turing_spectrum
+
+    # tokens: a×3, b×2, c×2, d×1, e×1, f×1 -> n_1=3, n_2=2, n_3=1
+    df = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c c d e f")], "doc_id bigint, text string"
+    )
+    got = {r["r"]: r for r in good_turing_spectrum(df).collect()}
+    assert {r: got[r]["n_r"] for r in got} == {1: 3, 2: 2, 3: 1}
+    assert got[1]["r_star"] == 2 * 2 / 3       # (1+1)*n_2/n_1
+    assert got[2]["r_star"] == 3 * 1 / 2       # (2+1)*n_3/n_2
+    assert got[3]["r_star"] is None            # spectrum gap at n_4
