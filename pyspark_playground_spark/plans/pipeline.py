@@ -37,6 +37,9 @@ Spec shape::
       - op: score_gate                 # refuse if the score stops ranking
         params: {score_column: quality_score, label_expr: "lang = 'en'",
                  min_auc: 0.6}
+      - op: calibration_gate           # refuse if the score's LEVEL drifts
+        params: {score_column: quality_score, label_expr: "lang = 'en'",
+                 max_ece: 0.1, bins: 10}
       - op: divergence_gate            # refuse if any source pair's token
         params: {max_jsd: 0.4}         #   JSD drifts past the threshold
       - op: agreement_gate             # refuse if labeler kappa drops
@@ -512,8 +515,44 @@ def _stage_boilerplate(df: DataFrame, spec: dict) -> DataFrame:
     return df.select(*passthrough).join(cleaned, id_column)
 
 
+def _stage_calibration_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Calibration gate: refuse to continue when the expected
+    calibration error of ``params.score_column`` (a probability-like
+    score) against the boolean ``params.label_expr`` exceeds
+    ``params.max_ece`` — score_gate's companion (AUC certifies the
+    RANKING; a miscalibrated score still breaks every absolute
+    threshold downstream stages apply). ECE = Σ (n_b/N)·|mean_score_b −
+    pos_rate_b| over ``params.bins`` reliability bins
+    (profiling.calibration_bins). Pass-through on success."""
+    from pyspark_playground_spark.operators.profiling import calibration_bins
+
+    p = dict(spec.get("params", {}))
+    score = p["score_column"]
+    label = F.expr(p["label_expr"])
+    max_ece = float(p.get("max_ece", 0.1))
+    bins = int(p.get("bins", 10))
+    b = calibration_bins(
+        df, score_column=score, label_column=label, bins=bins
+    )
+    row = b.agg(
+        F.sum(
+            F.col("n").cast("double")
+            * F.abs(F.col("mean_score") - F.col("pos_rate"))
+        ).alias("__w"),
+        F.sum("n").alias("__n"),
+    ).collect()[0]
+    ece = (row["__w"] / row["__n"]) if row["__n"] else None
+    if ece is not None and ece > max_ece:
+        raise ValueError(
+            f"calibration_gate: ECE({score} vs {p['label_expr']}) = "
+            f"{ece:.4f} > allowed {max_ece} over {bins} bins"
+        )
+    return df
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "boilerplate": _stage_boilerplate,
+    "calibration_gate": _stage_calibration_gate,
     "score_gate": _stage_score_gate,
     "privacy_gate": _stage_privacy_gate,
     "interleave": _stage_interleave,

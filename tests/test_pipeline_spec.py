@@ -409,3 +409,24 @@ def test_boilerplate_stage_matches_direct_call(spark):
     # non-text columns pass through untouched
     assert got[1]["source"] == "s1" and got[3]["source"] == "s1"
     assert got[1]["text"] == "alpha"
+
+
+def test_calibration_gate_passes_and_refuses(spark):
+    import pytest
+
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    # perfectly calibrated: score == empirical rate within each bin
+    good = spark.createDataFrame(
+        [(0.0, False)] * 5 + [(1.0, True)] * 5, "s double, y boolean"
+    )
+    spec = {"stages": [{"op": "calibration_gate", "params": {
+        "score_column": "s", "label_expr": "y", "max_ece": 0.05, "bins": 2}}]}
+    assert run_pipeline(good, spec).count() == 10
+
+    # systematically overconfident: score 0.9 but rate 0.5
+    bad = spark.createDataFrame(
+        [(0.9, True)] * 5 + [(0.9, False)] * 5, "s double, y boolean"
+    )
+    with pytest.raises(ValueError, match="calibration_gate"):
+        run_pipeline(bad, spec).count()
