@@ -987,3 +987,12 @@ def test_read_media_files_binary_ingestion(spark, tmp_path):
     # the ingested frame feeds the multimodal operators directly
     decoded = mm.fake_decode_image(small.select("path", "content"))
     assert decoded.count() == 1
+
+
+def test_fake_decode_arrow_twin_parity(docs):
+    # the mapInArrow lane must produce exactly the mapInPandas output
+    media = mm.attach_media_column(docs, "text").select("doc_id", "content")
+    via_pandas = sorted(map(tuple, mm.fake_decode_image(media).collect()))
+    via_arrow = sorted(map(tuple, mm.fake_decode_image_arrow(media).collect()))
+    assert via_arrow == via_pandas
+    assert len(via_arrow) == 5
