@@ -11843,3 +11843,71 @@ def good_turing_documents(spark, sf_dir):
     r* is one exact-integer double division."""
     docs = load(spark, sf_dir, "documents")
     return tx.good_turing_spectrum(docs)
+
+
+@query(
+    "autocorrelation_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    hr AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT) AS t,
+             count(*) AS x
+      FROM e GROUP BY 1
+    ),
+    base AS (
+      SELECT t, CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+      FROM hr
+    ),
+    lags AS (SELECT CAST(g.g AS INT) AS lag FROM range(25) g(g)),
+    j AS (
+      SELECT l.lag, b.x AS x, b2.x AS y
+      FROM base b CROSS JOIN lags l
+      JOIN base b2 ON b2.t = b.t + l.lag
+    ),
+    agg AS (
+      SELECT lag, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,6))) AS sx,
+             sum(CAST(y AS DECIMAL(38,6))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,12))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+      FROM j GROUP BY lag
+    )
+    SELECT lag, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r
+    FROM agg WHERE n >= 2
+    """,
+)
+def autocorrelation_events(spark, sf_dir):
+    """Autocorrelation function of hourly event volume at lags 0..24
+    (temporal.lagged_correlation with x = y — the ACF is the self case
+    of the lead-lag operator): the seasonality detector (a spike at lag
+    24 = daily cycle). Same exact-DECIMAL Pearson machinery; lag 0 pins
+    r = 1 as a built-in self-check."""
+    e = load_events(spark, sf_dir)
+    hr = e.groupBy(
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+            / F.lit(3600000000)
+        ).cast("bigint").alias("t")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    # ACF = lead-lag of the series against itself; negative lags are the
+    # mirror image, so only 0..24 is computed (max_lag trick: shift the
+    # series into the x/y roles of the same operator)
+    return tp.lagged_correlation(
+        hr.select("t", "x", F.col("x").alias("y")),
+        index_column="t",
+        x_column="x",
+        y_column="y",
+        max_lag=24,
+    ).filter(F.col("lag") >= 0)

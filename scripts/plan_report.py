@@ -114,7 +114,7 @@ HEADLINE = [
     "isotonic_calibration_documents", "lagged_correlation_events",
     "hard_negatives_embeddings", "windowed_isotonic_events",
     "nelson_aalen_user_hazard", "mcnemar_langid_events",
-    "good_turing_documents",
+    "good_turing_documents", "autocorrelation_events",
 ]
 
 
