@@ -1415,3 +1415,69 @@ def good_turing_spectrum(
             ).alias("r_star"),
         )
     )
+
+
+def keyness_scores(
+    df: DataFrame,
+    target,
+    *,
+    text_column: str = "text",
+    min_count: int = 2,
+    ln_decimals: int = 7,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Corpus keyness by Dunning log-likelihood (Dunning, CL'93): for
+    every token, G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] comparing the
+    TARGET slice (``target`` — a boolean Column) against the rest of
+    the corpus — the standard "what words make this subcorpus itself"
+    audit (source fingerprinting, contamination triage, register
+    drift), preferred over raw frequency ratios because it does not
+    explode on rare words.
+
+    a/b are the token's counts in target/rest, E its expected counts
+    from the marginals; zero-count sides contribute 0 (their limit).
+    Determinism: expectations are single double divisions of exact
+    integer products; each ln is rounded to ``ln_decimals`` before the
+    multiply (the cross-engine libm recipe); G² renders rounded to
+    ``out_decimals``. ``keyness_sign`` = +1 when the token is OVERUSED
+    in the target.
+
+    Plan: one token×side census (explode → groupBy token), one-row
+    totals broadcast, pure column expressions after — the census
+    envelope. ``min_count`` prunes the hapax tail before scoring.
+
+    Output: (token, n_target, n_rest, keyness_sign, g2) — rank with
+    ``orderBy(desc).limit(k)`` (TakeOrdered).
+    """
+    toks = df.select(
+        target.alias("__t"),
+        F.explode(tokens_expr(F.col(text_column))).alias("__tok"),
+    )
+    census = toks.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("b"),
+    ).filter(F.col("a") + F.col("b") >= min_count)
+    totals = census.agg(
+        F.sum("a").alias("__ta"), F.sum("b").alias("__tb")
+    )
+    j = census.crossJoin(F.broadcast(totals))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("__ta").cast("double"), F.col("__tb").cast("double")
+    tot = ta + tb
+    ea = ta * (a + b) / tot
+    eb = tb * (a + b) / tot
+    term_a = F.when(
+        F.col("a") > 0, a * F.round(F.log(a / ea), ln_decimals)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0, b * F.round(F.log(b / eb), ln_decimals)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("__tok").alias("token"),
+        F.col("a").alias("n_target"),
+        F.col("b").alias("n_rest"),
+        F.when(a * tb > b * ta, F.lit(1)).otherwise(F.lit(-1)).alias(
+            "keyness_sign"
+        ),
+        F.round(F.lit(2.0) * (term_a + term_b), out_decimals).alias("g2"),
+    )

@@ -11911,3 +11911,49 @@ def autocorrelation_events(spark, sf_dir):
         y_column="y",
         max_lag=24,
     ).filter(F.col("lag") >= 0)
+
+
+@query(
+    "keyness_src0_documents",
+    f"""
+    WITH toks AS (
+      SELECT (source = 'src0') AS t, unnest({_TOKS}) AS tok FROM documents
+    ), census AS (
+      SELECT tok,
+             sum(CASE WHEN t THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN t THEN 0 ELSE 1 END) AS b
+      FROM toks GROUP BY tok
+      HAVING sum(CASE WHEN t THEN 1 ELSE 0 END)
+           + sum(CASE WHEN t THEN 0 ELSE 1 END) >= 2
+    ), totals AS (
+      SELECT sum(a) AS ta, sum(b) AS tb FROM census
+    )
+    SELECT tok AS token,
+           CAST(a AS DOUBLE) AS n_target,
+           CAST(b AS DOUBLE) AS n_rest,
+           CASE WHEN CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+                   > CAST(b AS DOUBLE) * CAST(ta AS DOUBLE)
+                THEN 1 ELSE -1 END AS keyness_sign,
+           round(2.0 * (
+             (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * round(ln(
+                CAST(a AS DOUBLE)
+                / (CAST(ta AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                   / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))), 7)
+              ELSE 0.0 END)
+             + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * round(ln(
+                CAST(b AS DOUBLE)
+                / (CAST(tb AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                   / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))), 7)
+              ELSE 0.0 END)
+           ), 6) AS g2
+    FROM census, totals
+    """,
+)
+def keyness_src0_documents(spark, sf_dir):
+    """Dunning log-likelihood keyness (text.keyness_scores, Dunning
+    CL'93) of src0 against the rest of the corpus: which tokens make
+    the slice ITSELF — source fingerprinting / register-drift audit.
+    One token×side census + a one-row totals broadcast; each ln rounded
+    to 7 decimals (the cross-engine libm recipe), G² rendered at 6."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.keyness_scores(docs, F.col("source") == "src0")

@@ -295,3 +295,29 @@ def test_good_turing_spectrum_hand_computed(spark):
     assert got[1]["r_star"] == 2 * 2 / 3       # (1+1)*n_2/n_1
     assert got[2]["r_star"] == 3 * 1 / 2       # (2+1)*n_3/n_2
     assert got[3]["r_star"] is None            # spectrum gap at n_4
+
+
+def test_keyness_direction_and_magnitude(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.text import keyness_scores
+
+    # "spark" dominates the target slice, "duck" the rest; "both" is even.
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark both", "a"),
+            (2, "spark spark both", "a"),
+            (3, "duck duck duck both", "b"),
+            (4, "duck duck both", "b"),
+        ],
+        "doc_id bigint, text string, src string",
+    )
+    got = {r["token"]: r for r in
+           keyness_scores(df, F.col("src") == "a").collect()}
+    assert got["spark"]["keyness_sign"] == 1
+    assert got["duck"]["keyness_sign"] == -1
+    # the balanced token is the least key of the three
+    assert got["both"]["g2"] < got["spark"]["g2"]
+    assert got["both"]["g2"] < got["duck"]["g2"]
+    # zero-count side contributes its limit (term 0), not NaN
+    assert all(r["g2"] == r["g2"] for r in got.values())  # no NaN
