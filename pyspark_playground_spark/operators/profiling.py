@@ -2000,3 +2000,95 @@ def mcnemar_test(
         "b_only",
         F.when(bc > 0, diff * diff / bc.cast("double")).alias("statistic"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    *,
+    x_column: str,
+    y_column: str,
+) -> DataFrame:
+    """Exact tie-corrected Kendall's tau-b between two columns —
+    :func:`spearman_correlation`'s companion (Spearman correlates the
+    RANKS, Kendall counts pairwise ORDER agreements; tau is the more
+    robust of the two under heavy ties and the one with the direct
+    probabilistic reading: P(concordant) − P(discordant))::
+
+        tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n−1)/2 and
+    n1/n2 the tie corrections Σ t(t−1)/2 per distinct x / y value.
+
+    Exactness: all counts come from the (x, y) CELL census — C and D
+    are sums of n_i·n_j over cell pairs, so every quantity is an exact
+    integer widened to DECIMAL(38,0) (pair products overflow int64 at
+    scale); one double expression at the end. The cell self-join is
+    O(cells²) where cells = distinct (x, y) combinations — bounded by
+    value cardinality, not rows (the mutual-information cell-frame
+    envelope; pre-bin continuous domains upstream, as with drift_ks).
+
+    Output one row: (n_rows, n_cells, concordant_s, discordant_s,
+    tau_b) — exact counts as strings for the oracle; NULL tau when a
+    side is constant.
+    """
+    from pyspark_playground_spark.operators.dedup import _materialize
+
+    t = df.select(
+        F.col(x_column).alias("__x"), F.col(y_column).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    cells = _materialize(
+        t.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__n"))
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__n").alias("__nb"),
+    )
+    prod = (F.col("__na").cast("decimal(19,0)")
+            * F.col("__nb").cast("decimal(19,0)")).cast("decimal(38,0)")
+    pairs = a.join(b, F.col("__xb") > F.col("__xa")).select(
+        F.when(F.col("__yb") > F.col("__ya"), prod)
+        .otherwise(F.lit(0).cast("decimal(38,0)")).alias("__c"),
+        F.when(F.col("__yb") < F.col("__ya"), prod)
+        .otherwise(F.lit(0).cast("decimal(38,0)")).alias("__d"),
+    )
+    cd = pairs.agg(
+        F.coalesce(F.sum("__c"), F.lit(0).cast("decimal(38,0)")).alias("__C"),
+        F.coalesce(F.sum("__d"), F.lit(0).cast("decimal(38,0)")).alias("__D"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    half = lambda c: dec(c) * dec(c - 1) / 2  # noqa: E731  (exact: t(t-1) even)
+    tx_ = cells.groupBy("__x").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(half(F.col("__t"))).cast("decimal(38,0)").alias("__n1")
+    )
+    ty_ = cells.groupBy("__y").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(half(F.col("__t"))).cast("decimal(38,0)").alias("__n2")
+    )
+    nn = cells.agg(
+        F.sum("__n").alias("__nr"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).select(
+        "__nr", "n_cells",
+        half(F.col("__nr")).cast("decimal(38,0)").alias("__n0"),
+    )
+    j = (
+        nn.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx_))
+        .crossJoin(F.broadcast(ty_))
+    )
+    C, D = F.col("__C").cast("double"), F.col("__D").cast("double")
+    n0 = F.col("__n0").cast("double")
+    n1, n2 = F.col("__n1").cast("double"), F.col("__n2").cast("double")
+    return j.select(
+        F.col("__nr").cast("long").alias("n_rows"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("__C").cast("string").alias("concordant_s"),
+        F.col("__D").cast("string").alias("discordant_s"),
+        F.when(
+            ((n0 - n1) > 0) & ((n0 - n2) > 0),
+            (C - D) / F.sqrt((n0 - n1) * (n0 - n2)),
+        ).alias("tau_b"),
+    )

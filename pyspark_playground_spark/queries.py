@@ -11957,3 +11957,63 @@ def keyness_src0_documents(spark, sf_dir):
     to 7 decimals (the cross-engine libm recipe), G² rendered at 6."""
     docs = load(spark, sf_dir, "documents")
     return tx.keyness_scores(docs, F.col("source") == "src0")
+
+
+@query(
+    "kendall_tau_documents",
+    f"""
+    WITH t AS (
+      SELECT n_chars AS x, len({_TOKS}) AS y FROM documents
+      WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ), cells AS (
+      SELECT x, y, count(*) AS n FROM t GROUP BY x, y
+    ), cd AS (
+      SELECT
+        coalesce(sum(CASE WHEN b.y > a.y
+                     THEN CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS C,
+        coalesce(sum(CASE WHEN b.y < a.y
+                     THEN CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS D
+      FROM cells a JOIN cells b ON b.x > a.x
+    ), tx AS (
+      SELECT sum(CAST(tt AS HUGEINT) * CAST(tt - 1 AS HUGEINT) // 2) AS n1
+      FROM (SELECT x, sum(n) AS tt FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT sum(CAST(tt AS HUGEINT) * CAST(tt - 1 AS HUGEINT) // 2) AS n2
+      FROM (SELECT y, sum(n) AS tt FROM cells GROUP BY y)
+    ), nn AS (
+      SELECT sum(n) AS nr, count(*) AS n_cells,
+             CAST(sum(n) AS HUGEINT) * CAST(sum(n) - 1 AS HUGEINT) // 2 AS n0
+      FROM cells
+    )
+    SELECT CAST(nn.nr AS BIGINT) AS n_rows,
+           CAST(nn.n_cells AS BIGINT) AS n_cells,
+           CAST(CAST(cd.C AS DECIMAL(38,0)) AS VARCHAR) AS concordant_s,
+           CAST(CAST(cd.D AS DECIMAL(38,0)) AS VARCHAR) AS discordant_s,
+           CASE WHEN (CAST(nn.n0 AS DOUBLE) - CAST(tx.n1 AS DOUBLE)) > 0
+                 AND (CAST(nn.n0 AS DOUBLE) - CAST(ty.n2 AS DOUBLE)) > 0
+                THEN (CAST(cd.C AS DOUBLE) - CAST(cd.D AS DOUBLE))
+                     / sqrt((CAST(nn.n0 AS DOUBLE) - CAST(tx.n1 AS DOUBLE))
+                            * (CAST(nn.n0 AS DOUBLE) - CAST(ty.n2 AS DOUBLE)))
+           END AS tau_b
+    FROM nn, cd, tx, ty
+    """,
+)
+def kendall_tau_documents(spark, sf_dir):
+    """Exact tie-corrected Kendall tau-b (profiling.kendall_tau) between
+    document length and token count — the Spearman entry's companion
+    (rank correlation vs pairwise order agreement; tau is the robust one
+    under heavy ties). All counts exact integers from the bounded (x,y)
+    cell census (the mutual-information envelope); one double expression
+    at the end."""
+    from pyspark_playground_spark.operators.profiling import kendall_tau
+    from pyspark_playground_spark.operators.text import token_count_expr
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    t = docs.select(
+        F.col("n_chars").alias("x"), token_count_expr("text").alias("y")
+    )
+    return kendall_tau(t, x_column="x", y_column="y")

@@ -115,7 +115,7 @@ HEADLINE = [
     "hard_negatives_embeddings", "windowed_isotonic_events",
     "nelson_aalen_user_hazard", "mcnemar_langid_events",
     "good_turing_documents", "autocorrelation_events",
-    "keyness_src0_documents",
+    "keyness_src0_documents", "kendall_tau_documents",
 ]
 
 

@@ -940,3 +940,31 @@ def test_mcnemar_counts_and_statistic(spark):
     assert mcnemar_test(sym, a_column="a", b_column="b").collect()[0][
         "statistic"
     ] is None
+
+
+def test_kendall_tau_hand_computed(spark):
+    from pyspark_playground_spark.operators.profiling import kendall_tau
+
+    # x = [1,2,3,4], y = [1,3,2,4]: C=5, D=1, no ties -> tau = 4/6
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 4)], "x int, y int"
+    )
+    r = kendall_tau(df, x_column="x", y_column="y").collect()[0]
+    assert (r["concordant_s"], r["discordant_s"]) == ("5", "1")
+    assert abs(r["tau_b"] - 4 / 6) < 1e-12
+
+    # ties on both sides: x=[1,1,2,2], y=[1,2,1,2]:
+    # C=2, D=2? pairs: (1,1)-(2,1): x+,y0 tie -> neither; ... compute:
+    # concordant: (1,1)<(2,2) x2? cells: (1,1),(1,2),(2,1),(2,2) n=1 each
+    # C: (1,1)-(2,2)=1; D: (1,2)-(2,1)=1; n0=6, n1=2, n2=2 -> tau=0
+    df2 = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], "x int, y int"
+    )
+    r2 = kendall_tau(df2, x_column="x", y_column="y").collect()[0]
+    assert r2["tau_b"] == 0.0
+
+    # constant side -> NULL
+    df3 = spark.createDataFrame([(1, 5), (2, 5)], "x int, y int")
+    assert kendall_tau(df3, x_column="x", y_column="y").collect()[0][
+        "tau_b"
+    ] is None
