@@ -59,7 +59,7 @@ def main(sf_dir: str | None = None) -> None:
     print(
         f"k-anonymity: {gate['rows_below_k']}/{gate['n_rows']} rows below "
         f"k=5 across {gate['n_classes']} classes "
-        f"(worst re-identification risk {gate['max_reident_risk_s']})"
+        f"(worst re-identification risk {gate['max_reident_risk_q6']}e-6)"
     )
     ldiv = privacy.l_diversity_census(
         cust, [F.col("c_nationkey")], "c_mktsegment", l=2
@@ -103,8 +103,8 @@ def main(sf_dir: str | None = None) -> None:
         )
         row = rep.agg(
             F.count(F.lit(1)).alias("n_shards"),
-            F.sum((F.col("hhi_s") == "1.000000").cast("int")).alias("pure"),
-            F.max("hhi_s").alias("worst"),
+            F.sum((F.col("hhi_q6") == 1_000_000).cast("int")).alias("pure"),
+            F.max("hhi_q6").alias("worst"),
         ).collect()[0]
         print(
             f"shards ({name}): {row['n_shards']} shards, "
@@ -128,7 +128,7 @@ def main(sf_dir: str | None = None) -> None:
             last = steps[-1]
             print(
                 f"Kaplan-Meier: {len(steps)} churn steps, "
-                f"S({last['duration']}h) = {last['survival_s']} "
+                f"S({last['duration']}h) = {last['survival_q9']}e-9 "
                 f"({last['at_risk']} still at risk)"
             )
         else:

@@ -161,8 +161,8 @@ def shard_mixture_report(
 
     Plan: two map-side-combined aggregations — (shard, group) counts,
     folded per shard. HHI from exact integer count arithmetic
-    (``sum(n^2) / total^2``), rendered ``%.6f`` for a stable
-    cross-engine hash.
+    (``sum(n^2) / total^2``), quantized floor(x*1e6+0.5) -> BIGINT for a
+    tie-proof cross-engine hash.
     """
     counts = df.groupBy(shard_column, group_column).agg(
         F.count(F.lit(1)).alias("__n")
@@ -176,9 +176,10 @@ def shard_mixture_report(
         shard_column,
         "n_rows",
         "n_groups",
-        F.format_string(
-            "%.6f",
+        F.floor(
             F.col("__ssq").cast("double")
-            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
-        ).alias("hhi_s"),
+            / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("hhi_q6"),
     )

@@ -56,7 +56,8 @@ def k_anonymity_summary(
     """One-row release gate over the census: total rows, number of
     equivalence classes, classes and ROWS below ``k`` (the at-risk
     population), the smallest class, and the worst-case re-identification
-    probability ``1/min_class_size`` rendered as a stable string.
+    probability ``1/min_class_size`` quantized
+    floor(1e6/x+0.5) -> BIGINT (tie-proof across engines, unlike printf).
 
     Derived entirely from the census frame (one aggregation over the
     class-level rows — the second pass never rescans the input).
@@ -78,9 +79,9 @@ def k_anonymity_summary(
         "classes_below_k",
         "rows_below_k",
         "min_class_size",
-        F.format_string(
-            "%.6f", F.lit(1.0) / F.col("min_class_size").cast("double")
-        ).alias("max_reident_risk_s"),
+        F.floor(
+            F.lit(1e6) / F.col("min_class_size").cast("double") + F.lit(0.5)
+        ).cast("long").alias("max_reident_risk_q6"),
     )
 
 

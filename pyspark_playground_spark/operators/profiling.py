@@ -1722,8 +1722,8 @@ def gini_coefficient(
     DECIMAL(38,0) (a bigint sum overflows under ANSI mode at trillions
     of rank*value terms).
 
-    Returns one row: ``n_rows, total, gini_s`` (``%.6f``; NULL when the
-    total is zero).
+    Returns one row: ``n_rows, total, gini_q6`` (floor(x*1e6+0.5) ->
+    BIGINT, tie-proof across engines; NULL when the total is zero).
     """
     from pyspark_playground_spark.operators import packing as pk
 
@@ -1750,15 +1750,16 @@ def gini_coefficient(
             "total",
             F.when(
                 F.col("total") > 0,
-                F.format_string(
-                    "%.6f",
+                F.floor(
                     F.col("__num").cast("double")
                     / (
                         F.col("n_rows").cast("double")
                         * F.col("total").cast("double")
-                    ),
-                ),
-            ).alias("gini_s"),
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("gini_q6"),
         )
     )
 
@@ -1784,8 +1785,9 @@ def uncertainty_coefficient(
     rounded-ln + exact-DECIMAL-sum recipe keeps both engines
     bit-identical.
 
-    Returns one row ``(theil_u_s, mi_nats, hy_nats, n_rows, n_cells)``;
-    ``theil_u_s`` is NULL when H(Y) = 0 (a constant Y has nothing to
+    Returns one row ``(theil_u_q6, mi_nats, hy_nats, n_rows, n_cells)``
+    with the ratio quantized floor(x*1e6+0.5) -> BIGINT (tie-proof);
+    ``theil_u_q6`` is NULL when H(Y) = 0 (a constant Y has nothing to
     explain).
     """
     gy, n, joined, mi_term = _mi_cell_frame(df, x_column, y_column, ln_decimals)
@@ -1815,8 +1817,10 @@ def uncertainty_coefficient(
     return mi.crossJoin(F.broadcast(hy)).select(
         F.when(
             F.col("hy_nats") > 0,
-            F.format_string("%.6f", F.col("mi_nats") / F.col("hy_nats")),
-        ).alias("theil_u_s"),
+            F.floor(
+                F.col("mi_nats") / F.col("hy_nats") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("theil_u_q6"),
         "mi_nats",
         "hy_nats",
         "n_rows",

@@ -723,11 +723,12 @@ def prefix_energy_report(
         ],
     )
     aggs = [F.count(F.lit(1)).alias("n_vecs")] + [
-        F.format_string(
-            "%.6f",
+        F.floor(
             F.sum(f"__q{k}").cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(1e9)),
-        ).alias(f"energy_frac_{k}_s")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias(f"energy_frac_{k}_q6")
         for k in prefixes
     ]
     return quant.groupBy("label").agg(*aggs)

@@ -141,9 +141,7 @@ def kaplan_meier(
         "duration",
         "deaths",
         "at_risk",
-        F.format_string(
-            "%.9f", F.col("surv_scaled").cast("double") / F.lit(float(KM_SCALE))
-        ).alias("survival_s"),
+        F.col("surv_scaled").cast("long").alias("survival_q9"),
     )
 
 

@@ -1165,8 +1165,9 @@ def lang_corpus_stats(
     Plan: one token census (explode -> groupBy (lang, token), map-side
     combined), folded per language, joined to the per-language document
     aggregate — two shuffles on (lang, token) and lang, never a
-    corpus-sized window. Ratios render via ``%.6f`` for a stable
-    cross-engine hash; a zero-token language yields NULL ratios.
+    corpus-sized window. Ratios are quantized floor(x*1e6+0.5) -> BIGINT
+    for a tie-proof cross-engine hash; a zero-token language yields NULL
+    ratios.
     """
     lang = F.col(lang_column)
     base = df.where(lang.isNotNull())
@@ -1187,7 +1188,10 @@ def lang_corpus_stats(
     out = docs.join(vocab, "lang", "left")
     ratio = lambda a, b: F.when(  # noqa: E731
         F.col(b) > 0,
-        F.format_string("%.6f", F.col(a).cast("double") / F.col(b).cast("double")),
+        F.floor(
+            F.col(a).cast("double") / F.col(b).cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
     )
     return out.select(
         "lang",
@@ -1196,8 +1200,8 @@ def lang_corpus_stats(
         "n_chars",
         F.coalesce("n_types", F.lit(0)).alias("n_types"),
         F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
-        ratio("n_types", "n_tokens").alias("ttr_s"),
-        ratio("n_chars", "n_tokens").alias("chars_per_token_s"),
+        ratio("n_types", "n_tokens").alias("ttr_q6"),
+        ratio("n_chars", "n_tokens").alias("chars_per_token_q6"),
     )
 
 
@@ -1269,8 +1273,9 @@ def readability_scores(
     The quality-scoring feature family's complexity axis (length ratios
     say nothing about sentence structure). Zero-word documents yield a
     NULL score. All-codegen projections, zero shuffles; the score is
-    rendered ``%.4f`` from exact integer counts with one fixed op
-    order, so both engines hash identically.
+    quantized floor(x*1e4+0.5) -> BIGINT from exact integer counts with
+    one fixed op order, so both engines hash identically (tie-proof,
+    unlike printf).
     """
     words = token_count_expr(text_column)
     sentences = F.greatest(
@@ -1287,7 +1292,10 @@ def readability_scores(
         words.alias("n_words"),
         sentences.alias("n_sentences"),
         syllables.alias("n_syllables"),
-        F.when(words > 0, F.format_string("%.4f", score)).alias("flesch_s"),
+        F.when(
+            words > 0,
+            F.floor(score * F.lit(1e4) + F.lit(0.5)).cast("long"),
+        ).alias("flesch_q4"),
     )
 
 

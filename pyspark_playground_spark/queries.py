@@ -11,8 +11,11 @@ breaks the cross-engine hash):
 
 - fixed ``LOAD_TS`` instead of ``current_timestamp()``;
 - doubles never go through a bare string cast before hashing (Spark renders
-  ``1e22`` as ``1.0E22``, DuckDB as ``1e+22``) — ``format_string('%.2f')`` /
-  ``printf('%.2f')`` instead;
+  ``1e22`` as ``1.0E22``, DuckDB as ``1e+22``), and never through printf
+  either (C printf rounds half-even, Java ``format_string`` rounds HALF_UP —
+  they split at an exact dyadic tie like 0.125 at 2 decimals): quantize with
+  ``floor(x * 10^N + 0.5)`` → BIGINT on BOTH engines (IEEE primitives only)
+  and compare the integer;
 - double aggregates go through exact decimal arithmetic and are cast to
   double at the end, so both engines produce bit-identical sums regardless
   of row order;
@@ -122,24 +125,29 @@ def dv_hub_customer(spark, sf_dir):
     f"""
     SELECT md5(CAST(c_custkey AS VARCHAR)) AS "$__HKEY",
            md5(concat_ws(',', c_name, CAST(c_nationkey AS VARCHAR),
-                         c_mktsegment, printf('%.2f', c_acctbal))) AS "$__HDIFF",
+                         c_mktsegment,
+                         CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR))) AS "$__HDIFF",
            {LOAD_TS_SQL} AS "$__LOAD_DATE",
            c_name, c_nationkey, c_mktsegment,
-           printf('%.2f', c_acctbal) AS c_acctbal_s
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_c
     FROM customer
     """,
 )
 def dv_sat_customer(spark, sf_dir):
     """load_satellite (RawVault.py:913-951) with HDIFF over the attributes.
 
-    The money attribute is carried as a fixed-format string so the hash and
-    the value compare are render-stable across engines.
+    The money attribute is carried as quantized cents (floor(x*100+0.5)
+    BIGINT — IEEE primitives only) so the hash and the value compare are
+    tie-proof across engines (printf %.2f would round half-even in C but
+    HALF_UP in Java at an exact .xx5 tie).
     """
     staged = _staged(spark, sf_dir, "customer", ["c_custkey"]).withColumn(
-        "c_acctbal_s", F.format_string("%.2f", F.col("c_acctbal"))
+        "c_acctbal_c",
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long"),
     )
     return rv.satellite_rows(
-        staged, ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal_s"]
+        staged, ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal_c"]
     )
 
 
@@ -1294,7 +1302,8 @@ def dv_snapshot_at_events(spark, sf_dir):
     f"""
     WITH e AS ({EVENTS_N})
     SELECT event_type AS "$__GROUP",
-           md5(printf('%.6f', value)) AS "$__HDIFF",
+           md5(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS VARCHAR))
+             AS "$__HDIFF",
            ts AS "$__LOAD_DATE",
            user_id AS ID, value AS VALUE
     FROM e
@@ -1307,7 +1316,10 @@ def dv_active_code_ref_events(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     code_ref = events.select(
         F.col("event_type").alias(C.group()),
-        F.md5(F.format_string("%.6f", F.col("value"))).alias(C.hdiff()),
+        F.md5(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long").cast("string")
+        ).alias(C.hdiff()),
         F.col("ts").alias(C.load_date()),
         F.col("user_id").alias("ID"),
         F.col("value").alias("VALUE"),
@@ -1368,7 +1380,7 @@ def dv_curated_orders_user_enrichment(spark, sf_dir):
     "dv_linked_customer_orders",
     """
     SELECT c_custkey, c_name, o_orderkey,
-           printf('%.2f', o_totalprice) AS total_s,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
            o_orderdate AS "$__LOAD_DATE",
            CAST(NULL AS TIMESTAMP) AS "$__LOAD_END_DATE"
     FROM customer JOIN orders ON o_custkey = c_custkey
@@ -1395,7 +1407,8 @@ def dv_linked_customer_orders(spark, sf_dir):
     to_df = orders.select(
         hash_key(["o_orderkey"]).alias(C.hkey()),
         "o_orderkey",
-        F.format_string("%.2f", F.col("o_totalprice")).alias("total_s"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("total_c"),
         F.col("o_orderdate").alias(ld),
         F.lit(None).cast("timestamp").alias(led),
     )
@@ -1404,7 +1417,7 @@ def dv_linked_customer_orders(spark, sf_dir):
         from_hkey_column=C.hkey_of("customer"),
         to_hkey_column=C.hkey_of("orders"),
     )
-    return zipped.select("c_custkey", "c_name", "o_orderkey", "total_s", ld, led)
+    return zipped.select("c_custkey", "c_name", "o_orderkey", "total_c", ld, led)
 
 
 @query(
@@ -1489,7 +1502,9 @@ def events_session_windows_30m(spark, sf_dir):
 @query(
     "top10_orders_by_price",
     """
-    SELECT o_orderkey, printf('%.2f', o_totalprice) AS total_s, o_orderdate
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+           o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 10
@@ -1503,7 +1518,8 @@ def top10_orders_by_price(spark, sf_dir):
         .limit(10)
         .select(
             "o_orderkey",
-            F.format_string("%.2f", F.col("o_totalprice")).alias("total_s"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long").alias("total_c"),
             "o_orderdate",
         )
     )
@@ -1534,23 +1550,28 @@ def customers_without_orders(spark, sf_dir):
     "all_parties_union",
     """
     SELECT 'customer' AS party_type, c_name AS name,
-           printf('%.2f', c_acctbal) AS acctbal_s
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
     FROM customer
     UNION ALL
-    SELECT 'supplier', s_name, printf('%.2f', s_acctbal) FROM supplier
+    SELECT 'supplier', s_name,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+    FROM supplier
     """,
 )
 def all_parties_union(spark, sf_dir):
     """Union (reference U1): positional union of two entity tables."""
+    cents = lambda c: (  # noqa: E731 — floor(x*100+0.5): tie-proof cents
+        F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    )
     c = load(spark, sf_dir, "customer").select(
         F.lit("customer").alias("party_type"),
         F.col("c_name").alias("name"),
-        F.format_string("%.2f", F.col("c_acctbal")).alias("acctbal_s"),
+        cents("c_acctbal").alias("acctbal_c"),
     )
     s = load(spark, sf_dir, "supplier").select(
         F.lit("supplier").alias("party_type"),
         F.col("s_name").alias("name"),
-        F.format_string("%.2f", F.col("s_acctbal")).alias("acctbal_s"),
+        cents("s_acctbal").alias("acctbal_c"),
     )
     return c.unionByName(s)
 
@@ -2199,19 +2220,21 @@ from pyspark_playground_spark.operators import funnel as fu  # noqa: E402
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
     )
     SELECT doc_id, term_rank, term, tf, doc_freq,
-           printf('%.4f', score) AS score_s
+           CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_q4
     FROM ranked WHERE term_rank <= 5
     """,
 )
 def tfidf_top_terms_documents(spark, sf_dir):
     """Corpus TF-IDF, top-5 distinctive terms per doc (text.py
     tf_idf_top_terms): all-integer ranking key so cross-engine order is
-    exact; the float score itself is rendered at 4 decimals."""
+    exact; the float score is quantized floor(x*1e4+0.5) → BIGINT (IEEE
+    primitives only — printf would tie-break half-even vs HALF_UP)."""
     docs = load(spark, sf_dir, "documents")
     out = tx.tf_idf_top_terms(docs, k=5)
     return out.select(
         "doc_id", "term_rank", "term", "tf", "doc_freq",
-        F.format_string("%.4f", F.col("score")).alias("score_s"),
+        F.floor(F.col("score") * F.lit(1e4) + F.lit(0.5))
+        .cast("long").alias("score_q4"),
     )
 
 
@@ -2847,7 +2870,7 @@ def outlier_docs_by_source(spark, sf_dir):
     SELECT event_type,
            count(*) AS n,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -2967,22 +2990,23 @@ def cusum_drift_users(spark, sf_dir):
       SELECT user_id, event_type, count(*) AS nt
       FROM e GROUP BY user_id, event_type
     ), g AS (
-      SELECT user_id, sum(nt) AS n_rows, count(*) AS n_categories,
+      SELECT user_id, CAST(sum(nt) AS BIGINT) AS n_rows, count(*) AS n_categories,
              sum(CAST(round(CAST(nt AS DOUBLE) * ln(CAST(nt AS DOUBLE)), 7)
                       AS DECIMAL(28,9))) AS s
       FROM c GROUP BY user_id
     )
     SELECT user_id, n_rows, n_categories,
-           printf('%.6f', ln(CAST(n_rows AS DOUBLE)) - CAST(s AS DOUBLE) / n_rows)
-             AS entropy_nats_s
+           CAST(floor((ln(CAST(n_rows AS DOUBLE)) - CAST(s AS DOUBLE) / n_rows)
+                      * 1e6 + 0.5) AS BIGINT) AS entropy_q6
     FROM g
     """,
 )
 def event_entropy_users(spark, sf_dir):
     """Per-user Shannon entropy of the event-type distribution
     (profiling.group_entropy): behavioral-diversity signal — H = ln(n) -
-    (Σ nt·ln nt)/n with the ln terms rounded then summed in exact DECIMAL
-    so the cross-engine hash is stable. Two map-side-combined groupBys,
+    (Σ nt·ln nt)/n with the ln terms rounded then summed in exact DECIMAL,
+    and the final double quantized floor(x*1e6+0.5) → BIGINT so the
+    cross-engine hash is tie-proof. Two map-side-combined groupBys,
     nothing else."""
     e = load_events(spark, sf_dir)
     out = pf.group_entropy(
@@ -2990,7 +3014,8 @@ def event_entropy_users(spark, sf_dir):
     )
     return out.select(
         "user_id", "n_rows", "n_categories",
-        F.format_string("%.6f", F.col("entropy_nats")).alias("entropy_nats_s"),
+        F.floor(F.col("entropy_nats") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("entropy_q6"),
     )
 
 
@@ -3500,10 +3525,10 @@ def q10_style_returned_item_customers(spark, sf_dir):
     "q12_style_priority_by_linestatus",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -4081,7 +4106,8 @@ def approx_percentile_bound_orders(spark, sf_dir):
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(CASE WHEN freq.n <= 2 THEN 1 ELSE 0 END) AS n_rare_tokens,
+           CAST(sum(CASE WHEN freq.n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare_tokens,
            count(DISTINCT CASE WHEN freq.n <= 2 THEN tok.t END)
              AS n_rare_distinct
     FROM tok JOIN freq ON tok.t = freq.t
@@ -4392,10 +4418,10 @@ def incremental_minhash_pairs_documents(spark, sf_dir):
     """
     WITH w AS (
       SELECT l_linestatus,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS high_line_count,
-             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS low_line_count
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -4901,8 +4927,9 @@ def embedding_dim_stats(spark, sf_dir):
     )
     SELECT vec_id,
            array_to_string(
-             [printf('%.6f', (CAST(e[i+1] AS DOUBLE) - means[i+1]) / stds[i+1])
-              FOR i IN range(len(e))], ',') AS z_s
+             [CAST(CAST(floor(((CAST(e[i+1] AS DOUBLE) - means[i+1])
+                               / stds[i+1]) * 1e6 + 0.5) AS BIGINT) AS VARCHAR)
+              FOR i IN range(len(e))], ',') AS z_q6
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          stats
     """,
@@ -4910,16 +4937,22 @@ def embedding_dim_stats(spark, sf_dir):
 def standardize_embeddings(spark, sf_dir):
     """Per-dimension z-score standardization
     (sampling.standardize_embeddings): exact-moment mean/std broadcast
-    back over the vectors with zip_with. Rendered %.6f-joined for the
-    cross-engine hash (the normalize_quantize lesson: never hash bare
-    double strings)."""
+    back over the vectors with zip_with. Each z is quantized
+    floor(x*1e6+0.5) → BIGINT then joined for the cross-engine hash (the
+    normalize_quantize lesson: never hash bare double strings — and
+    printf would tie-break half-even vs HALF_UP)."""
     emb = load(spark, sf_dir, "embeddings")
     z = sp.standardize_embeddings(emb)
     return z.select(
         "vec_id",
         F.concat_ws(
-            ",", F.transform(F.col("z"), lambda v: F.format_string("%.6f", v))
-        ).alias("z_s"),
+            ",",
+            F.transform(
+                F.col("z"),
+                lambda v: F.floor(v * F.lit(1e6) + F.lit(0.5))
+                .cast("long").cast("string"),
+            ),
+        ).alias("z_q6"),
     )
 
 
@@ -9007,7 +9040,8 @@ def event_type_map_per_user(spark, sf_dir):
     WITH c AS (
       SELECT o_orderpriority,
              count(*) AS n,
-             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
       FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n, k,
@@ -9884,14 +9918,15 @@ def k_anonymity_customers(spark, sf_dir):
       GROUP BY c_nationkey, c_mktsegment,
                CAST(floor(c_acctbal / 1000.0) AS INT)
     )
-    SELECT sum(group_size) AS n_rows,
+    SELECT CAST(sum(group_size) AS BIGINT) AS n_rows,
            count(*) AS n_classes,
-           sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS classes_below_k,
-           sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
-             AS rows_below_k,
+           CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_below_k,
            min(group_size) AS min_class_size,
-           printf('%.6f', 1.0 / CAST(min(group_size) AS DOUBLE))
-             AS max_reident_risk_s
+           CAST(floor(1e6 / CAST(min(group_size) AS DOUBLE) + 0.5) AS BIGINT)
+             AS max_reident_risk_q6
     FROM census
     """,
 )
@@ -9952,11 +9987,12 @@ def l_diversity_orders(spark, sf_dir):
       FROM base, UNNEST(toks) AS u(token)
       GROUP BY lang, u.token
     ), vocab AS (
-      SELECT lang, count(*) AS n_types, sum(n) AS n_tokens,
-             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+      SELECT lang, count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
       FROM census GROUP BY lang
     ), docs AS (
-      SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
       FROM base GROUP BY lang
     )
     SELECT d.lang, d.n_docs,
@@ -9964,12 +10000,12 @@ def l_diversity_orders(spark, sf_dir):
            d.n_chars,
            coalesce(v.n_types, 0) AS n_types,
            coalesce(v.n_hapax, 0) AS n_hapax,
-           CASE WHEN v.n_tokens > 0 THEN printf('%.6f',
-             CAST(v.n_types AS DOUBLE) / CAST(v.n_tokens AS DOUBLE)) END
-             AS ttr_s,
-           CASE WHEN v.n_tokens > 0 THEN printf('%.6f',
-             CAST(d.n_chars AS DOUBLE) / CAST(v.n_tokens AS DOUBLE)) END
-             AS chars_per_token_s
+           CASE WHEN v.n_tokens > 0 THEN CAST(floor(
+             CAST(v.n_types AS DOUBLE) / CAST(v.n_tokens AS DOUBLE) * 1e6
+             + 0.5) AS BIGINT) END AS ttr_q6,
+           CASE WHEN v.n_tokens > 0 THEN CAST(floor(
+             CAST(d.n_chars AS DOUBLE) / CAST(v.n_tokens AS DOUBLE) * 1e6
+             + 0.5) AS BIGINT) END AS chars_per_token_q6
     FROM docs d LEFT JOIN vocab v USING (lang)
     """,
 )
@@ -10094,9 +10130,10 @@ def label_propagation_documents(spark, sf_dir):
     ), c AS (
       SELECT shard, source, count(*) AS n FROM s GROUP BY shard, source
     )
-    SELECT shard, sum(n) AS n_rows, count(*) AS n_groups,
-           printf('%.6f', CAST(sum(n * n) AS DOUBLE)
-             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))) AS hhi_s
+    SELECT shard, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+           CAST(floor(CAST(sum(n * n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT) AS hhi_q6
     FROM c GROUP BY shard
     """,
 )
@@ -10165,9 +10202,10 @@ def interleave_sources_documents(spark, sf_dir):
     )
     SELECT CAST(t.n AS BIGINT) AS n_rows,
            CAST(t.s AS BIGINT) AS total,
-           CASE WHEN t.s > 0 THEN printf('%.6f',
+           CASE WHEN t.s > 0 THEN CAST(floor(
              CAST(sum((2 * i - t.n - 1) * v) AS DOUBLE)
-               / (CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE))) END AS gini_s
+               / (CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) END AS gini_q6
     FROM r CROSS JOIN t
     GROUP BY t.n, t.s
     """,
@@ -10218,7 +10256,8 @@ def gini_doc_lengths(spark, sf_dir):
       FROM gy CROSS JOIN n
     )
     SELECT CASE WHEN hy.hy_nats > 0
-                THEN printf('%.6f', mi.mi_nats / hy.hy_nats) END AS theil_u_s,
+                THEN CAST(floor(mi.mi_nats / hy.hy_nats * 1e6 + 0.5)
+                          AS BIGINT) END AS theil_u_q6,
            mi.mi_nats, hy.hy_nats, mi.n_rows, mi.n_cells
     FROM mi CROSS JOIN hy
     """,
@@ -10284,9 +10323,12 @@ def windowed_top_event_types(spark, sf_dir):
                     > 24 * 3600000000 AS INT) AS died
       FROM e CROSS JOIN h GROUP BY user_id, h.horizon
     ),
-    dd AS (SELECT dur, sum(died) AS deaths, count(*) AS n FROM u GROUP BY dur),
+    dd AS (SELECT dur, CAST(sum(died) AS BIGINT) AS deaths, count(*) AS n
+           FROM u GROUP BY dur),
     d2 AS (
-      SELECT dur, deaths, sum(n) OVER (ORDER BY dur DESC) AS at_risk FROM dd
+      SELECT dur, deaths,
+             CAST(sum(n) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk
+      FROM dd
     ),
     cur AS (
       SELECT d2.dur, d2.deaths, d2.at_risk,
@@ -10299,7 +10341,7 @@ def windowed_top_event_types(spark, sf_dir):
       FROM d2
     )
     SELECT dur AS duration, deaths, at_risk,
-           printf('%.9f', CAST(s AS DOUBLE) / 1e9) AS survival_s
+           CAST(s AS BIGINT) AS survival_q9
     FROM cur WHERE deaths > 0
     """,
 )
@@ -10332,11 +10374,12 @@ def kaplan_meier_user_survival(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, n_words, n_sentences, n_syllables,
-           CASE WHEN n_words > 0 THEN printf('%.4f',
+           CASE WHEN n_words > 0 THEN CAST(floor((
              206.835
              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
              - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
-           END AS flesch_s
+             * 1e4 + 0.5) AS BIGINT)
+           END AS flesch_q4
     FROM t
     """,
 )
@@ -10349,7 +10392,7 @@ def readability_documents(spark, sf_dir):
     zero shuffles."""
     docs = load(spark, sf_dir, "documents")
     return tx.readability_scores(docs).select(
-        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_s"
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_q4"
     )
 
 
@@ -10375,12 +10418,15 @@ def readability_documents(spark, sf_dir):
       FROM t WHERE tot > 0
     )
     SELECT label, count(*) AS n_vecs,
-           printf('%.6f', CAST(sum(q8) AS DOUBLE)
-             / (CAST(count(*) AS DOUBLE) * 1e9)) AS energy_frac_8_s,
-           printf('%.6f', CAST(sum(q16) AS DOUBLE)
-             / (CAST(count(*) AS DOUBLE) * 1e9)) AS energy_frac_16_s,
-           printf('%.6f', CAST(sum(q32) AS DOUBLE)
-             / (CAST(count(*) AS DOUBLE) * 1e9)) AS energy_frac_32_s
+           CAST(floor(CAST(sum(q8) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e9) * 1e6 + 0.5) AS BIGINT)
+             AS energy_frac_8_q6,
+           CAST(floor(CAST(sum(q16) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e9) * 1e6 + 0.5) AS BIGINT)
+             AS energy_frac_16_q6,
+           CAST(floor(CAST(sum(q32) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1e9) * 1e6 + 0.5) AS BIGINT)
+             AS energy_frac_32_q6
     FROM q GROUP BY label
     """,
 )
@@ -10411,18 +10457,19 @@ def prefix_energy_embeddings(spark, sf_dir):
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
     )
     SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
-           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS violating_groups,
+           CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
            max(nb) AS max_images,
            sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
     FROM c1
     UNION ALL
     SELECT 'o_custkey->o_orderstatus', count(*),
-           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), max(nb),
+           CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT), max(nb),
            sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
     FROM c2
     UNION ALL
     SELECT 'o_orderdate->o_orderpriority', count(*),
-           sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), max(nb),
+           CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT), max(nb),
            sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
     FROM c3
     """,
@@ -11722,9 +11769,12 @@ def windowed_isotonic_events(spark, sf_dir):
                     > 24 * 3600000000 AS INT) AS died
       FROM e CROSS JOIN h GROUP BY user_id, h.horizon
     ),
-    dd AS (SELECT dur, sum(died) AS deaths, count(*) AS n FROM u GROUP BY dur),
+    dd AS (SELECT dur, CAST(sum(died) AS BIGINT) AS deaths, count(*) AS n
+           FROM u GROUP BY dur),
     d2 AS (
-      SELECT dur, deaths, sum(n) OVER (ORDER BY dur DESC) AS at_risk FROM dd
+      SELECT dur, deaths,
+             CAST(sum(n) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk
+      FROM dd
     ),
     cur AS (
       SELECT d2.dur, d2.deaths, d2.at_risk,

@@ -21,6 +21,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def duck_frame(sf_dir: str, sql: str):
+    """Run an oracle SQL; return (pandas frame, [(col, duckdb_type_str)])."""
     import duckdb
 
     con = duckdb.connect()
@@ -28,7 +29,69 @@ def duck_frame(sf_dir: str, sql: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return con.execute(sql).fetchdf()
+    rel = con.sql(sql)
+    types = list(zip(rel.columns, (str(t) for t in rel.types)))
+    return rel.df(), types
+
+
+def lint_oracle_types(name, duck_types, spdf=None, ddf=None):
+    """Result-type lint (VERDICT r4 item 2): the driver hashes pandas
+    values, and DuckDB HUGEINT/UHUGEINT columns round-trip through pandas
+    as float64 ("99111.0" vs Spark's "99111") — a hash mismatch with
+    identical values. Catch the class before the rotation does:
+
+    - any HUGEINT/UHUGEINT oracle column is an error (CAST it AS BIGINT);
+    - a float64 oracle column whose Spark twin is integral is an error
+      (same rendering split, different route in).
+
+    Returns a list of problem strings (empty = clean).
+    """
+    problems = []
+    for col, ty in duck_types:
+        if "HUGEINT" in ty.upper():
+            problems.append(f"oracle col {col!r} is {ty} (CAST to BIGINT)")
+    if spdf is not None and ddf is not None:
+        for col in spdf.columns:
+            if col not in ddf.columns:
+                continue
+            sd, dd = str(spdf[col].dtype), str(ddf[col].dtype)
+            if dd.startswith("float") and (sd.startswith("int") or sd.startswith("uint")):
+                problems.append(
+                    f"oracle col {col!r} is {dd} but Spark returns {sd}"
+                )
+    return problems
+
+
+def lint_all(sf_dir: str) -> int:
+    """DuckDB-only fast pass: type-lint every registered oracle (no Spark).
+
+    Exit 1 on any HUGEINT/UHUGEINT result column or SQL error.
+    """
+    from pyspark_playground_spark import queries as Q
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = Q.oracle_sql()
+    bad = 0
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)
+            types = list(zip(rel.columns, (str(t) for t in rel.types)))
+        except Exception as e:  # noqa: BLE001
+            bad += 1
+            print(f"LINT-FAIL {name}: oracle SQL error: {e}")
+            continue
+        problems = lint_oracle_types(name, types)
+        if problems:
+            bad += 1
+            print(f"LINT-FAIL {name}: " + "; ".join(problems))
+    print(f"type lint: {len(oracles) - bad}/{len(oracles)} oracles clean")
+    return 1 if bad else 0
 
 
 def normalize(df):
@@ -68,8 +131,11 @@ def values_equal(a, b, float_tol=0.0):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--lint-types"]
+    if "--lint-types" in sys.argv[1:]:
+        return lint_all(argv[0] if argv else "/root/testdata/sf0.001")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from pyspark_playground_spark import queries as Q
     from pyspark_playground_spark.session import get_spark
@@ -92,10 +158,15 @@ def main():
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            ddf = duck_frame(sf_dir, oracles[name])
+            ddf, duck_types = duck_frame(sf_dir, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        lint = lint_oracle_types(name, duck_types, spdf=spdf, ddf=ddf)
+        if lint:
+            failures.append(name)
+            print(f"FAIL  {name}: type lint: " + "; ".join(lint))
             continue
         if len(spdf) != len(ddf):
             failures.append(name)

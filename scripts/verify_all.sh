@@ -6,6 +6,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 echo "== pytest =="
 python -m pytest tests/ -q
+echo "== oracle result-type lint (sf0.001, DuckDB-only) =="
+python scripts/check_oracle.py --lint-types /root/testdata/sf0.001
 echo "== oracle gate (sf0.01) =="
 python scripts/check_oracle.py /root/testdata/sf0.01
 echo "== bench (sf0.1) =="

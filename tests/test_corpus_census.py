@@ -1,6 +1,8 @@
 """Corpus-census text operators: per-language stats and Heaps'-law
 vocabulary growth (operators/text.py), pinned on hand-computed fixtures."""
 
+import math
+
 from pyspark_playground_spark.operators import text as tx
 
 
@@ -24,8 +26,8 @@ def test_lang_corpus_stats_fixture(spark):
     assert en["n_types"] == 3
     assert en["n_hapax"] == 2
     assert en["n_chars"] == 5 + 3
-    assert en["ttr_s"] == "0.600000"
-    assert en["chars_per_token_s"] == "1.600000"
+    assert en["ttr_q6"] == 600_000
+    assert en["chars_per_token_q6"] == 1_600_000
     de = out["de"]
     # empty doc contributes a doc and 0 tokens
     assert de["n_docs"] == 2 and de["n_tokens"] == 2 and de["n_types"] == 2
@@ -36,7 +38,7 @@ def test_lang_corpus_stats_zero_token_language(spark):
     row = tx.lang_corpus_stats(df).first()
     assert row["n_docs"] == 1
     assert row["n_tokens"] == 0 and row["n_types"] == 0
-    assert row["ttr_s"] is None and row["chars_per_token_s"] is None
+    assert row["ttr_q6"] is None and row["chars_per_token_q6"] is None
 
 
 def test_vocab_growth_unigram_first_occurrence(spark):
@@ -85,9 +87,9 @@ def test_readability_hand_computed(spark):
     assert r["n_words"] == 5 and r["n_sentences"] == 2
     assert r["n_syllables"] == 5
     expected = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
-    assert r["flesch_s"] == f"{expected:.4f}"
+    assert r["flesch_q4"] == math.floor(expected * 1e4 + 0.5)
     # empty doc: zero words -> NULL score, sentences floored at 1
-    assert out[1]["n_words"] == 0 and out[1]["flesch_s"] is None
+    assert out[1]["n_words"] == 0 and out[1]["flesch_q4"] is None
     assert out[1]["n_sentences"] == 1
 
 
@@ -106,6 +108,6 @@ def test_prefix_energy_report(spark):
         for r in sim2.prefix_energy_report(df, prefixes=(2,)).collect()
     }
     assert out[0]["n_vecs"] == 2
-    assert out[0]["energy_frac_2_s"] == "0.750000"
+    assert out[0]["energy_frac_2_q6"] == 750_000
     assert out[1]["n_vecs"] == 1
-    assert out[1]["energy_frac_2_s"] == "0.000000"
+    assert out[1]["energy_frac_2_q6"] == 0

@@ -21,8 +21,8 @@ def test_shard_mixture_report_hhi(spark):
         ).collect()
     }
     assert out[0]["n_rows"] == 4 and out[0]["n_groups"] == 2
-    assert out[0]["hhi_s"] == "0.500000"  # (4+4)/16
-    assert out[1]["n_rows"] == 1 and out[1]["hhi_s"] == "1.000000"
+    assert out[0]["hhi_q6"] == 500_000  # (4+4)/16
+    assert out[1]["n_rows"] == 1 and out[1]["hhi_q6"] == 1_000_000
 
 
 def test_interleave_closed_form_equals_window(spark):
@@ -65,17 +65,17 @@ def test_gini_uniform_and_concentrated(spark):
         [(i, 5) for i in range(4)], ["doc_id", "v"]
     )
     row = gini_coefficient(uniform, value_column="v", id_column="doc_id").first()
-    assert row["gini_s"] == "0.000000"
+    assert row["gini_q6"] == 0
     assert row["n_rows"] == 4 and row["total"] == 20
 
     conc = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 0), (3, 4)], ["doc_id", "v"]
     )
     row = gini_coefficient(conc, value_column="v", id_column="doc_id").first()
-    assert row["gini_s"] == "0.750000"
+    assert row["gini_q6"] == 750_000
 
 
 def test_gini_zero_total_is_null(spark):
     df = spark.createDataFrame([(0, 0), (1, 0)], ["doc_id", "v"])
     row = gini_coefficient(df, value_column="v", id_column="doc_id").first()
-    assert row["gini_s"] is None
+    assert row["gini_q6"] is None

@@ -40,7 +40,7 @@ def test_k_anonymity_summary_gate(spark):
     assert row["classes_below_k"] == 1
     assert row["rows_below_k"] == 1
     assert row["min_class_size"] == 1
-    assert row["max_reident_risk_s"] == "1.000000"
+    assert row["max_reident_risk_q6"] == 1_000_000
 
 
 def test_l_diversity_null_sensitive_excluded_from_distinct(spark):

@@ -809,7 +809,7 @@ def test_uncertainty_coefficient_determined_and_independent(spark):
         [("a", "en"), ("a", "en"), ("b", "de"), ("b", "de")], ["x", "y"]
     )
     row = uncertainty_coefficient(det, x_column="x", y_column="y").first()
-    assert row["theil_u_s"] == "1.000000"
+    assert row["theil_u_q6"] == 1_000_000
     assert row["n_rows"] == 4 and row["n_cells"] == 2
 
     # independent (balanced 2x2) -> U = 0
@@ -817,12 +817,12 @@ def test_uncertainty_coefficient_determined_and_independent(spark):
         [("a", "en"), ("a", "de"), ("b", "en"), ("b", "de")], ["x", "y"]
     )
     row = uncertainty_coefficient(ind, x_column="x", y_column="y").first()
-    assert row["theil_u_s"] == "0.000000"
+    assert row["theil_u_q6"] == 0
 
     # constant Y -> H(Y)=0 -> NULL
     const = spark.createDataFrame([("a", "en"), ("b", "en")], ["x", "y"])
     row = uncertainty_coefficient(const, x_column="x", y_column="y").first()
-    assert row["theil_u_s"] is None
+    assert row["theil_u_q6"] is None
 
 
 def test_functional_dependencies_census(spark):

@@ -23,13 +23,13 @@ def test_kaplan_meier_hand_computed_curve(spark):
     assert set(out) == {1, 2, 3}
     # d=1: 1 death / 5 at risk -> 0.8
     assert out[1]["deaths"] == 1 and out[1]["at_risk"] == 5
-    assert out[1]["survival_s"] == "0.800000000"
+    assert out[1]["survival_q9"] == 800_000_000
     # d=2: 1/3 at risk (A dead, B censored) -> 0.8 * 2 div 3
     assert out[2]["at_risk"] == 3
-    assert out[2]["survival_s"] == "0.533333333"
+    assert out[2]["survival_q9"] == 533_333_333
     # d=3: 1/2 -> integer fold: 533333333 * 1 div 2 = 266666666
     assert out[3]["at_risk"] == 2
-    assert out[3]["survival_s"] == "0.266666666"
+    assert out[3]["survival_q9"] == 266_666_666
 
 
 def test_kaplan_meier_censored_only_duration_is_noop(spark):
@@ -43,8 +43,8 @@ def test_kaplan_meier_censored_only_duration_is_noop(spark):
     # ... but B still counted at risk at d=1 and gone by d=3
     assert out[1]["at_risk"] == 3
     assert out[3]["at_risk"] == 1
-    assert out[1]["survival_s"] == "0.666666666"
-    assert out[3]["survival_s"] == "0.000000000"
+    assert out[1]["survival_q9"] == 666_666_666
+    assert out[3]["survival_q9"] == 0
 
 
 def test_user_lifetimes_duration_and_censoring(spark):
