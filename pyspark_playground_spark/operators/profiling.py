@@ -2096,3 +2096,94 @@ def kendall_tau(
             (C - D) / F.sqrt((n0 - n1) * (n0 - n2)),
         ).alias("tau_b"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    value_column: str,
+    group_column: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U (Wilcoxon rank-sum) test that
+    ``value_column`` is stochastically larger in ``group_a`` than in
+    ``group_b`` — the distribution-free two-sample location test, the
+    right tool when doc-length / score distributions are skewed and a
+    t-test's normality assumption is junk (e.g. "did the new crawl
+    source shift the length distribution?").
+
+    Exact-integer construction (no float ranks): collapse to a value
+    census with per-group counts ``(ca, cb)``; with ``cum`` rows below a
+    tied value group of size ``c``, every member's midrank is
+    ``cum + (c+1)/2``, so TWICE the rank sum of group A is the integer
+    ``R2 = sum ca * (2*cum + c + 1)`` and ``U_A * 2 = R2 - na*(na+1)``
+    — accumulated in DECIMAL(38,0) (products reach ~2*N^2). The normal
+    approximation uses the standard tie-corrected variance
+    ``na*nb/12 * ((N+1) - sum(c^3-c)/(N*(N-1)))``; the z statistic is
+    one fixed-order double expression quantized floor(z*1e6+0.5) ->
+    BIGINT (tie-proof cross-engine, no printf). z is NULL when the
+    variance is 0 (all values tied).
+
+    Shuffle census: one groupBy on the value, then one unpartitioned
+    window + fold over the CENSUS frame — bounded by the value
+    cardinality (for length-like columns a fixed domain, not corpus
+    size), the same bound the Kendall/Spearman cell frames rely on.
+
+    Output (one row): n_a, n_b, u_a_x2, tie_term, z_q6.
+    """
+    flag = F.col(group_column) == group_a
+    t = df.where(
+        F.col(group_column).isin(group_a, group_b)
+        & F.col(value_column).isNotNull()
+    ).select(F.col(value_column).alias("__v"), flag.alias("__ia"))
+    cells = t.groupBy("__v").agg(
+        F.sum(F.when(F.col("__ia"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__ia"), 0).otherwise(1)).alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    c = (F.col("__ca") + F.col("__cb")).alias("__c")
+    ranked = cells.select(
+        "__ca",
+        "__cb",
+        c,
+        F.coalesce(
+            F.sum(F.col("__ca") + F.col("__cb")).over(w), F.lit(0)
+        ).alias("__cum"),
+    )
+    d18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
+    d12 = lambda col: col.cast("decimal(12,0)")  # noqa: E731
+    s = ranked.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(
+            d18(F.col("__ca"))
+            * d18(F.lit(2) * F.col("__cum") + F.col("__c") + 1)
+        ).alias("__r2a"),
+        F.sum(
+            d12(F.col("__c")) * d12(F.col("__c")) * d12(F.col("__c"))
+            - d12(F.col("__c"))
+        ).alias("__tt"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    u2 = (
+        F.col("__r2a")
+        - F.col("n_a").cast("decimal(18,0)")
+        * (F.col("n_a") + 1).cast("decimal(18,0)")
+    )
+    var = (
+        na * nb / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("__tt").cast("double")
+           / (nn * (nn - F.lit(1.0))))
+    )
+    z = (u2.cast("double") - na * nb) / (F.lit(2.0) * F.sqrt(var))
+    return s.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u_a_x2"),
+        F.col("__tt").cast("long").alias("tie_term"),
+        F.when(
+            var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("z_q6"),
+    )

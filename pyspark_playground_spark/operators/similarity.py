@@ -1145,3 +1145,114 @@ def hard_negative_mining(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "negative_id", "cosine", "rank")
     )
+
+
+def int8_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Quantization-loss ship gate for int8 vector storage: per-query
+    recall@k of the int8 symmetric-quantized dot-product ranking against
+    the exact float-cosine ranking.
+
+    The production trade this measures: storing ``sampling.
+    quantize_int8_expr(l2_normalize_expr(v))`` instead of float32 cuts
+    the vector footprint 4x, and candidate generation ranks by the
+    INTEGER dot product of the quantized vectors (unit norm makes the
+    int dot a cosine proxy). Before flipping a corpus to int8 you want
+    the recall curve, not a vibe — this operator is that gate.
+
+    Determinism: the int8 ranking key is an exact BIGINT (integer dot of
+    int8 components, |term| <= 127*127*dim), ties broken by neighbor id;
+    the exact ranking reuses :func:`brute_force_topk`'s left-fold cosine.
+    ``recall_q6`` is ``floor(hits * 1e6 / k + 0.5)`` — IEEE primitives
+    only, no printf. Zero-norm (dead) vectors are excluded from both
+    sides (their cosine is undefined).
+
+    Scale: recall evaluation runs on a BOUNDED query panel by design
+    (the eval discipline every ANN entry here follows) — the corpus
+    streams through one broadcast-join projection per ranking, top-k per
+    query via per-query windows over candidate rows. The corpus itself
+    is never shuffled.
+
+    Output: (query_id, n_hits, recall_q6), one row per query.
+    """
+    from pyspark_playground_spark.operators.sampling import (
+        l2_normalize_expr,
+        quantize_int8_expr,
+    )
+
+    def prep(df: DataFrame, out_id: str, out_f: str, out_q: str) -> DataFrame:
+        v = F.col(vector_column)
+        return (
+            df.where(norm_expr(v) > 0)
+            .select(
+                F.col(id_column).alias(out_id),
+                v.alias(out_f),
+                quantize_int8_expr(l2_normalize_expr(v)).alias(out_q),
+            )
+        )
+
+    c = prep(corpus, "neighbor_id", "c_vec", "c_q")
+    q = prep(queries, "query_id", "q_vec", "q_q")
+
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact_topk = (
+        exact.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_q"),
+            F.col("c_q"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    quant = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot_i8", int_dot)
+    )
+    w_quant = Window.partitionBy("query_id").orderBy(
+        F.col("dot_i8").desc(), F.col("neighbor_id").asc()
+    )
+    quant_topk = (
+        quant.withColumn("rank", F.row_number().over(w_quant))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    hits = (
+        exact_topk.join(quant_topk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                * F.lit(1e6)
+                / F.lit(float(k))
+                + F.lit(0.5)
+            ).cast("long").alias("recall_q6"),
+        )
+    )

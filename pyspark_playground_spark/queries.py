@@ -12104,3 +12104,124 @@ def kendall_tau_documents(spark, sf_dir):
         F.col("n_chars").alias("x"), token_count_expr("text").alias("y")
     )
     return kendall_tau(t, x_column="x", y_column="y")
+
+
+@query(
+    "mann_whitney_doc_lengths",
+    """
+    WITH t AS (
+      SELECT n_chars AS v, (source = 'src0') AS ia FROM documents
+      WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+    ), cells AS (
+      SELECT v,
+             CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM t GROUP BY v
+    ), r AS (
+      SELECT ca, cb, ca + cb AS c,
+             coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM cells
+    ), s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             sum(CAST(ca AS HUGEINT) * CAST(2 * cum + c + 1 AS HUGEINT)) AS r2a,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                 - CAST(c AS HUGEINT)) AS tt
+      FROM r
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2a - CAST(na AS HUGEINT) * CAST(na + 1 AS HUGEINT) AS BIGINT)
+             AS u_a_x2,
+           CAST(tt AS BIGINT) AS tie_term,
+           CASE WHEN (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                      * ((CAST(na + nb AS DOUBLE) + 1.0)
+                         - CAST(tt AS DOUBLE)
+                           / (CAST(na + nb AS DOUBLE)
+                              * (CAST(na + nb AS DOUBLE) - 1.0)))) > 0
+                THEN CAST(floor(
+                  (CAST(r2a - CAST(na AS HUGEINT) * CAST(na + 1 AS HUGEINT)
+                        AS DOUBLE)
+                   - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                      * ((CAST(na + nb AS DOUBLE) + 1.0)
+                         - CAST(tt AS DOUBLE)
+                           / (CAST(na + nb AS DOUBLE)
+                              * (CAST(na + nb AS DOUBLE) - 1.0)))))
+                  * 1e6 + 0.5) AS BIGINT)
+           END AS z_q6
+    FROM s
+    """,
+)
+def mann_whitney_doc_lengths(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U (profiling.mann_whitney_u) that src0
+    documents are longer than src1 documents — the distribution-free
+    source-shift test (skewed length distributions break the t-test).
+    All ranks exact integers from the value census (midranks via
+    2x-scaled integers, DECIMAL(38,0) accumulation); z is one fixed-order
+    double expression quantized floor(z*1e6+0.5)."""
+    from pyspark_playground_spark.operators.profiling import mann_whitney_u
+
+    docs = load(spark, sf_dir, "documents")
+    return mann_whitney_u(
+        docs,
+        value_column="n_chars",
+        group_column="source",
+        group_a="src0",
+        group_b="src1",
+    )
+
+
+@query(
+    "int8_recall_embeddings",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_NORM.format(v='embedding')} AS nrm,
+             embedding
+      FROM embeddings
+    ), nz AS (
+      SELECT vec_id, v, embedding,
+             [CAST(greatest(-127, least(127, round(x / nrm * 127)))
+                   AS BIGINT) FOR x IN v] AS q
+      FROM base WHERE nrm > 0
+    ), qs AS (SELECT * FROM nz WHERE vec_id < 25),
+    ex AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM nz c, qs
+      WHERE c.vec_id <> qs.vec_id
+      QUALIFY row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+        {_DOT.format(a='qs.embedding', b='c.embedding')}
+          / ({_NORM.format(v='qs.embedding')} * {_NORM.format(v='c.embedding')})
+          DESC, c.vec_id ASC) <= 10
+    ), qt AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM nz c, qs
+      WHERE c.vec_id <> qs.vec_id
+      QUALIFY row_number() OVER (PARTITION BY qs.vec_id ORDER BY
+        list_sum([s[1] * s[2] FOR s IN list_zip(qs.q, c.q)]) DESC,
+        c.vec_id ASC) <= 10
+    ), hits AS (
+      SELECT ex.query_id, count(*) AS n_hits
+      FROM ex JOIN qt USING (query_id, neighbor_id)
+      GROUP BY ex.query_id
+    )
+    SELECT qs.vec_id AS query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) * 1e6 / 10.0
+                      + 0.5) AS BIGINT) AS recall_q6
+    FROM qs LEFT JOIN hits h ON qs.vec_id = h.query_id
+    """,
+)
+def int8_recall_embeddings(spark, sf_dir):
+    """Int8 quantization recall@10 (similarity.int8_recall_report) on a
+    25-query panel: how much of the exact float-cosine top-10 survives
+    when candidates are ranked by the integer dot product of the
+    l2-normalized int8-quantized vectors — the measurement gating a 4x
+    vector-storage cut. Exact BIGINT ranking key on the quantized side,
+    the pinned left-fold cosine on the float side, query panel bounded
+    by design."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.int8_recall_report(
+        emb, emb.filter(F.col("vec_id") < 25), k=10
+    )
