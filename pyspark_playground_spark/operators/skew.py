@@ -177,8 +177,10 @@ def skew_report(
     skew-join before the plan will survive scale.
 
     One count-by-key shuffle + one tiny aggregate over the count table;
-    ``top_hot_keys`` is selected and ordered by (count desc, key asc) so
-    output is deterministic. All statistics are exact (interpolated
+    ``top_hot_keys`` is selected and ordered by (count desc, key asc) and
+    rendered as a comma-joined ``key:count`` string so the result frame
+    stays scalar-typed (array columns break downstream canonicalizers).
+    All statistics are exact (interpolated
     percentiles over exact bigint counts — engine-stable doubles; the mean
     is a ×100 floor-divided integer).
 
@@ -204,11 +206,14 @@ def skew_report(
             ).alias("__top")
         )
         .select(
-            F.transform(
-                "__top",
-                lambda s: F.concat_ws(
-                    ":", s["__key"], (-s["nc"]).cast("string")
+            F.array_join(
+                F.transform(
+                    "__top",
+                    lambda s: F.concat_ws(
+                        ":", s["__key"], (-s["nc"]).cast("string")
+                    ),
                 ),
+                ",",
             ).alias("top_hot_keys")
         )
     )
@@ -242,7 +247,8 @@ def join_size_report(
     Cost: two map-side-combined count aggregations + an equi-join of the
     (tiny) count tables. Output one row: ``est_rows`` (exact inner-join
     cardinality), ``n_join_keys``, ``max_cell``, ``top_cells``
-    (key:count list, deterministic order).
+    (comma-joined ``key:count`` string, deterministic order — scalar so
+    downstream canonicalizers never see an array column).
 
     NULL keys never match in an equi-join, so rows with a NULL in any key
     column are dropped before counting; the count tables group by and join
@@ -276,9 +282,14 @@ def join_size_report(
             ).alias("__top")
         )
         .select(
-            F.transform(
-                "__top",
-                lambda s: F.concat_ws(":", s["__key"], (-s["nc"]).cast("string")),
+            F.array_join(
+                F.transform(
+                    "__top",
+                    lambda s: F.concat_ws(
+                        ":", s["__key"], (-s["nc"]).cast("string")
+                    ),
+                ),
+                ",",
             ).alias("top_cells")
         )
     )

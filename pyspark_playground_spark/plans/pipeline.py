@@ -463,7 +463,7 @@ def _stage_privacy_gate(df: DataFrame, spec: dict) -> DataFrame:
             f"quasi-identifier classes below k={k} "
             f"(allowed {max_below}; min class size "
             f"{row['min_class_size']}, worst re-identification risk "
-            f"{row['max_reident_risk_s']})"
+            f"{row['max_reident_risk_q6']})"
         )
     return df
 

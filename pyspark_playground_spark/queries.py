@@ -592,16 +592,41 @@ def q5_local_supplier_volume(spark, sf_dir):
 #: only have replica evidence. Registration order itself is unchanged;
 #: this is purely the exported iteration order.
 #:
-#: The three entries that hash-FAILED in r4 (HUGEINT oracle typing, fixed
-#: by CAST ... AS BIGINT) are pinned to the very FRONT so the r5 gate
-#: re-samples them and records the green row.
+#: The two entries that crashed the r5 driver canon (array-typed result
+#: columns, fixed by array_join/string_agg — VERDICT r5 item 2) are pinned
+#: to the very FRONT so the r6 gate re-samples them and records the green
+#: row. (r4's HUGEINT trio re-checked green in r5 and moved below.)
 _DRIVER_RECHECK = (
-    "json_props_rollup_events",
-    "event_entropy_users",
-    "q12_style_priority_by_linestatus",
+    "join_size_report_orders_lineitem",
+    "join_key_skew_orders",
 )
 
 _DRIVER_CHECKED = frozenset({
+    # --- sampled green in r5 ---
+    "approx_distinct_merge_events", "approx_percentile_bound_orders",
+    "bpe_pair_counts_documents", "c4_filter_documents",
+    "cohort_retention_events", "concurrent_sessions_events",
+    "copurchase_part_pairs", "declarative_pipeline_documents",
+    "doc_chunks_documents", "embedding_contamination_embeddings",
+    "embedding_dedup_keep_embeddings", "embedding_dim_stats",
+    "event_entropy_users", "event_transitions_events",
+    "full_outer_negative_balance_by_nation", "fuzzy_name_pairs_part",
+    "grouping_sets_revenue", "incremental_minhash_pairs_documents",
+    "incremental_rollup_events", "incremental_simhash_pairs_documents",
+    "json_props_rollup_events", "knn_within_label_embeddings",
+    "near_dedup_keep_documents", "order_price_window_stats",
+    "pagerank_nation_trade", "paragraph_dedup_superdocs",
+    "pmi_collocations_documents", "q11_style_important_parts",
+    "q12_style_priority_by_linestatus", "q13_style_customer_distribution",
+    "q15_style_top_supplier", "q16_style_supplier_count",
+    "q17_style_small_quantity_revenue", "q20_style_excess_suppliers",
+    "q22_style_idle_rich_customers", "q2_style_min_cost_supplier",
+    "q8_style_market_share", "q9_style_product_profit",
+    "rare_token_stats_documents", "source_similarity_documents",
+    "sources_intersect_except_documents", "standardize_embeddings",
+    "table_diff_orders_snapshot", "trailing_hour_event_counts",
+    "unpivot_priority_counts", "value_time_correlation_events",
+    "weighted_sample_by_source_documents", "winsorize_doc_lengths",
     # --- sampled green in r4 ---
     "approx_profile_bound_documents", "asof_bucketed_view_attribution_events",
     "asof_view_attribution_events", "bigram_logprob_documents",
@@ -5588,8 +5613,8 @@ def table_diff_orders_snapshot(spark, sf_dir):
       SELECT k, cell, row_number() OVER (ORDER BY cell DESC, k ASC) AS rn
       FROM cells
     ), top AS (
-      SELECT list(k || ':' || CAST(cell AS VARCHAR)
-                  ORDER BY cell DESC, k ASC) AS top_cells
+      SELECT string_agg(k || ':' || CAST(cell AS VARCHAR), ','
+                        ORDER BY cell DESC, k ASC) AS top_cells
       FROM ranked WHERE rn <= 5
     )
     SELECT CAST(sum(cell) AS BIGINT) AS est_rows,
@@ -5626,8 +5651,8 @@ def join_size_report_orders_lineitem(spark, sf_dir):
              row_number() OVER (ORDER BY cnt DESC, k ASC) AS rn
       FROM c
     ), top AS (
-      SELECT list(k || ':' || CAST(cnt AS VARCHAR)
-                  ORDER BY cnt DESC, k ASC) AS top_hot_keys
+      SELECT string_agg(k || ':' || CAST(cnt AS VARCHAR), ','
+                        ORDER BY cnt DESC, k ASC) AS top_hot_keys
       FROM ranked WHERE rn <= 5
     )
     SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,

@@ -42,16 +42,36 @@ def lint_oracle_types(name, duck_types, spdf=None, ddf=None):
 
     - any HUGEINT/UHUGEINT oracle column is an error (CAST it AS BIGINT);
     - a float64 oracle column whose Spark twin is integral is an error
-      (same rendering split, different route in).
+      (same rendering split, different route in);
+    - any non-scalar (LIST/STRUCT/MAP/ARRAY) oracle result column is an
+      error, and so is a Spark object column holding lists/dicts/tuples:
+      the driver canonicalizer ``pandas.sort_values`` dies on unhashable
+      cells (VERDICT r5 item 2 — render with array_join/string_agg).
 
     Returns a list of problem strings (empty = clean).
     """
     problems = []
     for col, ty in duck_types:
-        if "HUGEINT" in ty.upper():
+        tyu = ty.upper()
+        if "HUGEINT" in tyu:
             problems.append(f"oracle col {col!r} is {ty} (CAST to BIGINT)")
+        if any(k in tyu for k in ("[]", "LIST", "STRUCT", "MAP(", "ARRAY")):
+            problems.append(
+                f"oracle col {col!r} is non-scalar {ty} "
+                f"(string_agg/array_to_string it — driver canon crashes on lists)"
+            )
     if spdf is not None and ddf is not None:
         for col in spdf.columns:
+            if str(spdf[col].dtype) == "object":
+                cell = next((v for v in spdf[col] if v is not None), None)
+                if isinstance(cell, (list, dict, tuple)) or (
+                    cell is not None and type(cell).__module__ == "numpy"
+                    and getattr(cell, "ndim", 0)
+                ):
+                    problems.append(
+                        f"spark col {col!r} holds {type(cell).__name__} cells "
+                        f"(array_join it — driver canon crashes on lists)"
+                    )
             if col not in ddf.columns:
                 continue
             sd, dd = str(spdf[col].dtype), str(ddf[col].dtype)

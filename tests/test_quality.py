@@ -125,7 +125,7 @@ def test_skew_report_stats_and_hot_keys(spark):
     r = skew_report(df, "k", top_k=2).collect()[0]
     assert r.n_rows == 100 and r.n_keys == 3
     assert r.max_count == 90
-    assert r.top_hot_keys == ["hot:90", "b:6"]
+    assert r.top_hot_keys == "hot:90,b:6"
     assert r.avg_count_x100 == 100 * 100 // 3
 
 

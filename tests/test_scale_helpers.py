@@ -309,7 +309,7 @@ def test_join_size_report_is_exact_cardinality(spark):
     actual = left.join(right, ["k"]).count()
     assert row["est_rows"] == actual == 10 * 7 + 3 * 2
     assert row["max_cell"] == 70 and row["n_join_keys"] == 2
-    assert row["top_cells"][0] == "a:70"
+    assert row["top_cells"].split(",")[0] == "a:70"
 
 
 def test_join_size_report_null_keys_and_separator_collisions(spark):
