@@ -75,20 +75,28 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # best-of-2 per query: the second run reuses compiled codegen and a warm
-    # page cache, and taking the min filters out transient host stalls (this
-    # sandbox exhibits multi-second scheduling hiccups) — the min is the
-    # noise-robust estimator of the query's actual cost
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # median-of-3 per query: later runs reuse compiled codegen and a warm
+    # page cache; the median filters out the ±50% swings single-run
+    # sub-second timings show on this host (transient scheduling hiccups
+    # one way, suspiciously-cached runs the other) so a real regression is
+    # distinguishable from noise round-over-round
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        mid = len(samples) // 2
+        median = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        timings[name] = round(median, 3)
 
     total = round(sum(timings.values()), 3)
     print(

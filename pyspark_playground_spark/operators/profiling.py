@@ -2151,8 +2151,15 @@ def mann_whitney_u(
             F.sum(F.col("__ca") + F.col("__cb")).over(w), F.lit(0)
         ).alias("__cum"),
     )
+    # Exactness envelope (non-ANSI decimal overflow yields NULL, so state
+    # the bounds): the tie term sums c^3 in DECIMAL(38,0) via DECIMAL(18,0)
+    # factors — exact until a single tied-value group exceeds ~4.6e12 rows
+    # (c^3 > 10^38); the rank-sum path has the same 18-digit factor bound.
+    # u_a_x2's final cast('long') wraps past 2^63, i.e. n_a*n_b ≳ 4.6e18
+    # (~2e9 rows per group). Both are far beyond any two-sample test's
+    # practical domain; past them the result is NULL / wrapped, not
+    # silently-close-but-wrong in range.
     d18 = lambda col: col.cast("decimal(18,0)")  # noqa: E731
-    d12 = lambda col: col.cast("decimal(12,0)")  # noqa: E731
     s = ranked.agg(
         F.sum("__ca").cast("long").alias("n_a"),
         F.sum("__cb").cast("long").alias("n_b"),
@@ -2161,8 +2168,8 @@ def mann_whitney_u(
             * d18(F.lit(2) * F.col("__cum") + F.col("__c") + 1)
         ).alias("__r2a"),
         F.sum(
-            d12(F.col("__c")) * d12(F.col("__c")) * d12(F.col("__c"))
-            - d12(F.col("__c"))
+            d18(F.col("__c")) * d18(F.col("__c")) * d18(F.col("__c"))
+            - d18(F.col("__c"))
         ).alias("__tt"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
@@ -2186,4 +2193,167 @@ def mann_whitney_u(
         F.when(
             var > 0, F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long")
         ).alias("z_q6"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    *,
+    a_column: str,
+    b_column: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns plus Cramér's V effect size — the "is source correlated with
+    language / label / split?" audit every stratified corpus decision
+    should run first (a big V between source and lang means per-source
+    quality thresholds silently become per-language ones).
+
+    Exact-integer construction up to the last step: one contingency
+    census ``groupBy(a, b) -> o`` (bounded by the level-cardinality
+    product, never corpus size), margins re-aggregated FROM the census
+    (two tiny shuffles) and broadcast back. Per cell,
+    ``o - e = (o*N - ra*cb) / N`` has an exact DECIMAL(38,0) numerator
+    (exact while N <= ~1e19), so each cell's term
+    ``(o-e)^2/e = d_dbl*d_dbl / (ra*cb*N)`` is ONE fixed-order double
+    expression — identical on any engine — quantized per cell to
+    ``floor(term*1e6+0.5)`` and summed as BIGINT (order-free integer
+    sum; ``chi2_x6`` is the sum of per-cell quantizations, documented
+    as such). Cramér's V = sqrt(chi2 / (N*min(R-1, C-1))) follows in
+    one more fixed-order double, quantized q6.
+
+    NULLs in either column are excluded (a NULL level is a data-quality
+    question for ``null_profile``, not a category). Output one row:
+    (n_rows, n_cells, r_levels, c_levels, dof, chi2_x6, cramers_v_q6);
+    chi2/V are NULL when the table is degenerate (R < 2 or C < 2).
+    """
+    t = df.select(
+        F.col(a_column).cast("string").alias("__a"),
+        F.col(b_column).cast("string").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = t.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    cells = cells.persist()  # census feeds margins + the main branch
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count(F.lit(1)).alias("__ncells"),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        cells.join(F.broadcast(ra), "__a")
+        .join(F.broadcast(cb), "__b")
+        .join(F.broadcast(tot))
+    )
+    d_dbl = (
+        d38(F.col("__o")) * d38(F.col("__n"))
+        - d38(F.col("__ra")) * d38(F.col("__cb"))
+    ).cast("double")
+    denom = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        * F.col("__n").cast("double")
+    )
+    term_q6 = F.floor(d_dbl * d_dbl / denom * F.lit(1e6) + F.lit(0.5))
+    s = joined.agg(
+        F.first("__n").alias("__n"),
+        F.first("__ncells").alias("__ncells"),
+        F.first("__r").alias("__r"),
+        F.first("__c").alias("__c"),
+        F.sum(term_q6).alias("__chi2_x6"),
+    )
+    minrc = F.least(F.col("__r") - 1, F.col("__c") - 1)
+    ok = (F.col("__r") >= 2) & (F.col("__c") >= 2)
+    v = F.sqrt(
+        F.col("__chi2_x6").cast("double")
+        / F.lit(1e6)
+        / (F.col("__n").cast("double") * minrc.cast("double"))
+    )
+    return s.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__ncells").cast("long").alias("n_cells"),
+        F.col("__r").cast("long").alias("r_levels"),
+        F.col("__c").cast("long").alias("c_levels"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long").alias("dof"),
+        F.when(ok, F.col("__chi2_x6")).cast("long").alias("chi2_x6"),
+        F.when(ok, F.floor(v * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("cramers_v_q6"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    *,
+    score_column: str,
+    label_column: Column | str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact precision/recall/F1 sweep over EVERY distinct score
+    threshold (predict positive when ``score >= threshold``) — the full
+    PR curve behind a quality-classifier cutoff decision; pick the
+    operating point from this table, not from a single eyeballed
+    threshold. Complements :func:`exact_auc` (one threshold-free
+    number) with the per-threshold view.
+
+    Pure integer arithmetic end to end — no doubles anywhere: group to
+    a score census ``(s, n_pos, n_neg)``, take the descending cumulative
+    (``tp(s)``/``fp(s)`` = positives/negatives at scores ``>= s``) via
+    the range-bucket pattern (no single-task data-sized window; ordered
+    by the negated score so "strictly before" = "strictly greater"),
+    then ``precision_x6 = tp*1000000 DIV (tp+fp)`` etc. — exact
+    floor-quantized ratios, identical on any engine. Bound:
+    ``2*tp*1000000`` must fit BIGINT, i.e. positives <= ~4.6e12 —
+    beyond any labeled eval set. NULL scores/labels are excluded.
+
+    Output: one row per distinct score (threshold, tp, fp, fn,
+    precision_x6, recall_x6, f1_x6), bounded by score cardinality.
+    """
+    y = (
+        F.col(label_column) if isinstance(label_column, str) else label_column
+    )
+    t = df.select(
+        F.col(score_column).alias("__s"), y.cast("boolean").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    g = (
+        t.groupBy("__s")
+        .agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("__nn"),
+        )
+        .withColumn("__negs", -F.col("__s"))
+        .persist()
+    )
+    data = _bucketed_cum_before(
+        g, order_column="__negs", sum_column="__np", out="__tp_above",
+        buckets=buckets,
+    )
+    data = _bucketed_cum_before(
+        data, order_column="__negs", sum_column="__nn", out="__fp_above",
+        buckets=buckets,
+    )
+    totals = g.agg(
+        F.sum("__np").alias("__P"), F.sum("__nn").alias("__N")
+    )
+    data = data.join(F.broadcast(totals))
+    tp = (F.col("__tp_above") + F.col("__np")).cast("long")
+    fp = (F.col("__fp_above") + F.col("__nn")).cast("long")
+    fn = (F.col("__P") - tp).cast("long")
+    data = data.select(
+        F.col("__s").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+    )
+    return data.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(tp * 1000000L) DIV (tp + fp)").alias("precision_x6"),
+        F.expr("(tp * 1000000L) DIV (tp + fn)").alias("recall_x6"),
+        F.expr("(2L * tp * 1000000L) DIV (2L * tp + fp + fn)").alias(
+            "f1_x6"
+        ),
     )

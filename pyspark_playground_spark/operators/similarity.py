@@ -1256,3 +1256,131 @@ def int8_recall_report(
             ).cast("long").alias("recall_q6"),
         )
     )
+
+
+def retrieval_eval_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    label_column: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval quality — nDCG@k and reciprocal rank — of the
+    exact cosine top-k against binary same-label relevance: the standard
+    eval triplet (recall is :func:`int8_recall_report`'s job) before
+    trusting an embedding column for retrieval-augmented filtering or
+    hard-negative mining.
+
+    All rank-position terms are per-row quantized integers, so every
+    aggregate is an order-free BIGINT sum (no float accumulation):
+
+    - ``gain_q6(rank) = floor(1e6 / log2(rank+1) + 0.5)`` — one
+      fixed-order double per rank in [1, k], identical on any engine;
+      ``dcg_q6 = sum(rel * gain_q6)``.
+    - ``idcg_q6 = sum(gain_q6(i) for i in 1..min(k, n_rel_corpus))``
+      from a per-rank unrolled sequence — ``n_rel_corpus`` (relevant
+      candidates = same-label corpus rows minus self) comes from a
+      label census (one tiny groupBy, broadcast back).
+    - ``ndcg_x6 = (dcg_q6 * 1000000) DIV idcg_q6`` — exact integer
+      ratio; NULL when the query's label has no other members.
+    - ``rr_q6 = floor(1e6 / first_rel_rank + 0.5)``; 0 when no relevant
+      neighbor appears in the top k (the penalty convention that makes
+      the mean well-defined).
+
+    Scale: bounded query panel broadcast against a streaming corpus
+    (:func:`brute_force_topk`'s plan — the eval discipline every ANN
+    entry follows); the label census is one groupBy bounded by label
+    cardinality. The corpus is never shuffled.
+
+    Output: (query_id, n_rel_corpus, n_rel_topk, dcg_q6, idcg_q6,
+    ndcg_x6, first_rel_rank, rr_q6), one row per query that has at
+    least one candidate.
+    """
+    topk = brute_force_topk(
+        corpus, queries, id_column=id_column, vector_column=vector_column,
+        k=k,
+    )
+    labels = corpus.select(
+        F.col(id_column).alias("__lid"), F.col(label_column).alias("__lab")
+    )
+    census = labels.groupBy("__lab").agg(F.count(F.lit(1)).alias("__nlab"))
+    qlab = (
+        queries.select(
+            F.col(id_column).alias("query_id"),
+            F.col(label_column).alias("__qlab"),
+        )
+        .join(
+            F.broadcast(census),
+            F.col("__qlab") == F.col("__lab"),
+            "left",
+        )
+        .select(
+            "query_id",
+            "__qlab",
+            # relevant candidates exclude the query itself when it is a
+            # corpus member (brute_force_topk drops self-matches)
+            (F.coalesce(F.col("__nlab"), F.lit(1)) - 1).alias("__nrel"),
+        )
+    )
+    gain = lambda r: F.floor(  # noqa: E731
+        F.lit(1e6) / F.log2(r.cast("double") + F.lit(1.0)) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        topk.join(labels, topk["neighbor_id"] == labels["__lid"])
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "__nrel",
+            "rank",
+            F.when(F.col("__lab") == F.col("__qlab"), 1)
+            .otherwise(0)
+            .alias("__rel"),
+        )
+        .withColumn("__gain_q6", gain(F.col("rank")))
+    )
+    per_q = scored.groupBy("query_id", "__nrel").agg(
+        F.sum("__rel").cast("long").alias("n_rel_topk"),
+        F.sum(F.col("__rel") * F.col("__gain_q6")).cast("long").alias("dcg_q6"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+    )
+    ideal_len = F.least(F.lit(k), F.col("__nrel")).cast("int")
+    idcg = F.when(
+        F.col("__nrel") > 0,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), ideal_len),
+                lambda i: gain(i),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    out = per_q.select(
+        "query_id",
+        F.col("__nrel").cast("long").alias("n_rel_corpus"),
+        "n_rel_topk",
+        "dcg_q6",
+        idcg.alias("idcg_q6"),
+        F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+        F.coalesce(
+            F.floor(
+                F.lit(1e6) / F.col("first_rel_rank").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rr_q6"),
+    )
+    return out.select(
+        "query_id",
+        "n_rel_corpus",
+        "n_rel_topk",
+        "dcg_q6",
+        "idcg_q6",
+        F.expr("(dcg_q6 * 1000000L) DIV idcg_q6").alias("ndcg_x6"),
+        "first_rel_rank",
+        "rr_q6",
+    )

@@ -15,7 +15,13 @@ breaks the cross-engine hash):
   either (C printf rounds half-even, Java ``format_string`` rounds HALF_UP —
   they split at an exact dyadic tie like 0.125 at 2 decimals): quantize with
   ``floor(x * 10^N + 0.5)`` → BIGINT on BOTH engines (IEEE primitives only)
-  and compare the integer;
+  and compare the integer. Note the tie convention this picks: floor(x+0.5)
+  rounds an exact .5 tie toward +infinity for NEGATIVE values too
+  (-2.5 → -2, where printf HALF_UP would give -3). That is intentional —
+  the rule is identical on both engines, which is all hashing needs; do
+  NOT "fix" it to away-from-zero on one engine only (sign-carrying
+  quantized columns like ``z_q6`` / ``flesch_q4`` would then split at
+  exact negative ties);
 - double aggregates go through exact decimal arithmetic and are cast to
   double at the end, so both engines produce bit-identical sums regardless
   of row order;

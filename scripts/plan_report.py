@@ -52,6 +52,12 @@ def main() -> None:
         "facts extracted from `.explain(\"formatted\")` (exchange count,",
         "join strategies, filter pushdown, scan column pruning). Regenerate",
         "after planner-affecting changes.\n",
+        "Reading guide: `pushed filters: 0/0` = the query has no",
+        "pushable predicate (full-table scans are correct for census-style",
+        "entries); BroadcastNestedLoopJoin appears ONLY in the",
+        "bounded-panel similarity/eval families (fixed-size query panel",
+        "broadcast against a streaming corpus — by design, documented per",
+        "operator); CartesianProduct must never appear.\n",
     ]
     for name in registry:
         if only and name not in only:

@@ -193,3 +193,57 @@ def test_rrf_fuse_hand_example(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_int8_recall_report_known_sets_and_rank_flip(spark):
+    """Two pinned scenarios for the quantization ship gate:
+
+    1. Clear gaps: exact and int8 top-2 agree -> recall 1.0.
+    2. Near-tie flip (THE failure mode this gate exists for): exact
+       cosines 0.7001 vs 0.6999 collapse to the same int8 component
+       (round(0.7001*127) == round(0.6999*127) == 89), the quant tie
+       breaks by neighbor_id asc toward the exact LOSER -> recall@1 = 0.
+
+    A zero-norm corpus vector and a zero-norm query are excluded from
+    both sides (cosine undefined): the dead corpus row never appears as
+    a neighbor, the dead query produces no output row.
+    """
+    import math
+
+    # --- scenario 1: unambiguous ranking, recall@2 = 1 ---
+    corpus1 = spark.createDataFrame(
+        [
+            ("c1", [1.0, 0.0]),
+            ("c2", [0.9, 0.1]),
+            ("c3", [0.0, 1.0]),
+            ("dead", [0.0, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries1 = spark.createDataFrame(
+        [("q1", [1.0, 0.0]), ("qdead", [0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out1 = {
+        r["query_id"]: r
+        for r in sim.int8_recall_report(corpus1, queries1, k=2).collect()
+    }
+    assert set(out1) == {"q1"}  # zero-norm query excluded entirely
+    assert out1["q1"]["n_hits"] == 2
+    assert out1["q1"]["recall_q6"] == 1_000_000
+
+    # --- scenario 2: near-tie rank flip -> recall@1 = 0 ---
+    hi = [0.7001, math.sqrt(1 - 0.7001**2), 0.0, 0.0]
+    lo = [0.6999, math.sqrt(1 - 0.6999**2), 0.0, 0.0]
+    corpus2 = spark.createDataFrame(
+        # exact winner gets the LATER-sorting id so the int8 tie-break
+        # (neighbor_id asc) picks the exact loser
+        [("z_hi", hi), ("a_lo", lo), ("far", [0.0, 0.0, 1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    queries2 = spark.createDataFrame(
+        [("q1", [1.0, 0.0, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    r2 = sim.int8_recall_report(corpus2, queries2, k=1).collect()[0]
+    assert r2["n_hits"] == 0 and r2["recall_q6"] == 0

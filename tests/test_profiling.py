@@ -968,3 +968,39 @@ def test_kendall_tau_hand_computed(spark):
     assert kendall_tau(df3, x_column="x", y_column="y").collect()[0][
         "tau_b"
     ] is None
+
+
+def test_mann_whitney_u_hand_computed(spark):
+    """A = [1,2,2,5], B = [2,3,3]: value census 1(1,0) 2(2,1) 3(0,2)
+    5(1,0); midranks 1, 3, 5.5, 7 -> R_A = 1+3+3+7 = 14, U_A = 14-10 = 4
+    (so u_a_x2 = 8), tie_term = sum(c^3-c) = 24+6 = 30, var =
+    (12/12)*((7+1) - 30/(7*6)) = 51/7, z = (8-12)/(2*sqrt(51/7));
+    fixture cross-checked by hand against the standard tie-corrected
+    normal-approximation formulae (scipy is not in this sandbox)."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import mann_whitney_u
+
+    rows = [("a", v) for v in (1, 2, 2, 5)] + [("b", v) for v in (2, 3, 3)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = mann_whitney_u(
+        df, value_column="v", group_column="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["u_a_x2"] == 8
+    assert r["tie_term"] == 30
+    # replicate the operator's exact double expression order
+    var = 4.0 * 3.0 / 12.0 * ((7.0 + 1.0) - 30.0 / (7.0 * (7.0 - 1.0)))
+    z = (8.0 - 4.0 * 3.0) / (2.0 * math.sqrt(var))
+    assert r["z_q6"] == math.floor(z * 1e6 + 0.5)
+
+    # all values tied -> variance 0 -> z is NULL (counts still exact)
+    tied = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("b", 3)], "g string, v int"
+    )
+    rt = mann_whitney_u(
+        tied, value_column="v", group_column="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert rt["z_q6"] is None and rt["tie_term"] == 24
+    # all midranks 2 -> R_A = 4, R2 = 8, u_a_x2 = 8 - na*(na+1) = 2
+    assert rt["u_a_x2"] == 2
