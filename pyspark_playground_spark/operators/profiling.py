@@ -734,23 +734,32 @@ def _bucketed_cum_before(
     g: DataFrame,
     *,
     order_column: str,
-    sum_column: str,
-    out: str,
+    sum_column: str | Sequence[str],
+    out: str | Sequence[str],
     buckets: int = 64,
 ) -> DataFrame:
-    """Exact per-row cumulative sum of ``sum_column`` over rows with a
-    STRICTLY smaller ``order_column`` — ``distributed_rank``'s
+    """Exact per-row cumulative sum of each ``sum_column`` over rows with
+    a STRICTLY smaller ``order_column`` — ``distributed_rank``'s
     range-bucket pattern as a reusable step (:func:`exact_auc`,
-    :func:`spearman_correlation`): broadcast approx-percentile bounds
-    assign buckets (boundary quality affects only balance; correctness
-    needs only strict ``value > boundary`` comparison), intra-bucket
-    running sum, per-bucket totals (≤ ``buckets`` rows) prefix-summed
-    and broadcast back. No single-task data-sized window.
+    :func:`spearman_correlation`, :func:`pr_curve`): broadcast
+    approx-percentile bounds assign buckets (boundary quality affects
+    only balance; correctness needs only strict ``value > boundary``
+    comparison), intra-bucket running sum, per-bucket totals (≤
+    ``buckets`` rows) prefix-summed and broadcast back. No single-task
+    data-sized window.
+
+    Accepts one column or a list — multiple cumulative columns over the
+    SAME ordering share the bounds pass, bucket assignment, window, and
+    prefix join (one plan traversal instead of N).
 
     ``g`` must have DISTINCT ``order_column`` values (one row per value)
     and be cheap to recompute or persisted — the frame feeds three
     consumers (bounds, main branch, totals).
     """
+    sum_cols = [sum_column] if isinstance(sum_column, str) else list(sum_column)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(sum_cols) != len(outs):
+        raise ValueError("sum_column and out must have equal length")
     qs = [i / buckets for i in range(1, buckets)]
     bounds = g.agg(
         F.expr(
@@ -769,21 +778,34 @@ def _bucketed_cum_before(
     w_in = Window.partitionBy("__bucket").orderBy(order_column).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    data = data.withColumn(
-        "__cum_in", F.coalesce(F.sum(sum_column).over(w_in), F.lit(0))
+    for i, sc in enumerate(sum_cols):
+        data = data.withColumn(
+            f"__cum_in_{i}", F.coalesce(F.sum(sc).over(w_in), F.lit(0))
+        )
+    totals = data.groupBy("__bucket").agg(
+        *[F.sum(sc).alias(f"__bn_{i}") for i, sc in enumerate(sum_cols)]
     )
-    totals = data.groupBy("__bucket").agg(F.sum(sum_column).alias("__bn"))
     w_b = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
     prefixes = totals.select(
         "__bucket",
-        F.coalesce(F.sum("__bn").over(w_b), F.lit(0)).alias("__prefix"),
+        *[
+            F.coalesce(F.sum(f"__bn_{i}").over(w_b), F.lit(0)).alias(
+                f"__prefix_{i}"
+            )
+            for i in range(len(sum_cols))
+        ],
     )
-    return (
-        data.join(F.broadcast(prefixes), "__bucket")
-        .withColumn(out, F.col("__prefix") + F.col("__cum_in"))
-        .drop("__bucket", "__cum_in", "__prefix")
+    data = data.join(F.broadcast(prefixes), "__bucket")
+    for i, o in enumerate(outs):
+        data = data.withColumn(
+            o, F.col(f"__prefix_{i}") + F.col(f"__cum_in_{i}")
+        )
+    return data.drop(
+        "__bucket",
+        *[f"__cum_in_{i}" for i in range(len(sum_cols))],
+        *[f"__prefix_{i}" for i in range(len(sum_cols))],
     )
 
 
@@ -2326,11 +2348,10 @@ def pr_curve(
         .persist()
     )
     data = _bucketed_cum_before(
-        g, order_column="__negs", sum_column="__np", out="__tp_above",
-        buckets=buckets,
-    )
-    data = _bucketed_cum_before(
-        data, order_column="__negs", sum_column="__nn", out="__fp_above",
+        g,
+        order_column="__negs",
+        sum_column=["__np", "__nn"],
+        out=["__tp_above", "__fp_above"],
         buckets=buckets,
     )
     totals = g.agg(

@@ -12256,3 +12256,177 @@ def int8_recall_embeddings(spark, sf_dir):
     return sim.int8_recall_report(
         emb, emb.filter(F.col("vec_id") < 25), k=10
     )
+
+
+@query(
+    "chi2_source_lang_documents",
+    """
+    WITH cells AS (
+      SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS b,
+             count(*) AS o
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ), ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+       cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+       tot AS (SELECT sum(o) AS n, count(*) AS ncells,
+                      count(DISTINCT a) AS r, count(DISTINCT c2.b) AS c
+               FROM cells c2),
+       terms AS (
+         SELECT CAST(floor(
+             CAST(CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                  - CAST(ra.ra AS DECIMAL(38,0))
+                    * CAST(cb.cb AS DECIMAL(38,0)) AS DOUBLE)
+             * CAST(CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                  - CAST(ra.ra AS DECIMAL(38,0))
+                    * CAST(cb.cb AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+                * CAST(n AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT) AS t
+         FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+       ),
+       s AS (
+         SELECT CAST(sum(t) AS BIGINT) AS chi2_x6 FROM terms
+       )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(ncells AS BIGINT) AS n_cells,
+           CAST(r AS BIGINT) AS r_levels,
+           CAST(c AS BIGINT) AS c_levels,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CASE WHEN r >= 2 AND c >= 2 THEN chi2_x6 END AS chi2_x6,
+           CASE WHEN r >= 2 AND c >= 2 THEN
+             CAST(floor(sqrt(CAST(chi2_x6 AS DOUBLE) / 1e6
+                             / (CAST(n AS DOUBLE)
+                                * CAST(least(r - 1, c - 1) AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS cramers_v_q6
+    FROM s CROSS JOIN tot
+    """,
+)
+def chi2_source_lang_documents(spark, sf_dir):
+    """Chi-square independence test + Cramér's V between document source
+    and language (operators/profiling.py chi_square_independence): the
+    stratification audit before per-source curation thresholds — a large
+    V means source-level decisions are silently language-level ones.
+    One contingency census bounded by |sources|x|langs|, margins
+    re-aggregated from the census and broadcast, per-cell quantized
+    integer terms summed order-free."""
+    docs = load(spark, sf_dir, "documents")
+    return pf.chi_square_independence(docs, a_column="source", b_column="lang")
+
+
+@query(
+    "pr_curve_length_en_documents",
+    """
+    WITH t AS (
+      SELECT n_chars AS s, (lang = 'en') AS y FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ), g AS (
+      SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM t GROUP BY s
+    ), c AS (
+      SELECT s, np, nn,
+             sum(np) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(nn) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(np) OVER () AS p_tot
+      FROM g
+    )
+    SELECT s AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(p_tot - tp AS BIGINT) AS fn,
+           CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_x6,
+           CAST((tp * 1000000) // (tp + (p_tot - tp)) AS BIGINT)
+             AS recall_x6,
+           CAST((2 * tp * 1000000) // (2 * tp + fp + (p_tot - tp))
+                AS BIGINT) AS f1_x6
+    FROM c
+    """,
+)
+def pr_curve_length_en_documents(spark, sf_dir):
+    """Exact precision/recall/F1 sweep (operators/profiling.py pr_curve)
+    over every distinct document length as the "predict English" cutoff
+    — the full operating-curve table behind a threshold choice, pure
+    integer arithmetic end to end (no float accumulation anywhere). The
+    oracle's single window runs over the score census, bounded by
+    distinct-length cardinality; the Spark side uses the range-bucket
+    cumulative (no single-task data-sized window)."""
+    docs = load(spark, sf_dir, "documents")
+    return pf.pr_curve(
+        docs, score_column="n_chars", label_column=F.col("lang") == "en"
+    )
+
+
+_RETR_COS = (
+    _DOT.format(a="q.qv", b="c.cv")
+    + " / (" + _NORM.format(v="q.qv") + " * " + _NORM.format(v="c.cv") + ")"
+)
+
+
+@query(
+    "retrieval_eval_embeddings",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+      FROM embeddings WHERE vec_id < 25
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label AS clab
+      FROM embeddings
+    ), census AS (
+      SELECT label, count(*) AS nlab FROM embeddings GROUP BY label
+    ), qq AS (
+      SELECT query_id, qlab, coalesce(nlab, 1) - 1 AS nrel
+      FROM q LEFT JOIN census ON q.qlab = census.label
+    ), topk AS (
+      SELECT q.query_id, c.neighbor_id, c.clab,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {_RETR_COS} DESC, c.neighbor_id ASC) AS rank
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+      QUALIFY rank <= 10
+    ), scored AS (
+      SELECT t.query_id, qq.nrel, t.rank,
+             CASE WHEN t.clab = qq.qlab THEN 1 ELSE 0 END AS rel,
+             CAST(floor(1e6 / log2(CAST(t.rank AS DOUBLE) + 1.0) + 0.5)
+                  AS BIGINT) AS gain
+      FROM topk t JOIN qq USING (query_id)
+    ), per_q AS (
+      SELECT query_id, nrel,
+             CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+             CAST(sum(rel * gain) AS BIGINT) AS dcg_q6,
+             min(CASE WHEN rel = 1 THEN rank END) AS frr
+      FROM scored GROUP BY query_id, nrel
+    ), with_idcg AS (
+      SELECT query_id, nrel, n_rel_topk, dcg_q6, frr,
+             CASE WHEN nrel > 0 THEN CAST(list_sum(
+               [CAST(floor(1e6 / log2(CAST(i AS DOUBLE) + 1.0) + 0.5)
+                     AS BIGINT)
+                FOR i IN range(1, least(10, nrel) + 1)]) AS BIGINT)
+             END AS idcg_q6
+      FROM per_q
+    )
+    SELECT query_id,
+           CAST(nrel AS BIGINT) AS n_rel_corpus,
+           n_rel_topk,
+           dcg_q6,
+           idcg_q6,
+           CAST((dcg_q6 * 1000000) // idcg_q6 AS BIGINT) AS ndcg_x6,
+           CAST(frr AS BIGINT) AS first_rel_rank,
+           coalesce(CAST(floor(1e6 / CAST(frr AS DOUBLE) + 0.5) AS BIGINT),
+                    0) AS rr_q6
+    FROM with_idcg
+    """,
+)
+def retrieval_eval_embeddings(spark, sf_dir):
+    """Per-query nDCG@10 + reciprocal rank (operators/similarity.py
+    retrieval_eval_report) of the exact cosine top-10 against same-label
+    relevance on a 25-query panel — the retrieval-quality ship gate
+    beside int8_recall_embeddings. Every aggregate is an order-free
+    BIGINT sum of per-rank quantized gains; ndcg is an exact integer
+    ratio. Bounded panel broadcast, corpus never shuffled."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.retrieval_eval_report(
+        emb, emb.filter(F.col("vec_id") < 25), label_column="label", k=10
+    )

@@ -49,6 +49,7 @@ def synthesize(spark) -> None:
         ("orders", ["o_orderkey", "o_custkey"]),
         ("customer", ["c_custkey"]),
         ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
     ):
         out = f"{WORK}/{table}.parquet"
         if os.path.exists(out):
@@ -828,6 +829,41 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
     timed("bfs_4hops_1m_edges", n_lp_edges, bfs)
+
+    # 56. exact PR sweep over the replicated corpus: score census +
+    #     fused two-column range-bucket cumulative (r6 — output bounded
+    #     by distinct-score cardinality, never corpus size)
+    from pyspark_playground_spark.operators import profiling as pf
+
+    def prcurve():
+        pf.pr_curve(
+            docs, score_column="n_chars",
+            label_column=F.col("lang") == "en",
+        ).write.format("noop").mode("overwrite").save()
+    timed("pr_curve_sweep", n_docs, prcurve)
+
+    # 57. chi-square independence source×lang at corpus scale: one
+    #     contingency census groupBy, everything after is margin-sized
+    def chi2():
+        pf.chi_square_independence(
+            docs, a_column="source", b_column="lang"
+        ).write.format("noop").mode("overwrite").save()
+    timed("chi2_independence", n_docs, chi2)
+
+    # 58. retrieval eval (nDCG@10 + RR) — bounded 25-query panel against
+    #     the replicated embedding corpus; the corpus streams through the
+    #     broadcast ranking, never shuffles
+    from pyspark_playground_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{WORK}/embeddings.parquet")
+    n_emb = emb.count()
+
+    def retr():
+        sim.retrieval_eval_report(
+            emb, emb.filter(F.col("vec_id") < 25), label_column="label",
+            k=10,
+        ).write.format("noop").mode("overwrite").save()
+    timed("retrieval_eval_ndcg", n_emb, retr)
 
 
 def reps_frame(spark):

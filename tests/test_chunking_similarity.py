@@ -247,3 +247,62 @@ def test_int8_recall_report_known_sets_and_rank_flip(spark):
     )
     r2 = sim.int8_recall_report(corpus2, queries2, k=1).collect()[0]
     assert r2["n_hits"] == 0 and r2["recall_q6"] == 0
+
+
+def test_retrieval_eval_report_hand_computed(spark):
+    """Query q (label 1) against 4 corpus vectors on the x-axis spread:
+    exact top-3 by cosine = [c1(rel), c2(not), c3(rel)] -> rel pattern
+    [1, 0, 1]: dcg_q6 = g(1) + g(3) = 1000000 + 500000; two relevant
+    in corpus -> idcg_q6 = g(1) + g(2) = 1000000 + 630930
+    (floor(1e6/log2(3)+0.5)); first_rel_rank = 1, rr = 1e6."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            ("c1", [1.0, 0.0], 1),
+            ("c2", [0.9, 0.1], 2),
+            ("c3", [0.5, 0.5], 1),
+            ("c4", [0.0, 1.0], 3),
+        ],
+        "vec_id string, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [("q", [1.0, 0.0], 1)],
+        "vec_id string, embedding array<double>, label int",
+    )
+    r = sim.retrieval_eval_report(
+        corpus, queries, label_column="label", k=3
+    ).collect()[0]
+    g = lambda i: math.floor(1e6 / math.log2(i + 1.0) + 0.5)  # noqa: E731
+    # q is not a corpus member here, so n_rel_corpus counts all label-1
+    # corpus rows minus... the census is corpus-side: 2 rows with label 1;
+    # the operator subtracts 1 for the self-exclusion convention
+    assert r["n_rel_corpus"] == 1
+    assert r["n_rel_topk"] == 2
+    assert r["dcg_q6"] == g(1) + g(3) == 1000000 + 500000
+    # idcg truncates at min(k, n_rel_corpus) = 1
+    assert r["idcg_q6"] == g(1) == 1000000
+    assert r["ndcg_x6"] == (r["dcg_q6"] * 1000000) // r["idcg_q6"]
+    assert r["first_rel_rank"] == 1 and r["rr_q6"] == 1000000
+
+
+def test_retrieval_eval_report_self_exclusion_and_no_relevant(spark):
+    """When the query IS a corpus member, its own row is excluded from
+    both the ranking and the relevant count; a query whose label has no
+    other members gets NULL idcg/ndcg and rr_q6 = 0."""
+    corpus = spark.createDataFrame(
+        [
+            ("q", [1.0, 0.0], 7),   # the query itself
+            ("c1", [0.9, 0.1], 2),
+            ("c2", [0.5, 0.5], 2),
+        ],
+        "vec_id string, embedding array<double>, label int",
+    )
+    queries = corpus.filter("vec_id = 'q'")
+    r = sim.retrieval_eval_report(
+        corpus, queries, label_column="label", k=2
+    ).collect()[0]
+    assert r["n_rel_corpus"] == 0  # label-7 census count 1, minus self
+    assert r["n_rel_topk"] == 0 and r["dcg_q6"] == 0
+    assert r["idcg_q6"] is None and r["ndcg_x6"] is None
+    assert r["first_rel_rank"] is None and r["rr_q6"] == 0

@@ -1004,3 +1004,55 @@ def test_mann_whitney_u_hand_computed(spark):
     assert rt["z_q6"] is None and rt["tie_term"] == 24
     # all midranks 2 -> R_A = 4, R2 = 8, u_a_x2 = 8 - na*(na+1) = 2
     assert rt["u_a_x2"] == 2
+
+
+def test_chi_square_independence_hand_computed(spark):
+    """2x2 table [[10, 20], [20, 10]]: N=60, margins all 30, e=15 per
+    cell, chi2 = 4 * 25/15 = 20/3; V = sqrt(chi2/(N*1)) = sqrt(1/9) =
+    1/3. Per-cell quantized terms: floor(5/3*1e6+0.5) = 1666667 -> sum
+    6666668 (sum-of-quantizations, documented semantics)."""
+    from pyspark_playground_spark.operators.profiling import (
+        chi_square_independence,
+    )
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, a_column="a", b_column="b").collect()[0]
+    assert (r["n_rows"], r["n_cells"], r["dof"]) == (60, 4, 1)
+    assert r["chi2_x6"] == 4 * 1666667  # each cell: floor(5/3*1e6+0.5)
+    # V = sqrt((6666668/1e6)/60) ~= 1/3
+    assert abs(r["cramers_v_q6"] - 333333) <= 1
+
+    # degenerate: single column level -> NULL stats, counts still real
+    d1 = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
+    r1 = chi_square_independence(d1, a_column="a", b_column="b").collect()[0]
+    assert r1["chi2_x6"] is None and r1["cramers_v_q6"] is None
+    assert r1["r_levels"] == 1 and r1["c_levels"] == 2
+
+
+def test_pr_curve_hand_computed(spark):
+    """scores/labels: (3,+) (3,-) (2,+) (1,-): thresholds 3,2,1.
+    t=3: tp=1 fp=1 fn=1 -> P=500000 R=500000 F1=500000
+    t=2: tp=2 fp=1 fn=0 -> P=666666 R=1000000 F1=800000
+    t=1: tp=2 fp=2 fn=0 -> P=500000 R=1000000 F1=666666
+    (integer DIV floors: 2000000//3 = 666666)."""
+    from pyspark_playground_spark.operators.profiling import pr_curve
+
+    df = spark.createDataFrame(
+        [(3, True), (3, False), (2, True), (1, False)], "s int, y boolean"
+    )
+    out = {
+        r["threshold"]: r
+        for r in pr_curve(df, score_column="s", label_column="y").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[3]["tp"], out[3]["fp"], out[3]["fn"]) == (1, 1, 1)
+    assert out[3]["precision_x6"] == out[3]["recall_x6"] == 500000
+    assert out[3]["f1_x6"] == 500000
+    assert (out[2]["tp"], out[2]["fp"], out[2]["fn"]) == (2, 1, 0)
+    assert out[2]["precision_x6"] == 666666
+    assert out[2]["recall_x6"] == 1000000 and out[2]["f1_x6"] == 800000
+    assert out[1]["precision_x6"] == 500000 and out[1]["f1_x6"] == 666666
