@@ -44,6 +44,7 @@ def user_lifetimes(
     key_column: str = "user_id",
     ts_column: str = "ts",
     churn_horizon_hours: int = 24,
+    carry_aggs: dict | None = None,
 ) -> DataFrame:
     """Per-key observation spans for survival analysis: duration in
     WHOLE HOURS between first and last event, and the right-censoring
@@ -58,16 +59,25 @@ def user_lifetimes(
     in the subtraction), so duration and censoring are engine-exact
     integers. One groupBy on the key plus the broadcast one-row horizon
     frame.
+
+    ``carry_aggs`` rides extra per-key aggregate expressions (name ->
+    Column) on the SAME groupBy — e.g. a cohort flag for
+    :func:`log_rank_test` — instead of paying a second shuffle over the
+    event log for a second per-key aggregation.
     """
+    carry = dict(carry_aggs or {})
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     horizon = events.agg(F.max(ts_column).alias("__h"))
     per_key = events.groupBy(key_column).agg(
-        F.min(ts_column).alias("__first"), F.max(ts_column).alias("__last")
+        F.min(ts_column).alias("__first"),
+        F.max(ts_column).alias("__last"),
+        *[expr.alias(name) for name, expr in carry.items()],
     )
     with_us = per_key.join(F.broadcast(horizon)).select(
         key_column,
         (us("__last") - us("__first")).alias("__span_us"),
         (us("__h") - us("__last")).alias("__gap_us"),
+        *carry,
     )
     # integer `div`, not a float division — a double quotient can round up
     # across the hour boundary before the floor
@@ -77,6 +87,7 @@ def user_lifetimes(
         (F.col("__gap_us") > F.lit(churn_horizon_hours * 3_600_000_000))
         .cast("int")
         .alias("died"),
+        *carry,
     )
 
 
@@ -217,3 +228,128 @@ def nelson_aalen(
         F.col("r.at_risk").alias("at_risk"),
         F.col("r.cum_hazard").alias("cum_hazard"),
     ).filter(F.col("deaths") > 0)
+
+
+def log_rank_test(
+    lifetimes: DataFrame,
+    *,
+    duration_column: str = "duration_hours",
+    died_column: str = "died",
+    group_column: str = "grp",
+    buckets: int = 64,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test that the survival curves of
+    ``group_column`` = true vs false differ — the partner statistic to
+    :func:`kaplan_meier`: KM draws the two curves, the log-rank says
+    whether the gap is signal (do purchasers stay active longer?).
+
+    Exact-integer construction mirroring the module's KM discipline: a
+    duration census with per-group deaths and counts (one groupBy +
+    pivot-by-flag, bounded by distinct durations), both groups' at-risk
+    suffix sums via ONE fused range-bucket cumulative
+    (``profiling._bucketed_cum_before`` on the negated duration — no
+    single-task data-sized window). At each death time ``t``::
+
+        u_t = d1 - dt*n1/nt          (observed minus expected, group 1)
+        v_t = dt*n1*n2*(nt-dt) / (nt^2*(nt-1))   (hypergeometric var)
+
+    Each term's numerator is exact DECIMAL(38,0) (products reach n^4 —
+    exact while n <= ~1e9 at risk); ONE fixed-order double division per
+    term, quantized ``floor(x*1e6+0.5)`` (floor is toward -inf on BOTH
+    engines — sign-safe for the negative u terms, unlike integer DIV
+    whose truncation direction differs cross-engine), summed as
+    order-free BIGINTs. The chi-square statistic follows in one more
+    fixed-order double; NULL when no variance (one group empty or no
+    deaths).
+
+    Output one row: (n_a, n_b, deaths_a, deaths_b, u_q6, var_q6,
+    chi2_q6) where u = O_a - E_a over group true.
+    """
+    from pyspark_playground_spark.operators.profiling import (
+        _bucketed_cum_before,
+    )
+
+    g = F.col(group_column).cast("boolean")
+    lt = lifetimes.select(
+        F.col(duration_column).alias("__dur"),
+        F.col(died_column).cast("long").alias("__died"),
+        g.alias("__g"),
+    ).filter(F.col("__dur").isNotNull() & F.col("__g").isNotNull())
+    census = (
+        lt.groupBy("__dur")
+        .agg(
+            F.sum(F.when(F.col("__g"), F.col("__died")).otherwise(0)).alias(
+                "__d1"
+            ),
+            F.sum(F.when(F.col("__g"), 0).otherwise(F.col("__died"))).alias(
+                "__d2"
+            ),
+            F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__c1"),
+            F.sum(F.when(F.col("__g"), 0).otherwise(1)).alias("__c2"),
+        )
+        .withColumn("__negd", -F.col("__dur"))
+        .persist()
+    )
+    data = _bucketed_cum_before(
+        census,
+        order_column="__negd",
+        sum_column=["__c1", "__c2"],
+        out=["__above1", "__above2"],
+        buckets=buckets,
+    )
+    n1 = F.col("__above1") + F.col("__c1")
+    n2 = F.col("__above2") + F.col("__c2")
+    nt = n1 + n2
+    dt = F.col("__d1") + F.col("__d2")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # u numerator: d1*nt - dt*n1 (exact); v numerator: dt*n1*n2*(nt-dt)
+    u_num = (d38(F.col("__d1")) * d38(nt) - d38(dt) * d38(n1)).cast("double")
+    v_num = (d38(dt) * d38(n1) * d38(n2) * d38(nt - dt)).cast("double")
+    v_den = (
+        nt.cast("double") * nt.cast("double") * (nt - 1).cast("double")
+    )
+    at_death = data.filter(dt > 0)
+    terms = at_death.select(
+        F.floor(u_num / nt.cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("__u_q6"),
+        F.when(
+            nt > 1,
+            F.floor(v_num / v_den * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("__v_q6"),
+        F.col("__d1"),
+        F.col("__d2"),
+    )
+    tot = lt.groupBy().agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__g"), 0).otherwise(1)).alias("n_b"),
+    )
+    # coalesce: with zero death times the terms frame is EMPTY and the
+    # sums come back NULL — the right answer is all-zero (no evidence)
+    s = terms.agg(
+        F.coalesce(F.sum("__d1"), F.lit(0)).cast("long").alias("deaths_a"),
+        F.coalesce(F.sum("__d2"), F.lit(0)).cast("long").alias("deaths_b"),
+        F.coalesce(F.sum("__u_q6"), F.lit(0)).cast("long").alias("u_q6"),
+        F.coalesce(F.sum("__v_q6"), F.lit(0)).cast("long").alias("var_q6"),
+    )
+    u_d = F.col("u_q6").cast("double") / F.lit(1e6)
+    v_d = F.col("var_q6").cast("double") / F.lit(1e6)
+    return (
+        s.join(F.broadcast(tot))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "deaths_a",
+            "deaths_b",
+            "u_q6",
+            "var_q6",
+            F.when(
+                F.col("var_q6") > 0,
+                F.floor(u_d * u_d / v_d * F.lit(1e6) + F.lit(0.5)),
+            )
+            .cast("long")
+            .alias("chi2_q6"),
+        )
+    )

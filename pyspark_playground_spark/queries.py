@@ -12430,3 +12430,98 @@ def retrieval_eval_embeddings(spark, sf_dir):
     return sim.retrieval_eval_report(
         emb, emb.filter(F.col("vec_id") < 25), label_column="label", k=10
     )
+
+
+@query(
+    "logrank_purchasers_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS dur,
+             CAST((epoch_us(h.horizon) - epoch_us(max(ts)))
+                    > 24 * 3600000000 AS INT) AS died,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS grp
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    census AS (
+      SELECT dur,
+             sum(CASE WHEN grp THEN died ELSE 0 END) AS d1,
+             sum(CASE WHEN grp THEN 0 ELSE died END) AS d2,
+             sum(CASE WHEN grp THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp THEN 0 ELSE 1 END) AS c2
+      FROM u GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d1, d2,
+             sum(c1) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+             sum(c2) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n2
+      FROM census
+    ),
+    terms AS (
+      SELECT d1, d2,
+             CAST(floor(
+               CAST(CAST(d1 AS DECIMAL(38,0)) * CAST(n1 + n2 AS DECIMAL(38,0))
+                    - CAST(d1 + d2 AS DECIMAL(38,0))
+                      * CAST(n1 AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS u_q6,
+             CASE WHEN n1 + n2 > 1 THEN
+               CAST(floor(
+                 CAST(CAST(d1 + d2 AS DECIMAL(38,0))
+                      * CAST(n1 AS DECIMAL(38,0))
+                      * CAST(n2 AS DECIMAL(38,0))
+                      * CAST((n1 + n2) - (d1 + d2) AS DECIMAL(38,0))
+                      AS DOUBLE)
+                 / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                    * CAST((n1 + n2) - 1 AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS v_q6
+      FROM risk WHERE d1 + d2 > 0
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM u
+    ),
+    s AS (
+      SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS deaths_a,
+             CAST(coalesce(sum(d2), 0) AS BIGINT) AS deaths_b,
+             CAST(coalesce(sum(u_q6), 0) AS BIGINT) AS u_q6,
+             CAST(coalesce(sum(v_q6), 0) AS BIGINT) AS var_q6
+      FROM terms
+    )
+    SELECT n_a, n_b, deaths_a, deaths_b, u_q6, var_q6,
+           CASE WHEN var_q6 > 0 THEN
+             CAST(floor((CAST(u_q6 AS DOUBLE) / 1e6)
+                        * (CAST(u_q6 AS DOUBLE) / 1e6)
+                        / (CAST(var_q6 AS DOUBLE) / 1e6)
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS chi2_q6
+    FROM s CROSS JOIN tot
+    """,
+)
+def logrank_purchasers_events(spark, sf_dir):
+    """Two-sample log-rank test (operators/survival.py log_rank_test):
+    do users who ever purchased survive (stay active) longer than those
+    who never did? Durations and censoring from user_lifetimes (exact
+    integer hours, 24h churn horizon); per-death-time hypergeometric
+    terms with exact DECIMAL numerators, one fixed-order double division
+    each, quantized and summed order-free. The at-risk suffix sums run
+    through the fused range-bucket cumulative — no data-sized window."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(
+        e,
+        carry_aggs={
+            "grp": F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        },
+    )
+    return sv.log_rank_test(lt)

@@ -85,3 +85,41 @@ def test_nelson_aalen_hand_computed(spark):
     h2 = h1 + Decimal(str(round(1 / 3, 9)))
     assert got[1]["cum_hazard"] == h1
     assert got[2]["cum_hazard"] == h2
+
+
+def test_log_rank_hand_computed(spark):
+    """A: durations [1(died), 2(died)]; B: [1(died), 3(censored)].
+    t=1: n1=2 n2=2 d1=1 d2=1 -> u_num = 1*4-2*2 = 0, v = 2*2*2*2/(16*3)
+         = 1/3 -> 333333 (floor(1e6/3 + 0.5))
+    t=2: n1=1 n2=1 d1=1 d2=0 -> u = (1*2-1*1)/2 = 0.5 -> 500000,
+         v = 1*1*1*1/(4*1) = 0.25 -> 250000
+    t=3: censored only (dt=0) -> excluded.
+    => u_q6 = 500000, var_q6 = 583333, chi2 = 0.5^2/0.583333."""
+    import math
+
+    from pyspark_playground_spark.operators.survival import log_rank_test
+
+    lt = spark.createDataFrame(
+        [
+            ("a1", 1, 1, True),
+            ("a2", 2, 1, True),
+            ("b1", 1, 1, False),
+            ("b2", 3, 0, False),
+        ],
+        "k string, duration_hours int, died int, grp boolean",
+    )
+    r = log_rank_test(lt).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["deaths_a"], r["deaths_b"]) == (2, 1)
+    assert r["u_q6"] == 500000
+    assert r["var_q6"] == 333333 + 250000
+    u, v = 500000 / 1e6, 583333 / 1e6
+    assert r["chi2_q6"] == math.floor(u * u / v * 1e6 + 0.5)
+
+    # no deaths at all -> no terms -> var 0 -> chi2 NULL
+    cens = spark.createDataFrame(
+        [("a", 1, 0, True), ("b", 2, 0, False)],
+        "k string, duration_hours int, died int, grp boolean",
+    )
+    rc = log_rank_test(cens).collect()[0]
+    assert rc["chi2_q6"] is None and rc["deaths_a"] == 0
