@@ -2378,3 +2378,102 @@ def pr_curve(
             "f1_x6"
         ),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    *,
+    score_column: str,
+    calibration_column: Column | str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    buckets: int = 64,
+) -> DataFrame:
+    """Split-conformal quantile threshold with finite-sample coverage —
+    the distribution-free cut for "keep documents whose score is within
+    the (1-α) envelope, with a GUARANTEE": the threshold is the
+    ``ceil((n+1)(1-α))``-th smallest calibration score, so a fresh
+    exchangeable point lands at or below it with probability ≥ 1-α
+    (Vovk et al.'s split conformal — public-domain construction).
+
+    α is a RATIONAL ``alpha_num/alpha_den`` so the rank is exact
+    integer arithmetic: ``k = ceil((n+1)(den-num)/den) =
+    ((n+1)(den-num) + den - 1) DIV den`` — no float rank, no
+    engine-split rounding at boundary n. The k-th order statistic
+    comes from the score census + the range-bucket cumulative (no
+    data-sized window, no sort): the unique census row with
+    ``cum_below < k <= cum_below + cnt``. When ``k > n_cal`` (tiny
+    calibration set) the conformal set is everything: threshold NULL,
+    coverage 1 by convention. The held-out rows (calibration flag
+    false) report achieved coverage as an exact integer ratio.
+
+    Output one row: (n_cal, n_eval, k_rank, threshold, n_covered,
+    coverage_x6, target_x6).
+    """
+    flag = (
+        F.col(calibration_column)
+        if isinstance(calibration_column, str)
+        else calibration_column
+    )
+    t = df.select(
+        F.col(score_column).alias("__s"), flag.cast("boolean").alias("__cal")
+    ).filter(F.col("__s").isNotNull() & F.col("__cal").isNotNull())
+    g = (
+        t.filter(F.col("__cal"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+    k = g.agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("n_cal")
+    ).select(
+        "n_cal",
+        F.expr(
+            f"((n_cal + 1) * {alpha_den - alpha_num} + {alpha_den - 1})"
+            f" DIV {alpha_den}"
+        ).alias("k_rank"),
+    )
+    data = _bucketed_cum_before(
+        g, order_column="__s", sum_column="__cnt", out="__cum",
+        buckets=buckets,
+    )
+    th = (
+        data.join(F.broadcast(k))
+        .filter(
+            (F.col("__cum") < F.col("k_rank"))
+            & (F.col("__cum") + F.col("__cnt") >= F.col("k_rank"))
+        )
+        .agg(F.min("__s").alias("threshold"))
+    )
+    ev = (
+        t.filter(~F.col("__cal"))
+        .join(F.broadcast(th))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.col("threshold").isNull()
+                    | (F.col("__s") <= F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        F.broadcast(k)
+        .join(F.broadcast(th))
+        .join(F.broadcast(ev))
+        .select(
+            "n_cal",
+            F.coalesce("n_eval", F.lit(0)).alias("n_eval"),
+            "k_rank",
+            "threshold",
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.expr("(n_covered * 1000000L) DIV n_eval").alias("coverage_x6"),
+            F.lit(
+                ((alpha_den - alpha_num) * 1_000_000) // alpha_den
+            ).cast("long").alias("target_x6"),
+        )
+    )

@@ -12525,3 +12525,65 @@ def logrank_purchasers_events(spark, sf_dir):
         },
     )
     return sv.log_rank_test(lt)
+
+
+@query(
+    "conformal_length_threshold_documents",
+    f"""
+    WITH t AS (
+      SELECT n_chars AS s, ({_BUCKET} < 5000) AS cal
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    g AS (SELECT s, count(*) AS cnt FROM t WHERE cal GROUP BY s),
+    k AS (
+      SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_cal,
+             CAST(((coalesce(sum(cnt), 0) + 1) * 9 + 9) // 10 AS BIGINT)
+               AS k_rank
+      FROM g
+    ),
+    c AS (
+      SELECT s, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ),
+    th AS (
+      SELECT min(s) AS threshold
+      FROM c CROSS JOIN k
+      WHERE cum < k_rank AND cum + cnt >= k_rank
+    ),
+    ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(coalesce(sum(CASE WHEN th.threshold IS NULL
+                                      OR s <= th.threshold
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_covered
+      FROM t CROSS JOIN th WHERE NOT cal
+    )
+    SELECT n_cal, n_eval, k_rank, threshold, n_covered,
+           CAST((n_covered * 1000000) // n_eval AS BIGINT) AS coverage_x6,
+           CAST(900000 AS BIGINT) AS target_x6
+    FROM k CROSS JOIN th CROSS JOIN ev
+    """,
+)
+def conformal_length_threshold_documents(spark, sf_dir):
+    """Split-conformal document-length cut (operators/profiling.py
+    conformal_threshold): the md5-even half of the corpus calibrates the
+    ceil((n+1)*0.9)-th smallest length; held-out docs at or below it are
+    covered with finite-sample probability >= 0.9. Exact integer rank
+    (alpha = 1/10 rational), k-th order statistic via the range-bucket
+    census cumulative, coverage as an exact integer ratio — the
+    distribution-free alternative to a winsorize cut."""
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold,
+    )
+    from pyspark_playground_spark.operators.sampling import hash_bucket_expr
+
+    docs = load(spark, sf_dir, "documents")
+    return conformal_threshold(
+        docs,
+        score_column="n_chars",
+        calibration_column=hash_bucket_expr(["doc_id"]) < 5000,
+        alpha_num=1,
+        alpha_den=10,
+    )

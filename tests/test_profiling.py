@@ -1056,3 +1056,51 @@ def test_pr_curve_hand_computed(spark):
     assert out[2]["precision_x6"] == 666666
     assert out[2]["recall_x6"] == 1000000 and out[2]["f1_x6"] == 800000
     assert out[1]["precision_x6"] == 500000 and out[1]["f1_x6"] == 666666
+
+
+def test_conformal_threshold_hand_computed(spark):
+    """Calibration scores 1..10 (flag true), eval 1..20: alpha = 1/10 ->
+    k = ceil(11*0.9) = ceil(9.9) = 10 -> threshold = 10th smallest = 10;
+    covered eval rows = scores <= 10 -> 10 of 20 -> coverage 0.5."""
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold,
+    )
+
+    rows = [(i, True) for i in range(1, 11)] + [
+        (i, False) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "s int, cal boolean")
+    r = conformal_threshold(
+        df, score_column="s", calibration_column="cal",
+        alpha_num=1, alpha_den=10,
+    ).collect()[0]
+    assert (r["n_cal"], r["n_eval"]) == (10, 20)
+    assert r["k_rank"] == 10 and r["threshold"] == 10
+    assert r["n_covered"] == 10 and r["coverage_x6"] == 500000
+    assert r["target_x6"] == 900000
+
+    # k > n_cal: 2 calibration points at alpha=1/10 -> k = ceil(2.7) = 3
+    # > 2 -> conformal set is everything: NULL threshold, full coverage
+    tiny = spark.createDataFrame(
+        [(5, True), (7, True), (100, False), (200, False)],
+        "s int, cal boolean",
+    )
+    rt = conformal_threshold(
+        tiny, score_column="s", calibration_column="cal",
+        alpha_num=1, alpha_den=10,
+    ).collect()[0]
+    assert rt["k_rank"] == 3 and rt["threshold"] is None
+    assert rt["n_covered"] == 2 and rt["coverage_x6"] == 1000000
+
+    # ties: calibration [5,5,5], k = ceil(4*.9) = 4 > 3 -> everything;
+    # with alpha=1/2: k = ceil(4*0.5) = 2 -> threshold 5
+    ties = spark.createDataFrame(
+        [(5, True), (5, True), (5, True), (4, False), (6, False)],
+        "s int, cal boolean",
+    )
+    r2 = conformal_threshold(
+        ties, score_column="s", calibration_column="cal",
+        alpha_num=1, alpha_den=2,
+    ).collect()[0]
+    assert r2["k_rank"] == 2 and r2["threshold"] == 5
+    assert r2["n_covered"] == 1 and r2["coverage_x6"] == 500000
