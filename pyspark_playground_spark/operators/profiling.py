@@ -2367,13 +2367,19 @@ def pr_curve(
         fp.alias("fp"),
         fn.alias("fn"),
     )
+    # tp+fp >= 1 and 2tp+fp+fn >= 1 at every emitted threshold (the
+    # threshold row itself has >= 1 observation), but tp+fn == total
+    # positives CAN be 0 — guard recall explicitly: ANSI Spark raises on
+    # integer DIV by zero where DuckDB yields NULL
     return data.select(
         "threshold",
         "tp",
         "fp",
         "fn",
         F.expr("(tp * 1000000L) DIV (tp + fp)").alias("precision_x6"),
-        F.expr("(tp * 1000000L) DIV (tp + fn)").alias("recall_x6"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (tp * 1000000L) DIV (tp + fn) END"
+        ).alias("recall_x6"),
         F.expr("(2L * tp * 1000000L) DIV (2L * tp + fp + fn)").alias(
             "f1_x6"
         ),
@@ -2471,7 +2477,11 @@ def conformal_threshold(
             "k_rank",
             "threshold",
             F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
-            F.expr("(n_covered * 1000000L) DIV n_eval").alias("coverage_x6"),
+            # guard: no held-out rows -> NULL coverage (ANSI DIV raises)
+            F.expr(
+                "CASE WHEN n_eval > 0"
+                " THEN (n_covered * 1000000L) DIV n_eval END"
+            ).alias("coverage_x6"),
             F.lit(
                 ((alpha_den - alpha_num) * 1_000_000) // alpha_den
             ).cast("long").alias("target_x6"),

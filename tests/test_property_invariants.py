@@ -572,3 +572,76 @@ def test_spearman_matches_average_rank_model(spark, pairs):
             (x - ma) * (y - mb) for x, y in zip(ra, rb)
         ) / math.sqrt(da * db)
         assert abs(got["rho"] - ref) < 1e-9
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()),
+        min_size=1, max_size=40,
+    )
+)
+def test_pr_curve_invariants(spark, data):
+    """For ANY (score, label) multiset, the exact PR sweep satisfies the
+    defining identities at every threshold: tp+fn == total positives,
+    tp+fp == rows at score >= threshold, recall is non-increasing in the
+    threshold, tp is the exact count of positives at score >= t, and the
+    quantized ratios are the floor-exact integer divisions of those
+    counts."""
+    from pyspark_playground_spark.operators.profiling import pr_curve
+
+    df = spark.createDataFrame(data, "s int, y boolean")
+    rows = sorted(
+        pr_curve(df, score_column="s", label_column="y").collect(),
+        key=lambda r: r["threshold"],
+    )
+    P = sum(1 for s, y in data if y)
+    for r in rows:
+        t = r["threshold"]
+        tp = sum(1 for s, y in data if y and s >= t)
+        fp = sum(1 for s, y in data if not y and s >= t)
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, P - tp)
+        assert r["precision_x6"] == (tp * 1_000_000) // (tp + fp)
+        assert (r["recall_x6"] is None) == (P == 0)
+        if P:
+            assert r["recall_x6"] == (tp * 1_000_000) // P
+        assert r["f1_x6"] == (2 * tp * 1_000_000) // (2 * tp + fp + P - tp)
+    # recall non-increasing as the threshold rises
+    recs = [r["recall_x6"] for r in rows if r["recall_x6"] is not None]
+    assert all(a >= b for a, b in zip(recs, recs[1:]))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cal=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    ev=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    alpha_den=st.sampled_from([2, 4, 10]),
+)
+def test_conformal_threshold_matches_model(spark, cal, ev, alpha_den):
+    """The distributed k-th order statistic equals the literal sorted-list
+    pick, and held-out coverage is the exact count at or below it."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold,
+    )
+
+    rows = [(s, True) for s in cal] + [(s, False) for s in ev]
+    df = spark.createDataFrame(rows, "s int, cal boolean")
+    r = conformal_threshold(
+        df, score_column="s", calibration_column="cal",
+        alpha_num=1, alpha_den=alpha_den,
+    ).collect()[0]
+    n = len(cal)
+    k = math.ceil((n + 1) * (alpha_den - 1) / alpha_den)
+    assert r["k_rank"] == k
+    if k > n:
+        assert r["threshold"] is None
+        assert r["n_covered"] == len(ev)
+    else:
+        expect = sorted(cal)[k - 1]
+        assert r["threshold"] == expect
+        assert r["n_covered"] == sum(1 for s in ev if s <= expect)
+    assert r["coverage_x6"] == (r["n_covered"] * 1_000_000) // len(ev)
