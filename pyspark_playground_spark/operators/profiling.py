@@ -2487,3 +2487,73 @@ def conformal_threshold(
             ).cast("long").alias("target_x6"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame,
+    *,
+    true_column: str,
+    pred_column: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 + support from a (true, pred) frame
+    — the standard eval table behind an auto-labeler acceptance call
+    (:func:`cohen_kappa` gives the one-number chance-corrected gate;
+    this is the per-class view that says WHICH language the labeler
+    confuses). Pure integer arithmetic: one confusion census groupBy
+    bounded by |classes|^2, margins re-aggregated from the census, every
+    ratio an exact ``x*1e6 DIV y`` (NULL when the class never appears on
+    that side — ANSI-safe). Classes appearing on either side are
+    reported; NULL labels are excluded.
+
+    Output: (label, support, tp, fp, fn, precision_x6, recall_x6,
+    f1_x6), one row per class.
+    """
+    t = df.select(
+        F.col(true_column).cast("string").alias("__t"),
+        F.col(pred_column).cast("string").alias("__p"),
+    ).filter(F.col("__t").isNotNull() & F.col("__p").isNotNull())
+    cells = t.groupBy("__t", "__p").agg(F.count(F.lit(1)).alias("__c"))
+    cells = cells.persist()
+    ra = cells.groupBy("__t").agg(F.sum("__c").alias("__support"))
+    cb = cells.groupBy("__p").agg(F.sum("__c").alias("__pred_n"))
+    diag = cells.filter(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("__label"), F.col("__c").alias("__tp")
+    )
+    labels = (
+        ra.select(F.col("__t").alias("__label"))
+        .union(cb.select(F.col("__p").alias("__label")))
+        .distinct()
+    )
+    out = (
+        labels.join(ra, labels["__label"] == ra["__t"], "left")
+        .join(cb, labels["__label"] == cb["__p"], "left")
+        .join(diag, "__label", "left")
+        .select(
+            F.col("__label").alias("label"),
+            F.coalesce("__support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("__tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("__pred_n", F.lit(0)) - F.coalesce("__tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("__support", F.lit(0)) - F.coalesce("__tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return out.select(
+        "label",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (tp * 1000000L) DIV (tp + fp) END"
+        ).alias("precision_x6"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (tp * 1000000L) DIV (tp + fn) END"
+        ).alias("recall_x6"),
+        F.expr(
+            "CASE WHEN 2L * tp + fp + fn > 0"
+            " THEN (2L * tp * 1000000L) DIV (2L * tp + fp + fn) END"
+        ).alias("f1_x6"),
+    )

@@ -12587,3 +12587,64 @@ def conformal_length_threshold_documents(spark, sf_dir):
         alpha_num=1,
         alpha_den=10,
     )
+
+
+@query(
+    "langid_class_metrics_documents",
+    f"""
+    WITH t AS (
+      SELECT lang AS tr, lang_pred AS pr FROM ({_lang_id_oracle()})
+      WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+    ), g AS (
+      SELECT tr, pr, count(*) AS c FROM t GROUP BY tr, pr
+    ), ra AS (SELECT tr, sum(c) AS support FROM g GROUP BY tr),
+       cb AS (SELECT pr, sum(c) AS pred_n FROM g GROUP BY pr),
+       diag AS (SELECT tr AS label, c AS tp FROM g WHERE tr = pr),
+       labels AS (
+         SELECT DISTINCT label FROM (
+           SELECT tr AS label FROM ra UNION ALL SELECT pr FROM cb
+         )
+       ),
+       m AS (
+         SELECT l.label,
+                CAST(coalesce(ra.support, 0) AS BIGINT) AS support,
+                CAST(coalesce(diag.tp, 0) AS BIGINT) AS tp,
+                CAST(coalesce(cb.pred_n, 0) - coalesce(diag.tp, 0)
+                     AS BIGINT) AS fp,
+                CAST(coalesce(ra.support, 0) - coalesce(diag.tp, 0)
+                     AS BIGINT) AS fn
+         FROM labels l
+         LEFT JOIN ra ON l.label = ra.tr
+         LEFT JOIN cb ON l.label = cb.pr
+         LEFT JOIN diag ON l.label = diag.label
+       )
+    SELECT label, support, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+           END AS precision_x6,
+           CASE WHEN tp + fn > 0
+                THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+           END AS recall_x6,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST((2 * tp * 1000000) // (2 * tp + fp + fn)
+                          AS BIGINT)
+           END AS f1_x6
+    FROM m
+    """,
+)
+def langid_class_metrics_documents(spark, sf_dir):
+    """Per-class precision/recall/F1 of the marker-word lang-id against
+    the labeled lang column (operators/profiling.py
+    classification_report) — the per-class companion to the kappa gate:
+    which languages does the auto-labeler actually confuse. Confusion
+    census bounded by |langs|^2, margins off the census, exact integer
+    ratios, ANSI-safe guards."""
+    from pyspark_playground_spark.operators.profiling import (
+        classification_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pred = tx.lang_id(docs)
+    return classification_report(
+        pred, true_column="lang", pred_column="lang_pred"
+    )

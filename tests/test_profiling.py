@@ -1104,3 +1104,44 @@ def test_conformal_threshold_hand_computed(spark):
     ).collect()[0]
     assert r2["k_rank"] == 2 and r2["threshold"] == 5
     assert r2["n_covered"] == 1 and r2["coverage_x6"] == 500000
+
+
+def test_classification_report_hand_computed(spark):
+    """truth/pred pairs: (a,a) x2, (a,b), (b,b), (b,a), (c,b):
+    a: support 3, tp 2, fp 1 (b->a), fn 1 -> P=R=F1=2/3
+    b: support 2, tp 1, fp 2 (a->b, c->b), fn 1 -> P=1/3 R=1/2 F1=2/5
+    c: support 1, tp 0, fp 0, fn 1 -> precision NULL (never predicted),
+       recall 0, f1 0."""
+    from pyspark_playground_spark.operators.profiling import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+         ("c", "b")],
+        "t string, p string",
+    )
+    out = {
+        r["label"]: r
+        for r in classification_report(
+            df, true_column="t", pred_column="p"
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (3, 2, 1, 1)
+    assert a["precision_x6"] == a["recall_x6"] == 666666
+    assert a["f1_x6"] == 666666
+    assert (b["support"], b["tp"], b["fp"], b["fn"]) == (2, 1, 2, 1)
+    assert b["precision_x6"] == 333333 and b["recall_x6"] == 500000
+    assert b["f1_x6"] == 400000
+    assert (c["support"], c["tp"], c["fp"], c["fn"]) == (1, 0, 0, 1)
+    assert c["precision_x6"] is None
+    assert c["recall_x6"] == 0 and c["f1_x6"] == 0
+
+    # a predicted-only class (never true) gets support 0, recall NULL
+    df2 = spark.createDataFrame([("x", "y")], "t string, p string")
+    out2 = {r["label"]: r for r in classification_report(
+        df2, true_column="t", pred_column="p").collect()}
+    assert out2["y"]["support"] == 0 and out2["y"]["recall_x6"] is None
+    assert out2["x"]["precision_x6"] is None and out2["x"]["recall_x6"] == 0
