@@ -2557,3 +2557,98 @@ def classification_report(
             " THEN (2L * tp * 1000000L) DIV (2L * tp + fp + fn) END"
         ).alias("f1_x6"),
     )
+
+
+def calibration_error_report(
+    df: DataFrame,
+    *,
+    score_ppm_column: str,
+    label_column: Column | str,
+    bins: int = 10,
+) -> DataFrame:
+    """ECE / MCE / Brier score in EXACT integer arithmetic — the one-row
+    calibration verdict beside :func:`calibration_bins`' per-bin
+    diagram. Requires the score as integer PPM in [0, 1e6] (e.g.
+    ``sampling.percent_rank_calibration``'s ``pct_ppm``, or any
+    quantized probability) — that's what makes the errors exact:
+
+    - bin b's ECE contribution is ``(n_b/N)·|pos_b/n_b − conf_b|``
+      where ``conf_b = Σ score_ppm / (n_b·1e6)``; algebra collapses it
+      to ``|pos_b·1e6 − Σ score_ppm_b|`` — an exact BIGINT numerator —
+      so ``ece_x6 = Σ_b |pos_b·1e6 − Σppm_b| DIV N`` with ONE integer
+      division total (no per-bin rounding, no float sum);
+    - ``mce_x6 = max_b (|pos_b·1e6 − Σppm_b| DIV n_b)`` (floor per bin,
+      documented);
+    - ``brier_x12 = Σ (score_ppm − y·1e6)² DIV N`` in units of 1e-12,
+      terms ≤ 1e12 summed in DECIMAL(38,0) (exact to ~1e26 rows).
+
+    One bin-keyed groupBy over the scored frame (bins+1 groups,
+    map-side combined), one tiny final aggregate. NULL scores/labels
+    excluded; scores outside [0, 1e6] raise at runtime via the bin
+    clamp check being a filter — they are excluded and counted in
+    ``n_out_of_range`` rather than silently clamped.
+
+    Output one row: (n, n_pos, n_out_of_range, ece_x6, mce_x6,
+    brier_x12).
+    """
+    y = (
+        F.col(label_column) if isinstance(label_column, str) else label_column
+    )
+    t = df.select(
+        F.col(score_ppm_column).cast("long").alias("__p"),
+        y.cast("boolean").alias("__y"),
+    ).filter(F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    t = t.withColumn(
+        "__in", (F.col("__p") >= 0) & (F.col("__p") <= 1_000_000)
+    )
+    oob = t.filter(~F.col("__in")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_out_of_range")
+    )
+    inr = t.filter(F.col("__in")).withColumn(
+        "__b",
+        F.least(
+            F.expr(f"(__p * {bins}) DIV 1000000"), F.lit(bins - 1)
+        ),
+    )
+    per_bin = inr.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__pos"),
+        F.sum("__p").alias("__sppm"),
+        F.sum(
+            (
+                (F.col("__p") - F.when(F.col("__y"), 1_000_000).otherwise(0))
+                .cast("decimal(38,0)")
+            )
+            * (
+                (F.col("__p") - F.when(F.col("__y"), 1_000_000).otherwise(0))
+                .cast("decimal(38,0)")
+            )
+        ).alias("__sq"),
+    )
+    # dev = |pos_b*1e6 - sum_ppm_b| <= n_b*1e6: BIGINT-exact while the
+    # frame holds < ~9.2e12 rows. All divisions below are non-negative
+    # integer DIV (floor == truncate == DuckDB `//` for non-negatives —
+    # the sign-split DIV trap does not apply here).
+    per_bin = per_bin.withColumn(
+        "__dev",
+        F.abs(
+            F.col("__pos").cast("long") * F.lit(1_000_000) - F.col("__sppm")
+        ).cast("long"),
+    )
+    s = per_bin.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("__pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.sum("__dev").cast("long").alias("__sum_dev"),
+        F.max(F.expr("__dev DIV __n")).alias("__mce"),
+        F.sum("__sq").alias("__sum_sq"),
+    )
+    return s.join(F.broadcast(oob)).select(
+        "n",
+        "n_pos",
+        "n_out_of_range",
+        F.expr("CASE WHEN n > 0 THEN __sum_dev DIV n END").alias("ece_x6"),
+        F.col("__mce").cast("long").alias("mce_x6"),
+        F.expr(
+            "CASE WHEN n > 0 THEN CAST(__sum_sq div n AS BIGINT) END"
+        ).alias("brier_x12"),
+    )

@@ -12648,3 +12648,65 @@ def langid_class_metrics_documents(spark, sf_dir):
     return classification_report(
         pred, true_column="lang", pred_column="lang_pred"
     )
+
+
+@query(
+    "ece_length_rank_en_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars, (lang = 'en') AS y,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), p AS (
+      SELECT CASE WHEN n > 1
+                  THEN ((rk - 1) * 1000000) // (n - 1)
+                  ELSE 0 END AS ppm,
+             y
+      FROM r WHERE y IS NOT NULL
+    ), b AS (
+      SELECT least((ppm * 10) // 1000000, 9) AS bin,
+             count(*) AS nb,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+             sum(ppm) AS sppm,
+             sum(CAST(ppm - CASE WHEN y THEN 1000000 ELSE 0 END
+                      AS DECIMAL(38,0))
+                 * CAST(ppm - CASE WHEN y THEN 1000000 ELSE 0 END
+                        AS DECIMAL(38,0))) AS sq
+      FROM p GROUP BY 1
+    )
+    SELECT CAST(sum(nb) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(0 AS BIGINT) AS n_out_of_range,
+           CAST(sum(abs(pos * 1000000 - sppm)) // sum(nb) AS BIGINT)
+             AS ece_x6,
+           CAST(max(abs(pos * 1000000 - sppm) // nb) AS BIGINT) AS mce_x6,
+           CAST(sum(sq) // sum(nb) AS BIGINT) AS brier_x12
+    FROM b
+    """,
+)
+def ece_length_rank_en_documents(spark, sf_dir):
+    """Exact-integer calibration verdict (operators/profiling.py
+    calibration_error_report): is the within-source length PERCENT RANK
+    (sampling.rank_normalize, integer ppm) calibrated as a
+    probability of English? ECE collapses algebraically to
+    |pos_b*1e6 - sum_ppm_b| per bin — exact BIGINT numerators, ONE
+    integer division total; MCE floor-per-bin; Brier in 1e-12 units via
+    DECIMAL(38,0) term sums. No float accumulation anywhere."""
+    from pyspark_playground_spark.operators.profiling import (
+        calibration_error_report,
+    )
+    from pyspark_playground_spark.operators.sampling import rank_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = rank_normalize(
+        docs, group_column="source", value_column="n_chars",
+        id_column="doc_id",
+    )
+    return calibration_error_report(
+        ranked,
+        score_ppm_column="pct_ppm",
+        label_column=F.col("lang") == "en",
+        bins=10,
+    )

@@ -1145,3 +1145,50 @@ def test_classification_report_hand_computed(spark):
         df2, true_column="t", pred_column="p").collect()}
     assert out2["y"]["support"] == 0 and out2["y"]["recall_x6"] is None
     assert out2["x"]["precision_x6"] is None and out2["x"]["recall_x6"] == 0
+
+
+def test_calibration_error_report_hand_computed(spark):
+    """Scores in ppm with 2 bins over [0,1e6): rows
+    (100000, F), (200000, T), (900000, T), (800000, T), (1000000, T):
+    bin0 (ppm<500000): n=2 pos=1 sppm=300000 -> dev=|1e6-300000|=700000
+    bin1: n=3 pos=3 sppm=2700000 -> dev=|3e6-2700000|=300000
+    ece = (700000+300000) DIV 5 = 200000
+    mce = max(700000 DIV 2, 300000 DIV 3) = 350000
+    brier terms: (1e5-0)^2 + (2e5-1e6)^2 + (9e5-1e6)^2 + (8e5-1e6)^2
+      + (1e6-1e6)^2 = 1e10 + 6.4e11 + 1e10 + 4e10 = 7e11
+    brier_x12 = 7e11 DIV 5 = 1.4e11."""
+    from pyspark_playground_spark.operators.profiling import (
+        calibration_error_report,
+    )
+
+    df = spark.createDataFrame(
+        [(100000, False), (200000, True), (900000, True),
+         (800000, True), (1000000, True)],
+        "ppm long, y boolean",
+    )
+    r = calibration_error_report(
+        df, score_ppm_column="ppm", label_column="y", bins=2
+    ).collect()[0]
+    assert (r["n"], r["n_pos"], r["n_out_of_range"]) == (5, 4, 0)
+    assert r["ece_x6"] == 200000
+    assert r["mce_x6"] == 350000
+    assert r["brier_x12"] == 700_000_000_000 // 5
+
+    # perfectly calibrated constant: ppm=500000, half positive
+    flat = spark.createDataFrame(
+        [(500000, True), (500000, False)], "ppm long, y boolean"
+    )
+    rf = calibration_error_report(
+        flat, score_ppm_column="ppm", label_column="y", bins=2
+    ).collect()[0]
+    assert rf["ece_x6"] == 0 and rf["mce_x6"] == 0
+
+    # out-of-range scores are excluded and counted
+    oob = spark.createDataFrame(
+        [(2_000_000, True), (-5, False), (500000, True)],
+        "ppm long, y boolean",
+    )
+    ro = calibration_error_report(
+        oob, score_ppm_column="ppm", label_column="y", bins=2
+    ).collect()[0]
+    assert ro["n"] == 1 and ro["n_out_of_range"] == 2
