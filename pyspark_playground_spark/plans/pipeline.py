@@ -550,8 +550,75 @@ def _stage_calibration_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_conformal_filter(df: DataFrame, spec: dict) -> DataFrame:
+    """Distribution-free outlier cut: drop rows whose
+    ``params.score_column`` exceeds the split-conformal
+    ``ceil((n+1)(1-α))``-th smallest calibration score
+    (profiling.conformal_threshold) — the winsorize/robust-z alternative
+    that carries a finite-sample guarantee instead of a distributional
+    assumption. The calibration half is the content-hash bucket split
+    of ``params.key_columns`` below ``params.cal_buckets`` (of 10000),
+    so the cut is reproducible row-for-row on any engine. α is the
+    rational ``params.alpha_num / params.alpha_den``. A NULL threshold
+    (calibration too small: k > n) keeps everything — the honest
+    degenerate answer. Materializes the one-row threshold at build time
+    (gate-style), then composes the filter lazily.
+    """
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold,
+    )
+    from pyspark_playground_spark.operators.sampling import hash_bucket_expr
+
+    p = dict(spec.get("params", {}))
+    score = p["score_column"]
+    keys = list(p["key_columns"])
+    cal_buckets = int(p.get("cal_buckets", 5000))
+    cal = hash_bucket_expr(keys) < cal_buckets
+    row = conformal_threshold(
+        df,
+        score_column=score,
+        calibration_column=cal,
+        alpha_num=int(p.get("alpha_num", 1)),
+        alpha_den=int(p.get("alpha_den", 10)),
+    ).collect()[0]
+    if row["threshold"] is None:
+        return df
+    return df.filter(
+        F.col(score).isNull() | (F.col(score) <= F.lit(row["threshold"]))
+    )
+
+
+def _stage_independence_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Stratification gate: refuse to continue when Cramér's V between
+    ``params.a_column`` and ``params.b_column`` exceeds
+    ``params.max_cramers_v`` (profiling.chi_square_independence) — run
+    it BEFORE any per-``a`` stage (per-source thresholds, per-source
+    sampling): a large V means those decisions silently become
+    per-``b`` ones (e.g. per-language). Degenerate tables (one level on
+    either side) pass — there is nothing to confound. Pass-through on
+    success."""
+    from pyspark_playground_spark.operators.profiling import (
+        chi_square_independence,
+    )
+
+    p = dict(spec.get("params", {}))
+    a, b = p["a_column"], p["b_column"]
+    max_v = float(p.get("max_cramers_v", 0.5))
+    row = chi_square_independence(df, a_column=a, b_column=b).collect()[0]
+    v = (row["cramers_v_q6"] or 0) / 1e6
+    if row["cramers_v_q6"] is not None and v > max_v:
+        raise ValueError(
+            f"independence_gate: Cramér's V({a}, {b}) = {v:.4f} > "
+            f"allowed {max_v} (chi2_x6={row['chi2_x6']}, "
+            f"dof={row['dof']}, n={row['n_rows']})"
+        )
+    return df
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "boilerplate": _stage_boilerplate,
+    "conformal_filter": _stage_conformal_filter,
+    "independence_gate": _stage_independence_gate,
     "calibration_gate": _stage_calibration_gate,
     "score_gate": _stage_score_gate,
     "privacy_gate": _stage_privacy_gate,

@@ -430,3 +430,74 @@ def test_calibration_gate_passes_and_refuses(spark):
     )
     with pytest.raises(ValueError, match="calibration_gate"):
         run_pipeline(bad, spec).count()
+
+
+def test_conformal_filter_drops_tail(spark):
+    """200 docs with scores 1..200: the 90% conformal threshold from the
+    md5-even calibration half caps scores; rows above it are dropped,
+    NULL scores are kept (they carry no evidence either way)."""
+    rows = [(i, i) for i in range(1, 201)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id int, score int")
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "conformal_filter",
+                     "params": {"score_column": "score",
+                                "key_columns": ["doc_id"],
+                                "alpha_num": 1, "alpha_den": 10}}]},
+    )
+    got = out.collect()
+    scores = [r["score"] for r in got if r["score"] is not None]
+    assert any(r["score"] is None for r in got)  # NULL kept
+    thr = max(scores)
+    # everything above the threshold is gone; everything at or below stays
+    assert len(scores) == sum(1 for i in range(1, 201) if i <= thr)
+    # threshold sits near the calibration 90th percentile, not at the max
+    assert thr < 200
+
+    # degenerate calibration (nothing hashes below 1 bucket of 10000) ->
+    # NULL threshold -> pass-through
+    out2 = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "conformal_filter",
+                     "params": {"score_column": "score",
+                                "key_columns": ["doc_id"],
+                                "cal_buckets": 0}}]},
+    )
+    assert out2.count() == 201
+
+
+def test_independence_gate_passes_and_refuses(spark):
+    # perfectly dependent: source determines lang -> V = 1
+    dep = spark.createDataFrame(
+        [("s1", "en")] * 5 + [("s2", "de")] * 5, "source string, lang string"
+    )
+    with pytest.raises(ValueError, match="independence_gate"):
+        pl.run_pipeline(
+            dep,
+            {"stages": [{"op": "independence_gate",
+                         "params": {"a_column": "source",
+                                    "b_column": "lang",
+                                    "max_cramers_v": 0.5}}]},
+        )
+    # independent 2x2 -> V = 0 -> passes through unchanged
+    ind = spark.createDataFrame(
+        [("s1", "en"), ("s1", "de"), ("s2", "en"), ("s2", "de")] * 3,
+        "source string, lang string",
+    )
+    out = pl.run_pipeline(
+        ind,
+        {"stages": [{"op": "independence_gate",
+                     "params": {"a_column": "source", "b_column": "lang",
+                                "max_cramers_v": 0.5}}]},
+    )
+    assert out.count() == 12
+    # degenerate (single source level) passes: nothing to confound
+    deg = spark.createDataFrame(
+        [("only", "en"), ("only", "de")], "source string, lang string"
+    )
+    assert pl.run_pipeline(
+        deg,
+        {"stages": [{"op": "independence_gate",
+                     "params": {"a_column": "source", "b_column": "lang",
+                                "max_cramers_v": 0.1}}]},
+    ).count() == 2
