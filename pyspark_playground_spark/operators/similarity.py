@@ -1384,3 +1384,210 @@ def retrieval_eval_report(
         "first_rel_rank",
         "rr_q6",
     )
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    m: int = 2,
+    k: int = 8,
+    iterations: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Product Quantization: split ``dim`` into ``m``
+    contiguous subspaces, run the clean-room Lloyd quantizer
+    (:func:`kmeans_lloyd`'s exact arithmetic — id<k seeds, value-sorted
+    mean folds, index-order distance folds, cluster-id tie-breaks) per
+    subspace, and encode every corpus vector as its ``m`` nearest
+    sub-centroid ids. THE 100 TB vector-storage path: ``m`` uint8 codes
+    per vector instead of ``dim`` floats (32x at m=8/dim=64), with
+    query-time scoring against a model-sized codebook instead of the
+    raw vectors.
+
+    Returns ``(codes, codebook)``:
+    ``codes (id, subspace, code)`` — m rows per vector;
+    ``codebook (subspace, cluster_id, cvec)`` — m*k rows, model-sized.
+
+    Plan per subspace and iteration: broadcast k sub-centroids onto the
+    sliced corpus (codegen fold, corpus never shuffles for assignment) +
+    one (cluster, dim)-keyed exchange for the means. Everything
+    downstream of training is a single broadcast-join encode pass.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codes_parts = []
+    book_parts = []
+    for s in range(m):
+        # persist: the sliced corpus feeds the seed filter, every
+        # iteration's assignment + member join, and the final encode —
+        # without it each consumer re-reads and re-slices the source
+        xs = corpus.select(
+            F.col(id_column),
+            F.slice(_as_double(F.col(vector_column)), s * sub + 1, sub).alias(
+                "__x"
+            ),
+        ).persist()
+        cents = xs.filter(F.col(id_column) < k).select(
+            F.col(id_column).cast("int").alias("cluster_id"),
+            F.col("__x").alias("cvec"),
+        )
+        for _ in range(iterations):
+            assigned = _assign_to_centroids(xs, cents, id_column=id_column)
+            members = assigned.join(xs, id_column).select("cluster_id", "__x")
+            gc = group_centroids(members, "cluster_id", vector_column="__x")
+            cents = gc.groupBy("cluster_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+                    lambda r: r["centroid_v"],
+                ).alias("cvec")
+            )
+        cents = cents.persist()
+        enc = _assign_to_centroids(xs, cents, id_column=id_column)
+        codes_parts.append(
+            enc.select(
+                id_column,
+                F.lit(s).alias("subspace"),
+                F.col("cluster_id").alias("code"),
+            )
+        )
+        book_parts.append(
+            cents.select(
+                F.lit(s).alias("subspace"), "cluster_id", "cvec"
+            )
+        )
+    codes = codes_parts[0]
+    book = book_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    for p in book_parts[1:]:
+        book = book.unionByName(p)
+    return codes, book
+
+
+def pq_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    m: int = 2,
+    k: int = 8,
+    iterations: int = 1,
+    topk: int = 10,
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance (ADC) ranking against the
+    exact squared-L2 ranking, per query — the ship gate before flipping
+    a corpus to PQ codes (:func:`int8_recall_report`'s sibling for the
+    codebook path). ADC: ``dist(q, x) ~= sum_s ||q_s - c_s(code_s(x))||^2``
+    from a per-(query, subspace, code) lookup table of size
+    ``|panel|*m*k`` — model-sized, broadcast; the corpus streams its
+    codes through one broadcast join and never shuffles raw vectors.
+
+    Determinism: every per-subspace distance is the index-order fold;
+    the m per-subspace LUT terms are summed through a VALUE-SORTED fold
+    (a plain sum of m doubles is addition-order-dependent), so the ADC
+    ranking key is bit-identical cross-engine; ties break by neighbor
+    id. Self-matches excluded from both rankings.
+
+    Output: (query_id, n_hits, recall_q6), one row per query.
+    """
+    codes, book = pq_train_encode(
+        corpus, id_column=id_column, vector_column=vector_column,
+        dim=dim, m=m, k=k, iterations=iterations,
+    )
+    sub = dim // m
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("__qv"),
+    )
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice("__qv", s * sub + 1, sub).alias("qs"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("query_id", "__e.subspace", "__e.qs")
+    lut = qsub.join(F.broadcast(book), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("cluster_id").alias("code"),
+        F.aggregate(
+            F.zip_with("qs", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__pd"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_column, "neighbor_id")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__pd")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__adist")
+        )
+    )
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.col("__adist").asc(), F.col("neighbor_id").asc()
+    )
+    pq_topk = (
+        scored.withColumn("rank", F.row_number().over(w_pq))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _as_double(F.col(vector_column)).alias("__cv"),
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact_topk = (
+        exact.withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact_topk.join(pq_topk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                * F.lit(1e6)
+                / F.lit(float(topk))
+                + F.lit(0.5)
+            ).cast("long").alias("recall_q6"),
+        )
+    )

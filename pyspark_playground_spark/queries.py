@@ -12710,3 +12710,163 @@ def ece_length_rank_en_documents(spark, sf_dir):
         label_column=F.col("lang") == "en",
         bins=10,
     )
+
+
+def _pq_oracle(
+    *, dim: int, m: int, k: int, iterations: int, topk: int, panel: int
+) -> str:
+    """Replay pq_recall_report CTE by CTE: per-subspace Lloyd training
+    (the _kmeans_oracle arithmetic on list slices), encode, the
+    (query, subspace, code) ADC lookup table, the value-sorted ADC fold,
+    and both top-k rankings."""
+    sub = dim // m
+    dist = """
+    , d_{s}_{i} AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                * (CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings v CROSS JOIN {cent} c
+    ), a_{s}_{i} AS (
+      SELECT vec_id, cluster_id, dist2 FROM (
+        SELECT vec_id, cluster_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM d_{s}_{i}
+      ) WHERE rn = 1
+    )"""
+    update = """
+    , cent_{s}_{nxt} AS (
+      SELECT cluster_id, list(centroid ORDER BY pos) AS cvec FROM (
+        SELECT cluster_id, pv.pos AS pos,
+               CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))),
+                                (x, y) -> x + y) AS DOUBLE) / count(*)
+                 AS centroid
+        FROM (
+          SELECT a_{s}_{i}.cluster_id,
+                 unnest([{{'pos': j - 1,
+                           'v': CAST(e.embedding AS DOUBLE[])[{lo}:{hi}][j]}}
+                         FOR j IN range(1, {sub} + 1)]) AS pv
+          FROM a_{s}_{i} JOIN embeddings e USING (vec_id)
+        ) GROUP BY cluster_id, pv.pos
+      ) GROUP BY cluster_id
+    )"""
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""
+    {',' if s else 'WITH'} cent_{s}_0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+        )
+        for i in range(iterations):
+            parts.append(dist.format(s=s, i=i, cent=f"cent_{s}_{i}",
+                                     lo=lo, hi=hi, sub=sub))
+            parts.append(update.format(s=s, i=i, nxt=i + 1, lo=lo, hi=hi,
+                                       sub=sub))
+        parts.append(dist.format(s=s, i=iterations,
+                                 cent=f"cent_{s}_{iterations}",
+                                 lo=lo, hi=hi, sub=sub))
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, cluster_id AS code"
+        f" FROM a_{s}_{iterations}"
+        for s in range(m)
+    )
+    book_union = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, cluster_id, cvec"
+        f" FROM cent_{s}_{iterations}"
+        for s in range(m)
+    )
+    qsub_union = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS subspace,"
+        f" qv[{s * sub + 1}:{(s + 1) * sub}] AS qs FROM qs"
+        for s in range(m)
+    )
+    parts.append(
+        f"""
+    , codes AS ({codes_union})
+    , book AS ({book_union})
+    , qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {panel}
+    )
+    , qsub AS ({qsub_union})
+    , lut AS (
+      SELECT q.query_id, q.subspace, b.cluster_id AS code,
+             list_reduce(list_prepend(0.0,
+               [(q.qs[j] - b.cvec[j]) * (q.qs[j] - b.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, x) -> a + x) AS pd
+      FROM qsub q JOIN book b USING (subspace)
+    )
+    , adist AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0, list_sort(list(l.pd))),
+                         (a, x) -> a + x) AS ad
+      FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    , pq_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad ASC, neighbor_id ASC) AS rn
+        FROM adist
+      ) WHERE rn <= {topk}
+    )
+    , exact AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0,
+               [(q.qv[j] - CAST(v.embedding AS DOUBLE[])[j])
+                * (q.qv[j] - CAST(v.embedding AS DOUBLE[])[j])
+                FOR j IN range(1, {dim} + 1)]),
+               (a, x) -> a + x) AS d2
+      FROM embeddings v CROSS JOIN qs q
+      WHERE v.vec_id <> q.query_id
+    )
+    , ex_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        FROM exact
+      ) WHERE rn <= {topk}
+    )
+    , hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM ex_topk e JOIN pq_topk p USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT qs.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) * 1e6
+                      / {topk}.0 + 0.5) AS BIGINT) AS recall_q6
+    FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "pq_recall_embeddings",
+    _pq_oracle(dim=64, m=2, k=8, iterations=1, topk=10, panel=10),
+)
+def pq_recall_embeddings(spark, sf_dir):
+    """Product-quantization recall@10 (similarity.pq_recall_report):
+    deterministic per-subspace Lloyd codebooks (2 subspaces x 8
+    centroids, 1 iteration), corpus encoded to 2 codes/vector, ADC
+    ranking from a model-sized broadcast LUT vs the exact squared-L2
+    ranking on a 10-query panel. The 100 TB vector-storage path's ship
+    gate — the oracle replays training, encoding, the LUT, and the
+    value-sorted ADC fold CTE by CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.pq_recall_report(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, m=2, k=8, iterations=1, topk=10,
+    )

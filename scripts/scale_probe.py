@@ -865,6 +865,17 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("retrieval_eval_ndcg", n_emb, retr)
 
+    # 59. PQ train+encode+ADC recall over the replicated embedding
+    #     corpus (r6): per-subspace Lloyd on broadcast centroids, encode
+    #     via one broadcast join, ADC from a model-sized LUT — the
+    #     32x-compression vector path; corpus never shuffles raw vectors
+    def pq():
+        sim.pq_recall_report(
+            emb, emb.filter(F.col("vec_id") < 10),
+            dim=64, m=2, k=8, iterations=1, topk=10,
+        ).write.format("noop").mode("overwrite").save()
+    timed("pq_recall", n_emb, pq)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
@@ -872,3 +883,4 @@ def reps_frame(spark):
 
 if __name__ == "__main__":
     main()
+

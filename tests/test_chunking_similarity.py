@@ -306,3 +306,47 @@ def test_retrieval_eval_report_self_exclusion_and_no_relevant(spark):
     assert r["n_rel_topk"] == 0 and r["dcg_q6"] == 0
     assert r["idcg_q6"] is None and r["ndcg_x6"] is None
     assert r["first_rel_rank"] is None and r["rr_q6"] == 0
+
+
+def test_pq_recall_perfect_when_codebook_is_exact(spark):
+    """When every corpus vector IS one of the k seed vectors (per
+    subspace), PQ encoding is lossless, ADC == exact L2, and recall@k
+    is 1.0 for every query."""
+    import itertools
+
+    # 8 vectors = all corners of a cube in each 2-dim subspace, ids 0..7
+    pts = list(itertools.product([0.0, 1.0], repeat=3))
+    corpus = spark.createDataFrame(
+        [(i, [a, b, c, a]) for i, (a, b, c) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.pq_recall_report(
+        corpus, corpus.filter("vec_id < 3"),
+        dim=4, m=2, k=8, iterations=1, topk=3,
+    ).collect()
+    assert len(out) == 3
+    assert all(r["recall_q6"] == 1_000_000 for r in out)
+    assert all(r["n_hits"] == 3 for r in out)
+
+
+def test_pq_train_encode_shapes_and_determinism(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), float(i % 7), float(i % 2)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, book = sim.pq_train_encode(corpus, dim=4, m=2, k=4, iterations=2)
+    c = codes.collect()
+    assert len(c) == 60  # m rows per vector
+    assert {r["subspace"] for r in c} == {0, 1}
+    assert all(0 <= r["code"] < 4 for r in c)
+    b = book.collect()
+    assert len(b) <= 8 and all(len(r["cvec"]) == 2 for r in b)
+    # deterministic: a second run returns identical codes
+    codes2, _ = sim.pq_train_encode(corpus, dim=4, m=2, k=4, iterations=2)
+    assert sorted(map(tuple, c)) == sorted(map(tuple, codes2.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        sim.pq_train_encode(corpus, dim=4, m=3, k=2)
