@@ -303,3 +303,162 @@ def table_diff(
         .groupBy("diff_class")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data unit tests (the Deequ/dbt-tests shape, public
+    pattern): evaluate a list of rules against a frame and return one
+    row per rule with exact violation counts — the contract check a
+    table must pass before promotion, as DATA (joinable, storable,
+    diffable run-to-run) rather than assertions in someone's notebook.
+
+    Rule shapes (``type`` + parameters):
+
+    - ``not_null``: {column} — NULLs are violations;
+    - ``accepted_values``: {column, values} — non-NULL values outside
+      the list are violations (NULL is ``not_null``'s job);
+    - ``range``: {column, min?, max?} — non-NULL values outside the
+      closed interval are violations;
+    - ``regex_match``: {column, pattern} — non-NULL values not fully
+      matching are violations (Spark ``rlike`` is unanchored — the
+      pattern is wrapped ``^(...)$``);
+    - ``unique``: {columns} — rows in excess of one per key are
+      violations (a key seen k>1 times contributes k-1);
+    - ``row_count_between``: {min?, max?} — violation count is the
+      shortfall/overage of the total row count.
+
+    Plan: ALL row-wise rules (not_null/accepted/range/regex) fold into
+    ONE single-pass aggregate over the frame (conditional sums —
+    map-side combined, zero extra scans per rule); each ``unique`` rule
+    adds one groupBy on its key set; ``row_count_between`` reuses the
+    single-pass total. Results union into a model-sized frame.
+
+    Output: (rule_id, rule_type, target, n_rows, n_violations, passed)
+    — ``rule_id`` is the 0-based position in ``rules``.
+    """
+    spark = df.sparkSession
+    rowwise_aggs = [F.count(F.lit(1)).alias("__n")]
+    rowwise_meta = []  # (rule_id, type, target, agg_alias)
+    unique_rules = []
+    count_rules = []
+    for i, r in enumerate(rules):
+        t = r["type"]
+        alias = f"__v{i}"
+        if t == "not_null":
+            c = F.col(r["column"])
+            rowwise_aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(alias)
+            )
+            rowwise_meta.append((i, t, r["column"], alias))
+        elif t == "accepted_values":
+            c = F.col(r["column"])
+            rowwise_aggs.append(
+                F.sum(
+                    F.when(
+                        c.isNotNull() & ~c.isin(list(r["values"])), 1
+                    ).otherwise(0)
+                ).alias(alias)
+            )
+            rowwise_meta.append((i, t, r["column"], alias))
+        elif t == "range":
+            c = F.col(r["column"])
+            cond = F.lit(False)
+            if "min" in r:
+                cond = cond | (c < F.lit(r["min"]))
+            if "max" in r:
+                cond = cond | (c > F.lit(r["max"]))
+            rowwise_aggs.append(
+                F.sum(F.when(c.isNotNull() & cond, 1).otherwise(0)).alias(
+                    alias
+                )
+            )
+            rowwise_meta.append((i, t, r["column"], alias))
+        elif t == "regex_match":
+            c = F.col(r["column"])
+            rowwise_aggs.append(
+                F.sum(
+                    F.when(
+                        c.isNotNull()
+                        & ~c.rlike(f"^({r['pattern']})$"),
+                        1,
+                    ).otherwise(0)
+                ).alias(alias)
+            )
+            rowwise_meta.append((i, t, r["column"], alias))
+        elif t == "unique":
+            unique_rules.append((i, list(r["columns"])))
+        elif t == "row_count_between":
+            count_rules.append((i, r.get("min"), r.get("max")))
+        else:
+            raise ValueError(f"rule {i}: unknown expectation type {t!r}")
+
+    base = df.agg(*rowwise_aggs)
+    # ONE scan for every row-wise + count rule: the one-row aggregate
+    # explodes into rule rows (a union of per-rule selects would re-derive
+    # the aggregate — and re-scan the source — once per rule)
+    structs = []
+    for i, t, target, alias in rowwise_meta:
+        structs.append(
+            F.struct(
+                F.lit(i).cast("long").alias("rule_id"),
+                F.lit(t).alias("rule_type"),
+                F.lit(target).alias("target"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.coalesce(F.col(alias), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+    for i, lo, hi in count_rules:
+        viol = F.lit(0).cast("long")
+        if lo is not None:
+            viol = viol + F.when(
+                F.col("__n") < lo, F.lit(lo) - F.col("__n")
+            ).otherwise(0)
+        if hi is not None:
+            viol = viol + F.when(
+                F.col("__n") > hi, F.col("__n") - F.lit(hi)
+            ).otherwise(0)
+        structs.append(
+            F.struct(
+                F.lit(i).cast("long").alias("rule_id"),
+                F.lit("row_count_between").alias("rule_type"),
+                F.lit("").alias("target"),
+                F.col("__n").cast("long").alias("n_rows"),
+                viol.cast("long").alias("n_violations"),
+            )
+        )
+    parts = []
+    if structs:
+        parts.append(
+            base.select(F.explode(F.array(*structs)).alias("__r")).select(
+                "__r.*"
+            )
+        )
+    for i, cols in unique_rules:
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"),
+                F.coalesce(
+                    F.sum(F.col("__c") - 1), F.lit(0)
+                ).alias("__dups"),
+            )
+        )
+        parts.append(
+            dup.select(
+                F.lit(i).cast("long").alias("rule_id"),
+                F.lit("unique").alias("rule_type"),
+                F.lit(",".join(cols)).alias("target"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col("__dups").cast("long").alias("n_violations"),
+            )
+        )
+    if not parts:
+        raise ValueError("check_expectations: no rules given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _ = spark  # session kept for API symmetry with siblings
+    return out.withColumn("passed", F.col("n_violations") == 0)

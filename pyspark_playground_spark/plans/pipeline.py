@@ -550,6 +550,30 @@ def _stage_calibration_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_expect(df: DataFrame, spec: dict) -> DataFrame:
+    """Contract gate: evaluate ``params.rules`` (quality.
+    check_expectations — not_null / unique / accepted_values / range /
+    regex_match / row_count_between) and refuse the pipeline when any
+    rule fails, reporting every failing rule with its exact violation
+    count. Pass-through on success. The declarative form of "don't
+    promote a table that breaks its contract"."""
+    from pyspark_playground_spark.operators.quality import (
+        check_expectations,
+    )
+
+    p = dict(spec.get("params", {}))
+    rows = check_expectations(df, list(p["rules"])).collect()
+    failed = [r for r in rows if not r["passed"]]
+    if failed:
+        detail = "; ".join(
+            f"rule {r['rule_id']} {r['rule_type']}({r['target']}): "
+            f"{r['n_violations']} violations"
+            for r in failed
+        )
+        raise ValueError(f"expect: {len(failed)} rule(s) failed — {detail}")
+    return df
+
+
 def _stage_conformal_filter(df: DataFrame, spec: dict) -> DataFrame:
     """Distribution-free outlier cut: drop rows whose
     ``params.score_column`` exceeds the split-conformal
@@ -617,6 +641,7 @@ def _stage_independence_gate(df: DataFrame, spec: dict) -> DataFrame:
 
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "boilerplate": _stage_boilerplate,
+    "expect": _stage_expect,
     "conformal_filter": _stage_conformal_filter,
     "independence_gate": _stage_independence_gate,
     "calibration_gate": _stage_calibration_gate,

@@ -12870,3 +12870,76 @@ def pq_recall_embeddings(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10),
         dim=64, m=2, k=8, iterations=1, topk=10,
     )
+
+
+@query(
+    "expectations_documents",
+    """
+    WITH base AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v0,
+             sum(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 1 OR n_chars > 1000000)
+                      THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+                      THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_full_match(source, 'src[0-9]+')
+                      THEN 1 ELSE 0 END) AS v4
+      FROM documents
+    ), uq AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dups
+      FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS rule_id, 'not_null' AS rule_type,
+             'text' AS target, CAST(n AS BIGINT) AS n_rows,
+             CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS passed
+      FROM base
+      UNION ALL
+      SELECT 1, 'unique', 'doc_id', n, dups, dups = 0 FROM uq
+      UNION ALL
+      SELECT 2, 'range', 'n_chars', CAST(n AS BIGINT),
+             CAST(v2 AS BIGINT), v2 = 0 FROM base
+      UNION ALL
+      SELECT 3, 'accepted_values', 'lang', CAST(n AS BIGINT),
+             CAST(v3 AS BIGINT), v3 = 0 FROM base
+      UNION ALL
+      SELECT 4, 'regex_match', 'source', CAST(n AS BIGINT),
+             CAST(v4 AS BIGINT), v4 = 0 FROM base
+      UNION ALL
+      SELECT 5, 'row_count_between', '', CAST(n AS BIGINT),
+             CAST(CASE WHEN n < 1 THEN 1 - n ELSE 0 END AS BIGINT),
+             n >= 1
+      FROM base
+    )
+    """,
+)
+def expectations_documents(spark, sf_dir):
+    """Declarative data unit tests (operators/quality.py
+    check_expectations — the Deequ/dbt-tests shape): six contract rules
+    over the documents table evaluated as exact violation counts; all
+    row-wise rules fold into ONE single-pass aggregate (zero extra
+    scans per rule), the uniqueness rule adds one key groupBy. The
+    promotion gate that runs BEFORE a table ships."""
+    from pyspark_playground_spark.operators.quality import (
+        check_expectations,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return check_expectations(
+        docs,
+        [
+            {"type": "not_null", "column": "text"},
+            {"type": "unique", "columns": ["doc_id"]},
+            {"type": "range", "column": "n_chars", "min": 1,
+             "max": 1_000_000},
+            {"type": "accepted_values", "column": "lang",
+             "values": ["en", "de", "fr", "es", "zh"]},
+            {"type": "regex_match", "column": "source",
+             "pattern": "src[0-9]+"},
+            {"type": "row_count_between", "min": 1},
+        ],
+    )

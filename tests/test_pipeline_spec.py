@@ -501,3 +501,30 @@ def test_independence_gate_passes_and_refuses(spark):
                      "params": {"a_column": "source", "b_column": "lang",
                                 "max_cramers_v": 0.1}}]},
     ).count() == 2
+
+
+def test_expect_stage_passes_and_refuses(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id int, text string"
+    )
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "expect",
+                     "params": {"rules": [
+                         {"type": "not_null", "column": "text"},
+                         {"type": "unique", "columns": ["doc_id"]},
+                     ]}}]},
+    )
+    assert out.count() == 2
+    bad = spark.createDataFrame(
+        [(1, "x"), (1, None)], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="expect: 2 rule"):
+        pl.run_pipeline(
+            bad,
+            {"stages": [{"op": "expect",
+                         "params": {"rules": [
+                             {"type": "not_null", "column": "text"},
+                             {"type": "unique", "columns": ["doc_id"]},
+                         ]}}]},
+        )

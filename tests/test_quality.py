@@ -189,3 +189,45 @@ def test_table_diff_duplicate_keys_no_fanout(spark):
         for r in q.table_diff(old, dropped_dup, ["id"]).collect()
     }
     assert got2 == {"changed": 1, "unchanged": 1}
+
+
+def test_check_expectations_counts_and_single_pass(spark):
+    from pyspark_playground_spark.operators.quality import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", "en", 10), (2, None, "en", 10), (2, "b", "xx", -5),
+         (3, "c", None, 2_000_000)],
+        "id int, text string, lang string, n int",
+    )
+    rules = [
+        {"type": "not_null", "column": "text"},          # 1 null
+        {"type": "unique", "columns": ["id"]},           # id=2 twice -> 1
+        {"type": "range", "column": "n", "min": 0, "max": 1000},  # -5, 2e6
+        {"type": "accepted_values", "column": "lang",
+         "values": ["en", "de"]},                        # 'xx' (NULL skipped)
+        {"type": "regex_match", "column": "text",
+         "pattern": "[ab]"},                             # 'c' fails
+        {"type": "row_count_between", "min": 10},        # 4 rows -> 6 short
+    ]
+    out = {r["rule_id"]: r for r in check_expectations(df, rules).collect()}
+    assert len(out) == 6
+    assert out[0]["n_violations"] == 1 and not out[0]["passed"]
+    assert out[1]["n_violations"] == 1 and out[1]["rule_type"] == "unique"
+    assert out[2]["n_violations"] == 2
+    assert out[3]["n_violations"] == 1
+    assert out[4]["n_violations"] == 1
+    assert out[5]["n_violations"] == 6
+    assert all(r["n_rows"] == 4 for r in out.values())
+
+    # all-green contract passes every rule
+    ok = check_expectations(
+        spark.createDataFrame([(1, "a")], "id int, text string"),
+        [{"type": "not_null", "column": "text"},
+         {"type": "unique", "columns": ["id"]}],
+    ).collect()
+    assert all(r["passed"] for r in ok)
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown expectation"):
+        check_expectations(df, [{"type": "nope"}]).collect()
