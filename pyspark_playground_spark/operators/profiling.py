@@ -2652,3 +2652,96 @@ def calibration_error_report(
             "CASE WHEN n > 0 THEN CAST(__sum_sq div n AS BIGINT) END"
         ).alias("brier_x12"),
     )
+
+
+def windowed_conformal_coverage(
+    df: DataFrame,
+    *,
+    ts_column: str = "ts",
+    value_column: str = "value",
+    window: str = "1 hour",
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    slack_x6: int = 50_000,
+    buckets: int = 64,
+) -> DataFrame:
+    """The 7th drift monitor: per-window coverage of the corpus-level
+    split-conformal envelope. Calibrate the ``ceil((n+1)(1-α))``-th
+    smallest value over the WHOLE frame (:func:`conformal_threshold`'s
+    exact integer rank), then report, per time window, the fraction of
+    values at or below it. Under exchangeability every window covers
+    ≈ 1-α; a window whose coverage collapses below
+    ``target - slack_x6/1e6`` is a distribution shift — the
+    conformal-coverage-breach signal (ICAD-style, public construction),
+    complementary to PSI/KS/CvM/JSD (those compare SHAPES; this one
+    asks the operational question "did our guaranteed envelope stop
+    holding?").
+
+    Streaming-legal shape: the threshold is a static one-row broadcast
+    (like the drift monitors' baseline bins); per-window
+    ``(n, n_covered)`` are plain mergeable sums — partials merge across
+    micro-batches. Exact integer coverage ratios; threshold NULL
+    (k > n) makes every window fully covered by convention.
+
+    Output per window: (window_start, window_end, n, n_covered,
+    coverage_x6, target_x6, breached).
+    """
+    t = df.select(
+        F.col(ts_column).cast("timestamp").alias("__ts"),
+        F.col(value_column).alias("__s"),
+    ).filter(F.col("__s").isNotNull() & F.col("__ts").isNotNull())
+    g = (
+        t.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+    k = g.agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("n_cal")
+    ).select(
+        "n_cal",
+        F.expr(
+            f"((n_cal + 1) * {alpha_den - alpha_num} + {alpha_den - 1})"
+            f" DIV {alpha_den}"
+        ).alias("k_rank"),
+    )
+    data = _bucketed_cum_before(
+        g, order_column="__s", sum_column="__cnt", out="__cum",
+        buckets=buckets,
+    )
+    th = (
+        data.join(F.broadcast(k))
+        .filter(
+            (F.col("__cum") < F.col("k_rank"))
+            & (F.col("__cum") + F.col("__cnt") >= F.col("k_rank"))
+        )
+        .agg(F.min("__s").alias("threshold"))
+    )
+    target_x6 = ((alpha_den - alpha_num) * 1_000_000) // alpha_den
+    per_win = (
+        t.join(F.broadcast(th))
+        .groupBy(F.window("__ts", window).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("threshold").isNull()
+                    | (F.col("__s") <= F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return per_win.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "n",
+        "n_covered",
+        F.expr("(n_covered * 1000000L) DIV n").alias("coverage_x6"),
+        F.lit(target_x6).cast("long").alias("target_x6"),
+        (
+            F.expr("(n_covered * 1000000L) DIV n")
+            < F.lit(target_x6 - slack_x6)
+        ).alias("breached"),
+    )

@@ -12943,3 +12943,63 @@ def expectations_documents(spark, sf_dir):
             {"type": "row_count_between", "min": 1},
         ],
     )
+
+
+@query(
+    "windowed_coverage_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT ts, value AS s FROM e
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (SELECT s, count(*) AS cnt FROM t GROUP BY s),
+    k AS (
+      SELECT CAST(((coalesce(sum(cnt), 0) + 1) * 9 + 9) // 10 AS BIGINT)
+               AS k_rank
+      FROM g
+    ),
+    c AS (
+      SELECT s, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM g
+    ),
+    th AS (
+      SELECT min(s) AS threshold
+      FROM c CROSS JOIN k
+      WHERE cum < k_rank AND cum + cnt >= k_rank
+    )
+    SELECT date_trunc('hour', t.ts) AS window_start,
+           date_trunc('hour', t.ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN th.threshold IS NULL OR t.s <= th.threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST((sum(CASE WHEN th.threshold IS NULL OR t.s <= th.threshold
+                          THEN 1 ELSE 0 END) * 1000000) // count(*)
+                AS BIGINT) AS coverage_x6,
+           CAST(900000 AS BIGINT) AS target_x6,
+           (sum(CASE WHEN th.threshold IS NULL OR t.s <= th.threshold
+                     THEN 1 ELSE 0 END) * 1000000) // count(*)
+             < 900000 - 50000 AS breached
+    FROM t CROSS JOIN th
+    GROUP BY 1, 2
+    """,
+)
+def windowed_coverage_events(spark, sf_dir):
+    """Conformal-coverage drift monitor (operators/profiling.py
+    windowed_conformal_coverage): the corpus-level 90% conformal value
+    envelope, then per-hour coverage of it — a window whose coverage
+    collapses is a distribution shift stated in the operational terms
+    that matter ("the guaranteed envelope stopped holding"). Static
+    one-row threshold broadcast; per-window mergeable integer counts
+    (streaming-legal partials, the drift-monitor family shape)."""
+    from pyspark_playground_spark.operators.profiling import (
+        windowed_conformal_coverage,
+    )
+
+    e = load_events(spark, sf_dir)
+    return windowed_conformal_coverage(
+        e, ts_column="ts", value_column="value", window="1 hour",
+        alpha_num=1, alpha_den=10, slack_x6=50_000,
+    )

@@ -1192,3 +1192,30 @@ def test_calibration_error_report_hand_computed(spark):
         oob, score_ppm_column="ppm", label_column="y", bins=2
     ).collect()[0]
     assert ro["n"] == 1 and ro["n_out_of_range"] == 2
+
+
+def test_windowed_conformal_coverage_detects_shift(spark):
+    """Two hours of values: hour 0 draws 1..100, hour 1 draws 201..300
+    (shifted). The corpus-level 90% threshold sits inside the pooled
+    distribution, hour 0 covers fully, hour 1's coverage collapses ->
+    breached."""
+    from datetime import datetime
+
+    from pyspark_playground_spark.operators.profiling import (
+        windowed_conformal_coverage,
+    )
+
+    rows = [(datetime(2026, 1, 1, 0, i % 60, i // 60), float(i + 1))
+            for i in range(100)]
+    rows += [(datetime(2026, 1, 1, 1, i % 60, i // 60), float(201 + i))
+             for i in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["window_start"].hour: r for r in windowed_conformal_coverage(
+        df, alpha_num=1, alpha_den=10).collect()}
+    # pooled n=200 -> k = ceil(201*0.9) = 181 -> threshold = 181st
+    # smallest of {1..100, 201..300} = 281
+    assert out[0]["n"] == 100 and out[0]["coverage_x6"] == 1_000_000
+    assert not out[0]["breached"]
+    # hour 1: covered = values <= 281 -> 81 of 100
+    assert out[1]["n_covered"] == 81 and out[1]["coverage_x6"] == 810_000
+    assert out[1]["breached"]
