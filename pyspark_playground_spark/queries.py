@@ -13003,3 +13003,78 @@ def windowed_coverage_events(spark, sf_dir):
         e, ts_column="ts", value_column="value", window="1 hour",
         alpha_num=1, alpha_den=10, slack_x6=50_000,
     )
+
+
+@query(
+    "mondrian_conformal_documents",
+    f"""
+    WITH t AS (
+      SELECT source AS g, n_chars AS s, ({_BUCKET} < 5000) AS cal
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    census AS (
+      SELECT g, s, count(*) AS cnt FROM t WHERE cal GROUP BY g, s
+    ),
+    cum AS (
+      SELECT g, s, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY s ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM census
+    ),
+    ks AS (
+      SELECT g, CAST(sum(cnt) AS BIGINT) AS n_cal,
+             CAST(((sum(cnt) + 1) * 9 + 9) // 10 AS BIGINT) AS k_rank
+      FROM census GROUP BY g
+    ),
+    th AS (
+      SELECT cum.g, min(s) AS threshold
+      FROM cum JOIN ks ON cum.g = ks.g
+      WHERE cum < k_rank AND cum + cnt >= k_rank
+      GROUP BY cum.g
+    ),
+    groups AS (
+      SELECT ks.g, ks.n_cal, ks.k_rank, th.threshold
+      FROM ks LEFT JOIN th ON ks.g = th.g
+    ),
+    ev AS (
+      SELECT t.g, CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN gr.threshold IS NULL OR t.s <= gr.threshold
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM t LEFT JOIN groups gr ON t.g = gr.g
+      WHERE NOT t.cal
+      GROUP BY t.g
+    )
+    SELECT gr.g AS source, gr.n_cal,
+           CAST(coalesce(ev.n_eval, 0) AS BIGINT) AS n_eval,
+           gr.k_rank, gr.threshold,
+           CAST(coalesce(ev.n_covered, 0) AS BIGINT) AS n_covered,
+           CASE WHEN ev.n_eval > 0
+                THEN CAST((ev.n_covered * 1000000) // ev.n_eval AS BIGINT)
+           END AS coverage_x6,
+           CAST(900000 AS BIGINT) AS target_x6
+    FROM groups gr LEFT JOIN ev ON gr.g = ev.g
+    """,
+)
+def mondrian_conformal_documents(spark, sf_dir):
+    """Mondrian (per-source) split-conformal length caps
+    (operators/profiling.py conformal_threshold_by_group): one exact
+    integer-rank threshold per source with per-source held-out
+    coverage — group-conditional validity where the global envelope
+    (conformal_length_threshold_documents) can over-cover one source
+    while under-covering another. Census-bounded partitioned window,
+    exact ratios."""
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold_by_group,
+    )
+    from pyspark_playground_spark.operators.sampling import hash_bucket_expr
+
+    docs = load(spark, sf_dir, "documents")
+    return conformal_threshold_by_group(
+        docs,
+        score_column="n_chars",
+        group_column="source",
+        calibration_column=hash_bucket_expr(["doc_id"]) < 5000,
+        alpha_num=1,
+        alpha_den=10,
+    )

@@ -1219,3 +1219,37 @@ def test_windowed_conformal_coverage_detects_shift(spark):
     # hour 1: covered = values <= 281 -> 81 of 100
     assert out[1]["n_covered"] == 81 and out[1]["coverage_x6"] == 810_000
     assert out[1]["breached"]
+
+
+def test_mondrian_conformal_per_group_thresholds(spark):
+    """Group A calibration 1..10, group B calibration 101..120; each
+    group gets ITS OWN 90% threshold (A: k=ceil(11*.9)=10 -> 10;
+    B: k=ceil(21*.9)=19 -> 119), and eval rows are judged against
+    their group's cap — the global envelope would pool them."""
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold_by_group,
+    )
+
+    rows = [("A", i, True) for i in range(1, 11)]
+    rows += [("B", 100 + i, True) for i in range(1, 21)]
+    rows += [("A", 5, False), ("A", 50, False)]   # 1 covered, 1 not
+    rows += [("B", 119, False), ("B", 120, False)]  # covered, not
+    df = spark.createDataFrame(rows, "g string, s int, cal boolean")
+    out = {r["g"]: r for r in conformal_threshold_by_group(
+        df, score_column="s", group_column="g", calibration_column="cal",
+        alpha_num=1, alpha_den=10,
+    ).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_cal"], a["k_rank"], a["threshold"]) == (10, 10, 10)
+    assert (b["n_cal"], b["k_rank"], b["threshold"]) == (20, 19, 119)
+    assert a["n_covered"] == 1 and a["coverage_x6"] == 500000
+    assert b["n_covered"] == 1 and b["coverage_x6"] == 500000
+
+    # tiny group degenerates to NULL threshold + full coverage
+    tiny = spark.createDataFrame(
+        [("C", 1, True), ("C", 99, False)], "g string, s int, cal boolean"
+    )
+    rc = conformal_threshold_by_group(
+        tiny, score_column="s", group_column="g", calibration_column="cal",
+    ).collect()[0]
+    assert rc["threshold"] is None and rc["n_covered"] == 1
