@@ -2780,6 +2780,9 @@ def conformal_threshold_by_group(
         if isinstance(calibration_column, str)
         else calibration_column
     )
+    # persist both shared frames: t feeds the census AND the eval count,
+    # census feeds the cumulative AND the per-group rank table — without
+    # the persists every consumer re-scans the source (7 scans -> 2)
     t = df.select(
         F.col(group_column).alias("__g"),
         F.col(score_column).alias("__s"),
@@ -2788,11 +2791,12 @@ def conformal_threshold_by_group(
         F.col("__s").isNotNull()
         & F.col("__cal").isNotNull()
         & F.col("__g").isNotNull()
-    )
+    ).persist()
     census = (
         t.filter(F.col("__cal"))
         .groupBy("__g", "__s")
         .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
     )
     w = Window.partitionBy("__g").orderBy("__s").rowsBetween(
         Window.unboundedPreceding, -1
