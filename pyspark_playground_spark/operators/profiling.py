@@ -2421,9 +2421,10 @@ def conformal_threshold(
         if isinstance(calibration_column, str)
         else calibration_column
     )
+    # persist t: it feeds the calibration census AND the held-out count
     t = df.select(
         F.col(score_column).alias("__s"), flag.cast("boolean").alias("__cal")
-    ).filter(F.col("__s").isNotNull() & F.col("__cal").isNotNull())
+    ).filter(F.col("__s").isNotNull() & F.col("__cal").isNotNull()).persist()
     g = (
         t.filter(F.col("__cal"))
         .groupBy("__s")
@@ -2686,10 +2687,11 @@ def windowed_conformal_coverage(
     Output per window: (window_start, window_end, n, n_covered,
     coverage_x6, target_x6, breached).
     """
+    # persist t: it feeds the value census AND the per-window counts
     t = df.select(
         F.col(ts_column).cast("timestamp").alias("__ts"),
         F.col(value_column).alias("__s"),
-    ).filter(F.col("__s").isNotNull() & F.col("__ts").isNotNull())
+    ).filter(F.col("__s").isNotNull() & F.col("__ts").isNotNull()).persist()
     g = (
         t.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__cnt"))
