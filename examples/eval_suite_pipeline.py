@@ -22,7 +22,13 @@ a data team actually strings them:
    summarized as exact integer means over the bounded query panel;
 5. cohort survival — the two-sample log-rank test that purchasing
    users stay active longer (``log_rank_test`` over ``user_lifetimes``
-   with the cohort flag carried on the same groupBy).
+   with the cohort flag carried on the same groupBy);
+6. contract check — Deequ-style declarative expectations evaluated as
+   exact violation counts in one pass (``check_expectations``), the
+   promotion gate that runs before any of the above matters;
+7. per-source envelopes — Mondrian conformal length caps with
+   per-source held-out coverage (``conformal_threshold_by_group``),
+   catching the source the GLOBAL envelope silently under-covers.
 
 Run: ``python examples/eval_suite_pipeline.py [sf_dir]``
 """
@@ -124,6 +130,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"(n={lr['n_a']}/{lr['n_b']}, deaths={lr['deaths_a']}/"
         f"{lr['deaths_b']}) — "
         f"{'curves differ (1 dof, p<0.05)' if chi2 > 3.84 else 'no separation'}"
+    )
+
+    # 6. contract check: exact violation counts, one pass
+    from pyspark_playground_spark.operators.quality import check_expectations
+
+    exp = check_expectations(
+        docs,
+        [
+            {"type": "not_null", "column": "text"},
+            {"type": "unique", "columns": ["doc_id"]},
+            {"type": "range", "column": "n_chars", "min": 1,
+             "max": 1_000_000},
+        ],
+    ).collect()
+    n_failed = sum(1 for r in exp if not r["passed"])
+    print(f"expectations: {len(exp)} rules, {n_failed} failed")
+
+    # 7. per-source conformal envelopes (Mondrian)
+    mond = profiling.conformal_threshold_by_group(
+        docs,
+        score_column="n_chars",
+        group_column="source",
+        calibration_column=hash_bucket_expr(["doc_id"]) < 5000,
+        alpha_num=1,
+        alpha_den=10,
+    )
+    worst = mond.filter(F.col("coverage_x6").isNotNull()).orderBy(
+        F.col("coverage_x6").asc()
+    ).first()
+    print(
+        f"Mondrian envelopes: {mond.count()} sources; worst held-out "
+        f"coverage {worst['coverage_x6'] / 1e6:.3f} "
+        f"({worst['source']}, cap {worst['threshold']})"
     )
     print("PIPELINE OK")
 
