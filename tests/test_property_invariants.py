@@ -645,3 +645,126 @@ def test_conformal_threshold_matches_model(spark, cal, ev, alpha_den):
         assert r["threshold"] == expect
         assert r["n_covered"] == sum(1 for s in ev if s <= expect)
     assert r["coverage_x6"] == (r["n_covered"] * 1_000_000) // len(ev)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("abc")),
+        min_size=1, max_size=40,
+    )
+)
+def test_classification_report_matches_model(spark, data):
+    """Per-class tp/fp/fn and the quantized ratios equal a literal
+    Python confusion-matrix computation for ANY (true, pred) multiset."""
+    from pyspark_playground_spark.operators.profiling import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame(data, "t string, p string")
+    out = {r["label"]: r for r in classification_report(
+        df, true_column="t", pred_column="p").collect()}
+    labels = {t for t, _ in data} | {p for _, p in data}
+    assert set(out) == labels
+    for lab in labels:
+        tp = sum(1 for t, p in data if t == lab and p == lab)
+        fp = sum(1 for t, p in data if t != lab and p == lab)
+        fn = sum(1 for t, p in data if t == lab and p != lab)
+        r = out[lab]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert r["support"] == tp + fn
+        if tp + fp:
+            assert r["precision_x6"] == (tp * 1_000_000) // (tp + fp)
+        else:
+            assert r["precision_x6"] is None
+        if tp + fn:
+            assert r["recall_x6"] == (tp * 1_000_000) // (tp + fn)
+        else:
+            assert r["recall_x6"] is None
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("xy"), st.sampled_from("uvw")),
+        min_size=2, max_size=50,
+    )
+)
+def test_chi_square_matches_model(spark, data):
+    """chi2_x6 equals the literal sum of per-cell quantized terms, and
+    Cramér's V follows the documented fixed-order double recipe."""
+    import math
+    from collections import Counter
+
+    from pyspark_playground_spark.operators.profiling import (
+        chi_square_independence,
+    )
+
+    df = spark.createDataFrame(data, "a string, b string")
+    r = chi_square_independence(df, a_column="a", b_column="b").collect()[0]
+    n = len(data)
+    cells = Counter(data)
+    ra = Counter(t for t, _ in data)
+    cb = Counter(p for _, p in data)
+    R, C = len(ra), len(cb)
+    assert (r["n_rows"], r["n_cells"]) == (n, len(cells))
+    assert (r["r_levels"], r["c_levels"]) == (R, C)
+    if R < 2 or C < 2:
+        assert r["chi2_x6"] is None and r["cramers_v_q6"] is None
+        return
+    chi2_x6 = 0
+    for (a, b), o in cells.items():
+        d = float(o * n - ra[a] * cb[b])
+        chi2_x6 += math.floor(
+            d * d / (float(ra[a]) * float(cb[b]) * float(n)) * 1e6 + 0.5
+        )
+    assert r["chi2_x6"] == chi2_x6
+    v = math.sqrt(chi2_x6 / 1e6 / (float(n) * float(min(R - 1, C - 1))))
+    assert r["cramers_v_q6"] == math.floor(v * 1e6 + 0.5)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 6), st.booleans(), st.booleans()),
+        min_size=1, max_size=30,
+    )
+)
+def test_log_rank_matches_model(spark, data):
+    """deaths/u_q6/var_q6 equal a literal per-death-time hypergeometric
+    computation (same quantization order) for ANY lifetime multiset."""
+    import math
+
+    from pyspark_playground_spark.operators.survival import log_rank_test
+
+    rows = [(f"k{i}", d, int(died), g) for i, (d, died, g) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "k string, duration_hours int, died int, grp boolean"
+    )
+    r = log_rank_test(df).collect()[0]
+    times = sorted({d for d, died, _ in data if died})
+    u_q6 = v_q6 = d_a = d_b = 0
+    for tm in times:
+        n1 = sum(1 for d, _, g in data if g and d >= tm)
+        n2 = sum(1 for d, _, g in data if not g and d >= tm)
+        d1 = sum(1 for d, died, g in data if g and died and d == tm)
+        d2 = sum(1 for d, died, g in data if not g and died and d == tm)
+        nt, dt = n1 + n2, d1 + d2
+        d_a += d1
+        d_b += d2
+        u_q6 += math.floor(float(d1 * nt - dt * n1) / nt * 1e6 + 0.5)
+        if nt > 1:
+            v_q6 += math.floor(
+                float(dt * n1 * n2 * (nt - dt))
+                / (float(nt) * float(nt) * float(nt - 1)) * 1e6 + 0.5
+            )
+    assert (r["deaths_a"], r["deaths_b"]) == (d_a, d_b)
+    assert r["u_q6"] == u_q6 and r["var_q6"] == v_q6
+    if v_q6 > 0:
+        u, v = u_q6 / 1e6, v_q6 / 1e6
+        assert r["chi2_q6"] == math.floor(u * u / v * 1e6 + 0.5)
+    else:
+        assert r["chi2_q6"] is None
