@@ -2860,3 +2860,77 @@ def conformal_threshold_by_group(
             F.lit(target_x6).cast("long").alias("target_x6"),
         )
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    *,
+    group_column: str,
+    success_column: Column | str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled) + risk ratio — the conversion-rate
+    comparison (did cohort A purchase/click/convert more than cohort
+    B?) that :func:`chi_square_independence` generalizes and
+    :func:`mann_whitney_u` sidesteps; this is the one-line A/B answer
+    with the standard pooled-variance normal approximation.
+
+    Exact integer counts (one tiny conditional aggregate, map-side
+    combined); the z statistic is ONE fixed-order double expression
+    quantized ``floor(z*1e6+0.5)`` (identical cross-engine), NULL when
+    either group is empty or the pooled rate is degenerate (0 or 1 —
+    zero variance). Rates and the risk ratio are exact integer ratios:
+    ``rate_x6 = successes*1e6 DIV n``, ``risk_ratio_x6 =
+    (s_a*n_b*1e6) DIV (s_b*n_a)`` (NULL when the denominator is 0).
+
+    Output one row: (n_a, n_b, s_a, s_b, rate_a_x6, rate_b_x6,
+    risk_ratio_x6, z_q6).
+    """
+    g = F.col(group_column).cast("boolean")
+    y = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    )
+    t = df.select(g.alias("__g"), y.cast("boolean").alias("__y")).filter(
+        F.col("__g").isNotNull() & F.col("__y").isNotNull()
+    )
+    s = t.agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__g"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__g") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(~F.col("__g") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    pool = (sa + sb) / (na + nb)
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = (sa / na - sb / nb) / F.sqrt(var)
+    return s.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.expr(
+            "CASE WHEN n_a > 0 THEN (s_a * 1000000L) DIV n_a END"
+        ).alias("rate_a_x6"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN (s_b * 1000000L) DIV n_b END"
+        ).alias("rate_b_x6"),
+        F.expr(
+            "CASE WHEN s_b * n_a > 0"
+            " THEN (s_a * n_b * 1000000L) DIV (s_b * n_a) END"
+        ).alias("risk_ratio_x6"),
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("s_a") + F.col("s_b") > 0)
+            & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b")),
+            F.floor(z * F.lit(1e6) + F.lit(0.5)),
+        )
+        .cast("long")
+        .alias("z_q6"),
+    )

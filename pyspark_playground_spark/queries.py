@@ -13078,3 +13078,77 @@ def mondrian_conformal_documents(spark, sf_dir):
         alpha_num=1,
         alpha_den=10,
     )
+
+
+@query(
+    "two_proportion_purchase_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS converted,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
+               AS grp
+      FROM e GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp AND converted THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN NOT grp AND converted THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s_b
+      FROM u
+    )
+    SELECT n_a, n_b, s_a, s_b,
+           CASE WHEN n_a > 0
+                THEN CAST((s_a * 1000000) // n_a AS BIGINT) END AS rate_a_x6,
+           CASE WHEN n_b > 0
+                THEN CAST((s_b * 1000000) // n_b AS BIGINT) END AS rate_b_x6,
+           CASE WHEN s_b * n_a > 0
+                THEN CAST((s_a * n_b * 1000000) // (s_b * n_a) AS BIGINT)
+           END AS risk_ratio_x6,
+           CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                     AND s_a + s_b < n_a + n_b
+                THEN CAST(floor(
+                  (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                         * (1.0 - (CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE))
+                                  / (CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE)))
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT)
+           END AS z_q6
+    FROM s
+    """,
+)
+def two_proportion_purchase_events(spark, sf_dir):
+    """Two-proportion z-test (operators/profiling.py
+    two_proportion_test): do users who signed up convert to purchase at
+    a different rate than those who never did? Per-user cohort/outcome
+    flags from one event-log groupBy, exact integer counts and rates,
+    one fixed-order pooled-variance double quantized q6."""
+    from pyspark_playground_spark.operators.profiling import (
+        two_proportion_test,
+    )
+
+    e = load_events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        (
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        ).alias("converted"),
+        (
+            F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            == 1
+        ).alias("grp"),
+    )
+    return two_proportion_test(
+        u, group_column="grp", success_column="converted"
+    )

@@ -1253,3 +1253,36 @@ def test_mondrian_conformal_per_group_thresholds(spark):
         tiny, score_column="s", group_column="g", calibration_column="cal",
     ).collect()[0]
     assert rc["threshold"] is None and rc["n_covered"] == 1
+
+
+def test_two_proportion_test_hand_computed(spark):
+    """A: 30 of 100 convert; B: 20 of 100: pooled p = 0.25,
+    var = .25*.75*(2/100), z = .1/sqrt(.00375); risk ratio 1.5."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        two_proportion_test,
+    )
+
+    rows = ([(True, True)] * 30 + [(True, False)] * 70
+            + [(False, True)] * 20 + [(False, False)] * 80)
+    df = spark.createDataFrame(rows, "g boolean, y boolean")
+    r = two_proportion_test(
+        df, group_column="g", success_column="y"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"], r["s_a"], r["s_b"]) == (100, 100, 30, 20)
+    assert r["rate_a_x6"] == 300000 and r["rate_b_x6"] == 200000
+    assert r["risk_ratio_x6"] == (30 * 100 * 1_000_000) // (20 * 100)
+    z = (30 / 100 - 20 / 100) / math.sqrt(
+        0.25 * 0.75 * (1 / 100 + 1 / 100)
+    )
+    assert r["z_q6"] == math.floor(z * 1e6 + 0.5)
+
+    # degenerate: all successes -> zero pooled variance -> z NULL
+    allwin = spark.createDataFrame(
+        [(True, True), (False, True)], "g boolean, y boolean"
+    )
+    rz = two_proportion_test(
+        allwin, group_column="g", success_column="y"
+    ).collect()[0]
+    assert rz["z_q6"] is None and rz["risk_ratio_x6"] == 1_000_000
