@@ -768,3 +768,79 @@ def test_log_rank_matches_model(spark, data):
         assert r["chi2_q6"] == math.floor(u * u / v * 1e6 + 0.5)
     else:
         assert r["chi2_q6"] is None
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.booleans()),
+        min_size=1, max_size=40,
+    ),
+    bins=st.sampled_from([2, 5, 10]),
+)
+def test_calibration_error_report_matches_model(spark, data, bins):
+    """ece/mce/brier equal literal integer computations for ANY
+    in-range (ppm, label) multiset."""
+    from pyspark_playground_spark.operators.profiling import (
+        calibration_error_report,
+    )
+
+    df = spark.createDataFrame(data, "ppm long, y boolean")
+    r = calibration_error_report(
+        df, score_ppm_column="ppm", label_column="y", bins=bins
+    ).collect()[0]
+    by_bin = {}
+    for p, y in data:
+        b = min(p * bins // 1_000_000, bins - 1)
+        n, pos, sppm = by_bin.get(b, (0, 0, 0))
+        by_bin[b] = (n + 1, pos + (1 if y else 0), sppm + p)
+    N = len(data)
+    sum_dev = sum(abs(pos * 1_000_000 - sppm)
+                  for n, pos, sppm in by_bin.values())
+    mce = max(abs(pos * 1_000_000 - sppm) // n
+              for n, pos, sppm in by_bin.values())
+    brier = sum((p - (1_000_000 if y else 0)) ** 2 for p, y in data)
+    assert r["n"] == N and r["n_out_of_range"] == 0
+    assert r["ece_x6"] == sum_dev // N
+    assert r["mce_x6"] == mce
+    assert r["brier_x12"] == brier // N
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(0, 30), st.booleans()),
+        min_size=1, max_size=40,
+    )
+)
+def test_mondrian_conformal_matches_model(spark, data):
+    """Per-group threshold and coverage equal the literal per-group
+    sorted-list computation."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold_by_group,
+    )
+
+    df = spark.createDataFrame(data, "g string, s int, cal boolean")
+    out = {r["g"]: r for r in conformal_threshold_by_group(
+        df, score_column="s", group_column="g", calibration_column="cal",
+        alpha_num=1, alpha_den=4,
+    ).collect()}
+    cal_groups = {g for g, _, c in data if c}
+    assert set(out) == cal_groups  # eval-only groups have no threshold row
+    for g in cal_groups:
+        cal = sorted(s for gg, s, c in data if gg == g and c)
+        ev = [s for gg, s, c in data if gg == g and not c]
+        n = len(cal)
+        k = math.ceil((n + 1) * 3 / 4)
+        r = out[g]
+        assert (r["n_cal"], r["k_rank"], r["n_eval"]) == (n, k, len(ev))
+        if k > n:
+            assert r["threshold"] is None and r["n_covered"] == len(ev)
+        else:
+            thr = cal[k - 1]
+            assert r["threshold"] == thr
+            assert r["n_covered"] == sum(1 for s in ev if s <= thr)
