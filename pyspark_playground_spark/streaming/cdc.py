@@ -1348,3 +1348,100 @@ def isotonic_vs_bins(label_bins: DataFrame) -> DataFrame:
         ),
         "fitted",
     )
+
+
+def windowed_coverage_counts(
+    events: DataFrame,
+    *,
+    threshold: DataFrame,
+    ts_column: str = "ts",
+    value_column: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming-legal partials of the conformal-coverage drift monitor
+    (the 7th monitor, beside the PSI/KS/CvM/JSD/AUC/isotonic family):
+    per-window ``(n, n_covered)`` counts of values at or below a STATIC
+    conformal threshold. One windowed aggregation of mergeable sums —
+    bounded state under a watermark, identical on a stream and its
+    batch twin.
+
+    ``threshold`` is a ONE-ROW static frame ``(threshold)`` — compute it
+    batch-side from the calibration corpus with
+    ``profiling.conformal_threshold`` (the envelope must be FIXED: a
+    per-batch re-calibration would silently move the goalposts every
+    window, the same reason ``windowed_value_bins`` takes static
+    bounds). A NULL threshold (calibration too small) counts everything
+    covered — the batch operator's convention.
+
+    Returns ``(window_start, window_end, n, n_covered)``; finish with
+    :func:`coverage_vs_target`.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    joined = df.join(F.broadcast(threshold)).select(
+        F.col(ts_column).alias("__ts"),
+        F.when(
+            F.col("threshold").isNull()
+            | (F.col(value_column) <= F.col("threshold")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__cov"),
+        F.col(value_column).alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    return (
+        joined.groupBy(
+            F.window(F.col("__ts"), window_duration).alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__cov").alias("n_covered"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+            "n_covered",
+        )
+    )
+
+
+def coverage_vs_target(
+    counts: DataFrame,
+    *,
+    target_x6: int,
+    slack_x6: int = 50_000,
+) -> DataFrame:
+    """Finish the conformal-coverage monitor over
+    :func:`windowed_coverage_counts` partials: defensively re-aggregate
+    (an update-mode sink or a reprocessed batch can hold several rows
+    per window — duplicates would double-count), then the exact integer
+    coverage ratio and the breach flag. Everything after the partials
+    is bounded by the window count.
+
+    Returns ``(window_start, window_end, n, n_covered, coverage_x6,
+    target_x6, breached)`` — the batch operator
+    ``profiling.windowed_conformal_coverage``'s exact output shape, so
+    stream==batch is pinnable row-for-row.
+    """
+    agg = (
+        counts.groupBy("window_start", "window_end")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_covered").cast("long").alias("n_covered"),
+        )
+    )
+    return agg.select(
+        "window_start",
+        "window_end",
+        "n",
+        "n_covered",
+        F.expr("(n_covered * 1000000L) DIV n").alias("coverage_x6"),
+        F.lit(int(target_x6)).cast("long").alias("target_x6"),
+        (
+            F.expr("(n_covered * 1000000L) DIV n")
+            < F.lit(int(target_x6) - int(slack_x6))
+        ).alias("breached"),
+    )

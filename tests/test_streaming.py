@@ -1067,3 +1067,72 @@ def test_equal_width_bin_far_out_of_range_values(spark):
         ).alias("b")
     ).collect()
     assert [r["b"] for r in out] == [15, 0, 8, 15]
+
+
+def test_windowed_coverage_stream_equals_batch(spark, tmpdir):
+    """The conformal-coverage monitor's streaming partials + finisher
+    must reproduce the batch operator row-for-row: same static
+    threshold, same per-window counts, same breach flags."""
+    from pyspark_playground_spark.operators.profiling import (
+        conformal_threshold,
+        windowed_conformal_coverage,
+    )
+
+    rows = [
+        (i, datetime(2026, 5, 1, 10, i % 60), "view", float(i + 1))
+        for i in range(50)
+    ] + [
+        (100 + i, datetime(2026, 5, 1, 11, i % 60), "view", float(500 + i))
+        for i in range(50)
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = f"{tmpdir}/cov_events"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    expected = {
+        r["window_start"]: r
+        for r in windowed_conformal_coverage(
+            batch, ts_column="ts", value_column="value",
+            alpha_num=1, alpha_den=10, slack_x6=50_000,
+        ).collect()
+    }
+    assert len(expected) == 2
+    # the shifted second hour must breach in the batch twin
+    assert any(r["breached"] for r in expected.values())
+
+    # static threshold computed batch-side (whole corpus calibrates)
+    thr = conformal_threshold(
+        batch.withColumn("__all", F.lit(True)),
+        score_column="value", calibration_column="__all",
+        alpha_num=1, alpha_den=10,
+    ).select("threshold")
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        st.windowed_coverage_counts(
+            stream, threshold=thr, watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("cov_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_cov")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r
+        for r in st.coverage_vs_target(
+            spark.sql("SELECT * FROM cov_counts"),
+            target_x6=900_000, slack_x6=50_000,
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for ws, e in expected.items():
+        g = got[ws]
+        # batch calibrates on ALL values (cal flag true for every row in
+        # this construction), so the stream's counts must match exactly
+        assert (g["n"], g["n_covered"]) == (e["n"], e["n_covered"])
+        assert g["coverage_x6"] == e["coverage_x6"]
+        assert g["breached"] == e["breached"]
