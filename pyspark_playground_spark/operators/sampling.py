@@ -573,3 +573,90 @@ def dsir_gumbel_select(
         .orderBy(F.col("perturbed_weight").desc(), F.col(id_column))
         .limit(k)
     )
+
+
+#: cumulative Poisson(1) CDF for k = 0..9 — shared literal constants on
+#: both engines (inverse-CDF sampling; P(k > 9) ~ 1e-7 caps the weight)
+_POIS1_CUM = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216,
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    *,
+    value_column: str,
+    key_columns: Sequence[str],
+    replicates: int = 32,
+) -> DataFrame:
+    """Poisson bootstrap of the mean — THE resampling scheme that works
+    at 100 TB (public construction — Chamandy et al., Google's
+    "Estimating Uncertainty for Massive Data Streams"): classical
+    bootstrap needs n draws per replicate from a materialized corpus;
+    the Poisson bootstrap gives each row an independent Poisson(1)
+    weight per replicate, so B replicates stream through ONE pass with
+    map-side-combined partial sums — no resampled copies, no corpus
+    shuffle, and replicate totals concentrate at n ± O(√n).
+
+    Determinism (the property RNG bootstraps lose): weights are
+    content-addressed — ``u = (h32(md5(key, b)) + 0.5) / 2^32`` and the
+    Poisson(1) inverse CDF over shared literal constants, so every
+    (row, replicate) draws the same weight on any engine, rerun, or
+    partitioning. Weighted sums accumulate in exact DECIMAL (order-free)
+    before ONE double division per replicate, quantized q6.
+
+    Output: (replicate, n_drawn, mean_q6) — ``replicates`` rows; feed
+    the sorted means' order statistics downstream for a percentile CI
+    (exact ranks, engine-stable).
+    """
+    cums = F.array(*[F.lit(c) for c in _POIS1_CUM])
+    key = F.concat_ws(",", *[F.col(k).cast("string") for k in key_columns])
+    v = F.col(value_column).cast("decimal(28,6)")
+
+    def u_of(b):
+        # one md5 per (row, replicate); the inverse-CDF scan reuses it
+        h32 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("__k"), b.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h32.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+
+    with_u = F.transform(
+        F.sequence(F.lit(0), F.lit(replicates - 1)),
+        lambda b: F.struct(b.alias("replicate"), u_of(b).alias("u")),
+    )
+    with_w = F.transform(
+        with_u,
+        lambda s: F.struct(
+            s["replicate"].alias("replicate"),
+            F.size(F.filter(cums, lambda c: s["u"] >= c)).alias("w"),
+        ),
+    )
+    pairs = (
+        df.select(key.alias("__k"), v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select("__v", F.explode(with_w).alias("__e"))
+        .select("__v", "__e.replicate", "__e.w")
+        .filter(F.col("w") > 0)
+    )
+    agg = pairs.groupBy("replicate").agg(
+        F.sum("w").cast("long").alias("n_drawn"),
+        F.sum(F.col("__v") * F.col("w").cast("decimal(10,0)")).alias("__s"),
+    )
+    return agg.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "n_drawn",
+        F.floor(
+            F.col("__s").cast("double") / F.col("n_drawn").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_q6"),
+    )

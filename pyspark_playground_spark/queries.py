@@ -13152,3 +13152,51 @@ def two_proportion_purchase_events(spark, sf_dir):
     return two_proportion_test(
         u, group_column="grp", success_column="converted"
     )
+
+
+def _pois_cums_sql() -> str:
+    from pyspark_playground_spark.operators.sampling import _POIS1_CUM
+
+    return "[" + ", ".join(repr(c) for c in _POIS1_CUM) + "]"
+
+
+@query(
+    "poisson_bootstrap_order_price",
+    f"""
+    WITH pairs AS (
+      SELECT CAST(o_totalprice AS DECIMAL(28,6)) AS v,
+             r.range AS b,
+             len(list_filter({_pois_cums_sql()}, c ->
+               (CAST(CAST(('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || ':'
+                    || CAST(r.range AS VARCHAR)), 1, 8)) AS BIGINT)
+                 AS DOUBLE) + 0.5) / 4294967296.0 >= c)) AS w
+      FROM orders CROSS JOIN range(0, 32) r
+      WHERE o_totalprice IS NOT NULL
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_drawn,
+           CAST(floor(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                      * 1e6 + 0.5) AS BIGINT) AS mean_q6
+    FROM pairs WHERE w > 0 GROUP BY b
+    """,
+)
+def poisson_bootstrap_order_price(spark, sf_dir):
+    """Poisson bootstrap of mean order price (operators/sampling.py
+    poisson_bootstrap_means; Chamandy et al.'s massive-data bootstrap):
+    32 replicates stream through ONE pass as content-addressed
+    Poisson(1) weights — no resampled copies, no corpus shuffle, every
+    (row, replicate) weight identical on any engine or partitioning.
+    Exact DECIMAL weighted sums, one quantized double division per
+    replicate. The CI is order statistics of the 32 means downstream."""
+    from pyspark_playground_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return poisson_bootstrap_means(
+        orders,
+        value_column="o_totalprice",
+        key_columns=["o_orderkey"],
+        replicates=32,
+    )

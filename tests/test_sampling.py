@@ -278,3 +278,35 @@ def test_dsir_model_join_is_broadcast(spark):
     # the bounded bucket model must ride a broadcast join back onto the
     # token stream — a shuffle join here would re-shuffle the whole corpus
     assert "BroadcastHashJoin" in plan
+
+
+def test_poisson_bootstrap_means_deterministic_and_sane(spark):
+    """32 replicates over 500 constant-ish values: every replicate mean
+    sits inside the value range, replicate sizes concentrate at
+    n ± O(sqrt n), a rerun (and a different partitioning) reproduces
+    the exact rows, and a constant column yields the constant mean."""
+    from pyspark_playground_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    out = poisson_bootstrap_means(
+        df, value_column="v", key_columns=["id"], replicates=32
+    ).collect()
+    assert len(out) == 32
+    for r in out:
+        assert 300 <= r["n_drawn"] <= 700  # n=500, sd ~ 22
+        assert 0 <= r["mean_q6"] <= 99_000_000
+    rerun = poisson_bootstrap_means(
+        df.repartition(7), value_column="v", key_columns=["id"],
+        replicates=32,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+    const = spark.range(200).select("id", F.lit(7.0).alias("v"))
+    cm = poisson_bootstrap_means(
+        const, value_column="v", key_columns=["id"], replicates=8
+    ).collect()
+    assert all(r["mean_q6"] == 7_000_000 for r in cm)
