@@ -310,3 +310,26 @@ def test_poisson_bootstrap_means_deterministic_and_sane(spark):
         const, value_column="v", key_columns=["id"], replicates=8
     ).collect()
     assert all(r["mean_q6"] == 7_000_000 for r in cm)
+
+
+def test_poisson_bootstrap_exact_weights_hand_computed(spark):
+    """Two rows (keys '7' value 10, '11' value 30), 4 replicates: the
+    md5-derived Poisson(1) weights are w(7,b)=[2,1,1,0] and
+    w(11,b)=[1,0,1,0] (hand-computed from the shared inverse-CDF
+    constants), so the replicate means are exactly
+    b0: (2*10+1*30)/3, b1: 10/1, b2: (10+30)/2; b3 draws nothing and
+    emits no row."""
+    from pyspark_playground_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 10.0), (11, 30.0)], "id int, v double"
+    )
+    out = {r["replicate"]: r for r in poisson_bootstrap_means(
+        df, value_column="v", key_columns=["id"], replicates=4
+    ).collect()}
+    assert set(out) == {0, 1, 2}  # replicate 3 drew zero rows
+    assert (out[0]["n_drawn"], out[0]["mean_q6"]) == (3, 16_666_667)
+    assert (out[1]["n_drawn"], out[1]["mean_q6"]) == (1, 10_000_000)
+    assert (out[2]["n_drawn"], out[2]["mean_q6"]) == (2, 20_000_000)
