@@ -1489,3 +1489,85 @@ def keyness_scores(
         ),
         F.round(F.lit(2.0) * (term_a + term_b), out_decimals).alias("g2"),
     )
+
+
+def code_switch_report(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    window_tokens: int = 32,
+) -> DataFrame:
+    """Mixed-language (code-switching) detection: run the marker-word
+    :func:`lang_id` over NON-OVERLAPPING ``window_tokens`` windows of
+    each document and report per-document disagreement — the filter for
+    corpora where document-level language labels hide embedded
+    second-language spans (boilerplate, quotes, spam), which poison
+    monolingual training slices.
+
+    Per document: ``n_windows``, ``n_langs`` (distinct non-``und``
+    window predictions), ``dominant_lang`` (most windows; count-desc +
+    alphabetical tie-break; ``und`` only when NO window identifies),
+    and ``minority_x6`` — the exact integer fraction of
+    language-identified windows disagreeing with the dominant (NULL
+    when no window identifies a language).
+
+    Plan: the chunker is one projection + explode (zero shuffle — maps
+    over a corpus scan), lang-id is pure codegen per window, then ONE
+    (doc, pred) count shuffle + a per-doc argmax over the
+    language-count frame (bounded by |langs| rows per doc). No UDFs.
+    """
+    from pyspark_playground_spark.operators.packing import (
+        sliding_window_chunks,
+    )
+
+    chunks = sliding_window_chunks(
+        df.select(F.col(id_column), F.col(text_column)),
+        text_column,
+        id_column=id_column,
+        chunk_tokens=window_tokens,
+        overlap=0,
+    )
+    pred = lang_id(chunks, text_column="chunk_text").select(
+        F.col(id_column), "lang_pred"
+    )
+    cc = pred.groupBy(id_column, "lang_pred").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_doc = cc.groupBy(id_column).agg(
+        F.sum("__c").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("lang_pred") != "und", F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__n_lang"),
+        F.count(F.when(F.col("lang_pred") != "und", 1)).cast("long").alias(
+            "n_langs"
+        ),
+        # min over (-count, lang) == (count desc, lang asc) argmax
+        F.min(
+            F.when(
+                F.col("lang_pred") != "und",
+                F.struct((-F.col("__c")).alias("nc"), F.col("lang_pred")),
+            )
+        ).alias("__dom"),
+    )
+    staged = per_doc.select(
+        id_column,
+        "n_windows",
+        "n_langs",
+        F.coalesce(F.col("__dom.lang_pred"), F.lit("und")).alias(
+            "dominant_lang"
+        ),
+        F.col("__n_lang").alias("__nl"),
+        (-F.col("__dom.nc")).cast("long").alias("__domc"),
+    )
+    return staged.select(
+        id_column,
+        "n_windows",
+        "n_langs",
+        "dominant_lang",
+        # exact integer ratio; NULL when no window identified a language
+        F.expr(
+            "CASE WHEN __nl > 0"
+            " THEN ((__nl - __domc) * 1000000L) DIV __nl END"
+        ).alias("minority_x6"),
+    )

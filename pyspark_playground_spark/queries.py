@@ -13200,3 +13200,81 @@ def poisson_bootstrap_order_price(spark, sf_dir):
         key_columns=["o_orderkey"],
         replicates=32,
     )
+
+
+def _lang_pred_sql(col: str) -> tuple[str, str]:
+    """(best_expr, pred_expr) of the marker-word lang-id over an
+    arbitrary text column — the _lang_id_oracle arithmetic
+    parameterized for derived frames (per-window code-switch below)."""
+    toks = _TOKS.replace("lower(text)", f"lower({col})")
+    score_exprs = []
+    for lang, markers in sorted(tx.LANG_MARKERS.items()):
+        marker_list = ",".join(f"'{m}'" for m in markers)
+        token_hits = f"len(list_filter({toks}, x -> x IN ({marker_list})))"
+        substr = " + ".join(
+            f"(CASE WHEN contains({col}, '{m}') THEN 1 ELSE 0 END)"
+            for m in markers
+            if not m.isascii()
+        )
+        score_exprs.append(
+            (lang, f"({token_hits}{' + ' + substr if substr else ''})")
+        )
+    best = "greatest(" + ", ".join(s for _, s in score_exprs) + ")"
+    pred = "'und'"
+    for lang, s in reversed(score_exprs):
+        pred = f"CASE WHEN {s} = __best THEN '{lang}' ELSE {pred} END"
+    return best, pred
+
+
+def _code_switch_oracle(window_tokens: int) -> str:
+    best, pred = _lang_pred_sql("ctext")
+    w = window_tokens
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), e AS (
+      SELECT doc_id, toks, i
+      FROM t, unnest(range(0, len(toks), {w})) AS u(i)
+      WHERE len(toks) > 0
+    ), ch AS (
+      SELECT doc_id, array_to_string(toks[i + 1 : i + {w}], ' ') AS ctext
+      FROM e
+    ), scored AS (
+      SELECT doc_id, ctext, {best} AS __best FROM ch
+    ), pr AS (
+      SELECT doc_id,
+             CASE WHEN __best > 0 THEN {pred} ELSE 'und' END AS p
+      FROM scored
+    ), cc AS (
+      SELECT doc_id, p, count(*) AS c FROM pr GROUP BY doc_id, p
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN p <> 'und' THEN c ELSE 0 END) AS BIGINT)
+               AS nl,
+             CAST(count(CASE WHEN p <> 'und' THEN 1 END) AS BIGINT)
+               AS n_langs,
+             min(CASE WHEN p <> 'und' THEN {{'nc': -c, 'p': p}} END)
+               AS dom
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n_windows, n_langs,
+           coalesce(dom.p, 'und') AS dominant_lang,
+           CASE WHEN nl > 0
+                THEN CAST(((nl - (-dom.nc)) * 1000000) // nl AS BIGINT)
+           END AS minority_x6
+    FROM agg
+    """
+
+
+@query("code_switch_documents", _code_switch_oracle(32))
+def code_switch_documents(spark, sf_dir):
+    """Mixed-language detection (operators/text.py code_switch_report):
+    marker-word lang-id over non-overlapping 32-token windows, per-doc
+    dominant language + the exact integer fraction of identified
+    windows that disagree — the filter for documents whose single
+    language label hides embedded second-language spans. Zero-shuffle
+    chunk+identify, one (doc, pred) count shuffle, per-doc argmax over
+    a |langs|-bounded frame."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.code_switch_report(docs, window_tokens=32)

@@ -111,3 +111,31 @@ def test_prefix_energy_report(spark):
     assert out[0]["energy_frac_2_q6"] == 750_000
     assert out[1]["n_vecs"] == 1
     assert out[1]["energy_frac_2_q6"] == 0
+
+
+def test_code_switch_report_hand_built(spark):
+    """Doc 1: 32 'the' tokens then 32 'der' tokens -> two windows, en
+    then de -> dominant en (alphabetical tie-break at 1-1), minority
+    1/2. Doc 2: all English -> minority 0. Doc 3: marker-free tokens ->
+    every window 'und', NULL minority."""
+    from pyspark_playground_spark.operators.text import code_switch_report
+
+    en = " ".join(["the"] * 32)
+    de = " ".join(["der"] * 32)
+    blank = " ".join(["zzz"] * 40)
+    df = spark.createDataFrame(
+        [(1, f"{en} {de}"), (2, f"{en} {en}"), (3, blank)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in code_switch_report(
+        df, window_tokens=32).collect()}
+    d1 = out[1]
+    assert d1["n_windows"] == 2 and d1["n_langs"] == 2
+    assert d1["dominant_lang"] == "de"  # 1-1 tie -> count desc, lang asc
+    assert d1["minority_x6"] == 500000
+    d2 = out[2]
+    assert d2["n_langs"] == 1 and d2["dominant_lang"] == "en"
+    assert d2["minority_x6"] == 0
+    d3 = out[3]
+    assert d3["dominant_lang"] == "und" and d3["n_langs"] == 0
+    assert d3["minority_x6"] is None
