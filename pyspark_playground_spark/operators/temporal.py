@@ -1018,3 +1018,88 @@ def lagged_correlation(
             (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("r"),
     )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    *,
+    ts_column: str = "ts",
+    group_column: str = "event_type",
+    season_hours: int = 24,
+) -> DataFrame:
+    """Forecast-baseline error report over hourly counts: per group, the
+    mean absolute error of the LAG-1 naive forecast and of the SEASONAL
+    naive (lag ``season_hours``), plus their ratio — the MASE
+    denominator discipline (Hyndman-Koehler, public): any real forecast
+    model must beat the seasonal naive on this exact number before it
+    earns a deploy; this operator is that yardstick, computed exactly.
+
+    Pure integer arithmetic: hourly counts are integers, residuals are
+    integer |differences| over a lag window on the per-group HOURLY
+    census (bounded by hours x groups, never event-count-sized), the
+    MAEs are ``sum*1e6 DIV n`` and the ratio ``mase_x6 =
+    (mae_lag1 * 1e6) DIV mae_seasonal`` — exact, engine-free of float
+    accumulation. Hours with no events count zero via dense
+    gap-filling over each group's [min, max] hour span (a missing hour
+    IS data for a count series). NULL when a group spans too few hours
+    for the lag.
+
+    Output per group: (group, n_hours, mae1_x6, mae_s_x6, mase_x6).
+    """
+    us = F.unix_micros(F.col(ts_column).cast("timestamp"))
+    # integer hour index via floor division on epoch micros (the
+    # user_lifetimes recipe — a double quotient can round up across the
+    # hour boundary); events timestamps are non-negative epochs here
+    hours = df.select(
+        F.col(group_column).alias("__g"),
+        F.floor(us / F.lit(3_600_000_000)).cast("long").alias("__h"),
+    )
+    counts = hours.groupBy("__g", "__h").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    span = counts.groupBy("__g").agg(
+        F.min("__h").alias("__lo"), F.max("__h").alias("__hi")
+    )
+    dense = (
+        span.select(
+            "__g",
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__h"),
+        )
+        .join(counts, ["__g", "__h"], "left")
+        .select(
+            "__g", "__h", F.coalesce("__n", F.lit(0)).alias("__n")
+        )
+    )
+    w = Window.partitionBy("__g").orderBy("__h")
+    lagged = dense.select(
+        "__g",
+        "__n",
+        F.lag("__n", 1).over(w).alias("__p1"),
+        F.lag("__n", season_hours).over(w).alias("__ps"),
+    )
+    agg = lagged.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.count("__p1").cast("long").alias("__n1"),
+        F.coalesce(F.sum(F.abs(F.col("__n") - F.col("__p1"))), F.lit(0))
+        .cast("long")
+        .alias("__s1"),
+        F.count("__ps").cast("long").alias("__ns"),
+        F.coalesce(F.sum(F.abs(F.col("__n") - F.col("__ps"))), F.lit(0))
+        .cast("long")
+        .alias("__ss"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_column),
+        "n_hours",
+        F.expr(
+            "CASE WHEN __n1 > 0 THEN (__s1 * 1000000L) DIV __n1 END"
+        ).alias("mae1_x6"),
+        F.expr(
+            "CASE WHEN __ns > 0 THEN (__ss * 1000000L) DIV __ns END"
+        ).alias("mae_s_x6"),
+        F.expr(
+            "CASE WHEN __ns > 0 AND __ss > 0 AND __n1 > 0 THEN"
+            " (((__s1 * 1000000L) DIV __n1) * 1000000L)"
+            " DIV ((__ss * 1000000L) DIV __ns) END"
+        ).alias("mase_x6"),
+    )

@@ -13278,3 +13278,67 @@ def code_switch_documents(spark, sf_dir):
     a |langs|-bounded frame."""
     docs = load(spark, sf_dir, "documents")
     return tx.code_switch_report(docs, window_tokens=32)
+
+
+@query(
+    "seasonal_naive_error_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    hrs AS (
+      SELECT event_type AS g,
+             CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h
+      FROM e
+    ),
+    counts AS (SELECT g, h, count(*) AS n FROM hrs GROUP BY g, h),
+    span AS (SELECT g, min(h) AS lo, max(h) AS hi FROM counts GROUP BY g),
+    grid AS (
+      SELECT span.g, span.lo + u.i AS h
+      FROM span, unnest(range(0, span.hi - span.lo + 1)) AS u(i)
+    ),
+    dense AS (
+      SELECT grid.g, grid.h, coalesce(c.n, 0) AS n
+      FROM grid LEFT JOIN counts c ON c.g = grid.g AND c.h = grid.h
+    ),
+    lagged AS (
+      SELECT g, n,
+             lag(n, 1) OVER (PARTITION BY g ORDER BY h) AS p1,
+             lag(n, 24) OVER (PARTITION BY g ORDER BY h) AS ps
+      FROM dense
+    ),
+    agg AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(count(p1) AS BIGINT) AS n1,
+             CAST(coalesce(sum(abs(n - p1)), 0) AS BIGINT) AS s1,
+             CAST(count(ps) AS BIGINT) AS ns,
+             CAST(coalesce(sum(abs(n - ps)), 0) AS BIGINT) AS ss
+      FROM lagged GROUP BY g
+    )
+    SELECT g AS event_type, n_hours,
+           CASE WHEN n1 > 0
+                THEN CAST((s1 * 1000000) // n1 AS BIGINT) END AS mae1_x6,
+           CASE WHEN ns > 0
+                THEN CAST((ss * 1000000) // ns AS BIGINT) END AS mae_s_x6,
+           CASE WHEN ns > 0 AND ss > 0 AND n1 > 0 THEN
+             CAST((((s1 * 1000000) // n1) * 1000000)
+                  // ((ss * 1000000) // ns) AS BIGINT)
+           END AS mase_x6
+    FROM agg
+    """,
+)
+def seasonal_naive_error_events(spark, sf_dir):
+    """Forecast-baseline yardstick (operators/temporal.py
+    seasonal_naive_error): per event type, exact integer MAE of the
+    lag-1 naive and the 24-hour seasonal naive over the dense hourly
+    count series (missing hours are zeros — they ARE data for counts),
+    plus their MASE-style ratio. Any forecasting model must beat the
+    seasonal column before it ships. The lag window runs over the
+    hours x types census, never the event stream."""
+    from pyspark_playground_spark.operators.temporal import (
+        seasonal_naive_error,
+    )
+
+    e = load_events(spark, sf_dir)
+    return seasonal_naive_error(
+        e, ts_column="ts", group_column="event_type", season_hours=24
+    )

@@ -580,3 +580,45 @@ def test_lagged_correlation_zero_variance_null(spark):
         df, index_column="t", x_column="x", y_column="y", max_lag=1
     ).collect()}
     assert set(got.values()) == {None}
+
+
+def test_seasonal_naive_error_hand_computed(spark):
+    """One group, 3 hours with counts [2, 5, 5] (hour 1 then a gap-free
+    run): lag-1 residuals |5-2|, |5-5| -> mae1 = 3/2; with
+    season_hours=2 one seasonal residual |5-2| = 3 -> mae_s = 3;
+    mase = (1500000 * 1e6) DIV 3000000 = 500000. A group too short for
+    the seasonal lag gets NULL mae_s/mase."""
+    from datetime import datetime
+
+    from pyspark_playground_spark.operators.temporal import (
+        seasonal_naive_error,
+    )
+
+    rows = (
+        [(datetime(2026, 1, 1, 0, m), "a") for m in range(2)]
+        + [(datetime(2026, 1, 1, 1, m), "a") for m in range(5)]
+        + [(datetime(2026, 1, 1, 2, m), "a") for m in range(5)]
+        + [(datetime(2026, 1, 1, 0, 0), "b")]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in seasonal_naive_error(
+        df, season_hours=2).collect()}
+    a = out["a"]
+    assert a["n_hours"] == 3
+    assert a["mae1_x6"] == 1_500_000  # (3+0)/2
+    assert a["mae_s_x6"] == 3_000_000
+    assert a["mase_x6"] == 500_000
+    b = out["b"]
+    assert b["n_hours"] == 1
+    assert b["mae1_x6"] is None and b["mase_x6"] is None
+
+    # a gap hour counts as zero: counts [2, 0, 4] over 3 dense hours
+    rows2 = (
+        [(datetime(2026, 1, 1, 0, m), "g") for m in range(2)]
+        + [(datetime(2026, 1, 1, 2, m), "g") for m in range(4)]
+    )
+    g = {r["event_type"]: r for r in seasonal_naive_error(
+        spark.createDataFrame(rows2, "ts timestamp, event_type string"),
+        season_hours=24).collect()}["g"]
+    assert g["n_hours"] == 3
+    assert g["mae1_x6"] == 3_000_000  # |0-2|, |4-0| -> 6/2
