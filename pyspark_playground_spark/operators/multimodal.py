@@ -236,3 +236,55 @@ def fake_decode_image_arrow(
             )
 
     return df.mapInArrow(_decode, schema=schema)
+
+
+def uniform_frame_plan(
+    df: DataFrame,
+    *,
+    duration_column: str = "duration_s",
+    fps_column: str = "fps",
+    samples: int = 8,
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Uniform temporal frame-sampling plan for video payloads: the
+    standard center-of-strata rule ``frame_j = floor((j + 0.5)/k ·
+    total_frames)`` for ``j in [0, k)`` — k frames spread evenly across
+    the clip, never the degenerate endpoints-only pick. Pure metadata
+    math (duration × fps), JVM-side, one projection + explode: a 100 TB
+    video catalog scan plans every decode without touching a byte of
+    payload; the per-frame decode plugs in as ``mapInPandas`` over the
+    exploded rows exactly like :func:`sample_frames`' byte variant.
+
+    Clips shorter than one frame (total_frames == 0) plan nothing.
+    ``frame_ms`` is the frame's integer millisecond timestamp
+    (``frame_index * 1000 DIV fps`` — exact for integer fps; the seek
+    argument a decoder wants). Duplicate indices are NOT collapsed —
+    the ordinal → frame mapping stays k-row-stable for downstream
+    feature tensors of fixed shape.
+
+    Output: input columns + (sample_ordinal, total_frames, frame_index,
+    frame_ms).
+    """
+    total = F.floor(
+        F.col(duration_column).cast("double")
+        * F.col(fps_column).cast("double")
+    ).cast("long")
+    planned = df.withColumn("total_frames", total).filter(
+        F.col("total_frames") > 0
+    )
+    exploded = planned.withColumn(
+        "sample_ordinal",
+        F.explode(F.sequence(F.lit(0), F.lit(samples - 1))),
+    )
+    idx = F.floor(
+        (F.col("sample_ordinal").cast("double") + F.lit(0.5))
+        / F.lit(float(samples))
+        * F.col("total_frames").cast("double")
+    ).cast("long")
+    out = exploded.withColumn(
+        "frame_index", F.least(idx, F.col("total_frames") - 1)
+    )
+    return out.withColumn(
+        "frame_ms",
+        F.expr(f"(frame_index * 1000) DIV CAST({fps_column} AS BIGINT)"),
+    )

@@ -13342,3 +13342,51 @@ def seasonal_naive_error_events(spark, sf_dir):
     return seasonal_naive_error(
         e, ts_column="ts", group_column="event_type", season_hours=24
     )
+
+
+@query(
+    "multimodal_frame_plan_documents",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) / 100.0 AS duration_s,
+             24 AS fps,
+             CAST(floor(CAST(n_chars AS DOUBLE) / 100.0 * CAST(24 AS DOUBLE))
+                  AS BIGINT) AS total_frames
+      FROM documents
+    ), planned AS (
+      SELECT * FROM meta WHERE total_frames > 0
+    ), e AS (
+      SELECT planned.*, u.j AS sample_ordinal
+      FROM planned, unnest(range(0, 8)) AS u(j)
+    )
+    SELECT doc_id, sample_ordinal, total_frames,
+           least(CAST(floor((CAST(sample_ordinal AS DOUBLE) + 0.5) / 8.0
+                            * CAST(total_frames AS DOUBLE)) AS BIGINT),
+                 total_frames - 1) AS frame_index,
+           (least(CAST(floor((CAST(sample_ordinal AS DOUBLE) + 0.5) / 8.0
+                             * CAST(total_frames AS DOUBLE)) AS BIGINT),
+                  total_frames - 1) * 1000) // CAST(24 AS BIGINT)
+             AS frame_ms
+    FROM e
+    """,
+)
+def multimodal_frame_plan_documents(spark, sf_dir):
+    """Uniform temporal frame-sampling plan (operators/multimodal.py
+    uniform_frame_plan): 8 center-of-strata frame indices per synthetic
+    clip (duration = n_chars/100 s at 24 fps — the deterministic fake
+    metadata convention the multimodal family uses, since codecs are
+    env-gated) — pure metadata math, one projection + explode, the
+    decode-side mapInPandas plugs in over the exploded rows."""
+    from pyspark_playground_spark.operators.multimodal import (
+        uniform_frame_plan,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(100.0)).alias("duration_s"),
+        F.lit(24).alias("fps"),
+    )
+    return uniform_frame_plan(docs, samples=8).select(
+        "doc_id", "sample_ordinal", "total_frames", "frame_index", "frame_ms"
+    )

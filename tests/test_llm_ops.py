@@ -996,3 +996,29 @@ def test_fake_decode_arrow_twin_parity(docs):
     via_arrow = sorted(map(tuple, mm.fake_decode_image_arrow(media).collect()))
     assert via_arrow == via_pandas
     assert len(via_arrow) == 5
+
+
+def test_uniform_frame_plan_hand_computed(spark):
+    """2-second clip at 10 fps -> 20 frames, k=4 -> strata centers at
+    frames floor([0.5, 1.5, 2.5, 3.5]/4*20) = [2, 7, 12, 17];
+    frame_ms = idx*1000 DIV 10. A clip shorter than one frame plans
+    nothing; a 1-frame clip clamps every ordinal to frame 0."""
+    from pyspark_playground_spark.operators.multimodal import (
+        uniform_frame_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 10), (2, 0.05, 10), (3, 0.15, 10)],
+        "doc_id int, duration_s double, fps int",
+    )
+    rows = uniform_frame_plan(df, samples=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # 0.5-frame clip -> nothing planned
+    d1 = sorted(by_doc[1], key=lambda r: r["sample_ordinal"])
+    assert [r["frame_index"] for r in d1] == [2, 7, 12, 17]
+    assert [r["frame_ms"] for r in d1] == [200, 700, 1200, 1700]
+    assert all(r["total_frames"] == 20 for r in d1)
+    d3 = by_doc[3]  # 1 frame total: all ordinals clamp to 0
+    assert len(d3) == 4 and all(r["frame_index"] == 0 for r in d3)
