@@ -44,6 +44,16 @@ Spec shape::
         params: {max_jsd: 0.4}         #   JSD drifts past the threshold
       - op: agreement_gate             # refuse if labeler kappa drops
         params: {a_column: lang, b_column: lang_pred, min_kappa: 0.6}
+      - op: independence_gate          # refuse if source x lang Cramér's V
+        params: {a_column: source,     #   says per-source stages are
+                 b_column: lang,       #   silently per-language ones
+                 max_cramers_v: 0.5}
+      - op: expect                     # refuse on any failed contract rule
+        params: {rules: [{type: not_null, column: text},
+                         {type: unique, columns: [doc_id]}]}
+      - op: conformal_filter           # drop rows above the split-conformal
+        params: {score_column: n_chars,  # envelope (finite-sample guarantee)
+                 key_columns: [doc_id], alpha_num: 1, alpha_den: 10}
       - op: normalize                  # canonicalize text (run FIRST)
       - op: token_budget               # best-by-score until budget spent
         params: {score_column: quality_score, tokens_column: n_tokens,
