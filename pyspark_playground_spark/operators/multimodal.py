@@ -257,9 +257,12 @@ def uniform_frame_plan(
 
     Clips shorter than one frame (total_frames == 0) plan nothing.
     ``frame_ms`` is the frame's integer millisecond timestamp
-    (``frame_index * 1000 DIV fps`` — exact for integer fps; the seek
-    argument a decoder wants). Duplicate indices are NOT collapsed —
-    the ordinal → frame mapping stays k-row-stable for downstream
+    (``floor(frame_index * 1000.0 / fps)`` — computed in double so
+    fractional NTSC rates like 29.97/23.976 seek correctly instead of
+    truncating to 29/23; the seek argument a decoder wants). A
+    non-positive fps yields NULL frame_ms rather than an ANSI
+    divide-by-zero. Duplicate indices are NOT collapsed — the
+    ordinal → frame mapping stays k-row-stable for downstream
     feature tensors of fixed shape.
 
     Output: input columns + (sample_ordinal, total_frames, frame_index,
@@ -284,7 +287,18 @@ def uniform_frame_plan(
     out = exploded.withColumn(
         "frame_index", F.least(idx, F.col("total_frames") - 1)
     )
+    # Double-division (not integer DIV): fractional fps must not truncate
+    # (29.97 → 29 is ~3% seek drift) and fps < 1 must not DIV-by-zero
+    # under ANSI. frame_index*1000 is exact in double (< 2^53), so
+    # floor(a/b) is one IEEE op — deterministic on any engine.
     return out.withColumn(
         "frame_ms",
-        F.expr(f"(frame_index * 1000) DIV CAST({fps_column} AS BIGINT)"),
+        F.when(
+            F.col(fps_column).cast("double") > 0,
+            F.floor(
+                F.col("frame_index").cast("double")
+                * F.lit(1000.0)
+                / F.col(fps_column).cast("double")
+            ).cast("long"),
+        ),
     )

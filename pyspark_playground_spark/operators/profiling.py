@@ -2772,7 +2772,11 @@ def conformal_threshold_by_group(
     the group count — for one dominant group use the global operator's
     range-bucket plan). Held-out coverage per group as exact integer
     ratios; a group whose calibration half is too small (k > n_cal)
-    gets a NULL threshold and full coverage by convention.
+    gets a NULL threshold and full coverage by convention — and that
+    convention extends to groups with NO calibration rows at all: the
+    group spine comes from BOTH halves of the data, so an eval-only
+    group appears with n_cal=0 / NULL threshold / full coverage rather
+    than silently vanishing from the report.
 
     Output per group: (group, n_cal, n_eval, k_rank, threshold,
     n_covered, coverage_x6, target_x6).
@@ -2806,15 +2810,30 @@ def conformal_threshold_by_group(
     cum = census.withColumn(
         "__cum", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
     )
-    ks = census.groupBy("__g").agg(
-        F.sum("__cnt").cast("long").alias("n_cal")
-    ).select(
-        "__g",
-        "n_cal",
-        F.expr(
-            f"((n_cal + 1) * {alpha_den - alpha_num} + {alpha_den - 1})"
-            f" DIV {alpha_den}"
-        ).alias("k_rank"),
+    # group spine from BOTH halves (bounded by group cardinality): an
+    # eval-only group must still get its n_cal=0 / NULL-threshold row
+    ks = (
+        t.select("__g")
+        .distinct()
+        .join(
+            census.groupBy("__g").agg(
+                F.sum("__cnt").cast("long").alias("__ncal")
+            ),
+            "__g",
+            "left",
+        )
+        .select(
+            "__g",
+            F.coalesce("__ncal", F.lit(0).cast("long")).alias("n_cal"),
+        )
+        .select(
+            "__g",
+            "n_cal",
+            F.expr(
+                f"((n_cal + 1) * {alpha_den - alpha_num} + {alpha_den - 1})"
+                f" DIV {alpha_den}"
+            ).alias("k_rank"),
+        )
     )
     th = (
         cum.join(ks, "__g")

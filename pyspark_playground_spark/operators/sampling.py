@@ -608,8 +608,13 @@ def poisson_bootstrap_means(
     partitioning. Weighted sums accumulate in exact DECIMAL (order-free)
     before ONE double division per replicate, quantized q6.
 
-    Output: (replicate, n_drawn, mean_q6) — ``replicates`` rows; feed
-    the sorted means' order statistics downstream for a percentile CI
+    Output: (replicate, n_drawn, mean_q6) — EXACTLY ``replicates`` rows:
+    a replicate whose every row drew weight 0 (possible only for tiny
+    inputs — at n rows the probability is e^-n per replicate) still
+    appears, with n_drawn=0 and NULL mean_q6, via a left join against
+    the explicit 0..B-1 replicate spine, so downstream percentile CIs
+    over the sorted means always rank against B known rows. Feed the
+    sorted means' order statistics downstream for a percentile CI
     (exact ranks, engine-stable).
     """
     cums = F.array(*[F.lit(c) for c in _POIS1_CUM])
@@ -649,14 +654,26 @@ def poisson_bootstrap_means(
         F.sum("w").cast("long").alias("n_drawn"),
         F.sum(F.col("__v") * F.col("w").cast("decimal(10,0)")).alias("__s"),
     )
-    return agg.select(
-        F.col("replicate").cast("long").alias("replicate"),
-        "n_drawn",
-        F.floor(
-            F.col("__s").cast("double") / F.col("n_drawn").cast("double")
-            * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("mean_q6"),
+    # Left-join onto the explicit replicate spine (B rows, broadcastable
+    # by construction) so all-zero-weight replicates surface as
+    # n_drawn=0 / NULL mean rather than vanishing.
+    spine = df.sparkSession.range(replicates).select(
+        F.col("id").cast("long").alias("replicate")
+    )
+    joined = spine.join(
+        agg.withColumnRenamed("replicate", "__rb"),
+        spine["replicate"] == F.col("__rb"),
+        "left",
+    )
+    return joined.select(
+        "replicate",
+        F.coalesce(F.col("n_drawn"), F.lit(0).cast("long")).alias("n_drawn"),
+        F.when(
+            F.col("n_drawn") > 0,
+            F.floor(
+                F.col("__s").cast("double") / F.col("n_drawn").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("mean_q6"),
     )

@@ -22,6 +22,7 @@ import hashlib as _hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(v: Column) -> Column:
@@ -1266,12 +1267,22 @@ def retrieval_eval_report(
     vector_column: str = "embedding",
     label_column: str = "label",
     k: int = 10,
+    queries_in_corpus: bool | None = None,
 ) -> DataFrame:
     """Per-query retrieval quality — nDCG@k and reciprocal rank — of the
     exact cosine top-k against binary same-label relevance: the standard
     eval triplet (recall is :func:`int8_recall_report`'s job) before
     trusting an embedding column for retrieval-augmented filtering or
     hard-negative mining.
+
+    ``queries_in_corpus`` controls the self-match correction on
+    ``n_rel_corpus``: ``True`` (panel is drawn from the corpus — the
+    common case) subtracts 1 from the label census for every query;
+    ``False`` (external panel) subtracts nothing; ``None`` (default)
+    detects membership per query with one extra broadcast-panel pass
+    over the corpus ids, so mixed panels get the right count either
+    way. An external query whose label has exactly one corpus match
+    now reports n_rel_corpus=1 (and a real ndcg) instead of 0/NULL.
 
     All rank-position terms are per-row quantized integers, so every
     aggregate is an order-free BIGINT sum (no float accumulation):
@@ -1306,12 +1317,35 @@ def retrieval_eval_report(
         F.col(id_column).alias("__lid"), F.col(label_column).alias("__lab")
     )
     census = labels.groupBy("__lab").agg(F.count(F.lit(1)).alias("__nlab"))
-    qlab = (
-        queries.select(
-            F.col(id_column).alias("query_id"),
-            F.col(label_column).alias("__qlab"),
+    qpanel = queries.select(
+        F.col(id_column).alias("query_id"),
+        F.col(label_column).alias("__qlab"),
+    )
+    if queries_in_corpus is None:
+        # Detect corpus membership per query: stream the corpus ids once
+        # against the broadcast panel (bounded output — at most one row
+        # per panel query), same plan discipline as brute_force_topk.
+        member = (
+            corpus.select(F.col(id_column).alias("__cid"))
+            .join(
+                F.broadcast(qpanel.select("query_id")),
+                F.col("__cid") == F.col("query_id"),
+            )
+            .select("query_id")
+            .distinct()
+            .withColumn("__self", F.lit(1))
         )
-        .join(
+        qpanel = qpanel.join(F.broadcast(member), "query_id", "left").select(
+            "query_id",
+            "__qlab",
+            F.coalesce(F.col("__self"), F.lit(0)).alias("__self"),
+        )
+    else:
+        qpanel = qpanel.withColumn(
+            "__self", F.lit(1 if queries_in_corpus else 0)
+        )
+    qlab = (
+        qpanel.join(
             F.broadcast(census),
             F.col("__qlab") == F.col("__lab"),
             "left",
@@ -1319,9 +1353,14 @@ def retrieval_eval_report(
         .select(
             "query_id",
             "__qlab",
-            # relevant candidates exclude the query itself when it is a
-            # corpus member (brute_force_topk drops self-matches)
-            (F.coalesce(F.col("__nlab"), F.lit(1)) - 1).alias("__nrel"),
+            # relevant candidates exclude the query itself only when it
+            # is a corpus member (brute_force_topk drops self-matches)
+            # greatest(0, ...) guards the claimed-member-but-absent-label
+            # edge (census miss with __self=1 would otherwise go to -1)
+            F.greatest(
+                F.lit(0),
+                F.coalesce(F.col("__nlab"), F.lit(0)) - F.col("__self"),
+            ).alias("__nrel"),
         )
     )
     gain = lambda r: F.floor(  # noqa: E731
@@ -1414,16 +1453,26 @@ def pq_train_encode(
     sliced corpus (codegen fold, corpus never shuffles for assignment) +
     one (cluster, dim)-keyed exchange for the means. Everything
     downstream of training is a single broadcast-join encode pass.
+
+    The ``id < k`` seed convention (kmeans_lloyd's documented contract)
+    is ENFORCED here: non-contiguous or string ids that produce fewer
+    than k seed vectors raise ``ValueError`` instead of silently
+    training a degenerate codebook. Training materializes eagerly (the
+    codebook is model-sized — m·k rows — and is collected to a local
+    frame), so the per-subspace persisted slices are unpersisted before
+    returning and the returned frames carry no cached lineage.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    spark = corpus.sparkSession
     codes_parts = []
-    book_parts = []
+    book_rows = []
+    book_schema = None
     for s in range(m):
-        # persist: the sliced corpus feeds the seed filter, every
-        # iteration's assignment + member join, and the final encode —
-        # without it each consumer re-reads and re-slices the source
+        # persist: the sliced corpus feeds the seed filter and every
+        # iteration's assignment + member join — without it each
+        # training consumer re-reads and re-slices the source
         xs = corpus.select(
             F.col(id_column),
             F.slice(_as_double(F.col(vector_column)), s * sub + 1, sub).alias(
@@ -1434,6 +1483,17 @@ def pq_train_encode(
             F.col(id_column).cast("int").alias("cluster_id"),
             F.col("__x").alias("cvec"),
         )
+        if s == 0:
+            # seed contract check once (identical ids every subspace):
+            # fewer than k `id < k` rows would silently degrade the book
+            n_seeds = cents.count()
+            if n_seeds != k:
+                raise ValueError(
+                    f"seed filter {id_column} < {k} matched {n_seeds} rows, "
+                    f"expected exactly {k}: pq_train_encode requires "
+                    f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
+                    f"convention)"
+                )
         for _ in range(iterations):
             assigned = _assign_to_centroids(xs, cents, id_column=id_column)
             members = assigned.join(xs, id_column).select("cluster_id", "__x")
@@ -1444,8 +1504,16 @@ def pq_train_encode(
                     lambda r: r["centroid_v"],
                 ).alias("cvec")
             )
-        cents = cents.persist()
-        enc = _assign_to_centroids(xs, cents, id_column=id_column)
+        # model-sized by design: <= k rows of `sub` doubles — collect the
+        # trained sub-codebook locally so the encode pass broadcasts a
+        # literal frame and the cached slice can be released now
+        book_schema = book_schema or cents.schema
+        trained = cents.collect()
+        book_rows.extend(
+            (s, r["cluster_id"], r["cvec"]) for r in trained
+        )
+        cents_local = spark.createDataFrame(trained, book_schema)
+        enc = _assign_to_centroids(xs, cents_local, id_column=id_column)
         codes_parts.append(
             enc.select(
                 id_column,
@@ -1453,17 +1521,22 @@ def pq_train_encode(
                 F.col("cluster_id").alias("code"),
             )
         )
-        book_parts.append(
-            cents.select(
-                F.lit(s).alias("subspace"), "cluster_id", "cvec"
-            )
-        )
+        # training is done (collect above materialized it); the encode
+        # pass re-reads the corpus once at caller materialization
+        xs.unpersist()
     codes = codes_parts[0]
-    book = book_parts[0]
     for p in codes_parts[1:]:
         codes = codes.unionByName(p)
-    for p in book_parts[1:]:
-        book = book.unionByName(p)
+    # the full codebook is a local literal frame (m*k rows): sorted for
+    # a deterministic row layout, schema widened with the subspace tag
+    book_rows.sort(key=lambda r: (r[0], r[1]))
+    book = spark.createDataFrame(
+        book_rows,
+        T.StructType(
+            [T.StructField("subspace", T.IntegerType(), False)]
+            + list(book_schema.fields)
+        ),
+    )
     return codes, book
 
 

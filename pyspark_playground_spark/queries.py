@@ -598,16 +598,38 @@ def q5_local_supplier_volume(spark, sf_dir):
 #: only have replica evidence. Registration order itself is unchanged;
 #: this is purely the exported iteration order.
 #:
-#: The two entries that crashed the r5 driver canon (array-typed result
-#: columns, fixed by array_join/string_agg — VERDICT r5 item 2) are pinned
-#: to the very FRONT so the r6 gate re-samples them and records the green
-#: row. (r4's HUGEINT trio re-checked green in r5 and moved below.)
-_DRIVER_RECHECK = (
-    "join_size_report_orders_lineitem",
-    "join_key_skew_orders",
-)
+#: No re-check pins this round: r5's two array-column fixes re-sampled
+#: green in the r6 gate (CORRECTNESS_r06 50/50) and moved into the
+#: checked set below, so the r7 sample is ~50 pure first-timers.
+_DRIVER_RECHECK = ()
 
 _DRIVER_CHECKED = frozenset({
+    # --- sampled green in r6 ---
+    "attribution_interval_join_events", "attribution_left_outer_events",
+    "auc_length_predicts_en_documents", "burstiness_fano_users",
+    "calibration_length_vs_en_documents", "cms_user_counts_events",
+    "copurchase_similarity_parts", "curriculum_packing_documents",
+    "curriculum_rank_documents", "cvm_drift_doc_lengths",
+    "dataset_card_documents", "deterministic_shuffle_documents",
+    "dup_rate_by_source_documents", "duplicated_spans_documents",
+    "embedding_norm_histogram_embeddings", "ewma_user_values_events",
+    "exact_dup_histogram_documents", "exact_order_stats_orders",
+    "fuzzy_decontamination_documents", "grouped_auc_length_by_source_documents",
+    "grouped_dataset_card_documents", "grouped_order_stats_customers",
+    "grouped_sequence_packing_documents", "grouped_token_budget_documents",
+    "heavy_hitter_langs_documents", "join_key_skew_orders",
+    "join_size_report_orders_lineitem", "ks_drift_binned_event_values",
+    "ks_drift_by_source_documents", "ks_drift_doc_lengths",
+    "mutual_information_lang_source", "name_resolution_part",
+    "negative_samples_embeddings", "normalize_text_documents",
+    "psi_drift_binned_event_values", "rebalance_lang_mixture_documents",
+    "remove_duplicated_spans_documents", "shard_plan_documents",
+    "span_duplication_documents", "spearman_nchars_tokens_documents",
+    "split_leakage_audit_documents", "time_weighted_value_events",
+    "token_budget_selection_documents", "ttr_documents",
+    "windowed_auc_value_purchase_events", "windowed_binned_auc_events",
+    "windowed_cvm_events", "windowed_ks_events",
+    "windowed_order_stats_events", "windowed_psi_events",
     # --- sampled green in r5 ---
     "approx_distinct_merge_events", "approx_percentile_bound_orders",
     "bpe_pair_counts_documents", "c4_filter_documents",
@@ -12428,7 +12450,12 @@ def retrieval_eval_embeddings(spark, sf_dir):
     ratio. Bounded panel broadcast, corpus never shuffled."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.retrieval_eval_report(
-        emb, emb.filter(F.col("vec_id") < 25), label_column="label", k=10
+        emb,
+        emb.filter(F.col("vec_id") < 25),
+        label_column="label",
+        k=10,
+        # panel is drawn from the corpus: skip the membership-detect pass
+        queries_in_corpus=True,
     )
 
 
@@ -13023,9 +13050,12 @@ def windowed_coverage_events(spark, sf_dir):
       FROM census
     ),
     ks AS (
-      SELECT g, CAST(sum(cnt) AS BIGINT) AS n_cal,
-             CAST(((sum(cnt) + 1) * 9 + 9) // 10 AS BIGINT) AS k_rank
-      FROM census GROUP BY g
+      SELECT sp.g, CAST(coalesce(cc.n_cal, 0) AS BIGINT) AS n_cal,
+             CAST(((coalesce(cc.n_cal, 0) + 1) * 9 + 9) // 10 AS BIGINT)
+               AS k_rank
+      FROM (SELECT DISTINCT g FROM t) sp
+      LEFT JOIN (SELECT g, sum(cnt) AS n_cal FROM census GROUP BY g) cc
+        ON sp.g = cc.g
     ),
     th AS (
       SELECT cum.g, min(s) AS threshold
@@ -13173,12 +13203,17 @@ def _pois_cums_sql() -> str:
                  AS DOUBLE) + 0.5) / 4294967296.0 >= c)) AS w
       FROM orders CROSS JOIN range(0, 32) r
       WHERE o_totalprice IS NOT NULL
+    ), agg AS (
+      SELECT b,
+             CAST(sum(w) AS BIGINT) AS n_drawn,
+             CAST(floor(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT) AS mean_q6
+      FROM pairs WHERE w > 0 GROUP BY b
     )
-    SELECT CAST(b AS BIGINT) AS replicate,
-           CAST(sum(w) AS BIGINT) AS n_drawn,
-           CAST(floor(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
-                      * 1e6 + 0.5) AS BIGINT) AS mean_q6
-    FROM pairs WHERE w > 0 GROUP BY b
+    SELECT CAST(r.range AS BIGINT) AS replicate,
+           coalesce(agg.n_drawn, 0) AS n_drawn,
+           agg.mean_q6
+    FROM range(0, 32) r LEFT JOIN agg ON agg.b = r.range
     """,
 )
 def poisson_bootstrap_order_price(spark, sf_dir):
@@ -13364,10 +13399,11 @@ def seasonal_naive_error_events(spark, sf_dir):
            least(CAST(floor((CAST(sample_ordinal AS DOUBLE) + 0.5) / 8.0
                             * CAST(total_frames AS DOUBLE)) AS BIGINT),
                  total_frames - 1) AS frame_index,
-           (least(CAST(floor((CAST(sample_ordinal AS DOUBLE) + 0.5) / 8.0
+           CAST(floor(CAST(least(
+                  CAST(floor((CAST(sample_ordinal AS DOUBLE) + 0.5) / 8.0
                              * CAST(total_frames AS DOUBLE)) AS BIGINT),
-                  total_frames - 1) * 1000) // CAST(24 AS BIGINT)
-             AS frame_ms
+                  total_frames - 1) AS DOUBLE) * 1000.0
+                / CAST(24 AS DOUBLE)) AS BIGINT) AS frame_ms
     FROM e
     """,
 )

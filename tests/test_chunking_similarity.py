@@ -252,9 +252,12 @@ def test_int8_recall_report_known_sets_and_rank_flip(spark):
 def test_retrieval_eval_report_hand_computed(spark):
     """Query q (label 1) against 4 corpus vectors on the x-axis spread:
     exact top-3 by cosine = [c1(rel), c2(not), c3(rel)] -> rel pattern
-    [1, 0, 1]: dcg_q6 = g(1) + g(3) = 1000000 + 500000; two relevant
-    in corpus -> idcg_q6 = g(1) + g(2) = 1000000 + 630930
-    (floor(1e6/log2(3)+0.5)); first_rel_rank = 1, rr = 1e6."""
+    [1, 0, 1]: dcg_q6 = g(1) + g(3) = 1000000 + 500000. q is EXTERNAL
+    (not a corpus member), so membership detection must NOT subtract a
+    self-match: both label-1 corpus rows are relevant -> n_rel_corpus=2,
+    idcg_q6 = g(1) + g(2) = 1000000 + 630930; first_rel_rank=1, rr=1e6.
+    Forcing queries_in_corpus=True reproduces the member convention
+    (count minus one)."""
     import math
 
     corpus = spark.createDataFrame(
@@ -274,16 +277,20 @@ def test_retrieval_eval_report_hand_computed(spark):
         corpus, queries, label_column="label", k=3
     ).collect()[0]
     g = lambda i: math.floor(1e6 / math.log2(i + 1.0) + 0.5)  # noqa: E731
-    # q is not a corpus member here, so n_rel_corpus counts all label-1
-    # corpus rows minus... the census is corpus-side: 2 rows with label 1;
-    # the operator subtracts 1 for the self-exclusion convention
-    assert r["n_rel_corpus"] == 1
+    # external query: census count 2 for label 1, no self-subtraction
+    assert r["n_rel_corpus"] == 2
     assert r["n_rel_topk"] == 2
     assert r["dcg_q6"] == g(1) + g(3) == 1000000 + 500000
-    # idcg truncates at min(k, n_rel_corpus) = 1
-    assert r["idcg_q6"] == g(1) == 1000000
+    # idcg truncates at min(k, n_rel_corpus) = 2
+    assert r["idcg_q6"] == g(1) + g(2) == 1000000 + 630930
     assert r["ndcg_x6"] == (r["dcg_q6"] * 1000000) // r["idcg_q6"]
     assert r["first_rel_rank"] == 1 and r["rr_q6"] == 1000000
+    # the explicit member convention still subtracts the self-match
+    r_mem = sim.retrieval_eval_report(
+        corpus, queries, label_column="label", k=3, queries_in_corpus=True
+    ).collect()[0]
+    assert r_mem["n_rel_corpus"] == 1
+    assert r_mem["idcg_q6"] == g(1) == 1000000
 
 
 def test_retrieval_eval_report_self_exclusion_and_no_relevant(spark):

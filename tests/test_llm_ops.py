@@ -1022,3 +1022,39 @@ def test_uniform_frame_plan_hand_computed(spark):
     assert all(r["total_frames"] == 20 for r in d1)
     d3 = by_doc[3]  # 1 frame total: all ordinals clamp to 0
     assert len(d3) == 4 and all(r["frame_index"] == 0 for r in d3)
+
+
+def test_uniform_frame_plan_fractional_fps(spark):
+    """NTSC 29.97 fps must seek via double division, not integer-DIV
+    truncation to 29 (frame 899 at 29.97 sits at 29996 ms, not 30000/29
+    arithmetic); sub-1 fps (timelapse, 0.5 fps) must not divide by
+    zero under ANSI; fps == 0 rows yield NULL frame_ms rather than an
+    error."""
+    from pyspark_playground_spark.operators.multimodal import (
+        uniform_frame_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 30.0, 29.97), (2, 20.0, 0.5), (3, 2.0, 0.0)],
+        "doc_id int, duration_s double, fps double",
+    )
+    rows = uniform_frame_plan(df, samples=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["sample_ordinal"])
+    # 30 s * 29.97 = 899 frames; strata centers floor([.5 1.5 2.5 3.5]/4*899)
+    assert [r["frame_index"] for r in d1] == [112, 337, 561, 786]
+    import math
+
+    assert [r["frame_ms"] for r in d1] == [
+        math.floor(i * 1000.0 / 29.97) for i in (112, 337, 561, 786)
+    ]
+    d2 = sorted(by_doc[2], key=lambda r: r["sample_ordinal"])
+    # 0.5 fps -> 10 frames at indices [1,3,6,8], 2000 ms per frame:
+    # integer DIV by CAST(0.5 AS BIGINT)=0 would have raised; double
+    # math gives exact timestamps.
+    assert [r["frame_index"] for r in d2] == [1, 3, 6, 8]
+    assert [r["frame_ms"] for r in d2] == [2000, 6000, 12000, 16000]
+    # fps == 0 -> total_frames == 0 -> filtered before the division.
+    assert 3 not in by_doc

@@ -1254,6 +1254,21 @@ def test_mondrian_conformal_per_group_thresholds(spark):
     ).collect()[0]
     assert rc["threshold"] is None and rc["n_covered"] == 1
 
+    # a group with eval rows but ZERO calibration rows still appears:
+    # n_cal=0 / NULL threshold / fully covered by convention
+    mixed = spark.createDataFrame(
+        [("D", 1, True), ("D", 2, False), ("E", 7, False), ("E", 9, False)],
+        "g string, s int, cal boolean",
+    )
+    rows_m = {r["g"]: r for r in conformal_threshold_by_group(
+        mixed, score_column="s", group_column="g", calibration_column="cal",
+    ).collect()}
+    assert set(rows_m) == {"D", "E"}
+    e = rows_m["E"]
+    assert (e["n_cal"], e["threshold"]) == (0, None)
+    assert e["n_eval"] == 2 and e["n_covered"] == 2
+    assert e["coverage_x6"] == 1_000_000
+
 
 def test_two_proportion_test_hand_computed(spark):
     """A: 30 of 100 convert; B: 20 of 100: pooled p = 0.25,

@@ -829,9 +829,11 @@ def test_mondrian_conformal_matches_model(spark, data):
         df, score_column="s", group_column="g", calibration_column="cal",
         alpha_num=1, alpha_den=4,
     ).collect()}
-    cal_groups = {g for g, _, c in data if c}
-    assert set(out) == cal_groups  # eval-only groups have no threshold row
-    for g in cal_groups:
+    all_groups = {g for g, _, _ in data}
+    # every group appears — eval-only groups included (n_cal=0, NULL
+    # threshold, fully covered by convention)
+    assert set(out) == all_groups
+    for g in all_groups:
         cal = sorted(s for gg, s, c in data if gg == g and c)
         ev = [s for gg, s, c in data if gg == g and not c]
         n = len(cal)

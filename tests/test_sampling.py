@@ -318,7 +318,8 @@ def test_poisson_bootstrap_exact_weights_hand_computed(spark):
     w(11,b)=[1,0,1,0] (hand-computed from the shared inverse-CDF
     constants), so the replicate means are exactly
     b0: (2*10+1*30)/3, b1: 10/1, b2: (10+30)/2; b3 draws nothing and
-    emits no row."""
+    still emits its spine row with n_drawn=0 / NULL mean, so the
+    output has EXACTLY `replicates` rows for downstream rank math."""
     from pyspark_playground_spark.operators.sampling import (
         poisson_bootstrap_means,
     )
@@ -329,7 +330,9 @@ def test_poisson_bootstrap_exact_weights_hand_computed(spark):
     out = {r["replicate"]: r for r in poisson_bootstrap_means(
         df, value_column="v", key_columns=["id"], replicates=4
     ).collect()}
-    assert set(out) == {0, 1, 2}  # replicate 3 drew zero rows
+    assert set(out) == {0, 1, 2, 3}  # all 4 replicates present
     assert (out[0]["n_drawn"], out[0]["mean_q6"]) == (3, 16_666_667)
     assert (out[1]["n_drawn"], out[1]["mean_q6"]) == (1, 10_000_000)
     assert (out[2]["n_drawn"], out[2]["mean_q6"]) == (2, 20_000_000)
+    # replicate 3 drew zero rows: spine row with no mean
+    assert (out[3]["n_drawn"], out[3]["mean_q6"]) == (0, None)
