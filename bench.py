@@ -48,6 +48,12 @@ HEADLINE = [
     "minhash_lsh_dedup_documents",
     "text_quality_documents",
     "ann_cosine_topk_embeddings",
+    # r6 eval-battery heavies (VERDICT r6 item 2): the statistical ship
+    # gates get round-over-round perf tracking alongside the DV/dedup set
+    "pr_curve_length_en_documents",
+    "retrieval_eval_embeddings",
+    "pq_recall_embeddings",
+    "chi_square_priority_status_orders",
 ]
 
 

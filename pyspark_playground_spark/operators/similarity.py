@@ -1664,3 +1664,333 @@ def pq_recall_report(
             ).cast("long").alias("recall_q6"),
         )
     )
+
+
+def _argmin_literal_expr(v: Column, cents) -> Column:
+    """Nearest-centroid id of ``v`` over a LITERAL centroid list
+    ``[(cluster_id, [floats]), ...]`` as ONE codegen'd fold — no
+    crossJoin, no groupBy, no shuffle: the model is compiled into the
+    expression. Identical arithmetic and tie-break to
+    :func:`_assign_to_centroids` (index-order squared-L2 fold; ties keep
+    the smallest cluster_id — the fold iterates ids ascending and only
+    replaces on strictly smaller distance)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in sorted(cents, key=lambda t: t[0])
+        ]
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+    )
+
+    def step(acc, c):
+        d2 = F.aggregate(
+            F.zip_with(v, c["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        )
+        return F.when(
+            d2 < acc["d"], F.struct(d2.alias("d"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    return F.aggregate(arr, init, step)["cid"]
+
+
+def _lloyd_train_collect(
+    x: DataFrame, *, id_column: str, k: int, iterations: int
+):
+    """Run :func:`kmeans_lloyd`'s exact training arithmetic over an
+    ``(id, __x: array<double>)`` frame and collect the FINAL centroid
+    table locally — model-sized by design (k rows). Enforces the
+    ``id < k`` seed contract (ValueError on sparse/non-integer ids).
+    Returns ``[(cluster_id, [floats]), ...]``."""
+    x = x.persist()
+    cents = x.filter(F.col(id_column) < k).select(
+        F.col(id_column).cast("int").alias("cluster_id"),
+        F.col("__x").alias("cvec"),
+    )
+    n_seeds = cents.count()
+    if n_seeds != k:
+        raise ValueError(
+            f"seed filter {id_column} < {k} matched {n_seeds} rows, expected "
+            f"exactly {k}: Lloyd training requires contiguous integer ids "
+            f"0..k-1 (kmeans_lloyd's seed convention)"
+        )
+    for _ in range(iterations):
+        assigned = _assign_to_centroids(x, cents, id_column=id_column)
+        members = assigned.join(x, id_column).select("cluster_id", "__x")
+        gc = group_centroids(members, "cluster_id", vector_column="__x")
+        cents = gc.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+                lambda r: r["centroid_v"],
+            ).alias("cvec")
+        )
+    rows = cents.collect()
+    x.unpersist()
+    return [(r["cluster_id"], list(r["cvec"])) for r in rows]
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    coarse_k: int = 8,
+    coarse_iterations: int = 1,
+    nprobe: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iterations: int = 1,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF×PQ composed approximate top-k — THE sublinear 100 TB
+    similarity-search path: a deterministic Lloyd coarse quantizer
+    partitions the corpus into ``coarse_k`` inverted cells, each vector
+    is stored as ``m`` PQ codes (:func:`pq_train_encode`'s arithmetic),
+    and a query scores — via the model-sized ADC lookup table — ONLY
+    the codes of vectors in its ``nprobe`` nearest cells. At
+    ``nprobe/coarse_k = 1/4`` the scan touches a quarter of the codes;
+    on a real deployment the cell is the physical partition column, so
+    the probe is partition pruning, not a filter.
+
+    This is the raw-vector PQ variant (codes quantize the vector, not
+    the residual to its cell centroid — one shared codebook instead of
+    per-cell ones; the residual refinement is a documented extension).
+    Quality is gated by :func:`ivf_pq_recall_report` against the exact
+    ranking, mirroring :func:`pq_recall_report`.
+
+    Determinism: both quantizers train with :func:`kmeans_lloyd`'s exact
+    arithmetic (id<k seeds, value-sorted mean folds, index-order
+    distance folds, id tie-breaks), training materializes eagerly to
+    model-sized local tables, and the search plan compiles those models
+    into literal expressions: cell + m codes per corpus row are computed
+    by ONE shuffle-free projection (:func:`_argmin_literal_expr`), the
+    probed-cell filter is a broadcast join, and the only exchanges are
+    the per-(query, neighbor) ADC fold and the bounded top-k window —
+    no full-corpus crossJoin anywhere.
+
+    Output: (query_id, neighbor_id, adist_q6, rank) — ``adist_q6`` is
+    the value-sorted ADC fold quantized ``floor(ad·1e6+0.5)`` (the fold
+    is bit-identical cross-engine, so the quantization is too).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = corpus.sparkSession
+
+    # --- train both quantizers (eager, model-sized results) ---
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    coarse = _lloyd_train_collect(
+        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
+    )
+    books = []
+    for s in range(m):
+        xs = corpus.select(
+            F.col(id_column),
+            F.slice(
+                _as_double(F.col(vector_column)), s * sub + 1, sub
+            ).alias("__x"),
+        )
+        books.append(
+            _lloyd_train_collect(
+                xs, id_column=id_column, k=k, iterations=iterations
+            )
+        )
+
+    # --- query-side probe + ADC LUT (bounded panel × model tables) ---
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("__qv"),
+    )
+    coarse_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in coarse],
+        "cluster_id int, cvec array<double>",
+    )
+    probe_scored = q.crossJoin(F.broadcast(coarse_df)).select(
+        "query_id",
+        "cluster_id",
+        F.aggregate(
+            F.zip_with("__qv", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("__d2"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", F.col("cluster_id").alias("__cell"))
+    )
+    book_df = spark.createDataFrame(
+        [(s, cid, vec) for s, b in enumerate(books) for cid, vec in b],
+        "subspace int, cluster_id int, cvec array<double>",
+    )
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice("__qv", s * sub + 1, sub).alias("qs"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("query_id", "__e.subspace", "__e.qs")
+    lut = qsub.join(F.broadcast(book_df), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("cluster_id").alias("code"),
+        F.aggregate(
+            F.zip_with("qs", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("__pd"),
+    )
+
+    # --- candidate-pruned search: ONE shuffle-free projection encodes
+    # cell + codes, the broadcast probe join prunes to nprobe cells ---
+    xv = _as_double(F.col(vector_column))
+    enc = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _argmin_literal_expr(xv, coarse).alias("__cell"),
+        *[
+            _argmin_literal_expr(
+                F.slice(xv, s * sub + 1, sub), books[s]
+            ).alias(f"__c{s}")
+            for s in range(m)
+        ],
+    )
+    cand = enc.join(F.broadcast(probes), "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    codes_long = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.col(f"__c{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select("query_id", "neighbor_id", "__e.subspace", "__e.code")
+    adist = (
+        codes_long.join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__pd")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("__ad")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__ad").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("__ad") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("adist_q6"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_pq_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    coarse_k: int = 8,
+    coarse_iterations: int = 1,
+    nprobe: int = 2,
+    m: int = 2,
+    k: int = 8,
+    iterations: int = 1,
+    topk: int = 10,
+) -> DataFrame:
+    """Recall@k of :func:`ivf_pq_topk` against the exact squared-L2
+    ranking, per query — the composed path's ship gate (the same
+    discipline as :func:`pq_recall_report`, which gates PQ alone):
+    IVF adds cell-miss error on top of code-quantization error, so the
+    recall must be re-gated whenever ``nprobe``/``coarse_k`` change.
+
+    Output: (query_id, n_hits, recall_q6), one row per panel query.
+    """
+    approx = ivf_pq_topk(
+        corpus, queries, id_column=id_column, vector_column=vector_column,
+        dim=dim, coarse_k=coarse_k, coarse_iterations=coarse_iterations,
+        nprobe=nprobe, m=m, k=k, iterations=iterations, topk=topk,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _as_double(F.col(vector_column)).alias("__cv"),
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact_topk = (
+        exact.withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact_topk.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                * F.lit(1e6)
+                / F.lit(float(topk))
+                + F.lit(0.5)
+            ).cast("long").alias("recall_q6"),
+        )
+    )

@@ -12880,6 +12880,285 @@ def _pq_oracle(
     return "".join(parts)
 
 
+def _ivf_pq_oracle(
+    *,
+    dim: int,
+    coarse_k: int,
+    coarse_iterations: int,
+    nprobe: int,
+    m: int,
+    k: int,
+    iterations: int,
+    topk: int,
+    panel: int,
+    mode: str,
+) -> str:
+    """Replay ivf_pq_topk / ivf_pq_recall_report CTE by CTE: coarse
+    Lloyd training on the full vector (the _kmeans_oracle arithmetic),
+    per-subspace PQ Lloyd training + encode (the _pq_oracle arithmetic),
+    the query→nprobe-cell probe, the candidate-pruned ADC fold, and —
+    for mode='recall' — the exact ranking and the hit count."""
+    sub = dim // m
+    # --- coarse quantizer on the FULL vector (cc{i} / dc{i} / ac{i}) ---
+    cdist = """
+    , dc{i} AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                * (CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                FOR j IN range(1, {dim} + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings v CROSS JOIN {cent} c
+    ), ac{i} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM dc{i}
+      ) WHERE rn = 1
+    )"""
+    cupdate = """
+    , cc{nxt} AS (
+      SELECT cluster_id, list(centroid ORDER BY pos) AS cvec FROM (
+        SELECT cluster_id, pv.pos AS pos,
+               CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))),
+                                (x, y) -> x + y) AS DOUBLE) / count(*)
+                 AS centroid
+        FROM (
+          SELECT ac{i}.cluster_id,
+                 unnest([{{'pos': j - 1, 'v': CAST(e.embedding[j] AS DOUBLE)}}
+                         FOR j IN range(1, {dim} + 1)]) AS pv
+          FROM ac{i} JOIN embeddings e USING (vec_id)
+        ) GROUP BY cluster_id, pv.pos
+      ) GROUP BY cluster_id
+    )"""
+    parts = [
+        f"""
+    WITH cc0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {coarse_k}
+    )"""
+    ]
+    for i in range(coarse_iterations):
+        parts.append(cdist.format(i=i, cent=f"cc{i}", dim=dim))
+        parts.append(cupdate.format(i=i, nxt=i + 1, dim=dim))
+    cf = coarse_iterations
+    parts.append(cdist.format(i=cf, cent=f"cc{cf}", dim=dim))
+    # --- per-subspace PQ training (same templates as _pq_oracle) ---
+    pdist = """
+    , d_{s}_{i} AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                * (CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings v CROSS JOIN {cent} c
+    ), a_{s}_{i} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM d_{s}_{i}
+      ) WHERE rn = 1
+    )"""
+    pupdate = """
+    , cent_{s}_{nxt} AS (
+      SELECT cluster_id, list(centroid ORDER BY pos) AS cvec FROM (
+        SELECT cluster_id, pv.pos AS pos,
+               CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))),
+                                (x, y) -> x + y) AS DOUBLE) / count(*)
+                 AS centroid
+        FROM (
+          SELECT a_{s}_{i}.cluster_id,
+                 unnest([{{'pos': j - 1,
+                           'v': CAST(e.embedding AS DOUBLE[])[{lo}:{hi}][j]}}
+                         FOR j IN range(1, {sub} + 1)]) AS pv
+          FROM a_{s}_{i} JOIN embeddings e USING (vec_id)
+        ) GROUP BY cluster_id, pv.pos
+      ) GROUP BY cluster_id
+    )"""
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""
+    , cent_{s}_0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+        )
+        for i in range(iterations):
+            parts.append(pdist.format(s=s, i=i, cent=f"cent_{s}_{i}",
+                                      lo=lo, hi=hi, sub=sub))
+            parts.append(pupdate.format(s=s, i=i, nxt=i + 1, lo=lo, hi=hi,
+                                        sub=sub))
+        parts.append(pdist.format(s=s, i=iterations,
+                                  cent=f"cent_{s}_{iterations}",
+                                  lo=lo, hi=hi, sub=sub))
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS subspace, cluster_id AS code"
+        f" FROM a_{s}_{iterations}"
+        for s in range(m)
+    )
+    book_union = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, cluster_id, cvec"
+        f" FROM cent_{s}_{iterations}"
+        for s in range(m)
+    )
+    qsub_union = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS subspace,"
+        f" qv[{s * sub + 1}:{(s + 1) * sub}] AS qs FROM qs"
+        for s in range(m)
+    )
+    parts.append(
+        f"""
+    , codes AS ({codes_union})
+    , book AS ({book_union})
+    , qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {panel}
+    )
+    , qsub AS ({qsub_union})
+    , lut AS (
+      SELECT q.query_id, q.subspace, b.cluster_id AS code,
+             list_reduce(list_prepend(0.0,
+               [(q.qs[j] - b.cvec[j]) * (q.qs[j] - b.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, x) -> a + x) AS pd
+      FROM qsub q JOIN book b USING (subspace)
+    )
+    , probe_d AS (
+      SELECT q.query_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(q.qv[j] - c.cvec[j]) * (q.qv[j] - c.cvec[j])
+                FOR j IN range(1, {dim} + 1)]),
+               (a, x) -> a + x) AS d2
+      FROM qs q CROSS JOIN cc{cf} c
+    )
+    , probes AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT query_id, cluster_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, cluster_id ASC) AS rn
+        FROM probe_d
+      ) WHERE rn <= {nprobe}
+    )
+    , cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM ac{cf} a JOIN probes p ON a.cluster_id = p.cluster_id
+      WHERE a.vec_id <> p.query_id
+    )
+    , adist AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_reduce(list_prepend(0.0, list_sort(list(l.pd))),
+                         (a, x) -> a + x) AS ad
+      FROM (SELECT c.query_id, c.neighbor_id, co.subspace, co.code
+            FROM cand c JOIN codes co ON c.neighbor_id = co.vec_id) cd
+      JOIN lut l ON cd.query_id = l.query_id
+               AND cd.subspace = l.subspace AND cd.code = l.code
+      GROUP BY 1, 2
+    )
+    , ranked AS (
+      SELECT query_id, neighbor_id, ad,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ad ASC, neighbor_id ASC) AS rn
+      FROM adist
+    )"""
+    )
+    if mode == "topk":
+        parts.append(
+            f"""
+    SELECT query_id, neighbor_id,
+           CAST(floor(ad * 1e6 + 0.5) AS BIGINT) AS adist_q6,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {topk}
+    """
+        )
+    else:
+        parts.append(
+            f"""
+    , pq_topk AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rn <= {topk}
+    )
+    , exact AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0,
+               [(q.qv[j] - CAST(v.embedding AS DOUBLE[])[j])
+                * (q.qv[j] - CAST(v.embedding AS DOUBLE[])[j])
+                FOR j IN range(1, {dim} + 1)]),
+               (a, x) -> a + x) AS d2
+      FROM embeddings v CROSS JOIN qs q
+      WHERE v.vec_id <> q.query_id
+    )
+    , ex_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        FROM exact
+      ) WHERE rn <= {topk}
+    )
+    , hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM ex_topk e JOIN pq_topk p USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT qs.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) * 1e6
+                      / {topk}.0 + 0.5) AS BIGINT) AS recall_q6
+    FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+    """
+        )
+    return "".join(parts)
+
+
+@query(
+    "ivf_pq_topk_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10, mode="topk"),
+)
+def ivf_pq_topk_embeddings(spark, sf_dir):
+    """IVF×PQ composed sublinear ANN (similarity.ivf_pq_topk): a
+    deterministic-Lloyd coarse quantizer (8 cells), raw-vector PQ codes
+    (4 subspaces × 16 centroids), and per-query ADC scoring of ONLY the
+    2 probed cells' codes — the 100 TB similarity-search path where the
+    cell is the partition column and the probe is partition pruning.
+    Training materializes to model-sized local tables; the search plan
+    is one shuffle-free encode projection + broadcast probe join +
+    candidate-pruned ADC fold (no full-corpus crossJoin). The oracle
+    replays coarse training, PQ training, the probe, and the ADC fold
+    CTE by CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+        m=4, k=16, iterations=1, topk=10,
+    )
+
+
+@query(
+    "ivf_pq_recall_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="recall"),
+)
+def ivf_pq_recall_embeddings(spark, sf_dir):
+    """Recall@10 gate for the composed IVF×PQ path
+    (similarity.ivf_pq_recall_report): the approximate ranking above vs
+    the exact squared-L2 top-10 on the same panel — cell-miss error plus
+    code-quantization error, re-gated whenever nprobe/coarse_k/m/k
+    change (pq_recall_embeddings gates the PQ half alone)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_recall_report(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+        m=4, k=16, iterations=1, topk=10,
+    )
+
+
 @query(
     "pq_recall_embeddings",
     _pq_oracle(dim=64, m=2, k=8, iterations=1, topk=10, panel=10),

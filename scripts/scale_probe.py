@@ -861,7 +861,7 @@ def main() -> None:
     def retr():
         sim.retrieval_eval_report(
             emb, emb.filter(F.col("vec_id") < 25), label_column="label",
-            k=10,
+            k=10, queries_in_corpus=True,
         ).write.format("noop").mode("overwrite").save()
     timed("retrieval_eval_ndcg", n_emb, retr)
 
@@ -875,6 +875,18 @@ def main() -> None:
             dim=64, m=2, k=8, iterations=1, topk=10,
         ).write.format("noop").mode("overwrite").save()
     timed("pq_recall", n_emb, pq)
+
+    # 60. composed IVF×PQ search (r7): coarse-cell probe prunes the
+    #     candidate scan to nprobe/coarse_k of the corpus; cell + codes
+    #     come from ONE shuffle-free literal-model projection. The scan
+    #     is corpus-linear (training included here — it re-runs per call)
+    def ivfpq():
+        sim.ivf_pq_topk(
+            emb, emb.filter(F.col("vec_id") < 10),
+            dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+            m=4, k=16, iterations=1, topk=10,
+        ).write.format("noop").mode("overwrite").save()
+    timed("ivf_pq_topk", n_emb, ivfpq)
 
 
 def reps_frame(spark):

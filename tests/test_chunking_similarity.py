@@ -357,3 +357,56 @@ def test_pq_train_encode_shapes_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="divisible"):
         sim.pq_train_encode(corpus, dim=4, m=3, k=2)
+
+    # seed contract: sparse ids (no 0..k-1 run) must raise, not degrade
+    from pyspark.sql import functions as F
+
+    sparse = corpus.withColumn("vec_id", F.col("vec_id") + 100)
+    with _pytest.raises(ValueError, match="seed"):
+        sim.pq_train_encode(sparse, dim=4, m=2, k=4)
+
+
+def test_ivf_pq_full_probe_lossless_codebook_is_exact(spark):
+    """When every corpus vector is its own PQ seed (k == corpus size)
+    AND every cell is probed (nprobe == coarse_k), IVF×PQ degenerates to
+    the exact ranking: recall@k is 1.0 for every query."""
+    import itertools
+
+    pts = list(itertools.product([0.0, 1.0], repeat=3))
+    corpus = spark.createDataFrame(
+        [(i, [a, b, c, a]) for i, (a, b, c) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.ivf_pq_recall_report(
+        corpus, corpus.filter("vec_id < 3"),
+        dim=4, coarse_k=2, coarse_iterations=1, nprobe=2,
+        m=2, k=8, iterations=1, topk=3,
+    ).collect()
+    assert len(out) == 3
+    assert all(r["recall_q6"] == 1_000_000 for r in out)
+
+
+def test_ivf_pq_probe_prunes_to_nearest_cells(spark):
+    """Two well-separated clusters around (0,0) and (100,100); with
+    coarse_k=2 / nprobe=1 a query in cluster A must only surface
+    cluster-A neighbors — the far cluster's candidates are pruned by
+    the probe, never scored."""
+    # coarse seeds are ids 0 and 1 — place id 0 in cluster A and id 1
+    # in cluster B so one Lloyd round converges to the obvious split
+    a_ids, b_ids = [0, 2, 3, 4, 5, 6], [1, 7, 8, 9, 10, 11]
+    rows = [(i, [float(j % 3) * 0.1, float(j % 2) * 0.1])
+            for j, i in enumerate(a_ids)]
+    rows += [(i, [100.0 + (j % 3) * 0.1, 100.0 + (j % 2) * 0.1])
+             for j, i in enumerate(b_ids)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.ivf_pq_topk(
+        corpus, corpus.filter("vec_id = 0"),
+        dim=2, coarse_k=2, coarse_iterations=1, nprobe=1,
+        m=1, k=6, iterations=1, topk=10,
+    ).collect()
+    got = {r["neighbor_id"] for r in out}
+    assert got == {2, 3, 4, 5, 6}  # only cluster A, self excluded
+    # ranks are contiguous from 1 and adist quantized non-negative
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(ranks) + 1))
+    assert all(r["adist_q6"] >= 0 for r in out)
