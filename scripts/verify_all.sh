@@ -10,5 +10,7 @@ echo "== oracle result-type lint (sf0.001, DuckDB-only) =="
 python scripts/check_oracle.py --lint-types /root/testdata/sf0.001
 echo "== oracle gate (sf0.01) =="
 python scripts/check_oracle.py /root/testdata/sf0.01
+echo "== census-window plan guard (sf0.001, full registry) =="
+python scripts/window_guard.py
 echo "== bench (sf0.1) =="
 python bench.py
