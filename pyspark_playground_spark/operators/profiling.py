@@ -2305,6 +2305,182 @@ def chi_square_independence(
     )
 
 
+def cohens_kappa(
+    df: DataFrame,
+    *,
+    rater_a_column: str,
+    rater_b_column: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two categorical
+    "raters" over the same items (human labels vs a model's predictions,
+    two annotation passes, two heuristic classifiers): the label-quality
+    audit that raw percent-agreement overstates whenever the marginal
+    distributions are skewed. κ = (p_o − p_e) / (1 − p_e) with
+    ``p_e = Σ_k p_a(k)·p_b(k)`` (Cohen 1960, public construction).
+
+    Exact-integer construction (the :func:`chi_square_independence`
+    discipline): ONE contingency census ``groupBy(a, b)`` bounded by the
+    level-cardinality product; margins re-aggregated from the census and
+    the diagonal summed from it. ``p_o`` is the exact ratio
+    ``agree·1e6 DIV n``; the κ numerator/denominator
+    ``agree·N − Σ r_a·c_b`` and ``N² − Σ r_a·c_b`` are exact
+    DECIMAL(38,0) (no overflow to ~1e19 rows), combined in ONE
+    fixed-order double division quantized ``floor(κ·1e6+0.5)`` —
+    identical cross-engine (κ can be negative; floor is toward −inf on
+    both engines). NULLs in either column are excluded. κ is NULL when
+    the denominator is 0 (p_e = 1 — both raters constant).
+
+    Output one row: (n_rows, n_agree, r_levels, c_levels, po_x6,
+    kappa_q6).
+    """
+    t = df.select(
+        F.col(rater_a_column).cast("string").alias("__a"),
+        F.col(rater_b_column).cast("string").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cells = t.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    cells = cells.persist()  # census feeds margins, diagonal, and totals
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Σ_k r_a(k)·c_b(k) over the SHARED label space: inner-join the
+    # margins on the level value (levels seen by only one rater
+    # contribute 0 to p_e)
+    pe_num = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(F.sum(d38(F.col("__ra")) * d38(F.col("__cb"))).alias("__s"))
+        .select(F.coalesce("__s", F.lit(0).cast("decimal(38,0)")).alias("__s"))
+    )
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o"))).alias(
+            "__agree"
+        ),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+    ).select(
+        "__n",
+        F.coalesce("__agree", F.lit(0)).alias("__agree"),
+        "__r",
+        "__c",
+    )
+    j = tot.crossJoin(F.broadcast(pe_num))  # two 1-row frames
+    num = (d38(F.col("__agree")) * d38(F.col("__n")) - F.col("__s")).cast(
+        "double"
+    )
+    den = (d38(F.col("__n")) * d38(F.col("__n")) - F.col("__s")).cast(
+        "double"
+    )
+    return j.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        F.col("__r").cast("long").alias("r_levels"),
+        F.col("__c").cast("long").alias("c_levels"),
+        F.expr(
+            "CASE WHEN __n > 0 THEN (__agree * 1000000L) DIV __n END"
+        ).alias("po_x6"),
+        F.when(
+            den > 0, F.floor(num / den * F.lit(1e6) + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("kappa_q6"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    *,
+    value_column: str,
+    group_column: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic — "do the group means differ?" across
+    k ≥ 2 groups at once: the k-sample extension of
+    :func:`two_proportion_test`'s comparison that
+    :func:`chi_square_independence` answers for categoricals and
+    :func:`mann_whitney_u` for two-sample ranks.
+
+    Census discipline: values quantize ONCE to exact integers
+    ``vq = floor(v·1e6+0.5)`` (never ``round(double, d)`` — it diverges
+    cross-engine past ~15 significant digits), then ONE group aggregate
+    ``(n_g, Σvq, Σvq²)`` accumulates exact DECIMAL(38,0) integer sums —
+    order-free, engine-stable, overflow-safe to ~1e10 rows of ~1e6-scale
+    values. Per group, the within/between contributions
+    ``(Σvq² − (Σvq)²/n_g)/1e12`` and ``n_g·(Σvq/n_g − x̄q)²/1e12``
+    (the /1e12 undoes the quantization scale) are each ONE fixed-order
+    double expression from exact integer inputs, quantized
+    ``floor(term+0.5)`` per group (integer value² units — sums of
+    squares reach ~1e20 at corpus scale, so q6 would overflow BIGINT;
+    the sub-unit remainder is irrelevant to a q6 F ratio and the
+    quantized integers are identical cross-engine regardless) and
+    summed order-free in exact DECIMAL(38,0), rendered as strings.
+    ``F = (SSB/(k−1)) / (SSW/(N−k))`` follows as one more fixed-order
+    double over the two exact integers, quantized q6 (scale-invariant,
+    so the quantization cancels). NULL values excluded; F is NULL when
+    k < 2, N ≤ k, or SSW = 0 (zero within-group variance).
+
+    Output one row: (n_rows, k_groups, dof_between, dof_within, ssb_s,
+    ssw_s, f_q6) — ssb/ssw exact integer strings in (original value)²
+    units.
+    """
+    vq = F.floor(
+        F.col(value_column).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        F.col(group_column).cast("string").alias("__g"), vq.alias("__v")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cens = t.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum(d38(F.col("__v"))).alias("__sg"),
+        F.sum(d38(F.col("__v")) * d38(F.col("__v"))).alias("__qg"),
+    )
+    cens = cens.persist()  # census feeds the global totals and the terms
+    tot = cens.agg(
+        F.sum("__ng").alias("__n"),
+        # re-cast before summing summed decimals (precision-loss trap)
+        F.sum(F.col("__sg").cast("decimal(38,0)")).alias("__s"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    j = cens.join(F.broadcast(tot))
+    sg = F.col("__sg").cast("double")
+    ng = F.col("__ng").cast("double")
+    gmean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    ssw_g = (F.col("__qg").cast("double") - sg * sg / ng) / F.lit(1e12)
+    ssb_g = ng * (sg / ng - gmean) * (sg / ng - gmean) / F.lit(1e12)
+    agg = j.agg(
+        F.first("__n").alias("__n"),
+        F.first("__k").alias("__k"),
+        F.sum(
+            F.floor(ssb_g + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__ssb"),
+        F.sum(
+            F.floor(ssw_g + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__ssw"),
+    )
+    ok = (
+        (F.col("__k") >= 2)
+        & (F.col("__n") > F.col("__k"))
+        & (F.col("__ssw") > 0)
+    )
+    fstat = (
+        F.col("__ssb").cast("double")
+        / (F.col("__k") - 1).cast("double")
+    ) / (
+        F.col("__ssw").cast("double")
+        / (F.col("__n") - F.col("__k")).cast("double")
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__k").cast("long").alias("k_groups"),
+        (F.col("__k") - 1).cast("long").alias("dof_between"),
+        (F.col("__n") - F.col("__k")).cast("long").alias("dof_within"),
+        F.col("__ssb").cast("string").alias("ssb_s"),
+        F.col("__ssw").cast("string").alias("ssw_s"),
+        F.when(ok, F.floor(fstat * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("f_q6"),
+    )
+
+
 def pr_curve(
     df: DataFrame,
     *,

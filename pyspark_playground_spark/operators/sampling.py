@@ -677,3 +677,99 @@ def poisson_bootstrap_means(
             ).cast("long"),
         ).alias("mean_q6"),
     )
+
+
+def sign_flip_test(
+    df: DataFrame,
+    *,
+    diff_column: Column | str,
+    key_columns: Sequence[str],
+    permutations: int = 200,
+    diff_decimals: int = 6,
+) -> DataFrame:
+    """Paired sign-flip permutation test of ``mean(d) = 0`` — the EXACT
+    paired-permutation scheme (flipping each pair's sign independently
+    enumerates the full permutation group for paired designs; Monte
+    Carlo over ``permutations`` draws with the Davison–Hinkley add-one
+    p-value). THE deterministic significance test for "do two models /
+    two token counters / two scorers disagree systematically on the
+    same items?" — :func:`poisson_bootstrap_means`'s hypothesis-testing
+    sibling, same one-pass construction.
+
+    Determinism and scale: per (row, flip) the sign is content-addressed
+    (``md5(key:b:sf)``'s low bit → ±1 — identical on any engine, rerun,
+    or partitioning); ``d`` is quantized ``floor(d·1e6+0.5)`` BIGINT
+    (floor is toward −inf on both engines, so negative diffs agree),
+    and every statistic is an order-free exact DECIMAL sum. ONE corpus
+    pass, ONE map-side-combined exchange to ``permutations`` rows, one
+    bounded final aggregate: the observed statistic rides along as a
+    per-flip sum (Σd is flip-independent), so no second scan. Bound:
+    ``|Σ d_x6|`` must fit BIGINT for the output column (~9e18 — beyond
+    any labeled eval set).
+
+    Output one row: (n_pairs, permutations, obs_sum_x6, n_as_extreme,
+    p_q6) — ``p_q6 = ((n_extreme+1)·1e6) DIV (B+1)``; small p ⇒ the
+    mean difference is not sign-flip noise.
+    """
+    d = (
+        F.col(diff_column) if isinstance(diff_column, str) else diff_column
+    )
+    dx = F.floor(
+        d.cast("double") * F.lit(float(10 ** diff_decimals)) + F.lit(0.5)
+    ).cast("long")
+    key = F.concat_ws(",", *[F.col(k).cast("string") for k in key_columns])
+    base = df.select(key.alias("__k"), dx.alias("__d")).filter(
+        F.col("__d").isNotNull()
+    )
+
+    def sign_of(b):
+        h32 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("__k"), b.cast("string"),
+                                F.lit("sf"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h32 % 2) * 2 - 1
+
+    flips = F.transform(
+        F.sequence(F.lit(0), F.lit(permutations - 1)),
+        lambda b: F.struct(
+            b.alias("b"), sign_of(b).cast("long").alias("s")
+        ),
+    )
+    pairs = base.select("__d", F.explode(flips).alias("__e")).select(
+        "__d", "__e.b", "__e.s"
+    )
+    per_b = pairs.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum((F.col("__d") * F.col("s")).cast("decimal(28,0)")).alias(
+            "__stat"
+        ),
+        F.sum(F.col("__d").cast("decimal(28,0)")).alias("__obs"),
+    )
+    out = per_b.agg(
+        F.first("__nb").alias("__n"),
+        F.first("__obs").alias("__o"),
+        F.sum(
+            F.when(F.abs(F.col("__stat")) >= F.abs(F.col("__obs")), 1)
+            .otherwise(0)
+        ).alias("__ext"),
+    )
+    return out.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.lit(permutations).cast("long").alias("permutations"),
+        F.col("__o").cast("long").alias("obs_sum_x6"),
+        F.coalesce(F.col("__ext"), F.lit(0)).cast("long").alias(
+            "n_as_extreme"
+        ),
+        F.expr(
+            f"((coalesce(__ext, 0) + 1) * 1000000L)"
+            f" DIV {permutations + 1}"
+        ).alias("p_q6"),
+    )

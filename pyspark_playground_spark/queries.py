@@ -13705,3 +13705,177 @@ def multimodal_frame_plan_documents(spark, sf_dir):
     return uniform_frame_plan(docs, samples=8).select(
         "doc_id", "sample_ordinal", "total_frames", "frame_index", "frame_ms"
     )
+
+
+def _kappa_oracle() -> str:
+    best, pred = _lang_pred_sql("text")
+    return f"""
+    WITH scored AS (
+      SELECT lang, {best} AS __best, text FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL
+    ), t AS (
+      SELECT lang AS a,
+             CASE WHEN __best > 0 THEN {pred} ELSE 'und' END AS b
+      FROM scored
+    ), cells AS (
+      SELECT a, b, count(*) AS o FROM t GROUP BY a, b
+    ), ra AS (
+      SELECT a, sum(o) AS rn FROM cells GROUP BY a
+    ), cb AS (
+      SELECT b, sum(o) AS cn FROM cells GROUP BY b
+    ), pe AS (
+      SELECT coalesce(sum(ra.rn * cb.cn), 0) AS s
+      FROM ra JOIN cb ON ra.a = cb.b
+    ), tot AS (
+      SELECT sum(o) AS n,
+             coalesce(sum(CASE WHEN a = b THEN o END), 0) AS agree,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS c
+      FROM cells
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_rows,
+           CAST(tot.agree AS BIGINT) AS n_agree,
+           CAST(tot.r AS BIGINT) AS r_levels,
+           CAST(tot.c AS BIGINT) AS c_levels,
+           CASE WHEN tot.n > 0
+                THEN CAST((tot.agree * 1000000) // tot.n AS BIGINT) END
+             AS po_x6,
+           CASE WHEN CAST(tot.n * tot.n - pe.s AS DOUBLE) > 0 THEN
+             CAST(floor(CAST(tot.agree * tot.n - pe.s AS DOUBLE)
+                        / CAST(tot.n * tot.n - pe.s AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS kappa_q6
+    FROM tot CROSS JOIN pe
+    """
+
+
+@query("cohens_kappa_lang_documents", _kappa_oracle())
+def cohens_kappa_lang_documents(spark, sf_dir):
+    """Cohen's kappa (operators/profiling.py cohens_kappa) between the
+    documents table's lang METADATA column and the marker-word lang-id
+    PREDICTION — the chance-corrected label-quality audit (percent
+    agreement overstates whenever marginals are skewed; kappa is the
+    annotation-vs-model agreement number a labeling pipeline reports).
+    One contingency census; exact DECIMAL(38,0) numerator/denominator;
+    one quantized double division."""
+    from pyspark_playground_spark.operators.profiling import cohens_kappa
+    from pyspark_playground_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    pred = lang_id(docs).select("lang", "lang_pred")
+    return cohens_kappa(
+        pred, rater_a_column="lang", rater_b_column="lang_pred"
+    )
+
+
+@query(
+    "anova_price_priority_orders",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), cens AS (
+      SELECT g, count(*) AS ng, sum(v) AS sg,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS qg
+      FROM t GROUP BY g
+    ), tot AS (
+      SELECT sum(ng) AS n, sum(sg) AS s, count(*) AS k FROM cens
+    ), terms AS (
+      SELECT tot.n, tot.k,
+             CAST(floor(CAST(cens.ng AS DOUBLE)
+                  * (CAST(cens.sg AS DOUBLE) / CAST(cens.ng AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  * (CAST(cens.sg AS DOUBLE) / CAST(cens.ng AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                  / 1e12 + 0.5) AS BIGINT) AS ssb_t,
+             CAST(floor((CAST(cens.qg AS DOUBLE)
+                         - CAST(cens.sg AS DOUBLE)
+                           * CAST(cens.sg AS DOUBLE)
+                           / CAST(cens.ng AS DOUBLE))
+                  / 1e12 + 0.5) AS BIGINT) AS ssw_t
+      FROM cens CROSS JOIN tot
+    ), agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+             sum(ssb_t) AS ssb, sum(ssw_t) AS ssw
+      FROM terms
+    )
+    SELECT n AS n_rows, k AS k_groups,
+           k - 1 AS dof_between, n - k AS dof_within,
+           CAST(ssb AS VARCHAR) AS ssb_s,
+           CAST(ssw AS VARCHAR) AS ssw_s,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+             CAST(floor((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                        / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS f_q6
+    FROM agg
+    """,
+)
+def anova_price_priority_orders(spark, sf_dir):
+    """One-way ANOVA of order price across the 5 order priorities
+    (operators/profiling.py anova_oneway): does mean spend differ by
+    priority class? One exact-integer group census (values quantized
+    q6 once — never round(double) on ~20-digit squares), per-group
+    fixed-order double SS terms quantized and BIGINT-summed, F as a
+    final exact-integer ratio of ratios."""
+    from pyspark_playground_spark.operators.profiling import anova_oneway
+
+    orders = load(spark, sf_dir, "orders")
+    return anova_oneway(
+        orders, value_column="o_totalprice", group_column="o_orderpriority"
+    )
+
+
+@query(
+    "sign_flip_tokens_documents",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k,
+             (len({_TOKS}) - n_chars // 5) * 1000000 AS d
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ), pairs AS (
+      SELECT d, r.range AS b,
+             (CAST(CAST(('0x' || substr(md5(
+                  k || ':' || CAST(r.range AS VARCHAR) || ':sf'),
+                  1, 8)) AS BIGINT) % 2 AS BIGINT)) * 2 - 1 AS s
+      FROM base CROSS JOIN range(0, 200) r
+    ), per_b AS (
+      SELECT b, count(*) AS nb, sum(d * s) AS stat, sum(d) AS obs
+      FROM pairs GROUP BY b
+    )
+    SELECT CAST(coalesce(max(nb), 0) AS BIGINT) AS n_pairs,
+           CAST(200 AS BIGINT) AS permutations,
+           CAST(max(obs) AS BIGINT) AS obs_sum_x6,
+           CAST(coalesce(sum(CASE WHEN abs(stat) >= abs(obs)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_as_extreme,
+           CAST(((coalesce(sum(CASE WHEN abs(stat) >= abs(obs)
+                                    THEN 1 ELSE 0 END), 0) + 1) * 1000000)
+                // 201 AS BIGINT) AS p_q6
+    FROM per_b
+    """,
+)
+def sign_flip_tokens_documents(spark, sf_dir):
+    """Paired sign-flip permutation test (operators/sampling.py
+    sign_flip_test) of whether two token-count estimators — the
+    whitespace tokenizer vs the chars/5 heuristic — disagree
+    SYSTEMATICALLY across the corpus (the token-budget calibration
+    question behind every context-length decision). 200
+    content-addressed sign flips, exact integer statistics, one corpus
+    pass + one map-side-combined exchange; Davison-Hinkley add-one
+    Monte-Carlo p."""
+    from pyspark_playground_spark.operators.sampling import sign_flip_test
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    d = F.size(tokens_expr("text")) - F.expr("n_chars DIV 5")
+    return sign_flip_test(
+        docs, diff_column=d, key_columns=["doc_id"], permutations=200
+    )

@@ -888,6 +888,42 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("ivf_pq_topk", n_emb, ivfpq)
 
+    # 61. Cohen's kappa lang-vs-langid over the replicated corpus (r7):
+    #     the lang-id projection + one contingency census groupBy
+    from pyspark_playground_spark.operators import text as txo
+
+    def kappa():
+        pf.cohens_kappa(
+            txo.lang_id(docs).select("lang", "lang_pred"),
+            rater_a_column="lang", rater_b_column="lang_pred",
+        ).write.format("noop").mode("overwrite").save()
+    timed("cohens_kappa_langid", n_docs, kappa)
+
+    # 62. one-way ANOVA price-by-priority at replicated orders scale:
+    #     one exact-integer group census, margin-sized everything after
+    def anova():
+        pf.anova_oneway(
+            orders, value_column="o_totalprice",
+            group_column="o_orderpriority",
+        ).write.format("noop").mode("overwrite").save()
+    timed("anova_oneway", n_ord, anova)
+
+    # 63. paired sign-flip permutation test, 200 flips (r7): one corpus
+    #     pass exploding 200 content-addressed signs, map-side combined
+    #     to 200 rows — the poisson_bootstrap exchange shape
+    from pyspark_playground_spark.operators import sampling as smp
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    def signflip():
+        smp.sign_flip_test(
+            docs,
+            diff_column=F.size(tokens_expr("text"))
+            - F.expr("n_chars DIV 5"),
+            key_columns=["doc_id"],
+            permutations=200,
+        ).write.format("noop").mode("overwrite").save()
+    timed("sign_flip_test", n_docs, signflip)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

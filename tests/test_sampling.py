@@ -336,3 +336,53 @@ def test_poisson_bootstrap_exact_weights_hand_computed(spark):
     assert (out[2]["n_drawn"], out[2]["mean_q6"]) == (2, 20_000_000)
     # replicate 3 drew zero rows: spine row with no mean
     assert (out[3]["n_drawn"], out[3]["mean_q6"]) == (0, None)
+
+
+def test_sign_flip_test_model_equivalence(spark):
+    """The Spark statistic equals a pure-Python mirror of the
+    content-addressed sign flips (md5 low bit), including n_as_extreme
+    and the add-one Monte-Carlo p; a strong consistent signal yields the
+    minimum p = 1e6 DIV (B+1); the all-zero diff is maximally
+    insignificant (p = 1e6)."""
+    import hashlib
+
+    from pyspark_playground_spark.operators.sampling import sign_flip_test
+    from pyspark.sql import functions as F
+
+    n, B = 60, 49
+    df = spark.createDataFrame(
+        [(i, 1.0 + (i % 3)) for i in range(n)], "id int, v double"
+    )
+    r = sign_flip_test(
+        df, diff_column="v", key_columns=["id"], permutations=B
+    ).collect()[0]
+
+    def sgn(k, b):
+        h = hashlib.md5(f"{k}:{b}:sf".encode()).hexdigest()
+        return (int(h[:8], 16) % 2) * 2 - 1
+
+    ds = {str(i): int(round((1.0 + (i % 3)) * 1e6)) for i in range(n)}
+    obs = sum(ds.values())
+    stats = [sum(s * sgn(k, b) for k, s in ds.items()) for b in range(B)]
+    n_ext = sum(1 for s in stats if abs(s) >= abs(obs))
+    assert r["n_pairs"] == n
+    assert r["obs_sum_x6"] == obs
+    assert r["n_as_extreme"] == n_ext
+    assert r["p_q6"] == ((n_ext + 1) * 1_000_000) // (B + 1)
+    # a uniformly positive diff of this size is never matched by flips
+    assert n_ext == 0 and r["p_q6"] == 1_000_000 // (B + 1)
+
+    # all-zero diffs: every flip ties the observed 0 -> p = 1
+    z = spark.createDataFrame([(i, 0.0) for i in range(10)],
+                              "id int, v double")
+    rz = sign_flip_test(
+        z, diff_column="v", key_columns=["id"], permutations=9
+    ).collect()[0]
+    assert rz["p_q6"] == 1_000_000
+
+    # partitioning-invariant (content-addressed)
+    r2 = sign_flip_test(
+        df.repartition(7), diff_column="v", key_columns=["id"],
+        permutations=B,
+    ).collect()[0]
+    assert tuple(r2) == tuple(r)
