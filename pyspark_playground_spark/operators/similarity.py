@@ -1749,6 +1749,7 @@ def ivf_pq_topk(
     k: int = 8,
     iterations: int = 1,
     topk: int = 10,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ composed approximate top-k — THE sublinear 100 TB
     similarity-search path: a deterministic Lloyd coarse quantizer
@@ -1760,11 +1761,16 @@ def ivf_pq_topk(
     on a real deployment the cell is the physical partition column, so
     the probe is partition pruning, not a filter.
 
-    This is the raw-vector PQ variant (codes quantize the vector, not
-    the residual to its cell centroid — one shared codebook instead of
-    per-cell ones; the residual refinement is a documented extension).
-    Quality is gated by :func:`ivf_pq_recall_report` against the exact
-    ranking, mirroring :func:`pq_recall_report`.
+    ``residual=False`` is the raw-vector PQ variant (codes quantize the
+    vector itself — one shared codebook). ``residual=True`` is the
+    classic IVFADC refinement (Jégou, Douze & Schmid 2011, public
+    construction): codes quantize ``x − c_cell(x)``, the residual to the
+    assigned coarse centroid — residual magnitudes are much smaller than
+    vector magnitudes, so the same code budget quantizes finer. The ADC
+    lookup table then becomes per-(query, probed cell): ``||(q −
+    c_cell)_s − codebook_s(code)||²`` — ``|panel|·nprobe·m·k`` entries,
+    still model-sized. Quality is gated by :func:`ivf_pq_recall_report`
+    against the exact ranking, mirroring :func:`pq_recall_report`.
 
     Determinism: both quantizers train with :func:`kmeans_lloyd`'s exact
     arithmetic (id<k seeds, value-sorted mean folds, index-order
@@ -1792,13 +1798,34 @@ def ivf_pq_topk(
     coarse = _lloyd_train_collect(
         xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
     )
+    # literal centroid lookup (cid -> vector) for residual subtraction —
+    # model-sized map compiled into the expression
+    coarse_sorted = sorted(coarse, key=lambda t: t[0])
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)) for cid, _ in coarse_sorted]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _, vec in coarse_sorted
+            ]
+        ),
+    )
+
+    def residual_expr(vec_col, cell_col):
+        return F.zip_with(
+            vec_col, F.element_at(cmap, cell_col), lambda a, b: a - b
+        )
+
     books = []
     for s in range(m):
+        base_vec = _as_double(F.col(vector_column))
+        if residual:
+            base_vec = residual_expr(
+                base_vec, _argmin_literal_expr(base_vec, coarse)
+            )
         xs = corpus.select(
             F.col(id_column),
-            F.slice(
-                _as_double(F.col(vector_column)), s * sub + 1, sub
-            ).alias("__x"),
+            F.slice(base_vec, s * sub + 1, sub).alias("__x"),
         )
         books.append(
             _lloyd_train_collect(
@@ -1836,38 +1863,80 @@ def ivf_pq_topk(
         [(s, cid, vec) for s, b in enumerate(books) for cid, vec in b],
         "subspace int, cluster_id int, cvec array<double>",
     )
-    qsub = q.select(
-        "query_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("subspace"),
-                    F.slice("__qv", s * sub + 1, sub).alias("qs"),
-                ),
-            )
-        ).alias("__e"),
-    ).select("query_id", "__e.subspace", "__e.qs")
-    lut = qsub.join(F.broadcast(book_df), "subspace").select(
-        "query_id",
-        "subspace",
-        F.col("cluster_id").alias("code"),
-        F.aggregate(
-            F.zip_with("qs", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ).alias("__pd"),
-    )
+    pd_fold = lambda: F.aggregate(  # noqa: E731
+        F.zip_with("qs", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ).alias("__pd")
+    if residual:
+        # per-(query, probed cell) LUT: the query residual to each
+        # probed centroid, sliced per subspace — |panel|·nprobe·m·k rows
+        qres = probes.join(q, "query_id").select(
+            "query_id",
+            "__cell",
+            residual_expr(F.col("__qv"), F.col("__cell")).alias("__rq"),
+        )
+        qsub = qres.select(
+            "query_id",
+            "__cell",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("subspace"),
+                        F.slice("__rq", s * sub + 1, sub).alias("qs"),
+                    ),
+                )
+            ).alias("__e"),
+        ).select("query_id", "__cell", "__e.subspace", "__e.qs")
+        lut = qsub.join(F.broadcast(book_df), "subspace").select(
+            "query_id",
+            "__cell",
+            "subspace",
+            F.col("cluster_id").alias("code"),
+            pd_fold(),
+        )
+        lut_keys = ["query_id", "__cell", "subspace", "code"]
+    else:
+        qsub = q.select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("subspace"),
+                        F.slice("__qv", s * sub + 1, sub).alias("qs"),
+                    ),
+                )
+            ).alias("__e"),
+        ).select("query_id", "__e.subspace", "__e.qs")
+        lut = qsub.join(F.broadcast(book_df), "subspace").select(
+            "query_id",
+            "subspace",
+            F.col("cluster_id").alias("code"),
+            pd_fold(),
+        )
+        lut_keys = ["query_id", "subspace", "code"]
 
     # --- candidate-pruned search: ONE shuffle-free projection encodes
     # cell + codes, the broadcast probe join prunes to nprobe cells ---
     xv = _as_double(F.col(vector_column))
-    enc = corpus.select(
+    with_cell = corpus.select(
         F.col(id_column).alias("neighbor_id"),
+        xv.alias("__xv"),
         _argmin_literal_expr(xv, coarse).alias("__cell"),
+    )
+    code_src = (
+        residual_expr(F.col("__xv"), F.col("__cell"))
+        if residual
+        else F.col("__xv")
+    )
+    enc = with_cell.select(
+        "neighbor_id",
+        "__cell",
         *[
             _argmin_literal_expr(
-                F.slice(xv, s * sub + 1, sub), books[s]
+                F.slice(code_src, s * sub + 1, sub), books[s]
             ).alias(f"__c{s}")
             for s in range(m)
         ],
@@ -1878,6 +1947,7 @@ def ivf_pq_topk(
     codes_long = cand.select(
         "query_id",
         "neighbor_id",
+        "__cell",
         F.explode(
             F.array(
                 *[
@@ -1889,9 +1959,11 @@ def ivf_pq_topk(
                 ]
             )
         ).alias("__e"),
-    ).select("query_id", "neighbor_id", "__e.subspace", "__e.code")
+    ).select(
+        "query_id", "neighbor_id", "__cell", "__e.subspace", "__e.code"
+    )
     adist = (
-        codes_long.join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        codes_long.join(F.broadcast(lut), lut_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.aggregate(
@@ -1932,12 +2004,14 @@ def ivf_pq_recall_report(
     k: int = 8,
     iterations: int = 1,
     topk: int = 10,
+    residual: bool = False,
 ) -> DataFrame:
     """Recall@k of :func:`ivf_pq_topk` against the exact squared-L2
     ranking, per query — the composed path's ship gate (the same
     discipline as :func:`pq_recall_report`, which gates PQ alone):
     IVF adds cell-miss error on top of code-quantization error, so the
-    recall must be re-gated whenever ``nprobe``/``coarse_k`` change.
+    recall must be re-gated whenever ``nprobe``/``coarse_k`` change
+    (and the raw-vs-residual encoding choice is made BY this number).
 
     Output: (query_id, n_hits, recall_q6), one row per panel query.
     """
@@ -1945,6 +2019,7 @@ def ivf_pq_recall_report(
         corpus, queries, id_column=id_column, vector_column=vector_column,
         dim=dim, coarse_k=coarse_k, coarse_iterations=coarse_iterations,
         nprobe=nprobe, m=m, k=k, iterations=iterations, topk=topk,
+        residual=residual,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_column).alias("query_id"),

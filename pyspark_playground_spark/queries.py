@@ -12892,12 +12892,15 @@ def _ivf_pq_oracle(
     topk: int,
     panel: int,
     mode: str,
+    residual: bool = False,
 ) -> str:
     """Replay ivf_pq_topk / ivf_pq_recall_report CTE by CTE: coarse
     Lloyd training on the full vector (the _kmeans_oracle arithmetic),
-    per-subspace PQ Lloyd training + encode (the _pq_oracle arithmetic),
-    the query→nprobe-cell probe, the candidate-pruned ADC fold, and —
-    for mode='recall' — the exact ranking and the hit count."""
+    per-subspace PQ Lloyd training + encode (the _pq_oracle arithmetic —
+    over the coarse-residual vectors when ``residual``, the IVFADC
+    refinement), the query→nprobe-cell probe, the candidate-pruned ADC
+    fold (per-(query, cell) LUT when ``residual``), and — for
+    mode='recall' — the exact ranking and the hit count."""
     sub = dim // m
     # --- coarse quantizer on the FULL vector (cc{i} / dc{i} / ac{i}) ---
     cdist = """
@@ -12945,16 +12948,32 @@ def _ivf_pq_oracle(
         parts.append(cupdate.format(i=i, nxt=i + 1, dim=dim))
     cf = coarse_iterations
     parts.append(cdist.format(i=cf, cent=f"cc{cf}", dim=dim))
-    # --- per-subspace PQ training (same templates as _pq_oracle) ---
+    if residual:
+        # coarse residuals: the PQ training/encode source under IVFADC
+        parts.append(
+            f"""
+    , resid AS (
+      SELECT a.vec_id,
+             [CAST(e.embedding[j] AS DOUBLE) - c.cvec[j]
+              FOR j IN range(1, {dim} + 1)] AS rv
+      FROM ac{cf} a JOIN embeddings e USING (vec_id)
+      JOIN cc{cf} c ON a.cluster_id = c.cluster_id
+    )"""
+        )
+    # --- per-subspace PQ training (same templates as _pq_oracle;
+    # src/vx/ex parameterize raw-vector vs residual sources) ---
+    src = "resid" if residual else "embeddings"
+    vx = "v.rv" if residual else "CAST(v.embedding AS DOUBLE[])"
+    ex = "e.rv" if residual else "CAST(e.embedding AS DOUBLE[])"
     pdist = """
     , d_{s}_{i} AS (
       SELECT v.vec_id, c.cluster_id,
              list_reduce(list_prepend(0.0,
-               [(CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
-                * (CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+               [({vx}[{lo}:{hi}][j] - c.cvec[j])
+                * ({vx}[{lo}:{hi}][j] - c.cvec[j])
                 FOR j IN range(1, {sub} + 1)]),
                (a, b) -> a + b) AS dist2
-      FROM embeddings v CROSS JOIN {cent} c
+      FROM {src} v CROSS JOIN {cent} c
     ), a_{s}_{i} AS (
       SELECT vec_id, cluster_id FROM (
         SELECT vec_id, cluster_id,
@@ -12973,30 +12992,35 @@ def _ivf_pq_oracle(
         FROM (
           SELECT a_{s}_{i}.cluster_id,
                  unnest([{{'pos': j - 1,
-                           'v': CAST(e.embedding AS DOUBLE[])[{lo}:{hi}][j]}}
+                           'v': {ex}[{lo}:{hi}][j]}}
                          FOR j IN range(1, {sub} + 1)]) AS pv
-          FROM a_{s}_{i} JOIN embeddings e USING (vec_id)
+          FROM a_{s}_{i} JOIN {src} e USING (vec_id)
         ) GROUP BY cluster_id, pv.pos
       ) GROUP BY cluster_id
     )"""
+    seed_vec = (
+        "rv[{lo}:{hi}]" if residual
+        else "CAST(embedding AS DOUBLE[])[{lo}:{hi}]"
+    )
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         parts.append(
             f"""
     , cent_{s}_0 AS (
       SELECT CAST(vec_id AS INT) AS cluster_id,
-             CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS cvec
-      FROM embeddings WHERE vec_id < {k}
+             {seed_vec.format(lo=lo, hi=hi)} AS cvec
+      FROM {src} WHERE vec_id < {k}
     )"""
         )
         for i in range(iterations):
             parts.append(pdist.format(s=s, i=i, cent=f"cent_{s}_{i}",
-                                      lo=lo, hi=hi, sub=sub))
+                                      lo=lo, hi=hi, sub=sub, src=src,
+                                      vx=vx))
             parts.append(pupdate.format(s=s, i=i, nxt=i + 1, lo=lo, hi=hi,
-                                        sub=sub))
+                                        sub=sub, src=src, ex=ex))
         parts.append(pdist.format(s=s, i=iterations,
                                   cent=f"cent_{s}_{iterations}",
-                                  lo=lo, hi=hi, sub=sub))
+                                  lo=lo, hi=hi, sub=sub, src=src, vx=vx))
     codes_union = " UNION ALL ".join(
         f"SELECT vec_id, {s} AS subspace, cluster_id AS code"
         f" FROM a_{s}_{iterations}"
@@ -13007,11 +13031,6 @@ def _ivf_pq_oracle(
         f" FROM cent_{s}_{iterations}"
         for s in range(m)
     )
-    qsub_union = " UNION ALL ".join(
-        f"SELECT query_id, {s} AS subspace,"
-        f" qv[{s * sub + 1}:{(s + 1) * sub}] AS qs FROM qs"
-        for s in range(m)
-    )
     parts.append(
         f"""
     , codes AS ({codes_union})
@@ -13019,15 +13038,6 @@ def _ivf_pq_oracle(
     , qs AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < {panel}
-    )
-    , qsub AS ({qsub_union})
-    , lut AS (
-      SELECT q.query_id, q.subspace, b.cluster_id AS code,
-             list_reduce(list_prepend(0.0,
-               [(q.qs[j] - b.cvec[j]) * (q.qs[j] - b.cvec[j])
-                FOR j IN range(1, {sub} + 1)]),
-               (a, x) -> a + x) AS pd
-      FROM qsub q JOIN book b USING (subspace)
     )
     , probe_d AS (
       SELECT q.query_id, c.cluster_id,
@@ -13044,6 +13054,64 @@ def _ivf_pq_oracle(
                                   ORDER BY d2 ASC, cluster_id ASC) AS rn
         FROM probe_d
       ) WHERE rn <= {nprobe}
+    )"""
+    )
+    if residual:
+        qsub_union = " UNION ALL ".join(
+            f"SELECT query_id, cell, {s} AS subspace,"
+            f" rqv[{s * sub + 1}:{(s + 1) * sub}] AS qs FROM qres"
+            for s in range(m)
+        )
+        parts.append(
+            f"""
+    , qres AS (
+      SELECT p.query_id, p.cluster_id AS cell,
+             [q.qv[j] - c.cvec[j] FOR j IN range(1, {dim} + 1)] AS rqv
+      FROM probes p JOIN qs q USING (query_id)
+      JOIN cc{cf} c ON p.cluster_id = c.cluster_id
+    )
+    , qsub AS ({qsub_union})
+    , lut AS (
+      SELECT q.query_id, q.cell, q.subspace, b.cluster_id AS code,
+             list_reduce(list_prepend(0.0,
+               [(q.qs[j] - b.cvec[j]) * (q.qs[j] - b.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, x) -> a + x) AS pd
+      FROM qsub q JOIN book b USING (subspace)
+    )
+    , cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster_id AS cell
+      FROM ac{cf} a JOIN probes p ON a.cluster_id = p.cluster_id
+      WHERE a.vec_id <> p.query_id
+    )
+    , adist AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_reduce(list_prepend(0.0, list_sort(list(l.pd))),
+                         (a, x) -> a + x) AS ad
+      FROM (SELECT c.query_id, c.neighbor_id, c.cell,
+                   co.subspace, co.code
+            FROM cand c JOIN codes co ON c.neighbor_id = co.vec_id) cd
+      JOIN lut l ON cd.query_id = l.query_id AND cd.cell = l.cell
+               AND cd.subspace = l.subspace AND cd.code = l.code
+      GROUP BY 1, 2
+    )"""
+        )
+    else:
+        qsub_union = " UNION ALL ".join(
+            f"SELECT query_id, {s} AS subspace,"
+            f" qv[{s * sub + 1}:{(s + 1) * sub}] AS qs FROM qs"
+            for s in range(m)
+        )
+        parts.append(
+            f"""
+    , qsub AS ({qsub_union})
+    , lut AS (
+      SELECT q.query_id, q.subspace, b.cluster_id AS code,
+             list_reduce(list_prepend(0.0,
+               [(q.qs[j] - b.cvec[j]) * (q.qs[j] - b.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, x) -> a + x) AS pd
+      FROM qsub q JOIN book b USING (subspace)
     )
     , cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
@@ -13059,7 +13127,10 @@ def _ivf_pq_oracle(
       JOIN lut l ON cd.query_id = l.query_id
                AND cd.subspace = l.subspace AND cd.code = l.code
       GROUP BY 1, 2
-    )
+    )"""
+        )
+    parts.append(
+        """
     , ranked AS (
       SELECT query_id, neighbor_id, ad,
              row_number() OVER (PARTITION BY query_id
@@ -13878,4 +13949,45 @@ def sign_flip_tokens_documents(spark, sf_dir):
     d = F.size(tokens_expr("text")) - F.expr("n_chars DIV 5")
     return sign_flip_test(
         docs, diff_column=d, key_columns=["doc_id"], permutations=200
+    )
+
+
+@query(
+    "ivf_pq_residual_topk_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="topk", residual=True),
+)
+def ivf_pq_residual_topk_embeddings(spark, sf_dir):
+    """IVFADC — the residual-encoding refinement of ivf_pq_topk_embeddings
+    (similarity.ivf_pq_topk residual=True; Jegou/Douze/Schmid 2011):
+    PQ codes quantize x - c_cell(x) instead of x, and the ADC lookup
+    table becomes per-(query, probed cell) — still model-sized
+    (panel x nprobe x m x k). Same candidate-pruned plan; the raw-vs-
+    residual choice is made by the paired recall gates."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+        m=4, k=16, iterations=1, topk=10, residual=True,
+    )
+
+
+@query(
+    "ivf_pq_residual_recall_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="recall", residual=True),
+)
+def ivf_pq_residual_recall_embeddings(spark, sf_dir):
+    """Recall@10 gate for the IVFADC residual path — beside
+    ivf_pq_recall_embeddings (raw-vector codes) this pair IS the
+    encoding decision: residual coding wins on clustered corpora
+    (residual magnitudes << vector magnitudes), ties or loses on
+    unstructured ones; gate both, ship the better number."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_recall_report(
+        emb, emb.filter(F.col("vec_id") < 10),
+        dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+        m=4, k=16, iterations=1, topk=10, residual=True,
     )

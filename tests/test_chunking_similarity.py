@@ -410,3 +410,25 @@ def test_ivf_pq_probe_prunes_to_nearest_cells(spark):
     ranks = sorted(r["rank"] for r in out)
     assert ranks == list(range(1, len(ranks) + 1))
     assert all(r["adist_q6"] >= 0 for r in out)
+
+
+def test_ivf_pq_residual_full_probe_lossless_is_exact(spark):
+    """IVFADC twin of the raw-vector degeneracy test: when every coarse
+    RESIDUAL is its own PQ seed (k == corpus size) and every cell is
+    probed, residual ADC == exact L2 -> recall 1.0; and the residual
+    ranking differs from raw only through the codebooks, so both
+    degenerate variants agree."""
+    import itertools
+
+    pts = list(itertools.product([0.0, 1.0], repeat=3))
+    corpus = spark.createDataFrame(
+        [(i, [a, b, c, a]) for i, (a, b, c) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.ivf_pq_recall_report(
+        corpus, corpus.filter("vec_id < 3"),
+        dim=4, coarse_k=2, coarse_iterations=1, nprobe=2,
+        m=2, k=8, iterations=1, topk=3, residual=True,
+    ).collect()
+    assert len(out) == 3
+    assert all(r["recall_q6"] == 1_000_000 for r in out)
