@@ -566,6 +566,85 @@ def drift_psi(
         )
     )
 
+def drift_jsd(
+    df: DataFrame,
+    *,
+    value_column: str,
+    cohort_column: str | Column,
+    bins: int | None = None,
+    ln_decimals: int = 7,
+) -> DataFrame:
+    """Jensen-Shannon divergence (in bits) between the cohort-true and
+    cohort-false value distributions — the bounded, symmetric member of
+    the drift family: PSI is unbounded and blows up on tiny q-bins, KS
+    sees only the worst CDF gap; JSD ∈ [0, 1] weighs the whole
+    distribution and is safe to threshold ("alert at 0.1 bits") across
+    features with different cardinalities.
+
+    ``JSD = ½·Σ p·log₂(2p/(p+q)) + ½·Σ q·log₂(2q/(p+q))`` with the same
+    Laplace smoothing over observed bins, the same exact-integer ratio
+    construction (2(ca+1)(nb+B) over the exact mixture denominator —
+    DECIMAL(38,0) products, one double division), the same rounded-log
+    + per-bin-rounded DECIMAL sum recipe, and the same plan (one count
+    shuffle, broadcast one-row totals, B-row agg) as :func:`drift_psi`.
+    ``bins`` maps continuous domains to equal-width buckets exactly as
+    the siblings do. Values must be non-null.
+
+    Output one row: (jsd, n_a, n_b, n_bins).
+    """
+    is_a = (
+        F.col(cohort_column) if isinstance(cohort_column, str) else cohort_column
+    )
+    t = df.select(
+        F.col(value_column).alias("__v"), is_a.cast("boolean").alias("__a")
+    )
+    if bins is not None:
+        mm = t.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+        t = t.join(F.broadcast(mm)).select(
+            equal_width_bin(
+                F.col("__v"), F.col("__lo"), F.col("__hi"), bins
+            ).alias("__v"),
+            "__a",
+        )
+    g = t.groupBy("__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb"),
+    )
+    n = g.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).alias("__nbins"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pa = (F.col("__ca") + 1).cast("double") / (
+        F.col("__na") + F.col("__nbins")
+    ).cast("double")
+    pb = (F.col("__cb") + 1).cast("double") / (
+        F.col("__nb") + F.col("__nbins")
+    ).cast("double")
+    num_a = d38(F.col("__ca") + 1) * d38(F.col("__nb") + F.col("__nbins"))
+    num_b = d38(F.col("__cb") + 1) * d38(F.col("__na") + F.col("__nbins"))
+    den = (num_a + num_b).cast("double")
+    lg_a = F.round(F.log2(F.lit(2.0) * num_a.cast("double") / den),
+                   ln_decimals)
+    lg_b = F.round(F.log2(F.lit(2.0) * num_b.cast("double") / den),
+                   ln_decimals)
+    term = F.round(
+        F.lit(0.5) * (pa * lg_a + pb * lg_b), 9
+    ).cast("decimal(28,10)")
+    return (
+        g.crossJoin(F.broadcast(n))
+        .groupBy("__na", "__nb", "__nbins")
+        .agg(F.sum(term).alias("__jsd"))
+        .select(
+            F.col("__jsd").cast("double").alias("jsd"),
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            F.col("__nbins").cast("long").alias("n_bins"),
+        )
+    )
+
+
 def drift_cvm(
     df: DataFrame,
     *,
@@ -2302,87 +2381,6 @@ def chi_square_independence(
         F.when(ok, F.floor(v * F.lit(1e6) + F.lit(0.5)))
         .cast("long")
         .alias("cramers_v_q6"),
-    )
-
-
-def cohens_kappa(
-    df: DataFrame,
-    *,
-    rater_a_column: str,
-    rater_b_column: str,
-) -> DataFrame:
-    """Cohen's kappa — chance-corrected agreement between two categorical
-    "raters" over the same items (human labels vs a model's predictions,
-    two annotation passes, two heuristic classifiers): the label-quality
-    audit that raw percent-agreement overstates whenever the marginal
-    distributions are skewed. κ = (p_o − p_e) / (1 − p_e) with
-    ``p_e = Σ_k p_a(k)·p_b(k)`` (Cohen 1960, public construction).
-
-    Exact-integer construction (the :func:`chi_square_independence`
-    discipline): ONE contingency census ``groupBy(a, b)`` bounded by the
-    level-cardinality product; margins re-aggregated from the census and
-    the diagonal summed from it. ``p_o`` is the exact ratio
-    ``agree·1e6 DIV n``; the κ numerator/denominator
-    ``agree·N − Σ r_a·c_b`` and ``N² − Σ r_a·c_b`` are exact
-    DECIMAL(38,0) (no overflow to ~1e19 rows), combined in ONE
-    fixed-order double division quantized ``floor(κ·1e6+0.5)`` —
-    identical cross-engine (κ can be negative; floor is toward −inf on
-    both engines). NULLs in either column are excluded. κ is NULL when
-    the denominator is 0 (p_e = 1 — both raters constant).
-
-    Output one row: (n_rows, n_agree, r_levels, c_levels, po_x6,
-    kappa_q6).
-    """
-    t = df.select(
-        F.col(rater_a_column).cast("string").alias("__a"),
-        F.col(rater_b_column).cast("string").alias("__b"),
-    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
-    cells = t.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
-    cells = cells.persist()  # census feeds margins, diagonal, and totals
-    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
-    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # Σ_k r_a(k)·c_b(k) over the SHARED label space: inner-join the
-    # margins on the level value (levels seen by only one rater
-    # contribute 0 to p_e)
-    pe_num = (
-        ra.join(cb, ra["__a"] == cb["__b"])
-        .agg(F.sum(d38(F.col("__ra")) * d38(F.col("__cb"))).alias("__s"))
-        .select(F.coalesce("__s", F.lit(0).cast("decimal(38,0)")).alias("__s"))
-    )
-    tot = cells.agg(
-        F.sum("__o").alias("__n"),
-        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o"))).alias(
-            "__agree"
-        ),
-        F.countDistinct("__a").alias("__r"),
-        F.countDistinct("__b").alias("__c"),
-    ).select(
-        "__n",
-        F.coalesce("__agree", F.lit(0)).alias("__agree"),
-        "__r",
-        "__c",
-    )
-    j = tot.crossJoin(F.broadcast(pe_num))  # two 1-row frames
-    num = (d38(F.col("__agree")) * d38(F.col("__n")) - F.col("__s")).cast(
-        "double"
-    )
-    den = (d38(F.col("__n")) * d38(F.col("__n")) - F.col("__s")).cast(
-        "double"
-    )
-    return j.select(
-        F.col("__n").cast("long").alias("n_rows"),
-        F.col("__agree").cast("long").alias("n_agree"),
-        F.col("__r").cast("long").alias("r_levels"),
-        F.col("__c").cast("long").alias("c_levels"),
-        F.expr(
-            "CASE WHEN __n > 0 THEN (__agree * 1000000L) DIV __n END"
-        ).alias("po_x6"),
-        F.when(
-            den > 0, F.floor(num / den * F.lit(1e6) + F.lit(0.5))
-        )
-        .cast("long")
-        .alias("kappa_q6"),
     )
 
 

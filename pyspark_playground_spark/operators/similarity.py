@@ -2069,3 +2069,152 @@ def ivf_pq_recall_report(
             ).cast("long").alias("recall_q6"),
         )
     )
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact squared-L2 top-k per query — :func:`brute_force_topk`'s
+    metric twin (cosine ranks by angle, L2 by distance; they genuinely
+    disagree for unnormalized vectors, and :func:`rbo_report` measures
+    by how much). Same bounded-panel-broadcast plan, same index-order
+    fold, ties by neighbor id. Output: (query_id, neighbor_id,
+    dist2_r6, rank); self-matches excluded."""
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _as_double(F.col(vector_column)).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__d2"), 6).alias("dist2_r6"),
+            "rank",
+        )
+    )
+
+
+def rbo_report(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    *,
+    query_column: str = "query_id",
+    id_column: str = "neighbor_id",
+    rank_column: str = "rank",
+    depth: int = 10,
+    p_ppm: int = 900_000,
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel 2010, public
+    construction) between two top-``depth`` rankings per query — the
+    ORDER-aware agreement number recall can't give: two indexes with
+    identical recall@10 can still rank those 10 differently, and RBO
+    (top-weighted by persistence ``p``) is the standard way to say by
+    how much. Compare an approximate index against the exact ranking,
+    or two metrics (cosine vs L2) against each other, before shipping
+    a reorder-sensitive consumer (dedup keep-first, RAG cutoffs).
+
+    This is the fixed-depth prefix RBO, NORMALIZED by its own maximum
+    ``1 − p^depth`` so identical lists score exactly 1: ``[(1−p) /
+    (1 − p^depth)] Σ_{d=1..depth} p^(d−1) · |A_d ∩ B_d| / d`` (no
+    extrapolation residual — both lists are materialized to the same
+    depth by construction, and the truncation is normalized rather
+    than estimated away).
+
+    Determinism: overlaps are exact integers (an item enters at depth
+    ``max(rank_a, rank_b)`` — one bounded equi-join, one census);
+    ``p^(d−1)`` is rounded to 7 decimals (the transcendental recipe),
+    each of the ≤ depth per-depth terms is one fixed-order double
+    quantized ``floor(term·1e9+0.5)``, and the per-query sum is an
+    order-free BIGINT. Queries on only one list get rbo of the empty
+    intersection (0 overlap at every depth → 0).
+
+    Output per query: (query_id, n_common, rbo_q9) — rbo_q9 ∈
+    [0, ~1e9]; identical lists hit 1e9 up to per-term quantization
+    (±depth in q9 units).
+    """
+    p = p_ppm / 1e6
+    # (1e6-p_ppm)/1e6, NOT 1.0-p: the former is the correctly-rounded
+    # double of the decimal (matching an engine parsing '0.1'); the
+    # latter accumulates the 0.9-representation error. The combined
+    # normalizing constant is ONE python double, repr-embeddable into
+    # an engine mirror as a literal
+    norm_const = (1_000_000 - p_ppm) / 1e6 / (1.0 - p ** depth)
+    a = ranking_a.select(
+        F.col(query_column).alias("query_id"),
+        F.col(id_column).alias("__id"),
+        F.col(rank_column).alias("__ra"),
+    ).filter(F.col("__ra") <= depth)
+    b = ranking_b.select(
+        F.col(query_column).alias("query_id"),
+        F.col(id_column).alias("__id"),
+        F.col(rank_column).alias("__rb"),
+    ).filter(F.col("__rb") <= depth)
+    # full-outer on the query panel so one-list-only queries still report
+    qspine = a.select("query_id").union(b.select("query_id")).distinct()
+    common = a.join(b, ["query_id", "__id"]).select(
+        "query_id",
+        F.greatest(F.col("__ra"), F.col("__rb")).alias("__m"),
+    )
+    # each common item contributes to every depth d >= its entry depth m
+    terms = common.select(
+        "query_id",
+        F.explode(
+            F.sequence(F.col("__m"), F.lit(depth))
+        ).alias("__d"),
+    )
+    per_d = terms.groupBy("query_id", "__d").agg(
+        F.count(F.lit(1)).alias("__ov")
+    )
+    pw = F.round(
+        F.pow(F.lit(p), (F.col("__d") - 1).cast("double")), 7
+    )
+    term_q9 = F.floor(
+        F.lit(norm_const)
+        * pw
+        * F.col("__ov").cast("double")
+        / F.col("__d").cast("double")
+        * F.lit(1e9)
+        + F.lit(0.5)
+    )
+    per_q = per_d.groupBy("query_id").agg(
+        F.sum(term_q9).cast("long").alias("__rbo_q9"),
+    )
+    n_common = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        qspine.join(n_common, "query_id", "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            F.coalesce("__rbo_q9", F.lit(0).cast("long")).alias("rbo_q9"),
+        )
+    )

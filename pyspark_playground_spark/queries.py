@@ -13778,68 +13778,6 @@ def multimodal_frame_plan_documents(spark, sf_dir):
     )
 
 
-def _kappa_oracle() -> str:
-    best, pred = _lang_pred_sql("text")
-    return f"""
-    WITH scored AS (
-      SELECT lang, {best} AS __best, text FROM documents
-      WHERE lang IS NOT NULL AND text IS NOT NULL
-    ), t AS (
-      SELECT lang AS a,
-             CASE WHEN __best > 0 THEN {pred} ELSE 'und' END AS b
-      FROM scored
-    ), cells AS (
-      SELECT a, b, count(*) AS o FROM t GROUP BY a, b
-    ), ra AS (
-      SELECT a, sum(o) AS rn FROM cells GROUP BY a
-    ), cb AS (
-      SELECT b, sum(o) AS cn FROM cells GROUP BY b
-    ), pe AS (
-      SELECT coalesce(sum(ra.rn * cb.cn), 0) AS s
-      FROM ra JOIN cb ON ra.a = cb.b
-    ), tot AS (
-      SELECT sum(o) AS n,
-             coalesce(sum(CASE WHEN a = b THEN o END), 0) AS agree,
-             count(DISTINCT a) AS r, count(DISTINCT b) AS c
-      FROM cells
-    )
-    SELECT CAST(tot.n AS BIGINT) AS n_rows,
-           CAST(tot.agree AS BIGINT) AS n_agree,
-           CAST(tot.r AS BIGINT) AS r_levels,
-           CAST(tot.c AS BIGINT) AS c_levels,
-           CASE WHEN tot.n > 0
-                THEN CAST((tot.agree * 1000000) // tot.n AS BIGINT) END
-             AS po_x6,
-           CASE WHEN CAST(tot.n * tot.n - pe.s AS DOUBLE) > 0 THEN
-             CAST(floor(CAST(tot.agree * tot.n - pe.s AS DOUBLE)
-                        / CAST(tot.n * tot.n - pe.s AS DOUBLE)
-                        * 1e6 + 0.5) AS BIGINT)
-           END AS kappa_q6
-    FROM tot CROSS JOIN pe
-    """
-
-
-@query("cohens_kappa_lang_documents", _kappa_oracle())
-def cohens_kappa_lang_documents(spark, sf_dir):
-    """Cohen's kappa (operators/profiling.py cohens_kappa) between the
-    documents table's lang METADATA column and the marker-word lang-id
-    PREDICTION — the chance-corrected label-quality audit (percent
-    agreement overstates whenever marginals are skewed; kappa is the
-    annotation-vs-model agreement number a labeling pipeline reports).
-    One contingency census; exact DECIMAL(38,0) numerator/denominator;
-    one quantized double division."""
-    from pyspark_playground_spark.operators.profiling import cohens_kappa
-    from pyspark_playground_spark.operators.text import lang_id
-
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("lang").isNotNull() & F.col("text").isNotNull()
-    )
-    pred = lang_id(docs).select("lang", "lang_pred")
-    return cohens_kappa(
-        pred, rater_a_column="lang", rater_b_column="lang_pred"
-    )
-
-
 @query(
     "anova_price_priority_orders",
     """
@@ -13991,3 +13929,143 @@ def ivf_pq_residual_recall_embeddings(spark, sf_dir):
         dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
         m=4, k=16, iterations=1, topk=10, residual=True,
     )
+
+
+@query(
+    "jsd_drift_binned_event_values",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT value AS v, (event_type = 'purchase') AS is_a FROM e
+    ), mm AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM t
+    ), b AS (
+      SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(63, CAST(floor((t.v - mm.lo) * 64
+                                            / (mm.hi - mm.lo)) AS INT))
+             END AS bv,
+             is_a
+      FROM t CROSS JOIN mm
+    ), g AS (
+      SELECT bv,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+      FROM b GROUP BY bv
+    ), n AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins FROM g
+    ), terms AS (
+      SELECT n.na, n.nb, n.nbins,
+             CAST(round(0.5 * (
+               (CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE))
+               * round(log2(2.0
+                   * CAST(CAST(ca + 1 AS HUGEINT) * (nb + nbins) AS DOUBLE)
+                   / CAST(CAST(ca + 1 AS HUGEINT) * (nb + nbins)
+                          + CAST(cb + 1 AS HUGEINT) * (na + nbins)
+                          AS DOUBLE)), 7)
+               + (CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE))
+               * round(log2(2.0
+                   * CAST(CAST(cb + 1 AS HUGEINT) * (na + nbins) AS DOUBLE)
+                   / CAST(CAST(ca + 1 AS HUGEINT) * (nb + nbins)
+                          + CAST(cb + 1 AS HUGEINT) * (na + nbins)
+                          AS DOUBLE)), 7)
+             ), 9) AS DECIMAL(28,10)) AS term
+      FROM g CROSS JOIN n
+    )
+    SELECT CAST(sum(term) AS DOUBLE) AS jsd,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(nbins) AS BIGINT) AS n_bins
+    FROM terms
+    """,
+)
+def jsd_drift_binned_event_values(spark, sf_dir):
+    """Jensen-Shannon divergence (operators/profiling.py drift_jsd) of
+    event values, purchase cohort vs rest, over the enforced 64-bin
+    path — the BOUNDED, symmetric member of the drift quartet
+    (PSI/KS/CvM/JSD): PSI is unbounded on tiny q-bins, JSD in [0,1]
+    bits thresholds uniformly across features. Same Laplace smoothing,
+    exact-integer mixture ratios, rounded-log2 + per-bin DECIMAL sum
+    recipe, and one-count-shuffle plan as the PSI twin."""
+    from pyspark_playground_spark.operators.profiling import drift_jsd
+
+    e = load_events(spark, sf_dir)
+    return drift_jsd(
+        e,
+        value_column="value",
+        cohort_column=F.col("event_type") == "purchase",
+        bins=64,
+    )
+
+
+@query(
+    "rbo_cosine_vs_l2_embeddings",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), sca AS (
+      SELECT query_id, neighbor_id,
+             {_DOT.format(a='qv', b='cv')}
+               / ({_NORM.format(v='qv')} * {_NORM.format(v='cv')}) AS cos
+      FROM c, q WHERE neighbor_id <> query_id
+    ), ra AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS r
+      FROM sca QUALIFY r <= 10
+    ), scb AS (
+      SELECT query_id, neighbor_id,
+             list_sum([(s[1] - s[2]) * (s[1] - s[2])
+                       FOR s IN list_zip(CAST(qv AS DOUBLE[]),
+                                         CAST(cv AS DOUBLE[]))]) AS d2
+      FROM c, q WHERE neighbor_id <> query_id
+    ), rb AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id ASC) AS r
+      FROM scb QUALIFY r <= 10
+    ), common AS (
+      SELECT ra.query_id, greatest(ra.r, rb.r) AS m
+      FROM ra JOIN rb USING (query_id, neighbor_id)
+    ), per_d AS (
+      SELECT query_id, u.d AS d, count(*) AS ov
+      FROM common, unnest(range(m, 11)) AS u(d)
+      GROUP BY 1, 2
+    ), perq AS (
+      SELECT query_id,
+             CAST(sum(CAST(floor(
+               0.15353399327876296
+               * round(pow(0.9, d - 1), 7)
+               * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS rbo_q9
+      FROM per_d GROUP BY query_id
+    ), nc AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+      FROM common GROUP BY query_id
+    ), spine AS (
+      SELECT DISTINCT query_id FROM ra
+      UNION SELECT DISTINCT query_id FROM rb
+    )
+    SELECT s.query_id,
+           coalesce(nc.n_common, 0) AS n_common,
+           coalesce(perq.rbo_q9, 0) AS rbo_q9
+    FROM spine s
+    LEFT JOIN nc ON s.query_id = nc.query_id
+    LEFT JOIN perq ON s.query_id = perq.query_id
+    """,
+)
+def rbo_cosine_vs_l2_embeddings(spark, sf_dir):
+    """Rank-Biased Overlap (operators/similarity.py rbo_report;
+    Webber/Moffat/Zobel 2010) between the exact cosine and exact
+    squared-L2 top-10 rankings on a 10-query panel — the metric-choice
+    distortion number: identical recall sets can still disagree on
+    ORDER, and order is what dedup keep-first and RAG cutoffs consume.
+    Exact integer overlaps, rounded-pow persistence weights, per-depth
+    quantized terms, order-free BIGINT sums."""
+    emb = load(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") < 10)
+    ra = sim.brute_force_topk(emb, panel, k=10)
+    rb = sim.brute_force_topk_l2(emb, panel, k=10)
+    return sim.rbo_report(ra, rb, depth=10, p_ppm=900_000)

@@ -888,17 +888,6 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("ivf_pq_topk", n_emb, ivfpq)
 
-    # 61. Cohen's kappa lang-vs-langid over the replicated corpus (r7):
-    #     the lang-id projection + one contingency census groupBy
-    from pyspark_playground_spark.operators import text as txo
-
-    def kappa():
-        pf.cohens_kappa(
-            txo.lang_id(docs).select("lang", "lang_pred"),
-            rater_a_column="lang", rater_b_column="lang_pred",
-        ).write.format("noop").mode("overwrite").save()
-    timed("cohens_kappa_langid", n_docs, kappa)
-
     # 62. one-way ANOVA price-by-priority at replicated orders scale:
     #     one exact-integer group census, margin-sized everything after
     def anova():
@@ -923,6 +912,27 @@ def main() -> None:
             permutations=200,
         ).write.format("noop").mode("overwrite").save()
     timed("sign_flip_test", n_docs, signflip)
+
+    # 64. JSD drift monitor over replicated events values (r7): the
+    #     drift_psi plan with log2 terms — one count shuffle, B-row agg
+    def jsd_probe():
+        pf.drift_jsd(
+            ev_rep, value_column="value",
+            cohort_column=F.col("event_type") == "purchase", bins=64,
+        ).write.format("noop").mode("overwrite").save()
+    timed("jsd_drift_binned", n_evr, jsd_probe)
+
+    # 65. RBO cosine-vs-L2 on the replicated embedding corpus (r7):
+    #     two bounded-panel exact rankings (the documented
+    #     O(corpus x panel) envelope) + a depth-bounded overlap census
+    def rbo_probe():
+        ra = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10),
+                                  k=10)
+        rb = sim.brute_force_topk_l2(
+            emb, emb.filter(F.col("vec_id") < 10), k=10)
+        sim.rbo_report(ra, rb, depth=10).write.format("noop").mode(
+            "overwrite").save()
+    timed("rbo_cosine_vs_l2", n_emb, rbo_probe)
 
 
 def reps_frame(spark):

@@ -432,3 +432,42 @@ def test_ivf_pq_residual_full_probe_lossless_is_exact(spark):
     ).collect()
     assert len(out) == 3
     assert all(r["recall_q6"] == 1_000_000 for r in out)
+
+
+def test_rbo_report_identical_disjoint_and_model(spark):
+    """Identical top-k lists -> normalized RBO of 1e9 (up to per-term
+    quantization); disjoint lists -> 0; a hand case matches the pure
+    Python mirror of the same quantized arithmetic."""
+    import math
+
+    a = spark.createDataFrame(
+        [(1, i, r) for r, i in enumerate([10, 20, 30], start=1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    same = sim.rbo_report(a, a, depth=3, p_ppm=900_000).collect()[0]
+    assert same["n_common"] == 3
+    assert abs(same["rbo_q9"] - 1_000_000_000) <= 5
+
+    b = spark.createDataFrame(
+        [(1, i, r) for r, i in enumerate([40, 50, 60], start=1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    dis = sim.rbo_report(a, b, depth=3, p_ppm=900_000).collect()[0]
+    assert dis["n_common"] == 0 and dis["rbo_q9"] == 0
+
+    # partial agreement: lists [10,20,30] vs [20,10,30]
+    c = spark.createDataFrame(
+        [(1, i, r) for r, i in enumerate([20, 10, 30], start=1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    got = sim.rbo_report(a, c, depth=3, p_ppm=900_000).collect()[0]
+    # entry depths: 10 -> max(1,2)=2, 20 -> max(2,1)=2, 30 -> 3
+    # overlap_d: d=1:0, d=2:2, d=3:3
+    p, k = 0.9, 3
+    const = 0.1 / (1.0 - p ** k)
+    expect = sum(
+        math.floor(const * round(p ** (d - 1), 7) * ov / d * 1e9 + 0.5)
+        for d, ov in [(1, 0), (2, 2), (3, 3)]
+        if ov > 0
+    )
+    assert got["rbo_q9"] == expect and got["n_common"] == 3

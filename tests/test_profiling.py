@@ -1303,32 +1303,6 @@ def test_two_proportion_test_hand_computed(spark):
     assert rz["z_q6"] is None and rz["risk_ratio_x6"] == 1_000_000
 
 
-def test_cohens_kappa_hand_computed(spark):
-    """Classic 2x2: both-yes 20, both-no 15, A-yes/B-no 10, A-no/B-yes 5
-    -> N=50, agree=35 (po=0.7), margins A(30,20) B(25,25) -> pe=0.5,
-    kappa = (0.7-0.5)/(1-0.5) = 0.4 exactly."""
-    from pyspark_playground_spark.operators.profiling import cohens_kappa
-
-    rows = ([("y", "y")] * 20 + [("n", "n")] * 15
-            + [("y", "n")] * 10 + [("n", "y")] * 5)
-    df = spark.createDataFrame(rows, "a string, b string")
-    r = cohens_kappa(df, rater_a_column="a", rater_b_column="b").collect()[0]
-    assert (r["n_rows"], r["n_agree"]) == (50, 35)
-    assert (r["r_levels"], r["c_levels"]) == (2, 2)
-    assert r["po_x6"] == 700_000
-    assert r["kappa_q6"] == 400_000
-
-    # degenerate: both raters constant -> pe = 1 -> kappa undefined
-    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
-    rc = cohens_kappa(const, rater_a_column="a", rater_b_column="b").collect()[0]
-    assert rc["po_x6"] == 1_000_000 and rc["kappa_q6"] is None
-
-    # disjoint label spaces: no chance agreement either -> kappa = 0
-    dis = spark.createDataFrame([("x", "y")] * 4, "a string, b string")
-    rd = cohens_kappa(dis, rater_a_column="a", rater_b_column="b").collect()[0]
-    assert rd["n_agree"] == 0 and rd["kappa_q6"] == 0
-
-
 def test_anova_oneway_hand_computed(spark):
     """A=[1,2,3], B=[5,6,7]: means 2 and 6, grand 4 -> SSB = 3*4+3*4=24,
     SSW = 2+2 = 4, F = (24/1)/(4/4) = 24."""
@@ -1357,3 +1331,31 @@ def test_anova_oneway_hand_computed(spark):
     one = spark.createDataFrame([("A", 1.0), ("A", 5.0)], "g string, v double")
     ro = anova_oneway(one, value_column="v", group_column="g").collect()[0]
     assert ro["k_groups"] == 1 and ro["f_q6"] is None
+
+
+def test_drift_jsd_hand_computed_and_bounds(spark):
+    """Identical distributions -> JSD exactly 0 (every per-bin log2
+    ratio is log2(1)=0); near-disjoint -> close to 1 bit; always
+    symmetric in the cohort flag."""
+    from pyspark_playground_spark.operators.profiling import drift_jsd
+
+    same = spark.createDataFrame(
+        [(v, c) for v in (1, 2, 3) for c in (True, False) for _ in range(5)],
+        "v int, a boolean",
+    )
+    r = drift_jsd(same, value_column="v", cohort_column="a").collect()[0]
+    assert r["jsd"] == 0.0 and r["n_bins"] == 3
+    assert (r["n_a"], r["n_b"]) == (15, 15)
+
+    # disjoint supports (many rows so smoothing barely dents the bound)
+    dis = spark.createDataFrame(
+        [(1, True)] * 200 + [(2, False)] * 200, "v int, a boolean"
+    )
+    rd = drift_jsd(dis, value_column="v", cohort_column="a").collect()[0]
+    assert 0.9 < rd["jsd"] <= 1.0
+
+    # symmetry: flipping the cohort flag leaves JSD unchanged
+    rf = drift_jsd(
+        dis, value_column="v", cohort_column=~F.col("a")
+    ).collect()[0]
+    assert rf["jsd"] == rd["jsd"]
