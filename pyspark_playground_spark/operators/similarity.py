@@ -1449,92 +1449,150 @@ def pq_train_encode(
     ``codes (id, subspace, code)`` — m rows per vector;
     ``codebook (subspace, cluster_id, cvec)`` — m*k rows, model-sized.
 
-    Plan per subspace and iteration: broadcast k sub-centroids onto the
-    sliced corpus (codegen fold, corpus never shuffles for assignment) +
-    one (cluster, dim)-keyed exchange for the means. Everything
-    downstream of training is a single broadcast-join encode pass.
+    Plan (r7 fused): training runs ONE frame holding all m slices keyed
+    by subspace — one seed count, one broadcast-assignment + one
+    (subspace, cluster, dim)-keyed exchange per iteration, ONE collect —
+    instead of m separate chains (the per-subspace arithmetic is
+    unchanged: groups are disjoint across subspaces, so every fold sees
+    exactly the rows it did before). The encode pass is a SHUFFLE-FREE
+    projection: the collected codebook compiles into per-subspace
+    literal argmin folds (:func:`_argmin_literal_expr` — identical
+    result to the groupBy-min assignment, same index-order fold and
+    tie-break) + one explode to (id, subspace, code) rows.
 
     The ``id < k`` seed convention (kmeans_lloyd's documented contract)
     is ENFORCED here: non-contiguous or string ids that produce fewer
     than k seed vectors raise ``ValueError`` instead of silently
     training a degenerate codebook. Training materializes eagerly (the
     codebook is model-sized — m·k rows — and is collected to a local
-    frame), so the per-subspace persisted slices are unpersisted before
+    frame), so the persisted slice frame is unpersisted before
     returning and the returned frames carry no cached lineage.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     spark = corpus.sparkSession
-    codes_parts = []
-    book_rows = []
-    book_schema = None
-    for s in range(m):
-        # persist: the sliced corpus feeds the seed filter and every
-        # iteration's assignment + member join — without it each
-        # training consumer re-reads and re-slices the source
-        xs = corpus.select(
+    xv = _as_double(F.col(vector_column))
+    # ONE persisted frame with all m slices: the seed filter and every
+    # training consumer read it once; subspace is a grouping key
+    xs = (
+        corpus.select(
             F.col(id_column),
-            F.slice(_as_double(F.col(vector_column)), s * sub + 1, sub).alias(
-                "__x"
-            ),
-        ).persist()
-        cents = xs.filter(F.col(id_column) < k).select(
-            F.col(id_column).cast("int").alias("cluster_id"),
-            F.col("__x").alias("cvec"),
-        )
-        if s == 0:
-            # seed contract check once (identical ids every subspace):
-            # fewer than k `id < k` rows would silently degrade the book
-            n_seeds = cents.count()
-            if n_seeds != k:
-                raise ValueError(
-                    f"seed filter {id_column} < {k} matched {n_seeds} rows, "
-                    f"expected exactly {k}: pq_train_encode requires "
-                    f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
-                    f"convention)"
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            F.slice(xv, s * sub + 1, sub).alias("__x"),
+                        )
+                        for s in range(m)
+                    ]
                 )
-        for _ in range(iterations):
-            assigned = _assign_to_centroids(xs, cents, id_column=id_column)
-            members = assigned.join(xs, id_column).select("cluster_id", "__x")
-            gc = group_centroids(members, "cluster_id", vector_column="__x")
-            cents = gc.groupBy("cluster_id").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
-                    lambda r: r["centroid_v"],
-                ).alias("cvec")
-            )
-        # model-sized by design: <= k rows of `sub` doubles — collect the
-        # trained sub-codebook locally so the encode pass broadcasts a
-        # literal frame and the cached slice can be released now
-        book_schema = book_schema or cents.schema
-        trained = cents.collect()
-        book_rows.extend(
-            (s, r["cluster_id"], r["cvec"]) for r in trained
+            ).alias("__e"),
         )
-        cents_local = spark.createDataFrame(trained, book_schema)
-        enc = _assign_to_centroids(xs, cents_local, id_column=id_column)
-        codes_parts.append(
-            enc.select(
+        .select(id_column, "__e.subspace", "__e.__x")
+        .persist()
+    )
+    cents = xs.filter(F.col(id_column) < k).select(
+        "subspace",
+        F.col(id_column).cast("int").alias("cluster_id"),
+        F.col("__x").alias("cvec"),
+    )
+    n_seeds = cents.count()
+    if n_seeds != m * k:
+        raise ValueError(
+            f"seed filter {id_column} < {k} matched {n_seeds // m if m else 0}"
+            f" rows, expected exactly {k}: pq_train_encode requires "
+            f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
+            f"convention)"
+        )
+    for _ in range(iterations):
+        # per-subspace nearest-centroid assignment: the same index-order
+        # squared-L2 fold and (dist2, cluster_id) min tie-break as
+        # _assign_to_centroids, keyed by subspace
+        d = xs.join(F.broadcast(cents), "subspace").select(
+            id_column,
+            "subspace",
+            F.struct(
+                F.aggregate(
+                    F.zip_with("__x", "cvec", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("__dist2"),
+                F.col("cluster_id").alias("cluster_id"),
+            ).alias("__dc"),
+        )
+        assigned = (
+            d.groupBy(id_column, "subspace")
+            .agg(F.min("__dc").alias("__best"))
+            .select(
                 id_column,
-                F.lit(s).alias("subspace"),
-                F.col("cluster_id").alias("code"),
+                "subspace",
+                F.col("__best.cluster_id").alias("cluster_id"),
             )
         )
-        # training is done (collect above materialized it); the encode
-        # pass re-reads the corpus once at caller materialization
-        xs.unpersist()
-    codes = codes_parts[0]
-    for p in codes_parts[1:]:
-        codes = codes.unionByName(p)
-    # the full codebook is a local literal frame (m*k rows): sorted for
-    # a deterministic row layout, schema widened with the subspace tag
-    book_rows.sort(key=lambda r: (r[0], r[1]))
+        members = assigned.join(xs, [id_column, "subspace"]).select(
+            "subspace", "cluster_id", "__x"
+        )
+        # group_centroids' value-sorted mean fold, keyed by
+        # (subspace, cluster): groups are disjoint across subspaces, so
+        # per-subspace values are identical to separate runs
+        ex = members.select(
+            "subspace",
+            "cluster_id",
+            F.posexplode("__x").alias("pos", "__v"),
+        )
+        gc = ex.groupBy("subspace", "cluster_id", "pos").agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("__v")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("centroid_v")
+        )
+        cents = gc.groupBy("subspace", "cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+                lambda r: r["centroid_v"],
+            ).alias("cvec")
+        )
+    trained = cents.collect()
+    xs.unpersist()
+    book_rows = sorted(
+        (r["subspace"], r["cluster_id"], list(r["cvec"])) for r in trained
+    )
+    books = {
+        s: [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
+        for s in range(m)
+    }
+    # shuffle-free encode: per-subspace literal argmin folds in ONE
+    # projection, exploded to the (id, subspace, code) layout
+    codes = corpus.select(
+        F.col(id_column),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _argmin_literal_expr(
+                            F.slice(xv, s * sub + 1, sub), books[s]
+                        ).alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_column, "__e.subspace", "__e.code")
     book = spark.createDataFrame(
         book_rows,
         T.StructType(
-            [T.StructField("subspace", T.IntegerType(), False)]
-            + list(book_schema.fields)
+            [
+                T.StructField("subspace", T.IntegerType(), False),
+                T.StructField("cluster_id", T.IntegerType(), True),
+                T.StructField("cvec", T.ArrayType(T.DoubleType()), True),
+            ]
         ),
     )
     return codes, book
