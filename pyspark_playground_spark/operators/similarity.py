@@ -2276,3 +2276,69 @@ def rbo_report(
             F.coalesce("__rbo_q9", F.lit(0).cast("long")).alias("rbo_q9"),
         )
     )
+
+
+def pq_encode_with_book(
+    corpus: DataFrame,
+    book: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against a FROZEN PQ codebook — the production
+    incremental pattern :func:`pq_train_encode` trains for: the
+    codebook is learned once (offline, on yesterday's corpus or a
+    sample) and every subsequent ingest batch encodes against it
+    without retraining, so codes stay comparable across batches and
+    the ADC LUTs built from the same book keep working. (Retraining
+    per batch would silently re-key the code space — the vector-index
+    analogue of changing a hash seed mid-table.)
+
+    ``book`` is the model-sized ``(subspace, cluster_id, cvec)`` frame
+    :func:`pq_train_encode` returns (or the same shape read back from
+    storage). It is collected driver-side (m·k rows — model-sized by
+    design) and compiled into per-subspace literal argmin folds, so the
+    encode is ONE shuffle-free projection + explode over the batch:
+    identical arithmetic (index-order squared-L2 fold, smallest-id
+    tie-break) to the assignment inside training.
+
+    Output: (id, subspace, code) — m rows per input vector.
+    """
+    rows = book.select("subspace", "cluster_id", "cvec").collect()
+    if not rows:
+        raise ValueError("pq_encode_with_book: empty codebook")
+    books: dict[int, list] = {}
+    sub_len: dict[int, int] = {}
+    for r in rows:
+        books.setdefault(r["subspace"], []).append(
+            (r["cluster_id"], list(r["cvec"]))
+        )
+        sub_len[r["subspace"]] = len(r["cvec"])
+    subspaces = sorted(books)
+    if subspaces != list(range(len(subspaces))):
+        raise ValueError(
+            f"pq_encode_with_book: subspaces {subspaces} are not "
+            f"contiguous 0..m-1"
+        )
+    xv = _as_double(F.col(vector_column))
+    offsets = []
+    off = 1
+    for s in subspaces:
+        offsets.append(off)
+        off += sub_len[s]
+    return corpus.select(
+        F.col(id_column),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _argmin_literal_expr(
+                            F.slice(xv, offsets[s], sub_len[s]), books[s]
+                        ).alias("code"),
+                    )
+                    for s in subspaces
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_column, "__e.subspace", "__e.code")

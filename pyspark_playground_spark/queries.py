@@ -14069,3 +14069,113 @@ def rbo_cosine_vs_l2_embeddings(spark, sf_dir):
     ra = sim.brute_force_topk(emb, panel, k=10)
     rb = sim.brute_force_topk_l2(emb, panel, k=10)
     return sim.rbo_report(ra, rb, depth=10, p_ppm=900_000)
+
+
+def _pq_encode_oracle(*, dim: int, m: int, k: int, iterations: int,
+                      split: int) -> str:
+    """Replay pq_encode_with_book's incremental contract: train the
+    per-subspace Lloyd codebooks on the vec_id < split slice (the
+    _pq_oracle arithmetic over a filtered source), then encode the
+    vec_id >= split batch against the FROZEN final centroids."""
+    sub = dim // m
+    pdist = """
+    , d_{s}_{i} AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                * (CAST(v.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                FOR j IN range(1, {sub} + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM tr v CROSS JOIN {cent} c
+    ), a_{s}_{i} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM d_{s}_{i}
+      ) WHERE rn = 1
+    )"""
+    pupdate = """
+    , cent_{s}_{nxt} AS (
+      SELECT cluster_id, list(centroid ORDER BY pos) AS cvec FROM (
+        SELECT cluster_id, pv.pos AS pos,
+               CAST(list_reduce(list_prepend(0.0, list_sort(list(pv.v))),
+                                (x, y) -> x + y) AS DOUBLE) / count(*)
+                 AS centroid
+        FROM (
+          SELECT a_{s}_{i}.cluster_id,
+                 unnest([{{'pos': j - 1,
+                           'v': CAST(e.embedding AS DOUBLE[])[{lo}:{hi}][j]}}
+                         FOR j IN range(1, {sub} + 1)]) AS pv
+          FROM a_{s}_{i} JOIN tr e USING (vec_id)
+        ) GROUP BY cluster_id, pv.pos
+      ) GROUP BY cluster_id
+    )"""
+    parts = [
+        f"""
+    WITH tr AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {split}
+    ), batch AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {split}
+    )"""
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""
+    , cent_{s}_0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS cvec
+      FROM tr WHERE vec_id < {k}
+    )"""
+        )
+        for i in range(iterations):
+            parts.append(pdist.format(s=s, i=i, cent=f"cent_{s}_{i}",
+                                      lo=lo, hi=hi, sub=sub))
+            parts.append(pupdate.format(s=s, i=i, nxt=i + 1, lo=lo, hi=hi,
+                                        sub=sub))
+        parts.append(
+            f"""
+    , enc_{s} AS (
+      SELECT vec_id, {s} AS subspace, cluster_id AS code FROM (
+        SELECT b.vec_id, c.cluster_id,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_reduce(list_prepend(0.0,
+                   [(CAST(b.embedding AS DOUBLE[])[{lo}:{hi}][j] - c.cvec[j])
+                    * (CAST(b.embedding AS DOUBLE[])[{lo}:{hi}][j]
+                       - c.cvec[j])
+                    FOR j IN range(1, {sub} + 1)]),
+                   (a, x) -> a + x) ASC, c.cluster_id ASC) AS rn
+        FROM batch b CROSS JOIN cent_{s}_{iterations} c
+      ) WHERE rn = 1
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM enc_{s}" for s in range(m))
+    parts.append(f"""
+    SELECT vec_id, CAST(subspace AS INT) AS subspace,
+           CAST(code AS INT) AS code
+    FROM ({union})
+    """)
+    return "".join(parts)
+
+
+@query(
+    "pq_incremental_encode_embeddings",
+    _pq_encode_oracle(dim=64, m=2, k=8, iterations=1, split=400),
+)
+def pq_incremental_encode_embeddings(spark, sf_dir):
+    """Incremental PQ ingest (similarity.pq_encode_with_book): train the
+    codebook ONCE on the vec_id < 400 slice (yesterday's corpus), then
+    encode today's vec_id >= 400 batch against the FROZEN book — codes
+    stay comparable across batches and existing ADC LUTs keep working
+    (per-batch retraining would silently re-key the code space). The
+    encode is one shuffle-free literal-argmin projection; the oracle
+    replays training on the slice and the frozen-book assignment of
+    the batch."""
+    emb = load(spark, sf_dir, "embeddings")
+    _, book = sim.pq_train_encode(
+        emb.filter(F.col("vec_id") < 400), dim=64, m=2, k=8, iterations=1
+    )
+    return sim.pq_encode_with_book(
+        emb.filter(F.col("vec_id") >= 400), book
+    )

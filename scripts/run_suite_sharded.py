@@ -28,17 +28,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    files = sorted(
-        glob.glob(os.path.join(REPO, "tests", "test_*.py")),
-        key=lambda p: -os.path.getsize(p),
-    )
+    files = glob.glob(os.path.join(REPO, "tests", "test_*.py"))
+
+    # duration-based balance: file size is a poor proxy for wall time
+    # (streaming awaitTermination tests are small files with long waits).
+    # scripts/suite_durations.json maps module basename -> measured
+    # seconds (regenerate with SPARK_GRAFT_SUITE_TIMING=1, which adds
+    # --durations=0 and rewrites the table from the logs); unmeasured
+    # modules fall back to a size-derived estimate.
+    dur_path = os.path.join(REPO, "scripts", "suite_durations.json")
+    durations: dict[str, float] = {}
+    if os.path.exists(dur_path):
+        import json
+
+        with open(dur_path) as fh:
+            durations = json.load(fh)
+
+    def weight(path: str) -> float:
+        base = os.path.basename(path)
+        if base in durations:
+            return durations[base]
+        # ~1s of suite wall per 700 bytes was the observed size fit
+        return os.path.getsize(path) / 700.0
+
+    files.sort(key=lambda p: -weight(p))
     shards: list[list[str]] = [[] for _ in range(n)]
-    loads = [0] * n
+    loads = [0.0] * n
     for f in files:  # greedy longest-processing-time assignment
         i = loads.index(min(loads))
         shards[i].append(f)
-        loads[i] += os.path.getsize(f)
+        loads[i] += weight(f)
 
+    timing = os.environ.get("SPARK_GRAFT_SUITE_TIMING") == "1"
     t0 = time.time()
     procs = []
     for i, shard in enumerate(shards):
@@ -49,12 +70,15 @@ def main() -> int:
         # 4 local cores per shard: n=4 shards x 4 cores fills a 16-32 CPU
         # box without oversubscribing any single Spark session
         env.setdefault("SPARK_GRAFT_TEST_CORES", "4")
+        args = [sys.executable, "-m", "pytest", "-q", *shard]
+        if timing:
+            args.append("--durations=0")
         procs.append(
             (
                 i,
                 log,
                 subprocess.Popen(
-                    [sys.executable, "-m", "pytest", "-q", *shard],
+                    args,
                     cwd=REPO,
                     stdout=open(log, "w"),
                     stderr=subprocess.STDOUT,
@@ -77,6 +101,34 @@ def main() -> int:
             with open(log) as fh:
                 print("".join(fh.readlines()[-40:]))
     print(f"total wall: {time.time() - t0:.1f}s across {len(procs)} shards")
+    if timing and rc == 0:
+        # rebuild the per-module duration table from --durations lines
+        # ("0.52s call     tests/test_x.py::test_y"); setup/teardown
+        # phases are charged to their module too
+        import json
+        import re
+
+        per_mod: dict[str, float] = {}
+        pat = re.compile(
+            r"^\s*(\d+\.\d+)s\s+\w+\s+tests/(test_\w+\.py)::"
+        )
+        for i, log, _ in procs:
+            with open(log) as fh:
+                for line in fh:
+                    mm = pat.match(line)
+                    if mm:
+                        per_mod[mm.group(2)] = per_mod.get(
+                            mm.group(2), 0.0
+                        ) + float(mm.group(1))
+        if per_mod:
+            with open(dur_path, "w") as fh:
+                json.dump(
+                    {k: round(v, 1) for k in sorted(per_mod)
+                     for v in [per_mod[k]]},
+                    fh,
+                    indent=1,
+                )
+            print(f"wrote {dur_path} ({len(per_mod)} modules)")
     return rc
 
 

@@ -934,6 +934,18 @@ def main() -> None:
             "overwrite").save()
     timed("rbo_cosine_vs_l2", n_emb, rbo_probe)
 
+    # 66. frozen-book incremental PQ encode (r7): train once on the
+    #     original 2k vectors, encode the whole replicated corpus as one
+    #     shuffle-free literal-argmin projection (0 exchanges)
+    def pq_inc():
+        _, book = sim.pq_train_encode(
+            emb.filter(F.col("vec_id") < 2000), dim=64, m=2, k=8,
+            iterations=1,
+        )
+        sim.pq_encode_with_book(emb, book).write.format("noop").mode(
+            "overwrite").save()
+    timed("pq_incremental_encode", n_emb, pq_inc)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

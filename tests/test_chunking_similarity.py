@@ -471,3 +471,31 @@ def test_rbo_report_identical_disjoint_and_model(spark):
         if ov > 0
     )
     assert got["rbo_q9"] == expect and got["n_common"] == 3
+
+
+def test_pq_encode_with_book_frozen_contract(spark):
+    """Encoding against the returned frozen book reproduces the training
+    encode exactly; a later batch's codes are the matching subset of a
+    full re-encode (the incremental-ingest invariant); empty and
+    non-contiguous books raise."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), float(i % 7), float(i % 2)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, book = sim.pq_train_encode(corpus, dim=4, m=2, k=4, iterations=2)
+    re_enc = sim.pq_encode_with_book(corpus, book)
+    assert sorted(map(tuple, codes.collect())) == sorted(
+        map(tuple, re_enc.collect())
+    )
+    # incremental batch == the matching subset of the full encode
+    batch = sim.pq_encode_with_book(corpus.filter("vec_id >= 10"), book)
+    full = {t for t in map(tuple, codes.collect()) if t[0] >= 10}
+    assert set(map(tuple, batch.collect())) == full
+
+    with _pytest.raises(ValueError, match="empty"):
+        sim.pq_encode_with_book(corpus, book.filter("subspace < 0"))
+    with _pytest.raises(ValueError, match="contiguous"):
+        sim.pq_encode_with_book(corpus, book.filter("subspace = 1"))
