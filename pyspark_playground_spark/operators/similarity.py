@@ -1425,56 +1425,25 @@ def retrieval_eval_report(
     )
 
 
-def pq_train_encode(
+def _fused_subspace_lloyd(
     corpus: DataFrame,
     *,
-    id_column: str = "vec_id",
-    vector_column: str = "embedding",
-    dim: int,
-    m: int = 2,
-    k: int = 8,
-    iterations: int = 1,
-) -> tuple[DataFrame, DataFrame]:
-    """Deterministic Product Quantization: split ``dim`` into ``m``
-    contiguous subspaces, run the clean-room Lloyd quantizer
-    (:func:`kmeans_lloyd`'s exact arithmetic — id<k seeds, value-sorted
-    mean folds, index-order distance folds, cluster-id tie-breaks) per
-    subspace, and encode every corpus vector as its ``m`` nearest
-    sub-centroid ids. THE 100 TB vector-storage path: ``m`` uint8 codes
-    per vector instead of ``dim`` floats (32x at m=8/dim=64), with
-    query-time scoring against a model-sized codebook instead of the
-    raw vectors.
-
-    Returns ``(codes, codebook)``:
-    ``codes (id, subspace, code)`` — m rows per vector;
-    ``codebook (subspace, cluster_id, cvec)`` — m*k rows, model-sized.
-
-    Plan (r7 fused): training runs ONE frame holding all m slices keyed
-    by subspace — one seed count, one broadcast-assignment + one
-    (subspace, cluster, dim)-keyed exchange per iteration, ONE collect —
-    instead of m separate chains (the per-subspace arithmetic is
-    unchanged: groups are disjoint across subspaces, so every fold sees
-    exactly the rows it did before). The encode pass is a SHUFFLE-FREE
-    projection: the collected codebook compiles into per-subspace
-    literal argmin folds (:func:`_argmin_literal_expr` — identical
-    result to the groupBy-min assignment, same index-order fold and
-    tie-break) + one explode to (id, subspace, code) rows.
-
-    The ``id < k`` seed convention (kmeans_lloyd's documented contract)
-    is ENFORCED here: non-contiguous or string ids that produce fewer
-    than k seed vectors raise ``ValueError`` instead of silently
-    training a degenerate codebook. Training materializes eagerly (the
-    codebook is model-sized — m·k rows — and is collected to a local
-    frame), so the persisted slice frame is unpersisted before
-    returning and the returned frames carry no cached lineage.
-    """
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-    spark = corpus.sparkSession
-    xv = _as_double(F.col(vector_column))
-    # ONE persisted frame with all m slices: the seed filter and every
-    # training consumer read it once; subspace is a grouping key
+    id_column: str,
+    base_vec: Column,
+    sub: int,
+    m: int,
+    k: int,
+    iterations: int,
+) -> list:
+    """Train m per-subspace Lloyd codebooks over ONE subspace-keyed
+    frame (one seed count, one broadcast assignment + one
+    (subspace, cluster, dim)-keyed exchange per iteration, ONE collect)
+    — arithmetic identical to m separate :func:`kmeans_lloyd` runs over
+    the slices of ``base_vec`` (groups are disjoint across subspaces,
+    so every fold sees exactly the rows it would alone). ``base_vec``
+    may be any vector expression over the corpus row (raw vector, or
+    the coarse residual for IVFADC). Enforces the id<k seed contract.
+    Returns sorted ``[(subspace, cluster_id, [floats]), ...]``."""
     xs = (
         corpus.select(
             F.col(id_column),
@@ -1483,7 +1452,7 @@ def pq_train_encode(
                     *[
                         F.struct(
                             F.lit(s).alias("subspace"),
-                            F.slice(xv, s * sub + 1, sub).alias("__x"),
+                            F.slice(base_vec, s * sub + 1, sub).alias("__x"),
                         )
                         for s in range(m)
                     ]
@@ -1502,7 +1471,7 @@ def pq_train_encode(
     if n_seeds != m * k:
         raise ValueError(
             f"seed filter {id_column} < {k} matched {n_seeds // m if m else 0}"
-            f" rows, expected exactly {k}: pq_train_encode requires "
+            f" rows, expected exactly {k}: subspace Lloyd training requires "
             f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
             f"convention)"
         )
@@ -1560,8 +1529,62 @@ def pq_train_encode(
         )
     trained = cents.collect()
     xs.unpersist()
-    book_rows = sorted(
+    return sorted(
         (r["subspace"], r["cluster_id"], list(r["cvec"])) for r in trained
+    )
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    m: int = 2,
+    k: int = 8,
+    iterations: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Product Quantization: split ``dim`` into ``m``
+    contiguous subspaces, run the clean-room Lloyd quantizer
+    (:func:`kmeans_lloyd`'s exact arithmetic — id<k seeds, value-sorted
+    mean folds, index-order distance folds, cluster-id tie-breaks) per
+    subspace, and encode every corpus vector as its ``m`` nearest
+    sub-centroid ids. THE 100 TB vector-storage path: ``m`` uint8 codes
+    per vector instead of ``dim`` floats (32x at m=8/dim=64), with
+    query-time scoring against a model-sized codebook instead of the
+    raw vectors.
+
+    Returns ``(codes, codebook)``:
+    ``codes (id, subspace, code)`` — m rows per vector;
+    ``codebook (subspace, cluster_id, cvec)`` — m*k rows, model-sized.
+
+    Plan (r7 fused): training runs ONE frame holding all m slices keyed
+    by subspace — one seed count, one broadcast-assignment + one
+    (subspace, cluster, dim)-keyed exchange per iteration, ONE collect —
+    instead of m separate chains (the per-subspace arithmetic is
+    unchanged: groups are disjoint across subspaces, so every fold sees
+    exactly the rows it did before). The encode pass is a SHUFFLE-FREE
+    projection: the collected codebook compiles into per-subspace
+    literal argmin folds (:func:`_argmin_literal_expr` — identical
+    result to the groupBy-min assignment, same index-order fold and
+    tie-break) + one explode to (id, subspace, code) rows.
+
+    The ``id < k`` seed convention (kmeans_lloyd's documented contract)
+    is ENFORCED here: non-contiguous or string ids that produce fewer
+    than k seed vectors raise ``ValueError`` instead of silently
+    training a degenerate codebook. Training materializes eagerly (the
+    codebook is model-sized — m·k rows — and is collected to a local
+    frame), so the persisted slice frame is unpersisted before
+    returning and the returned frames carry no cached lineage.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = corpus.sparkSession
+    xv = _as_double(F.col(vector_column))
+    book_rows = _fused_subspace_lloyd(
+        corpus, id_column=id_column, base_vec=xv, sub=sub, m=m, k=k,
+        iterations=iterations,
     )
     books = {
         s: [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
@@ -1874,22 +1897,21 @@ def ivf_pq_topk(
             vec_col, F.element_at(cmap, cell_col), lambda a, b: a - b
         )
 
-    books = []
-    for s in range(m):
-        base_vec = _as_double(F.col(vector_column))
-        if residual:
-            base_vec = residual_expr(
-                base_vec, _argmin_literal_expr(base_vec, coarse)
-            )
-        xs = corpus.select(
-            F.col(id_column),
-            F.slice(base_vec, s * sub + 1, sub).alias("__x"),
+    base_vec = _as_double(F.col(vector_column))
+    if residual:
+        base_vec = residual_expr(
+            base_vec, _argmin_literal_expr(base_vec, coarse)
         )
-        books.append(
-            _lloyd_train_collect(
-                xs, id_column=id_column, k=k, iterations=iterations
-            )
-        )
+    # fused: one subspace-keyed training frame, one seed count, one
+    # collect for all m codebooks (arithmetic identical to m solo runs)
+    book_rows = _fused_subspace_lloyd(
+        corpus, id_column=id_column, base_vec=base_vec, sub=sub, m=m,
+        k=k, iterations=iterations,
+    )
+    books = [
+        [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
+        for s in range(m)
+    ]
 
     # --- query-side probe + ADC LUT (bounded panel × model tables) ---
     q = queries.select(
