@@ -846,3 +846,136 @@ def test_mondrian_conformal_matches_model(spark, data):
             thr = cal[k - 1]
             assert r["threshold"] == thr
             assert r["n_covered"] == sum(1 for s in ev if s <= thr)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from("pqr"), st.integers(-50, 50)),
+        min_size=2, max_size=40,
+    )
+)
+def test_anova_oneway_matches_model(spark, data):
+    """n/k/SS strings/F equal the literal quantized computation (values
+    q6-quantized once, per-group double SS terms floored at integer
+    units, exact integer sums, scale-invariant F) for ANY grouping."""
+    import math
+    from collections import defaultdict
+
+    from pyspark_playground_spark.operators.profiling import anova_oneway
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in data], "g string, v double"
+    )
+    r = anova_oneway(df, value_column="v", group_column="g").collect()[0]
+    groups = defaultdict(list)
+    for g, v in data:
+        groups[g].append(math.floor(float(v) * 1e6 + 0.5))
+    n = len(data)
+    k = len(groups)
+    s_all = sum(sum(vs) for vs in groups.values())
+    gmean = float(s_all) / float(n)
+    ssb = ssw = 0
+    for vs in groups.values():
+        ng, sg, qg = len(vs), sum(vs), sum(x * x for x in vs)
+        mg = float(sg) / float(ng)
+        ssb += math.floor(
+            float(ng) * (mg - gmean) * (mg - gmean) / 1e12 + 0.5
+        )
+        ssw += math.floor(
+            (float(qg) - float(sg) * float(sg) / float(ng)) / 1e12 + 0.5
+        )
+    assert (r["n_rows"], r["k_groups"]) == (n, k)
+    assert (r["ssb_s"], r["ssw_s"]) == (str(ssb), str(ssw))
+    if k >= 2 and n > k and ssw > 0:
+        f = (float(ssb) / float(k - 1)) / (float(ssw) / float(n - k))
+        assert r["f_q6"] == math.floor(f * 1e6 + 0.5)
+    else:
+        assert r["f_q6"] is None
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()),
+        min_size=1, max_size=40,
+    )
+)
+def test_drift_jsd_matches_model(spark, data):
+    """jsd equals the literal smoothed per-bin computation with the same
+    HALF_UP roundings (log2 at 7 decimals, terms at 9, exact DECIMAL
+    sum) for ANY value/cohort multiset."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark_playground_spark.operators.profiling import drift_jsd
+
+    df = spark.createDataFrame(
+        [(v, c) for v, c in data], "v int, a boolean"
+    )
+    r = drift_jsd(df, value_column="v", cohort_column="a").collect()[0]
+
+    def rhu(x, d):
+        return float(
+            Decimal(repr(x)).quantize(Decimal(f"1e-{d}"), ROUND_HALF_UP)
+        )
+
+    ca = Counter(v for v, c in data if c)
+    cb = Counter(v for v, c in data if not c)
+    bins = sorted({v for v, _ in data})
+    na, nb, nbins = sum(ca.values()), sum(cb.values()), len(bins)
+    total = Decimal(0)
+    for v in bins:
+        a1, b1 = ca[v] + 1, cb[v] + 1
+        pa = a1 / float(na + nbins)
+        pb = b1 / float(nb + nbins)
+        num_a = float(a1 * (nb + nbins))
+        num_b = float(b1 * (na + nbins))
+        den = float(a1 * (nb + nbins) + b1 * (na + nbins))
+        lg_a = rhu(math.log2(2.0 * num_a / den), 7)
+        lg_b = rhu(math.log2(2.0 * num_b / den), 7)
+        total += Decimal(repr(rhu(0.5 * (pa * lg_a + pb * lg_b), 9)))
+    assert (r["n_a"], r["n_b"], r["n_bins"]) == (na, nb, nbins)
+    assert r["jsd"] == float(total)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 99),
+                  st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    b=st.sampled_from([7, 20, 49]),
+)
+def test_sign_flip_matches_model(spark, data, b):
+    """obs/n_as_extreme/p equal the pure-Python md5 sign mirror for ANY
+    paired-diff multiset and flip count."""
+    import hashlib
+    import math
+
+    from pyspark_playground_spark.operators.sampling import sign_flip_test
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data], "id int, v double"
+    )
+    r = sign_flip_test(
+        df, diff_column="v", key_columns=["id"], permutations=b
+    ).collect()[0]
+
+    def sgn(k, i):
+        h = hashlib.md5(f"{k}:{i}:sf".encode()).hexdigest()
+        return (int(h[:8], 16) % 2) * 2 - 1
+
+    ds = {str(k): math.floor(float(v) * 1e6 + 0.5) for k, v in data}
+    obs = sum(ds.values())
+    stats = [sum(s * sgn(k, i) for k, s in ds.items()) for i in range(b)]
+    n_ext = sum(1 for s in stats if abs(s) >= abs(obs))
+    assert r["n_pairs"] == len(data)
+    assert r["obs_sum_x6"] == obs
+    assert r["n_as_extreme"] == n_ext
+    assert r["p_q6"] == ((n_ext + 1) * 1_000_000) // (b + 1)
