@@ -1571,3 +1571,56 @@ def code_switch_report(
             " THEN ((__nl - __domc) * 1000000L) DIV __nl END"
         ).alias("minority_x6"),
     )
+
+
+def encoding_quality_report(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Encoding-artifact census per document — the mojibake screen web
+    corpora run before any text model sees the bytes (the ftfy-class
+    problem, reduced to engine-portable counting): double-encoded UTF-8
+    read as Latin-1 leaves telltale lead bytes ('Ã', 'Â', 'â€¦'-style
+    runs), decoder failures leave U+FFFD replacement characters, and
+    binary-contaminated text carries C0/C1 control characters outside
+    tab/newline/CR. Each is a plain regex count — one codegen'd
+    projection, no shuffle, no UDF — and the summary ratio
+    ``bad_ppm = (replacement + control + mojibake)·1e6 DIV n_chars``
+    is an exact integer, NULL on empty text.
+
+    This REPORTS; :func:`normalize_text` strips. Threshold on
+    ``bad_ppm`` (e.g. drop > 1000) rather than any single counter: real
+    mojibake always trips several signals at once.
+
+    Output: (id, n_chars, n_replacement, n_control, n_mojibake,
+    bad_ppm).
+    """
+    t = F.col(text_column)
+    n_chars = F.length(t)
+    n_repl = F.size(
+        F.regexp_extract_all(t, F.lit("�"), F.lit(0))
+    )
+    n_ctrl = F.size(
+        F.regexp_extract_all(
+            t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), F.lit(0)
+        )
+    )
+    n_moji = F.size(
+        F.regexp_extract_all(t, F.lit("Ã.|Â.|â€."), F.lit(0))
+    )
+    out = df.select(
+        F.col(id_column),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        n_moji.cast("long").alias("n_mojibake"),
+    )
+    return out.withColumn(
+        "bad_ppm",
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN ((n_replacement + n_control +"
+            " n_mojibake) * 1000000L) DIV n_chars END"
+        ),
+    )

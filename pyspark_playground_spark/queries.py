@@ -14179,3 +14179,43 @@ def pq_incremental_encode_embeddings(spark, sf_dir):
     return sim.pq_encode_with_book(
         emb.filter(F.col("vec_id") >= 400), book
     )
+
+
+@query(
+    "encoding_quality_documents",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(text,
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS BIGINT)
+               AS n_control,
+             CAST(len(regexp_extract_all(text, 'Ã.|Â.|â€.')) AS BIGINT)
+               AS n_mojibake
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+           CASE WHEN n_chars > 0 THEN
+             CAST((n_replacement + n_control + n_mojibake) * 1000000
+                  // n_chars AS BIGINT)
+           END AS bad_ppm
+    FROM c
+    """,
+)
+def encoding_quality_documents(spark, sf_dir):
+    """Mojibake / encoding-artifact census (operators/text.py
+    encoding_quality_report): per-document counts of UTF-8-as-Latin-1
+    lead-byte runs, U+FFFD replacement characters, and stray control
+    characters, with the exact-integer bad_ppm summary — the ftfy-class
+    screen a web corpus runs before any text model sees the bytes. One
+    zero-UDF projection; the synthetic corpus is clean by construction,
+    so every counter being 0 IS the expected audit result (the
+    artifact-bearing cases are pinned in tests)."""
+    from pyspark_playground_spark.operators.text import (
+        encoding_quality_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return encoding_quality_report(docs)

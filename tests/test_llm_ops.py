@@ -1058,3 +1058,29 @@ def test_uniform_frame_plan_fractional_fps(spark):
     assert [r["frame_ms"] for r in d2] == [2000, 6000, 12000, 16000]
     # fps == 0 -> total_frames == 0 -> filtered before the division.
     assert 3 not in by_doc
+
+
+def test_encoding_quality_report_hand_computed(spark):
+    """Classic double-encoded UTF-8 ('Ã©' for é, 'â€™' for a curly
+    apostrophe), a U+FFFD, and a NUL byte each trip their counter;
+    clean text reports zeros; empty text gets NULL bad_ppm."""
+    from pyspark_playground_spark.operators.text import (
+        encoding_quality_report,
+    )
+
+    rows = [
+        (1, "cafÃ© drinkersâ€™ guide"),   # Ã© + â€™ mojibake
+        (2, "plain clean text."),
+        (3, "bad�char and ctrl\x01here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in encoding_quality_report(df).collect()}
+    r1 = out[1]
+    assert r1["n_mojibake"] >= 2 and r1["bad_ppm"] > 0
+    r2 = out[2]
+    assert (r2["n_replacement"], r2["n_control"], r2["n_mojibake"]) == (0, 0, 0)
+    assert r2["bad_ppm"] == 0
+    r3 = out[3]
+    assert r3["n_replacement"] == 1 and r3["n_control"] == 1
+    assert out[4]["bad_ppm"] is None
