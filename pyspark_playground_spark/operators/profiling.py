@@ -3127,3 +3127,104 @@ def two_proportion_test(
         .cast("long")
         .alias("z_q6"),
     )
+
+
+def cuped_adjusted_effect(
+    df: DataFrame,
+    *,
+    metric_column: str,
+    covariate_column: str,
+    cohort_column: Column | str,
+) -> DataFrame:
+    """CUPED variance reduction for A/B effects (Deng, Xu, Kohavi &
+    Walker, WSDM 2013 — public construction): adjust each unit's metric
+    by its pre-experiment covariate, ``y* = y − θ(x − x̄)`` with
+    ``θ = cov(x, y)/var(x)``, and report the treatment effect on the
+    adjusted metric beside the raw one. The workhorse of online
+    experimentation: pre-period behavior absorbs between-user variance,
+    shrinking confidence intervals without touching the point estimate's
+    expectation.
+
+    Exact-integer construction (the :func:`anova_oneway` discipline):
+    x/y quantize ONCE to ``floor(v·1e6+0.5)`` BIGINT; one conditional
+    aggregate produces exact DECIMAL(38,0) sums (n, Σx, Σy, Σxy, Σx²
+    per cohort); θ, the means, both effects, and the variance-reduction
+    ratio ``1 − var(y*)/var(y)`` are each ONE fixed-order double over
+    those exact integers, quantized q6 (sign-safe floor). θ is pooled
+    over both cohorts (the standard choice — a per-cohort θ would bias
+    the effect). NULLs in any input exclude the row. θ and downstream
+    values are NULL when var(x) = 0; effects are NULL when either
+    cohort is empty.
+
+    Output one row: (n_a, n_b, theta_q6, effect_raw_q6, effect_cuped_q6,
+    var_reduction_q6).
+    """
+    is_a = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        q6(F.col(metric_column)).alias("__y"),
+        q6(F.col(covariate_column)).alias("__x"),
+        is_a.alias("__a"),
+    ).filter(
+        F.col("__y").isNotNull()
+        & F.col("__x").isNotNull()
+        & F.col("__a").isNotNull()
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__na"),
+        F.sum(d38(F.col("__x"))).alias("__sx"),
+        F.sum(d38(F.col("__y"))).alias("__sy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__y"))).alias("__sxy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("__sxx"),
+        F.sum(d38(F.col("__y")) * d38(F.col("__y"))).alias("__syy"),
+        F.sum(F.when(F.col("__a"), d38(F.col("__y")))).alias("__sya"),
+        F.sum(F.when(F.col("__a"), d38(F.col("__x")))).alias("__sxa"),
+    )
+    n = F.col("__n").cast("double")
+    na = F.col("__na").cast("double")
+    nb = (F.col("__n") - F.col("__na")).cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sya = F.coalesce(F.col("__sya"), F.lit(0).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    sxa = F.coalesce(F.col("__sxa"), F.lit(0).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    var_x = sxx / n - (sx / n) * (sx / n)
+    cov_xy = sxy / n - (sx / n) * (sy / n)
+    var_y = syy / n - (sy / n) * (sy / n)
+    theta = cov_xy / var_x
+    mean_x = sx / n
+    # effect on the ADJUSTED metric: mean_A(y*) - mean_B(y*)
+    #   mean_g(y*) = mean_g(y) - theta * (mean_g(x) - mean(x))
+    eff_raw = sya / na - (sy - sya) / nb
+    eff_cuped = eff_raw - theta * (sxa / na - (sx - sxa) / nb)
+    # var(y*) = var(y) - cov^2/var(x); reduction = corr(x,y)^2
+    var_red = (cov_xy * cov_xy) / (var_x * var_y)
+    # values are in 1e6-quantized units; the effects rescale back, the
+    # dimensionless theta and reduction need no rescale
+    ok_x = var_x > 0
+    ok_g = (F.col("__na") > 0) & (F.col("__n") > F.col("__na"))
+    qq = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
+    return agg.select(
+        F.col("__na").cast("long").alias("n_a"),
+        (F.col("__n") - F.col("__na")).cast("long").alias("n_b"),
+        F.when(ok_x, qq(theta * F.lit(1e6))).alias("theta_q6"),
+        F.when(ok_g, qq(eff_raw)).alias("effect_raw_q6"),
+        F.when(ok_g & ok_x, qq(eff_cuped)).alias("effect_cuped_q6"),
+        F.when(ok_x & (var_y > 0), qq(var_red * F.lit(1e6))).alias(
+            "var_reduction_q6"
+        ),
+    )

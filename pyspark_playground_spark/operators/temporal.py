@@ -1103,3 +1103,96 @@ def seasonal_naive_error(
             " DIV ((__ss * 1000000L) DIV __ns) END"
         ).alias("mase_x6"),
     )
+
+
+def theil_sen_slope(
+    census: DataFrame,
+    *,
+    x_column: str,
+    y_column: str,
+) -> DataFrame:
+    """Theil–Sen robust trend estimator (median of all pairwise slopes;
+    Theil 1950 / Sen 1968, public construction) over a CENSUS-BOUNDED
+    series — the monitors' trend line that a few outlier hours cannot
+    drag (OLS breaks down at one bad point; Theil–Sen tolerates ~29%
+    contamination). Feed it an aggregate frame (hourly counts, daily
+    rates): the input is bounded by the TIME RANGE, so the O(points²)
+    pair frame is bounded by range², never by corpus size — this is a
+    documented census-only operator, the same envelope as the
+    order-statistics family.
+
+    Exactness: each pair's slope is ONE double division quantized
+    ``floor(s·1e6+0.5)`` (sign-safe); the slope is the exact LOWER
+    MEDIAN of those integers via a value-census cumulative (an
+    unpartitioned window over an Aggregate — the guard-sanctioned
+    shape); the intercept is the exact lower median of
+    ``floor((y − slope·x)·1e6+0.5)`` per point. Ties on x are skipped
+    (vertical pairs have no slope).
+
+    Output one row: (n_points, n_pairs, slope_q6, intercept_q6) —
+    NULLs when fewer than 2 distinct x values exist.
+    """
+    t = census.select(
+        F.col(x_column).cast("double").alias("__x"),
+        F.col(y_column).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    t = t.persist()  # bounded by design; feeds pairs + intercept + counts
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(b, F.col("a.__x") < F.col("b.__x")).select(
+        F.floor(
+            (F.col("b.__y") - F.col("a.__y"))
+            / (F.col("b.__x") - F.col("a.__x"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("__s")
+    )
+
+    def _lower_median(df: DataFrame, col: str) -> DataFrame:
+        """Exact lower median of an integer column via value census +
+        unpartitioned cumulative (bounded: sits above an Aggregate)."""
+        cens = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        cum = cens.withColumn(
+            "__cum", F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+        )
+        tot = cens.agg(F.sum("__cnt").alias("__n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(
+                (F.col("__cum") < (F.col("__n") + 1) / 2)
+                & (F.col("__cum") + F.col("__cnt") >= (F.col("__n") + 1) / 2)
+            )
+            .select(F.min(col).alias("__med"), F.first("__n").alias("__n"))
+        )
+
+    med_s = _lower_median(pairs, "__s")
+    slope_row = med_s.select(
+        F.col("__med").alias("__slope_q6"), F.col("__n").alias("__npairs")
+    )
+    resid = t.crossJoin(F.broadcast(slope_row)).select(
+        F.floor(
+            (
+                F.col("__y")
+                - F.col("__slope_q6").cast("double")
+                / F.lit(1e6)
+                * F.col("__x")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("__r"),
+        "__slope_q6",
+        "__npairs",
+    )
+    med_i = _lower_median(resid.select("__r"), "__r")
+    counts = t.agg(F.count(F.lit(1)).alias("n_points"))
+    out = (
+        counts.crossJoin(F.broadcast(slope_row))
+        .crossJoin(F.broadcast(med_i.select(F.col("__med").alias("__int"))))
+        .select(
+            F.col("n_points").cast("long").alias("n_points"),
+            F.coalesce("__npairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.col("__slope_q6").cast("long").alias("slope_q6"),
+            F.col("__int").cast("long").alias("intercept_q6"),
+        )
+    )
+    return out

@@ -14219,3 +14219,206 @@ def encoding_quality_documents(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return encoding_quality_report(docs)
+
+
+@query(
+    "theil_sen_hourly_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    hr AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS DOUBLE)
+               AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM e WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(floor((b.y - a.y) / (b.x - a.x) * 1e6 + 0.5) AS BIGINT)
+               AS s
+      FROM hr a JOIN hr b ON a.x < b.x
+    ),
+    sc AS (SELECT s, count(*) AS cnt FROM pairs GROUP BY s),
+    scum AS (
+      SELECT s, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM sc
+    ),
+    stot AS (SELECT sum(cnt) AS n FROM sc),
+    sm AS (
+      SELECT min(s) AS slope_q6, max(stot.n) AS n_pairs
+      FROM scum CROSS JOIN stot
+      WHERE cum < (stot.n + 1) / 2 AND cum + cnt >= (stot.n + 1) / 2
+    ),
+    resid AS (
+      SELECT CAST(floor((hr.y - CAST(sm.slope_q6 AS DOUBLE) / 1e6 * hr.x)
+                        * 1e6 + 0.5) AS BIGINT) AS r
+      FROM hr CROSS JOIN sm
+    ),
+    rc AS (SELECT r, count(*) AS cnt FROM resid GROUP BY r),
+    rcum AS (
+      SELECT r, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM rc
+    ),
+    rtot AS (SELECT sum(cnt) AS n FROM rc),
+    rm AS (
+      SELECT min(r) AS intercept_q6
+      FROM rcum CROSS JOIN rtot
+      WHERE cum < (rtot.n + 1) / 2 AND cum + cnt >= (rtot.n + 1) / 2
+    )
+    SELECT CAST((SELECT count(*) FROM hr) AS BIGINT) AS n_points,
+           CAST(coalesce(sm.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(sm.slope_q6 AS BIGINT) AS slope_q6,
+           CAST(rm.intercept_q6 AS BIGINT) AS intercept_q6
+    FROM sm CROSS JOIN rm
+    """,
+)
+def theil_sen_hourly_events(spark, sf_dir):
+    """Theil-Sen robust trend of hourly event volume
+    (operators/temporal.py theil_sen_slope; median of all pairwise
+    slopes): the monitors' trend line a few outlier hours cannot drag —
+    OLS breaks at one bad point, Theil-Sen tolerates ~29%
+    contamination. The pair frame is bounded by the TIME RANGE squared
+    (hours x hours), never corpus size; slope and intercept are exact
+    lower medians of quantized integers via value-census cumulatives."""
+    from pyspark_playground_spark.operators.temporal import theil_sen_slope
+
+    e = load_events(spark, sf_dir)
+    hr = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3600)
+            ).cast("long").alias("x")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return theil_sen_slope(hr, x_column="x", y_column="y")
+
+
+@query(
+    "cuped_purchase_effect_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CASE WHEN date_part('day', ts) <= 15
+               THEN CAST(round(value, 9) AS DECIMAL(28,10)) END), 0)
+               AS DOUBLE) AS x,
+             CAST(coalesce(sum(CASE WHEN date_part('day', ts) > 15
+               THEN CAST(round(value, 9) AS DECIMAL(28,10)) END), 0)
+               AS DOUBLE) AS y,
+             coalesce(max(CASE WHEN date_part('day', ts) <= 15
+               AND event_type = 'purchase' THEN true END), false) AS a
+      FROM e WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    q AS (
+      SELECT CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS x, a
+      FROM u
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             coalesce(sum(CASE WHEN a THEN CAST(y AS HUGEINT) END), 0)
+               AS sya,
+             coalesce(sum(CASE WHEN a THEN CAST(x AS HUGEINT) END), 0)
+               AS sxa
+      FROM q
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+           CASE WHEN CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                     > 0 THEN
+             CAST(floor((CAST(sxy AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n)
+                           * (CAST(sy AS DOUBLE) / n))
+                        / (CAST(sxx AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n)
+                             * (CAST(sx AS DOUBLE) / n))
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS theta_q6,
+           CASE WHEN na > 0 AND n > na THEN
+             CAST(floor(CAST(sya AS DOUBLE) / na
+                        - CAST(sy - sya AS DOUBLE) / (n - na) + 0.5)
+                  AS BIGINT)
+           END AS effect_raw_q6,
+           CASE WHEN na > 0 AND n > na
+                 AND CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                     > 0 THEN
+             CAST(floor(CAST(sya AS DOUBLE) / na
+                        - CAST(sy - sya AS DOUBLE) / (n - na)
+                        - ((CAST(sxy AS DOUBLE) / n
+                            - (CAST(sx AS DOUBLE) / n)
+                              * (CAST(sy AS DOUBLE) / n))
+                           / (CAST(sxx AS DOUBLE) / n
+                              - (CAST(sx AS DOUBLE) / n)
+                                * (CAST(sx AS DOUBLE) / n)))
+                          * (CAST(sxa AS DOUBLE) / na
+                             - CAST(sx - sxa AS DOUBLE) / (n - na))
+                        + 0.5) AS BIGINT)
+           END AS effect_cuped_q6,
+           CASE WHEN CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                     > 0
+                 AND CAST(syy AS DOUBLE) / n
+                     - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+                     > 0 THEN
+             CAST(floor((CAST(sxy AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n)
+                           * (CAST(sy AS DOUBLE) / n))
+                        * (CAST(sxy AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n)
+                             * (CAST(sy AS DOUBLE) / n))
+                        / ((CAST(sxx AS DOUBLE) / n
+                            - (CAST(sx AS DOUBLE) / n)
+                              * (CAST(sx AS DOUBLE) / n))
+                           * (CAST(syy AS DOUBLE) / n
+                              - (CAST(sy AS DOUBLE) / n)
+                                * (CAST(sy AS DOUBLE) / n)))
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS var_reduction_q6
+    FROM agg
+    """,
+)
+def cuped_purchase_effect_events(spark, sf_dir):
+    """CUPED variance-reduced A/B effect (operators/profiling.py
+    cuped_adjusted_effect; Deng et al. WSDM'13): did first-half
+    purchasers spend more in the second half, adjusted for first-half
+    spend (the pre-period covariate that absorbs between-user
+    variance)? Per-user exact DECIMAL pre/post sums quantized q6 once,
+    one conditional aggregate of exact DECIMAL(38,0) moments, every
+    derived value one fixed-order quantized double."""
+    from pyspark_playground_spark.operators.profiling import (
+        cuped_adjusted_effect,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    half = F.dayofmonth("ts") <= 15
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(half, dec)), F.lit(0).cast("decimal(38,10)")
+        ).cast("double").alias("x"),
+        F.coalesce(
+            F.sum(F.when(~half, dec)), F.lit(0).cast("decimal(38,10)")
+        ).cast("double").alias("y"),
+        F.coalesce(
+            F.max(F.when(half & (F.col("event_type") == "purchase"),
+                         F.lit(True))),
+            F.lit(False),
+        ).alias("a"),
+    )
+    return cuped_adjusted_effect(
+        u, metric_column="y", covariate_column="x", cohort_column="a"
+    )

@@ -946,6 +946,43 @@ def main() -> None:
             "overwrite").save()
     timed("pq_incremental_encode", n_emb, pq_inc)
 
+    # 67. Theil-Sen hourly trend over replicated events (r7): corpus
+    #     work is ONE hourly-count groupBy; the pair frame is bounded by
+    #     the time range squared (hours never replicate with FACTOR)
+    from pyspark_playground_spark.operators.temporal import theil_sen_slope
+
+    def theil():
+        hr = (ev_rep.filter(F.col("ts").isNotNull())
+              .groupBy((F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                        / F.lit(3600)).cast("long").alias("x"))
+              .agg(F.count(F.lit(1)).alias("y")))
+        theil_sen_slope(hr, x_column="x", y_column="y").write.format(
+            "noop").mode("overwrite").save()
+    timed("theil_sen_hourly", n_evr, theil)
+
+    # 68. CUPED adjusted effect over replicated events (r7): one user
+    #     groupBy + one conditional moment aggregate
+    def cuped():
+        e2 = ev_rep.filter(F.col("value").isNotNull()
+                           & F.col("ts").isNotNull())
+        half = F.dayofmonth("ts") <= 15
+        dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+        u = e2.groupBy("user_id").agg(
+            F.coalesce(F.sum(F.when(half, dec)),
+                       F.lit(0).cast("decimal(38,10)")).cast("double")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~half, dec)),
+                       F.lit(0).cast("decimal(38,10)")).cast("double")
+            .alias("y"),
+            F.coalesce(F.max(F.when(half & (F.col("event_type")
+                                            == "purchase"), F.lit(True))),
+                       F.lit(False)).alias("a"),
+        )
+        pf.cuped_adjusted_effect(
+            u, metric_column="y", covariate_column="x", cohort_column="a",
+        ).write.format("noop").mode("overwrite").save()
+    timed("cuped_effect", n_evr, cuped)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

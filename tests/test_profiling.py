@@ -1359,3 +1359,71 @@ def test_drift_jsd_hand_computed_and_bounds(spark):
         dis, value_column="v", cohort_column=~F.col("a")
     ).collect()[0]
     assert rf["jsd"] == rd["jsd"]
+
+
+def test_cuped_hand_computed_and_invariances(spark):
+    """Perfectly correlated covariate (y = 3x + cohort-shift): theta = 3,
+    adjusted effect equals the raw shift where the cohorts have equal
+    covariate means... and when cohort A has HIGHER covariate mass, the
+    CUPED effect strips exactly theta * (covariate gap); variance
+    reduction = corr^2 = 1 for an exact linear relation (so y* is
+    constant up to the shift). Constant covariate -> theta NULL."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        cuped_adjusted_effect,
+    )
+
+    # cohort A: x in 1..4 plus metric shift +10; cohort B: x in 1..4
+    rows = [(float(x), 3.0 * x + 10.0, True) for x in range(1, 5)]
+    rows += [(float(x), 3.0 * x, False) for x in range(1, 5)]
+    df = spark.createDataFrame(rows, "x double, y double, a boolean")
+    r = cuped_adjusted_effect(
+        df, metric_column="y", covariate_column="x", cohort_column="a"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    # pooled theta: equal covariate distributions in both cohorts -> the
+    # +10 shift is uncorrelated with x -> theta = 3 exactly
+    assert r["theta_q6"] == 3_000_000
+    assert r["effect_raw_q6"] == 10_000_000
+    # equal covariate means -> CUPED leaves the effect untouched
+    assert r["effect_cuped_q6"] == 10_000_000
+
+    # covariate-imbalanced cohorts (A's x shifted +2): the POOLED theta
+    # then absorbs treatment signal — CUPED assumes randomized (balanced)
+    # assignment, so here we only pin the arithmetic against an exact
+    # python mirror of the same quantized moments
+    rows2 = [(float(x + 2), 3.0 * (x + 2) + 10.0, True)
+             for x in range(1, 5)]
+    rows2 += [(float(x), 3.0 * x, False) for x in range(1, 5)]
+    df2 = spark.createDataFrame(rows2, "x double, y double, a boolean")
+    r2 = cuped_adjusted_effect(
+        df2, metric_column="y", covariate_column="x", cohort_column="a"
+    ).collect()[0]
+    assert r2["effect_raw_q6"] == 16_000_000   # 10 + 3*2 imbalance
+    xq = [math.floor(x * 1e6 + 0.5) for x, _, _ in rows2]
+    yq = [math.floor(y * 1e6 + 0.5) for _, y, _ in rows2]
+    aa = [a for _, _, a in rows2]
+    n = len(rows2)
+    sx, sy = sum(xq), sum(yq)
+    sxy = sum(x * y for x, y in zip(xq, yq))
+    sxx = sum(x * x for x in xq)
+    theta = (sxy / n - (sx / n) * (sy / n)) / (
+        sxx / n - (sx / n) * (sx / n)
+    )
+    na = sum(aa)
+    eff_raw = (sum(y for y, a in zip(yq, aa) if a) / na
+               - sum(y for y, a in zip(yq, aa) if not a) / (n - na))
+    gap = (sum(x for x, a in zip(xq, aa) if a) / na
+           - sum(x for x, a in zip(xq, aa) if not a) / (n - na))
+    assert r2["effect_cuped_q6"] == math.floor(eff_raw - theta * gap + 0.5)
+
+    # constant covariate: var(x)=0 -> theta/cuped/reduction NULL
+    const = spark.createDataFrame(
+        [(1.0, 5.0, True), (1.0, 7.0, False)], "x double, y double, a boolean"
+    )
+    rc = cuped_adjusted_effect(
+        const, metric_column="y", covariate_column="x", cohort_column="a"
+    ).collect()[0]
+    assert rc["theta_q6"] is None and rc["effect_cuped_q6"] is None
+    assert rc["effect_raw_q6"] == -2_000_000

@@ -622,3 +622,29 @@ def test_seasonal_naive_error_hand_computed(spark):
         season_hours=24).collect()}["g"]
     assert g["n_hours"] == 3
     assert g["mae1_x6"] == 3_000_000  # |0-2|, |4-0| -> 6/2
+
+
+def test_theil_sen_hand_computed_and_outlier_robust(spark):
+    """Perfect line y=2x+1 -> slope exactly 2, intercept exactly 1; one
+    wild outlier leaves the median slope at 2 (OLS would not survive);
+    a single point yields NULLs."""
+    from pyspark_playground_spark.operators.temporal import theil_sen_slope
+
+    line = spark.createDataFrame(
+        [(float(x), 2.0 * x + 1.0) for x in range(10)], "x double, y double"
+    )
+    r = theil_sen_slope(line, x_column="x", y_column="y").collect()[0]
+    assert (r["n_points"], r["n_pairs"]) == (10, 45)
+    assert r["slope_q6"] == 2_000_000 and r["intercept_q6"] == 1_000_000
+
+    out = spark.createDataFrame(
+        [(float(x), 2.0 * x + 1.0) for x in range(10)] + [(4.5, 1000.0)],
+        "x double, y double",
+    )
+    ro = theil_sen_slope(out, x_column="x", y_column="y").collect()[0]
+    assert ro["slope_q6"] == 2_000_000  # median unmoved by one outlier
+
+    single = spark.createDataFrame([(1.0, 5.0)], "x double, y double")
+    rs = theil_sen_slope(single, x_column="x", y_column="y").collect()[0]
+    assert rs["n_points"] == 1 and rs["n_pairs"] == 0
+    assert rs["slope_q6"] is None
