@@ -1196,3 +1196,79 @@ def theil_sen_slope(
         )
     )
     return out
+
+
+def binary_segmentation_changepoint(
+    census: DataFrame,
+    *,
+    x_column: str,
+    y_column: str,
+) -> DataFrame:
+    """Single-changepoint LOCATOR by binary segmentation (the first step
+    of the classic Scott–Knott / binary-segmentation family, public
+    construction): over a CENSUS-BOUNDED series, find the split that
+    maximizes the between-segment sum-of-squares reduction
+    ``gain(s) = Σ_L²/n_L + Σ_R²/n_R − Σ²/n`` — i.e. the single mean-shift
+    location a level change leaves behind. :func:`cusum_changepoint`
+    reports the drift STATISTIC per group; this answers "WHEN did the
+    level shift, and from what mean to what mean" over an aggregate
+    series (hourly volume, daily rate).
+
+    Census discipline: the input must be a bounded aggregate frame
+    (time-range-sized, never corpus-sized — the Theil–Sen contract).
+    Values quantize once to ``floor(y·1e6+0.5)`` exact integers; prefix
+    sums run in one cumulative over the census (the guard-sanctioned
+    above-an-Aggregate window); each candidate's gain is ONE
+    fixed-order double over exact integers quantized q6; the argmax
+    tie-breaks to the EARLIEST split. Output means are q6 of the
+    original scale. EMPTY result when fewer than 2 points exist (no
+    split is possible).
+
+    Output one row: (n_points, split_x, gain_q6, mean_left_q6,
+    mean_right_q6) — the split is the LAST x of the left segment.
+    """
+    t = census.select(
+        F.col(x_column).cast("double").alias("__x"),
+        F.floor(
+            F.col(y_column).cast("double") * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = t.select(
+        "__x",
+        F.sum(F.col("__y").cast("decimal(38,0)")).over(w).alias("__sl"),
+        F.count(F.lit(1)).over(w).alias("__nl"),
+    )
+    tot = t.agg(
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = pre.crossJoin(F.broadcast(tot)).filter(
+        F.col("__nl") < F.col("__n")
+    )
+    sl = F.col("__sl").cast("double")
+    nl = F.col("__nl").cast("double")
+    s = F.col("__s").cast("double")
+    n = F.col("__n").cast("double")
+    sr = s - sl
+    nr = n - nl
+    gain = sl * sl / nl + sr * sr / nr - s * s / n
+    cand = j.select(
+        F.struct(
+            F.floor(gain / F.lit(1e12) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("gain_q6"),
+            (-F.col("__x")).alias("__negx"),
+            F.floor(sl / nl + F.lit(0.5)).cast("long").alias("ml_q6"),
+            F.floor(sr / nr + F.lit(0.5)).cast("long").alias("mr_q6"),
+        ).alias("__c"),
+        F.col("__n"),
+    )
+    best = cand.groupBy("__n").agg(F.max("__c").alias("__b"))
+    return best.select(
+        F.col("__n").cast("long").alias("n_points"),
+        (-F.col("__b.__negx")).alias("split_x"),
+        F.col("__b.gain_q6").alias("gain_q6"),
+        F.col("__b.ml_q6").alias("mean_left_q6"),
+        F.col("__b.mr_q6").alias("mean_right_q6"),
+    )

@@ -14422,3 +14422,73 @@ def cuped_purchase_effect_events(spark, sf_dir):
     return cuped_adjusted_effect(
         u, metric_column="y", covariate_column="x", cohort_column="a"
     )
+
+
+@query(
+    "changepoint_hourly_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    hr AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS DOUBLE)
+               AS x,
+             CAST(floor(CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS y
+      FROM e WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    pre AS (
+      SELECT x,
+             sum(CAST(y AS HUGEINT)) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+             count(*) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl
+      FROM hr
+    ),
+    tot AS (SELECT sum(CAST(y AS HUGEINT)) AS s, count(*) AS n FROM hr),
+    cand AS (
+      SELECT pre.x, tot.n,
+             CAST(floor((CAST(pre.sl AS DOUBLE) * CAST(pre.sl AS DOUBLE)
+                           / CAST(pre.nl AS DOUBLE)
+                         + CAST(tot.s - pre.sl AS DOUBLE)
+                           * CAST(tot.s - pre.sl AS DOUBLE)
+                           / CAST(tot.n - pre.nl AS DOUBLE)
+                         - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE))
+                        / 1e12 * 1e6 + 0.5) AS BIGINT) AS gain_q6,
+             CAST(floor(CAST(pre.sl AS DOUBLE) / CAST(pre.nl AS DOUBLE)
+                        + 0.5) AS BIGINT) AS ml_q6,
+             CAST(floor(CAST(tot.s - pre.sl AS DOUBLE)
+                        / CAST(tot.n - pre.nl AS DOUBLE) + 0.5) AS BIGINT)
+               AS mr_q6
+      FROM pre CROSS JOIN tot
+      WHERE pre.nl < tot.n
+    )
+    SELECT CAST(n AS BIGINT) AS n_points, x AS split_x, gain_q6,
+           ml_q6 AS mean_left_q6, mr_q6 AS mean_right_q6
+    FROM cand ORDER BY gain_q6 DESC, x ASC LIMIT 1
+    """,
+)
+def changepoint_hourly_events(spark, sf_dir):
+    """Binary-segmentation changepoint over hourly event volume
+    (operators/temporal.py binary_segmentation_changepoint): the split
+    hour maximizing the between-segment sum-of-squares reduction, with
+    the before/after mean levels — "WHEN did the level shift, from what
+    to what" (cusum_drift_users reports the per-group drift STATISTIC;
+    this locates the break in the aggregate series). One cumulative
+    over the hour census; every candidate gain an exact-integer-derived
+    quantized double; earliest-split tie-break."""
+    from pyspark_playground_spark.operators.temporal import (
+        binary_segmentation_changepoint,
+    )
+
+    e = load_events(spark, sf_dir)
+    hr = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3600)
+            ).cast("long").alias("x")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return binary_segmentation_changepoint(hr, x_column="x", y_column="y")

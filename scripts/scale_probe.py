@@ -983,6 +983,22 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("cuped_effect", n_evr, cuped)
 
+    # 69. binary-segmentation changepoint over replicated events (r7):
+    #     corpus work is the hourly groupBy; candidates bounded by hours
+    from pyspark_playground_spark.operators.temporal import (
+        binary_segmentation_changepoint,
+    )
+
+    def chgpt():
+        hr = (ev_rep.filter(F.col("ts").isNotNull())
+              .groupBy((F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                        / F.lit(3600)).cast("long").alias("x"))
+              .agg(F.count(F.lit(1)).alias("y")))
+        binary_segmentation_changepoint(
+            hr, x_column="x", y_column="y"
+        ).write.format("noop").mode("overwrite").save()
+    timed("changepoint_hourly", n_evr, chgpt)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

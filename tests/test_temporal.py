@@ -648,3 +648,37 @@ def test_theil_sen_hand_computed_and_outlier_robust(spark):
     rs = theil_sen_slope(single, x_column="x", y_column="y").collect()[0]
     assert rs["n_points"] == 1 and rs["n_pairs"] == 0
     assert rs["slope_q6"] is None
+
+
+def test_binary_segmentation_changepoint_hand_computed(spark):
+    """Level shift 10->20 after x=4 (5 points each): the located split is
+    x=4 with means exactly 10 and 20; gain = n_L*n_R/n * shift^2 =
+    5*5/10*100 = 250; a constant series locates SOME split with gain 0;
+    a single point yields an empty result."""
+    from pyspark_playground_spark.operators.temporal import (
+        binary_segmentation_changepoint,
+    )
+
+    rows = [(float(x), 10.0) for x in range(5)]
+    rows += [(float(x), 20.0) for x in range(5, 10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = binary_segmentation_changepoint(
+        df, x_column="x", y_column="y"
+    ).collect()[0]
+    assert r["n_points"] == 10 and r["split_x"] == 4.0
+    assert r["mean_left_q6"] == 10_000_000
+    assert r["mean_right_q6"] == 20_000_000
+    assert r["gain_q6"] == 250_000_000  # 250 in y^2 units, q6
+
+    const = spark.createDataFrame(
+        [(float(x), 7.0) for x in range(6)], "x double, y double"
+    )
+    rc = binary_segmentation_changepoint(
+        const, x_column="x", y_column="y"
+    ).collect()[0]
+    assert rc["gain_q6"] == 0 and rc["split_x"] == 0.0  # earliest tie
+
+    single = spark.createDataFrame([(1.0, 5.0)], "x double, y double")
+    assert binary_segmentation_changepoint(
+        single, x_column="x", y_column="y"
+    ).collect() == []
