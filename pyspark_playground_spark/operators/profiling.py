@@ -3228,3 +3228,79 @@ def cuped_adjusted_effect(
             "var_reduction_q6"
         ),
     )
+
+
+#: standard normal quantiles for the classic test design points,
+#: hardcoded as shared cross-engine literals (no erf in either engine's
+#: deterministic surface): z_{0.975} (two-sided alpha=.05) and z_{0.80}
+_Z_ALPHA_975 = 1.959963984540054
+_Z_POWER_800 = 0.8416212335729143
+
+
+def required_sample_size_report(
+    df: DataFrame,
+    *,
+    success_column: Column | str,
+    mde_rel_ppm: int = 100_000,
+) -> DataFrame:
+    """Experiment-design power analysis from the OBSERVED baseline: how
+    many units per arm does a two-proportion test need to detect a
+    ``mde_rel_ppm`` relative lift at two-sided α = 0.05 with 80% power
+    (the classic normal-approximation formula,
+    ``n = (z_α·√(2·p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₂ − p₁)²``)?
+    The question every :func:`two_proportion_test` /
+    :func:`cuped_adjusted_effect` consumer asks BEFORE launching: run
+    it on last period's data, read off the required runtime.
+
+    Exactness: the baseline rate is an exact integer ratio from one
+    conditional aggregate; the z quantiles are shared hardcoded
+    literals (neither engine exposes a deterministic inverse-normal);
+    everything after is ONE fixed-order double expression, with the
+    required n reported as ``ceil`` (conservative) exact integers.
+    NULL when the baseline is degenerate (0, 1, or the lifted rate
+    leaves [0, 1]).
+
+    Output one row: (n_observed, n_success, baseline_ppm, lifted_ppm,
+    n_required_per_arm).
+    """
+    y = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    ).cast("boolean")
+    t = df.select(y.alias("__y")).filter(F.col("__y").isNotNull())
+    agg = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__s"),
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    p1 = s / n
+    p2 = p1 * (F.lit(1.0) + F.lit(mde_rel_ppm) / F.lit(1e6))
+    pbar = (p1 + p2) / F.lit(2.0)
+    num = (
+        F.lit(_Z_ALPHA_975)
+        * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + F.lit(_Z_POWER_800)
+        * F.sqrt(
+            p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)
+        )
+    )
+    n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1)))
+    ok = (
+        (F.col("__n") > 0)
+        & (F.col("__s") > 0)
+        & (F.col("__s") < F.col("__n"))
+        & (p2 < 1.0)
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_observed"),
+        F.col("__s").cast("long").alias("n_success"),
+        F.expr(
+            "CASE WHEN __n > 0 THEN (__s * 1000000L) DIV __n END"
+        ).alias("baseline_ppm"),
+        F.when(
+            ok, F.floor(p2 * F.lit(1e6) + F.lit(0.5))
+        ).cast("long").alias("lifted_ppm"),
+        F.when(ok, n_req).cast("long").alias("n_required_per_arm"),
+    )

@@ -14492,3 +14492,77 @@ def changepoint_hourly_events(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("y"))
     )
     return binary_segmentation_changepoint(hr, x_column="x", y_column="y")
+
+
+def _power_oracle(mde_rel_ppm: int) -> str:
+    from pyspark_playground_spark.operators.profiling import (
+        _Z_ALPHA_975,
+        _Z_POWER_800,
+    )
+
+    return f"""
+    WITH e AS ({{EVENTS_N}}),
+    u AS (
+      SELECT user_id,
+             coalesce(max(CASE WHEN event_type = 'purchase'
+                          THEN true END), false) AS y
+      FROM e GROUP BY user_id
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS s
+      FROM u
+    ),
+    d AS (
+      SELECT n, s,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               * (1.0 + {mde_rel_ppm} / 1e6) AS p2
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_observed,
+           CAST(s AS BIGINT) AS n_success,
+           CASE WHEN n > 0 THEN CAST((s * 1000000) // n AS BIGINT) END
+             AS baseline_ppm,
+           CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0 THEN
+             CAST(floor(p2 * 1e6 + 0.5) AS BIGINT)
+           END AS lifted_ppm,
+           CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0 THEN
+             CAST(ceil(
+               ({_Z_ALPHA_975!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                        * (1.0 - (p1 + p2) / 2.0))
+                + {_Z_POWER_800!r} * sqrt(p1 * (1.0 - p1)
+                                          + p2 * (1.0 - p2)))
+               * ({_Z_ALPHA_975!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                          * (1.0 - (p1 + p2) / 2.0))
+                  + {_Z_POWER_800!r} * sqrt(p1 * (1.0 - p1)
+                                            + p2 * (1.0 - p2)))
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+           END AS n_required_per_arm
+    FROM d
+    """.replace("{EVENTS_N}", EVENTS_N)
+
+
+@query("power_purchase_rate_events", _power_oracle(100_000))
+def power_purchase_rate_events(spark, sf_dir):
+    """Experiment-design power analysis (operators/profiling.py
+    required_sample_size_report): units per arm a two-proportion test
+    needs to detect a 10% relative lift on the OBSERVED per-user
+    purchase rate at two-sided alpha=.05 / 80% power — the question
+    every A/B launch asks before committing runtime. Exact integer
+    baseline from one conditional aggregate; z quantiles are shared
+    hardcoded literals; one fixed-order double, conservative ceil."""
+    from pyspark_playground_spark.operators.profiling import (
+        required_sample_size_report,
+    )
+
+    e = load_events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("event_type") == "purchase", F.lit(True))),
+            F.lit(False),
+        ).alias("purchased")
+    )
+    return required_sample_size_report(
+        u, success_column="purchased", mde_rel_ppm=100_000
+    )

@@ -1427,3 +1427,37 @@ def test_cuped_hand_computed_and_invariances(spark):
     ).collect()[0]
     assert rc["theta_q6"] is None and rc["effect_cuped_q6"] is None
     assert rc["effect_raw_q6"] == -2_000_000
+
+
+def test_required_sample_size_hand_computed(spark):
+    """Observed 20% baseline, 10% relative MDE (-> p2 = 0.22): the
+    classic normal-approx formula gives ~6,510 per arm (statsmodels
+    cross-checked offline); our conservative ceil matches the exact
+    python mirror; degenerate baselines yield NULLs."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        _Z_ALPHA_975,
+        _Z_POWER_800,
+        required_sample_size_report,
+    )
+
+    rows = [(True,)] * 20 + [(False,)] * 80
+    df = spark.createDataFrame(rows, "y boolean")
+    r = required_sample_size_report(
+        df, success_column="y", mde_rel_ppm=100_000
+    ).collect()[0]
+    assert (r["n_observed"], r["n_success"]) == (100, 20)
+    assert r["baseline_ppm"] == 200_000 and r["lifted_ppm"] == 220_000
+    p1, p2 = 0.2, 0.2 * 1.1
+    pbar = (p1 + p2) / 2
+    num = (_Z_ALPHA_975 * math.sqrt(2 * pbar * (1 - pbar))
+           + _Z_POWER_800 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    expect = math.ceil(num * num / (p2 - p1) ** 2)
+    assert r["n_required_per_arm"] == expect
+    assert 6000 < expect < 7000  # sanity: the textbook ballpark
+
+    # all-success baseline: no variance to power against
+    ones = spark.createDataFrame([(True,)] * 5, "y boolean")
+    ro = required_sample_size_report(ones, success_column="y").collect()[0]
+    assert ro["n_required_per_arm"] is None
