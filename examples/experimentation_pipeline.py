@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Worked example: the A/B experimentation toolkit end to end.
+
+The analysis sequence an experimentation platform runs on event data —
+every step one of the package's exact, cross-engine-deterministic
+operators:
+
+1. design — how long must the test run? ``required_sample_size_report``
+   turns the observed per-user purchase rate + the MDE into a
+   conservative per-arm n BEFORE anything launches;
+2. primary readout — the two-proportion z-test on conversion
+   (``two_proportion_test``), the one-line pooled-variance answer;
+3. variance reduction — CUPED-adjust the continuous spend metric with
+   the pre-period covariate (``cuped_adjusted_effect``): same
+   expectation, tighter intervals, and the report shows how much
+   variance the covariate absorbed;
+4. paired model comparison — when the change is a RANKER/CLASSIFIER,
+   McNemar's test on the same items (``mcnemar_test``) and the
+   sign-flip permutation test on paired score diffs
+   (``sign_flip_test``) replace the two-sample tests entirely;
+5. guardrail — the JSD drift monitor (``drift_jsd``) confirms the
+   treatment didn't silently shift the value DISTRIBUTION even if the
+   means look fine.
+
+Cohorts here are content-addressed hash splits of users — the same
+deterministic assignment a real platform uses.
+
+Run: ``python examples/experimentation_pipeline.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pyspark_playground_spark.operators import profiling as pf
+from pyspark_playground_spark.operators.sampling import (
+    hash_bucket_expr,
+    sign_flip_test,
+)
+from pyspark_playground_spark.queries import load_events
+from pyspark_playground_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(app_name="experimentation-example")
+    e = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+
+    # deterministic 50/50 user assignment (what a real platform does)
+    half = F.dayofmonth("ts") <= 15
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    users = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(half, dec)),
+                   F.lit(0).cast("decimal(38,10)")).cast("double").alias("x"),
+        F.coalesce(F.sum(F.when(~half, dec)),
+                   F.lit(0).cast("decimal(38,10)")).cast("double").alias("y"),
+        # a success flag with actual variance at every SF: "heavy
+        # purchaser" = at least 14 purchase events (the sf0.001 median)
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        ).alias("purchased"),
+    ).withColumn("arm_a", hash_bucket_expr(["user_id"], 2) == 0)
+
+    # 1. design: runtime needed to see a 10% relative conversion lift
+    design = pf.required_sample_size_report(
+        users, success_column="purchased", mde_rel_ppm=100_000
+    ).collect()[0]
+    print(
+        f"design: baseline {design['baseline_ppm'] / 1e4:.2f}% conversion "
+        f"-> {design['n_required_per_arm']} users/arm for a 10% rel lift "
+        f"(observed {design['n_observed']} users)"
+    )
+
+    # 2. primary readout: conversion A vs B
+    prim = pf.two_proportion_test(
+        users, group_column="arm_a", success_column="purchased"
+    ).collect()[0]
+    print(
+        f"conversion: A {prim['rate_a_x6'] / 1e4:.2f}% vs "
+        f"B {prim['rate_b_x6'] / 1e4:.2f}% "
+        f"(z_q6={prim['z_q6']})"
+    )
+
+    # 3. CUPED on the continuous metric
+    cup = pf.cuped_adjusted_effect(
+        users, metric_column="y", covariate_column="x",
+        cohort_column="arm_a",
+    ).collect()[0]
+    print(
+        f"spend effect: raw {cup['effect_raw_q6'] / 1e6:+.3f} -> CUPED "
+        f"{(cup['effect_cuped_q6'] or 0) / 1e6:+.3f} "
+        f"(theta={(cup['theta_q6'] or 0) / 1e6:.3f}, variance reduced "
+        f"{(cup['var_reduction_q6'] or 0) / 1e4:.1f}%)"
+    )
+
+    # 4. paired comparisons (two detectors scored on the SAME users):
+    #    McNemar on correctness, sign-flip on the paired diff
+    paired = users.select(
+        "user_id",
+        # two rival "heavy purchaser" detectors scored on the same users:
+        # first-half spend vs second-half spend over a fixed threshold
+        (F.col("x") > 1800.0).alias("pred_a"),
+        (F.col("y") > 1650.0).alias("pred_b"),
+        (F.col("y") - F.col("x")).alias("d"),
+        "purchased",
+    )
+    mc = pf.mcnemar_test(
+        paired,
+        a_column=F.col("pred_a") == F.col("purchased"),
+        b_column=F.col("pred_b") == F.col("purchased"),
+    ).collect()[0]
+    sf = sign_flip_test(
+        paired, diff_column="d", key_columns=["user_id"], permutations=99
+    ).collect()[0]
+    print(
+        f"paired: McNemar statistic={mc['statistic']} "
+        f"(A-only {mc['a_only']}, B-only {mc['b_only']}); "
+        f"sign-flip p={sf['p_q6'] / 1e6:.3f} on the spend diff"
+    )
+
+    # 5. guardrail: did the arms' value DISTRIBUTIONS drift apart?
+    g = pf.drift_jsd(
+        e.join(users.select("user_id", "arm_a"), "user_id"),
+        value_column="value", cohort_column="arm_a", bins=32,
+    ).collect()[0]
+    print(
+        f"guardrail: arm-vs-arm value JSD = {g['jsd']:.4f} bits "
+        f"({'INVESTIGATE' if g['jsd'] > 0.1 else 'clean'})"
+    )
+
+    print("PIPELINE OK")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.graph_diagnostics_pipeline",
         "examples.eval_suite_pipeline",
         "examples.vector_search_pipeline",
+        "examples.experimentation_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
