@@ -1159,8 +1159,11 @@ def theil_sen_slope(
         return (
             cum.crossJoin(F.broadcast(tot))
             .filter(
-                (F.col("__cum") < (F.col("__n") + 1) / 2)
-                & (F.col("__cum") + F.col("__cnt") >= (F.col("__n") + 1) / 2)
+                (F.col("__cum") < F.floor((F.col("__n") + 1) / 2))
+                & (
+                    F.col("__cum") + F.col("__cnt")
+                    >= F.floor((F.col("__n") + 1) / 2)
+                )
             )
             .select(F.min(col).alias("__med"), F.first("__n").alias("__n"))
         )

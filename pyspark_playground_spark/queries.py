@@ -14247,7 +14247,7 @@ def encoding_quality_documents(spark, sf_dir):
     sm AS (
       SELECT min(s) AS slope_q6, max(stot.n) AS n_pairs
       FROM scum CROSS JOIN stot
-      WHERE cum < (stot.n + 1) / 2 AND cum + cnt >= (stot.n + 1) / 2
+      WHERE cum < floor((stot.n + 1) / 2) AND cum + cnt >= floor((stot.n + 1) / 2)
     ),
     resid AS (
       SELECT CAST(floor((hr.y - CAST(sm.slope_q6 AS DOUBLE) / 1e6 * hr.x)
@@ -14265,7 +14265,7 @@ def encoding_quality_documents(spark, sf_dir):
     rm AS (
       SELECT min(r) AS intercept_q6
       FROM rcum CROSS JOIN rtot
-      WHERE cum < (rtot.n + 1) / 2 AND cum + cnt >= (rtot.n + 1) / 2
+      WHERE cum < floor((rtot.n + 1) / 2) AND cum + cnt >= floor((rtot.n + 1) / 2)
     )
     SELECT CAST((SELECT count(*) FROM hr) AS BIGINT) AS n_points,
            CAST(coalesce(sm.n_pairs, 0) AS BIGINT) AS n_pairs,

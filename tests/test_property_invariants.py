@@ -979,3 +979,82 @@ def test_sign_flip_matches_model(spark, data, b):
     assert r["obs_sum_x6"] == obs
     assert r["n_as_extreme"] == n_ext
     assert r["p_q6"] == ((n_ext + 1) * 1_000_000) // (b + 1)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-100, 100)),
+        min_size=2, max_size=25, unique_by=lambda t: t[0],
+    )
+)
+def test_theil_sen_matches_model(spark, data):
+    """Slope and intercept equal the literal quantized median-of-slopes
+    computation (lower medians, q6 floors) for ANY series."""
+    import math
+
+    from pyspark_playground_spark.operators.temporal import theil_sen_slope
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in data], "x double, y double"
+    )
+    r = theil_sen_slope(df, x_column="x", y_column="y").collect()[0]
+    pts = sorted((float(x), float(y)) for x, y in data)
+    slopes = sorted(
+        math.floor((y2 - y1) / (x2 - x1) * 1e6 + 0.5)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    )
+    assert r["n_pairs"] == len(slopes)
+    lower_med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert r["slope_q6"] == lower_med
+    resid = sorted(
+        math.floor((y - lower_med / 1e6 * x) * 1e6 + 0.5) for x, y in pts
+    )
+    assert r["intercept_q6"] == resid[(len(resid) + 1) // 2 - 1]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-50, 50)),
+        min_size=2, max_size=25, unique_by=lambda t: t[0],
+    )
+)
+def test_changepoint_matches_model(spark, data):
+    """The located split, gain, and segment means equal the literal
+    quantized binary-segmentation scan with the earliest-split
+    tie-break for ANY series."""
+    import math
+
+    from pyspark_playground_spark.operators.temporal import (
+        binary_segmentation_changepoint,
+    )
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in data], "x double, y double"
+    )
+    r = binary_segmentation_changepoint(
+        df, x_column="x", y_column="y"
+    ).collect()[0]
+    pts = sorted((float(x), float(y)) for x, y in data)
+    yq = [math.floor(y * 1e6 + 0.5) for _, y in pts]
+    n, s = len(yq), sum(yq)
+    best = None
+    for i in range(1, n):  # split after position i-1 (left size i)
+        sl = sum(yq[:i])
+        gain = math.floor(
+            (sl * sl / i + (s - sl) * (s - sl) / (n - i) - s * s / n)
+            / 1e12 * 1e6 + 0.5
+        )
+        cand = (gain, -pts[i - 1][0],
+                math.floor(sl / i + 0.5),
+                math.floor((s - sl) / (n - i) + 0.5))
+        if best is None or cand > best:
+            best = cand
+    assert r["n_points"] == n
+    assert r["split_x"] == -best[1]
+    assert r["gain_q6"] == best[0]
+    assert (r["mean_left_q6"], r["mean_right_q6"]) == (best[2], best[3])
