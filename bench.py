@@ -54,6 +54,10 @@ HEADLINE = [
     "retrieval_eval_embeddings",
     "pq_recall_embeddings",
     "chi_square_priority_status_orders",
+    # r7 flagship: the composed sublinear vector search (training
+    # included — it retrains per call; the search itself is the
+    # candidate-pruned quarter-corpus scan)
+    "ivf_pq_topk_embeddings",
 ]
 
 
