@@ -54,10 +54,15 @@ HEADLINE = [
     "retrieval_eval_embeddings",
     "pq_recall_embeddings",
     "chi_square_priority_status_orders",
-    # r7 flagship: the composed sublinear vector search (training
-    # included — it retrains per call; the search itself is the
-    # candidate-pruned quarter-corpus scan)
-    "ivf_pq_topk_embeddings",
+    # r8 flagship split (VERDICT r7 item 4): ivf_pq_topk_embeddings'
+    # single line was ~80% training, which a production index pays once
+    # — track the two halves separately. The train line pays both Lloyd
+    # trainings and emits the model; the frozen line serves the
+    # candidate-pruned search against the memoized model (its untimed
+    # warm-up run trains it), so it is the 100 TB-relevant search
+    # latency. Their sum is the old composed line.
+    "ivf_pq_train_model_embeddings",
+    "ivf_pq_frozen_search_embeddings",
 ]
 
 
@@ -91,9 +96,15 @@ def main() -> None:
     # one way, suspiciously-cached runs the other) so a real regression is
     # distinguishable from noise round-over-round
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
+        # one untimed full execution first: shuffle files land on disk,
+        # codegen compiles, and the OS page cache warms — so a loaded or
+        # cold box can't inflate the timed medians with one-off costs
+        # (BENCH_r07 shipped 2x-inflated numbers from a dirty host)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
             t0 = time.time()
@@ -117,6 +128,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # 1-minute load average before/after: a dirty box (load
+                # >> 1 beyond this process) is self-describing in the
+                # output instead of masquerading as a code regression
+                "loadavg_before": load_before,
+                "loadavg_after": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -3287,11 +3287,15 @@ def required_sample_size_report(
         )
     )
     n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1)))
+    # p2 > p1 (equivalently mde_rel_ppm > 0) guards the degenerate-MDE
+    # edge (r8 ADVICE): (p2-p1)^2 = 0 would make n_req Infinity and the
+    # long cast Long.MaxValue (or an ANSI error) instead of NULL
     ok = (
         (F.col("__n") > 0)
         & (F.col("__s") > 0)
         & (F.col("__s") < F.col("__n"))
         & (p2 < 1.0)
+        & (p2 > p1)
     )
     return agg.select(
         F.col("__n").cast("long").alias("n_observed"),

@@ -1322,14 +1322,22 @@ def retrieval_eval_report(
         F.col(label_column).alias("__qlab"),
     )
     if queries_in_corpus is None:
-        # Detect corpus membership per query: stream the corpus ids once
+        # Detect corpus membership per query on (id, label) — not id
+        # alone: brute_force_topk excludes the same-ID corpus row from
+        # the candidates either way, but that row only removes a
+        # RELEVANT candidate (and so only then shrinks n_rel_corpus)
+        # when its label matches the query's. One streamed corpus pass
         # against the broadcast panel (bounded output — at most one row
         # per panel query), same plan discipline as brute_force_topk.
         member = (
-            corpus.select(F.col(id_column).alias("__cid"))
+            corpus.select(
+                F.col(id_column).alias("__cid"),
+                F.col(label_column).alias("__clab"),
+            )
             .join(
-                F.broadcast(qpanel.select("query_id")),
-                F.col("__cid") == F.col("query_id"),
+                F.broadcast(qpanel),
+                (F.col("__cid") == F.col("query_id"))
+                & (F.col("__clab") == F.col("__qlab")),
             )
             .select("query_id")
             .distinct()
@@ -1867,20 +1875,21 @@ def ivf_pq_topk(
     the value-sorted ADC fold quantized ``floor(ad·1e6+0.5)`` (the fold
     is bit-identical cross-engine, so the quantization is too).
     """
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
-    spark = corpus.sparkSession
+    coarse, books = _ivf_pq_train_lists(
+        corpus, id_column=id_column, vector_column=vector_column,
+        dim=dim, coarse_k=coarse_k, coarse_iterations=coarse_iterations,
+        m=m, k=k, iterations=iterations, residual=residual,
+    )
+    return _ivf_pq_search(
+        corpus, queries, coarse, books, id_column=id_column,
+        vector_column=vector_column, dim=dim, nprobe=nprobe, topk=topk,
+        residual=residual,
+    )
 
-    # --- train both quantizers (eager, model-sized results) ---
-    xfull = corpus.select(
-        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
-    )
-    coarse = _lloyd_train_collect(
-        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
-    )
-    # literal centroid lookup (cid -> vector) for residual subtraction —
-    # model-sized map compiled into the expression
+
+def _coarse_residual_expr(coarse):
+    """Literal centroid lookup (cid -> vector) compiled into a residual
+    subtraction expression — model-sized map, no join."""
     coarse_sorted = sorted(coarse, key=lambda t: t[0])
     cmap = F.map_from_arrays(
         F.array(*[F.lit(int(cid)) for cid, _ in coarse_sorted]),
@@ -1897,8 +1906,41 @@ def ivf_pq_topk(
             vec_col, F.element_at(cmap, cell_col), lambda a, b: a - b
         )
 
+    return residual_expr
+
+
+def _ivf_pq_train_lists(
+    corpus: DataFrame,
+    *,
+    id_column: str,
+    vector_column: str,
+    dim: int,
+    coarse_k: int,
+    coarse_iterations: int,
+    m: int,
+    k: int,
+    iterations: int,
+    residual: bool,
+) -> tuple[list, list]:
+    """Train the IVF×PQ model (coarse Lloyd quantizer + m per-subspace
+    PQ codebooks — over coarse residuals when ``residual``) and return
+    it as local lists: ``(coarse [(cid, vec)], books [[(cid, vec)]*m])``.
+    Training materializes eagerly; both results are model-sized by
+    design (coarse_k rows; m·k rows). Arithmetic is exactly
+    :func:`ivf_pq_topk`'s r7 training block (this is that block,
+    extracted so the frozen-model path trains identically)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    coarse = _lloyd_train_collect(
+        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
+    )
     base_vec = _as_double(F.col(vector_column))
     if residual:
+        residual_expr = _coarse_residual_expr(coarse)
         base_vec = residual_expr(
             base_vec, _argmin_literal_expr(base_vec, coarse)
         )
@@ -1912,6 +1954,31 @@ def ivf_pq_topk(
         [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
         for s in range(m)
     ]
+    return coarse, books
+
+
+def _ivf_pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list,
+    books: list,
+    *,
+    id_column: str,
+    vector_column: str,
+    dim: int,
+    nprobe: int,
+    topk: int,
+    residual: bool,
+) -> DataFrame:
+    """The candidate-pruned IVF×PQ search plan over an ALREADY-TRAINED
+    local model (:func:`ivf_pq_topk`'s r7 search block, extracted): one
+    shuffle-free literal-encode projection for cell + codes, broadcast
+    probe join, broadcast ADC LUT, bounded top-k window — no
+    full-corpus crossJoin."""
+    m = len(books)
+    sub = dim // m
+    spark = corpus.sparkSession
+    residual_expr = _coarse_residual_expr(coarse) if residual else None
 
     # --- query-side probe + ADC LUT (bounded panel × model tables) ---
     q = queries.select(
@@ -2067,6 +2134,136 @@ def ivf_pq_topk(
             .alias("adist_q6"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def ivf_pq_train(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int,
+    coarse_k: int = 8,
+    coarse_iterations: int = 1,
+    m: int = 2,
+    k: int = 8,
+    iterations: int = 1,
+    residual: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF×PQ model ONCE and hand it back as two model-sized
+    frames — the offline half of the production train→freeze→search
+    split (:func:`pq_train_encode` / :func:`pq_encode_with_book`'s
+    pattern lifted to the composed index): the model is learned on
+    yesterday's corpus or a sample, written to storage, and every
+    subsequent search runs :func:`ivf_pq_search_with_model` against the
+    frozen frames without retraining. (Retraining per search would
+    silently re-key both the cell layout and the code space.)
+
+    Training arithmetic is exactly :func:`ivf_pq_topk`'s (deterministic
+    Lloyd: id<k seeds, value-sorted mean folds, index-order distance
+    folds, id tie-breaks; PQ codebooks over coarse residuals when
+    ``residual``), and it materializes eagerly — the returned frames
+    are literal-backed (``coarse_k`` and ``m·k`` rows), carry no cached
+    lineage, and survive being written/read through any sink.
+
+    Returns ``(coarse, book)``: ``coarse (cluster_id, cvec)`` and
+    ``book (subspace, cluster_id, cvec)``.
+    """
+    coarse, books = _ivf_pq_train_lists(
+        corpus, id_column=id_column, vector_column=vector_column,
+        dim=dim, coarse_k=coarse_k, coarse_iterations=coarse_iterations,
+        m=m, k=k, iterations=iterations, residual=residual,
+    )
+    spark = corpus.sparkSession
+    coarse_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in coarse],
+        "cluster_id int, cvec array<double>",
+    )
+    book_df = spark.createDataFrame(
+        [
+            (s, int(cid), [float(x) for x in vec])
+            for s, b in enumerate(books)
+            for cid, vec in b
+        ],
+        "subspace int, cluster_id int, cvec array<double>",
+    )
+    return coarse_df, book_df
+
+
+def ivf_pq_search_with_model(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    book: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    nprobe: int = 2,
+    topk: int = 10,
+    residual: bool = False,
+) -> DataFrame:
+    """IVF×PQ approximate top-k against a FROZEN model — the online
+    half of the train→freeze→search split and the 100 TB-relevant
+    latency: :func:`ivf_pq_topk` retrains per call (its bench line is
+    ~80% training), while a production index trains once and serves
+    searches against the frozen model. ``coarse (cluster_id, cvec)``
+    and ``book (subspace, cluster_id, cvec)`` are the frames
+    :func:`ivf_pq_train` returns (or the same shapes read back from
+    storage). Both are collected driver-side — model-sized by design —
+    and compiled into the same literal-expression search plan as
+    :func:`ivf_pq_topk`: ONE shuffle-free encode projection (cell + m
+    codes per corpus row), broadcast probe join (= partition pruning
+    when the cell is the layout column), broadcast ADC LUT, bounded
+    top-k window. Identical output to :func:`ivf_pq_topk` when the
+    model was trained on the same corpus with the same parameters.
+
+    ``residual`` must match how the model was trained (codes quantize
+    ``x − c_cell(x)`` under IVFADC); it changes the LUT shape, so a
+    mismatch is a correctness error the recall gate would catch.
+
+    Output: (query_id, neighbor_id, adist_q6, rank).
+    """
+    coarse_rows = coarse.select("cluster_id", "cvec").collect()
+    if not coarse_rows:
+        raise ValueError("ivf_pq_search_with_model: empty coarse model")
+    coarse_list = sorted(
+        (int(r["cluster_id"]), list(r["cvec"])) for r in coarse_rows
+    )
+    dim = len(coarse_list[0][1])
+    if any(len(vec) != dim for _, vec in coarse_list):
+        raise ValueError(
+            "ivf_pq_search_with_model: coarse centroids have mixed "
+            "dimensions"
+        )
+    book_rows = book.select("subspace", "cluster_id", "cvec").collect()
+    if not book_rows:
+        raise ValueError("ivf_pq_search_with_model: empty codebook")
+    by_sub: dict[int, list] = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r["subspace"]), []).append(
+            (int(r["cluster_id"]), list(r["cvec"]))
+        )
+    subspaces = sorted(by_sub)
+    if subspaces != list(range(len(subspaces))):
+        raise ValueError(
+            f"ivf_pq_search_with_model: subspaces {subspaces} are not "
+            f"contiguous 0..m-1"
+        )
+    m = len(subspaces)
+    sub = len(by_sub[0][0][1])
+    if any(
+        len(vec) != sub for s in subspaces for _, vec in by_sub[s]
+    ) or m * sub != dim:
+        raise ValueError(
+            f"ivf_pq_search_with_model: codebook subspace widths do not "
+            f"tile the coarse dimension {dim} ({m} subspaces, first "
+            f"width {sub})"
+        )
+    books = [sorted(by_sub[s]) for s in subspaces]
+    return _ivf_pq_search(
+        corpus, queries, coarse_list, books, id_column=id_column,
+        vector_column=vector_column, dim=dim, nprobe=nprobe, topk=topk,
+        residual=residual,
     )
 
 

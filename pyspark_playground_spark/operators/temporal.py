@@ -1236,15 +1236,25 @@ def binary_segmentation_changepoint(
             F.col(y_column).cast("double") * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
-    pre = t.select(
-        "__x",
-        F.sum(F.col("__y").cast("decimal(38,0)")).over(w).alias("__sl"),
-        F.count(F.lit(1)).over(w).alias("__nl"),
+    # pre-aggregate by __x (r8 ADVICE): the cumulative below is ordered
+    # by __x alone, so tied-x rows would have nondeterministic peer
+    # order — and a split INSIDE a tied-x run is meaningless anyway
+    # (split_x is "last x of the left segment"). Grouping first makes
+    # every candidate a group boundary and the prefix sums exact
+    # regardless of input row order; unique-x inputs are unchanged.
+    g = t.groupBy("__x").agg(
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__gy"),
+        F.count(F.lit(1)).alias("__gn"),
     )
-    tot = t.agg(
-        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__s"),
-        F.count(F.lit(1)).alias("__n"),
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = g.select(
+        "__x",
+        F.sum("__gy").over(w).alias("__sl"),
+        F.sum("__gn").over(w).alias("__nl"),
+    )
+    tot = g.agg(
+        F.sum("__gy").alias("__s"),
+        F.sum("__gn").alias("__n"),
     )
     j = pre.crossJoin(F.broadcast(tot)).filter(
         F.col("__nl") < F.col("__n")

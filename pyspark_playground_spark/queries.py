@@ -598,12 +598,41 @@ def q5_local_supplier_volume(spark, sf_dir):
 #: only have replica evidence. Registration order itself is unchanged;
 #: this is purely the exported iteration order.
 #:
-#: No re-check pins this round: r5's two array-column fixes re-sampled
-#: green in the r6 gate (CORRECTNESS_r06 50/50) and moved into the
-#: checked set below, so the r7 sample is ~50 pure first-timers.
-_DRIVER_RECHECK = ()
+#: One re-check pin this round: ``normalize_quantize_embeddings``'s only
+#: driver row is the r1 harness error (list-column canonicalization crash
+#: in the old compare harness). The entry has long since passed the full
+#: replica and the oracle-type lint guards the class; pinning it here
+#: makes the r8 driver gate emit its green row so the cumulative record
+#: retires the last non-by-design red.
+_DRIVER_RECHECK = ("normalize_quantize_embeddings",)
 
 _DRIVER_CHECKED = frozenset({
+    # --- sampled green in r7 ---
+    "activity_heatmap_events", "association_rules_parts",
+    "benford_first_digit_orders", "brand_price_size_regression_parts",
+    "chi_square_priority_status_orders", "copresence_view_click_events",
+    "customer_lifetime_value_orders", "decayed_engagement_events",
+    "dedup_cluster_sizes_documents", "discount_band_quantity_lineitem",
+    "duplicate_order_candidates", "event_type_map_per_user",
+    "fulfillment_rate_wilson_orders", "gini_doc_lengths",
+    "holt_user_values_events", "interleave_sources_documents",
+    "inverted_index_documents", "jsd_source_matrix_documents",
+    "k_anonymity_customers", "k_anonymity_gate_customers",
+    "kappa_langid_agreement_documents", "kaplan_meier_user_survival",
+    "kmeans_lloyd_embeddings", "l_diversity_orders",
+    "label_propagation_documents", "lang_corpus_stats_documents",
+    "lang_vocab_jaccard_documents", "ngram_novelty_sources_documents",
+    "pareto_revenue_nations", "priority_mix_by_month_orders",
+    "readability_documents", "recent_events_per_user",
+    "referential_integrity_orders_lineitem", "rfm_segments_customers",
+    "seasonal_residuals_hourly_events", "semi_join_building_segment_orders",
+    "session_ids_events", "shard_source_diversity_documents",
+    "supplier_concentration_hhi", "top_session_paths_events",
+    "trailing_7d_active_users_events", "trimmed_mean_value_events",
+    "typed_json_props_stats_events", "uncertainty_coefficient_lang_source",
+    "value_bars_hourly_events", "value_boxplot_stats_events",
+    "vocab_growth_documents", "weighted_median_price_lineitem",
+    "windowed_jsd_events", "windowed_top_event_types",
     # --- sampled green in r6 ---
     "attribution_interval_join_events", "attribution_left_outer_events",
     "auc_length_predicts_en_documents", "burstiness_fano_users",
@@ -698,7 +727,7 @@ _DRIVER_CHECKED = frozenset({
     "minhash_lsh_dedup_documents", "multimodal_audio_features_documents",
     "multimodal_decode_documents", "multimodal_meta_documents",
     "multimodal_resize_documents", "ngram_contamination_documents",
-    "ngram_jaccard_pairs_documents", "normalize_quantize_embeddings",
+    "ngram_jaccard_pairs_documents",
     "order_value_percentiles", "pii_scrub_documents", "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "quality_score_documents",
@@ -13031,6 +13060,36 @@ def _ivf_pq_oracle(
         f" FROM cent_{s}_{iterations}"
         for s in range(m)
     )
+    if mode == "book":
+        # emit the trained model itself, quantized: the coarse centroids
+        # as subspace -1 plus the m PQ codebooks, one row per (centroid,
+        # position). The training folds are bit-identical cross-engine,
+        # so floor(v*1e6+0.5) is too. (DuckDB range() yields BIGINT —
+        # cast pos to INT to match Spark's posexplode.)
+        parts.append(
+            f"""
+    , book AS ({book_union})
+    SELECT CAST(subspace AS INT) AS subspace,
+           CAST(cluster_id AS INT) AS cluster_id,
+           CAST(pos AS INT) AS pos, c_q6
+    FROM (
+      SELECT -1 AS subspace, cluster_id, pv.pos AS pos,
+             CAST(floor(pv.v * 1e6 + 0.5) AS BIGINT) AS c_q6
+      FROM (SELECT cluster_id,
+                   unnest([{{'pos': j - 1, 'v': cvec[j]}}
+                           FOR j IN range(1, {dim} + 1)]) AS pv
+            FROM cc{cf})
+      UNION ALL
+      SELECT subspace, cluster_id, pv.pos AS pos,
+             CAST(floor(pv.v * 1e6 + 0.5) AS BIGINT) AS c_q6
+      FROM (SELECT subspace, cluster_id,
+                   unnest([{{'pos': j - 1, 'v': cvec[j]}}
+                           FOR j IN range(1, {sub} + 1)]) AS pv
+            FROM book)
+    )
+    """
+        )
+        return "".join(parts)
     parts.append(
         f"""
     , codes AS ({codes_union})
@@ -13227,6 +13286,106 @@ def ivf_pq_recall_embeddings(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10),
         dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
         m=4, k=16, iterations=1, topk=10,
+    )
+
+
+@query(
+    "ivf_pq_train_model_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="book"),
+)
+def ivf_pq_train_model_embeddings(spark, sf_dir):
+    """The OFFLINE half of the vector-search split
+    (similarity.ivf_pq_train): train the coarse quantizer + PQ
+    codebooks once and emit the model itself — coarse centroids as
+    subspace -1, the 4 PQ codebooks as subspaces 0..3, one row per
+    (centroid, position), quantized floor(v*1e6+0.5). This is the
+    model ivf_pq_frozen_search_embeddings serves against, and its
+    bench line is the train-only cost the composed
+    ivf_pq_topk_embeddings line pays on every call. The oracle replays
+    both trainings CTE by CTE and quantizes the same centroids."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse, book = sim.ivf_pq_train(
+        emb, dim=64, coarse_k=8, coarse_iterations=1,
+        m=4, k=16, iterations=1,
+    )
+    coarse_rows = coarse.select(
+        F.lit(-1).alias("subspace"),
+        "cluster_id",
+        F.posexplode("cvec").alias("pos", "__v"),
+    )
+    pq_rows = book.select(
+        "subspace", "cluster_id", F.posexplode("cvec").alias("pos", "__v")
+    )
+    return coarse_rows.unionByName(pq_rows).select(
+        "subspace",
+        "cluster_id",
+        "pos",
+        F.floor(F.col("__v") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("c_q6"),
+    )
+
+
+#: Train-once memo for the frozen-search entry: the model-sized lists
+#: (8 coarse centroids + 64 codebook rows) are cached per sf_dir and the
+#: frames rebuilt per call, so the cache is SparkSession-free (the
+#: driver, tests and bench each run their own session). Training is
+#: deterministic (Lloyd with id<k seeds), so a cached model is
+#: bit-identical to a fresh one — this is the production train-once/
+#: search-forever pattern, and it is what lets the bench line measure
+#: pure search latency (its untimed warm-up run populates the cache).
+_FROZEN_IVF_PQ: dict[str, tuple[list, list]] = {}
+
+
+def _frozen_ivf_pq_model(spark, sf_dir):
+    key = str(sf_dir)
+    if key not in _FROZEN_IVF_PQ:
+        emb = load(spark, sf_dir, "embeddings")
+        coarse, book = sim.ivf_pq_train(
+            emb, dim=64, coarse_k=8, coarse_iterations=1,
+            m=4, k=16, iterations=1,
+        )
+        _FROZEN_IVF_PQ[key] = (
+            [(r["cluster_id"], list(r["cvec"])) for r in coarse.collect()],
+            [
+                (r["subspace"], r["cluster_id"], list(r["cvec"]))
+                for r in book.collect()
+            ],
+        )
+    crows, brows = _FROZEN_IVF_PQ[key]
+    coarse_df = spark.createDataFrame(
+        crows, "cluster_id int, cvec array<double>"
+    )
+    book_df = spark.createDataFrame(
+        brows, "subspace int, cluster_id int, cvec array<double>"
+    )
+    return coarse_df, book_df
+
+
+@query(
+    "ivf_pq_frozen_search_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="topk"),
+)
+def ivf_pq_frozen_search_embeddings(spark, sf_dir):
+    """The ONLINE half of the vector-search split
+    (similarity.ivf_pq_search_with_model): IVF×PQ top-10 served against
+    the FROZEN model of ivf_pq_train_model_embeddings — the
+    100 TB-relevant search latency, with training amortized away (the
+    model is trained once per sf_dir and memoized; production would
+    read it back from storage). The search plan is identical to
+    ivf_pq_topk_embeddings — shuffle-free literal encode, broadcast
+    probe join, broadcast ADC LUT, bounded top-k window — and so is the
+    output (same corpus, same parameters, deterministic training), so
+    the oracle is the same CTE replay."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
+    return sim.ivf_pq_search_with_model(
+        emb, emb.filter(F.col("vec_id") < 10), coarse, book,
+        nprobe=2, topk=10,
     )
 
 
@@ -14524,10 +14683,12 @@ def _power_oracle(mde_rel_ppm: int) -> str:
            CAST(s AS BIGINT) AS n_success,
            CASE WHEN n > 0 THEN CAST((s * 1000000) // n AS BIGINT) END
              AS baseline_ppm,
-           CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0 THEN
+           CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0
+                     AND p2 > p1 THEN
              CAST(floor(p2 * 1e6 + 0.5) AS BIGINT)
            END AS lifted_ppm,
-           CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0 THEN
+           CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0
+                     AND p2 > p1 THEN
              CAST(ceil(
                ({_Z_ALPHA_975!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
                                         * (1.0 - (p1 + p2) / 2.0))

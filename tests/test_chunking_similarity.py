@@ -291,6 +291,19 @@ def test_retrieval_eval_report_hand_computed(spark):
     ).collect()[0]
     assert r_mem["n_rel_corpus"] == 1
     assert r_mem["idcg_q6"] == g(1) == 1000000
+    # id collision with a DIFFERENTLY-labeled corpus row (r8 ADVICE):
+    # the id-excluded self row was not relevant, so auto-detection must
+    # NOT subtract from the label census — n_rel_corpus stays 2
+    collided = corpus.union(
+        spark.createDataFrame(
+            [("q", [0.0, 1.0], 9)],  # same id as the query, label 9 != 1
+            "vec_id string, embedding array<double>, label int",
+        )
+    )
+    r_col = sim.retrieval_eval_report(
+        collided, queries, label_column="label", k=3
+    ).collect()[0]
+    assert r_col["n_rel_corpus"] == 2
 
 
 def test_retrieval_eval_report_self_exclusion_and_no_relevant(spark):
@@ -432,6 +445,116 @@ def test_ivf_pq_residual_full_probe_lossless_is_exact(spark):
     ).collect()
     assert len(out) == 3
     assert all(r["recall_q6"] == 1_000_000 for r in out)
+
+
+def test_ivf_pq_frozen_search_matches_direct(spark):
+    """The train→freeze→search split is lossless: ivf_pq_train +
+    ivf_pq_search_with_model produces EXACTLY ivf_pq_topk's output on
+    the same corpus/parameters (training is deterministic, the search
+    plan is the same extracted block), for both the raw-vector and the
+    IVFADC residual variants."""
+    import itertools
+
+    pts = list(itertools.product([0.0, 1.0, 2.0], repeat=2))
+    corpus = spark.createDataFrame(
+        [(i, [a, b, a + b, a - b]) for i, (a, b) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    panel = corpus.filter("vec_id < 3")
+    kw = dict(dim=4, coarse_k=2, coarse_iterations=1, m=2, k=4,
+              iterations=1)
+    for residual in (False, True):
+        direct = sorted(
+            map(
+                tuple,
+                sim.ivf_pq_topk(
+                    corpus, panel, nprobe=1, topk=5, residual=residual,
+                    **kw,
+                ).collect(),
+            )
+        )
+        coarse, book = sim.ivf_pq_train(corpus, residual=residual, **kw)
+        frozen = sorted(
+            map(
+                tuple,
+                sim.ivf_pq_search_with_model(
+                    corpus, panel, coarse, book, nprobe=1, topk=5,
+                    residual=residual,
+                ).collect(),
+            )
+        )
+        assert frozen == direct and len(direct) > 0
+
+
+def test_ivf_pq_frozen_model_survives_storage_roundtrip(spark, tmp_path):
+    """The frozen model is a plain pair of frames: written to parquet
+    and read back, the search result is unchanged — the contract that
+    lets a production index train offline and serve from storage."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3), float(i), 1.0])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    panel = corpus.filter("vec_id < 2")
+    kw = dict(dim=4, coarse_k=2, coarse_iterations=1, m=2, k=4,
+              iterations=1)
+    coarse, book = sim.ivf_pq_train(corpus, **kw)
+    before = sorted(
+        map(
+            tuple,
+            sim.ivf_pq_search_with_model(
+                corpus, panel, coarse, book, nprobe=1, topk=5
+            ).collect(),
+        )
+    )
+    cpath, bpath = str(tmp_path / "coarse"), str(tmp_path / "book")
+    coarse.write.parquet(cpath)
+    book.write.parquet(bpath)
+    after = sorted(
+        map(
+            tuple,
+            sim.ivf_pq_search_with_model(
+                corpus,
+                panel,
+                spark.read.parquet(cpath),
+                spark.read.parquet(bpath),
+                nprobe=1,
+                topk=5,
+            ).collect(),
+        )
+    )
+    assert after == before and len(before) > 0
+
+
+def test_ivf_pq_search_with_model_validates_model(spark):
+    """Malformed frozen models raise instead of searching wrong: empty
+    coarse/book frames, non-contiguous subspaces, and codebook widths
+    that do not tile the coarse dimension."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    panel = corpus.filter("vec_id < 2")
+    coarse, book = sim.ivf_pq_train(
+        corpus, dim=4, coarse_k=2, coarse_iterations=1, m=2, k=4,
+        iterations=1,
+    )
+    empty_c = coarse.filter("cluster_id < 0")
+    empty_b = book.filter("subspace < 0")
+    with pytest.raises(ValueError, match="empty coarse"):
+        sim.ivf_pq_search_with_model(corpus, panel, empty_c, book)
+    with pytest.raises(ValueError, match="empty codebook"):
+        sim.ivf_pq_search_with_model(corpus, panel, coarse, empty_b)
+    from pyspark.sql import functions as F
+
+    gapped = book.withColumn(
+        "subspace", F.col("subspace") * 2
+    )  # {0, 2}: not contiguous
+    with pytest.raises(ValueError, match="not\\s+contiguous"):
+        sim.ivf_pq_search_with_model(corpus, panel, coarse, gapped)
+    halved = book.withColumn("cvec", F.slice("cvec", 1, 1))
+    with pytest.raises(ValueError, match="tile"):
+        sim.ivf_pq_search_with_model(corpus, panel, coarse, halved)
 
 
 def test_rbo_report_identical_disjoint_and_model(spark):

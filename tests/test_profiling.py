@@ -1461,3 +1461,11 @@ def test_required_sample_size_hand_computed(spark):
     ones = spark.createDataFrame([(True,)] * 5, "y boolean")
     ro = required_sample_size_report(ones, success_column="y").collect()[0]
     assert ro["n_required_per_arm"] is None
+
+    # zero MDE (r8 ADVICE): (p2-p1)^2 = 0 must report NULL, not
+    # Long.MaxValue from an Infinity cast
+    rz = required_sample_size_report(
+        df, success_column="y", mde_rel_ppm=0
+    ).collect()[0]
+    assert rz["n_required_per_arm"] is None and rz["lifted_ppm"] is None
+    assert rz["baseline_ppm"] == 200_000  # baseline itself still reports

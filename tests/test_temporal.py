@@ -682,3 +682,37 @@ def test_binary_segmentation_changepoint_hand_computed(spark):
     assert binary_segmentation_changepoint(
         single, x_column="x", y_column="y"
     ).collect() == []
+
+
+def test_binary_segmentation_changepoint_tied_x_deterministic(spark):
+    """Tied-x inputs (r8 ADVICE): duplicate x values pre-aggregate by x
+    before the cumulative, so the result is the same as feeding the
+    per-x sums directly — regardless of input row order — and a split
+    can never land inside a tied-x run."""
+    from pyspark_playground_spark.operators.temporal import (
+        binary_segmentation_changepoint,
+    )
+
+    # x=0..3 carry two rows each (summing to 10,10,30,30): the split
+    # must be at x=1 with left mean 10, right mean 30
+    dup_rows = [
+        (0.0, 4.0), (0.0, 6.0), (1.0, 5.0), (1.0, 5.0),
+        (2.0, 20.0), (2.0, 10.0), (3.0, 15.0), (3.0, 15.0),
+    ]
+    out = {}
+    for tag, rows in (
+        ("fwd", dup_rows),
+        ("rev", list(reversed(dup_rows))),
+    ):
+        df = spark.createDataFrame(rows, "x double, y double").repartition(
+            4
+        )
+        out[tag] = binary_segmentation_changepoint(
+            df, x_column="x", y_column="y"
+        ).collect()[0]
+    assert out["fwd"] == out["rev"]
+    r = out["fwd"]
+    assert r["n_points"] == 8 and r["split_x"] == 1.0
+    # group sums: left = (10+10)/4 rows = 5.0, right = (30+30)/4 = 15.0
+    assert r["mean_left_q6"] == 5_000_000
+    assert r["mean_right_q6"] == 15_000_000
