@@ -22,7 +22,16 @@ measured recall gate instead of a guess:
    (``retrieval_eval_report``): recall measures the index, nDCG
    measures the embedding — both must pass before the index ships;
 6. the shipped search — ``ivf_pq_topk`` with the winning encoding,
-   top-5 neighbors for one query, the thing a user actually calls.
+   top-5 neighbors for one query, the thing a user actually calls;
+7. train→freeze→serve — ``ivf_pq_train`` writes the model once,
+   ``ivf_pq_search_with_model`` serves the same ranking against the
+   frozen frames (the production split: training amortized, search
+   latency is the number that matters at 100 TB);
+8. the declarative twin — the SAME frozen model driven from a
+   pipeline spec: an ``ann_dedup`` stage collapses embedding
+   near-dups and a ``knn_join`` stage attaches neighbors, so a
+   training-data pipeline expresses vector curation as data, not
+   code (``plans.pipeline.run_pipeline``).
 
 Run: ``python examples/vector_search_pipeline.py [sf_dir]``
 """
@@ -103,6 +112,58 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ids = [r["neighbor_id"] for r in hits]
     print(f"query 0 -> top-5 neighbors ({winner} codes): {ids}")
     assert len(ids) == min(5, n_pairs) or len(ids) > 0
+
+    # 7. train once, freeze, serve: the production split — identical
+    # ranking, training paid once instead of per search
+    train_kw = {k: v for k, v in IVF.items() if k not in ("nprobe", "topk")}
+    coarse, book = sim.ivf_pq_train(
+        emb, residual=(winner == "residual"), **train_kw
+    )
+    frozen = (
+        sim.ivf_pq_search_with_model(
+            emb, panel, coarse, book, nprobe=IVF["nprobe"],
+            topk=IVF["topk"], residual=(winner == "residual"),
+        )
+        .filter(F.col("query_id") == 0)
+        .orderBy("rank")
+        .limit(5)
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in frozen] == ids
+    print(f"frozen-model search: identical top-5 ({len(ids)} ids)")
+
+    # 8. the declarative twin: the frozen model served from a spec —
+    # vector curation as pipeline stages
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    coarse.createOrReplaceTempView("vs_example_coarse")
+    book.createOrReplaceTempView("vs_example_book")
+    model_params = {
+        "id_column": "vec_id",
+        "coarse_table": "vs_example_coarse",
+        "book_table": "vs_example_book",
+        "nprobe": IVF["nprobe"],
+        "residual": winner == "residual",
+    }
+    kept = run_pipeline(
+        emb,
+        {"stages": [{"op": "ann_dedup",
+                     "params": {**model_params, "topk": 5,
+                                "max_dist2": 0.05}}]},
+    ).count()
+    emb.createOrReplaceTempView("vs_example_corpus")
+    enriched = run_pipeline(
+        panel,
+        {"stages": [{"op": "knn_join",
+                     "params": {**model_params, "topk": 3,
+                                "corpus_table": "vs_example_corpus"}}]},
+    )
+    n_pairs_knn = enriched.count()
+    print(
+        f"declarative twin: ann_dedup keeps {kept} rows; knn_join "
+        f"attaches {n_pairs_knn} (row, neighbor) pairs"
+    )
+    assert kept > 0 and n_pairs_knn > 0
 
     print("PIPELINE OK")
 

@@ -61,6 +61,12 @@ Spec shape::
       - op: shard                      # byte-balanced output shards
         params: {bytes_column: n_chars, target_bytes: 67108864,
                  order_column: doc_id}
+      - op: ann_dedup                  # IVF x PQ embedding near-dup keep
+        params: {embedding_column: embedding, dim: 64, max_dist2: 0.5,
+                 coarse_k: 8, nprobe: 2, m: 4, k: 16, topk: 5}
+      - op: knn_join                   # attach approx k-NN per row
+        params: {embedding_column: embedding, dim: 64, topk: 5,
+                 corpus_table: vector_index}   # or self when omitted
 
 Every stage consumes and produces a DataFrame with at least
 ``(doc_id, text)``; stages that add flags (``c4_filter``) filter on them
@@ -649,7 +655,108 @@ def _stage_independence_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _ivf_pq_model_for(
+    df: DataFrame, p: dict, id_column: str, vector_column: str
+):
+    """Resolve the IVF×PQ model for an ANN stage: frozen catalog tables
+    when the spec names them (``coarse_table`` + ``book_table`` — the
+    production path: train offline once, serve from storage), else
+    train in-stage on ``df`` (CI / small-corpus path; the id<k Lloyd
+    seed contract applies)."""
+    from pyspark_playground_spark.operators import similarity as _sim
+
+    if "coarse_table" in p or "book_table" in p:
+        if not ("coarse_table" in p and "book_table" in p):
+            raise ValueError(
+                "ann stage: coarse_table and book_table must be given "
+                "together (a frozen model is both halves)"
+            )
+        s = df.sparkSession
+        return s.table(p["coarse_table"]), s.table(p["book_table"])
+    return _sim.ivf_pq_train(
+        df,
+        id_column=id_column,
+        vector_column=vector_column,
+        dim=int(p["dim"]),
+        coarse_k=int(p.get("coarse_k", 8)),
+        coarse_iterations=int(p.get("coarse_iterations", 1)),
+        m=int(p.get("m", 2)),
+        k=int(p.get("k", 8)),
+        iterations=int(p.get("iterations", 1)),
+        residual=bool(p.get("residual", False)),
+    )
+
+
+def _stage_ann_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    """Embedding near-dup removal via the sublinear vector index: run
+    the frozen-model IVF×PQ search of the frame against itself
+    (similarity.ivf_pq_search_with_model — shuffle-free literal encode,
+    broadcast probe join, candidate-pruned ADC; NEVER all-pairs), keep
+    candidate pairs within ``params.max_dist2`` (approximate squared
+    L2), connect them into clusters (O(log n) connected components) and
+    keep one canonical row per cluster — the ANN twin of
+    ``near_dedup``'s MinHash funnel, for corpora whose duplicates are
+    semantic (same content, different words) rather than lexical.
+    Spec: ``params.{embedding_column, max_dist2, dim | coarse_table+
+    book_table, id_column, coarse_k, nprobe, m, k, topk, residual}``."""
+    from pyspark_playground_spark.operators import similarity as _sim
+
+    p = dict(spec.get("params", {}))
+    idc = p.get("id_column", "doc_id")
+    vc = p.get("embedding_column", "embedding")
+    coarse, book = _ivf_pq_model_for(df, p, idc, vc)
+    hits = _sim.ivf_pq_search_with_model(
+        df, df, coarse, book, id_column=idc, vector_column=vc,
+        nprobe=int(p.get("nprobe", 2)), topk=int(p.get("topk", 5)),
+        residual=bool(p.get("residual", False)),
+    )
+    thr_q6 = int(float(p["max_dist2"]) * 1e6 + 0.5)
+    pairs = hits.filter(F.col("adist_q6") <= thr_q6).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+    )
+    return (
+        _gr.dedup_clusters(df, pairs, idc)
+        .filter(F.col("is_canonical"))
+        .drop("cluster_id", "is_canonical")
+    )
+
+
+def _stage_knn_join(df: DataFrame, spec: dict) -> DataFrame:
+    """Attach each row's approximate k nearest neighbors from a corpus
+    (hard-negative mining, RAG candidate generation): frozen-model
+    IVF×PQ search of the current frame's embeddings against
+    ``params.corpus_table`` (or the frame itself when omitted — ids
+    share one space, self-matches excluded). Explodes to one row per
+    (row, neighbor) with ``neighbor_id, adist_q6, rank`` appended; rows
+    whose probed cells hold no neighbor drop out (inner join — the
+    downstream consumer wants pairs, not nulls).
+    Spec: ``params.{embedding_column, dim | coarse_table+book_table,
+    id_column, coarse_k, nprobe, m, k, topk, residual}``."""
+    from pyspark_playground_spark.operators import similarity as _sim
+
+    p = dict(spec.get("params", {}))
+    idc = p.get("id_column", "doc_id")
+    vc = p.get("embedding_column", "embedding")
+    corpus = (
+        df.sparkSession.table(p["corpus_table"])
+        if "corpus_table" in p
+        else df
+    )
+    coarse, book = _ivf_pq_model_for(corpus, p, idc, vc)
+    hits = _sim.ivf_pq_search_with_model(
+        corpus, df, coarse, book, id_column=idc, vector_column=vc,
+        nprobe=int(p.get("nprobe", 2)), topk=int(p.get("topk", 5)),
+        residual=bool(p.get("residual", False)),
+    )
+    return df.join(
+        hits, df[idc] == hits["query_id"]
+    ).drop("query_id")
+
+
 STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "ann_dedup": _stage_ann_dedup,
+    "knn_join": _stage_knn_join,
     "boilerplate": _stage_boilerplate,
     "expect": _stage_expect,
     "conformal_filter": _stage_conformal_filter,

@@ -528,3 +528,96 @@ def test_expect_stage_passes_and_refuses(spark):
                              {"type": "unique", "columns": ["doc_id"]},
                          ]}}]},
         )
+
+
+def _vec_corpus(spark):
+    # two tight clusters ids 0-2 (near (0,0,0,0)) and 3-5 (near
+    # (10,10,10,10)), plus a far singleton id 6; ids 0..k-1 satisfy the
+    # in-stage Lloyd seed contract
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.1, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.1, 0.0, 0.0]),
+        (3, [10.0, 10.0, 10.0, 10.0]),
+        (4, [10.1, 10.0, 10.0, 10.0]),
+        (5, [10.0, 10.1, 10.0, 10.0]),
+        (6, [50.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+
+
+def test_ann_dedup_stage_keeps_one_per_embedding_cluster(spark):
+    """ann_dedup collapses each near-dup embedding cluster to its
+    canonical (smallest-id) row and keeps singletons — the ANN twin of
+    near_dedup, wired through the frozen-model IVF x PQ search."""
+    df = _vec_corpus(spark)
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "ann_dedup",
+                     "params": {"dim": 4, "coarse_k": 2, "nprobe": 2,
+                                # k=7: every vector its own PQ seed ->
+                                # lossless codebook, ADC == exact L2
+                                "m": 2, "k": 7, "topk": 3,
+                                "max_dist2": 1.0}}]},
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 6]
+    assert out.columns == df.columns  # funnel contract: no extra cols
+
+
+def test_ann_dedup_stage_frozen_model_tables(spark, tmp_path):
+    """The production path: the model is trained offline, registered as
+    catalog tables, and the stage serves against it — same keeps as the
+    in-stage training (deterministic Lloyd, same corpus)."""
+    from pyspark_playground_spark.operators import similarity as sim
+
+    df = _vec_corpus(spark)
+    coarse, book = sim.ivf_pq_train(
+        df, id_column="doc_id", dim=4, coarse_k=2, coarse_iterations=1,
+        m=2, k=7, iterations=1,
+    )
+    coarse.createOrReplaceTempView("ann_coarse_r8")
+    book.createOrReplaceTempView("ann_book_r8")
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "ann_dedup",
+                     "params": {"coarse_table": "ann_coarse_r8",
+                                "book_table": "ann_book_r8",
+                                "nprobe": 2, "topk": 3,
+                                "max_dist2": 1.0}}]},
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 6]
+    # naming only one half of the model is a spec error, not a retrain
+    with pytest.raises(ValueError, match="together"):
+        pl.run_pipeline(
+            df,
+            {"stages": [{"op": "ann_dedup",
+                         "params": {"coarse_table": "ann_coarse_r8",
+                                    "max_dist2": 1.0}}]},
+        )
+
+
+def test_knn_join_stage_attaches_neighbors(spark):
+    """knn_join explodes each row into (row, neighbor) pairs with rank
+    and quantized distance appended; self-search excludes the row
+    itself; ranks are contiguous from 1."""
+    df = _vec_corpus(spark)
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "knn_join",
+                     "params": {"dim": 4, "coarse_k": 2, "nprobe": 2,
+                                "m": 2, "k": 4, "topk": 2}}]},
+    ).collect()
+    assert set(df.columns) | {"neighbor_id", "adist_q6", "rank"} == {
+        c for r in out for c in r.asDict()
+    }
+    by_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["doc_id"]
+        by_q.setdefault(r["doc_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+    # the tight-cluster members rank each other first
+    top = {r["doc_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top[1] in (0, 2) and top[4] in (3, 5)
