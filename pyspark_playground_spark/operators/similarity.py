@@ -2348,6 +2348,317 @@ def ivf_pq_recall_report(
     )
 
 
+def ivf_cell_balance_report(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    coarse_k: int = 8,
+    coarse_iterations: int = 1,
+) -> DataFrame:
+    """Cell-occupancy census of the IVF coarse quantizer — the
+    partition-skew ship gate for the vector index: on a real deployment
+    the cell is the physical partition column (:func:`ivf_pq_topk`'s
+    layout contract), so a hot cell IS a hot partition — probe latency,
+    shuffle skew and storage imbalance all scale with the max cell, not
+    the mean. Run this before flipping a corpus to IVF layout; the fix
+    for a bad number is more cells (raise ``coarse_k``) or retraining
+    on fresher data.
+
+    Trains the deterministic Lloyd coarse quantizer (exactly
+    :func:`ivf_pq_topk`'s arithmetic — id<k seeds, value-sorted means,
+    id tie-breaks) and assigns every vector by ONE shuffle-free
+    literal-argmin projection; the census is a single count shuffle
+    bounded by ``coarse_k`` rows. Cells that end training with no
+    members simply do not survive Lloyd's update (both engines drop
+    them identically), so the spine is the trained centroid table.
+
+    Output per surviving cell: (cluster_id, n_vectors, share_ppm,
+    imbalance_x6) — ``share_ppm`` the exact integer ``n·1e6 DIV
+    total``; ``imbalance_x6 = floor(max_cell · k_cells / total · 1e6
+    + 0.5)``, the max/mean occupancy ratio (1e6 = perfectly balanced),
+    repeated on every row so a single-row consumer reads it without a
+    second pass.
+    """
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    coarse = _lloyd_train_collect(
+        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
+    )
+    spark = corpus.sparkSession
+    xv = _as_double(F.col(vector_column))
+    assigned = corpus.select(
+        _argmin_literal_expr(xv, coarse).alias("cluster_id")
+    )
+    counts = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    spine = spark.createDataFrame(
+        [(int(cid),) for cid, _ in sorted(coarse)], "cluster_id int"
+    )
+    filled = spine.join(F.broadcast(counts), "cluster_id", "left").select(
+        "cluster_id",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_vectors"),
+    )
+    tot = filled.agg(
+        F.sum("n_vectors").alias("__tot"),
+        F.max("n_vectors").alias("__max"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_vectors",
+        F.expr("(n_vectors * 1000000L) DIV __tot").alias("share_ppm"),
+        F.floor(
+            F.col("__max").cast("double")
+            * F.col("__k").cast("double")
+            / F.col("__tot").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("imbalance_x6"),
+    )
+
+
+def ivf_nprobe_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    coarse_k: int = 8,
+    coarse_iterations: int = 1,
+    topk: int = 10,
+) -> DataFrame:
+    """Recall ceiling of the IVF ROUTING as a function of ``nprobe``,
+    in one pass — the error-budget split every probe-count decision
+    needs: :func:`ivf_pq_recall_report` measures cell-miss AND
+    code-quantization error together for ONE nprobe; this isolates the
+    cell-miss half for EVERY nprobe 1..k_cells at once (it assumes
+    perfect in-cell ranking, so it is the exact upper bound any PQ/ADC
+    refinement can reach at that probe count; :func:`pq_recall_report`
+    gates the code half). Read the curve, pick the smallest nprobe
+    above the recall target, re-gate the composed index once.
+
+    Plan: coarse Lloyd training (model-sized collect), the exact
+    ranking on the bounded query panel (the documented
+    O(corpus × panel) recall-gate envelope), cells by one shuffle-free
+    literal-argmin projection, probe ranks from a |panel| × k_cells
+    broadcast, and ONE census: each true hit enters the curve at its
+    cell's probe rank and contributes to every larger nprobe (the
+    entry-depth explode, bounded by hits × k_cells rows).
+
+    Output one row per nprobe 1..k_cells (surviving cells):
+    (nprobe, n_hits_covered, n_hits_total, recall_q6) — recall is the
+    exact integer ratio over ALL panel hits, quantized q6.
+    """
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    coarse = _lloyd_train_collect(
+        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
+    )
+    n_cells = len(coarse)
+    spark = corpus.sparkSession
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _as_double(F.col(vector_column)).alias("__cv"),
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__d2"),
+        )
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact_topk = (
+        exact.withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    xv = _as_double(F.col(vector_column))
+    cells = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _argmin_literal_expr(xv, coarse).alias("__cell"),
+    )
+    coarse_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in coarse],
+        "cluster_id int, cvec array<double>",
+    )
+    probe_rank = (
+        q.crossJoin(F.broadcast(coarse_df))
+        .select(
+            "query_id",
+            F.col("cluster_id").alias("__cell"),
+            F.aggregate(
+                F.zip_with("__qv", "cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__pd2"),
+        )
+        .withColumn(
+            "__crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__pd2").asc(), F.col("__cell").asc()
+                )
+            ),
+        )
+        .select("query_id", "__cell", "__crank")
+    )
+    hits = exact_topk.join(cells, "neighbor_id").join(
+        F.broadcast(probe_rank), ["query_id", "__cell"]
+    )
+    covered = (
+        hits.select(
+            F.explode(
+                F.sequence(F.col("__crank"), F.lit(n_cells))
+            ).alias("nprobe")
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("__cov"))
+    )
+    total = exact_topk.agg(F.count(F.lit(1)).alias("__tot"))
+    spine = spark.createDataFrame(
+        [(i,) for i in range(1, n_cells + 1)], "nprobe int"
+    )
+    return (
+        spine.join(F.broadcast(covered), "nprobe", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "nprobe",
+            F.coalesce("__cov", F.lit(0)).cast("long").alias(
+                "n_hits_covered"
+            ),
+            F.col("__tot").cast("long").alias("n_hits_total"),
+            F.floor(
+                F.coalesce("__cov", F.lit(0)).cast("double")
+                * F.lit(1e6)
+                / F.col("__tot").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("recall_q6"),
+        )
+    )
+
+
+def silhouette_centroid_report(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 8,
+    iterations: int = 1,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette (Rousseeuw 1987's silhouette
+    with the standard centroid approximation — Hruschka et al.'s
+    simplified silhouette, public construction): for each vector,
+    ``a`` = distance to its own centroid, ``b`` = distance to the
+    nearest OTHER centroid, ``s = (b − a) / max(a, b)`` ∈ [−1, 1].
+    The clustering-quality ship gate for every Lloyd consumer here
+    (:func:`kmeans_lloyd`, the IVF coarse quantizer): near 1 = tight,
+    well-separated cells; near 0 = touching; negative = misassigned
+    mass. The exact silhouette is O(n²) pairwise; the centroid form is
+    ONE pass against the model — the only variant that exists at
+    100 TB.
+
+    Plan: deterministic Lloyd training (model-sized collect), then ONE
+    shuffle-free literal projection computes own/second-nearest
+    centroid distances via a two-minimum fold (same index-order
+    arithmetic and smallest-id tie-break as assignment), and ONE
+    bounded census aggregates per cluster. Determinism: ``sqrt`` is
+    IEEE-correctly-rounded on both engines; each ``s`` is one
+    fixed-order double quantized ``floor(s·1e6+0.5)``; the cluster
+    mean divides the exact BIGINT sum by the count and re-quantizes.
+
+    Output per cluster: (cluster_id, n_points, mean_silhouette_q6).
+    Requires k ≥ 2 surviving centroids (ValueError otherwise — one
+    cell has no "other centroid" to separate from).
+    """
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    cents = _lloyd_train_collect(
+        xfull, id_column=id_column, k=k, iterations=iterations
+    )
+    if len(cents) < 2:
+        raise ValueError(
+            f"silhouette_centroid_report: {len(cents)} surviving "
+            f"centroid(s); silhouette needs at least 2"
+        )
+    xv = _as_double(F.col(vector_column))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in sorted(cents, key=lambda t: t[0])
+        ]
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d1"),
+        F.lit(-1).cast("int").alias("cid"),
+        F.lit(float("inf")).alias("d2"),
+    )
+
+    def step(acc, cent):
+        d = F.aggregate(
+            F.zip_with(xv, cent["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        )
+        return (
+            F.when(
+                d < acc["d1"],
+                F.struct(
+                    d.alias("d1"),
+                    cent["cid"].alias("cid"),
+                    acc["d1"].alias("d2"),
+                ),
+            )
+            .when(
+                d < acc["d2"],
+                F.struct(
+                    acc["d1"].alias("d1"),
+                    acc["cid"].alias("cid"),
+                    d.alias("d2"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    two_min = F.aggregate(arr, init, step)
+    a = F.sqrt(F.col("__tm.d1"))
+    b = F.sqrt(F.col("__tm.d2"))
+    s = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+        F.lit(0.0)
+    )
+    per_point = corpus.select(two_min.alias("__tm")).select(
+        F.col("__tm.cid").alias("cluster_id"),
+        F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__sq6"),
+    )
+    return per_point.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.floor(
+            F.sum("__sq6").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("mean_silhouette_q6"),
+    )
+
+
 def brute_force_topk_l2(
     corpus: DataFrame,
     queries: DataFrame,

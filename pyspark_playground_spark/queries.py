@@ -9810,7 +9810,14 @@ def jsd_source_matrix_documents(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int, iterations: int) -> str:
+def _lloyd_cte(k: int, iterations: int) -> str:
+    """The Lloyd-training CTE prefix shared by every clustering oracle:
+    ``WITH cent0 ... d{iterations}/a{iterations}`` replaying
+    kmeans_lloyd's exact arithmetic (id<k seeds, value-sorted mean
+    folds, index-order distance folds, cluster-id tie-break) over the
+    embeddings table. Downstream CTEs read ``cent{iterations}`` (the
+    trained model), ``d{iterations}`` (all point-centroid distances)
+    and ``a{iterations}`` (the final assignment)."""
     dist = """
     , d{i} AS (
       SELECT v.vec_id, c.cluster_id,
@@ -9855,13 +9862,14 @@ def _kmeans_oracle(k: int, iterations: int) -> str:
         parts.append(dist.format(i=i, cent=f"cent{i}"))
         parts.append(update.format(i=i, nxt=i + 1))
     parts.append(dist.format(i=iterations, cent=f"cent{iterations}"))
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int, iterations: int) -> str:
+    return _lloyd_cte(k, iterations) + f"""
     SELECT vec_id, cluster_id, round(dist2, 6) AS dist2_r6
     FROM a{iterations}
     """
-    )
-    return "".join(parts)
 
 
 @query("kmeans_lloyd_embeddings", _kmeans_oracle(k=8, iterations=2))
@@ -9877,6 +9885,156 @@ def kmeans_lloyd_embeddings(spark, sf_dir):
     (cluster, dim)-keyed exchange."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.kmeans_lloyd(emb, k=8, iterations=2)
+
+
+@query(
+    "ivf_cell_balance_embeddings",
+    _lloyd_cte(8, 1) + """
+    , cnt AS (
+      SELECT cluster_id, count(*) AS n FROM a1 GROUP BY cluster_id
+    ), filled AS (
+      SELECT c.cluster_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vectors
+      FROM cent1 c LEFT JOIN cnt USING (cluster_id)
+    ), tot AS (
+      SELECT sum(n_vectors) AS t, max(n_vectors) AS mx,
+             count(*) AS kk
+      FROM filled
+    )
+    SELECT CAST(cluster_id AS INT) AS cluster_id, n_vectors,
+           CAST((n_vectors * 1000000) // t AS BIGINT) AS share_ppm,
+           CAST(floor(CAST(mx AS DOUBLE) * CAST(kk AS DOUBLE)
+                      / CAST(t AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             AS imbalance_x6
+    FROM filled CROSS JOIN tot
+    """,
+)
+def ivf_cell_balance_embeddings(spark, sf_dir):
+    """Cell-occupancy census of the IVF coarse quantizer
+    (operators/similarity.py ivf_cell_balance_report): the
+    partition-skew ship gate for the vector index — at 100 TB the cell
+    IS the physical partition, so probe latency and storage imbalance
+    scale with the max cell, not the mean. Training replayed CTE by
+    CTE; assignment is one shuffle-free literal-argmin projection; the
+    census is one count shuffle bounded by coarse_k rows. imbalance_x6
+    is the exact max/mean occupancy ratio (1e6 = perfectly
+    balanced)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_cell_balance_report(
+        emb, coarse_k=8, coarse_iterations=1
+    )
+
+
+@query(
+    "ivf_nprobe_curve_embeddings",
+    _lloyd_cte(8, 1) + """
+    , qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), exact AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0,
+               [(q.qv[j] - CAST(v.embedding AS DOUBLE[])[j])
+                * (q.qv[j] - CAST(v.embedding AS DOUBLE[])[j])
+                FOR j IN range(1, len(q.qv) + 1)]),
+               (a, x) -> a + x) AS d2
+      FROM embeddings v CROSS JOIN qs q
+      WHERE v.vec_id <> q.query_id
+    ), ex_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        FROM exact
+      ) WHERE rn <= 10
+    ), pd AS (
+      SELECT q.query_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(q.qv[j] - c.cvec[j]) * (q.qv[j] - c.cvec[j])
+                FOR j IN range(1, len(q.qv) + 1)]),
+               (a, x) -> a + x) AS d2
+      FROM qs q CROSS JOIN cent1 c
+    ), pr AS (
+      SELECT query_id, cluster_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, cluster_id ASC) AS crank
+      FROM pd
+    ), hits AS (
+      SELECT e.query_id, e.neighbor_id, pr.crank
+      FROM ex_topk e
+      JOIN a1 a ON e.neighbor_id = a.vec_id
+      JOIN pr ON pr.query_id = e.query_id
+            AND pr.cluster_id = a.cluster_id
+    ), cov AS (
+      SELECT np AS nprobe, count(*) AS c FROM (
+        SELECT unnest(range(crank,
+                            (SELECT count(*) FROM cent1) + 1)) AS np
+        FROM hits
+      ) GROUP BY np
+    ), tot AS (SELECT count(*) AS t FROM ex_topk),
+    spine AS (
+      SELECT unnest(range(1, (SELECT count(*) FROM cent1) + 1)) AS nprobe
+    )
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_hits_covered,
+           CAST(t AS BIGINT) AS n_hits_total,
+           CAST(floor(CAST(coalesce(c, 0) AS DOUBLE) * 1e6
+                      / CAST(t AS DOUBLE) + 0.5) AS BIGINT) AS recall_q6
+    FROM spine LEFT JOIN cov USING (nprobe) CROSS JOIN tot
+    """,
+)
+def ivf_nprobe_curve_embeddings(spark, sf_dir):
+    """Recall ceiling of the IVF routing for EVERY nprobe at once
+    (operators/similarity.py ivf_nprobe_recall_curve): each exact
+    top-10 hit enters the curve at its cell's probe rank — the
+    cell-miss half of the IVF x PQ error budget, isolated from code
+    quantization (pq_recall_embeddings gates that half). Read the
+    curve, pick the smallest nprobe above target, re-gate the composed
+    index once. Bounded-panel exact ranking; shuffle-free cell
+    assignment; one entry-rank explode census."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_nprobe_recall_curve(
+        emb, emb.filter(F.col("vec_id") < 10),
+        coarse_k=8, coarse_iterations=1, topk=10,
+    )
+
+
+@query(
+    "silhouette_kmeans_embeddings",
+    _lloyd_cte(8, 1) + """
+    , r2 AS (
+      SELECT vec_id, cluster_id, dist2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2 ASC, cluster_id ASC) AS rn
+      FROM d1
+    ), ab AS (
+      SELECT o.vec_id, o.cluster_id,
+             sqrt(o.dist2) AS a, sqrt(s.dist2) AS b
+      FROM (SELECT * FROM r2 WHERE rn = 1) o
+      JOIN (SELECT vec_id, dist2 FROM r2 WHERE rn = 2) s USING (vec_id)
+    ), sq AS (
+      SELECT cluster_id,
+             CAST(floor(CASE WHEN greatest(a, b) > 0
+                             THEN (b - a) / greatest(a, b)
+                             ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS sq6
+      FROM ab
+    )
+    SELECT CAST(cluster_id AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(floor(CAST(sum(sq6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS mean_silhouette_q6
+    FROM sq GROUP BY cluster_id
+    """,
+)
+def silhouette_kmeans_embeddings(spark, sf_dir):
+    """Per-cluster simplified silhouette of the k=8 Lloyd clustering
+    (operators/similarity.py silhouette_centroid_report): a = distance
+    to own centroid, b = to nearest other, s = (b-a)/max(a,b) — the
+    clustering-quality ship gate, centroid-approximated because the
+    exact O(n^2) silhouette does not exist at 100 TB. One shuffle-free
+    two-minimum literal fold per row, one bounded census; the oracle
+    ranks the same distance table with the same tie-break."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.silhouette_centroid_report(emb, k=8, iterations=1)
 
 
 @query(

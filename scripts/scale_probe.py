@@ -999,6 +999,50 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("changepoint_hourly", n_evr, chgpt)
 
+    # 70. frozen-model IVF×PQ search (r8): train ONCE on the original
+    #     2k vectors, serve the search over the whole replicated corpus
+    #     against the frozen model — the production latency the per-call
+    #     training in probe 60 hides; pure candidate-pruned scan
+    coarse_m, book_m = sim.ivf_pq_train(
+        emb.filter(F.col("vec_id") < 2000),
+        dim=64, coarse_k=8, coarse_iterations=1, m=4, k=16, iterations=1,
+    )
+
+    def ivf_frozen():
+        sim.ivf_pq_search_with_model(
+            emb, emb.filter(F.col("vec_id") < 10), coarse_m, book_m,
+            nprobe=2, topk=10,
+        ).write.format("noop").mode("overwrite").save()
+    timed("ivf_pq_frozen_search", n_emb, ivf_frozen)
+
+    # 71. IVF cell-balance census (r8): one shuffle-free literal-argmin
+    #     projection + a coarse_k-bounded count — the partition-skew
+    #     ship gate; corpus-linear by construction
+    def cell_bal():
+        sim.ivf_cell_balance_report(
+            emb, coarse_k=8, coarse_iterations=1,
+        ).write.format("noop").mode("overwrite").save()
+    timed("ivf_cell_balance", n_emb, cell_bal)
+
+    # 72. nprobe recall curve (r8): bounded-panel exact ranking (the
+    #     documented O(corpus x panel) recall-gate envelope) + a
+    #     hits x coarse_k census
+    def nprobe_curve():
+        sim.ivf_nprobe_recall_curve(
+            emb, emb.filter(F.col("vec_id") < 10),
+            coarse_k=8, coarse_iterations=1, topk=10,
+        ).write.format("noop").mode("overwrite").save()
+    timed("ivf_nprobe_curve", n_emb, nprobe_curve)
+
+    # 73. simplified silhouette (r8): Lloyd training + ONE two-minimum
+    #     literal fold per row + a k-bounded census — the O(n) variant
+    #     of the O(n^2) clustering-quality score
+    def silhouette():
+        sim.silhouette_centroid_report(
+            emb, k=8, iterations=1,
+        ).write.format("noop").mode("overwrite").save()
+    timed("silhouette_centroid", n_emb, silhouette)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

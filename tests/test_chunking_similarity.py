@@ -622,3 +622,68 @@ def test_pq_encode_with_book_frozen_contract(spark):
         sim.pq_encode_with_book(corpus, book.filter("subspace < 0"))
     with _pytest.raises(ValueError, match="contiguous"):
         sim.pq_encode_with_book(corpus, book.filter("subspace = 1"))
+
+
+def test_ivf_cell_balance_hand_computed(spark):
+    """6 points in cell A, 2 in cell B: shares 750000/250000 ppm and
+    imbalance = max/mean = 6/4 = 1.5e6, repeated on both rows."""
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in (0, 2, 3, 4, 5, 6)]
+    rows += [(1, [10.0, 10.0]), (7, [10.1, 10.0])]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["cluster_id"]: r for r in sim.ivf_cell_balance_report(
+        corpus, coarse_k=2, coarse_iterations=1
+    ).collect()}
+    assert out[0]["n_vectors"] == 6 and out[1]["n_vectors"] == 2
+    assert out[0]["share_ppm"] == 750_000
+    assert out[1]["share_ppm"] == 250_000
+    assert all(r["imbalance_x6"] == 1_500_000 for r in out.values())
+
+
+def test_ivf_nprobe_recall_curve_hand_computed(spark):
+    """One query in cell A whose exact top-3 spans both cells (2 A
+    members + the nearest B point): recall@1 = 2/3, recall@2 = 1 —
+    and the curve is monotone, ending at 1.0 at full probe."""
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.0, 0.2]),
+        (1, [4.0, 0.0]), (4, [4.2, 0.0]), (5, [4.0, 0.2]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        sim.ivf_nprobe_recall_curve(
+            corpus, corpus.filter("vec_id = 0"),
+            coarse_k=2, coarse_iterations=1, topk=3,
+        ).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in out] == [1, 2]
+    assert out[0]["n_hits_covered"] == 2 and out[0]["n_hits_total"] == 3
+    assert out[0]["recall_q6"] == 666_667
+    assert out[1]["n_hits_covered"] == 3
+    assert out[1]["recall_q6"] == 1_000_000
+
+
+def test_silhouette_centroid_hand_computed(spark):
+    """Two 2-point clusters with centroids (1,0) and (11,0): the four
+    per-point silhouettes are (11-1)/11 and (9-1)/9 in each cluster,
+    so both cluster means are floor((909091+888889)/2 + .5) = 898990;
+    a clustering with one surviving centroid raises."""
+    rows = [
+        (0, [0.0, 0.0]), (2, [2.0, 0.0]),
+        (1, [10.0, 0.0]), (3, [12.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["cluster_id"]: r for r in sim.silhouette_centroid_report(
+        corpus, k=2, iterations=1
+    ).collect()}
+    assert out[0]["n_points"] == 2 and out[1]["n_points"] == 2
+    assert out[0]["mean_silhouette_q6"] == 898_990
+    assert out[1]["mean_silhouette_q6"] == 898_990
+
+    with pytest.raises(ValueError, match="at least 2"):
+        sim.silhouette_centroid_report(corpus, k=1, iterations=1)
