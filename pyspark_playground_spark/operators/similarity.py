@@ -1755,14 +1755,15 @@ def pq_recall_report(
     )
 
 
-def _argmin_literal_expr(v: Column, cents) -> Column:
-    """Nearest-centroid id of ``v`` over a LITERAL centroid list
-    ``[(cluster_id, [floats]), ...]`` as ONE codegen'd fold — no
-    crossJoin, no groupBy, no shuffle: the model is compiled into the
-    expression. Identical arithmetic and tie-break to
-    :func:`_assign_to_centroids` (index-order squared-L2 fold; ties keep
-    the smallest cluster_id — the fold iterates ids ascending and only
-    replaces on strictly smaller distance)."""
+def _argmin_literal_struct(v: Column, cents) -> Column:
+    """The (distance², cluster_id) struct of ``v``'s nearest centroid
+    over a LITERAL centroid list ``[(cluster_id, [floats]), ...]`` as
+    ONE codegen'd fold — no crossJoin, no groupBy, no shuffle: the
+    model is compiled into the expression. Identical arithmetic and
+    tie-break to :func:`_assign_to_centroids` (index-order squared-L2
+    fold; ties keep the smallest cluster_id — the fold iterates ids
+    ascending and only replaces on strictly smaller distance). Fields:
+    ``d`` (squared L2 to the winner), ``cid``."""
     arr = F.array(
         *[
             F.struct(
@@ -1786,7 +1787,13 @@ def _argmin_literal_expr(v: Column, cents) -> Column:
             d2 < acc["d"], F.struct(d2.alias("d"), c["cid"].alias("cid"))
         ).otherwise(acc)
 
-    return F.aggregate(arr, init, step)["cid"]
+    return F.aggregate(arr, init, step)
+
+
+def _argmin_literal_expr(v: Column, cents) -> Column:
+    """Nearest-centroid id of ``v`` over a literal centroid list — the
+    ``cid`` field of :func:`_argmin_literal_struct`'s fold."""
+    return _argmin_literal_struct(v, cents)["cid"]
 
 
 def _lloyd_train_collect(
@@ -2656,6 +2663,166 @@ def silhouette_centroid_report(
             F.sum("__sq6").cast("double") / F.count(F.lit(1)).cast("double")
             + F.lit(0.5)
         ).cast("long").alias("mean_silhouette_q6"),
+    )
+
+
+def ivf_coarse_train(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    coarse_k: int = 8,
+    coarse_iterations: int = 1,
+) -> DataFrame:
+    """Train ONLY the IVF coarse quantizer and return it as a
+    model-sized frame ``(cluster_id, cvec)`` — :func:`ivf_pq_train`'s
+    first half for consumers that need the cell layout without PQ
+    codebooks (partitioning a corpus by cell, the drift monitor below).
+    Exactly :func:`ivf_pq_topk`'s coarse training arithmetic; eager,
+    literal-backed, storage-round-trippable."""
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    coarse = _lloyd_train_collect(
+        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(coarse)],
+        "cluster_id int, cvec array<double>",
+    )
+
+
+def ivf_assignment_drift_report(
+    batch: DataFrame,
+    coarse: DataFrame,
+    *,
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Assignment census of a NEW batch against a FROZEN coarse model —
+    the retrain trigger for the vector index: as the corpus drifts away
+    from the distribution the quantizer was trained on, cell occupancy
+    skews and the mean distance-to-assigned-centroid (the per-cell
+    quantization error) climbs. Run it per ingest batch against the
+    serving model (:func:`ivf_coarse_train` / :func:`ivf_pq_train`'s
+    coarse half, possibly read back from storage) and alert on cells
+    whose mean_d2 rises across runs — retraining re-keys the layout, so
+    it should happen when THIS number says so, not on a timer.
+
+    Plan: the model is collected driver-side (model-sized) and compiled
+    into ONE shuffle-free literal fold per row (assignment + distance
+    in the same :func:`_argmin_literal_struct` expression); the census
+    is one count shuffle bounded by the cell count. Determinism: the
+    fold is index-order; per-row d² quantizes ``floor(d²·1e6+0.5)`` to
+    exact BIGINTs whose sum is order-free; the mean divides exact
+    integers and re-quantizes. Cells with no batch members report
+    n_vectors=0 and NULL mean (the model spine keeps them visible —
+    a vanished cell is itself a drift signal).
+
+    Output per model cell: (cluster_id, n_vectors, share_ppm,
+    mean_d2_q6).
+    """
+    rows = coarse.select("cluster_id", "cvec").collect()
+    if not rows:
+        raise ValueError("ivf_assignment_drift_report: empty coarse model")
+    cents = sorted((int(r["cluster_id"]), list(r["cvec"])) for r in rows)
+    spark = batch.sparkSession
+    xv = _as_double(F.col(vector_column))
+    assigned = batch.select(
+        _argmin_literal_struct(xv, cents).alias("__a")
+    ).select(
+        F.col("__a.cid").alias("cluster_id"),
+        F.floor(F.col("__a.d") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("__d2q6"),
+    )
+    census = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__d2q6").alias("__sd"),
+    )
+    spine = spark.createDataFrame(
+        [(cid,) for cid, _ in cents], "cluster_id int"
+    )
+    filled = spine.join(F.broadcast(census), "cluster_id", "left")
+    tot = filled.agg(
+        F.sum(F.coalesce("__n", F.lit(0))).alias("__tot")
+    )
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_vectors"),
+        F.expr(
+            "(coalesce(__n, 0) * 1000000L) DIV __tot"
+        ).alias("share_ppm"),
+        F.when(
+            F.col("__n") > 0,
+            F.floor(
+                F.col("__sd").cast("double") / F.col("__n").cast("double")
+                + F.lit(0.5)
+            ),
+        ).cast("long").alias("mean_d2_q6"),
+    )
+
+
+def pq_code_utilization_report(
+    corpus: DataFrame,
+    book: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Codebook-utilization census per PQ subspace — the quantizer-
+    quality gate that catches wasted bits BEFORE recall does: a
+    subspace whose corpus codes concentrate on a few entries (low
+    entropy, high top-code share) is spending its code budget on
+    centroids nothing maps to, and the same ``m × log2(k)`` bits would
+    quantize finer after retraining on representative data. Read
+    beside :func:`pq_recall_report`: recall says "is the index good
+    enough", this says "is the codebook earning its bits".
+
+    Plan: encode via :func:`pq_encode_with_book`'s shuffle-free
+    literal projection, then two bounded censuses (codes per
+    (subspace, code) — at most m·k rows — and book sizes). Entropy in
+    NATS via the package's exact-decimal recipe: per-code terms
+    ``round(n·ln n, 7)`` summed as DECIMAL(28,9) (order-free), then
+    ``H = ln(total) − s/total`` quantized ``floor(H·1e6+0.5)``.
+
+    Output per subspace: (subspace, n_codes_book, n_codes_used,
+    top_code_share_ppm, entropy_q6).
+    """
+    codes = pq_encode_with_book(
+        corpus, book, id_column=id_column, vector_column=vector_column
+    )
+    cc = codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    per = cc.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes_used"),
+        F.sum("__nt").alias("__tot"),
+        F.max("__nt").alias("__mx"),
+        F.sum(
+            F.round(
+                F.col("__nt").cast("double")
+                * F.log(F.col("__nt").cast("double")),
+                7,
+            ).cast("decimal(28,9)")
+        ).alias("__s"),
+    )
+    sizes = book.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes_book")
+    )
+    return per.join(F.broadcast(sizes), "subspace").select(
+        "subspace",
+        "n_codes_book",
+        "n_codes_used",
+        F.expr("(__mx * 1000000L) DIV __tot").alias("top_code_share_ppm"),
+        F.floor(
+            (
+                F.log(F.col("__tot").cast("double"))
+                - F.col("__s").cast("double")
+                / F.col("__tot").cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("entropy_q6"),
     )
 
 

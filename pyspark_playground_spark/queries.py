@@ -9810,14 +9810,19 @@ def jsd_source_matrix_documents(spark, sf_dir):
     )
 
 
-def _lloyd_cte(k: int, iterations: int) -> str:
+def _lloyd_cte(
+    k: int, iterations: int, *, src: str = "embeddings", pre: str = ""
+) -> str:
     """The Lloyd-training CTE prefix shared by every clustering oracle:
     ``WITH cent0 ... d{iterations}/a{iterations}`` replaying
     kmeans_lloyd's exact arithmetic (id<k seeds, value-sorted mean
-    folds, index-order distance folds, cluster-id tie-break) over the
-    embeddings table. Downstream CTEs read ``cent{iterations}`` (the
-    trained model), ``d{iterations}`` (all point-centroid distances)
-    and ``a{iterations}`` (the final assignment)."""
+    folds, index-order distance folds, cluster-id tie-break) over
+    ``src`` (default the embeddings table; pass a CTE name declared via
+    ``pre`` — e.g. ``pre="tr AS (SELECT ...), ", src="tr"`` — to train
+    on a subset, the frozen-model drift pattern). Downstream CTEs read
+    ``cent{iterations}`` (the trained model), ``d{iterations}`` (all
+    point-centroid distances) and ``a{iterations}`` (the final
+    assignment)."""
     dist = """
     , d{i} AS (
       SELECT v.vec_id, c.cluster_id,
@@ -9826,7 +9831,7 @@ def _lloyd_cte(k: int, iterations: int) -> str:
                 * (CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
                 FOR j IN range(1, len(v.embedding) + 1)]),
                (a, b) -> a + b) AS dist2
-      FROM embeddings v CROSS JOIN {cent} c
+      FROM {src} v CROSS JOIN {cent} c
     ), a{i} AS (
       SELECT vec_id, cluster_id, dist2 FROM (
         SELECT vec_id, cluster_id, dist2,
@@ -9846,22 +9851,23 @@ def _lloyd_cte(k: int, iterations: int) -> str:
           SELECT a{i}.cluster_id,
                  unnest([{{'pos': j - 1, 'v': CAST(e.embedding[j] AS DOUBLE)}}
                          FOR j IN range(1, len(e.embedding) + 1)]) AS pv
-          FROM a{i} JOIN embeddings e USING (vec_id)
+          FROM a{i} JOIN {src} e USING (vec_id)
         ) GROUP BY cluster_id, pv.pos
       ) GROUP BY cluster_id
     )"""
     parts = [
         f"""
-    WITH cent0 AS (
+    WITH {pre}cent0 AS (
       SELECT CAST(vec_id AS INT) AS cluster_id,
              CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < {k}
+      FROM {src} WHERE vec_id < {k}
     )"""
     ]
     for i in range(iterations):
-        parts.append(dist.format(i=i, cent=f"cent{i}"))
-        parts.append(update.format(i=i, nxt=i + 1))
-    parts.append(dist.format(i=iterations, cent=f"cent{iterations}"))
+        parts.append(dist.format(i=i, cent=f"cent{i}", src=src))
+        parts.append(update.format(i=i, nxt=i + 1, src=src))
+    parts.append(dist.format(i=iterations, cent=f"cent{iterations}",
+                             src=src))
     return "".join(parts)
 
 
@@ -10035,6 +10041,59 @@ def silhouette_kmeans_embeddings(spark, sf_dir):
     ranks the same distance table with the same tie-break."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.silhouette_centroid_report(emb, k=8, iterations=1)
+
+
+@query(
+    "ivf_drift_new_batch_embeddings",
+    _lloyd_cte(
+        8, 1,
+        pre="tr AS (SELECT * FROM embeddings WHERE vec_id < 250), ",
+        src="tr",
+    ) + """
+    , bd AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                * (CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                FOR j IN range(1, len(v.embedding) + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM embeddings v CROSS JOIN cent1 c
+    ), ba AS (
+      SELECT vec_id, cluster_id, dist2 FROM (
+        SELECT vec_id, cluster_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM bd
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT cluster_id, count(*) AS n,
+             sum(CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT)) AS sd
+      FROM ba GROUP BY cluster_id
+    ), tot AS (SELECT sum(n) AS t FROM q)
+    SELECT CAST(c.cluster_id AS INT) AS cluster_id,
+           CAST(coalesce(q.n, 0) AS BIGINT) AS n_vectors,
+           CAST((coalesce(q.n, 0) * 1000000) // t AS BIGINT) AS share_ppm,
+           CASE WHEN q.n > 0 THEN
+             CAST(floor(CAST(q.sd AS DOUBLE) / CAST(q.n AS DOUBLE) + 0.5)
+                  AS BIGINT)
+           END AS mean_d2_q6
+    FROM cent1 c LEFT JOIN q USING (cluster_id) CROSS JOIN tot
+    """,
+)
+def ivf_drift_new_batch_embeddings(spark, sf_dir):
+    """Assignment drift of the FULL corpus against a coarse model
+    frozen on its first 250 vectors (operators/similarity.py
+    ivf_assignment_drift_report) — the retrain trigger: per-cell batch
+    occupancy plus mean distance-to-assigned-centroid (the quantization
+    error new data pays on the old layout). Assignment + distance come
+    from ONE shuffle-free literal fold per row; the census is bounded
+    by the cell count; empty model cells stay visible with NULL mean
+    (a vanished cell is itself a drift signal)."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = sim.ivf_coarse_train(
+        emb.filter(F.col("vec_id") < 250), coarse_k=8, coarse_iterations=1
+    )
+    return sim.ivf_assignment_drift_report(emb, coarse)
 
 
 @query(
@@ -12926,13 +12985,12 @@ def ece_length_rank_en_documents(spark, sf_dir):
     )
 
 
-def _pq_oracle(
-    *, dim: int, m: int, k: int, iterations: int, topk: int, panel: int
-) -> str:
-    """Replay pq_recall_report CTE by CTE: per-subspace Lloyd training
-    (the _kmeans_oracle arithmetic on list slices), encode, the
-    (query, subspace, code) ADC lookup table, the value-sorted ADC fold,
-    and both top-k rankings."""
+def _pq_train_cte(*, dim: int, m: int, k: int, iterations: int) -> str:
+    """Per-subspace PQ Lloyd training + encode as a CTE prefix
+    (pq_train_encode's exact arithmetic): ``WITH cent_0_0 ...`` ending
+    with ``codes (vec_id, subspace, code)`` and ``book (subspace,
+    cluster_id, cvec)`` — shared by the PQ recall oracle and the
+    code-utilization census."""
     sub = dim // m
     dist = """
     , d_{s}_{i} AS (
@@ -12996,15 +13054,30 @@ def _pq_oracle(
         f" FROM cent_{s}_{iterations}"
         for s in range(m)
     )
+    parts.append(
+        f"""
+    , codes AS ({codes_union})
+    , book AS ({book_union})"""
+    )
+    return "".join(parts)
+
+
+def _pq_oracle(
+    *, dim: int, m: int, k: int, iterations: int, topk: int, panel: int
+) -> str:
+    """Replay pq_recall_report CTE by CTE: per-subspace Lloyd training
+    (the _kmeans_oracle arithmetic on list slices, via _pq_train_cte),
+    encode, the (query, subspace, code) ADC lookup table, the
+    value-sorted ADC fold, and both top-k rankings."""
+    sub = dim // m
     qsub_union = " UNION ALL ".join(
         f"SELECT query_id, {s} AS subspace,"
         f" qv[{s * sub + 1}:{(s + 1) * sub}] AS qs FROM qs"
         for s in range(m)
     )
+    parts = [_pq_train_cte(dim=dim, m=m, k=k, iterations=iterations)]
     parts.append(
         f"""
-    , codes AS ({codes_union})
-    , book AS ({book_union})
     , qs AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < {panel}
@@ -13564,6 +13637,43 @@ def pq_recall_embeddings(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10),
         dim=64, m=2, k=8, iterations=1, topk=10,
     )
+
+
+@query(
+    "pq_code_utilization_embeddings",
+    _pq_train_cte(dim=64, m=4, k=16, iterations=1) + """
+    , cc AS (
+      SELECT subspace, code, count(*) AS nt
+      FROM codes GROUP BY subspace, code
+    ), per AS (
+      SELECT subspace, count(*) AS n_used, sum(nt) AS tot, max(nt) AS mx,
+             sum(CAST(round(CAST(nt AS DOUBLE) * ln(CAST(nt AS DOUBLE)), 7)
+                      AS DECIMAL(28,9))) AS s
+      FROM cc GROUP BY subspace
+    ), sizes AS (
+      SELECT subspace, count(*) AS nb FROM book GROUP BY subspace
+    )
+    SELECT CAST(p.subspace AS INT) AS subspace,
+           CAST(nb AS BIGINT) AS n_codes_book,
+           CAST(n_used AS BIGINT) AS n_codes_used,
+           CAST((mx * 1000000) // tot AS BIGINT) AS top_code_share_ppm,
+           CAST(floor((ln(CAST(tot AS DOUBLE))
+                       - CAST(s AS DOUBLE) / CAST(tot AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS entropy_q6
+    FROM per p JOIN sizes USING (subspace)
+    """,
+)
+def pq_code_utilization_embeddings(spark, sf_dir):
+    """Codebook-utilization census per PQ subspace
+    (operators/similarity.py pq_code_utilization_report): codes-used
+    count, top-code share, and Shannon entropy (nats, the package's
+    exact-decimal recipe) of the corpus code distribution — the
+    wasted-bits gate read beside pq_recall_embeddings. Encode is the
+    shuffle-free frozen-book projection; both censuses are bounded by
+    m*k rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    _, book = sim.pq_train_encode(emb, dim=64, m=4, k=16, iterations=1)
+    return sim.pq_code_utilization_report(emb, book)
 
 
 @query(

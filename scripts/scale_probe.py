@@ -1043,6 +1043,20 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("silhouette_centroid", n_emb, silhouette)
 
+    # 74. assignment drift vs the frozen coarse model (r8): ONE literal
+    #     fold per batch row (assignment + distance), cell-bounded census
+    def drift():
+        sim.ivf_assignment_drift_report(emb, coarse_m).write.format(
+            "noop").mode("overwrite").save()
+    timed("ivf_assignment_drift", n_emb, drift)
+
+    # 75. PQ code-utilization census vs the frozen book (r8): the
+    #     0-exchange frozen-book encode + two m*k-bounded censuses
+    def code_util():
+        sim.pq_code_utilization_report(emb, book_m).write.format(
+            "noop").mode("overwrite").save()
+    timed("pq_code_utilization", n_emb, code_util)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

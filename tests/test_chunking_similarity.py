@@ -687,3 +687,69 @@ def test_silhouette_centroid_hand_computed(spark):
 
     with pytest.raises(ValueError, match="at least 2"):
         sim.silhouette_centroid_report(corpus, k=1, iterations=1)
+
+
+def test_ivf_assignment_drift_hand_computed(spark):
+    """Model frozen on two centroids at (0,0) and (10,0); a drifted
+    batch puts 3 points near cell 0 (d2 = 0, 1, 4 -> mean 1666667 q6)
+    and 1 point at (14,0) in cell 1 (d2 = 16); empty-model errors."""
+    coarse = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        "cluster_id int, cvec array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [2.0, 0.0]),
+            (3, [14.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["cluster_id"]: r for r in sim.ivf_assignment_drift_report(
+        batch, coarse
+    ).collect()}
+    assert out[0]["n_vectors"] == 3 and out[1]["n_vectors"] == 1
+    assert out[0]["share_ppm"] == 750_000
+    # mean of quantized d2: (0 + 1e6 + 4e6) / 3 -> 1666667
+    assert out[0]["mean_d2_q6"] == 1_666_667
+    assert out[1]["mean_d2_q6"] == 16_000_000
+
+    # a model cell with no batch members stays visible with NULL mean
+    far = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [99.0, 0.0])],
+        "cluster_id int, cvec array<double>",
+    )
+    out2 = {r["cluster_id"]: r for r in sim.ivf_assignment_drift_report(
+        batch, far
+    ).collect()}
+    assert out2[2]["n_vectors"] == 0 and out2[2]["mean_d2_q6"] is None
+
+    with pytest.raises(ValueError, match="empty coarse"):
+        sim.ivf_assignment_drift_report(
+            batch, coarse.filter("cluster_id < 0")
+        )
+
+
+def test_pq_code_utilization_hand_computed(spark):
+    """A frozen 1-subspace book with 4 codes where the corpus only ever
+    uses 2 of them (3:1): n_codes_used=2, top share 750000, entropy =
+    ln(4) - (3 ln 3 + 1 ln 1)/4 = 0.562335 nats (q6)."""
+    import math
+
+    book = spark.createDataFrame(
+        [(0, c, [float(10 * c), 0.0]) for c in range(4)],
+        "subspace int, cluster_id int, cvec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, [0.1 * i, 0.0]) for i in range(3)] + [(3, [10.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = sim.pq_code_utilization_report(corpus, book).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["subspace"] == 0
+    assert row["n_codes_book"] == 4 and row["n_codes_used"] == 2
+    assert row["top_code_share_ppm"] == 750_000
+    expect = math.floor(
+        (math.log(4.0) - round(3.0 * math.log(3.0), 7) / 4.0) * 1e6 + 0.5
+    )
+    assert row["entropy_q6"] == expect
