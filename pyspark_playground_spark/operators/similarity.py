@@ -2876,6 +2876,174 @@ def brute_force_topk_l2(
     )
 
 
+def mmr_diversified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    candidates: int = 20,
+    k: int = 5,
+    lambda_ppm: int = 700_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public construction) over the exact L2 candidate set — the
+    diversity pass between retrieval and consumption: a plain top-k
+    hands back k copies of the same neighborhood; MMR greedily picks
+    the item that is close to the QUERY but far from everything
+    ALREADY PICKED, so RAG context windows and few-shot exemplar sets
+    stop wasting slots on near-duplicates of slot 1.
+
+    Distance form (L2 throughout, matching :func:`brute_force_topk_l2`):
+    round 1 picks the nearest candidate; round i+1 picks
+    ``argmin_c  λ·d²(q, c) − (1−λ)·min_{s∈S} d²(c, s)`` over the
+    unpicked candidates. λ = ``lambda_ppm``/1e6 (1.0 = pure relevance,
+    0.0 = pure diversity).
+
+    Plan: the candidate set is one bounded-panel exact ranking (the
+    documented O(corpus × panel) recall-gate envelope — swap in the
+    frozen-model ANN output upstream at scale), materialized ONCE to a
+    local frame (|panel|·candidates rows — model-sized by contract, the
+    same envelope every recall gate collects) so the corpus is scanned
+    exactly once; the k−1 greedy rounds then join panel-bounded local
+    frames, never the corpus. Determinism: every d² is the index-order
+    fold (collected doubles round-trip bit-exactly); the per-round MMR
+    score is one fixed-order double quantized ``floor(s·1e6+0.5)``;
+    min-over-selected is order-free; every pick tie-breaks by neighbor
+    id. λ is computed once in Python and embedded as the same literal
+    both engines parse.
+
+    Output: (query_id, neighbor_id, mmr_rank) — mmr_rank 1..k.
+    """
+    if not 1 <= k <= candidates:
+        raise ValueError(
+            f"mmr_diversified_topk: k={k} must be in [1, candidates="
+            f"{candidates}]"
+        )
+    lam = lambda_ppm / 1e6
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _as_double(F.col(vector_column)).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__cv",
+            F.aggregate(
+                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__dq"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("__dq").asc(), F.col("neighbor_id").asc()
+    )
+    cand_rows = (
+        scored.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= candidates)
+        .select("query_id", "neighbor_id", "__cv", "__dq", "__rn")
+        .collect()
+    )
+    # ONE corpus pass total: the ranked candidates are panel-bounded
+    # (|panel|·candidates rows) and rebuilt as a local frame, so the
+    # k−1 greedy rounds below never touch the corpus again
+    spark = corpus.sparkSession
+    cand_local = spark.createDataFrame(
+        [
+            (r["query_id"], r["neighbor_id"], list(r["__cv"]),
+             float(r["__dq"]), r["__rn"])
+            for r in cand_rows
+        ],
+        scored.select(
+            "query_id", "neighbor_id", "__cv", "__dq"
+        ).withColumn("__rn", F.lit(1)).schema,
+    )
+    cand = cand_local.select("query_id", "neighbor_id", "__cv", "__dq")
+    # round 1: the nearest candidate, pure relevance
+    selected = (
+        cand_local.filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__cv",
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    picks = selected.select("query_id", "neighbor_id", "mmr_rank")
+    for i in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pair = remaining.join(
+            selected.select(
+                "query_id",
+                F.col("__cv").alias("__sv"),
+            ),
+            "query_id",
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "__cv",
+            "__dq",
+            F.aggregate(
+                F.zip_with("__cv", "__sv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__ds"),
+        )
+        # __cv/__dq are functionally dependent on the group key (one
+        # candidate row fanned out per selected item), so first() is
+        # deterministic here
+        mmr = pair.groupBy("query_id", "neighbor_id").agg(
+            F.first("__cv").alias("__cv"),
+            F.first("__dq").alias("__dq"),
+            F.min("__ds").alias("__mds"),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "__cv",
+            "__dq",
+            F.floor(
+                (
+                    F.lit(lam) * F.col("__dq")
+                    - F.lit(1.0 - lam) * F.col("__mds")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("__score_q6"),
+        )
+        w_pick = Window.partitionBy("query_id").orderBy(
+            F.col("__score_q6").asc(), F.col("neighbor_id").asc()
+        )
+        pick_i = (
+            mmr.withColumn("__rn", F.row_number().over(w_pick))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "__cv",
+                F.lit(i).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick_i)
+        picks = picks.unionByName(
+            pick_i.select("query_id", "neighbor_id", "mmr_rank")
+        )
+    return picks.select(
+        "query_id", "neighbor_id", F.col("mmr_rank").cast("int").alias("mmr_rank")
+    )
+
+
 def rbo_report(
     ranking_a: DataFrame,
     ranking_b: DataFrame,

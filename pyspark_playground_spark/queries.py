@@ -13140,6 +13140,97 @@ def _pq_oracle(
     return "".join(parts)
 
 
+def _mmr_oracle(
+    *, panel: int, candidates: int, k: int, lambda_ppm: int
+) -> str:
+    """Replay mmr_diversified_topk CTE by CTE: the exact L2 candidate
+    ranking, then k−1 unrolled greedy rounds — each one anti-filtered
+    pair join, a min-over-selected, the fixed-order MMR score quantized
+    q6, and an (score, id) pick. λ and 1−λ are the SAME Python doubles
+    Spark embeds (repr both sides — the transcendental-constant
+    recipe)."""
+    lam = lambda_ppm / 1e6
+    olam = 1.0 - lam
+    d2 = (
+        "list_reduce(list_prepend(0.0, [({a}[j] - {b}[j])"
+        " * ({a}[j] - {b}[j]) FOR j IN range(1, len({a}) + 1)]),"
+        " (acc, x) -> acc + x)"
+    )
+    parts = [f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {panel}
+    ), cs AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id, c.cv,
+             {d2.format(a='q.qv', b='c.cv')} AS dq
+      FROM cs c CROSS JOIN qs q WHERE c.neighbor_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id, cv, dq FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dq ASC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {candidates}
+    ), selall1 AS (
+      SELECT query_id, neighbor_id, cv, 1 AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dq ASC, neighbor_id ASC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f"""
+    , pair{i} AS (
+      SELECT c.query_id, c.neighbor_id, c.cv, c.dq,
+             {d2.format(a='c.cv', b='s.cv')} AS ds
+      FROM cand c JOIN selall{p} s ON c.query_id = s.query_id
+      WHERE NOT EXISTS (SELECT 1 FROM selall{p} s2
+                        WHERE s2.query_id = c.query_id
+                          AND s2.neighbor_id = c.neighbor_id)
+    ), mmr{i} AS (
+      SELECT query_id, neighbor_id, cv,
+             CAST(floor(({lam!r} * dq - {olam!r} * min(ds)) * 1e6 + 0.5)
+                  AS BIGINT) AS score_q6
+      FROM pair{i} GROUP BY query_id, neighbor_id, cv, dq
+    ), selall{i} AS (
+      SELECT * FROM selall{p}
+      UNION ALL
+      SELECT query_id, neighbor_id, cv, {i} AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_q6 ASC, neighbor_id ASC) AS rn
+        FROM mmr{i}
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank
+    FROM selall{k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "mmr_rerank_embeddings",
+    _mmr_oracle(panel=5, candidates=10, k=5, lambda_ppm=700_000),
+)
+def mmr_rerank_embeddings(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified top-5 from the exact L2
+    top-10 candidates, lambda=0.7 (operators/similarity.py
+    mmr_diversified_topk; Carbonell & Goldstein 1998) — the diversity
+    pass between retrieval and consumption: each round picks the
+    candidate closest to the query but farthest from everything already
+    picked, so RAG context slots stop duplicating slot 1. The greedy
+    loop composes k-1 panel-bounded joins into one lazy plan; the
+    oracle unrolls the same rounds CTE by CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.mmr_diversified_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        candidates=10, k=5, lambda_ppm=700_000,
+    )
+
+
 def _ivf_pq_oracle(
     *,
     dim: int,

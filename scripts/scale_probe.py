@@ -1057,6 +1057,16 @@ def main() -> None:
             "noop").mode("overwrite").save()
     timed("pq_code_utilization", n_emb, code_util)
 
+    # 76. MMR diversified top-k (r8): bounded-panel exact candidate
+    #     ranking (the documented O(corpus x panel) envelope) + k-1
+    #     panel-bounded greedy rounds composed into one lazy plan
+    def mmr():
+        sim.mmr_diversified_topk(
+            emb, emb.filter(F.col("vec_id") < 5),
+            candidates=10, k=5, lambda_ppm=700_000,
+        ).write.format("noop").mode("overwrite").save()
+    timed("mmr_diversified_topk", n_emb, mmr)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

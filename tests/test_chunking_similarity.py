@@ -753,3 +753,38 @@ def test_pq_code_utilization_hand_computed(spark):
         (math.log(4.0) - round(3.0 * math.log(3.0), 7) / 4.0) * 1e6 + 0.5
     )
     assert row["entropy_q6"] == expect
+
+
+def test_mmr_diversified_topk_hand_computed(spark):
+    """Query at the origin; candidates a=(1,0), b=(1.1,0) (a's near-dup)
+    and c=(0,2). Plain top-2 is [a, b]; MMR at lambda=.5 swaps the
+    near-dup for the diverse c: score(b) = .5*1.21 - .5*0.01 = 0.6,
+    score(c) = .5*4 - .5*5 = -0.5 -> c wins round 2. lambda=1 degrades
+    to pure relevance [a, b]; k > candidates raises."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.1, 0.0]), (3, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        sim.mmr_diversified_topk(
+            corpus, queries, candidates=3, k=2, lambda_ppm=500_000
+        ).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [(r["neighbor_id"], r["mmr_rank"]) for r in out] == [
+        (1, 1), (3, 2)
+    ]
+    pure = sorted(
+        sim.mmr_diversified_topk(
+            corpus, queries, candidates=3, k=2, lambda_ppm=1_000_000
+        ).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [(r["neighbor_id"], r["mmr_rank"]) for r in pure] == [
+        (1, 1), (2, 2)
+    ]
+    with pytest.raises(ValueError, match="must be in"):
+        sim.mmr_diversified_topk(corpus, queries, candidates=3, k=4)
