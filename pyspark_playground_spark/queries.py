@@ -13212,6 +13212,81 @@ def _mmr_oracle(
 
 
 @query(
+    "windowed_cell_drift_embeddings",
+    _lloyd_cte(
+        8, 1,
+        pre="tr AS (SELECT * FROM embeddings WHERE vec_id < 250), ",
+        src="tr",
+    ) + """
+    , ve AS (
+      SELECT vec_id,
+             TIMESTAMP '2026-01-01 00:00:00'
+               + to_minutes(CAST(vec_id AS BIGINT)) AS ts,
+             embedding
+      FROM embeddings
+    ), bd AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_reduce(list_prepend(0.0,
+               [(CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                * (CAST(v.embedding[j] AS DOUBLE) - c.cvec[j])
+                FOR j IN range(1, len(v.embedding) + 1)]),
+               (a, b) -> a + b) AS dist2
+      FROM ve v CROSS JOIN cent1 c
+    ), ba AS (
+      SELECT vec_id, cluster_id, dist2 FROM (
+        SELECT vec_id, cluster_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cluster_id ASC) AS rn
+        FROM bd
+      ) WHERE rn = 1
+    ), wagg AS (
+      SELECT date_trunc('hour', v.ts) AS window_start,
+             a.cluster_id, count(*) AS n,
+             sum(CAST(floor(a.dist2 * 1e6 + 0.5) AS BIGINT)) AS sd
+      FROM ba a JOIN ve v USING (vec_id)
+      GROUP BY 1, 2
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(cluster_id AS INT) AS cluster_id,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST((n * 1000000) //
+                sum(n) OVER (PARTITION BY window_start) AS BIGINT)
+             AS share_ppm,
+           CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                AS BIGINT) AS mean_d2_q6
+    FROM wagg
+    """,
+)
+def windowed_cell_drift_embeddings(spark, sf_dir):
+    """Batch twin of the streaming vector-index drift monitor
+    (streaming/cdc.py windowed_cell_counts + cell_drift_vs_model):
+    hourly per-cell occupancy and mean distance-to-assigned-centroid of
+    an embedding stream (ingest time derived as vec_id minutes past a
+    fixed epoch) against a coarse model frozen on the first 250
+    vectors. The same composition runs on a readStream frame with a
+    watermark (stream==batch pinned in test_streaming.py); the only
+    stateful operator is one windowed aggregation of mergeable sums."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = sim.ivf_coarse_train(
+        emb.filter(F.col("vec_id") < 250), coarse_k=8, coarse_iterations=1
+    )
+    ve = emb.select(
+        "vec_id",
+        F.expr(
+            "timestamp'2026-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, cast(vec_id as int), 0)"
+        ).alias("ts"),
+        "embedding",
+    )
+    return stc.cell_drift_vs_model(
+        stc.windowed_cell_counts(ve, coarse=coarse, ts_column="ts")
+    )
+
+
+@query(
     "mmr_rerank_embeddings",
     _mmr_oracle(panel=5, candidates=10, k=5, lambda_ppm=700_000),
 )

@@ -1445,3 +1445,116 @@ def coverage_vs_target(
             < F.lit(int(target_x6) - int(slack_x6))
         ).alias("breached"),
     )
+
+
+def windowed_cell_counts(
+    vectors: DataFrame,
+    *,
+    coarse: DataFrame,
+    ts_column: str = "ts",
+    vector_column: str = "embedding",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming-legal partials of the vector-index assignment-drift
+    monitor (the 8th monitor, beside PSI/KS/CvM/JSD/AUC/isotonic/
+    coverage): per (window, cell) counts plus the summed quantized
+    distance-to-assigned-centroid of an embedding stream against a
+    FROZEN coarse model — `similarity.ivf_assignment_drift_report`'s
+    streaming twin, watching the index go stale window by window
+    instead of batch by batch.
+
+    ``coarse`` is the STATIC model frame ``(cluster_id, cvec)``
+    (:func:`~pyspark_playground_spark.operators.similarity.ivf_coarse_train`
+    or ``ivf_pq_train``'s first half, read back from storage). It is
+    collected driver-side (model-sized) and compiled into ONE literal
+    fold per row — assignment + distance in the same stateless
+    projection — so the only stateful operator is one windowed
+    aggregation of mergeable sums (count + BIGINT sum), bounded under a
+    watermark. Re-training per window would re-key the cells; the model
+    must be frozen for windows to be comparable (the
+    ``windowed_value_bins`` static-bounds argument).
+
+    Returns ``(window_start, window_end, cluster_id, n, sum_d2_q6)``;
+    finish with :func:`cell_drift_vs_model`.
+    """
+    from pyspark_playground_spark.operators.similarity import (
+        _argmin_literal_struct,
+        _as_double,
+    )
+
+    rows = coarse.select("cluster_id", "cvec").collect()
+    if not rows:
+        raise ValueError("windowed_cell_counts: empty coarse model")
+    cents = sorted((int(r["cluster_id"]), list(r["cvec"])) for r in rows)
+    df = vectors
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    xv = _as_double(F.col(vector_column))
+    assigned = df.select(
+        F.col(ts_column).alias("__ts"),
+        _argmin_literal_struct(xv, cents).alias("__a"),
+    ).select(
+        "__ts",
+        F.col("__a.cid").alias("cluster_id"),
+        F.floor(F.col("__a.d") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("__d2q6"),
+    )
+    return (
+        assigned.groupBy(
+            F.window(F.col("__ts"), window_duration).alias("win"),
+            "cluster_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__d2q6").alias("sum_d2_q6"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "cluster_id",
+            "n",
+            "sum_d2_q6",
+        )
+    )
+
+
+def cell_drift_vs_model(counts: DataFrame) -> DataFrame:
+    """Finish :func:`windowed_cell_counts` partials: defensively
+    re-aggregate (update-mode sinks and reprocessed batches can hold
+    several rows per (window, cell)), then per-window occupancy shares
+    and mean distance-to-assigned-centroid — the exact per-window shape
+    of ``similarity.ivf_assignment_drift_report`` minus the empty-cell
+    spine (a stream only ever observes occupied cells; compare
+    consecutive windows to see cells vanish). Everything after the
+    partials is bounded by windows × cells.
+
+    Returns ``(window_start, window_end, cluster_id, n_vectors,
+    share_ppm, mean_d2_q6)``.
+    """
+    agg = counts.groupBy("window_start", "window_end", "cluster_id").agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.sum("sum_d2_q6").cast("long").alias("__sd"),
+    )
+    # per-window total via a PARTITIONED window over the (windows ×
+    # cells)-bounded aggregate — no self-join (conflicting-attribute
+    # trap on memory-sink frames), no unpartitioned state
+    tot = F.sum("n_vectors").over(
+        Window.partitionBy("window_start", "window_end")
+    )
+    return (
+        agg.withColumn("__tot", tot)
+        .select(
+            "window_start",
+            "window_end",
+            "cluster_id",
+            "n_vectors",
+            F.expr("(n_vectors * 1000000L) DIV __tot").alias("share_ppm"),
+            F.floor(
+                F.col("__sd").cast("double")
+                / F.col("n_vectors").cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("mean_d2_q6"),
+        )
+    )

@@ -1136,3 +1136,95 @@ def test_windowed_coverage_stream_equals_batch(spark, tmpdir):
         assert (g["n"], g["n_covered"]) == (e["n"], e["n_covered"])
         assert g["coverage_x6"] == e["coverage_x6"]
         assert g["breached"] == e["breached"]
+
+
+def test_windowed_cell_drift_stream_equals_batch(spark, tmpdir):
+    """The vector-index drift monitor's streaming partials + finisher
+    reproduce the batch composition row-for-row against the same frozen
+    coarse model, agree with the batch drift report on each window's
+    slice, and actually detect the drifted second hour (its mean
+    distance-to-centroid jumps)."""
+    from pyspark_playground_spark.operators.similarity import (
+        ivf_assignment_drift_report,
+        ivf_coarse_train,
+    )
+
+    # hour 1: two tight blobs around (0,0) and (10,10); hour 2: the
+    # same blobs shifted +3 — occupancy holds, quantization error jumps
+    rows = []
+    for i in range(40):
+        base = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        rows.append(
+            (i, datetime(2026, 5, 1, 10, i % 60),
+             [base[0] + 0.01 * (i % 5), base[1] + 0.01 * ((i + 2) % 5)])
+        )
+    for i in range(40):
+        base = [3.0, 3.0] if i % 2 == 0 else [13.0, 13.0]
+        rows.append(
+            (100 + i, datetime(2026, 5, 1, 11, i % 60),
+             [base[0] + 0.01 * (i % 5), base[1] + 0.01 * ((i + 2) % 5)])
+        )
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+    src = f"{tmpdir}/drift_vectors"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    hour1 = batch.filter(F.hour("ts") == 10)
+    coarse = ivf_coarse_train(hour1, coarse_k=2, coarse_iterations=1)
+
+    batch_rows = {
+        (r["window_start"], r["cluster_id"]): r
+        for r in st.cell_drift_vs_model(
+            st.windowed_cell_counts(batch, coarse=coarse)
+        ).collect()
+    }
+    assert len(batch_rows) == 4  # 2 windows x 2 cells
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        st.windowed_cell_counts(stream, coarse=coarse, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("cell_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_cell")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["cluster_id"]): r
+        for r in st.cell_drift_vs_model(
+            spark.sql("SELECT * FROM cell_counts")
+        ).collect()
+    }
+    assert set(got) == set(batch_rows)
+    for k_, e in batch_rows.items():
+        g = got[k_]
+        assert (g["n_vectors"], g["share_ppm"], g["mean_d2_q6"]) == (
+            e["n_vectors"], e["share_ppm"], e["mean_d2_q6"]
+        )
+
+    # the monitor agrees with the batch drift report on hour 1's slice
+    report = {
+        r["cluster_id"]: r
+        for r in ivf_assignment_drift_report(hour1, coarse).collect()
+    }
+    h1 = min(ws for ws, _ in batch_rows)
+    for cid in (0, 1):
+        b = batch_rows[(h1, cid)]
+        assert b["n_vectors"] == report[cid]["n_vectors"]
+        assert b["share_ppm"] == report[cid]["share_ppm"]
+        assert b["mean_d2_q6"] == report[cid]["mean_d2_q6"]
+
+    # and it detects the drift: hour 2's error is far above hour 1's
+    h2 = max(ws for ws, _ in batch_rows)
+    for cid in (0, 1):
+        assert batch_rows[(h2, cid)]["mean_d2_q6"] > 100 * max(
+            1, batch_rows[(h1, cid)]["mean_d2_q6"]
+        )
+
+    # empty model refuses
+    with pytest.raises(ValueError, match="empty coarse"):
+        st.windowed_cell_counts(
+            batch, coarse=coarse.filter("cluster_id < 0")
+        )
