@@ -1624,3 +1624,78 @@ def encoding_quality_report(
             " n_mojibake) * 1000000L) DIV n_chars END"
         ),
     )
+
+
+#: Major Unicode script classes as literal-range character classes, in
+#: the PRIORITY ORDER the dominant-script tie-break uses. Literal chars
+#: (not \p{Script=...}) so Java regex (Spark) and RE2 (DuckDB) compile
+#: the identical pattern; ranges are mutually disjoint, so the lettered
+#: total is a plain sum.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힣]"),
+    ("arabic", "[؀-ۿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("devanagari", "[ऀ-ॿ]"),
+)
+
+
+def script_mix_report(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-script census — the ROUTING signal a
+    multilingual pipeline needs before any per-language stage: lang-id
+    (:func:`lang_id`) says what a document claims to be, this says what
+    its characters actually are, and the two disagreeing (a 'ru' doc
+    that is 90% Latin, a CJK doc full of Cyrillic) is the
+    wrong-tokenizer / mojibake-survivor audit. ``mixed_ppm`` is the
+    code-switching magnitude at the script level — the blunt cousin of
+    :func:`code_switch_report`'s window-level detector, but zero-UDF
+    and cheap enough to run on every ingest batch.
+
+    Counts are per-character matches of literal-range classes
+    (``SCRIPT_CLASSES`` — identical byte-for-byte pattern on Java regex
+    and RE2; ranges disjoint); the dominant script resolves ties by the
+    class priority order; ``mixed_ppm`` is the exact integer ppm of
+    lettered characters OUTSIDE the dominant script. Documents with no
+    lettered characters report NULL dominant/mixed. One zero-UDF
+    projection — no shuffle at all.
+
+    Output: (id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
+    n_devanagari, n_lettered, dominant_script, mixed_ppm).
+    """
+    t = F.coalesce(F.col(text_column), F.lit(""))
+    cols = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in SCRIPT_CLASSES
+    }
+    base = df.select(F.col(id_column), *cols.values())
+    names = [name for name, _ in SCRIPT_CLASSES]
+    lettered = None
+    for name in names:
+        c = F.col(f"n_{name}")
+        lettered = c if lettered is None else lettered + c
+    base = base.withColumn("n_lettered", lettered.cast("long"))
+    mx = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dominant = F.when(F.col("n_lettered") == 0, F.lit(None).cast("string"))
+    for name in names:
+        dominant = dominant.when(F.col(f"n_{name}") == mx, F.lit(name))
+    return base.select(
+        id_column,
+        *[f"n_{n}" for n in names],
+        "n_lettered",
+        dominant.alias("dominant_script"),
+        F.when(
+            F.col("n_lettered") > 0,
+            F.expr(
+                f"((n_lettered - greatest({', '.join('n_' + n for n in names)}))"
+                f" * 1000000L) DIV n_lettered"
+            ),
+        ).cast("long").alias("mixed_ppm"),
+    )

@@ -13211,6 +13211,56 @@ def _mmr_oracle(
     return "".join(parts)
 
 
+def _script_mix_oracle() -> str:
+    from pyspark_playground_spark.operators.text import SCRIPT_CLASSES
+
+    names = [n for n, _ in SCRIPT_CLASSES]
+    count_cols = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    lettered = " + ".join(f"n_{n}" for n in names)
+    mx = ", ".join(f"n_{n}" for n in names)
+    dominant = "\n            ".join(
+        f"WHEN n_{n} = mx THEN '{n}'" for n in names
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             {count_cols}
+      FROM documents
+    ), t AS (
+      SELECT *, CAST({lettered} AS BIGINT) AS n_lettered,
+             greatest({mx}) AS mx
+      FROM c
+    )
+    SELECT doc_id, {', '.join('n_' + n for n in names)}, n_lettered,
+           CASE WHEN n_lettered = 0 THEN NULL
+            {dominant}
+           END AS dominant_script,
+           CASE WHEN n_lettered > 0 THEN
+             CAST(((n_lettered - mx) * 1000000) // n_lettered AS BIGINT)
+           END AS mixed_ppm
+    FROM t
+    """
+
+
+@query("script_mix_documents", _script_mix_oracle())
+def script_mix_documents(spark, sf_dir):
+    """Per-document Unicode-script census (operators/text.py
+    script_mix_report): character counts per major script class
+    (literal-range patterns identical on Java regex and RE2), the
+    priority-tie-broken dominant script, and the exact-ppm share of
+    lettered characters outside it — the routing audit run BEFORE any
+    per-language stage (a 'ru' doc that is 90% Latin is a
+    wrong-tokenizer bug waiting to happen). Zero-UDF single
+    projection, no shuffle; the all-Latin answer on this synthetic
+    corpus IS the audit result."""
+    d = load(spark, sf_dir, "documents")
+    return tx.script_mix_report(d)
+
+
 @query(
     "windowed_cell_drift_embeddings",
     _lloyd_cte(

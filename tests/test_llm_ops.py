@@ -1084,3 +1084,36 @@ def test_encoding_quality_report_hand_computed(spark):
     r3 = out[3]
     assert r3["n_replacement"] == 1 and r3["n_control"] == 1
     assert out[4]["bad_ppm"] is None
+
+
+def test_script_mix_report_hand_computed(spark):
+    """Mixed Cyrillic/Latin doc: 9 Cyrillic vs 5 Latin letters ->
+    dominant cyrillic, mixed_ppm = floor(5e6/14); pure-CJK and
+    pure-Latin docs report 0 mixed; digits/punctuation-only and NULL
+    docs report NULL dominant; a latin-cyrillic tie resolves to latin
+    (class priority order)."""
+    from pyspark_playground_spark.operators.text import script_mix_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир hello"),
+            (3, "你好世界"),
+            (4, "12345 ..."),
+            (5, None),
+            (6, "abcабв"),  # 3 latin, 3 cyrillic: tie -> latin
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_mix_report(df).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["n_latin"] == 10 and out[1]["mixed_ppm"] == 0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["n_cyrillic"] == 9 and out[2]["n_latin"] == 5
+    assert out[2]["mixed_ppm"] == (5 * 1_000_000) // 14
+    assert out[3]["dominant_script"] == "cjk" and out[3]["n_cjk"] == 4
+    assert out[4]["dominant_script"] is None
+    assert out[4]["mixed_ppm"] is None
+    assert out[5]["n_lettered"] == 0
+    assert out[6]["dominant_script"] == "latin"
+    assert out[6]["mixed_ppm"] == (3 * 1_000_000) // 6
