@@ -3257,8 +3257,10 @@ def required_sample_size_report(
     literals (neither engine exposes a deterministic inverse-normal);
     everything after is ONE fixed-order double expression, with the
     required n reported as ``ceil`` (conservative) exact integers.
-    NULL when the baseline is degenerate (0, 1, or the lifted rate
-    leaves [0, 1]).
+    NULL when the baseline is degenerate (0, 1, the lifted rate leaves
+    (0, 1), or the MDE is zero — nothing to power against). Negative
+    ``mde_rel_ppm`` (power to detect a DROP) is supported; the formula
+    is symmetric in ``(p₂ − p₁)²``.
 
     Output one row: (n_observed, n_success, baseline_ppm, lifted_ppm,
     n_required_per_arm).
@@ -3287,15 +3289,19 @@ def required_sample_size_report(
         )
     )
     n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1)))
-    # p2 > p1 (equivalently mde_rel_ppm > 0) guards the degenerate-MDE
+    # p2 != p1 (equivalently mde_rel_ppm != 0) guards the degenerate-MDE
     # edge (r8 ADVICE): (p2-p1)^2 = 0 would make n_req Infinity and the
-    # long cast Long.MaxValue (or an ANSI error) instead of NULL
+    # long cast Long.MaxValue (or an ANSI error) instead of NULL. A
+    # NEGATIVE MDE (power to detect a drop) stays supported — the
+    # formula is symmetric in (p2-p1)^2 — so the lifted rate only needs
+    # to stay inside (0, 1).
     ok = (
         (F.col("__n") > 0)
         & (F.col("__s") > 0)
         & (F.col("__s") < F.col("__n"))
         & (p2 < 1.0)
-        & (p2 > p1)
+        & (p2 > 0.0)
+        & (p2 != p1)
     )
     return agg.select(
         F.col("__n").cast("long").alias("n_observed"),

@@ -2416,13 +2416,22 @@ def ivf_cell_balance_report(
     return filled.crossJoin(F.broadcast(tot)).select(
         "cluster_id",
         "n_vectors",
-        F.expr("(n_vectors * 1000000L) DIV __tot").alias("share_ppm"),
-        F.floor(
-            F.col("__max").cast("double")
-            * F.col("__k").cast("double")
-            / F.col("__tot").cast("double")
-            * F.lit(1e6)
-            + F.lit(0.5)
+        # tot > 0 guard: training requires a non-empty corpus, but the
+        # census may legitimately run on a filtered (possibly empty)
+        # slice — NULL shares beat a divide-by-zero
+        F.when(
+            F.col("__tot") > 0,
+            F.expr("(n_vectors * 1000000L) DIV __tot"),
+        ).alias("share_ppm"),
+        F.when(
+            F.col("__tot") > 0,
+            F.floor(
+                F.col("__max").cast("double")
+                * F.col("__k").cast("double")
+                / F.col("__tot").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ),
         ).cast("long").alias("imbalance_x6"),
     )
 
@@ -2471,31 +2480,12 @@ def ivf_nprobe_recall_curve(
         F.col(id_column).alias("query_id"),
         _as_double(F.col(vector_column)).alias("__qv"),
     )
-    c = corpus.select(
-        F.col(id_column).alias("neighbor_id"),
-        _as_double(F.col(vector_column)).alias("__cv"),
-    )
-    exact = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("__d2"),
-        )
-    )
-    w_ex = Window.partitionBy("query_id").orderBy(
-        F.col("__d2").asc(), F.col("neighbor_id").asc()
-    )
-    exact_topk = (
-        exact.withColumn("rank", F.row_number().over(w_ex))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id")
-    )
+    # ground truth IS brute_force_topk_l2's ranking (same fold, same
+    # (dist, id) tie-break) — call it rather than re-implement it
+    exact_topk = brute_force_topk_l2(
+        corpus, queries, id_column=id_column, vector_column=vector_column,
+        k=topk,
+    ).select("query_id", "neighbor_id")
     xv = _as_double(F.col(vector_column))
     cells = corpus.select(
         F.col(id_column).alias("neighbor_id"),
@@ -2551,11 +2541,17 @@ def ivf_nprobe_recall_curve(
                 "n_hits_covered"
             ),
             F.col("__tot").cast("long").alias("n_hits_total"),
-            F.floor(
-                F.coalesce("__cov", F.lit(0)).cast("double")
-                * F.lit(1e6)
-                / F.col("__tot").cast("double")
-                + F.lit(0.5)
+            # tot > 0 guard: an empty panel would otherwise emit
+            # 0.0/0.0 = NaN, whose long cast is a silent 0 on Spark and
+            # engine-dependent elsewhere — NULL says "no ground truth"
+            F.when(
+                F.col("__tot") > 0,
+                F.floor(
+                    F.coalesce("__cov", F.lit(0)).cast("double")
+                    * F.lit(1e6)
+                    / F.col("__tot").cast("double")
+                    + F.lit(0.5)
+                ),
             ).cast("long").alias("recall_q6"),
         )
     )
@@ -2749,8 +2745,12 @@ def ivf_assignment_drift_report(
     return filled.crossJoin(F.broadcast(tot)).select(
         "cluster_id",
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_vectors"),
-        F.expr(
-            "(coalesce(__n, 0) * 1000000L) DIV __tot"
+        # tot > 0 guard: an EMPTY ingest batch (a realistic scheduled-
+        # monitor run) must report NULL shares, not divide by zero
+        # (an ANSI-mode error; a NULL-masking DIV otherwise)
+        F.when(
+            F.col("__tot") > 0,
+            F.expr("(coalesce(__n, 0) * 1000000L) DIV __tot"),
         ).alias("share_ppm"),
         F.when(
             F.col("__n") > 0,

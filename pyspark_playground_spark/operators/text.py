@@ -1630,12 +1630,17 @@ def encoding_quality_report(
 #: the PRIORITY ORDER the dominant-script tie-break uses. Literal chars
 #: (not \p{Script=...}) so Java regex (Spark) and RE2 (DuckDB) compile
 #: the identical pattern; ranges are mutually disjoint, so the lettered
-#: total is a plain sum.
+#: total is a plain sum. Ranges are LETTER-focused block approximations:
+#: Latin excludes the in-block math signs U+00D7/U+00F7, Arabic starts
+#: past the block's punctuation and skips the Arabic-Indic digits
+#: U+0660-0669 (digits-only text must report NULL dominant); the
+#: remaining blocks carry a handful of in-block signs that count toward
+#: their script — acceptable for routing, not a formal Script= property.
 SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
-    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ɏ]"),
     ("cyrillic", "[Ѐ-ӿ]"),
     ("cjk", "[一-鿿぀-ヿ가-힣]"),
-    ("arabic", "[؀-ۿ]"),
+    ("arabic", "[ؠ-يٱ-ۓۺ-ۿ]"),
     ("greek", "[Ͱ-Ͽ]"),
     ("devanagari", "[ऀ-ॿ]"),
 )

@@ -15168,11 +15168,11 @@ def _power_oracle(mde_rel_ppm: int) -> str:
            CASE WHEN n > 0 THEN CAST((s * 1000000) // n AS BIGINT) END
              AS baseline_ppm,
            CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0
-                     AND p2 > p1 THEN
+                     AND p2 > 0.0 AND p2 <> p1 THEN
              CAST(floor(p2 * 1e6 + 0.5) AS BIGINT)
            END AS lifted_ppm,
            CASE WHEN n > 0 AND s > 0 AND s < n AND p2 < 1.0
-                     AND p2 > p1 THEN
+                     AND p2 > 0.0 AND p2 <> p1 THEN
              CAST(ceil(
                ({_Z_ALPHA_975!r} * sqrt(2.0 * ((p1 + p2) / 2.0)
                                         * (1.0 - (p1 + p2) / 2.0))

@@ -728,6 +728,19 @@ def test_ivf_assignment_drift_hand_computed(spark):
             batch, coarse.filter("cluster_id < 0")
         )
 
+    # EMPTY batch (a scheduled monitor run with no ingest): NULL shares
+    # and means, never a divide-by-zero
+    out3 = sim.ivf_assignment_drift_report(
+        batch.filter("vec_id < 0"), coarse
+    ).collect()
+    assert len(out3) == 2
+    assert all(
+        r["n_vectors"] == 0
+        and r["share_ppm"] is None
+        and r["mean_d2_q6"] is None
+        for r in out3
+    )
+
 
 def test_pq_code_utilization_hand_computed(spark):
     """A frozen 1-subspace book with 4 codes where the corpus only ever

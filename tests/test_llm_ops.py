@@ -1117,3 +1117,21 @@ def test_script_mix_report_hand_computed(spark):
     assert out[5]["n_lettered"] == 0
     assert out[6]["dominant_script"] == "latin"
     assert out[6]["mixed_ppm"] == (3 * 1_000_000) // 6
+
+
+def test_script_mix_report_excludes_inblock_nonletters(spark):
+    """Arabic-Indic digits and the Latin-block math signs x/÷ are NOT
+    letters: digits-only Arabic text reports NULL dominant (the
+    documented contract), and '3×4 ÷ 2' counts zero Latin letters."""
+    from pyspark_playground_spark.operators.text import script_mix_report
+
+    df = spark.createDataFrame(
+        [(1, "\u0663\u0664\u0665"), (2, "3\u00d74 \u00f7 2"),
+         (3, "\u0645\u0631\u062d\u0628\u0627")],  # marhaba
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_mix_report(df).collect()}
+    assert out[1]["n_arabic"] == 0 and out[1]["dominant_script"] is None
+    assert out[2]["n_latin"] == 0 and out[2]["dominant_script"] is None
+    assert out[3]["n_arabic"] == 5
+    assert out[3]["dominant_script"] == "arabic"

@@ -1469,3 +1469,17 @@ def test_required_sample_size_hand_computed(spark):
     ).collect()[0]
     assert rz["n_required_per_arm"] is None and rz["lifted_ppm"] is None
     assert rz["baseline_ppm"] == 200_000  # baseline itself still reports
+
+    # NEGATIVE MDE (power to detect a 10% DROP) stays supported: the
+    # formula is symmetric in (p2-p1)^2, so n matches the python mirror
+    rn = required_sample_size_report(
+        df, success_column="y", mde_rel_ppm=-100_000
+    ).collect()[0]
+    p1n, p2n = 0.2, 0.2 * 0.9
+    pbn = (p1n + p2n) / 2
+    numn = (_Z_ALPHA_975 * math.sqrt(2 * pbn * (1 - pbn))
+            + _Z_POWER_800 * math.sqrt(p1n * (1 - p1n) + p2n * (1 - p2n)))
+    assert rn["n_required_per_arm"] == math.ceil(
+        numn * numn / (p2n - p1n) ** 2
+    )
+    assert rn["lifted_ppm"] == 180_000
