@@ -1445,6 +1445,101 @@ def prefix_filter_jaccard_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directed set-CONTAINMENT self-join: every ordered pair
+    with ``|A∩B| / |A| ≥ threshold`` — the asymmetric near-dup relation
+    Jaccard structurally misses: a short document quoted inside a long
+    one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so no Jaccard
+    threshold finds it (:func:`prefix_filter_jaccard_join` can't; this
+    is the quote/boilerplate-inclusion detector that complements it).
+
+    Same AllPairs machinery, containment-adapted:
+
+    1. **Canonical rare-first order** — global df census, shingles
+       sorted (df asc, shingle asc) so prefixes collide seldom.
+    2. **A-side prefix filter** — containment needs integer overlap
+       ``≥ ⌈t·sa⌉``, which depends on |A| ONLY, so A explodes its first
+       ``sa − ⌈t·sa⌉ + 1`` canonical shingles while B explodes ALL of
+       its shingles: any qualifying pair's canonically-smallest common
+       shingle lies inside A's prefix. (The B side is the whole
+       inverted index — that asymmetry is what keeps small-A-in-big-B
+       pairs reachable, and why this costs more than the Jaccard join.)
+    3. **Length filter** — ``sb ≥ t·sa`` (B must hold the overlap).
+    4. **Exact verify** on candidates only. Float comparisons in 2–3
+       carry the 1e-6 admit-extras slack; exactness rests on the
+       verify (an exact-integer-ratio double, bit-identical
+       cross-engine), never on filter arithmetic.
+
+    Returns DIRECTED ``(id_a, id_b, containment_a)`` with
+    ``id_a != id_b``; both directions appear when both qualify.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets = (
+        df.select(F.col(id_column).alias("__id"), F.col(text_column))
+        .repartition(par, "__id")
+        .select(
+            "__id", shingles_expr(text_column, shingle_size).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .persist()
+    )
+    toks = sets.select("__id", F.explode("__sh").alias("__tok"))
+    census = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        toks.join(census, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__df"), F.col("__tok")))
+                ),
+                lambda st: st["__tok"],
+            ).alias("__sorted")
+        )
+    )
+    s = F.size("__sorted")
+    p = (s - F.ceil(F.lit(threshold) * s - F.lit(1e-6)) + 1).cast("int")
+    a = ordered.select(
+        F.col("__id").alias("id_a"),
+        s.alias("__sa"),
+        F.explode(F.slice("__sorted", F.lit(1), p)).alias("__tok"),
+    )
+    b = ordered.select(
+        F.col("__id").alias("id_b"),
+        s.alias("__sb"),
+        F.explode("__sorted").alias("__tok"),
+    )
+    cand = (
+        a.join(b, "__tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            F.col("__sb") >= F.lit(threshold) * F.col("__sa") - F.lit(1e-6)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_a",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size("__sh_a").cast("double"),
+        )
+        .filter(F.col("containment_a") >= threshold)
+        .select("id_a", "id_b", "containment_a")
+    )
+
+
 def frequent_segment_removal(
     df: DataFrame,
     id_column: str = "doc_id",

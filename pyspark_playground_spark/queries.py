@@ -929,6 +929,34 @@ def prefix_jaccard_pairs_documents(spark, sf_dir):
 
 
 @query(
+    "containment_pairs_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(a.sh) AS DOUBLE) AS containment_a
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) AS DOUBLE) >= 0.5
+    """,
+)
+def containment_pairs_documents(spark, sf_dir):
+    """EXACT directed shingle-containment join at t=0.5
+    (dedup.containment_join): every ordered pair where at least half of
+    A's shingles appear in B — the quote/boilerplate-inclusion relation
+    Jaccard structurally misses (small A inside big B has containment 1
+    but Jaccard ~ |A|/|B|). A-side rare-first prefix filter against the
+    full B-side inverted index, length filter, candidates-only exact
+    verify; the oracle is the brute-force quadratic directed join."""
+    docs = load(spark, sf_dir, "documents")
+    return dd.containment_join(docs, threshold=0.5)
+
+
+@query(
     "minhash_lsh_dedup_documents",
     f"""
     WITH d AS (

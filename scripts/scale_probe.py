@@ -1067,6 +1067,15 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("mmr_diversified_topk", n_emb, mmr)
 
+    # 77. directed containment join (r8): A-side rare-first prefix vs
+    #     the FULL B-side inverted index — costs more than the Jaccard
+    #     join by construction (that asymmetry is what reaches
+    #     small-A-in-big-B pairs); rare-first ordering bounds collisions
+    def containment():
+        dd.containment_join(docs, threshold=0.8).write.format(
+            "noop").mode("overwrite").save()
+    timed("containment_join", n_docs, containment)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

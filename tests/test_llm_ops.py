@@ -1135,3 +1135,38 @@ def test_script_mix_report_excludes_inblock_nonletters(spark):
     assert out[2]["n_latin"] == 0 and out[2]["dominant_script"] is None
     assert out[3]["n_arabic"] == 5
     assert out[3]["dominant_script"] == "arabic"
+
+
+def test_containment_join_finds_quote_inclusion(spark):
+    """A short doc fully quoted inside a long one: containment_a = 1.0
+    in the A->B direction even though Jaccard is far below any usable
+    threshold (the pair prefix_filter_jaccard_join at 0.5 cannot emit);
+    the reverse direction only qualifies when B is mostly inside A."""
+    from pyspark_playground_spark.operators.dedup import (
+        containment_join,
+        prefix_filter_jaccard_join,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} w{i + 1} w{i + 2}" for i in range(0, 60, 3))
+    rows = [
+        (1, quote),                      # small A
+        (2, quote + " " + filler),       # big B containing A
+        (3, "completely unrelated text about spark plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["containment_a"]
+           for r in containment_join(df, threshold=0.8).collect()}
+    assert out[(1, 2)] == 1.0        # A fully inside B
+    assert (2, 1) not in out         # B is NOT mostly inside A
+    assert all(3 not in k for k in out)
+    # the Jaccard join at the same threshold cannot see the pair
+    jac = prefix_filter_jaccard_join(df, threshold=0.8).collect()
+    assert all({r["id_a"], r["id_b"]} != {1, 2} for r in jac)
+    # direction flips when the pair is symmetric (exact dup)
+    both = spark.createDataFrame(
+        [(1, quote), (2, quote)], "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           containment_join(both, threshold=0.8).collect()}
+    assert got == {(1, 2), (2, 1)}
