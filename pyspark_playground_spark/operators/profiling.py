@@ -3314,3 +3314,202 @@ def required_sample_size_report(
         ).cast("long").alias("lifted_ppm"),
         F.when(ok, n_req).cast("long").alias("n_required_per_arm"),
     )
+
+
+def delta_method_ratio_ci(
+    df: DataFrame,
+    *,
+    numerator_column: str,
+    denominator_column: str,
+    z: float = _Z_ALPHA_975,
+) -> DataFrame:
+    """Delta-method CI for a ratio-of-sums metric (Deng, Knoblich & Lu,
+    KDD'18 "Applying the Delta Method in Metric Analytics" — public
+    construction). The standard large-scale-experimentation answer for
+    metrics like revenue-per-session or clicks-per-query where the
+    analysis unit (user) differs from the metric denominator: the
+    ratio R = Σy/Σx of per-unit sums is NOT a mean of iid terms, so
+    the naive SE is wrong; the first-order Taylor expansion gives
+    ``var(R) ≈ (var(y) − 2R·cov(x,y) + R²·var(x)) / (n·x̄²)``.
+
+    Input is ONE ROW PER UNIT (caller pre-aggregates, e.g. per user).
+    Exact-integer construction (the :func:`cuped_adjusted_effect`
+    discipline): x/y quantize once to ``floor(v·1e6+0.5)`` BIGINT, one
+    aggregate of exact DECIMAL(38,0) moments (map-side combined —
+    never a driver collect), every derived value ONE fixed-order
+    double expression quantized q6. The quantization cancels in R and
+    in the SE (both are y-unit/x-unit ratios). Population (1/n)
+    moments. NULL outputs when n < 2 or Σx = 0; the variance form
+    ``var(y − Rx) ≥ 0`` mathematically, and the SE is NULL if double
+    rounding drives it negative.
+
+    100 TB: a single map-side-combined aggregate over the unit frame —
+    one shuffle of 6 numbers per partition; no window, no collect.
+
+    Output one row: (n_units, ratio_q6, se_q6, ci_lo_q6, ci_hi_q6).
+    """
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        q6(F.col(numerator_column)).alias("__y"),
+        q6(F.col(denominator_column)).alias("__x"),
+    ).filter(F.col("__y").isNotNull() & F.col("__x").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d38(F.col("__x"))).alias("__sx"),
+        F.sum(d38(F.col("__y"))).alias("__sy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__y"))).alias("__sxy"),
+        F.sum(d38(F.col("__x")) * d38(F.col("__x"))).alias("__sxx"),
+        F.sum(d38(F.col("__y")) * d38(F.col("__y"))).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    # try_divide == `/` for every non-zero divisor (bit-identical), and
+    # turns the guarded-out degenerate frames (n=0, Σx=0) into NULLs
+    # instead of ANSI DIVIDE_BY_ZERO errors — the `ok` predicate below
+    # is a non-short-circuiting AND, so the branches must be total.
+    dv = F.try_divide
+    r = dv(sy, sx)
+    vx = dv(sxx, n) - dv(sx, n) * dv(sx, n)
+    vy = dv(syy, n) - dv(sy, n) * dv(sy, n)
+    cxy = dv(sxy, n) - dv(sx, n) * dv(sy, n)
+    var_r = dv((vy - F.lit(2.0) * r * cxy + r * r * vx) * n, sx * sx)
+    se = F.sqrt(var_r)
+    ok = (F.col("__n") >= 2) & (F.col("__sx") != 0)
+    qq = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_units"),
+        F.when(F.col("__sx") != 0, qq(r)).alias("ratio_q6"),
+        F.when(ok & (var_r >= 0), qq(se)).alias("se_q6"),
+        F.when(ok & (var_r >= 0), qq(r - F.lit(z) * se)).alias("ci_lo_q6"),
+        F.when(ok & (var_r >= 0), qq(r + F.lit(z) * se)).alias("ci_hi_q6"),
+    )
+
+
+def jackknife_ratio_buckets(
+    df: DataFrame,
+    *,
+    numerator_column: str,
+    denominator_column: str,
+    key_columns: Sequence[str],
+    buckets: int = 50,
+    z: float = _Z_ALPHA_975,
+) -> DataFrame:
+    """Leave-one-bucket-out jackknife SE for a ratio-of-sums metric —
+    the resampling cross-check for :func:`delta_method_ratio_ci`
+    (Efron & Stein 1981; the "bucket jackknife" used when per-unit
+    resampling is too fine: units are hashed into B deterministic
+    buckets, each R_b recomputes the ratio with bucket b held out, and
+    ``var_jk = (B−1)/B · Σ(R_b − R̄)²``).
+
+    Input is one row per unit. Buckets come from the engine-portable
+    md5 bucket (:func:`~pyspark_playground_spark.operators.sampling.
+    hash_bucket_expr` — first 8 hex chars, so any SQL engine
+    reproduces membership). Exact-integer construction: unit values
+    quantize q6 once; ONE groupBy(bucket) aggregate of DECIMAL(38,0)
+    sums (≤ B rows); totals are a 1-row aggregate broadcast back by
+    crossJoin (no unpartitioned window — census-window-guard clean);
+    each leave-out ratio is ONE double division of exact integers,
+    quantized q9 BIGINT; the final reduce sums exact DECIMAL(38,0)
+    rb / rb² so the variance is order-independent. SE is NULL when
+    fewer than 2 buckets materialize or any leave-out denominator is
+    zero (undefined R_b — the honest answer, not a silent drop).
+
+    100 TB: two map-side-combined aggregates (unit frame → B rows →
+    1 row) plus a broadcast of one row; shuffle volume is O(B).
+
+    Output one row: (n_units, n_buckets, ratio_q6, se_jk_q6,
+    ci_lo_q6, ci_hi_q6).
+    """
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        q6(F.col(numerator_column)).alias("__y"),
+        q6(F.col(denominator_column)).alias("__x"),
+        hash_bucket_expr(list(key_columns), buckets).alias("__b"),
+    ).filter(F.col("__y").isNotNull() & F.col("__x").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_bucket = t.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(d38(F.col("__x"))).alias("__xb"),
+        F.sum(d38(F.col("__y"))).alias("__yb"),
+    )
+    totals = per_bucket.agg(
+        F.sum("__nb").alias("__n"),
+        F.sum("__xb").alias("__sx"),
+        F.sum("__yb").alias("__sy"),
+        F.count(F.lit(1)).alias("__nbuckets"),
+    )
+    joined = per_bucket.crossJoin(F.broadcast(totals))
+    lx = (F.col("__sx") - F.col("__xb")).cast("double")
+    ly = (F.col("__sy") - F.col("__yb")).cast("double")
+    rb = F.when(
+        F.col("__sx") - F.col("__xb") != 0,
+        F.floor(F.try_divide(ly, lx) * F.lit(1e9) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    reduced = joined.select(
+        F.col("__nb"),
+        F.col("__n"),
+        F.col("__sx"),
+        F.col("__sy"),
+        F.col("__nbuckets"),
+        rb.alias("__rb"),
+    ).agg(
+        F.max("__n").alias("__n"),
+        F.max("__sx").alias("__sx"),
+        F.max("__sy").alias("__sy"),
+        F.max("__nbuckets").alias("__bb"),
+        F.sum(F.when(F.col("__rb").isNull(), 1).otherwise(0)).alias(
+            "__bad"
+        ),
+        F.sum(d38(F.col("__rb"))).alias("__sr"),
+        F.sum(d38(F.col("__rb")) * d38(F.col("__rb"))).alias("__srr"),
+    )
+    bb = F.col("__bb").cast("double")
+    sr = F.col("__sr").cast("double")
+    srr = F.col("__srr").cast("double")
+    # sum of squared deviations in q9^2 units: Σrb² − (Σrb)²/B.
+    # try_divide == `/` wherever the divisor is non-zero (always, for
+    # B ≥ 1); it only absorbs the empty-input frame, where every
+    # aggregate is already NULL.
+    ssd = F.try_divide(srr - F.try_divide(sr * sr, bb), F.lit(1e18))
+    var_jk = F.try_divide(bb - F.lit(1.0), bb) * ssd
+    se = F.sqrt(var_jk)
+    ratio = F.try_divide(
+        F.col("__sy").cast("double"), F.col("__sx").cast("double")
+    )
+    ok = (
+        (F.col("__bb") >= 2)
+        & (F.col("__bad") == 0)
+        & (F.col("__sx") != 0)
+    )
+    qq = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    return reduced.select(
+        F.col("__n").cast("long").alias("n_units"),
+        F.col("__bb").cast("long").alias("n_buckets"),
+        F.when(F.col("__sx") != 0, qq(ratio)).alias("ratio_q6"),
+        F.when(ok & (var_jk >= 0), qq(se)).alias("se_jk_q6"),
+        F.when(ok & (var_jk >= 0), qq(ratio - F.lit(z) * se)).alias(
+            "ci_lo_q6"
+        ),
+        F.when(ok & (var_jk >= 0), qq(ratio + F.lit(z) * se)).alias(
+            "ci_hi_q6"
+        ),
+    )

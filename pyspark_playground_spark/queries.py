@@ -15239,3 +15239,187 @@ def power_purchase_rate_events(spark, sf_dir):
     return required_sample_size_report(
         u, success_column="purchased", mde_rel_ppm=100_000
     )
+
+
+#: shared per-user ratio-metric frame for the delta-method / jackknife
+#: pair: numerator = exact DECIMAL purchase spend (0 if none),
+#: denominator = event count — "purchase revenue per event" with the
+#: user as the analysis unit (the unit≠denominator mismatch that makes
+#: the naive SE wrong and the delta method necessary).
+def _ratio_unit_frame(spark, sf_dir):
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    return e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec)),
+            F.lit(0).cast("decimal(38,10)"),
+        ).cast("double").alias("y"),
+        F.count(F.lit(1)).cast("double").alias("x"),
+    )
+
+
+_RATIO_UNIT_SQL = """
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value, 9) AS DECIMAL(28,10)) END), 0)
+             AS DOUBLE) AS y,
+           CAST(count(*) AS DOUBLE) AS x
+    FROM e WHERE value IS NOT NULL GROUP BY user_id
+"""
+
+_Z975_SQL = "1.959963984540054"
+
+
+@query(
+    "ratio_metric_delta_ci_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS ({_RATIO_UNIT_SQL}),
+    q AS (
+      SELECT CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS x
+      FROM u
+    ),
+    agg AS (
+      SELECT count(*) AS ni, sum(CAST(x AS HUGEINT)) AS sxi,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM q
+    ),
+    d AS (
+      SELECT ni, sxi,
+             CAST(ni AS DOUBLE) AS n, CAST(sxi AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+      FROM agg
+    ),
+    v AS (
+      SELECT ni, sxi, sy / sx AS r,
+             ((syy / n - (sy / n) * (sy / n))
+              - 2.0 * (sy / sx) * (sxy / n - (sx / n) * (sy / n))
+              + (sy / sx) * (sy / sx)
+                * (sxx / n - (sx / n) * (sx / n)))
+             * n / (sx * sx) AS var_r
+      FROM d
+    )
+    SELECT CAST(ni AS BIGINT) AS n_units,
+           CASE WHEN sxi <> 0
+             THEN CAST(floor(r * 1e6 + 0.5) AS BIGINT) END AS ratio_q6,
+           CASE WHEN ni >= 2 AND sxi <> 0 AND var_r >= 0
+             THEN CAST(floor(sqrt(var_r) * 1e6 + 0.5) AS BIGINT)
+           END AS se_q6,
+           CASE WHEN ni >= 2 AND sxi <> 0 AND var_r >= 0
+             THEN CAST(floor((r - {_Z975_SQL} * sqrt(var_r)) * 1e6 + 0.5)
+                  AS BIGINT)
+           END AS ci_lo_q6,
+           CASE WHEN ni >= 2 AND sxi <> 0 AND var_r >= 0
+             THEN CAST(floor((r + {_Z975_SQL} * sqrt(var_r)) * 1e6 + 0.5)
+                  AS BIGINT)
+           END AS ci_hi_q6
+    FROM v
+    """,
+)
+def ratio_metric_delta_ci_events(spark, sf_dir):
+    """Delta-method CI for purchase-revenue-per-event
+    (operators/profiling.py delta_method_ratio_ci; Deng, Knoblich & Lu
+    KDD'18): the analysis unit is the USER but the denominator is
+    events, so the naive SE is wrong; the first-order Taylor expansion
+    over exact DECIMAL(38,0) per-user moments gives the honest one.
+    One map-side-combined aggregate; every derived value a fixed-order
+    quantized double."""
+    from pyspark_playground_spark.operators.profiling import (
+        delta_method_ratio_ci,
+    )
+
+    return delta_method_ratio_ci(
+        _ratio_unit_frame(spark, sf_dir),
+        numerator_column="y",
+        denominator_column="x",
+    )
+
+
+@query(
+    "jackknife_ratio_ci_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS ({_RATIO_UNIT_SQL}),
+    q AS (
+      SELECT CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 32 AS INT) AS b
+      FROM u
+    ),
+    pb AS (
+      SELECT b, count(*) AS nb, sum(CAST(x AS HUGEINT)) AS xb,
+             sum(CAST(y AS HUGEINT)) AS yb
+      FROM q GROUP BY b
+    ),
+    tot AS (
+      SELECT sum(nb) AS n, sum(xb) AS sx, sum(yb) AS sy, count(*) AS bb
+      FROM pb
+    ),
+    lv AS (
+      SELECT tot.n, tot.sx, tot.sy, tot.bb,
+             CASE WHEN tot.sx - pb.xb <> 0 THEN
+               CAST(floor(CAST(tot.sy - pb.yb AS DOUBLE)
+                          / CAST(tot.sx - pb.xb AS DOUBLE) * 1e9 + 0.5)
+                    AS BIGINT)
+             END AS rb
+      FROM pb CROSS JOIN tot
+    ),
+    red AS (
+      SELECT max(n) AS n, max(sx) AS sx, max(sy) AS sy, max(bb) AS bb,
+             sum(CASE WHEN rb IS NULL THEN 1 ELSE 0 END) AS bad,
+             sum(CAST(rb AS HUGEINT)) AS sr,
+             sum(CAST(rb AS HUGEINT) * rb) AS srr
+      FROM lv
+    ),
+    v AS (
+      SELECT n, bb, sx, sy, bad,
+             CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS ratio,
+             (CAST(bb AS DOUBLE) - 1.0) / CAST(bb AS DOUBLE)
+               * ((CAST(srr AS DOUBLE)
+                   - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+                     / CAST(bb AS DOUBLE)) / 1e18) AS var_jk
+      FROM red
+    )
+    SELECT CAST(n AS BIGINT) AS n_units, CAST(bb AS BIGINT) AS n_buckets,
+           CASE WHEN sx <> 0
+             THEN CAST(floor(ratio * 1e6 + 0.5) AS BIGINT)
+           END AS ratio_q6,
+           CASE WHEN bb >= 2 AND bad = 0 AND sx <> 0 AND var_jk >= 0
+             THEN CAST(floor(sqrt(var_jk) * 1e6 + 0.5) AS BIGINT)
+           END AS se_jk_q6,
+           CASE WHEN bb >= 2 AND bad = 0 AND sx <> 0 AND var_jk >= 0
+             THEN CAST(floor((ratio - {_Z975_SQL} * sqrt(var_jk))
+                             * 1e6 + 0.5) AS BIGINT)
+           END AS ci_lo_q6,
+           CASE WHEN bb >= 2 AND bad = 0 AND sx <> 0 AND var_jk >= 0
+             THEN CAST(floor((ratio + {_Z975_SQL} * sqrt(var_jk))
+                             * 1e6 + 0.5) AS BIGINT)
+           END AS ci_hi_q6
+    FROM v
+    """,
+)
+def jackknife_ratio_ci_events(spark, sf_dir):
+    """Leave-one-bucket-out jackknife CI for the SAME ratio metric as
+    ratio_metric_delta_ci_events (operators/profiling.py
+    jackknife_ratio_buckets; Efron & Stein 1981): users hash into 32
+    engine-portable md5 buckets, each leave-out ratio is one exact
+    integer division quantized q9, and the variance reduce sums exact
+    DECIMAL(38,0) — order-independent. The resampling cross-check for
+    the delta method (tests pin their agreement)."""
+    from pyspark_playground_spark.operators.profiling import (
+        jackknife_ratio_buckets,
+    )
+
+    return jackknife_ratio_buckets(
+        _ratio_unit_frame(spark, sf_dir),
+        numerator_column="y",
+        denominator_column="x",
+        key_columns=["user_id"],
+        buckets=32,
+    )

@@ -1076,6 +1076,29 @@ def main() -> None:
             "noop").mode("overwrite").save()
     timed("containment_join", n_docs, containment)
 
+    # 78. ratio-metric delta-method + bucket-jackknife CIs over the
+    #     replicated events (r8): corpus work is ONE per-user aggregate;
+    #     the delta method reduces to a 1-row moment frame, the
+    #     jackknife to B=32 bucket rows + a broadcast of one row
+    def ratio_cis():
+        e2 = ev_rep.filter(F.col("value").isNotNull())
+        dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+        u = e2.groupBy("user_id").agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", dec)),
+                F.lit(0).cast("decimal(38,10)"),
+            ).cast("double").alias("y"),
+            F.count(F.lit(1)).cast("double").alias("x"),
+        )
+        pf.delta_method_ratio_ci(
+            u, numerator_column="y", denominator_column="x"
+        ).write.format("noop").mode("overwrite").save()
+        pf.jackknife_ratio_buckets(
+            u, numerator_column="y", denominator_column="x",
+            key_columns=["user_id"], buckets=32,
+        ).write.format("noop").mode("overwrite").save()
+    timed("ratio_delta_jackknife", n_evr, ratio_cis)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -1483,3 +1483,150 @@ def test_required_sample_size_hand_computed(spark):
         numn * numn / (p2n - p1n) ** 2
     )
     assert rn["lifted_ppm"] == 180_000
+
+
+def test_delta_ratio_hand_computed_and_guards(spark):
+    """Exact python mirror of the quantized delta-method moments; the
+    degenerate frames answer NULL instead of lying: sx=0 kills every
+    output, n=1 keeps the ratio but refuses an SE."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        delta_method_ratio_ci,
+    )
+
+    rows = [(3.0, 2.0), (5.0, 4.0), (2.0, 1.0), (8.0, 5.0), (1.0, 2.0)]
+    df = spark.createDataFrame(rows, "y double, x double")
+    r = delta_method_ratio_ci(
+        df, numerator_column="y", denominator_column="x"
+    ).collect()[0]
+    yq = [math.floor(y * 1e6 + 0.5) for y, _ in rows]
+    xq = [math.floor(x * 1e6 + 0.5) for _, x in rows]
+    n = len(rows)
+    sx, sy = sum(xq), sum(yq)
+    sxy = sum(a * b for a, b in zip(xq, yq))
+    sxx = sum(a * a for a in xq)
+    syy = sum(a * a for a in yq)
+    rr = sy / sx
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    cxy = sxy / n - (sx / n) * (sy / n)
+    var_r = (vy - 2.0 * rr * cxy + rr * rr * vx) * n / (sx * sx)
+    z = 1.959963984540054
+    assert r["n_units"] == 5
+    assert r["ratio_q6"] == math.floor(rr * 1e6 + 0.5)
+    assert r["se_q6"] == math.floor(math.sqrt(var_r) * 1e6 + 0.5)
+    assert r["ci_lo_q6"] == math.floor(
+        (rr - z * math.sqrt(var_r)) * 1e6 + 0.5
+    )
+    assert r["ci_hi_q6"] == math.floor(
+        (rr + z * math.sqrt(var_r)) * 1e6 + 0.5
+    )
+
+    # zero denominator mass: every output NULL (ratio undefined)
+    zero = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, -1.0)], "y double, x double"
+    )
+    rz = delta_method_ratio_ci(
+        zero, numerator_column="y", denominator_column="x"
+    ).collect()[0]
+    assert rz["ratio_q6"] is None and rz["se_q6"] is None
+
+    # a single unit: the ratio is defined, an SE is not
+    one = spark.createDataFrame([(4.0, 2.0)], "y double, x double")
+    ro = delta_method_ratio_ci(
+        one, numerator_column="y", denominator_column="x"
+    ).collect()[0]
+    assert ro["ratio_q6"] == 2_000_000 and ro["se_q6"] is None
+
+
+def test_jackknife_ratio_mirror_and_delta_agreement(spark):
+    """The bucket jackknife against an exact python mirror (md5 bucket
+    replay, integer leave-out ratios), agreement with the delta method
+    on a well-behaved frame (the two estimate the same asymptotic
+    variance), and partitioning invariance."""
+    import hashlib
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        delta_method_ratio_ci,
+        jackknife_ratio_buckets,
+    )
+
+    # 240 units, deterministic "noise" via index arithmetic
+    rows = [
+        (
+            float(i),
+            2.5 * (1.0 + (i % 7)) + ((i * 37) % 11 - 5) * 0.3,
+            1.0 + (i % 7),
+        )
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "k double, y double, x double")
+    B = 16
+    jk = jackknife_ratio_buckets(
+        df,
+        numerator_column="y",
+        denominator_column="x",
+        key_columns=["k"],
+        buckets=B,
+    ).collect()[0]
+
+    # python mirror
+    def bucket(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()[:8]
+        return int(h, 16) % B
+
+    from collections import defaultdict
+
+    bx, by = defaultdict(int), defaultdict(int)
+    for k, y, x in rows:
+        b = bucket(k)
+        by[b] += math.floor(y * 1e6 + 0.5)
+        bx[b] += math.floor(x * 1e6 + 0.5)
+    sx, sy = sum(bx.values()), sum(by.values())
+    rbs = [
+        math.floor((sy - by[b]) / (sx - bx[b]) * 1e9 + 0.5) for b in bx
+    ]
+    bb = len(rbs)
+    sr, srr = sum(rbs), sum(v * v for v in rbs)
+    var_jk = (bb - 1.0) / bb * ((srr - sr * sr / bb) / 1e18)
+    assert jk["n_units"] == 240 and jk["n_buckets"] == bb
+    assert jk["ratio_q6"] == math.floor(sy / sx * 1e6 + 0.5)
+    assert jk["se_jk_q6"] == math.floor(math.sqrt(var_jk) * 1e6 + 0.5)
+
+    # delta-method cross-check: same ratio, SEs within 40% of each other
+    dl = delta_method_ratio_ci(
+        df, numerator_column="y", denominator_column="x"
+    ).collect()[0]
+    assert dl["ratio_q6"] == jk["ratio_q6"]
+    assert dl["se_q6"] > 0 and jk["se_jk_q6"] > 0
+    assert (
+        abs(dl["se_q6"] - jk["se_jk_q6"])
+        / max(dl["se_q6"], jk["se_jk_q6"])
+        < 0.40
+    )
+
+    # partitioning invariance: the exact-integer reduce is order-free
+    jk2 = jackknife_ratio_buckets(
+        df.repartition(7),
+        numerator_column="y",
+        denominator_column="x",
+        key_columns=["k"],
+        buckets=B,
+    ).collect()[0]
+    assert jk2 == jk
+
+    # one bucket only (single key) -> B=1 -> SE refused
+    onek = spark.createDataFrame(
+        [(1.0, 2.0, 1.0), (1.0, 3.0, 1.0)], "k double, y double, x double"
+    )
+    r1 = jackknife_ratio_buckets(
+        onek,
+        numerator_column="y",
+        denominator_column="x",
+        key_columns=["k"],
+        buckets=B,
+    ).collect()[0]
+    assert r1["n_buckets"] == 1 and r1["se_jk_q6"] is None
+    assert r1["ratio_q6"] == 2_500_000
