@@ -115,3 +115,103 @@ def l_diversity_census(
         F.count(F.lit(1)).alias(group_size_column),
         F.count_distinct(F.col(sensitive_column)).alias(distinct_column),
     ).withColumn(flag_column, F.col(distinct_column) >= F.lit(l))
+
+
+def t_closeness_census(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str | Column],
+    sensitive_column: str,
+    *,
+    t_ppm: int = 200_000,
+    group_size_column: str = "group_size",
+    t_column: str = "t_ppm",
+    flag_column: str = "t_close",
+) -> DataFrame:
+    """t-closeness census (Li, Li & Venkatasubramanian, ICDE'07 — the
+    third rung of the release-gate ladder after k-anonymity and
+    l-diversity): one row per quasi-identifier class with the Earth
+    Mover's Distance between the class's distribution over an ORDERED
+    sensitive attribute and the global distribution, in exact ppm, plus
+    a ``t_ppm <= threshold`` flag. l-diversity counts distinct values;
+    t-closeness catches the subtler leak where a class is diverse but
+    SKEWED (e.g. every salary in the class sits in the top decile).
+
+    For the ordered-distance ground metric the ICDE'07 EMD closed form
+    is ``t = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|`` over the m global
+    values in order. Everything is EXACT INTEGER arithmetic: the inner
+    cumulative difference at value i is ``N·cumC − gs·cumG`` (class
+    cumulative count scaled by the global population and vice versa),
+    |·|-summed per class as DECIMAL(38,0), and the final
+    ``t_ppm = (S·1e6) DIV (gs·N·(m−1))`` is one exact integral
+    division — no doubles anywhere, bit-identical on any engine.
+    Classes see every global value (absent ⇒ p_j = 0) via a grid join.
+    NULL sensitive values are excluded entirely (an absent value
+    discloses nothing and contributes no probability mass). A
+    single-value domain (m = 1) has identical distributions by
+    construction: t_ppm = 0.
+
+    Scale contract: the sensitive attribute must be BOUNDED-DOMAIN
+    ordinal (a band, decile, grade — the census discipline); the grid
+    is classes × m rows built by broadcasting the m-row value census,
+    the per-class cumulative window is partitioned by class, and the
+    only unbounded shuffles are the two hash-aggregations on
+    (QI) / (QI, value).
+    """
+    qi = [F.col(c) if isinstance(c, str) else c for c in quasi_identifiers]
+    qi_names = [df.select(c).columns[0] for c in qi]
+    base = df.select(
+        *[c.alias(n) for c, n in zip(qi, qi_names)],
+        F.col(sensitive_column).alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    gv = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__g"))
+    cv = base.groupBy(*qi_names, "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cs = base.groupBy(*qi_names).agg(
+        F.count(F.lit(1)).alias(group_size_column)
+    )
+    tot = gv.agg(
+        F.sum("__g").alias("__N"), F.count(F.lit(1)).alias("__m")
+    )
+    grid = (
+        cs.crossJoin(F.broadcast(gv))
+        .join(cv, [*qi_names, "__v"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*qi_names)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = d38(F.col("__N")) * d38(F.sum("__c").over(w)) - d38(
+        F.col(group_size_column)
+    ) * d38(F.sum("__g").over(w))
+    per_class = (
+        grid.select(
+            *qi_names,
+            F.col(group_size_column),
+            F.col("__N"),
+            F.col("__m"),
+            F.abs(diff).alias("__ad"),
+        )
+        .groupBy(*qi_names)
+        .agg(
+            F.max(group_size_column).alias(group_size_column),
+            F.max("__N").alias("__N"),
+            F.max("__m").alias("__m"),
+            F.sum("__ad").alias("__s"),
+        )
+    )
+    t_val = F.when(F.col("__m") > 1, F.expr(
+        f"(__s * 1000000) DIV (CAST({group_size_column} AS DECIMAL(38,0))"
+        " * __N * (__m - 1))"
+    )).otherwise(F.lit(0)).cast("long")
+    return per_class.select(
+        *qi_names,
+        F.col(group_size_column),
+        t_val.alias(t_column),
+    ).withColumn(flag_column, F.col(t_column) <= F.lit(int(t_ppm)))

@@ -15423,3 +15423,80 @@ def jackknife_ratio_ci_events(spark, sf_dir):
         key_columns=["user_id"],
         buckets=32,
     )
+
+
+@query(
+    "t_closeness_orders",
+    """
+    WITH b AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    gv AS (SELECT v, count(*) AS g FROM b GROUP BY v),
+    cv AS (SELECT o_orderstatus, o_orderpriority, v, count(*) AS c
+           FROM b GROUP BY o_orderstatus, o_orderpriority, v),
+    cs AS (SELECT o_orderstatus, o_orderpriority, count(*) AS gs
+           FROM b GROUP BY o_orderstatus, o_orderpriority),
+    tot AS (SELECT sum(g) AS n, count(*) AS m FROM gv),
+    grid AS (
+      SELECT cs.o_orderstatus, cs.o_orderpriority, cs.gs, gv.v, gv.g,
+             coalesce(cv.c, 0) AS c
+      FROM cs CROSS JOIN gv
+      LEFT JOIN cv ON cv.o_orderstatus = cs.o_orderstatus
+                  AND cv.o_orderpriority = cs.o_orderpriority
+                  AND cv.v = gv.v
+    ),
+    cum AS (
+      SELECT o_orderstatus, o_orderpriority, gs,
+             sum(c) OVER (PARTITION BY o_orderstatus, o_orderpriority
+                          ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+             sum(g) OVER (PARTITION BY o_orderstatus, o_orderpriority
+                          ORDER BY v ROWS UNBOUNDED PRECEDING) AS cg
+      FROM grid
+    ),
+    agg AS (
+      SELECT o_orderstatus, o_orderpriority, max(gs) AS gs,
+             sum(abs(CAST((SELECT n FROM tot) AS HUGEINT) * cc
+                     - CAST(gs AS HUGEINT) * cg)) AS s
+      FROM cum GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(gs AS BIGINT) AS group_size,
+           CAST(CASE WHEN (SELECT m FROM tot) > 1 THEN
+             (s * 1000000) // (CAST(gs AS HUGEINT)
+                               * (SELECT n FROM tot)
+                               * ((SELECT m FROM tot) - 1))
+           ELSE 0 END AS BIGINT) AS t_ppm,
+           CASE WHEN (SELECT m FROM tot) > 1 THEN
+             (s * 1000000) // (CAST(gs AS HUGEINT)
+                               * (SELECT n FROM tot)
+                               * ((SELECT m FROM tot) - 1))
+           ELSE 0 END <= 200000 AS t_close
+    FROM agg
+    """,
+)
+def t_closeness_orders(spark, sf_dir):
+    """t-closeness census (operators/privacy.py t_closeness_census; Li,
+    Li & Venkatasubramanian ICDE'07): per (status, priority)
+    quasi-identifier class, the exact ordered-EMD in ppm between the
+    class's price-band distribution and the global one — the skew leak
+    l-diversity misses. Exact integer arithmetic end-to-end (cumulative
+    count cross-products, one integral division); the m-row band census
+    broadcasts into the class grid; the cumulative window is partitioned
+    by class."""
+    from pyspark_playground_spark.operators import privacy as pv
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    o = o.withColumn(
+        "__band",
+        F.floor(F.col("o_totalprice") / F.lit(50000)).cast("bigint"),
+    )
+    return pv.t_closeness_census(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        "__band",
+        t_ppm=200_000,
+    )

@@ -1099,6 +1099,22 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("ratio_delta_jackknife", n_evr, ratio_cis)
 
+    # 79. t-closeness census over the replicated orders (r8): two hash
+    #     aggregations on (QI)/(QI, band) + an m-row broadcast grid and
+    #     a class-partitioned cumulative window — exact integer EMD
+    from pyspark_playground_spark.operators import privacy as pv
+
+    def tclose():
+        o = orders.filter(F.col("o_totalprice").isNotNull()).withColumn(
+            "__band",
+            F.floor(F.col("o_totalprice") / F.lit(50000)).cast("bigint"),
+        )
+        pv.t_closeness_census(
+            o, ["o_orderstatus", "o_orderpriority"], "__band",
+            t_ppm=200_000,
+        ).write.format("noop").mode("overwrite").save()
+    timed("t_closeness", n_ord, tclose)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))
