@@ -3207,3 +3207,157 @@ def pq_encode_with_book(
             )
         ).alias("__e"),
     ).select(id_column, "__e.subspace", "__e.code")
+
+
+def cluster_validity_report(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 8,
+    iterations: int = 1,
+) -> DataFrame:
+    """Davies-Bouldin and Calinski-Harabasz validity indices of the
+    Lloyd partition (Davies & Bouldin PAMI'79 with the q=2 RMS scatter;
+    Calinski & Harabasz '74) — the model-selection complement to
+    :func:`silhouette_centroid_report`: silhouette grades each point,
+    these grade the PARTITION (sweep k, pick the CH knee / DB valley).
+
+    Definitions are taken on the final partition with its OWN means
+    (the textbook forms): W = Σᵢ Σ_{x∈i} ‖x − μᵢ‖², B = Σᵢ nᵢ‖μᵢ − μ̄‖²,
+    CH = (B/(k−1))/(W/(n−k)), DB = meanᵢ maxⱼ≠ᵢ (Sᵢ+Sⱼ)/Mᵢⱼ with
+    Sᵢ = √(Wᵢ/nᵢ) and Mᵢⱼ = ‖μᵢ − μⱼ‖.
+
+    Plan — exactly TWO corpus passes beyond training: deterministic
+    Lloyd training (model-sized collect), one shuffle-free literal-fold
+    assignment feeding (a) the partition means via the value-sorted
+    :func:`group_centroids` fold (one (group, dim) exchange — the
+    training update's own arithmetic, so the oracle replays it as one
+    more Lloyd half-step) and (b) the per-cluster census of
+    ``floor(‖x − μᵢ‖²·1e6+0.5)`` BIGINT sums over a broadcast join of
+    the k-row means. The census ⋈ means frame is k rows — model-sized
+    by construction — so it is COLLECTED and the k- and k²-sized
+    arithmetic (global mean via ascending-sorted weighted folds,
+    quantized B terms, the (Sᵢ+Sⱼ)/Mᵢⱼ max) finishes in the driver
+    with the same fixed-order IEEE doubles the oracle's list_reduce
+    folds use; the result returns as a one-row literal frame.
+    Duplicate partition means (Mᵢⱼ = 0) drop from the max — a cluster
+    with NO distinct-mean peer makes DB NULL (the honest answer); CH
+    is NULL when n ≤ k or W = 0.
+
+    Output one row: (n_points, k_clusters, within_ss_q6,
+    between_ss_q6, ch_x3, db_q6).
+    """
+    import math
+
+    xfull = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
+    )
+    cents = _lloyd_train_collect(
+        xfull, id_column=id_column, k=k, iterations=iterations
+    )
+    if len(cents) < 2:
+        raise ValueError(
+            f"cluster_validity_report: {len(cents)} surviving "
+            f"centroid(s); validity indices need at least 2"
+        )
+    assigned = xfull.select(
+        _argmin_literal_expr(F.col("__x"), cents).alias("cluster_id"),
+        F.col("__x"),
+    ).persist()
+    means = (
+        group_centroids(assigned, "cluster_id", vector_column="__x")
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+                lambda r: r["centroid_v"],
+            ).alias("__mu")
+        )
+    )
+    d2mu = F.aggregate(
+        F.zip_with(
+            F.col("__x"), F.col("__mu"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda s, t: s + t,
+    )
+    census = (
+        assigned.join(F.broadcast(means), "cluster_id")
+        .select(
+            "cluster_id",
+            F.floor(d2mu * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("__d6"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__d6").alias("__w6"),
+        )
+    )
+    # k rows — model-sized by construction (bounded by the centroid
+    # count, like every other Lloyd model collect in this module)
+    cm = census.join(means, "cluster_id").collect()
+    assigned.unpersist()
+    rows = sorted(
+        (
+            (r["cluster_id"], int(r["__n"]), int(r["__w6"]), list(r["__mu"]))
+            for r in cm
+        ),
+        key=lambda t: t[0],
+    )
+    n_total = sum(n for _, n, _, _ in rows)
+    kk = len(rows)
+    w6 = sum(w for _, _, w, _ in rows)
+    dim = len(rows[0][3])
+    # global mean per dim: ascending-sorted weighted fold (the oracle's
+    # list_sort + list_reduce arithmetic, bit-for-bit)
+    gbar = []
+    for j in range(dim):
+        acc = 0.0
+        for v in sorted(float(n) * mu[j] for _, n, _, mu in rows):
+            acc += v
+        gbar.append(acc / float(n_total))
+    b6 = 0
+    s_of = {}
+    for cid, n, w, mu in rows:
+        acc = 0.0
+        for j in range(dim):
+            d = mu[j] - gbar[j]
+            acc += d * d
+        b6 += math.floor(float(n) * acc * 1e6 + 0.5)
+        s_of[cid] = math.sqrt(w / 1e6 / float(n))
+    db_q6 = None
+    rmaxes = []
+    ok_db = True
+    for cid_i, _, _, mu_i in rows:
+        best = None
+        for cid_j, _, _, mu_j in rows:
+            if cid_j == cid_i:
+                continue
+            acc = 0.0
+            for j in range(dim):
+                d = mu_i[j] - mu_j[j]
+                acc += d * d
+            if acc == 0.0:
+                continue
+            r6 = math.floor(
+                (s_of[cid_i] + s_of[cid_j]) / math.sqrt(acc) * 1e6 + 0.5
+            )
+            best = r6 if best is None or r6 > best else best
+        if best is None:
+            ok_db = False
+            break
+        rmaxes.append(best)
+    if ok_db:
+        db_q6 = math.floor(sum(rmaxes) / float(kk) + 0.5)
+    ch_x3 = None
+    if n_total > kk and w6 > 0:
+        ch_x3 = (b6 * (n_total - kk) * 1000) // (w6 * (kk - 1))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(n_total, kk, w6, b6, ch_x3, db_q6)],
+        "n_points bigint, k_clusters bigint, within_ss_q6 bigint,"
+        " between_ss_q6 bigint, ch_x3 bigint, db_q6 bigint",
+    )

@@ -15500,3 +15500,94 @@ def t_closeness_orders(spark, sf_dir):
         "__band",
         t_ppm=200_000,
     )
+
+
+@query(
+    "cluster_validity_embeddings",
+    _lloyd_cte(8, 2) + """
+    , w AS (
+      SELECT a1.cluster_id, count(*) AS n,
+             sum(CAST(floor(d2.dist2 * 1e6 + 0.5) AS BIGINT)) AS w6
+      FROM a1 JOIN d2 ON d2.vec_id = a1.vec_id
+                     AND d2.cluster_id = a1.cluster_id
+      GROUP BY a1.cluster_id
+    ),
+    nt AS (SELECT sum(n) AS n_total, count(*) AS kk,
+                  sum(w6) AS w6_total FROM w),
+    gj AS (
+      SELECT pv.pos AS pos,
+             list_reduce(list_prepend(0.0,
+               list_sort(list(CAST(w.n AS DOUBLE) * pv.v))),
+               (x, y) -> x + y)
+               / CAST((SELECT n_total FROM nt) AS DOUBLE) AS g
+      FROM (
+        SELECT cluster_id,
+               unnest([{'pos': j - 1, 'v': cvec[j]}
+                       FOR j IN range(1, len(cvec) + 1)]) AS pv
+        FROM cent2
+      ) c JOIN w USING (cluster_id)
+      GROUP BY pv.pos
+    ),
+    gbar AS (SELECT list(g ORDER BY pos) AS gv FROM gj),
+    bt AS (
+      SELECT w.cluster_id, w.n, w.w6,
+             CAST(floor(CAST(w.n AS DOUBLE)
+               * list_reduce(list_prepend(0.0,
+                   [(c.cvec[j] - g.gv[j]) * (c.cvec[j] - g.gv[j])
+                    FOR j IN range(1, len(c.cvec) + 1)]),
+                   (x, y) -> x + y)
+               * 1e6 + 0.5) AS BIGINT) AS b6,
+             sqrt(CAST(w.w6 AS DOUBLE) / 1e6 / CAST(w.n AS DOUBLE)) AS s
+      FROM w JOIN cent2 c USING (cluster_id) CROSS JOIN gbar g
+    ),
+    rr AS (
+      SELECT cluster_id,
+             max(CASE WHEN m2 > 0 THEN
+               CAST(floor((s + js) / sqrt(m2) * 1e6 + 0.5) AS BIGINT)
+             END) AS rmax
+      FROM (
+        SELECT i.cluster_id, i.s, j.s AS js,
+               list_reduce(list_prepend(0.0,
+                 [(ci.cvec[d] - cj.cvec[d]) * (ci.cvec[d] - cj.cvec[d])
+                  FOR d IN range(1, len(ci.cvec) + 1)]),
+                 (x, y) -> x + y) AS m2
+        FROM bt i
+        JOIN bt j ON i.cluster_id <> j.cluster_id
+        JOIN cent2 ci ON ci.cluster_id = i.cluster_id
+        JOIN cent2 cj ON cj.cluster_id = j.cluster_id
+      )
+      GROUP BY cluster_id
+    ),
+    agg AS (
+      SELECT sum(rmax) AS rsum,
+             sum(CASE WHEN rmax IS NULL THEN 1 ELSE 0 END) AS rbad,
+             count(*) AS kcnt
+      FROM rr
+    ),
+    bsum AS (SELECT sum(b6) AS b6_total FROM bt)
+    SELECT CAST(n_total AS BIGINT) AS n_points,
+           CAST(kk AS BIGINT) AS k_clusters,
+           CAST(w6_total AS BIGINT) AS within_ss_q6,
+           CAST(b6_total AS BIGINT) AS between_ss_q6,
+           CAST(CASE WHEN n_total > kk AND w6_total > 0 THEN
+             (CAST(b6_total AS HUGEINT) * (n_total - kk) * 1000)
+               // (CAST(w6_total AS HUGEINT) * (kk - 1))
+           END AS BIGINT) AS ch_x3,
+           CAST(CASE WHEN rbad = 0 AND kcnt = kk THEN
+             floor(CAST(rsum AS DOUBLE) / CAST(kk AS DOUBLE) + 0.5)
+           END AS BIGINT) AS db_q6
+    FROM nt CROSS JOIN agg CROSS JOIN bsum
+    """,
+)
+def cluster_validity_embeddings(spark, sf_dir):
+    """Davies-Bouldin + Calinski-Harabasz partition-validity indices of
+    the k=8 Lloyd clustering (operators/similarity.py
+    cluster_validity_report; DB PAMI'79 q=2, CH '74): the
+    model-selection gate beside silhouette — sweep k, pick the CH knee
+    / DB valley. Two corpus passes beyond training (value-sorted mean
+    folds + one quantized ||x-mu||^2 census over a broadcast means
+    join); the k-row census collects model-sized and the k^2 tail
+    finishes in fixed-order IEEE driver arithmetic the oracle replays
+    with list_reduce folds."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cluster_validity_report(emb, k=8, iterations=1)

@@ -1115,6 +1115,15 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("t_closeness", n_ord, tclose)
 
+    # 80. cluster-validity indices (r8): training + exactly two corpus
+    #     passes (value-sorted mean folds, quantized ||x-mu||^2 census
+    #     over a broadcast means join); k-row collect, k^2 driver tail
+    def validity():
+        sim.cluster_validity_report(
+            emb, k=8, iterations=1,
+        ).write.format("noop").mode("overwrite").save()
+    timed("cluster_validity", n_emb, validity)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

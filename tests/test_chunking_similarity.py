@@ -801,3 +801,78 @@ def test_mmr_diversified_topk_hand_computed(spark):
     ]
     with pytest.raises(ValueError, match="must be in"):
         sim.mmr_diversified_topk(corpus, queries, candidates=3, k=4)
+
+
+def test_cluster_validity_hand_computed(spark):
+    """Two clean 2D blobs: the partition is obvious, every quantity is
+    mirrored by hand through the same quantized arithmetic; a smeared
+    variant must score WORSE on both indices (higher DB, lower CH)."""
+    import math
+
+    from pyspark_playground_spark.operators import similarity as sim
+
+    # seeds at ids 0/1; two tight blobs around (0,0) and (10,10)
+    pts = {
+        0: (0.0, 0.0), 1: (10.0, 10.0),
+        2: (0.0, 1.0), 3: (1.0, 0.0),
+        4: (10.0, 11.0), 5: (11.0, 10.0),
+    }
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in pts.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    r = sim.cluster_validity_report(df, k=2, iterations=1).collect()[0]
+    assert r["n_points"] == 6 and r["k_clusters"] == 2
+
+    # independent mirror: one Lloyd step from seeds (0,0)/(10,10)
+    # assigns {0,2,3} / {1,4,5}; trained centroids = blob means;
+    # reassignment keeps the split; partition means likewise
+    mu0 = ((0 + 0 + 1) / 3, (0 + 1 + 0) / 3)
+    mu1 = ((10 + 10 + 11) / 3, (10 + 11 + 10) / 3)
+    w6 = 0
+    wi = {0: 0, 1: 0}
+    for i, v in pts.items():
+        mu = mu0 if i in (0, 2, 3) else mu1
+        d2 = (v[0] - mu[0]) ** 2 + (v[1] - mu[1]) ** 2
+        q = math.floor(d2 * 1e6 + 0.5)
+        w6 += q
+        wi[0 if i in (0, 2, 3) else 1] += q
+    assert r["within_ss_q6"] == w6
+    gbar = tuple((3 * a + 3 * b) / 6 for a, b in zip(mu0, mu1))
+    b6 = sum(
+        math.floor(
+            3 * ((m[0] - gbar[0]) ** 2 + (m[1] - gbar[1]) ** 2) * 1e6 + 0.5
+        )
+        for m in (mu0, mu1)
+    )
+    assert r["between_ss_q6"] == b6
+    assert r["ch_x3"] == (b6 * (6 - 2) * 1000) // (w6 * (2 - 1))
+    s0 = math.sqrt(wi[0] / 1e6 / 3)
+    s1 = math.sqrt(wi[1] / 1e6 / 3)
+    m = math.sqrt((mu0[0] - mu1[0]) ** 2 + (mu0[1] - mu1[1]) ** 2)
+    r01 = math.floor((s0 + s1) / m * 1e6 + 0.5)
+    assert r["db_q6"] == math.floor((r01 + r01) / 2 + 0.5)
+
+    # smear the blobs toward each other: DB up, CH down
+    smear = {
+        0: (0.0, 0.0), 1: (10.0, 10.0),
+        2: (4.0, 5.0), 3: (5.0, 4.0),
+        4: (6.0, 5.0), 5: (5.0, 6.0),
+    }
+    df2 = spark.createDataFrame(
+        [(i, list(v)) for i, v in smear.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    r2 = sim.cluster_validity_report(df2, k=2, iterations=1).collect()[0]
+    assert r2["db_q6"] > r["db_q6"]
+    assert r2["ch_x3"] < r["ch_x3"]
+
+    # all-identical points collapse to one cluster: refused
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        sim.cluster_validity_report(dup, k=2, iterations=1)
