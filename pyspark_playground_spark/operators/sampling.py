@@ -773,3 +773,120 @@ def sign_flip_test(
             f" DIV {permutations + 1}"
         ).alias("p_q6"),
     )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    time_column: str,
+    *,
+    n_folds: int = 5,
+    unit_column: str | None = None,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds for
+    time-series models (Tashman, IJF 2000's rolling-origin evaluation —
+    the standard answer to "random K-fold leaks the future"): the time
+    range splits into ``n_folds + 1`` equal segments; fold i trains on
+    everything BEFORE segment i and tests ON segment i, so every fold's
+    train/test boundary moves forward and no test row precedes a train
+    row.
+
+    Segment assignment is EXACT INTEGER arithmetic on epoch
+    microseconds — ``seg = ((t − t_min)·(n_folds+1)) DIV
+    (t_max − t_min + 1)`` — so membership is reproducible on any
+    engine (the same construction as the md5 split: a pure function of
+    the row, no sampling state). Reports per fold: train/test row
+    counts, the test window's inclusive bounds, and — when
+    ``unit_column`` is given — how many test-window units were already
+    seen in training (``seen_units``): for user-level models that
+    number is the *entity overlap* a grouped split would eliminate
+    (:func:`assign_split` / leakage_free_split), NOT an error — rolling
+    origin deliberately scores warm-start entities; the census makes
+    the warm/cold mix visible.
+
+    Plan: one 1-row min/max aggregate broadcast back; one segment
+    census (n_folds+1 rows) with a census-bounded cumulative window
+    for the expanding train counts; the unit overlap adds one distinct
+    aggregate on (unit, segment) and a per-unit first-segment reduce —
+    all map-side combined, no data-sized window or collect.
+
+    Output per fold (1..n_folds): (fold, train_rows, test_rows,
+    test_start_us, test_end_us[, seen_units, test_units]); a fold whose
+    test window holds no rows at all (a pathological time gap) is
+    omitted rather than fabricated.
+    """
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    segs = n_folds + 1
+    t = df.select(
+        F.unix_micros(F.col(time_column).cast("timestamp")).alias("__t"),
+        *([F.col(unit_column).alias("__u")] if unit_column else []),
+    ).filter(F.col("__t").isNotNull())
+    bounds = t.agg(
+        F.min("__t").alias("__lo"), F.max("__t").alias("__hi")
+    )
+    seg_expr = F.expr(
+        f"((__t - __lo) * {segs}) DIV (__hi - __lo + 1)"
+    ).cast("int")
+    with_seg = t.crossJoin(F.broadcast(bounds)).select(
+        seg_expr.alias("__seg"),
+        F.col("__t"),
+        *([F.col("__u")] if unit_column else []),
+    )
+    census = with_seg.groupBy("__seg").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.min("__t").alias("__smin"),
+        F.max("__t").alias("__smax"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # census-bounded (n_folds+1 rows) cumulative — train = rows BEFORE
+    # the test segment, so shift the running sum by the own row
+    cum = census.select(
+        F.col("__seg"),
+        (F.sum("__rows").over(w) - F.col("__rows")).alias("train_rows"),
+        F.col("__rows").alias("test_rows"),
+        F.col("__smin").alias("test_start_us"),
+        F.col("__smax").alias("test_end_us"),
+    ).filter(F.col("__seg") >= 1)
+    out = cum.select(
+        F.col("__seg").cast("int").alias("fold"),
+        "train_rows",
+        "test_rows",
+        "test_start_us",
+        "test_end_us",
+    )
+    if unit_column is None:
+        return out
+    # unit overlap: a unit is "seen" in fold i when its FIRST segment
+    # precedes i and it appears in segment i
+    us = with_seg.select("__seg", "__u").distinct()
+    per_unit = us.groupBy("__u").agg(
+        F.min("__seg").alias("__first"),
+        F.collect_set("__seg").alias("__segs"),
+    )
+    seen = (
+        per_unit.select(
+            F.explode("__segs").alias("__seg"), F.col("__first")
+        )
+        .filter(F.col("__seg") >= 1)
+        .groupBy("__seg")
+        .agg(
+            F.count(F.lit(1)).alias("test_units"),
+            F.sum(
+                F.when(F.col("__first") < F.col("__seg"), 1).otherwise(0)
+            ).alias("seen_units"),
+        )
+    )
+    return out.join(
+        seen.select(
+            F.col("__seg").cast("int").alias("fold"),
+            "seen_units",
+            "test_units",
+        ),
+        "fold",
+        "left",
+    )

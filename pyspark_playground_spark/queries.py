@@ -15591,3 +15591,64 @@ def cluster_validity_embeddings(spark, sf_dir):
     with list_reduce folds."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.cluster_validity_report(emb, k=8, iterations=1)
+
+
+@query(
+    "rolling_origin_cv_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT epoch_us(ts) AS t, user_id AS u
+      FROM e WHERE ts IS NOT NULL
+    ),
+    b AS (SELECT min(t) AS lo, max(t) AS hi FROM t),
+    ws AS (
+      SELECT CAST(((t - lo) * 6) // (hi - lo + 1) AS INT) AS seg, t, u
+      FROM t CROSS JOIN b
+    ),
+    census AS (
+      SELECT seg, count(*) AS rows_, min(t) AS smin, max(t) AS smax
+      FROM ws GROUP BY seg
+    ),
+    cum AS (
+      SELECT seg,
+             sum(rows_) OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING)
+               - rows_ AS train_rows,
+             rows_ AS test_rows, smin, smax
+      FROM census
+    ),
+    us AS (SELECT DISTINCT seg, u FROM ws),
+    pu AS (SELECT u, min(seg) AS first FROM us GROUP BY u),
+    seen AS (
+      SELECT us.seg, count(*) AS test_units,
+             sum(CASE WHEN pu.first < us.seg THEN 1 ELSE 0 END)
+               AS seen_units
+      FROM us JOIN pu USING (u) WHERE us.seg >= 1 GROUP BY us.seg
+    )
+    SELECT CAST(c.seg AS INT) AS fold,
+           CAST(train_rows AS BIGINT) AS train_rows,
+           CAST(test_rows AS BIGINT) AS test_rows,
+           smin AS test_start_us, smax AS test_end_us,
+           CAST(seen_units AS BIGINT) AS seen_units,
+           CAST(test_units AS BIGINT) AS test_units
+    FROM cum c LEFT JOIN seen ON seen.seg = c.seg
+    WHERE c.seg >= 1
+    """,
+)
+def rolling_origin_cv_events(spark, sf_dir):
+    """Rolling-origin (expanding-window) CV folds over the event stream
+    (operators/sampling.py rolling_origin_folds; Tashman IJF'00): five
+    forward-moving train/test splits on exact integer epoch-microsecond
+    segment arithmetic — the time-series answer to "random K-fold leaks
+    the future" — plus the warm-start census (users in each test window
+    already seen in training). One 1-row bounds broadcast, one segment
+    census with a census-bounded cumulative, one (unit, segment)
+    distinct + per-unit first-segment reduce."""
+    from pyspark_playground_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    e = load_events(spark, sf_dir)
+    return rolling_origin_folds(
+        e, "ts", n_folds=5, unit_column="user_id"
+    )

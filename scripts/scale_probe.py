@@ -1124,6 +1124,15 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("cluster_validity", n_emb, validity)
 
+    # 81. rolling-origin CV folds over the replicated events (r8): one
+    #     1-row bounds broadcast, one segment census + bounded
+    #     cumulative, one (unit, segment) distinct + per-unit reduce
+    def rocv():
+        smp.rolling_origin_folds(
+            ev_rep, "ts", n_folds=5, unit_column="user_id",
+        ).write.format("noop").mode("overwrite").save()
+    timed("rolling_origin_cv", n_evr, rocv)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

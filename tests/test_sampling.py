@@ -386,3 +386,55 @@ def test_sign_flip_test_model_equivalence(spark):
         permutations=B,
     ).collect()[0]
     assert tuple(r2) == tuple(r)
+
+
+def test_rolling_origin_folds_hand_computed(spark):
+    """12 hourly points, 3 folds -> 4 equal segments of 3 rows; exact
+    expanding train counts, forward-only boundaries, and the warm-start
+    unit census; n_folds<1 refused; unit-less variant drops the census
+    columns."""
+    import datetime as dt
+
+    import pytest
+
+    from pyspark_playground_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # users: u0 appears in segments 0,1,2,3; u1 only in segment 2;
+    # u2 in segments 0 and 3
+    rows = []
+    users = {0: "u0", 1: "u0", 2: "u2",      # seg 0
+             3: "u0", 4: "u0", 5: "u0",      # seg 1
+             6: "u1", 7: "u1", 8: "u0",      # seg 2
+             9: "u2", 10: "u0", 11: "u0"}    # seg 3
+    for h, u in users.items():
+        rows.append((t0 + dt.timedelta(hours=h), u))
+    df = spark.createDataFrame(rows, "ts timestamp, u string")
+    out = {r["fold"]: r for r in rolling_origin_folds(
+        df, "ts", n_folds=3, unit_column="u").collect()}
+    assert sorted(out) == [1, 2, 3]
+    for f in (1, 2, 3):
+        assert out[f]["train_rows"] == 3 * f
+        assert out[f]["test_rows"] == 3
+    # forward-only: each test window starts after the previous ends
+    assert out[1]["test_end_us"] < out[2]["test_start_us"]
+    assert out[2]["test_end_us"] < out[3]["test_start_us"]
+    # warm-start census: fold 1 tests {u0} (seen); fold 2 tests
+    # {u0 seen, u1 cold}; fold 3 tests {u0 seen, u2 seen-from-seg-0}
+    assert (out[1]["test_units"], out[1]["seen_units"]) == (1, 1)
+    assert (out[2]["test_units"], out[2]["seen_units"]) == (2, 1)
+    assert (out[3]["test_units"], out[3]["seen_units"]) == (2, 2)
+
+    # unit-less variant: same fold arithmetic, no census columns
+    slim = rolling_origin_folds(df, "ts", n_folds=3)
+    assert slim.columns == [
+        "fold", "train_rows", "test_rows", "test_start_us", "test_end_us"
+    ]
+    assert {r["fold"]: r["train_rows"] for r in slim.collect()} == {
+        1: 3, 2: 6, 3: 9
+    }
+
+    with pytest.raises(ValueError, match="n_folds"):
+        rolling_origin_folds(df, "ts", n_folds=0)
