@@ -3513,3 +3513,165 @@ def jackknife_ratio_buckets(
             "ci_hi_q6"
         ),
     )
+
+
+#: Abramowitz & Stegun 26.2.17 normal-tail polynomial (|err| < 7.5e-8)
+#: and 1/sqrt(2*pi) — shared hardcoded cross-engine literals, the same
+#: discipline as the z quantiles above (no erf in either engine's
+#: deterministic surface).
+_AS_T = 0.2316419
+_AS_B1 = 0.319381530
+_AS_B2 = -0.356563782
+_AS_B3 = 1.781477937
+_AS_B4 = -1.821255978
+_AS_B5 = 1.330274429
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def fdr_bh_two_proportion(
+    df: DataFrame,
+    *,
+    group_column: str,
+    cohort_column: Column | str,
+    success_column: Column | str,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Per-group two-proportion z-tests with Benjamini-Hochberg FDR
+    control (Benjamini & Hochberg, JRSS-B 1995) — the multiple-testing
+    layer :func:`two_proportion_test` needs the moment you scan it
+    across segments: testing 40 event types at α=.05 each expects two
+    false winners; BH's step-up ``p_(i) ≤ (i/m)·α`` caps the FALSE
+    DISCOVERY RATE at α across the whole family.
+
+    Per group, the exact-integer conditional aggregate and pooled-z of
+    :func:`two_proportion_test`; the two-sided p-value comes from the
+    Abramowitz-Stegun 26.2.17 tail — ``1 − Φ(x) = φ(x)·(b₁t + … +
+    b₅t⁵)``, ``t = 1/(1 + 0.2316419x)`` — evaluated as ONE fixed-order
+    Horner chain whose single libm call ``exp(−z²/2)`` is quantized to
+    1e−12 before use (the cross-engine libm recipe used by every
+    ln/exp consumer here), then quantized ``p_q9``. The BH pass ranks
+    testable groups by (p, group), takes the running min of
+    ``(p_q9·m) DIV rank`` from the worst rank down (exact integers,
+    capped at 1e9), and flags ``p_adj_q9 ≤ alpha·1000``. Degenerate
+    groups (empty cohort, pooled rate 0 or 1) carry NULL p/adj/reject
+    and do NOT count toward m.
+
+    Plan: one map-side-combined aggregate to the group census; every
+    window (rank, running min) runs over that census — bounded by
+    group cardinality, never the corpus. One broadcast of the 1-row m.
+
+    Output per group: (group_column, n_a, n_b, s_a, s_b, z_q6, p_q9,
+    p_adj_q9, reject).
+    """
+    from pyspark.sql import Window
+
+    g = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    y = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    ).cast("boolean")
+    t = df.select(
+        F.col(group_column).alias("__grp"),
+        g.alias("__g"),
+        y.alias("__y"),
+    ).filter(
+        F.col("__grp").isNotNull()
+        & F.col("__g").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    c = t.groupBy("__grp").agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__g"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__g") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(~F.col("__g") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    pool = F.try_divide(sa + sb, na + nb)
+    var = pool * (F.lit(1.0) - pool) * (
+        F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb)
+    )
+    z = F.try_divide(F.try_divide(sa, na) - F.try_divide(sb, nb),
+                     F.sqrt(var))
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("s_a") + F.col("s_b") > 0)
+        & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b"))
+    )
+    az = F.abs(z)
+    # the one libm call, quantized to 1e-12 before use
+    phi = (
+        F.floor(F.exp(az * az / F.lit(-2.0)) * F.lit(1e12) + F.lit(0.5))
+        / F.lit(1e12)
+    ) * F.lit(_INV_SQRT_2PI)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_T) * az)
+    horner = (
+        (
+            (
+                (F.lit(_AS_B5) * tt + F.lit(_AS_B4)) * tt + F.lit(_AS_B3)
+            )
+            * tt
+            + F.lit(_AS_B2)
+        )
+        * tt
+        + F.lit(_AS_B1)
+    ) * tt
+    p2 = F.lit(2.0) * (phi * horner)
+    p_q9 = F.when(
+        ok, F.least(F.floor(p2 * F.lit(1e9) + F.lit(0.5)), F.lit(10**9))
+    ).cast("long")
+    c = c.select(
+        "__grp",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("z_q6"),
+        p_q9.alias("p_q9"),
+    )
+    tested = c.filter(F.col("p_q9").isNotNull())
+    m1 = tested.agg(F.count(F.lit(1)).alias("__m"))
+    ranked = tested.crossJoin(F.broadcast(m1)).withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy("p_q9", "__grp")),
+    )
+    w_min = Window.orderBy(F.col("__r").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = ranked.select(
+        "__grp",
+        F.least(
+            F.min(
+                F.expr("(p_q9 * __m) DIV __r")
+            ).over(w_min),
+            F.lit(10**9),
+        ).alias("p_adj_q9"),
+    )
+    out = c.join(adj, "__grp", "left")
+    return out.select(
+        F.col("__grp").alias(group_column),
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        "z_q6",
+        "p_q9",
+        "p_adj_q9",
+        (F.col("p_adj_q9") <= F.lit(int(alpha_ppm) * 1000)).alias(
+            "reject"
+        ),
+    )

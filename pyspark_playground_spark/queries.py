@@ -15652,3 +15652,105 @@ def rolling_origin_cv_events(spark, sf_dir):
     return rolling_origin_folds(
         e, "ts", n_folds=5, unit_column="user_id"
     )
+
+
+@query(
+    "fdr_bh_value_rate_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT event_type AS grp,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 2 AS INT) = 0) AS g,
+             (value > 100) AS y
+      FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT grp,
+             sum(CASE WHEN g THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN g AND y THEN 1 ELSE 0 END) AS s_a,
+             sum(CASE WHEN NOT g AND y THEN 1 ELSE 0 END) AS s_b
+      FROM t GROUP BY grp
+    ),
+    zc AS (
+      SELECT grp, n_a, n_b, s_a, s_b,
+             (n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+              AND s_a + s_b < n_a + n_b) AS ok,
+             (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(s_a + s_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(s_a + s_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))) AS z
+      FROM c WHERE n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                   AND s_a + s_b < n_a + n_b
+    ),
+    pz AS (
+      SELECT grp, n_a, n_b, s_a, s_b, z, abs(z) AS az,
+             (floor(exp(abs(z) * abs(z) / -2.0) * 1e12 + 0.5) / 1e12)
+               * 0.3989422804014327 AS phi,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+      FROM zc
+    ),
+    pp AS (
+      SELECT grp, n_a, n_b, s_a, s_b,
+             CAST(floor(z * 1e6 + 0.5) AS BIGINT) AS z_q6,
+             CAST(least(floor(2.0 * (phi
+               * (((((1.330274429 * tt + -1.821255978) * tt
+                     + 1.781477937) * tt + -0.356563782) * tt
+                   + 0.319381530) * tt)) * 1e9 + 0.5),
+               1000000000) AS BIGINT) AS p_q9
+      FROM pz
+    ),
+    m AS (SELECT count(*) AS mm FROM pp),
+    r AS (
+      SELECT grp, p_q9,
+             row_number() OVER (ORDER BY p_q9, grp) AS rk
+      FROM pp
+    ),
+    adj AS (
+      SELECT grp,
+             least(min((p_q9 * (SELECT mm FROM m)) // rk)
+                     OVER (ORDER BY rk DESC ROWS UNBOUNDED PRECEDING),
+                   1000000000) AS p_adj_q9
+      FROM r
+    )
+    SELECT c.grp AS event_type,
+           CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+           CAST(c.s_a AS BIGINT) AS s_a, CAST(c.s_b AS BIGINT) AS s_b,
+           pp.z_q6, pp.p_q9,
+           CAST(adj.p_adj_q9 AS BIGINT) AS p_adj_q9,
+           adj.p_adj_q9 <= 50000000 AS reject
+    FROM c
+    LEFT JOIN pp ON pp.grp = c.grp
+    LEFT JOIN adj ON adj.grp = c.grp
+    """,
+)
+def fdr_bh_value_rate_events(spark, sf_dir):
+    """Per-event-type two-proportion scan with Benjamini-Hochberg FDR
+    control (operators/profiling.py fdr_bh_two_proportion; B&H
+    JRSS-B'95): does the md5-bucketed user cohort A hit value>100 more
+    often than cohort B, tested across EVERY event type at once with
+    the step-up holding the false-discovery rate at 5%? A&S 26.2.17
+    normal tail (one quantized exp, fixed-order Horner); exact-integer
+    (p·m) DIV rank running min over the group census."""
+    from pyspark_playground_spark.operators.profiling import (
+        fdr_bh_two_proportion,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return fdr_bh_two_proportion(
+        e,
+        group_column="event_type",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        success_column=F.col("value") > 100,
+        alpha_ppm=50_000,
+    )

@@ -1133,6 +1133,19 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("rolling_origin_cv", n_evr, rocv)
 
+    # 82. BH-FDR two-proportion scan over replicated events (r8): one
+    #     map-side-combined group census; rank + running-min windows
+    #     run over the census, never the corpus
+    def fdr_bh():
+        pf.fdr_bh_two_proportion(
+            ev_rep.filter(F.col("value").isNotNull()),
+            group_column="event_type",
+            cohort_column=smp.hash_bucket_expr(["user_id"], 2) == 0,
+            success_column=F.col("value") > 100,
+            alpha_ppm=50_000,
+        ).write.format("noop").mode("overwrite").save()
+    timed("fdr_bh_two_proportion", n_evr, fdr_bh)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

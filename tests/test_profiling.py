@@ -1630,3 +1630,89 @@ def test_jackknife_ratio_mirror_and_delta_agreement(spark):
     ).collect()[0]
     assert r1["n_buckets"] == 1 and r1["se_jk_q6"] is None
     assert r1["ratio_q6"] == 2_500_000
+
+
+def test_fdr_bh_two_proportion_mirror_and_properties(spark):
+    """Python mirror of the full chain (pooled z, A&S 26.2.17 tail with
+    the quantized exp, integer BH step-up) over hand-built cohort
+    counts; degenerate groups carry NULLs and stay out of m; adjusted
+    p never drops below raw p; a null effect reports p ~ 1."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        fdr_bh_two_proportion,
+    )
+
+    # groups: g1 strong effect, g2 mild, g3 null, g4 degenerate
+    # (cohort B empty)
+    counts = {
+        "g1": (200, 150, 200, 50),   # n_a, s_a, n_b, s_b
+        "g2": (200, 110, 200, 90),
+        "g3": (200, 100, 200, 100),
+        "g4": (10, 5, 0, 0),
+    }
+    rows = []
+    for grp, (na, sa, nb, sb) in counts.items():
+        rows += [(grp, True, True)] * sa
+        rows += [(grp, True, False)] * (na - sa)
+        rows += [(grp, False, True)] * sb
+        rows += [(grp, False, False)] * (nb - sb)
+    df = spark.createDataFrame(rows, "grp string, a boolean, y boolean")
+    out = {
+        r["grp"]: r
+        for r in fdr_bh_two_proportion(
+            df,
+            group_column="grp",
+            cohort_column="a",
+            success_column="y",
+            alpha_ppm=50_000,
+        ).collect()
+    }
+
+    def p_two_sided(na, sa, nb, sb):
+        pool = (sa + sb) / (na + nb)
+        z = (sa / na - sb / nb) / math.sqrt(
+            pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+        )
+        az = abs(z)
+        phi = (
+            math.floor(math.exp(az * az / -2.0) * 1e12 + 0.5) / 1e12
+        ) * 0.3989422804014327
+        tt = 1.0 / (1.0 + 0.2316419 * az)
+        horner = (
+            (
+                ((1.330274429 * tt + -1.821255978) * tt + 1.781477937)
+                * tt
+                + -0.356563782
+            )
+            * tt
+            + 0.319381530
+        ) * tt
+        p = 2.0 * (phi * horner)
+        return z, min(math.floor(p * 1e9 + 0.5), 10**9)
+
+    ps = {}
+    for grp, (na, sa, nb, sb) in counts.items():
+        if nb == 0:
+            continue
+        z, pq = p_two_sided(na, sa, nb, sb)
+        assert out[grp]["z_q6"] == math.floor(z * 1e6 + 0.5), grp
+        assert out[grp]["p_q9"] == pq, grp
+        ps[grp] = pq
+    # BH step-up mirror over the 3 testable groups
+    m = len(ps)
+    ranked = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+    adj, run = {}, 10**9
+    for i in range(m - 1, -1, -1):
+        grp, pq = ranked[i]
+        run = min(run, (pq * m) // (i + 1))
+        adj[grp] = min(run, 10**9)
+    for grp, aq in adj.items():
+        assert out[grp]["p_adj_q9"] == aq, grp
+        assert aq >= ps[grp]  # adjusted never below raw
+    # strong effect rejected, null not; degenerate all-NULL
+    assert bool(out["g1"]["reject"]) is True
+    assert bool(out["g3"]["reject"]) is False
+    assert out["g3"]["p_q9"] > 990_000_000
+    assert out["g4"]["p_q9"] is None
+    assert out["g4"]["p_adj_q9"] is None and out["g4"]["reject"] is None
