@@ -302,3 +302,121 @@ def uniform_frame_plan(
             ).cast("long"),
         ),
     )
+
+
+def ahash_signatures(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    *,
+    content_column: str = "content",
+    bits: int = 60,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual signature of a binary media
+    payload — the classic image near-dup fingerprint (public
+    construction: downsample to a tiny grayscale grid, set bit j when
+    pixel j is brighter than the grid mean). Two re-encodes of the
+    same image differ byte-wise but hash to small Hamming distances;
+    exact byte dedup misses them, aHash catches them.
+
+    The "grid" here is a deterministic byte resample — sample byte
+    ``(j·n) DIV bits`` for j in 0..bits−1 via hex-slice arithmetic —
+    because no image codec exists in this container (the
+    :func:`decode_image` stub contract): REAL algorithm, REAL banding,
+    faked pixel source, exactly like :func:`fake_decode_image`. With a
+    codec, swap the byte resample for the decoded 8×8 luma grid; every
+    downstream stage is unchanged.
+
+    Portable 60-bit signatures (the :func:`~pyspark_playground_spark.
+    operators.dedup.simhash_expr` ``portable`` convention: 4×15-bit
+    chunks, no engine hits a 1<<63 overflow). Everything is integer
+    arithmetic on JVM-side expressions — no UDF: hex slices → 60
+    sampled bytes, exact integer mean comparison ``pixel·bits > Σ``,
+    one fold packs the bits. Empty payloads are dropped up front
+    (nothing to sample).
+
+    Output: (id_column, simhash) — named to feed the shared simhash
+    chunk-bucket pair machinery verbatim.
+    """
+    if bits % 4 != 0 or bits > 60:
+        raise ValueError(f"bits must be <= 60 and chunkable by 4: {bits}")
+    hx = F.hex(F.col(content_column))
+    n = F.length(F.col(content_column)).cast("long")
+    # byte index (j*n) DIV bits, as floor((j*n)/bits) — exact for
+    # j*n < 2^53 and, unlike a raw double->int cast, truncation-vs-
+    # rounding-portable across engines
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.conv(
+            F.substr(
+                hx,
+                F.floor(j.cast("long") * n / F.lit(float(bits)))
+                .cast("long")
+                * F.lit(2)
+                + F.lit(1),
+                F.lit(2),
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    t = df.filter(
+        F.col(id_column).isNotNull() & (n > 0)
+    ).select(
+        F.col(id_column),
+        px.alias("__px"),
+    )
+    s = F.aggregate(
+        F.col("__px"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # Horner bit-pack, highest bit first: acc*2 + bit — no shift
+    # operators, pure exact integer arithmetic (< 2^60, no overflow)
+    sig = F.aggregate(
+        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * F.lit(2).cast("long")
+        + F.when(
+            F.element_at(F.col("__px"), j.cast("int") + F.lit(1))
+            * F.lit(bits)
+            > F.col("__s"),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return t.withColumn("__s", s).select(
+        id_column, sig.alias("simhash")
+    )
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    *,
+    content_column: str = "content",
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over binary media payloads:
+    :func:`ahash_signatures` + the shared simhash chunk-bucket
+    machinery (pigeonhole over 4×15-bit chunks — recall is exactly 1
+    at ``max_hamming ≤ 3``; larger thresholds are candidate-limited,
+    the standard LSH banding envelope). Never all-pairs: candidates
+    share a chunk bucket, verified with one ``bit_count(xor)``.
+
+    Output: (id_a, id_b, hamming).
+    """
+    from pyspark_playground_spark.operators.dedup import (
+        _materialize,
+        _simhash_pairs_from_sigs,
+    )
+
+    # materialize once: the signature is a large fold expression and the
+    # chunk explode + a/b self-join would re-inline it ~10x per row (the
+    # simhash_dedup_pairs rationale)
+    sigs = _materialize(
+        ahash_signatures(
+            df, id_column, content_column=content_column, bits=60
+        ),
+        checkpoint_dir,
+    )
+    return _simhash_pairs_from_sigs(
+        sigs, id_column, chunk_bits=15, max_hamming=max_hamming
+    )

@@ -1005,7 +1005,7 @@ def minhash_lsh_dedup_documents(spark, sf_dir):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """,
 )
 def simhash_dedup_documents(spark, sf_dir):
@@ -15754,3 +15754,88 @@ def fdr_bh_value_rate_events(spark, sf_dir):
         success_column=F.col("value") > 100,
         alpha_ppm=50_000,
     )
+
+
+#: shared aHash CTE prefix: portable 60-bit average-hash signatures of
+#: the fake media payload (content = utf-8 bytes of text), mirroring
+#: multimodal.ahash_signatures' byte resample + Horner bit-pack.
+_AHASH_CTE = """
+    WITH t AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id IS NOT NULL AND octet_length(encode(text)) > 0
+    ),
+    pxf AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(hx,
+                CAST(floor(j * n / 60.0) AS BIGINT) * 2 + 1, 2))
+                AS BIGINT) FOR j IN range(0, 60)] AS px
+      FROM t
+    ),
+    sg AS (
+      SELECT doc_id, px,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), px),
+                         (a, b) -> a + b) AS s
+      FROM pxf
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CASE WHEN px[60 - j] * 60 > s THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END
+                FOR j IN range(0, 60)]),
+               (a, b) -> a * 2 + b) AS simhash
+      FROM sg
+    )
+"""
+
+
+@query(
+    "ahash_signatures_documents",
+    _AHASH_CTE + """
+    SELECT doc_id, simhash FROM sig
+    """,
+)
+def ahash_signatures_documents(spark, sf_dir):
+    """Perceptual average-hash signatures of the media payloads
+    (operators/multimodal.py ahash_signatures): the image near-dup
+    fingerprint — 60 deterministically resampled payload bytes,
+    bit j = byte brighter than the mean, Horner-packed into one
+    portable 60-bit BIGINT. Pure JVM-side hex-slice integer
+    arithmetic, zero UDFs; the pixel source is the documented fake
+    (no codec in this container), the algorithm and banding are real."""
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    return mm.ahash_signatures(docs, "doc_id")
+
+
+@query(
+    "ahash_near_dup_documents",
+    _AHASH_CTE + """
+    , chunks AS (
+      SELECT doc_id, simhash, c.chunk,
+             (simhash >> (c.chunk * 15)) & 32767 AS val
+      FROM sig, (SELECT unnest(range(0, 4)) AS chunk) c(chunk)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def ahash_near_dup_documents(spark, sf_dir):
+    """Perceptual near-duplicate media pairs (operators/multimodal.py
+    ahash_near_dup_pairs): aHash signatures bucketed by 4x15-bit
+    chunks, verified with one bit_count(xor) — never all-pairs. The
+    corpus has no byte-identical payloads (min observed Hamming 6), so
+    the gate runs at 8 — above the <=3 pigeonhole guarantee, in the
+    documented candidate-limited LSH envelope (a pair only surfaces if
+    one 15-bit chunk survives intact). The image-dedup stage a training
+    pipeline runs where byte-exact dedup misses re-encodes."""
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    return mm.ahash_near_dup_pairs(docs, "doc_id", max_hamming=8)

@@ -1146,6 +1146,17 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("fdr_bh_two_proportion", n_evr, fdr_bh)
 
+    # 83. perceptual-hash media near-dup (r8): zero-UDF hex-slice
+    #     signatures materialized once, chunk-bucket candidates,
+    #     bit_count(xor) verify — never all-pairs
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    def ahash():
+        d = mm.attach_media_column(docs, "text")
+        mm.ahash_near_dup_pairs(d, "doc_id", max_hamming=8).write.format(
+            "noop").mode("overwrite").save()
+    timed("ahash_near_dup", n_docs, ahash)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -1170,3 +1170,61 @@ def test_containment_join_finds_quote_inclusion(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            containment_join(both, threshold=0.8).collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_ahash_signatures_and_near_dup(spark):
+    """Portable 60-bit average-hash over fake media payloads: a python
+    mirror of the byte resample + Horner pack pins every signature;
+    identical payloads pair at Hamming 0; payloads differing in one
+    sampled byte land within the gate; unrelated payloads stay out;
+    empty payloads are dropped."""
+    import hashlib
+    import math
+
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 4,
+        2: "the quick brown fox jumps over the lazy dog " * 4,  # exact
+        3: "the quick brown fox jumps over the lazy dog " * 3
+           + "the quick brown fox jumps over the lazy dgo ",     # tail swap
+        4: "zzzz completely different payload bytes 1234 " * 4,
+        5: "",                                                    # dropped
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    d = mm.attach_media_column(df, "text")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in mm.ahash_signatures(d, "doc_id").collect()}
+    assert 5 not in sigs and len(sigs) == 4
+
+    def mirror(text):
+        raw = text.encode("utf-8")
+        n = len(raw)
+        px = [raw[math.floor(j * n / 60.0)] for j in range(60)]
+        s = sum(px)
+        sig = 0
+        for j in range(59, -1, -1):
+            sig = sig * 2 + (1 if px[j] * 60 > s else 0)
+        return sig
+
+    for i in (1, 2, 3, 4):
+        assert sigs[i] == mirror(texts[i]), i
+    assert sigs[1] == sigs[2]
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.ahash_near_dup_pairs(
+                 d, "doc_id", max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # the tail-swap pair is within the gate iff its true Hamming is;
+    # verify against the mirror rather than hardcoding
+    h13 = bin(mirror(texts[1]) ^ mirror(texts[3])).count("1")
+    assert ((1, 3) in pairs) == (h13 <= 8)
+
+    # bits contract: not chunkable / too wide -> refused
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        mm.ahash_signatures(d, "doc_id", bits=64)
