@@ -87,3 +87,119 @@ def blocked_fuzzy_pairs(
     return pairs.filter(
         (F.col("dist") >= F.lit(min_dist)) & (F.col("dist") <= F.lit(max_dist))
     )
+
+
+#: ln 2 as a shared cross-engine literal (the log2 denominator of the
+#: Fellegi-Sunter weights; no log2 in the deterministic surface).
+_LN2 = 0.6931471805599453
+
+
+def fellegi_sunter_pairs(
+    df: DataFrame,
+    id_column: str,
+    field_columns: list[str],
+    *,
+    block: Column,
+    m_ppm: int = 950_000,
+    threshold_q6: int = 0,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
+    JASA 1969 — the foundation of every probabilistic matcher):
+    candidate pairs inside a block are scored by the sum of per-field
+    log₂ likelihood ratios — ``log₂(m/u)`` when the field agrees,
+    ``log₂((1−m)/(1−u))`` when it does not — and classified against a
+    threshold. :func:`blocked_fuzzy_pairs` answers "are these STRINGS
+    close"; this answers "is this RECORD pair the same entity", with
+    principled per-field evidence weights.
+
+    ``u`` probabilities (chance agreement) are estimated EXACTLY from
+    the data — ``u_f = Σ_v c_v² / N²`` over each field's value census
+    (the standard frequency-based estimate); ``m`` (agreement
+    probability among true matches) is the caller's prior, one shared
+    ``m_ppm`` for every field (1969's clerical-review calibration or an
+    EM fit would refine it; out of scope, documented). NULL field
+    values never agree (conservative). Determinism: censuses are exact
+    DECIMAL(38,0); each field weight is ONE fixed-order double chain
+    whose single ``ln`` is quantized to 1e−9 before the ``/ln 2``
+    rescale (the cross-engine libm recipe), quantized q6 BIGINT; the
+    pair score is an exact integer sum of those constants. A field
+    with a constant value (u = 1) has an undefined disagreement weight
+    — ``try_divide`` yields NULL and any pair actually disagreeing on
+    it (impossible by construction) would carry a NULL score rather
+    than a lie.
+
+    Plan: one value census per field reduced to a 1-row constant frame
+    (broadcast crossJoin — model-sized by construction); candidates
+    self-join on the caller's block key (the scale lever — pass a
+    high-cardinality block; ``max_block`` fences runaway blocks like
+    :func:`blocked_fuzzy_pairs`); per-pair work is k equality checks
+    and an integer sum.
+
+    Output: (id_a, id_b, agree_<field>..., weight_q6, is_match).
+    """
+    m = m_ppm / 1e6
+    t = df.select(
+        F.col(id_column), block.alias("__block"), *field_columns
+    ).filter(F.col("__block").isNotNull())
+    if max_block is not None:
+        sizes = t.groupBy("__block").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        t = (
+            t.join(sizes, "__block")
+            .filter(F.col("__bsz") <= F.lit(max_block))
+            .drop("__bsz")
+        )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    quant_ln = lambda x: (  # noqa: E731
+        F.floor(F.log(x) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    )
+    q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    consts = None
+    for f in field_columns:
+        cen = (
+            df.select(F.col(f))
+            .filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__num"),
+                F.sum(d38(F.col("__c"))).alias("__den"),
+            )
+        )
+        num_d = F.col("__num").cast("double")
+        dd = F.col("__den").cast("double") * F.col("__den").cast("double")
+        wa = q6(quant_ln(F.lit(m) * dd / num_d) / F.lit(_LN2))
+        wd = q6(
+            quant_ln(
+                F.try_divide(F.lit(1.0 - m) * dd, dd - num_d)
+            )
+            / F.lit(_LN2)
+        )
+        one = cen.select(wa.alias(f"__wa_{f}"), wd.alias(f"__wd_{f}"))
+        consts = one if consts is None else consts.crossJoin(one)
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__block") == F.col("b.__block"))
+        & (F.col(f"a.{id_column}") < F.col(f"b.{id_column}")),
+    ).crossJoin(F.broadcast(consts))
+    agrees = [
+        F.col(f"a.{f}").eqNullSafe(F.col(f"b.{f}"))
+        & F.col(f"a.{f}").isNotNull()
+        for f in field_columns
+    ]
+    weight = None
+    for f, ag in zip(field_columns, agrees):
+        term = F.when(ag, F.col(f"__wa_{f}")).otherwise(F.col(f"__wd_{f}"))
+        weight = term if weight is None else weight + term
+    return pairs.select(
+        F.col(f"a.{id_column}").alias("id_a"),
+        F.col(f"b.{id_column}").alias("id_b"),
+        *[ag.alias(f"agree_{f}") for f, ag in zip(field_columns, agrees)],
+        weight.alias("weight_q6"),
+        (weight >= F.lit(int(threshold_q6))).alias("is_match"),
+    )

@@ -15839,3 +15839,123 @@ def ahash_near_dup_documents(spark, sf_dir):
 
     docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
     return mm.ahash_near_dup_pairs(docs, "doc_id", max_hamming=8)
+
+
+@query(
+    "fellegi_sunter_part",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             list_extract(string_split(p_name, ' '), -1) || '|' ||
+               CAST(CAST(floor(p_retailprice / 10) AS BIGINT) AS VARCHAR)
+               AS blk,
+             p_brand, p_type, p_size
+      FROM part
+      WHERE list_extract(string_split(p_name, ' '), -1) || '|' ||
+            CAST(CAST(floor(p_retailprice / 10) AS BIGINT) AS VARCHAR)
+            IS NOT NULL
+    ),
+    kb AS (
+      SELECT sum(CAST(c AS HUGEINT) * c) AS num,
+             sum(CAST(c AS HUGEINT)) AS den
+      FROM (SELECT count(*) AS c FROM part
+            WHERE p_brand IS NOT NULL GROUP BY p_brand)
+    ),
+    kt AS (
+      SELECT sum(CAST(c AS HUGEINT) * c) AS num,
+             sum(CAST(c AS HUGEINT)) AS den
+      FROM (SELECT count(*) AS c FROM part
+            WHERE p_type IS NOT NULL GROUP BY p_type)
+    ),
+    ks AS (
+      SELECT sum(CAST(c AS HUGEINT) * c) AS num,
+             sum(CAST(c AS HUGEINT)) AS den
+      FROM (SELECT count(*) AS c FROM part
+            WHERE p_size IS NOT NULL GROUP BY p_size)
+    ),
+    wb AS (
+      SELECT CAST(floor(floor(ln(0.95 * (CAST(den AS DOUBLE)
+               * CAST(den AS DOUBLE)) / CAST(num AS DOUBLE)) * 1e9 + 0.5)
+               / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wa_b,
+             CAST(floor(floor(ln(0.050000000000000044
+               * (CAST(den AS DOUBLE) * CAST(den AS DOUBLE))
+               / (CAST(den AS DOUBLE) * CAST(den AS DOUBLE)
+                  - CAST(num AS DOUBLE))) * 1e9 + 0.5)
+               / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wd_b
+      FROM kb
+    ),
+    wt AS (
+      SELECT CAST(floor(floor(ln(0.95 * (CAST(den AS DOUBLE)
+               * CAST(den AS DOUBLE)) / CAST(num AS DOUBLE)) * 1e9 + 0.5)
+               / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wa_t,
+             CAST(floor(floor(ln(0.050000000000000044
+               * (CAST(den AS DOUBLE) * CAST(den AS DOUBLE))
+               / (CAST(den AS DOUBLE) * CAST(den AS DOUBLE)
+                  - CAST(num AS DOUBLE))) * 1e9 + 0.5)
+               / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wd_t
+      FROM kt
+    ),
+    ws AS (
+      SELECT CAST(floor(floor(ln(0.95 * (CAST(den AS DOUBLE)
+               * CAST(den AS DOUBLE)) / CAST(num AS DOUBLE)) * 1e9 + 0.5)
+               / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wa_s,
+             CAST(floor(floor(ln(0.050000000000000044
+               * (CAST(den AS DOUBLE) * CAST(den AS DOUBLE))
+               / (CAST(den AS DOUBLE) * CAST(den AS DOUBLE)
+                  - CAST(num AS DOUBLE))) * 1e9 + 0.5)
+               / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wd_s
+      FROM ks
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           (a.p_brand IS NOT DISTINCT FROM b.p_brand
+            AND a.p_brand IS NOT NULL) AS agree_p_brand,
+           (a.p_type IS NOT DISTINCT FROM b.p_type
+            AND a.p_type IS NOT NULL) AS agree_p_type,
+           (a.p_size IS NOT DISTINCT FROM b.p_size
+            AND a.p_size IS NOT NULL) AS agree_p_size,
+           (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand
+                  AND a.p_brand IS NOT NULL THEN wa_b ELSE wd_b END
+            + CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+                  AND a.p_type IS NOT NULL THEN wa_t ELSE wd_t END
+            + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+                  AND a.p_size IS NOT NULL THEN wa_s ELSE wd_s END)
+             AS weight_q6,
+           (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand
+                  AND a.p_brand IS NOT NULL THEN wa_b ELSE wd_b END
+            + CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+                  AND a.p_type IS NOT NULL THEN wa_t ELSE wd_t END
+            + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+                  AND a.p_size IS NOT NULL THEN wa_s ELSE wd_s END)
+             >= 0 AS is_match
+    FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    CROSS JOIN wb CROSS JOIN wt CROSS JOIN ws
+    """,
+)
+def fellegi_sunter_part(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage over same-noun same-price-
+    band part pairs (operators/linkage.py fellegi_sunter_pairs; F&S
+    JASA'69): per-field log2 likelihood weights — exact
+    frequency-based u from DECIMAL(38,0) value censuses, prior m=0.95,
+    the single ln quantized 1e-9 per the libm recipe — summed as exact
+    integers and thresholded at 0. The blocking key (name noun x
+    price band) keeps block size constant as the catalog grows."""
+    from pyspark_playground_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    p = load(spark, sf_dir, "part")
+    blk = F.concat_ws(
+        "|",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        F.floor(F.col("p_retailprice") / F.lit(10))
+        .cast("long")
+        .cast("string"),
+    )
+    return fellegi_sunter_pairs(
+        p,
+        "p_partkey",
+        ["p_brand", "p_type", "p_size"],
+        block=blk,
+        m_ppm=950_000,
+        threshold_q6=0,
+    )

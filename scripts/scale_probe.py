@@ -1157,6 +1157,40 @@ def main() -> None:
             "noop").mode("overwrite").save()
     timed("ahash_near_dup", n_docs, ahash)
 
+    # 84. Fellegi-Sunter probabilistic linkage over the replicated part
+    #     catalog (r8): exact u-censuses to 1-row constant broadcasts;
+    #     the block self-join is the only quadratic surface and the
+    #     (noun x price band) key keeps block size constant
+    from pyspark_playground_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    part_rep = (
+        Q.load(spark, SF_DIR, "part")
+        .crossJoin(reps_frame(spark))
+        .select(
+            (F.col("p_partkey") + F.col("__rep") * F.lit(10_000_000))
+            .alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size",
+            (F.col("p_retailprice") + F.col("__rep") * F.lit(100_000))
+            .alias("p_retailprice"),
+        )
+    )
+    n_part_rep = part_rep.count()
+
+    def fs_linkage():
+        blk = F.concat_ws(
+            "|",
+            F.element_at(F.split(F.col("p_name"), " "), -1),
+            F.floor(F.col("p_retailprice") / F.lit(10))
+            .cast("long").cast("string"),
+        )
+        fellegi_sunter_pairs(
+            part_rep, "p_partkey", ["p_brand", "p_type", "p_size"],
+            block=blk, m_ppm=950_000, threshold_q6=0,
+        ).write.format("noop").mode("overwrite").save()
+    timed("fellegi_sunter", n_part_rep, fs_linkage)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -80,3 +80,72 @@ def test_string_node_entity_resolution_composes_with_cc(spark):
             for r in connected_components(pairs).collect()}
     assert comp["aaaa"] == comp["aaab"] == comp["aabb"] == "aaaa"
     assert "zzzz" not in comp  # isolated nodes are the caller's coalesce
+
+
+def test_fellegi_sunter_weights_and_classification(spark):
+    """Python mirror of the exact u-census + quantized-ln weight chain;
+    agreement raises the score, disagreement on a high-cardinality
+    field costs more than on a low-cardinality one; max_block fences a
+    hot block; NULL never agrees."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    rows = [
+        # id, blk, brand (2 values), size (4 values)
+        (1, "x", "A", 10),
+        (2, "x", "A", 10),    # full agree with 1
+        (3, "x", "B", 10),    # brand disagree with 1
+        (4, "x", "A", 20),    # size disagree with 1
+        (5, "y", "B", 30),
+        (6, "y", "B", 40),
+        (7, "y", None, 40),   # NULL brand: never agrees
+    ]
+    df = spark.createDataFrame(
+        rows, "rid bigint, blk string, brand string, size bigint"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in fellegi_sunter_pairs(
+        df, "rid", ["brand", "size"], block=F.col("blk"),
+        m_ppm=950_000, threshold_q6=0,
+    ).collect()}
+
+    def weight(vals, m=0.95):
+        cnt = {}
+        for v in vals:
+            if v is not None:
+                cnt[v] = cnt.get(v, 0) + 1
+        num = sum(c * c for c in cnt.values())
+        den = sum(cnt.values())
+        dd = float(den) * float(den)
+        qln = lambda x: math.floor(math.log(x) * 1e9 + 0.5) / 1e9
+        q6 = lambda x: math.floor(x * 1e6 + 0.5)
+        wa = q6(qln(m * dd / float(num)) / 0.6931471805599453)
+        wd = q6(qln((1.0 - m) * dd / (dd - float(num)))
+                / 0.6931471805599453)
+        return wa, wd
+
+    wa_b, wd_b = weight([r[2] for r in rows])
+    wa_s, wd_s = weight([r[3] for r in rows])
+    assert out[(1, 2)]["weight_q6"] == wa_b + wa_s
+    assert bool(out[(1, 2)]["is_match"]) is True
+    assert out[(1, 3)]["weight_q6"] == wd_b + wa_s
+    assert out[(1, 4)]["weight_q6"] == wa_b + wd_s
+    # size (4 distinct values) is stronger evidence than brand (2):
+    # agreeing on it earns more, and u_size < u_brand
+    assert wa_s > wa_b > 0 > wd_b
+    # NULL brand never agrees
+    assert bool(out[(6, 7)]["agree_brand"]) is False
+    assert out[(6, 7)]["weight_q6"] == wd_b + wa_s
+
+    # max_block drops the hot block entirely
+    fenced = fellegi_sunter_pairs(
+        df, "rid", ["brand", "size"], block=F.col("blk"),
+        max_block=3,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in fenced} == {
+        (5, 6), (5, 7), (6, 7)
+    }
