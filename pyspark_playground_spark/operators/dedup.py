@@ -1613,3 +1613,55 @@ def frequent_segment_removal(
         F.count(F.lit(1)).alias("n_segments"),
         F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
     )
+
+
+def lsh_scurve_plan(
+    spark,
+    *,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    step_x2: int = 2,
+) -> DataFrame:
+    """The MinHash-LSH S-curve — ``P(candidate | sim = s) = 1 − (1 −
+    s^r)^b`` (Leskovec-Rajaraman-Ullman, Mining of Massive Datasets,
+    ch. 3, public construction) — tabulated over a similarity grid for
+    a (bands, rows-per-band) configuration. The parameter-planning
+    companion to :func:`minhash_dedup_pairs`: read the curve, check
+    the candidate probability at your dedup threshold (the b=16, r=4
+    default holds ≥0.99978 at s ≥ 0.8 — this table is the receipt for
+    the dedup docstring's plateau claim), and see how much sub-threshold mass the bands let through.
+
+    Pure closed-form arithmetic on a literal grid (``s = i/100`` at
+    ``step_x2`` percent steps): both powers are FIXED-ORDER
+    multiplication folds (integer exponents — no ``pow``, whose libm
+    varies across engines), quantized q9. No data input; the frame is
+    a Range leaf — bounded by construction.
+
+    Output per grid point: (s_x2, p_candidate_q9).
+    """
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands/rows_per_band must be >= 1: {bands}, {rows_per_band}"
+        )
+    grid = spark.range(0, 101, step_x2).select(
+        F.col("id").cast("int").alias("s_x2")
+    )
+    s = F.col("s_x2").cast("double") / F.lit(100.0)
+    s_r = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(rows_per_band))),
+        F.lit(1.0),
+        lambda acc, _: acc * s,
+    )
+    one_minus = F.lit(1.0) - s_r
+    miss_all = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(bands))),
+        F.lit(1.0),
+        lambda acc, _: acc * one_minus,
+    )
+    p = F.lit(1.0) - miss_all
+    return grid.select(
+        "s_x2",
+        F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("long").alias(
+            "p_candidate_q9"
+        ),
+    )

@@ -1285,3 +1285,104 @@ def binary_segmentation_changepoint(
         F.col("__b.ml_q6").alias("mean_left_q6"),
         F.col("__b.mr_q6").alias("mean_right_q6"),
     )
+
+
+def forecast_backtest_mase(
+    df: DataFrame,
+    *,
+    ts_column: str = "ts",
+    n_folds: int = 4,
+    season_hours: int = 24,
+) -> DataFrame:
+    """Rolling-origin forecast backtest of the seasonal-naive baseline
+    over the hourly count series — :func:`seasonal_naive_error` is the
+    IN-SAMPLE yardstick; this is the held-out protocol (Tashman IJF'00
+    folds × Hyndman-Koehler MASE): the hour range splits into
+    ``n_folds + 1`` equal segments (the rolling-origin integer-DIV
+    arithmetic of ``sampling.rolling_origin_folds``), and each fold i
+    scores the ``season_hours``-ahead naive forecast ``ŷ(h) =
+    y(h − season)`` on segment i against the same forecaster's mean
+    absolute error on the strictly-earlier segments:
+    ``MASE = MAE_test / MAE_train``. MASE > 1 on a future fold while
+    the in-sample ratio looks fine is the classic drift tell.
+
+    ENTIRELY exact integer arithmetic: hourly counts are integers, the
+    seasonal diff ``|y(h) − y(h−season)|`` is an integer, and
+    ``mase_q6 = (Σ_test·n_train·1e6) DIV (n_test·Σ_train)`` is one
+    integral division — no doubles anywhere. Hours with no observation
+    ``season_hours`` earlier are skipped on BOTH sides (the join is
+    gap-correct, unlike a row-lag). NULL mase when either side is
+    empty or the train error is 0.
+
+    Plan: one hourly census; one self-equi-join of the census on
+    ``h = h' + season`` (census-sized); segment bounds broadcast from
+    a 1-row aggregate; per-segment sums + one census-bounded
+    cumulative window supply every fold's train totals.
+
+    Output per fold (1..n_folds): (fold, n_test, n_train,
+    test_abs_err, train_abs_err, mase_q6).
+    """
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    segs = n_folds + 1
+    hourly = (
+        df.filter(F.col(ts_column).isNotNull())
+        .groupBy(
+            (
+                F.unix_micros(F.date_trunc("hour", F.col(ts_column)))
+                / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("__h")
+        )
+        .agg(F.count(F.lit(1)).alias("__y"))
+    )
+    lagged = hourly.alias("c").join(
+        hourly.alias("p"),
+        F.col("c.__h") == F.col("p.__h") + F.lit(int(season_hours)),
+    ).select(
+        F.col("c.__h").alias("__h"),
+        F.abs(F.col("c.__y") - F.col("p.__y")).alias("__ad"),
+    )
+    bounds = hourly.agg(
+        F.min("__h").alias("__lo"), F.max("__h").alias("__hi")
+    )
+    with_seg = lagged.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((__h - __lo) * {segs}) DIV (__hi - __lo + 1)")
+        .cast("int")
+        .alias("__seg"),
+        "__ad",
+    )
+    census = with_seg.groupBy("__seg").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__ad").alias("__s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__seg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.select(
+        "__seg",
+        (F.sum("__n").over(w) - F.col("__n")).alias("n_train"),
+        (F.sum("__s").over(w) - F.col("__s")).alias("train_abs_err"),
+        F.col("__n").alias("n_test"),
+        F.col("__s").alias("test_abs_err"),
+    ).filter(F.col("__seg") >= 1)
+    mase = F.when(
+        (F.col("n_test") > 0)
+        & (F.col("n_train") > 0)
+        & (F.col("train_abs_err") > 0),
+        F.expr(
+            "(CAST(test_abs_err AS DECIMAL(38,0)) * n_train * 1000000)"
+            " DIV (CAST(n_test AS DECIMAL(38,0)) * train_abs_err)"
+        ),
+    ).cast("long")
+    return cum.select(
+        F.col("__seg").cast("int").alias("fold"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("test_abs_err").cast("long").alias("test_abs_err"),
+        F.col("train_abs_err").cast("long").alias("train_abs_err"),
+        mase.alias("mase_q6"),
+    )

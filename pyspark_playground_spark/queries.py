@@ -974,7 +974,7 @@ def containment_pairs_documents(spark, sf_dir):
 def minhash_lsh_dedup_documents(spark, sf_dir):
     """MinHash+LSH near-dup pipeline, oracle-checked against un-blocked
     all-pairs exact Jaccard: with 16 bands × 4 rows, candidate-pair recall
-    at s ≥ 0.8 is 1 - (1 - s^4)^16 ≥ 0.9998, and the verify stage computes
+    at s ≥ 0.8 is 1 - (1 - s^4)^16 ≥ 0.99978, and the verify stage computes
     exact Jaccard on candidates — so the banded pipeline's output equals the
     DuckDB all-pairs result. Lower-threshold recall/precision behavior is
     pinned in tests/test_llm_ops.py."""
@@ -15959,3 +15959,104 @@ def fellegi_sunter_part(spark, sf_dir):
         m_ppm=950_000,
         threshold_q6=0,
     )
+
+
+@query(
+    "lsh_scurve_minhash",
+    """
+    WITH g AS (SELECT unnest(range(0, 101, 2)) AS s_x2),
+    c AS (
+      SELECT CAST(s_x2 AS INT) AS s_x2,
+             CAST(s_x2 AS DOUBLE) / 100.0 AS s
+      FROM g
+    ),
+    pw AS (
+      SELECT s_x2,
+             list_reduce(list_prepend(1.0, [s FOR j IN range(1, 5)]),
+                         (a, b) -> a * b) AS s_r
+      FROM c
+    ),
+    ms AS (
+      SELECT s_x2,
+             list_reduce(list_prepend(1.0,
+               [(1.0 - s_r) FOR j IN range(1, 17)]),
+               (a, b) -> a * b) AS miss
+      FROM pw
+    )
+    SELECT s_x2,
+           CAST(floor((1.0 - miss) * 1e9 + 0.5) AS BIGINT)
+             AS p_candidate_q9
+    FROM ms
+    """,
+)
+def lsh_scurve_minhash(spark, sf_dir):
+    """MinHash-LSH S-curve for the b=16, r=4 production banding
+    (operators/dedup.py lsh_scurve_plan; LRU MMDS ch.3): P(candidate)
+    = 1-(1-s^4)^16 tabulated at 2% similarity steps — the parameter-
+    planning receipt for minhash_dedup_pairs' 0.99978-at-s>=0.8
+    plateau. Fixed-order multiplication folds (no libm pow), Range-leaf
+    grid, zero data input."""
+    from pyspark_playground_spark.operators.dedup import lsh_scurve_plan
+
+    return lsh_scurve_plan(spark, bands=16, rows_per_band=4, step_x2=2)
+
+
+@query(
+    "forecast_backtest_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    hourly AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+               AS BIGINT) AS h,
+             count(*) AS y
+      FROM e WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    lg AS (
+      SELECT c.h, abs(c.y - p.y) AS ad
+      FROM hourly c JOIN hourly p ON c.h = p.h + 24
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    ws AS (
+      SELECT CAST(((h - lo) * 5) // (hi - lo + 1) AS INT) AS seg, ad
+      FROM lg CROSS JOIN b
+    ),
+    census AS (
+      SELECT seg, count(*) AS n, sum(ad) AS s FROM ws GROUP BY seg
+    ),
+    cum AS (
+      SELECT seg,
+             sum(n) OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING) - n
+               AS n_train,
+             sum(s) OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING) - s
+               AS train_abs_err,
+             n AS n_test, s AS test_abs_err
+      FROM census
+    )
+    SELECT CAST(seg AS INT) AS fold,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(test_abs_err AS BIGINT) AS test_abs_err,
+           CAST(train_abs_err AS BIGINT) AS train_abs_err,
+           CAST(CASE WHEN n_test > 0 AND n_train > 0
+                      AND train_abs_err > 0 THEN
+             (CAST(test_abs_err AS HUGEINT) * n_train * 1000000)
+               // (CAST(n_test AS HUGEINT) * train_abs_err)
+           END AS BIGINT) AS mase_q6
+    FROM cum WHERE seg >= 1
+    """,
+)
+def forecast_backtest_events(spark, sf_dir):
+    """Rolling-origin MASE backtest of the 24h seasonal-naive forecast
+    over hourly event counts (operators/temporal.py
+    forecast_backtest_mase; Tashman IJF'00 folds x Hyndman-Koehler
+    MASE): four held-out folds, each scoring the seasonal naive on a
+    future window against its own strictly-earlier error — drift shows
+    up as MASE > 1 where the in-sample seasonal_naive_error yardstick
+    still looks fine. Entirely exact integer arithmetic; census-sized
+    self-join and fold windows."""
+    from pyspark_playground_spark.operators.temporal import (
+        forecast_backtest_mase,
+    )
+
+    e = load_events(spark, sf_dir)
+    return forecast_backtest_mase(e, n_folds=4, season_hours=24)

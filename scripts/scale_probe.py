@@ -1191,6 +1191,19 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("fellegi_sunter", n_part_rep, fs_linkage)
 
+    # 85. rolling-origin MASE backtest over replicated events (r8):
+    #     corpus cost is ONE hourly census; the seasonal self-join and
+    #     fold windows run on census-sized frames, all exact integers
+    from pyspark_playground_spark.operators.temporal import (
+        forecast_backtest_mase,
+    )
+
+    def backtest():
+        forecast_backtest_mase(
+            ev_rep, n_folds=4, season_hours=24,
+        ).write.format("noop").mode("overwrite").save()
+    timed("forecast_backtest_mase", n_evr, backtest)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -876,3 +876,33 @@ def test_cluster_validity_hand_computed(spark):
     )
     with pytest.raises(ValueError, match="at least 2"):
         sim.cluster_validity_report(dup, k=2, iterations=1)
+
+
+def test_lsh_scurve_plan_values(spark):
+    """Closed-form check at exact grid points: p(0)=0, p(1)=1, the
+    b=16/r=4 curve holds >=0.9997 at s=0.8 (the corrected minhash
+    plateau claim), and a python fold mirror pins every point."""
+    import math
+
+    from pyspark_playground_spark.operators.dedup import lsh_scurve_plan
+
+    out = {r["s_x2"]: r["p_candidate_q9"] for r in
+           lsh_scurve_plan(spark, bands=16, rows_per_band=4,
+                           step_x2=2).collect()}
+    assert out[0] == 0 and out[100] == 10**9
+    assert out[80] >= 999_700_000
+
+    for s_x2, got in out.items():
+        s = s_x2 / 100.0
+        s_r = 1.0
+        for _ in range(4):
+            s_r = s_r * s
+        miss = 1.0
+        for _ in range(16):
+            miss = miss * (1.0 - s_r)
+        assert got == math.floor((1.0 - miss) * 1e9 + 0.5), s_x2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bands"):
+        lsh_scurve_plan(spark, bands=0)

@@ -716,3 +716,63 @@ def test_binary_segmentation_changepoint_tied_x_deterministic(spark):
     # group sums: left = (10+10)/4 rows = 5.0, right = (30+30)/4 = 15.0
     assert r["mean_left_q6"] == 5_000_000
     assert r["mean_right_q6"] == 15_000_000
+
+
+def test_forecast_backtest_mase_hand_computed(spark):
+    """Deterministic hourly series with a known seasonal pattern plus a
+    drifted final day: the drifted fold's MASE exceeds the clean
+    folds'; every count is mirrored exactly in python; n_folds<1
+    refused."""
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from pyspark_playground_spark.operators.temporal import (
+        forecast_backtest_mase,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 5 days x 24 h; base pattern = 1 + (h mod 24) mod 3 events per
+    # hour, perfectly seasonal; final day adds +2 per hour (drift)
+    for day in range(5):
+        for hod in range(24):
+            n = 1 + (hod % 3) + (2 if day == 4 else 0)
+            for k in range(n):
+                rows.append((t0 + dt.timedelta(days=day, hours=hod,
+                                               minutes=k),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["fold"]: r for r in forecast_backtest_mase(
+        df, n_folds=4, season_hours=24).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+
+    # python mirror
+    from collections import Counter
+
+    hourly = Counter()
+    for (ts,) in rows:
+        hourly[int(ts.replace(minute=0).timestamp() // 3600)] += 1
+    lag = {h: abs(y - hourly[h - 24]) for h, y in hourly.items()
+           if h - 24 in hourly}
+    lo, hi = min(hourly), max(hourly)
+    seg = lambda h: ((h - lo) * 5) // (hi - lo + 1)
+    for f in (1, 2, 3, 4):
+        te = [d for h, d in lag.items() if seg(h) == f]
+        tr = [d for h, d in lag.items() if seg(h) < f]
+        assert out[f]["n_test"] == len(te)
+        assert out[f]["test_abs_err"] == sum(te)
+        assert out[f]["train_abs_err"] == sum(tr)
+        if te and tr and sum(tr) > 0:
+            assert out[f]["mase_q6"] == (
+                sum(te) * len(tr) * 1_000_000
+            ) // (len(te) * sum(tr))
+    # folds 1-3 are perfectly seasonal (errors only at the drift edge);
+    # the fold containing the drifted day scores worse than fold 1
+    drift_fold = max(out, key=lambda f: out[f]["mase_q6"] or 0)
+    assert (out[drift_fold]["mase_q6"] or 0) >= (
+        out[1]["mase_q6"] or 0
+    )
+
+    with pytest.raises(ValueError, match="n_folds"):
+        forecast_backtest_mase(df, n_folds=0)
