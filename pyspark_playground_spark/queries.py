@@ -16060,3 +16060,58 @@ def forecast_backtest_events(spark, sf_dir):
 
     e = load_events(spark, sf_dir)
     return forecast_backtest_mase(e, n_folds=4, season_hours=24)
+
+
+@query(
+    "wasserstein_drift_doc_lengths",
+    """
+    WITH t AS (
+      SELECT n_chars AS v, (length(source) = 4) AS a FROM documents
+    ),
+    g AS (
+      SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca_v,
+             sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb_v
+      FROM t GROUP BY v
+    ),
+    c AS (
+      SELECT CAST(v AS HUGEINT) AS vv,
+             lead(CAST(v AS HUGEINT)) OVER (ORDER BY v) AS vn,
+             sum(ca_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(cb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    ),
+    tot AS (SELECT sum(ca_v) AS na, sum(cb_v) AS nb FROM g),
+    red AS (
+      SELECT sum(CASE WHEN vn IS NOT NULL THEN
+               abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+               * (vn - vv) END) AS num,
+             max(na) AS na, max(nb) AS nb
+      FROM c CROSS JOIN tot
+    )
+    SELECT CAST(coalesce(num, 0) AS BIGINT) AS w1_numerator,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(CASE WHEN na > 0 AND nb > 0 THEN
+             (coalesce(num, 0) * 1000000)
+               // (CAST(na AS HUGEINT) * nb)
+           END AS BIGINT) AS w1_q6
+    FROM red
+    """,
+)
+def wasserstein_drift_doc_lengths(spark, sf_dir):
+    """Exact two-sample Wasserstein-1 distance between the two source
+    cohorts' doc-length distributions (operators/profiling.py
+    drift_wasserstein1): the drift METRIC beside ks_drift (sup only)
+    and jsd (distance-blind) — W1 prices a shift by how FAR the mass
+    moved, in characters. Same value-census discipline as drift_ks;
+    exact DECIMAL(38,0) gap-weighted cumulative differences, one
+    integral division, no floats."""
+    from pyspark_playground_spark.operators.profiling import (
+        drift_wasserstein1,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return drift_wasserstein1(
+        docs,
+        value_column="n_chars",
+        cohort_column=F.length(F.col("source")) == 4,
+    )

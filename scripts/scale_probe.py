@@ -1204,6 +1204,16 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("forecast_backtest_mase", n_evr, backtest)
 
+    # 86. exact Wasserstein-1 drift over the replicated corpus (r8):
+    #     one per-value census; cumulative + lead windows run over
+    #     distinct values only
+    def w1():
+        pf.drift_wasserstein1(
+            docs, value_column="n_chars",
+            cohort_column=F.length(F.col("source")) == 4,
+        ).write.format("noop").mode("overwrite").save()
+    timed("wasserstein1_drift", n_docs, w1)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -1716,3 +1716,62 @@ def test_fdr_bh_two_proportion_mirror_and_properties(spark):
     assert out["g3"]["p_q9"] > 990_000_000
     assert out["g4"]["p_q9"] is None
     assert out["g4"]["p_adj_q9"] is None and out["g4"]["reject"] is None
+
+
+def test_wasserstein1_hand_computed(spark):
+    """Textbook fixtures: a unit shift of a point mass costs exactly
+    the shift; identical distributions cost 0; a two-step shift costs
+    twice a one-step; the binned path bounds continuous domains; empty
+    cohort -> NULL."""
+    from pyspark_playground_spark.operators.profiling import (
+        drift_wasserstein1,
+    )
+
+    # A = {0,0}, B = {1,1}: W1 = 1 exactly
+    df = spark.createDataFrame(
+        [(0, True), (0, True), (1, False), (1, False)],
+        "v bigint, a boolean",
+    )
+    r = drift_wasserstein1(
+        df, value_column="v", cohort_column="a"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    # |CDF gap| at v=0 is 1 over a gap of 1: numerator = |2*2-0*2|*1 = 4
+    assert r["w1_numerator"] == 4 and r["w1_q6"] == 1_000_000
+
+    # identical: 0
+    df2 = spark.createDataFrame(
+        [(5, True), (7, True), (5, False), (7, False)],
+        "v bigint, a boolean",
+    )
+    r2 = drift_wasserstein1(
+        df2, value_column="v", cohort_column="a"
+    ).collect()[0]
+    assert r2["w1_q6"] == 0
+
+    # A = {0}, B = {2}: W1 = 2 (distance matters — KS would be 1 in
+    # both this and the unit-shift case)
+    df3 = spark.createDataFrame(
+        [(0, True), (2, False)], "v bigint, a boolean"
+    )
+    r3 = drift_wasserstein1(
+        df3, value_column="v", cohort_column="a"
+    ).collect()[0]
+    assert r3["w1_q6"] == 2_000_000
+
+    # binned: W1 in bin units — {0..9} vs {10..19} at 2 bins -> 1 bin
+    rows = [(float(i), True) for i in range(10)] + [
+        (float(i + 10), False) for i in range(10)
+    ]
+    df4 = spark.createDataFrame(rows, "v double, a boolean")
+    r4 = drift_wasserstein1(
+        df4, value_column="v", cohort_column="a", bins=2
+    ).collect()[0]
+    assert r4["w1_q6"] == 1_000_000
+
+    # empty cohort -> NULL metric
+    df5 = spark.createDataFrame([(1, True)], "v bigint, a boolean")
+    r5 = drift_wasserstein1(
+        df5, value_column="v", cohort_column="a"
+    ).collect()[0]
+    assert r5["w1_q6"] is None and r5["n_b"] == 0
