@@ -16115,3 +16115,69 @@ def wasserstein_drift_doc_lengths(spark, sf_dir):
         value_column="n_chars",
         cohort_column=F.length(F.col("source")) == 4,
     )
+
+
+@query(
+    "windowed_wasserstein_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+    b AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE greatest(0, least(15,
+                         CAST(floor((e.value - mm.lo) * 16
+                                    / (mm.hi - mm.lo)) AS INT)))
+             END AS bin
+      FROM e CROSS JOIN mm
+    ), g AS (SELECT ws, bin, count(*) AS n FROM b GROUP BY ws, bin),
+    wins AS (SELECT DISTINCT ws FROM g),
+    u AS (SELECT ws, r.range AS bin FROM wins CROSS JOIN range(0, 16) r),
+    obs AS (
+      SELECT u.ws, u.bin, coalesce(g.n, 0) AS n
+      FROM u LEFT JOIN g ON g.ws = u.ws AND g.bin = u.bin
+    ),
+    bg AS (SELECT bin, count(*) AS bn FROM b GROUP BY bin),
+    j AS (
+      SELECT obs.ws, obs.bin, obs.n, coalesce(bg.bn, 0) AS bn
+      FROM obs LEFT JOIN bg ON bg.bin = obs.bin
+    ),
+    c AS (
+      SELECT ws,
+             sum(n) OVER (PARTITION BY ws ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(bn) OVER (PARTITION BY ws ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cb
+      FROM j
+    ),
+    t AS (SELECT ws, max(cw) AS nw, max(cb) AS nb FROM c GROUP BY ws)
+    SELECT c.ws AS window_start, c.ws + INTERVAL 1 HOUR AS window_end,
+           CAST(t.nw AS BIGINT) AS n_window,
+           CAST(t.nb AS BIGINT) AS n_baseline,
+           CAST(sum(abs(CAST(c.cw AS HUGEINT) * t.nb
+                        - CAST(c.cb AS HUGEINT) * t.nw)) AS BIGINT)
+             AS w1_numerator,
+           CAST(CASE WHEN t.nw > 0 AND t.nb > 0 THEN
+             (sum(abs(CAST(c.cw AS HUGEINT) * t.nb
+                      - CAST(c.cb AS HUGEINT) * t.nw)) * 1000000)
+               // (CAST(t.nw AS HUGEINT) * t.nb)
+           END AS BIGINT) AS w1_q6
+    FROM c JOIN t ON t.ws = c.ws
+    GROUP BY c.ws, t.nw, t.nb
+    """,
+)
+def windowed_wasserstein_events(spark, sf_dir):
+    """The Wasserstein-1 finisher of the continuous drift monitor
+    (streaming/cdc.py wasserstein_vs_baseline over the same
+    windowed_value_bins partials as windowed_psi/ks/cvm/jsd_events):
+    per-hour exact-integer W1 numerator of event values vs the
+    whole-corpus baseline over the fixed 16-bin universe — how FAR the
+    mass moved, where KS reports only the worst gap. Per-window bounded
+    cumulative; no float enters the comparison."""
+    from pyspark_playground_spark.streaming import cdc as stc
+
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    parts = stc.windowed_value_bins(e, bounds=bounds, bins=16)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    return stc.wasserstein_vs_baseline(parts, baseline, bins=16)

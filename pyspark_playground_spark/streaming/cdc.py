@@ -866,6 +866,79 @@ def ks_vs_baseline(
     )
 
 
+def wasserstein_vs_baseline(
+    bin_counts: DataFrame,
+    baseline_bins: DataFrame,
+    *,
+    bins: int,
+) -> DataFrame:
+    """Per-window exact-integer Wasserstein-1 distance of the observed
+    bin counts against a static baseline — the fourth finisher over the
+    SAME :func:`windowed_value_bins` partials (PSI = mass-weighted
+    shift, KS = worst CDF gap, CvM = integrated squared gap, W₁ =
+    integrated ABSOLUTE gap, i.e. how far the mass moved in bin-width
+    units — the batch :func:`~pyspark_playground_spark.operators.
+    profiling.drift_wasserstein1` made windowed).
+
+    All integer arithmetic: over the fixed equal-width ``[0, bins)``
+    universe the gaps are unit, so ``W₁·n_w·n_b = Σ_bin |cum_w·n_b −
+    cum_b·n_w|`` exactly (the final bin's term is identically 0). The
+    numerator is summed in DECIMAL(38,0) (drift_ks's int64 guard) and
+    reported float-free beside ``w1_q6 = (Σ·1e6) DIV (n_w·n_b)`` in
+    bin units. Folds duplicate partials like every finisher.
+
+    Returns ``(window_start, window_end, n_window, n_baseline,
+    w1_numerator, w1_q6)``.
+    """
+    wins, obs = _dense_window_bins(bin_counts, bins)
+    base = _dense_baseline_bins(baseline_bins, wins, bins)
+    j = obs.join(F.broadcast(base), "bin").select(
+        "window_start", "window_end", "bin", "__n", "__bn"
+    )
+    w = (
+        Window.partitionBy("window_start", "window_end")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.select(
+        "window_start",
+        "window_end",
+        F.sum("__n").over(w).alias("__cw"),
+        F.sum("__bn").over(w).alias("__cb"),
+    )
+    totals = c.groupBy("window_start", "window_end").agg(
+        F.max("__cw").alias("__nw"), F.max("__cb").alias("__nb")
+    )
+    return (
+        c.join(F.broadcast(totals), ["window_start", "window_end"])
+        .groupBy("window_start", "window_end", "__nw", "__nb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("__cw").cast("decimal(38,0)") * F.col("__nb")
+                    - F.col("__cb").cast("decimal(38,0)") * F.col("__nw")
+                )
+            ).alias("__num")
+        )
+        .select(
+            "window_start",
+            "window_end",
+            F.col("__nw").cast("long").alias("n_window"),
+            F.col("__nb").cast("long").alias("n_baseline"),
+            F.col("__num").cast("long").alias("w1_numerator"),
+            F.when(
+                (F.col("__nw") > 0) & (F.col("__nb") > 0),
+                F.expr(
+                    "(__num * 1000000) DIV"
+                    " (CAST(__nw AS DECIMAL(38,0)) * __nb)"
+                ),
+            )
+            .cast("long")
+            .alias("w1_q6"),
+        )
+    )
+
+
 def cvm_vs_baseline(
     bin_counts: DataFrame,
     baseline_bins: DataFrame,

@@ -1033,7 +1033,7 @@ def test_monitor_finishers_fold_duplicate_partials(spark):
     )
     base = spark.createDataFrame([(0, 5), (1, 5)], "bin int, n long")
     for fin in (st.psi_vs_baseline, st.ks_vs_baseline, st.cvm_vs_baseline,
-                st.jsd_vs_baseline):
+                st.jsd_vs_baseline, st.wasserstein_vs_baseline):
         a = fin(clean, base, bins=4).collect()
         b = fin(dup, base, bins=4).collect()
         assert a == b, fin.__name__
@@ -1228,3 +1228,35 @@ def test_windowed_cell_drift_stream_equals_batch(spark, tmpdir):
         st.windowed_cell_counts(
             batch, coarse=coarse.filter("cluster_id < 0")
         )
+
+
+def test_wasserstein_vs_baseline_hand_example(spark, tmpdir):
+    """Windowed exact-integer W1 from the same bin partials as the KS
+    hand example: the SUM of the |cum cross-products| where KS takes
+    the max — window 10:00 gives [0,3,3,0] -> 6, window 11:00 the
+    same bins -> 6; w1_q6 = 6e6 DIV (3*6)."""
+    rows = [
+        (1, datetime(2026, 5, 1, 10, 5), "view", 1.0),
+        (2, datetime(2026, 5, 1, 10, 15), "view", 3.0),
+        (3, datetime(2026, 5, 1, 10, 45), "view", 9.5),
+        (4, datetime(2026, 5, 1, 11, 10), "view", 0.5),
+        (5, datetime(2026, 5, 1, 11, 40), "view", 9.9),
+        (6, datetime(2026, 5, 1, 11, 50), "view", 9.0),
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    bounds = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    parts = st.windowed_value_bins(df, bounds=bounds, bins=4)
+    baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
+    out = {
+        r.window_start: r
+        for r in st.wasserstein_vs_baseline(
+            parts, baseline, bins=4
+        ).collect()
+    }
+    w10, w11 = datetime(2026, 5, 1, 10), datetime(2026, 5, 1, 11)
+    # w10: cum_w=[1,2,2,3], cum_b=[2,3,3,6]; |cw*6-cb*3| = [0,3,3,0]
+    assert (out[w10].n_window, out[w10].n_baseline) == (3, 6)
+    assert out[w10].w1_numerator == 6
+    assert out[w10].w1_q6 == (6 * 1_000_000) // 18
+    assert out[w11].w1_numerator == 6
