@@ -61,6 +61,10 @@ Spec shape::
       - op: shard                      # byte-balanced output shards
         params: {bytes_column: n_chars, target_bytes: 67108864,
                  order_column: doc_id}
+      - op: t_closeness_gate           # refuse if any QI class's sensitive
+        params: {quasi_identifiers: [source],   # distribution skews past
+                 sensitive: "n_chars // 500",   # the ordered-EMD bound
+                 max_t_ppm: 200000}
       - op: ann_dedup                  # IVF x PQ embedding near-dup keep
         params: {embedding_column: embedding, dim: 64, max_dist2: 0.5,
                  coarse_k: 8, nprobe: 2, m: 4, k: 16, topk: 5}
@@ -484,6 +488,46 @@ def _stage_privacy_gate(df: DataFrame, spec: dict) -> DataFrame:
     return df
 
 
+def _stage_t_closeness_gate(df: DataFrame, spec: dict) -> DataFrame:
+    """Attribute-disclosure gate: refuse to ship the corpus when any
+    quasi-identifier class's ordered-EMD t-closeness
+    (operators/privacy.py t_closeness_census) against the global
+    distribution of ``params.sensitive`` (a bounded-domain ordinal SQL
+    expression) exceeds ``params.max_t_ppm``. The k-anonymity
+    ``privacy_gate`` bounds re-identification; this bounds what a
+    class REVEALS about its members' sensitive attribute even when the
+    class is k-large and value-diverse (the skew leak). Pass-through
+    on success."""
+    from pyspark_playground_spark.operators.privacy import (
+        t_closeness_census,
+    )
+
+    p = dict(spec.get("params", {}))
+    qis = [F.expr(q) for q in p["quasi_identifiers"]]
+    sens = p["sensitive"]
+    max_t = int(p.get("max_t_ppm", 200_000))
+    worst = (
+        t_closeness_census(
+            df.withColumn("__sens", F.expr(sens)),
+            qis,
+            "__sens",
+            t_ppm=max_t,
+        )
+        .filter(F.col("t_ppm") > max_t)
+        .orderBy(F.col("t_ppm").desc())
+        .limit(1)
+        .collect()
+    )
+    if worst:
+        r = worst[0]
+        raise ValueError(
+            f"t_closeness_gate: a quasi-identifier class of size "
+            f"{r['group_size']} has t = {r['t_ppm']} ppm > allowed "
+            f"{max_t} ppm for sensitive {sens!r}"
+        )
+    return df
+
+
 def _stage_interleave(df: DataFrame, spec: dict) -> DataFrame:
     """Mixture-serialization stage: deterministic round-robin interleave
     across ``params.group_column`` (sampling.interleave_by_group) —
@@ -764,6 +808,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "calibration_gate": _stage_calibration_gate,
     "score_gate": _stage_score_gate,
     "privacy_gate": _stage_privacy_gate,
+    "t_closeness_gate": _stage_t_closeness_gate,
     "interleave": _stage_interleave,
     "divergence_gate": _stage_divergence_gate,
     "agreement_gate": _stage_agreement_gate,

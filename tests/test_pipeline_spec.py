@@ -621,3 +621,33 @@ def test_knn_join_stage_attaches_neighbors(spark):
     # the tight-cluster members rank each other first
     top = {r["doc_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert top[1] in (0, 2) and top[4] in (3, 5)
+
+
+def test_t_closeness_gate_passes_and_refuses(spark):
+    """A class mirroring the global sensitive mix passes at a tight
+    bound; a class concentrated on one band refuses with its t in the
+    message; the gate is pass-through on success."""
+    # class "x" mirrors global evenly; class "y" is all band-2
+    rows = (
+        [(i, "x", v) for i, v in enumerate((0, 1, 2) * 4)]
+        + [(100 + i, "y", 2) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, zip string, band int")
+    # generous bound: passes through unchanged
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "t_closeness_gate",
+                     "params": {"quasi_identifiers": ["zip"],
+                                "sensitive": "band",
+                                "max_t_ppm": 900_000}}]},
+    )
+    assert out.count() == 18 and out.columns == df.columns
+    # tight bound: the skewed class trips the gate
+    with pytest.raises(ValueError, match="t_closeness_gate"):
+        pl.run_pipeline(
+            df,
+            {"stages": [{"op": "t_closeness_gate",
+                         "params": {"quasi_identifiers": ["zip"],
+                                    "sensitive": "band",
+                                    "max_t_ppm": 100_000}}]},
+        )
