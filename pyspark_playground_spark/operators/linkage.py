@@ -203,3 +203,56 @@ def fellegi_sunter_pairs(
         weight.alias("weight_q6"),
         (weight >= F.lit(int(threshold_q6))).alias("is_match"),
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_column: str,
+    match_pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Entity resolution end-game: turn pairwise match decisions (e.g.
+    :func:`fellegi_sunter_pairs` rows with ``is_match``) into ENTITY
+    IDS via connected components, with the survivorship rule every
+    catalog pipeline starts from — the smallest key in each cluster is
+    the canonical record (the component label IS the min node id, so
+    canonicality falls out of the labeling for free; richer rules —
+    most-complete, most-recent — are one ``row_number`` over the same
+    clusters). Unmatched records are their own entity of size 1.
+
+    Plan: large-star/small-star components over the match edges
+    (O(log n) rounds, :func:`~pyspark_playground_spark.operators.
+    graph.connected_components`), one left join back onto the id
+    spine, one size census.
+
+    Output: (id_column, entity_id, is_canonical, entity_size).
+    """
+    from pyspark_playground_spark.operators.graph import (
+        connected_components,
+    )
+
+    comps = connected_components(
+        match_pairs, id_a, id_b, checkpoint_dir=checkpoint_dir
+    )
+    lab = (
+        df.select(F.col(id_column))
+        .join(comps, df[id_column] == comps["node"], "left")
+        .select(
+            F.col(id_column),
+            F.coalesce(F.col("component"), F.col(id_column)).alias(
+                "entity_id"
+            ),
+        )
+    )
+    sz = lab.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("entity_size")
+    )
+    return lab.join(sz, "entity_id").select(
+        id_column,
+        "entity_id",
+        (F.col(id_column) == F.col("entity_id")).alias("is_canonical"),
+        F.col("entity_size").cast("long").alias("entity_size"),
+    )

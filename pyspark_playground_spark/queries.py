@@ -15841,9 +15841,13 @@ def ahash_near_dup_documents(spark, sf_dir):
     return mm.ahash_near_dup_pairs(docs, "doc_id", max_hamming=8)
 
 
-@query(
-    "fellegi_sunter_part",
-    """
+
+
+#: shared Fellegi-Sunter CTE over part (noun x price-band blocks,
+#: brand/type/size agreement fields, m=0.95): ends with relation
+#: ``fs(id_a, id_b, agree_p_brand, agree_p_type, agree_p_size,
+#: weight_q6)`` — the pair-scoring half both F-S entries build on.
+_FS_PART_CTE = """
     WITH t AS (
       SELECT p_partkey,
              list_extract(string_split(p_name, ' '), -1) || '|' ||
@@ -15906,30 +15910,33 @@ def ahash_near_dup_documents(spark, sf_dir):
                / 1e9 / 0.6931471805599453 * 1e6 + 0.5) AS BIGINT) AS wd_s
       FROM ks
     )
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           (a.p_brand IS NOT DISTINCT FROM b.p_brand
-            AND a.p_brand IS NOT NULL) AS agree_p_brand,
-           (a.p_type IS NOT DISTINCT FROM b.p_type
-            AND a.p_type IS NOT NULL) AS agree_p_type,
-           (a.p_size IS NOT DISTINCT FROM b.p_size
-            AND a.p_size IS NOT NULL) AS agree_p_size,
-           (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand
-                  AND a.p_brand IS NOT NULL THEN wa_b ELSE wd_b END
-            + CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
-                  AND a.p_type IS NOT NULL THEN wa_t ELSE wd_t END
-            + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
-                  AND a.p_size IS NOT NULL THEN wa_s ELSE wd_s END)
-             AS weight_q6,
-           (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand
-                  AND a.p_brand IS NOT NULL THEN wa_b ELSE wd_b END
-            + CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
-                  AND a.p_type IS NOT NULL THEN wa_t ELSE wd_t END
-            + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
-                  AND a.p_size IS NOT NULL THEN wa_s ELSE wd_s END)
-             >= 0 AS is_match
-    FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-    CROSS JOIN wb CROSS JOIN wt CROSS JOIN ws
-    """,
+    , fs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             (a.p_brand IS NOT DISTINCT FROM b.p_brand
+              AND a.p_brand IS NOT NULL) AS agree_p_brand,
+             (a.p_type IS NOT DISTINCT FROM b.p_type
+              AND a.p_type IS NOT NULL) AS agree_p_type,
+             (a.p_size IS NOT DISTINCT FROM b.p_size
+              AND a.p_size IS NOT NULL) AS agree_p_size,
+             (CASE WHEN a.p_brand IS NOT DISTINCT FROM b.p_brand
+                    AND a.p_brand IS NOT NULL THEN wa_b ELSE wd_b END
+              + CASE WHEN a.p_type IS NOT DISTINCT FROM b.p_type
+                    AND a.p_type IS NOT NULL THEN wa_t ELSE wd_t END
+              + CASE WHEN a.p_size IS NOT DISTINCT FROM b.p_size
+                    AND a.p_size IS NOT NULL THEN wa_s ELSE wd_s END)
+               AS weight_q6
+      FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      CROSS JOIN wb CROSS JOIN wt CROSS JOIN ws
+    )
+"""
+
+@query(
+    "fellegi_sunter_part",
+    _FS_PART_CTE + """
+    SELECT id_a, id_b, agree_p_brand, agree_p_type, agree_p_size,
+           weight_q6, weight_q6 >= 0 AS is_match
+    FROM fs
+    """
 )
 def fellegi_sunter_part(spark, sf_dir):
     """Fellegi-Sunter probabilistic linkage over same-noun same-price-
@@ -16181,3 +16188,70 @@ def windowed_wasserstein_events(spark, sf_dir):
     parts = stc.windowed_value_bins(e, bounds=bounds, bins=16)
     baseline = parts.groupBy("bin").agg(F.sum("n").alias("n"))
     return stc.wasserstein_vs_baseline(parts, baseline, bins=16)
+
+
+@query(
+    "entity_resolution_part",
+    _FS_PART_CTE + """
+    , m AS (SELECT id_a, id_b FROM fs WHERE weight_q6 >= 0),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM m
+      UNION SELECT id_b, id_a FROM m
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a
+      ) SELECT * FROM r
+    ),
+    comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    lab AS (
+      SELECT p.p_partkey,
+             coalesce(comp.component, p.p_partkey) AS entity_id
+      FROM part p LEFT JOIN comp ON comp.node = p.p_partkey
+    ),
+    sz AS (
+      SELECT entity_id, count(*) AS entity_size FROM lab
+      GROUP BY entity_id
+    )
+    SELECT lab.p_partkey, lab.entity_id,
+           lab.p_partkey = lab.entity_id AS is_canonical,
+           CAST(sz.entity_size AS BIGINT) AS entity_size
+    FROM lab JOIN sz USING (entity_id)
+    """,
+)
+def entity_resolution_part(spark, sf_dir):
+    """End-to-end entity resolution over the part catalog
+    (operators/linkage.py fellegi_sunter_pairs -> resolve_entities):
+    probabilistic match decisions become ENTITY IDS via large-star/
+    small-star connected components, with smallest-key survivorship
+    (the component label IS the min id, so canonicality is free) and
+    singleton entities for unmatched records. The oracle re-derives
+    the clusters with DuckDB's independent recursive-CTE transitive
+    closure over the same exact-integer match pairs."""
+    from pyspark_playground_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+        resolve_entities,
+    )
+
+    p = load(spark, sf_dir, "part")
+    blk = F.concat_ws(
+        "|",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        F.floor(F.col("p_retailprice") / F.lit(10))
+        .cast("long")
+        .cast("string"),
+    )
+    matches = fellegi_sunter_pairs(
+        p,
+        "p_partkey",
+        ["p_brand", "p_type", "p_size"],
+        block=blk,
+        m_ppm=950_000,
+        threshold_q6=0,
+    ).filter(F.col("is_match"))
+    return resolve_entities(p, "p_partkey", matches)

@@ -149,3 +149,29 @@ def test_fellegi_sunter_weights_and_classification(spark):
     assert {(r["id_a"], r["id_b"]) for r in fenced} == {
         (5, 6), (5, 7), (6, 7)
     }
+
+
+def test_resolve_entities_clusters_and_survivorship(spark):
+    """Chain 1-2, 2-3 merges into one entity labeled by the smallest
+    key; pair 5-6 forms its own; 4 stays a singleton; canonical flags
+    and sizes are exact."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    recs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "rid bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    out = {r["rid"]: r for r in resolve_entities(
+        recs, "rid", pairs).collect()}
+    assert {r: out[r]["entity_id"] for r in out} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5
+    }
+    assert [r for r in out if out[r]["is_canonical"]] == [1, 4, 5]
+    assert out[2]["entity_size"] == 3 and out[4]["entity_size"] == 1
+    assert out[6]["entity_size"] == 2
