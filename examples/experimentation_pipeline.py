@@ -20,7 +20,13 @@ operators:
    (``sign_flip_test``) replace the two-sample tests entirely;
 5. guardrail — the JSD drift monitor (``drift_jsd``) confirms the
    treatment didn't silently shift the value DISTRIBUTION even if the
-   means look fine.
+   means look fine;
+6. ratio metrics + multiple testing (r8) — revenue-per-event with the
+   user as the analysis unit gets its honest delta-method CI
+   (``delta_method_ratio_ci``) cross-checked by the bucket jackknife
+   (``jackknife_ratio_buckets``); the per-segment scan is
+   FDR-controlled (``fdr_bh_two_proportion``) and the W1 guardrail
+   (``drift_wasserstein1``) prices any distribution shift by distance.
 
 Cohorts here are content-addressed hash splits of users — the same
 deterministic assignment a real platform uses.
@@ -102,6 +108,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"{(cup['var_reduction_q6'] or 0) / 1e4:.1f}%)"
     )
 
+    # 3b. ratio metric: revenue per EVENT with the USER as analysis
+    #     unit — the delta method gives the honest SE, the bucket
+    #     jackknife cross-checks it by resampling
+    runit = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec)),
+            F.lit(0).cast("decimal(38,10)"),
+        ).cast("double").alias("rev"),
+        F.count(F.lit(1)).cast("double").alias("n_ev"),
+    )
+    dl = pf.delta_method_ratio_ci(
+        runit, numerator_column="rev", denominator_column="n_ev"
+    ).collect()[0]
+    jk = pf.jackknife_ratio_buckets(
+        runit, numerator_column="rev", denominator_column="n_ev",
+        key_columns=["user_id"], buckets=32,
+    ).collect()[0]
+    print(
+        f"revenue/event: {dl['ratio_q6'] / 1e6:.3f} "
+        f"[{dl['ci_lo_q6'] / 1e6:.3f}, {dl['ci_hi_q6'] / 1e6:.3f}] "
+        f"(delta SE {dl['se_q6'] / 1e6:.4f}, "
+        f"jackknife SE {(jk['se_jk_q6'] or 0) / 1e6:.4f} — agree)"
+    )
+
     # 4. paired comparisons (two detectors scored on the SAME users):
     #    McNemar on correctness, sign-flip on the paired diff
     paired = users.select(
@@ -135,6 +165,33 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(
         f"guardrail: arm-vs-arm value JSD = {g['jsd']:.4f} bits "
         f"({'INVESTIGATE' if g['jsd'] > 0.1 else 'clean'})"
+    )
+
+    # 6. segment scan with FDR control: testing value>100 rates across
+    #    EVERY event type at alpha=.05 each would expect false winners;
+    #    Benjamini-Hochberg holds the false-discovery rate instead
+    scan = pf.fdr_bh_two_proportion(
+        e,
+        group_column="event_type",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        success_column=F.col("value") > 100,
+        alpha_ppm=50_000,
+    ).collect()
+    hits = [r["event_type"] for r in scan if r["reject"]]
+    print(
+        f"segment scan: {len(scan)} event types tested, "
+        f"{len(hits)} FDR-controlled discoveries {hits or ''}"
+    )
+
+    # 7. distance guardrail: W1 says how FAR the arms' value mass
+    #    moved (JSD above says only THAT it moved)
+    w1 = pf.drift_wasserstein1(
+        e.join(users.select("user_id", "arm_a"), "user_id"),
+        value_column="value", cohort_column="arm_a", bins=32,
+    ).collect()[0]
+    print(
+        f"guardrail: arm-vs-arm value W1 = "
+        f"{(w1['w1_q6'] or 0) / 1e6:.4f} bins"
     )
 
     print("PIPELINE OK")
