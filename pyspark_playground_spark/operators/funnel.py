@@ -90,3 +90,101 @@ def funnel_summary(
     return counts.select(F.explode(stage_rows).alias("r")).select(
         "r.stage_index", "r.stage", "r.n_users"
     )
+
+
+def multitouch_attribution(
+    df: DataFrame,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+    id_column: str = "event_id",
+    conversion_type: str = "purchase",
+    lookback_hours: int | None = None,
+) -> DataFrame:
+    """Multi-touch conversion credit with the uniform Shapley split —
+    each conversion's credit divides EQUALLY among the DISTINCT
+    touchpoint types the user hit strictly before it (the closed-form
+    Shapley value when players are symmetric and the characteristic
+    function depends only on participation — the standard
+    "linear/uniform multi-touch" model; Shapley 1953 for the game
+    theory). The as-of attribution entries answer "which single touch
+    was LAST"; this answers "how should one conversion's credit be
+    SHARED", which last-touch systematically biases toward
+    bottom-of-funnel types.
+
+    Exact integers: each conversion contributes ``1e6 DIV k`` credit
+    to each of its k touch types (the documented ±k ppm rounding of an
+    integral split), summed per type as BIGINT. Conversions with NO
+    prior touches are reported in the ``(untouched)`` row so credit
+    mass is auditable. ``lookback_hours`` bounds the touch window (and
+    the join: per-user touches × conversions is the cost surface — at
+    100 TB pass a lookback so the per-user frame is time-bounded).
+
+    Plan: one user-keyed equi-join of conversions against earlier
+    touches, distinct (conversion, touch-type), a per-conversion
+    census for k, and one final groupBy(type). Conversions are keyed
+    by ``id_column`` (a stable natural key — determinism and the
+    cross-engine oracle both need it).
+
+    Output per touch type: (touch_type, conversions_touched,
+    credit_q6).
+    """
+    base = df.select(
+        F.col(user_column).alias("__u"),
+        F.col(ts_column).alias("__ts"),
+        F.col(type_column).alias("__t"),
+        F.col(id_column).alias("__rid"),
+    ).filter(
+        F.col("__u").isNotNull()
+        & F.col("__ts").isNotNull()
+        & F.col("__t").isNotNull()
+    )
+    conv = base.filter(F.col("__t") == conversion_type).select(
+        F.col("__u"),
+        F.col("__ts").alias("__cts"),
+        F.col("__rid").alias("__cid"),
+    )
+    touch = base.filter(F.col("__t") != conversion_type).select(
+        "__u", "__ts", "__t"
+    )
+    cond = (F.col("__ts") < F.col("__cts"))
+    if lookback_hours is not None:
+        cond = cond & (
+            F.col("__ts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        )
+    pairs = (
+        conv.join(touch, "__u")
+        .filter(cond)
+        .select("__cid", "__t")
+        .distinct()
+    )
+    k = pairs.groupBy("__cid").agg(F.count(F.lit(1)).alias("__k"))
+    credited = pairs.join(k, "__cid").select(
+        F.col("__t"),
+        F.expr("1000000L DIV __k").alias("__credit"),
+    )
+    touched = credited.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("conversions_touched"),
+        F.sum("__credit").alias("credit_q6"),
+    )
+    untouched = (
+        conv.join(k, conv["__cid"] == k["__cid"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("conversions_touched"))
+        .select(
+            F.lit("(untouched)").alias("__t"),
+            "conversions_touched",
+            (F.col("conversions_touched") * F.lit(1_000_000))
+            .cast("long")
+            .alias("credit_q6"),
+        )
+        .filter(F.col("conversions_touched") > 0)
+    )
+    return touched.unionByName(untouched).select(
+        F.col("__t").alias("touch_type"),
+        F.col("conversions_touched").cast("long").alias(
+            "conversions_touched"
+        ),
+        F.col("credit_q6").cast("long").alias("credit_q6"),
+    )

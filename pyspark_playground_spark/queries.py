@@ -16255,3 +16255,63 @@ def entity_resolution_part(spark, sf_dir):
         threshold_q6=0,
     ).filter(F.col("is_match"))
     return resolve_entities(p, "p_partkey", matches)
+
+
+@query(
+    "shapley_attribution_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    base AS (
+      SELECT user_id AS u, ts, event_type AS t, event_id AS rid
+      FROM e WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+    ),
+    conv AS (
+      SELECT u, ts AS cts, rid AS cid FROM base WHERE t = 'purchase'
+    ),
+    touch AS (SELECT u, ts, t FROM base WHERE t <> 'purchase'),
+    pairs AS (
+      SELECT DISTINCT conv.cid, touch.t
+      FROM conv JOIN touch ON conv.u = touch.u
+      WHERE touch.ts < conv.cts
+        AND touch.ts >= conv.cts - INTERVAL 72 HOURS
+    ),
+    k AS (SELECT cid, count(*) AS k FROM pairs GROUP BY cid),
+    credited AS (
+      SELECT pairs.t, 1000000 // k.k AS credit
+      FROM pairs JOIN k ON k.cid = pairs.cid
+    ),
+    touched AS (
+      SELECT t, count(*) AS conversions_touched,
+             sum(credit) AS credit_q6
+      FROM credited GROUP BY t
+    ),
+    untouched AS (
+      SELECT '(untouched)' AS t, count(*) AS conversions_touched,
+             count(*) * 1000000 AS credit_q6
+      FROM conv LEFT JOIN k ON k.cid = conv.cid
+      WHERE k.cid IS NULL
+      HAVING count(*) > 0
+    )
+    SELECT t AS touch_type,
+           CAST(conversions_touched AS BIGINT) AS conversions_touched,
+           CAST(credit_q6 AS BIGINT) AS credit_q6
+    FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+    """,
+)
+def shapley_attribution_events(spark, sf_dir):
+    """Uniform-Shapley multi-touch conversion credit
+    (operators/funnel.py multitouch_attribution; Shapley 1953, the
+    symmetric closed form): each purchase's credit splits equally —
+    exact 1e6 DIV k integers — among the distinct event types the user
+    hit in the 72h before it, answering 'how should credit be SHARED'
+    where the as-of attribution entries answer 'which touch was LAST'.
+    Untouched conversions surface in their own auditable row."""
+    from pyspark_playground_spark.operators.funnel import (
+        multitouch_attribution,
+    )
+
+    e = load_events(spark, sf_dir)
+    return multitouch_attribution(
+        e, conversion_type="purchase", lookback_hours=72
+    )

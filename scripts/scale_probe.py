@@ -1214,6 +1214,19 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("wasserstein1_drift", n_docs, w1)
 
+    # 87. uniform-Shapley multi-touch attribution over replicated
+    #     events (r8): one user-keyed conversions x earlier-touches
+    #     join (time-bounded by the lookback), distinct, two censuses
+    from pyspark_playground_spark.operators.funnel import (
+        multitouch_attribution,
+    )
+
+    def shapley():
+        multitouch_attribution(
+            ev_rep, conversion_type="purchase", lookback_hours=72,
+        ).write.format("noop").mode("overwrite").save()
+    timed("multitouch_attribution", n_evr, shapley)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -133,3 +133,48 @@ def test_zipf_slope_synthetic_power_law(spark):
     row = tx.zipf_slope(df, group_column="source").collect()[0]
     assert row["n_terms"] == 30
     assert abs(row["zipf_slope"] + 1.0) < 0.05
+
+
+def test_multitouch_attribution_hand_computed(spark):
+    """Two conversions with known touch sets split credit exactly 1e6
+    DIV k; the lookback excludes stale touches; a touchless conversion
+    lands in the auditable (untouched) row; credit mass reconciles."""
+    import datetime as dt
+
+    from pyspark_playground_spark.operators.funnel import (
+        multitouch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+    h = lambda k: t0 + dt.timedelta(hours=k)  # noqa: E731
+    rows = [
+        # user 1: view+click then purchase -> k=2, 500000 each
+        (1, 1, h(0), "view"),
+        (2, 1, h(1), "click"),
+        (3, 1, h(2), "purchase"),
+        # user 2: only a view, but 100h before purchase (outside 72h)
+        (4, 2, h(0), "view"),
+        (5, 2, h(100), "purchase"),
+        # user 3: three distinct touches -> 333333 each
+        (6, 3, h(0), "view"),
+        (7, 3, h(1), "click"),
+        (8, 3, h(2), "signup"),
+        (9, 3, h(3), "purchase"),
+        # duplicate touch types count ONCE
+        (10, 3, h(1, ), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp,"
+        " event_type string"
+    )
+    out = {r["touch_type"]: r for r in multitouch_attribution(
+        df, conversion_type="purchase", lookback_hours=72).collect()}
+    assert out["view"]["credit_q6"] == 500_000 + 333_333
+    assert out["click"]["credit_q6"] == 500_000 + 333_333
+    assert out["signup"]["credit_q6"] == 333_333
+    assert out["(untouched)"]["conversions_touched"] == 1
+    assert out["(untouched)"]["credit_q6"] == 1_000_000
+    # credit mass: 3 conversions x ~1e6, short only the DIV k rounding
+    total = sum(r["credit_q6"] for r in out.values())
+    assert 3_000_000 - 3 <= total <= 3_000_000
+    assert out["view"]["conversions_touched"] == 2
