@@ -3768,3 +3768,116 @@ def drift_wasserstein1(
         .cast("long")
         .alias("w1_q6"),
     )
+
+
+def difference_in_differences(
+    df: DataFrame,
+    *,
+    metric_column: str,
+    cohort_column: Column | str,
+    period_column: Column | str,
+    z: float = _Z_ALPHA_975,
+) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger AER'94 made
+    canonical; public construction) — the quasi-experiment answer when
+    assignment was NOT randomized: ``DiD = (ȳ_treat,post −
+    ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)`` nets out both the
+    group baseline gap and the common time trend, under the parallel-
+    trends assumption (which the caller owns — check pre-period trends
+    first). :func:`cuped_adjusted_effect` tightens a RANDOMIZED test;
+    DiD rescues an observational one.
+
+    Input is one row per (unit, period) with the metric. Exact-integer
+    construction: the metric quantizes once to q6 BIGINT; ONE
+    conditional aggregate produces each cell's exact DECIMAL(38,0)
+    (n, Σy, Σy²); the estimate and its large-sample SE
+    ``√(Σ_cells s²ᵢ/nᵢ)`` (population variances, the cuped convention)
+    are fixed-order doubles quantized q6. NULL estimate when any cell
+    is empty; NULL SE when any cell is a singleton-or-worse degenerate
+    (variance still fine at n=1 under population convention, so only
+    empty cells refuse).
+
+    Plan: one map-side-combined aggregate to a 1-row frame; zero
+    windows, zero joins.
+
+    Output one row: (n_treat_pre, n_treat_post, n_ctrl_pre,
+    n_ctrl_post, did_q6, se_q6, ci_lo_q6, ci_hi_q6).
+    """
+    tr = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    po = (
+        F.col(period_column)
+        if isinstance(period_column, str)
+        else period_column
+    ).cast("boolean")
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        q6(F.col(metric_column)).alias("__y"),
+        tr.alias("__t"),
+        po.alias("__p"),
+    ).filter(
+        F.col("__y").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__p").isNotNull()
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def cell(name, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"__n_{name}"),
+            F.sum(F.when(cond, d38(F.col("__y")))).alias(f"__s_{name}"),
+            F.sum(
+                F.when(cond, d38(F.col("__y")) * d38(F.col("__y")))
+            ).alias(f"__q_{name}"),
+        ]
+
+    agg = t.agg(
+        *cell("tp", F.col("__t") & F.col("__p")),
+        *cell("ta", F.col("__t") & ~F.col("__p")),
+        *cell("cp", ~F.col("__t") & F.col("__p")),
+        *cell("ca", ~F.col("__t") & ~F.col("__p")),
+    )
+    dv = F.try_divide
+
+    def mean(name):
+        return dv(
+            F.col(f"__s_{name}").cast("double"),
+            F.col(f"__n_{name}").cast("double"),
+        )
+
+    def var_over_n(name):
+        n = F.col(f"__n_{name}").cast("double")
+        m = mean(name)
+        return dv(
+            dv(F.col(f"__q_{name}").cast("double"), n) - m * m, n
+        )
+
+    did = (mean("tp") - mean("ta")) - (mean("cp") - mean("ca"))
+    se = F.sqrt(
+        var_over_n("tp")
+        + var_over_n("ta")
+        + var_over_n("cp")
+        + var_over_n("ca")
+    )
+    ok = (
+        (F.col("__n_tp") > 0)
+        & (F.col("__n_ta") > 0)
+        & (F.col("__n_cp") > 0)
+        & (F.col("__n_ca") > 0)
+    )
+    qq = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
+    return agg.select(
+        F.col("__n_ta").cast("long").alias("n_treat_pre"),
+        F.col("__n_tp").cast("long").alias("n_treat_post"),
+        F.col("__n_ca").cast("long").alias("n_ctrl_pre"),
+        F.col("__n_cp").cast("long").alias("n_ctrl_post"),
+        F.when(ok, qq(did)).alias("did_q6"),
+        F.when(ok, qq(se)).alias("se_q6"),
+        F.when(ok, qq(did - F.lit(z) * se)).alias("ci_lo_q6"),
+        F.when(ok, qq(did + F.lit(z) * se)).alias("ci_hi_q6"),
+    )

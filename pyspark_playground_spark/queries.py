@@ -16315,3 +16315,117 @@ def shapley_attribution_events(spark, sf_dir):
     return multitouch_attribution(
         e, conversion_type="purchase", lookback_hours=72
     )
+
+
+@query(
+    "did_spend_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id, (date_part('day', ts) > 15) AS p,
+             CAST(coalesce(sum(CAST(round(value, 9) AS DECIMAL(28,10))),
+                           0) AS DOUBLE) AS y
+      FROM e WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, (date_part('day', ts) > 15)
+    ),
+    q AS (
+      SELECT CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS t,
+             p
+      FROM u
+    ),
+    agg AS (
+      SELECT
+        sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_tp,
+        sum(CASE WHEN t AND p THEN CAST(y AS HUGEINT) END) AS s_tp,
+        sum(CASE WHEN t AND p THEN CAST(y AS HUGEINT) * y END) AS q_tp,
+        sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_ta,
+        sum(CASE WHEN t AND NOT p THEN CAST(y AS HUGEINT) END) AS s_ta,
+        sum(CASE WHEN t AND NOT p THEN CAST(y AS HUGEINT) * y END)
+          AS q_ta,
+        sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_cp,
+        sum(CASE WHEN NOT t AND p THEN CAST(y AS HUGEINT) END) AS s_cp,
+        sum(CASE WHEN NOT t AND p THEN CAST(y AS HUGEINT) * y END)
+          AS q_cp,
+        sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_ca,
+        sum(CASE WHEN NOT t AND NOT p THEN CAST(y AS HUGEINT) END)
+          AS s_ca,
+        sum(CASE WHEN NOT t AND NOT p THEN CAST(y AS HUGEINT) * y END)
+          AS q_ca
+      FROM q
+    ),
+    d AS (
+      SELECT n_tp, n_ta, n_cp, n_ca,
+             (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+              - CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE))
+             - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                - CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE)) AS did,
+             sqrt(
+               (CAST(q_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+                - (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE))
+                  * (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)))
+                 / CAST(n_tp AS DOUBLE)
+               + (CAST(q_ta AS DOUBLE) / CAST(n_ta AS DOUBLE)
+                  - (CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE))
+                    * (CAST(s_ta AS DOUBLE) / CAST(n_ta AS DOUBLE)))
+                 / CAST(n_ta AS DOUBLE)
+               + (CAST(q_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+                  - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE))
+                    * (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)))
+                 / CAST(n_cp AS DOUBLE)
+               + (CAST(q_ca AS DOUBLE) / CAST(n_ca AS DOUBLE)
+                  - (CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE))
+                    * (CAST(s_ca AS DOUBLE) / CAST(n_ca AS DOUBLE)))
+                 / CAST(n_ca AS DOUBLE)) AS se
+      FROM agg
+    )
+    SELECT CAST(n_ta AS BIGINT) AS n_treat_pre,
+           CAST(n_tp AS BIGINT) AS n_treat_post,
+           CAST(n_ca AS BIGINT) AS n_ctrl_pre,
+           CAST(n_cp AS BIGINT) AS n_ctrl_post,
+           CASE WHEN n_tp > 0 AND n_ta > 0 AND n_cp > 0 AND n_ca > 0
+             THEN CAST(floor(did + 0.5) AS BIGINT) END AS did_q6,
+           CASE WHEN n_tp > 0 AND n_ta > 0 AND n_cp > 0 AND n_ca > 0
+             THEN CAST(floor(se + 0.5) AS BIGINT) END AS se_q6,
+           CASE WHEN n_tp > 0 AND n_ta > 0 AND n_cp > 0 AND n_ca > 0
+             THEN CAST(floor(did - {_Z975_SQL} * se + 0.5) AS BIGINT)
+           END AS ci_lo_q6,
+           CASE WHEN n_tp > 0 AND n_ta > 0 AND n_cp > 0 AND n_ca > 0
+             THEN CAST(floor(did + {_Z975_SQL} * se + 0.5) AS BIGINT)
+           END AS ci_hi_q6
+    FROM d
+    """,
+)
+def did_spend_events(spark, sf_dir):
+    """Difference-in-differences on per-user spend (operators/
+    profiling.py difference_in_differences; Card-Krueger design): the
+    md5-bucketed "treated" users' first-half->second-half spend change
+    net of the control users' change — the quasi-experiment estimator
+    for when assignment wasn't randomized (CUPED's complement). One
+    conditional DECIMAL(38,0) moment aggregate, four exact cells,
+    fixed-order large-sample SE."""
+    from pyspark_playground_spark.operators.profiling import (
+        difference_in_differences,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy(
+        "user_id", (F.dayofmonth("ts") > 15).alias("p")
+    ).agg(
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("y")
+    )
+    return difference_in_differences(
+        u,
+        metric_column="y",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        period_column="p",
+    )

@@ -1227,6 +1227,24 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("multitouch_attribution", n_evr, shapley)
 
+    # 88. difference-in-differences over replicated events (r8): one
+    #     per-(user, period) aggregate then ONE conditional moment
+    #     aggregate to a single row — zero windows, zero joins
+    def did():
+        dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+        u = (ev_rep.filter(F.col("value").isNotNull()
+                           & F.col("ts").isNotNull())
+             .groupBy("user_id", (F.dayofmonth("ts") > 15).alias("p"))
+             .agg(F.coalesce(F.sum(dec),
+                             F.lit(0).cast("decimal(38,10)"))
+                  .cast("double").alias("y")))
+        pf.difference_in_differences(
+            u, metric_column="y",
+            cohort_column=smp.hash_bucket_expr(["user_id"], 2) == 0,
+            period_column="p",
+        ).write.format("noop").mode("overwrite").save()
+    timed("difference_in_differences", n_evr, did)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -1775,3 +1775,46 @@ def test_wasserstein1_hand_computed(spark):
         df5, value_column="v", cohort_column="a"
     ).collect()[0]
     assert r5["w1_q6"] is None and r5["n_b"] == 0
+
+
+def test_difference_in_differences_hand_computed(spark):
+    """Constructed parallel-trends panel: control rises by 5, treated
+    by 5 + a true effect of 3 -> DiD = 3 exactly; the python mirror
+    pins the SE; an empty cell refuses."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        difference_in_differences,
+    )
+
+    rows = []
+    # control: pre 10/12, post 15/17 (both +5)
+    rows += [(10.0, False, False), (12.0, False, False),
+             (15.0, False, True), (17.0, False, True)]
+    # treated: pre 20/22, post 28/30 (+5 trend +3 effect)
+    rows += [(20.0, True, False), (22.0, True, False),
+             (28.0, True, True), (30.0, True, True)]
+    df = spark.createDataFrame(rows, "y double, t boolean, p boolean")
+    r = difference_in_differences(
+        df, metric_column="y", cohort_column="t", period_column="p"
+    ).collect()[0]
+    assert r["did_q6"] == 3_000_000
+    assert (r["n_treat_pre"], r["n_treat_post"]) == (2, 2)
+
+    # python mirror of the SE (every cell has population var 1 in q6^2
+    # units: values ±1 around the mean, n=2 -> var/n = 0.5e12)
+    se = math.sqrt(4 * (1e12 / 2))
+    assert r["se_q6"] == math.floor(se + 0.5)
+    z = 1.959963984540054
+    assert r["ci_lo_q6"] == math.floor(3_000_000 - z * se + 0.5)
+
+    # empty treated-post cell: estimate refused
+    df2 = spark.createDataFrame(
+        [row for row in rows if not (row[1] and row[2])],
+        "y double, t boolean, p boolean",
+    )
+    r2 = difference_in_differences(
+        df2, metric_column="y", cohort_column="t", period_column="p"
+    ).collect()[0]
+    assert r2["did_q6"] is None and r2["se_q6"] is None
+    assert r2["n_treat_post"] == 0
