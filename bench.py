@@ -63,6 +63,14 @@ HEADLINE = [
     # latency. Their sum is the old composed line.
     "ivf_pq_train_model_embeddings",
     "ivf_pq_frozen_search_embeddings",
+    # r8 additions: one representative per new family — the ER
+    # composition (probabilistic linkage -> connected components), the
+    # perceptual-hash media dedup, the t-closeness release gate, and
+    # the FDR-controlled segment scan
+    "entity_resolution_part",
+    "ahash_near_dup_documents",
+    "t_closeness_orders",
+    "fdr_bh_value_rate_events",
 ]
 
 
