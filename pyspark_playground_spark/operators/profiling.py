@@ -3881,3 +3881,69 @@ def difference_in_differences(
         F.when(ok, qq(did - F.lit(z) * se)).alias("ci_lo_q6"),
         F.when(ok, qq(did + F.lit(z) * se)).alias("ci_hi_q6"),
     )
+
+
+def required_sample_size_continuous(
+    df: DataFrame,
+    *,
+    metric_column: str,
+    mde_rel_ppm: int,
+    z_alpha: float = _Z_ALPHA_975,
+    z_power: float = _Z_POWER_800,
+) -> DataFrame:
+    """Experiment-design power analysis for a CONTINUOUS metric —
+    the t-test companion to the two-proportion
+    :func:`required_sample_size_report`: units per arm to detect a
+    relative shift of ``mde_rel_ppm`` on the OBSERVED mean at
+    two-sided α=.05 / 80% power, ``n = 2(z_α+z_β)²·σ²/δ²`` with σ²
+    the observed population variance and ``δ = |mean|·mde`` (the
+    textbook normal-approximation design formula; the z quantiles are
+    the same shared hardcoded literals).
+
+    Exact-integer moments (the :func:`cuped_adjusted_effect`
+    discipline): the metric quantizes once to q6 BIGINT, one
+    aggregate of DECIMAL(38,0) (n, Σy, Σy²); mean/σ²/n_required are
+    fixed-order doubles, conservative ``ceil``. NULL n_required when
+    the observed mean is 0 (a relative MDE has no scale), σ² = 0, or
+    ``mde_rel_ppm <= 0``.
+
+    Output one row: (n_observed, mean_q6, sd_q6, n_required_per_arm).
+    """
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(q6(F.col(metric_column)).alias("__y")).filter(
+        F.col("__y").isNotNull()
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d38(F.col("__y"))).alias("__s"),
+        F.sum(d38(F.col("__y")) * d38(F.col("__y"))).alias("__q"),
+    )
+    dv = F.try_divide
+    n = F.col("__n").cast("double")
+    mean = dv(F.col("__s").cast("double"), n)
+    var = dv(F.col("__q").cast("double"), n) - mean * mean
+    delta = F.abs(mean) * F.lit(int(mde_rel_ppm) / 1e6)
+    zsum = F.lit(z_alpha + z_power)
+    n_req = F.ceil(
+        F.lit(2.0) * (zsum * zsum) * dv(var, delta * delta)
+    )
+    ok = (
+        (F.col("__n") > 0)
+        & F.lit(bool(int(mde_rel_ppm) > 0))
+        & (F.abs(mean) > 0)
+        & (var > 0)
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_observed"),
+        F.when(
+            F.col("__n") > 0, F.floor(mean + F.lit(0.5))
+        ).cast("long").alias("mean_q6"),
+        F.when(
+            (F.col("__n") > 0) & (var >= 0),
+            F.floor(F.sqrt(var) + F.lit(0.5)),
+        ).cast("long").alias("sd_q6"),
+        F.when(ok, n_req).cast("long").alias("n_required_per_arm"),
+    )

@@ -16429,3 +16429,65 @@ def did_spend_events(spark, sf_dir):
         cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
         period_column="p",
     )
+
+
+@query(
+    "power_spend_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CAST(round(value, 9) AS DECIMAL(28,10))),
+                           0) AS DOUBLE) AS y
+      FROM e WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    q AS (SELECT CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y FROM u),
+    agg AS (
+      SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS qq
+      FROM q
+    ),
+    d AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(qq AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_observed,
+           CASE WHEN n > 0
+             THEN CAST(floor(mean + 0.5) AS BIGINT) END AS mean_q6,
+           CASE WHEN n > 0 AND var >= 0
+             THEN CAST(floor(sqrt(var) + 0.5) AS BIGINT) END AS sd_q6,
+           CASE WHEN n > 0 AND abs(mean) > 0 AND var > 0 THEN
+             CAST(ceil(2.0 * ((1.959963984540054 + 0.8416212335729143)
+                              * (1.959963984540054 + 0.8416212335729143))
+                       * (var / ((abs(mean) * 0.1)
+                                 * (abs(mean) * 0.1)))) AS BIGINT)
+           END AS n_required_per_arm
+    FROM d
+    """,
+)
+def power_spend_events(spark, sf_dir):
+    """Continuous-metric power analysis (operators/profiling.py
+    required_sample_size_continuous): users per arm a t-test needs to
+    detect a 10% relative shift in per-user spend at two-sided
+    alpha=.05 / 80% power, from the OBSERVED mean and variance — the
+    continuous companion to power_purchase_rate_events' two-proportion
+    design. Exact DECIMAL(38,0) moments, shared hardcoded z quantiles,
+    one fixed-order double, conservative ceil."""
+    from pyspark_playground_spark.operators.profiling import (
+        required_sample_size_continuous,
+    )
+
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("y")
+    )
+    return required_sample_size_continuous(
+        u, metric_column="y", mde_rel_ppm=100_000
+    )

@@ -1818,3 +1818,48 @@ def test_difference_in_differences_hand_computed(spark):
     ).collect()[0]
     assert r2["did_q6"] is None and r2["se_q6"] is None
     assert r2["n_treat_post"] == 0
+
+
+def test_required_sample_size_continuous_mirror(spark):
+    """Textbook check: mean 100, sd 10, 10% relative MDE (delta 10) ->
+    n = 2*(z_a+z_b)^2 * (sd/delta)^2 ~ 15.7 -> ceil 16; zero-variance
+    and zero-mean frames refuse."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        required_sample_size_continuous,
+    )
+
+    # values 90/110 around mean 100 -> population var 100 (sd 10)
+    rows = [(90.0,), (110.0,)] * 50
+    df = spark.createDataFrame(rows, "y double")
+    r = required_sample_size_continuous(
+        df, metric_column="y", mde_rel_ppm=100_000
+    ).collect()[0]
+    assert r["n_observed"] == 100
+    assert r["mean_q6"] == 100_000_000
+    assert r["sd_q6"] == 10_000_000
+    z = 1.959963984540054 + 0.8416212335729143
+    # q6 units cancel in var/delta^2
+    expect = math.ceil(2.0 * (z * z) * (1e14 / (1e7 * 1e7)))
+    assert r["n_required_per_arm"] == expect == 16
+
+    # constant metric: sigma = 0 -> refuse
+    c = spark.createDataFrame([(5.0,)] * 4, "y double")
+    rc = required_sample_size_continuous(
+        c, metric_column="y", mde_rel_ppm=100_000
+    ).collect()[0]
+    assert rc["n_required_per_arm"] is None and rc["sd_q6"] == 0
+
+    # zero mean: a relative MDE has no scale -> refuse
+    zm = spark.createDataFrame([(-1.0,), (1.0,)], "y double")
+    rz = required_sample_size_continuous(
+        zm, metric_column="y", mde_rel_ppm=100_000
+    ).collect()[0]
+    assert rz["n_required_per_arm"] is None
+
+    # degenerate MDE refuses (the r7 ADVICE class)
+    rm = required_sample_size_continuous(
+        df, metric_column="y", mde_rel_ppm=0
+    ).collect()[0]
+    assert rm["n_required_per_arm"] is None
