@@ -1005,7 +1005,7 @@ def minhash_lsh_dedup_documents(spark, sf_dir):
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def simhash_dedup_documents(spark, sf_dir):
