@@ -3947,3 +3947,207 @@ def required_sample_size_continuous(
         ).cast("long").alias("sd_q6"),
         F.when(ok, n_req).cast("long").alias("n_required_per_arm"),
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    *,
+    score_column: Column | str,
+    success_column: Column | str,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran Biometrics'54, Armitage
+    Biometrics'55 — public construction): is a binary rate MONOTONE in
+    an ordinal dose/score? :func:`chi_square_independence` asks "are
+    these groups different at all" and burns power on non-monotone
+    alternatives; the trend test spends all of it on the
+    dose-response ordering (price band → return rate, quality decile →
+    rejection rate).
+
+    With integer scores xᵢ, per-score counts (nᵢ, sᵢ) and totals
+    (N, S): ``T = Σsᵢxᵢ − (S/N)·Σnᵢxᵢ`` and ``Var(T) = (S/N)(1−S/N)·
+    (Σnᵢxᵢ² − (Σnᵢxᵢ)²/N)``. Every sum is an exact DECIMAL(38,0)
+    over the score census (ONE map-side-combined aggregate — scores
+    are a bounded ordinal domain, the census discipline); z is ONE
+    fixed-order double quantized q6. NULL when S = 0, S = N, or the
+    score variance is 0 (a single score class). Sign convention:
+    positive z = rate rising with the score.
+
+    Output one row: (n_total, n_success, n_scores, z_q6).
+    """
+    y = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    ).cast("boolean")
+    x = (
+        F.col(score_column)
+        if isinstance(score_column, str)
+        else score_column
+    )
+    t = df.select(
+        x.cast("long").alias("__x"),
+        y.alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    g = t.groupBy("__x").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__s"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = g.agg(
+        F.sum("__n").alias("__nn"),
+        F.sum("__s").alias("__ss"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(d38(F.col("__s")) * d38(F.col("__x"))).alias("__sx"),
+        F.sum(d38(F.col("__n")) * d38(F.col("__x"))).alias("__nx"),
+        F.sum(
+            d38(F.col("__n")) * d38(F.col("__x")) * d38(F.col("__x"))
+        ).alias("__nxx"),
+    )
+    dv = F.try_divide
+    nn = F.col("__nn").cast("double")
+    ss = F.col("__ss").cast("double")
+    sx = F.col("__sx").cast("double")
+    nx = F.col("__nx").cast("double")
+    nxx = F.col("__nxx").cast("double")
+    p = dv(ss, nn)
+    t_stat = sx - p * nx
+    var = p * (F.lit(1.0) - p) * (nxx - dv(nx * nx, nn))
+    z = dv(t_stat, F.sqrt(var))
+    ok = (
+        (F.col("__ss") > 0)
+        & (F.col("__ss") < F.col("__nn"))
+        & (var > 0)
+    )
+    return agg.select(
+        F.col("__nn").cast("long").alias("n_total"),
+        F.col("__ss").cast("long").alias("n_success"),
+        F.col("__k").cast("long").alias("n_scores"),
+        F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("z_q6"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    *,
+    stratum_column: str | Column,
+    cohort_column: Column | str,
+    success_column: Column | str,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata (Mantel &
+    Haenszel JNCI'59 — public construction): the stratified 2×2
+    answer to Simpson's paradox — a marginal
+    :func:`two_proportion_test` can reverse sign when a confounder
+    (month, region, device) is unevenly split across cohorts; MH pools
+    the per-stratum odds ratios with their natural weights,
+    ``OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)``, plus the MH chi-square
+    ``(Σaᵢ − ΣEᵢ)² / ΣVᵢ`` with the hypergeometric
+    ``Eᵢ = r1ᵢc1ᵢ/nᵢ`` and ``Vᵢ = r1ᵢr2ᵢc1ᵢc2ᵢ/(nᵢ²(nᵢ−1))``.
+
+    One conditional aggregate to the stratum census (a/b/c/d exact
+    integers per stratum); each per-stratum term is ONE fixed-order
+    double quantized to q9 BIGINT so the cross-stratum sums are
+    exact and order-free (the log-rank discipline); the final OR and
+    chi-square are single quantized divisions. Degenerate strata
+    (nᵢ ≤ 1) contribute nothing to the variance and E terms (their V
+    is undefined); OR is NULL when the denominator mass is 0.
+
+    Output one row: (n_strata, n_rows, or_mh_q6, chi2_q6).
+    """
+    st = (
+        F.col(stratum_column)
+        if isinstance(stratum_column, str)
+        else stratum_column
+    )
+    co = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    y = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    ).cast("boolean")
+    t = df.select(
+        st.alias("__st"), co.alias("__c"), y.alias("__y")
+    ).filter(
+        F.col("__st").isNotNull()
+        & F.col("__c").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    g = t.groupBy("__st").agg(
+        F.sum(F.when(F.col("__c") & F.col("__y"), 1).otherwise(0)).alias(
+            "__a"
+        ),
+        F.sum(F.when(F.col("__c") & ~F.col("__y"), 1).otherwise(0)).alias(
+            "__b"
+        ),
+        F.sum(
+            F.when(~F.col("__c") & F.col("__y"), 1).otherwise(0)
+        ).alias("__cc"),
+        F.sum(
+            F.when(~F.col("__c") & ~F.col("__y"), 1).otherwise(0)
+        ).alias("__d"),
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__cc").cast("double")
+    d = F.col("__d").cast("double")
+    n = a + b + c + d
+    q9 = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    dv = F.try_divide
+    terms = g.select(
+        F.col("__a").alias("__ai"),
+        (F.col("__a") + F.col("__b") + F.col("__cc") + F.col("__d"))
+        .alias("__ni"),
+        q9(dv(a * d, n)).alias("__num"),
+        q9(dv(b * c, n)).alias("__den"),
+        F.when(n > 1, q9(dv((a + b) * (a + c), n))).alias("__e"),
+        F.when(
+            n > 1,
+            q9(
+                dv(
+                    (a + b) * (c + d) * (a + c) * (b + d),
+                    n * n * (n - F.lit(1.0)),
+                )
+            ),
+        ).alias("__v"),
+    )
+    d38 = lambda cc: cc.cast("decimal(38,0)")  # noqa: E731
+    red = terms.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__ni").alias("__rows"),
+        F.sum(F.when(F.col("__ni") > 1, F.col("__ai")).otherwise(0)).alias(
+            "__sa"
+        ),
+        F.sum(d38(F.col("__num"))).alias("__sn"),
+        F.sum(d38(F.col("__den"))).alias("__sd"),
+        F.sum(d38(F.col("__e"))).alias("__se"),
+        F.sum(d38(F.col("__v"))).alias("__sv"),
+    )
+    orr = dv(F.col("__sn").cast("double"), F.col("__sd").cast("double"))
+    diff = (
+        F.col("__sa").cast("double")
+        - F.col("__se").cast("double") / F.lit(1e9)
+    )
+    chi2 = dv(diff * diff, F.col("__sv").cast("double") / F.lit(1e9))
+    return red.select(
+        F.col("__k").cast("long").alias("n_strata"),
+        F.col("__rows").cast("long").alias("n_rows"),
+        F.when(
+            F.col("__sd") > 0,
+            F.floor(orr * F.lit(1e6) + F.lit(0.5)),
+        )
+        .cast("long")
+        .alias("or_mh_q6"),
+        F.when(
+            F.col("__sv") > 0,
+            F.floor(chi2 * F.lit(1e6) + F.lit(0.5)),
+        )
+        .cast("long")
+        .alias("chi2_q6"),
+    )

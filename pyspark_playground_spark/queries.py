@@ -16491,3 +16491,172 @@ def power_spend_events(spark, sf_dir):
     return required_sample_size_continuous(
         u, metric_column="y", mde_rel_ppm=100_000
     )
+
+
+@query(
+    "trend_priority_status_orders",
+    """
+    WITH t AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             (o_orderstatus = 'F') AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    g AS (
+      SELECT x, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS s
+      FROM t GROUP BY x
+    ),
+    agg AS (
+      SELECT sum(n) AS nn, sum(s) AS ss, count(*) AS k,
+             sum(CAST(s AS HUGEINT) * x) AS sx,
+             sum(CAST(n AS HUGEINT) * x) AS nx,
+             sum(CAST(n AS HUGEINT) * x * x) AS nxx
+      FROM g
+    ),
+    d AS (
+      SELECT nn, ss, k,
+             CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+             CAST(sx AS DOUBLE) AS sxd, CAST(nx AS DOUBLE) AS nxd,
+             CAST(nxx AS DOUBLE) AS nxxd, CAST(nn AS DOUBLE) AS nnd
+      FROM agg
+    ),
+    v AS (
+      SELECT nn, ss, k,
+             sxd - p * nxd AS tstat,
+             p * (1.0 - p) * (nxxd - (nxd * nxd) / nnd) AS var
+      FROM d
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total,
+           CAST(ss AS BIGINT) AS n_success,
+           CAST(k AS BIGINT) AS n_scores,
+           CASE WHEN ss > 0 AND ss < nn AND var > 0 THEN
+             CAST(floor(tstat / sqrt(var) * 1e6 + 0.5) AS BIGINT)
+           END AS z_q6
+    FROM v
+    """,
+)
+def trend_priority_status_orders(spark, sf_dir):
+    """Cochran-Armitage trend test (operators/profiling.py
+    cochran_armitage_trend): is the order-finished rate MONOTONE in
+    the numeric priority (1-URGENT .. 5-LOW)? chi_square_priority_
+    status asks 'different at all'; the trend test spends all its
+    power on the dose-response ordering. Exact DECIMAL(38,0) score-
+    census moments, one fixed-order quantized z."""
+    from pyspark_playground_spark.operators.profiling import (
+        cochran_armitage_trend,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    return cochran_armitage_trend(
+        o,
+        score_column=F.substring("o_orderpriority", 1, 1).cast("long")
+        .alias("score"),
+        success_column=F.col("o_orderstatus") == "F",
+    )
+
+
+@query(
+    "mantel_haenszel_orders",
+    """
+    WITH t AS (
+      SELECT date_trunc('month', o_orderdate) AS st,
+             (CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS c,
+             (o_orderstatus = 'F') AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    g AS (
+      SELECT st,
+             sum(CASE WHEN c AND y THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN c AND NOT y THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN NOT c AND y THEN 1 ELSE 0 END) AS cc,
+             sum(CASE WHEN NOT c AND NOT y THEN 1 ELSE 0 END) AS d
+      FROM t GROUP BY st
+    ),
+    terms AS (
+      SELECT a AS ai, a + b + cc + d AS ni,
+             CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                  + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS num,
+             CAST(floor(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)
+               / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                  + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS den,
+             CASE WHEN a + b + cc + d > 1 THEN
+               CAST(floor((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                 * (CAST(a AS DOUBLE) + CAST(cc AS DOUBLE))
+                 / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                    + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+                 * 1e9 + 0.5) AS BIGINT)
+             END AS e,
+             CASE WHEN a + b + cc + d > 1 THEN
+               CAST(floor((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                 * (CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+                 * (CAST(a AS DOUBLE) + CAST(cc AS DOUBLE))
+                 * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+                 / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                     + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+                    * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                       + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+                    * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                       + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE) - 1.0))
+                 * 1e9 + 0.5) AS BIGINT)
+             END AS v
+      FROM g
+    ),
+    red AS (
+      SELECT count(*) AS k, sum(ni) AS nrows,
+             sum(CASE WHEN ni > 1 THEN ai ELSE 0 END) AS sa,
+             sum(CAST(num AS HUGEINT)) AS sn,
+             sum(CAST(den AS HUGEINT)) AS sd,
+             sum(CAST(e AS HUGEINT)) AS se,
+             sum(CAST(v AS HUGEINT)) AS sv
+      FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_strata,
+           CAST(nrows AS BIGINT) AS n_rows,
+           CASE WHEN sd > 0 THEN
+             CAST(floor(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS or_mh_q6,
+           CASE WHEN sv > 0 THEN
+             CAST(floor((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+                        * (CAST(sa AS DOUBLE)
+                           - CAST(se AS DOUBLE) / 1e9)
+                        / (CAST(sv AS DOUBLE) / 1e9)
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS chi2_q6
+    FROM red
+    """,
+)
+def mantel_haenszel_orders(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio + chi-square across order
+    months (operators/profiling.py mantel_haenszel_or; M&H JNCI'59):
+    the md5-bucketed customer cohort's finished-order odds vs the rest,
+    POOLED within month strata — the Simpson's-paradox-proof version of
+    the marginal two-proportion readout. Per-stratum hypergeometric
+    terms quantized q9, exact cross-stratum sums, two quantized
+    divisions."""
+    from pyspark_playground_spark.operators.profiling import (
+        mantel_haenszel_or,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    return mantel_haenszel_or(
+        o,
+        stratum_column=F.date_trunc("month", "o_orderdate"),
+        cohort_column=hash_bucket_expr(["o_custkey"], 2) == 0,
+        success_column=F.col("o_orderstatus") == "F",
+    )

@@ -1245,6 +1245,34 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("difference_in_differences", n_evr, did)
 
+    # 89. ordered/stratified categorical pair over replicated orders
+    #     (r8): both are one conditional census aggregate + a bounded
+    #     reduce — the Cochran-Armitage trend and Mantel-Haenszel OR
+    def ca_mh():
+        pf.cochran_armitage_trend(
+            ord_rep2,
+            score_column=F.substring("o_orderpriority", 1, 1)
+            .cast("long"),
+            success_column=F.col("o_orderstatus") == "F",
+        ).write.format("noop").mode("overwrite").save()
+        pf.mantel_haenszel_or(
+            ord_rep2,
+            stratum_column=F.date_trunc("month", "o_orderdate"),
+            cohort_column=smp.hash_bucket_expr(["o_custkey"], 2) == 0,
+            success_column=F.col("o_orderstatus") == "F",
+        ).write.format("noop").mode("overwrite").save()
+    ord_rep2 = (
+        Q.load(spark, SF_DIR, "orders")
+        .crossJoin(reps_frame(spark))
+        .select(
+            (F.col("o_custkey") + F.col("__rep") * F.lit(10_000_000))
+            .alias("o_custkey"),
+            "o_orderpriority", "o_orderstatus", "o_orderdate",
+        )
+    )
+    n_ord2 = ord_rep2.count()
+    timed("trend_and_mh", n_ord2, ca_mh)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

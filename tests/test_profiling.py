@@ -1863,3 +1863,110 @@ def test_required_sample_size_continuous_mirror(spark):
         df, metric_column="y", mde_rel_ppm=0
     ).collect()[0]
     assert rm["n_required_per_arm"] is None
+
+
+def test_cochran_armitage_trend_mirror(spark):
+    """Monotone dose-response scores positive z pinned by a python
+    mirror; a flat rate scores ~0; reversed dose flips the sign;
+    single-score and all-success frames refuse."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        cochran_armitage_trend,
+    )
+
+    # rates rise with x: 20% / 50% / 80% at x = 0/1/2, n=10 each
+    rows = []
+    for x, s in ((0, 2), (1, 5), (2, 8)):
+        rows += [(x, True)] * s + [(x, False)] * (10 - s)
+    df = spark.createDataFrame(rows, "x bigint, y boolean")
+    r = cochran_armitage_trend(
+        df, score_column="x", success_column="y"
+    ).collect()[0]
+    N, S = 30, 15
+    sx = 0 * 2 + 1 * 5 + 2 * 8
+    nx = 10 * (0 + 1 + 2)
+    nxx = 10 * (0 + 1 + 4)
+    p = S / N
+    tstat = sx - p * nx
+    var = p * (1.0 - p) * (nxx - (nx * nx) / N)
+    assert r["z_q6"] == math.floor(tstat / math.sqrt(var) * 1e6 + 0.5)
+    assert r["z_q6"] > 2_000_000  # clearly positive trend
+    assert (r["n_total"], r["n_success"], r["n_scores"]) == (30, 15, 3)
+
+    # reversed dose: sign flips exactly
+    rev = spark.createDataFrame(
+        [(2 - x, y) for x, y in rows], "x bigint, y boolean"
+    )
+    rr = cochran_armitage_trend(
+        rev, score_column="x", success_column="y"
+    ).collect()[0]
+    assert rr["z_q6"] == -r["z_q6"]
+
+    # flat rate: z ~ 0
+    flat = []
+    for x in (0, 1, 2):
+        flat += [(x, True)] * 5 + [(x, False)] * 5
+    rf = cochran_armitage_trend(
+        spark.createDataFrame(flat, "x bigint, y boolean"),
+        score_column="x", success_column="y",
+    ).collect()[0]
+    assert rf["z_q6"] == 0
+
+    # single score class: var 0 -> refuse
+    one = spark.createDataFrame(
+        [(1, True), (1, False)], "x bigint, y boolean"
+    )
+    ro = cochran_armitage_trend(
+        one, score_column="x", success_column="y"
+    ).collect()[0]
+    assert ro["z_q6"] is None
+
+
+def test_mantel_haenszel_mirror_and_simpson(spark):
+    """Python mirror over two hand strata; and the Simpson check: a
+    within-stratum OR of exactly 1 pools to 1 even when the MARGINAL
+    table shows an association from confounded stratum sizes."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        mantel_haenszel_or,
+    )
+
+    # stratum 1: a=8 b=2 c=4 d=1  (OR = 8*1/(2*4) = 1)
+    # stratum 2: a=1 b=4 c=2 d=8  (OR = 8/8 = 1)
+    rows = []
+    rows += [("s1", True, True)] * 8 + [("s1", True, False)] * 2
+    rows += [("s1", False, True)] * 4 + [("s1", False, False)] * 1
+    rows += [("s2", True, True)] * 1 + [("s2", True, False)] * 4
+    rows += [("s2", False, True)] * 2 + [("s2", False, False)] * 8
+    df = spark.createDataFrame(rows, "st string, c boolean, y boolean")
+    r = mantel_haenszel_or(
+        df, stratum_column="st", cohort_column="c", success_column="y"
+    ).collect()[0]
+
+    def q9(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    sn = sd = se = sv = 0
+    for a, b, c, d in ((8, 2, 4, 1), (1, 4, 2, 8)):
+        n = float(a + b + c + d)
+        sn += q9(a * d / n)
+        sd += q9(b * c / n)
+        se += q9((a + b) * (a + c) / n)
+        sv += q9((a + b) * (c + d) * (a + c) * (b + d)
+                 / (n * n * (n - 1.0)))
+    assert r["or_mh_q6"] == math.floor(sn / sd * 1e6 + 0.5)
+    # both strata have OR exactly 1 -> pooled OR exactly 1
+    assert r["or_mh_q6"] == 1_000_000
+    sa = 8 + 1
+    chi2 = (sa - se / 1e9) ** 2 / (sv / 1e9)
+    assert r["chi2_q6"] == math.floor(chi2 * 1e6 + 0.5)
+    assert (r["n_strata"], r["n_rows"]) == (2, 30)
+    # ... while the MARGINAL (collapsed) table is confounded away
+    # from OR=1: a=9 b=6 c=6 d=9 -> OR = 81/36 = 2.25
+    marg = mantel_haenszel_or(
+        df.withColumn("st", F.lit("all")),
+        stratum_column="st", cohort_column="c", success_column="y",
+    ).collect()[0]
+    assert marg["or_mh_q6"] == 2_250_000
