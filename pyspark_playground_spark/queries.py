@@ -16660,3 +16660,78 @@ def mantel_haenszel_orders(spark, sf_dir):
         cohort_column=hash_bucket_expr(["o_custkey"], 2) == 0,
         success_column=F.col("o_orderstatus") == "F",
     )
+
+
+@query(
+    "kruskal_wallis_doc_lengths",
+    """
+    WITH t AS (
+      SELECT n_chars AS v, source AS g FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    cells AS (SELECT v, g, count(*) AS cg FROM t GROUP BY v, g),
+    vtot AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM (SELECT v, sum(cg) AS c FROM cells GROUP BY v)
+    ),
+    j AS (
+      SELECT cells.g, cells.cg,
+             CAST(cells.cg AS HUGEINT)
+               * (2 * vtot.cum + vtot.c + 1) AS r2part
+      FROM cells JOIN vtot ON vtot.v = cells.v
+    ),
+    pg AS (
+      SELECT g, sum(cg) AS n, sum(r2part) AS r2 FROM j GROUP BY g
+    ),
+    gq AS (
+      SELECT n,
+             CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+               / (4.0 * CAST(n AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+               AS tq
+      FROM pg
+    ),
+    ties AS (
+      SELECT sum(CAST(c AS HUGEINT) * c * c - CAST(c AS HUGEINT))
+               AS t3
+      FROM vtot
+    ),
+    red AS (
+      SELECT sum(n) AS nn, count(*) AS k, sum(tq) AS s FROM gq
+    ),
+    d AS (
+      SELECT nn, k,
+             12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+               * (CAST(s AS DOUBLE) / 1e6)
+               - 3.0 * (CAST(nn AS DOUBLE) + 1.0) AS h,
+             1.0 - CAST(t3 AS DOUBLE)
+               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                  * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) AS corr
+      FROM red CROSS JOIN ties
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+           CASE WHEN k >= 2
+             THEN CAST(floor(h * 1e6 + 0.5) AS BIGINT) END AS h_q6,
+           CASE WHEN k >= 2 AND corr > 0
+             THEN CAST(floor(h / corr * 1e6 + 0.5) AS BIGINT)
+           END AS h_tie_q6
+    FROM d
+    """,
+)
+def kruskal_wallis_doc_lengths(spark, sf_dir):
+    """Exact tie-corrected Kruskal-Wallis H across ALL sources' doc
+    lengths (operators/profiling.py kruskal_wallis; K&W JASA'52): the
+    k-group rank test mann_whitney_doc_lengths only answers pairwise
+    and anova assumes normality — did ANY source shift the length
+    distribution? (value, group) census, one census-bounded cumulative,
+    exact DECIMAL rank sums, per-group q6 terms summed order-free."""
+    from pyspark_playground_spark.operators.profiling import (
+        kruskal_wallis,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return kruskal_wallis(
+        docs, value_column="n_chars", group_column="source"
+    )

@@ -1273,6 +1273,15 @@ def main() -> None:
     n_ord2 = ord_rep2.count()
     timed("trend_and_mh", n_ord2, ca_mh)
 
+    # 90. Kruskal-Wallis over the replicated corpus (r8): (value,
+    #     group) census + one census-bounded cumulative; per-group q6
+    #     terms summed order-free
+    def kw():
+        pf.kruskal_wallis(
+            docs, value_column="n_chars", group_column="source",
+        ).write.format("noop").mode("overwrite").save()
+    timed("kruskal_wallis", n_docs, kw)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

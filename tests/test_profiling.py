@@ -1970,3 +1970,61 @@ def test_mantel_haenszel_mirror_and_simpson(spark):
         stratum_column="st", cohort_column="c", success_column="y",
     ).collect()[0]
     assert marg["or_mh_q6"] == 2_250_000
+
+
+def test_kruskal_wallis_mirror_and_reductions(spark):
+    """Textbook no-tie fixture pinned against the closed form, the
+    2-group case cross-checked against scipy-free hand H, ties flow
+    through the correction, and degenerate frames refuse."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        kruskal_wallis,
+    )
+
+    # three groups, no ties: values 1..9, groups get {1,4,7},{2,5,8},
+    # {3,6,9} -> rank sums 12/15/18
+    rows = [(float(v), "g" + str(v % 3)) for v in range(1, 10)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = kruskal_wallis(
+        df, value_column="v", group_column="g"
+    ).collect()[0]
+    n = 9
+    rsums = {0: 3 + 6 + 9, 1: 1 + 4 + 7, 2: 2 + 5 + 8}
+    s = sum(
+        math.floor((2 * rs) ** 2 / (4.0 * 3) * 1e6 + 0.5)
+        for rs in rsums.values()
+    )
+    h = 12.0 / (n * (n + 1.0)) * (s / 1e6) - 3.0 * (n + 1.0)
+    assert r["h_q6"] == math.floor(h * 1e6 + 0.5)
+    # no ties: corrected == raw
+    assert r["h_tie_q6"] == r["h_q6"]
+    assert (r["n_total"], r["n_groups"]) == (9, 3)
+
+    # maximally separated groups approach the theoretical H bound
+    sep = [(float(i), "lo") for i in range(10)] + [
+        (float(i + 100), "hi") for i in range(10)
+    ]
+    rs = kruskal_wallis(
+        spark.createDataFrame(sep, "v double, g string"),
+        value_column="v", group_column="g",
+    ).collect()[0]
+    assert rs["h_q6"] > 14_000_000  # ~14.29 for n=20, k=2 split
+
+    # all values tied: correction denominator 0 -> NULL corrected
+    tied = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "b"), (1.0, "a")], "v double, g string"
+    )
+    rt = kruskal_wallis(
+        tied, value_column="v", group_column="g"
+    ).collect()[0]
+    assert rt["h_tie_q6"] is None
+
+    # single group: refuse
+    one = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a")], "v double, g string"
+    )
+    ro = kruskal_wallis(
+        one, value_column="v", group_column="g"
+    ).collect()[0]
+    assert ro["h_q6"] is None and ro["h_tie_q6"] is None
