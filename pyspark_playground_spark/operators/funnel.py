@@ -170,7 +170,11 @@ def multitouch_attribution(
         F.sum("__credit").alias("credit_q6"),
     )
     untouched = (
-        conv.join(k, conv["__cid"] == k["__cid"], "left_anti")
+        conv.join(
+            k.select(F.col("__cid").alias("__kcid")),
+            conv["__cid"] == F.col("__kcid"),
+            "left_anti",
+        )
         .agg(F.count(F.lit(1)).alias("conversions_touched"))
         .select(
             F.lit("(untouched)").alias("__t"),
