@@ -420,3 +420,56 @@ def ahash_near_dup_pairs(
     return _simhash_pairs_from_sigs(
         sigs, id_column, chunk_bits=15, max_hamming=max_hamming
     )
+
+
+def incremental_ahash_pairs(
+    existing_signatures: DataFrame,
+    new_media: DataFrame,
+    id_column: str = "doc_id",
+    *,
+    content_column: str = "content",
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental perceptual near-dup for a media INGEST batch — the
+    ``incremental_simhash_pairs`` pattern over :func:`ahash_signatures`:
+    only the NEW payloads are hashed, signatures persisted from prior
+    batches (``(id, simhash)`` as :func:`ahash_signatures` writes them)
+    are reused, and only pairs touching a new item are emitted. No
+    payload is ever re-decoded — the verify is ``bit_count(xor)`` over
+    the signatures, which is the whole point of shipping the signature
+    table as a first-class artifact of the ingest pipeline.
+    """
+    from pyspark_playground_spark.operators.dedup import (
+        _materialize,
+        _simhash_pairs_from_sigs,
+    )
+
+    sigs_new = ahash_signatures(
+        new_media, id_column, content_column=content_column, bits=60
+    )
+    sigs = _materialize(
+        existing_signatures.unionByName(sigs_new), checkpoint_dir
+    )
+    pairs = _simhash_pairs_from_sigs(
+        sigs, id_column, chunk_bits=15, max_hamming=max_hamming
+    )
+    new_ids = new_media.select(id_column)
+    return (
+        pairs.join(
+            new_ids.select(F.col(id_column).alias("id_a")).withColumn(
+                "__na", F.lit(True)
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col(id_column).alias("id_b")).withColumn(
+                "__nb", F.lit(True)
+            ),
+            "id_b",
+            "left",
+        )
+        .where(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
+        .select("id_a", "id_b", "hamming")
+    )

@@ -16735,3 +16735,41 @@ def kruskal_wallis_doc_lengths(spark, sf_dir):
     return kruskal_wallis(
         docs, value_column="n_chars", group_column="source"
     )
+
+
+@query(
+    "incremental_ahash_documents",
+    _AHASH_CTE + """
+    , chunks AS (
+      SELECT doc_id, simhash, c.chunk,
+             (simhash >> (c.chunk * 15)) & 32767 AS val
+      FROM sig, (SELECT unnest(range(0, 4)) AS chunk) c(chunk)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    )
+    SELECT id_a, id_b, hamming FROM pairs
+    WHERE id_a % 3 = 0 OR id_b % 3 = 0
+    """,
+)
+def incremental_ahash_documents(spark, sf_dir):
+    """Incremental perceptual near-dup for an ingest batch
+    (operators/multimodal.py incremental_ahash_pairs): only the "new"
+    third of the corpus (doc_id % 3 = 0) is hashed, prior signatures
+    are reused as a persisted artifact, and only pairs touching a new
+    item emerge — must equal the batch pairs filtered to
+    new-touching, which is exactly what the oracle computes over the
+    full signature table."""
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    docs = mm.attach_media_column(load(spark, sf_dir, "documents"), "text")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    existing = mm.ahash_signatures(old, "doc_id")
+    return mm.incremental_ahash_pairs(
+        existing, new, "doc_id", max_hamming=8
+    )

@@ -1228,3 +1228,34 @@ def test_ahash_signatures_and_near_dup(spark):
 
     with pytest.raises(ValueError, match="bits"):
         mm.ahash_signatures(d, "doc_id", bits=64)
+
+
+def test_incremental_ahash_equals_batch_filtered(spark):
+    """The incremental-ingest invariant: signing only the new batch and
+    reusing persisted signatures must equal the full batch pair set
+    filtered to new-touching pairs; old-old pairs never reappear."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (3, "zzzz completely different payload bytes 1234 " * 4),
+        (4, "the quick brown fox jumps over the lazy dog " * 4),
+        (5, "zzzz completely different payload bytes 1234 " * 4),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    d = mm.attach_media_column(df, "text")
+    old = d.filter(F.col("doc_id") <= 3)
+    new = d.filter(F.col("doc_id") > 3)
+    inc = {(r["id_a"], r["id_b"]) for r in mm.incremental_ahash_pairs(
+        mm.ahash_signatures(old, "doc_id"), new, "doc_id",
+        max_hamming=8).collect()}
+    batch = {(r["id_a"], r["id_b"]) for r in mm.ahash_near_dup_pairs(
+        d, "doc_id", max_hamming=8).collect()}
+    expect = {p for p in batch if p[0] > 3 or p[1] > 3}
+    assert inc == expect
+    # the old-old duplicate pair (1,2) is in batch but NOT incremental
+    assert (1, 2) in batch and (1, 2) not in inc
+    assert (1, 4) in inc and (3, 5) in inc
