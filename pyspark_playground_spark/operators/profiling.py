@@ -4253,3 +4253,202 @@ def kruskal_wallis(
         .cast("long")
         .alias("h_tie_q6"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    *,
+    block_column: str,
+    treatment_column: str,
+    value_column: str,
+) -> DataFrame:
+    """Exact tie-corrected Friedman test (Friedman JASA'37; Conover's
+    tie-safe form) — the REPEATED-MEASURES rank test:
+    :func:`kruskal_wallis` compares independent groups, Friedman
+    compares k treatments measured on the SAME blocks (users, queries,
+    documents), ranking WITHIN each block so between-block level
+    differences cancel entirely. The eval-suite question "which of k
+    model variants ranks best per query" is this test.
+
+    Only COMPLETE blocks (all k treatments present exactly once) enter
+    — incomplete blocks are dropped and counted
+    (``n_blocks_dropped``), the honest repeated-measures contract.
+    With doubled within-block midranks ``r2 = 2·(#smaller) + (#tied)
+    + 1`` every quantity is an EXACT integer: treatment sums R2ⱼ,
+    ``A2 = Σr2²``, ``C2 = b·k·(k+1)²``, and Conover's statistic
+    ``(k−1)·Σⱼ(R2ⱼ − b(k+1))² / (A2 − C2)`` reduces to ONE exact
+    integral division, quantized q6 (in doubled-rank units both
+    numerator and denominator scale by 4 — the factor cancels). NULL
+    when k < 2, no complete block survives, or every block is fully
+    tied (A2 = C2).
+
+    Plan: midranks via a block-keyed self-join (k² rows per block, k
+    bounded — no per-row window); one treatment census; two 1-row
+    reduces broadcast back. The two eager driver counts (global k,
+    total blocks) are scalar aggregates.
+
+    Output one row: (n_blocks, n_treatments, n_blocks_dropped,
+    chi2_q6).
+    """
+    t = df.select(
+        F.col(block_column).alias("__b"),
+        F.col(treatment_column).alias("__t"),
+        F.col(value_column).cast("double").alias("__v"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__v").isNotNull()
+    )
+    k_total = t.select("__t").distinct().count()
+    sizes = t.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col("__t")).alias("__kt"),
+    )
+    n_blocks_all = sizes.count()
+    complete_ids = sizes.filter(
+        (F.col("__n") == k_total) & (F.col("__kt") == k_total)
+    ).select("__b")
+    tt = t.join(complete_ids, "__b")
+    other = tt.select(F.col("__b"), F.col("__v").alias("__v2"))
+    cells = (
+        tt.join(other, "__b")
+        .groupBy("__b", "__t", "__v")
+        .agg(
+            (
+                F.lit(2)
+                * F.sum(
+                    F.when(F.col("__v2") < F.col("__v"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("__v2") == F.col("__v"), 1).otherwise(0)
+                )
+                + 1
+            ).alias("__r2")
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = cells.groupBy("__t").agg(
+        F.sum(d38(F.col("__r2"))).alias("__R2"),
+        F.count(F.lit(1)).alias("__bcnt"),
+    )
+    bk = per_t.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.max("__bcnt").alias("__bb"),
+    ).crossJoin(
+        F.broadcast(
+            cells.agg(
+                F.sum(d38(F.col("__r2")) * d38(F.col("__r2"))).alias(
+                    "__a2"
+                )
+            )
+        )
+    )
+    dev = (
+        per_t.crossJoin(F.broadcast(bk))
+        .select(
+            (
+                d38(F.col("__R2"))
+                - d38(F.col("__bcnt")) * (F.col("__k") + 1)
+            ).alias("__d")
+        )
+        .agg(F.sum(F.col("__d") * F.col("__d")).alias("__s"))
+    )
+    out = bk.crossJoin(F.broadcast(dev))
+    stat = F.expr(
+        "CASE WHEN __a2 - CAST(__bb AS DECIMAL(38,0)) * __k"
+        " * (__k + 1) * (__k + 1) > 0 THEN"
+        " ((__k - 1) * __s * 1000000) DIV"
+        " (__a2 - CAST(__bb AS DECIMAL(38,0)) * __k"
+        " * (__k + 1) * (__k + 1)) END"
+    )
+    return out.select(
+        F.coalesce(F.col("__bb"), F.lit(0)).cast("long").alias(
+            "n_blocks"
+        ),
+        F.col("__k").cast("long").alias("n_treatments"),
+        (
+            F.lit(int(n_blocks_all))
+            - F.coalesce(F.col("__bb"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_blocks_dropped"),
+        F.when(
+            (F.col("__k") >= 2) & (F.col("__bb") > 0), stat
+        )
+        .cast("long")
+        .alias("chi2_q6"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    *,
+    block_column: str,
+    treatment_column: str,
+    success_column: Column | str,
+) -> DataFrame:
+    """Cochran's Q test (Cochran Biometrika'50) — k-treatment binary
+    repeated measures, the generalization of :func:`mcnemar_test`
+    beyond two treatments and the binary sibling of
+    :func:`friedman_test`: did ANY of k detectors/filters/variants
+    succeed at a different rate on the SAME blocks? ``Q = (k−1)·
+    (k·ΣCⱼ² − N²) / (k·ΣRᵢ − ΣRᵢ²)`` with column totals Cⱼ, block
+    totals Rᵢ, N = ΣRᵢ. Missing (block, treatment) cells count as
+    failure (the every-block-sees-every-treatment design where
+    absence IS the outcome); duplicate observations fold by
+    logical-OR.
+
+    ENTIRELY exact integers: one distinct success-cell frame, one
+    block census, one treatment census, a single integral division
+    quantized q6. NULL when k < 2 or the denominator is 0 (every
+    block all-success or all-failure — no within-block variation).
+
+    Output one row: (n_blocks, n_treatments, q_q6).
+    """
+    y = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    ).cast("boolean")
+    t = df.select(
+        F.col(block_column).alias("__b"),
+        F.col(treatment_column).alias("__t"),
+        y.alias("__y"),
+    ).filter(F.col("__b").isNotNull() & F.col("__t").isNotNull())
+    k_total = t.select("__t").distinct().count()
+    succ = (
+        t.filter(F.col("__y"))
+        .select("__b", "__t")
+        .distinct()
+    )
+    rows = t.select("__b").distinct()
+    ri = rows.join(
+        succ.groupBy("__b").agg(F.count(F.lit(1)).alias("__r")),
+        "__b",
+        "left",
+    ).select(F.coalesce(F.col("__r"), F.lit(0)).alias("__r"))
+    cj = succ.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rred = ri.agg(
+        F.count(F.lit(1)).alias("__bb"),
+        F.sum(d38(F.col("__r"))).alias("__n"),
+        F.sum(d38(F.col("__r")) * d38(F.col("__r"))).alias("__rr"),
+    )
+    cred = cj.agg(
+        F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__cc")
+    )
+    out = rred.crossJoin(F.broadcast(cred))
+    stat = F.expr(
+        f"CASE WHEN {int(k_total)} * __n - __rr > 0 THEN"
+        f" (({int(k_total)} - 1)"
+        f" * ({int(k_total)} * coalesce(__cc, CAST(0 AS DECIMAL(38,0)))"
+        f" - __n * __n) * 1000000)"
+        f" DIV ({int(k_total)} * __n - __rr) END"
+    )
+    return out.select(
+        F.col("__bb").cast("long").alias("n_blocks"),
+        F.lit(int(k_total)).cast("long").alias("n_treatments"),
+        F.when(F.lit(int(k_total) >= 2), stat)
+        .cast("long")
+        .alias("q_q6"),
+    )

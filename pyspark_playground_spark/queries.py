@@ -16773,3 +16773,152 @@ def incremental_ahash_documents(spark, sf_dir):
     return mm.incremental_ahash_pairs(
         existing, new, "doc_id", max_hamming=8
     )
+
+
+@query(
+    "friedman_event_values_users",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    cells0 AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(sum(CAST(round(value, 9) AS DECIMAL(28,10)))
+                  AS DOUBLE) / count(*) AS v
+      FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL
+                AND user_id IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    kt AS (SELECT count(DISTINCT t) AS k FROM cells0),
+    complete AS (
+      SELECT b FROM cells0 GROUP BY b
+      HAVING count(*) = (SELECT k FROM kt)
+         AND count(DISTINCT t) = (SELECT k FROM kt)
+    ),
+    nall AS (SELECT count(DISTINCT b) AS nb FROM cells0),
+    tt AS (
+      SELECT cells0.* FROM cells0 JOIN complete USING (b)
+    ),
+    ranked AS (
+      SELECT a.b, a.t,
+             2 * sum(CASE WHEN o.v < a.v THEN 1 ELSE 0 END)
+               + sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END) + 1 AS r2
+      FROM tt a JOIN tt o ON o.b = a.b
+      GROUP BY a.b, a.t, a.v
+    ),
+    per_t AS (
+      SELECT t, sum(CAST(r2 AS HUGEINT)) AS rr2, count(*) AS bcnt
+      FROM ranked GROUP BY t
+    ),
+    bk AS (
+      SELECT count(*) AS k, max(bcnt) AS bb,
+             (SELECT sum(CAST(r2 AS HUGEINT) * r2) FROM ranked) AS a2
+      FROM per_t
+    ),
+    dev AS (
+      SELECT sum((CAST(rr2 AS HUGEINT) - CAST(bcnt AS HUGEINT)
+                  * ((SELECT k FROM bk) + 1))
+                 * (CAST(rr2 AS HUGEINT) - CAST(bcnt AS HUGEINT)
+                    * ((SELECT k FROM bk) + 1))) AS s
+      FROM per_t
+    )
+    SELECT CAST(coalesce(bb, 0) AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS n_treatments,
+           CAST((SELECT nb FROM nall) - coalesce(bb, 0) AS BIGINT)
+             AS n_blocks_dropped,
+           CAST(CASE WHEN k >= 2 AND coalesce(bb, 0) > 0
+                      AND a2 - CAST(bb AS HUGEINT) * k * (k + 1)
+                          * (k + 1) > 0 THEN
+             ((k - 1) * (SELECT s FROM dev) * 1000000)
+               // (a2 - CAST(bb AS HUGEINT) * k * (k + 1) * (k + 1))
+           END AS BIGINT) AS chi2_q6
+    FROM bk
+    """,
+)
+def friedman_event_values_users(spark, sf_dir):
+    """Exact tie-corrected Friedman test across event types, blocked by
+    user (operators/profiling.py friedman_test; JASA'37, Conover
+    tie-safe form): does the typical per-user event VALUE differ by
+    type, with each user serving as their own control? Only users
+    observed under every type enter (dropped blocks counted); doubled
+    within-block midranks keep the whole statistic one exact integral
+    division."""
+    from pyspark_playground_spark.operators.profiling import (
+        friedman_test,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    cells = e.groupBy("user_id", "event_type").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    return friedman_test(
+        cells,
+        block_column="user_id",
+        treatment_column="event_type",
+        value_column="v",
+    )
+
+
+@query(
+    "cochran_q_users",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT user_id AS b, event_type AS tt, (value > 100) AS y
+      FROM e WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL
+    ),
+    kt AS (SELECT count(DISTINCT tt) AS k FROM t),
+    succ AS (SELECT DISTINCT b, tt FROM t WHERE y),
+    rows_ AS (SELECT DISTINCT b FROM t),
+    ri AS (
+      SELECT coalesce(s.r, 0) AS r
+      FROM rows_ LEFT JOIN (
+        SELECT b, count(*) AS r FROM succ GROUP BY b
+      ) s ON s.b = rows_.b
+    ),
+    rred AS (
+      SELECT count(*) AS bb, sum(CAST(r AS HUGEINT)) AS n,
+             sum(CAST(r AS HUGEINT) * r) AS rr
+      FROM ri
+    ),
+    cred AS (
+      SELECT sum(CAST(c AS HUGEINT) * c) AS cc FROM (
+        SELECT tt, count(*) AS c FROM succ GROUP BY tt
+      )
+    )
+    SELECT CAST(bb AS BIGINT) AS n_blocks,
+           CAST((SELECT k FROM kt) AS BIGINT) AS n_treatments,
+           CAST(CASE WHEN (SELECT k FROM kt) >= 2
+                      AND (SELECT k FROM kt) * n - rr > 0 THEN
+             (((SELECT k FROM kt) - 1)
+              * ((SELECT k FROM kt) * coalesce(cc, 0) - n * n)
+              * 1000000)
+               // ((SELECT k FROM kt) * n - rr)
+           END AS BIGINT) AS q_q6
+    FROM rred CROSS JOIN cred
+    """,
+)
+def cochran_q_users(spark, sf_dir):
+    """Cochran's Q across event types, blocked by user
+    (operators/profiling.py cochran_q; Biometrika'50): do the k event
+    types hit value>100 at different rates for the SAME users — the
+    k-treatment McNemar and the binary Friedman. Missing (user, type)
+    cells are failures by design; entirely exact integers, one
+    integral division."""
+    from pyspark_playground_spark.operators.profiling import cochran_q
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return cochran_q(
+        e,
+        block_column="user_id",
+        treatment_column="event_type",
+        success_column=F.col("value") > 100,
+    )

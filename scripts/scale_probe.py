@@ -1282,6 +1282,26 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("kruskal_wallis", n_docs, kw)
 
+    # 91. blocked repeated-measures pair over replicated events (r8):
+    #     Friedman's k^2-per-block midrank self-join (k bounded by the
+    #     event-type domain) + Cochran's Q distinct-cell censuses
+    def blocked_pair():
+        dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+        ev2 = ev_rep.filter(F.col("value").isNotNull()
+                            & F.col("event_type").isNotNull())
+        cells = ev2.groupBy("user_id", "event_type").agg(
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("v"))
+        pf.friedman_test(
+            cells, block_column="user_id",
+            treatment_column="event_type", value_column="v",
+        ).write.format("noop").mode("overwrite").save()
+        pf.cochran_q(
+            ev2, block_column="user_id",
+            treatment_column="event_type",
+            success_column=F.col("value") > 100,
+        ).write.format("noop").mode("overwrite").save()
+    timed("friedman_cochran_q", n_evr, blocked_pair)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

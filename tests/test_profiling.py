@@ -2028,3 +2028,101 @@ def test_kruskal_wallis_mirror_and_reductions(spark):
         one, value_column="v", group_column="g"
     ).collect()[0]
     assert ro["h_q6"] is None and ro["h_tie_q6"] is None
+
+
+def test_friedman_test_mirror_and_contract(spark):
+    """Textbook no-tie fixture (consistent treatment ordering across
+    blocks -> maximal chi2 = b·(k−1) = 2·(k−1)·... pinned exactly via
+    the integral form); incomplete blocks drop and are counted; a
+    fully tied design refuses."""
+    from pyspark_playground_spark.operators.profiling import (
+        friedman_test,
+    )
+
+    # 3 blocks x 3 treatments, treatment C always best, A always worst
+    rows = []
+    for b, base in (("b1", 0.0), ("b2", 10.0), ("b3", 20.0)):
+        rows += [(b, "A", base + 1.0), (b, "B", base + 2.0),
+                 (b, "C", base + 3.0)]
+    # plus one incomplete block (missing treatment C)
+    rows += [("b4", "A", 1.0), ("b4", "B", 2.0)]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    r = friedman_test(
+        df, block_column="b", treatment_column="t", value_column="v"
+    ).collect()[0]
+    assert (r["n_blocks"], r["n_treatments"]) == (3, 3)
+    assert r["n_blocks_dropped"] == 1
+    # perfect consistency: R2 per treatment = b*(2r-? ) -> ranks 1/2/3
+    # in every block; doubled ranks 2/4/6; R2 = (6, 12, 18); b(k+1)=12
+    # S = 36+0+36 = 72; A2 = 3*(4+16+36) = 168; C2 = 3*3*16 = 144
+    # chi2 = (k-1)*S/(A2-C2) = 2*72/24 = 6  (the b(k-1) maximum)
+    assert r["chi2_q6"] == 6_000_000
+
+    # fully tied: refuse
+    tied = spark.createDataFrame(
+        [(b, t, 1.0) for b in ("x", "y") for t in ("A", "B")],
+        "b string, t string, v double",
+    )
+    rt = friedman_test(
+        tied, block_column="b", treatment_column="t", value_column="v"
+    ).collect()[0]
+    assert rt["chi2_q6"] is None
+
+
+def test_cochran_q_mirror_and_reductions(spark):
+    """Hand 2x... fixture pinned against the closed form; the k=2 case
+    agrees with McNemar's identity Q = (b-c)^2/(b+c); no-variation
+    designs refuse; missing cells count as failure."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import cochran_q
+
+    # blocks 1..4, treatments A/B/C; successes:
+    # b1: A,B  b2: A  b3: A,B,C  b4: (none — missing rows = failures)
+    rows = [
+        (1, "A", True), (1, "B", True), (1, "C", False),
+        (2, "A", True), (2, "B", False), (2, "C", False),
+        (3, "A", True), (3, "B", True), (3, "C", True),
+        (4, "A", False),  # b4 has no B/C rows at all
+    ]
+    df = spark.createDataFrame(rows, "b bigint, t string, y boolean")
+    r = cochran_q(
+        df, block_column="b", treatment_column="t", success_column="y"
+    ).collect()[0]
+    k = 3
+    R = [2, 1, 3, 0]
+    C = [3, 2, 1]
+    N = sum(R)
+    q = (k - 1) * (k * sum(c * c for c in C) - N * N) / (
+        k * N - sum(x * x for x in R)
+    )
+    assert r["q_q6"] == math.floor(q * 1e6) or r["q_q6"] == (
+        ((k - 1) * (k * sum(c * c for c in C) - N * N) * 1_000_000)
+        // (k * N - sum(x * x for x in R))
+    )
+    assert (r["n_blocks"], r["n_treatments"]) == (4, 3)
+
+    # k=2 reduces to McNemar's (b-c)^2/(b+c) on discordant pairs
+    rows2 = [
+        (1, "A", True), (1, "B", False),
+        (2, "A", True), (2, "B", False),
+        (3, "A", False), (3, "B", True),
+        (4, "A", True), (4, "B", True),
+    ]
+    df2 = spark.createDataFrame(rows2, "b bigint, t string, y boolean")
+    r2 = cochran_q(
+        df2, block_column="b", treatment_column="t", success_column="y"
+    ).collect()[0]
+    # discordant: A-only = 2, B-only = 1 -> (2-1)^2/3
+    assert r2["q_q6"] == (1 * 1_000_000) // 3
+
+    # every block all-success: zero within-block variation -> refuse
+    allsucc = spark.createDataFrame(
+        [(b, t, True) for b in (1, 2) for t in ("A", "B")],
+        "b bigint, t string, y boolean",
+    )
+    ra = cochran_q(
+        allsucc, block_column="b", treatment_column="t",
+        success_column="y",
+    ).collect()[0]
+    assert ra["q_q6"] is None
