@@ -4452,3 +4452,74 @@ def cochran_q(
         .cast("long")
         .alias("q_q6"),
     )
+
+
+def concordance_correlation(
+    df: DataFrame,
+    *,
+    a_column: Column | str,
+    b_column: Column | str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin, Biometrics'89)
+    — CONTINUOUS rater/scorer agreement: Pearson's r rewards any
+    linear relation (a scorer that doubles every value still gets
+    r = 1); CCC ``ρc = 2·cov / (var_a + var_b + (μa − μb)²)`` demands
+    identity-line agreement, penalizing both scale and location bias.
+    The continuous twin of :func:`cohen_kappa`: run it on two quality
+    scorers, two embedding-distance estimators, two labelers' scores.
+
+    Exact-integer construction: both columns quantize once to q6
+    BIGINT; ONE aggregate of exact DECIMAL(38,0) cross-moments; CCC,
+    Pearson r, and the location/scale bias components are fixed-order
+    doubles quantized q6. Population (1/n) moments throughout. NULL
+    when n < 2 or both variances are 0; if exactly one variance is 0
+    CCC is 0 by the formula (and reported as such).
+
+    Output one row: (n_pairs, ccc_q6, pearson_q6, mean_diff_q6).
+    """
+    a = (F.col(a_column) if isinstance(a_column, str) else a_column)
+    b = (F.col(b_column) if isinstance(b_column, str) else b_column)
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(q6(a).alias("__a"), q6(b).alias("__b")).filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d38(F.col("__a"))).alias("__sa"),
+        F.sum(d38(F.col("__b"))).alias("__sb"),
+        F.sum(d38(F.col("__a")) * d38(F.col("__a"))).alias("__saa"),
+        F.sum(d38(F.col("__b")) * d38(F.col("__b"))).alias("__sbb"),
+        F.sum(d38(F.col("__a")) * d38(F.col("__b"))).alias("__sab"),
+    )
+    dv = F.try_divide
+    n = F.col("__n").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    saa = F.col("__saa").cast("double")
+    sbb = F.col("__sbb").cast("double")
+    sab = F.col("__sab").cast("double")
+    ma = dv(sa, n)
+    mb = dv(sb, n)
+    va = dv(saa, n) - ma * ma
+    vb = dv(sbb, n) - mb * mb
+    cov = dv(sab, n) - ma * mb
+    md = ma - mb
+    ccc = dv(F.lit(2.0) * cov, va + vb + md * md)
+    pears = dv(cov, F.sqrt(va * vb))
+    qq = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    ok = F.col("__n") >= 2
+    return agg.select(
+        F.col("__n").cast("long").alias("n_pairs"),
+        F.when(ok & ((va > 0) | (vb > 0) | (md != 0)), qq(ccc)).alias(
+            "ccc_q6"
+        ),
+        F.when(ok & (va > 0) & (vb > 0), qq(pears)).alias("pearson_q6"),
+        F.when(F.col("__n") > 0, F.floor(md + F.lit(0.5)))
+        .cast("long")
+        .alias("mean_diff_q6"),
+    )

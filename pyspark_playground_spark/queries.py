@@ -16922,3 +16922,75 @@ def cochran_q_users(spark, sf_dir):
         treatment_column="event_type",
         success_column=F.col("value") > 100,
     )
+
+
+@query(
+    "concordance_tokens_documents",
+    f"""
+    WITH t AS (
+      SELECT CAST(floor(CAST(len({_TOKS}) AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS a,
+             CAST(floor(CAST(n_chars // 5 AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS b
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(CAST(a AS HUGEINT)) AS sa,
+             sum(CAST(b AS HUGEINT)) AS sb,
+             sum(CAST(a AS HUGEINT) * a) AS saa,
+             sum(CAST(b AS HUGEINT) * b) AS sbb,
+             sum(CAST(a AS HUGEINT) * b) AS sab
+      FROM t
+    ),
+    d AS (
+      SELECT n,
+             CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS mb,
+             CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) AS va,
+             CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS vb,
+             CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND (va > 0 OR vb > 0 OR ma - mb <> 0) THEN
+             CAST(floor(2.0 * cov / (va + vb + (ma - mb) * (ma - mb))
+                        * 1e6 + 0.5) AS BIGINT)
+           END AS ccc_q6,
+           CASE WHEN n >= 2 AND va > 0 AND vb > 0 THEN
+             CAST(floor(cov / sqrt(va * vb) * 1e6 + 0.5) AS BIGINT)
+           END AS pearson_q6,
+           CASE WHEN n > 0
+             THEN CAST(floor(ma - mb + 0.5) AS BIGINT)
+           END AS mean_diff_q6
+    FROM d
+    """,
+)
+def concordance_tokens_documents(spark, sf_dir):
+    """Lin's concordance correlation between the whitespace token count
+    and the chars/5 estimator (operators/profiling.py
+    concordance_correlation; Lin Biometrics'89): Pearson forgives the
+    estimator's scale bias, CCC does not — the identity-line agreement
+    number behind 'can we budget tokens from n_chars alone'
+    (sign_flip_tokens asks IF they differ; this says HOW WELL they
+    agree). Exact DECIMAL(38,0) cross-moments, fixed-order quantized
+    outputs."""
+    from pyspark_playground_spark.operators.profiling import (
+        concordance_correlation,
+    )
+    from pyspark_playground_spark.operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return concordance_correlation(
+        docs,
+        a_column=F.size(tokens_expr("text")),
+        b_column=F.expr("n_chars DIV 5"),
+    )

@@ -2126,3 +2126,56 @@ def test_cochran_q_mirror_and_reductions(spark):
         success_column="y",
     ).collect()[0]
     assert ra["q_q6"] is None
+
+
+def test_concordance_correlation_fixtures(spark):
+    """Identity agreement -> CCC = 1; pure scale bias keeps Pearson at
+    1 while CCC drops below (the whole point); a location shift
+    likewise; python mirror pins the shifted case; degenerate frames
+    answer NULL."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        concordance_correlation,
+    )
+
+    base = [(float(v), float(v)) for v in range(1, 9)]
+    df = spark.createDataFrame(base, "a double, b double")
+    r = concordance_correlation(
+        df, a_column="a", b_column="b"
+    ).collect()[0]
+    assert r["ccc_q6"] == 1_000_000 and r["pearson_q6"] == 1_000_000
+    assert r["mean_diff_q6"] == 0
+
+    # b = 2a: Pearson stays 1, CCC must drop
+    scaled = spark.createDataFrame(
+        [(float(v), 2.0 * v) for v in range(1, 9)], "a double, b double"
+    )
+    rs = concordance_correlation(
+        scaled, a_column="a", b_column="b"
+    ).collect()[0]
+    assert rs["pearson_q6"] == 1_000_000
+    assert rs["ccc_q6"] < 600_000
+
+    # b = a + 3: shift penalized; python mirror in q6 units
+    shifted = spark.createDataFrame(
+        [(float(v), v + 3.0) for v in range(1, 9)], "a double, b double"
+    )
+    rv = concordance_correlation(
+        shifted, a_column="a", b_column="b"
+    ).collect()[0]
+    aq = [v * 10**6 for v in range(1, 9)]
+    n = len(aq)
+    va = sum(x * x for x in aq) / n - (sum(aq) / n) ** 2
+    md = -3e6
+    ccc = 2.0 * va / (va + va + md * md)
+    assert rv["ccc_q6"] == math.floor(ccc * 1e6 + 0.5)
+    assert rv["pearson_q6"] == 1_000_000
+    assert rv["mean_diff_q6"] == -3_000_000
+
+    # single pair: refuse
+    one = spark.createDataFrame([(1.0, 1.0)], "a double, b double")
+    ro = concordance_correlation(
+        one, a_column="a", b_column="b"
+    ).collect()[0]
+    assert ro["ccc_q6"] is None and ro["pearson_q6"] is None
