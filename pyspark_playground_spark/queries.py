@@ -16994,3 +16994,84 @@ def concordance_tokens_documents(spark, sf_dir):
         a_column=F.size(tokens_expr("text")),
         b_column=F.expr("n_chars DIV 5"),
     )
+
+
+@query(
+    "jonckheere_price_band_orders",
+    """
+    WITH t AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             o_totalprice AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    census AS (SELECT g, v, count(*) AS c FROM t GROUP BY g, v),
+    grid AS (
+      SELECT gs.g, vs.v, coalesce(census.c, 0) AS c
+      FROM (SELECT DISTINCT v FROM census) vs
+      CROSS JOIN (SELECT DISTINCT g FROM census) gs
+      LEFT JOIN census ON census.g = gs.g AND census.v = vs.v
+    ),
+    cum AS (
+      SELECT g, v, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb
+      FROM grid
+    ),
+    jt AS (
+      SELECT sum(CAST(j.c AS HUGEINT) * (2 * i.cumb + i.c)) AS jt2
+      FROM cum i JOIN census j ON j.v = i.v AND i.g < j.g
+    ),
+    pg AS (SELECT g, sum(c) AS n FROM census GROUP BY g),
+    red AS (
+      SELECT sum(n) AS nn, count(*) AS k,
+             sum(CAST(n AS HUGEINT) * n) AS n2,
+             sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS n23
+      FROM pg
+    ),
+    d AS (
+      SELECT nn, k, n2,
+             (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(n2 AS DOUBLE)) / 2.0 AS e2,
+             (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+              - CAST(n23 AS DOUBLE)) / 72.0 AS var,
+             coalesce((SELECT jt2 FROM jt), 0) AS jt2
+      FROM red
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(jt2 AS BIGINT) AS jt_x2,
+           CAST(floor(e2) AS BIGINT) AS e_x2,
+           CASE WHEN k >= 2 AND var > 0 THEN
+             CAST(floor((CAST(jt2 AS DOUBLE) - e2)
+                        / (2.0 * sqrt(var)) * 1e6 + 0.5) AS BIGINT)
+           END AS z_q6
+    FROM d
+    """,
+)
+def jonckheere_price_band_orders(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative test
+    (operators/profiling.py jonckheere_terpstra; Biometrika'54): does
+    the order VALUE distribution shift monotonically with numeric
+    priority — the continuous sibling of the Cochran-Armitage trend
+    and the ordered refinement of Kruskal-Wallis. Doubled pairwise
+    Mann-Whitney counts over a dense (value x group) grid with
+    group-partitioned exclusive cumulatives — exact integers; z under
+    the standard no-tie variance (documented approximation)."""
+    from pyspark_playground_spark.operators.profiling import (
+        jonckheere_terpstra,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    return jonckheere_terpstra(
+        o,
+        value_column="o_totalprice",
+        group_score_column=F.substring("o_orderpriority", 1, 1).cast(
+            "long"
+        ),
+    )

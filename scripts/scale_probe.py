@@ -1302,6 +1302,29 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     timed("friedman_cochran_q", n_evr, blocked_pair)
 
+    # 92. Jonckheere-Terpstra ordered-alternative test over replicated
+    #     orders (r8): (group, value) census; the dense value x group
+    #     grid and the ordered-pair join are census-bounded (k groups
+    #     x distinct values)
+    ord_jt = (
+        Q.load(spark, SF_DIR, "orders")
+        .crossJoin(reps_frame(spark))
+        .select(
+            "o_orderpriority",
+            (F.col("o_totalprice") + F.col("__rep"))
+            .alias("o_totalprice"),
+        )
+    )
+    n_jt = ord_jt.count()
+
+    def jt():
+        pf.jonckheere_terpstra(
+            ord_jt, value_column="o_totalprice",
+            group_score_column=F.substring("o_orderpriority", 1, 1)
+            .cast("long"),
+        ).write.format("noop").mode("overwrite").save()
+    timed("jonckheere_terpstra", n_jt, jt)
+
 
 def reps_frame(spark):
     return spark.range(FACTOR).select(F.col("id").alias("__rep"))

@@ -2179,3 +2179,62 @@ def test_concordance_correlation_fixtures(spark):
         one, a_column="a", b_column="b"
     ).collect()[0]
     assert ro["ccc_q6"] is None and ro["pearson_q6"] is None
+
+
+def test_jonckheere_terpstra_mirror(spark):
+    """Perfectly ordered groups hit the JT maximum (every cross-pair
+    concordant); a python mirror pins JT2/E2/z on a tied fixture;
+    reversed order flips below expectation; single group refuses."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        jonckheere_terpstra,
+    )
+
+    # groups 0/1/2 with fully separated values -> JT = n_i*n_j for
+    # every ordered pair = 3*3*3 pairs = 27, JT2 = 54
+    rows = [(g, float(g * 10 + i)) for g in range(3) for i in range(3)]
+    df = spark.createDataFrame(rows, "g bigint, v double")
+    r = jonckheere_terpstra(
+        df, value_column="v", group_score_column="g"
+    ).collect()[0]
+    assert r["jt_x2"] == 2 * 27
+    # E[JT]*2 = (N^2 - sum n^2)/2 = (81-27)/2 = 27
+    assert r["e_x2"] == 27
+    assert r["z_q6"] > 2_000_000
+    assert (r["n_total"], r["n_groups"]) == (9, 3)
+
+    # mirror with ties across groups
+    rows2 = [(0, 1.0), (0, 2.0), (1, 2.0), (1, 3.0), (2, 3.0), (2, 4.0)]
+    df2 = spark.createDataFrame(rows2, "g bigint, v double")
+    r2 = jonckheere_terpstra(
+        df2, value_column="v", group_score_column="g"
+    ).collect()[0]
+    jt2 = 0
+    for gi, vi in rows2:
+        for gj, vj in rows2:
+            if gi < gj:
+                jt2 += 2 if vi < vj else (1 if vi == vj else 0)
+    assert r2["jt_x2"] == jt2
+    n = 6
+    e2 = (n * n - 3 * 4) / 2.0
+    var = (n * n * (2 * n + 3) - 3 * (4 * (2 * 2 + 3))) / 72.0
+    assert r2["z_q6"] == math.floor(
+        (jt2 - e2) / (2.0 * math.sqrt(var)) * 1e6 + 0.5
+    )
+
+    # reversed ordering: JT2 below expectation, z negative
+    rev = jonckheere_terpstra(
+        df, value_column="v",
+        group_score_column=(F.lit(2) - F.col("g")),
+    ).collect()[0]
+    assert rev["jt_x2"] == 0 and rev["z_q6"] < -2_000_000
+
+    # single group: refuse
+    one = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "g bigint, v double"
+    )
+    ro = jonckheere_terpstra(
+        one, value_column="v", group_score_column="g"
+    ).collect()[0]
+    assert ro["z_q6"] is None
