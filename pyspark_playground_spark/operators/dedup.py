@@ -773,8 +773,14 @@ def incremental_simhash_pairs(
     sigs_new = simhash_signatures(
         new_docs, id_column, text_column, portable=portable
     )
+    # re-ingest safety: a re-submitted id must not keep its stale
+    # signature beside the fresh one (contradictory duplicate pairs);
+    # the new batch wins
     sigs = _materialize(
-        existing_signatures.unionByName(sigs_new), checkpoint_dir
+        existing_signatures.join(
+            new_docs.select(id_column), id_column, "left_anti"
+        ).unionByName(sigs_new),
+        checkpoint_dir,
     )
     pairs = _simhash_pairs_from_sigs(
         sigs, id_column, chunk_bits=chunk_bits, max_hamming=max_hamming
@@ -834,8 +840,12 @@ def incremental_minhash_pairs(
         new_docs, id_column, text_column,
         num_perms=num_perms, bands=bands, shingle_size=shingle_size,
     )
+    # re-ingest safety: a re-submitted id keeps only its FRESH bands
     banded = _materialize(
-        banded_existing.unionByName(banded_new), checkpoint_dir
+        banded_existing.join(
+            new_docs.select(id_column), id_column, "left_anti"
+        ).unionByName(banded_new),
+        checkpoint_dir,
     )
     new_ids = new_docs.select(id_column)
     cands = _materialize(

@@ -139,6 +139,7 @@ def multitouch_attribution(
         F.col("__u").isNotNull()
         & F.col("__ts").isNotNull()
         & F.col("__t").isNotNull()
+        & F.col("__rid").isNotNull()
     )
     conv = base.filter(F.col("__t") == conversion_type).select(
         F.col("__u"),

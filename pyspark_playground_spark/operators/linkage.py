@@ -158,29 +158,68 @@ def fellegi_sunter_pairs(
     q6 = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
         "long"
     )
-    consts = None
-    for f in field_columns:
-        cen = (
-            df.select(F.col(f))
-            .filter(F.col(f).isNotNull())
-            .groupBy(f)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(
-                F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__num"),
-                F.sum(d38(F.col("__c"))).alias("__den"),
+    # ONE corpus pass for every field's u-census (review finding: the
+    # per-field loop was k full scans): stack (field, value) pairs —
+    # values censused via their canonical string rendering, injective
+    # for the categorical fields this operator contracts on — then
+    # reduce the k-row census to a 1-row constants frame. A field with
+    # NO non-null values carries zero evidence: both its weights
+    # become 0 (documented), unlike the constant-value field whose
+    # IMPOSSIBLE-disagreement weight stays NULL on purpose.
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("__f"),
+                        F.col(f).cast("string").alias("__val"),
+                    )
+                    for f in field_columns
+                ]
             )
+        ).alias("s")
+    ).select("s.__f", "s.__val").filter(F.col("__val").isNotNull())
+    per_field = (
+        stacked.groupBy("__f", "__val")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__f")
+        .agg(
+            F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__num"),
+            F.sum(d38(F.col("__c"))).alias("__den"),
         )
-        num_d = F.col("__num").cast("double")
-        dd = F.col("__den").cast("double") * F.col("__den").cast("double")
-        wa = q6(quant_ln(F.lit(m) * dd / num_d) / F.lit(_LN2))
-        wd = q6(
-            quant_ln(
-                F.try_divide(F.lit(1.0 - m) * dd, dd - num_d)
+    )
+    num_d = F.col("__num").cast("double")
+    dd = F.col("__den").cast("double") * F.col("__den").cast("double")
+    wa = q6(quant_ln(F.lit(m) * dd / num_d) / F.lit(_LN2))
+    wd = q6(
+        quant_ln(F.try_divide(F.lit(1.0 - m) * dd, dd - num_d))
+        / F.lit(_LN2)
+    )
+    pf2 = per_field.select(
+        "__f", wa.alias("__wa"), wd.alias("__wd")
+    )
+    consts = pf2.agg(
+        *[
+            expr
+            for f in field_columns
+            for expr in (
+                F.coalesce(
+                    F.max(F.when(F.col("__f") == f, F.col("__wa"))),
+                    F.lit(0),
+                ).alias(f"__wa_{f}"),
+                F.when(
+                    F.max(
+                        F.when(F.col("__f") == f, F.lit(True))
+                    ).isNull(),
+                    F.lit(0),
+                )
+                .otherwise(
+                    F.max(F.when(F.col("__f") == f, F.col("__wd")))
+                )
+                .alias(f"__wd_{f}"),
             )
-            / F.lit(_LN2)
-        )
-        one = cen.select(wa.alias(f"__wa_{f}"), wd.alias(f"__wd_{f}"))
-        consts = one if consts is None else consts.crossJoin(one)
+        ]
+    )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
         b,

@@ -448,8 +448,14 @@ def incremental_ahash_pairs(
     sigs_new = ahash_signatures(
         new_media, id_column, content_column=content_column, bits=60
     )
+    # re-ingest safety: an id appearing in BOTH sides would otherwise
+    # carry two signatures (one stale) and emit contradictory pairs —
+    # the new batch's signature wins
     sigs = _materialize(
-        existing_signatures.unionByName(sigs_new), checkpoint_dir
+        existing_signatures.join(
+            new_media.select(id_column), id_column, "left_anti"
+        ).unionByName(sigs_new),
+        checkpoint_dir,
     )
     pairs = _simhash_pairs_from_sigs(
         sigs, id_column, chunk_bits=15, max_hamming=max_hamming

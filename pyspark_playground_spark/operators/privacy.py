@@ -173,10 +173,24 @@ def t_closeness_census(
     tot = gv.agg(
         F.sum("__g").alias("__N"), F.count(F.lit(1)).alias("__m")
     )
+    # NULL-safe class join: a quasi-identifier class whose key holds a
+    # NULL (groupBy keeps it as a class) must still find its own
+    # per-value counts — a null-unsafe join would zero it out and
+    # score a compliant class at maximal EMD
+    left = cs.crossJoin(F.broadcast(gv))
+    cond = F.col("l.__v") == F.col("r.__v")
+    for qn in qi_names:
+        cond = cond & F.col(f"l.{qn}").eqNullSafe(F.col(f"r.{qn}"))
     grid = (
-        cs.crossJoin(F.broadcast(gv))
-        .join(cv, [*qi_names, "__v"], "left")
-        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+        left.alias("l")
+        .join(cv.alias("r"), cond, "left")
+        .select(
+            *[F.col(f"l.{qn}") for qn in qi_names],
+            F.col("l.__v").alias("__v"),
+            F.col("l.__g").alias("__g"),
+            F.col(f"l.{group_size_column}"),
+            F.coalesce(F.col("r.__c"), F.lit(0)).alias("__c"),
+        )
         .crossJoin(F.broadcast(tot))
     )
     from pyspark.sql import Window

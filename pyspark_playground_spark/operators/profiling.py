@@ -3698,7 +3698,11 @@ def drift_wasserstein1(
     contributes ``|ca·n_b − cb·n_a| · (v_next − v)`` in DECIMAL(38,0)
     (the last value has no step and contributes nothing), and
     ``w1_q6 = (Σ·1e6) DIV (n_a·n_b)`` is one integral division. The
-    raw numerator is also returned for float-free comparison. Values
+    raw numerator is also returned for float-free comparison — its
+    final long cast states the drift_ks exactness envelope: it fails
+    loudly (NULL non-ANSI / error ANSI) rather than silently wrong
+    once ``n_a·n_b·value_range`` passes int64 (~both cohorts ≳1e9
+    rows over a wide domain); w1_q6 itself stays in range. Values
     must be non-null; empty cohorts yield NULL w1_q6.
 
     Output one row: (w1_numerator, n_a, n_b, w1_q6).

@@ -3353,7 +3353,7 @@ def cluster_validity_report(
     if ok_db:
         db_q6 = math.floor(sum(rmaxes) / float(kk) + 0.5)
     ch_x3 = None
-    if n_total > kk and w6 > 0:
+    if n_total > kk and w6 > 0 and kk > 1:
         ch_x3 = (b6 * (n_total - kk) * 1000) // (w6 * (kk - 1))
     spark = corpus.sparkSession
     return spark.createDataFrame(

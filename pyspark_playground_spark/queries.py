@@ -15951,9 +15951,9 @@ def fellegi_sunter_part(spark, sf_dir):
     )
 
     p = load(spark, sf_dir, "part")
-    blk = F.concat_ws(
-        "|",
+    blk = F.concat(
         F.element_at(F.split(F.col("p_name"), " "), -1),
+        F.lit("|"),
         F.floor(F.col("p_retailprice") / F.lit(10))
         .cast("long")
         .cast("string"),
@@ -16239,9 +16239,9 @@ def entity_resolution_part(spark, sf_dir):
     )
 
     p = load(spark, sf_dir, "part")
-    blk = F.concat_ws(
-        "|",
+    blk = F.concat(
         F.element_at(F.split(F.col("p_name"), " "), -1),
+        F.lit("|"),
         F.floor(F.col("p_retailprice") / F.lit(10))
         .cast("long")
         .cast("string"),

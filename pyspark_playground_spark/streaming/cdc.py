@@ -885,7 +885,11 @@ def wasserstein_vs_baseline(
     cum_b·n_w|`` exactly (the final bin's term is identically 0). The
     numerator is summed in DECIMAL(38,0) (drift_ks's int64 guard) and
     reported float-free beside ``w1_q6 = (Σ·1e6) DIV (n_w·n_b)`` in
-    bin units. Folds duplicate partials like every finisher.
+    bin units; like drift_ks, the numerator's final long cast fails
+    loudly past int64 (``n_w·n_b·bins`` ≳ 9e18 — a ~1e9-row window
+    against a ~1e9-row baseline) instead of silently wrapping, and
+    w1_q6 stays in range. Folds duplicate partials like every
+    finisher.
 
     Returns ``(window_start, window_end, n_window, n_baseline,
     w1_numerator, w1_q6)``.

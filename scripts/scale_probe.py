@@ -1179,9 +1179,9 @@ def main() -> None:
     n_part_rep = part_rep.count()
 
     def fs_linkage():
-        blk = F.concat_ws(
-            "|",
+        blk = F.concat(
             F.element_at(F.split(F.col("p_name"), " "), -1),
+            F.lit("|"),
             F.floor(F.col("p_retailprice") / F.lit(10))
             .cast("long").cast("string"),
         )

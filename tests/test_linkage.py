@@ -175,3 +175,30 @@ def test_resolve_entities_clusters_and_survivorship(spark):
     assert [r for r in out if out[r]["is_canonical"]] == [1, 4, 5]
     assert out[2]["entity_size"] == 3 and out[4]["entity_size"] == 1
     assert out[6]["entity_size"] == 2
+
+
+def test_fellegi_sunter_all_null_field_carries_no_evidence(spark):
+    """Review regression: a field with NO populated values must not
+    NULL every pair's score — it contributes exactly 0 to both
+    agreement and disagreement, and the remaining fields still
+    classify."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators.linkage import (
+        fellegi_sunter_pairs,
+    )
+
+    rows = [
+        (1, "x", "A", None), (2, "x", "A", None), (3, "x", "B", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid bigint, blk string, brand string, ghost string"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in fellegi_sunter_pairs(
+        df, "rid", ["brand", "ghost"], block=F.col("blk"),
+    ).collect()}
+    assert len(out) == 3
+    assert out[(1, 2)]["weight_q6"] is not None
+    assert out[(1, 2)]["weight_q6"] > 0 > out[(1, 3)]["weight_q6"]
+    # ghost never agrees and never costs anything
+    assert all(not r["agree_ghost"] for r in out.values())

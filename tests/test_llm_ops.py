@@ -1259,3 +1259,29 @@ def test_incremental_ahash_equals_batch_filtered(spark):
     # the old-old duplicate pair (1,2) is in batch but NOT incremental
     assert (1, 2) in batch and (1, 2) not in inc
     assert (1, 4) in inc and (3, 5) in inc
+
+
+def test_incremental_pairs_reingest_uses_fresh_signature(spark):
+    """Review regression: re-ingesting an id with changed content must
+    not keep the stale signature beside the fresh one — the pair set
+    reflects the NEW payload only."""
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators import multimodal as mm
+
+    t_a = "the quick brown fox jumps over the lazy dog " * 4
+    t_b = "zzzz completely different payload bytes 1234 " * 4
+    d0 = mm.attach_media_column(
+        spark.createDataFrame([(1, t_a), (2, t_b)],
+                              "doc_id bigint, text string"), "text")
+    existing = mm.ahash_signatures(d0, "doc_id")
+    # re-ingest doc 1 with content now matching doc 2's family
+    d1 = mm.attach_media_column(
+        spark.createDataFrame([(1, t_b)], "doc_id bigint, text string"),
+        "text")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in mm.incremental_ahash_pairs(
+                 existing, d1, "doc_id", max_hamming=8).collect()}
+    # fresh signature: 1 now pairs with 2 at hamming 0; the stale
+    # signature (which would NOT pair) is gone
+    assert pairs == {(1, 2): 0}

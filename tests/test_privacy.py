@@ -135,3 +135,19 @@ def test_t_closeness_hand_computed(spark):
     out4 = {r["qi"]: r for r in
             t_closeness_census(df4, ["qi"], "v").collect()}
     assert out4["X"]["group_size"] == 1
+
+
+def test_t_closeness_null_qi_class(spark):
+    """Review regression: a class keyed by a NULL quasi-identifier must
+    see its own counts (null-safe grid join) — a NULL class that
+    mirrors the global distribution scores 0, not maximal EMD."""
+    from pyspark_playground_spark.operators.privacy import (
+        t_closeness_census,
+    )
+
+    rows = [(None, v) for v in (0, 1, 2)] + [("x", v) for v in (0, 1, 2)]
+    df = spark.createDataFrame(rows, "qi string, v bigint")
+    out = {r["qi"]: r for r in
+           t_closeness_census(df, ["qi"], "v").collect()}
+    assert out[None]["t_ppm"] == 0 and out["x"]["t_ppm"] == 0
+    assert out[None]["group_size"] == 3
