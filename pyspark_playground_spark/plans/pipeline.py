@@ -18,6 +18,8 @@ Spec shape::
       - op: exact_dedup
       - op: near_dedup                 # LSH -> CC -> canonical per cluster
         params: {threshold: 0.8}
+      - op: media_near_dedup           # aHash -> CC -> canonical payload
+        params: {max_hamming: 3}       #   per perceptual cluster
       - op: chunk_dedup
         params: {chunk_tokens: 8}
       - op: decontaminate              # drop docs sharing 8-grams w/ bench
@@ -118,6 +120,34 @@ def _stage_exact_dedup(df: DataFrame, spec: dict) -> DataFrame:
 def _stage_near_dedup(df: DataFrame, spec: dict) -> DataFrame:
     params = dict(spec.get("params", {}))
     pairs = _dd.minhash_dedup_pairs(df, **params)
+    return (
+        _gr.dedup_clusters(df, pairs)
+        .filter(F.col("is_canonical"))
+        .drop("cluster_id", "is_canonical")
+    )
+
+
+def _stage_media_near_dedup(df: DataFrame, spec: dict) -> DataFrame:
+    """Perceptual media dedup keep-stage: aHash the payload column
+    (``params.content_column``, default the text bytes via
+    attach_media_column — the codec-stub contract), bucket near-dup
+    pairs at ``params.max_hamming`` through the shared simhash chunk
+    machinery, cluster them, and keep one canonical row per perceptual
+    cluster — the image-dedup funnel stage beside the text
+    ``near_dedup``. Requires ``doc_id``."""
+    from pyspark_playground_spark.operators import multimodal as _mm
+
+    p = dict(spec.get("params", {}))
+    content = p.pop("content_column", None)
+    if content is None:
+        work = _mm.attach_media_column(df, p.pop("source_column", "text"))
+        content = "content"
+    else:
+        work = df
+    pairs = _mm.ahash_near_dup_pairs(
+        work, "doc_id", content_column=content,
+        max_hamming=int(p.pop("max_hamming", 3)),
+    )
     return (
         _gr.dedup_clusters(df, pairs)
         .filter(F.col("is_canonical"))
@@ -823,6 +853,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "scrub_pii": _stage_scrub_pii,
     "exact_dedup": _stage_exact_dedup,
     "near_dedup": _stage_near_dedup,
+    "media_near_dedup": _stage_media_near_dedup,
     "chunk_dedup": _stage_chunk_dedup,
     "decontaminate": _stage_decontaminate,
     "robust_outliers": _stage_robust_outliers,

@@ -651,3 +651,20 @@ def test_t_closeness_gate_passes_and_refuses(spark):
                                     "sensitive": "band",
                                     "max_t_ppm": 100_000}}]},
         )
+
+
+def test_media_near_dedup_keeps_one_per_perceptual_cluster(spark):
+    """aHash-identical payloads collapse to the smallest doc_id; the
+    distinct payload survives; schema passes through unchanged."""
+    t_a = "the quick brown fox jumps over the lazy dog " * 4
+    t_b = "zzzz completely different payload bytes 1234 " * 4
+    df = spark.createDataFrame(
+        [(1, t_a), (2, t_a), (3, t_b)], "doc_id bigint, text string"
+    )
+    out = pl.run_pipeline(
+        df,
+        {"stages": [{"op": "media_near_dedup",
+                     "params": {"max_hamming": 8}}]},
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert out.columns == df.columns
