@@ -31,7 +31,7 @@ model-sized by construction, never data-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: fixed-point scale of the survival recurrence
@@ -352,4 +352,73 @@ def log_rank_test(
             .cast("long")
             .alias("chi2_q6"),
         )
+    )
+
+
+def restricted_mean_survival(
+    lifetimes: DataFrame,
+    *,
+    duration_column: str = "duration_hours",
+    died_column: str = "died",
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time (RMST; Royston & Parmar, BMC Med
+    Res Methodol 2013 made it standard — public construction): the
+    area under the Kaplan-Meier curve up to horizon τ — "expected
+    active hours within the first τ", the single retention number the
+    whole KM curve summarizes, and the standard effect measure when
+    hazards are non-proportional. Built directly on
+    :func:`kaplan_meier`'s integer fixed-point curve.
+
+    EXACT integer arithmetic end-to-end: with death times d₁<…<d_m
+    and the q9 fixed-point survival S_i just after d_i,
+    ``RMST·1e9 = min(d₁,τ)·1e9 + Σᵢ S_i·(min(d_{i+1},τ) −
+    min(d_i,τ))`` — integer products summed in DECIMAL(38,0), one
+    final integral rescale to q6 hours. A lifetime frame with NO
+    deaths gives RMST = τ exactly (survival never drops). The only
+    window (lead over the step table) is value-cardinality-bounded
+    like every KM consumer.
+
+    Output one row: (tau, n_steps, rmst_x9, rmst_hours_q6).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    km = kaplan_meier(
+        lifetimes,
+        duration_column=duration_column,
+        died_column=died_column,
+    )
+    w = Window.orderBy("duration")
+    clamp = lambda c: F.least(c, F.lit(int(tau)))  # noqa: E731
+    seg = (
+        F.col("survival_q9").cast("decimal(38,0)")
+        * (
+            clamp(
+                F.coalesce(F.lead("duration").over(w), F.lit(int(tau)))
+            )
+            - clamp(F.col("duration"))
+        ).cast("decimal(38,0)")
+    )
+    segs = km.select(
+        F.col("duration"),
+        seg.alias("__seg"),
+    ).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.min("duration").alias("__d1"),
+        F.sum("__seg").alias("__tail"),
+    )
+    first = (
+        clamp(F.coalesce(F.col("__d1"), F.lit(int(tau))))
+        .cast("decimal(38,0)")
+        * F.lit(1_000_000_000).cast("decimal(38,0)")
+    )
+    rmst_x9 = first + F.coalesce(
+        F.col("__tail"), F.lit(0).cast("decimal(38,0)")
+    )
+    return segs.select(
+        F.lit(int(tau)).cast("long").alias("tau"),
+        F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("n_steps"),
+        rmst_x9.cast("long").alias("rmst_x9"),
+    ).withColumn(
+        "rmst_hours_q6", F.expr("rmst_x9 DIV 1000")
     )

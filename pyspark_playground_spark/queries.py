@@ -17075,3 +17075,75 @@ def jonckheere_price_band_orders(spark, sf_dir):
             "long"
         ),
     )
+
+
+@query(
+    "rmst_user_survival",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS dur,
+             CAST((epoch_us(h.horizon) - epoch_us(max(ts)))
+                    > 24 * 3600000000 AS INT) AS died
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    dd AS (SELECT dur, CAST(sum(died) AS BIGINT) AS deaths, count(*) AS n
+           FROM u GROUP BY dur),
+    d2 AS (
+      SELECT dur, deaths,
+             CAST(sum(n) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk
+      FROM dd
+    ),
+    cur AS (
+      SELECT d2.dur, d2.deaths, d2.at_risk,
+             list_reduce(
+               list_prepend([CAST(1000000000 AS BIGINT), CAST(1 AS BIGINT)],
+                 (SELECT list([d3.deaths, d3.at_risk] ORDER BY d3.dur)
+                  FROM d2 d3 WHERE d3.dur <= d2.dur)),
+               (acc, x) -> [acc[1] * (x[2] - x[1]) // x[2], x[2]]
+             )[1] AS s
+      FROM d2
+    ),
+    km AS (
+      SELECT dur AS duration, CAST(s AS BIGINT) AS survival_q9
+      FROM cur WHERE deaths > 0
+    ),
+    kmseg AS (
+      SELECT duration, survival_q9,
+             lead(duration) OVER (ORDER BY duration) AS nxt
+      FROM km
+    ),
+    segs AS (
+      SELECT count(*) AS m, min(duration) AS d1,
+             sum(CAST(survival_q9 AS HUGEINT)
+                 * (least(coalesce(nxt, 240), 240)
+                    - least(duration, 240))) AS tail
+      FROM kmseg
+    )
+    SELECT CAST(240 AS BIGINT) AS tau,
+           CAST(coalesce(m, 0) AS BIGINT) AS n_steps,
+           CAST(least(coalesce(d1, 240), 240)
+                * CAST(1000000000 AS HUGEINT)
+                + coalesce(tail, 0) AS BIGINT) AS rmst_x9,
+           CAST((least(coalesce(d1, 240), 240)
+                 * CAST(1000000000 AS HUGEINT)
+                 + coalesce(tail, 0)) // 1000 AS BIGINT)
+             AS rmst_hours_q6
+    FROM segs
+    """,
+)
+def rmst_user_survival(spark, sf_dir):
+    """Restricted mean survival time at tau = 240 h
+    (operators/survival.py restricted_mean_survival; Royston & Parmar
+    2013): expected active hours within a user's first 10 days — the
+    area under the same integer fixed-point Kaplan-Meier curve the
+    kaplan_meier_user_survival entry certifies, reduced to the single
+    retention number product teams actually track. Exact integers
+    end-to-end; one value-cardinality-bounded lead window."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(e, churn_horizon_hours=24)
+    return sv.restricted_mean_survival(lt, tau=240)

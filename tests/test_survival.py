@@ -123,3 +123,42 @@ def test_log_rank_hand_computed(spark):
     )
     rc = log_rank_test(cens).collect()[0]
     assert rc["chi2_q6"] is None and rc["deaths_a"] == 0
+
+
+def test_restricted_mean_survival_hand_computed(spark):
+    """Hand KM curve: deaths at 10 (S=0.75) and 20 (S=0.5) over 4
+    uncensored users; RMST(30) = 10 + 0.75*10 + 0.5*10 = 22.5 h; the
+    tau clamp cuts segments; no-deaths frames give RMST = tau; tau<=0
+    refused."""
+    import pytest
+
+    from pyspark_playground_spark.operators.survival import (
+        restricted_mean_survival,
+    )
+
+    rows = [(10, True), (10, False), (20, True), (40, False)]
+    # at_risk(10)=4, deaths=1 -> S=3/4; at_risk(20)=2, deaths=1 -> S=3/8?
+    # careful: censored-at-10 leaves risk set after 10
+    df = spark.createDataFrame(rows, "duration_hours bigint, died boolean")
+    r = restricted_mean_survival(df, tau=30).collect()[0]
+    # S(10+)=3/4 (1 death of 4 at risk); S(20+)=3/4 * 1/2 = 3/8
+    # RMST = 10*1 + (20-10)*0.75 + (30-20)*0.375 = 10 + 7.5 + 3.75
+    assert r["rmst_x9"] == (
+        10 * 10**9 + 10 * 750_000_000 + 10 * 375_000_000
+    )
+    assert r["rmst_hours_q6"] == r["rmst_x9"] // 1000
+    assert r["n_steps"] == 2 and r["tau"] == 30
+
+    # tau below the first death: RMST = tau exactly
+    r2 = restricted_mean_survival(df, tau=5).collect()[0]
+    assert r2["rmst_x9"] == 5 * 10**9
+
+    # no deaths at all: survival stays 1 -> RMST = tau
+    cens = spark.createDataFrame(
+        [(10, False), (20, False)], "duration_hours bigint, died boolean"
+    )
+    r3 = restricted_mean_survival(cens, tau=30).collect()[0]
+    assert r3["rmst_x9"] == 30 * 10**9 and r3["n_steps"] == 0
+
+    with pytest.raises(ValueError, match="tau"):
+        restricted_mean_survival(df, tau=0)
