@@ -598,15 +598,38 @@ def q5_local_supplier_volume(spark, sf_dir):
 #: only have replica evidence. Registration order itself is unchanged;
 #: this is purely the exported iteration order.
 #:
-#: One re-check pin this round: ``normalize_quantize_embeddings``'s only
-#: driver row is the r1 harness error (list-column canonicalization crash
-#: in the old compare harness). The entry has long since passed the full
-#: replica and the oracle-type lint guards the class; pinning it here
-#: makes the r8 driver gate emit its green row so the cumulative record
-#: retires the last non-by-design red.
-_DRIVER_RECHECK = ("normalize_quantize_embeddings",)
+#: No re-check pins this round: the r8 gate retired the last harness-era
+#: red (``normalize_quantize_embeddings`` green in CORRECTNESS_r08), so
+#: round 9 rotation is purely the 52 never-sampled entries first.
+_DRIVER_RECHECK = ()
 
 _DRIVER_CHECKED = frozenset({
+    # --- sampled green in r8 ---
+    "assortativity_documents", "autocorrelation_events",
+    "bfs_distances_documents", "bm25_scores_documents",
+    "boilerplate_chunks_documents", "chi2_source_lang_documents",
+    "conformal_length_threshold_documents", "containment_pairs_documents",
+    "cosine_pair_histogram_embeddings", "degree_census_documents",
+    "dsir_select_documents", "dsir_weights_documents",
+    "ece_length_rank_en_documents", "functional_dependencies_orders",
+    "good_turing_documents", "grid_density_embeddings",
+    "hard_negatives_embeddings", "hits_nation_trade",
+    "hubness_census_embeddings", "hybrid_rrf_documents",
+    "int8_recall_embeddings", "isotonic_calibration_documents",
+    "ivf_cell_balance_embeddings", "ivf_drift_new_batch_embeddings",
+    "ivf_nprobe_curve_embeddings", "jl_project_embeddings",
+    "k_core_documents", "kendall_tau_documents",
+    "keyness_src0_documents", "lagged_correlation_events",
+    "langid_class_metrics_documents", "link_prediction_documents",
+    "logrank_purchasers_events", "lttb_events",
+    "mann_whitney_doc_lengths", "mcnemar_langid_events",
+    "mmr_rerank_embeddings", "modularity_documents",
+    "mutual_nn_pairs_embeddings", "nelson_aalen_user_hazard",
+    "normalize_quantize_embeddings", "ppr_nation_trade",
+    "pr_curve_length_en_documents", "prefix_energy_embeddings",
+    "retrieval_eval_embeddings", "script_mix_documents",
+    "silhouette_kmeans_embeddings", "textrank_keywords_documents",
+    "windowed_cell_drift_embeddings", "windowed_isotonic_events",
     # --- sampled green in r7 ---
     "activity_heatmap_events", "association_rules_parts",
     "benford_first_digit_orders", "brand_price_size_regression_parts",
