@@ -1653,6 +1653,9 @@ def lsh_scurve_plan(
         raise ValueError(
             f"bands/rows_per_band must be >= 1: {bands}, {rows_per_band}"
         )
+    if step_x2 < 1 or 100 % step_x2 != 0:
+        # a non-divisor step would silently drop the s=1.0 endpoint
+        raise ValueError(f"step_x2 must divide 100: {step_x2}")
     grid = spark.range(0, 101, step_x2).select(
         F.col("id").cast("int").alias("s_x2")
     )

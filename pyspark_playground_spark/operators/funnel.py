@@ -139,12 +139,17 @@ def multitouch_attribution(
         F.col("__u").isNotNull()
         & F.col("__ts").isNotNull()
         & F.col("__t").isNotNull()
-        & F.col("__rid").isNotNull()
     )
-    conv = base.filter(F.col("__t") == conversion_type).select(
-        F.col("__u"),
-        F.col("__ts").alias("__cts"),
-        F.col("__rid").alias("__cid"),
+    # Only conversions need the natural key (it becomes the credit
+    # grain); a touch row with a NULL id still carries credit.
+    conv = (
+        base.filter(F.col("__t") == conversion_type)
+        .filter(F.col("__rid").isNotNull())
+        .select(
+            F.col("__u"),
+            F.col("__ts").alias("__cts"),
+            F.col("__rid").alias("__cid"),
+        )
     )
     touch = base.filter(F.col("__t") != conversion_type).select(
         "__u", "__ts", "__t"

@@ -4618,7 +4618,14 @@ def jonckheere_terpstra(
     ).crossJoin(F.broadcast(jt2))
     dv = F.try_divide
     nn = F.col("__nn").cast("double")
-    e2 = (nn * nn - F.col("__n2").cast("double")) / F.lit(2.0)
+    # E2 = (N^2 - sum n_g^2) / 2 is always an even-numerator integer
+    # (it counts cross-group pairs); keep it DECIMAL(38,0) like JT2 so
+    # e_x2 stays exact past the 2^53 double envelope.
+    e2_exact = (
+        (d38(F.col("__nn")) * d38(F.col("__nn")) - F.col("__n2"))
+        / F.lit(2)
+    ).cast("decimal(38,0)")
+    e2 = e2_exact.cast("double")
     var = (
         nn * nn * (F.lit(2.0) * nn + F.lit(3.0))
         - F.col("__n23").cast("double")
@@ -4633,7 +4640,7 @@ def jonckheere_terpstra(
         F.col("__nn").cast("long").alias("n_total"),
         F.col("__k").cast("long").alias("n_groups"),
         jt2d.cast("long").alias("jt_x2"),
-        F.floor(e2).cast("long").alias("e_x2"),
+        e2_exact.cast("long").alias("e_x2"),
         F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)))
         .cast("long")
         .alias("z_q6"),

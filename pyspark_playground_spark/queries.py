@@ -16290,7 +16290,10 @@ def entity_resolution_part(spark, sf_dir):
                 AND event_type IS NOT NULL
     ),
     conv AS (
-      SELECT u, ts AS cts, rid AS cid FROM base WHERE t = 'purchase'
+      -- only conversions need the natural key (credit grain); NULL-id
+      -- touch rows still carry credit, matching the operator
+      SELECT u, ts AS cts, rid AS cid FROM base
+      WHERE t = 'purchase' AND rid IS NOT NULL
     ),
     touch AS (SELECT u, ts, t FROM base WHERE t <> 'purchase'),
     pairs AS (

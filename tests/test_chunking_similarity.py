@@ -906,3 +906,6 @@ def test_lsh_scurve_plan_values(spark):
 
     with pytest.raises(ValueError, match="bands"):
         lsh_scurve_plan(spark, bands=0)
+    # a step that does not divide 100 would silently drop s=1.0
+    with pytest.raises(ValueError, match="divide 100"):
+        lsh_scurve_plan(spark, step_x2=3)

@@ -162,6 +162,12 @@ def test_multitouch_attribution_hand_computed(spark):
         (9, 3, h(3), "purchase"),
         # duplicate touch types count ONCE
         (10, 3, h(1, ), "view"),
+        # NULL-id touch still carries credit (user 4's only touch);
+        # NULL-id conversion is dropped (no credit grain)
+        (None, 4, h(0), "click"),
+        (11, 4, h(1), "purchase"),
+        (None, 5, h(0), "view"),
+        (None, 5, h(1), "purchase"),
     ]
     df = spark.createDataFrame(
         rows, "event_id bigint, user_id bigint, ts timestamp,"
@@ -170,11 +176,14 @@ def test_multitouch_attribution_hand_computed(spark):
     out = {r["touch_type"]: r for r in multitouch_attribution(
         df, conversion_type="purchase", lookback_hours=72).collect()}
     assert out["view"]["credit_q6"] == 500_000 + 333_333
-    assert out["click"]["credit_q6"] == 500_000 + 333_333
+    # user 4's NULL-id click still earns full credit for conversion 11
+    assert out["click"]["credit_q6"] == 500_000 + 333_333 + 1_000_000
     assert out["signup"]["credit_q6"] == 333_333
     assert out["(untouched)"]["conversions_touched"] == 1
     assert out["(untouched)"]["credit_q6"] == 1_000_000
-    # credit mass: 3 conversions x ~1e6, short only the DIV k rounding
+    # credit mass: 4 keyed conversions x ~1e6 (user 5's NULL-id
+    # conversion is dropped), short only the DIV k rounding
     total = sum(r["credit_q6"] for r in out.values())
-    assert 3_000_000 - 3 <= total <= 3_000_000
+    assert 4_000_000 - 3 <= total <= 4_000_000
     assert out["view"]["conversions_touched"] == 2
+    assert out["click"]["conversions_touched"] == 3
