@@ -40,6 +40,63 @@ def facts(plan: str) -> list[str]:
     return out
 
 
+def _composed_vault_corpus_plan(spark, sf_dir: str) -> str:
+    """The example's vault-read -> corpus-pipeline chain as one plan,
+    built from the kernel functions over lazy frames (no catalog, no
+    streaming — identical plan shape to the worked example's step 4-5)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.conventions import (
+        END_OF_TIME,
+        DataVaultConventions,
+    )
+    from pyspark_playground_spark.operators import business_vault as bv
+    from pyspark_playground_spark.plans import pipeline as pl
+
+    conv = DataVaultConventions()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = datetime(2026, 2, 1)
+    hub = docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias(conv.hkey()),
+        F.lit(t0).alias(conv.load_date()),
+        F.lit("plan-report").alias(conv.record_source()),
+        F.col("doc_id").cast("string").alias("DOC_ID"),
+    )
+    sat = docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias(conv.hkey()),
+        F.md5(F.col("text")).alias(conv.hdiff()),
+        F.lit(t0).alias(conv.load_date()),
+        F.col("text").alias("TEXT"),
+        F.col("lang").alias("LANG"),
+        F.col("source").alias("SOURCE"),
+    )
+    view = bv.read_data_from_hub(
+        hub, sat, None, ["TEXT", "LANG", "SOURCE"], conv=conv
+    )
+    current = (
+        view.filter(F.col(conv.load_end_date()) == F.lit(END_OF_TIME))
+        .select(
+            F.col("DOC_ID").cast("bigint").alias("doc_id"),
+            F.col("TEXT").alias("text"),
+            F.col("LANG").alias("lang"),
+            F.col("SOURCE").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    spec = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "vault_corpus_pipeline.yaml",
+    )
+    out = pl.run_pipeline(current, spec)
+    return out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,6 +126,25 @@ def main() -> None:
             )
         )
         lines.append(f"## {name}\n")
+        for f in facts(plan):
+            lines.append(f"- {f}")
+        lines.append("")
+    if not only:
+        plan = _composed_vault_corpus_plan(spark, sf_dir)
+        lines.append("## composed: vault read view -> corpus pipeline\n")
+        lines.append(
+            "The `examples/vault_to_corpus_pipeline.py` chain as ONE lazy"
+        )
+        lines.append(
+            "Catalyst plan (hub/sat read -> current-view filter ->"
+        )
+        lines.append(
+            "`examples/vault_corpus_pipeline.yaml` stages), rebuilt here"
+        )
+        lines.append(
+            "catalog-free from the same kernel functions so the composed"
+        )
+        lines.append("plan is regenerated with every report.\n")
         for f in facts(plan):
             lines.append(f"- {f}")
         lines.append("")

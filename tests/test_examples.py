@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.vector_search_pipeline",
         "examples.experimentation_pipeline",
         "examples.temporal_validation_pipeline",
+        "examples.vault_to_corpus_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
