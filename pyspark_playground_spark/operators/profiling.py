@@ -3953,6 +3953,238 @@ def required_sample_size_continuous(
     )
 
 
+def _msprt_terms(na, sa, qa, nb, sb, qb, tau2):
+    """Shared mSPRT closed form over exact-integer cell moments.
+
+    Inputs are the two cells' (n, Σy, Σy²) with y in q6 units; tau²
+    arrives already squared and in (q6 units)² so the likelihood ratio
+    is computed on one consistent scale (it is scale-invariant, so
+    this equals the metric-unit value exactly). Fixed-order doubles;
+    the two libm calls (ln, exp) are quantized to 1e-12 before use —
+    the cross-engine recipe of :func:`fdr_bh_two_proportion`.
+
+    Returns (ok, diff, log_lambda, p) column expressions.
+    """
+    naD, nbD = na.cast("double"), nb.cast("double")
+    ma = F.try_divide(sa.cast("double"), naD)
+    mb = F.try_divide(sb.cast("double"), nbD)
+    va = F.try_divide(qa.cast("double"), naD) - ma * ma
+    vb = F.try_divide(qb.cast("double"), nbD) - mb * mb
+    v = F.try_divide(va, naD) + F.try_divide(vb, nbD)
+    y = mb - ma
+    q12 = lambda c: (  # noqa: E731
+        F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    )
+    ratio = F.try_divide(v, v + tau2)
+    log_lam = F.lit(0.5) * q12(F.log(ratio)) + F.try_divide(
+        y * y * tau2, (F.lit(2.0) * v) * (v + tau2)
+    )
+    p = F.least(F.lit(1.0), q12(F.exp(-log_lam)))
+    ok = (na > 0) & (nb > 0) & (v > 0)
+    return ok, y, log_lam, p
+
+
+def msprt_mean_test(
+    df: DataFrame,
+    *,
+    metric_column: str,
+    cohort_column: Column | str,
+    tau: float,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) for a
+    two-sample mean difference — the ALWAYS-VALID p-value of Johari,
+    Koomen, Pekelis & Walsh (KDD'17, "Peeking at A/B Tests"; public
+    construction): under a normal mixture prior ``δ ~ N(0, τ²)`` the
+    likelihood ratio is ``Λ = √(V/(V+τ²))·exp(Y²τ²/(2V(V+τ²)))`` and
+    ``p = min(1, 1/Λ)`` stays a valid p-value UNDER CONTINUOUS
+    MONITORING — the experimenter can look after every batch and stop
+    the moment it crosses α without inflating false positives (the
+    fixed-n z-test of :func:`two_proportion_test` is only valid at one
+    pre-committed look). ``τ`` (metric units) encodes the scale of
+    effects worth detecting; larger τ trades early sensitivity to big
+    effects against asymptotic sensitivity to small ones.
+
+    Exact-integer construction: the metric quantizes once to q6
+    BIGINT; ONE conditional aggregate produces both cells' exact
+    DECIMAL(38,0) (n, Σy, Σy²); ``Y``, ``V`` (population variances
+    over n, the cuped convention) and the likelihood ratio are
+    fixed-order doubles with both libm calls quantized 1e-12
+    (:func:`fdr_bh_two_proportion`'s recipe). Refuses (NULL stats)
+    when either cell is empty or V degenerates to 0.
+
+    Plan: one map-side-combined aggregate to a 1-row frame; zero
+    windows, zero joins, zero corpus re-reads.
+
+    Output one row: (n_ctrl, n_treat, diff_q6, log_lambda_q6, p_q6,
+    reject).
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    co = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        q6(F.col(metric_column)).alias("__y"), co.alias("__t")
+    ).filter(F.col("__y").isNotNull() & F.col("__t").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = t.agg(
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__na"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__t"), d38(F.col("__y")))), F.lit(0)
+        ).alias("__sa"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("__t"), d38(F.col("__y")) * F.col("__y"))
+            ),
+            F.lit(0),
+        ).alias("__qa"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__nb"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t"), d38(F.col("__y")))), F.lit(0)
+        ).alias("__sb"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__t"), d38(F.col("__y")) * F.col("__y"))
+            ),
+            F.lit(0),
+        ).alias("__qb"),
+    )
+    # tau arrives in metric units; square on the q6 scale (exact double
+    # product for any reasonable tau)
+    tau2 = F.lit(float(tau) * 1e6) * F.lit(float(tau) * 1e6)
+    ok, y, log_lam, p = _msprt_terms(
+        F.col("__na"), F.col("__sa"), F.col("__qa"),
+        F.col("__nb"), F.col("__sb"), F.col("__qb"), tau2,
+    )
+    return agg.select(
+        F.col("__na").cast("long").alias("n_ctrl"),
+        F.col("__nb").cast("long").alias("n_treat"),
+        F.when(ok, F.floor(y + F.lit(0.5))).cast("long").alias("diff_q6"),
+        F.when(ok, F.floor(log_lam * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("log_lambda_q6"),
+        F.when(ok, F.floor(p * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("p_q6"),
+        F.when(
+            ok,
+            F.floor(p * F.lit(1e6) + F.lit(0.5)) <= F.lit(int(alpha_ppm)),
+        ).alias("reject"),
+    )
+
+
+def msprt_monitor(
+    df: DataFrame,
+    *,
+    look_column: Column | str,
+    metric_column: str,
+    cohort_column: Column | str,
+    tau: float,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """The mSPRT PEEKING CURVE — :func:`msprt_mean_test` evaluated at
+    every look boundary over all data seen SO FAR (cumulative), which
+    is precisely what makes the mixture construction valuable: the
+    whole column of per-look p-values is simultaneously valid, so
+    "stop at the first look with p ≤ α" is an honest sequential test.
+
+    One (look, cohort) conditional census carries all corpus cost;
+    the cumulative moments run in an ordered window over that
+    look-count-bounded census (exact DECIMAL partial sums — the
+    partition-less window sits above an aggregate, the census-window
+    discipline), and the closed form is the shared fixed-order /
+    quantized-libm expression.
+
+    Output per look: (look, n_ctrl, n_treat, diff_q6, log_lambda_q6,
+    p_q6, reject).
+    """
+    from pyspark.sql import Window
+
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    lk = (
+        F.col(look_column) if isinstance(look_column, str) else look_column
+    )
+    co = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        lk.alias("__lk"), q6(F.col(metric_column)).alias("__y"),
+        co.alias("__t"),
+    ).filter(
+        F.col("__lk").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col("__t").isNotNull()
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    census = t.groupBy("__lk").agg(
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__dna"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__t"), d38(F.col("__y")))), F.lit(0)
+        ).alias("__dsa"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("__t"), d38(F.col("__y")) * F.col("__y"))
+            ),
+            F.lit(0),
+        ).alias("__dqa"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__dnb"),
+        F.coalesce(
+            F.sum(F.when(F.col("__t"), d38(F.col("__y")))), F.lit(0)
+        ).alias("__dsb"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__t"), d38(F.col("__y")) * F.col("__y"))
+            ),
+            F.lit(0),
+        ).alias("__dqb"),
+    )
+    w = Window.orderBy("__lk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.select(
+        "__lk",
+        F.sum("__dna").over(w).alias("__na"),
+        F.sum(d38(F.col("__dsa"))).over(w).alias("__sa"),
+        F.sum(d38(F.col("__dqa"))).over(w).alias("__qa"),
+        F.sum("__dnb").over(w).alias("__nb"),
+        F.sum(d38(F.col("__dsb"))).over(w).alias("__sb"),
+        F.sum(d38(F.col("__dqb"))).over(w).alias("__qb"),
+    )
+    tau2 = F.lit(float(tau) * 1e6) * F.lit(float(tau) * 1e6)
+    ok, y, log_lam, p = _msprt_terms(
+        F.col("__na"), F.col("__sa"), F.col("__qa"),
+        F.col("__nb"), F.col("__sb"), F.col("__qb"), tau2,
+    )
+    return cum.select(
+        F.col("__lk").alias("look"),
+        F.col("__na").cast("long").alias("n_ctrl"),
+        F.col("__nb").cast("long").alias("n_treat"),
+        F.when(ok, F.floor(y + F.lit(0.5))).cast("long").alias("diff_q6"),
+        F.when(ok, F.floor(log_lam * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("log_lambda_q6"),
+        F.when(ok, F.floor(p * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("p_q6"),
+        F.when(
+            ok,
+            F.floor(p * F.lit(1e6) + F.lit(0.5)) <= F.lit(int(alpha_ppm)),
+        ).alias("reject"),
+    )
+
+
 def cochran_armitage_trend(
     df: DataFrame,
     *,

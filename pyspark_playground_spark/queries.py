@@ -763,12 +763,24 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
+#: Entries ADDED this round: they queue BEHIND the never-sampled r7/r8
+#: tail in the exported order so the driver's ~50-entry sample closes
+#: the certification backlog first (VERDICT r8 item 1) — the new
+#: entries become the head of round 10's rotation.
+_NEW_THIS_ROUND = frozenset({
+    "msprt_spend_events", "windowed_msprt_events",
+})
+
+
 def _rotated(names) -> list[str]:
     recheck = [n for n in _DRIVER_RECHECK if n in names]
     rest = set(_DRIVER_CHECKED) | set(recheck)
-    fresh = [n for n in names if n not in rest]
+    fresh = [
+        n for n in names if n not in rest and n not in _NEW_THIS_ROUND
+    ]
+    new = [n for n in names if n in _NEW_THIS_ROUND and n not in rest]
     seen = [n for n in names if n in _DRIVER_CHECKED]
-    return recheck + fresh + seen
+    return recheck + fresh + new + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -16454,6 +16466,191 @@ def did_spend_events(spark, sf_dir):
         metric_column="y",
         cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
         period_column="p",
+    )
+
+
+#: DuckDB mirror of the shared mSPRT closed form over cumulative or
+#: one-shot cells named (na, sa, qa, nb, sb, qb): fixed-order doubles,
+#: both libm calls quantized 1e-12 (fdr_bh recipe), tau2 in (q6 units)^2.
+def _MSPRT_SQL(tau: float, alpha_ppm: int = 50_000) -> str:
+    tau2 = repr(float(tau) * 1e6) + " * " + repr(float(tau) * 1e6)
+    return f"""
+      SELECT *,
+        CASE WHEN ok THEN CAST(floor(yy + 0.5) AS BIGINT) END AS diff_q6,
+        CASE WHEN ok
+          THEN CAST(floor(ll * 1e6 + 0.5) AS BIGINT) END AS log_lambda_q6,
+        CASE WHEN ok
+          THEN CAST(floor(pp * 1e6 + 0.5) AS BIGINT) END AS p_q6,
+        CASE WHEN ok
+          THEN floor(pp * 1e6 + 0.5) <= {int(alpha_ppm)} END AS reject
+      FROM (
+        SELECT *,
+          least(1.0, floor(exp(-ll) * 1e12 + 0.5) / 1e12) AS pp
+        FROM (
+          SELECT *,
+            0.5 * (floor(ln(v / (v + {tau2})) * 1e12 + 0.5) / 1e12)
+              + (yy * yy * ({tau2}))
+                / ((2.0 * v) * (v + ({tau2}))) AS ll
+          FROM (
+            SELECT *,
+              (CAST(qa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                   * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                / CAST(na AS DOUBLE)
+              + (CAST(qb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                / CAST(nb AS DOUBLE) AS v,
+              CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS yy,
+              na > 0 AND nb > 0
+                AND ((CAST(qa AS DOUBLE) / CAST(na AS DOUBLE)
+                      - (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                        * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                     / CAST(na AS DOUBLE)
+                   + (CAST(qb AS DOUBLE) / CAST(nb AS DOUBLE)
+                      - (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                     / CAST(nb AS DOUBLE)) > 0 AS ok
+            FROM cells
+          )
+        )
+      )
+    """
+
+
+@query(
+    "msprt_spend_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CAST(round(value, 9) AS DECIMAL(28,10))),
+                           0) AS DOUBLE) AS y
+      FROM e WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    q AS (
+      SELECT CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS t
+      FROM u
+    ),
+    cells AS (
+      SELECT
+        sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS na,
+        coalesce(sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) END), 0)
+          AS sa,
+        coalesce(sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) * y END), 0)
+          AS qa,
+        sum(CASE WHEN t THEN 1 ELSE 0 END) AS nb,
+        coalesce(sum(CASE WHEN t THEN CAST(y AS HUGEINT) END), 0) AS sb,
+        coalesce(sum(CASE WHEN t THEN CAST(y AS HUGEINT) * y END), 0)
+          AS qb
+      FROM q
+    )
+    SELECT CAST(na AS BIGINT) AS n_ctrl, CAST(nb AS BIGINT) AS n_treat,
+           diff_q6, log_lambda_q6, p_q6, reject
+    FROM ({_MSPRT_SQL(10.0)})
+    """,
+)
+def msprt_spend_events(spark, sf_dir):
+    """Always-valid sequential test on per-user spend (operators/
+    profiling.py msprt_mean_test; Johari et al. KDD'17 mixture SPRT):
+    the md5-bucketed arms' spend difference scored by the normal-
+    mixture likelihood ratio whose p-value stays valid under
+    CONTINUOUS MONITORING — the peeking-safe complement to the
+    fixed-n z/power entries (tau=10 spend units). One conditional
+    DECIMAL(38,0) moment aggregate; fixed-order doubles with both
+    libm calls quantized 1e-12."""
+    from pyspark_playground_spark.operators.profiling import (
+        msprt_mean_test,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("y")
+    )
+    return msprt_mean_test(
+        u,
+        metric_column="y",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        tau=10.0,
+    )
+
+
+@query(
+    "windowed_msprt_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    b AS (
+      SELECT date_trunc('hour', ts) AS lk,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS t
+      FROM e
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    census AS (
+      SELECT lk,
+        sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS dna,
+        coalesce(sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) END), 0)
+          AS dsa,
+        coalesce(sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) * y END), 0)
+          AS dqa,
+        sum(CASE WHEN t THEN 1 ELSE 0 END) AS dnb,
+        coalesce(sum(CASE WHEN t THEN CAST(y AS HUGEINT) END), 0) AS dsb,
+        coalesce(sum(CASE WHEN t THEN CAST(y AS HUGEINT) * y END), 0)
+          AS dqb
+      FROM b GROUP BY lk
+    ),
+    cells AS (
+      SELECT lk,
+        sum(dna) OVER w AS na, sum(dsa) OVER w AS sa,
+        sum(dqa) OVER w AS qa, sum(dnb) OVER w AS nb,
+        sum(dsb) OVER w AS sb, sum(dqb) OVER w AS qb
+      FROM census
+      WINDOW w AS (ORDER BY lk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lk AS look, CAST(na AS BIGINT) AS n_ctrl,
+           CAST(nb AS BIGINT) AS n_treat,
+           diff_q6, log_lambda_q6, p_q6, reject
+    FROM ({_MSPRT_SQL(5.0)})
+    """,
+)
+def windowed_msprt_events(spark, sf_dir):
+    """The mSPRT peeking curve over hourly looks (operators/
+    profiling.py msprt_monitor): per-event value difference between
+    the md5-bucketed arms, re-scored at every hour boundary over ALL
+    data so far — the whole column of p-values is simultaneously
+    valid, so 'stop at the first look with p<=alpha' is an honest
+    sequential experiment (tau=5 value units). One (hour, arm)
+    census pass; the cumulative moments and closed form run over the
+    hour-count-bounded census."""
+    from pyspark_playground_spark.operators.profiling import (
+        msprt_monitor,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    return msprt_monitor(
+        e,
+        look_column=F.date_trunc("hour", F.col("ts")),
+        metric_column="value",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        tau=5.0,
     )
 
 

@@ -1635,3 +1635,142 @@ def cell_drift_vs_model(counts: DataFrame) -> DataFrame:
             ).cast("long").alias("mean_d2_q6"),
         )
     )
+
+
+def windowed_arm_moments(
+    events: DataFrame,
+    *,
+    cohort_column,
+    value_column: str = "value",
+    ts_column: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming-legal partials for the ALWAYS-VALID experiment monitor
+    (the mSPRT of ``profiling.msprt_mean_test`` made windowed): per
+    (event-time window, arm) exact moment sums — n, Σy, Σy² with y
+    quantized once to q6 BIGINT and the sums carried in DECIMAL(38,0).
+    Sums are mergeable, so late data folds in under a watermark and
+    the finisher defensively re-aggregates multiple partial rows per
+    (window, arm) — the update-mode-sink convention every finisher in
+    this module shares; state is bounded at windows × 2 rows. Rows with a NULL arm or
+    value are excluded (same rule as the batch operator).
+
+    Returns ``(window_start, window_end, arm, n, s_q6, q_q6)``.
+    """
+    co = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_column, watermark)
+    y = F.floor(
+        F.col(value_column).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    base = df.select(
+        F.col(ts_column).alias("__ts"), y.alias("__y"), co.alias("__t")
+    ).filter(F.col("__y").isNotNull() & F.col("__t").isNotNull())
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        base.groupBy(
+            F.window(F.col("__ts"), window_duration).alias("win"), "__t"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(F.col("__y"))).alias("s_q6"),
+            F.sum(d38(F.col("__y")) * F.col("__y")).alias("q_q6"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("__t").alias("arm"),
+            "n",
+            "s_q6",
+            "q_q6",
+        )
+    )
+
+
+def msprt_vs_assignment(
+    moments: DataFrame,
+    *,
+    tau: float,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Finish :func:`windowed_arm_moments` partials into the mSPRT
+    PEEKING CURVE (the ninth monitor finish): defensively re-aggregate
+    duplicate partials, accumulate both arms' exact DECIMAL moments
+    over the window order (cumulative — the mixture construction makes
+    the WHOLE column of p-values simultaneously valid, so 'stop at the
+    first window with p ≤ α' is an honest sequential test), and apply
+    the shared fixed-order / quantized-libm closed form
+    (``profiling._msprt_terms``). Everything after the partials is
+    bounded by the window count.
+
+    Returns ``(window_start, window_end, n_ctrl, n_treat, diff_q6,
+    log_lambda_q6, p_q6, reject)`` — the same columns per window as
+    the batch :func:`~pyspark_playground_spark.operators.profiling.
+    msprt_monitor`.
+    """
+    from pyspark_playground_spark.operators.profiling import _msprt_terms
+
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    folded = moments.groupBy("window_start", "window_end").agg(
+        F.coalesce(
+            F.sum(F.when(~F.col("arm"), F.col("n"))), F.lit(0)
+        ).alias("__dna"),
+        F.coalesce(
+            F.sum(F.when(~F.col("arm"), d38(F.col("s_q6")))), F.lit(0)
+        ).alias("__dsa"),
+        F.coalesce(
+            F.sum(F.when(~F.col("arm"), d38(F.col("q_q6")))), F.lit(0)
+        ).alias("__dqa"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm"), F.col("n"))), F.lit(0)
+        ).alias("__dnb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm"), d38(F.col("s_q6")))), F.lit(0)
+        ).alias("__dsb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm"), d38(F.col("q_q6")))), F.lit(0)
+        ).alias("__dqb"),
+    )
+    w = Window.orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = folded.select(
+        "window_start",
+        "window_end",
+        F.sum("__dna").over(w).alias("__na"),
+        F.sum(d38(F.col("__dsa"))).over(w).alias("__sa"),
+        F.sum(d38(F.col("__dqa"))).over(w).alias("__qa"),
+        F.sum("__dnb").over(w).alias("__nb"),
+        F.sum(d38(F.col("__dsb"))).over(w).alias("__sb"),
+        F.sum(d38(F.col("__dqb"))).over(w).alias("__qb"),
+    )
+    tau2 = F.lit(float(tau) * 1e6) * F.lit(float(tau) * 1e6)
+    ok, y, log_lam, p = _msprt_terms(
+        F.col("__na"), F.col("__sa"), F.col("__qa"),
+        F.col("__nb"), F.col("__sb"), F.col("__qb"), tau2,
+    )
+    return cum.select(
+        "window_start",
+        "window_end",
+        F.col("__na").cast("long").alias("n_ctrl"),
+        F.col("__nb").cast("long").alias("n_treat"),
+        F.when(ok, F.floor(y + F.lit(0.5))).cast("long").alias("diff_q6"),
+        F.when(ok, F.floor(log_lam * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("log_lambda_q6"),
+        F.when(ok, F.floor(p * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("p_q6"),
+        F.when(
+            ok,
+            F.floor(p * F.lit(1e6) + F.lit(0.5)) <= F.lit(int(alpha_ppm)),
+        ).alias("reject"),
+    )

