@@ -198,3 +198,186 @@ def multitouch_attribution(
         ),
         F.col("credit_q6").cast("long").alias("credit_q6"),
     )
+
+
+def markov_transition_census(
+    df: DataFrame,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """First-order Markov journey-transition census — the input half of
+    :func:`markov_attribution`, exposed separately so the census (ONE
+    corpus pass) can be materialized per batch and the model math
+    re-run ad hoc.
+
+    Journey construction: per user, events order by (ts, type) — the
+    type tiebreak keeps equal-timestamp orders deterministic across
+    engines — and SPLIT at each conversion (the classic multi-journey
+    convention: a purchase absorbs its journey; later events start a
+    new one). Edges: START→first event, each event→next event, any
+    event→CONV when the next-in-journey is the conversion (the
+    conversion itself IS the CONV absorption), and the journey's last
+    event→NULL when no conversion arrived (end of observation = lost).
+
+    Plan: two user-partitioned windows (journey id = count of prior
+    conversions; lag within journey) and one (src, dst) groupBy — the
+    census is bounded by (event-type domain + 2)², never the corpus.
+
+    Output: (src, dst, n) with src ∈ {START, types∖conversion},
+    dst ∈ {types∖conversion, CONV, NULL}.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(user_column).alias("__u"),
+        F.col(ts_column).alias("__ts"),
+        F.col(type_column).alias("__t"),
+    ).filter(
+        F.col("__u").isNotNull()
+        & F.col("__ts").isNotNull()
+        & F.col("__t").isNotNull()
+    )
+    w_user = (
+        Window.partitionBy("__u")
+        .orderBy("__ts", "__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    jid = F.coalesce(
+        F.count(
+            F.when(F.col("__t") == conversion_type, F.lit(1))
+        ).over(w_user),
+        F.lit(0),
+    )
+    j = base.withColumn("__jid", jid)
+    w_j = Window.partitionBy("__u", "__jid").orderBy("__ts", "__t")
+    w_j_desc = Window.partitionBy("__u", "__jid").orderBy(
+        F.col("__ts").desc(), F.col("__t").desc()
+    )
+    seq = j.select(
+        F.coalesce(F.lag("__t").over(w_j), F.lit("START")).alias("__src"),
+        F.when(F.col("__t") == conversion_type, F.lit("CONV"))
+        .otherwise(F.col("__t"))
+        .alias("__dst"),
+        F.row_number().over(w_j_desc).alias("__rnd"),
+        F.col("__t").alias("__cur"),
+    )
+    edges = seq.select("__src", "__dst")
+    terminal = seq.filter(
+        (F.col("__rnd") == 1) & (F.col("__cur") != conversion_type)
+    ).select(F.col("__cur").alias("__src"), F.lit("NULL").alias("__dst"))
+    return (
+        edges.unionByName(terminal)
+        .groupBy("__src", "__dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__src").alias("src"), F.col("__dst").alias("dst"), "n"
+        )
+    )
+
+
+def markov_attribution(
+    df: DataFrame,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+    conversion_type: str = "purchase",
+    iterations: int = 60,
+) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl, Becker, von
+    Wangenheim & Schumann, IJRM 2016; public construction) — the
+    model-based complement to :func:`multitouch_attribution`'s uniform
+    Shapley split: fit the first-order journey chain of
+    :func:`markov_transition_census`, compute the absorption
+    probability P(START→CONV), then for each channel re-solve with
+    that channel KNOCKED OUT (its state value forced to 0 — journeys
+    reaching it are lost) and credit the channel its removal effect
+    ``1 − P₋c/P``, normalized into attribution shares.
+
+    Exact cross-engine arithmetic: transition probabilities are ppm
+    floor-divisions of the census; the absorption solve is FIXED-COUNT
+    value iteration in q9 integers (``v′(s) = ⌊Σ_j p_ppm(s,j)·v(j) /
+    1e6⌋``, v(CONV)=1e9, v(NULL)=0 — the pagerank_fixed_point recipe,
+    bit-identical regardless of row order or engine), run on the
+    COLLECTED census: the model is (event-type domain + 2)² rows — a
+    documented model-sized collect (the centroid-list convention), so
+    the per-channel solves cost nothing at any corpus scale; all
+    corpus cost is the census pass.
+
+    Output per channel: (channel, p_conv_q9, p_conv_without_q9,
+    removal_effect_q6, attribution_q6) — attribution NULL when no
+    channel has positive removal effect.
+    """
+    census = markov_transition_census(
+        df,
+        user_column=user_column,
+        ts_column=ts_column,
+        type_column=type_column,
+        conversion_type=conversion_type,
+    ).collect()
+    counts: dict[tuple[str, str], int] = {
+        (r["src"], r["dst"]): int(r["n"]) for r in census
+    }
+    out_total: dict[str, int] = {}
+    for (s, _), n in counts.items():
+        out_total[s] = out_total.get(s, 0) + n
+    ppm = {
+        (s, d): n * 1_000_000 // out_total[s] for (s, d), n in counts.items()
+    }
+    channels = sorted(
+        {s for s, _ in counts if s != "START"}
+        | {d for _, d in counts if d not in ("CONV", "NULL")}
+    )
+    states = ["START"] + channels
+
+    def solve(excluded: str | None) -> int:
+        v = {s: 0 for s in states}
+        for _ in range(int(iterations)):
+            nxt = {}
+            for s in states:
+                if s == excluded:
+                    nxt[s] = 0
+                    continue
+                acc = 0
+                for j in states:
+                    p = ppm.get((s, j), 0)
+                    if p:
+                        acc += p * (0 if j == excluded else v[j])
+                acc += ppm.get((s, "CONV"), 0) * 1_000_000_000
+                nxt[s] = acc // 1_000_000
+            v = nxt
+        return v["START"]
+
+    p_full = solve(None)
+    rows = []
+    removals = {}
+    for c in channels:
+        p_c = solve(c)
+        removals[c] = (
+            (p_full - p_c) * 1_000_000 // p_full if p_full > 0 else None
+        )
+        rows.append((c, p_full, p_c))
+    total_removal = sum(r for r in removals.values() if r)
+    out = [
+        (
+            c,
+            pf,
+            pc,
+            removals[c],
+            (
+                removals[c] * 1_000_000 // total_removal
+                if removals[c] is not None and total_removal > 0
+                else None
+            ),
+        )
+        for c, pf, pc in rows
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv_q9 long, p_conv_without_q9 long,"
+        " removal_effect_q6 long, attribution_q6 long",
+    )

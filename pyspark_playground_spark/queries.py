@@ -769,6 +769,7 @@ _DRIVER_CHECKED = frozenset({
 #: entries become the head of round 10's rotation.
 _NEW_THIS_ROUND = frozenset({
     "msprt_spend_events", "windowed_msprt_events",
+    "markov_attribution_events",
 })
 
 
@@ -16353,6 +16354,126 @@ def shapley_attribution_events(spark, sf_dir):
     return multitouch_attribution(
         e, conversion_type="purchase", lookback_hours=72
     )
+
+
+@query(
+    "markov_attribution_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    b AS (
+      SELECT user_id AS u, ts, event_type AS t FROM e
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    j AS (
+      SELECT u, ts, t,
+        coalesce(count(CASE WHEN t = 'purchase' THEN 1 END) OVER (
+          PARTITION BY u ORDER BY ts, t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+      FROM b
+    ),
+    seq AS (
+      SELECT
+        coalesce(lag(t) OVER (PARTITION BY u, jid ORDER BY ts, t),
+                 'START') AS src,
+        CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS dst,
+        row_number() OVER (PARTITION BY u, jid ORDER BY ts DESC, t DESC)
+          AS rnd,
+        t AS cur
+      FROM j
+    ),
+    edges AS (
+      SELECT src, dst FROM seq
+      UNION ALL
+      SELECT cur AS src, 'NULL' AS dst FROM seq
+      WHERE rnd = 1 AND cur <> 'purchase'
+    ),
+    census AS (
+      SELECT src, dst, count(*) AS n FROM edges GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(n) AS tn FROM census GROUP BY src),
+    p AS (
+      SELECT census.src, census.dst,
+             CAST(census.n * 1000000 // tot.tn AS BIGINT) AS ppm
+      FROM census JOIN tot ON tot.src = census.src
+    ),
+    chan AS (
+      SELECT DISTINCT s AS c FROM (
+        SELECT src AS s FROM census WHERE src <> 'START'
+        UNION SELECT dst FROM census WHERE dst NOT IN ('CONV','NULL')
+      )
+    ),
+    states AS MATERIALIZED (
+      SELECT 'START' AS s UNION ALL SELECT c FROM chan
+    ),
+    excls AS MATERIALIZED (
+      SELECT '(none)' AS excl UNION ALL SELECT c FROM chan
+    ),
+    dense AS MATERIALIZED (
+      -- MATERIALIZED: the recursion below re-references this and the
+      -- default inlining would replay the corpus census per iteration
+      SELECT a.s AS i, b2.s AS j, coalesce(p.ppm, 0) AS ppm
+      FROM states a CROSS JOIN states b2
+      LEFT JOIN p ON p.src = a.s AND p.dst = b2.s
+    ),
+    pconv AS MATERIALIZED (
+      SELECT st.s, coalesce(p.ppm, 0) AS ppm
+      FROM states st LEFT JOIN p ON p.src = st.s AND p.dst = 'CONV'
+    ),
+    r AS (
+      WITH RECURSIVE rr(it, excl, s, v) AS (
+        SELECT 0, e2.excl, st.s, CAST(0 AS BIGINT)
+        FROM excls e2 CROSS JOIN states st
+        UNION ALL
+        SELECT rr.it + 1, rr.excl, d.i,
+          CASE WHEN d.i = rr.excl THEN 0 ELSE
+            CAST((sum(d.ppm *
+                      (CASE WHEN d.j = rr.excl THEN 0 ELSE rr.v END))
+                  + max(pc.ppm) * 1000000000) // 1000000 AS BIGINT)
+          END
+        FROM rr
+        JOIN dense d ON d.j = rr.s
+        JOIN pconv pc ON pc.s = d.i
+        WHERE rr.it < 60
+        GROUP BY rr.it, rr.excl, d.i
+      ) SELECT * FROM rr
+    ),
+    vi AS (SELECT * FROM r WHERE it = 60),
+    pfull AS (
+      SELECT v AS p9 FROM vi WHERE excl = '(none)' AND s = 'START'
+    ),
+    rem AS (
+      SELECT vi.excl AS channel, pfull.p9 AS p_conv_q9, vi.v AS p_wo,
+        CASE WHEN pfull.p9 > 0
+          THEN (pfull.p9 - vi.v) * 1000000 // pfull.p9 END AS removal
+      FROM vi, pfull WHERE vi.excl <> '(none)' AND vi.s = 'START'
+    ),
+    tr AS (SELECT sum(removal) AS t FROM rem WHERE removal IS NOT NULL)
+    SELECT channel, CAST(p_conv_q9 AS BIGINT) AS p_conv_q9,
+           CAST(p_wo AS BIGINT) AS p_conv_without_q9,
+           CAST(removal AS BIGINT) AS removal_effect_q6,
+           CAST(CASE WHEN removal IS NOT NULL AND tr.t > 0
+             THEN removal * 1000000 // tr.t END AS BIGINT)
+             AS attribution_q6
+    FROM rem, tr
+    """,
+)
+def markov_attribution_events(spark, sf_dir):
+    """Markov-chain removal-effect attribution (operators/funnel.py
+    markov_attribution; Anderl et al. IJRM'16): first-order journey
+    chain over per-user event sequences split at each purchase, then
+    each channel credited by how much the START->CONV absorption
+    probability DROPS when that channel is knocked out — the
+    model-based answer to the same question shapley_attribution_events
+    answers combinatorially. Fixed-count (60) value iteration in q9
+    integers over the collected model-sized census (the
+    pagerank_fixed_point recipe); the oracle replays the identical
+    iteration as a recursive CTE over the dense matrix."""
+    from pyspark_playground_spark.operators.funnel import (
+        markov_attribution,
+    )
+
+    return markov_attribution(load_events(spark, sf_dir))
 
 
 @query(

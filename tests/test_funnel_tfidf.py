@@ -187,3 +187,56 @@ def test_multitouch_attribution_hand_computed(spark):
     assert 4_000_000 - 3 <= total <= 4_000_000
     assert out["view"]["conversions_touched"] == 2
     assert out["click"]["conversions_touched"] == 3
+
+
+def test_markov_attribution_hand_computed(spark):
+    """Five journeys with a closed-form chain: P(conv)=0.6 exactly
+    (1/5 direct + 3/5 view path + 1/5 click path); removing click
+    kills the view path too (removal 2/3), removing view leaves the
+    direct and click paths (removal 1/3); journeys split at each
+    purchase; a user's post-purchase tail is its own (lost) journey."""
+    import datetime as dt
+
+    from pyspark_playground_spark.operators.funnel import (
+        markov_attribution,
+        markov_transition_census,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+    h = lambda k: t0 + dt.timedelta(hours=k)  # noqa: E731
+    rows = [
+        (1, h(0), "view"), (1, h(1), "click"), (1, h(2), "purchase"),
+        (2, h(0), "view"),
+        (3, h(0), "click"), (3, h(1), "purchase"), (3, h(2), "view"),
+        (4, h(0), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    census = {
+        (r["src"], r["dst"]): r["n"]
+        for r in markov_transition_census(df).collect()
+    }
+    assert census == {
+        ("START", "CONV"): 1, ("START", "click"): 1, ("START", "view"): 3,
+        ("click", "CONV"): 2, ("view", "NULL"): 2, ("view", "click"): 1,
+    }
+    out = {r["channel"]: r for r in markov_attribution(df).collect()}
+    assert set(out) == {"view", "click"}
+    # P = 0.6, quantized q9 with ppm-floored transition probabilities
+    assert abs(out["click"]["p_conv_q9"] - 600_000_000) < 1_000
+    assert abs(out["click"]["p_conv_without_q9"] - 200_000_000) < 1_000
+    assert abs(out["view"]["p_conv_without_q9"] - 400_000_000) < 1_000
+    assert out["click"]["removal_effect_q6"] == 666_666
+    assert out["view"]["removal_effect_q6"] == 333_333
+    assert out["click"]["attribution_q6"] == 666_666
+    assert out["view"]["attribution_q6"] == 333_333
+
+    # no conversions anywhere -> NULL effects (refusal, not a crash)
+    lost = spark.createDataFrame(
+        [(1, h(0), "view"), (1, h(1), "click")],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    out0 = {r["channel"]: r for r in markov_attribution(lost).collect()}
+    assert all(r["removal_effect_q6"] is None for r in out0.values())
+    assert all(r["p_conv_q9"] == 0 for r in out0.values())
