@@ -1704,3 +1704,80 @@ def script_mix_report(
             ),
         ).cast("long").alias("mixed_ppm"),
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    discount_ppm: int = 750_000,
+) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram LM (Kneser & Ney,
+    ICASSP'95; Chen & Goodman '98 made it the reference smoothing —
+    public construction) — the PRINCIPLED smoothing step up from the
+    self-scored stupid backoff of :func:`bigram_logprob_scores` and the
+    count-mass companion of the Good-Turing census: ``P(w₂|w₁) =
+    max(c(w₁w₂)−D, 0)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · P_cont(w₂)`` where
+    the continuation probability ``P_cont(w₂) = N₁₊(·w₂)/N₁₊(··)``
+    ranks words by how many DISTINCT contexts they follow — the famous
+    "San Francisco" correction: "Francisco" is frequent but only ever
+    follows "San", so its smoothed unseen-context probability is tiny
+    where a raw-frequency backoff would overshoot.
+
+    ``D`` is the fixed discount (default the canonical 0.75, passed as
+    ppm). Cross-engine determinism: every count is an exact census
+    integer; the closed form is ONE fixed-order double expression
+    (greatest/divide/multiply only — no libm), quantized q9.
+
+    Plan at 100 TB: bigrams from the token array (zip of two slices —
+    no self-join); one bigram census (map-side combined) carries all
+    corpus cost; the context and continuation censuses reduce FROM the
+    bigram census (never re-touch the corpus); the type total is a
+    broadcast one-row cross join. Join skew is bounded by the hottest
+    context; the two side censuses are vocabulary-sized and broadcast
+    under AQE.
+
+    Output per observed bigram: (w1, w2, c2, ctx_count, n1plus_left,
+    n1plus_right, p_kn_q9).
+    """
+    d = float(discount_ppm) / 1e6
+    base = df.select(tokens_expr(text_column).alias("__t")).filter(
+        F.size("__t") > 1
+    )
+    bi = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("p"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("c"),
+            )
+        ).alias("__z")
+    ).select(F.col("__z.p").alias("__w1"), F.col("__z.c").alias("__w2"))
+    c2 = bi.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("__w1").agg(
+        F.sum("c2").alias("__ctx"), F.count(F.lit(1)).alias("__n1l")
+    )
+    rt = c2.groupBy("__w2").agg(F.count(F.lit(1)).alias("__n1r"))
+    nb = c2.agg(F.count(F.lit(1)).alias("__nb"))
+    c2d = F.col("c2").cast("double")
+    ctxd = F.col("__ctx").cast("double")
+    p_kn = F.greatest(c2d - F.lit(d), F.lit(0.0)) / ctxd + (
+        (F.lit(d) * F.col("__n1l").cast("double")) / ctxd
+    ) * (
+        F.col("__n1r").cast("double") / F.col("__nb").cast("double")
+    )
+    return (
+        c2.join(ctx, "__w1")
+        .join(rt, "__w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("__w1").alias("w1"),
+            F.col("__w2").alias("w2"),
+            F.col("c2").cast("long").alias("c2"),
+            F.col("__ctx").cast("long").alias("ctx_count"),
+            F.col("__n1l").cast("long").alias("n1plus_left"),
+            F.col("__n1r").cast("long").alias("n1plus_right"),
+            F.floor(p_kn * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("p_kn_q9"),
+        )
+    )

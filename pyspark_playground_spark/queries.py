@@ -769,7 +769,7 @@ _DRIVER_CHECKED = frozenset({
 #: entries become the head of round 10's rotation.
 _NEW_THIS_ROUND = frozenset({
     "msprt_spend_events", "windowed_msprt_events",
-    "markov_attribution_events",
+    "markov_attribution_events", "kneser_ney_bigram_documents",
 })
 
 
@@ -2573,6 +2573,47 @@ def bigram_logprob_documents(spark, sf_dir):
         "doc_id", "n_tokens",
         F.col("sum_logprob").cast("string").alias("sum_logprob_s"),
     )
+
+
+@query(
+    "kneser_ney_bigram_documents",
+    f"""
+    WITH t AS (
+      SELECT * FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+      WHERE len(tk) > 1
+    ), bi AS (
+      SELECT tk[u.i - 1] AS w1, tk[u.i] AS w2
+      FROM t, unnest(range(2, len(tk) + 1)) AS u(i)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, sum(c2) AS ctx, count(*) AS n1l FROM c2 GROUP BY w1
+    ), rt AS (
+      SELECT w2, count(*) AS n1r FROM c2 GROUP BY w2
+    ), nb AS (SELECT count(*) AS nb FROM c2)
+    SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+           CAST(ctx AS BIGINT) AS ctx_count,
+           CAST(n1l AS BIGINT) AS n1plus_left,
+           CAST(n1r AS BIGINT) AS n1plus_right,
+           CAST(floor((greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0)
+                         / CAST(ctx AS DOUBLE)
+                       + ((0.75 * CAST(n1l AS DOUBLE))
+                          / CAST(ctx AS DOUBLE))
+                         * (CAST(n1r AS DOUBLE) / CAST(nb AS DOUBLE)))
+                      * 1e9 + 0.5) AS BIGINT) AS p_kn_q9
+    FROM c2 JOIN ctx USING (w1) JOIN rt USING (w2) CROSS JOIN nb
+    """,
+)
+def kneser_ney_bigram_documents(spark, sf_dir):
+    """Interpolated Kneser-Ney smoothed bigram LM over the documents
+    corpus (text.py kneser_ney_bigram; Kneser & Ney '95, Chen &
+    Goodman '98): discounted bigram mass redistributed by CONTINUATION
+    counts — how many distinct contexts a word follows — the reference
+    smoothing the stupid-backoff and Good-Turing entries bracket. One
+    bigram census pass; both side censuses reduce from it; fixed-order
+    libm-free closed form quantized q9."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.kneser_ney_bigram(docs)
 
 
 @query("bpe_tokenize_documents")

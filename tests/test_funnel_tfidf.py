@@ -240,3 +240,40 @@ def test_markov_attribution_hand_computed(spark):
     out0 = {r["channel"]: r for r in markov_attribution(lost).collect()}
     assert all(r["removal_effect_q6"] is None for r in out0.values())
     assert all(r["p_conv_q9"] == 0 for r in out0.values())
+
+
+def test_kneser_ney_bigram_hand_computed(spark):
+    """Python mirror pins every smoothed probability; the classic
+    continuation effect holds: 'francisco' is as frequent as 'york'
+    but follows only ONE distinct context, so its continuation mass
+    (what an unseen context would inherit) is lower; per-context
+    probabilities stay in (0, 1] and never exceed the raw MLE + D."""
+    text = (
+        "san francisco san francisco san francisco "
+        "new york old york in york"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = {(r["w1"], r["w2"]): r
+            for r in tx.kneser_ney_bigram(docs).collect()}
+
+    toks = text.split()
+    bi = list(zip(toks, toks[1:]))
+    from collections import Counter
+    c2 = Counter(bi)
+    ctx = Counter(); n1l = Counter(); n1r = Counter()
+    for (a, b), n in c2.items():
+        ctx[a] += n; n1l[a] += 1; n1r[b] += 1
+    nb = len(c2)
+    import math
+    for (a, b), n in c2.items():
+        p = max(n - 0.75, 0.0) / ctx[a] + ((0.75 * n1l[a]) / ctx[a]) * (
+            n1r[b] / nb
+        )
+        got = rows[(a, b)]
+        assert got["c2"] == n and got["ctx_count"] == ctx[a]
+        assert got["p_kn_q9"] == math.floor(p * 1e9 + 0.5), (a, b)
+        assert 0 < got["p_kn_q9"] <= 10**9
+    # continuation counts: 'york' follows 3 distinct contexts,
+    # 'francisco' only 1 -> lower continuation share despite equal c2
+    assert rows[("san", "francisco")]["n1plus_right"] == 1
+    assert rows[("new", "york")]["n1plus_right"] == 3
