@@ -770,6 +770,7 @@ _DRIVER_CHECKED = frozenset({
 _NEW_THIS_ROUND = frozenset({
     "msprt_spend_events", "windowed_msprt_events",
     "markov_attribution_events", "kneser_ney_bigram_documents",
+    "hodges_lehmann_doc_lengths",
 })
 
 
@@ -12508,6 +12509,68 @@ def kendall_tau_documents(spark, sf_dir):
         F.col("n_chars").alias("x"), token_count_expr("text").alias("y")
     )
     return kendall_tau(t, x_column="x", y_column="y")
+
+
+@query(
+    "hodges_lehmann_doc_lengths",
+    """
+    WITH t AS (
+      SELECT CAST(floor(CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS v,
+             (source = 'src0') AS ia
+      FROM documents
+      WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+    ),
+    cells AS (
+      SELECT v, sum(CASE WHEN ia THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN ia THEN 0 ELSE 1 END) AS cb
+      FROM t GROUP BY v
+    ),
+    diffs AS (
+      SELECT a.v - b.v AS d, sum(CAST(a.ca AS HUGEINT) * b.cb) AS w
+      FROM (SELECT v, ca FROM cells WHERE ca > 0) a
+      CROSS JOIN (SELECT v, cb FROM cells WHERE cb > 0) b
+      GROUP BY a.v - b.v
+    ),
+    c AS (
+      SELECT d,
+        sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(w) OVER () AS tot
+      FROM diffs
+    ),
+    med AS (SELECT min(d) AS hl FROM c WHERE cum * 2 >= tot),
+    counts AS (
+      SELECT sum(CASE WHEN ia THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN ia THEN 0 ELSE 1 END) AS n_b
+      FROM t
+    ),
+    nd AS (SELECT count(*) AS n_diff_values FROM diffs)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_diff_values AS BIGINT) AS n_diff_values,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN hl END AS BIGINT)
+             AS hl_shift_q6
+    FROM counts CROSS JOIN nd CROSS JOIN med
+    """,
+)
+def hodges_lehmann_doc_lengths(spark, sf_dir):
+    """Hodges-Lehmann shift estimate of HOW MUCH longer src0 documents
+    are than src1 (profiling.hodges_lehmann_shift; Hodges & Lehmann
+    '63) — the robust effect-size companion to the Mann-Whitney test
+    one entry down (median of all pairwise length differences,
+    weighted through the census×census product, never row-level
+    pairs; lower weighted median by integer comparison)."""
+    from pyspark_playground_spark.operators.profiling import (
+        hodges_lehmann_shift,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return hodges_lehmann_shift(
+        docs,
+        value_column="n_chars",
+        group_column="source",
+        group_a="src0",
+        group_b="src1",
+    )
 
 
 @query(

@@ -2238,3 +2238,59 @@ def test_jonckheere_terpstra_mirror(spark):
         one, value_column="v", group_score_column="g"
     ).collect()[0]
     assert ro["z_q6"] is None
+
+
+def test_hodges_lehmann_shift_mirror(spark):
+    """A python brute-force over all n_a*n_b pairwise differences pins
+    the estimate on a tied fixture; a pure +5 location shift recovers
+    exactly 5; one wild outlier in A moves the mean difference but NOT
+    the HL estimate (robustness); empty group refuses with NULL."""
+    from pyspark_playground_spark.operators.profiling import (
+        hodges_lehmann_shift,
+    )
+
+    def run(a_vals, b_vals):
+        rows = [("a", float(v)) for v in a_vals] + [
+            ("b", float(v)) for v in b_vals
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        return hodges_lehmann_shift(
+            df, value_column="v", group_column="g",
+            group_a="a", group_b="b",
+        ).collect()[0]
+
+    def brute(a_vals, b_vals):
+        ds = sorted(
+            int(round(a * 1e6)) - int(round(b * 1e6))
+            for a in a_vals for b in b_vals
+        )
+        tot = len(ds)
+        cum = 0
+        seen = {}
+        for d in ds:
+            cum += 1
+            if d not in seen:
+                seen[d] = cum - 1
+        for d in sorted(seen):
+            below_incl = seen[d] + ds.count(d)
+            if below_incl * 2 >= tot:
+                return d
+        return ds[-1]
+
+    a = [1, 2, 2, 3, 7]
+    b = [0, 1, 1, 5]
+    r = run(a, b)
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["hl_shift_q6"] == brute(a, b)
+
+    shifted = run([v + 5 for v in b], b)
+    assert shifted["hl_shift_q6"] == 5_000_000
+
+    outlier = run([1, 2, 3, 4, 10_000], [1, 2, 3, 4, 5])
+    clean = run([1, 2, 3, 4, 5], [1, 2, 3, 4, 5])
+    assert outlier["hl_shift_q6"] == brute([1, 2, 3, 4, 10_000],
+                                           [1, 2, 3, 4, 5])
+    assert abs(outlier["hl_shift_q6"] - clean["hl_shift_q6"]) <= 1_000_000
+
+    empty = run([], [1.0, 2.0])
+    assert empty["hl_shift_q6"] is None and empty["n_a"] == 0
