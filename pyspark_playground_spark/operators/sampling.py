@@ -890,3 +890,74 @@ def rolling_origin_folds(
         "fold",
         "left",
     )
+
+
+def importance_weight_ess(
+    weights: DataFrame,
+    *,
+    weight_column: str = "log_weight",
+) -> DataFrame:
+    """Effective sample size of an importance-weighted corpus (Kong
+    1992's ESS = (Σw)²/Σw²; Kish's design-effect form — public
+    construction): the diagnostic every importance-resampling step
+    should publish next to its output. Weights arrive in LOG space
+    (:func:`dsir_importance_weights`'s column); a tiny ESS ratio means
+    a few documents dominate the target-matched distribution and the
+    resample of ``dsir_gumbel_select`` is effectively drawing from a
+    handful of docs — raise the bucket count, soften the target, or
+    cap weights before trusting the selection.
+
+    Determinism: weights are exact DECIMAL; the max-shift ``e_i =
+    exp(lw_i − max lw)`` is the standard overflow guard and the ONE
+    libm call per row, floor-quantized to 1e-12 (q12 integers ≤ 1e12);
+    both moment sums are exact DECIMAL(38,0); the final ratios are
+    fixed-order doubles quantized on output. The Σe² DECIMAL envelope
+    holds to ~1e14 docs.
+
+    Plan: one 1-row max/count broadcast, one scan computing e, one
+    map-side-combined moment aggregate — two corpus passes, no
+    windows, no data-sized state.
+
+    Output one row: (n_docs, ess_q6, ess_ratio_ppm).
+    """
+    m = weights.agg(
+        F.max(F.col(weight_column)).alias("__m"),
+    )
+    e = weights.crossJoin(F.broadcast(m)).select(
+        F.floor(
+            F.exp((F.col(weight_column) - F.col("__m")).cast("double"))
+            * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__e")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = e.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(d38(F.col("__e"))), F.lit(0)).alias("__se"),
+        F.coalesce(
+            F.sum(d38(F.col("__e")) * F.col("__e")), F.lit(0)
+        ).alias("__se2"),
+    )
+    sed = F.col("__se").cast("double")
+    se2d = F.col("__se2").cast("double")
+    ess = F.try_divide(sed * sed, se2d)
+    return s.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        F.when(
+            F.col("__n") > 0, F.floor(ess * F.lit(1e6) + F.lit(0.5))
+        )
+        .cast("long")
+        .alias("ess_q6"),
+        F.when(
+            F.col("__n") > 0,
+            F.floor(
+                F.try_divide(ess, F.col("__n").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ),
+        )
+        .cast("long")
+        .alias("ess_ratio_ppm"),
+    )

@@ -770,7 +770,7 @@ _DRIVER_CHECKED = frozenset({
 _NEW_THIS_ROUND = frozenset({
     "msprt_spend_events", "windowed_msprt_events",
     "markov_attribution_events", "kneser_ney_bigram_documents",
-    "hodges_lehmann_doc_lengths",
+    "hodges_lehmann_doc_lengths", "dsir_ess_documents",
 })
 
 
@@ -11022,6 +11022,54 @@ def dsir_select_documents(spark, sf_dir):
     return out.select(
         "doc_id", F.col("perturbed_weight").cast("string").alias("perturbed_weight_s")
     )
+
+
+@query(
+    "dsir_ess_documents",
+    f"""
+    WITH w AS ({_DSIR_WEIGHTS}),
+    lw AS (
+      SELECT CAST(log_weight_s AS DECIMAL(28,9)) AS lw FROM w
+    ),
+    m AS (SELECT max(lw) AS m FROM lw),
+    e AS (
+      SELECT CAST(floor(exp(CAST(lw - m AS DOUBLE)) * 1e12 + 0.5)
+                  AS BIGINT) AS e
+      FROM lw CROSS JOIN m
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             coalesce(sum(CAST(e AS HUGEINT)), 0) AS se,
+             coalesce(sum(CAST(e AS HUGEINT) * e), 0) AS se2
+      FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(CASE WHEN n > 0 THEN floor(
+             (CAST(se AS DOUBLE) * CAST(se AS DOUBLE))
+               / CAST(se2 AS DOUBLE) * 1e6 + 0.5) END AS BIGINT)
+             AS ess_q6,
+           CAST(CASE WHEN n > 0 THEN floor(
+             (CAST(se AS DOUBLE) * CAST(se AS DOUBLE))
+               / CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             END AS BIGINT) AS ess_ratio_ppm
+    FROM s
+    """,
+)
+def dsir_ess_documents(spark, sf_dir):
+    """Effective sample size of the DSIR importance weights
+    (operators/sampling.py importance_weight_ess; Kong '92 / Kish):
+    (Σw)²/Σw² over max-shifted exp(log_weight) — the diagnostic that
+    says whether dsir_select is genuinely resampling the corpus or
+    collapsing onto a few dominant documents. One libm call per doc
+    quantized q12; exact DECIMAL moment sums; fixed-order final
+    ratios."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark_playground_spark.operators.sampling import (
+        importance_weight_ess,
+    )
+
+    w = sp.dsir_importance_weights(docs, F.col("lang") == "en")
+    return importance_weight_ess(w)
 
 
 @query(

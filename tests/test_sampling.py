@@ -438,3 +438,40 @@ def test_rolling_origin_folds_hand_computed(spark):
 
     with pytest.raises(ValueError, match="n_folds"):
         rolling_origin_folds(df, "ts", n_folds=0)
+
+
+def test_importance_weight_ess_mirror(spark):
+    """Closed-form pins: equal weights give ESS = n exactly (ratio
+    1e6); one dominant weight collapses ESS toward 1; a python mirror
+    pins the quantized value on a mixed fixture; empty input refuses."""
+    import math
+
+    from pyspark_playground_spark.operators.sampling import (
+        importance_weight_ess,
+    )
+
+    def run(logws):
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(logws)],
+            "doc_id bigint, lw double",
+        ).select("doc_id", F.col("lw").cast("decimal(28,9)").alias(
+            "log_weight"))
+        return importance_weight_ess(df).collect()[0]
+
+    eq = run([0.5] * 8)
+    assert eq["n_docs"] == 8
+    assert eq["ess_q6"] == 8_000_000 and eq["ess_ratio_ppm"] == 1_000_000
+
+    dom = run([20.0, 0.0, 0.0, 0.0])
+    assert dom["ess_q6"] < 1_100_000  # collapsed onto the big weight
+
+    mixed = [0.0, 1.0, 2.0, -1.0, 0.5]
+    r = run(mixed)
+    m = max(mixed)
+    es = [math.floor(math.exp(w - m) * 1e12 + 0.5) for w in mixed]
+    ess = (sum(es) ** 2) / sum(e * e for e in es)
+    assert r["ess_q6"] == math.floor(ess * 1e6 + 0.5)
+    assert r["ess_ratio_ppm"] == math.floor(ess / len(mixed) * 1e6 + 0.5)
+
+    empty = run([])
+    assert empty["n_docs"] == 0 and empty["ess_q6"] is None
