@@ -33,6 +33,8 @@ Spec shape::
         params: {chunk_tokens: 128, overlap: 16}
       - op: calibrated_filter          # unigram-LM score, rank-calibrated
         params: {min_ppm: 100000}      #   within each source
+      - op: perplexity_filter          # self-scored LM quality gate
+        params: {min_avg_logprob: -7.5, model: bigram}
       - op: leakage_free_split         # split on near-dup cluster id
       - op: temperature_rebalance      # shares ∝ n^alpha
         params: {alpha: 0.5}
@@ -335,6 +337,37 @@ def _stage_score_gate(df: DataFrame, spec: dict) -> DataFrame:
             f"(n_pos={row['n_pos']}, n_neg={row['n_neg']})"
         )
     return df
+
+
+def _stage_perplexity_filter(df: DataFrame, spec: dict) -> DataFrame:
+    """Perplexity-proxy quality gate: keep documents whose average
+    token log-likelihood under the corpus's OWN LM
+    (``params.model``: ``unigram`` default, ``bigram`` to also catch
+    shuffled-token salad) clears ``params.min_avg_logprob`` — the
+    declarative form of the CCNet/Gopher-style LM quality filter the
+    scoring entries document. The corpus scores itself, so the stage
+    is self-contained (no external model artifact); threshold in
+    nats-per-token (e.g. -7.5). Returns the surviving rows of the
+    ORIGINAL frame (left-semi on the id), funnel shape preserved."""
+    from pyspark_playground_spark.operators.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    p = dict(spec.get("params", {}))
+    model = p.get("model", "unigram")
+    if model not in ("unigram", "bigram"):
+        raise ValueError(f"perplexity_filter model must be unigram|bigram: {model}")
+    fn = bigram_logprob_scores if model == "bigram" else unigram_logprob_scores
+    id_column = p.get("id_column", "doc_id")
+    thr = float(p["min_avg_logprob"])
+    scores = fn(
+        df, id_column=id_column, text_column=p.get("text_column", "text")
+    )
+    keep = scores.filter(F.col("avg_logprob") >= F.lit(thr)).select(
+        id_column
+    )
+    return df.join(keep, id_column, "left_semi")
 
 
 def _stage_dsir_select(df: DataFrame, spec: dict) -> DataFrame:
@@ -848,6 +881,7 @@ STAGES: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "token_budget": _stage_token_budget,
     "tokenize_bpe": _stage_tokenize_bpe,
     "c4_filter": _stage_c4_filter,
+    "perplexity_filter": _stage_perplexity_filter,
     "filter": _stage_filter,
     "quality_score": _stage_quality_score,
     "scrub_pii": _stage_scrub_pii,

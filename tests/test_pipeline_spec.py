@@ -668,3 +668,50 @@ def test_media_near_dedup_keeps_one_per_perceptual_cluster(spark):
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
     assert out.columns == df.columns
+
+
+def test_perplexity_filter_stage_matches_direct_call(spark):
+    """The stage keeps exactly the docs the LM scorer clears; the
+    bigram model flags the shuffled doc the unigram model cannot;
+    unknown model refuses."""
+    import pytest
+
+    from pyspark_playground_spark.operators.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+    from pyspark_playground_spark.plans.pipeline import run_pipeline
+
+    natural = "the cat sat on the mat"
+    rows = [(i, natural, "src0") for i in range(1, 6)] + [
+        (9, "mat the on sat cat the", "src0"),
+        (10, "zq xv jk wq pl mn", "src1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uni = {r["doc_id"]: r["avg_logprob"]
+           for r in unigram_logprob_scores(df).collect()}
+    thr = (max(uni.values()) + min(uni.values())) / 2
+    spec = {"stages": [{"op": "perplexity_filter",
+                        "params": {"min_avg_logprob": thr}}]}
+    got = sorted(r["doc_id"] for r in run_pipeline(df, spec).collect())
+    want = sorted(d for d, lp in uni.items() if lp >= thr)
+    assert got == want and 10 not in got
+    assert set(run_pipeline(df, spec).columns) == {
+        "doc_id", "text", "source"
+    }
+
+    # bigram model separates the shuffled doc from the natural ones
+    bi = {r["doc_id"]: r["avg_logprob"]
+          for r in bigram_logprob_scores(df).collect()}
+    thr_bi = (bi[1] + bi[9]) / 2
+    spec_bi = {"stages": [{"op": "perplexity_filter",
+                           "params": {"min_avg_logprob": thr_bi,
+                                      "model": "bigram"}}]}
+    got_bi = sorted(r["doc_id"] for r in run_pipeline(df, spec_bi).collect())
+    assert 9 not in got_bi and 1 in got_bi
+
+    with pytest.raises(ValueError, match="unigram|bigram"):
+        run_pipeline(df, {"stages": [{
+            "op": "perplexity_filter",
+            "params": {"min_avg_logprob": 0, "model": "kenlm"}}]})
