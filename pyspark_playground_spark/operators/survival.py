@@ -422,3 +422,160 @@ def restricted_mean_survival(
     ).withColumn(
         "rmst_hours_q6", F.expr("rmst_x9 DIV 1000")
     )
+
+
+def cox_binary_hazard(
+    lifetimes: DataFrame,
+    *,
+    duration_column: str = "duration_hours",
+    died_column: str = "died",
+    group_column: str = "grp",
+    iterations: int = 8,
+    buckets: int = 64,
+) -> DataFrame:
+    """Cox proportional-hazards fit for ONE binary covariate (Cox,
+    JRSS-B 1972; Breslow tie handling — public construction): the
+    ESTIMATION companion to :func:`log_rank_test`, which is exactly
+    this model's score test at β=0 — the log-rank says the curves
+    differ, the Cox β says BY HOW MUCH, as a hazard ratio ``e^β`` with
+    a standard error, without choosing a parametric survival shape.
+
+    With a binary covariate the partial likelihood collapses onto the
+    death-time census: at each death time ``t`` with ``d`` deaths
+    (``d₁`` in group 1) and risk counts ``(n₀, n₁)``::
+
+        U(β) = Σ_t d₁ − d·e^β n₁ / (n₀ + e^β n₁)
+        I(β) = Σ_t d·(e^β n₁)·n₀ / (n₀ + e^β n₁)²
+
+    solved by FIXED-COUNT Newton iterations ``β ← β + U/I`` (β₀=0,
+    default 8 — quadratic convergence makes more than ~6 a formality).
+
+    Cross-engine determinism: the census and risk suffix sums are the
+    exact integers of :func:`log_rank_test` (same fused range-bucket
+    cumulative, no data-sized window); per iteration the ONE libm call
+    ``e^β`` is floor-quantized 1e-12, each census term is a
+    fixed-order double rounded to 9 decimals, and the sums are exact
+    DECIMAL(28,9) — order-free, so the driver-coordinated Newton loop
+    (the bpe_learn_merges precedent: iteration counts are bounded and
+    each step is one 1-row aggregate over the persisted census) lands
+    on bit-identical β on every engine.
+
+    Refuses (NULL estimates) when the information is non-positive at
+    any step — one group empty, no deaths, or complete separation.
+
+    Output one row: (n_a, n_b, deaths_a, deaths_b, beta_q6, hr_q6,
+    se_q6, z_q6).
+    """
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        _bucketed_cum_before,
+    )
+
+    g = F.col(group_column).cast("boolean")
+    lt = lifetimes.select(
+        F.col(duration_column).alias("__dur"),
+        F.col(died_column).cast("long").alias("__died"),
+        g.alias("__g"),
+    ).filter(F.col("__dur").isNotNull() & F.col("__g").isNotNull())
+    census = (
+        lt.groupBy("__dur")
+        .agg(
+            F.sum(F.when(F.col("__g"), F.col("__died")).otherwise(0))
+            .alias("__d1"),
+            F.sum(F.when(F.col("__g"), 0).otherwise(F.col("__died")))
+            .alias("__d2"),
+            F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__c1"),
+            F.sum(F.when(F.col("__g"), 0).otherwise(1)).alias("__c2"),
+        )
+        .withColumn("__negd", -F.col("__dur"))
+    )
+    data = _bucketed_cum_before(
+        census,
+        order_column="__negd",
+        sum_column=["__c1", "__c2"],
+        out=["__above1", "__above2"],
+        buckets=buckets,
+    )
+    n1 = F.col("__above1") + F.col("__c1")
+    n0 = F.col("__above2") + F.col("__c2")
+    dt = F.col("__d1") + F.col("__d2")
+    at_death = (
+        data.filter(dt > 0)
+        .select(
+            F.col("__d1").cast("double").alias("__d1d"),
+            dt.cast("double").alias("__dd"),
+            n1.cast("double").alias("__n1d"),
+            n0.cast("double").alias("__n0d"),
+            F.col("__d1").alias("__d1"),
+            F.col("__d2").alias("__d2"),
+        )
+        .persist()
+    )
+
+    def scores(beta: float):
+        eb = math.floor(math.exp(beta) * 1e12 + 0.5) / 1e12
+        r1 = F.lit(eb) * F.col("__n1d")
+        s0 = F.col("__n0d") + r1
+        u_t = F.col("__d1d") - F.col("__dd") * r1 / s0
+        i_t = F.col("__dd") * (r1 * F.col("__n0d")) / (s0 * s0)
+        row = at_death.agg(
+            F.sum(F.round(u_t, 9).cast("decimal(28,9)")).alias("u"),
+            F.sum(F.round(i_t, 9).cast("decimal(28,9)")).alias("i"),
+        ).collect()[0]
+        return (
+            float(row["u"]) if row["u"] is not None else 0.0,
+            float(row["i"]) if row["i"] is not None else 0.0,
+        )
+
+    beta: float | None = 0.0
+    for _ in range(int(iterations)):
+        u, i = scores(beta)
+        if i <= 0:
+            beta = None
+            break
+        beta = beta + u / i
+    i_fin = None
+    if beta is not None:
+        _, i_fin = scores(beta)
+        if i_fin <= 0:
+            beta = None
+
+    tot = lt.groupBy().agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__g"), 0).otherwise(1)).alias("n_b"),
+    )
+    deaths = at_death.agg(
+        F.coalesce(F.sum("__d1"), F.lit(0)).cast("long").alias("deaths_a"),
+        F.coalesce(F.sum("__d2"), F.lit(0)).cast("long").alias("deaths_b"),
+    )
+    if beta is None:
+        stats = [None, None, None, None]
+    else:
+        eb_fin = math.floor(math.exp(beta) * 1e12 + 0.5) / 1e12
+        se = 1.0 / math.sqrt(i_fin)
+        stats = [
+            math.floor(beta * 1e6 + 0.5),
+            math.floor(eb_fin * 1e6 + 0.5),
+            math.floor(se * 1e6 + 0.5),
+            math.floor(beta / se * 1e6 + 0.5),
+        ]
+    at_death.unpersist()
+    spark = lifetimes.sparkSession
+    lits = spark.createDataFrame(
+        [tuple(stats)], "beta_q6 long, hr_q6 long, se_q6 long, z_q6 long"
+    )
+    return (
+        tot.crossJoin(F.broadcast(deaths))
+        .crossJoin(F.broadcast(lits))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "deaths_a",
+            "deaths_b",
+            "beta_q6",
+            "hr_q6",
+            "se_q6",
+            "z_q6",
+        )
+    )

@@ -771,6 +771,7 @@ _NEW_THIS_ROUND = frozenset({
     "msprt_spend_events", "windowed_msprt_events",
     "markov_attribution_events", "kneser_ney_bigram_documents",
     "hodges_lehmann_doc_lengths", "dsir_ess_documents",
+    "cox_purchasers_events",
 })
 
 
@@ -13014,6 +13015,135 @@ def logrank_purchasers_events(spark, sf_dir):
         },
     )
     return sv.log_rank_test(lt)
+
+
+@query(
+    "cox_purchasers_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS dur,
+             CAST((epoch_us(h.horizon) - epoch_us(max(ts)))
+                    > 24 * 3600000000 AS INT) AS died,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS grp
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    census AS (
+      SELECT dur,
+             sum(CASE WHEN grp THEN died ELSE 0 END) AS d1,
+             sum(CASE WHEN grp THEN 0 ELSE died END) AS d2,
+             sum(CASE WHEN grp THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN grp THEN 0 ELSE 1 END) AS c2
+      FROM u GROUP BY dur
+    ),
+    risk AS MATERIALIZED (
+      -- MATERIALIZED: the Newton recursion re-references this frame
+      -- per iteration (the markov-oracle lesson)
+      SELECT CAST(d1 AS DOUBLE) AS d1d,
+             CAST(d1 + d2 AS DOUBLE) AS dd,
+             CAST(sum(c1) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS n1d,
+             CAST(sum(c2) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS n0d,
+             d1, d2
+      FROM census
+    ),
+    dth AS (SELECT * FROM risk WHERE d1 + d2 > 0),
+    nr AS (
+      WITH RECURSIVE it(k, beta) AS (
+        SELECT 0, CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT it.k + 1,
+          CASE WHEN sum(CAST(round(
+                 dth.dd * ((floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                            * dth.n1d) * dth.n0d)
+                 / ((dth.n0d + floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                     * dth.n1d)
+                    * (dth.n0d + floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                       * dth.n1d)), 9) AS DECIMAL(28,9))) > 0
+          THEN it.beta
+            + CAST(sum(CAST(round(
+                dth.d1d - dth.dd
+                  * (floor(exp(it.beta) * 1e12 + 0.5) / 1e12 * dth.n1d)
+                  / (dth.n0d + floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                     * dth.n1d), 9) AS DECIMAL(28,9))) AS DOUBLE)
+              / CAST(sum(CAST(round(
+                dth.dd * ((floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                           * dth.n1d) * dth.n0d)
+                / ((dth.n0d + floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                    * dth.n1d)
+                   * (dth.n0d + floor(exp(it.beta) * 1e12 + 0.5) / 1e12
+                      * dth.n1d)), 9) AS DECIMAL(28,9))) AS DOUBLE)
+          END
+        FROM it JOIN dth ON TRUE
+        WHERE it.k < 8
+        GROUP BY it.k, it.beta
+      ) SELECT * FROM it
+    ),
+    fin AS (SELECT beta FROM nr WHERE k = 8),
+    ifin AS (
+      SELECT sum(CAST(round(
+               dth.dd * ((floor(exp(fin.beta) * 1e12 + 0.5) / 1e12
+                          * dth.n1d) * dth.n0d)
+               / ((dth.n0d + floor(exp(fin.beta) * 1e12 + 0.5) / 1e12
+                   * dth.n1d)
+                  * (dth.n0d + floor(exp(fin.beta) * 1e12 + 0.5) / 1e12
+                     * dth.n1d)), 9) AS DECIMAL(28,9))) AS i
+      FROM dth CROSS JOIN fin
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM u
+    ),
+    dsum AS (
+      SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS deaths_a,
+             CAST(coalesce(sum(d2), 0) AS BIGINT) AS deaths_b
+      FROM dth
+    )
+    SELECT n_a, n_b, deaths_a, deaths_b,
+      CAST(CASE WHEN fin.beta IS NOT NULL AND CAST(ifin.i AS DOUBLE) > 0
+        THEN floor(fin.beta * 1e6 + 0.5) END AS BIGINT) AS beta_q6,
+      CAST(CASE WHEN fin.beta IS NOT NULL AND CAST(ifin.i AS DOUBLE) > 0
+        THEN floor(floor(exp(fin.beta) * 1e12 + 0.5) / 1e12 * 1e6 + 0.5)
+        END AS BIGINT) AS hr_q6,
+      CAST(CASE WHEN fin.beta IS NOT NULL AND CAST(ifin.i AS DOUBLE) > 0
+        THEN floor(1.0 / sqrt(CAST(ifin.i AS DOUBLE)) * 1e6 + 0.5)
+        END AS BIGINT) AS se_q6,
+      CAST(CASE WHEN fin.beta IS NOT NULL AND CAST(ifin.i AS DOUBLE) > 0
+        THEN floor(fin.beta / (1.0 / sqrt(CAST(ifin.i AS DOUBLE)))
+                   * 1e6 + 0.5) END AS BIGINT) AS z_q6
+    FROM tot CROSS JOIN dsum CROSS JOIN fin CROSS JOIN ifin
+    """,
+)
+def cox_purchasers_events(spark, sf_dir):
+    """Cox proportional-hazards fit (operators/survival.py
+    cox_binary_hazard; Cox '72, Breslow ties): HOW MUCH higher is the
+    churn hazard of never-purchasers vs purchasers — the hazard-ratio
+    estimate whose score test at beta=0 IS logrank_purchasers_events,
+    over the same user_lifetimes frame. Fixed 8 Newton steps on the
+    death-time census (driver-coordinated like bpe_learn_merges, one
+    1-row aggregate per step, q12 exp + 9-decimal DECIMAL term sums);
+    the oracle replays the identical iteration as a recursive CTE over
+    the MATERIALIZED census."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(
+        e,
+        carry_aggs={
+            "grp": F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        },
+    )
+    return sv.cox_binary_hazard(lt)
 
 
 @query(

@@ -162,3 +162,98 @@ def test_restricted_mean_survival_hand_computed(spark):
 
     with pytest.raises(ValueError, match="tau"):
         restricted_mean_survival(df, tau=0)
+
+
+def test_cox_binary_hazard_mirror(spark):
+    """A python Newton mirror (same census, same q12-exp / 9-decimal
+    recipe) pins beta/hr/se/z exactly on a mixed fixture; a
+    group-symmetric census fits beta=0 / HR=1 exactly; the
+    early-dying group carries a positive beta whose sign agrees with
+    the log-rank direction; no deaths refuses with NULLs."""
+    import math
+
+    from pyspark_playground_spark.operators.survival import (
+        cox_binary_hazard,
+        log_rank_test,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "duration_hours long, died int, grp boolean"
+        )
+        return cox_binary_hazard(df).collect()[0]
+
+    def mirror(rows):
+        from collections import defaultdict
+        cen = defaultdict(lambda: [0, 0, 0, 0])  # d1 d0 c1 c0
+        for dur, died, grp in rows:
+            c = cen[dur]
+            if grp:
+                c[0] += died; c[2] += 1
+            else:
+                c[1] += died; c[3] += 1
+        times = sorted(cen)
+        n1 = n0 = 0
+        risk = {}
+        for t in reversed(times):
+            n1 += cen[t][2]; n0 += cen[t][3]
+            risk[t] = (n1, n0)
+        dth = [(cen[t][0], cen[t][0] + cen[t][1], *risk[t])
+               for t in times if cen[t][0] + cen[t][1] > 0]
+
+        def q9(x):
+            from decimal import Decimal
+            return Decimal(str(round(x, 9)))
+
+        def scores(beta):
+            eb = math.floor(math.exp(beta) * 1e12 + 0.5) / 1e12
+            u = sum(q9(d1 - d * (eb * r1) / (r0 + eb * r1))
+                    for d1, d, r1, r0 in dth)
+            i = sum(q9(d * ((eb * r1) * r0) / ((r0 + eb * r1) ** 2))
+                    for d1, d, r1, r0 in dth)
+            return float(u), float(i)
+
+        beta = 0.0
+        for _ in range(8):
+            u, i = scores(beta)
+            if i <= 0:
+                return None
+            beta += u / i
+        _, i = scores(beta)
+        se = 1.0 / math.sqrt(i)
+        return (math.floor(beta * 1e6 + 0.5),
+                math.floor((math.floor(math.exp(beta) * 1e12 + 0.5) / 1e12)
+                           * 1e6 + 0.5),
+                math.floor(se * 1e6 + 0.5),
+                math.floor(beta / se * 1e6 + 0.5))
+
+    # mixed fixture with ties and censoring
+    rows = (
+        [(2, 1, True), (3, 1, True), (3, 1, True), (8, 0, True),
+         (9, 1, True)]
+        + [(5, 1, False), (7, 1, False), (7, 0, False), (12, 1, False),
+           (15, 0, False)]
+    )
+    r = run(rows)
+    assert (r["beta_q6"], r["hr_q6"], r["se_q6"], r["z_q6"]) == mirror(rows)
+    assert r["beta_q6"] > 0  # group TRUE dies earlier -> higher hazard
+
+    # direction agrees with the log-rank U on the same frame
+    lr = log_rank_test(spark.createDataFrame(
+        rows, "duration_hours long, died int, grp boolean"
+    )).collect()[0]
+    assert (lr["u_q6"] > 0) == (r["beta_q6"] > 0)
+
+    # perfectly symmetric census -> beta exactly 0, HR exactly 1
+    sym = [(t, 1, True) for t in (1, 2, 3, 4)] + [
+        (t, 1, False) for t in (1, 2, 3, 4)
+    ]
+    s = run(sym)
+    assert s["beta_q6"] == 0 and s["hr_q6"] == 1_000_000
+    assert s["z_q6"] == 0
+
+    # no deaths anywhere -> refusal
+    cens = [(5, 0, True), (6, 0, False)]
+    z = run(cens)
+    assert z["beta_q6"] is None and z["hr_q6"] is None
+    assert (z["n_a"], z["n_b"]) == (1, 1)
