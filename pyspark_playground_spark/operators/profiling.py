@@ -4982,3 +4982,140 @@ def jonckheere_terpstra(
         .cast("long")
         .alias("z_q6"),
     )
+
+
+def platt_calibration(
+    df: DataFrame,
+    *,
+    score_column: str,
+    label_column,
+    iterations: int = 10,
+) -> DataFrame:
+    """Platt scaling (Platt 1999, "Probabilistic Outputs for Support
+    Vector Machines"; public construction, fitted here as the plain
+    one-feature logistic MLE without Platt's target-smoothing prior —
+    stated, not hidden): ``P(y=1|s) = σ(a·s + b)`` by FIXED-COUNT
+    Newton-Raphson — the PARAMETRIC rung of the calibration ladder
+    beside :func:`isotonic_calibration` (monotone nonparametric) and
+    the ECE census (diagnostic): two parameters mean it extrapolates
+    smoothly and never overfits sparse score regions, at the price of
+    assuming the sigmoid shape.
+
+    The corpus collapses onto a (score, n, k) census; each Newton step
+    needs five census moments (gradient g_a, g_b and Hessian h_aa,
+    h_ab, h_bb with weights ``n·p·(1−p)``), solved 2×2 in closed form.
+    Cross-engine determinism: per step the ONE libm call ``exp(−z)``
+    is floor-quantized 1e-12 per census row, every moment term is a
+    fixed-order double rounded to 9 decimals and summed in exact
+    DECIMAL(28,9) (order-free), and the 2×2 solve is fixed-order
+    doubles — the driver-coordinated loop (bpe_learn_merges envelope:
+    ``iterations`` 1-row aggregates over the persisted census) lands
+    on bit-identical (a, b) on every engine.
+
+    Refuses (NULL fit) on degenerate labels (all positive / all
+    negative), a non-positive-definite step (|H| ≤ 0), or a
+    non-finite iterate (separation).
+
+    Output one row: (n, n_pos, a_q6, b_q6, nll_q6) — nll is the final
+    negative log-likelihood (natural log, same 9-decimal/DECIMAL
+    recipe) for gate comparisons across fits.
+    """
+    import math
+
+    y = (
+        F.col(label_column)
+        if isinstance(label_column, str)
+        else label_column
+    ).cast("boolean")
+    t = df.select(
+        F.col(score_column).cast("double").alias("__s"), y.alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    census = (
+        t.groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__k"),
+        )
+        .persist()
+    )
+    tot = census.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n"),
+        F.coalesce(F.sum("__k"), F.lit(0)).alias("k"),
+    ).collect()[0]
+    n_all, k_all = int(tot["n"]), int(tot["k"])
+
+    sd = F.col("__s")
+    nd = F.col("__n").cast("double")
+    kd = F.col("__k").cast("double")
+
+    def step_moments(a: float, b: float):
+        z = F.lit(a) * sd + F.lit(b)
+        # the one libm call, floor-quantized 1e-12 (sigma in (0,1))
+        enz = F.floor(F.exp(-z) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+        p = F.lit(1.0) / (F.lit(1.0) + enz)
+        w = nd * p * (F.lit(1.0) - p)
+        q9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+        row = census.agg(
+            F.sum(q9((kd - nd * p) * sd)).alias("ga"),
+            F.sum(q9(kd - nd * p)).alias("gb"),
+            F.sum(q9(w * sd * sd)).alias("haa"),
+            F.sum(q9(w * sd)).alias("hab"),
+            F.sum(q9(w)).alias("hbb"),
+        ).collect()[0]
+        return tuple(
+            float(row[c]) if row[c] is not None else 0.0
+            for c in ("ga", "gb", "haa", "hab", "hbb")
+        )
+
+    ab: tuple[float, float] | None = (0.0, 0.0)
+    if k_all == 0 or k_all == n_all or n_all == 0:
+        ab = None
+    else:
+        for _ in range(int(iterations)):
+            ga, gb, haa, hab, hbb = step_moments(*ab)
+            det = haa * hbb - hab * hab
+            if det <= 0:
+                ab = None
+                break
+            a = ab[0] + (ga * hbb - gb * hab) / det
+            b = ab[1] + (gb * haa - ga * hab) / det
+            if not (math.isfinite(a) and math.isfinite(b)):
+                ab = None
+                break
+            ab = (a, b)
+
+    if ab is None:
+        stats = [None, None, None]
+    else:
+        a, b = ab
+        z = F.lit(a) * sd + F.lit(b)
+        enz = F.floor(F.exp(-z) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+        # clamp away the quantization-exact 0/1 so both logs stay finite
+        p = F.least(
+            F.greatest(
+                F.lit(1.0) / (F.lit(1.0) + enz), F.lit(1e-12)
+            ),
+            F.lit(1.0) - F.lit(1e-12),
+        )
+        q12l = lambda c: (  # noqa: E731
+            F.floor(F.log(c) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+        )
+        q9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+        nll_row = census.agg(
+            F.sum(
+                q9(-(kd * q12l(p) + (nd - kd) * q12l(F.lit(1.0) - p)))
+            ).alias("nll")
+        ).collect()[0]
+        nll = float(nll_row["nll"]) if nll_row["nll"] is not None else 0.0
+        stats = [
+            math.floor(a * 1e6 + 0.5),
+            math.floor(b * 1e6 + 0.5),
+            math.floor(nll * 1e6 + 0.5),
+        ]
+    census.unpersist()
+    spark = df.sparkSession
+    lits = spark.createDataFrame(
+        [(n_all, k_all, *stats)],
+        "n long, n_pos long, a_q6 long, b_q6 long, nll_q6 long",
+    )
+    return lits

@@ -771,7 +771,7 @@ _NEW_THIS_ROUND = frozenset({
     "msprt_spend_events", "windowed_msprt_events",
     "markov_attribution_events", "kneser_ney_bigram_documents",
     "hodges_lehmann_doc_lengths", "dsir_ess_documents",
-    "cox_purchasers_events",
+    "cox_purchasers_events", "platt_length_en_documents",
 })
 
 
@@ -13015,6 +13015,117 @@ def logrank_purchasers_events(spark, sf_dir):
         },
     )
     return sv.log_rank_test(lt)
+
+
+@query(
+    "platt_length_en_documents",
+    """
+    WITH cen AS MATERIALIZED (
+      SELECT CAST(n_chars AS DOUBLE) AS s, count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS kk
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY CAST(n_chars AS DOUBLE)
+    ),
+    tot AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_all,
+             CAST(coalesce(sum(kk), 0) AS BIGINT) AS k_all
+      FROM cen
+    ),
+    nr AS (
+      WITH RECURSIVE it(k, a, b) AS (
+        SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT g.k + 1,
+          CASE WHEN g.det > 0 AND isfinite(g.na) AND isfinite(g.nb)
+            THEN g.na END,
+          CASE WHEN g.det > 0 AND isfinite(g.na) AND isfinite(g.nb)
+            THEN g.nb END
+        FROM (
+          SELECT m.k, m.a, m.b,
+            m.haa * m.hbb - m.hab * m.hab AS det,
+            m.a + (m.ga * m.hbb - m.gb * m.hab)
+                  / (m.haa * m.hbb - m.hab * m.hab) AS na,
+            m.b + (m.gb * m.haa - m.ga * m.hab)
+                  / (m.haa * m.hbb - m.hab * m.hab) AS nb
+          FROM (
+            SELECT q.k, q.a, q.b,
+              CAST(sum(CAST(round((q.kd - q.nd * q.p) * q.s, 9)
+                            AS DECIMAL(28,9))) AS DOUBLE) AS ga,
+              CAST(sum(CAST(round(q.kd - q.nd * q.p, 9)
+                            AS DECIMAL(28,9))) AS DOUBLE) AS gb,
+              CAST(sum(CAST(round(q.nd * q.p * (1.0 - q.p) * q.s * q.s,
+                                  9) AS DECIMAL(28,9))) AS DOUBLE)
+                AS haa,
+              CAST(sum(CAST(round(q.nd * q.p * (1.0 - q.p) * q.s, 9)
+                            AS DECIMAL(28,9))) AS DOUBLE) AS hab,
+              CAST(sum(CAST(round(q.nd * q.p * (1.0 - q.p), 9)
+                            AS DECIMAL(28,9))) AS DOUBLE) AS hbb
+            FROM (
+              SELECT it.k, it.a, it.b, cen.s,
+                CAST(cen.n AS DOUBLE) AS nd,
+                CAST(cen.kk AS DOUBLE) AS kd,
+                1.0 / (1.0 + floor(exp(-(it.a * cen.s + it.b)) * 1e12
+                                   + 0.5) / 1e12) AS p
+              FROM it JOIN cen ON TRUE
+              WHERE it.k < 10
+            ) q
+            GROUP BY q.k, q.a, q.b
+          ) m
+        ) g
+      ) SELECT * FROM it
+    ),
+    fin AS (SELECT a, b FROM nr WHERE k = 10),
+    nll AS (
+      SELECT CAST(sum(CAST(round(
+               -(q.kd * (floor(ln(q.pc) * 1e12 + 0.5) / 1e12)
+                 + (q.nd - q.kd)
+                   * (floor(ln(1.0 - q.pc) * 1e12 + 0.5) / 1e12)), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS v
+      FROM (
+        SELECT CAST(cen.n AS DOUBLE) AS nd, CAST(cen.kk AS DOUBLE) AS kd,
+          least(greatest(
+            1.0 / (1.0 + floor(exp(-(fin.a * cen.s + fin.b)) * 1e12
+                               + 0.5) / 1e12), 1e-12), 1.0 - 1e-12)
+            AS pc
+        FROM cen CROSS JOIN fin
+      ) q
+    )
+    SELECT tot.n_all AS n, tot.k_all AS n_pos,
+      CAST(CASE WHEN tot.k_all > 0 AND tot.k_all < tot.n_all
+                  AND fin.a IS NOT NULL
+        THEN floor(fin.a * 1e6 + 0.5) END AS BIGINT) AS a_q6,
+      CAST(CASE WHEN tot.k_all > 0 AND tot.k_all < tot.n_all
+                  AND fin.a IS NOT NULL
+        THEN floor(fin.b * 1e6 + 0.5) END AS BIGINT) AS b_q6,
+      CAST(CASE WHEN tot.k_all > 0 AND tot.k_all < tot.n_all
+                  AND fin.a IS NOT NULL
+        THEN floor(nll.v * 1e6 + 0.5) END AS BIGINT) AS nll_q6
+    FROM tot CROSS JOIN fin CROSS JOIN nll
+    """,
+)
+def platt_length_en_documents(spark, sf_dir):
+    """Platt scaling of the length->is-English signal
+    (operators/profiling.py platt_calibration; Platt '99 as the plain
+    one-feature logistic MLE): sigma(a*n_chars + b) by 10 fixed Newton
+    steps on the (score, n, k) census — the PARAMETRIC rung of the
+    calibration ladder beside the isotonic (monotone nonparametric)
+    and ECE (diagnostic) entries, reporting the fitted (a, b) and the
+    final NLL as the cross-fit gate metric. Driver-coordinated like
+    bpe_learn_merges; q12 exp/ln, 9-decimal DECIMAL term sums; the
+    oracle replays the identical Newton recursion CTE by CTE."""
+    from pyspark_playground_spark.operators.profiling import (
+        platt_calibration,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return platt_calibration(
+        docs,
+        score_column="n_chars",
+        label_column=F.col("lang") == "en",
+    )
 
 
 @query(

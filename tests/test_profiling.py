@@ -2294,3 +2294,82 @@ def test_hodges_lehmann_shift_mirror(spark):
 
     empty = run([], [1.0, 2.0])
     assert empty["hl_shift_q6"] is None and empty["n_a"] == 0
+
+
+def test_platt_calibration_recovers_sigmoid(spark):
+    """Data generated from a known sigmoid recovers (a, b) closely; a
+    python Newton mirror (same census, q12 exp, 9-decimal DECIMAL
+    sums) pins the quantized fit exactly; all-positive labels refuse;
+    monotone-decreasing data fits a negative slope."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        platt_calibration,
+    )
+
+    def gen(a_true, b_true, n=3000, smax=100):
+        rows = []
+        for i in range(n):
+            s = float(i % smax)
+            p = 1.0 / (1.0 + math.exp(-(a_true * s + b_true)))
+            u = ((i * 2654435761) % 2**32) / 2**32
+            rows.append((s, u < p))
+        return rows
+
+    rows = gen(0.1, -5.0)
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = platt_calibration(df, score_column="s", label_column="y")\
+        .collect()[0]
+    assert abs(r["a_q6"] / 1e6 - 0.1) < 0.02
+    assert abs(r["b_q6"] / 1e6 + 5.0) < 1.0
+    assert r["nll_q6"] > 0
+
+    # python mirror with the identical recipe
+    from collections import defaultdict
+    from decimal import Decimal
+    cen = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        cen[s][0] += 1
+        cen[s][1] += int(y)
+
+    def q9(x):
+        return Decimal(str(round(x, 9)))
+
+    def moments(a, b):
+        g = [Decimal(0)] * 5
+        for s, (n, k) in cen.items():
+            enz = math.floor(math.exp(-(a * s + b)) * 1e12 + 0.5) / 1e12
+            p = 1.0 / (1.0 + enz)
+            w = n * p * (1.0 - p)
+            g[0] += q9((k - n * p) * s)
+            g[1] += q9(k - n * p)
+            g[2] += q9(w * s * s)
+            g[3] += q9(w * s)
+            g[4] += q9(w)
+        return [float(x) for x in g]
+
+    a = b = 0.0
+    for _ in range(10):
+        ga, gb, haa, hab, hbb = moments(a, b)
+        det = haa * hbb - hab * hab
+        a, b = a + (ga * hbb - gb * hab) / det, \
+            b + (gb * haa - ga * hab) / det
+    assert r["a_q6"] == math.floor(a * 1e6 + 0.5)
+    assert r["b_q6"] == math.floor(b * 1e6 + 0.5)
+
+    # degenerate labels refuse
+    allpos = spark.createDataFrame(
+        [(float(i), True) for i in range(10)], "s double, y boolean"
+    )
+    z = platt_calibration(allpos, score_column="s", label_column="y")\
+        .collect()[0]
+    assert z["a_q6"] is None and z["n_pos"] == 10
+
+    # decreasing relationship -> negative slope
+    dec = spark.createDataFrame(
+        [(float(s), s < 50) for s in range(100) for _ in range(5)],
+        "s double, y boolean",
+    )
+    d = platt_calibration(dec, score_column="s", label_column="y")\
+        .collect()[0]
+    assert d["a_q6"] < 0
