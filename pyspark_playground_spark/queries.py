@@ -772,6 +772,7 @@ _NEW_THIS_ROUND = frozenset({
     "markov_attribution_events", "kneser_ney_bigram_documents",
     "hodges_lehmann_doc_lengths", "dsir_ess_documents",
     "cox_purchasers_events", "platt_length_en_documents",
+    "brier_decomposition_documents",
 })
 
 
@@ -13439,6 +13440,96 @@ def ece_length_rank_en_documents(spark, sf_dir):
         score_ppm_column="pct_ppm",
         label_column=F.col("lang") == "en",
         bins=10,
+    )
+
+
+@query(
+    "brier_decomposition_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars, (lang = 'en') AS y,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS nn
+      FROM documents
+    ), p AS (
+      SELECT CASE WHEN nn > 1
+                  THEN ((rk - 1) * 1000000) // (nn - 1)
+                  ELSE 0 END AS ppm,
+             y
+      FROM r WHERE y IS NOT NULL
+    ),
+    cells AS (
+      SELECT ppm, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS k
+      FROM p GROUP BY ppm
+    ),
+    tot AS (
+      SELECT coalesce(sum(n), 0) AS nt, coalesce(sum(k), 0) AS kt,
+             count(*) AS v
+      FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(floor(
+          CAST((CAST(n AS HUGEINT) * ppm - CAST(k AS HUGEINT) * 1000000)
+               * (CAST(n AS HUGEINT) * ppm
+                  - CAST(k AS HUGEINT) * 1000000) AS DOUBLE)
+          / CAST(n AS DOUBLE) + 0.5) AS HUGEINT) AS trel,
+        CAST(floor(
+          CAST((CAST(k AS HUGEINT) * tot.nt - CAST(tot.kt AS HUGEINT) * n)
+               * (CAST(k AS HUGEINT) * tot.nt
+                  - CAST(tot.kt AS HUGEINT) * n) AS DOUBLE)
+          / CAST(n AS DOUBLE) + 0.5) AS HUGEINT) AS tres
+      FROM cells CROSS JOIN tot
+    ),
+    sums AS (
+      SELECT coalesce(sum(trel), 0) AS srel,
+             coalesce(sum(tres), 0) AS sres
+      FROM terms
+    ),
+    f AS (
+      SELECT tot.nt, tot.kt, tot.v,
+        CAST(floor(CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE) + 0.5)
+             AS BIGINT) AS rel,
+        CAST(floor(CAST(sres AS DOUBLE) * 1e12
+                   / ((CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+                      * CAST(nt AS DOUBLE)) + 0.5) AS BIGINT) AS res,
+        CAST((CAST(kt AS HUGEINT) * (nt - kt) * 1000000000000)
+             // (CAST(nt AS HUGEINT) * nt) AS BIGINT) AS unc
+      FROM tot CROSS JOIN sums
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(kt AS BIGINT) AS n_pos,
+           CAST(v AS BIGINT) AS n_forecast_values,
+           CASE WHEN nt > 0 THEN rel END AS reliability_x12,
+           CASE WHEN nt > 0 THEN res END AS resolution_x12,
+           CASE WHEN nt > 0 THEN unc END AS uncertainty_x12,
+           CASE WHEN nt > 0 THEN rel - res + unc END AS brier_x12
+    FROM f
+    """,
+)
+def brier_decomposition_documents(spark, sf_dir):
+    """Murphy decomposition of the length-rank->is-English Brier score
+    (operators/profiling.py brier_decomposition; Murphy '73): the ECE
+    entry's single brier_x12 split into reliability (calibration
+    failure) - resolution (discrimination earned) + uncertainty
+    (base-rate floor), binned by DISTINCT forecast values so the
+    decomposition is exact. Log-rank-style per-term quantized
+    divisions over exact DECIMAL numerators; one score-census pass."""
+    from pyspark_playground_spark.operators.profiling import (
+        brier_decomposition,
+    )
+    from pyspark_playground_spark.operators.sampling import rank_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = rank_normalize(
+        docs, group_column="source", value_column="n_chars",
+        id_column="doc_id",
+    )
+    return brier_decomposition(
+        ranked,
+        score_ppm_column="pct_ppm",
+        label_column=F.col("lang") == "en",
     )
 
 

@@ -2373,3 +2373,62 @@ def test_platt_calibration_recovers_sigmoid(spark):
     d = platt_calibration(dec, score_column="s", label_column="y")\
         .collect()[0]
     assert d["a_q6"] < 0
+
+
+def test_brier_decomposition_identity_and_mirror(spark):
+    """A python mirror pins all four components; the Murphy identity
+    brier = rel - res + unc is returned as computed; a perfectly
+    calibrated forecast has ~zero reliability; a constant forecast
+    has zero resolution; empty labels refuse."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        brier_decomposition,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "pct_ppm long, y boolean")
+        return brier_decomposition(
+            df, score_ppm_column="pct_ppm", label_column="y"
+        ).collect()[0]
+
+    def mirror(rows):
+        from collections import defaultdict
+        cen = defaultdict(lambda: [0, 0])
+        for p, y in rows:
+            cen[p][0] += 1
+            cen[p][1] += int(y)
+        N = sum(v[0] for v in cen.values())
+        K = sum(v[1] for v in cen.values())
+        srel = sres = 0
+        for p, (n, k) in cen.items():
+            srel += math.floor((n * p - k * 10**6) ** 2 / n + 0.5)
+            sres += math.floor((k * N - K * n) ** 2 / n + 0.5)
+        rel = math.floor(srel / N + 0.5)
+        res = math.floor(sres * 1e12 / ((N * N) * N) + 0.5)
+        unc = (K * (N - K) * 10**12) // (N * N)
+        return rel, res, unc, rel - res + unc
+
+    # perfectly calibrated two-level forecast: p=250000 with 1/4
+    # positives, p=750000 with 3/4 positives
+    cal = [(250_000, i % 4 == 0) for i in range(40)] + [
+        (750_000, i % 4 != 0) for i in range(40)
+    ]
+    r = run(cal)
+    assert (r["reliability_x12"], r["resolution_x12"],
+            r["uncertainty_x12"], r["brier_x12"]) == mirror(cal)
+    assert r["reliability_x12"] == 0          # exactly calibrated
+    assert r["resolution_x12"] > 0            # and discriminating
+
+    # constant forecast: zero resolution, brier == uncertainty + rel
+    const = [(500_000, i % 3 == 0) for i in range(30)]
+    c = run(const)
+    assert c["resolution_x12"] == 0
+    assert c["brier_x12"] == (
+        c["reliability_x12"] - c["resolution_x12"] + c["uncertainty_x12"]
+    )
+    assert (c["reliability_x12"], c["resolution_x12"],
+            c["uncertainty_x12"], c["brier_x12"]) == mirror(const)
+
+    empty = run([])
+    assert empty["n"] == 0 and empty["brier_x12"] is None
