@@ -772,7 +772,7 @@ _NEW_THIS_ROUND = frozenset({
     "markov_attribution_events", "kneser_ney_bigram_documents",
     "hodges_lehmann_doc_lengths", "dsir_ess_documents",
     "cox_purchasers_events", "platt_length_en_documents",
-    "brier_decomposition_documents",
+    "brier_decomposition_documents", "lexical_concentration_documents",
 })
 
 
@@ -13441,6 +13441,48 @@ def ece_length_rank_en_documents(spark, sf_dir):
         label_column=F.col("lang") == "en",
         bins=10,
     )
+
+
+@query(
+    "lexical_concentration_documents",
+    f"""
+    WITH toks AS (
+      SELECT source AS g, unnest({_TOKS}) AS t FROM documents
+      WHERE source IS NOT NULL
+    ),
+    cen AS (SELECT g, t, count(*) AS c FROM toks GROUP BY g, t),
+    red AS (
+      SELECT g, sum(c) AS n, count(*) AS v,
+             sum(CAST(c AS HUGEINT) * c) AS c2,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS cc1
+      FROM cen GROUP BY g
+    )
+    SELECT g AS source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           CAST(CASE WHEN n > 0 THEN floor(
+             (CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e4
+             * 1e6 + 0.5) END AS BIGINT) AS yule_k_q6,
+           CAST(CASE WHEN n > 1 THEN
+             (CAST(cc1 AS HUGEINT) * 1000000000)
+               // (CAST(n AS HUGEINT) * (n - 1)) END AS BIGINT)
+             AS simpson_d_q9,
+           CAST(CASE WHEN n > 1 THEN floor(
+             (floor(ln(CAST(v AS DOUBLE)) * 1e12 + 0.5) / 1e12)
+               / (floor(ln(CAST(n AS DOUBLE)) * 1e12 + 0.5) / 1e12)
+             * 1e9 + 0.5) END AS BIGINT) AS herdan_c_q9
+    FROM red
+    """,
+)
+def lexical_concentration_documents(spark, sf_dir):
+    """Per-source lexical concentration (text.py lexical_concentration;
+    Yule '44 K, Simpson '49 D, Herdan's C): the length-invariant
+    template-spam signals beside the TTR/vocab-growth entries — K and
+    D rise when a source repeats itself regardless of its volume
+    (TTR's confound). One frequency-spectrum census; D exact integer
+    rational, K one fixed-order double, C two q12 lns."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.lexical_concentration(docs)
 
 
 @query(

@@ -277,3 +277,33 @@ def test_kneser_ney_bigram_hand_computed(spark):
     # 'francisco' only 1 -> lower continuation share despite equal c2
     assert rows[("san", "francisco")]["n1plus_right"] == 1
     assert rows[("new", "york")]["n1plus_right"] == 3
+
+
+def test_lexical_concentration_hand_computed(spark):
+    """Closed-form pins on a tiny census (K, D exact; C = lnV/lnN);
+    a template-spam source scores higher K and D than a diverse one
+    of the SAME token volume (the TTR-confound the metrics fix)."""
+    import math
+
+    # source a: 'x x x y' -> N=4, c={x:3, y:1}
+    # source b: 'p q r s' -> N=4, all distinct
+    docs = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "b", "p q r s")],
+        "doc_id int, source string, text string",
+    )
+    out = {r["source"]: r
+           for r in tx.lexical_concentration(docs).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_tokens"], a["vocab"]) == (4, 2)
+    # K = 1e4*(sum c^2 - N)/N^2 = 1e4*(10-4)/16
+    assert a["yule_k_q6"] == math.floor(1e4 * 6 / 16 * 1e6 + 0.5)
+    # D = sum c(c-1) / (N(N-1)) = 6/12 exactly
+    assert a["simpson_d_q9"] == 500_000_000
+    assert a["herdan_c_q9"] == math.floor(
+        (math.floor(math.log(2) * 1e12 + 0.5) / 1e12)
+        / (math.floor(math.log(4) * 1e12 + 0.5) / 1e12) * 1e9 + 0.5
+    )
+    # all-distinct source: sum c^2 == N exactly -> K = 0, D = 0
+    assert b["simpson_d_q9"] == 0 and b["yule_k_q6"] == 0
+    assert a["yule_k_q6"] > b["yule_k_q6"]
+    assert a["simpson_d_q9"] > b["simpson_d_q9"]
