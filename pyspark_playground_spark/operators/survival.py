@@ -579,3 +579,76 @@ def cox_binary_hazard(
             "z_q6",
         )
     )
+
+
+def required_events_survival(
+    lifetimes: DataFrame,
+    *,
+    died_column: str = "died",
+    group_column: str = "grp",
+    target_hr_ppm: int,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """Schoenfeld's required-events formula for a two-arm survival
+    comparison (Schoenfeld, Biometrics 1983; public construction) —
+    the survival rung of the experiment-design family beside the
+    proportion and continuous power entries, and the planning
+    companion to :func:`cox_binary_hazard` / :func:`log_rank_test`:
+    to detect a hazard ratio of ``target_hr_ppm`` (ppm) at two-sided
+    α / power, the log-rank test needs::
+
+        d = (z_α + z_β)² / (p·(1−p)·(ln HR)²)
+
+    EVENTS (deaths, not enrollees), where ``p`` is the observed
+    allocation share of group 1 — then scale by the OBSERVED
+    event rate to get required enrollment.
+
+    One conditional aggregate supplies allocation and event rate as
+    exact integer ratios; ``ln HR`` is one libm call on a literal,
+    quantized 1e-12; the z quantiles are the shared hardcoded
+    literals; the rest is ONE fixed-order double expression with
+    ceil-conservative integer outputs. NULL when degenerate (an empty
+    arm, HR=1, or no events observed for the enrollment scale-up).
+
+    Output one row: (n_observed, n_grp, events_observed,
+    events_required, n_required_total).
+    """
+    import math
+
+    if target_hr_ppm <= 0 or target_hr_ppm == 1_000_000:
+        raise ValueError(
+            f"target_hr_ppm must be positive and != 1e6: {target_hr_ppm}"
+        )
+    g = F.col(group_column).cast("boolean")
+    t = lifetimes.select(
+        g.alias("__g"), F.col(died_column).cast("long").alias("__d")
+    ).filter(F.col("__g").isNotNull() & F.col("__d").isNotNull())
+    agg = t.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__n1"),
+        F.sum("__d").alias("__e"),
+    )
+    ln_hr = (
+        math.floor(math.log(target_hr_ppm / 1e6) * 1e12 + 0.5) / 1e12
+    )
+    nd = F.col("__n").cast("double")
+    p = F.col("__n1").cast("double") / nd
+    d_req = (
+        F.lit((z_alpha + z_power) * (z_alpha + z_power))
+        / (p * (F.lit(1.0) - p) * F.lit(ln_hr * ln_hr))
+    )
+    rate = F.col("__e").cast("double") / nd
+    ok = (
+        (F.col("__n1") > 0)
+        & (F.col("__n1") < F.col("__n"))
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_observed"),
+        F.col("__n1").cast("long").alias("n_grp"),
+        F.col("__e").cast("long").alias("events_observed"),
+        F.when(ok, F.ceil(d_req)).cast("long").alias("events_required"),
+        F.when(
+            ok & (F.col("__e") > 0), F.ceil(d_req / rate)
+        ).cast("long").alias("n_required_total"),
+    )

@@ -772,6 +772,7 @@ _NEW_THIS_ROUND = frozenset({
     "markov_attribution_events", "kneser_ney_bigram_documents",
     "hodges_lehmann_doc_lengths", "dsir_ess_documents",
     "cox_purchasers_events", "platt_length_en_documents",
+    "survival_power_events",
     "brier_decomposition_documents", "lexical_concentration_documents",
 })
 
@@ -13016,6 +13017,67 @@ def logrank_purchasers_events(spark, sf_dir):
         },
     )
     return sv.log_rank_test(lt)
+
+
+@query(
+    "survival_power_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             CAST((epoch_us(h.horizon) - epoch_us(max(ts)))
+                    > 24 * 3600000000 AS INT) AS died,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS grp
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN grp THEN 1 ELSE 0 END) AS n1,
+             sum(died) AS ev
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_observed,
+           CAST(n1 AS BIGINT) AS n_grp,
+           CAST(ev AS BIGINT) AS events_observed,
+           CAST(CASE WHEN n1 > 0 AND n1 < n THEN ceil(
+             (7.848879734349088)
+             / ((CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (0.08276097481027778))
+           ) END AS BIGINT) AS events_required,
+           CAST(CASE WHEN n1 > 0 AND n1 < n AND ev > 0 THEN ceil(
+             ((7.848879734349088)
+              / ((CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (0.08276097481027778)))
+             / (CAST(ev AS DOUBLE) / CAST(n AS DOUBLE))
+           ) END AS BIGINT) AS n_required_total
+    FROM agg
+    """,
+)
+def survival_power_events(spark, sf_dir):
+    """Schoenfeld required-events design for the purchaser-vs-not
+    churn comparison (operators/survival.py required_events_survival;
+    Schoenfeld '83): how many churn EVENTS does the log-rank /
+    cox_purchasers design need to detect HR=0.75 at two-sided
+    alpha=.05 / 80% power, under the OBSERVED arm allocation — and
+    how many users at the observed event rate. The survival rung of
+    the power family (proportion, continuous, now time-to-event)."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(
+        e,
+        carry_aggs={
+            "grp": F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        },
+    )
+    return sv.required_events_survival(lt, target_hr_ppm=750_000)
 
 
 @query(

@@ -257,3 +257,46 @@ def test_cox_binary_hazard_mirror(spark):
     z = run(cens)
     assert z["beta_q6"] is None and z["hr_q6"] is None
     assert (z["n_a"], z["n_b"]) == (1, 1)
+
+
+def test_required_events_survival_textbook(spark):
+    """Textbook Schoenfeld pins: equal allocation needs
+    d = 4*(z_a+z_b)^2 / ln(HR)^2 events (HR=0.5 -> ~66 events at
+    80%/0.05); unbalanced allocation needs MORE; enrollment scales by
+    the observed event rate; degenerate inputs refuse."""
+    import math
+
+    import pytest
+
+    from pyspark_playground_spark.operators.survival import (
+        required_events_survival,
+    )
+
+    def run(rows, hr_ppm):
+        df = spark.createDataFrame(rows, "died int, grp boolean")
+        return required_events_survival(
+            df, target_hr_ppm=hr_ppm
+        ).collect()[0]
+
+    half = [(i % 2, i % 2 == 0) for i in range(100)]
+    r = run(half, 500_000)
+    lnhr = math.floor(math.log(0.5) * 1e12 + 0.5) / 1e12
+    za, zb = 1.959963984540054, 0.8416212335729143
+    want = math.ceil((za + zb) ** 2 / (0.25 * lnhr * lnhr))
+    assert r["events_required"] == want == 66
+    # event rate 0.5 -> enrollment = 2x events
+    assert r["n_required_total"] == math.ceil(
+        (za + zb) ** 2 / (0.25 * lnhr * lnhr) / 0.5
+    )
+
+    # 90/10 allocation: p(1-p)=0.09 < 0.25 -> more events needed
+    skew = [(1, i < 90) for i in range(100)]
+    s = run(skew, 500_000)
+    assert s["events_required"] > r["events_required"]
+
+    # one arm empty -> refusal
+    one = run([(1, True), (0, True)], 500_000)
+    assert one["events_required"] is None
+
+    with pytest.raises(ValueError, match="target_hr_ppm"):
+        run(half, 1_000_000)
