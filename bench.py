@@ -71,6 +71,13 @@ HEADLINE = [
     "ahash_near_dup_documents",
     "t_closeness_orders",
     "fdr_bh_value_rate_events",
+    # r9 additions: one representative per new family — the Markov
+    # removal-effect attribution (census + model-sized value
+    # iteration), the Cox hazard fit (driver-coordinated Newton over
+    # the death-time census), and the always-valid mSPRT peeking curve
+    "markov_attribution_events",
+    "cox_purchasers_events",
+    "windowed_msprt_events",
 ]
 
 
