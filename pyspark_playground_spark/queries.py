@@ -13020,6 +13020,106 @@ def logrank_purchasers_events(spark, sf_dir):
 
 
 @query(
+    "permutation_spend_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id,
+             CAST(coalesce(sum(CAST(round(value, 9) AS DECIMAL(28,10))),
+                           0) AS DOUBLE) AS y
+      FROM e WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    units AS (
+      SELECT user_id AS uu,
+             CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS t
+      FROM u
+    ),
+    obs AS (
+      SELECT sum(CASE WHEN t THEN 1 ELSE 0 END) AS ON1,
+             coalesce(sum(CASE WHEN t THEN CAST(y AS HUGEINT) END), 0)
+               AS OS1,
+             sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS ON0,
+             coalesce(sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) END), 0)
+               AS OS0
+      FROM units
+    ),
+    perm AS (
+      SELECT units.uu, units.y, g.b,
+             (CAST(CAST(('0x' || substr(md5(
+                CAST(units.uu AS VARCHAR) || ',' || CAST(g.b AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS pt
+      FROM units CROSS JOIN (
+        SELECT unnest(range(0, 199)) AS b
+      ) g
+    ),
+    grp AS (
+      SELECT b,
+             sum(CASE WHEN pt THEN 1 ELSE 0 END) AS n1,
+             coalesce(sum(CASE WHEN pt THEN CAST(y AS HUGEINT) END), 0)
+               AS s1,
+             sum(CASE WHEN NOT pt THEN 1 ELSE 0 END) AS n0,
+             coalesce(sum(CASE WHEN NOT pt THEN CAST(y AS HUGEINT) END),
+                      0) AS s0
+      FROM perm GROUP BY b
+    ),
+    cnt AS (
+      SELECT sum(CASE WHEN n1 = 0 OR n0 = 0 THEN 1
+                      WHEN abs(s1 * n0 - s0 * n1)
+                             * (CAST(ON1 AS HUGEINT) * ON0)
+                           >= abs(OS1 * ON0 - OS0 * ON1)
+                              * (CAST(n1 AS HUGEINT) * n0)
+                      THEN 1 ELSE 0 END) AS c,
+             count(*) AS B
+      FROM grp CROSS JOIN obs
+    )
+    SELECT CAST(ON1 AS BIGINT) AS n_treat, CAST(ON0 AS BIGINT) AS n_ctrl,
+           CAST(CASE WHEN ON1 > 0 AND ON0 > 0 THEN floor(
+             CAST(OS1 AS DOUBLE) / CAST(ON1 AS DOUBLE)
+             - CAST(OS0 AS DOUBLE) / CAST(ON0 AS DOUBLE) + 0.5)
+           END AS BIGINT) AS diff_q6,
+           CAST(B AS BIGINT) AS n_perms,
+           CAST(CASE WHEN ON1 > 0 AND ON0 > 0 THEN c END AS BIGINT)
+             AS n_extreme,
+           CAST(CASE WHEN ON1 > 0 AND ON0 > 0
+             THEN ((1 + c) * 1000000) // (B + 1) END AS BIGINT) AS p_ppm
+    FROM obs CROSS JOIN cnt
+    """,
+)
+def permutation_spend_events(spark, sf_dir):
+    """Exact randomization test on per-user spend (operators/
+    profiling.py permutation_mean_test; Fisher '35 / Dwass '57): the
+    md5-bucketed arms' mean difference against 199 CONTENT-ADDRESSED
+    reassignments (md5 bit of (user, b) — reproducible on any engine,
+    no seed lottery), each permutation decided by exact
+    cross-multiplied DECIMAL integers, p = (1+extreme)/200 as an exact
+    ppm ratio. The assumption-free companion to the z/mSPRT spend
+    entries."""
+    from pyspark_playground_spark.operators.profiling import (
+        permutation_mean_test,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("y")
+    )
+    return permutation_mean_test(
+        u,
+        unit_column="user_id",
+        metric_column="y",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        permutations=199,
+    )
+
+
+@query(
     "survival_power_events",
     f"""
     WITH e AS ({EVENTS_N}),

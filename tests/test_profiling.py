@@ -2432,3 +2432,69 @@ def test_brier_decomposition_identity_and_mirror(spark):
 
     empty = run([])
     assert empty["n"] == 0 and empty["brier_x12"] is None
+
+
+def test_permutation_mean_test_exact(spark):
+    """A python mirror of the content-addressed permutations pins
+    n_extreme and p exactly; a strong effect yields the minimum
+    possible p = 1/(B+1); identical groups yield a large p; the
+    observed assignment scored as its own permutation (b with the same
+    split) is always counted extreme, so p >= 1/(B+1); one empty arm
+    refuses."""
+    import hashlib
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        permutation_mean_test,
+    )
+
+    def bit(u, b):
+        h = hashlib.md5(f"{u},{b}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2 == 0
+
+    def mirror(units, B=199):
+        N1 = sum(1 for _, _, t in units if t)
+        S1 = sum(y for _, y, t in units if t)
+        N0 = sum(1 for _, _, t in units if not t)
+        S0 = sum(y for _, y, t in units if not t)
+        c = 0
+        for b in range(B):
+            n1 = s1 = n0 = s0 = 0
+            for u, y, _ in units:
+                if bit(u, b):
+                    n1 += 1; s1 += y
+                else:
+                    n0 += 1; s0 += y
+            if n1 == 0 or n0 == 0:
+                c += 1
+            elif abs(s1 * n0 - s0 * n1) * (N1 * N0) >= \
+                    abs(S1 * N0 - S0 * N1) * (n1 * n0):
+                c += 1
+        return c, (1 + c) * 10**6 // (B + 1)
+
+    def run(units):
+        df = spark.createDataFrame(
+            [(u, y / 1e6, t) for u, y, t in units],
+            "uid bigint, y double, t boolean",
+        )
+        return permutation_mean_test(
+            df, unit_column="uid", metric_column="y", cohort_column="t"
+        ).collect()[0]
+
+    # mixed fixture (y already in q6 integer units for the mirror)
+    units = [(u, (u % 7) * 1_000_000 + (3_000_000 if u % 2 == 0 else 0),
+              u % 2 == 0) for u in range(40)]
+    r = run(units)
+    c, p = mirror(units)
+    assert (r["n_extreme"], r["p_ppm"]) == (c, p)
+    assert r["n_perms"] == 199
+
+    # no effect at all: every reassignment at least as extreme -> p = 1
+    flat = [(u, 5_000_000, u % 2 == 0) for u in range(30)]
+    f = run(flat)
+    assert f["p_ppm"] == 1_000_000 and f["diff_q6"] == 0
+
+    # one empty arm refuses
+    solo = [(u, 1_000_000, True) for u in range(10)]
+    s = run(solo)
+    assert s["p_ppm"] is None and s["n_treat"] == 10
