@@ -5347,3 +5347,163 @@ def permutation_mean_test(
             ),
         ).cast("long").alias("p_ppm"),
     )
+
+
+def breslow_day_test(
+    df: DataFrame,
+    *,
+    stratum_column: str | Column,
+    cohort_column: Column | str,
+    success_column: Column | str,
+) -> DataFrame:
+    """Breslow-Day homogeneity test with Tarone's correction (Breslow &
+    Day 1980, IARC vol. 1; Tarone, Biometrika 1985 — public
+    constructions): the VALIDITY CHECK for :func:`mantel_haenszel_or`
+    — MH pools per-stratum odds ratios ASSUMING they share one true
+    OR; Breslow-Day tests that assumption (``Σ(aᵢ−ãᵢ)²/Vᵢ`` where
+    ``ãᵢ`` is stratum i's expected count under the pooled OR, the
+    in-range root of the fixed-margin quadratic), and Tarone's term
+    subtracts the score-test bias ``(Σ(aᵢ−ãᵢ))²/ΣVᵢ``. A significant
+    result says report per-stratum ORs, not the pooled one.
+
+    Determinism: the census is exact integers; the pooled OR is the
+    SAME q9-term/q6-quantized MH estimate as ``mantel_haenszel_or``
+    (so both entries agree bit-for-bit on R, and the quadratic sees a
+    quantized literal-like R on both engines); the root/variance are
+    fixed-order doubles (sqrt is IEEE-exact) with each stratum's
+    chi-square term quantized q6 and the deviation/variance terms q9
+    before order-free integer sums. Strata with an empty margin are
+    uninformative and contribute nothing (the MH degenerate rule).
+
+    Plan: one conditional aggregate to the stratum census; a 1-row OR
+    broadcast back onto it; one reduce. No windows.
+
+    Output one row: (n_strata, n_informative, or_mh_q6, bd_chi2_q6,
+    tarone_chi2_q6).
+    """
+    st = (
+        F.col(stratum_column)
+        if isinstance(stratum_column, str)
+        else stratum_column
+    )
+    co = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    yy = (
+        F.col(success_column)
+        if isinstance(success_column, str)
+        else success_column
+    ).cast("boolean")
+    t = df.select(
+        st.alias("__st"), co.alias("__c"), yy.alias("__y")
+    ).filter(
+        F.col("__st").isNotNull()
+        & F.col("__c").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    g = t.groupBy("__st").agg(
+        F.sum(F.when(F.col("__c") & F.col("__y"), 1).otherwise(0)).alias(
+            "__a"
+        ),
+        F.sum(F.when(F.col("__c") & ~F.col("__y"), 1).otherwise(0)).alias(
+            "__b"
+        ),
+        F.sum(
+            F.when(~F.col("__c") & F.col("__y"), 1).otherwise(0)
+        ).alias("__cc"),
+        F.sum(
+            F.when(~F.col("__c") & ~F.col("__y"), 1).otherwise(0)
+        ).alias("__d"),
+    ).persist()
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__cc").cast("double")
+    d = F.col("__d").cast("double")
+    n = a + b + c + d
+    q9 = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    d38 = lambda cc: cc.cast("decimal(38,0)")  # noqa: E731
+    dv = F.try_divide
+    orq = g.agg(
+        F.coalesce(F.sum(d38(q9(dv(a * d, n)))), F.lit(0)).alias("__sn"),
+        F.coalesce(F.sum(d38(q9(dv(b * c, n)))), F.lit(0)).alias("__sd"),
+    ).select(
+        F.when(
+            F.col("__sd") > 0,
+            F.floor(
+                dv(F.col("__sn").cast("double"),
+                   F.col("__sd").cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ),
+        )
+        .cast("long")
+        .alias("__orq6")
+    )
+    j = g.crossJoin(F.broadcast(orq))
+    r1 = a + b
+    c1 = a + c
+    rr = F.col("__orq6").cast("double") / F.lit(1e6)
+    aa = F.lit(1.0) - rr
+    bb = (n - r1 - c1) + rr * (r1 + c1)
+    ccq = -(rr * r1 * c1)
+    disc = bb * bb - F.lit(4.0) * aa * ccq
+    sq = F.sqrt(disc)
+    root1 = (-bb + sq) / (F.lit(2.0) * aa)
+    root2 = (-bb - sq) / (F.lit(2.0) * aa)
+    lin = r1 * c1 / n
+    lo = F.greatest(F.lit(0.0), r1 + c1 - n)
+    hi = F.least(r1, c1)
+    atil = F.when(aa == F.lit(0.0), lin).otherwise(
+        F.when((root1 >= lo) & (root1 <= hi), root1).otherwise(root2)
+    )
+    vv = F.lit(1.0) / (
+        F.lit(1.0) / atil
+        + F.lit(1.0) / (r1 - atil)
+        + F.lit(1.0) / (c1 - atil)
+        + F.lit(1.0) / ((n - r1 - c1) + atil)
+    )
+    informative = (
+        (r1 > 0) & (n - r1 > 0) & (c1 > 0) & (n - c1 > 0)
+        & F.col("__orq6").isNotNull()
+        & (disc >= 0)
+    )
+    terms = j.select(
+        "__orq6",
+        informative.alias("__ok"),
+        F.when(
+            informative,
+            F.floor((a - atil) * (a - atil) / vv * F.lit(1e6) + F.lit(0.5)),
+        ).alias("__t_q6"),
+        F.when(informative, q9(a - atil)).alias("__dev_q9"),
+        F.when(informative, q9(vv)).alias("__v_q9"),
+    )
+    red = terms.groupBy("__orq6").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("__ki"),
+        F.coalesce(F.sum(d38(F.col("__t_q6"))), F.lit(0)).alias("__sbd"),
+        F.coalesce(F.sum(d38(F.col("__dev_q9"))), F.lit(0)).alias(
+            "__sdev"
+        ),
+        F.coalesce(F.sum(d38(F.col("__v_q9"))), F.lit(0)).alias("__sv"),
+    )
+    g.unpersist()
+    bd = F.col("__sbd").cast("double") / F.lit(1e6)
+    devs = F.col("__sdev").cast("double") / F.lit(1e9)
+    svs = F.col("__sv").cast("double") / F.lit(1e9)
+    tarone = bd - dv(devs * devs, svs)
+    ok = (F.col("__ki") > 0) & (F.col("__sv") > 0)
+    return red.select(
+        F.col("__k").cast("long").alias("n_strata"),
+        F.col("__ki").cast("long").alias("n_informative"),
+        F.col("__orq6").alias("or_mh_q6"),
+        F.when(ok, F.floor(bd * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("bd_chi2_q6"),
+        F.when(ok, F.floor(tarone * F.lit(1e6) + F.lit(0.5)))
+        .cast("long")
+        .alias("tarone_chi2_q6"),
+    )

@@ -17592,6 +17592,143 @@ def trend_priority_status_orders(spark, sf_dir):
 
 
 @query(
+    "breslow_day_orders",
+    """
+    WITH t AS (
+      SELECT date_trunc('month', o_orderdate) AS st,
+             (CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS c,
+             (o_orderstatus = 'F') AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    g AS (
+      SELECT st,
+             sum(CASE WHEN c AND y THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN c AND NOT y THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN NOT c AND y THEN 1 ELSE 0 END) AS cc,
+             sum(CASE WHEN NOT c AND NOT y THEN 1 ELSE 0 END) AS d
+      FROM t GROUP BY st
+    ),
+    orq AS (
+      SELECT CASE WHEN sd > 0 THEN
+        CAST(floor(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE) * 1e6 + 0.5)
+             AS BIGINT) END AS orq6
+      FROM (
+        SELECT
+          coalesce(sum(CAST(floor(
+            CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+            / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+               + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+            * 1e9 + 0.5) AS HUGEINT)), 0) AS sn,
+          coalesce(sum(CAST(floor(
+            CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)
+            / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+               + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE))
+            * 1e9 + 0.5) AS HUGEINT)), 0) AS sd
+        FROM g
+      )
+    ),
+    p AS (
+      SELECT a, b, cc, d, orq6,
+        CAST(a AS DOUBLE) + CAST(b AS DOUBLE) AS r1,
+        CAST(a AS DOUBLE) + CAST(cc AS DOUBLE) AS c1,
+        CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+          + CAST(cc AS DOUBLE) + CAST(d AS DOUBLE) AS n,
+        CAST(orq6 AS DOUBLE) / 1e6 AS rr
+      FROM g CROSS JOIN orq
+    ),
+    q AS (
+      SELECT *,
+        1.0 - rr AS aa,
+        (n - r1 - c1) + rr * (r1 + c1) AS bb,
+        -(rr * r1 * c1) AS ccq
+      FROM p
+    ),
+    q2 AS (
+      SELECT *, bb * bb - 4.0 * aa * ccq AS disc FROM q
+    ),
+    q3 AS (
+      SELECT *,
+        CASE WHEN aa = 0.0 THEN r1 * c1 / n
+             WHEN (-bb + sqrt(disc)) / (2.0 * aa)
+                    >= greatest(0.0, r1 + c1 - n)
+                  AND (-bb + sqrt(disc)) / (2.0 * aa) <= least(r1, c1)
+             THEN (-bb + sqrt(disc)) / (2.0 * aa)
+             ELSE (-bb - sqrt(disc)) / (2.0 * aa) END AS atil
+      FROM q2
+    ),
+    q4 AS (
+      SELECT *,
+        1.0 / (1.0 / atil + 1.0 / (r1 - atil) + 1.0 / (c1 - atil)
+               + 1.0 / ((n - r1 - c1) + atil)) AS vv,
+        (r1 > 0 AND n - r1 > 0 AND c1 > 0 AND n - c1 > 0
+         AND orq6 IS NOT NULL AND disc >= 0) AS ok
+      FROM q3
+    ),
+    terms AS (
+      SELECT orq6, ok,
+        CASE WHEN ok THEN CAST(floor(
+          (CAST(a AS DOUBLE) - atil) * (CAST(a AS DOUBLE) - atil) / vv
+          * 1e6 + 0.5) AS HUGEINT) END AS t_q6,
+        CASE WHEN ok THEN CAST(floor(
+          (CAST(a AS DOUBLE) - atil) * 1e9 + 0.5) AS HUGEINT)
+          END AS dev_q9,
+        CASE WHEN ok THEN CAST(floor(vv * 1e9 + 0.5) AS HUGEINT)
+          END AS v_q9
+      FROM q4
+    ),
+    red AS (
+      SELECT orq6, count(*) AS k,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END) AS ki,
+             coalesce(sum(t_q6), 0) AS sbd,
+             coalesce(sum(dev_q9), 0) AS sdev,
+             coalesce(sum(v_q9), 0) AS sv
+      FROM terms GROUP BY orq6
+    )
+    SELECT CAST(k AS BIGINT) AS n_strata,
+           CAST(ki AS BIGINT) AS n_informative,
+           CAST(orq6 AS BIGINT) AS or_mh_q6,
+           CAST(CASE WHEN ki > 0 AND sv > 0 THEN floor(
+             CAST(sbd AS DOUBLE) / 1e6 * 1e6 + 0.5) END AS BIGINT)
+             AS bd_chi2_q6,
+           CAST(CASE WHEN ki > 0 AND sv > 0 THEN floor(
+             (CAST(sbd AS DOUBLE) / 1e6
+              - (CAST(sdev AS DOUBLE) / 1e9
+                 * (CAST(sdev AS DOUBLE) / 1e9))
+                / (CAST(sv AS DOUBLE) / 1e9)) * 1e6 + 0.5)
+             END AS BIGINT) AS tarone_chi2_q6
+    FROM red
+    """,
+)
+def breslow_day_orders(spark, sf_dir):
+    """Breslow-Day homogeneity test with Tarone's correction across
+    order months (operators/profiling.py breslow_day_test; B&D '80,
+    Tarone '85): the validity check for mantel_haenszel_orders — do
+    the month strata actually SHARE one odds ratio, or is the pooled
+    MH number averaging incompatible effects? Same census, same
+    quantized MH OR, fixed-margin quadratic expected counts, q6/q9
+    per-stratum terms with exact sums."""
+    from pyspark_playground_spark.operators.profiling import (
+        breslow_day_test,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    return breslow_day_test(
+        o,
+        stratum_column=F.date_trunc("month", "o_orderdate"),
+        cohort_column=hash_bucket_expr(["o_custkey"], 2) == 0,
+        success_column=F.col("o_orderstatus") == "F",
+    )
+
+
+@query(
     "mantel_haenszel_orders",
     """
     WITH t AS (

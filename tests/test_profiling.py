@@ -2498,3 +2498,74 @@ def test_permutation_mean_test_exact(spark):
     solo = [(u, 1_000_000, True) for u in range(10)]
     s = run(solo)
     assert s["p_ppm"] is None and s["n_treat"] == 10
+
+
+def test_breslow_day_homogeneity(spark):
+    """Homogeneous strata (same OR in both) score a SMALL BD
+    chi-square; one reversed stratum scores large; Tarone's corrected
+    value never exceeds BD; expected counts satisfy the pooled-OR
+    margin equations in a python mirror; all-one-cohort strata are
+    uninformative."""
+    from pyspark_playground_spark.operators.profiling import (
+        breslow_day_test,
+        mantel_haenszel_or,
+    )
+
+    def rows_for(st, a, b, c, d):
+        out = []
+        out += [(st, True, True)] * a
+        out += [(st, True, False)] * b
+        out += [(st, False, True)] * c
+        out += [(st, False, False)] * d
+        return out
+
+    def run(strata):
+        rows = [r for st, cells in strata for r in rows_for(st, *cells)]
+        df = spark.createDataFrame(rows, "st string, c boolean, y boolean")
+        return breslow_day_test(
+            df, stratum_column="st", cohort_column="c",
+            success_column="y",
+        ).collect()[0]
+
+    # two strata with the SAME OR = (20*40)/(10*20) = 4 at different
+    # scales: homogeneous -> tiny chi-square
+    homog = [("s1", (20, 10, 20, 40)), ("s2", (40, 20, 40, 80))]
+    h = run(homog)
+    assert h["n_informative"] == 2
+    assert h["bd_chi2_q6"] is not None and h["bd_chi2_q6"] < 200_000
+    assert h["tarone_chi2_q6"] <= h["bd_chi2_q6"]
+
+    # reversed second stratum: OR 4 vs OR 1/4 -> large heterogeneity
+    het = [("s1", (20, 10, 20, 40)), ("s2", (10, 20, 40, 20))]
+    x = run(het)
+    assert x["bd_chi2_q6"] > 5_000_000  # chi2 >> 3.84 (df=1, alpha=.05)
+    assert x["tarone_chi2_q6"] <= x["bd_chi2_q6"]
+
+    # mirror check on the homogeneous case: atil solves the fixed-margin
+    # quadratic under the SAME quantized MH OR the MH entry reports
+    mh = mantel_haenszel_or(
+        spark.createDataFrame(
+            [r for st, cells in homog for r in rows_for(st, *cells)],
+            "st string, c boolean, y boolean",
+        ),
+        stratum_column="st", cohort_column="c", success_column="y",
+    ).collect()[0]
+    assert h["or_mh_q6"] == mh["or_mh_q6"]
+    R = h["or_mh_q6"] / 1e6
+    for a, b, c, d in (cells for _, cells in homog):
+        r1, c1, n = a + b, a + c, a + b + c + d
+        A, B, C = 1.0 - R, (n - r1 - c1) + R * (r1 + c1), -(R * r1 * c1)
+        disc = B * B - 4.0 * A * C
+        import math
+        root1 = (-B + math.sqrt(disc)) / (2.0 * A)
+        at = root1 if 0 <= root1 <= min(r1, c1) else \
+            (-B - math.sqrt(disc)) / (2.0 * A)
+        # margins reproduce the pooled OR exactly at the root
+        lhs = at * ((n - r1 - c1) + at)
+        rhs = R * (r1 - at) * (c1 - at)
+        assert abs(lhs - rhs) < 1e-6 * max(1.0, abs(rhs))
+
+    # a stratum with no control arm is uninformative
+    degen = [("s1", (20, 10, 20, 40)), ("s2", (5, 5, 0, 0))]
+    dg = run(degen)
+    assert dg["n_strata"] == 2 and dg["n_informative"] == 1
