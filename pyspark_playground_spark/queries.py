@@ -13292,6 +13292,90 @@ def platt_length_en_documents(spark, sf_dir):
 
 
 @query(
+    "cumulative_incidence_user_exits",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    h AS (SELECT max(ts) AS horizon FROM e),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS dur,
+             CASE
+               WHEN (epoch_us(h.horizon) - epoch_us(max(ts)))
+                      <= 24 * 3600000000 THEN 0
+               WHEN max(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) = 1 THEN 1
+               ELSE 2 END AS cause
+      FROM e CROSS JOIN h GROUP BY user_id, h.horizon
+    ),
+    dd AS (
+      SELECT dur,
+             CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2,
+             count(*) AS n
+      FROM u GROUP BY dur
+    ),
+    d2t AS (
+      SELECT dur, d1, d2, d1 + d2 AS dall,
+             CAST(sum(n) OVER (ORDER BY dur DESC) AS BIGINT) AS at_risk
+      FROM dd
+    ),
+    sb AS (
+      SELECT d2t.dur, d2t.d1, d2t.d2, d2t.at_risk,
+        list_reduce(
+          list_prepend([CAST(1000000000 AS BIGINT), CAST(1 AS BIGINT)],
+            coalesce((SELECT list([d3.dall, d3.at_risk] ORDER BY d3.dur)
+                      FROM d2t d3 WHERE d3.dur < d2t.dur), [])),
+          (acc, x) -> [acc[1] * (x[2] - x[1]) // x[2], x[2]]
+        )[1] AS s_before
+      FROM d2t
+    ),
+    cif AS (
+      SELECT sb.dur, sb.d1, sb.d2, sb.at_risk, sb.s_before,
+        (SELECT coalesce(sum(s.s_before * s.d1 // s.at_risk), 0)
+         FROM sb s WHERE s.dur <= sb.dur) AS cif1,
+        (SELECT coalesce(sum(s.s_before * s.d2 // s.at_risk), 0)
+         FROM sb s WHERE s.dur <= sb.dur) AS cif2
+      FROM sb
+    )
+    SELECT dur AS duration, d1, d2, at_risk,
+           CAST(s_before AS BIGINT) AS s_before_q9,
+           CAST(cif1 AS BIGINT) AS cif1_q9,
+           CAST(cif2 AS BIGINT) AS cif2_q9
+    FROM cif WHERE d1 + d2 > 0
+    """,
+)
+def cumulative_incidence_user_exits(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence of the two competing churn
+    exits (operators/survival.py cumulative_incidence; A&J '78):
+    P(exited as a PURCHASER by t) vs P(exited never-purchased by t),
+    with S(t-) the shared all-cause KM curve — the competing-risks
+    correction to running two naive KM curves (which over-count and
+    can sum past 1). Same 1e9 integer fixed-point fold as the KM
+    entry; every increment S(t-)*d_k div n exact; the oracle replays
+    it with list_reduce + correlated prefix sums."""
+    from pyspark_playground_spark.operators import survival as sv
+
+    e = load_events(spark, sf_dir)
+    lt = sv.user_lifetimes(
+        e,
+        carry_aggs={
+            "purch": F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+        },
+    ).select(
+        "duration_hours",
+        F.when(F.col("died") == 0, 0)
+        .when(F.col("purch") == 1, 1)
+        .otherwise(2)
+        .alias("cause"),
+    )
+    return sv.cumulative_incidence(lt)
+
+
+@query(
     "cox_purchasers_events",
     f"""
     WITH e AS ({EVENTS_N}),

@@ -300,3 +300,49 @@ def test_required_events_survival_textbook(spark):
 
     with pytest.raises(ValueError, match="target_hr_ppm"):
         run(half, 1_000_000)
+
+
+def test_cumulative_incidence_competing_risks(spark):
+    """Hand fixture pins every CIF value against closed-form fractions;
+    CIF1 + CIF2 + S reconciles to the 1e9 scale up to div rounding;
+    the naive '1 - KM per cause' over-counts where AJ does not; CIFs
+    are monotone non-decreasing."""
+    from pyspark_playground_spark.operators.survival import (
+        cumulative_incidence,
+    )
+
+    rows = [(2, 1), (3, 1), (3, 2), (5, 0), (6, 2), (8, 1), (9, 0)]
+    df = spark.createDataFrame(rows, "duration_hours long, cause int")
+    out = {r["duration"]: r
+           for r in cumulative_incidence(df).collect()}
+    # t=2: S-=1, CIF1 = 1/7
+    assert out[2]["cif1_q9"] == 1_000_000_000 * 1 // 7
+    assert out[2]["cif2_q9"] == 0
+    # t=3: S- = 6/7 (integer fold), both causes gain S-/6
+    s3 = 1_000_000_000 * 6 // 7
+    assert out[3]["s_before_q9"] == s3
+    assert out[3]["cif1_q9"] == out[2]["cif1_q9"] + s3 // 6
+    assert out[3]["cif2_q9"] == s3 // 6
+    # monotone, and final CIF1+CIF2+S(last) ~= 1e9
+    durs = sorted(out)
+    for a, b in zip(durs, durs[1:]):
+        assert out[b]["cif1_q9"] >= out[a]["cif1_q9"]
+        assert out[b]["cif2_q9"] >= out[a]["cif2_q9"]
+    last = out[durs[-1]]
+    s_after_last = last["s_before_q9"] * (
+        last["at_risk"] - last["d1"] - last["d2"]
+    ) // last["at_risk"]
+    total = last["cif1_q9"] + last["cif2_q9"] + s_after_last
+    assert abs(total - 1_000_000_000) <= len(durs) * 10  # div rounding
+
+    # competing-risks over-count check: naive per-cause KM complement
+    # exceeds the AJ CIF at the last event time (cause 2 censored away)
+    from pyspark.sql import functions as SF
+
+    from pyspark_playground_spark.operators.survival import kaplan_meier
+    naive = kaplan_meier(
+        df.select("duration_hours",
+                  (SF.col("cause") == 1).cast("int").alias("died"))
+    ).orderBy("duration").collect()
+    naive_cif1 = 1_000_000_000 - naive[-1]["survival_q9"]
+    assert naive_cif1 > last["cif1_q9"]
