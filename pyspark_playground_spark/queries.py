@@ -13020,6 +13020,104 @@ def logrank_purchasers_events(spark, sf_dir):
 
 
 @query(
+    "qini_uplift_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id,
+             CAST(floor(CAST(coalesce(sum(CAST(round(value, 9)
+                    AS DECIMAL(28,10))), 0) AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS s,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS y,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS t
+      FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
+    ),
+    cells AS (SELECT s, count(*) AS n FROM u GROUP BY s),
+    tot AS (SELECT coalesce(sum(n), 0) AS tt FROM cells),
+    banded AS (
+      SELECT s,
+        (coalesce(sum(n) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+          // tt AS band
+      FROM cells CROSS JOIN tot
+    ),
+    g AS (
+      SELECT band,
+             sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_treat,
+             sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS n_ctrl,
+             sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS conv_treat,
+             sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS conv_ctrl
+      FROM u JOIN banded USING (s) GROUP BY band
+    ),
+    cum AS (
+      SELECT *,
+        sum(n_treat) OVER wb AS cnt, sum(n_ctrl) OVER wb AS cnc,
+        sum(conv_treat) OVER wb AS cyt, sum(conv_ctrl) OVER wb AS cyc
+      FROM g
+      WINDOW wb AS (ORDER BY band
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(conv_treat AS BIGINT) AS conv_treat,
+           CAST(conv_ctrl AS BIGINT) AS conv_ctrl,
+           CAST(CASE WHEN n_treat > 0
+             THEN (conv_treat * 1000000) // n_treat END AS BIGINT)
+             AS rate_treat_ppm,
+           CAST(CASE WHEN n_ctrl > 0
+             THEN (conv_ctrl * 1000000) // n_ctrl END AS BIGINT)
+             AS rate_ctrl_ppm,
+           CAST(CASE WHEN n_treat > 0 AND n_ctrl > 0
+             THEN (conv_treat * 1000000) // n_treat
+                  - (conv_ctrl * 1000000) // n_ctrl END AS BIGINT)
+             AS uplift_ppm,
+           CAST(CASE WHEN cnc > 0 THEN floor(
+             (CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE)
+              * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)))
+             * 1e6 + 0.5) END AS BIGINT) AS qini_cum_q6
+    FROM cum
+    """,
+)
+def qini_uplift_events(spark, sf_dir):
+    """Uplift-by-decile table with the cumulative Qini curve
+    (operators/profiling.py qini_uplift_deciles; Radcliffe '07): users
+    banded by total spend as the targeting score, md5-bucketed arms,
+    purchase as the outcome — the lift-not-response evaluation an
+    uplift model needs. Census-boundary banding (no data-sized
+    window), exact ppm rates, fixed-order Qini term per band."""
+    from pyspark_playground_spark.operators.profiling import (
+        qini_uplift_deciles,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy("user_id").agg(
+        F.floor(
+            F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+            .cast("double") * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("s"),
+        (
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        ).alias("y"),
+    ).withColumn("t", hash_bucket_expr(["user_id"], 2) == 0)
+    return qini_uplift_deciles(
+        u, score_column="s", cohort_column="t", outcome_column="y"
+    )
+
+
+@query(
     "permutation_spend_events",
     f"""
     WITH e AS ({EVENTS_N}),

@@ -2569,3 +2569,47 @@ def test_breslow_day_homogeneity(spark):
     degen = [("s1", (20, 10, 20, 40)), ("s2", (5, 5, 0, 0))]
     dg = run(degen)
     assert dg["n_strata"] == 2 and dg["n_informative"] == 1
+
+
+def test_qini_uplift_deciles_hand_computed(spark):
+    """A constructed uplift signal (treatment helps ONLY the
+    high-score half) puts all positive uplift in the top bands and a
+    flat-zero tail; the Qini curve's final point equals total
+    incremental conversions under equal arms; equal-population
+    banding holds; a response-only signal yields ~zero uplift
+    everywhere."""
+    from pyspark_playground_spark.operators.profiling import (
+        qini_uplift_deciles,
+    )
+
+    rows = []
+    for i in range(400):
+        score = float(399 - i)          # distinct scores, descending
+        treated = i % 2 == 0
+        high = i < 200                  # top half by score
+        # treated high-scorers convert; control never; low never
+        y = treated and high
+        rows.append((score, treated, y))
+    df = spark.createDataFrame(rows, "s double, t boolean, y boolean")
+    out = {r["band"]: r for r in qini_uplift_deciles(
+        df, score_column="s", cohort_column="t", outcome_column="y"
+    ).collect()}
+    assert sorted(out) == list(range(10))
+    # equal-population bands (distinct scores, 400/10)
+    assert all(out[b]["n_treat"] + out[b]["n_ctrl"] == 40 for b in out)
+    # uplift concentrated in bands 0-4, zero in 5-9
+    for b in range(5):
+        assert out[b]["uplift_ppm"] == 1_000_000
+    for b in range(5, 10):
+        assert out[b]["uplift_ppm"] == 0
+    # final qini = total incremental conversions (100, equal arms)
+    assert out[9]["qini_cum_q6"] == 100 * 1_000_000
+
+    # response-only signal: both arms convert at high scores -> no lift
+    rows2 = [(float(399 - i), i % 2 == 0, i < 200) for i in range(400)]
+    df2 = spark.createDataFrame(rows2, "s double, t boolean, y boolean")
+    o2 = {r["band"]: r for r in qini_uplift_deciles(
+        df2, score_column="s", cohort_column="t", outcome_column="y"
+    ).collect()}
+    assert all(o2[b]["uplift_ppm"] == 0 for b in o2)
+    assert abs(o2[9]["qini_cum_q6"]) == 0
