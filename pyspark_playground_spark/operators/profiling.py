@@ -5636,3 +5636,73 @@ def qini_uplift_deciles(
             F.floor(qini * F.lit(1e6) + F.lit(0.5)),
         ).cast("long").alias("qini_cum_q6"),
     )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    *,
+    score_ppm_column: str,
+    label_column,
+) -> DataFrame:
+    """Spiegelhalter's calibration Z test (Spiegelhalter, Stat. Med.
+    1986; public construction): the HYPOTHESIS-TEST rung of the
+    calibration ladder — ECE/Brier DESCRIBE miscalibration, this tests
+    it: ``Z = Σ(yᵢ−pᵢ)(1−2pᵢ) / √(Σ(1−2pᵢ)²pᵢ(1−pᵢ))``, the exactly
+    standardized part of the Brier score that is insensitive to
+    discrimination — a significant Z means the forecast LEVELS are
+    off regardless of how well they rank.
+
+    Fully exact accumulation: forecasts arrive as ppm integers and
+    collapse to a value census; BOTH the numerator (scale 1e12) and
+    the variance (scale 1e24) are exact DECIMAL(38,0) census sums —
+    no per-term quantization at all (the variance envelope holds to
+    ~1e4 billion rows); the final ratio is one fixed-order double
+    quantized q6. Refuses (NULL z) when the variance is 0 (all
+    forecasts at 0/1 or empty input).
+
+    Plan: one groupBy(score) census + one 1-row reduce. No windows.
+
+    Output one row: (n, n_pos, z_q6).
+    """
+    y = (
+        F.col(label_column)
+        if isinstance(label_column, str)
+        else label_column
+    ).cast("boolean")
+    t = df.select(
+        F.col(score_ppm_column).cast("long").alias("__p"), y.alias("__y")
+    ).filter(F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    cells = t.groupBy("__p").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__k"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    one_minus_2p = F.lit(1_000_000) - F.lit(2) * F.col("__p")
+    num_t = (
+        d38(F.col("__k")) * F.lit(1_000_000)
+        - d38(F.col("__n")) * F.col("__p")
+    ) * one_minus_2p
+    den_t = (
+        d38(F.col("__n"))
+        * (d38(one_minus_2p) * one_minus_2p)
+        * F.col("__p")
+        * (F.lit(1_000_000) - F.col("__p"))
+    )
+    s = cells.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("__N"),
+        F.coalesce(F.sum("__k"), F.lit(0)).alias("__K"),
+        F.coalesce(F.sum(num_t), F.lit(0)).alias("__num"),
+        F.coalesce(F.sum(den_t), F.lit(0)).alias("__den"),
+    )
+    z = F.try_divide(
+        F.col("__num").cast("double") / F.lit(1e12),
+        F.sqrt(F.col("__den").cast("double") / F.lit(1e24)),
+    )
+    return s.select(
+        F.col("__N").cast("long").alias("n"),
+        F.col("__K").cast("long").alias("n_pos"),
+        F.when(
+            F.col("__den") > 0,
+            F.floor(z * F.lit(1e6) + F.lit(0.5)),
+        ).cast("long").alias("z_q6"),
+    )

@@ -13830,6 +13830,70 @@ def lexical_concentration_documents(spark, sf_dir):
 
 
 @query(
+    "spiegelhalter_z_documents",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars, (lang = 'en') AS y,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS nn
+      FROM documents
+    ), p AS (
+      SELECT CASE WHEN nn > 1
+                  THEN ((rk - 1) * 1000000) // (nn - 1)
+                  ELSE 0 END AS ppm,
+             y
+      FROM r WHERE y IS NOT NULL
+    ),
+    cells AS (
+      SELECT ppm, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS k
+      FROM p GROUP BY ppm
+    ),
+    s AS (
+      SELECT coalesce(sum(n), 0) AS nt, coalesce(sum(k), 0) AS kt,
+        coalesce(sum((CAST(k AS HUGEINT) * 1000000
+                      - CAST(n AS HUGEINT) * ppm)
+                     * (1000000 - 2 * ppm)), 0) AS num,
+        coalesce(sum(CAST(n AS HUGEINT)
+                     * (CAST(1000000 - 2 * ppm AS HUGEINT)
+                        * (1000000 - 2 * ppm))
+                     * ppm * (1000000 - ppm)), 0) AS den
+      FROM cells
+    )
+    SELECT CAST(nt AS BIGINT) AS n, CAST(kt AS BIGINT) AS n_pos,
+           CAST(CASE WHEN den > 0 THEN floor(
+             (CAST(num AS DOUBLE) / 1e12)
+             / sqrt(CAST(den AS DOUBLE) / 1e24) * 1e6 + 0.5)
+             END AS BIGINT) AS z_q6
+    FROM s
+    """,
+)
+def spiegelhalter_z_documents(spark, sf_dir):
+    """Spiegelhalter's calibration Z over the length-rank->is-English
+    forecast (operators/profiling.py spiegelhalter_z; Stat. Med. '86):
+    the hypothesis-test rung of the calibration ladder — ECE/Brier
+    describe the miscalibration the Brier decomposition locates, this
+    says whether it is statistically real. Fully exact DECIMAL census
+    sums at 1e12/1e24 scales, one fixed-order double ratio."""
+    from pyspark_playground_spark.operators.profiling import (
+        spiegelhalter_z,
+    )
+    from pyspark_playground_spark.operators.sampling import rank_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = rank_normalize(
+        docs, group_column="source", value_column="n_chars",
+        id_column="doc_id",
+    )
+    return spiegelhalter_z(
+        ranked,
+        score_ppm_column="pct_ppm",
+        label_column=F.col("lang") == "en",
+    )
+
+
+@query(
     "brier_decomposition_documents",
     """
     WITH r AS (

@@ -2613,3 +2613,47 @@ def test_qini_uplift_deciles_hand_computed(spark):
     ).collect()}
     assert all(o2[b]["uplift_ppm"] == 0 for b in o2)
     assert abs(o2[9]["qini_cum_q6"]) == 0
+
+
+def test_spiegelhalter_z_mirror(spark):
+    """A python mirror pins z exactly; a perfectly calibrated forecast
+    scores |z| small; a systematically overconfident forecast (p=0.9
+    when truth is 0.5) scores a large positive z (y-p mass against
+    1-2p<0 ... sign per construction); degenerate all-0/1 forecasts
+    refuse."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        spiegelhalter_z,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "pct_ppm long, y boolean")
+        return spiegelhalter_z(
+            df, score_ppm_column="pct_ppm", label_column="y"
+        ).collect()[0]
+
+    def mirror(rows):
+        num = den = 0
+        for p, y in rows:
+            num += (int(y) * 10**6 - p) * (10**6 - 2 * p)
+            den += (10**6 - 2 * p) ** 2 * p * (10**6 - p)
+        return math.floor(
+            (num / 1e12) / math.sqrt(den / 1e24) * 1e6 + 0.5
+        )
+
+    cal = [(250_000, i % 4 == 0) for i in range(80)] + [
+        (750_000, i % 4 != 0) for i in range(80)
+    ]
+    r = run(cal)
+    assert r["z_q6"] == mirror(cal)
+    assert abs(r["z_q6"]) < 2_000_000
+
+    over = [(900_000, i % 2 == 0) for i in range(100)]
+    o = run(over)
+    assert o["z_q6"] == mirror(over)
+    assert abs(o["z_q6"]) > 2_000_000
+
+    degen = [(0, False)] * 5 + [(1_000_000, True)] * 5
+    d = run(degen)
+    assert d["z_q6"] is None and d["n"] == 10
