@@ -5706,3 +5706,136 @@ def spiegelhalter_z(
             F.floor(z * F.lit(1e6) + F.lit(0.5)),
         ).cast("long").alias("z_q6"),
     )
+
+
+def poststrat_ate(
+    df: DataFrame,
+    *,
+    stratum_column: str | Column,
+    cohort_column: Column | str,
+    metric_column: str,
+    z: float = _Z_ALPHA_975,
+) -> DataFrame:
+    """Post-stratified average treatment effect (the blocking
+    estimator — Neyman 1923 via Imbens & Rubin 2015, ch. 9; public
+    construction): ``ATE = Σ_s (n_s/N)(ȳ_t,s − ȳ_c,s)`` with
+    ``SE² = Σ_s (n_s/N)²(s²_t,s/n_t,s + s²_c,s/n_c,s)`` — the variance
+    reduction CUPED gets from a pre-period covariate, obtained instead
+    from a DISCRETE pre-treatment stratum (signup month, region,
+    device): within-stratum comparisons cancel the stratum's level
+    shift. Complement to DiD (no parallel-trends assumption needed —
+    but strata must be pre-treatment).
+
+    Exact-integer construction (the DiD recipe): metric quantizes once
+    to q6; ONE conditional aggregate per stratum gives both arms'
+    exact DECIMAL(38,0) (n, Σy, Σy²); each stratum's ATE and variance
+    term is a fixed-order double quantized half-up (log-rank style),
+    summed exactly; strata missing an arm are UNINFORMATIVE and drop
+    from both sums AND the weight total (complete-case reweighting —
+    stated, the standard practice). Population variances (the cuped
+    convention).
+
+    Plan: one stratum census + one reduce; zero windows, zero joins.
+
+    Output one row: (n_strata, n_informative, n_units, ate_q6, se_q6,
+    ci_lo_q6, ci_hi_q6).
+    """
+    st = (
+        F.col(stratum_column)
+        if isinstance(stratum_column, str)
+        else stratum_column
+    )
+    co = (
+        F.col(cohort_column)
+        if isinstance(cohort_column, str)
+        else cohort_column
+    ).cast("boolean")
+    q6 = lambda c: F.floor(  # noqa: E731
+        c.cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    t = df.select(
+        st.alias("__st"), co.alias("__c"),
+        q6(F.col(metric_column)).alias("__y"),
+    ).filter(
+        F.col("__st").isNotNull()
+        & F.col("__c").isNotNull()
+        & F.col("__y").isNotNull()
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = t.groupBy("__st").agg(
+        F.sum(F.when(F.col("__c"), 1).otherwise(0)).alias("__nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c"), d38(F.col("__y")))), F.lit(0)
+        ).alias("__stt"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c"), d38(F.col("__y")) * F.col("__y"))),
+            F.lit(0),
+        ).alias("__qt"),
+        F.sum(F.when(~F.col("__c"), 1).otherwise(0)).alias("__nc"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__c"), d38(F.col("__y")))), F.lit(0)
+        ).alias("__sc"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__c"), d38(F.col("__y")) * F.col("__y"))),
+            F.lit(0),
+        ).alias("__qc"),
+    )
+    ntd = F.col("__nt").cast("double")
+    ncd = F.col("__nc").cast("double")
+    ns = F.col("__nt") + F.col("__nc")
+    nsd = ns.cast("double")
+    mt = F.try_divide(F.col("__stt").cast("double"), ntd)
+    mc = F.try_divide(F.col("__sc").cast("double"), ncd)
+    vt = F.try_divide(F.col("__qt").cast("double"), ntd) - mt * mt
+    vc = F.try_divide(F.col("__qc").cast("double"), ncd) - mc * mc
+    informative = (F.col("__nt") > 0) & (F.col("__nc") > 0)
+    terms = g.select(
+        informative.alias("__ok"),
+        ns.alias("__ns"),
+        F.when(
+            informative,
+            F.floor(nsd * (mt - mc) + F.lit(0.5)),
+        ).cast("decimal(38,0)").alias("__ta"),
+        # variance terms carry q6-squared units — rescale by 1e6
+        # before the floor so the long stays inside int64 (the ATE
+        # term's q6 units fit directly); se rescales back below
+        F.when(
+            informative,
+            F.floor(
+                (nsd * nsd)
+                * (F.try_divide(vt, ntd) + F.try_divide(vc, ncd))
+                / F.lit(1e6)
+                + F.lit(0.5)
+            ),
+        ).cast("decimal(38,0)").alias("__tv"),
+    )
+    red = terms.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("__ki"),
+        F.coalesce(
+            F.sum(F.when(F.col("__ok"), F.col("__ns"))), F.lit(0)
+        ).alias("__W"),
+        F.coalesce(F.sum("__ta"), F.lit(0)).alias("__sa"),
+        F.coalesce(F.sum("__tv"), F.lit(0)).alias("__sv"),
+    )
+    wd = F.col("__W").cast("double")
+    ate = F.try_divide(F.col("__sa").cast("double"), wd)
+    se = F.sqrt(
+        F.try_divide(
+            F.col("__sv").cast("double") * F.lit(1e6), wd * wd
+        )
+    )
+    ok = (F.col("__ki") > 0) & (F.col("__W") > 0)
+    return red.select(
+        F.col("__k").cast("long").alias("n_strata"),
+        F.col("__ki").cast("long").alias("n_informative"),
+        F.col("__W").cast("long").alias("n_units"),
+        F.when(ok, F.floor(ate + F.lit(0.5))).cast("long").alias("ate_q6"),
+        F.when(ok, F.floor(se + F.lit(0.5))).cast("long").alias("se_q6"),
+        F.when(ok, F.floor(ate - F.lit(float(z)) * se + F.lit(0.5)))
+        .cast("long")
+        .alias("ci_lo_q6"),
+        F.when(ok, F.floor(ate + F.lit(float(z)) * se + F.lit(0.5)))
+        .cast("long")
+        .alias("ci_hi_q6"),
+    )

@@ -13020,6 +13020,120 @@ def logrank_purchasers_events(spark, sf_dir):
 
 
 @query(
+    "poststrat_ate_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    u AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS st,
+             CAST(coalesce(sum(CAST(round(value, 9) AS DECIMAL(28,10))),
+                           0) AS DOUBLE) AS y
+      FROM e WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    q AS (
+      SELECT st, CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS y,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS c
+      FROM u
+    ),
+    g AS (
+      SELECT st,
+        sum(CASE WHEN c THEN 1 ELSE 0 END) AS nt,
+        coalesce(sum(CASE WHEN c THEN CAST(y AS HUGEINT) END), 0) AS stt,
+        coalesce(sum(CASE WHEN c THEN CAST(y AS HUGEINT) * y END), 0)
+          AS qt,
+        sum(CASE WHEN NOT c THEN 1 ELSE 0 END) AS nc,
+        coalesce(sum(CASE WHEN NOT c THEN CAST(y AS HUGEINT) END), 0)
+          AS sc,
+        coalesce(sum(CASE WHEN NOT c THEN CAST(y AS HUGEINT) * y END), 0)
+          AS qc
+      FROM q GROUP BY st
+    ),
+    terms AS (
+      SELECT (nt > 0 AND nc > 0) AS ok, nt + nc AS ns,
+        CASE WHEN nt > 0 AND nc > 0 THEN CAST(floor(
+          CAST(nt + nc AS DOUBLE)
+          * (CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) + 0.5)
+          AS HUGEINT) END AS ta,
+        CASE WHEN nt > 0 AND nc > 0 THEN CAST(floor(
+          (CAST(nt + nc AS DOUBLE) * CAST(nt + nc AS DOUBLE))
+          * ((CAST(qt AS DOUBLE) / CAST(nt AS DOUBLE)
+              - (CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * (CAST(stt AS DOUBLE) / CAST(nt AS DOUBLE)))
+               / CAST(nt AS DOUBLE)
+             + (CAST(qc AS DOUBLE) / CAST(nc AS DOUBLE)
+                - (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                  * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))
+               / CAST(nc AS DOUBLE)) / 1e6 + 0.5) AS HUGEINT) END AS tv
+      FROM g
+    ),
+    red AS (
+      SELECT count(*) AS k,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END) AS ki,
+             coalesce(sum(CASE WHEN ok THEN ns END), 0) AS w,
+             coalesce(sum(ta), 0) AS sa,
+             coalesce(sum(tv), 0) AS sv
+      FROM terms
+    )
+    SELECT CAST(k AS BIGINT) AS n_strata,
+           CAST(ki AS BIGINT) AS n_informative,
+           CAST(w AS BIGINT) AS n_units,
+           CAST(CASE WHEN ki > 0 AND w > 0 THEN floor(
+             CAST(sa AS DOUBLE) / CAST(w AS DOUBLE) + 0.5)
+             END AS BIGINT) AS ate_q6,
+           CAST(CASE WHEN ki > 0 AND w > 0 THEN floor(
+             sqrt(CAST(sv AS DOUBLE) * 1e6
+                  / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) + 0.5)
+             END AS BIGINT) AS se_q6,
+           CAST(CASE WHEN ki > 0 AND w > 0 THEN floor(
+             CAST(sa AS DOUBLE) / CAST(w AS DOUBLE)
+             - 1.959963984540054 * sqrt(CAST(sv AS DOUBLE) * 1e6
+               / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) + 0.5)
+             END AS BIGINT) AS ci_lo_q6,
+           CAST(CASE WHEN ki > 0 AND w > 0 THEN floor(
+             CAST(sa AS DOUBLE) / CAST(w AS DOUBLE)
+             + 1.959963984540054 * sqrt(CAST(sv AS DOUBLE) * 1e6
+               / (CAST(w AS DOUBLE) * CAST(w AS DOUBLE))) + 0.5)
+             END AS BIGINT) AS ci_hi_q6
+    FROM red
+    """,
+)
+def poststrat_ate_events(spark, sf_dir):
+    """Post-stratified ATE on per-user spend, blocked by signup month
+    (operators/profiling.py poststrat_ate; Neyman '23 via Imbens &
+    Rubin ch. 9): within-month treated-vs-control spend differences
+    pooled with n_s/N weights — the discrete-covariate variance
+    reduction beside CUPED (continuous pre-metric) and DiD
+    (pre-period). One stratum census; per-stratum fixed-order terms
+    quantized half-up, exact sums; complete-case reweighting over
+    strata that have both arms."""
+    from pyspark_playground_spark.operators.profiling import (
+        poststrat_ate,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    dec = F.round(F.col("value"), 9).cast("decimal(28,10)")
+    u = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("st"),
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("y"),
+    )
+    return poststrat_ate(
+        u,
+        stratum_column="st",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        metric_column="y",
+    )
+
+
+@query(
     "qini_uplift_events",
     f"""
     WITH e AS ({EVENTS_N}),

@@ -2657,3 +2657,49 @@ def test_spiegelhalter_z_mirror(spark):
     degen = [(0, False)] * 5 + [(1_000_000, True)] * 5
     d = run(degen)
     assert d["z_q6"] is None and d["n"] == 10
+
+
+def test_poststrat_ate_blocks_out_stratum_shift(spark):
+    """A constant within-stratum effect is recovered exactly even when
+    stratum LEVELS differ wildly and arms are unevenly split across
+    strata (where the naive pooled difference is confounded); balanced
+    no-effect data gives ate 0; an armless stratum drops from the
+    weights; python mirror pins the quantized outputs."""
+    import math
+
+    from pyspark_playground_spark.operators.profiling import (
+        poststrat_ate,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "st string, c boolean, y double")
+        return poststrat_ate(
+            df, stratum_column="st", cohort_column="c", metric_column="y"
+        ).collect()[0]
+
+    # stratum A level 0, stratum B level 1000; effect +5 everywhere;
+    # treatment over-represented in the high-level stratum
+    rows = []
+    for i in range(40):
+        rows.append(("A", i % 4 == 0, (5.0 if i % 4 == 0 else 0.0)))
+    for i in range(40):
+        rows.append(("B", i % 4 != 0, 1000.0 + (5.0 if i % 4 != 0 else 0.0)))
+    r = run(rows)
+    assert r["ate_q6"] == 5_000_000  # confound blocked exactly
+    assert r["n_informative"] == 2 and r["n_units"] == 80
+    # the naive pooled difference is badly confounded upward
+    tr = [y for st, c, y in rows if c]
+    ct = [y for st, c, y in rows if not c]
+    naive = sum(tr) / len(tr) - sum(ct) / len(ct)
+    assert naive > 400
+
+    # no effect, balanced: ate exactly 0, CI covers 0
+    flat = [("A", i % 2 == 0, 7.0) for i in range(20)]
+    f = run(flat)
+    assert f["ate_q6"] == 0 and f["se_q6"] == 0
+
+    # stratum with one arm only is dropped from weights
+    degen = rows + [("C", True, 123.0)]
+    d = run(degen)
+    assert d["n_strata"] == 3 and d["n_informative"] == 2
+    assert d["n_units"] == 80 and d["ate_q6"] == 5_000_000
