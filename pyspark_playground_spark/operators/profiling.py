@@ -5839,3 +5839,69 @@ def poststrat_ate(
         .cast("long")
         .alias("ci_hi_q6"),
     )
+
+
+def holm_adjust(
+    df: DataFrame,
+    *,
+    group_column: str,
+    p_column: str = "p_q9",
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Holm step-down multiplicity adjustment (Holm, Scand. J. Stat.
+    1979; public construction) — the FAMILYWISE-ERROR companion to the
+    BH step-up of :func:`fdr_bh_two_proportion`: BH controls the
+    expected FRACTION of false discoveries (right for broad scans);
+    Holm controls the probability of ANY false discovery (right when
+    one wrong winner is expensive), uniformly more powerful than plain
+    Bonferroni and valid under arbitrary dependence. ``p_holm_(i) =
+    max_{j≤i} min(1, (m−j+1)·p_(j))`` over ascending p ranks.
+
+    Composes over any frame carrying a group and a q9 p-value (e.g.
+    the BH scan's output — run both, compare reject sets). Exact
+    integers throughout: ``(m−rk+1)·p`` products, capped at 1e9, with
+    a running max over the group census (bounded window above an
+    aggregate-sized frame); NULL p rows (degenerate groups) pass
+    through unadjusted and do not count toward m.
+
+    Output: the input columns plus (p_holm_q9, reject_holm).
+    """
+    from pyspark.sql import Window
+
+    tested = df.filter(F.col(p_column).isNotNull()).select(
+        F.col(group_column).alias("__g"), F.col(p_column).alias("__p")
+    )
+    m = tested.agg(F.count(F.lit(1)).alias("__m"))
+    rk = tested.crossJoin(F.broadcast(m)).select(
+        "__g",
+        "__p",
+        "__m",
+        F.row_number()
+        .over(Window.orderBy("__p", "__g"))
+        .alias("__rk"),
+    )
+    raw = rk.select(
+        "__g",
+        "__rk",
+        F.least(
+            F.lit(1_000_000_000).cast("long"),
+            F.col("__p") * (F.col("__m") - F.col("__rk") + 1),
+        ).alias("__raw"),
+    )
+    w = Window.orderBy("__rk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = raw.select(
+        "__g", F.max("__raw").over(w).alias("__holm")
+    )
+    out = df.join(
+        adj, F.col(group_column) == F.col("__g"), "left"
+    ).drop("__g")
+    return out.select(
+        *df.columns,
+        F.col("__holm").cast("long").alias("p_holm_q9"),
+        F.when(
+            F.col("__holm").isNotNull(),
+            F.col("__holm") <= F.lit(int(alpha_ppm) * 1000),
+        ).alias("reject_holm"),
+    )

@@ -16840,6 +16840,110 @@ def fdr_bh_value_rate_events(spark, sf_dir):
     )
 
 
+@query(
+    "holm_value_rate_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    t AS (
+      SELECT event_type AS grp,
+             (CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 2 AS INT) = 0) AS g,
+             (value > 100) AS y
+      FROM e WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT grp,
+             sum(CASE WHEN g THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN g AND y THEN 1 ELSE 0 END) AS s_a,
+             sum(CASE WHEN NOT g AND y THEN 1 ELSE 0 END) AS s_b
+      FROM t GROUP BY grp
+    ),
+    zc AS (
+      SELECT grp,
+             (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(s_a + s_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(s_a + s_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))) AS z
+      FROM c WHERE n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+                   AND s_a + s_b < n_a + n_b
+    ),
+    pz AS (
+      SELECT grp, abs(z) AS az,
+             (floor(exp(abs(z) * abs(z) / -2.0) * 1e12 + 0.5) / 1e12)
+               * 0.3989422804014327 AS phi,
+             1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+      FROM zc
+    ),
+    pp AS (
+      SELECT grp,
+             CAST(least(floor(2.0 * (phi
+               * (((((1.330274429 * tt + -1.821255978) * tt
+                     + 1.781477937) * tt + -0.356563782) * tt
+                   + 0.319381530) * tt)) * 1e9 + 0.5),
+               1000000000) AS BIGINT) AS p_q9
+      FROM pz
+    ),
+    m AS (SELECT count(*) AS mm FROM pp),
+    r AS (
+      SELECT grp, p_q9,
+             row_number() OVER (ORDER BY p_q9, grp) AS rk
+      FROM pp
+    ),
+    hm AS (
+      SELECT grp,
+             max(least(1000000000,
+                       p_q9 * ((SELECT mm FROM m) - rk + 1)))
+               OVER (ORDER BY rk ASC ROWS UNBOUNDED PRECEDING) AS ph
+      FROM r
+    )
+    SELECT c.grp AS event_type,
+           CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+           pp.p_q9,
+           CAST(hm.ph AS BIGINT) AS p_holm_q9,
+           CASE WHEN hm.ph IS NOT NULL THEN hm.ph <= 50000000 END
+             AS reject_holm
+    FROM c
+    LEFT JOIN pp ON pp.grp = c.grp
+    LEFT JOIN hm ON hm.grp = c.grp
+    """,
+)
+def holm_value_rate_events(spark, sf_dir):
+    """The same per-event-type two-proportion scan as
+    fdr_bh_value_rate_events, adjusted by HOLM'S STEP-DOWN instead
+    (operators/profiling.py holm_adjust; Holm '79): familywise-error
+    control — no false winner AT ALL with 95% probability — beside
+    BH's false-discovery-RATE control; run both, compare reject sets.
+    Exact (m-rank+1)·p integer products, running max over the group
+    census."""
+    from pyspark_playground_spark.operators.profiling import (
+        fdr_bh_two_proportion,
+        holm_adjust,
+    )
+    from pyspark_playground_spark.operators.sampling import (
+        hash_bucket_expr,
+    )
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scan = fdr_bh_two_proportion(
+        e,
+        group_column="event_type",
+        cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+        success_column=F.col("value") > 100,
+        alpha_ppm=50_000,
+    ).select("event_type", "n_a", "n_b", "p_q9")
+    return holm_adjust(
+        scan, group_column="event_type", p_column="p_q9",
+        alpha_ppm=50_000,
+    )
+
+
 #: shared aHash CTE prefix: portable 60-bit average-hash signatures of
 #: the fake media payload (content = utf-8 bytes of text), mirroring
 #: multimodal.ahash_signatures' byte resample + Horner bit-pack.

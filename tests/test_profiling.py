@@ -2703,3 +2703,42 @@ def test_poststrat_ate_blocks_out_stratum_shift(spark):
     d = run(degen)
     assert d["n_strata"] == 3 and d["n_informative"] == 2
     assert d["n_units"] == 80 and d["ate_q6"] == 5_000_000
+
+
+def test_holm_adjust_step_down(spark):
+    """Textbook Holm on fixed p-values: adjusted values are the
+    running max of (m-j+1)p capped at 1; Holm rejects a subset of
+    (or equal to) BH's rejections at the same alpha but a superset of
+    plain Bonferroni's; NULL p rows pass through unadjusted and do
+    not count toward m."""
+    from pyspark_playground_spark.operators.profiling import holm_adjust
+
+    # m=4 tested; p (q9): .001, .012, .02, .9 and one degenerate NULL
+    rows = [("a", 1_000_000), ("b", 12_000_000), ("c", 20_000_000),
+            ("d", 900_000_000), ("e", None)]
+    df = spark.createDataFrame(rows, "grp string, p_q9 long")
+    out = {r["grp"]: r for r in holm_adjust(
+        df, group_column="grp", p_column="p_q9", alpha_ppm=50_000
+    ).collect()}
+    # Holm: .001*4=.004; max(.004,.012*3=.036)=.036;
+    # max(.036,.02*2=.04)=.04; max(.04,.9*1)=.9
+    assert out["a"]["p_holm_q9"] == 4_000_000
+    assert out["b"]["p_holm_q9"] == 36_000_000
+    assert out["c"]["p_holm_q9"] == 40_000_000
+    assert out["d"]["p_holm_q9"] == 900_000_000
+    assert out["e"]["p_holm_q9"] is None
+    assert out["e"]["reject_holm"] is None
+    assert [out[g]["reject_holm"] for g in "abcd"] == [
+        True, True, True, False
+    ]
+    # Bonferroni would fail c (.02*4=.08 > .05): Holm strictly gains
+    assert out["c"]["p_q9"] * 4 > 50_000_000
+    # cap at 1e9
+    big = spark.createDataFrame(
+        [("x", 600_000_000), ("y", 700_000_000)], "grp string, p_q9 long"
+    )
+    b = {r["grp"]: r for r in holm_adjust(
+        big, group_column="grp", p_column="p_q9"
+    ).collect()}
+    assert b["x"]["p_holm_q9"] == 1_000_000_000
+    assert b["y"]["p_holm_q9"] == 1_000_000_000
