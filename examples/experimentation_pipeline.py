@@ -26,7 +26,15 @@ operators:
    (``delta_method_ratio_ci``) cross-checked by the bucket jackknife
    (``jackknife_ratio_buckets``); the per-segment scan is
    FDR-controlled (``fdr_bh_two_proportion``) and the W1 guardrail
-   (``drift_wasserstein1``) prices any distribution shift by distance.
+   (``drift_wasserstein1``) prices any distribution shift by distance;
+7. sequential + robustness + blocking + attribution (r9) — the mSPRT
+   always-valid p (``msprt_mean_test``, peeking-safe), the exact
+   content-addressed permutation test (``permutation_mean_test``,
+   assumption-free), the post-stratified ATE (``poststrat_ate``,
+   signup-month blocking beside CUPED), Holm's step-down re-adjustment
+   of the segment scan (``holm_adjust``, FWER beside FDR), and Markov
+   removal-effect attribution (``markov_attribution``) naming the
+   touch types that carry the conversions under test.
 
 Cohorts here are content-addressed hash splits of users — the same
 deterministic assignment a real platform uses.
@@ -44,6 +52,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from pyspark_playground_spark.operators import profiling as pf
+from pyspark_playground_spark.operators.funnel import markov_attribution
 from pyspark_playground_spark.operators.sampling import (
     hash_bucket_expr,
     sign_flip_test,
@@ -192,6 +201,79 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(
         f"guardrail: arm-vs-arm value W1 = "
         f"{(w1['w1_q6'] or 0) / 1e6:.4f} bins"
+    )
+
+    # 8. (r9) peeking-safe monitoring: the mSPRT always-valid p on
+    #    per-user spend — read it after EVERY batch and stop at the
+    #    first crossing without inflating false positives
+    sq = pf.msprt_mean_test(
+        users.select((F.col("x") + F.col("y")).alias("spend"), "arm_a"),
+        metric_column="spend", cohort_column="arm_a", tau=10.0,
+    ).collect()[0]
+    print(
+        f"sequential: mSPRT always-valid p = "
+        f"{(sq['p_q6'] or 10**6) / 1e6:.3f} "
+        f"({'stop' if sq['reject'] else 'keep collecting'})"
+    )
+
+    # 9. (r9) assumption-free cross-check: the exact content-addressed
+    #    permutation test on the same spend metric
+    pm = pf.permutation_mean_test(
+        users.select(
+            "user_id", (F.col("x") + F.col("y")).alias("spend"), "arm_a"
+        ),
+        unit_column="user_id", metric_column="spend",
+        cohort_column="arm_a", permutations=199,
+    ).collect()[0]
+    print(
+        f"permutation: p = {(pm['p_ppm'] or 10**6) / 1e6:.3f} "
+        f"({pm['n_extreme']}/{pm['n_perms']} reassignments as extreme)"
+    )
+
+    # 10. (r9) blocking: post-stratify the spend effect by each user's
+    #     signup month — the discrete-covariate cousin of CUPED
+    strat = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("st"),
+        F.coalesce(F.sum(dec), F.lit(0).cast("decimal(38,10)"))
+        .cast("double").alias("spend"),
+    ).withColumn("arm_a", hash_bucket_expr(["user_id"], 2) == 0)
+    ps = pf.poststrat_ate(
+        strat, stratum_column="st", cohort_column="arm_a",
+        metric_column="spend",
+    ).collect()[0]
+    print(
+        f"post-stratified ATE: {(ps['ate_q6'] or 0) / 1e6:+.3f} "
+        f"[{(ps['ci_lo_q6'] or 0) / 1e6:+.3f}, "
+        f"{(ps['ci_hi_q6'] or 0) / 1e6:+.3f}] "
+        f"over {ps['n_informative']} strata"
+    )
+
+    # 11. (r9) familywise control: re-adjust the segment scan with
+    #     Holm — compare the reject sets under FDR vs FWER
+    holm = pf.holm_adjust(
+        pf.fdr_bh_two_proportion(
+            e,
+            group_column="event_type",
+            cohort_column=hash_bucket_expr(["user_id"], 2) == 0,
+            success_column=F.col("value") > 100,
+        ).select("event_type", "p_q9"),
+        group_column="event_type",
+    ).collect()
+    holm_hits = [r["event_type"] for r in holm if r["reject_holm"]]
+    print(
+        f"Holm (FWER): {len(holm_hits)} of {len(hits)} FDR discoveries "
+        f"survive familywise control {holm_hits or ''}"
+    )
+
+    # 12. (r9) model-based attribution companion: which touch types
+    #     drive the conversions the test is moving? Removal effects
+    #     from the journey chain beside the uniform-Shapley split
+    mk = {r["channel"]: r for r in markov_attribution(e).collect()}
+    top = max(mk.values(), key=lambda r: r["removal_effect_q6"] or 0)
+    print(
+        f"attribution: removing '{top['channel']}' would cut conversion "
+        f"{(top['removal_effect_q6'] or 0) / 1e4:.1f}% "
+        f"(P(conv)={top['p_conv_q9'] / 1e9:.3f})"
     )
 
     print("PIPELINE OK")
