@@ -774,6 +774,10 @@ _NEW_THIS_ROUND = frozenset({
     "cox_purchasers_events", "platt_length_en_documents",
     "survival_power_events",
     "brier_decomposition_documents", "lexical_concentration_documents",
+    "permutation_spend_events", "breslow_day_orders",
+    "cumulative_incidence_user_exits", "qini_uplift_events",
+    "spiegelhalter_z_documents", "poststrat_ate_events",
+    "holm_value_rate_events",
 })
 
 
