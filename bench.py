@@ -78,6 +78,12 @@ HEADLINE = [
     "markov_attribution_events",
     "cox_purchasers_events",
     "windowed_msprt_events",
+    # r10 addition: the persisted-codes serve path (VERDICT r9 item 3)
+    # — same frozen model and output as ivf_pq_frozen_search_embeddings
+    # but serving from the cell-partitioned codes parquet written once
+    # by its warm-up run, so the line measures the serve latency with
+    # the per-call corpus re-encode (probe 94's one linear term) gone
+    "ivf_pq_precoded_search_embeddings",
 ]
 
 

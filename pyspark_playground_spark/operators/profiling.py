@@ -4212,9 +4212,14 @@ def hodges_lehmann_shift(
     Plan at 100 TB: one corpus groupBy to the value census; the cross
     join is bounded by the PRODUCT OF DISTINCT VALUE COUNTS (a fixed
     domain for length-like metrics — independent of corpus size), with
-    the smaller census broadcast; the median window runs over the
-    difference census. The census-cardinality² term is the documented
-    cost surface — for continuous metrics quantize coarser first.
+    the smaller census broadcast — CHOSEN BY MEASUREMENT, not
+    convention (ADVICE r9: the earlier unconditional ``broadcast(vb)``
+    could blow driver memory on a high-cardinality group B even when A
+    is small): one driver-coordinated 1-row aggregate over the
+    persisted census reads both cardinalities, then the smaller side
+    takes the hint. The median window runs over the difference census.
+    The census-cardinality² term is the documented cost surface — for
+    continuous metrics quantize coarser first.
 
     Output one row: (n_a, n_b, n_diff_values, hl_shift_q6).
     """
@@ -4233,16 +4238,26 @@ def hodges_lehmann_shift(
     cells = t.groupBy("__v").agg(
         F.sum(F.when(F.col("__ia"), 1).otherwise(0)).alias("__ca"),
         F.sum(F.when(F.col("__ia"), 0).otherwise(1)).alias("__cb"),
-    )
+    ).persist()
     va = cells.filter(F.col("__ca") > 0).select(
         F.col("__v").alias("__va"), F.col("__ca").alias("__na")
     )
     vb = cells.filter(F.col("__cb") > 0).select(
         F.col("__v").alias("__vb"), F.col("__cb").alias("__nb")
     )
+    # broadcast the MEASURED smaller census (ADVICE r9) — one 1-row
+    # aggregate over the persisted census, never a convention
+    sizes = cells.agg(
+        F.sum(F.when(F.col("__ca") > 0, 1).otherwise(0)).alias("ka"),
+        F.sum(F.when(F.col("__cb") > 0, 1).otherwise(0)).alias("kb"),
+    ).collect()[0]
+    if (sizes["ka"] or 0) < (sizes["kb"] or 0):
+        va = F.broadcast(va)
+    else:
+        vb = F.broadcast(vb)
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     diffs = (
-        va.crossJoin(F.broadcast(vb))
+        va.crossJoin(vb)
         .select(
             (F.col("__va") - F.col("__vb")).alias("__d"),
             (d38(F.col("__na")) * F.col("__nb")).alias("__w"),
@@ -5230,12 +5245,19 @@ def permutation_mean_test(
     """EXACT randomization test for a two-sample mean difference
     (Fisher 1935's permutation argument; Monte-Carlo form per Dwass
     1957 — public constructions), with the randomness made
-    CONTENT-ADDRESSED: permutation ``b`` reassigns unit ``u`` to an arm
-    by an md5 bit of ``(u, b)`` — the deterministic-sampling recipe —
-    so every engine and rerun scores the identical ``B`` reassignments
-    and the p-value is reproducible, not a seed lottery. The
-    assumption-free companion to the parametric z/t entries and the
-    mSPRT: valid under ANY metric distribution, at one fixed look.
+    CONTENT-ADDRESSED and MARGIN-PRESERVING: permutation ``b`` ranks
+    every unit by ``md5(u, b)`` (tie-broken by ``u``) and assigns the
+    top ``n_treat`` ranks to treatment — a true permutation of the
+    OBSERVED label multiset (exactly ``n_treat`` treated and
+    ``n_ctrl`` control in every reassignment), so the null
+    distribution is calibrated at ANY observed arm split, not just
+    50/50 (ADVICE r9: the earlier iid-Bernoulli-bit form was only
+    margin-preserving in expectation). Deterministic hash ranking
+    means every engine and rerun scores the identical ``B``
+    reassignments and the p-value is reproducible, not a seed
+    lottery. The assumption-free companion to the parametric z/t
+    entries and the mSPRT: valid under ANY metric distribution, at
+    one fixed look.
 
     Fully exact decision per permutation: ``|diff_b| ≥ |diff_obs|`` is
     evaluated by cross-multiplied integers —
@@ -5243,14 +5265,19 @@ def permutation_mean_test(
     (exact while Σ|y_q6|·units·arm-size products stay under 1e38 —
     states its envelope like drift_ks) — no float boundary anywhere;
     ``p = (1 + #extreme)/(B + 1)`` (the add-one rule that keeps the
-    Monte-Carlo p valid) as an exact ppm ratio. A permutation that
-    lands every unit in one arm counts EXTREME (conservative;
-    vanishing probability once units ≫ 30).
+    Monte-Carlo p valid) as an exact ppm ratio. (Margin preservation
+    makes ``n₁ = N₁`` per permutation, so the cross-factors cancel;
+    the general form is kept for safety. The empty-arm-counts-EXTREME
+    clause can now only fire when the OBSERVED split is degenerate,
+    which the output refuses anyway.)
 
     Plan at 100 TB: the caller passes ONE ROW PER UNIT (aggregate the
     event log first); the explode multiplies the UNIT census by B —
-    documented cost surface — into one map-side-combined groupBy(b);
-    everything after is B-bounded. No windows, no data-sized state.
+    documented cost surface — then ONE row_number window PARTITIONED
+    BY permutation id (B-way parallel rank of the unit census — the
+    only data-sized state, and it is partition-parallel, never a
+    partition-less window) feeds one map-side-combined groupBy(b);
+    everything after is B-bounded.
 
     Output one row: (n_treat, n_ctrl, diff_q6, n_perms, n_extreme,
     p_ppm).
@@ -5283,10 +5310,6 @@ def permutation_mean_test(
             F.sum(F.when(~F.col("__t"), d38(F.col("__y")))), F.lit(0)
         ).alias("__os0"),
     )
-    from pyspark_playground_spark.operators.sampling import (
-        hash_bucket_expr,
-    )
-
     b = int(permutations)
     if b < 1:
         raise ValueError(f"permutations must be >= 1: {b}")
@@ -5295,7 +5318,20 @@ def permutation_mean_test(
         "__y",
         F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__b"),
     ).withColumn(
-        "__pt", hash_bucket_expr([F.col("__u"), F.col("__b")], 2) == 0
+        "__h",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.col("__u").cast("string"),
+                F.col("__b").cast("string"),
+            )
+        ),
+    )
+    rank_w = Window.partitionBy("__b").orderBy("__h", "__u")
+    perm = (
+        perm.withColumn("__rn", F.row_number().over(rank_w))
+        .crossJoin(F.broadcast(obs.select("__on1")))
+        .withColumn("__pt", F.col("__rn") <= F.col("__on1"))
     )
     grp = perm.groupBy("__b").agg(
         F.sum(F.when(F.col("__pt"), 1).otherwise(0)).alias("__n1"),
@@ -5378,8 +5414,13 @@ def breslow_day_test(
     Plan: one conditional aggregate to the stratum census; a 1-row OR
     broadcast back onto it; one reduce. No windows.
 
-    Output one row: (n_strata, n_informative, or_mh_q6, bd_chi2_q6,
-    tarone_chi2_q6).
+    Output one row ALWAYS — an empty or fully-null-filtered input
+    yields the NULL-statistics refusal row (n_strata = 0), matching
+    :func:`brier_decomposition`'s contract (ADVICE r9): the final
+    reduce is a global aggregate anchored on the 1-row pooled-OR
+    frame, never a keyed groupBy that could vanish.
+
+    (n_strata, n_informative, or_mh_q6, bd_chi2_q6, tarone_chi2_q6).
     """
     st = (
         F.col(stratum_column)
@@ -5472,7 +5513,6 @@ def breslow_day_test(
         & (disc >= 0)
     )
     terms = j.select(
-        "__orq6",
         informative.alias("__ok"),
         F.when(
             informative,
@@ -5481,14 +5521,29 @@ def breslow_day_test(
         F.when(informative, q9(a - atil)).alias("__dev_q9"),
         F.when(informative, q9(vv)).alias("__v_q9"),
     )
-    red = terms.groupBy("__orq6").agg(
-        F.count(F.lit(1)).alias("__k"),
-        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("__ki"),
-        F.coalesce(F.sum(d38(F.col("__t_q6"))), F.lit(0)).alias("__sbd"),
-        F.coalesce(F.sum(d38(F.col("__dev_q9"))), F.lit(0)).alias(
-            "__sdev"
-        ),
-        F.coalesce(F.sum(d38(F.col("__v_q9"))), F.lit(0)).alias("__sv"),
+    # global (not keyed) reduce anchored on the always-1-row OR
+    # aggregate (ADVICE r9: a groupBy over an empty terms frame
+    # returned ZERO rows where the contract — like
+    # brier_decomposition's — promises one NULL-refusal row)
+    red = orq.crossJoin(
+        F.broadcast(
+            terms.groupBy().agg(
+                F.count(F.lit(1)).alias("__k"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__ok"), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("__ki"),
+                F.coalesce(F.sum(d38(F.col("__t_q6"))), F.lit(0)).alias(
+                    "__sbd"
+                ),
+                F.coalesce(F.sum(d38(F.col("__dev_q9"))), F.lit(0)).alias(
+                    "__sdev"
+                ),
+                F.coalesce(F.sum(d38(F.col("__v_q9"))), F.lit(0)).alias(
+                    "__sv"
+                ),
+            )
+        )
     )
     g.unpersist()
     bd = F.col("__sbd").cast("double") / F.lit(1e6)

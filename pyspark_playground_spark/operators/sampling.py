@@ -918,8 +918,12 @@ def importance_weight_ess(
     map-side-combined moment aggregate — two corpus passes, no
     windows, no data-sized state.
 
-    Output one row: (n_docs, ess_q6, ess_ratio_ppm).
+    Output one row: (n_docs, ess_q6, ess_ratio_ppm). NULL weights are
+    dropped BEFORE counting (ADVICE r9: counting them in ``n_docs``
+    while they vanish from the moment sums deflated ``ess_ratio_ppm``;
+    sibling operators filter NULLs first).
     """
+    weights = weights.filter(F.col(weight_column).isNotNull())
     m = weights.agg(
         F.max(F.col(weight_column)).alias("__m"),
     )

@@ -1981,10 +1981,40 @@ def _ivf_pq_search(
     local model (:func:`ivf_pq_topk`'s r7 search block, extracted): one
     shuffle-free literal-encode projection for cell + codes, broadcast
     probe join, broadcast ADC LUT, bounded top-k window — no
-    full-corpus crossJoin."""
+    full-corpus crossJoin. Composes the same three pieces the
+    persisted-codes serving path reuses: query side, encode, ADC
+    rank."""
+    probes, lut, lut_keys = _ivf_pq_query_side(
+        queries, coarse, books, id_column=id_column,
+        vector_column=vector_column, dim=dim, nprobe=nprobe,
+        residual=residual,
+    )
+    enc = _ivf_pq_encode_frame(
+        corpus, coarse, books, id_column=id_column,
+        vector_column=vector_column, residual=residual,
+    )
+    return _ivf_pq_rank_precoded(
+        enc, probes, lut, lut_keys, m=len(books), topk=topk
+    )
+
+
+def _ivf_pq_query_side(
+    queries: DataFrame,
+    coarse: list,
+    books: list,
+    *,
+    id_column: str,
+    vector_column: str,
+    dim: int,
+    nprobe: int,
+    residual: bool,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Probe assignment + ADC LUT for a query panel against a trained
+    local model — bounded panel × model tables. Returns
+    ``(probes, lut, lut_keys)``."""
     m = len(books)
     sub = dim // m
-    spark = corpus.sparkSession
+    spark = queries.sparkSession
     residual_expr = _coarse_residual_expr(coarse) if residual else None
 
     # --- query-side probe + ADC LUT (bounded panel × model tables) ---
@@ -2071,9 +2101,26 @@ def _ivf_pq_search(
             pd_fold(),
         )
         lut_keys = ["query_id", "subspace", "code"]
+    return probes, lut, lut_keys
 
-    # --- candidate-pruned search: ONE shuffle-free projection encodes
-    # cell + codes, the broadcast probe join prunes to nprobe cells ---
+
+def _ivf_pq_encode_frame(
+    corpus: DataFrame,
+    coarse: list,
+    books: list,
+    *,
+    id_column: str,
+    vector_column: str,
+    residual: bool,
+) -> DataFrame:
+    """ONE shuffle-free literal projection encoding every corpus row to
+    its coarse cell + m PQ codes — the offline encode-once step of the
+    persisted-codes serving path and the inline encode of
+    :func:`_ivf_pq_search`. Output: (neighbor_id, __cell, __c0..)."""
+    m = len(books)
+    dim = len(coarse[0][1])
+    sub = dim // m
+    residual_expr = _coarse_residual_expr(coarse) if residual else None
     xv = _as_double(F.col(vector_column))
     with_cell = corpus.select(
         F.col(id_column).alias("neighbor_id"),
@@ -2085,7 +2132,7 @@ def _ivf_pq_search(
         if residual
         else F.col("__xv")
     )
-    enc = with_cell.select(
+    return with_cell.select(
         "neighbor_id",
         "__cell",
         *[
@@ -2095,6 +2142,22 @@ def _ivf_pq_search(
             for s in range(m)
         ],
     )
+
+
+def _ivf_pq_rank_precoded(
+    enc: DataFrame,
+    probes: DataFrame,
+    lut: DataFrame,
+    lut_keys: list[str],
+    *,
+    m: int,
+    topk: int,
+) -> DataFrame:
+    """ADC ranking over an ALREADY-ENCODED corpus frame
+    ``(neighbor_id, __cell, __c0..)``: broadcast probe join prunes to
+    nprobe cells, broadcast LUT join + value-sorted fold scores, one
+    bounded top-k window. No corpus vector is read — this is the
+    entire serve path once codes are persisted."""
     cand = enc.join(F.broadcast(probes), "__cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -2230,21 +2293,37 @@ def ivf_pq_search_with_model(
 
     Output: (query_id, neighbor_id, adist_q6, rank).
     """
+    coarse_list, books, dim = _collect_ivf_pq_model(
+        coarse, book, caller="ivf_pq_search_with_model"
+    )
+    return _ivf_pq_search(
+        corpus, queries, coarse_list, books, id_column=id_column,
+        vector_column=vector_column, dim=dim, nprobe=nprobe, topk=topk,
+        residual=residual,
+    )
+
+
+def _collect_ivf_pq_model(
+    coarse: DataFrame, book: DataFrame, *, caller: str
+) -> tuple[list, list, int]:
+    """Collect + validate the model frames :func:`ivf_pq_train` emits
+    (model-sized by design) into the sorted driver-side lists the
+    literal-expression search/encode plans compile from. Returns
+    ``(coarse_list, books, dim)``."""
     coarse_rows = coarse.select("cluster_id", "cvec").collect()
     if not coarse_rows:
-        raise ValueError("ivf_pq_search_with_model: empty coarse model")
+        raise ValueError(f"{caller}: empty coarse model")
     coarse_list = sorted(
         (int(r["cluster_id"]), list(r["cvec"])) for r in coarse_rows
     )
     dim = len(coarse_list[0][1])
     if any(len(vec) != dim for _, vec in coarse_list):
         raise ValueError(
-            "ivf_pq_search_with_model: coarse centroids have mixed "
-            "dimensions"
+            f"{caller}: coarse centroids have mixed dimensions"
         )
     book_rows = book.select("subspace", "cluster_id", "cvec").collect()
     if not book_rows:
-        raise ValueError("ivf_pq_search_with_model: empty codebook")
+        raise ValueError(f"{caller}: empty codebook")
     by_sub: dict[int, list] = {}
     for r in book_rows:
         by_sub.setdefault(int(r["subspace"]), []).append(
@@ -2253,8 +2332,7 @@ def ivf_pq_search_with_model(
     subspaces = sorted(by_sub)
     if subspaces != list(range(len(subspaces))):
         raise ValueError(
-            f"ivf_pq_search_with_model: subspaces {subspaces} are not "
-            f"contiguous 0..m-1"
+            f"{caller}: subspaces {subspaces} are not contiguous 0..m-1"
         )
     m = len(subspaces)
     sub = len(by_sub[0][0][1])
@@ -2262,15 +2340,109 @@ def ivf_pq_search_with_model(
         len(vec) != sub for s in subspaces for _, vec in by_sub[s]
     ) or m * sub != dim:
         raise ValueError(
-            f"ivf_pq_search_with_model: codebook subspace widths do not "
-            f"tile the coarse dimension {dim} ({m} subspaces, first "
-            f"width {sub})"
+            f"{caller}: codebook subspace widths do not tile the coarse "
+            f"dimension {dim} ({m} subspaces, first width {sub})"
         )
     books = [sorted(by_sub[s]) for s in subspaces]
-    return _ivf_pq_search(
-        corpus, queries, coarse_list, books, id_column=id_column,
-        vector_column=vector_column, dim=dim, nprobe=nprobe, topk=topk,
+    return coarse_list, books, dim
+
+
+def ivf_pq_encode_corpus(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    book: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """Encode the corpus ONCE under a frozen IVF×PQ model — the
+    persist-the-codes half that completes the production
+    train→freeze→ENCODE→search story (SCALE.md probe 94 named the
+    per-call corpus PQ-encode as the only linear term left in
+    :func:`ivf_pq_search_with_model`'s serve wall; production writes
+    these codes next to the vectors and never re-encodes). ONE
+    shuffle-free literal projection: coarse cell + m PQ codes per row,
+    ~m+1 ints replacing a dim-float vector (the classic PQ storage
+    win). Write the output bucketed/partitioned BY ``cell`` and the
+    probe join becomes partition pruning.
+
+    ``residual`` must match training (codes quantize ``x − c_cell(x)``
+    under IVFADC).
+
+    Output: (``id_column``, cell, code_0..code_{m-1}) — one row per
+    corpus vector, all ints.
+    """
+    coarse_list, books, _dim = _collect_ivf_pq_model(
+        coarse, book, caller="ivf_pq_encode_corpus"
+    )
+    enc = _ivf_pq_encode_frame(
+        corpus, coarse_list, books, id_column=id_column,
+        vector_column=vector_column, residual=residual,
+    )
+    return enc.select(
+        F.col("neighbor_id").alias(id_column),
+        F.col("__cell").alias("cell"),
+        *[
+            F.col(f"__c{s}").alias(f"code_{s}")
+            for s in range(len(books))
+        ],
+    )
+
+
+def ivf_pq_search_precoded(
+    codes: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    book: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    nprobe: int = 2,
+    topk: int = 10,
+    residual: bool = False,
+) -> DataFrame:
+    """IVF×PQ top-k served from PERSISTED CODES — the endgame serve
+    path: :func:`ivf_pq_search_with_model` froze the model but still
+    re-encoded the corpus per call (the one linear serve-time term,
+    SCALE.md probe 94); this operator takes the
+    (``id_column``, cell, code_0..code_{m-1}) frame
+    :func:`ivf_pq_encode_corpus` persisted and serves against THAT, so
+    the per-call plan touches no corpus vector at all: scan codes
+    (~m+1 ints/row), broadcast probe join (partition pruning when the
+    codes table is laid out by cell), broadcast ADC LUT join, bounded
+    top-k window. Identical output to the frozen search under the same
+    model (encoding is deterministic), which is the ship gate.
+
+    ``queries`` still carries real vectors (the panel is what gets
+    probed/LUT-ed); ``residual`` must match how the codes were
+    encoded.
+
+    Output: (query_id, neighbor_id, adist_q6, rank).
+    """
+    coarse_list, books, dim = _collect_ivf_pq_model(
+        coarse, book, caller="ivf_pq_search_precoded"
+    )
+    m = len(books)
+    need = [id_column, "cell"] + [f"code_{s}" for s in range(m)]
+    missing = [c for c in need if c not in codes.columns]
+    if missing:
+        raise ValueError(
+            f"ivf_pq_search_precoded: codes frame is missing {missing} "
+            f"(expected ivf_pq_encode_corpus's layout {need})"
+        )
+    enc = codes.select(
+        F.col(id_column).alias("neighbor_id"),
+        F.col("cell").alias("__cell"),
+        *[F.col(f"code_{s}").alias(f"__c{s}") for s in range(m)],
+    )
+    probes, lut, lut_keys = _ivf_pq_query_side(
+        queries, coarse_list, books, id_column=id_column,
+        vector_column=vector_column, dim=dim, nprobe=nprobe,
         residual=residual,
+    )
+    return _ivf_pq_rank_precoded(
+        enc, probes, lut, lut_keys, m=m, topk=topk
     )
 
 

@@ -604,6 +604,32 @@ def q5_local_supplier_volume(spark, sf_dir):
 _DRIVER_RECHECK = ()
 
 _DRIVER_CHECKED = frozenset({
+    # --- sampled green in r9 ---
+    "ahash_near_dup_documents", "ahash_signatures_documents",
+    "anova_price_priority_orders", "changepoint_hourly_events",
+    "cluster_validity_embeddings", "cochran_q_users",
+    "code_switch_documents", "concordance_tokens_documents",
+    "cuped_purchase_effect_events", "did_spend_events",
+    "encoding_quality_documents", "entity_resolution_part",
+    "expectations_documents", "fdr_bh_value_rate_events",
+    "fellegi_sunter_part", "forecast_backtest_events",
+    "friedman_event_values_users", "incremental_ahash_documents",
+    "ivf_pq_frozen_search_embeddings", "ivf_pq_recall_embeddings",
+    "ivf_pq_residual_recall_embeddings", "ivf_pq_residual_topk_embeddings",
+    "ivf_pq_topk_embeddings", "ivf_pq_train_model_embeddings",
+    "jackknife_ratio_ci_events", "jsd_drift_binned_event_values",
+    "kruskal_wallis_doc_lengths", "lsh_scurve_minhash",
+    "mantel_haenszel_orders", "mondrian_conformal_documents",
+    "multimodal_frame_plan_documents", "poisson_bootstrap_order_price",
+    "power_purchase_rate_events", "power_spend_events",
+    "pq_code_utilization_embeddings", "pq_incremental_encode_embeddings",
+    "pq_recall_embeddings", "ratio_metric_delta_ci_events",
+    "rbo_cosine_vs_l2_embeddings", "rolling_origin_cv_events",
+    "seasonal_naive_error_events", "shapley_attribution_events",
+    "sign_flip_tokens_documents", "t_closeness_orders",
+    "theil_sen_hourly_events", "trend_priority_status_orders",
+    "two_proportion_purchase_events", "wasserstein_drift_doc_lengths",
+    "windowed_coverage_events", "windowed_wasserstein_events",
     # --- sampled green in r8 ---
     "assortativity_documents", "autocorrelation_events",
     "bfs_distances_documents", "bm25_scores_documents",
@@ -763,21 +789,15 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
-#: Entries ADDED this round: they queue BEHIND the never-sampled r7/r8
+#: Entries ADDED this round (r10): they queue BEHIND the never-sampled
 #: tail in the exported order so the driver's ~50-entry sample closes
-#: the certification backlog first (VERDICT r8 item 1) — the new
-#: entries become the head of round 10's rotation.
+#: the certification backlog first (VERDICT r9 item 1). The r9
+#: additions (mSPRT, markov, cox, …) moved out of this set — they are
+#: now part of the 20-entry never-sampled "fresh" head together with
+#: ``jonckheere_price_band_orders`` and ``rmst_user_survival``.
 _NEW_THIS_ROUND = frozenset({
-    "msprt_spend_events", "windowed_msprt_events",
-    "markov_attribution_events", "kneser_ney_bigram_documents",
-    "hodges_lehmann_doc_lengths", "dsir_ess_documents",
-    "cox_purchasers_events", "platt_length_en_documents",
-    "survival_power_events",
-    "brier_decomposition_documents", "lexical_concentration_documents",
-    "permutation_spend_events", "breslow_day_orders",
-    "cumulative_incidence_user_exits", "qini_uplift_events",
-    "spiegelhalter_z_documents", "poststrat_ate_events",
-    "holm_value_rate_events",
+    "ivf_pq_encode_corpus_embeddings",
+    "ivf_pq_precoded_search_embeddings",
 })
 
 
@@ -11037,6 +11057,7 @@ def dsir_select_documents(spark, sf_dir):
     WITH w AS ({_DSIR_WEIGHTS}),
     lw AS (
       SELECT CAST(log_weight_s AS DECIMAL(28,9)) AS lw FROM w
+      WHERE log_weight_s IS NOT NULL
     ),
     m AS (SELECT max(lw) AS m FROM lw),
     e AS (
@@ -13263,22 +13284,26 @@ def qini_uplift_events(spark, sf_dir):
     ),
     perm AS (
       SELECT units.uu, units.y, g.b,
-             (CAST(CAST(('0x' || substr(md5(
-                CAST(units.uu AS VARCHAR) || ',' || CAST(g.b AS VARCHAR)),
-                1, 8)) AS BIGINT) % 2 AS INT) = 0) AS pt
+             md5(CAST(units.uu AS VARCHAR) || ','
+                 || CAST(g.b AS VARCHAR)) AS h
       FROM units CROSS JOIN (
         SELECT unnest(range(0, 199)) AS b
       ) g
     ),
+    ranked AS (
+      SELECT uu, y, b,
+             row_number() OVER (PARTITION BY b ORDER BY h, uu) AS rn
+      FROM perm
+    ),
     grp AS (
       SELECT b,
-             sum(CASE WHEN pt THEN 1 ELSE 0 END) AS n1,
-             coalesce(sum(CASE WHEN pt THEN CAST(y AS HUGEINT) END), 0)
-               AS s1,
-             sum(CASE WHEN NOT pt THEN 1 ELSE 0 END) AS n0,
-             coalesce(sum(CASE WHEN NOT pt THEN CAST(y AS HUGEINT) END),
-                      0) AS s0
-      FROM perm GROUP BY b
+             sum(CASE WHEN rn <= ON1 THEN 1 ELSE 0 END) AS n1,
+             coalesce(sum(CASE WHEN rn <= ON1
+                          THEN CAST(y AS HUGEINT) END), 0) AS s1,
+             sum(CASE WHEN rn > ON1 THEN 1 ELSE 0 END) AS n0,
+             coalesce(sum(CASE WHEN rn > ON1
+                          THEN CAST(y AS HUGEINT) END), 0) AS s0
+      FROM ranked CROSS JOIN obs GROUP BY b
     ),
     cnt AS (
       SELECT sum(CASE WHEN n1 = 0 OR n0 = 0 THEN 1
@@ -13307,7 +13332,9 @@ def permutation_spend_events(spark, sf_dir):
     """Exact randomization test on per-user spend (operators/
     profiling.py permutation_mean_test; Fisher '35 / Dwass '57): the
     md5-bucketed arms' mean difference against 199 CONTENT-ADDRESSED
-    reassignments (md5 bit of (user, b) — reproducible on any engine,
+    MARGIN-PRESERVING reassignments (rank users by md5(user, b), top
+    n_treat ranks → treatment — a true permutation of the observed
+    labels, calibrated at any arm split; reproducible on any engine,
     no seed lottery), each permutation decided by exact
     cross-multiplied DECIMAL integers, p = (1+extreme)/200 as an exact
     ppm ratio. The assumption-free companion to the z/mSPRT spend
@@ -14623,6 +14650,23 @@ def _ivf_pq_oracle(
         f" FROM cent_{s}_{iterations}"
         for s in range(m)
     )
+    if mode == "codes":
+        # emit the ENCODED CORPUS itself — coarse cell + the m PQ codes
+        # per vector (ivf_pq_encode_corpus's output, melted long): the
+        # persisted artifact the precoded serve path scans instead of
+        # re-encoding. Assignments are integer argmins over
+        # bit-identical training folds, so they compare exactly.
+        parts.append(
+            f"""
+    , codes AS ({codes_union})
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster_id AS INT) AS cell,
+           CAST(co.subspace AS INT) AS subspace,
+           CAST(co.code AS INT) AS code
+    FROM ac{cf} a JOIN codes co USING (vec_id)
+    """
+        )
+        return "".join(parts)
     if mode == "book":
         # emit the trained model itself, quantized: the coarse centroids
         # as subspace -1 plus the m PQ codebooks, one row per (centroid,
@@ -14948,6 +14992,92 @@ def ivf_pq_frozen_search_embeddings(spark, sf_dir):
     coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
     return sim.ivf_pq_search_with_model(
         emb, emb.filter(F.col("vec_id") < 10), coarse, book,
+        nprobe=2, topk=10,
+    )
+
+
+@query(
+    "ivf_pq_encode_corpus_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="codes"),
+)
+def ivf_pq_encode_corpus_embeddings(spark, sf_dir):
+    """The ENCODE-ONCE step of the vector-search split
+    (similarity.ivf_pq_encode_corpus): every corpus vector collapsed to
+    its coarse cell + 4 PQ codes under the frozen model — the artifact
+    production persists next to the vectors so the serve path
+    (ivf_pq_precoded_search_embeddings) never re-encodes (SCALE.md
+    probe 94 named the per-call re-encode as the one linear serve-time
+    term). One shuffle-free literal projection; emitted long
+    (vec_id, cell, subspace, code) for the oracle, whose CTE replay
+    joins the same integer argmin assignments."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
+    codes = sim.ivf_pq_encode_corpus(emb, coarse, book)
+    return codes.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("subspace"),
+                        F.col(f"code_{s}").alias("code"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("__e"),
+    ).select("vec_id", "cell", "__e.subspace", "__e.code")
+
+
+def _precoded_ivf_pq_codes(spark, sf_dir):
+    """Write-once/read-forever PQ codes for the precoded serve entry:
+    the encoded corpus is PERSISTED as parquet PARTITIONED BY cell
+    (under the repo's spark-warehouse), so every subsequent search
+    scans ~5 ints per vector and the broadcast probe join can prune
+    cell partitions dynamically. Encoding is deterministic (frozen
+    model, integer argmins), so a cached file is bit-identical to a
+    fresh encode; delete the directory to force re-encoding."""
+    import os
+
+    base = os.path.basename(str(sf_dir).rstrip("/")) or "sf"
+    path = os.path.join(
+        "/root/repo/spark-warehouse", "precoded_ivf_pq_m4k16", base
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        emb = load(spark, sf_dir, "embeddings")
+        coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
+        sim.ivf_pq_encode_corpus(emb, coarse, book).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "ivf_pq_precoded_search_embeddings",
+    _ivf_pq_oracle(dim=64, coarse_k=8, coarse_iterations=1, nprobe=2,
+                   m=4, k=16, iterations=1, topk=10, panel=10,
+                   mode="topk"),
+)
+def ivf_pq_precoded_search_embeddings(spark, sf_dir):
+    """The PERSISTED-CODES serve path (similarity.
+    ivf_pq_search_precoded): IVF×PQ top-10 where the per-call plan
+    reads the cell-partitioned codes parquet written once by
+    _precoded_ivf_pq_codes — no corpus vector is touched and no encode
+    stage exists at serve time (the production fix probe 94 called
+    for: encode-once, search-forever). Probe join + ADC LUT are
+    broadcast against the same frozen model as
+    ivf_pq_frozen_search_embeddings, and the output is identical to it
+    (deterministic encode), so the oracle is the same CTE replay —
+    that identity IS the ship gate for swapping the serve path."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
+    codes = _precoded_ivf_pq_codes(spark, sf_dir)
+    return sim.ivf_pq_search_precoded(
+        codes, emb.filter(F.col("vec_id") < 10), coarse, book,
         nprobe=2, topk=10,
     )
 

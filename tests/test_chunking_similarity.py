@@ -557,6 +557,59 @@ def test_ivf_pq_search_with_model_validates_model(spark):
         sim.ivf_pq_search_with_model(corpus, panel, coarse, halved)
 
 
+def test_ivf_pq_precoded_serve_matches_frozen(spark, tmp_path):
+    """The persisted-codes serve path is lossless end to end:
+    encode_corpus under the frozen model, round-trip the codes through
+    cell-partitioned parquet, and search_precoded over the read-back
+    frame produces EXACTLY ivf_pq_search_with_model's output — for both
+    the raw-vector and IVFADC-residual encodings. Also: the codes frame
+    is one int row per vector, and a codes frame missing a code column
+    refuses."""
+    import itertools
+
+    pts = list(itertools.product([0.0, 1.0, 2.0], repeat=2))
+    corpus = spark.createDataFrame(
+        [(i, [a, b, a + b, a - b]) for i, (a, b) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    panel = corpus.filter("vec_id < 3")
+    kw = dict(dim=4, coarse_k=2, coarse_iterations=1, m=2, k=4,
+              iterations=1)
+    for residual in (False, True):
+        coarse, book = sim.ivf_pq_train(corpus, residual=residual, **kw)
+        frozen = sorted(
+            map(
+                tuple,
+                sim.ivf_pq_search_with_model(
+                    corpus, panel, coarse, book, nprobe=1, topk=5,
+                    residual=residual,
+                ).collect(),
+            )
+        )
+        codes = sim.ivf_pq_encode_corpus(
+            corpus, coarse, book, residual=residual
+        )
+        assert codes.columns == ["vec_id", "cell", "code_0", "code_1"]
+        assert codes.count() == corpus.count()
+        path = str(tmp_path / f"codes_{int(residual)}")
+        codes.write.partitionBy("cell").parquet(path)
+        precoded = sorted(
+            map(
+                tuple,
+                sim.ivf_pq_search_precoded(
+                    spark.read.parquet(path), panel, coarse, book,
+                    nprobe=1, topk=5, residual=residual,
+                ).collect(),
+            )
+        )
+        assert precoded == frozen and len(frozen) > 0
+
+    coarse, book = sim.ivf_pq_train(corpus, **kw)
+    bad = sim.ivf_pq_encode_corpus(corpus, coarse, book).drop("code_1")
+    with pytest.raises(ValueError, match="missing.*code_1"):
+        sim.ivf_pq_search_precoded(bad, panel, coarse, book)
+
+
 def test_rbo_report_identical_disjoint_and_model(spark):
     """Identical top-k lists -> normalized RBO of 1e9 (up to per-term
     quantization); disjoint lists -> 0; a hand case matches the pure

@@ -2435,22 +2435,17 @@ def test_brier_decomposition_identity_and_mirror(spark):
 
 
 def test_permutation_mean_test_exact(spark):
-    """A python mirror of the content-addressed permutations pins
-    n_extreme and p exactly; a strong effect yields the minimum
-    possible p = 1/(B+1); identical groups yield a large p; the
-    observed assignment scored as its own permutation (b with the same
-    split) is always counted extreme, so p >= 1/(B+1); one empty arm
+    """A python mirror of the content-addressed margin-preserving
+    permutations (rank by md5(u,b), top n_treat → treatment) pins
+    n_extreme and p exactly; identical groups yield p = 1; permuted
+    arm sizes equal the OBSERVED arm sizes even on a heavily
+    unbalanced split (the ADVICE r9 calibration fix); one empty arm
     refuses."""
     import hashlib
-    import math
 
     from pyspark_playground_spark.operators.profiling import (
         permutation_mean_test,
     )
-
-    def bit(u, b):
-        h = hashlib.md5(f"{u},{b}".encode()).hexdigest()[:8]
-        return int(h, 16) % 2 == 0
 
     def mirror(units, B=199):
         N1 = sum(1 for _, _, t in units if t)
@@ -2459,12 +2454,18 @@ def test_permutation_mean_test_exact(spark):
         S0 = sum(y for _, y, t in units if not t)
         c = 0
         for b in range(B):
-            n1 = s1 = n0 = s0 = 0
-            for u, y, _ in units:
-                if bit(u, b):
-                    n1 += 1; s1 += y
-                else:
-                    n0 += 1; s0 += y
+            ranked = sorted(
+                units,
+                key=lambda r: (
+                    hashlib.md5(f"{r[0]},{b}".encode()).hexdigest(),
+                    r[0],
+                ),
+            )
+            treated = ranked[:N1]
+            control = ranked[N1:]
+            n1, s1 = len(treated), sum(y for _, y, _ in treated)
+            n0, s0 = len(control), sum(y for _, y, _ in control)
+            assert (n1, n0) == (N1, N0)  # margin preservation
             if n1 == 0 or n0 == 0:
                 c += 1
             elif abs(s1 * n0 - s0 * n1) * (N1 * N0) >= \
@@ -2493,6 +2494,16 @@ def test_permutation_mean_test_exact(spark):
     flat = [(u, 5_000_000, u % 2 == 0) for u in range(30)]
     f = run(flat)
     assert f["p_ppm"] == 1_000_000 and f["diff_q6"] == 0
+
+    # heavily unbalanced split (5 treated / 35 control): the mirror's
+    # margin-preservation assertion exercises every permutation, and
+    # spark matches it exactly — the ADVICE r9 anti-conservative-p fix
+    skew = [(u, (u % 5) * 1_000_000 + (8_000_000 if u < 5 else 0),
+             u < 5) for u in range(40)]
+    rs = run(skew)
+    cs, ps = mirror(skew)
+    assert (rs["n_extreme"], rs["p_ppm"]) == (cs, ps)
+    assert (rs["n_treat"], rs["n_ctrl"]) == (5, 35)
 
     # one empty arm refuses
     solo = [(u, 1_000_000, True) for u in range(10)]
@@ -2569,6 +2580,17 @@ def test_breslow_day_homogeneity(spark):
     degen = [("s1", (20, 10, 20, 40)), ("s2", (5, 5, 0, 0))]
     dg = run(degen)
     assert dg["n_strata"] == 2 and dg["n_informative"] == 1
+
+    # empty input still yields ONE refusal row (ADVICE r9: the keyed
+    # groupBy used to return zero rows against the one-row contract)
+    empty_df = spark.createDataFrame([], "st string, c boolean, y boolean")
+    er = breslow_day_test(
+        empty_df, stratum_column="st", cohort_column="c",
+        success_column="y",
+    ).collect()
+    assert len(er) == 1
+    assert er[0]["n_strata"] == 0 and er[0]["n_informative"] == 0
+    assert er[0]["bd_chi2_q6"] is None and er[0]["or_mh_q6"] is None
 
 
 def test_qini_uplift_deciles_hand_computed(spark):

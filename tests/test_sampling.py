@@ -473,5 +473,16 @@ def test_importance_weight_ess_mirror(spark):
     assert r["ess_q6"] == math.floor(ess * 1e6 + 0.5)
     assert r["ess_ratio_ppm"] == math.floor(ess / len(mixed) * 1e6 + 0.5)
 
+    # NULL weights drop from BOTH n_docs and the moments (ADVICE r9:
+    # counting them deflated ess_ratio_ppm) — result identical to the
+    # same fixture with the NULL rows absent
+    withnull = run([0.5] * 8 + [None, None])
+    assert withnull["n_docs"] == 8
+    assert withnull["ess_q6"] == 8_000_000
+    assert withnull["ess_ratio_ppm"] == 1_000_000
+
     empty = run([])
     assert empty["n_docs"] == 0 and empty["ess_q6"] is None
+
+    allnull = run([None, None])
+    assert allnull["n_docs"] == 0 and allnull["ess_q6"] is None
