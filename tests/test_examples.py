@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         "examples.experimentation_pipeline",
         "examples.temporal_validation_pipeline",
         "examples.vault_to_corpus_pipeline",
+        "examples.incremental_ingest_pipeline",
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):
