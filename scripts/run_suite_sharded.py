@@ -27,6 +27,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    # default 4 shards: measured on the 32-CPU test host, 7 shards ran
+    # SLOWER than 4 (587 s vs 551 s on identical code) — the suite is
+    # bounded by per-action fixed latency inside each Spark driver, not
+    # by CPU, so extra concurrent JVMs stretch every shard. 4 shards x
+    # 4 cores is the sweet spot; pass an explicit count to override.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     files = glob.glob(os.path.join(REPO, "tests", "test_*.py"))
 

@@ -172,7 +172,9 @@ def test_resolve_entities_clusters_and_survivorship(spark):
     assert {r: out[r]["entity_id"] for r in out} == {
         1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5
     }
-    assert [r for r in out if out[r]["is_canonical"]] == [1, 4, 5]
+    # sorted: collect() order follows partition arrival, which varies
+    # with shard parallelism (flaked once in the 4-shard suite run)
+    assert sorted(r for r in out if out[r]["is_canonical"]) == [1, 4, 5]
     assert out[2]["entity_size"] == 3 and out[4]["entity_size"] == 1
     assert out[6]["entity_size"] == 2
 
