@@ -677,18 +677,12 @@ def simhash_signatures(
     return votes.select(F.col(id_column), packed.alias("simhash"))
 
 
-def _simhash_pairs_from_sigs(
-    sigs: DataFrame,
-    id_column: str,
-    *,
-    chunk_bits: int,
-    max_hamming: int,
+def _sig_chunks(
+    sigs: DataFrame, id_column: str, *, chunk_bits: int
 ) -> DataFrame:
-    """Chunk-bucket candidate generation + Hamming verify over a
-    ``(id, simhash)`` relation (pigeonhole: any pair within Hamming
-    distance 3 shares ≥1 of 4 chunks)."""
+    """Explode a ``(id, simhash)`` relation into its 4 chunk buckets."""
     chunk_mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
+    return sigs.select(
         id_column,
         "simhash",
         F.explode(
@@ -705,6 +699,35 @@ def _simhash_pairs_from_sigs(
             )
         ).alias("cc"),
     ).select(id_column, "simhash", "cc.chunk", "cc.val")
+
+
+def _simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    id_column: str,
+    *,
+    chunk_bits: int,
+    max_hamming: int,
+    active_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Chunk-bucket candidate generation + Hamming verify over a
+    ``(id, simhash)`` relation (pigeonhole: any pair within Hamming
+    distance 3 shares ≥1 of 4 chunks).
+
+    ``active_sigs`` (the incremental path): prune the corpus-sized
+    chunk relation to buckets containing at least one of these
+    signatures before the self-join — any pair touching one of them
+    shares a chunk bucket with it by construction, so the pruned join
+    emits the identical new-touching pair set at
+    O(batch × bucket neighborhood) instead of O(corpus) per batch. No
+    broadcast hint: the active set is batch-sized and AQE broadcasts
+    it when it fits.
+    """
+    chunks = _sig_chunks(sigs, id_column, chunk_bits=chunk_bits)
+    if active_sigs is not None:
+        active = _sig_chunks(
+            active_sigs, id_column, chunk_bits=chunk_bits
+        ).select("chunk", "val").distinct()
+        chunks = chunks.join(active, ["chunk", "val"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -770,8 +793,11 @@ def incremental_simhash_pairs(
     signatures themselves, so no text is ever revisited.
     """
     chunk_bits = 15 if portable else 16
-    sigs_new = simhash_signatures(
-        new_docs, id_column, text_column, portable=portable
+    sigs_new = _materialize(
+        simhash_signatures(
+            new_docs, id_column, text_column, portable=portable
+        ),
+        checkpoint_dir,
     )
     # re-ingest safety: a re-submitted id must not keep its stale
     # signature beside the fresh one (contradictory duplicate pairs);
@@ -782,8 +808,12 @@ def incremental_simhash_pairs(
         ).unionByName(sigs_new),
         checkpoint_dir,
     )
+    # active-bucket pruning: the candidate join touches only chunk
+    # buckets containing a new signature — identical new-touching
+    # output, O(batch) not O(corpus) per increment
     pairs = _simhash_pairs_from_sigs(
-        sigs, id_column, chunk_bits=chunk_bits, max_hamming=max_hamming
+        sigs, id_column, chunk_bits=chunk_bits, max_hamming=max_hamming,
+        active_sigs=sigs_new,
     )
     new_ids = new_docs.select(id_column)
     return (
@@ -825,10 +855,19 @@ def incremental_minhash_pairs(
     signatures (``existing_signatures``: ``(id, minhash)`` as persisted by
     ``minhash_signatures``) are batch-size-independent state; per batch
     the expensive shingle+hash pipeline runs over ``new_docs`` only, the
-    banded self-join runs over old∪new buckets, and known old-old pairs
-    are filtered out before the verify stage re-shingles the (few) docs
-    that appear in a surviving candidate pair. ``corpus`` supplies text
-    for verification (must contain both sides of every candidate).
+    banded join is PRUNED TO ACTIVE BUCKETS — only (band, bucket) cells
+    containing at least one new doc can produce a new-touching pair
+    (any surviving pair shares a bucket with its new member by
+    construction), so the per-batch candidate join costs
+    O(batch × bucket-collision neighborhood), NOT O(corpus) — and known
+    old-old pairs are filtered out before the verify stage re-shingles
+    the (few) docs that appear in a surviving candidate pair.
+    ``corpus`` supplies text for verification (must contain both sides
+    of every candidate). The active-bucket semi-join carries no
+    broadcast hint: the active set is batch-sized (≤ bands × |new|
+    rows) and AQE broadcasts it when it fits, which is the daily-batch
+    case; a backfill-sized batch degrades to a shuffle semi-join
+    instead of blowing driver memory.
     """
     banded_existing = existing_signatures.select(
         id_column,
@@ -836,9 +875,12 @@ def incremental_minhash_pairs(
             _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
         ).alias("bb"),
     ).select(id_column, "bb.band", "bb.bucket")
-    banded_new = minhash_band_buckets(
-        new_docs, id_column, text_column,
-        num_perms=num_perms, bands=bands, shingle_size=shingle_size,
+    banded_new = _materialize(
+        minhash_band_buckets(
+            new_docs, id_column, text_column,
+            num_perms=num_perms, bands=bands, shingle_size=shingle_size,
+        ),
+        checkpoint_dir,
     )
     # re-ingest safety: a re-submitted id keeps only its FRESH bands
     banded = _materialize(
@@ -847,6 +889,8 @@ def incremental_minhash_pairs(
         ).unionByName(banded_new),
         checkpoint_dir,
     )
+    active = banded_new.select("band", "bucket").distinct()
+    banded = banded.join(active, ["band", "bucket"], "left_semi")
     new_ids = new_docs.select(id_column)
     cands = _materialize(
         _pairs_from_banded(banded, id_column)

@@ -445,8 +445,11 @@ def incremental_ahash_pairs(
         _simhash_pairs_from_sigs,
     )
 
-    sigs_new = ahash_signatures(
-        new_media, id_column, content_column=content_column, bits=60
+    sigs_new = _materialize(
+        ahash_signatures(
+            new_media, id_column, content_column=content_column, bits=60
+        ),
+        checkpoint_dir,
     )
     # re-ingest safety: an id appearing in BOTH sides would otherwise
     # carry two signatures (one stale) and emit contradictory pairs —
@@ -457,8 +460,12 @@ def incremental_ahash_pairs(
         ).unionByName(sigs_new),
         checkpoint_dir,
     )
+    # active-bucket pruning (see _simhash_pairs_from_sigs): the
+    # candidate join touches only chunk buckets containing a new
+    # signature — identical new-touching output, O(batch) per increment
     pairs = _simhash_pairs_from_sigs(
-        sigs, id_column, chunk_bits=15, max_hamming=max_hamming
+        sigs, id_column, chunk_bits=15, max_hamming=max_hamming,
+        active_sigs=sigs_new,
     )
     new_ids = new_media.select(id_column)
     return (

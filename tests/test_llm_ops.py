@@ -558,6 +558,24 @@ def test_incremental_simhash_matches_full_run(docs):
     assert inc == full and (1, 2, 0) in inc
 
 
+def test_incremental_paths_prune_to_active_buckets(docs):
+    # plan guard for the r10 scale fix: the incremental candidate joins
+    # must semi-join the corpus-sized banded/chunk relation down to
+    # buckets containing a NEW item before the self-join (O(batch) per
+    # increment, not O(corpus)) — a LeftSemi on the bucket keys in both
+    # plans
+    old = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    mh_plan = dd.incremental_minhash_pairs(
+        docs, dd.minhash_signatures(old), new, threshold=0.3, bands=32,
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in mh_plan
+    sh_plan = dd.incremental_simhash_pairs(
+        dd.simhash_signatures(old), new, max_hamming=10,
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in sh_plan
+
+
 # ---------------------------------------------------------------------------
 # span_duplication_stats (stride-1 ExactSubstr signal)
 # ---------------------------------------------------------------------------
