@@ -295,6 +295,30 @@ def minhash_band_buckets(
     )
 
 
+def minhash_banded_store(
+    signatures: DataFrame,
+    id_column: str = "doc_id",
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Explode a persisted ``(id, minhash)`` signature store into its
+    persistable BANDED form ``(id, band, bucket)`` — the state layout
+    that makes daily increments cheapest: the band-bucket xxhash64 of
+    every stored signature is computed ONCE here (write the output next
+    to the signatures), and :func:`incremental_minhash_pairs` with
+    ``existing_banded=`` then scans 3 small ints per (doc, band)
+    instead of re-exploding and re-hashing the ``num_perms``-long
+    arrays on EVERY batch — the residual corpus-linear term SCALE.md
+    probe 121 measures for the signature-store path."""
+    return signatures.select(
+        id_column,
+        F.explode(
+            _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
+        ).alias("bb"),
+    ).select(id_column, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_column: str = "doc_id",
@@ -320,12 +344,9 @@ def lsh_candidate_pairs(
     # materialize once so the a/b sides of the self-join below don't each
     # recompute the shingle+hash pipeline
     signatures = _materialize(signatures, checkpoint_dir)
-    banded = signatures.select(
-        id_column,
-        F.explode(
-            _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
-        ).alias("bb"),
-    ).select(id_column, "bb.band", "bb.bucket")
+    banded = minhash_banded_store(
+        signatures, id_column, num_perms=num_perms, bands=bands
+    )
     return _pairs_from_banded(banded, id_column)
 
 
@@ -836,7 +857,7 @@ def incremental_simhash_pairs(
 
 def incremental_minhash_pairs(
     corpus: DataFrame,
-    existing_signatures: DataFrame,
+    existing_signatures: DataFrame | None,
     new_docs: DataFrame,
     id_column: str = "doc_id",
     text_column: str = "text",
@@ -846,6 +867,7 @@ def incremental_minhash_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
+    existing_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: sign ONLY the new batch, reuse stored
     signatures for the rest of the corpus, and emit only pairs that touch
@@ -868,13 +890,28 @@ def incremental_minhash_pairs(
     rows) and AQE broadcasts it when it fits, which is the daily-batch
     case; a backfill-sized batch degrades to a shuffle semi-join
     instead of blowing driver memory.
+
+    State layout: pass ``existing_banded`` (the ``(id, band, bucket)``
+    frame :func:`minhash_banded_store` persists — then
+    ``existing_signatures`` may be ``None``) to skip re-exploding and
+    re-hashing the stored signature arrays on every batch; the banded
+    store is the cheapest daily-increment state (3 small ints scanned
+    per (doc, band), the band hashes paid once at store-write time).
     """
-    banded_existing = existing_signatures.select(
-        id_column,
-        F.explode(
-            _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
-        ).alias("bb"),
-    ).select(id_column, "bb.band", "bb.bucket")
+    if existing_banded is not None:
+        banded_existing = existing_banded.select(
+            id_column, "band", "bucket"
+        )
+    elif existing_signatures is not None:
+        banded_existing = minhash_banded_store(
+            existing_signatures, id_column,
+            num_perms=num_perms, bands=bands,
+        )
+    else:
+        raise ValueError(
+            "incremental_minhash_pairs: pass existing_signatures or "
+            "existing_banded"
+        )
     banded_new = _materialize(
         minhash_band_buckets(
             new_docs, id_column, text_column,

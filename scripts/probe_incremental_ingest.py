@@ -72,6 +72,10 @@ def synthesize(spark, factor: int) -> str:
         dd.minhash_signatures(
             spark.read.parquet(f"{path}/corpus.parquet")
         ).write.mode("overwrite").parquet(f"{path}/sigs.parquet")
+        # the banded state layout: band hashes paid once at write time
+        dd.minhash_banded_store(
+            spark.read.parquet(f"{path}/sigs.parquet")
+        ).write.mode("overwrite").parquet(f"{path}/banded.parquet")
     return path
 
 
@@ -147,10 +151,15 @@ def main() -> None:
             new_batch
         )
         sigs = spark.read.parquet(f"{path}/sigs.parquet")
+        banded = spark.read.parquet(f"{path}/banded.parquet")
         n_corpus = sigs.count()
         variants = {
             "pruned": lambda: dd.incremental_minhash_pairs(
                 corpus, sigs, new_batch, threshold=0.5
+            ),
+            "banded_store": lambda: dd.incremental_minhash_pairs(
+                corpus, None, new_batch, threshold=0.5,
+                existing_banded=banded,
             ),
             "unpruned": lambda: unpruned_pairs(corpus, sigs, new_batch),
         }

@@ -558,6 +558,38 @@ def test_incremental_simhash_matches_full_run(docs):
     assert inc == full and (1, 2, 0) in inc
 
 
+def test_incremental_minhash_banded_store_equivalent(docs):
+    # the persisted-banded state layout (minhash_banded_store) must
+    # produce the exact pair set of the signature-store path, and
+    # refusing both/neither state inputs is pinned
+    import pytest as _pytest
+
+    # split the dup cluster across the batches (docs 2/3 near-dup doc 1)
+    # so old-new pairs genuinely exist — doc_id>3 as the batch would
+    # make both sides trivially empty
+    old = docs.filter(F.col("doc_id").isin(1, 4, 5))
+    new = docs.filter(F.col("doc_id").isin(2, 3))
+    sigs = dd.minhash_signatures(old)
+    via_sigs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, sigs, new, threshold=0.3, bands=32,
+        ).collect()
+    }
+    assert (1, 2) in via_sigs  # the old-new exact dup surfaced
+    banded = dd.minhash_banded_store(sigs, bands=32)
+    via_banded = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, None, new, threshold=0.3, bands=32,
+            existing_banded=banded,
+        ).collect()
+    }
+    assert via_banded == via_sigs and via_sigs
+    with _pytest.raises(ValueError, match="existing_signatures or"):
+        dd.incremental_minhash_pairs(docs, None, new)
+
+
 def test_incremental_paths_prune_to_active_buckets(docs):
     # plan guard for the r10 scale fix: the incremental candidate joins
     # must semi-join the corpus-sized banded/chunk relation down to
