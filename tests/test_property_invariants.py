@@ -1058,3 +1058,61 @@ def test_changepoint_matches_model(spark, data):
     assert r["split_x"] == -best[1]
     assert r["gain_q6"] == best[0]
     assert (r["mean_left_q6"], r["mean_right_q6"]) == (best[2], best[3])
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_incremental_minhash_pruned_equals_full_any_split(spark, data):
+    """The r10 active-bucket pruning must be output-invisible for ANY
+    corpus and ANY old/new split (not just the fixed fixtures): the
+    incremental result equals the full-corpus pair set restricted to
+    pairs touching a new doc, and the persisted-banded state layout
+    agrees with the signature-store layout."""
+    from pyspark_playground_spark.operators import dedup as dd
+
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    n = data.draw(st.integers(2, 7))
+    corpus = {
+        i: " ".join(
+            data.draw(
+                st.lists(st.sampled_from(words), min_size=3, max_size=8)
+            )
+        )
+        for i in range(n)
+    }
+    new_ids = set(
+        data.draw(
+            st.lists(
+                st.sampled_from(sorted(corpus)),
+                min_size=1, max_size=n, unique=True,
+            )
+        )
+    )
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id int, text string"
+    )
+    old = docs.filter(~F.col("doc_id").isin(*new_ids))
+    new = docs.filter(F.col("doc_id").isin(*new_ids))
+    kw = dict(threshold=0.3, bands=32)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(docs, **kw).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    sigs = dd.minhash_signatures(old)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, sigs, new, **kw
+        ).collect()
+    }
+    assert inc == full
+    banded = dd.minhash_banded_store(sigs, bands=32)
+    via_banded = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, None, new, existing_banded=banded, **kw
+        ).collect()
+    }
+    assert via_banded == full
