@@ -1060,7 +1060,7 @@ def test_changepoint_matches_model(spark, data):
     assert (r["mean_left_q6"], r["mean_right_q6"]) == (best[2], best[3])
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
 def test_incremental_minhash_pruned_equals_full_any_split(spark, data):
