@@ -84,6 +84,15 @@ HEADLINE = [
     # by its warm-up run, so the line measures the serve latency with
     # the per-call corpus re-encode (probe 94's one linear term) gone
     "ivf_pq_precoded_search_embeddings",
+    # r11 additions (VERDICT r10 items 3 + 6a): the skew-stress salted
+    # join — 90% of events collapsed onto one key, hot-key-only salting
+    # — so probe 120's mitigation cost is regress-visible every round;
+    # and the composed day-2 increment — batch N+1 through
+    # incremental_minhash_pairs(existing_banded=) against the persisted
+    # day-1 banded store (written once by the warm-up run), measuring
+    # exactly the recurring cost of a daily ingest against on-disk state
+    "skew_salted_join_events",
+    "incremental_day2_minhash_documents",
 ]
 
 

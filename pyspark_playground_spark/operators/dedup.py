@@ -310,13 +310,41 @@ def minhash_banded_store(
     ``existing_banded=`` then scans 3 small ints per (doc, band)
     instead of re-exploding and re-hashing the ``num_perms``-long
     arrays on EVERY batch — the residual corpus-linear term SCALE.md
-    probe 121 measures for the signature-store path."""
+    probe 121 measures for the signature-store path.
+
+    INVARIANT: the store is only comparable to batches banded with the
+    SAME ``(num_perms, bands)`` — bucket values are xxhash64 of
+    signature slices, so a mismatched layout makes old and new buckets
+    incomparable and silently drops every old↔new pair (recall loss
+    with no error). Persist :func:`minhash_banded_store_metadata` next
+    to the store and pass it back as ``existing_banded_meta=`` so
+    :func:`incremental_minhash_pairs` can refuse a mismatched store
+    instead of silently under-recalling (ADVICE r10).
+    """
     return signatures.select(
         id_column,
         F.explode(
             _band_structs(lambda i: F.col("minhash")[i], num_perms, bands)
         ).alias("bb"),
     ).select(id_column, "bb.band", "bb.bucket")
+
+
+def minhash_banded_store_metadata(
+    spark,
+    *,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """One-row companion frame ``(num_perms, bands)`` to persist NEXT TO
+    a :func:`minhash_banded_store` output. Bucket values are layout-
+    dependent (xxhash64 over ``num_perms // bands``-long signature
+    slices), so the store is self-describing only together with this
+    row; :func:`incremental_minhash_pairs` validates it against the
+    call's parameters and raises on mismatch rather than silently
+    dropping old↔new duplicate pairs."""
+    return spark.createDataFrame(
+        [(int(num_perms), int(bands))], "num_perms INT, bands INT"
+    )
 
 
 def lsh_candidate_pairs(
@@ -868,6 +896,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
     existing_banded: DataFrame | None = None,
+    existing_banded_meta: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: sign ONLY the new batch, reuse stored
     signatures for the rest of the corpus, and emit only pairs that touch
@@ -897,10 +926,63 @@ def incremental_minhash_pairs(
     re-hashing the stored signature arrays on every batch; the banded
     store is the cheapest daily-increment state (3 small ints scanned
     per (doc, band), the band hashes paid once at store-write time).
+
+    INVARIANT (ADVICE r10): a banded store is only comparable to the
+    current batch when it was built with the SAME ``(num_perms,
+    bands)`` — bucket values are xxhash64 over ``num_perms // bands``-
+    long signature slices, so a mismatched layout silently drops every
+    old↔new pair. Persist :func:`minhash_banded_store_metadata` next to
+    the store and pass it as ``existing_banded_meta=``: a one-row
+    driver-side check then REFUSES a mismatched store with
+    ``ValueError`` instead of under-recalling. Independently, a lazy
+    per-row guard raises at execution time if any stored ``band`` falls
+    outside ``[0, bands)`` (the detectable half of the mismatch — a
+    store built with MORE bands); a store built with FEWER bands is
+    structurally invisible per-row, which is why the metadata row is
+    the recommended contract.
     """
     if existing_banded is not None:
+        if existing_banded_meta is not None:
+            meta = existing_banded_meta.select(
+                "num_perms", "bands"
+            ).collect()
+            if len(meta) != 1:
+                raise ValueError(
+                    "incremental_minhash_pairs: existing_banded_meta "
+                    f"must be exactly one row, got {len(meta)}"
+                )
+            if (
+                int(meta[0]["num_perms"]) != int(num_perms)
+                or int(meta[0]["bands"]) != int(bands)
+            ):
+                raise ValueError(
+                    "incremental_minhash_pairs: banded store layout "
+                    f"(num_perms={meta[0]['num_perms']}, "
+                    f"bands={meta[0]['bands']}) does not match the call "
+                    f"(num_perms={num_perms}, bands={bands}); bucket "
+                    "values are incomparable across layouts — re-band "
+                    "the signature store"
+                )
         banded_existing = existing_banded.select(
-            id_column, "band", "bucket"
+            id_column,
+            F.when(
+                (F.col("band") < 0) | (F.col("band") >= bands),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "incremental_minhash_pairs: stored band "
+                        ),
+                        F.col("band").cast("string"),
+                        F.lit(
+                            f" outside [0, {bands}) — the banded store "
+                            "was built with a different bands= layout"
+                        ),
+                    )
+                ).cast("int"),
+            )
+            .otherwise(F.col("band"))
+            .alias("band"),
+            "bucket",
         )
     elif existing_signatures is not None:
         banded_existing = minhash_banded_store(

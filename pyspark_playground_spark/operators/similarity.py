@@ -2152,15 +2152,18 @@ def _ivf_pq_rank_precoded(
     *,
     m: int,
     topk: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC ranking over an ALREADY-ENCODED corpus frame
     ``(neighbor_id, __cell, __c0..)``: broadcast probe join prunes to
     nprobe cells, broadcast LUT join + value-sorted fold scores, one
     bounded top-k window. No corpus vector is read — this is the
-    entire serve path once codes are persisted."""
-    cand = enc.join(F.broadcast(probes), "__cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    entire serve path once codes are persisted. ``exclude_self`` drops
+    candidates whose ``neighbor_id`` equals the ``query_id`` (the
+    shared-id-space convention of every search entry here)."""
+    cand = enc.join(F.broadcast(probes), "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     codes_long = cand.select(
         "query_id",
         "neighbor_id",
@@ -2401,6 +2404,7 @@ def ivf_pq_search_precoded(
     nprobe: int = 2,
     topk: int = 10,
     residual: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF×PQ top-k served from PERSISTED CODES — the endgame serve
     path: :func:`ivf_pq_search_with_model` froze the model but still
@@ -2417,6 +2421,15 @@ def ivf_pq_search_precoded(
     ``queries`` still carries real vectors (the panel is what gets
     probed/LUT-ed); ``residual`` must match how the codes were
     encoded.
+
+    SELF-EXCLUSION CONTRACT (ADVICE r10): by default query ids are
+    assumed to SHARE the corpus id space, and a candidate whose
+    ``neighbor_id`` equals the ``query_id`` is treated as the query
+    finding itself and dropped — the convention of every search entry
+    in this module. For an EXTERNAL query panel whose ids merely
+    coincide with corpus ids, that would silently exclude a legitimate
+    nearest neighbor: pass ``exclude_self=False`` (or re-key the panel
+    into a disjoint id space).
 
     Output: (query_id, neighbor_id, adist_q6, rank).
     """
@@ -2442,7 +2455,8 @@ def ivf_pq_search_precoded(
         residual=residual,
     )
     return _ivf_pq_rank_precoded(
-        enc, probes, lut, lut_keys, m=m, topk=topk
+        enc, probes, lut, lut_keys, m=m, topk=topk,
+        exclude_self=exclude_self,
     )
 
 

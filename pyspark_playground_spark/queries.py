@@ -591,19 +591,81 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 #: Entries that already have a driver-gate correctness row (union of
-#: CORRECTNESS_r01..r04). The driver samples roughly the head of the
-#: registry each round, so ``queries()`` lists never-yet-sampled entries
-#: FIRST — rotating gate coverage onto the families (temporal, graph,
-#: packing, profiling, tokenizer stats, analytics breadth) that so far
-#: only have replica evidence. Registration order itself is unchanged;
-#: this is purely the exported iteration order.
+#: CORRECTNESS_r01..r10 — 375/375, certification complete as of r10).
+#: The driver samples roughly the head of the registry each round, so
+#: ``queries()`` leads with ``_DRIVER_RECHECK``: with no never-sampled
+#: backlog left, the gate's job shifts from "certify once" to "certify
+#: FRESH" (VERDICT r10 item 1) — the oldest driver greens are 8+ rounds
+#: stale while their operators kept evolving, so each round the stalest
+#: certifications get re-verified by the driver itself, not only by the
+#: local replica. Registration order itself is unchanged; this is
+#: purely the exported iteration order.
 #:
-#: No re-check pins this round: the r8 gate retired the last harness-era
-#: red (``normalize_quantize_embeddings`` green in CORRECTNESS_r08), so
-#: round 9 rotation is purely the 52 never-sampled entries first.
-_DRIVER_RECHECK = ()
+#: Round 11 re-check head = the 33 entries whose most-recent driver row
+#: is r1–r3 (computed from CORRECTNESS_r01..r10: 5×r1 + 3×r2 + 25×r3),
+#: plus the three entries whose code changed this round:
+#: ``jonckheere_price_band_orders`` (jt_x2/e_x2 widened to
+#: DECIMAL(38,0), exported as strings — schema changed),
+#: ``hodges_lehmann_doc_lengths`` (census persist released after the
+#: sizes probe), and ``ivf_pq_precoded_search_embeddings`` (cache key
+#: now data-fingerprinted, atomic-rename writes).
+_DRIVER_RECHECK = (
+    # changed this round — re-certify first
+    "jonckheere_price_band_orders",
+    "hodges_lehmann_doc_lengths",
+    "ivf_pq_precoded_search_embeddings",
+    # stalest driver greens: last certified r1
+    "deterministic_sample_documents",
+    "order_value_percentiles",
+    "train_val_test_split_documents",
+    "vault_integrity_orphan_check",
+    "winnowing_fingerprint_documents",
+    # last certified r2
+    "multimodal_audio_features_documents",
+    "q6_forecast_revenue",
+    "rollup_revenue_nation_segment",
+    # last certified r3
+    "all_parties_union",
+    "ann_cosine_topk_embeddings",
+    "ann_ivf_topk_embeddings",
+    "ann_lsh_topk_embeddings",
+    "centroid_confusion_embeddings",
+    "customers_without_orders",
+    "dv_active_code_ref_events",
+    "dv_curated_customer",
+    "dv_curated_orders_user_enrichment",
+    "dv_linked_customer_orders",
+    "dv_read_hub_sat_pit_events",
+    "embedding_near_dup_pairs",
+    "events_hourly_window",
+    "events_session_windows_30m",
+    "group_centroids_embeddings",
+    "lang_id_documents",
+    "multimodal_decode_documents",
+    "multimodal_meta_documents",
+    "multimodal_resize_documents",
+    "pii_scrub_documents",
+    "quality_score_documents",
+    "sequence_packing_documents",
+    "token_stats_documents",
+    "top10_orders_by_price",
+    "top_ngrams_documents",
+)
 
 _DRIVER_CHECKED = frozenset({
+    # --- sampled green in r10 (the 22 first-timers that closed the
+    # --- certification backlog; the other 28 r10 rows were repeats) ---
+    "breslow_day_orders", "brier_decomposition_documents",
+    "cox_purchasers_events", "cumulative_incidence_user_exits",
+    "dsir_ess_documents", "hodges_lehmann_doc_lengths",
+    "holm_value_rate_events", "ivf_pq_encode_corpus_embeddings",
+    "ivf_pq_precoded_search_embeddings", "jonckheere_price_band_orders",
+    "kneser_ney_bigram_documents", "lexical_concentration_documents",
+    "markov_attribution_events", "msprt_spend_events",
+    "permutation_spend_events", "platt_length_en_documents",
+    "poststrat_ate_events", "qini_uplift_events",
+    "rmst_user_survival", "spiegelhalter_z_documents",
+    "survival_power_events", "windowed_msprt_events",
     # --- sampled green in r9 ---
     "ahash_near_dup_documents", "ahash_signatures_documents",
     "anova_price_priority_orders", "changepoint_hourly_events",
@@ -789,15 +851,13 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
-#: Entries ADDED this round (r10): they queue BEHIND the never-sampled
-#: tail in the exported order so the driver's ~50-entry sample closes
-#: the certification backlog first (VERDICT r9 item 1). The r9
-#: additions (mSPRT, markov, cox, …) moved out of this set — they are
-#: now part of the 20-entry never-sampled "fresh" head together with
-#: ``jonckheere_price_band_orders`` and ``rmst_user_survival``.
+#: Entries ADDED this round (r11): they queue BEHIND any never-sampled
+#: tail (empty as of r10 — certification is complete) so the driver's
+#: ~50-entry sample re-certifies the stale head first. The r10
+#: additions (ivf_pq encode/precoded) moved into ``_DRIVER_CHECKED``.
 _NEW_THIS_ROUND = frozenset({
-    "ivf_pq_encode_corpus_embeddings",
-    "ivf_pq_precoded_search_embeddings",
+    "skew_salted_join_events",
+    "incremental_day2_minhash_documents",
 })
 
 
@@ -808,7 +868,12 @@ def _rotated(names) -> list[str]:
         n for n in names if n not in rest and n not in _NEW_THIS_ROUND
     ]
     new = [n for n in names if n in _NEW_THIS_ROUND and n not in rest]
-    seen = [n for n in names if n in _DRIVER_CHECKED]
+    # recheck names keep their historical _DRIVER_CHECKED membership but
+    # must appear exactly once in the export — they lead it
+    seen = [
+        n for n in names
+        if n in _DRIVER_CHECKED and n not in set(recheck)
+    ]
     return recheck + fresh + new + seen
 
 
@@ -4663,6 +4728,139 @@ def incremental_minhash_pairs_documents(spark, sf_dir):
     new = docs.where(F.col("doc_id") >= 400)
     sigs_old = dd.minhash_signatures(old)
     return dd.incremental_minhash_pairs(docs, sigs_old, new, threshold=0.8)
+
+
+def _persisted_minhash_day1_state(spark, sf_dir):
+    """Write-once/read-forever day-1 dedup state for the day-2 entry
+    below: the banded MinHash store (dedup.minhash_banded_store) of the
+    day-1 corpus slice (doc_id % 10 != 0) plus its one-row layout
+    metadata (dedup.minhash_banded_store_metadata), persisted as
+    parquet under the repo-root spark-warehouse — the production shape
+    where yesterday's signatures are on disk and today's increment
+    never re-shingles or re-bands them. Cache key is the documents
+    fingerprint (regeneration invalidates); writes go to a pid-suffixed
+    temp dir then atomically rename (concurrent shards race safely —
+    the banding is deterministic, so the loser discards an identical
+    copy). Returns (banded_df, meta_df) read back from parquet."""
+    import os
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.basename(str(sf_dir).rstrip("/")) or "sf"
+    key = f"{base}-{_table_fingerprint(sf_dir, 'documents')}"
+    path = os.path.join(
+        repo_root, "spark-warehouse", "minhash_banded_day1", key
+    )
+    if not (
+        os.path.exists(os.path.join(path, "banded", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
+    ):
+        day1 = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 != 0
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        dd.minhash_banded_store(
+            dd.minhash_signatures(day1)
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
+        dd.minhash_banded_store_metadata(spark).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "meta"))
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(path, "banded")),
+        spark.read.parquet(os.path.join(path, "meta")),
+    )
+
+
+@query(
+    "incremental_day2_minhash_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_shingles('documents')} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+          >= 0.8
+    """,
+)
+def incremental_day2_minhash_documents(spark, sf_dir):
+    """The composed DAY-2 increment (VERDICT r10 item 6a) as one
+    standing oracle-backed number: day-1 state (banded store + layout
+    metadata, dedup.minhash_banded_store) persisted ONCE to parquet by
+    _persisted_minhash_day1_state's warm-up; this entry then runs
+    batch N+1 (doc_id % 10 == 0, a 10% daily increment) through
+    dedup.incremental_minhash_pairs(existing_banded=,
+    existing_banded_meta=) — the metadata row validates the store
+    layout (ADVICE r10), the candidate join is pruned to buckets a new
+    doc touches, and no day-1 signature array is re-exploded or
+    re-hashed. The bench line measures exactly the recurring cost of a
+    daily ingest against on-disk state; the oracle is all-pairs Jaccard
+    restricted to new-touching pairs."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    banded, meta = _persisted_minhash_day1_state(spark, sf_dir)
+    return dd.incremental_minhash_pairs(
+        docs, None, new,
+        existing_banded=banded, existing_banded_meta=meta,
+        threshold=0.8,
+    )
+
+
+@query(
+    "skew_salted_join_events",
+    f"""
+    WITH e AS ({EVENTS_N}),
+    s AS (
+      SELECT CASE WHEN event_id % 10 != 0 THEN 1 ELSE user_id END
+               AS user_id
+      FROM e
+    ),
+    u AS (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM e)
+    SELECT cohort, count(*) AS n_events
+    FROM s JOIN u USING (user_id)
+    GROUP BY cohort
+    """,
+)
+def skew_salted_join_events(spark, sf_dir):
+    """The skew-stress measurement (scripts/probe_skew_stress.py, probe
+    120) as a standing bench line (VERDICT r10 item 3): events with 90%
+    of rows deterministically collapsed onto ONE hot user_id (event_id
+    % 10 != 0 → user 1 — the probe's pathology at sf scale, no
+    replication) joined to the user dim through
+    skew.hot_key_salted_join (buckets=32, exact hot-key detection) —
+    only the hot key salts, its dim rows replicate 32×, cold keys pay
+    zero fanout. Row-identical to the plain join, so the oracle is the
+    unsalted SQL; the bench wall tracks the salted plan's cost on a
+    stressed key distribution every round instead of only when the
+    probe reruns. Generalizes the reference's repartition/bucketing
+    discipline (RawVault.py:23-24,760-761) to the case where one key
+    owns half the shuffle."""
+    e = load_events(spark, sf_dir).select("event_id", "user_id")
+    skewed = e.select(
+        F.when(F.col("event_id") % 10 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("user_id")
+    )
+    u = (
+        e.select("user_id").distinct()
+        .withColumn("cohort", F.col("user_id") % 7)
+    )
+    joined = sk.hot_key_salted_join(
+        skewed, u, ["user_id"], buckets=32, threshold=1000
+    )
+    return joined.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
 
 
 @query(
@@ -15032,27 +15230,65 @@ def ivf_pq_encode_corpus_embeddings(spark, sf_dir):
     ).select("vec_id", "cell", "__e.subspace", "__e.code")
 
 
+def _table_fingerprint(sf_dir, table: str) -> str:
+    """Content fingerprint of one source parquet table (file names,
+    sizes, mtimes): regenerating the dataset in place changes the
+    fingerprint, so the persisted-state caches below (PQ codes, banded
+    minhash store) can never serve stale state (ADVICE r10 — an
+    sf-basename key alone could)."""
+    import hashlib
+    import os
+
+    p = os.path.join(str(sf_dir).rstrip("/"), f"{table}.parquet")
+    h = hashlib.sha1()
+    if os.path.isdir(p):
+        for root, _dirs, files in sorted(os.walk(p)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(p):
+        st = os.stat(p)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def _precoded_ivf_pq_codes(spark, sf_dir):
     """Write-once/read-forever PQ codes for the precoded serve entry:
     the encoded corpus is PERSISTED as parquet PARTITIONED BY cell
-    (under the repo's spark-warehouse), so every subsequent search
+    (under the repo-root spark-warehouse, located relative to this
+    module — no hardcoded checkout path), so every subsequent search
     scans ~5 ints per vector and the broadcast probe join can prune
     cell partitions dynamically. Encoding is deterministic (frozen
-    model, integer argmins), so a cached file is bit-identical to a
-    fresh encode; delete the directory to force re-encoding."""
+    model, integer argmins), so a cached directory is bit-identical to
+    a fresh encode. The cache key is ``<sf-basename>-<data
+    fingerprint>`` (file sizes + mtimes of the embeddings parquet), so
+    regenerating the dataset at the same path invalidates the cache
+    instead of silently serving stale codes; writes land in a
+    pid-suffixed temp dir then atomically rename into place, so
+    concurrent suite shards race safely (first rename wins, losers
+    discard their temp dir and read the winner's)."""
     import os
+    import shutil
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.basename(str(sf_dir).rstrip("/")) or "sf"
+    key = f"{base}-{_table_fingerprint(sf_dir, 'embeddings')}"
     path = os.path.join(
-        "/root/repo/spark-warehouse", "precoded_ivf_pq_m4k16", base
+        repo_root, "spark-warehouse", "precoded_ivf_pq_m4k16", key
     )
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load(spark, sf_dir, "embeddings")
         coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
+        tmp = f"{path}.tmp-{os.getpid()}"
         sim.ivf_pq_encode_corpus(emb, coarse, book).write.mode(
             "overwrite"
-        ).partitionBy("cell").parquet(path)
+        ).partitionBy("cell").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another shard won the rename; its contents are identical
+            # (deterministic encode) — drop ours and read the winner's
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 
@@ -18799,6 +19035,7 @@ def concordance_tokens_documents(spark, sf_dir):
     ),
     d AS (
       SELECT nn, k, n2,
+             (CAST(nn AS HUGEINT) * nn - n2) // 2 AS e2x,
              (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
               - CAST(n2 AS DOUBLE)) / 2.0 AS e2,
              (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
@@ -18809,8 +19046,8 @@ def concordance_tokens_documents(spark, sf_dir):
     )
     SELECT CAST(nn AS BIGINT) AS n_total,
            CAST(k AS BIGINT) AS n_groups,
-           CAST(jt2 AS BIGINT) AS jt_x2,
-           CAST(floor(e2) AS BIGINT) AS e_x2,
+           CAST(jt2 AS VARCHAR) AS jt_x2_s,
+           CAST(e2x AS VARCHAR) AS e_x2_s,
            CASE WHEN k >= 2 AND var > 0 THEN
              CAST(floor((CAST(jt2 AS DOUBLE) - e2)
                         / (2.0 * sqrt(var)) * 1e6 + 0.5) AS BIGINT)
@@ -18835,12 +19072,22 @@ def jonckheere_price_band_orders(spark, sf_dir):
         F.col("o_orderpriority").isNotNull()
         & F.col("o_totalprice").isNotNull()
     )
+    # jt_x2/e_x2 are DECIMAL(38,0) pair counts (exact past the BIGINT
+    # wrap at ~4.3e9 rows/cell); export them as strings — the repo's
+    # exact-big-integer oracle convention (DuckDB DECIMAL round-trips
+    # pandas as float64, which would hash-mismatch identical values).
     return jonckheere_terpstra(
         o,
         value_column="o_totalprice",
         group_score_column=F.substring("o_orderpriority", 1, 1).cast(
             "long"
         ),
+    ).select(
+        "n_total",
+        "n_groups",
+        F.col("jt_x2").cast("string").alias("jt_x2_s"),
+        F.col("e_x2").cast("string").alias("e_x2_s"),
+        "z_q6",
     )
 
 

@@ -610,6 +610,45 @@ def test_ivf_pq_precoded_serve_matches_frozen(spark, tmp_path):
         sim.ivf_pq_search_precoded(bad, panel, coarse, book)
 
 
+def test_ivf_pq_precoded_exclude_self_contract(spark):
+    """ADVICE r10: the precoded serve's self-exclusion is a documented
+    contract with an escape hatch — by default query ids sharing the
+    corpus id space never see themselves as neighbors; with
+    ``exclude_self=False`` (an EXTERNAL panel whose ids merely collide
+    with corpus ids) the colliding corpus row is a legitimate candidate
+    and the non-self rows are exactly the default output."""
+    import itertools
+
+    pts = list(itertools.product([0.0, 1.0, 2.0], repeat=2))
+    corpus = spark.createDataFrame(
+        [(i, [a, b, a + b, a - b]) for i, (a, b) in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    panel = corpus.filter("vec_id < 3")
+    coarse, book = sim.ivf_pq_train(
+        corpus, dim=4, coarse_k=2, coarse_iterations=1, m=2, k=4,
+        iterations=1,
+    )
+    codes = sim.ivf_pq_encode_corpus(corpus, coarse, book)
+    # topk=len(corpus): both runs keep EVERY candidate in the probed
+    # cells, so the only difference can be the self rows themselves
+    dflt = sim.ivf_pq_search_precoded(
+        codes, panel, coarse, book, nprobe=1, topk=len(pts)
+    ).collect()
+    incl = sim.ivf_pq_search_precoded(
+        codes, panel, coarse, book, nprobe=1, topk=len(pts),
+        exclude_self=False,
+    ).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in dflt)
+    self_rows = [r for r in incl if r["neighbor_id"] == r["query_id"]]
+    assert {r["query_id"] for r in self_rows} == {0, 1, 2}
+    assert {(r["query_id"], r["neighbor_id"]) for r in dflt} == {
+        (r["query_id"], r["neighbor_id"])
+        for r in incl
+        if r["neighbor_id"] != r["query_id"]
+    }
+
+
 def test_rbo_report_identical_disjoint_and_model(spark):
     """Identical top-k lists -> normalized RBO of 1e9 (up to per-term
     quantization); disjoint lists -> 0; a hand case matches the pure

@@ -590,6 +590,47 @@ def test_incremental_minhash_banded_store_equivalent(docs):
         dd.incremental_minhash_pairs(docs, None, new)
 
 
+def test_banded_store_metadata_contract(docs, spark):
+    # ADVICE r10: a banded store built with a different (num_perms,
+    # bands) layout is incomparable — the metadata companion row must
+    # let the increment REFUSE it instead of silently dropping pairs,
+    # and matching metadata must be output-invisible
+    old = docs.filter(F.col("doc_id").isin(1, 4, 5))
+    new = docs.filter(F.col("doc_id").isin(2, 3))
+    sigs = dd.minhash_signatures(old)
+    banded = dd.minhash_banded_store(sigs, bands=32)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, None, new, threshold=0.3, bands=32,
+            existing_banded=banded,
+        ).collect()
+    }
+    good = dd.minhash_banded_store_metadata(spark, num_perms=64, bands=32)
+    with_meta = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_minhash_pairs(
+            docs, None, new, threshold=0.3, bands=32,
+            existing_banded=banded, existing_banded_meta=good,
+        ).collect()
+    }
+    assert with_meta == base and (1, 2) in base
+    bad = dd.minhash_banded_store_metadata(spark, num_perms=64, bands=16)
+    with pytest.raises(ValueError, match="does not match the call"):
+        dd.incremental_minhash_pairs(
+            docs, None, new, threshold=0.3, bands=32,
+            existing_banded=banded, existing_banded_meta=bad,
+        )
+    # the lazy band-domain guard catches the detectable half even
+    # WITHOUT metadata: a store banded 0..31 fed to a bands=16 call
+    # fails loudly at execution instead of silently under-recalling
+    with pytest.raises(Exception, match="different bands"):
+        dd.incremental_minhash_pairs(
+            docs, None, new, threshold=0.3, bands=16,
+            existing_banded=banded,
+        ).collect()
+
+
 def test_incremental_paths_prune_to_active_buckets(docs):
     # plan guard for the r10 scale fix: the incremental candidate joins
     # must semi-join the corpus-sized banded/chunk relation down to
