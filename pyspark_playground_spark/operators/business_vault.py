@@ -141,6 +141,7 @@ def zip_historized_dataframes(
     on: Column,
     *,
     how: str = "inner",
+    bucket: str | int | float | None = None,
     conv: DataVaultConventions = CONV,
 ) -> DataFrame:
     """Temporal zip join: equi/theta join + validity-interval intersection.
@@ -152,8 +153,37 @@ def zip_historized_dataframes(
 
     ``left`` and ``right`` must be aliased ``l`` / ``r`` by the caller if
     ``on`` references them by alias; otherwise pass a plain column equality.
+
+    ``bucket`` (skew escape hatch — probe 122 measured the failure mode):
+    the plain plan joins on the entity key alone and evaluates the overlap
+    predicate per candidate PAIR, so one hot entity costs
+    |left versions| × |right versions| inside a single sort-merge-join
+    partition — at 10x events with 90% of rows on one key the probe's
+    zip wall goes from 0.66 s (uniform keys) to beyond its 8-minute
+    budget. Pass an interval body (``"1 hour"``) or seconds: each side
+    explodes its validity interval into the coarse time buckets it
+    overlaps, the bucket id joins as an extra equi-key (the hot entity
+    now parallelizes across its time range), and each surviving pair is
+    kept exactly once — in the bucket containing its intersection start
+    ``greatest(ld_l, ld_r)``, which both sides provably cover. Open
+    (null) ends clamp to the global maximum load date FOR BUCKETING ONLY
+    (one model-sized min/max aggregate at plan-build time; output
+    intervals keep their real nulls/sentinels), so the year-9999
+    sentinel never explodes into 10^8 buckets. Identical output to the
+    unbucketed plan for well-formed intervals (``ld <= led`` when both
+    set — what every loader here emits); per-row fan-out is
+    ``span/width + 1`` rows, so pick a width at or above the typical
+    version lifetime. Inner joins only (outer unmatched-row recovery
+    would need an anti-join add-back; the hot path is the inner zip).
     """
     ld, led = conv.load_date(), conv.load_end_date()
+    if bucket is not None:
+        if how != "inner":
+            raise ValueError(
+                f"bucketed zip_historized_dataframes supports inner joins "
+                f"only, got {how!r}"
+            )
+        return _zip_historized_bucketed(left, right, on, bucket=bucket, conv=conv)
     l = left.alias("l")
     r = (
         right.withColumnRenamed(ld, "__r_ld")
@@ -172,6 +202,93 @@ def zip_historized_dataframes(
     return joined.select(*keep_l, *keep_r, new_ld, new_led)
 
 
+def _zip_historized_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    *,
+    bucket: str | int | float,
+    conv: DataVaultConventions = CONV,
+) -> DataFrame:
+    """Bucketed zip plan (see ``zip_historized_dataframes`` docstring).
+
+    Exactly-once argument: a truly overlapping pair's intersection start
+    ``g = greatest(ld_l, ld_r)`` (coalesced to the global min when both
+    are open) satisfies ``ld_s <= g <= led_s`` for BOTH sides s (lower:
+    g is a max over the starts; upper: the overlap predicate gives
+    ``ld_other < led_s`` and well-formedness gives ``ld_s <= led_s``),
+    so bucket ``bin(g)`` is inside both sides' exploded ranges — the
+    pair meets there, and the ``bin(g) == bucket`` filter keeps that
+    single instance.
+    """
+    from pyspark_playground_spark.operators.temporal import (
+        _bin_of,
+        _interval_seconds,
+    )
+
+    ld, led = conv.load_date(), conv.load_end_date()
+    width = _interval_seconds(bucket)
+    ld_type = {f.name: f.dataType for f in left.schema.fields}[ld]
+
+    # global start-domain bounds (one model-sized aggregate): open ends
+    # clamp to hi for bucketing — no partner's intersection start can
+    # exceed the largest load date on either side
+    bounds = (
+        left.select(F.col(ld).alias("__t"))
+        .unionByName(right.select(F.col(ld).alias("__t")))
+        .agg(F.min("__t").alias("lo"), F.max("__t").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # no non-null start anywhere: one bucket covers all
+        lo = hi = 0
+        lo_lit = hi_lit = F.lit(0)
+    else:
+        lo_lit, hi_lit = F.lit(lo), F.lit(hi)
+
+    def _explode(df: DataFrame, bcol: str) -> DataFrame:
+        s = _bin_of(F.coalesce(F.col(ld), lo_lit), ld_type, width)
+        e = _bin_of(
+            F.least(F.coalesce(F.col(led), hi_lit), hi_lit), ld_type, width
+        )
+        return df.withColumn(
+            bcol, F.explode(F.sequence(F.least(s, e), F.greatest(s, e)))
+        )
+
+    l = _explode(left, "__zbucket").alias("l")
+    r = (
+        _explode(right, "__r_zbucket")
+        .withColumnRenamed(ld, "__r_ld")
+        .withColumnRenamed(led, "__r_led")
+        .alias("r")
+    )
+    overlap = (
+        (F.col("__r_led").isNull() | F.col(f"l.{ld}").isNull() | (F.col(f"l.{ld}") < F.col("__r_led")))
+        & (F.col(f"l.{led}").isNull() | F.col("__r_ld").isNull() | (F.col("__r_ld") < F.col(f"l.{led}")))
+    )
+    meet = F.col("__zbucket") == F.col("__r_zbucket")
+    first_shared = (
+        _bin_of(
+            F.coalesce(
+                F.greatest(F.col(f"l.{ld}"), F.col("__r_ld")), lo_lit
+            ),
+            ld_type,
+            width,
+        )
+        == F.col("__zbucket")
+    )
+    joined = l.join(r, on & meet & overlap).where(first_shared)
+    new_ld = F.greatest(F.col(f"l.{ld}"), F.col("__r_ld")).alias(ld)
+    new_led = F.least(F.col(f"l.{led}"), F.col("__r_led")).alias(led)
+    keep_l = [F.col(f"l.{c}") for c in left.columns if c not in (ld, led)]
+    keep_r = [
+        F.col(f"r.{c}")
+        for c in right.columns
+        if c not in (ld, led, "__r_ld", "__r_led")
+    ]
+    return joined.select(*keep_l, *keep_r, new_ld, new_led)
+
+
 def join_linked_dataframes(
     from_df: DataFrame,
     link: DataFrame,
@@ -180,6 +297,7 @@ def join_linked_dataframes(
     from_hkey_column: str,
     to_hkey_column: str,
     how: str = "inner",
+    bucket: str | int | float | None = None,
     conv: DataVaultConventions = CONV,
 ) -> DataFrame:
     """Link-mediated temporal join of two historized read views.
@@ -188,6 +306,10 @@ def join_linked_dataframes(
     (BusinessVault.py:251-341): from-view ⋈ link on from-hkey, then temporal
     zip with the to-view on to-hkey. Both views must carry ``$__HKEY``
     (use ``include_hkey=True`` on the readers).
+
+    ``bucket`` forwards to ``zip_historized_dataframes``'s skew escape
+    hatch (inner joins only) — use when one linked entity owns a
+    disproportionate share of the versions on either side (probe 122).
     """
     hkey = conv.hkey()
     link_sel = link.select(
@@ -203,6 +325,7 @@ def join_linked_dataframes(
         to_renamed,
         F.col("__to_hkey") == F.col("__to_side_hkey"),
         how=how,
+        bucket=bucket,
         conv=conv,
     )
     return zipped.drop("__to_hkey", "__to_side_hkey")

@@ -461,6 +461,64 @@ def dv_zip_user_activity(spark, sf_dir):
     return zipped.select("user_id", "click_id", "purchase_id", ld, led)
 
 
+@query(
+    "dv_zip_user_activity_bucketed",
+    f"""
+    WITH e AS ({EVENTS_N}), c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ld,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS c_led
+      FROM e WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS p_ld,
+             lead(ts) OVER (PARTITION BY p_user_id ORDER BY ts) AS p_led
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT user_id, click_id, purchase_id,
+           greatest(c_ld, p_ld) AS "$__LOAD_DATE",
+           least(c_led, p_led) AS "$__LOAD_END_DATE"
+    FROM c JOIN p ON user_id = p_user_id
+     AND (p_led IS NULL OR c_ld IS NULL OR c_ld < p_led)
+     AND (c_led IS NULL OR p_ld IS NULL OR p_ld < c_led)
+    """,
+)
+def dv_zip_user_activity_bucketed(spark, sf_dir):
+    """The temporal zip's SKEW ESCAPE HATCH (zip_historized_dataframes
+    bucket=, probe 122): each side's validity interval explodes into the
+    1-hour buckets it overlaps, the bucket id joins as an extra
+    equi-key, and each pair is kept exactly once (in the bucket holding
+    its intersection start) — so one hot entity parallelizes across its
+    time range instead of evaluating |clicks|x|purchases| pairs inside a
+    single sort-merge partition. Output-identical to dv_zip_user_activity
+    (same oracle SQL), which IS the ship gate for pointing the hatch at
+    a skewed key."""
+    events = load(spark, sf_dir, "events")
+    ld, led = C.load_date(), C.load_end_date()
+    w = Window.partitionBy("user_id").orderBy("ts")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias(ld),
+            F.lead("ts").over(w).alias(led),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias(ld),
+            F.lead("ts").over(Window.partitionBy("user_id").orderBy("ts")).alias(led),
+        )
+    )
+    zipped = bv.zip_historized_dataframes(
+        clicks, purchases, F.col("l.user_id") == F.col("r.p_user_id"),
+        bucket="1 hour",
+    )
+    return zipped.select("user_id", "click_id", "purchase_id", ld, led)
+
+
 # ---------------------------------------------------------------------------
 # analytics (bench headliners; exact-decimal aggregates cast to double)
 # ---------------------------------------------------------------------------
@@ -858,6 +916,7 @@ _DRIVER_CHECKED = frozenset({
 _NEW_THIS_ROUND = frozenset({
     "skew_salted_join_events",
     "incremental_day2_minhash_documents",
+    "dv_zip_user_activity_bucketed",
 })
 
 

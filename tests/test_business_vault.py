@@ -85,6 +85,60 @@ def test_zip_historized_interval_intersection(spark):
     assert rows[0]["lv"] == 10 and rows[0]["rv"] == 20
 
 
+def test_zip_bucketed_matches_unbucketed(spark):
+    # the bucket= skew escape hatch must be output-invisible: same pair
+    # set, same intersected intervals, across fine (multi-bucket
+    # fan-out) and coarse (single-bucket) widths — including open
+    # (null) ends and the year-9999 sentinel, which must clamp for
+    # bucketing instead of exploding into 10^8 buckets
+    from datetime import timedelta
+
+    lrows, rrows = [], []
+    for k in ("a", "b", "c"):
+        for i in range(6):
+            s = T0 + timedelta(hours=3 * i + (ord(k) % 3))
+            e = s + timedelta(hours=5)
+            lrows.append((k, 100 + i, s, e))
+        lrows.append((k, 199, T3, None))  # open end
+        for i in range(4):
+            s = T0 + timedelta(hours=4 * i + 1)
+            rrows.append((k, 200 + i, s, s + timedelta(hours=4)))
+        rrows.append((k, 299, T2, END_OF_TIME))  # sentinel end
+    left = spark.createDataFrame(
+        lrows, f"id string, lv int, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, f"rid string, rv int, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    on = F.col("l.id") == F.col("r.rid")
+    plain = {
+        (r["id"], r["lv"], r["rv"], r[LD], r[LED])
+        for r in bv.zip_historized_dataframes(left, right, on).collect()
+    }
+    assert plain  # the fixture genuinely produces overlaps
+    for width in ("1 hour", "1 day", 10**9):
+        bucketed = {
+            (r["id"], r["lv"], r["rv"], r[LD], r[LED])
+            for r in bv.zip_historized_dataframes(
+                left, right, on, bucket=width
+            ).collect()
+        }
+        assert bucketed == plain, f"width={width!r}"
+
+
+def test_zip_bucketed_rejects_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("k", 10, T0, T2)], f"id string, lv int, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    with pytest.raises(ValueError, match="inner joins only"):
+        bv.zip_historized_dataframes(
+            left, left, F.col("l.id") == F.col("r.id"),
+            how="left", bucket="1 hour",
+        )
+
+
 def test_join_linked_dataframes(spark):
     schema = (
         f"`{HK}` string, name string, `{LD}` timestamp, `{LED}` timestamp"
