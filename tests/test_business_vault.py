@@ -1,5 +1,8 @@
 from datetime import datetime
 
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pyspark_playground_spark.conventions import END_OF_TIME, DataVaultConventions
@@ -124,6 +127,60 @@ def test_zip_bucketed_matches_unbucketed(spark):
             ).collect()
         }
         assert bucketed == plain, f"width={width!r}"
+
+
+@st.composite
+def _interval_rows(draw):
+    """Random historized rows: a few keys, hour-grid starts, spans 0-9
+    hours, ~1/5 open (null) ends and ~1/10 sentinel ends — the shapes
+    zip's overlap predicate distinguishes."""
+    from datetime import timedelta
+
+    def side(tag):
+        n = draw(st.integers(min_value=1, max_value=8))
+        rows = []
+        for i in range(n):
+            k = draw(st.sampled_from(["a", "b"]))
+            s_off = draw(st.integers(min_value=0, max_value=40))
+            span = draw(st.integers(min_value=0, max_value=9))
+            kind = draw(st.integers(min_value=0, max_value=9))
+            s = T0 + timedelta(hours=s_off)
+            e = (
+                None if kind < 2
+                else END_OF_TIME if kind == 2
+                else s + timedelta(hours=span)
+            )
+            rows.append((k, tag * 1000 + i, s, e))
+        return rows
+
+    return side(1), side(2)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_interval_rows(), width_hours=st.sampled_from([1, 7, 50]))
+def test_zip_bucketed_matches_unbucketed_property(spark, data, width_hours):
+    # for ANY well-formed interval corpus and ANY bucket width, the
+    # bucketed plan's row set equals the plain plan's exactly
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        lrows, f"id string, lv int, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, f"rid string, rv int, `{LD}` timestamp, `{LED}` timestamp"
+    )
+    on = F.col("l.id") == F.col("r.rid")
+    plain = {
+        tuple(r) for r in bv.zip_historized_dataframes(left, right, on).collect()
+    }
+    bucketed = {
+        tuple(r)
+        for r in bv.zip_historized_dataframes(
+            left, right, on, bucket=width_hours * 3600
+        ).collect()
+    }
+    assert bucketed == plain
 
 
 def test_zip_bucketed_rejects_outer(spark):
