@@ -85,7 +85,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     emb_d0, emb_d1 = emb.filter(e_day0), emb.filter(~e_day0)
 
     # ---- day 0: build + persist the state artifacts ----
-    dd.minhash_signatures(docs_d0).write.parquet(f"{state}/minhash")
+    sigs_d0 = dd.minhash_signatures(docs_d0)
+    sigs_d0.write.parquet(f"{state}/minhash")
+    # the banded layout + its layout metadata (r11 contract: the store
+    # is only comparable under the same (num_perms, bands); the
+    # metadata row lets day 1 REFUSE a mismatched store instead of
+    # silently under-recalling)
+    dd.minhash_banded_store(sigs_d0).write.parquet(f"{state}/banded")
+    dd.minhash_banded_store_metadata(spark).write.parquet(
+        f"{state}/banded_meta"
+    )
     mm.ahash_signatures(media_d0, "doc_id").write.parquet(
         f"{state}/ahash"
     )
@@ -102,7 +111,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # ---- day 1: increment only ----
     mh_state = spark.read.parquet(f"{state}/minhash")
     text_pairs = dd.incremental_minhash_pairs(
-        docs, mh_state, docs_d1, threshold=0.5
+        docs, None, docs_d1, threshold=0.5,
+        existing_banded=spark.read.parquet(f"{state}/banded"),
+        existing_banded_meta=spark.read.parquet(f"{state}/banded_meta"),
     )
     new_ids = {r["doc_id"] for r in docs_d1.select("doc_id").collect()}
     tp = text_pairs.collect()
