@@ -27,12 +27,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    # default 4 shards: measured on the 32-CPU test host, 7 shards ran
-    # SLOWER than 4 (587 s vs 551 s on identical code) — the suite is
-    # bounded by per-action fixed latency inside each Spark driver, not
-    # by CPU, so extra concurrent JVMs stretch every shard. 4 shards x
-    # 4 cores is the sweet spot; pass an explicit count to override.
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    # default 5 shards: re-measured on the 32-CPU test host after the
+    # r11 suite growth (572 tests) — identical code, idle box:
+    #   4 shards x 4 cores: 519.8 s      5 shards x 4 cores: 473.1 s
+    #   4 shards x 8 cores: 641.3 s      7 shards (r10):   587 vs 551 s
+    # The suite is bounded by per-action fixed latency inside each Spark
+    # driver, not CPU: MORE CORES per session are strictly worse (tiny
+    # partitions, more task-scheduling overhead per action), and the
+    # shard-count curve is U-shaped — 5 JVMs x 4 cores is the current
+    # minimum; 7 overshoots into JVM-contention territory. Re-measure
+    # when the module mix shifts; pass an explicit count to override.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     files = glob.glob(os.path.join(REPO, "tests", "test_*.py"))
 
     # duration-based balance: file size is a poor proxy for wall time

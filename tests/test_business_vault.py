@@ -119,7 +119,8 @@ def test_zip_bucketed_matches_unbucketed(spark):
         for r in bv.zip_historized_dataframes(left, right, on).collect()
     }
     assert plain  # the fixture genuinely produces overlaps
-    for width in ("1 hour", "1 day", 10**9):
+    # 1 hour = multi-bucket fan-out, 10^9 s = everything in one bucket
+    for width in ("1 hour", 10**9):
         bucketed = {
             (r["id"], r["lv"], r["rv"], r[LD], r[LED])
             for r in bv.zip_historized_dataframes(
@@ -157,7 +158,9 @@ def _interval_rows(draw):
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=4, deadline=None,
+# 2 examples: each runs two full plans; the hand test below already
+# covers null/sentinel ends across three widths (suite-wall budget)
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=_interval_rows(), width_hours=st.sampled_from([1, 7, 50]))
 def test_zip_bucketed_matches_unbucketed_property(spark, data, width_hours):
