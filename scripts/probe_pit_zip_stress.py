@@ -91,12 +91,21 @@ def synthesize(spark, replication: int) -> str:
     return path
 
 
-def pit_variant(df, key_col: str):
+def pit_variant(df, key_col: str, with_eff: bool = False):
     sat = df.select(
         hash_key([key_col]).alias(C.hkey()),
         F.col("ts").alias(C.load_date()),
     )
-    pit = bv.pit_rows(sat, end_of_time=None)
+    eff = None
+    if with_eff:
+        # 'error' events play the DELETE role (dv_effectivity_events'
+        # convention): the hot entity now owns ~90% of the deletes too
+        eff = df.filter(F.col("event_type") == "error").select(
+            hash_key([key_col]).alias(C.hkey()),
+            F.lit(True).alias(C.deleted()),
+            F.col("ts").alias(C.load_date()),
+        )
+    pit = bv.pit_rows(sat, eff, end_of_time=None)
     return pit.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(C.load_end_date()).alias("n_closed"),
@@ -147,6 +156,8 @@ def main() -> None:
     variants = {
         "pit_uniform": lambda: pit_variant(df, "user_id"),
         "pit_skewed": lambda: pit_variant(df, "user_skew"),
+        "pit_eff_uniform": lambda: pit_variant(df, "user_id", with_eff=True),
+        "pit_eff_skewed": lambda: pit_variant(df, "user_skew", with_eff=True),
         "zip_uniform": lambda: zip_variant(df, "user_id"),
         "zip_skewed_bucketed": lambda: zip_variant(
             df, "user_skew", bucket="1 hour"
