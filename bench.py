@@ -93,6 +93,10 @@ HEADLINE = [
     # exactly the recurring cost of a daily ingest against on-disk state
     "skew_salted_join_events",
     "incremental_day2_minhash_documents",
+    # the J9 effectivity-PIT on the r11 union-window plan (probe 122
+    # addendum) — tracks the delete-branch cost next to dv_pit_events'
+    # versions-only window
+    "dv_pit_events_eff",
 ]
 
 
