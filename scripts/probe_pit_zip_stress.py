@@ -34,7 +34,10 @@ Usage: python scripts/probe_pit_zip_stress.py [replication] [variants]
   replication: events multiplier (default 10)
   variants: comma list to run (default all; e.g. "pit_uniform,pit_skewed"
   for a 100x PIT-only decade point — the unbucketed zip_skewed is
-  quadratic in the hot key and must not be pointed at 100x)
+  quadratic in the hot key and must not be pointed at 100x).
+  The special variant "zip_width_sweep" runs the bucketed skewed zip
+  across widths 10min/1h/6h/1day (the SCALE.md width-sensitivity
+  curve: under-splitting costs quadratically, over-splitting linearly).
 """
 
 from __future__ import annotations
@@ -168,8 +171,23 @@ def main() -> None:
         # that magnitude, and the bucketed line above is the contrast)
         "zip_skewed": lambda: zip_variant(df, "user_skew"),
     }
+    if only and "zip_width_sweep" in only:
+        for width in ("10 minutes", "1 hour", "6 hours", "1 day"):
+            timed(zip_variant(df, "user_skew", bucket=width))  # warm-up
+            walls, rows = [], None
+            for _ in range(3):
+                rows, w = timed(zip_variant(df, "user_skew", bucket=width))
+                walls.append(w)
+            walls.sort()
+            print(json.dumps({
+                "probe": "zip_width_sweep", "width": width,
+                "replication": replication, "rows": rows,
+                "sec": round(walls[1], 2),
+            }), flush=True)
+        only.discard("zip_width_sweep")
+
     for name, mk in variants.items():
-        if only and name not in only:
+        if only is not None and name not in only:
             continue
         single = name == "zip_skewed" and replication >= 10
         if not single:
