@@ -278,34 +278,45 @@ def _zip_historized_bucketed(
     width = _interval_seconds(bucket)
     ld_type = {f.name: f.dataType for f in left.schema.fields}[ld]
 
-    # global start-domain bounds (one model-sized aggregate): open ends
-    # clamp to hi for bucketing — no partner's intersection start can
-    # exceed the largest load date on either side
+    # global start-domain bounds: open ends clamp to hi for bucketing —
+    # no partner's intersection start can exceed the largest load date
+    # on either side. A 1-row frame broadcast-joined onto both sides
+    # (the distributed_rank bounds discipline), NOT a driver collect:
+    # the operator stays lazy (no Spark job at call time — the eager
+    # class ADVICE r10 flagged on hodges) and the bounds compute inside
+    # the single action that executes the zip. The epoch-zero fallback
+    # only engages when no non-null start exists anywhere (every
+    # interval fully open: one bucket covers all).
+    from pyspark.sql import types as T
+
+    # epoch-zero literal in the load-date's own type: INT does not cast
+    # to TIMESTAMP_NTZ directly, so go through timestamp_seconds for
+    # both timestamp flavors
+    if isinstance(ld_type, (T.TimestampType, T.TimestampNTZType)):
+        zero = F.timestamp_seconds(F.lit(0)).cast(ld_type)
+    else:
+        zero = F.lit(0).cast(ld_type)
     bounds = (
         left.select(F.col(ld).alias("__t"))
         .unionByName(right.select(F.col(ld).alias("__t")))
-        .agg(F.min("__t").alias("lo"), F.max("__t").alias("hi"))
-        .collect()[0]
+        .agg(F.min("__t").alias("__zlo"), F.max("__t").alias("__zhi"))
     )
-    lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:  # no non-null start anywhere: one bucket covers all
-        lo = hi = 0
-        lo_lit = hi_lit = F.lit(0)
-    else:
-        lo_lit, hi_lit = F.lit(lo), F.lit(hi)
 
     def _explode(df: DataFrame, bcol: str) -> DataFrame:
-        s = _bin_of(F.coalesce(F.col(ld), lo_lit), ld_type, width)
+        lo_c = F.coalesce(F.col("__zlo"), zero)
+        hi_c = F.coalesce(F.col("__zhi"), zero)
+        s = _bin_of(F.coalesce(F.col(ld), lo_c), ld_type, width)
         e = _bin_of(
-            F.least(F.coalesce(F.col(led), hi_lit), hi_lit), ld_type, width
+            F.least(F.coalesce(F.col(led), hi_c), hi_c), ld_type, width
         )
-        return df.withColumn(
+        return df.crossJoin(F.broadcast(bounds)).withColumn(
             bcol, F.explode(F.sequence(F.least(s, e), F.greatest(s, e)))
         )
 
     l = _explode(left, "__zbucket").alias("l")
     r = (
         _explode(right, "__r_zbucket")
+        .drop("__zlo", "__zhi")
         .withColumnRenamed(ld, "__r_ld")
         .withColumnRenamed(led, "__r_led")
         .alias("r")
@@ -318,7 +329,9 @@ def _zip_historized_bucketed(
     first_shared = (
         _bin_of(
             F.coalesce(
-                F.greatest(F.col(f"l.{ld}"), F.col("__r_ld")), lo_lit
+                F.greatest(F.col(f"l.{ld}"), F.col("__r_ld")),
+                F.col("__zlo"),  # left side keeps the bounds columns
+                zero,
             ),
             ld_type,
             width,
