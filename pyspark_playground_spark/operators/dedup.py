@@ -994,23 +994,29 @@ def incremental_minhash_pairs(
             "incremental_minhash_pairs: pass existing_signatures or "
             "existing_banded"
         )
-    banded_new = _materialize(
-        minhash_band_buckets(
-            new_docs, id_column, text_column,
-            num_perms=num_perms, bands=bands, shingle_size=shingle_size,
-        ),
-        checkpoint_dir,
+    banded_new = minhash_band_buckets(
+        new_docs, id_column, text_column,
+        num_perms=num_perms, bands=bands, shingle_size=shingle_size,
     )
-    # re-ingest safety: a re-submitted id keeps only its FRESH bands
+    new_ids = new_docs.select(id_column)
+    # re-ingest safety: a re-submitted id keeps only its FRESH bands.
+    # ONE materialization for the merged store (r11: banded_new was
+    # materialized separately first — an extra sequential job whose only
+    # additional consumer, the active-bucket set, can be read back out
+    # of the merged store instead: the anti-join guarantees the new ids'
+    # rows in ``banded`` are exactly ``banded_new``)
     banded = _materialize(
         banded_existing.join(
-            new_docs.select(id_column), id_column, "left_anti"
+            new_ids, id_column, "left_anti"
         ).unionByName(banded_new),
         checkpoint_dir,
     )
-    active = banded_new.select("band", "bucket").distinct()
+    active = (
+        banded.join(new_ids, id_column, "left_semi")
+        .select("band", "bucket")
+        .distinct()
+    )
     banded = banded.join(active, ["band", "bucket"], "left_semi")
-    new_ids = new_docs.select(id_column)
     cands = _materialize(
         _pairs_from_banded(banded, id_column)
         .join(

@@ -17,8 +17,8 @@ MapReduce and Beyond" (SoCC'14) — the standard shuffle-based CC algorithm:
 - ``small-star``: every node points its *smaller-or-equal* neighbors and
   itself at the minimum of those.
 
-Each operation is one ``groupBy(node).min`` plus one self-join — two key
-shuffles — and provably converges to star graphs rooted at each
+Each operation is one per-neighborhood ``min`` window — ONE key shuffle
+(r11: formerly groupBy-min + self-join, two) — and provably converges to star graphs rooted at each
 component's minimum node in O(log n) rounds (in practice 2-4 rounds for
 dedup graphs, whose clusters are near-cliques). This is the 100 TB shape:
 no driver-side state, per-round cost linear in the edge count, and the
@@ -36,10 +36,27 @@ reliable ``checkpoint_dir`` for cluster runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_playground_spark.operators.dedup import _materialize
+
+
+def _materialize_for_fingerprint(
+    df: DataFrame, checkpoint_dir: str | None
+) -> DataFrame:
+    """Lineage-truncating materialization for a frame whose FIRST action
+    is the convergence fingerprint: ``localCheckpoint(eager=False)``, so
+    the fingerprint aggregate itself materializes the checkpoint — one
+    job per CC round where the eager form paid two (materialize, then
+    fingerprint). The reliable-checkpoint path stays eager: a lazy
+    reliable checkpoint recomputes its lineage when writing, which would
+    double the round's work on a cluster."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -52,33 +69,70 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m(u)) for every neighbor v > u, with m(u) = min(Γ(u) ∪ {u})."""
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
-        "u", F.least(F.col("mn"), F.col("u")).alias("m")
+def _large_star(edges: DataFrame, *, dedup: bool = True) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, with m(u) = min(Γ(u) ∪ {u}).
+
+    ``min(v) over (partition by u)`` instead of the classic
+    groupBy-min + self-join: the same per-neighborhood minimum with ONE
+    exchange of the edge set where the join formulation shuffles it
+    twice (once into the aggregate, once into the join) — guide §2.4,
+    two operations keyed the same way share one exchange. ``dedup=False``
+    skips the trailing ``distinct`` when the caller immediately feeds
+    :func:`_small_star`, whose own terminal ``distinct`` collapses the
+    (bounded: ≤ one per input edge) duplicates anyway — one fewer
+    exchange per CC round.
+    """
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    w = Window.partitionBy("u")
+    starred = sym.select(
+        "u",
+        "v",
+        F.least(F.min("v").over(w), F.col("u")).alias("m"),
     )
-    return (
-        sym.join(mins, "u")
-        .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
+    out = starred.where(F.col("v") > F.col("u")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """(v, m(u)) for every smaller neighbor v of u, plus (u, m(u)).
 
     Operates on the big→small orientation the preceding large-star (or
-    ``_canonical_edges``) guarantees.
-    """
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    with_min = edges.join(mins, "u")
-    rewired = with_min.where(F.col("v") != F.col("m")).select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    self_edges = mins.select("u", F.col("m").alias("v"))
-    return rewired.union(self_edges).where(F.col("u") != F.col("v")).distinct()
+    ``_canonical_edges``) guarantees. Same one-exchange window
+    formulation as :func:`_large_star` (the self-edge ``(u, m(u))`` is
+    emitted per input row instead of per key; the terminal ``distinct``
+    collapses it to one, exactly the set the groupBy formulation
+    built)."""
+    w = Window.partitionBy("u")
+    with_min = edges.select("u", "v", F.min("v").over(w).alias("m"))
+    # one Generate pass instead of rewired ∪ self_edges: a union would
+    # scan the (checkpointed) round input twice and double the logical
+    # plan the next localCheckpoint has to re-plan (r11: per-round plan
+    # construction was the CC wall at bench scale, not the data)
+    out = with_min.select(
+        F.explode(
+            F.when(
+                F.col("v") != F.col("m"),
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
+                )
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return out.where(F.col("u") != F.col("v")).distinct()
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -114,15 +168,21 @@ def connected_components(
 
     Convergence is detected with a per-round scalar aggregate (count +
     order-independent hash of the edge set, one ``first()`` on a 1-row
-    result) — O(1) driver data, but one extra job per round. Bound total
-    work with ``max_iterations`` (rounds needed ≈ log₂ of the largest
-    component's diameter; the default 25 covers astronomically large
-    graphs).
+    result) — O(1) driver data, and the SAME job that materializes the
+    round's lazily-localCheckpointed edge set (r11: the eager
+    materialize-then-fingerprint form paid two sequential jobs per
+    round). Bound total work with ``max_iterations`` (rounds needed ≈
+    log₂ of the largest component's diameter; the default 25 covers
+    astronomically large graphs).
     """
-    cur = _materialize(_canonical_edges(edges, src, dst), checkpoint_dir)
+    cur = _materialize_for_fingerprint(
+        _canonical_edges(edges, src, dst), checkpoint_dir
+    )
     fp = _edge_fingerprint(cur)
     for _ in range(max_iterations):
-        nxt = _materialize(_small_star(_large_star(cur)), checkpoint_dir)
+        nxt = _materialize_for_fingerprint(
+            _small_star(_large_star(cur, dedup=False)), checkpoint_dir
+        )
         nfp = _edge_fingerprint(nxt)
         cur.unpersist()
         cur, prev_fp, fp = nxt, fp, nfp

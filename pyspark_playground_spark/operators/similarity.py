@@ -1755,6 +1755,39 @@ def pq_recall_report(
     )
 
 
+def _double_sql(x: float) -> str:
+    """A double literal as SQL text. ``repr`` is the shortest string
+    that round-trips the IEEE value, and Spark's parser reads it back
+    to the identical bits (pinned by test), so embedding models in ONE
+    parsed expression string is value-identical to the per-element
+    ``F.lit`` construction it replaces — at ~1/100 the driver cost
+    (guide §7.3: plan construction is single-threaded driver work; a
+    512-float model costs ~0.5 s as 512 py4j ``lit`` calls and ~4 ms
+    as one parsed string)."""
+    v = float(x)
+    if v != v:  # NaN
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(v) + "D"
+
+
+def _literal_centroid_array(cents) -> Column:
+    """A literal ``[(cid int, cv array<double>)]`` model table as ONE
+    parsed expression (see :func:`_double_sql` for why not per-element
+    ``F.lit``). Centroids sorted by id — the fold order every argmin
+    tie-break here contracts on."""
+    parts = [
+        "named_struct('cid', {cid}, 'cv', array({cv}))".format(
+            cid=int(cid), cv=",".join(_double_sql(x) for x in vec)
+        )
+        for cid, vec in sorted(cents, key=lambda t: t[0])
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def _argmin_literal_struct(v: Column, cents) -> Column:
     """The (distance², cluster_id) struct of ``v``'s nearest centroid
     over a LITERAL centroid list ``[(cluster_id, [floats]), ...]`` as
@@ -1764,15 +1797,7 @@ def _argmin_literal_struct(v: Column, cents) -> Column:
     fold; ties keep the smallest cluster_id — the fold iterates ids
     ascending and only replaces on strictly smaller distance). Fields:
     ``d`` (squared L2 to the winner), ``cid``."""
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in sorted(cents, key=lambda t: t[0])
-        ]
-    )
+    arr = _literal_centroid_array(cents)
     init = F.struct(
         F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
     )
@@ -1898,14 +1923,16 @@ def _coarse_residual_expr(coarse):
     """Literal centroid lookup (cid -> vector) compiled into a residual
     subtraction expression — model-sized map, no join."""
     coarse_sorted = sorted(coarse, key=lambda t: t[0])
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(cid)) for cid, _ in coarse_sorted]),
-        F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in vec])
+    cmap = F.expr(
+        "map_from_arrays(array({ids}), array({vecs}))".format(
+            ids=",".join(str(int(cid)) for cid, _ in coarse_sorted),
+            vecs=",".join(
+                "array({})".format(
+                    ",".join(_double_sql(x) for x in vec)
+                )
                 for _, vec in coarse_sorted
-            ]
-        ),
+            ),
+        )
     )
 
     def residual_expr(vec_col, cell_col):
@@ -2014,91 +2041,120 @@ def _ivf_pq_query_side(
     ``(probes, lut, lut_keys)``."""
     m = len(books)
     sub = dim // m
-    spark = queries.sparkSession
     residual_expr = _coarse_residual_expr(coarse) if residual else None
 
     # --- query-side probe + ADC LUT (bounded panel × model tables) ---
+    # Everything here is a PROJECTION over the query panel with the
+    # model compiled in as literals (r11): the former
+    # createDataFrame(coarse) → crossJoin → row_number window and
+    # createDataFrame(book) → broadcast join each cost an exchange or
+    # broadcast stage per serve call to rank a model-sized table. The
+    # nprobe selection is array_sort over (d2, cid) structs — identical
+    # order and tie-break to the row_number(orderBy d2 asc, cid asc) it
+    # replaces; the fold arithmetic is unchanged (same index-order
+    # squared-L2 fold over the same floats).
     q = queries.select(
         F.col(id_column).alias("query_id"),
         _as_double(F.col(vector_column)).alias("__qv"),
     )
-    coarse_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in coarse],
-        "cluster_id int, cvec array<double>",
-    )
-    probe_scored = q.crossJoin(F.broadcast(coarse_df)).select(
-        "query_id",
-        "cluster_id",
-        F.aggregate(
-            F.zip_with("__qv", "cvec", lambda a, b: (a - b) * (a - b)),
+    carr = _literal_centroid_array(coarse)
+
+    def d2_fold(vec_col, cv):
+        return F.aggregate(
+            F.zip_with(vec_col, cv, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, t: acc + t,
-        ).alias("__d2"),
+        )
+
+    probes_arr = F.slice(
+        F.array_sort(
+            F.transform(
+                carr,
+                lambda c: F.struct(
+                    d2_fold(F.col("__qv"), c["cv"]).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__d2").asc(), F.col("cluster_id").asc()
+    probes = q.select(
+        "query_id",
+        F.explode(
+            F.transform(probes_arr, lambda s: s["cid"])
+        ).alias("__cell"),
     )
-    probes = (
-        probe_scored.withColumn("__pr", F.row_number().over(w_probe))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", F.col("cluster_id").alias("__cell"))
+    # flat literal codebook [(subspace·k + j) → (subspace, code, cv)],
+    # subspace-major so each entry knows its own slice offset
+    books_flat = F.expr(
+        "array({})".format(
+            ",".join(
+                "named_struct('subspace', {s}, 'code', {cid}, "
+                "'cv', array({cv}))".format(
+                    s=int(s),
+                    cid=int(cid),
+                    cv=",".join(_double_sql(x) for x in vec),
+                )
+                for s, b in enumerate(books)
+                for cid, vec in sorted(b)
+            )
+        )
     )
-    book_df = spark.createDataFrame(
-        [(s, cid, vec) for s, b in enumerate(books) for cid, vec in b],
-        "subspace int, cluster_id int, cvec array<double>",
-    )
-    pd_fold = lambda: F.aggregate(  # noqa: E731
-        F.zip_with("qs", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    ).alias("__pd")
+
+    def lut_entries(vec_col):
+        # one (subspace, code, __pd) struct per codebook entry — the
+        # same fold over the same slice as the former broadcast join
+        return F.transform(
+            books_flat,
+            lambda b: F.struct(
+                b["subspace"].alias("subspace"),
+                b["code"].alias("code"),
+                d2_fold(
+                    F.slice(vec_col, b["subspace"] * sub + 1, sub),
+                    b["cv"],
+                ).alias("__pd"),
+            ),
+        )
+
     if residual:
         # per-(query, probed cell) LUT: the query residual to each
         # probed centroid, sliced per subspace — |panel|·nprobe·m·k rows
-        qres = probes.join(q, "query_id").select(
-            "query_id",
-            "__cell",
-            residual_expr(F.col("__qv"), F.col("__cell")).alias("__rq"),
-        )
-        qsub = qres.select(
-            "query_id",
-            "__cell",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.struct(
-                        s.alias("subspace"),
-                        F.slice("__rq", s * sub + 1, sub).alias("qs"),
-                    ),
-                )
-            ).alias("__e"),
-        ).select("query_id", "__cell", "__e.subspace", "__e.qs")
-        lut = qsub.join(F.broadcast(book_df), "subspace").select(
-            "query_id",
-            "__cell",
-            "subspace",
-            F.col("cluster_id").alias("code"),
-            pd_fold(),
+        lut = (
+            q.select(
+                "query_id",
+                F.explode(
+                    F.transform(probes_arr, lambda s: s["cid"])
+                ).alias("__cell"),
+                F.col("__qv"),
+            )
+            .select(
+                "query_id",
+                "__cell",
+                F.explode(
+                    lut_entries(
+                        residual_expr(F.col("__qv"), F.col("__cell"))
+                    )
+                ).alias("__e"),
+            )
+            .select(
+                "query_id",
+                "__cell",
+                "__e.subspace",
+                F.col("__e.code").alias("code"),
+                F.col("__e.__pd").alias("__pd"),
+            )
         )
         lut_keys = ["query_id", "__cell", "subspace", "code"]
     else:
-        qsub = q.select(
+        lut = q.select(
             "query_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.struct(
-                        s.alias("subspace"),
-                        F.slice("__qv", s * sub + 1, sub).alias("qs"),
-                    ),
-                )
-            ).alias("__e"),
-        ).select("query_id", "__e.subspace", "__e.qs")
-        lut = qsub.join(F.broadcast(book_df), "subspace").select(
+            F.explode(lut_entries(F.col("__qv"))).alias("__e"),
+        ).select(
             "query_id",
-            "subspace",
-            F.col("cluster_id").alias("code"),
-            pd_fold(),
+            "__e.subspace",
+            F.col("__e.code").alias("code"),
+            F.col("__e.__pd").alias("__pd"),
         )
         lut_keys = ["query_id", "subspace", "code"]
     return probes, lut, lut_keys
@@ -2266,8 +2322,8 @@ def ivf_pq_train(
 def ivf_pq_search_with_model(
     corpus: DataFrame,
     queries: DataFrame,
-    coarse: DataFrame,
-    book: DataFrame,
+    coarse,
+    book,
     *,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
@@ -2282,7 +2338,10 @@ def ivf_pq_search_with_model(
     searches against the frozen model. ``coarse (cluster_id, cvec)``
     and ``book (subspace, cluster_id, cvec)`` are the frames
     :func:`ivf_pq_train` returns (or the same shapes read back from
-    storage). Both are collected driver-side — model-sized by design —
+    storage), or the equivalent driver-side lists
+    ``[(cluster_id, vec)]`` / ``[(subspace, cluster_id, vec)]`` — the
+    no-job fast path for a model already held in driver memory. Frames
+    are collected driver-side — model-sized by design —
     and compiled into the same literal-expression search plan as
     :func:`ivf_pq_topk`: ONE shuffle-free encode projection (cell + m
     codes per corpus row), broadcast probe join (= partition pruning
@@ -2307,13 +2366,26 @@ def ivf_pq_search_with_model(
 
 
 def _collect_ivf_pq_model(
-    coarse: DataFrame, book: DataFrame, *, caller: str
+    coarse, book, *, caller: str
 ) -> tuple[list, list, int]:
     """Collect + validate the model frames :func:`ivf_pq_train` emits
     (model-sized by design) into the sorted driver-side lists the
     literal-expression search/encode plans compile from. Returns
-    ``(coarse_list, books, dim)``."""
-    coarse_rows = coarse.select("cluster_id", "cvec").collect()
+    ``(coarse_list, books, dim)``.
+
+    Either argument may already BE the driver-side list —
+    ``coarse = [(cluster_id, [floats]), ...]`` and
+    ``book = [(subspace, cluster_id, [floats]), ...]`` — in which case
+    no Spark job runs: a serve path that holds the (model-sized) model
+    in driver memory skips the createDataFrame→collect round trip the
+    DataFrame form pays (two sequential jobs per call, pure overhead
+    when the model never left the driver). Validation is identical."""
+    if isinstance(coarse, list):
+        coarse_rows = [
+            {"cluster_id": cid, "cvec": vec} for cid, vec in coarse
+        ]
+    else:
+        coarse_rows = coarse.select("cluster_id", "cvec").collect()
     if not coarse_rows:
         raise ValueError(f"{caller}: empty coarse model")
     coarse_list = sorted(
@@ -2324,7 +2396,13 @@ def _collect_ivf_pq_model(
         raise ValueError(
             f"{caller}: coarse centroids have mixed dimensions"
         )
-    book_rows = book.select("subspace", "cluster_id", "cvec").collect()
+    if isinstance(book, list):
+        book_rows = [
+            {"subspace": s, "cluster_id": cid, "cvec": vec}
+            for s, cid, vec in book
+        ]
+    else:
+        book_rows = book.select("subspace", "cluster_id", "cvec").collect()
     if not book_rows:
         raise ValueError(f"{caller}: empty codebook")
     by_sub: dict[int, list] = {}
@@ -2352,8 +2430,8 @@ def _collect_ivf_pq_model(
 
 def ivf_pq_encode_corpus(
     corpus: DataFrame,
-    coarse: DataFrame,
-    book: DataFrame,
+    coarse,
+    book,
     *,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
@@ -2396,8 +2474,8 @@ def ivf_pq_encode_corpus(
 def ivf_pq_search_precoded(
     codes: DataFrame,
     queries: DataFrame,
-    coarse: DataFrame,
-    book: DataFrame,
+    coarse,
+    book,
     *,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
@@ -2788,15 +2866,7 @@ def silhouette_centroid_report(
             f"centroid(s); silhouette needs at least 2"
         )
     xv = _as_double(F.col(vector_column))
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in sorted(cents, key=lambda t: t[0])
-        ]
-    )
+    arr = _literal_centroid_array(cents)
     init = F.struct(
         F.lit(float("inf")).alias("d1"),
         F.lit(-1).cast("int").alias("cid"),

@@ -500,18 +500,25 @@ def cox_binary_hazard(
     n1 = F.col("__above1") + F.col("__c1")
     n0 = F.col("__above2") + F.col("__c2")
     dt = F.col("__d1") + F.col("__d2")
-    at_death = (
-        data.filter(dt > 0)
-        .select(
-            F.col("__d1").cast("double").alias("__d1d"),
-            dt.cast("double").alias("__dd"),
-            n1.cast("double").alias("__n1d"),
-            n0.cast("double").alias("__n0d"),
-            F.col("__d1").alias("__d1"),
-            F.col("__d2").alias("__d2"),
-        )
-        .persist()
-    )
+    # persist the PRE-filter cum census (same bounded size as the
+    # death-time slice): the Newton aggregates below filter it to death
+    # times, and the group totals / death totals the output row needs
+    # come from ONE extra aggregate over the same cached frame instead
+    # of a from-scratch recompute of the lifetimes chain (r11: the
+    # returned plan previously re-derived tot/deaths lazily — a
+    # 58-Exchange physical plan re-scanning the events source twice,
+    # all to attach four counts the build phase already had in cache)
+    data = data.select(
+        F.col("__d1").cast("double").alias("__d1d"),
+        dt.cast("double").alias("__dd"),
+        n1.cast("double").alias("__n1d"),
+        n0.cast("double").alias("__n0d"),
+        F.col("__d1").alias("__d1"),
+        F.col("__d2").alias("__d2"),
+        F.col("__c1").alias("__c1"),
+        F.col("__c2").alias("__c2"),
+    ).persist()
+    at_death = data.filter(F.col("__dd") > 0)
 
     def scores(beta: float):
         eb = math.floor(math.exp(beta) * 1e12 + 0.5) / 1e12
@@ -541,14 +548,18 @@ def cox_binary_hazard(
         if i_fin <= 0:
             beta = None
 
-    tot = lt.groupBy().agg(
-        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("__g"), 0).otherwise(1)).alias("n_b"),
-    )
-    deaths = at_death.agg(
+    # group totals + death totals in ONE aggregate over the cached
+    # census (each lifetime row lands in exactly one census cell, so
+    # sum(__c1)/sum(__c2) ARE the group sizes; rows with no deaths
+    # contribute 0 to the death sums, so the dt>0 filter is immaterial
+    # to them) — integer sums, value-identical to the former separate
+    # lifetimes-frame and at_death aggregates
+    counts = data.agg(
+        F.sum("__c1").cast("long").alias("n_a"),
+        F.sum("__c2").cast("long").alias("n_b"),
         F.coalesce(F.sum("__d1"), F.lit(0)).cast("long").alias("deaths_a"),
         F.coalesce(F.sum("__d2"), F.lit(0)).cast("long").alias("deaths_b"),
-    )
+    ).collect()[0]
     if beta is None:
         stats = [None, None, None, None]
     else:
@@ -560,24 +571,24 @@ def cox_binary_hazard(
             math.floor(se * 1e6 + 0.5),
             math.floor(beta / se * 1e6 + 0.5),
         ]
-    at_death.unpersist()
+    data.unpersist()
     spark = lifetimes.sparkSession
-    lits = spark.createDataFrame(
-        [tuple(stats)], "beta_q6 long, hr_q6 long, se_q6 long, z_q6 long"
-    )
-    return (
-        tot.crossJoin(F.broadcast(deaths))
-        .crossJoin(F.broadcast(lits))
-        .select(
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            "deaths_a",
-            "deaths_b",
-            "beta_q6",
-            "hr_q6",
-            "se_q6",
-            "z_q6",
-        )
+    # one literal result row, the bpe_learn_merges convention for
+    # driver-coordinated fits: every value above was computed by Spark
+    # aggregates in THIS call; re-deriving them lazily in the returned
+    # plan would re-scan the source once per downstream action
+    return spark.createDataFrame(
+        [
+            (
+                counts["n_a"],
+                counts["n_b"],
+                counts["deaths_a"],
+                counts["deaths_b"],
+                *stats,
+            )
+        ],
+        "n_a long, n_b long, deaths_a long, deaths_b long, "
+        "beta_q6 long, hr_q6 long, se_q6 long, z_q6 long",
     )
 
 

@@ -15270,14 +15270,12 @@ def _frozen_ivf_pq_model(spark, sf_dir):
                 for r in book.collect()
             ],
         )
+    # handed to the serve operators as the documented driver-side-list
+    # fast path: the model never leaves the driver, so rebuilding two
+    # DataFrames only for _collect_ivf_pq_model to collect them back
+    # was two pure-overhead Spark jobs per serve call (r11 measurement)
     crows, brows = _FROZEN_IVF_PQ[key]
-    coarse_df = spark.createDataFrame(
-        crows, "cluster_id int, cvec array<double>"
-    )
-    book_df = spark.createDataFrame(
-        brows, "subspace int, cluster_id int, cvec array<double>"
-    )
-    return coarse_df, book_df
+    return crows, brows
 
 
 @query(

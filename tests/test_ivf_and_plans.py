@@ -351,3 +351,88 @@ def test_ivf_cell_partition_pruning(spark, sf_dir, tmp_path):
         )
     )
     assert not re.search(r"PartitionFilters: \[[^\]]*cell#", plan2)
+
+
+def test_literal_centroid_array_matches_per_element_lits(spark):
+    """r11: the literal model tables are built as ONE parsed expression
+    string (repr(float) + 'D') instead of per-element F.lit calls; this
+    pins that both constructions evaluate to identical doubles, across
+    exponent-formatted, negative, denormal-ish, and integral values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    tricky = [
+        0.0, -0.0, 1.0, -1.5, 1e-5, -3e-17, 1.7976931348623157e308,
+        5e-324, 0.1 + 0.2, 123456789.123456789,
+    ] + [random.uniform(-1e6, 1e6) for _ in range(54)]
+    cents = [(0, tricky[:32]), (3, tricky[32:])]
+
+    new = sim._literal_centroid_array(cents)
+    old = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in sorted(cents)
+        ]
+    )
+    row = spark.range(1).select(new.alias("n"), old.alias("o")).collect()[0]
+    assert row["n"].__repr__() == row["o"].__repr__()
+    for a, b in zip(row["n"], row["o"]):
+        assert a["cid"] == b["cid"]
+        assert list(a["cv"]) == list(b["cv"])
+
+
+def test_star_rounds_match_groupby_reference(spark):
+    """r11: large-star/small-star were rewritten from groupBy-min +
+    self-join + union to one-pass window/explode forms; this pins
+    set-equivalence against the original formulation on a random
+    graph, per round, for three rounds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_playground_spark.operators import graph as G
+
+    def large_ref(edges):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_ref(edges):
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        with_min = edges.join(mins, "u")
+        rewired = with_min.where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edges = mins.select("u", F.col("m").alias("v"))
+        return (
+            rewired.union(self_edges)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    random.seed(11)
+    raw = [(random.randint(0, 40), random.randint(0, 40)) for _ in range(120)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    cur = G._canonical_edges(edges, "src", "dst")
+    for _ in range(3):
+        got_large = {tuple(r) for r in G._large_star(cur, dedup=True).collect()}
+        ref_large = {tuple(r) for r in large_ref(cur).collect()}
+        assert got_large == ref_large
+        got = {tuple(r) for r in G._small_star(G._large_star(cur, dedup=False)).collect()}
+        ref = {tuple(r) for r in small_ref(large_ref(cur)).collect()}
+        assert got == ref
+        cur = G._small_star(G._large_star(cur, dedup=False)).localCheckpoint()
