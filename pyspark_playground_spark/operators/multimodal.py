@@ -339,21 +339,30 @@ def ahash_signatures(
     """
     if bits % 4 != 0 or bits > 60:
         raise ValueError(f"bits must be <= 60 and chunkable by 4: {bits}")
-    hx = F.hex(F.col(content_column))
     n = F.length(F.col(content_column)).cast("long")
     # byte index (j*n) DIV bits, as floor((j*n)/bits) — exact for
     # j*n < 2^53 and, unlike a raw double->int cast, truncation-vs-
-    # rounding-portable across engines
+    # rounding-portable across engines.
+    #
+    # The byte is sliced from the BINARY payload and only that one byte
+    # is hex-decoded: hex(substr(content, i+1, 1)) == the original
+    # substr(hex(content), 2i+1, 2) bit-for-bit, but the per-element
+    # work is O(1). Hexing the whole payload inside this lambda was
+    # O(payload) PER SAMPLE — higher-order-function lambdas re-evaluate
+    # every subexpression per element (no codegen/CSE inside transform),
+    # so each row paid 60 full-payload hex encodes (measured 8× the
+    # signature job wall at sf0.1).
     px = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda j: F.conv(
-            F.substr(
-                hx,
-                F.floor(j.cast("long") * n / F.lit(float(bits)))
-                .cast("long")
-                * F.lit(2)
-                + F.lit(1),
-                F.lit(2),
+            F.hex(
+                F.substr(
+                    F.col(content_column),
+                    F.floor(j.cast("long") * n / F.lit(float(bits)))
+                    .cast("long")
+                    + F.lit(1),
+                    F.lit(1),
+                )
             ),
             16,
             10,
