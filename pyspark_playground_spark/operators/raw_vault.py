@@ -194,10 +194,37 @@ def hub_rows(
     df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
     if conv.hkey() not in df.columns:
         df = df.withColumn(conv.hkey(), hash_key(list(business_key_columns), hash_function))
+    # When the batch is not yet CDC-stamped, LOAD_DATE/RECORD_SOURCE are
+    # call-level constants — keep them OUT of the dedup aggregate.
+    # dropDuplicates compiles to first() over every non-key column, and a
+    # string aggregation buffer (the record source) disqualifies
+    # HashAggregate: the plan degrades to SortAggregate with a full sort
+    # on both sides of the exchange, and the exchange itself carries the
+    # constant per row. Constants are re-attached after the key-only
+    # dedup + anti-join — same rows, same columns, same order.
+    meta_is_const = conv.cdc_load_date() not in df.columns and (
+        record_source is not None or conv.record_source() not in df.columns
+    )
     df = _with_load_meta(df, conv, load_ts, record_source)
-    df = df.select(
-        conv.hkey(), conv.load_date(), conv.record_source(), *business_key_columns
-    ).dropDuplicates([conv.hkey()])
+    if meta_is_const:
+        ts_c: Column = (
+            F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
+        )
+        rs_c = F.lit(record_source if record_source is not None else "unknown")
+        df = (
+            df.select(conv.hkey(), *business_key_columns)
+            .dropDuplicates([conv.hkey()])
+            .select(
+                conv.hkey(),
+                ts_c.alias(conv.load_date()),
+                rs_c.alias(conv.record_source()),
+                *business_key_columns,
+            )
+        )
+    else:
+        df = df.select(
+            conv.hkey(), conv.load_date(), conv.record_source(), *business_key_columns
+        ).dropDuplicates([conv.hkey()])
     df = _maybe_repartition(df, [conv.hkey()], config)
     return _anti(df, existing, [conv.hkey()])
 
@@ -384,19 +411,22 @@ def link_rows(
         resolved.filter(F.col(to_hkey).isNotNull())
         .withColumn(conv.hkey(), hash_key([from_hkey, to_hkey], hash_function))
     )
+    # constants attached after the key-only dedup + anti-join (see
+    # multilink_rows: string-literal first() buffers force SortAggregate)
     ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
     new_links = (
-        pairs.select(
-            conv.hkey(),
-            F.col(from_hkey),
-            F.col(to_hkey),
-            ts.alias(conv.load_date()),
-            F.lit(record_source or "unknown").alias(conv.record_source()),
-        )
+        pairs.select(conv.hkey(), F.col(from_hkey), F.col(to_hkey))
         .dropDuplicates([conv.hkey()])
     )
     new_links = _maybe_repartition(new_links, [conv.hkey()], config)
     new_links = _anti(new_links, existing_link, [conv.hkey()])
+    new_links = new_links.select(
+        conv.hkey(),
+        F.col(from_hkey),
+        F.col(to_hkey),
+        ts.alias(conv.load_date()),
+        F.lit(record_source or "unknown").alias(conv.record_source()),
+    )
 
     # --- effectivity: current state per staged row -------------------------
     current = pairs.select(
@@ -550,18 +580,23 @@ def multilink_rows(
         df, members, conv=conv, hash_function=hash_function,
         resolutions=resolutions, config=config,
     )
+    # LOAD_DATE/RECORD_SOURCE are call-level constants here: attach them
+    # AFTER the key-only dedup + anti-join. Inside dropDuplicates they
+    # become first(<string literal>) aggregates whose immutable string
+    # buffers force SortAggregate (two full sorts around the exchange)
+    # instead of HashAggregate, and the exchange ships the constants per
+    # row. With xxhash64 member keys (all-long buffers) the dedup now
+    # hash-aggregates; with md5 it still sheds the two constant columns.
     ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
-    out = (
-        df.select(
-            conv.hkey(),
-            *hkey_cols,
-            ts.alias(conv.load_date()),
-            F.lit(record_source or "unknown").alias(conv.record_source()),
-        )
-        .dropDuplicates([conv.hkey()])
-    )
+    out = df.select(conv.hkey(), *hkey_cols).dropDuplicates([conv.hkey()])
     out = _maybe_repartition(out, [conv.hkey()], config)
-    return _anti(out, existing_link, [conv.hkey()])
+    out = _anti(out, existing_link, [conv.hkey()])
+    return out.select(
+        conv.hkey(),
+        *hkey_cols,
+        ts.alias(conv.load_date()),
+        F.lit(record_source or "unknown").alias(conv.record_source()),
+    )
 
 
 # ---------------------------------------------------------------------------
