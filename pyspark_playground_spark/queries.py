@@ -4842,26 +4842,28 @@ def incremental_minhash_pairs_documents(spark, sf_dir):
 
 
 def _persisted_minhash_day1_state(spark, sf_dir):
-    """Write-once/read-forever day-1 dedup state for the day-2 entry
+    """Write-once-PER-PROCESS day-1 dedup state for the day-2 entry
     below: the banded MinHash store (dedup.minhash_banded_store) of the
     day-1 corpus slice (doc_id % 10 != 0) plus its one-row layout
     metadata (dedup.minhash_banded_store_metadata), persisted as
-    parquet under the repo-root spark-warehouse — the production shape
-    where yesterday's signatures are on disk and today's increment
-    never re-shingles or re-bands them. Cache key is the documents
-    fingerprint (regeneration invalidates); writes go to a pid-suffixed
-    temp dir then atomically rename (concurrent shards race safely —
-    the banding is deterministic, so the loser discards an identical
-    copy). Returns (banded_df, meta_df) read back from parquet."""
+    parquet — the production shape where yesterday's signatures are on
+    disk and today's increment never re-shingles or re-bands them.
+
+    The state root is a per-process temp dir (r11: the previous
+    repo-root spark-warehouse location outlived the process, so a
+    SECOND bench/oracle invocation on the same box would read state a
+    previous run computed — every invocation must compute from the
+    parquet inputs; the build runs in the bench's untimed warm-up
+    either way, so the timed medians measure the same serve plan). Key
+    is the documents fingerprint (mid-process regeneration
+    invalidates); writes go to a pid-suffixed temp dir then atomically
+    rename. Returns (banded_df, meta_df) read back from parquet."""
     import os
     import shutil
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.basename(str(sf_dir).rstrip("/")) or "sf"
     key = f"{base}-{_table_fingerprint(sf_dir, 'documents')}"
-    path = os.path.join(
-        repo_root, "spark-warehouse", "minhash_banded_day1", key
-    )
+    path = os.path.join(_process_state_root(), "minhash_banded_day1", key)
     if not (
         os.path.exists(os.path.join(path, "banded", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
@@ -15361,30 +15363,51 @@ def _table_fingerprint(sf_dir, table: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _process_state_root() -> str:
+    """Per-process root for the persisted-state entries (PQ codes,
+    banded minhash store): a temp dir created once per Python process
+    and removed at exit. Scoping the state to the process keeps the
+    serve-path semantics (the timed plan reads cell-partitioned /
+    banded PARQUET, exactly the production layout) while guaranteeing
+    every bench/oracle INVOCATION computes its state from the parquet
+    inputs — nothing persists across runs (r11; the state builds run
+    in the bench's untimed per-query warm-up, so timed medians are
+    unchanged by this scoping)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _PROCESS_STATE_ROOT
+    if _PROCESS_STATE_ROOT is None:
+        root = tempfile.mkdtemp(prefix="spark_graft_state_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _PROCESS_STATE_ROOT = root
+    return _PROCESS_STATE_ROOT
+
+
+_PROCESS_STATE_ROOT: str | None = None
+
+
 def _precoded_ivf_pq_codes(spark, sf_dir):
-    """Write-once/read-forever PQ codes for the precoded serve entry:
-    the encoded corpus is PERSISTED as parquet PARTITIONED BY cell
-    (under the repo-root spark-warehouse, located relative to this
-    module — no hardcoded checkout path), so every subsequent search
-    scans ~5 ints per vector and the broadcast probe join can prune
-    cell partitions dynamically. Encoding is deterministic (frozen
-    model, integer argmins), so a cached directory is bit-identical to
-    a fresh encode. The cache key is ``<sf-basename>-<data
-    fingerprint>`` (file sizes + mtimes of the embeddings parquet), so
-    regenerating the dataset at the same path invalidates the cache
-    instead of silently serving stale codes; writes land in a
-    pid-suffixed temp dir then atomically rename into place, so
-    concurrent suite shards race safely (first rename wins, losers
-    discard their temp dir and read the winner's)."""
+    """Write-once-PER-PROCESS PQ codes for the precoded serve entry:
+    the encoded corpus is PERSISTED as parquet PARTITIONED BY cell, so
+    every subsequent search in this process scans ~5 ints per vector
+    and the broadcast probe join can prune cell partitions dynamically.
+    Encoding is deterministic (frozen model, integer argmins), so a
+    cached directory is bit-identical to a fresh encode. The state
+    root is a per-process temp dir (see _process_state_root — r11
+    scoping: no state outlives the invocation). The cache key is
+    ``<sf-basename>-<data fingerprint>`` (file sizes + mtimes of the
+    embeddings parquet), so regenerating the dataset mid-process
+    invalidates the cache instead of silently serving stale codes;
+    writes land in a pid-suffixed temp dir then atomically rename into
+    place."""
     import os
     import shutil
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.basename(str(sf_dir).rstrip("/")) or "sf"
     key = f"{base}-{_table_fingerprint(sf_dir, 'embeddings')}"
-    path = os.path.join(
-        repo_root, "spark-warehouse", "precoded_ivf_pq_m4k16", key
-    )
+    path = os.path.join(_process_state_root(), "precoded_ivf_pq_m4k16", key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load(spark, sf_dir, "embeddings")
         coarse, book = _frozen_ivf_pq_model(spark, sf_dir)
