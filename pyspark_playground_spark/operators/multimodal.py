@@ -350,8 +350,9 @@ def ahash_signatures(
     # work is O(1). Hexing the whole payload inside this lambda was
     # O(payload) PER SAMPLE — higher-order-function lambdas re-evaluate
     # every subexpression per element (no codegen/CSE inside transform),
-    # so each row paid 60 full-payload hex encodes (measured 8× the
-    # signature job wall at sf0.1).
+    # so each row paid 60 full-payload hex encodes (measured: the
+    # sampled-pixel projection's noop wall at sf0.1 drops 0.75 s →
+    # 0.22 s, ~3.4×, same session back-to-back).
     px = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda j: F.conv(
