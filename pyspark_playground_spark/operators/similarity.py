@@ -1444,14 +1444,15 @@ def _fused_subspace_lloyd(
     iterations: int,
 ) -> list:
     """Train m per-subspace Lloyd codebooks over ONE subspace-keyed
-    frame (one seed count, one broadcast assignment + one
-    (subspace, cluster, dim)-keyed exchange per iteration, ONE collect)
-    — arithmetic identical to m separate :func:`kmeans_lloyd` runs over
-    the slices of ``base_vec`` (groups are disjoint across subspaces,
-    so every fold sees exactly the rows it would alone). ``base_vec``
-    may be any vector expression over the corpus row (raw vector, or
-    the coarse residual for IVFADC). Enforces the id<k seed contract.
-    Returns sorted ``[(subspace, cluster_id, [floats]), ...]``."""
+    frame (one seed collect; per iteration one literal-argmin
+    projection + one (subspace, cluster, dim)-keyed exchange and a
+    model-sized collect) — arithmetic identical to m separate
+    :func:`kmeans_lloyd` runs over the slices of ``base_vec`` (groups
+    are disjoint across subspaces, so every fold sees exactly the rows
+    it would alone). ``base_vec`` may be any vector expression over the
+    corpus row (raw vector, or the coarse residual for IVFADC).
+    Enforces the id<k seed contract. Returns sorted
+    ``[(subspace, cluster_id, [floats]), ...]``."""
     xs = (
         corpus.select(
             F.col(id_column),
@@ -1470,46 +1471,48 @@ def _fused_subspace_lloyd(
         .select(id_column, "__e.subspace", "__e.__x")
         .persist()
     )
-    cents = xs.filter(F.col(id_column) < k).select(
-        "subspace",
-        F.col(id_column).cast("int").alias("cluster_id"),
-        F.col("__x").alias("cvec"),
+    seed_rows = (
+        xs.filter(F.col(id_column) < k)
+        .select(
+            "subspace",
+            F.col(id_column).cast("int").alias("cluster_id"),
+            F.col("__x").alias("cvec"),
+        )
+        .collect()
     )
-    n_seeds = cents.count()
-    if n_seeds != m * k:
+    if len(seed_rows) != m * k:
         raise ValueError(
-            f"seed filter {id_column} < {k} matched {n_seeds // m if m else 0}"
+            f"seed filter {id_column} < {k} matched "
+            f"{len(seed_rows) // m if m else 0}"
             f" rows, expected exactly {k}: subspace Lloyd training requires "
             f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
             f"convention)"
         )
+    by_sub = lambda rows: [  # noqa: E731
+        [(cid, vec) for s2, cid, vec in rows if s2 == s] for s in range(m)
+    ]
+    cents = by_sub(
+        [(r["subspace"], r["cluster_id"], list(r["cvec"])) for r in seed_rows]
+    )
     for _ in range(iterations):
-        # per-subspace nearest-centroid assignment: the same index-order
-        # squared-L2 fold and (dist2, cluster_id) min tie-break as
-        # _assign_to_centroids, keyed by subspace
-        d = xs.join(F.broadcast(cents), "subspace").select(
-            id_column,
-            "subspace",
-            F.struct(
-                F.aggregate(
-                    F.zip_with("__x", "cvec", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("__dist2"),
-                F.col("cluster_id").alias("cluster_id"),
-            ).alias("__dc"),
-        )
-        assigned = (
-            d.groupBy(id_column, "subspace")
-            .agg(F.min("__dc").alias("__best"))
-            .select(
-                id_column,
-                "subspace",
-                F.col("__best.cluster_id").alias("cluster_id"),
+        # per-subspace nearest-centroid assignment as a literal argmin
+        # dispatched on the subspace column — the same index-order
+        # squared-L2 fold and (dist2, cluster_id) tie-break as
+        # _assign_to_centroids (pinned in _argmin_literal_struct), with
+        # the per-iteration broadcast join + groupBy-(id, subspace)
+        # exchange + join-back replaced by one shuffle-free projection
+        # (see _lloyd_train_collect; the collected model re-enters the
+        # plan via exact shortest-round-trip repr literals)
+        assign = None
+        for s in range(m):
+            cid = _argmin_literal_expr(F.col("__x"), cents[s])
+            assign = (
+                F.when(F.col("subspace") == s, cid)
+                if assign is None
+                else assign.when(F.col("subspace") == s, cid)
             )
-        )
-        members = assigned.join(xs, [id_column, "subspace"]).select(
-            "subspace", "cluster_id", "__x"
+        members = xs.select(
+            "subspace", assign.alias("cluster_id"), "__x"
         )
         # group_centroids' value-sorted mean fold, keyed by
         # (subspace, cluster): groups are disjoint across subspaces, so
@@ -1529,16 +1532,24 @@ def _fused_subspace_lloyd(
                 / F.count(F.lit(1))
             ).alias("centroid_v")
         )
-        cents = gc.groupBy("subspace", "cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
-                lambda r: r["centroid_v"],
-            ).alias("cvec")
+        trained = (
+            gc.groupBy("subspace", "cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "centroid_v"))
+                    ),
+                    lambda r: r["centroid_v"],
+                ).alias("cvec")
+            )
+            .collect()
         )
-    trained = cents.collect()
+        cents = by_sub(
+            [(r["subspace"], r["cluster_id"], list(r["cvec"])) for r in trained]
+        )
     xs.unpersist()
     return sorted(
-        (r["subspace"], r["cluster_id"], list(r["cvec"])) for r in trained
+        (s, cid, vec) for s in range(m) for cid, vec in cents[s]
     )
 
 
@@ -1798,21 +1809,25 @@ def _argmin_literal_struct(v: Column, cents) -> Column:
     ascending and only replaces on strictly smaller distance). Fields:
     ``d`` (squared L2 to the winner), ``cid``."""
     arr = _literal_centroid_array(cents)
-    init = F.struct(
-        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("cid")
+    # one (d, cid) struct per centroid via transform, then array_min:
+    # struct ordering is lexicographic (d first, then cid), exactly the
+    # min(struct(dist2, cluster_id)) the crossJoin formulation
+    # aggregates — and each centroid's distance is computed ONCE. The
+    # former when-fold referenced d2 twice per step, and higher-order-
+    # function lambdas re-evaluate every subexpression per element
+    # (no CSE inside aggregate) — each row paid the full distance fold
+    # 2× per centroid (r11; measured ~1.5× the training wall).
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(v, c["cv"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, t: s + t,
     )
-
-    def step(acc, c):
-        d2 = F.aggregate(
-            F.zip_with(v, c["cv"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, t: s + t,
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda c: F.struct(d2(c).alias("d"), c["cid"].alias("cid")),
         )
-        return F.when(
-            d2 < acc["d"], F.struct(d2.alias("d"), c["cid"].alias("cid"))
-        ).otherwise(acc)
-
-    return F.aggregate(arr, init, step)
+    )
 
 
 def _argmin_literal_expr(v: Column, cents) -> Column:
@@ -1828,32 +1843,58 @@ def _lloyd_train_collect(
     ``(id, __x: array<double>)`` frame and collect the FINAL centroid
     table locally — model-sized by design (k rows). Enforces the
     ``id < k`` seed contract (ValueError on sparse/non-integer ids).
-    Returns ``[(cluster_id, [floats]), ...]``."""
+    Returns ``[(cluster_id, [floats]), ...]``.
+
+    Each update's centroids are collected (model-sized) and the next
+    assignment is the LITERAL argmin projection the serving plans use
+    (:func:`_argmin_literal_struct` — pinned bit-identical arithmetic
+    and tie-break to :func:`_assign_to_centroids`): per iteration the
+    former lazy-frame formulation paid a broadcast crossJoin, a
+    groupBy-``id`` exchange of the corpus, and a join back onto the
+    vectors (two more exchanges + sorts); the literal form is one
+    shuffle-free projection feeding the (cluster, dim)-keyed mean
+    exchange — 5 exchanges → 1 per iteration, and at ``iterations=1``
+    (every registered training entry) the job count is unchanged
+    (seed collect + final collect). The driver round trip is exact:
+    collected doubles re-enter the plan via shortest-round-trip repr
+    (:func:`_double_sql`, bit-identity pinned by test)."""
     x = x.persist()
-    cents = x.filter(F.col(id_column) < k).select(
-        F.col(id_column).cast("int").alias("cluster_id"),
-        F.col("__x").alias("cvec"),
+    seed_rows = (
+        x.filter(F.col(id_column) < k)
+        .select(
+            F.col(id_column).cast("int").alias("cluster_id"),
+            F.col("__x").alias("cvec"),
+        )
+        .collect()
     )
-    n_seeds = cents.count()
-    if n_seeds != k:
+    if len(seed_rows) != k:
         raise ValueError(
-            f"seed filter {id_column} < {k} matched {n_seeds} rows, expected "
-            f"exactly {k}: Lloyd training requires contiguous integer ids "
-            f"0..k-1 (kmeans_lloyd's seed convention)"
+            f"seed filter {id_column} < {k} matched {len(seed_rows)} rows, "
+            f"expected exactly {k}: Lloyd training requires contiguous "
+            f"integer ids 0..k-1 (kmeans_lloyd's seed convention)"
         )
+    cents = [(r["cluster_id"], list(r["cvec"])) for r in seed_rows]
     for _ in range(iterations):
-        assigned = _assign_to_centroids(x, cents, id_column=id_column)
-        members = assigned.join(x, id_column).select("cluster_id", "__x")
-        gc = group_centroids(members, "cluster_id", vector_column="__x")
-        cents = gc.groupBy("cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
-                lambda r: r["centroid_v"],
-            ).alias("cvec")
+        members = x.select(
+            _argmin_literal_expr(F.col("__x"), cents).alias("cluster_id"),
+            "__x",
         )
-    rows = cents.collect()
+        gc = group_centroids(members, "cluster_id", vector_column="__x")
+        rows = (
+            gc.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "centroid_v"))
+                    ),
+                    lambda r: r["centroid_v"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cents = [(r["cluster_id"], list(r["cvec"])) for r in rows]
     x.unpersist()
-    return [(r["cluster_id"], list(r["cvec"])) for r in rows]
+    return cents
 
 
 def ivf_pq_topk(
@@ -1962,28 +2003,41 @@ def _ivf_pq_train_lists(
     Training materializes eagerly; both results are model-sized by
     design (coarse_k rows; m·k rows). Arithmetic is exactly
     :func:`ivf_pq_topk`'s r7 training block (this is that block,
-    extracted so the frozen-model path trains identically)."""
+    extracted so the frozen-model path trains identically).
+
+    (r11 note: under ``residual=False`` the two trainings are
+    independent and COULD overlap from two driver threads — guide §2.6
+    — but measured 2.2 s → 3.1 s warm on local[32]: the per-training
+    driver work is GIL-bound expression construction, so threads add
+    contention without overlapping anything. Kept sequential; revisit
+    on a real cluster where executor time dominates.)"""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     xfull = corpus.select(
         F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
     )
-    coarse = _lloyd_train_collect(
-        xfull, id_column=id_column, k=coarse_k, iterations=coarse_iterations
-    )
+
+    def train_coarse():
+        return _lloyd_train_collect(
+            xfull, id_column=id_column, k=coarse_k,
+            iterations=coarse_iterations,
+        )
+
+    def train_books(base_vec):
+        return _fused_subspace_lloyd(
+            corpus, id_column=id_column, base_vec=base_vec, sub=sub, m=m,
+            k=k, iterations=iterations,
+        )
+
+    coarse = train_coarse()
     base_vec = _as_double(F.col(vector_column))
     if residual:
         residual_expr = _coarse_residual_expr(coarse)
         base_vec = residual_expr(
             base_vec, _argmin_literal_expr(base_vec, coarse)
         )
-    # fused: one subspace-keyed training frame, one seed count, one
-    # collect for all m codebooks (arithmetic identical to m solo runs)
-    book_rows = _fused_subspace_lloyd(
-        corpus, id_column=id_column, base_vec=base_vec, sub=sub, m=m,
-        k=k, iterations=iterations,
-    )
+    book_rows = train_books(base_vec)
     books = [
         [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
         for s in range(m)
