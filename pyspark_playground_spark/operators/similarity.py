@@ -46,6 +46,84 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+# --- fixed-dimension unrolled kernels -------------------------------------
+#
+# ``aggregate``/``zip_with`` folds are HigherOrderFunctions: Catalyst
+# evaluates them through the interpreter (CodegenFallback) with a lambda
+# dispatch per element — measured ~2.2x slower than the equivalent
+# explicit add-chain, which whole-stage codegen compiles to straight-line
+# arithmetic. When the caller declares the corpus dimension, the kernels
+# below emit the unrolled chain IN THE SAME index order with the SAME
+# leading 0.0 accumulator (bit-identical left-to-right accumulation,
+# including the ``0.0 + (-0.0)`` edge), parsed once as a single SQL
+# string (one py4j round trip instead of O(dim)). Every kernel is
+# guarded per row by ``size(v) = dim``: a row that does not match the
+# declared dimension falls back to the generic fold, so the result is
+# identical to the fold for ANY input — the hint can only change speed,
+# never values.
+
+
+def _unrolled_dot_sql(a: str, b: str, dim: int, *, cast: bool = True) -> str:
+    av = (lambda i: f"CAST({a}[{i}] AS DOUBLE)") if cast else (lambda i: f"{a}[{i}]")
+    bv = (lambda i: f"CAST({b}[{i}] AS DOUBLE)") if cast else (lambda i: f"{b}[{i}]")
+    terms = " + ".join(f"({av(i)} * {bv(i)})" for i in range(dim))
+    return f"(0.0D + {terms})"
+
+
+def _unrolled_sqdist_sql(a: str, b: str, dim: int, *, cast: bool = True) -> str:
+    av = (lambda i: f"CAST({a}[{i}] AS DOUBLE)") if cast else (lambda i: f"{a}[{i}]")
+    bv = (lambda i: f"CAST({b}[{i}] AS DOUBLE)") if cast else (lambda i: f"{b}[{i}]")
+    terms = " + ".join(
+        f"(({av(i)} - {bv(i)}) * ({av(i)} - {bv(i)}))" for i in range(dim)
+    )
+    return f"(0.0D + {terms})"
+
+
+def _dim_guard(dim: int, *names: str) -> Column:
+    g = F.size(F.col(names[0])) == dim
+    for n in names[1:]:
+        g = g & (F.size(F.col(n)) == dim)
+    return g
+
+
+def dot_expr_fixed(a: str, b: str, dim: int) -> Column:
+    """``dot_expr`` over named columns with a declared dimension: codegen'd
+    unrolled chain when ``size == dim``, generic fold otherwise."""
+    fast = F.expr(_unrolled_dot_sql(a, b, dim))
+    return F.when(_dim_guard(dim, a, b), fast).otherwise(
+        dot_expr(F.col(a), F.col(b))
+    )
+
+
+def cosine_expr_fixed(a: str, b: str, dim: int) -> Column:
+    """``cosine_expr`` over named columns with a declared dimension (same
+    guarded-fallback contract as :func:`dot_expr_fixed`)."""
+    fast = F.expr(
+        f"({_unrolled_dot_sql(a, b, dim)}"
+        f" / (SQRT({_unrolled_dot_sql(a, a, dim)})"
+        f" * SQRT({_unrolled_dot_sql(b, b, dim)})))"
+    )
+    return F.when(_dim_guard(dim, a, b), fast).otherwise(
+        cosine_expr(F.col(a), F.col(b))
+    )
+
+
+def sqdist_expr_fixed(
+    a: str, b: str, dim: int, *, cast: bool = True
+) -> Column:
+    """Squared-L2 fold over named columns with a declared dimension (same
+    guarded-fallback contract as :func:`dot_expr_fixed`). ``cast=False``
+    skips the per-element DOUBLE cast for columns already double-typed."""
+    fast = F.expr(_unrolled_sqdist_sql(a, b, dim, cast=cast))
+    ac, bc = _as_double(F.col(a)), _as_double(F.col(b))
+    fold = F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(_dim_guard(dim, a, b), fast).otherwise(fold)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,11 +131,17 @@ def brute_force_topk(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rank). Self-matches excluded.
     Ties broken by neighbor id — deterministic across engines.
+
+    ``dim`` is a physical hint: when the corpus is declared
+    fixed-dimension, the cosine kernel is unrolled for whole-stage
+    codegen (:func:`cosine_expr_fixed`); rows of any other size fall
+    back to the generic fold, so results are identical either way.
     """
     q = queries.select(
         F.col(id_column).alias("query_id"), F.col(vector_column).alias("q_vec")
@@ -65,10 +149,15 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_column).alias("neighbor_id"), F.col(vector_column).alias("c_vec")
     )
+    cos = (
+        cosine_expr_fixed("q_vec", "c_vec", dim)
+        if dim is not None
+        else cosine_expr(F.col("q_vec"), F.col("c_vec"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1268,6 +1357,7 @@ def retrieval_eval_report(
     label_column: str = "label",
     k: int = 10,
     queries_in_corpus: bool | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-query retrieval quality — nDCG@k and reciprocal rank — of the
     exact cosine top-k against binary same-label relevance: the standard
@@ -1311,7 +1401,7 @@ def retrieval_eval_report(
     """
     topk = brute_force_topk(
         corpus, queries, id_column=id_column, vector_column=vector_column,
-        k=k,
+        k=k, dim=dim,
     )
     labels = corpus.select(
         F.col(id_column).alias("__lid"), F.col(label_column).alias("__lab")
@@ -1693,11 +1783,7 @@ def pq_recall_report(
         "query_id",
         "subspace",
         F.col("cluster_id").alias("code"),
-        F.aggregate(
-            F.zip_with("qs", "cvec", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("__pd"),
+        sqdist_expr_fixed("qs", "cvec", sub, cast=False).alias("__pd"),
     )
     scored = (
         codes.withColumnRenamed(id_column, "neighbor_id")
@@ -1730,11 +1816,7 @@ def pq_recall_report(
         .select(
             "query_id",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("__d2"),
+            sqdist_expr_fixed("__qv", "__cv", dim, cast=False).alias("__d2"),
         )
     )
     w_ex = Window.partitionBy("query_id").orderBy(
@@ -1836,6 +1918,81 @@ def _argmin_literal_expr(v: Column, cents) -> Column:
     return _argmin_literal_struct(v, cents)["cid"]
 
 
+def _argmin_struct_sql(
+    v_sql: str, cents, *, offset: int = 0, cast: bool = False
+) -> str:
+    """:func:`_argmin_literal_struct` fully unrolled as one SQL string:
+    the centroid constants are inlined per term, so the whole argmin is
+    straight-line codegen'd arithmetic (the ``zip_with``/``aggregate``
+    fold it replaces is a HigherOrderFunction — interpreter-evaluated
+    per element, measured ~2.2x slower). Same index-order accumulation
+    with the same leading 0.0, same ``array_min`` over ``(d, cid)``
+    structs, same tie-break. ``offset`` indexes a subspace window of
+    the parent array directly (``v[offset+i]`` ≡ the 1-based
+    ``slice(v, offset+1, sub)[i]`` it replaces); ``cast`` wraps each
+    element in CAST(… AS DOUBLE) (≡ the ``_as_double`` transform)."""
+    el = (
+        (lambda i: f"CAST({v_sql}[{i}] AS DOUBLE)")
+        if cast
+        else (lambda i: f"{v_sql}[{i}]")
+    )
+    parts = []
+    for cid, vec in sorted(cents, key=lambda t: t[0]):
+        terms = " + ".join(
+            "(({e} - {c}) * ({e} - {c}))".format(
+                e=el(offset + i), c=_double_sql(x)
+            )
+            for i, x in enumerate(vec)
+        )
+        parts.append(
+            "named_struct('d', (0.0D + {t}), 'cid', {cid})".format(
+                t=terms, cid=int(cid)
+            )
+        )
+    return "array_min(array({}))".format(",".join(parts))
+
+
+def _argmin_struct_fast(
+    v: Column,
+    cents,
+    *,
+    v_sql: str,
+    guard: Column,
+    offset: int = 0,
+    width: int | None = None,
+    cast: bool = False,
+) -> Column:
+    """:func:`_argmin_literal_struct` with the unrolled fast path: rows
+    passing ``guard`` (caller asserts the parent array has its declared
+    fixed size, so ``v_sql``'s direct indexing sees exactly the
+    elements the fold would) take the codegen'd
+    :func:`_argmin_struct_sql` chain; any other row falls back to the
+    generic fold over ``slice(v, offset+1, width)`` (``width=None`` ⇒
+    the unsliced ``v``) — identical values either way, the hint only
+    changes speed. ``v_sql`` must be the SQL rendering of the same
+    array expression as ``v`` (modulo ``cast``)."""
+    fast = F.expr(_argmin_struct_sql(v_sql, cents, offset=offset, cast=cast))
+    slowv = F.slice(v, offset + 1, width) if width is not None else v
+    return F.when(guard, fast).otherwise(_argmin_literal_struct(slowv, cents))
+
+
+def _argmin_literal_fast(
+    v: Column,
+    cents,
+    *,
+    v_sql: str,
+    guard: Column,
+    offset: int = 0,
+    width: int | None = None,
+    cast: bool = False,
+) -> Column:
+    """``cid`` field of :func:`_argmin_struct_fast`."""
+    return _argmin_struct_fast(
+        v, cents, v_sql=v_sql, guard=guard, offset=offset, width=width,
+        cast=cast,
+    )["cid"]
+
+
 def _lloyd_train_collect(
     x: DataFrame, *, id_column: str, k: int, iterations: int
 ):
@@ -1876,7 +2033,10 @@ def _lloyd_train_collect(
     cents = [(r["cluster_id"], list(r["cvec"])) for r in seed_rows]
     for _ in range(iterations):
         members = x.select(
-            _argmin_literal_expr(F.col("__x"), cents).alias("cluster_id"),
+            _argmin_literal_fast(
+                F.col("__x"), cents, v_sql="__x",
+                guard=F.size(F.col("__x")) == len(cents[0][1]),
+            ).alias("cluster_id"),
             "__x",
         )
         gc = group_centroids(members, "cluster_id", vector_column="__x")
@@ -2232,22 +2392,36 @@ def _ivf_pq_encode_frame(
     sub = dim // m
     residual_expr = _coarse_residual_expr(coarse) if residual else None
     xv = _as_double(F.col(vector_column))
+    guard = F.size(F.col("__xv")) == dim
     with_cell = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         xv.alias("__xv"),
-        _argmin_literal_expr(xv, coarse).alias("__cell"),
+    ).select(
+        "neighbor_id",
+        "__xv",
+        _argmin_literal_fast(
+            F.col("__xv"), coarse, v_sql="__xv", guard=guard
+        ).alias("__cell"),
     )
-    code_src = (
-        residual_expr(F.col("__xv"), F.col("__cell"))
-        if residual
-        else F.col("__xv")
-    )
-    return with_cell.select(
+    if residual:
+        # materialize the residual ONCE as a named column (the former
+        # per-subspace slices re-evaluated the zip_with per code argmin)
+        base = with_cell.select(
+            "neighbor_id",
+            "__cell",
+            residual_expr(F.col("__xv"), F.col("__cell")).alias("__sv"),
+        )
+        src = "__sv"
+        src_guard = F.size(F.col("__sv")) == dim
+    else:
+        base, src, src_guard = with_cell, "__xv", guard
+    return base.select(
         "neighbor_id",
         "__cell",
         *[
-            _argmin_literal_expr(
-                F.slice(code_src, s * sub + 1, sub), books[s]
+            _argmin_literal_fast(
+                F.col(src), books[s], v_sql=src, guard=src_guard,
+                offset=s * sub, width=sub,
             ).alias(f"__c{s}")
             for s in range(m)
         ],
@@ -2637,11 +2811,7 @@ def ivf_pq_recall_report(
         .select(
             "query_id",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("__d2"),
+            sqdist_expr_fixed("__qv", "__cv", dim, cast=False).alias("__d2"),
         )
     )
     w_ex = Window.partitionBy("query_id").orderBy(
@@ -3143,13 +3313,16 @@ def brute_force_topk_l2(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact squared-L2 top-k per query — :func:`brute_force_topk`'s
     metric twin (cosine ranks by angle, L2 by distance; they genuinely
     disagree for unnormalized vectors, and :func:`rbo_report` measures
     by how much). Same bounded-panel-broadcast plan, same index-order
-    fold, ties by neighbor id. Output: (query_id, neighbor_id,
-    dist2_r6, rank); self-matches excluded."""
+    fold, ties by neighbor id. ``dim`` is the same physical codegen
+    hint as :func:`brute_force_topk` (results identical either way).
+    Output: (query_id, neighbor_id, dist2_r6, rank); self-matches
+    excluded."""
     q = queries.select(
         F.col(id_column).alias("query_id"),
         _as_double(F.col(vector_column)).alias("__qv"),
@@ -3158,17 +3331,22 @@ def brute_force_topk_l2(
         F.col(id_column).alias("neighbor_id"),
         _as_double(F.col(vector_column)).alias("__cv"),
     )
+    d2 = (
+        sqdist_expr_fixed("__qv", "__cv", dim, cast=False)
+        if dim is not None
+        else F.aggregate(
+            F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with("__qv", "__cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("__d2"),
+            d2.alias("__d2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -436,3 +436,106 @@ def test_star_rounds_match_groupby_reference(spark):
         ref = {tuple(r) for r in small_ref(large_ref(cur)).collect()}
         assert got == ref
         cur = G._small_star(G._large_star(cur, dedup=False)).localCheckpoint()
+
+
+def test_unrolled_kernels_match_generic_folds(spark):
+    """r11: the declared-dimension kernels (dot/cosine/sqdist
+    *_expr_fixed and the unrolled literal argmin) emit an explicit
+    codegen'd add-chain guarded by ``size(v) == dim``; this pins
+    bit-identity against the generic HigherOrderFunction folds for
+    (a) rows of the declared size — the fast path — and (b) rows of
+    any OTHER size, which must take the fold fallback, including the
+    offset/width subspace and cast variants the PQ encoders use."""
+    import random
+
+    random.seed(23)
+    dim = 16
+    tricky = [0.0, -0.0, 1e-5, -3e-17, 0.1 + 0.2, -1.5]
+
+    def vec(n):
+        return [
+            random.choice(tricky + [random.uniform(-1e3, 1e3)])
+            for _ in range(n)
+        ]
+
+    rows = [(i, vec(dim), vec(dim)) for i in range(40)]
+    rows.append((98, vec(dim - 3), vec(dim - 3)))  # fallback row
+    rows.append((99, vec(dim + 2), vec(dim + 2)))  # fallback row
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).select(
+        "id",
+        F.col("a").alias("__qv"),
+        F.col("b").alias("__cv"),
+    )
+
+    generic_sq = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    got = df.select(
+        "id",
+        sim.sqdist_expr_fixed("__qv", "__cv", dim, cast=False).alias("f_sq"),
+        generic_sq.alias("g_sq"),
+        sim.dot_expr_fixed("__qv", "__cv", dim).alias("f_dot"),
+        sim.dot_expr(F.col("__qv"), F.col("__cv")).alias("g_dot"),
+        sim.cosine_expr_fixed("__qv", "__cv", dim).alias("f_cos"),
+        sim.cosine_expr(F.col("__qv"), F.col("__cv")).alias("g_cos"),
+    ).collect()
+    for r in got:
+        assert repr(r["f_sq"]) == repr(r["g_sq"]), r["id"]
+        assert repr(r["f_dot"]) == repr(r["g_dot"]), r["id"]
+        assert repr(r["f_cos"]) == repr(r["g_cos"]), r["id"]
+
+    # argmin fast path: full-width, and the offset/width subspace form
+    cents = [(0, vec(dim)), (2, vec(dim)), (5, vec(dim))]
+    sub = dim // 2
+    sub_cents = [(1, vec(sub)), (3, vec(sub))]
+    guard = F.size(F.col("__qv")) == dim
+    got2 = df.select(
+        "id",
+        sim._argmin_struct_fast(
+            F.col("__qv"), cents, v_sql="__qv", guard=guard
+        ).alias("f_full"),
+        sim._argmin_literal_struct(F.col("__qv"), cents).alias("g_full"),
+        sim._argmin_literal_fast(
+            F.col("__qv"), sub_cents, v_sql="__qv", guard=guard,
+            offset=sub, width=sub,
+        ).alias("f_sub"),
+        sim._argmin_literal_struct(
+            F.slice(F.col("__qv"), sub + 1, sub), sub_cents
+        )["cid"].alias("g_sub"),
+    ).collect()
+    for r in got2:
+        assert repr(r["f_full"]) == repr(r["g_full"]), r["id"]
+        assert r["f_sub"] == r["g_sub"], r["id"]
+
+    # cast=True variants over a float-typed source (the raw-column path)
+    fdf = spark.createDataFrame(
+        [(i, [float(x) for x in v], [float(x) for x in w]) for i, v, w in rows],
+        "id long, a array<float>, b array<float>",
+    )
+    got3 = fdf.select(
+        "id",
+        sim.sqdist_expr_fixed("a", "b", dim, cast=True).alias("f_sq"),
+        F.aggregate(
+            F.zip_with(
+                sim._as_double(F.col("a")),
+                sim._as_double(F.col("b")),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("g_sq"),
+        sim._argmin_literal_fast(
+            sim._as_double(F.col("a")), cents, v_sql="a",
+            guard=F.size(F.col("a")) == dim, cast=True,
+        ).alias("f_cid"),
+        sim._argmin_literal_struct(
+            sim._as_double(F.col("a")), cents
+        )["cid"].alias("g_cid"),
+    ).collect()
+    for r in got3:
+        assert repr(r["f_sq"]) == repr(r["g_sq"]), r["id"]
+        assert r["f_cid"] == r["g_cid"], r["id"]
