@@ -1914,83 +1914,16 @@ def _argmin_literal_struct(v: Column, cents) -> Column:
 
 def _argmin_literal_expr(v: Column, cents) -> Column:
     """Nearest-centroid id of ``v`` over a literal centroid list — the
-    ``cid`` field of :func:`_argmin_literal_struct`'s fold."""
+    ``cid`` field of :func:`_argmin_literal_struct`'s fold.
+
+    Measured dead end (r11), recorded so it is not retried: unrolling
+    this argmin into an explicit per-term SQL chain (the
+    ``sqdist_expr_fixed`` treatment) is 6-9x SLOWER at bench scale even
+    after codegen warm-up — at k×dim = 8×64 or m×16×16 terms the
+    guarded fast+fallback expression is too large for effective
+    codegen, where the ~200-term distance kernels genuinely win. Keep
+    the fold here."""
     return _argmin_literal_struct(v, cents)["cid"]
-
-
-def _argmin_struct_sql(
-    v_sql: str, cents, *, offset: int = 0, cast: bool = False
-) -> str:
-    """:func:`_argmin_literal_struct` fully unrolled as one SQL string:
-    the centroid constants are inlined per term, so the whole argmin is
-    straight-line codegen'd arithmetic (the ``zip_with``/``aggregate``
-    fold it replaces is a HigherOrderFunction — interpreter-evaluated
-    per element, measured ~2.2x slower). Same index-order accumulation
-    with the same leading 0.0, same ``array_min`` over ``(d, cid)``
-    structs, same tie-break. ``offset`` indexes a subspace window of
-    the parent array directly (``v[offset+i]`` ≡ the 1-based
-    ``slice(v, offset+1, sub)[i]`` it replaces); ``cast`` wraps each
-    element in CAST(… AS DOUBLE) (≡ the ``_as_double`` transform)."""
-    el = (
-        (lambda i: f"CAST({v_sql}[{i}] AS DOUBLE)")
-        if cast
-        else (lambda i: f"{v_sql}[{i}]")
-    )
-    parts = []
-    for cid, vec in sorted(cents, key=lambda t: t[0]):
-        terms = " + ".join(
-            "(({e} - {c}) * ({e} - {c}))".format(
-                e=el(offset + i), c=_double_sql(x)
-            )
-            for i, x in enumerate(vec)
-        )
-        parts.append(
-            "named_struct('d', (0.0D + {t}), 'cid', {cid})".format(
-                t=terms, cid=int(cid)
-            )
-        )
-    return "array_min(array({}))".format(",".join(parts))
-
-
-def _argmin_struct_fast(
-    v: Column,
-    cents,
-    *,
-    v_sql: str,
-    guard: Column,
-    offset: int = 0,
-    width: int | None = None,
-    cast: bool = False,
-) -> Column:
-    """:func:`_argmin_literal_struct` with the unrolled fast path: rows
-    passing ``guard`` (caller asserts the parent array has its declared
-    fixed size, so ``v_sql``'s direct indexing sees exactly the
-    elements the fold would) take the codegen'd
-    :func:`_argmin_struct_sql` chain; any other row falls back to the
-    generic fold over ``slice(v, offset+1, width)`` (``width=None`` ⇒
-    the unsliced ``v``) — identical values either way, the hint only
-    changes speed. ``v_sql`` must be the SQL rendering of the same
-    array expression as ``v`` (modulo ``cast``)."""
-    fast = F.expr(_argmin_struct_sql(v_sql, cents, offset=offset, cast=cast))
-    slowv = F.slice(v, offset + 1, width) if width is not None else v
-    return F.when(guard, fast).otherwise(_argmin_literal_struct(slowv, cents))
-
-
-def _argmin_literal_fast(
-    v: Column,
-    cents,
-    *,
-    v_sql: str,
-    guard: Column,
-    offset: int = 0,
-    width: int | None = None,
-    cast: bool = False,
-) -> Column:
-    """``cid`` field of :func:`_argmin_struct_fast`."""
-    return _argmin_struct_fast(
-        v, cents, v_sql=v_sql, guard=guard, offset=offset, width=width,
-        cast=cast,
-    )["cid"]
 
 
 def _lloyd_train_collect(
@@ -2033,10 +1966,7 @@ def _lloyd_train_collect(
     cents = [(r["cluster_id"], list(r["cvec"])) for r in seed_rows]
     for _ in range(iterations):
         members = x.select(
-            _argmin_literal_fast(
-                F.col("__x"), cents, v_sql="__x",
-                guard=F.size(F.col("__x")) == len(cents[0][1]),
-            ).alias("cluster_id"),
+            _argmin_literal_expr(F.col("__x"), cents).alias("cluster_id"),
             "__x",
         )
         gc = group_centroids(members, "cluster_id", vector_column="__x")
@@ -2392,16 +2322,10 @@ def _ivf_pq_encode_frame(
     sub = dim // m
     residual_expr = _coarse_residual_expr(coarse) if residual else None
     xv = _as_double(F.col(vector_column))
-    guard = F.size(F.col("__xv")) == dim
     with_cell = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         xv.alias("__xv"),
-    ).select(
-        "neighbor_id",
-        "__xv",
-        _argmin_literal_fast(
-            F.col("__xv"), coarse, v_sql="__xv", guard=guard
-        ).alias("__cell"),
+        _argmin_literal_expr(xv, coarse).alias("__cell"),
     )
     if residual:
         # materialize the residual ONCE as a named column (the former
@@ -2412,16 +2336,14 @@ def _ivf_pq_encode_frame(
             residual_expr(F.col("__xv"), F.col("__cell")).alias("__sv"),
         )
         src = "__sv"
-        src_guard = F.size(F.col("__sv")) == dim
     else:
-        base, src, src_guard = with_cell, "__xv", guard
+        base, src = with_cell, "__xv"
     return base.select(
         "neighbor_id",
         "__cell",
         *[
-            _argmin_literal_fast(
-                F.col(src), books[s], v_sql=src, guard=src_guard,
-                offset=s * sub, width=sub,
+            _argmin_literal_expr(
+                F.slice(F.col(src), s * sub + 1, sub), books[s]
             ).alias(f"__c{s}")
             for s in range(m)
         ],

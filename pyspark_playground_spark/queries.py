@@ -1535,7 +1535,9 @@ def ann_cosine_topk_embeddings(spark, sf_dir):
     """Brute-force cosine top-k (exact baseline; queries broadcast)."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return sim.brute_force_topk(emb, queries_df, k=5)
+    # dim=64: physical codegen hint (synthetic embeddings are fixed
+    # 64-dim); guarded per row, identical results for any input
+    return sim.brute_force_topk(emb, queries_df, k=5, dim=64)
 
 
 @query("ann_lsh_topk_embeddings", _BRUTE_TOPK_SQL)
@@ -11537,7 +11539,7 @@ def hybrid_rrf_documents(spark, sf_dir):
         "doc_id", F.col("bm25_score").alias("score")
     )
     q = emb.filter(F.col("vec_id") == 0)
-    dense = sim.brute_force_topk(emb, q, k=50).select(
+    dense = sim.brute_force_topk(emb, q, k=50, dim=64).select(
         F.col("neighbor_id").alias("doc_id"), "cosine"
     )
     fused = sim.rrf_fuse([(lex, "score"), (dense, "cosine")], top_n=50)
@@ -11693,7 +11695,7 @@ def hubness_census_embeddings(spark, sf_dir):
     Composes with any ANN family member; census itself is two bounded
     aggregations."""
     emb = load(spark, sf_dir, "embeddings")
-    topk = sim.brute_force_topk(emb, emb, k=5)
+    topk = sim.brute_force_topk(emb, emb, k=5, dim=64)
     return sim.k_occurrence_census(topk, emb)
 
 
@@ -13257,6 +13259,7 @@ def retrieval_eval_embeddings(spark, sf_dir):
         k=10,
         # panel is drawn from the corpus: skip the membership-detect pass
         queries_in_corpus=True,
+        dim=64,
     )
 
 
@@ -16323,8 +16326,8 @@ def rbo_cosine_vs_l2_embeddings(spark, sf_dir):
     quantized terms, order-free BIGINT sums."""
     emb = load(spark, sf_dir, "embeddings")
     panel = emb.filter(F.col("vec_id") < 10)
-    ra = sim.brute_force_topk(emb, panel, k=10)
-    rb = sim.brute_force_topk_l2(emb, panel, k=10)
+    ra = sim.brute_force_topk(emb, panel, k=10, dim=64)
+    rb = sim.brute_force_topk_l2(emb, panel, k=10, dim=64)
     return sim.rbo_report(ra, rb, depth=10, p_ppm=900_000)
 
 

@@ -440,12 +440,13 @@ def test_star_rounds_match_groupby_reference(spark):
 
 def test_unrolled_kernels_match_generic_folds(spark):
     """r11: the declared-dimension kernels (dot/cosine/sqdist
-    *_expr_fixed and the unrolled literal argmin) emit an explicit
-    codegen'd add-chain guarded by ``size(v) == dim``; this pins
-    bit-identity against the generic HigherOrderFunction folds for
-    (a) rows of the declared size — the fast path — and (b) rows of
-    any OTHER size, which must take the fold fallback, including the
-    offset/width subspace and cast variants the PQ encoders use."""
+    *_expr_fixed) emit an explicit codegen'd add-chain guarded by
+    ``size(v) == dim``; this pins bit-identity against the generic
+    HigherOrderFunction folds for (a) rows of the declared size — the
+    fast path — and (b) rows of any OTHER size, which must take the
+    fold fallback, including the cast variant used over raw float
+    columns. (The literal-centroid argmin deliberately stays a fold —
+    see the measured-dead-end note at ``_argmin_literal_expr``.)"""
     import random
 
     random.seed(23)
@@ -488,30 +489,7 @@ def test_unrolled_kernels_match_generic_folds(spark):
         assert repr(r["f_dot"]) == repr(r["g_dot"]), r["id"]
         assert repr(r["f_cos"]) == repr(r["g_cos"]), r["id"]
 
-    # argmin fast path: full-width, and the offset/width subspace form
-    cents = [(0, vec(dim)), (2, vec(dim)), (5, vec(dim))]
-    sub = dim // 2
-    sub_cents = [(1, vec(sub)), (3, vec(sub))]
-    guard = F.size(F.col("__qv")) == dim
-    got2 = df.select(
-        "id",
-        sim._argmin_struct_fast(
-            F.col("__qv"), cents, v_sql="__qv", guard=guard
-        ).alias("f_full"),
-        sim._argmin_literal_struct(F.col("__qv"), cents).alias("g_full"),
-        sim._argmin_literal_fast(
-            F.col("__qv"), sub_cents, v_sql="__qv", guard=guard,
-            offset=sub, width=sub,
-        ).alias("f_sub"),
-        sim._argmin_literal_struct(
-            F.slice(F.col("__qv"), sub + 1, sub), sub_cents
-        )["cid"].alias("g_sub"),
-    ).collect()
-    for r in got2:
-        assert repr(r["f_full"]) == repr(r["g_full"]), r["id"]
-        assert r["f_sub"] == r["g_sub"], r["id"]
-
-    # cast=True variants over a float-typed source (the raw-column path)
+    # cast=True variant over a float-typed source (the raw-column path)
     fdf = spark.createDataFrame(
         [(i, [float(x) for x in v], [float(x) for x in w]) for i, v, w in rows],
         "id long, a array<float>, b array<float>",
@@ -528,14 +506,6 @@ def test_unrolled_kernels_match_generic_folds(spark):
             F.lit(0.0),
             lambda acc, v: acc + v,
         ).alias("g_sq"),
-        sim._argmin_literal_fast(
-            sim._as_double(F.col("a")), cents, v_sql="a",
-            guard=F.size(F.col("a")) == dim, cast=True,
-        ).alias("f_cid"),
-        sim._argmin_literal_struct(
-            sim._as_double(F.col("a")), cents
-        )["cid"].alias("g_cid"),
     ).collect()
     for r in got3:
         assert repr(r["f_sq"]) == repr(r["g_sq"]), r["id"]
-        assert r["f_cid"] == r["g_cid"], r["id"]
