@@ -144,12 +144,24 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     path. For cluster runs pass ``checkpoint_dir`` (HDFS/S3 path) to take a
     reliable checkpoint that survives executor loss; or persist the branch
     to a table yourself and pass the re-read DataFrame in.
+
+    The local checkpoint is LAZY (r11): the caller's next action — in
+    the pipeline operators, the query's own execution — is the job that
+    materializes it, instead of a separate sequential job per
+    materialization at plan-build time (each such job left the cluster
+    idle during job launch/teardown; measured on the day-2 increment:
+    every paired round faster lazy, identical pair sets). Blocks are
+    persisted on first computation, so every downstream consumer still
+    reads the materialized copy rather than recomputing lineage. The
+    reliable-checkpoint path stays eager: a lazy reliable checkpoint
+    recomputes its lineage when writing the checkpoint files, doubling
+    the branch's work on a cluster.
     """
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def _perm_hash(i: int):

@@ -82,23 +82,20 @@ def _large_star(edges: DataFrame, *, dedup: bool = True) -> DataFrame:
     (bounded: ≤ one per input edge) duplicates anyway — one fewer
     exchange per CC round.
     """
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
-                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
-            )
-        ).alias("e")
-    ).select("e.u", "e.v")
-    w = Window.partitionBy("u")
-    starred = sym.select(
-        "u",
-        "v",
-        F.least(F.min("v").over(w), F.col("u")).alias("m"),
+    # parsed SQL strings (r11): a CC run builds this plan once per star
+    # per round — the per-element F./Window construction was ~0.1 s of
+    # py4j round trips per star call, the largest driver cost of the
+    # loop after the per-round plan compile; one selectExpr string
+    # parses in the JVM in ~ms and produces the identical logical plan
+    # (inline(array(struct..)) ≡ explode+field-select)
+    sym = edges.selectExpr(
+        "inline(array(named_struct('u', u, 'v', v),"
+        " named_struct('u', v, 'v', u)))"
     )
-    out = starred.where(F.col("v") > F.col("u")).select(
-        F.col("v").alias("u"), F.col("m").alias("v")
+    starred = sym.selectExpr(
+        "u", "v", "least(min(v) over (partition by u), u) as m"
     )
+    out = starred.where("v > u").selectExpr("v as u", "m as v")
     return out.distinct() if dedup else out
 
 
@@ -111,28 +108,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     emitted per input row instead of per key; the terminal ``distinct``
     collapses it to one, exactly the set the groupBy formulation
     built)."""
-    w = Window.partitionBy("u")
-    with_min = edges.select("u", "v", F.min("v").over(w).alias("m"))
     # one Generate pass instead of rewired ∪ self_edges: a union would
     # scan the (checkpointed) round input twice and double the logical
     # plan the next localCheckpoint has to re-plan (r11: per-round plan
-    # construction was the CC wall at bench scale, not the data)
-    out = with_min.select(
-        F.explode(
-            F.when(
-                F.col("v") != F.col("m"),
-                F.array(
-                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
-                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
-                ),
-            ).otherwise(
-                F.array(
-                    F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
-                )
-            )
-        ).alias("e")
-    ).select("e.u", "e.v")
-    return out.where(F.col("u") != F.col("v")).distinct()
+    # construction was the CC wall at bench scale, not the data).
+    # Parsed SQL strings for the same py4j reason as _large_star.
+    with_min = edges.selectExpr(
+        "u", "v", "min(v) over (partition by u) as m"
+    )
+    out = with_min.selectExpr(
+        "inline(CASE WHEN v != m THEN"
+        " array(named_struct('u', v, 'v', m), named_struct('u', u, 'v', m))"
+        " ELSE array(named_struct('u', u, 'v', m)) END)"
+    )
+    return out.where("u != v").distinct()
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:

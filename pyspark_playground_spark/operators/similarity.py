@@ -1543,24 +1543,26 @@ def _fused_subspace_lloyd(
     corpus row (raw vector, or the coarse residual for IVFADC).
     Enforces the id<k seed contract. Returns sorted
     ``[(subspace, cluster_id, [floats]), ...]``."""
-    xs = (
-        corpus.select(
-            F.col(id_column),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("subspace"),
-                            F.slice(base_vec, s * sub + 1, sub).alias("__x"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("__e"),
-        )
-        .select(id_column, "__e.subspace", "__e.__x")
-        .persist()
-    )
+    xs = corpus.select(
+        F.col(id_column),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice(base_vec, s * sub + 1, sub).alias("__x"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_column, "__e.subspace", "__e.__x")
+    # seeds BEFORE persist (r11): the id < k predicate pushes below the
+    # Generate to the source scan; the former persist-then-collect order
+    # materialized the whole m×N exploded frame into cache just to read
+    # the m×k seed rows. The cache pays off only when a second pass
+    # reads it (iterations >= 2) — at iterations=1 the single
+    # (subspace, cluster, dim) mean aggregate is the only consumer.
     seed_rows = (
         xs.filter(F.col(id_column) < k)
         .select(
@@ -1584,6 +1586,9 @@ def _fused_subspace_lloyd(
     cents = by_sub(
         [(r["subspace"], r["cluster_id"], list(r["cvec"])) for r in seed_rows]
     )
+    persisted = iterations > 1
+    if persisted:
+        xs = xs.persist()
     for _ in range(iterations):
         # per-subspace nearest-centroid assignment as a literal argmin
         # dispatched on the subspace column — the same index-order
@@ -1637,7 +1642,8 @@ def _fused_subspace_lloyd(
         cents = by_sub(
             [(r["subspace"], r["cluster_id"], list(r["cvec"])) for r in trained]
         )
-    xs.unpersist()
+    if persisted:
+        xs.unpersist()
     return sorted(
         (s, cid, vec) for s in range(m) for cid, vec in cents[s]
     )
@@ -1948,7 +1954,13 @@ def _lloyd_train_collect(
     (seed collect + final collect). The driver round trip is exact:
     collected doubles re-enter the plan via shortest-round-trip repr
     (:func:`_double_sql`, bit-identity pinned by test)."""
-    x = x.persist()
+    # seeds BEFORE persist (r11): collected from the un-cached frame, the
+    # id < k predicate pushes down to the source scan — the former
+    # persist-then-collect order materialized the ENTIRE corpus frame
+    # into cache just to read k seed rows (a cached frame evaluates
+    # filters after caching each partition). The cache itself only pays
+    # off when a second pass reads it, i.e. iterations >= 2 (at
+    # iterations=1 the single mean-aggregate job is the only consumer).
     seed_rows = (
         x.filter(F.col(id_column) < k)
         .select(
@@ -1963,6 +1975,9 @@ def _lloyd_train_collect(
             f"expected exactly {k}: Lloyd training requires contiguous "
             f"integer ids 0..k-1 (kmeans_lloyd's seed convention)"
         )
+    persisted = iterations > 1
+    if persisted:
+        x = x.persist()
     cents = [(r["cluster_id"], list(r["cvec"])) for r in seed_rows]
     for _ in range(iterations):
         members = x.select(
@@ -1983,7 +1998,8 @@ def _lloyd_train_collect(
             .collect()
         )
         cents = [(r["cluster_id"], list(r["cvec"])) for r in rows]
-    x.unpersist()
+    if persisted:
+        x.unpersist()
     return cents
 
 

@@ -518,7 +518,15 @@ def cox_binary_hazard(
         F.col("__c1").alias("__c1"),
         F.col("__c2").alias("__c2"),
     ).persist()
-    at_death = data.filter(F.col("__dd") > 0)
+
+    # Newton scores aggregate over the FULL cached census, not a
+    # death-time slice: a no-death row has __d1d = __dd = 0, so its
+    # u_t = 0 − 0·r1/s0 and i_t = 0·(r1·n0d)/s0² are EXACTLY +0.0
+    # (s0 > 0 always — every census row holds ≥ 1 subject), and exact
+    # zeros change neither DECIMAL sum. Dropping the filter lets the
+    # output row's group/death totals ride along in the FIRST Newton
+    # job (r11) instead of a separate sequential aggregate job.
+    counts: dict = {}
 
     def scores(beta: float):
         eb = math.floor(math.exp(beta) * 1e12 + 0.5) / 1e12
@@ -526,10 +534,29 @@ def cox_binary_hazard(
         s0 = F.col("__n0d") + r1
         u_t = F.col("__d1d") - F.col("__dd") * r1 / s0
         i_t = F.col("__dd") * (r1 * F.col("__n0d")) / (s0 * s0)
-        row = at_death.agg(
+        aggs = [
             F.sum(F.round(u_t, 9).cast("decimal(28,9)")).alias("u"),
             F.sum(F.round(i_t, 9).cast("decimal(28,9)")).alias("i"),
-        ).collect()[0]
+        ]
+        if not counts:
+            aggs += [
+                F.sum("__c1").cast("long").alias("n_a"),
+                F.sum("__c2").cast("long").alias("n_b"),
+                F.coalesce(F.sum("__d1"), F.lit(0))
+                .cast("long")
+                .alias("deaths_a"),
+                F.coalesce(F.sum("__d2"), F.lit(0))
+                .cast("long")
+                .alias("deaths_b"),
+            ]
+        row = data.agg(*aggs).collect()[0]
+        if not counts:
+            counts.update(
+                {
+                    k: row[k]
+                    for k in ("n_a", "n_b", "deaths_a", "deaths_b")
+                }
+            )
         return (
             float(row["u"]) if row["u"] is not None else 0.0,
             float(row["i"]) if row["i"] is not None else 0.0,
@@ -548,18 +575,12 @@ def cox_binary_hazard(
         if i_fin <= 0:
             beta = None
 
-    # group totals + death totals in ONE aggregate over the cached
-    # census (each lifetime row lands in exactly one census cell, so
-    # sum(__c1)/sum(__c2) ARE the group sizes; rows with no deaths
-    # contribute 0 to the death sums, so the dt>0 filter is immaterial
-    # to them) — integer sums, value-identical to the former separate
-    # lifetimes-frame and at_death aggregates
-    counts = data.agg(
-        F.sum("__c1").cast("long").alias("n_a"),
-        F.sum("__c2").cast("long").alias("n_b"),
-        F.coalesce(F.sum("__d1"), F.lit(0)).cast("long").alias("deaths_a"),
-        F.coalesce(F.sum("__d2"), F.lit(0)).cast("long").alias("deaths_b"),
-    ).collect()[0]
+    # group totals + death totals were collected by the FIRST scores
+    # aggregate above (each lifetime row lands in exactly one census
+    # cell, so sum(__c1)/sum(__c2) ARE the group sizes) — integer sums,
+    # value-identical to the former separate aggregate job. scores runs
+    # at least once on every path (iterations >= 1 enters the loop;
+    # iterations == 0 leaves beta = 0.0 and the final re-check runs).
     if beta is None:
         stats = [None, None, None, None]
     else:
