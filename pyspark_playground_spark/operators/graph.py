@@ -176,10 +176,16 @@ def connected_components(
     component's diameter; the default 25 covers astronomically large
     graphs).
     """
-    cur = _materialize_for_fingerprint(
-        _canonical_edges(edges, src, dst), checkpoint_dir
-    )
-    fp = _edge_fingerprint(cur)
+    # The input edge set is NOT checkpointed separately (r11): the first
+    # round-pair's materialization computes the caller's plan (e.g. the
+    # pairing join feeding entity resolution) exactly once as part of
+    # its own job — the former dedicated canonical-edges checkpoint +
+    # baseline fingerprint paid one extra plan compile + job per CC
+    # call to learn a baseline the first round-pair comparison can do
+    # without. Cost: graphs ALREADY converged at input pay one extra
+    # (trivial: star rounds over a star forest) pair before stopping.
+    cur = _canonical_edges(edges, src, dst)
+    fp: tuple[int, int] | None = None
     rounds_done = 0
     while rounds_done < max_iterations:
         plan = cur
@@ -188,9 +194,10 @@ def connected_components(
             rounds_done += 1
         nxt = _materialize_for_fingerprint(plan, checkpoint_dir)
         nfp = _edge_fingerprint(nxt)
-        cur.unpersist()
+        if fp is not None:
+            cur.unpersist()
         cur, prev_fp, fp = nxt, fp, nfp
-        if nfp == prev_fp:
+        if prev_fp is not None and nfp == prev_fp:
             break
     else:
         raise RuntimeError(
