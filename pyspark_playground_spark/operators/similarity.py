@@ -1532,6 +1532,7 @@ def _fused_subspace_lloyd(
     m: int,
     k: int,
     iterations: int,
+    seed_vectors: list | None = None,
 ) -> list:
     """Train m per-subspace Lloyd codebooks over ONE subspace-keyed
     frame (one seed collect; per iteration one literal-argmin
@@ -1542,7 +1543,15 @@ def _fused_subspace_lloyd(
     it would alone). ``base_vec`` may be any vector expression over the
     corpus row (raw vector, or the coarse residual for IVFADC).
     Enforces the id<k seed contract. Returns sorted
-    ``[(subspace, cluster_id, [floats]), ...]``."""
+    ``[(subspace, cluster_id, [floats]), ...]``.
+
+    ``seed_vectors`` (r11): optional pre-collected ``[(id, [floats])]``
+    FULL ``base_vec`` rows for every id < k — the caller already holds
+    them when ``base_vec`` is the raw vector a coarse trainer just
+    collected seeds from. Python list slicing of the collected doubles
+    is the collected value of ``F.slice`` over the same rows (both are
+    exact element selection), so the per-subspace seeds derive locally
+    and the dedicated seed-collect job is skipped."""
     xs = corpus.select(
         F.col(id_column),
         F.explode(
@@ -1563,15 +1572,27 @@ def _fused_subspace_lloyd(
     # the m×k seed rows. The cache pays off only when a second pass
     # reads it (iterations >= 2) — at iterations=1 the single
     # (subspace, cluster, dim) mean aggregate is the only consumer.
-    seed_rows = (
-        xs.filter(F.col(id_column) < k)
-        .select(
-            "subspace",
-            F.col(id_column).cast("int").alias("cluster_id"),
-            F.col("__x").alias("cvec"),
+    if seed_vectors is not None:
+        seed_rows = [
+            {
+                "subspace": s,
+                "cluster_id": int(i),
+                "cvec": vec[s * sub : (s + 1) * sub],
+            }
+            for i, vec in seed_vectors
+            if i < k
+            for s in range(m)
+        ]
+    else:
+        seed_rows = (
+            xs.filter(F.col(id_column) < k)
+            .select(
+                "subspace",
+                F.col(id_column).cast("int").alias("cluster_id"),
+                F.col("__x").alias("cvec"),
+            )
+            .collect()
         )
-        .collect()
-    )
     if len(seed_rows) != m * k:
         raise ValueError(
             f"seed filter {id_column} < {k} matched "
@@ -1933,7 +1954,12 @@ def _argmin_literal_expr(v: Column, cents) -> Column:
 
 
 def _lloyd_train_collect(
-    x: DataFrame, *, id_column: str, k: int, iterations: int
+    x: DataFrame,
+    *,
+    id_column: str,
+    k: int,
+    iterations: int,
+    seed_vectors: list | None = None,
 ):
     """Run :func:`kmeans_lloyd`'s exact training arithmetic over an
     ``(id, __x: array<double>)`` frame and collect the FINAL centroid
@@ -1961,14 +1987,23 @@ def _lloyd_train_collect(
     # filters after caching each partition). The cache itself only pays
     # off when a second pass reads it, i.e. iterations >= 2 (at
     # iterations=1 the single mean-aggregate job is the only consumer).
-    seed_rows = (
-        x.filter(F.col(id_column) < k)
-        .select(
-            F.col(id_column).cast("int").alias("cluster_id"),
-            F.col("__x").alias("cvec"),
+    # ``seed_vectors`` (r11): pre-collected [(id, [floats])] rows of the
+    # same ``__x`` values skip the collect job entirely.
+    if seed_vectors is not None:
+        seed_rows = [
+            {"cluster_id": int(i), "cvec": vec}
+            for i, vec in seed_vectors
+            if i < k
+        ]
+    else:
+        seed_rows = (
+            x.filter(F.col(id_column) < k)
+            .select(
+                F.col(id_column).cast("int").alias("cluster_id"),
+                F.col("__x").alias("cvec"),
+            )
+            .collect()
         )
-        .collect()
-    )
     if len(seed_rows) != k:
         raise ValueError(
             f"seed filter {id_column} < {k} matched {len(seed_rows)} rows, "
@@ -2123,27 +2158,35 @@ def _ivf_pq_train_lists(
     xfull = corpus.select(
         F.col(id_column), _as_double(F.col(vector_column)).alias("__x")
     )
+    # ONE seed collect serves both trainers (r11): coarse seeds are the
+    # id < coarse_k raw vectors; under residual=False the book seeds
+    # are SLICES of the id < k raw vectors — both derive locally from
+    # one pushdown read of id < max(coarse_k, k). 4 sequential training
+    # jobs → 3. (Residual book seeds depend on the trained coarse
+    # model, so that path keeps its own collect.)
+    seed_vectors = [
+        (r[id_column], list(r["__x"]))
+        for r in xfull.filter(
+            F.col(id_column) < max(coarse_k, k)
+        ).collect()
+    ]
 
-    def train_coarse():
-        return _lloyd_train_collect(
-            xfull, id_column=id_column, k=coarse_k,
-            iterations=coarse_iterations,
-        )
-
-    def train_books(base_vec):
-        return _fused_subspace_lloyd(
-            corpus, id_column=id_column, base_vec=base_vec, sub=sub, m=m,
-            k=k, iterations=iterations,
-        )
-
-    coarse = train_coarse()
+    coarse = _lloyd_train_collect(
+        xfull, id_column=id_column, k=coarse_k,
+        iterations=coarse_iterations, seed_vectors=seed_vectors,
+    )
     base_vec = _as_double(F.col(vector_column))
+    book_seeds = seed_vectors
     if residual:
         residual_expr = _coarse_residual_expr(coarse)
         base_vec = residual_expr(
             base_vec, _argmin_literal_expr(base_vec, coarse)
         )
-    book_rows = train_books(base_vec)
+        book_seeds = None
+    book_rows = _fused_subspace_lloyd(
+        corpus, id_column=id_column, base_vec=base_vec, sub=sub, m=m,
+        k=k, iterations=iterations, seed_vectors=book_seeds,
+    )
     books = [
         [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
         for s in range(m)
