@@ -192,7 +192,8 @@ def hub_rows(
     (reference shape RawVault.py:64-83; loader RawVault.py:194-260).
     """
     df = _filter_ops(staged, conv, Operation.HUB_SAT_OPS)
-    if conv.hkey() not in df.columns:
+    hkey_computed_here = conv.hkey() not in df.columns
+    if hkey_computed_here:
         df = df.withColumn(conv.hkey(), hash_key(list(business_key_columns), hash_function))
     # When the batch is not yet CDC-stamped, LOAD_DATE/RECORD_SOURCE are
     # call-level constants — keep them OUT of the dedup aggregate.
@@ -211,15 +212,23 @@ def hub_rows(
             F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
         )
         rs_c = F.lit(record_source if record_source is not None else "unknown")
-        df = (
-            df.select(conv.hkey(), *business_key_columns)
-            .dropDuplicates([conv.hkey()])
-            .select(
-                conv.hkey(),
-                ts_c.alias(conv.load_date()),
-                rs_c.alias(conv.record_source()),
-                *business_key_columns,
-            )
+        keyed = df.select(conv.hkey(), *business_key_columns)
+        # distinct() when the hkey was computed HERE from exactly these
+        # business keys (r11): one row per hkey IS one row per key tuple
+        # (the standing hash-identity bet), and the all-grouping-keys
+        # aggregate drops the first(<string bkey>) buffers that degrade
+        # string-keyed hubs to SortAggregate. A pre-hashed input keeps
+        # dropDuplicates — the dependency is not locally provable there.
+        deduped = (
+            keyed.distinct()
+            if hkey_computed_here
+            else keyed.dropDuplicates([conv.hkey()])
+        )
+        df = deduped.select(
+            conv.hkey(),
+            ts_c.alias(conv.load_date()),
+            rs_c.alias(conv.record_source()),
+            *business_key_columns,
         )
     else:
         df = df.select(
@@ -412,11 +421,18 @@ def link_rows(
         .withColumn(conv.hkey(), hash_key([from_hkey, to_hkey], hash_function))
     )
     # constants attached after the key-only dedup + anti-join (see
-    # multilink_rows: string-literal first() buffers force SortAggregate)
+    # multilink_rows: string-literal first() buffers force SortAggregate).
+    # distinct() instead of dropDuplicates(hkey) (r11): the hkey was JUST
+    # computed as hash(from, to), so one row per distinct hkey IS one row
+    # per distinct (hkey, from, to) tuple (the engine's standing
+    # hash-identity bet) — and an all-grouping-keys aggregate has no
+    # first() buffers, restoring HashAggregate for md5's STRING member
+    # keys (first(string) has an immutable buffer and degrades the plan
+    # to SortAggregate with a full sort on both sides of the exchange).
     ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
     new_links = (
         pairs.select(conv.hkey(), F.col(from_hkey), F.col(to_hkey))
-        .dropDuplicates([conv.hkey()])
+        .distinct()
     )
     new_links = _maybe_repartition(new_links, [conv.hkey()], config)
     new_links = _anti(new_links, existing_link, [conv.hkey()])
@@ -585,10 +601,14 @@ def multilink_rows(
     # become first(<string literal>) aggregates whose immutable string
     # buffers force SortAggregate (two full sorts around the exchange)
     # instead of HashAggregate, and the exchange ships the constants per
-    # row. With xxhash64 member keys (all-long buffers) the dedup now
-    # hash-aggregates; with md5 it still sheds the two constant columns.
+    # row. distinct() instead of dropDuplicates(hkey) (r11): the hkey was
+    # JUST computed as hash(member hkeys in order), so one row per
+    # distinct hkey IS one row per distinct tuple (the standing
+    # hash-identity bet) — an all-grouping-keys aggregate has no first()
+    # buffers at all, so the md5 variant hash-aggregates too (first's
+    # immutable string buffer was degrading it to SortAggregate).
     ts: Column = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
-    out = df.select(conv.hkey(), *hkey_cols).dropDuplicates([conv.hkey()])
+    out = df.select(conv.hkey(), *hkey_cols).distinct()
     out = _maybe_repartition(out, [conv.hkey()], config)
     out = _anti(out, existing_link, [conv.hkey()])
     return out.select(
