@@ -33,6 +33,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Whole-stage-codegen class cache (default 100 entries): a driver
+        # running this engine's query mix holds far more than 100 distinct
+        # codegen units live (the PQ recall pipeline alone compiles ~91),
+        # so at the default size the cache thrashes and every re-execution
+        # re-runs Janino + JIT on identical source — measured 24 recompiled
+        # units and 6-16 s of JIT-compiler time PER repeat execution of
+        # pq_recall_embeddings, with nondeterministic 3-5x wall spikes as
+        # compiler threads steal cores (and evictions bleed into
+        # neighboring queries). At 5000 entries repeats recompile zero
+        # units. Cost is driver metaspace for at most 5000 generated
+        # classes — small against any production driver heap, and the
+        # win is scale-independent (it is pure driver/JVM overhead).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)

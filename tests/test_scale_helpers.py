@@ -327,3 +327,15 @@ def test_join_size_report_null_keys_and_separator_collisions(spark):
     actual = left.join(right, ["k1", "k2"]).count()
     assert row["est_rows"] == actual == 4
     assert row["n_join_keys"] == 3
+
+
+def test_codegen_cache_sized_for_the_engine_query_mix(spark):
+    """The engine's session default for the whole-stage-codegen class
+    cache must cover the full query mix: at Spark's 100-entry default
+    the PQ recall pipeline alone (~91 codegen units) thrashes the
+    cache, so EVERY re-execution re-runs Janino + JIT on identical
+    generated source (measured r11: 24 recompiled units and 6-16 s of
+    JIT-compiler time per repeat, with 3-5x nondeterministic wall
+    spikes bleeding into neighboring queries in a long-lived driver).
+    Raising it is pure driver metaspace, no plan or result change."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 5000
