@@ -1523,6 +1523,97 @@ def retrieval_eval_report(
     )
 
 
+def _subspace_slices(
+    corpus: DataFrame, id_column: str, base_vec: Column, sub: int, m: int
+) -> DataFrame:
+    """The ``(id, subspace, __x)`` frame holding every row's m
+    contiguous ``sub``-wide slices of ``base_vec`` —
+    :func:`_fused_subspace_lloyd`'s training input, extracted so the
+    fused-training path in :func:`_ivf_pq_train_lists` builds the
+    identical frame."""
+    return corpus.select(
+        F.col(id_column),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.slice(base_vec, s * sub + 1, sub).alias("__x"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_column, "__e.subspace", "__e.__x")
+
+
+def _subspace_seed_cents(seed_vectors: list, k: int, sub: int, m: int):
+    """Per-subspace seed centroids from pre-collected full vectors —
+    the ``seed_vectors`` branch of :func:`_fused_subspace_lloyd`,
+    extracted for the fused-training path. Python list slicing of the
+    collected doubles is the collected value of ``F.slice`` over the
+    same rows (exact element selection). Same count contract and
+    error as the trainer."""
+    seed_rows = [
+        (s, int(i), vec[s * sub : (s + 1) * sub])
+        for i, vec in seed_vectors
+        if i < k
+        for s in range(m)
+    ]
+    if len(seed_rows) != m * k:
+        raise ValueError(
+            f"seed filter id < {k} matched "
+            f"{len(seed_rows) // m if m else 0}"
+            f" rows, expected exactly {k}: subspace Lloyd training requires "
+            f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
+            f"convention)"
+        )
+    return [
+        [(cid, vec) for s2, cid, vec in seed_rows if s2 == s]
+        for s in range(m)
+    ]
+
+
+def _subspace_iter_agg(xs: DataFrame, cents, m: int) -> DataFrame:
+    """ONE fused-subspace Lloyd update as a lazy
+    ``(subspace, cluster_id, cvec)`` aggregate frame —
+    :func:`_fused_subspace_lloyd`'s loop body before its collect (see
+    :func:`_lloyd_iter_agg` for why it is exposed). Arithmetic
+    unchanged: per-subspace literal argmin dispatched on the subspace
+    column, (subspace, cluster, dim)-keyed value-sorted mean fold,
+    position-sorted reassembly."""
+    assign = None
+    for s in range(m):
+        cid = _argmin_literal_expr(F.col("__x"), cents[s])
+        assign = (
+            F.when(F.col("subspace") == s, cid)
+            if assign is None
+            else assign.when(F.col("subspace") == s, cid)
+        )
+    members = xs.select("subspace", assign.alias("cluster_id"), "__x")
+    ex = members.select(
+        "subspace",
+        "cluster_id",
+        F.posexplode("__x").alias("pos", "__v"),
+    )
+    gc = ex.groupBy("subspace", "cluster_id", "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("__v")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("centroid_v")
+    )
+    return gc.groupBy("subspace", "cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+            lambda r: r["centroid_v"],
+        ).alias("cvec")
+    )
+
+
 def _fused_subspace_lloyd(
     corpus: DataFrame,
     *,
@@ -1552,37 +1643,18 @@ def _fused_subspace_lloyd(
     is the collected value of ``F.slice`` over the same rows (both are
     exact element selection), so the per-subspace seeds derive locally
     and the dedicated seed-collect job is skipped."""
-    xs = corpus.select(
-        F.col(id_column),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("subspace"),
-                        F.slice(base_vec, s * sub + 1, sub).alias("__x"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e"),
-    ).select(id_column, "__e.subspace", "__e.__x")
+    xs = _subspace_slices(corpus, id_column, base_vec, sub, m)
     # seeds BEFORE persist (r11): the id < k predicate pushes below the
     # Generate to the source scan; the former persist-then-collect order
     # materialized the whole m×N exploded frame into cache just to read
     # the m×k seed rows. The cache pays off only when a second pass
     # reads it (iterations >= 2) — at iterations=1 the single
     # (subspace, cluster, dim) mean aggregate is the only consumer.
+    by_sub = lambda rows: [  # noqa: E731
+        [(cid, vec) for s2, cid, vec in rows if s2 == s] for s in range(m)
+    ]
     if seed_vectors is not None:
-        seed_rows = [
-            {
-                "subspace": s,
-                "cluster_id": int(i),
-                "cvec": vec[s * sub : (s + 1) * sub],
-            }
-            for i, vec in seed_vectors
-            if i < k
-            for s in range(m)
-        ]
+        cents = _subspace_seed_cents(seed_vectors, k, sub, m)
     else:
         seed_rows = (
             xs.filter(F.col(id_column) < k)
@@ -1593,20 +1665,20 @@ def _fused_subspace_lloyd(
             )
             .collect()
         )
-    if len(seed_rows) != m * k:
-        raise ValueError(
-            f"seed filter {id_column} < {k} matched "
-            f"{len(seed_rows) // m if m else 0}"
-            f" rows, expected exactly {k}: subspace Lloyd training requires "
-            f"contiguous integer ids 0..k-1 (kmeans_lloyd's seed "
-            f"convention)"
+        if len(seed_rows) != m * k:
+            raise ValueError(
+                f"seed filter {id_column} < {k} matched "
+                f"{len(seed_rows) // m if m else 0}"
+                f" rows, expected exactly {k}: subspace Lloyd training "
+                f"requires contiguous integer ids 0..k-1 (kmeans_lloyd's "
+                f"seed convention)"
+            )
+        cents = by_sub(
+            [
+                (r["subspace"], r["cluster_id"], list(r["cvec"]))
+                for r in seed_rows
+            ]
         )
-    by_sub = lambda rows: [  # noqa: E731
-        [(cid, vec) for s2, cid, vec in rows if s2 == s] for s in range(m)
-    ]
-    cents = by_sub(
-        [(r["subspace"], r["cluster_id"], list(r["cvec"])) for r in seed_rows]
-    )
     persisted = iterations > 1
     if persisted:
         xs = xs.persist()
@@ -1619,47 +1691,7 @@ def _fused_subspace_lloyd(
         # exchange + join-back replaced by one shuffle-free projection
         # (see _lloyd_train_collect; the collected model re-enters the
         # plan via exact shortest-round-trip repr literals)
-        assign = None
-        for s in range(m):
-            cid = _argmin_literal_expr(F.col("__x"), cents[s])
-            assign = (
-                F.when(F.col("subspace") == s, cid)
-                if assign is None
-                else assign.when(F.col("subspace") == s, cid)
-            )
-        members = xs.select(
-            "subspace", assign.alias("cluster_id"), "__x"
-        )
-        # group_centroids' value-sorted mean fold, keyed by
-        # (subspace, cluster): groups are disjoint across subspaces, so
-        # per-subspace values are identical to separate runs
-        ex = members.select(
-            "subspace",
-            "cluster_id",
-            F.posexplode("__x").alias("pos", "__v"),
-        )
-        gc = ex.groupBy("subspace", "cluster_id", "pos").agg(
-            (
-                F.aggregate(
-                    F.array_sort(F.collect_list("__v")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / F.count(F.lit(1))
-            ).alias("centroid_v")
-        )
-        trained = (
-            gc.groupBy("subspace", "cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "centroid_v"))
-                    ),
-                    lambda r: r["centroid_v"],
-                ).alias("cvec")
-            )
-            .collect()
-        )
+        trained = _subspace_iter_agg(xs, cents, m).collect()
         cents = by_sub(
             [(r["subspace"], r["cluster_id"], list(r["cvec"])) for r in trained]
         )
@@ -1953,6 +1985,27 @@ def _argmin_literal_expr(v: Column, cents) -> Column:
     return _argmin_literal_struct(v, cents)["cid"]
 
 
+def _lloyd_iter_agg(x: DataFrame, cents) -> DataFrame:
+    """ONE Lloyd update as a lazy ``(cluster_id, cvec)`` aggregate frame
+    — :func:`_lloyd_train_collect`'s loop body before its collect,
+    exposed so a caller holding two independent single-iteration
+    trainings can union their aggregates into ONE job (see
+    :func:`_ivf_pq_train_lists`). Arithmetic unchanged: literal-argmin
+    assignment, :func:`group_centroids`' value-sorted mean fold,
+    position-sorted reassembly."""
+    members = x.select(
+        _argmin_literal_expr(F.col("__x"), cents).alias("cluster_id"),
+        "__x",
+    )
+    gc = group_centroids(members, "cluster_id", vector_column="__x")
+    return gc.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
+            lambda r: r["centroid_v"],
+        ).alias("cvec")
+    )
+
+
 def _lloyd_train_collect(
     x: DataFrame,
     *,
@@ -2015,23 +2068,7 @@ def _lloyd_train_collect(
         x = x.persist()
     cents = [(r["cluster_id"], list(r["cvec"])) for r in seed_rows]
     for _ in range(iterations):
-        members = x.select(
-            _argmin_literal_expr(F.col("__x"), cents).alias("cluster_id"),
-            "__x",
-        )
-        gc = group_centroids(members, "cluster_id", vector_column="__x")
-        rows = (
-            gc.groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "centroid_v"))
-                    ),
-                    lambda r: r["centroid_v"],
-                ).alias("cvec")
-            )
-            .collect()
-        )
+        rows = _lloyd_iter_agg(x, cents).collect()
         cents = [(r["cluster_id"], list(r["cvec"])) for r in rows]
     if persisted:
         x.unpersist()
@@ -2170,6 +2207,56 @@ def _ivf_pq_train_lists(
             F.col(id_column) < max(coarse_k, k)
         ).collect()
     ]
+
+    if not residual and coarse_iterations == 1 and iterations == 1:
+        # Fused single-job training (r11): under residual=False the two
+        # trainings are independent, and at one iteration each is one
+        # aggregate feeding a model-sized collect — so the coarse
+        # aggregate (tagged subspace = -1) and the m-codebook aggregate
+        # UNION into ONE action: 3 sequential training jobs → 2, and
+        # the two aggregates' stages are independent subtrees of one
+        # job, so the scheduler overlaps them (guide §2.6's idle-
+        # capacity win WITHOUT driver threads — the threaded variant
+        # measured slower here, GIL-bound; see the note above). Values
+        # are bit-identical: each subtree is exactly the aggregate the
+        # sequential trainer collects (pinned by
+        # test_fused_training_union_matches_sequential_trainers), and
+        # every consumer of the returned lists is centroid-order-
+        # independent (_literal_centroid_array sorts by cid).
+        coarse_seed = [
+            (int(i), list(vec)) for i, vec in seed_vectors if i < coarse_k
+        ]
+        if len(coarse_seed) != coarse_k:
+            raise ValueError(
+                f"seed filter {id_column} < {coarse_k} matched "
+                f"{len(coarse_seed)} rows, expected exactly {coarse_k}: "
+                f"Lloyd training requires contiguous integer ids "
+                f"0..k-1 (kmeans_lloyd's seed convention)"
+            )
+        book_cents = _subspace_seed_cents(seed_vectors, k, sub, m)
+        coarse_agg = _lloyd_iter_agg(xfull, coarse_seed).select(
+            F.lit(-1).alias("subspace"), "cluster_id", "cvec"
+        )
+        xs = _subspace_slices(
+            corpus, id_column, _as_double(F.col(vector_column)), sub, m
+        )
+        book_agg = _subspace_iter_agg(xs, book_cents, m)
+        rows = coarse_agg.unionByName(book_agg).collect()
+        coarse = sorted(
+            (int(r["cluster_id"]), list(r["cvec"]))
+            for r in rows
+            if r["subspace"] == -1
+        )
+        book_rows = sorted(
+            (int(r["subspace"]), int(r["cluster_id"]), list(r["cvec"]))
+            for r in rows
+            if r["subspace"] >= 0
+        )
+        books = [
+            [(cid, vec) for s2, cid, vec in book_rows if s2 == s]
+            for s in range(m)
+        ]
+        return coarse, books
 
     coarse = _lloyd_train_collect(
         xfull, id_column=id_column, k=coarse_k,

@@ -509,3 +509,58 @@ def test_unrolled_kernels_match_generic_folds(spark):
     ).collect()
     for r in got3:
         assert repr(r["f_sq"]) == repr(r["g_sq"]), r["id"]
+
+
+def test_fused_training_union_matches_sequential_trainers(spark):
+    """The single-job fused training path in _ivf_pq_train_lists
+    (coarse aggregate tagged subspace=-1 UNIONed with the m-codebook
+    aggregate, one collect) must return bit-identical models to the
+    sequential trainers it replaces: each union subtree is exactly the
+    aggregate the sequential trainer collects, so every float must
+    match exactly — any drift means the fused plan changed the
+    arithmetic, not just the job count."""
+    dim, m, k, coarse_k = 8, 2, 3, 4
+    sub = dim // m
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(((i * 7 + j * 13) % 29) - 14) / 3.0 for j in range(dim)])
+            for i in range(30)
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    fused_coarse, fused_books = sim._ivf_pq_train_lists(
+        corpus, id_column="vec_id", vector_column="embedding", dim=dim,
+        coarse_k=coarse_k, coarse_iterations=1, m=m, k=k, iterations=1,
+        residual=False,
+    )
+    xfull = corpus.select(
+        F.col("vec_id"), sim._as_double(F.col("embedding")).alias("__x")
+    )
+    seeds = [
+        (r["vec_id"], list(r["__x"]))
+        for r in xfull.filter(F.col("vec_id") < max(coarse_k, k)).collect()
+    ]
+    seq_coarse = sim._lloyd_train_collect(
+        xfull, id_column="vec_id", k=coarse_k, iterations=1,
+        seed_vectors=seeds,
+    )
+    seq_book_rows = sim._fused_subspace_lloyd(
+        corpus, id_column="vec_id",
+        base_vec=sim._as_double(F.col("embedding")), sub=sub, m=m, k=k,
+        iterations=1, seed_vectors=seeds,
+    )
+    seq_books = [
+        [(cid, vec) for s2, cid, vec in seq_book_rows if s2 == s]
+        for s in range(m)
+    ]
+    assert sorted(fused_coarse) == sorted(
+        (int(c), list(v)) for c, v in seq_coarse
+    )
+    assert fused_books == seq_books
+    # seed contract preserved on the fused path
+    with pytest.raises(ValueError, match="expected exactly"):
+        sim._ivf_pq_train_lists(
+            corpus.filter("vec_id >= 2"), id_column="vec_id",
+            vector_column="embedding", dim=dim, coarse_k=coarse_k,
+            coarse_iterations=1, m=m, k=k, iterations=1, residual=False,
+        )
