@@ -167,6 +167,12 @@ def main() -> None:
                 # output instead of masquerading as a code regression
                 "loadavg_before": load_before,
                 "loadavg_after": round(os.getloadavg()[0], 2),
+                # r12 (VERDICT r11 item 7): one explicit boolean so a
+                # PERF diff over this record self-describes — any >10%
+                # mover measured with dirty_box=true should be re-run
+                # once before being believed (the r11 32-core PERF table
+                # was contaminated by a loadavg-3.26 driver box)
+                "dirty_box": load_before > 1.5,
             }
         )
     )

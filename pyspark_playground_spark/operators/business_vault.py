@@ -60,11 +60,29 @@ def pit_rows(
         # later — which is exactly "first delete inside (ld, next_ld]".
         versions = satellite.select(
             F.col(hkey), F.col(ld).alias("__t"), F.lit(0).alias("__d")
-        ).distinct()
+        )
         deletes = effectivity.filter(F.col(conv.deleted())).select(
             F.col(hkey), F.col(ld).alias("__t"), F.lit(1).alias("__d")
         )
-        u = versions.unionByName(deletes)
+        # ONE exchange instead of two (r12, guide §2.4): the former
+        # versions.distinct() paid its own Exchange(hkey, __t) and the
+        # window below paid Exchange(hkey). Deduping AFTER the union,
+        # behind an explicit hkey-only repartition, lets the distinct's
+        # ClusteredDistribution((hkey, __t, __d)) AND the window's
+        # ClusteredDistribution((hkey,)) both ride the same hkey
+        # partitioning. Output unchanged: dedup moves from the versions
+        # side to the whole stream — versions dedup exactly as before
+        # (__d = 0 is constant), and deletes are consumed only through
+        # min() over a window frame, which is duplicate-insensitive.
+        # The trade: the shuffle carries raw (hkey, ts) rows instead of
+        # map-side-deduped ones — satellites are versioned on
+        # (hkey, load_date), so per-partition duplication is ~none, and
+        # one full shuffle beats two near-identical ones at any scale.
+        u = (
+            versions.unionByName(deletes)
+            .repartition(F.col(hkey))
+            .distinct()
+        )
         # DESCENDING time + growing [unboundedPreceding, -1] frame, not
         # ascending + [1, unboundedFollowing]: Spark's unbounded-
         # FOLLOWING frame re-aggregates the partition tail for EVERY
@@ -104,8 +122,13 @@ def pit_rows(
         )
     else:
         w = Window.partitionBy(hkey).orderBy(ld)
+        # same one-exchange shape as the effectivity branch (r12): the
+        # distinct's ClusteredDistribution((hkey, ld)) is satisfied by
+        # the explicit hkey partitioning (a subset of the clustering
+        # keys), and the lead() window reuses it — 2 Exchanges → 1.
         pit = (
             satellite.select(hkey, ld)
+            .repartition(F.col(hkey))
             .distinct()
             .withColumn("__next_ld", F.lead(ld).over(w))
             .withColumn("__del_ld", F.lit(None).cast("timestamp"))

@@ -264,12 +264,23 @@ def markov_transition_census(
         F.row_number().over(w_j_desc).alias("__rnd"),
         F.col("__t").alias("__cur"),
     )
-    edges = seq.select("__src", "__dst")
-    terminal = seq.filter(
-        (F.col("__rnd") == 1) & (F.col("__cur") != conversion_type)
-    ).select(F.col("__cur").alias("__src"), F.lit("NULL").alias("__dst"))
+    # ONE pass over the windowed rows (r12): the former
+    # ``edges ∪ terminal-filter`` union referenced the window subtree
+    # twice — ReuseExchange deduped the shuffle, but both window
+    # executions still ran. A journey's last non-conversion row emits
+    # its lost-edge alongside its transition edge in the same Generate
+    # (the _small_star inline(CASE) pattern); the union'd multiset is
+    # identical, so the census is too.
+    conv_sql = conversion_type.replace("'", "''")
+    edges = seq.selectExpr(
+        "inline(CASE WHEN __rnd = 1 AND __cur != '{c}' THEN"
+        " array(named_struct('__src', __src, '__dst', __dst),"
+        " named_struct('__src', __cur, '__dst', 'NULL'))"
+        " ELSE array(named_struct('__src', __src, '__dst', __dst))"
+        " END)".format(c=conv_sql)
+    )
     return (
-        edges.unionByName(terminal)
+        edges
         .groupBy("__src", "__dst")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -154,8 +154,9 @@ def t_closeness_census(
     ordinal (a band, decile, grade — the census discipline); the grid
     is classes × m rows built by broadcasting the m-row value census,
     the per-class cumulative window is partitioned by class, and the
-    only unbounded shuffles are the two hash-aggregations on
-    (QI) / (QI, value).
+    only unbounded shuffle is the one hash-aggregation on (QI, value)
+    — the value census, class sizes and totals all derive from it by
+    exact integer partition algebra (r12).
     """
     qi = [F.col(c) if isinstance(c, str) else c for c in quasi_identifiers]
     qi_names = [df.select(c).columns[0] for c in qi]
@@ -163,12 +164,27 @@ def t_closeness_census(
         *[c.alias(n) for c, n in zip(qi, qi_names)],
         F.col(sensitive_column).alias("__v"),
     ).filter(F.col("__v").isNotNull())
-    gv = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__g"))
-    cv = base.groupBy(*qi_names, "__v").agg(
-        F.count(F.lit(1)).alias("__c")
+    # ONE data-sized aggregation (r12, guide §2.4/§1.2 step 1): the
+    # (QI, value) census is the finest granularity — the former three
+    # independent groupBys over `base` (gv / cv / cs) compiled to THREE
+    # different exchanges over the source, so the physical plan scanned
+    # the input four times. Deriving the value census (gv), class sizes
+    # (cs) and totals from cv is exact integer partition algebra
+    # (count per v = Σ_classes count per (class, v), etc.), and because
+    # every derivation now shares cv's identical exchange subtree,
+    # ReuseExchange collapses the plan to ONE source scan. The
+    # repartition(1) bounds the census-sized remainder to a single task
+    # (the frame is capped by |classes|·|values| — the bounded-domain
+    # census contract — so 32 near-empty shuffle tasks per derivation
+    # are pure scheduling overhead at any scale).
+    cv = (
+        base.groupBy(*qi_names, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .repartition(1)
     )
-    cs = base.groupBy(*qi_names).agg(
-        F.count(F.lit(1)).alias(group_size_column)
+    gv = cv.groupBy("__v").agg(F.sum("__c").alias("__g"))
+    cs = cv.groupBy(*qi_names).agg(
+        F.sum("__c").alias(group_size_column)
     )
     tot = gv.agg(
         F.sum("__g").alias("__N"), F.count(F.lit(1)).alias("__m")

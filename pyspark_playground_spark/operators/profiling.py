@@ -3642,7 +3642,15 @@ def fdr_bh_two_proportion(
         .cast("long")
         .alias("z_q6"),
         p_q9.alias("p_q9"),
-    )
+    ).repartition(1)
+    # ^ bounded-parallelism (r12, VERDICT r11 item 2): everything below
+    # operates on the group census (rows = group cardinality, never the
+    # corpus). One partition lets the m-count, the rank/running-min
+    # windows AND the final self-join all run without further exchanges
+    # (SinglePartition satisfies every required distribution) — the
+    # former shape paid a cpus-task shuffle per step on a ~10-row frame.
+    # The shared census exchange below the repartition is deduped by
+    # ReuseExchange, so the source is still scanned once.
     tested = c.filter(F.col("p_q9").isNotNull())
     m1 = tested.agg(F.count(F.lit(1)).alias("__m"))
     ranked = tested.crossJoin(F.broadcast(m1)).withColumn(

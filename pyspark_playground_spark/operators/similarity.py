@@ -1606,7 +1606,9 @@ def _subspace_iter_agg(xs: DataFrame, cents, m: int) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("centroid_v")
     )
-    return gc.groupBy("subspace", "cluster_id").agg(
+    # model-sized reassembly in ONE task — see _lloyd_iter_agg (gc is
+    # m×k×sub rows here, still bounded by the model)
+    return gc.repartition(1).groupBy("subspace", "cluster_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
             lambda r: r["centroid_v"],
@@ -1998,7 +2000,14 @@ def _lloyd_iter_agg(x: DataFrame, cents) -> DataFrame:
         "__x",
     )
     gc = group_centroids(members, "cluster_id", vector_column="__x")
-    return gc.groupBy("cluster_id").agg(
+    # model-sized reassembly in ONE task (r12, VERDICT r11 item 2): gc is
+    # k×dim rows — bounded by the model, not the corpus — so cpus-many
+    # shuffle tasks for the final collect_list are pure scheduling
+    # overhead at any scale (the mechanism behind training lines running
+    # FASTER at 8 cores than 32 in BENCH_r11's scaling block). The
+    # data-sized (cluster, dim) mean aggregate above keeps its full
+    # parallelism; only the bounded frame collapses.
+    return gc.repartition(1).groupBy("cluster_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "centroid_v"))),
             lambda r: r["centroid_v"],

@@ -21,14 +21,22 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+# The slowest pipelines (>= ~10 s each of pure end-to-end replay; every
+# operator they compose has its own default-path unit tests and oracle
+# entries) are opt-in: `pytest -m heavy` (r12 suite-wall fix, VERDICT
+# r11 item 1). The cheap ones stay in the default run as composition
+# smoke coverage.
+_HEAVY = pytest.mark.heavy
+
+
 @pytest.mark.parametrize(
     "module",
     [
-        "examples.training_data_pipeline",
+        pytest.param("examples.training_data_pipeline", marks=_HEAVY),
         "examples.event_analytics_pipeline",
         "examples.catalog_resolution_pipeline",
         "examples.corpus_audit_pipeline",
-        "examples.drift_monitoring_pipeline",
+        pytest.param("examples.drift_monitoring_pipeline", marks=_HEAVY),
         "examples.mixture_design_pipeline",
         "examples.quality_classifier_pipeline",
         "examples.declarative_corpus_pipeline",

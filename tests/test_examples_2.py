@@ -12,17 +12,22 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+# see test_examples.py — the slowest end-to-end replays are opt-in
+# (`pytest -m heavy`), the cheap ones stay as default smoke coverage
+_HEAVY = pytest.mark.heavy
+
+
 @pytest.mark.parametrize(
     "module",
     [
-        "examples.embedding_curation_pipeline",
-        "examples.graph_diagnostics_pipeline",
-        "examples.eval_suite_pipeline",
-        "examples.vector_search_pipeline",
-        "examples.experimentation_pipeline",
+        pytest.param("examples.embedding_curation_pipeline", marks=_HEAVY),
+        pytest.param("examples.graph_diagnostics_pipeline", marks=_HEAVY),
+        pytest.param("examples.eval_suite_pipeline", marks=_HEAVY),
+        pytest.param("examples.vector_search_pipeline", marks=_HEAVY),
+        pytest.param("examples.experimentation_pipeline", marks=_HEAVY),
         "examples.temporal_validation_pipeline",
-        "examples.vault_to_corpus_pipeline",
-        "examples.incremental_ingest_pipeline",
+        pytest.param("examples.vault_to_corpus_pipeline", marks=_HEAVY),
+        pytest.param("examples.incremental_ingest_pipeline", marks=_HEAVY),
     ],
 )
 def test_example_pipeline_runs(spark, sf_dir, module, capsys):

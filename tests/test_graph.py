@@ -60,7 +60,7 @@ def test_self_loops_duplicates_and_reversed_edges(spark):
     assert _cc(spark, pairs) == {(1, 1), (2, 1), (6, 6), (7, 6)}
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     pairs=st.lists(

@@ -101,7 +101,7 @@ def _load_stream(spark, batches):
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=2, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(batches=cdc_stream())
 def test_vault_invariants_hold_for_any_stream(spark, batches):
@@ -470,7 +470,7 @@ def test_cusum_matches_python_fold(spark, seqs):
         assert Decimal(got[u]["cusum_max_scaled"]) == Decimal(mx.numerator) / Decimal(mx.denominator)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     edges=st.lists(

@@ -69,6 +69,57 @@ def test_hub_rows_dedup_and_anti_join(spark):
     assert len(rows) == 1 and rows[0]["PublicID"] == "m3"
 
 
+def test_hub_rows_null_bkey_collision_keeps_one_row_per_hkey(spark):
+    """VERDICT r11 item 4: ``concat_ws`` skips nulls, so the distinct
+    business-key tuples ('a', NULL) and (NULL, 'a') hash to the SAME
+    hkey. The hub is keyed on hkey — the loader must emit ONE row for
+    it (the reference's dropDuplicates semantics), not one per tuple
+    (what an unconditional distinct() over (hkey, *bkeys) emitted)."""
+    df = spark.createDataFrame(
+        [(Operation.CREATE, T0, "a", None), (Operation.CREATE, T0, None, "a")],
+        "OPERATION int, LOAD_DATE timestamp, A string, B string",
+    )
+    # no hkey_columns: hub_rows computes the hkey itself (the only
+    # construction where the r11 distinct() fast path could fire)
+    staged = rv.prepare_staging(
+        df,
+        load_date_column="LOAD_DATE",
+        operation_column="OPERATION",
+        record_source="test",
+    )
+    hub = rv.hub_rows(staged, ["A", "B"], load_ts=T1, record_source="test")
+    rows = hub.collect()
+    assert len(rows) == 1, (
+        f"null-collapsed bkey tuples must dedup to one hub row per hkey, "
+        f"got {len(rows)}"
+    )
+
+
+def test_hub_rows_injective_bkey_keeps_hash_aggregate_plan(spark):
+    """The r11 SortAggregate→HashAggregate hub win must survive the r12
+    null-bkey gate for the provably-injective case (single non-string
+    key): the dedup stays an all-grouping-keys distinct()."""
+    df = spark.createDataFrame(
+        [(Operation.CREATE, T0, 1), (Operation.CREATE, T0, 1), (Operation.CREATE, T0, 2)],
+        "OPERATION int, LOAD_DATE timestamp, ck bigint",
+    )
+    # no hkey_columns (hub_rows computes the hkey from exactly the
+    # business keys) and an explicit record_source (so the constants
+    # stay off the dedup aggregate): the construction where the
+    # distinct() fast path applies
+    staged = rv.prepare_staging(
+        df,
+        load_date_column="LOAD_DATE",
+        operation_column="OPERATION",
+        record_source="test",
+    )
+    hub = rv.hub_rows(staged, ["ck"], load_ts=T1, record_source="test")
+    assert hub.count() == 2
+    plan = hub._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+    assert "first(" not in plan, plan  # all-grouping-keys distinct
+
+
 def test_hub_hkey_is_md5_of_business_key(spark):
     import hashlib
 

@@ -78,7 +78,7 @@ def test_duplicate_right_ts_deterministic(spark):
     assert out == {(1, 11, "L"): (10, "zzz")}  # max struct wins, stable
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     data=st.data(),
@@ -216,7 +216,7 @@ def test_bucketed_asof_no_by_global(spark):
     assert got == {5: "r2", 15: "r14", 25: "r14"}
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     data=st.data(),
