@@ -99,7 +99,7 @@ def _large_star(edges: DataFrame, *, dedup: bool = True) -> DataFrame:
     return out.distinct() if dedup else out
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, *, dedup: bool = True) -> DataFrame:
     """(v, m(u)) for every smaller neighbor v of u, plus (u, m(u)).
 
     Operates on the big→small orientation the preceding large-star (or
@@ -107,7 +107,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     formulation as :func:`_large_star` (the self-edge ``(u, m(u))`` is
     emitted per input row instead of per key; the terminal ``distinct``
     collapses it to one, exactly the set the groupBy formulation
-    built)."""
+    built). ``dedup=False`` (r12) skips the terminal ``distinct`` when
+    the caller immediately feeds another star round inside the SAME
+    materialization: both stars' window-min and per-row emissions are
+    duplicate-insensitive, so the pair-final ``distinct`` restores the
+    identical edge SET while the intermediate round saves its own
+    (u, v) exchange — one fewer stage barrier per non-final round."""
     # one Generate pass instead of rewired ∪ self_edges: a union would
     # scan the (checkpointed) round input twice and double the logical
     # plan the next localCheckpoint has to re-plan (r11: per-round plan
@@ -121,7 +126,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
         " array(named_struct('u', v, 'v', m), named_struct('u', u, 'v', m))"
         " ELSE array(named_struct('u', u, 'v', m)) END)"
     )
-    return out.where("u != v").distinct()
+    out = out.where("u != v")
+    return out.distinct() if dedup else out
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -189,8 +195,17 @@ def connected_components(
     rounds_done = 0
     while rounds_done < max_iterations:
         plan = cur
-        for _ in range(min(rounds_per_check, max_iterations - rounds_done)):
-            plan = _small_star(_large_star(plan, dedup=False))
+        n_rounds = min(rounds_per_check, max_iterations - rounds_done)
+        for i in range(n_rounds):
+            # intra-pair rounds skip the small-star distinct too (r12):
+            # stars are duplicate-insensitive (window-min + per-row
+            # emission), so only the round that feeds the
+            # materialization/fingerprint needs set semantics — one
+            # fewer (u, v) exchange per non-final round. The duplicate
+            # fan-out is bounded (each input row emits <= 2 rows).
+            plan = _small_star(
+                _large_star(plan, dedup=False), dedup=(i == n_rounds - 1)
+            )
             rounds_done += 1
         nxt = _materialize_for_fingerprint(plan, checkpoint_dir)
         nfp = _edge_fingerprint(nxt)
